@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
+import graft.model.DerivedState
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +30,8 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     "q1_pricing_summary" -> { (s, dir) =>
       import s.implicits._
       Tables.lineitem(s, dir)
@@ -53,7 +55,28 @@ object SparkEntry {
         .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
              count(lit(1)).as("n_items"))
     },
-  )
+    "state_checksum" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      s.sql(stateChecksumSql)
+    },
+  ) ++ graft.queries.StateQueries.queries ++
+    graft.queries.AnalyticsQueries.queries
+
+  /** Per-table row counts + id/version checksums of the derived state
+    * tables — guards the Spark/DuckDB derivation against drift. Runs
+    * verbatim in both engines. */
+  private val stateChecksumSql: String =
+    """SELECT t AS tbl, n, idsum, vsum FROM (
+      |  SELECT 'file' AS t, COUNT(*) AS n, SUM(id) AS idsum, SUM(version) AS vsum FROM file
+      |  UNION ALL
+      |  SELECT 'block', COUNT(*), SUM(id), SUM(version) FROM block
+      |  UNION ALL
+      |  SELECT 'datanode', COUNT(*), SUM(id), SUM(version) FROM datanode
+      |  UNION ALL
+      |  SELECT 'lease', COUNT(*), SUM(version), SUM(version) FROM lease
+      |  UNION ALL
+      |  SELECT 'ops', COUNT(*), SUM(opKey), SUM(opVersion) FROM ops
+      |) u ORDER BY tbl""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -73,5 +96,7 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
-  )
+    "state_checksum" -> DerivedState.oracle(stateChecksumSql),
+  ) ++ graft.queries.StateQueries.oracles ++
+    graft.queries.AnalyticsQueries.oracles
 }

@@ -1,0 +1,211 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.state.StateManager
+
+/** Namenode dataflow operators (SURVEY §2.4,
+  * H/org/apache/hadoop/hdfs/server/namenode/FSNamesystem.java) as
+  * declarative DataFrame queries. These are the engine's "hard" analytics:
+  * a cumulative-window range selection, a full-outer-join classification,
+  * two top-k-by-computed-priority shapes and a namespace-wide aggregation.
+  */
+object Dataflows {
+
+  private def live(df: DataFrame) = graft.store.StateStore.live(df)
+
+  // ---- N1: getBlockLocations (FSNamesystem.java:596-700) ---------------
+
+  /** For each (fileId, offset, length) request: select the blocks whose
+    * cumulative-length range overlaps [offset, offset+length), attach the
+    * replica list. The reference walks blocks one-by-one (:643-700); here
+    * the walk is a window cumulative sum — one pass, any number of
+    * requests at once. */
+  def blockLocations(block: DataFrame, requests: DataFrame): DataFrame = {
+    val entries = StateManager.blockEntries(block)
+    val w = Window.partitionBy(col("fileId")).orderBy(col("fileIndex"))
+    val ranged = entries
+      .withColumn("blockStart",
+        coalesce(sum(greatest(col("blockLength"), lit(0L)))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("blockEnd", col("blockStart") + greatest(col("blockLength"), lit(0L)))
+    ranged.join(requests.withColumnRenamed("fileId", "reqFileId"),
+        col("fileId") === col("reqFileId") &&
+        col("blockStart") < col("offset") + col("reqLen") &&
+        (col("blockEnd") > col("offset") || col("blockLength") === -1L))
+      .drop("reqFileId")
+  }
+
+  // ---- N5: blockReport reconciliation (:2468-2620) ---------------------
+
+  /** Full-outer-join a datanode's reported blocks against the stored
+    * replica rows and classify (:2520-2594):
+    *  - toAdd:        reported, not stored (or stored with older genstamp)
+    *  - toInvalidate: reported with a STALE genstamp vs the file's max
+    *  - toRemove:     stored but not reported (lost replica)
+    *  - ok:           lengths+genstamps agree.
+    * `reported` columns: datanodeId, blockId, repLength, repGenStamp. */
+  def reconcileReports(block: DataFrame, reported: DataFrame): DataFrame = {
+    val stored = live(block).select(
+      col("id").as("blockId"), col("datanodeId"),
+      col("length").as("storedLength"), col("generationStamp").as("storedGenStamp"))
+    // per-block freshest genstamp across ALL replicas — the arbiter for
+    // stale-report detection (older genstamp loses, :2520-2552)
+    val freshest = live(block).groupBy(col("id").as("__bid"))
+      .agg(max(col("generationStamp")).as("maxGenStamp"))
+    reported
+      .join(stored, Seq("datanodeId", "blockId"), "full_outer")
+      .join(freshest, col("blockId") === col("__bid"), "left").drop("__bid")
+      .withColumn("action",
+        when(col("repGenStamp").isNull, lit("toRemove"))
+          .when(col("repGenStamp") < coalesce(col("maxGenStamp"), col("repGenStamp")), lit("toInvalidate"))
+          .when(col("storedGenStamp").isNull, lit("toAdd"))
+          .when(col("storedGenStamp") < col("repGenStamp") ||
+                (col("storedLength") =!= col("repLength") && col("storedLength") =!= -1L), lit("toAdd"))
+          .otherwise(lit("ok")))
+  }
+
+  // ---- N6: under-replication priorities + top-k (UnderReplicatedBlocks.java) -
+
+  /** Priority per under-replicated block (UnderReplicatedBlocks.java:70-90):
+    * 0 = last replica (or decommissioned-only), 1 = < 1/3 of expected,
+    * 2 = rest; then the budgeted pick = top-k by (priority, blockId) —
+    * chooseUnderReplicatedBlocks (FSNamesystem.java:2043-2098). */
+  def underReplicated(block: DataFrame, file: DataFrame, datanode: DataFrame,
+                      nowMs: Long, k: Int): DataFrame = {
+    val liveNodeIds = StateManager.liveDatanodes(datanode, nowMs)
+      .filter(col("adminState") === "NORMAL")
+      .select(col("id").as("nodeId"))
+    val liveReplicas = live(block)
+      .join(liveNodeIds, col("datanodeId") === col("nodeId"), "left_semi")
+      .groupBy(col("id").as("blockId"), col("fileId"))
+      .agg(count(lit(1)).as("liveReplicaCount"))
+    val expected = live(file).filter(col("length") =!= -1L)
+      .select(col("id").as("fid"), col("replication").as("expectedReplication"))
+    liveReplicas.join(expected, col("fileId") === col("fid")).drop("fid")
+      .filter(col("liveReplicaCount") < col("expectedReplication"))
+      .withColumn("priority",
+        when(col("liveReplicaCount") <= 1, lit(0))
+          .when(col("liveReplicaCount") * 3 < col("expectedReplication"), lit(1))
+          .otherwise(lit(2)))
+      .orderBy(col("priority"), col("blockId"))
+      .limit(k)
+  }
+
+  // ---- N8: excess replicas (processOverReplicatedBlock :2789-2890) -----
+
+  /** Over-replicated blocks: rank replicas by the drop preference (prefer
+    * the node with the least remaining space, :2827 chooseExcessReplicates)
+    * and emit the replicas beyond the expected count as invalidation work,
+    * grouped per datanode (recentInvalidateSets). */
+  def excessReplicas(block: DataFrame, file: DataFrame, datanode: DataFrame): DataFrame = {
+    val expected = live(file).filter(col("length") =!= -1L)
+      .select(col("id").as("fid"), col("replication").as("expectedReplication"))
+    val space = live(datanode).select(col("id").as("nodeId"), col("remaining"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("remaining").asc, col("datanodeId").asc)
+    live(block)
+      .join(expected, col("fileId") === col("fid")).drop("fid")
+      .join(space, col("datanodeId") === col("nodeId"), "left").drop("nodeId")
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .filter(col("__cnt") > col("expectedReplication"))
+      .withColumn("dropRank", row_number().over(w))
+      .filter(col("dropRank") <= col("__cnt") - col("expectedReplication"))
+      .drop("__cnt")
+  }
+
+  // ---- N11: fsck (NamenodeFsck.java:149-353, Result :556-640) ----------
+
+  /** Whole-namespace health report in one wide aggregation:
+    * file ⋈ grouped-blocks → counts/sums/conditional counts. */
+  def fsck(file: DataFrame, block: DataFrame, datanode: DataFrame, nowMs: Long): DataFrame = {
+    val files = live(file)
+    val liveNodeIds = StateManager.liveDatanodes(datanode, nowMs)
+      .select(col("id").as("nodeId"))
+    val perBlock = live(block)
+      .join(liveNodeIds, col("datanodeId") === col("nodeId"), "left_semi")
+      .groupBy(col("id").as("blockId"), col("fileId"))
+      .agg(count(lit(1)).as("liveReplicas"),
+           max(greatest(col("length"), lit(0L))).as("blockLen"))
+    val perFile = files.filter(col("length") =!= -1L)
+      .select(col("id"), col("replication"))
+      .join(perBlock, col("id") === perBlock("fileId"), "left")
+      .groupBy(col("id"), col("replication"))
+      .agg(count(col("blockId")).as("nBlocks"),
+           sum(coalesce(col("blockLen"), lit(0L))).as("fileSize"),
+           sum(coalesce(col("liveReplicas"), lit(0L))).as("totalReplicas"),
+           count(when(col("liveReplicas") < col("replication"), 1)).as("underBlocks"),
+           count(when(col("liveReplicas") > col("replication"), 1)).as("overBlocks"),
+           count(when(col("liveReplicas").isNull, 1)).as("missingBlocks"))
+    perFile.agg(
+      count(lit(1)).as("totalFiles"),
+      sum(col("nBlocks")).as("totalBlocks"),
+      sum(col("fileSize")).as("totalSize"),
+      sum(col("underBlocks")).as("underReplicatedBlocks"),
+      sum(col("overBlocks")).as("overReplicatedBlocks"),
+      sum(col("missingBlocks")).as("missingBlocks"),
+      (sum(col("totalReplicas")).cast("double") / sum(col("nBlocks"))).as("avgReplication"))
+  }
+
+  // ---- N14: safe-mode threshold (SafeModeInfo :3531-3700) --------------
+
+  /** Fraction of blocks that reached minimal replication vs total. */
+  def safeModeRatio(block: DataFrame, minReplication: Int): DataFrame = {
+    val perBlock = live(block).groupBy(col("id"))
+      .agg(count(lit(1)).as("replicas"))
+    perBlock.agg(
+      count(lit(1)).as("totalBlocks"),
+      count(when(col("replicas") >= minReplication, 1)).as("safeBlocks"))
+  }
+
+  // ---- N15: du / count / ContentSummary (ContentSummary.java:27-110) ---
+
+  /** Subtree aggregation {length, fileCount, dirCount} per requested root.
+    * Single-pass for ALL roots at once: the frontier carries a rootId
+    * label down the tree, so N roots cost the same joins as one — the
+    * shape that survives a 1000-root du over a 100 TB namespace. */
+  def contentSummary(file: DataFrame, rootIds: Seq[Long], maxDepth: Int = 16): DataFrame = {
+    val f = live(file)
+    var frontier = f.filter(col("id").isin(rootIds: _*))
+      .select(col("id").as("rootId"), col("id"), col("length"))
+    var out = frontier
+    var lvl = 0
+    var n = 1L
+    while (n > 0 && lvl < maxDepth) {
+      val parents = frontier.select(col("rootId"), col("id").as("__pid"))
+      frontier = f.join(parents, col("parentId") === col("__pid"))
+        .select(col("rootId"), col("id"), col("length"))
+      frontier.persist()
+      n = frontier.count()
+      if (n > 0) out = out.unionByName(frontier)
+      lvl += 1
+    }
+    out.groupBy(col("rootId")).agg(
+      sum(when(col("length") =!= -1L, greatest(col("length"), lit(0L))).otherwise(0L)).as("length"),
+      count(when(col("length") =!= -1L, 1)).as("fileCount"),
+      count(when(col("length") === -1L, 1)).as("dirCount"))
+  }
+
+  // ---- N16: datanode report (live/dead partition) ----------------------
+
+  def datanodeReport(datanode: DataFrame, nowMs: Long): DataFrame =
+    live(datanode)
+      .withColumn("alive", col("lastUpdated") >= nowMs - StateManager.HeartbeatExpiryMs)
+
+  // ---- N17: lease recovery / block synchronization (:1506-1600) --------
+
+  /** Per-block reconcile across replicas: max genstamp wins, truncate to
+    * the min consistent length among max-genstamp replicas. */
+  def blockSynchronization(block: DataFrame): DataFrame = {
+    val b = live(block)
+    val w = Window.partitionBy(col("id"))
+    b.withColumn("__maxGs", max(col("generationStamp")).over(w))
+      .filter(col("generationStamp") === col("__maxGs"))
+      .groupBy(col("id"))
+      .agg(max(col("generationStamp")).as("recoveredGenStamp"),
+           min(when(col("length") >= 0, col("length"))).as("recoveredLength"),
+           count(lit(1)).as("syncReplicas"))
+  }
+}

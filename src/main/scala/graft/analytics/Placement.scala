@@ -1,0 +1,65 @@
+package graft.analytics
+
+import scala.util.Random
+
+/** N7 replica placement (ReplicationTargetChooser.java:77-178) — the one
+  * genuinely sequential, topology-aware algorithm in the reference. Kept
+  * as driver-side Scala over a broadcast topology snapshot (SURVEY §4):
+  * forcing the pipeline case-ladder into SQL would serialize through a
+  * single partition anyway.
+  *
+  * Case ladder (:138-178): 1st replica on the writer's node/rack, 2nd on a
+  * remote rack, 3rd on the same rack as the 2nd, rest random —
+  * subject to isGoodTarget (space, load, per-rack quota).
+  */
+object Placement {
+
+  final case class Node(id: Long, rack: String, remaining: Long,
+                        xceiverCount: Long, adminState: String)
+
+  /** isGoodTarget (ReplicationTargetChooser.java): enough space, not
+    * overloaded vs cluster average, rack not over quota, not
+    * decommissioning. */
+  private def isGood(n: Node, blockSize: Long, avgLoad: Double,
+                     chosen: Seq[Node], maxPerRack: Int): Boolean =
+    n.adminState == "NORMAL" &&
+      n.remaining >= blockSize * 2 &&
+      n.xceiverCount <= 2.0 * avgLoad + 2 &&
+      chosen.count(_.rack == n.rack) < maxPerRack &&
+      !chosen.exists(_.id == n.id)
+
+  /** Choose `replication` targets. Deterministic given `seed` (the caller
+    * passes e.g. the block id) so tests and replays are stable. */
+  def chooseTargets(nodes: Seq[Node], replication: Int, writerRack: Option[String],
+                    blockSize: Long, seed: Long): Seq[Node] = {
+    if (nodes.isEmpty || replication <= 0) return Nil
+    val rnd = new Random(seed)
+    val racks = nodes.map(_.rack).distinct.size.max(1)
+    val maxPerRack = (replication - 1) / racks + 2
+    val avgLoad = nodes.map(_.xceiverCount).sum.toDouble / nodes.size
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Node]
+
+    def pick(candidates: Seq[Node]): Option[Node] = {
+      val good = candidates.filter(isGood(_, blockSize, avgLoad, chosen.toSeq, maxPerRack))
+      if (good.isEmpty) None
+      else Some(good(rnd.nextInt(good.size)))
+    }
+
+    // 1st: writer-local rack if possible, else anywhere
+    val first = writerRack.flatMap(r => pick(nodes.filter(_.rack == r))).orElse(pick(nodes))
+    first.foreach(chosen += _)
+    // 2nd: remote rack from the 1st
+    if (replication >= 2) chosen.headOption.foreach { f =>
+      pick(nodes.filter(_.rack != f.rack)).orElse(pick(nodes)).foreach(chosen += _)
+    }
+    // 3rd: same rack as the 2nd
+    if (replication >= 3 && chosen.size >= 2) {
+      val second = chosen(1)
+      pick(nodes.filter(_.rack == second.rack)).orElse(pick(nodes)).foreach(chosen += _)
+    }
+    // rest: random fill
+    while (chosen.size < replication && pick(nodes).isDefined)
+      pick(nodes).foreach(chosen += _)
+    chosen.toSeq
+  }
+}

@@ -1,0 +1,174 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic derivation of the four ADFS state tables (SURVEY §1.2)
+  * from the driver's TPC-H-ish testdata, written in a SQL dialect subset
+  * that parses IDENTICALLY in Spark SQL and DuckDB. The same strings are
+  * (a) executed by Spark as temp views and (b) prepended as a WITH prefix
+  * to every oracle query — so the two engines can never drift.
+  *
+  * Mapping (namespace tree): root(0) → nation dirs → customer dirs →
+  * order files; blocks from lineitem (1-3 replicas via a small cross
+  * join); 40 datanodes from range(); 100 lease holders from range().
+  * Includes the reference's edge shapes: tombstoned files (version<0,
+  * orders with o_orderkey%97=0), under-construction replicas (length=-1),
+  * stale replicas (divergent generationStamp), dead/decommissioned nodes,
+  * soft/hard-expired leases. "Now" is pinned to NOW_MS for determinism.
+  */
+object DerivedState {
+
+  val NowMs = 1700000000000L
+
+  /** file: id, parentId, name, length(-1=dir), blockSize, replication,
+    * atime, mtime, owner, leaseHolder, leaseRecoveryTime, version. */
+  val fileSql: String =
+    """SELECT CAST(0 AS BIGINT) AS id, CAST(-1 AS BIGINT) AS parentId, '' AS name,
+      |       CAST(-1 AS BIGINT) AS length, CAST(0 AS BIGINT) AS blockSize,
+      |       CAST(0 AS BIGINT) AS replication, CAST(1700000000000 AS BIGINT) AS atime,
+      |       CAST(1700000000000 AS BIGINT) AS mtime, CAST(0 AS BIGINT) AS owner,
+      |       CAST(NULL AS STRING) AS leaseHolder, CAST(0 AS BIGINT) AS leaseRecoveryTime,
+      |       CAST(1 AS BIGINT) AS version
+      |UNION ALL
+      |SELECT CAST(1 + n_nationkey AS BIGINT), CAST(0 AS BIGINT),
+      |       'n_' || CAST(n_nationkey AS STRING),
+      |       CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |       CAST(1700000000000 AS BIGINT), CAST(1700000000000 AS BIGINT),
+      |       CAST(n_regionkey AS BIGINT), CAST(NULL AS STRING), CAST(0 AS BIGINT),
+      |       CAST(1 + n_nationkey AS BIGINT)
+      |FROM nation
+      |UNION ALL
+      |SELECT CAST(100 + c_custkey AS BIGINT), CAST(1 + c_nationkey AS BIGINT),
+      |       'c_' || CAST(c_custkey AS STRING),
+      |       CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |       CAST(1700000000000 AS BIGINT), CAST(1700000000000 AS BIGINT),
+      |       CAST(c_nationkey AS BIGINT), CAST(NULL AS STRING), CAST(0 AS BIGINT),
+      |       CAST(100 + c_custkey AS BIGINT)
+      |FROM customer
+      |UNION ALL
+      |SELECT CAST(1000000 + o_orderkey AS BIGINT), CAST(100 + o_custkey AS BIGINT),
+      |       'o_' || CAST(o_orderkey AS STRING),
+      |       CASE WHEN o_orderkey % 10 = 0 THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END,
+      |       CAST(1024 AS BIGINT),
+      |       CAST(1 + o_orderkey % 3 AS BIGINT),
+      |       CAST(1700000000000 + o_orderkey AS BIGINT),
+      |       CAST(1690000000000 + o_orderkey AS BIGINT),
+      |       CAST(o_custkey % 100 AS BIGINT),
+      |       CASE WHEN o_orderkey % 50 = 0 THEN 'h_' || CAST(o_custkey % 100 AS STRING)
+      |            ELSE CAST(NULL AS STRING) END,
+      |       CAST(0 AS BIGINT),
+      |       CASE WHEN o_orderkey % 97 = 0 THEN CAST(0 - (1000000 + o_orderkey) AS BIGINT)
+      |            ELSE CAST(1000000 + o_orderkey AS BIGINT) END
+      |FROM orders""".stripMargin
+
+  /** block: id, datanodeId, length(-1=under construction), generationStamp,
+    * fileId, fileIndex, version. One row per replica; replication factor
+    * 1+l_suppkey%3; replica 2 of every 11th part has a stale genstamp. */
+  val blockSql: String =
+    """SELECT CAST(1000000 + l_orderkey * 32 + li AS BIGINT) AS id,
+      |       CAST(1 + (l_suppkey + r * 7 + li) % 40 AS BIGINT) AS datanodeId,
+      |       CASE WHEN l_orderkey % 50 = 0 AND li = 1 THEN CAST(-1 AS BIGINT)
+      |            ELSE CAST(FLOOR(l_quantity) * 1000 AS BIGINT) END AS length,
+      |       CAST(100 + l_partkey % 5
+      |            - CASE WHEN r = 2 AND l_partkey % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |         AS generationStamp,
+      |       CAST(1000000 + l_orderkey AS BIGINT) AS fileId,
+      |       CAST(li AS BIGINT) AS fileIndex,
+      |       CAST((1000000 + l_orderkey * 32 + li) * 4 + r AS BIGINT) AS version
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |        ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+      |                 l_quantity, l_discount) AS li
+      |      FROM lineitem) L
+      |CROSS JOIN (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2) reps
+      |WHERE r < 1 + l_suppkey % 3""".stripMargin
+
+  /** datanode: 40 nodes, 5 racks; i%13=0 stale (dead), i%17=0
+    * decommissioned, i%19=0 decommissioning. */
+  val datanodeSql: String =
+    """SELECT CAST(i AS BIGINT) AS id,
+      |       'dn' || CAST(i AS STRING) || ':50010' AS name,
+      |       'DS-' || CAST(i AS STRING) AS storageId,
+      |       CAST(50020 AS BIGINT) AS ipcPort, CAST(50075 AS BIGINT) AS infoPort,
+      |       CAST(1000000000000 + i * 1000000000 AS BIGINT) AS capacity,
+      |       CAST(i * 100000000 AS BIGINT) AS dfsUsed,
+      |       CAST(1000000000000 + i * 1000000000 - i * 100000000 - i * 10000000 AS BIGINT) AS remaining,
+      |       CAST(1700000000000 - CASE WHEN i % 13 = 0 THEN 7200000 ELSE i * 1000 END AS BIGINT) AS lastUpdated,
+      |       CAST(i % 7 AS BIGINT) AS xceiverCount,
+      |       '/rack' || CAST(i % 5 AS STRING) AS location,
+      |       CASE WHEN i % 17 = 0 THEN 'DECOMMISSIONED'
+      |            WHEN i % 19 = 0 THEN 'DECOMMISSION_INPROGRESS'
+      |            ELSE 'NORMAL' END AS adminState,
+      |       CAST(i AS BIGINT) AS version
+      |FROM range(1, 41) AS t(i)""".stripMargin
+
+  /** lease: holder h_i renewed i minutes before NOW_MS → i>=1 soft-expired,
+    * i>=60 hard-expired (FSConstants 60 s / 3600 s limits). */
+  val leaseSql: String =
+    """SELECT 'h_' || CAST(i AS STRING) AS holder,
+      |       CAST(1700000000000 - i * 60000 AS BIGINT) AS leaseTime,
+      |       CAST(1 + i AS BIGINT) AS version
+      |FROM range(0, 100) AS t(i)""".stripMargin
+
+  /** ops: a versioned changefeed derived from events for the R9/D1-D4
+    * idempotent-replay semantics — DELETE ops carry negative versions. */
+  val opsSql: String =
+    """SELECT CAST(user_id AS BIGINT) AS opKey,
+      |       CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+      |       CASE WHEN event_type = 'error' THEN CAST(0 - (event_id + 1) AS BIGINT)
+      |            ELSE CAST(event_id + 1 AS BIGINT) END AS opVersion,
+      |       CAST(FLOOR(value * 100) AS BIGINT) AS payload
+      |FROM events""".stripMargin
+
+  /** reported: a synthetic block report for datanodes 1-8 with the N5
+    * perturbation matrix — dropped replicas (version%13, → toRemove),
+    * stale genstamps (version%7, → toInvalidate), changed lengths
+    * (version%5, → toAdd), plus never-stored rows re-keyed to the
+    * NULL_DATANODE id 0 (→ toAdd). */
+  val reportedSql: String =
+    """SELECT datanodeId, id AS blockId,
+      |       CASE WHEN version % 5 = 0 THEN length + 1000 ELSE length END AS repLength,
+      |       CASE WHEN version % 7 = 0 THEN generationStamp - 1 ELSE generationStamp END AS repGenStamp
+      |FROM block WHERE datanodeId <= 8 AND version > 0 AND version % 13 <> 0
+      |UNION ALL
+      |SELECT CAST(0 AS BIGINT), id, length, generationStamp
+      |FROM block WHERE datanodeId = 10 AND version > 0""".stripMargin
+
+  val derived: Seq[(String, String)] = Seq(
+    "file" -> fileSql, "block" -> blockSql, "datanode" -> datanodeSql,
+    "lease" -> leaseSql, "ops" -> opsSql, "reported" -> reportedSql)
+
+  /** DuckDB oracle prefix: WITH <derived tables> — prepend to oracle SQL. */
+  val oraclePrefix: String =
+    derived.map { case (n, q) => s"$n AS (\n$q\n)" }
+      .mkString("WITH ", ",\n", "\n")
+
+  /** Prepend the derived-table CTEs; a query that itself starts with WITH
+    * gets its CTE list merged into the prefix. */
+  def oracle(sql: String): String = {
+    val t = sql.trim
+    if (t.regionMatches(true, 0, "WITH ", 0, 5))
+      oraclePrefix.stripSuffix("\n") + ",\n" + t.substring(5)
+    else oraclePrefix + sql
+  }
+
+  /** Register base parquet views + derived temp views in the session.
+    * events.parquet carries TIMESTAMP(NANOS) which Spark only reads with
+    * the nanosAsLong legacy conf → events.ts is BIGINT nanos here (the
+    * DuckDB oracle side uses epoch_ns(ts) for parity). */
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.Tables.names.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    derived.foreach { case (n, q) =>
+      spark.sql(q).createOrReplaceTempView(n)
+    }
+  }
+
+  def file(spark: SparkSession, sfDir: String): DataFrame = { register(spark, sfDir); spark.table("file") }
+  def block(spark: SparkSession, sfDir: String): DataFrame = { register(spark, sfDir); spark.table("block") }
+  def datanode(spark: SparkSession, sfDir: String): DataFrame = { register(spark, sfDir); spark.table("datanode") }
+  def lease(spark: SparkSession, sfDir: String): DataFrame = { register(spark, sfDir); spark.table("lease") }
+  def ops(spark: SparkSession, sfDir: String): DataFrame = { register(spark, sfDir); spark.table("ops") }
+}

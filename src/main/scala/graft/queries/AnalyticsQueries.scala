@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Dataflows
+import graft.model.DerivedState
+
+/** queries()+oracleSql() for the namenode dataflow operators (SURVEY §2.4,
+  * N1-N17) on the derived state tables. */
+object AnalyticsQueries {
+
+  private val Now = DerivedState.NowMs
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // N1: getBlockLocations — cumulative range selection + replica attach
+    "n1_block_locations" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(
+        """SELECT CAST(1000000 + o_orderkey AS BIGINT) AS fileId,
+          |       CAST(5000 AS BIGINT) AS offset, CAST(40000 AS BIGINT) AS reqLen
+          |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin)
+      Dataflows.blockLocations(s.table("block"), reqs)
+        .select(col("fileId"), col("id"), col("fileIndex"), col("blockStart"),
+          col("blockEnd"), col("primaryDatanodeId"), col("replicas"))
+        .orderBy(col("fileId"), col("fileIndex"))
+    },
+    // N5: block-report reconciliation — full-outer-join classification
+    "n5_block_report" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.reconcileReports(s.table("block"), s.table("reported"))
+        .groupBy(col("datanodeId"), col("action"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("datanodeId"), col("action"))
+    },
+    // N6: under-replication priority queue — budgeted top-k
+    "n6_under_replicated" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.underReplicated(s.table("block"), s.table("file"),
+          s.table("datanode"), Now, k = 100)
+        .select(col("blockId"), col("fileId"), col("liveReplicaCount"),
+          col("expectedReplication"), col("priority"))
+    },
+    // N8: excess-replica invalidation work
+    "n8_excess_replicas" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.excessReplicas(s.table("block"), s.table("file"), s.table("datanode"))
+        .filter(col("id") % 20 === 0L)
+        .select(col("id"), col("datanodeId"), col("remaining"), col("dropRank"))
+        .orderBy(col("id"), col("dropRank"))
+    },
+    // N11: fsck — whole-namespace wide aggregation
+    "n11_fsck" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.fsck(s.table("file"), s.table("block"), s.table("datanode"), Now)
+    },
+    // N14: safe-mode threshold ratio
+    "n14_safe_mode" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.safeModeRatio(s.table("block"), minReplication = 2)
+        .withColumn("ratio", col("safeBlocks").cast("double") / col("totalBlocks"))
+    },
+    // N15: du / count / ContentSummary per top-level dir (all roots, one pass)
+    "n15_content_summary" -> { (s, dir) =>
+      Dataflows.contentSummary(DerivedState.file(s, dir), (1L to 26L))
+        .orderBy(col("rootId"))
+    },
+    // N16: datanode report — live/dead × adminState partition
+    "n16_datanode_report" -> { (s, dir) =>
+      Dataflows.datanodeReport(DerivedState.datanode(s, dir), Now)
+        .groupBy(col("alive"), col("adminState"))
+        .agg(count(lit(1)).as("nodes"), sum(col("capacity")).as("capacity"))
+        .orderBy(col("alive"), col("adminState"))
+    },
+    // N17: lease recovery / block synchronization
+    "n17_block_sync" -> { (s, dir) =>
+      val b = DerivedState.block(s, dir)
+      Dataflows.blockSynchronization(
+          b.filter(col("fileId") % 50 === 0L))
+        .orderBy(col("id"))
+    },
+  )
+
+  private val O = DerivedState.oracle _
+
+  def oracles: Map[String, String] = Map(
+    "n1_block_locations" -> O(
+      """WITH entries AS (
+        |  SELECT id, ANY_VALUE(fileId) AS fileId, ANY_VALUE(fileIndex) AS fileIndex,
+        |    ARG_MAX(datanodeId, generationStamp * 10000000000 + version) AS primaryDatanodeId,
+        |    ARG_MAX(length, generationStamp * 10000000000 + version) AS blockLength,
+        |    STRING_AGG(CAST(datanodeId AS STRING), ',' ORDER BY datanodeId) AS replicas
+        |  FROM block WHERE version > 0 GROUP BY id),
+        |ranged AS (
+        |  SELECT *,
+        |    COALESCE(SUM(CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END)
+        |      OVER (PARTITION BY fileId ORDER BY fileIndex
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS blockStart,
+        |    COALESCE(SUM(CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END)
+        |      OVER (PARTITION BY fileId ORDER BY fileIndex
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END) AS blockEnd
+        |  FROM entries)
+        |SELECT r.fileId, r.id, r.fileIndex, r.blockStart, r.blockEnd,
+        |       r.primaryDatanodeId, r.replicas
+        |FROM ranged r JOIN (SELECT CAST(1000000 + o_orderkey AS BIGINT) AS reqFileId
+        |                    FROM orders WHERE o_orderkey % 100 = 0) q
+        |  ON r.fileId = q.reqFileId
+        |WHERE r.blockStart < 5000 + 40000 AND (r.blockEnd > 5000 OR r.blockLength = -1)
+        |ORDER BY r.fileId, r.fileIndex""".stripMargin),
+    "n5_block_report" -> O(
+      """WITH stored AS (
+        |  SELECT id AS blockId, datanodeId, length AS storedLength,
+        |         generationStamp AS storedGenStamp
+        |  FROM block WHERE version > 0),
+        |freshest AS (
+        |  SELECT id AS bid, MAX(generationStamp) AS maxGenStamp
+        |  FROM block WHERE version > 0 GROUP BY id),
+        |joined AS (
+        |  SELECT COALESCE(r.datanodeId, s.datanodeId) AS datanodeId,
+        |         COALESCE(r.blockId, s.blockId) AS blockId,
+        |         r.repLength, r.repGenStamp, s.storedLength, s.storedGenStamp
+        |  FROM reported r FULL OUTER JOIN stored s
+        |    ON r.datanodeId = s.datanodeId AND r.blockId = s.blockId)
+        |SELECT datanodeId,
+        |  CASE WHEN repGenStamp IS NULL THEN 'toRemove'
+        |       WHEN repGenStamp < COALESCE(f.maxGenStamp, repGenStamp) THEN 'toInvalidate'
+        |       WHEN storedGenStamp IS NULL THEN 'toAdd'
+        |       WHEN storedGenStamp < repGenStamp
+        |            OR (storedLength <> repLength AND storedLength <> -1) THEN 'toAdd'
+        |       ELSE 'ok' END AS action,
+        |  COUNT(*) AS n
+        |FROM joined LEFT JOIN freshest f ON joined.blockId = f.bid
+        |GROUP BY 1, 2 ORDER BY datanodeId, action""".stripMargin),
+    "n6_under_replicated" -> O(
+      """WITH livenodes AS (
+        |  SELECT id FROM datanode WHERE version > 0 AND adminState = 'NORMAL'
+        |    AND lastUpdated >= 1700000000000 - 600000),
+        |cnt AS (
+        |  SELECT b.id AS blockId, b.fileId, COUNT(*) AS liveReplicaCount
+        |  FROM block b JOIN livenodes n ON b.datanodeId = n.id
+        |  WHERE b.version > 0 GROUP BY b.id, b.fileId)
+        |SELECT c.blockId, c.fileId, c.liveReplicaCount,
+        |       f.replication AS expectedReplication,
+        |       CASE WHEN c.liveReplicaCount <= 1 THEN 0
+        |            WHEN c.liveReplicaCount * 3 < f.replication THEN 1
+        |            ELSE 2 END AS priority
+        |FROM cnt c JOIN file f ON c.fileId = f.id AND f.version > 0 AND f.length <> -1
+        |WHERE c.liveReplicaCount < f.replication
+        |ORDER BY priority, blockId LIMIT 100""".stripMargin),
+    "n8_excess_replicas" -> O(
+      """WITH x AS (
+        |  SELECT b.id, b.datanodeId, d.remaining, f.replication,
+        |         COUNT(*) OVER (PARTITION BY b.id) AS cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY b.id
+        |           ORDER BY d.remaining ASC, b.datanodeId ASC) AS dropRank
+        |  FROM block b
+        |  JOIN file f ON b.fileId = f.id AND f.version > 0 AND f.length <> -1
+        |  LEFT JOIN datanode d ON b.datanodeId = d.id AND d.version > 0
+        |  WHERE b.version > 0)
+        |SELECT id, datanodeId, remaining, dropRank FROM x
+        |WHERE cnt > replication AND dropRank <= cnt - replication AND id % 20 = 0
+        |ORDER BY id, dropRank""".stripMargin),
+    "n11_fsck" -> O(
+      """WITH livenodes AS (
+        |  SELECT id FROM datanode WHERE version > 0
+        |    AND lastUpdated >= 1700000000000 - 600000),
+        |perblock AS (
+        |  SELECT b.id AS blockId, b.fileId, COUNT(*) AS liveReplicas,
+        |         MAX(CASE WHEN b.length > 0 THEN b.length ELSE 0 END) AS blockLen
+        |  FROM block b JOIN livenodes n ON b.datanodeId = n.id
+        |  WHERE b.version > 0 GROUP BY b.id, b.fileId),
+        |perfile AS (
+        |  SELECT f.id, f.replication,
+        |         COUNT(p.blockId) AS nBlocks,
+        |         SUM(COALESCE(p.blockLen, 0)) AS fileSize,
+        |         SUM(COALESCE(p.liveReplicas, 0)) AS totalReplicas,
+        |         COUNT(CASE WHEN p.liveReplicas < f.replication THEN 1 END) AS underBlocks,
+        |         COUNT(CASE WHEN p.liveReplicas > f.replication THEN 1 END) AS overBlocks,
+        |         COUNT(CASE WHEN p.liveReplicas IS NULL THEN 1 END) AS missingBlocks
+        |  FROM file f LEFT JOIN perblock p ON p.fileId = f.id
+        |  WHERE f.version > 0 AND f.length <> -1
+        |  GROUP BY f.id, f.replication)
+        |SELECT COUNT(*) AS totalFiles,
+        |  CAST(SUM(nBlocks) AS BIGINT) AS totalBlocks,
+        |  CAST(SUM(fileSize) AS BIGINT) AS totalSize,
+        |  CAST(SUM(underBlocks) AS BIGINT) AS underReplicatedBlocks,
+        |  CAST(SUM(overBlocks) AS BIGINT) AS overReplicatedBlocks,
+        |  CAST(SUM(missingBlocks) AS BIGINT) AS missingBlocks,
+        |  CAST(SUM(totalReplicas) AS DOUBLE) / CAST(SUM(nBlocks) AS DOUBLE) AS avgReplication
+        |FROM perfile""".stripMargin),
+    "n14_safe_mode" -> O(
+      """WITH perblock AS (
+        |  SELECT id, COUNT(*) AS replicas FROM block WHERE version > 0 GROUP BY id)
+        |SELECT COUNT(*) AS totalBlocks,
+        |  COUNT(CASE WHEN replicas >= 2 THEN 1 END) AS safeBlocks,
+        |  CAST(COUNT(CASE WHEN replicas >= 2 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ratio
+        |FROM perblock""".stripMargin),
+    "n15_content_summary" -> O(
+      """WITH lvl0 AS (
+        |  SELECT id AS rootId, id, length FROM file
+        |  WHERE version > 0 AND id >= 1 AND id <= 26),
+        |lvl1 AS (
+        |  SELECT p.rootId, f.id, f.length FROM file f JOIN lvl0 p ON f.parentId = p.id
+        |  WHERE f.version > 0),
+        |lvl2 AS (
+        |  SELECT p.rootId, f.id, f.length FROM file f JOIN lvl1 p ON f.parentId = p.id
+        |  WHERE f.version > 0),
+        |allrows AS (
+        |  SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2)
+        |SELECT rootId,
+        |  CAST(SUM(CASE WHEN length <> -1 AND length > 0 THEN length ELSE 0 END) AS BIGINT) AS length,
+        |  COUNT(CASE WHEN length <> -1 THEN 1 END) AS fileCount,
+        |  COUNT(CASE WHEN length = -1 THEN 1 END) AS dirCount
+        |FROM allrows GROUP BY rootId ORDER BY rootId""".stripMargin),
+    "n16_datanode_report" -> O(
+      """SELECT lastUpdated >= 1700000000000 - 600000 AS alive, adminState,
+        |  COUNT(*) AS nodes, CAST(SUM(capacity) AS BIGINT) AS capacity
+        |FROM datanode WHERE version > 0
+        |GROUP BY 1, 2 ORDER BY alive, adminState""".stripMargin),
+    "n17_block_sync" -> O(
+      """WITH b AS (SELECT * FROM block WHERE version > 0 AND fileId % 50 = 0),
+        |mx AS (SELECT id, MAX(generationStamp) AS maxGs FROM b GROUP BY id)
+        |SELECT b.id, MAX(b.generationStamp) AS recoveredGenStamp,
+        |  MIN(CASE WHEN b.length >= 0 THEN b.length END) AS recoveredLength,
+        |  COUNT(*) AS syncReplicas
+        |FROM b JOIN mx ON b.id = mx.id AND b.generationStamp = mx.maxGs
+        |GROUP BY b.id ORDER BY b.id""".stripMargin),
+  )
+}

@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.DerivedState
+import graft.state.StateManager
+import graft.store.{Comparator, IndexDef, PostGt, PostIsNull, PostNot, StateStore}
+
+/** queries()+oracleSql() entries for the table-store algebra (SURVEY §2.1,
+  * P1-P9), the repository layer (§2.2, R1-R16) and the StateManager layer
+  * (§2.3, S1-S17), each exercised on the derived state tables so the
+  * DuckDB oracle replays the identical semantics. */
+object StateQueries {
+
+  private val Now = DerivedState.NowMs
+  private val PidName = IndexDef("PID_NAME", Seq("parentId", "name"), unique = true)
+  private val Primary = IndexDef("PRIMARY", Seq("id"), unique = true)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // P1: indexed range find with comparator + limit + offset
+    "p1_indexed_find" -> { (s, dir) =>
+      StateStore.find(DerivedState.file(s, dir), Primary, Seq(1000000L),
+          Comparator.GT, limit = 100, offset = 10)
+        .select(col("id"), col("parentId"), col("name"), col("length"),
+          col("replication"), col("version"))
+    },
+    // P1 composite-prefix: all children of one parent via PID_NAME prefix
+    "p1_prefix_find" -> { (s, dir) =>
+      StateStore.find(DerivedState.file(s, dir), PidName, Seq(0L), Comparator.EQ)
+        .select(col("id"), col("name"), col("length")).orderBy(col("id"))
+    },
+    // P5/S16/R8: table counts
+    "p5_count" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val t = (n: String) => s.table(n).agg(lit(n).as("tbl"), count(lit(1)).as("n"))
+      t("file").unionByName(t("block")).unionByName(t("datanode"))
+        .unionByName(t("lease")).orderBy(col("tbl"))
+    },
+    // P7: TDHS DSL — index IN + post-filters (field NOT / GT / isNull) + limit
+    "p7_tdhs_dsl" -> { (s, dir) =>
+      val found = StateStore.find(DerivedState.file(s, dir), PidName,
+        (101L to 110L).toSeq, Comparator.IN)
+      StateStore.postFilter(found,
+          Seq(PostNot("replication", 1L), PostGt("length", 50000L), PostIsNull("leaseHolder")))
+        .select(col("id"), col("parentId"), col("name"), col("length"), col("replication"))
+        .orderBy(col("id")).limit(200)
+    },
+    // P8: update SET expressions (assign/add/now) as masked column merge
+    "p8_update_set" -> { (s, dir) =>
+      val lease = DerivedState.lease(s, dir)
+      StateStore.update(lease,
+          col("leaseTime") < Now - 3600000L,
+          Map("leaseTime" -> StateStore.SetNow,
+              "version" -> StateStore.Add(1000L)),
+          nowMs = Now)
+        .select(col("holder"), col("leaseTime"), col("version"))
+        .orderBy(col("holder"))
+    },
+    // R5: tombstone read discipline — live rows only
+    "r5_tombstone_read" -> { (s, dir) =>
+      val f = DerivedState.file(s, dir)
+      StateStore.live(f).agg(
+        count(when(col("length") === -1L, 1)).as("liveDirs"),
+        count(when(col("length") =!= -1L, 1)).as("liveFiles"),
+        sum(when(col("length") > 0, col("length")).otherwise(0L)).as("liveBytes"))
+        .crossJoin(f.filter(col("version") < 0).agg(count(lit(1)).as("tombstones")))
+    },
+    // R6: incremental version-range scan (the replication feed)
+    "r6_version_scan" -> { (s, dir) =>
+      StateStore.versionsGreaterThan(DerivedState.file(s, dir), 1300000L, 500)
+        .select(col("id"), col("name"), col("version"))
+    },
+    // R7: max version per table via aggregation (replaces binary search)
+    "r7_max_version" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val t = (n: String) =>
+        StateStore.maxVersion(s.table(n)).select(lit(n).as("tbl"), col("maxVersion"))
+      t("file").unionByName(t("block")).unionByName(t("datanode"))
+        .unionByName(t("lease")).orderBy(col("tbl"))
+    },
+    // R9/D1-D4: idempotent latest-abs(version)-wins replay of the ops feed
+    "r9_replay" -> { (s, dir) =>
+      val ops = DerivedState.ops(s, dir)
+        .withColumnRenamed("opVersion", "version")
+      StateStore.live(StateStore.latestWins(ops, Seq("opKey")))
+        .select(col("opKey"), col("op"), col("version"), col("payload"))
+        .orderBy(col("opKey"))
+    },
+    // S1: batch path resolution root-down
+    "s1_path_resolution" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(
+        """SELECT '/n_' || CAST(c_nationkey AS STRING) ||
+          |       '/c_' || CAST(o_custkey AS STRING) ||
+          |       '/o_' || CAST(o_orderkey AS STRING) AS path
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE o_orderkey % 500 = 0""".stripMargin)
+      StateManager.resolvePaths(s.table("file"), reqs)
+        .select(col("path"), col("id"), col("length"), col("version"))
+        .orderBy(col("path"))
+    },
+    // S2/F11: materialize every live file's full path (fsimage export)
+    "s2_paths" -> { (s, dir) =>
+      StateManager.materializePaths(DerivedState.file(s, dir))
+        .filter(col("id") % 100 === 0L)
+        .select(col("id"), col("path"), col("length"))
+        .orderBy(col("id"))
+    },
+    // S3: directory listing with affixed paths
+    "s3_listing" -> { (s, dir) =>
+      StateManager.listChildren(DerivedState.file(s, dir), parentId = 8L)
+        .withColumn("childPath", concat(lit("/n_7/"), col("name")))
+        .select(col("id"), col("childPath"), col("length"), col("mtime"))
+        .orderBy(col("id"))
+    },
+    // S4: recursive descendants of a subtree
+    "s4_descendants" -> { (s, dir) =>
+      StateManager.descendants(DerivedState.file(s, dir), Seq(8L))
+        .select(col("id"), col("parentId"), col("name"), col("length"))
+        .orderBy(col("id"))
+    },
+    // S6: recursive delete write-set (tombstoned subtree)
+    "s6_recursive_delete" -> { (s, dir) =>
+      StateManager.recursiveDelete(DerivedState.file(s, dir), Seq(9L))
+        .select(col("id"), col("parentId"), col("version"))
+        .orderBy(col("id"))
+    },
+    // S7: file info with block-derived length for zero-length files
+    "s7_file_info" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      StateManager.fileInfo(s.table("file"), s.table("block"))
+        .filter(col("length") === 0L)
+        .select(col("id"), col("name"), col("effectiveLength"))
+        .orderBy(col("id"))
+    },
+    // S8: BlockEntry grouping — primary replica argmax + replica list
+    "s8_block_entries" -> { (s, dir) =>
+      val b = DerivedState.block(s, dir)
+      StateManager.blockEntries(b.filter(col("fileId") % 200 === 0L))
+        .select(col("id"), col("fileId"), col("fileIndex"), col("maxGenStamp"),
+          col("primaryDatanodeId"), col("blockLength"), col("replicaCount"), col("replicas"))
+        .orderBy(col("id"))
+    },
+    // S9: last block of each file (top-1 by fileIndex)
+    "s9_last_block" -> { (s, dir) =>
+      val b = DerivedState.block(s, dir)
+      StateManager.lastBlockPerFile(b.filter(col("fileId") % 200 === 0L))
+        .select(col("fileId"), col("id"), col("fileIndex"), col("blockLength"))
+        .orderBy(col("fileId"))
+    },
+    // S11: block → file inverse join
+    "s11_block_to_file" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      StateManager.fileOfBlock(s.table("file"),
+          s.table("block").filter(col("id") % 1000 === 0L))
+        .select(col("blockId"), col("fileId"), col("name"), col("length"))
+        .orderBy(col("blockId"))
+    },
+    // S13: cluster statistics over live datanodes
+    "s13_cluster_stats" -> { (s, dir) =>
+      StateManager.clusterStats(DerivedState.datanode(s, dir), Now)
+    },
+    // S14: lease expiry scan (soft/hard limits)
+    "s14_lease_expiry" -> { (s, dir) =>
+      StateManager.expiredLeases(DerivedState.lease(s, dir), Now)
+        .select(col("holder"), col("leaseTime"), col("softExpired"), col("hardExpired"))
+        .orderBy(col("holder"))
+    },
+    // S15: LeaseMonitor batch step — hard-expired leases → their files
+    "s15_lease_recovery" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      StateManager.leaseRecoveryCandidates(s.table("lease"), s.table("file"), Now)
+        .select(col("holder"), col("id"), col("name"), col("leaseTime"))
+        .orderBy(col("holder"), col("id"))
+    },
+  )
+
+  private val O = DerivedState.oracle _
+
+  def oracles: Map[String, String] = Map(
+    "p1_indexed_find" -> O(
+      """SELECT id, parentId, name, length, replication, version
+        |FROM file WHERE id > 1000000 ORDER BY id LIMIT 100 OFFSET 10""".stripMargin),
+    "p1_prefix_find" -> O(
+      """SELECT id, name, length FROM file WHERE parentId = 0 ORDER BY id""".stripMargin),
+    "p5_count" -> O(
+      """SELECT tbl, n FROM (
+        |  SELECT 'file' AS tbl, COUNT(*) AS n FROM file UNION ALL
+        |  SELECT 'block', COUNT(*) FROM block UNION ALL
+        |  SELECT 'datanode', COUNT(*) FROM datanode UNION ALL
+        |  SELECT 'lease', COUNT(*) FROM lease) u ORDER BY tbl""".stripMargin),
+    "p7_tdhs_dsl" -> O(
+      """SELECT id, parentId, name, length, replication FROM file
+        |WHERE parentId IN (101,102,103,104,105,106,107,108,109,110)
+        |  AND replication <> 1 AND length > 50000 AND leaseHolder IS NULL
+        |ORDER BY id LIMIT 200""".stripMargin),
+    "p8_update_set" -> O(
+      """SELECT holder,
+        |  CASE WHEN leaseTime < 1700000000000 - 3600000 THEN 1700000000000 ELSE leaseTime END AS leaseTime,
+        |  CASE WHEN leaseTime < 1700000000000 - 3600000 THEN version + 1000 ELSE version END AS version
+        |FROM lease ORDER BY holder""".stripMargin),
+    "r5_tombstone_read" -> O(
+      """SELECT
+        |  (SELECT COUNT(*) FROM file WHERE version > 0 AND length = -1) AS liveDirs,
+        |  (SELECT COUNT(*) FROM file WHERE version > 0 AND length <> -1) AS liveFiles,
+        |  (SELECT SUM(CASE WHEN length > 0 THEN length ELSE 0 END) FROM file WHERE version > 0) AS liveBytes,
+        |  (SELECT COUNT(*) FROM file WHERE version < 0) AS tombstones""".stripMargin),
+    "r6_version_scan" -> O(
+      """SELECT id, name, version FROM file WHERE ABS(version) > 1300000
+        |ORDER BY ABS(version) LIMIT 500""".stripMargin),
+    "r7_max_version" -> O(
+      """SELECT tbl, maxVersion FROM (
+        |  SELECT 'file' AS tbl, MAX(ABS(version)) AS maxVersion FROM file UNION ALL
+        |  SELECT 'block', MAX(ABS(version)) FROM block UNION ALL
+        |  SELECT 'datanode', MAX(ABS(version)) FROM datanode UNION ALL
+        |  SELECT 'lease', MAX(ABS(version)) FROM lease) u ORDER BY tbl""".stripMargin),
+    "r9_replay" -> O(
+      """SELECT opKey, op, opVersion AS version, payload FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY opKey
+        |    ORDER BY ABS(opVersion) DESC, opVersion DESC) AS rn FROM ops) t
+        |WHERE rn = 1 AND opVersion > 0 ORDER BY opKey""".stripMargin),
+    "s1_path_resolution" -> O(
+      """SELECT r.path, f3.id, f3.length, f3.version
+        |FROM (SELECT '/n_' || CAST(c_nationkey AS STRING) ||
+        |             '/c_' || CAST(o_custkey AS STRING) ||
+        |             '/o_' || CAST(o_orderkey AS STRING) AS path,
+        |             c_nationkey AS nk, o_custkey AS ck, o_orderkey AS ok
+        |      FROM orders JOIN customer ON o_custkey = c_custkey
+        |      WHERE o_orderkey % 500 = 0) r
+        |JOIN file f1 ON f1.parentId = 0 AND f1.name = 'n_' || CAST(nk AS STRING) AND f1.version > 0
+        |JOIN file f2 ON f2.parentId = f1.id AND f2.name = 'c_' || CAST(ck AS STRING) AND f2.version > 0
+        |JOIN file f3 ON f3.parentId = f2.id AND f3.name = 'o_' || CAST(ok AS STRING) AND f3.version > 0
+        |ORDER BY r.path""".stripMargin),
+    "s2_paths" -> O(
+      """SELECT id, path, length FROM (
+        |  SELECT id, '' AS path, length FROM file WHERE id = 0 AND version > 0
+        |  UNION ALL
+        |  SELECT f1.id, '/' || f1.name, f1.length FROM file f1
+        |  WHERE f1.parentId = 0 AND f1.id <> 0 AND f1.version > 0
+        |  UNION ALL
+        |  SELECT f2.id, '/' || f1.name || '/' || f2.name, f2.length
+        |  FROM file f1 JOIN file f2 ON f2.parentId = f1.id
+        |  WHERE f1.parentId = 0 AND f1.id <> 0 AND f1.version > 0 AND f2.version > 0
+        |  UNION ALL
+        |  SELECT f3.id, '/' || f1.name || '/' || f2.name || '/' || f3.name, f3.length
+        |  FROM file f1 JOIN file f2 ON f2.parentId = f1.id
+        |               JOIN file f3 ON f3.parentId = f2.id
+        |  WHERE f1.parentId = 0 AND f1.id <> 0 AND f1.version > 0
+        |    AND f2.version > 0 AND f3.version > 0) u
+        |WHERE id % 100 = 0 ORDER BY id""".stripMargin),
+    "s3_listing" -> O(
+      """SELECT id, '/n_7/' || name AS childPath, length, mtime
+        |FROM file WHERE parentId = 8 AND id <> 0 AND version > 0 ORDER BY id""".stripMargin),
+    "s4_descendants" -> O(
+      """SELECT id, parentId, name, length FROM (
+        |  SELECT id, parentId, name, length FROM file
+        |  WHERE parentId = 8 AND id <> 0 AND version > 0
+        |  UNION ALL
+        |  SELECT f2.id, f2.parentId, f2.name, f2.length
+        |  FROM file f1 JOIN file f2 ON f2.parentId = f1.id
+        |  WHERE f1.parentId = 8 AND f1.id <> 0 AND f1.version > 0
+        |    AND f2.id <> 0 AND f2.version > 0) u ORDER BY id""".stripMargin),
+    "s6_recursive_delete" -> O(
+      """SELECT id, parentId, 0 - version AS version FROM (
+        |  SELECT id, parentId, version FROM file WHERE id = 9 AND version > 0
+        |  UNION ALL
+        |  SELECT id, parentId, version FROM file
+        |  WHERE parentId = 9 AND id <> 0 AND version > 0
+        |  UNION ALL
+        |  SELECT f2.id, f2.parentId, f2.version
+        |  FROM file f1 JOIN file f2 ON f2.parentId = f1.id
+        |  WHERE f1.parentId = 9 AND f1.id <> 0 AND f1.version > 0
+        |    AND f2.id <> 0 AND f2.version > 0) u ORDER BY id""".stripMargin),
+    "s7_file_info" -> O(
+      """SELECT f.id, f.name,
+        |  COALESCE(s.derivedLen, 0) AS effectiveLength
+        |FROM file f LEFT JOIN (
+        |  SELECT fileId, SUM(CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END) AS derivedLen
+        |  FROM (SELECT fileId, ARG_MAX(length, generationStamp * 10000000000 + version) AS blockLength
+        |        FROM block WHERE version > 0 GROUP BY fileId, id) e
+        |  GROUP BY fileId) s ON s.fileId = f.id
+        |WHERE f.version > 0 AND f.length = 0 ORDER BY f.id""".stripMargin),
+    "s8_block_entries" -> O(
+      """SELECT id, ANY_VALUE(fileId) AS fileId, ANY_VALUE(fileIndex) AS fileIndex,
+        |  MAX(generationStamp) AS maxGenStamp,
+        |  ARG_MAX(datanodeId, generationStamp * 10000000000 + version) AS primaryDatanodeId,
+        |  ARG_MAX(length, generationStamp * 10000000000 + version) AS blockLength,
+        |  COUNT(*) AS replicaCount,
+        |  STRING_AGG(CAST(datanodeId AS STRING), ',' ORDER BY datanodeId) AS replicas
+        |FROM block WHERE version > 0 AND fileId % 200 = 0
+        |GROUP BY id ORDER BY id""".stripMargin),
+    "s9_last_block" -> O(
+      """SELECT fileId, id, fileIndex, blockLength FROM (
+        |  SELECT fileId, id, fileIndex,
+        |    ARG_MAX(length, generationStamp * 10000000000 + version) AS blockLength,
+        |    ROW_NUMBER() OVER (PARTITION BY fileId ORDER BY fileIndex DESC) AS rn
+        |  FROM block WHERE version > 0 AND fileId % 200 = 0
+        |  GROUP BY fileId, id, fileIndex) t
+        |WHERE rn = 1 ORDER BY fileId""".stripMargin),
+    "s11_block_to_file" -> O(
+      """SELECT b.blockId, b.fileId, f.name, f.length
+        |FROM (SELECT DISTINCT id AS blockId, fileId FROM block
+        |      WHERE version > 0 AND id % 1000 = 0) b
+        |JOIN file f ON f.id = b.fileId AND f.version > 0
+        |ORDER BY b.blockId""".stripMargin),
+    "s13_cluster_stats" -> O(
+      """SELECT
+        |  SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN capacity ELSE 0 END) AS capacity,
+        |  SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN dfsUsed ELSE 0 END) AS dfsUsed,
+        |  SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN remaining ELSE 0 END) AS remaining,
+        |  SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN xceiverCount ELSE 0 END) AS totalLoad,
+        |  COUNT(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN 1 END) AS liveNodes,
+        |  COUNT(CASE WHEN lastUpdated < 1700000000000 - 600000 THEN 1 END) AS deadNodes
+        |FROM datanode WHERE version > 0""".stripMargin),
+    "s14_lease_expiry" -> O(
+      """SELECT holder, leaseTime,
+        |  leaseTime < 1700000000000 - 60000 AS softExpired,
+        |  leaseTime < 1700000000000 - 3600000 AS hardExpired
+        |FROM lease WHERE version > 0 AND leaseTime < 1700000000000 - 60000
+        |ORDER BY holder""".stripMargin),
+    "s15_lease_recovery" -> O(
+      """SELECT l.holder, f.id, f.name, l.leaseTime
+        |FROM lease l JOIN file f ON f.leaseHolder = l.holder AND f.version > 0
+        |WHERE l.version > 0 AND l.leaseTime < 1700000000000 - 3600000
+        |ORDER BY l.holder, f.id""".stripMargin),
+  )
+}

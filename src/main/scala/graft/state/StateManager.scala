@@ -1,0 +1,227 @@
+package graft.state
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.store.StateStore
+
+/** The namespace query layer (SURVEY §2.3, A/state/StateManager.java) as
+  * pure DataFrame transformations over the four state tables. Every
+  * function takes snapshot DataFrames and returns a DataFrame — Catalyst
+  * plans the joins/aggregations; nothing is collected to the driver except
+  * loop termination checks in the iterative (recursive-CTE-like) ops.
+  *
+  * Scale notes: path/descendant recursion joins per level on
+  * (parentId, name) — at cluster scale the file table should be bucketed
+  * by parentId so each level is a co-partitioned join; the frontier is
+  * always small relative to the table and is broadcast.
+  */
+object StateManager {
+
+  /** Heartbeat liveness window: 2×heartbeat.recheck + 10×heartbeat.interval
+    * shape from the reference's FSNamesystem; pinned here to 10 min. */
+  val HeartbeatExpiryMs: Long = 600000L
+
+  private def live(df: DataFrame): DataFrame = StateStore.live(df)
+
+  // ---- S1: path resolution (StateManager.java:681-699) -----------------
+
+  /** Resolve absolute paths root-down by walking (parentId, name) per
+    * depth level. `paths` needs a `path` column; output appends the
+    * resolved file's columns. Paths that don't resolve are dropped
+    * (reference returns null entries). */
+  def resolvePaths(file: DataFrame, paths: DataFrame, maxDepth: Int = 16): DataFrame = {
+    val fBase = live(file)
+    val cols = fBase.columns.toSeq
+    // components: split('/a/b/c') -> ['', 'a', 'b', 'c']; depth = size-1
+    val withParts = paths
+      .withColumn("__parts", split(col("path"), "/"))
+      .withColumn("__depth", size(col("__parts")) - 1)
+    var frontier = withParts.withColumn("__cur", lit(0L))
+    var out: DataFrame = null
+    var done = false
+    for (lvl <- 1 to maxDepth if !done) {
+      // level-specific column prefix avoids self-join ambiguity across
+      // repeated joins of the same file DataFrame
+      val pfx = s"__f${lvl}_"
+      val f = fBase.select(cols.map(c => col(c).as(pfx + c)): _*)
+      val step = frontier
+        .filter(col("__depth") >= lvl)
+        .join(f, col(pfx + "parentId") === col("__cur") &&
+          col(pfx + "name") === element_at(col("__parts"), lvl + 1))
+      val resolved = step.filter(col("__depth") === lvl)
+        .select(col("path") +: cols.map(c => col(pfx + c).as(c)): _*)
+      out = if (out == null) resolved else out.unionByName(resolved)
+      frontier = step.filter(col("__depth") > lvl)
+        .select(col("path"), col("__parts"), col("__depth"),
+          col(pfx + "id").as("__cur"))
+      if (frontier.isEmpty) done = true
+    }
+    out
+  }
+
+  // ---- S2: reverse path build (findFileById, :647-659) -----------------
+
+  /** Materialize the full path of every live file by walking the tree from
+    * the root downward (equivalent to per-id upward recursion, but done
+    * once for the whole namespace — the fsimage-export F11 shape).
+    * Returns (id, path) plus the file columns. */
+  def materializePaths(file: DataFrame, maxDepth: Int = 16): DataFrame = {
+    val f = live(file)
+    var frontier = f.filter(col("id") === 0L).withColumn("path", lit(""))
+    var out = frontier
+    var lvl = 0
+    var n = 1L
+    while (n > 0 && lvl < maxDepth) {
+      val parents = frontier.select(col("id").as("__pid"), col("path").as("__ppath"))
+      frontier = f.join(parents, col("parentId") === col("__pid"))
+        .withColumn("path", concat(col("__ppath"), lit("/"), col("name")))
+        .drop("__pid", "__ppath")
+      frontier.persist()
+      n = frontier.count()
+      if (n > 0) out = out.unionByName(frontier)
+      lvl += 1
+    }
+    out
+  }
+
+  // ---- S3: listing (getListing, :701-720) ------------------------------
+
+  def listChildren(file: DataFrame, parentId: Long): DataFrame =
+    live(file).filter(col("parentId") === parentId && col("id") =!= 0L)
+
+  // ---- S4: recursive descendants (:722-755) ----------------------------
+
+  /** DFS of a subtree: children of `rootIds` down to the leaves.
+    * excludeDir drops directories from the result; includeSelf keeps the
+    * roots. Iterative join-until-fixpoint — the Spark recursive CTE. */
+  def descendants(file: DataFrame, rootIds: Seq[Long], excludeDir: Boolean = false,
+                  includeSelf: Boolean = false, maxDepth: Int = 16): DataFrame = {
+    val f = live(file)
+    val self = f.filter(col("id").isin(rootIds: _*))
+    var frontier = self
+    var out: DataFrame = if (includeSelf) self else null
+    var lvl = 0
+    var n = 1L
+    while (n > 0 && lvl < maxDepth) {
+      val parents = frontier.select(col("id").as("__pid"))
+      frontier = f.join(parents, col("parentId") === col("__pid")).drop("__pid")
+        .filter(col("id") =!= 0L)
+      frontier.persist()
+      n = frontier.count()
+      if (n > 0) out = if (out == null) frontier else out.unionByName(frontier)
+      lvl += 1
+    }
+    val res = if (out == null) self.limit(0) else out
+    if (excludeDir) res.filter(col("length") =!= -1L) else res
+  }
+
+  // ---- S6: recursive delete (deleteFileByFile, :600-641) ---------------
+
+  /** Post-order recursive delete: returns the subtree rows tombstoned
+    * (version flipped negative) — the write-set of the delete. */
+  def recursiveDelete(file: DataFrame, rootIds: Seq[Long]): DataFrame =
+    descendants(file, rootIds, excludeDir = false, includeSelf = true)
+      .withColumn("version", -col("version"))
+
+  // ---- S7: file info with derived length (getFileInfo, :103-136) -------
+
+  /** File status; when stored length <= 0 re-derive it as the sum of the
+    * file's primary-replica block lengths. */
+  def fileInfo(file: DataFrame, block: DataFrame): DataFrame = {
+    val files = live(file).filter(col("length") =!= -1L)
+    val sums = blockEntries(block)
+      .groupBy(col("fileId"))
+      .agg(sum(greatest(col("blockLength"), lit(0L))).as("__derivedLen"))
+    files.join(sums, files("id") === sums("fileId"), "left")
+      .withColumn("effectiveLength",
+        when(col("length") > 0, col("length"))
+          .otherwise(coalesce(col("__derivedLen"), lit(0L))))
+      .drop("fileId", "__derivedLen")
+  }
+
+  // ---- S8: block grouping → BlockEntry (A/block/BlockEntry.java:42-65) -
+
+  /** Group replica rows by block id: the primary replica is the argmax by
+    * (generationStamp, version) (:49-54); replicas listed in stable order;
+    * one row per block. `ord` packs the (genStamp, version) tiebreak into
+    * one comparable long — version < 1e10 by construction in tests, and
+    * max_by(struct) is avoided only to keep oracle-portable output. */
+  def blockEntries(block: DataFrame): DataFrame = {
+    val b = live(block)
+    val ord = col("generationStamp") * lit(10000000000L) + col("version")
+    b.groupBy(col("id"))
+      .agg(
+        first(col("fileId")).as("fileId"),
+        first(col("fileIndex")).as("fileIndex"),
+        max(col("generationStamp")).as("maxGenStamp"),
+        max_by(col("datanodeId"), ord).as("primaryDatanodeId"),
+        max_by(col("length"), ord).as("blockLength"),
+        count(lit(1)).as("replicaCount"),
+        array_join(transform(array_sort(collect_list(col("datanodeId"))),
+          x => x.cast("string")), ",").as("replicas"))
+  }
+
+  /** Blocks of one file as BlockEntries sorted by position (:124-140). */
+  def blockEntriesOfFile(block: DataFrame, fileId: Long): DataFrame =
+    blockEntries(block.filter(col("fileId") === fileId)).orderBy(col("fileIndex"))
+
+  // ---- S9: last block (top-1 by fileIndex, :232-235) -------------------
+
+  def lastBlockPerFile(block: DataFrame): DataFrame = {
+    val entries = blockEntries(block)
+    val w = Window.partitionBy(col("fileId")).orderBy(col("fileIndex").desc)
+    entries.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- S10/S11: file↔block joins (:228-230, :665-669) ------------------
+
+  def blocksOfFiles(file: DataFrame, block: DataFrame): DataFrame = {
+    val files = live(file).filter(col("length") =!= -1L)
+    files.select(col("id").as("__fid"))
+      .join(live(block), col("fileId") === col("__fid")).drop("__fid")
+  }
+
+  def fileOfBlock(file: DataFrame, block: DataFrame): DataFrame =
+    live(block).select(col("id").as("blockId"), col("fileId"))
+      .distinct()
+      .join(live(file), col("fileId") === col("id"))
+
+  // ---- S12/S13: datanode maps & cluster statistics (:238-373, 470-541) -
+
+  def liveDatanodes(datanode: DataFrame, nowMs: Long): DataFrame =
+    live(datanode).filter(col("lastUpdated") >= nowMs - HeartbeatExpiryMs)
+
+  /** Cluster-wide sums over live nodes + live/dead counts — one wide agg. */
+  def clusterStats(datanode: DataFrame, nowMs: Long): DataFrame = {
+    val alive = col("lastUpdated") >= nowMs - HeartbeatExpiryMs
+    live(datanode).agg(
+      sum(when(alive, col("capacity")).otherwise(0L)).as("capacity"),
+      sum(when(alive, col("dfsUsed")).otherwise(0L)).as("dfsUsed"),
+      sum(when(alive, col("remaining")).otherwise(0L)).as("remaining"),
+      sum(when(alive, col("xceiverCount")).otherwise(0L)).as("totalLoad"),
+      count(when(alive, 1)).as("liveNodes"),
+      count(when(!alive, 1)).as("deadNodes"))
+  }
+
+  // ---- S14/S15: lease scans (:643-645, 865-914) ------------------------
+
+  /** Lease-expiry scan: holders unrenewed past soft/hard limits
+    * (FSConstants 60 s / 3600 s). */
+  def expiredLeases(lease: DataFrame, nowMs: Long,
+                    softMs: Long = graft.model.LeaseLimits.SoftMs,
+                    hardMs: Long = graft.model.LeaseLimits.HardMs): DataFrame =
+    live(lease)
+      .withColumn("softExpired", col("leaseTime") < nowMs - softMs)
+      .withColumn("hardExpired", col("leaseTime") < nowMs - hardMs)
+      .filter(col("softExpired"))
+
+  /** S15 LeaseMonitor batch step: hard-expired leases joined to their
+    * under-construction files (LEASE_HOLDER index join). */
+  def leaseRecoveryCandidates(lease: DataFrame, file: DataFrame, nowMs: Long): DataFrame =
+    expiredLeases(lease, nowMs).filter(col("hardExpired"))
+      .select(col("holder"), col("leaseTime"))
+      .join(live(file), col("leaseHolder") === col("holder"))
+}

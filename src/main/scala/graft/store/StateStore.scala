@@ -1,0 +1,137 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's physical table-store algebra (SURVEY §2.1) re-expressed
+  * over DataFrames.
+  *
+  * An indexed `find` names an index and supplies leading-prefix key values
+  * plus one comparator applied to every supplied key column — mirroring the
+  * SQL the reference builds: `SELECT * FROM t WHERE c1 cmp ? AND c2 cmp ?
+  * LIMIT offset,limit` (A/database/DatabaseExecutorForMysqlClient.java:83-121,
+  * comparator enum A/database/DatabaseExecutor.java:44-56). `DEQ` is an
+  * equality scan in descending index order
+  * (A/database/tdhsocket/client/common/TDHSCommon.java:51-64).
+  *
+  * Everything compiles to Column predicates so Catalyst pushes the
+  * comparison into the parquet scan (PushedFilters) — the analog of the
+  * reference's "evaluate in the store, not the client".
+  */
+object Comparator extends Enumeration {
+  val EQ, LT, LE, GT, GE, IN, DEQ = Value
+}
+
+/** TDHS post-filters — applied after the index scan
+  * (TDHSCommon.java:66-79): EQ/GE/LE/GT/LT/NOT + isNull from the DSL. */
+sealed trait Post { def toColumn: Column }
+final case class PostEq(c: String, v: Any) extends Post { def toColumn: Column = col(c) === lit(v) }
+final case class PostNot(c: String, v: Any) extends Post { def toColumn: Column = col(c) =!= lit(v) }
+final case class PostGe(c: String, v: Any) extends Post { def toColumn: Column = col(c) >= lit(v) }
+final case class PostLe(c: String, v: Any) extends Post { def toColumn: Column = col(c) <= lit(v) }
+final case class PostGt(c: String, v: Any) extends Post { def toColumn: Column = col(c) > lit(v) }
+final case class PostLt(c: String, v: Any) extends Post { def toColumn: Column = col(c) < lit(v) }
+final case class PostIsNull(c: String) extends Post { def toColumn: Column = col(c).isNull }
+
+final case class IndexDef(name: String, cols: Seq[String], unique: Boolean = false)
+
+object StateStore {
+
+  /** P1: indexed find with comparator, limit and offset. Keys may cover
+    * only the leading columns of a composite index (prefix match,
+    * A/file/FileRepository.java:73-78). */
+  def find(df: DataFrame, index: IndexDef, keys: Seq[Any],
+           cmp: Comparator.Value, limit: Int = Int.MaxValue,
+           offset: Int = 0): DataFrame = {
+    require(keys.nonEmpty && (cmp == Comparator.IN || keys.length <= index.cols.length),
+      s"${keys.length} keys for ${index.cols.length}-col index ${index.name}")
+    val prefix = index.cols.take(keys.length)
+    val pred = cmp match {
+      case Comparator.IN =>
+        col(prefix.head).isin(keys: _*)
+      case Comparator.EQ | Comparator.DEQ =>
+        prefix.zip(keys).map { case (c, k) => col(c) === lit(k) }.reduce(_ && _)
+      case c =>
+        val op: (Column, Any) => Column = c match {
+          case Comparator.LT => _ < _
+          case Comparator.LE => _ <= _
+          case Comparator.GT => _ > _
+          case _             => _ >= _
+        }
+        prefix.zip(keys).map { case (cl, k) => op(col(cl), k) }.reduce(_ && _)
+    }
+    val filtered = df.filter(pred)
+    val ordered =
+      if (cmp == Comparator.DEQ) filtered.orderBy(index.cols.map(c => col(c).desc): _*)
+      else if (limit != Int.MaxValue || offset != 0) filtered.orderBy(index.cols.map(col): _*)
+      else filtered
+    val off = if (offset > 0) ordered.offset(offset) else ordered
+    if (limit != Int.MaxValue) off.limit(limit) else off
+  }
+
+  /** P7: post-filters after an index scan (non-index columns). */
+  def postFilter(df: DataFrame, posts: Seq[Post]): DataFrame =
+    posts.foldLeft(df)((d, p) => d.filter(p.toColumn))
+
+  /** P8: TDHS update SET expressions — assign / add / sub / now / null
+    * (TDHSCommon.java:81-94) as a masked column merge under a predicate.
+    * Rows not matching `where` keep their values: the batch analog of
+    * `UPDATE t SET ... WHERE ...`. */
+  sealed trait SetExpr
+  final case class Assign(v: Any) extends SetExpr
+  final case class Add(n: Long) extends SetExpr
+  final case class Sub(n: Long) extends SetExpr
+  case object SetNow extends SetExpr
+  case object SetNull extends SetExpr
+
+  def update(df: DataFrame, where: Column, sets: Map[String, SetExpr],
+             nowMs: Long): DataFrame = {
+    // Evaluate the predicate against the PRE-update row once — a SET on a
+    // column the predicate reads must not re-trigger/untrigger later SETs.
+    val marked = df.withColumn("__upd", where)
+    val updated = sets.foldLeft(marked) { case (d, (c, s)) =>
+      val newVal = s match {
+        case Assign(v) => lit(v)
+        case Add(n)    => col(c) + n
+        case Sub(n)    => col(c) - n
+        case SetNow    => lit(nowMs)
+        case SetNull   => lit(null)
+      }
+      d.withColumn(c, when(col("__upd"), newVal).otherwise(col(c)))
+    }
+    updated.drop("__upd")
+  }
+
+  /** P4/R5: keyed delete as tombstone — flip version sign on matching rows
+    * (DistributedDataRepositoryBaseOnTable.java:316-330). */
+  def softDelete(df: DataFrame, where: Column): DataFrame =
+    df.withColumn("version",
+      when(where && col("version") > 0, -col("version")).otherwise(col("version")))
+
+  /** Hard delete (left_anti semantics of P4). */
+  def delete(df: DataFrame, where: Column): DataFrame = df.filter(!where)
+
+  /** R5 read-side: live rows only (removeDeletedRows :481-488). */
+  def live(df: DataFrame): DataFrame = df.filter(col("version") > 0)
+
+  /** R9/D4: idempotent latest-wins replay — keep, per key, the row with
+    * max abs(version) (insertDirectly/deleteDirectly :420-470). Shuffles
+    * once on the key; at scale pre-partition the feed by the same key. */
+  def latestWins(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(abs(col("version")).desc, col("version").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** R6: incremental version-range scan — the replication feed. */
+  def versionsGreaterThan(df: DataFrame, v: Long, limit: Int): DataFrame =
+    df.filter(abs(col("version")) > v)
+      .orderBy(abs(col("version"))).limit(limit)
+
+  /** R7: max version — one aggregation replaces the reference's
+    * binary-search-with-emptiness-probes (:168-189). */
+  def maxVersion(df: DataFrame): DataFrame =
+    df.agg(max(abs(col("version"))).as("maxVersion"))
+}
