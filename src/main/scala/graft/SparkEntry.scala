@@ -60,7 +60,8 @@ object SparkEntry {
       s.sql(stateChecksumSql)
     },
   ) ++ graft.queries.StateQueries.queries ++
-    graft.queries.AnalyticsQueries.queries
+    graft.queries.AnalyticsQueries.queries ++
+    graft.queries.DataOpsQueries.queries
 
   /** Per-table row counts + id/version checksums of the derived state
     * tables — guards the Spark/DuckDB derivation against drift. Runs
@@ -98,5 +99,6 @@ object SparkEntry {
         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
     "state_checksum" -> DerivedState.oracle(stateChecksumSql),
   ) ++ graft.queries.StateQueries.oracles ++
-    graft.queries.AnalyticsQueries.oracles
+    graft.queries.AnalyticsQueries.oracles ++
+    graft.queries.DataOpsQueries.oracles
 }

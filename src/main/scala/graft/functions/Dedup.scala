@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * group-by), MinHash+LSH (shingle → minhash → band → bucket join),
+  * SimHash, and n-gram Jaccard verification of LSH candidates.
+  *
+  * Scale design: every stage is a hash shuffle on a derived key (hash,
+  * band, token-hash) — never a cross join. Candidate generation is
+  * banded LSH so the pair space is bucket-local; at 100 TB the band join
+  * is the only wide shuffle and it is skew-safe (bucket sizes are bounded
+  * by near-duplicate cluster sizes, and a salt column can be added to the
+  * band key when a cluster explodes).
+  *
+  * Hash functions are md5-based so the DuckDB differential oracle computes
+  * bit-identical signatures.
+  */
+object Dedup {
+
+  /** Exact dedup: md5(text) groups; keeper = min(id) per group. Returns
+    * (id, contentHash, keepId, isDuplicate). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val w = Window.partitionBy(col("contentHash"))
+    df.withColumn("contentHash", h)
+      .withColumn("keepId", min(col(idCol)).over(w))
+      .withColumn("isDuplicate", col(idCol) =!= col("keepId"))
+  }
+
+  /** Word 3-gram shingles of a text column (empty if < 3 tokens). */
+  def shingles(text: Column): Column = {
+    val t = TextFunctions.tokens(text)
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array())
+  }
+
+  /** MinHash signatures: k md5-seeded min-hashes per doc, as columns
+    * m0..m{k-1}. Input df must have (idCol, textCol). One explode + one
+    * groupBy — a single shuffle on doc id. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol), explode_outer(shingles(col(textCol))).as("shingle"))
+      .select(col(idCol), col("shingle"),
+        explode(sequence(lit(0), lit(k - 1))).as("seed"))
+      .withColumn("h", md5(concat(col("shingle"), lit("#"), col("seed"))))
+    val aggs = (0 until k).map(s => min(when(col("seed") === s, col("h"))).as(s"m$s"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys over a signature frame (bands of 2 minhashes). */
+  def withBands(sig: DataFrame, k: Int = 8): DataFrame =
+    (0 until k / 2).foldLeft(sig) { (d, b) =>
+      d.withColumn(s"band$b", md5(concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}"))))
+    }
+
+  /** Candidate pairs: docs sharing ANY band, id1 < id2, deduped; with the
+    * minhash-agreement Jaccard estimate. */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val sig = withBands(minhashSignatures(df, idCol, textCol, k), k).cache()
+    val left = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"L$c"))
+    val right = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"R$c"))
+    val pairs = (0 until k / 2).map { b =>
+      left.join(right, col(s"Lband$b") === col(s"Rband$b") &&
+        col(s"L$idCol") < col(s"R$idCol"))
+    }.reduce(_.unionByName(_)).distinct()
+    val est = (0 until k).map(s =>
+      when(col(s"Lm$s") === col(s"Rm$s"), 1).otherwise(0)).reduce(_ + _)
+    pairs
+      .select(col(s"L$idCol").as("id1"), col(s"R$idCol").as("id2"),
+        (est.cast("double") / k).as("estJaccard"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over the token stream: each token contributes ±1 per
+    * bit of a 16-bit md5-derived hash; final bit = sign of the sum.
+    * Pure integer arithmetic → oracle-portable. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode_outer(TextFunctions.tokens(col(textCol))).as("token"))
+    val hexmap = "0123456789abcdef"
+    // H = 16-bit int from the first 4 hex chars of md5(token)
+    val h = md5(col("token"))
+    val H = (0 until 4).map { i =>
+      (instr(lit(hexmap), substring(h, i + 1, 1)) - 1) * math.pow(16, 3 - i).toLong
+    }.reduce(_ + _)
+    val withH = tok.withColumn("H", H)
+    val sums = (0 until 16).map { b =>
+      sum(when(col("token").isNotNull,
+        when(shiftright(col("H"), b) % 2 === 1, 1).otherwise(-1)).otherwise(0)).as(s"s$b")
+    }
+    val agg = withH.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val sim = (0 until 16).map(b =>
+      when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    agg.withColumn("simhash", sim).select(col(idCol), col("simhash"))
+  }
+
+  /** Exact word-3-gram Jaccard for candidate pairs (id1, id2): distinct
+    * shingle sets joined on shingle hash; |A∩B| / |A∪B|. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   candidates: DataFrame): DataFrame = {
+    val sh = df.select(col(idCol).as("did"), explode(shingles(col(textCol))).as("shingle"))
+      .distinct().cache()
+    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("did").as("id1"), col("shingle"))
+    val b = sh.select(col("did").as("id2"), col("shingle"))
+    val interCnt = candidates.join(a, Seq("id1")).join(b, Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    candidates
+      .join(interCnt, Seq("id1", "id2"), "left")
+      .join(sizes.withColumnRenamed("did", "id1").withColumnRenamed("sz", "szA"), Seq("id1"))
+      .join(sizes.withColumnRenamed("did", "id2").withColumnRenamed("sz", "szB"), Seq("id2"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("szA") + col("szB") - col("inter")))
+  }
+}

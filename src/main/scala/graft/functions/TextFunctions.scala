@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, n-gram language ID, quality scoring, token counting and
+  * document fingerprinting. All are pure Column expressions (codegen'd,
+  * no UDFs) so they stay inside WholeStageCodegen and scale linearly with
+  * the corpus — the 100 TB path is a single narrow map stage.
+  */
+object TextFunctions {
+
+  /** Lowercase alnum-run tokenizer (shared with the DuckDB oracle which
+    * uses the same RE2/Java-compatible pattern). */
+  val TokenPattern = "[a-z0-9]+"
+
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** Language-ID by stopword-set hit counting — the classic n-gram/
+    * stopword heuristic. Ties break by the fixed chain order (en, es, de),
+    * making the classifier fully deterministic. */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to")
+  val StopEs: Seq[String] = Seq("data", "row", "query", "tabla", "fila")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val (en, es, de) = (hits(t, StopEn), hits(t, StopEs), hits(t, StopDe))
+    when(en >= es && en >= de && en > 0, lit("en"))
+      .when(es >= de && es > 0, lit("es"))
+      .when(de > 0, lit("de"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality features: token count, mean token length, punctuation ratio,
+    * stopword ratio — returned as a struct of named columns; the composite
+    * score is a fixed linear blend (deterministic double arithmetic). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t)
+    val meanLen = when(nTok > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0,
+      hits(t, StopEn ++ StopEs ++ StopDe).cast("double") / nTok).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0,
+      punctCount(text).cast("double") / nChars).otherwise(lit(0.0))
+    meanLen * lit(10.0) + stopRatio * lit(50.0) - punctRatio * lit(100.0) +
+      when(nTok >= 20, lit(25.0)).otherwise(lit(0.0))
+  }
+
+  /** Token counting: whitespace-ish tokens, BPE-ish subword pieces
+    * (greedy ≤4-char alpha runs, digits, symbols), and the chars/4
+    * approximation. */
+  val BpePattern = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
+
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+  def approxTokenCount(nChars: Column): Column =
+    ceil(nChars.cast("double") / 4.0).cast("long")
+
+  /** Document fingerprint: bottom-4 sketch of the distinct-token md5 set
+    * (a deterministic min-hash-style content signature). */
+  def fingerprint(text: Column): Column =
+    concat_ws(",", slice(array_sort(transform(array_distinct(tokens(text)),
+      t => md5(t))), 1, 4))
+}

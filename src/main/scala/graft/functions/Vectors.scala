@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Numeric discipline for the differential oracle: each elementwise
+  * product is computed in double then cast to DECIMAL(28,12) and summed
+  * exactly, so the total is independent of summation order and identical
+  * across engines; the final divide/sqrt are correctly-rounded double ops.
+  *
+  * Scale design: brute-force kNN is the baseline (query-set broadcast ×
+  * corpus scan — fine for small query batches); the LSH-bucketed variant
+  * hashes every vector to a sign-pattern bucket with one narrow map, so
+  * candidate pairs are bucket-local and the all-pairs O(n²) never
+  * materializes. On a cluster, bucket the corpus table by `bucket` to
+  * make the pair join co-partitioned.
+  */
+object Vectors {
+
+  /** Exact, order-independent dot product of two float-array columns:
+    * each double product is rounded to fixed-point 1e-12 and summed as
+    * BIGINT (exact, < 2^53), then scaled back — identical in any engine.
+    * (A decimal fold would hit Spark's precision-capping on +.) */
+  private def dotExpr(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * y.cast("double") * lit(1e12)).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") / lit(1e12)
+
+  /** L2 norm (same decimal-exact discipline). */
+  def norm(v: Column): Column = sqrt(dotExpr(v, v))
+
+  /** Cosine between two vector columns. */
+  def cosine(a: Column, b: Column): Column = dotExpr(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for a query subset.
+    * `emb` must have (vec_id, embedding). */
+  def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val scored = queries.join(broadcast(corpus), col("qid") =!= col("nid"))
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane j, dim k:
+    * ((j*31 + k*17) % 7) - 3 — integers, identical in any engine. */
+  def hyperplane(j: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(k => (((j * 31 + k * 17) % 7) - 3).toDouble)
+
+  /** Sign-LSH bucket id (nPlanes-bit int) for each vector. */
+  def withLshBucket(emb: DataFrame, dims: Int, nPlanes: Int = 8): DataFrame = {
+    val bucket = (0 until nPlanes).map { j =>
+      val h = hyperplane(j, dims)
+      // dot(v, h_j) with the same fixed-point-exact fold
+      val prods = aggregate(
+        zip_with(col("embedding"),
+          array(h.map(x => lit(x)): _*),
+          (x, y) => round(x.cast("double") * y * lit(1e12)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      when(prods >= 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  /** ANN near-duplicate pairs: same LSH bucket, cosine above threshold. */
+  def annPairs(emb: DataFrame, dims: Int, minCosine: Double): DataFrame = {
+    val b = withLshBucket(emb, dims)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val left = b.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("bucket"))
+    val right = b.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("bucket"))
+    left.join(right, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("bucket"), col("id1"), col("id2"), col("cosine"))
+  }
+}

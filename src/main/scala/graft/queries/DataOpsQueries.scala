@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Dedup, TextFunctions, Vectors}
+import graft.model.DerivedState
+
+/** queries()+oracleSql() for the training-data-pipeline operators:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search (brute-force kNN / LSH-bucketed ANN), text analysis and
+  * multimodal metadata — each with a value-identical DuckDB oracle. */
+object DataOpsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ re-keyed copies of every 7th doc — a corpus with known
+    * exact duplicates for the dedup demos (same derivation in oracle). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private val CorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
+  /** Shared oracle CTEs for minhash signatures + bands over the corpus. */
+  private val MinhashSql =
+    s"""$CorpusSql,
+      |words AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM corpus),
+      |sh AS (
+      |  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 3
+      |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]
+      |    ELSE [] END) AS shingle
+      |  FROM words),
+      |hx AS (
+      |  SELECT doc_id, seed, MIN(md5(shingle || '#' || CAST(seed AS STRING))) AS h
+      |  FROM sh CROSS JOIN (SELECT UNNEST(range(0,8)) AS seed) s
+      |  GROUP BY doc_id, seed),
+      |sig AS (
+      |  SELECT doc_id,
+      |    MIN(CASE WHEN seed=0 THEN h END) AS m0, MIN(CASE WHEN seed=1 THEN h END) AS m1,
+      |    MIN(CASE WHEN seed=2 THEN h END) AS m2, MIN(CASE WHEN seed=3 THEN h END) AS m3,
+      |    MIN(CASE WHEN seed=4 THEN h END) AS m4, MIN(CASE WHEN seed=5 THEN h END) AS m5,
+      |    MIN(CASE WHEN seed=6 THEN h END) AS m6, MIN(CASE WHEN seed=7 THEN h END) AS m7
+      |  FROM hx GROUP BY doc_id),
+      |band AS (
+      |  SELECT *, md5(m0 || '|' || m1) AS b0, md5(m2 || '|' || m3) AS b1,
+      |         md5(m4 || '|' || m5) AS b2, md5(m6 || '|' || m7) AS b3
+      |  FROM sig),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+      |    ((CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END) +
+      |     (CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END) +
+      |     (CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END) +
+      |     (CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END)
+      |    ) / 8.0 AS estJaccard
+      |  FROM band a JOIN band b ON a.doc_id < b.doc_id
+      |    AND (a.b0=b.b0 OR a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3))""".stripMargin
+
+  /** Oracle dot-product CTE fragment over embeddings — same fixed-point
+    * 1e-12 BIGINT summation as Vectors.dotExpr. */
+  private val NormsSql =
+    """norms AS (
+      |  SELECT vec_id, sqrt(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) *
+      |    CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+      |  FROM (SELECT vec_id, embedding, UNNEST(range(1, len(embedding)+1)) AS i
+      |        FROM embeddings) t
+      |  GROUP BY vec_id)""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    // exact dedup: md5 group-by, min-id keeper
+    "d1_exact_dedup" -> { (s, dir) =>
+      Dedup.exact(corpus(s, dir), "doc_id", "text")
+        .filter(col("isDuplicate"))
+        .select(col("doc_id").as("id"), col("keepId"))
+        .orderBy(col("id"))
+    },
+    // MinHash + LSH banded candidate pairs
+    "d2_minhash_lsh" -> { (s, dir) =>
+      Dedup.lshCandidates(corpus(s, dir), "doc_id", "text")
+        .filter(col("estJaccard") >= 0.5)
+        .orderBy(col("id1"), col("id2"))
+    },
+    // 16-bit SimHash per document
+    "d3_simhash" -> { (s, dir) =>
+      Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    // exact n-gram Jaccard verification of LSH candidates
+    "d4_ngram_jaccard" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val cand = Dedup.lshCandidates(c, "doc_id", "text")
+        .filter(col("estJaccard") >= 0.25)
+        .select(col("id1"), col("id2"))
+      Dedup.ngramJaccard(c, "doc_id", "text", cand)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    // brute-force cosine top-k neighbors
+    "sim1_knn_brute" -> { (s, dir) =>
+      Vectors.knnBrute(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    // LSH-bucketed ANN near-duplicate pairs
+    "sim2_ann_lsh" -> { (s, dir) =>
+      Vectors.annPairs(Tables.embeddings(s, dir), dims = 64, minCosine = 0.2)
+        .orderBy(col("id1"), col("id2"))
+    },
+    // language ID heuristic
+    "t1_lang_id" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("predLang"))
+        .orderBy(col("doc_id"))
+    },
+    // quality scoring
+    "t2_quality_score" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.wsTokenCount(col("text")).as("nTokens"),
+          TextFunctions.qualityScore(col("text"), col("n_chars")).as("score"))
+        .orderBy(col("doc_id"))
+    },
+    // token counting (whitespace-ish, BPE-ish, chars/4)
+    "t3_token_count" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.wsTokenCount(col("text")).as("wsTokens"),
+          TextFunctions.bpeTokenCount(col("text")).as("bpeTokens"),
+          TextFunctions.approxTokenCount(col("n_chars")).as("approxTokens"))
+        .orderBy(col("doc_id"))
+    },
+    // document fingerprint (bottom-4 md5 sketch)
+    "t4_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    // multimodal: binary payload metadata extraction
+    "m1_media_meta" -> { (s, dir) =>
+      val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir))
+      val headers = Tables.documents(s, dir).select(col("doc_id"),
+        hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("headerHex"))
+      media.select(col("doc_id"), col("modality"),
+          octet_length(col("payload")).as("byteLen"))
+        .join(headers, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    // sessionization over the events stream table (30-min gap rule)
+    "e1_sessionize" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val ev = s.table("events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prevTs", lag(col("ts"), 1).over(w))
+        .withColumn("newSession",
+          when(col("prevTs").isNull ||
+            col("ts") - col("prevTs") > 1800000000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("events"), sum(col("newSession")).as("sessions"))
+        .orderBy(col("user_id"))
+    },
+    // tumbling daily windows per event type
+    "e2_window_agg" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      s.table("events")
+        .withColumn("day", expr("ts div 86400000000000"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("totalValue"))
+        .orderBy(col("day"), col("event_type"))
+    },
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""WITH $CorpusSql,
+        |h AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keepId
+        |      FROM corpus)
+        |SELECT doc_id AS id, keepId FROM h WHERE doc_id <> keepId ORDER BY id""".stripMargin,
+    "d2_minhash_lsh" ->
+      s"""WITH $MinhashSql
+        |SELECT id1, id2, estJaccard FROM pairs WHERE estJaccard >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+    "d3_simhash" ->
+      ("""WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    (instr('0123456789abcdef', substr(md5(token),1,1))-1)*4096 +
+        |    (instr('0123456789abcdef', substr(md5(token),2,1))-1)*256 +
+        |    (instr('0123456789abcdef', substr(md5(token),3,1))-1)*16 +
+        |    (instr('0123456789abcdef', substr(md5(token),4,1))-1) AS H
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+      (0 until 16).map(b =>
+        s"    SUM(CASE WHEN (H >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n") +
+      """
+        |  FROM th GROUP BY doc_id),
+        |sim AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+      (0 until 16).map(b =>
+        s"    (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n") +
+      """ AS simhash
+        |  FROM bits)
+        |SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+        |FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+    "d4_ngram_jaccard" ->
+      s"""WITH $MinhashSql,
+        |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |szs AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+        |cand AS (SELECT id1, id2 FROM pairs WHERE estJaccard >= 0.25),
+        |icnt AS (
+        |  SELECT c.id1, c.id2, COUNT(*) AS i FROM cand c
+        |  JOIN dsh a ON a.doc_id = c.id1
+        |  JOIN dsh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+        |  GROUP BY c.id1, c.id2)
+        |SELECT c.id1, c.id2,
+        |  CAST(COALESCE(i.i,0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(i.i,0)) AS jaccard
+        |FROM cand c
+        |LEFT JOIN icnt i ON i.id1 = c.id1 AND i.id2 = c.id2
+        |JOIN szs sa ON sa.doc_id = c.id1
+        |JOIN szs sb ON sb.doc_id = c.id2
+        |WHERE CAST(COALESCE(i.i,0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(i.i,0)) >= 0.5
+        |ORDER BY c.id1, c.id2""".stripMargin,
+    "sim1_knn_brute" ->
+      s"""WITH $NormsSql,
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS qv, c.embedding AS nv
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 100 = 0),
+        |dots AS (
+        |  SELECT qid, nid, CAST(SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)
+        |    * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        |  FROM (SELECT qid, nid, qv, nv, UNNEST(range(1, len(qv)+1)) AS i FROM p) t
+        |  GROUP BY qid, nid),
+        |cosd AS (
+        |  SELECT qid, nid, dot / (na.nrm * nb.nrm) AS cosine
+        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM cosd)
+        |SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "sim2_ann_lsh" ->
+      s"""WITH $NormsSql,
+        |pl AS (
+        |  SELECT vec_id, j,
+        |    SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) *
+        |      CAST((((j*31 + (i-1)*17) % 7) - 3) AS DOUBLE) * 1000000000000) AS BIGINT)) AS d
+        |  FROM (SELECT vec_id, embedding, UNNEST(range(1, len(embedding)+1)) AS i
+        |        FROM embeddings) t
+        |  CROSS JOIN (SELECT UNNEST(range(0,8)) AS j) u
+        |  GROUP BY vec_id, j),
+        |buck AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pl GROUP BY vec_id),
+        |cand AS (
+        |  SELECT a.bucket, a.vec_id AS id1, b.vec_id AS id2
+        |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |pv AS (SELECT vec_id, embedding FROM embeddings),
+        |dots AS (
+        |  SELECT c.bucket, c.id1, c.id2,
+        |    CAST(SUM(CAST(ROUND(CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)
+        |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        |  FROM cand c JOIN pv e1 ON e1.vec_id = c.id1 JOIN pv e2 ON e2.vec_id = c.id2
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
+        |  GROUP BY c.bucket, c.id1, c.id2)
+        |SELECT d.bucket, d.id1, d.id2, d.dot / (na.nrm * nb.nrm) AS cosine
+        |FROM dots d JOIN norms na ON na.vec_id = d.id1 JOIN norms nb ON nb.vec_id = d.id2
+        |WHERE d.dot / (na.nrm * nb.nrm) >= 0.2
+        |ORDER BY d.id1, d.id2""".stripMargin,
+    "t1_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS en,
+        |    len(list_filter(w, x -> x IN ('data','row','query','tabla','fila'))) AS es,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+        |       WHEN es >= de AND es > 0 THEN 'es'
+        |       WHEN de > 0 THEN 'de'
+        |       ELSE 'und' END AS predLang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |f AS (
+        |  SELECT doc_id, len(w) AS nTokens,
+        |    CASE WHEN len(w) > 0 THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) ELSE 0.0 END AS meanLen,
+        |    CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN
+        |      ('the','a','of','and','to','data','row','query','tabla','fila','der','die','das','und','ist'))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopRatio,
+        |    CASE WHEN n_chars > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / n_chars ELSE 0.0 END AS punctRatio,
+        |    CASE WHEN len(w) >= 20 THEN 25.0 ELSE 0.0 END AS bonus
+        |  FROM t)
+        |SELECT doc_id, nTokens,
+        |  meanLen * 10.0 + stopRatio * 50.0 - punctRatio * 100.0 + bonus AS score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wsTokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS bpeTokens,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS approxTokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  array_to_string((list_sort(list_transform(
+        |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+        |    x -> md5(x))))[1:4], ',') AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m1_media_meta" ->
+      """SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |  octet_length(encode(text)) AS byteLen,
+        |  hex(encode(substr(text, 1, 4))) AS headerHex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e1_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+        |l AS (
+        |  SELECT user_id,
+        |    LAG(tsn, 1) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prevTs,
+        |    tsn
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS events,
+        |  CAST(SUM(CASE WHEN prevTs IS NULL OR tsn - prevTs > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e2_window_agg" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS totalValue
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+  )
+}

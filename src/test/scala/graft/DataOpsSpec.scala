@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextFunctions, Vectors}
+import graft.multimodal.Multimodal
+
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words entirely here now friends"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content hash") {
+    val out = rows(Dedup.exact(docs, "doc_id", "text")
+      .filter(col("isDuplicate")).select(col("doc_id"), col("keepId")))
+    assert(out == Seq(Seq(4L, 1L)))
+  }
+
+  test("minhash LSH finds the near/exact pair, not the unrelated doc") {
+    val cand = rows(Dedup.lshCandidates(docs, "doc_id", "text")
+      .filter(col("estJaccard") >= 0.5).select(col("id1"), col("id2")))
+      .map(r => (r.head, r.last)).toSet
+    assert(cand.contains((1L, 4L)))
+    assert(!cand.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash is deterministic and equal for identical docs") {
+    val out = rows(Dedup.simhash16(docs, "doc_id", "text")).map(r => r.head -> r.last).toMap
+    assert(out(1L) == out(4L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("ngram jaccard: 1.0 for exact dup") {
+    val cand = Seq((1L, 4L), (1L, 3L)).toDF("id1", "id2")
+    val out = rows(Dedup.ngramJaccard(docs, "doc_id", "text", cand)
+      .select(col("id1"), col("id2"), col("jaccard")))
+      .map(r => (r.head, r(1)) -> r(2)).toMap
+    assert(out((1L, 4L)) == 1.0)
+    assert(out((1L, 3L)) == 0.0)
+  }
+
+  test("text functions: tokens, lang, counts, fingerprint") {
+    val t = rows(docs.select(TextFunctions.wsTokenCount(col("text")),
+      TextFunctions.langId(col("text")),
+      TextFunctions.fingerprint(col("text"))).limit(1)).head
+    assert(t.head == 9L)
+    assert(t(1) == "en") // 'the' hits
+    assert(t(2).asInstanceOf[String].split(",").length == 4)
+  }
+
+  test("knn brute force: identical vector is rank-1 with cosine 1") {
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(-1.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = rows(Vectors.knnBrute(emb, col("vec_id") === 100L, k = 3)
+      .select(col("nid"), col("cosine"), col("rank")))
+    assert(out.head == Seq(2L, 1.0, 1))
+    assert(out.last.head == 4L) // opposite vector ranks last
+  }
+
+  test("lsh buckets put identical vectors together") {
+    val emb = Seq(
+      (1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f)),
+      (3L, Array.fill(8)(-1.0f)),
+    ).toDF("vec_id", "embedding")
+    val b = rows(Vectors.withLshBucket(emb, dims = 8).select(col("vec_id"), col("bucket")))
+      .map(r => r.head -> r.last).toMap
+    assert(b(1L) == b(2L))
+    val pairs = rows(Vectors.annPairs(emb, dims = 8, minCosine = 0.9)
+      .select(col("id1"), col("id2")))
+    assert(pairs == Seq(Seq(1L, 2L)))
+  }
+
+  test("multimodal plumbing: stub decode is deterministic per payload") {
+    val media = Multimodal.asMedia(docs.withColumn("text", concat(col("text"), lit("!"))))
+    val feats = Multimodal.extractFeatures(spark, media, partitions = 2)
+    val out = feats.collect().map(f => f.doc_id -> f).toMap
+    assert(out.size == 4)
+    assert(out(1L).byteLen == 43L + 1L)
+    assert(out(1L).meanLuma == out(4L).meanLuma) // same payload → same features
+    assert(out.values.forall(f => Set("image", "audio", "video")(f.modality)))
+    assert(out.values.filter(_.modality == "audio").forall(_.height == 1))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dataflows, Placement}
+
+/** N-layer behavioral tests on FIXTURES.md §2-shaped inputs, mirroring
+  * the FSNamesystem.java:2520-2594 classification matrix. */
+class DataflowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val now = 1000000L
+
+  private lazy val file: DataFrame = Seq(
+    (3L, 2L, "f1", 100L, 64L, 2L, 0L, 0L, 0L, None: Option[String], 0L, 4L),
+  ).toDF("id", "parentId", "name", "length", "blockSize", "replication",
+    "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+
+  private lazy val block: DataFrame = Seq(
+    (201L, 11L, 40L, 5L, 3L, 1L, 10L), // will be reported ok
+    (201L, 12L, 40L, 5L, 3L, 1L, 11L), // stored, not reported -> toRemove
+    (202L, 11L, 30L, 7L, 3L, 2L, 12L), // reported with longer length -> toAdd
+    (203L, 12L, 20L, 9L, 3L, 3L, 13L), // dn12 has stale genstamp replica
+    (203L, 11L, 20L, 8L, 3L, 3L, 14L), // reported gs 8 < max 9 -> toInvalidate
+  ).toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version")
+
+  private lazy val reported: DataFrame = Seq(
+    (11L, 201L, 40L, 5L),  // matches -> ok
+    (11L, 202L, 35L, 7L),  // length differs -> toAdd
+    (11L, 203L, 20L, 8L),  // stale genstamp -> toInvalidate
+    (11L, 299L, 10L, 1L),  // never stored -> toAdd
+  ).toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+
+  test("N5: blockReport classification matrix") {
+    val out = rows(Dataflows.reconcileReports(block, reported)
+      .filter(col("datanodeId") === 11L)
+      .select(col("blockId"), col("action")))
+      .map(r => r.head -> r.last).toMap
+    assert(out == Map(201L -> "ok", 202L -> "toAdd", 203L -> "toInvalidate", 299L -> "toAdd"))
+    // stored-not-reported on dn12 → toRemove (the anti-join pass)
+    val removed = rows(Dataflows.reconcileReports(block, reported)
+      .filter(col("datanodeId") === 12L && col("action") === "toRemove")
+      .select(col("blockId"))).map(_.head).toSet
+    assert(removed == Set(201L, 203L))
+  }
+
+  test("N6: under-replication priority levels") {
+    val dn = Seq(
+      (11L, "dn11", "DS-11", 0L, 0L, 1000L, 0L, 900L, now - 1L, 0L, "/r1", "NORMAL", 1L),
+      (12L, "dn12", "DS-12", 0L, 0L, 1000L, 0L, 900L, now - 9999999L, 0L, "/r1", "NORMAL", 2L),
+    ).toDF("id", "name", "storageId", "ipcPort", "infoPort", "capacity", "dfsUsed",
+      "remaining", "lastUpdated", "xceiverCount", "location", "adminState", "version")
+    // dn12 dead → blocks 201/203 lose a replica; file expects 2
+    val out = rows(Dataflows.underReplicated(block, file, dn, now, k = 10)
+      .select(col("blockId"), col("liveReplicaCount"), col("priority")))
+    val m = out.map(r => r.head -> (r(1), r(2))).toMap
+    // all three blocks have exactly 1 live replica (dn12 is dead), expected 2
+    assert(m(201L) == (1L, 0) && m(202L) == (1L, 0) && m(203L) == (1L, 0))
+  }
+
+  test("N17: block synchronization reconciles to max genstamp, min length") {
+    val out = rows(Dataflows.blockSynchronization(block)
+      .select(col("id"), col("recoveredGenStamp"), col("recoveredLength"), col("syncReplicas")))
+      .map(r => r.head -> r.tail).toMap
+    assert(out(201L) == Seq(5L, 40L, 2L))
+    assert(out(203L) == Seq(9L, 20L, 1L)) // gs-8 replica excluded
+  }
+
+  test("N15: content summary aggregates subtrees in one pass") {
+    val tree = Seq(
+      (0L, -1L, "", -1L, 1L), (1L, 0L, "a", -1L, 2L), (2L, 0L, "b", -1L, 3L),
+      (3L, 1L, "f", 10L, 4L), (4L, 1L, "g", 20L, 5L), (5L, 2L, "h", 5L, 6L),
+    ).toDF("id", "parentId", "name", "length", "version")
+    val out = rows(Dataflows.contentSummary(tree, Seq(1L, 2L))
+      .select(col("rootId"), col("length"), col("fileCount"), col("dirCount")))
+      .map(r => r.head -> r.tail).toMap
+    assert(out(1L) == Seq(30L, 2L, 1L))
+    assert(out(2L) == Seq(5L, 1L, 1L))
+  }
+
+  test("N7: placement respects racks, space and determinism") {
+    val nodes = (1 to 6).map(i => Placement.Node(i.toLong, s"/r${i % 2}",
+      remaining = 1000000L, xceiverCount = 2, adminState = "NORMAL"))
+    val t1 = Placement.chooseTargets(nodes, 3, Some("/r0"), blockSize = 100, seed = 7L)
+    val t2 = Placement.chooseTargets(nodes, 3, Some("/r0"), blockSize = 100, seed = 7L)
+    assert(t1.map(_.id) == t2.map(_.id)) // deterministic under same seed
+    assert(t1.size == 3 && t1.map(_.id).distinct.size == 3)
+    assert(t1.head.rack == "/r0")         // writer-local first
+    assert(t1(1).rack != t1.head.rack)    // second on a remote rack
+    assert(t1(2).rack == t1(1).rack)      // third with the second
+    // no-space nodes are never chosen
+    val tight = nodes.map(_.copy(remaining = 10L))
+    assert(Placement.chooseTargets(tight, 3, Some("/r0"), blockSize = 100, seed = 7L).isEmpty)
+  }
+}
