@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming/incremental operators (SURVEY §2.6, §3.3): the op-queue
+  * changefeed with idempotent latest-wins apply, heartbeat windowed
+  * rates, the block-report reconciliation pipeline and the lease/
+  * liveness monitors — Structured Streaming throughout (no DStreams).
+  *
+  * Scale notes: the changefeed state is partitioned by key
+  * (flatMapGroupsWithState shuffles once on the grouping key, mirroring
+  * the reference's per-key operation queue ordering,
+  * A/distributed/DistributedOperationQueue.java:33-110); watermarks bound
+  * state for the windowed aggregations; the report pipeline joins each
+  * micro-batch against the stored table, so per-trigger cost is
+  * O(report), not O(table) — the streaming analog of the reference's
+  * per-datanode block-list cache (A/state/StateManager.java:774-785).
+  */
+object Changefeed {
+
+  /** One row-op from the distributed operation queue
+    * (A/distributed/DistributedOperation.java:30-95): op ∈
+    * INSERT|UPDATE|DELETE; DELETE carries a negative version. */
+  final case class Op(key: Long, op: String, payload: Long, version: Long)
+
+  /** Current state of one key after replay. */
+  final case class KeyState(key: Long, payload: Long, version: Long, live: Boolean)
+
+  /** D1-D4/R9 as a stream: keep, per key, the op with max abs(version)
+    * (later-abs wins; on equal abs the positive/newer op wins — identical
+    * tie-break to StateStore.latestWins). Emits the key's state whenever
+    * it changes. Out-of-order and duplicate deliveries are absorbed. */
+  def applyOps(spark: SparkSession, ops: Dataset[Op]): Dataset[KeyState] = {
+    import spark.implicits._
+    ops.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, batch: Iterator[Op], state: GroupState[KeyState]) => {
+          implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+          val candidates = state.getOption.map(s =>
+            Op(s.key, if (s.live) "UPSERT" else "DELETE", s.payload, s.version)) ++ batch
+          val newest = candidates.maxBy(o => (math.abs(o.version), o.version))
+          val ns = KeyState(key, newest.payload, newest.version, newest.version > 0)
+          if (state.getOption.map(_.version).contains(ns.version)) Iterator.empty
+          else { state.update(ns); Iterator.single(ns) }
+        })
+  }
+
+  /** Heartbeat stream → per-node windowed load/capacity rates with a
+    * watermark bounding state (FIXTURES §2 heartbeat stream shape:
+    * datanodeId, time, capacity, dfsUsed, remaining, xceiverCount). */
+  def heartbeatRates(hb: DataFrame, windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    hb.withWatermark("time", watermark)
+      .groupBy(window(col("time"), windowLen), col("datanodeId"))
+      .agg(count(lit(1)).as("beats"),
+        max(col("xceiverCount")).as("peakLoad"),
+        last(col("remaining")).as("remaining"))
+
+  /** §3.3 flagship: block-report stream reconciled against the stored
+    * replica table each micro-batch via the N5 full-outer classifier;
+    * `sink` receives (batchId, actions-DataFrame). foreachBatch because a
+    * full-outer stream-static join is not streamable — per-batch cost is
+    * O(report). */
+  def blockReportPipeline(stored: DataFrame, reports: DataFrame,
+                          sink: (Long, DataFrame) => Unit): StreamingQuery =
+    reports.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(id, graft.analytics.Dataflows.reconcileReports(stored, batch))
+      }
+      .start()
+
+  /** S15 LeaseMonitor: on every trigger, scan for hard-expired leases and
+    * hand the recovery candidates to `sink` (the reference runs this scan
+    * every 2 s — StateManager.java:893-914). Driven by any ticking
+    * stream (rate source in production, MemoryStream in tests). */
+  def leaseMonitor(ticks: DataFrame, lease: () => DataFrame, file: () => DataFrame,
+                   nowMs: () => Long, sink: (Long, DataFrame) => Unit): StreamingQuery =
+    ticks.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (_: DataFrame, id: Long) =>
+        sink(id, graft.state.StateManager.leaseRecoveryCandidates(lease(), file(), nowMs()))
+      }
+      .start()
+}

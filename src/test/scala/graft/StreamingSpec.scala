@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Changefeed
+import graft.streaming.Changefeed.{KeyState, Op}
+
+/** Streaming behavior on FIXTURES.md §2 fixtures: out-of-order/duplicate
+  * op-log replay, watermarked windowed aggregation, and the per-batch
+  * block-report reconciliation. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("changefeed: out-of-order and duplicate versions resolve latest-wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Op]
+    val q = Changefeed.applyOps(spark, mem.toDS())
+      .writeStream.format("memory").queryName("kvstate")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Op(1L, "INSERT", 10L, 1L), Op(2L, "INSERT", 20L, 2L))
+      q.processAllAvailable()
+      // late arrival (version 1 dup), newer update, tombstone for key 2
+      mem.addData(Op(1L, "INSERT", 10L, 1L), Op(1L, "UPDATE", 11L, 5L),
+        Op(2L, "DELETE", 20L, -7L))
+      q.processAllAvailable()
+      // stale ops must NOT regress the state
+      mem.addData(Op(1L, "UPDATE", 99L, 3L), Op(2L, "INSERT", 21L, 4L))
+      q.processAllAvailable()
+      val last = spark.table("kvstate").as[KeyState].collect()
+        .groupBy(_.key).map { case (k, vs) => k -> vs.maxBy(s => math.abs(s.version)) }
+      assert(last(1L) == KeyState(1L, 11L, 5L, live = true))
+      assert(last(2L) == KeyState(2L, 20L, -7L, live = false))
+    } finally q.stop()
+  }
+
+  test("heartbeat windowed rates with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long, Long)]
+    val hb = mem.toDF().toDF("time", "datanodeId", "xceiverCount", "remaining")
+    val q = Changefeed.heartbeatRates(hb, "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("hbrates")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData((new Timestamp(t0), 1L, 3L, 900L), (new Timestamp(t0 + 10000), 1L, 5L, 890L),
+        (new Timestamp(t0 + 70000), 1L, 2L, 880L))
+      q.processAllAvailable()
+      val out = spark.table("hbrates")
+        .select(col("datanodeId"), col("beats"), col("peakLoad")).collect().map(_.toSeq)
+      assert(out.contains(Seq(1L, 2L, 5L))) // first minute: 2 beats, peak 5
+      assert(out.contains(Seq(1L, 1L, 2L))) // second minute
+    } finally q.stop()
+  }
+
+  test("block-report pipeline classifies each micro-batch against stored") {
+    implicit val sqlCtx = spark.sqlContext
+    val stored = Seq(
+      (201L, 11L, 40L, 5L, 3L, 1L, 10L),
+      (202L, 11L, 30L, 7L, 3L, 2L, 12L),
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version")
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val reports = mem.toDF().toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), String]
+    val q = Changefeed.blockReportPipeline(stored, reports, (_, actions) =>
+      actions.select(col("datanodeId"), col("blockId"), col("action"))
+        .collect().foreach(r => acc((r.getLong(0), r.getLong(1))) = r.getString(2)))
+    try {
+      mem.addData((11L, 201L, 40L, 5L), (11L, 299L, 10L, 1L))
+      q.processAllAvailable()
+      assert(acc((11L, 201L)) == "ok")
+      assert(acc((11L, 299L)) == "toAdd")
+      assert(acc((11L, 202L)) == "toRemove") // stored but absent from report
+    } finally q.stop()
+  }
+}
