@@ -61,7 +61,8 @@ object SparkEntry {
     },
   ) ++ graft.queries.StateQueries.queries ++
     graft.queries.AnalyticsQueries.queries ++
-    graft.queries.DataOpsQueries.queries
+    graft.queries.DataOpsQueries.queries ++
+    graft.queries.RelationalQueries.queries
 
   /** Per-table row counts + id/version checksums of the derived state
     * tables — guards the Spark/DuckDB derivation against drift. Runs
@@ -100,5 +101,18 @@ object SparkEntry {
     "state_checksum" -> DerivedState.oracle(stateChecksumSql),
   ) ++ graft.queries.StateQueries.oracles ++
     graft.queries.AnalyticsQueries.oracles ++
-    graft.queries.DataOpsQueries.oracles
+    graft.queries.DataOpsQueries.oracles ++
+    graft.queries.RelationalQueries.oracles
+
+  /** Headline queries timed by Bench (a representative mix: scans/aggs,
+    * multi-way joins, windows, recursion, reconciliation, dedup, ANN). */
+  val benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_revenue_forecast", "q18_large_orders",
+    "s1_path_resolution", "s2_paths", "s8_block_entries",
+    "n1_block_locations", "n5_block_report", "n6_under_replicated",
+    "n11_fsck", "n15_content_summary", "r9_replay",
+    "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
+    "sim1_knn_brute", "sim2_ann_lsh", "t2_quality_score",
+    "e1_sessionize", "e2_window_agg")
 }

@@ -24,7 +24,12 @@ object Dataflows {
     * the walk is a window cumulative sum — one pass, any number of
     * requests at once. */
   def blockLocations(block: DataFrame, requests: DataFrame): DataFrame = {
-    val entries = StateManager.blockEntries(block)
+    // prune to requested files BEFORE grouping: at 100 TB the request set
+    // is tiny relative to the block table — broadcast semi-join first so
+    // the groupBy/window shuffle only carries wanted blocks
+    val wanted = requests.select(col("fileId")).distinct()
+    val pruned = block.join(broadcast(wanted), Seq("fileId"), "left_semi")
+    val entries = StateManager.blockEntries(pruned)
     val w = Window.partitionBy(col("fileId")).orderBy(col("fileIndex"))
     val ranged = entries
       .withColumn("blockStart",
@@ -52,9 +57,10 @@ object Dataflows {
       col("id").as("blockId"), col("datanodeId"),
       col("length").as("storedLength"), col("generationStamp").as("storedGenStamp"))
     // per-block freshest genstamp across ALL replicas — the arbiter for
-    // stale-report detection (older genstamp loses, :2520-2552)
-    val freshest = live(block).groupBy(col("id").as("__bid"))
-      .agg(max(col("generationStamp")).as("maxGenStamp"))
+    // stale-report detection (older genstamp loses, :2520-2552). Derived
+    // from `stored` (not a second scan of the block table).
+    val freshest = stored.groupBy(col("blockId").as("__bid"))
+      .agg(max(col("storedGenStamp")).as("maxGenStamp"))
     reported
       .join(stored, Seq("datanodeId", "blockId"), "full_outer")
       .join(freshest, col("blockId") === col("__bid"), "left").drop("__bid")
@@ -175,7 +181,7 @@ object Dataflows {
     var n = 1L
     while (n > 0 && lvl < maxDepth) {
       val parents = frontier.select(col("rootId"), col("id").as("__pid"))
-      frontier = f.join(parents, col("parentId") === col("__pid"))
+      frontier = f.join(broadcast(parents), col("parentId") === col("__pid"))
         .select(col("rootId"), col("id"), col("length"))
       frontier.persist()
       n = frontier.count()

@@ -30,20 +30,28 @@ object Dedup {
       .withColumn("isDuplicate", col(idCol) =!= col("keepId"))
   }
 
-  /** Word 3-gram shingles of a text column (empty if < 3 tokens). */
-  def shingles(text: Column): Column = {
-    val t = TextFunctions.tokens(text)
-    when(size(t) >= 3,
-      transform(sequence(lit(1), size(t) - 2), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array())
+  /** Word 3-gram shingle rows (id, shingle). Tokenizes ONCE per doc
+    * (posexplode of the generator argument), then forms shingles with
+    * window lead() — building shingles with element_at inside a transform
+    * lambda would re-run the tokenizer regexp per element (Catalyst
+    * inlines the outer expression into the lambda body). Docs with < 3
+    * tokens yield no shingles. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    tok
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
   }
 
   /** MinHash signatures: k md5-seeded min-hashes per doc, as columns
     * m0..m{k-1}. Input df must have (idCol, textCol). One explode + one
     * groupBy — a single shuffle on doc id. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val sh = df.select(col(idCol), explode_outer(shingles(col(textCol))).as("shingle"))
+    val sh = shingleRows(df, idCol, textCol)
       .select(col(idCol), col("shingle"),
         explode(sequence(lit(0), lit(k - 1))).as("seed"))
       .withColumn("h", md5(concat(col("shingle"), lit("#"), col("seed"))))
@@ -58,18 +66,27 @@ object Dedup {
     }
 
   /** Candidate pairs: docs sharing ANY band, id1 < id2, deduped; with the
-    * minhash-agreement Jaccard estimate. */
+    * minhash-agreement Jaccard estimate. The bands are melted into
+    * (bandIdx, bandKey) rows so ONE equi-join on the composite key covers
+    * all bands — one shuffle instead of k/2 self-joins, and the band key
+    * is the natural bucketing column at cluster scale. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    // cache the signatures BEFORE melting — the union reads sig k/2 times
+    // and the self-join twice more; without the cache the expensive
+    // shingle explode would recompute for every branch
     val sig = withBands(minhashSignatures(df, idCol, textCol, k), k).cache()
-    val left = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"L$c"))
-    val right = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"R$c"))
-    val pairs = (0 until k / 2).map { b =>
-      left.join(right, col(s"Lband$b") === col(s"Rband$b") &&
-        col(s"L$idCol") < col(s"R$idCol"))
-    }.reduce(_.unionByName(_)).distinct()
+    val melted = (0 until k / 2).map { b =>
+      sig.select(col(idCol) +: lit(b).as("bandIdx") +: col(s"band$b").as("bandKey") +:
+        (0 until k).map(s => col(s"m$s")): _*)
+    }.reduce(_.unionByName(_))
+    val left = melted.columns.foldLeft(melted)((d, c) =>
+      if (c == "bandIdx" || c == "bandKey") d else d.withColumnRenamed(c, s"L$c"))
+    val right = melted.columns.foldLeft(melted)((d, c) =>
+      if (c == "bandIdx" || c == "bandKey") d else d.withColumnRenamed(c, s"R$c"))
     val est = (0 until k).map(s =>
       when(col(s"Lm$s") === col(s"Rm$s"), 1).otherwise(0)).reduce(_ + _)
-    pairs
+    left.join(right, Seq("bandIdx", "bandKey"))
+      .filter(col(s"L$idCol") < col(s"R$idCol"))
       .select(col(s"L$idCol").as("id1"), col(s"R$idCol").as("id2"),
         (est.cast("double") / k).as("estJaccard"))
       .distinct()
@@ -102,7 +119,8 @@ object Dedup {
     * shingle sets joined on shingle hash; |A∩B| / |A∪B|. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    candidates: DataFrame): DataFrame = {
-    val sh = df.select(col(idCol).as("did"), explode(shingles(col(textCol))).as("shingle"))
+    val sh = shingleRows(df, idCol, textCol)
+      .withColumnRenamed(idCol, "did")
       .distinct().cache()
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("did").as("id1"), col("shingle"))

@@ -24,6 +24,8 @@ object Vectors {
     * each double product is rounded to fixed-point 1e-12 and summed as
     * BIGINT (exact, < 2^53), then scaled back — identical in any engine.
     * (A decimal fold would hit Spark's precision-capping on +.) */
+  def dot(a: Column, b: Column): Column = dotExpr(a, b)
+
   private def dotExpr(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
@@ -39,11 +41,14 @@ object Vectors {
   /** Brute-force top-k cosine neighbors for a query subset.
     * `emb` must have (vec_id, embedding). */
   def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    // norms once per vector (not per pair) — the pair loop pays only the dot
     val queries = emb.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-    val scored = queries.join(broadcast(corpus), col("qid") =!= col("nid"))
-      .withColumn("cosine", cosine(col("qv"), col("nv")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      norm(col("embedding")).as("nn"))
+    val scored = broadcast(queries).join(corpus, col("qid") =!= col("nid"))
+      .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("cosine"), col("rank"))
@@ -69,14 +74,19 @@ object Vectors {
     emb.withColumn("bucket", bucket)
   }
 
-  /** ANN near-duplicate pairs: same LSH bucket, cosine above threshold. */
+  /** ANN near-duplicate pairs: same LSH bucket, cosine above threshold.
+    * Norms are computed once per vector; the bucket join is the only
+    * shuffle (bucket the corpus table by `bucket` at cluster scale). */
   def annPairs(emb: DataFrame, dims: Int, minCosine: Double): DataFrame = {
     val b = withLshBucket(emb, dims)
-      .select(col("vec_id"), col("embedding"), col("bucket"))
-    val left = b.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("bucket"))
-    val right = b.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("bucket"))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        norm(col("embedding")).as("nrm")).cache()
+    val left = b.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      col("bucket"), col("nrm").as("n1"))
+    val right = b.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      col("bucket"), col("nrm").as("n2"))
     left.join(right, Seq("bucket")).filter(col("id1") < col("id2"))
-      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= minCosine)
       .select(col("bucket"), col("id1"), col("id2"), col("cosine"))
   }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** TPC-H-shaped relational queries exercising the P-layer algebra at
+  * bench scale: multi-way joins (broadcast dims + shuffled facts),
+  * group-by-having, and top-k — the shapes that dominate 100 TB plans.
+  * Small dimensions are explicitly broadcast; fact-fact joins shuffle on
+  * the join key and AQE handles skew at scale. */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  def queries: Map[String, Q] = Map(
+    // Q3-shape: segment join + top-k by exact revenue
+    "q3_shipping_priority" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, dir).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1996-06-30").cast("timestamp"))
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    // Q5-shape: 5-way join, revenue per nation in one region
+    "q5_local_supplier" -> { (s, dir) =>
+      import s.implicits._
+      val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey" &&
+          $"s_nationkey" === $"c_nationkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    },
+    // Q18-shape: group-by-having over the fact, then enrich
+    "q18_large_orders" -> { (s, dir) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val big = l.groupBy($"l_orderkey")
+        .agg(dsum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 150.0)
+      big.join(o, $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"o_orderpriority", $"total_qty")
+        .orderBy($"l_orderkey")
+    },
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150.0)
+        |SELECT l_orderkey, o_orderpriority, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+  )
+}

@@ -40,14 +40,20 @@ object StateManager {
       .withColumn("__depth", size(col("__parts")) - 1)
     var frontier = withParts.withColumn("__cur", lit(0L))
     var out: DataFrame = null
-    var done = false
-    for (lvl <- 1 to maxDepth if !done) {
+    // one upfront job to learn the deepest request — cheaper than a
+    // per-level emptiness probe (one action instead of one per level)
+    val dataDepth = withParts.agg(max(col("__depth"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    for (lvl <- 1 to math.min(maxDepth, dataDepth)) {
       // level-specific column prefix avoids self-join ambiguity across
       // repeated joins of the same file DataFrame
       val pfx = s"__f${lvl}_"
       val f = fBase.select(cols.map(c => col(c).as(pfx + c)): _*)
-      val step = frontier
-        .filter(col("__depth") >= lvl)
+      // the frontier (pending paths) is small relative to the table —
+      // broadcast it so each level is a map-side join against `file`
+      val step = broadcast(frontier.filter(col("__depth") >= lvl))
         .join(f, col(pfx + "parentId") === col("__cur") &&
           col(pfx + "name") === element_at(col("__parts"), lvl + 1))
       val resolved = step.filter(col("__depth") === lvl)
@@ -56,7 +62,6 @@ object StateManager {
       frontier = step.filter(col("__depth") > lvl)
         .select(col("path"), col("__parts"), col("__depth"),
           col(pfx + "id").as("__cur"))
-      if (frontier.isEmpty) done = true
     }
     out
   }
@@ -75,7 +80,7 @@ object StateManager {
     var n = 1L
     while (n > 0 && lvl < maxDepth) {
       val parents = frontier.select(col("id").as("__pid"), col("path").as("__ppath"))
-      frontier = f.join(parents, col("parentId") === col("__pid"))
+      frontier = f.join(broadcast(parents), col("parentId") === col("__pid"))
         .withColumn("path", concat(col("__ppath"), lit("/"), col("name")))
         .drop("__pid", "__ppath")
       frontier.persist()
@@ -106,7 +111,7 @@ object StateManager {
     var n = 1L
     while (n > 0 && lvl < maxDepth) {
       val parents = frontier.select(col("id").as("__pid"))
-      frontier = f.join(parents, col("parentId") === col("__pid")).drop("__pid")
+      frontier = f.join(broadcast(parents), col("parentId") === col("__pid")).drop("__pid")
         .filter(col("id") =!= 0L)
       frontier.persist()
       n = frontier.count()
