@@ -62,7 +62,8 @@ object SparkEntry {
   ) ++ graft.queries.StateQueries.queries ++
     graft.queries.AnalyticsQueries.queries ++
     graft.queries.DataOpsQueries.queries ++
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+    graft.queries.MutationQueries.queries
 
   /** Per-table row counts + id/version checksums of the derived state
     * tables — guards the Spark/DuckDB derivation against drift. Runs
@@ -102,7 +103,8 @@ object SparkEntry {
   ) ++ graft.queries.StateQueries.oracles ++
     graft.queries.AnalyticsQueries.oracles ++
     graft.queries.DataOpsQueries.oracles ++
-    graft.queries.RelationalQueries.oracles
+    graft.queries.RelationalQueries.oracles ++
+    graft.queries.MutationQueries.oracles
 
   /** Headline queries timed by Bench (a representative mix: scans/aggs,
     * multi-way joins, windows, recursion, reconciliation, dedup, ANN). */

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.DerivedState
+import graft.state.Mutations
+import graft.store.StateStore
+
+/** queries()+oracleSql() for the write-path operators: every operation's
+  * WRITE-SET is computed as a query so the DuckDB oracle can replay the
+  * same validations and version assignment. */
+object MutationQueries {
+
+  private val Now = DerivedState.NowMs
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // S5/R11: batch mkdir of one new child under every nation dir +
+    // parent mtime touches; deterministic ids by (parentId, name) rank
+    "s5_mkdirs" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(
+        """SELECT CAST(1 + n_nationkey AS BIGINT) AS parentId,
+          |       'newdir_' || CAST(n_nationkey AS STRING) AS name
+          |FROM nation""".stripMargin)
+      Mutations.mkdirs(s.table("file"), reqs, idBase = 5000000L, nowMs = Now)
+        .select(col("writeOp"), col("id"), col("parentId"), col("name"),
+          col("length"), col("mtime"), col("version"))
+        .orderBy(col("writeOp"), col("id"))
+    },
+    // R11: validation outcomes for a mixed batch (ok / collision /
+    // missing parent / parent-not-dir / empty name)
+    "r11_insert_validate" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val cand = s.sql(
+        """SELECT CAST(1 + n_nationkey AS BIGINT) AS parentId,
+          |       'n_ok_' || CAST(n_nationkey AS STRING) AS name FROM nation
+          |UNION ALL
+          |SELECT CAST(0 AS BIGINT), 'n_' || CAST(n_nationkey AS STRING) FROM nation
+          |UNION ALL
+          |SELECT CAST(99999999 AS BIGINT), 'orphan' || CAST(n_nationkey AS STRING) FROM nation
+          |UNION ALL
+          |SELECT CAST(1000000 + o_orderkey AS BIGINT), 'under_file'
+          |FROM orders WHERE o_orderkey % 5000 = 0
+          |UNION ALL
+          |SELECT CAST(1 AS BIGINT), ''""".stripMargin)
+      Mutations.validateInserts(s.table("file"), cand)
+        .select(col("parentId"), col("name"), col("reject"))
+        .orderBy(col("parentId"), col("name"))
+    },
+    // R12/N12: move every customer dir of nation 3 under nation 4;
+    // write-set = moved rows + both parents' mtime touches
+    "n12_rename" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val renames = s.sql(
+        """SELECT CAST(100 + c_custkey AS BIGINT) AS id,
+          |       CAST(5 AS BIGINT) AS newParentId,
+          |       'moved_' || CAST(c_custkey AS STRING) AS newName
+          |FROM customer WHERE c_nationkey = 3""".stripMargin)
+      Mutations.rename(s.table("file"), renames, nowMs = Now)
+        .select(col("writeOp"), col("id"), col("parentId"), col("name"),
+          col("mtime"), col("version"))
+        .orderBy(col("writeOp"), col("id"))
+    },
+    // R13: guarded delete of every customer dir of nation 7 — customers
+    // WITH orders are refused (non-empty), childless ones tombstone
+    "r13_guarded_delete" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val ids = s.sql(
+        """SELECT CAST(100 + c_custkey AS BIGINT) AS id
+          |FROM customer WHERE c_nationkey = 7""".stripMargin)
+      Mutations.guardedDelete(s.table("file"), ids)
+        .orderBy(col("id"))
+    },
+    // N13: setReplication on big files (P8 SET + version bump), write-set
+    "n13_set_replication" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val out = Mutations.setAttrs(s.table("file"),
+        col("length") > 400000L && col("version") > 0,
+        Map("replication" -> StateStore.Assign(3L)), nowMs = Now)
+      out.filter(col("length") > 400000L && col("version") > 0)
+        .select(col("id"), col("replication"), col("version"))
+        .orderBy(col("id"))
+    },
+    // N4: which under-construction files can complete (all blocks have a
+    // finished replica)
+    "n4_complete_check" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Mutations.completeFileCheck(s.table("file"), s.table("block"))
+        .orderBy(col("fileId"))
+    },
+    // S17/N9: datanode re-registration — same storageId under a new id
+    // evicts the old row
+    "s17_datanode_upsert" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val regs = s.sql(
+        """SELECT CAST(id + 100 AS BIGINT) AS id, name, storageId,
+          |       ipcPort, infoPort, capacity, dfsUsed, remaining,
+          |       CAST(1700000000000 AS BIGINT) AS lastUpdated,
+          |       xceiverCount, location, adminState,
+          |       CAST(version + 1000 AS BIGINT) AS version
+          |FROM datanode WHERE id % 5 = 0""".stripMargin)
+      Mutations.datanodeUpsert(s.table("datanode"), regs)
+        .select(col("id"), col("storageId"), col("lastUpdated"), col("version"))
+        .orderBy(col("id"))
+    },
+  )
+
+  private val O = DerivedState.oracle _
+
+  def oracles: Map[String, String] = Map(
+    "s5_mkdirs" -> O(
+      """WITH reqs AS (
+        |  SELECT CAST(1 + n_nationkey AS BIGINT) AS parentId,
+        |         'newdir_' || CAST(n_nationkey AS STRING) AS name
+        |  FROM nation),
+        |ok AS (
+        |  SELECT r.* FROM reqs r
+        |  JOIN file p ON p.id = r.parentId AND p.version > 0 AND p.length = -1
+        |  LEFT JOIN file t ON t.parentId = r.parentId AND t.name = r.name AND t.version > 0
+        |  WHERE t.id IS NULL AND length(r.name) > 0 AND length(r.name) <= 255),
+        |newrows AS (
+        |  SELECT 5000000 + ROW_NUMBER() OVER (ORDER BY parentId, name) AS id,
+        |         parentId, name FROM ok)
+        |SELECT 'insert' AS writeOp, id, parentId, name,
+        |       CAST(-1 AS BIGINT) AS length, CAST(1700000000000 AS BIGINT) AS mtime,
+        |       id AS version
+        |FROM newrows
+        |UNION ALL
+        |SELECT 'touch', f.id, f.parentId, f.name, f.length,
+        |       CAST(1700000000000 AS BIGINT), f.version
+        |FROM file f WHERE f.version > 0
+        |  AND f.id IN (SELECT DISTINCT parentId FROM newrows)
+        |ORDER BY writeOp, id""".stripMargin),
+    "r11_insert_validate" -> O(
+      """WITH cand AS (
+        |  SELECT CAST(1 + n_nationkey AS BIGINT) AS parentId,
+        |         'n_ok_' || CAST(n_nationkey AS STRING) AS name FROM nation
+        |  UNION ALL
+        |  SELECT CAST(0 AS BIGINT), 'n_' || CAST(n_nationkey AS STRING) FROM nation
+        |  UNION ALL
+        |  SELECT CAST(99999999 AS BIGINT), 'orphan' || CAST(n_nationkey AS STRING) FROM nation
+        |  UNION ALL
+        |  SELECT CAST(1000000 + o_orderkey AS BIGINT), 'under_file'
+        |  FROM orders WHERE o_orderkey % 5000 = 0
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), '')
+        |SELECT c.parentId, c.name,
+        |  CASE WHEN c.name IS NULL OR length(c.name) = 0 THEN 'empty name'
+        |       WHEN length(c.name) > 255 THEN 'name too long'
+        |       WHEN p.id IS NULL THEN 'parent not found'
+        |       WHEN p.length <> -1 THEN 'parent not a directory'
+        |       WHEN t.id IS NOT NULL THEN 'name exists'
+        |       END AS reject
+        |FROM cand c
+        |LEFT JOIN file p ON p.id = c.parentId AND p.version > 0
+        |LEFT JOIN file t ON t.parentId = c.parentId AND t.name = c.name AND t.version > 0
+        |ORDER BY c.parentId, c.name""".stripMargin),
+    "n12_rename" -> O(
+      """WITH renames AS (
+        |  SELECT CAST(100 + c_custkey AS BIGINT) AS id,
+        |         CAST(5 AS BIGINT) AS newParentId,
+        |         'moved_' || CAST(c_custkey AS STRING) AS newName,
+        |         CAST(1 + c_nationkey AS BIGINT) AS oldParent
+        |  FROM customer WHERE c_nationkey = 3),
+        |ok AS (
+        |  SELECT r.* FROM renames r
+        |  JOIN file cur ON cur.id = r.id AND cur.version > 0
+        |  JOIN file p ON p.id = r.newParentId AND p.version > 0 AND p.length = -1
+        |  LEFT JOIN file t ON t.parentId = r.newParentId AND t.name = r.newName AND t.version > 0
+        |  WHERE t.id IS NULL AND r.id <> 0 AND r.newParentId <> r.id),
+        |moved AS (
+        |  SELECT f.id, o.newParentId AS parentId, o.newName AS name,
+        |         CAST(1700000000000 AS BIGINT) AS mtime,
+        |         f.version + 1000000000 AS version, o.oldParent
+        |  FROM file f JOIN ok o ON f.id = o.id AND f.version > 0),
+        |parents AS (
+        |  SELECT DISTINCT oldParent AS p FROM moved
+        |  UNION SELECT DISTINCT parentId FROM moved)
+        |SELECT 'move' AS writeOp, id, parentId, name, mtime, version FROM moved
+        |UNION ALL
+        |SELECT 'touch', f.id, f.parentId, f.name,
+        |       CAST(1700000000000 AS BIGINT), f.version
+        |FROM file f WHERE f.version > 0 AND f.id IN (SELECT p FROM parents)
+        |ORDER BY writeOp, id""".stripMargin),
+    "r13_guarded_delete" -> O(
+      """WITH ids AS (
+        |  SELECT CAST(100 + c_custkey AS BIGINT) AS id
+        |  FROM customer WHERE c_nationkey = 7),
+        |cc AS (
+        |  SELECT parentId AS cp, COUNT(*) AS children FROM file
+        |  WHERE version > 0 GROUP BY parentId)
+        |SELECT f.id, f.parentId, f.name,
+        |  CASE WHEN f.id = 0 THEN f.version
+        |       WHEN f.length = -1 AND COALESCE(cc.children, 0) > 0 THEN f.version
+        |       ELSE 0 - f.version END AS version,
+        |  CASE WHEN f.id = 0 THEN 'cannot delete root'
+        |       WHEN f.length = -1 AND COALESCE(cc.children, 0) > 0 THEN 'directory not empty'
+        |       END AS reject
+        |FROM file f
+        |JOIN ids ON f.id = ids.id
+        |LEFT JOIN cc ON cc.cp = f.id
+        |WHERE f.version > 0
+        |ORDER BY f.id""".stripMargin),
+    "n13_set_replication" -> O(
+      """SELECT id, CAST(3 AS BIGINT) AS replication,
+        |       version + 1000000000 AS version
+        |FROM file WHERE length > 400000 AND version > 0
+        |ORDER BY id""".stripMargin),
+    "n4_complete_check" -> O(
+      """WITH uc AS (
+        |  SELECT id AS fileId, leaseHolder FROM file
+        |  WHERE version > 0 AND leaseHolder IS NOT NULL),
+        |pb AS (
+        |  SELECT b.fileId, b.id,
+        |         COUNT(CASE WHEN b.length >= 0 THEN 1 END) AS finishedReplicas
+        |  FROM block b JOIN uc ON b.fileId = uc.fileId
+        |  WHERE b.version > 0 GROUP BY b.fileId, b.id),
+        |pf AS (
+        |  SELECT fileId, COUNT(*) AS nBlocks,
+        |         COUNT(CASE WHEN finishedReplicas >= 1 THEN 1 END) AS completeBlocks
+        |  FROM pb GROUP BY fileId)
+        |SELECT uc.fileId, uc.leaseHolder,
+        |  COALESCE(pf.nBlocks, 0) AS nBlocks,
+        |  COALESCE(pf.completeBlocks, 0) AS completeBlocks,
+        |  COALESCE(pf.nBlocks, 0) = COALESCE(pf.completeBlocks, 0) AS canComplete
+        |FROM uc LEFT JOIN pf ON uc.fileId = pf.fileId
+        |ORDER BY uc.fileId""".stripMargin),
+    "s17_datanode_upsert" -> O(
+      """WITH regs AS (
+        |  SELECT CAST(id + 100 AS BIGINT) AS id, name, storageId,
+        |         ipcPort, infoPort, capacity, dfsUsed, remaining,
+        |         CAST(1700000000000 AS BIGINT) AS lastUpdated,
+        |         xceiverCount, location, adminState,
+        |         CAST(version + 1000 AS BIGINT) AS version
+        |  FROM datanode WHERE id % 5 = 0)
+        |SELECT id, storageId, lastUpdated, version FROM (
+        |  SELECT d.id, d.storageId, d.lastUpdated, d.version FROM datanode d
+        |  WHERE d.version > 0
+        |    AND d.id NOT IN (SELECT id FROM regs)
+        |    AND d.storageId NOT IN (SELECT storageId FROM regs)
+        |  UNION ALL
+        |  SELECT id, storageId, lastUpdated, version FROM regs) u
+        |ORDER BY id""".stripMargin),
+  )
+}

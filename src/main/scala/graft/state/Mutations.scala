@@ -1,0 +1,174 @@
+package graft.state
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.store.StateStore
+
+/** Write-path repository semantics (SURVEY §2.2 R11-R13, §2.3 S5/S17,
+  * §2.4 N2-N4/N12-N13) as BATCH write-set computations: each operation
+  * takes the current snapshot plus a batch of requests and returns the
+  * rows that would be written (inserts / updates / tombstones), fully
+  * validated. Applying a write-set is `snapshot.anti-join(keys) ∪
+  * writeSet` under the engine's single-writer discipline (SURVEY §7.4
+  * risk 2) — the reference's per-key locks collapse to that discipline.
+  *
+  * Version assignment: callers pass a `versionBase`; new versions are
+  * versionBase + a dense rank over the write-set's deterministic order —
+  * the batch analog of the reference's monotone counter
+  * (A/distributed/DistributedDataVersion.java).
+  */
+object Mutations {
+
+  private def live(df: DataFrame) = StateStore.live(df)
+
+  /** R11 (FileRepository.insertInternal): validate a batch of candidate
+    * child rows (parentId, name, length, blockSize, replication, owner,
+    * leaseHolder): parent must exist and be a directory; (parentId,name)
+    * must not collide with a live row; name nonempty and ≤255 bytes.
+    * Returns candidates + a `reject` column (null = accepted). */
+  def validateInserts(file: DataFrame, candidates: DataFrame): DataFrame = {
+    val f = live(file)
+    val parents = f.select(col("id").as("__pid"), col("length").as("__plen"))
+    val taken = f.select(col("parentId").as("__tp"), col("name").as("__tn"))
+    candidates
+      .join(parents, col("parentId") === col("__pid"), "left")
+      .join(taken, col("parentId") === col("__tp") && col("name") === col("__tn"), "left")
+      .withColumn("reject",
+        when(col("name").isNull || length(col("name")) === 0, "empty name")
+          .when(length(col("name")) > 255, "name too long")
+          .when(col("__pid").isNull, "parent not found")
+          .when(col("__plen") =!= -1L, "parent not a directory")
+          .when(col("__tn").isNotNull, "name exists"))
+      .drop("__pid", "__plen", "__tp", "__tn")
+  }
+
+  /** S5 (insertFileByPath / mkdir -p, StateManager.java:568-590) for a
+    * batch of leaf paths whose parents already exist: returns the
+    * write-set = accepted new rows (deterministic ids versionBase+rank)
+    * plus the parents' mtime touches (R12 semantics :277-284). */
+  def mkdirs(file: DataFrame, requests: DataFrame, idBase: Long,
+             nowMs: Long, leafLength: Long = -1L): DataFrame = {
+    val validated = validateInserts(file, requests)
+      .filter(col("reject").isNull).drop("reject")
+    val w = Window.orderBy(col("parentId"), col("name"))
+    val newRows = validated
+      .withColumn("id", lit(idBase) + row_number().over(w))
+      .withColumn("length", lit(leafLength))
+      .withColumn("blockSize", lit(0L)).withColumn("replication", lit(0L))
+      .withColumn("atime", lit(nowMs)).withColumn("mtime", lit(nowMs))
+      .withColumn("owner", lit(0L))
+      .withColumn("leaseHolder", lit(null).cast("string"))
+      .withColumn("leaseRecoveryTime", lit(0L))
+      .withColumn("version", col("id"))
+      .select("id", "parentId", "name", "length", "blockSize", "replication",
+        "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    val touchedParents = live(file)
+      .join(newRows.select(col("parentId").as("__p")).distinct(),
+        col("id") === col("__p"), "left_semi")
+      .withColumn("mtime", lit(nowMs))
+    newRows.withColumn("writeOp", lit("insert"))
+      .unionByName(touchedParents.withColumn("writeOp", lit("touch")))
+  }
+
+  /** R12/N12 (FileRepository.updateInternal / renameTo): batch renames
+    * (id, newParentId, newName). Validations: not root, parent≠self,
+    * target parent exists and is a dir, no target collision. Returns the
+    * moved rows (new parentId/name, negated-then-bumped? no — same id,
+    * version bumped by `versionBump`) plus mtime touches of BOTH parents. */
+  def rename(file: DataFrame, renames: DataFrame, nowMs: Long,
+             versionBump: Long = 1000000000L): DataFrame = {
+    val f = live(file)
+    val cur = f.select(col("id").as("__id"), col("parentId").as("__oldP"),
+      col("name").as("__oldN"))
+    val parents = f.select(col("id").as("__tp"), col("length").as("__tplen"))
+    val taken = f.select(col("parentId").as("__cp"), col("name").as("__cn"))
+    val validated = renames
+      .join(cur, col("id") === col("__id"), "inner")
+      .join(parents, col("newParentId") === col("__tp"), "left")
+      .join(taken, col("newParentId") === col("__cp") && col("newName") === col("__cn"), "left")
+      .withColumn("reject",
+        when(col("id") === 0L, "cannot rename root")
+          .when(col("newParentId") === col("id"), "parent is self")
+          .when(col("__tp").isNull, "target parent not found")
+          .when(col("__tplen") =!= -1L, "target parent not a directory")
+          .when(col("__cn").isNotNull, "target exists"))
+    val ok = validated.filter(col("reject").isNull)
+    val moved = f.join(ok.select(col("id").as("__mid"), col("newParentId"),
+        col("newName"), col("__oldP")), col("id") === col("__mid"), "inner")
+      .withColumn("parentId", col("newParentId"))
+      .withColumn("name", col("newName"))
+      .withColumn("mtime", lit(nowMs))
+      .withColumn("version", col("version") + versionBump)
+      .select(col("id"), col("parentId"), col("name"), col("mtime"),
+        col("version"), col("__oldP"))
+    val parentIds = moved.select(col("__oldP").as("__p"))
+      .unionByName(moved.select(col("parentId").as("__p"))).distinct()
+    val touches = f.join(parentIds, col("id") === col("__p"), "left_semi")
+      .withColumn("mtime", lit(nowMs))
+      .select(col("id"), col("parentId"), col("name"), col("mtime"), col("version"))
+    moved.drop("__oldP").withColumn("writeOp", lit("move"))
+      .unionByName(touches.withColumn("writeOp", lit("touch")))
+  }
+
+  /** R13 (FileRepository.deleteInternal): guarded non-recursive delete —
+    * refuse root and non-empty directories; tombstone the rest. Returns
+    * (id, parentId, name, version<0) for deleted rows and a `reject`
+    * column for refused ones. */
+  def guardedDelete(file: DataFrame, ids: DataFrame): DataFrame = {
+    val f = live(file)
+    val childCounts = f.groupBy(col("parentId").as("__cp"))
+      .agg(count(lit(1)).as("__children"))
+    f.join(ids.select(col("id").as("__did")), col("id") === col("__did"), "inner")
+      .join(childCounts, col("id") === col("__cp"), "left")
+      .withColumn("reject",
+        when(col("id") === 0L, "cannot delete root")
+          .when(col("length") === -1L && coalesce(col("__children"), lit(0L)) > 0,
+            "directory not empty"))
+      .withColumn("version", when(col("reject").isNull, -col("version"))
+        .otherwise(col("version")))
+      .select(col("id"), col("parentId"), col("name"), col("version"), col("reject"))
+  }
+
+  /** N13 (setReplication/setTimes/setOwner): masked attribute update on a
+    * keyed subset — P8 SET semantics with a version bump. */
+  def setAttrs(file: DataFrame, where: Column, sets: Map[String, StateStore.SetExpr],
+               nowMs: Long, versionBump: Long = 1000000000L): DataFrame =
+    StateStore.update(file, where,
+      sets + ("version" -> StateStore.Add(versionBump)), nowMs)
+
+  /** N4 (completeFile): a file under construction can complete iff every
+    * one of its blocks has ≥ minReplication finished (length ≥ 0)
+    * replicas. Returns (fileId, nBlocks, completeBlocks, canComplete). */
+  def completeFileCheck(file: DataFrame, block: DataFrame, minReplication: Int = 1): DataFrame = {
+    val uc = live(file).filter(col("leaseHolder").isNotNull)
+      .select(col("id").as("fileId"), col("leaseHolder"))
+    val perBlock = live(block)
+      .join(uc.select(col("fileId").as("__fid")), col("fileId") === col("__fid"), "left_semi")
+      .groupBy(col("fileId"), col("id"))
+      .agg(count(when(col("length") >= 0, 1)).as("finishedReplicas"))
+    uc.join(perBlock.groupBy(col("fileId").as("__f"))
+        .agg(count(lit(1)).as("nBlocks"),
+          count(when(col("finishedReplicas") >= minReplication, 1)).as("completeBlocks")),
+        col("fileId") === col("__f"), "left")
+      .withColumn("nBlocks", coalesce(col("nBlocks"), lit(0L)))
+      .withColumn("completeBlocks", coalesce(col("completeBlocks"), lit(0L)))
+      .withColumn("canComplete", col("nBlocks") === col("completeBlocks"))
+      .select(col("fileId"), col("leaseHolder"), col("nBlocks"),
+        col("completeBlocks"), col("canComplete"))
+  }
+
+  /** S17/N9 (updateDatanodeByDatanodeDescriptor + handleHeartbeat): keyed
+    * upsert of registrations; a storageId collision deletes the old node
+    * row (re-registration under a new id). Returns the post-upsert
+    * datanode table. */
+  def datanodeUpsert(datanode: DataFrame, registrations: DataFrame): DataFrame = {
+    val d = live(datanode)
+    val survivors = d
+      .join(registrations.select(col("id").as("__rid")), col("id") === col("__rid"), "left_anti")
+      .join(registrations.select(col("storageId").as("__rsid")),
+        col("storageId") === col("__rsid"), "left_anti")
+    survivors.unionByName(registrations.select(d.columns.map(col): _*))
+  }
+}

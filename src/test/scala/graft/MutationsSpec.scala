@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Placement
+import graft.state.Mutations
+import graft.store.StateStore
+
+/** Write-path semantics: R11-R13 guards, S5 batch mkdirs, S17 upsert,
+  * and the N2 (startFile) / N3 (getAdditionalBlock) compositions. */
+class MutationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val file: DataFrame = Seq(
+    (0L, -1L, "", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 1L),
+    (1L, 0L, "a", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 2L),
+    (2L, 1L, "b", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 3L),
+    (3L, 2L, "f1", 100L, 64L, 2L, 0L, 0L, 0L, None: Option[String], 0L, 4L),
+    (5L, 1L, "empty", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 6L),
+  ).toDF("id", "parentId", "name", "length", "blockSize", "replication",
+    "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+
+  test("R11 guards: collision, missing parent, parent-not-dir") {
+    val cand = Seq((1L, "b"), (1L, "c"), (42L, "x"), (3L, "y"), (1L, ""))
+      .toDF("parentId", "name")
+    val out = rows(Mutations.validateInserts(file, cand)
+      .select(col("parentId"), col("name"), col("reject")))
+      .map(r => (r.head, r(1)) -> r(2)).toMap
+    assert(out((1L, "b")) == "name exists")
+    assert(out((1L, "c")) == null)
+    assert(out((42L, "x")) == "parent not found")
+    assert(out((3L, "y")) == "parent not a directory")
+    assert(out((1L, "")) == "empty name")
+  }
+
+  test("S5 mkdirs: deterministic ids + parent touch") {
+    val reqs = Seq((1L, "z1"), (2L, "z2")).toDF("parentId", "name")
+    val out = Mutations.mkdirs(file, reqs, idBase = 100L, nowMs = 777L)
+    val inserts = rows(out.filter(col("writeOp") === "insert")
+      .select(col("id"), col("parentId"), col("name")))
+    assert(inserts.toSet == Set(Seq(101L, 1L, "z1"), Seq(102L, 2L, "z2")))
+    val touched = rows(out.filter(col("writeOp") === "touch")
+      .select(col("id"), col("mtime"))).map(r => r.head -> r.last).toMap
+    assert(touched == Map(1L -> 777L, 2L -> 777L))
+  }
+
+  test("R12 rename: move with both-parent touch; root refused") {
+    val renames = Seq((2L, 5L, "b2"), (0L, 1L, "rootx")).toDF("id", "newParentId", "newName")
+    val out = Mutations.rename(file, renames, nowMs = 888L)
+    val moved = rows(out.filter(col("writeOp") === "move")
+      .select(col("id"), col("parentId"), col("name")))
+    assert(moved == Seq(Seq(2L, 5L, "b2"))) // root rename rejected
+    val touched = rows(out.filter(col("writeOp") === "touch").select(col("id")))
+      .map(_.head).toSet
+    assert(touched == Set(1L, 5L)) // old parent + new parent
+  }
+
+  test("R13 delete: refuses root and non-empty dir, tombstones the rest") {
+    val out = rows(Mutations.guardedDelete(file, Seq(0L, 1L, 5L, 3L).toDF("id"))
+      .select(col("id"), col("version"), col("reject")))
+      .map(r => r.head -> (r(1), r(2))).toMap
+    assert(out(0L)._2 == "cannot delete root")
+    assert(out(1L)._2 == "directory not empty")
+    assert(out(5L) == (-6L, null)) // empty dir tombstoned
+    assert(out(3L) == (-4L, null)) // file tombstoned
+  }
+
+  test("N2 startFile composition: mkdirs + lease insert write-sets") {
+    // create /a/b/newfile under lease: file insert + lease upsert
+    val reqs = Seq((2L, "newfile")).toDF("parentId", "name")
+    val fileWs = Mutations.mkdirs(file, reqs, idBase = 200L, nowMs = 1L, leafLength = 0L)
+    val inserted = rows(fileWs.filter(col("writeOp") === "insert").select(col("id"))).map(_.head)
+    assert(inserted == Seq(201L))
+    val lease = Seq(("writerA", 0L, 1L)).toDF("holder", "leaseTime", "version")
+    val renewed = StateStore.update(lease, col("holder") === "writerA",
+      Map("leaseTime" -> StateStore.SetNow), nowMs = 999L)
+    assert(rows(renewed).head(1) == 999L)
+  }
+
+  test("N3 getAdditionalBlock composition: placement over live topology") {
+    val nodes = (1 to 6).map(i => Placement.Node(i.toLong, s"/r${i % 3}", 1L << 30, 1, "NORMAL"))
+    val targets = Placement.chooseTargets(nodes, 3, Some("/r1"), blockSize = 1024, seed = 42L)
+    assert(targets.size == 3)
+    // new block rows: one per target + the NULL_DATANODE row, next fileIndex
+    val newBlockId = 301L
+    val rowsOut = targets.map(t => (newBlockId, t.id, -1L, 7L, 3L, 2L)) :+
+      ((newBlockId, 0L, -1L, 7L, 3L, 2L))
+    assert(rowsOut.size == 4 && rowsOut.map(_._2).distinct.size == 4)
+  }
+
+  test("S17 upsert: storageId collision evicts the old node row") {
+    val dn = Seq(
+      (11L, "dn11", "DS-A", 0L, 0L, 1L, 1L, 1L, 1L, 1L, "/r1", "NORMAL", 1L),
+      (12L, "dn12", "DS-B", 0L, 0L, 1L, 1L, 1L, 1L, 1L, "/r1", "NORMAL", 2L),
+    ).toDF("id", "name", "storageId", "ipcPort", "infoPort", "capacity", "dfsUsed",
+      "remaining", "lastUpdated", "xceiverCount", "location", "adminState", "version")
+    val regs = Seq(
+      (13L, "dn13", "DS-A", 0L, 0L, 1L, 1L, 1L, 9L, 1L, "/r2", "NORMAL", 3L),
+    ).toDF("id", "name", "storageId", "ipcPort", "infoPort", "capacity", "dfsUsed",
+      "remaining", "lastUpdated", "xceiverCount", "location", "adminState", "version")
+    val out = rows(Mutations.datanodeUpsert(dn, regs).select(col("id"), col("storageId")))
+      .map(r => r.head -> r.last).toMap
+    assert(out == Map(12L -> "DS-B", 13L -> "DS-A")) // node 11 evicted
+  }
+}
