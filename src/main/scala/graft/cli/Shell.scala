@@ -1,0 +1,80 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Dataflows
+import graft.model.DerivedState
+import graft.state.StateManager
+
+/** FsShell-style verbs (SURVEY §2.5 F9, C/org/apache/hadoop/fs/
+  * FsShell.java) over the engine's state tables — the demo CLI surface.
+  *
+  * Usage: runMain graft.cli.Shell <sfDir> <verb> [arg]
+  *   ls <path>      listing of a directory
+  *   lsr <path>     recursive listing
+  *   du <path>      per-child subtree sizes
+  *   dus <path>     single subtree summary
+  *   count <path>   {dirs, files, bytes} of a subtree
+  *   stat <path>    file status (with derived length)
+  *   fsck           namespace health report
+  *   report         datanode report
+  */
+object Shell {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Shell <sfDir> <verb> [path]")
+    val (sfDir, verb) = (args(0), args(1))
+    val path = if (args.length > 2) args(2) else "/"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-shell")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    DerivedState.register(spark, sfDir)
+    val file = spark.table("file")
+    val block = spark.table("block")
+    val datanode = spark.table("datanode")
+    val Now = DerivedState.NowMs
+
+    def resolve(p: String): Long =
+      if (p == "/" || p.isEmpty) 0L
+      else {
+        import spark.implicits._
+        val hits = StateManager.resolvePaths(file, Seq(p).toDF("path"))
+          .select("id").collect()
+        require(hits.nonEmpty, s"no such path: $p")
+        hits.head.getLong(0)
+      }
+
+    verb match {
+      case "ls" =>
+        StateManager.listChildren(file, resolve(path))
+          .select(col("name"), col("length"), col("replication"), col("mtime"))
+          .orderBy(col("name")).show(50, truncate = false)
+      case "lsr" =>
+        StateManager.descendants(file, Seq(resolve(path)))
+          .select(col("id"), col("parentId"), col("name"), col("length"))
+          .orderBy(col("id")).show(50, truncate = false)
+      case "du" =>
+        val children = StateManager.listChildren(file, resolve(path))
+          .select(col("id")).collect().map(_.getLong(0)).toSeq
+        Dataflows.contentSummary(file, children).orderBy(col("rootId")).show(50)
+      case "dus" | "count" =>
+        Dataflows.contentSummary(file, Seq(resolve(path))).show()
+      case "stat" =>
+        val id = resolve(path)
+        StateManager.fileInfo(file, block).filter(col("id") === id).show(truncate = false)
+      case "fsck" =>
+        Dataflows.fsck(file, block, datanode, Now).show(truncate = false)
+      case "report" =>
+        Dataflows.datanodeReport(datanode, Now)
+          .select(col("id"), col("name"), col("alive"), col("adminState"),
+            col("capacity"), col("remaining"))
+          .orderBy(col("id")).show(50, truncate = false)
+      case other => sys.error(s"unknown verb: $other")
+    }
+    spark.stop()
+  }
+}
