@@ -27,10 +27,7 @@ object Vectors {
   def dot(a: Column, b: Column): Column = dotExpr(a, b)
 
   private def dotExpr(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double") * lit(1e12)).cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double") / lit(1e12)
+    graft.functions.expr.FixedPointDot(a, b).cast("double") / lit(1e12)
 
   /** L2 norm (same decimal-exact discipline). */
   def norm(v: Column): Column = sqrt(dotExpr(v, v))
@@ -63,12 +60,9 @@ object Vectors {
   def withLshBucket(emb: DataFrame, dims: Int, nPlanes: Int = 8): DataFrame = {
     val bucket = (0 until nPlanes).map { j =>
       val h = hyperplane(j, dims)
-      // dot(v, h_j) with the same fixed-point-exact fold
-      val prods = aggregate(
-        zip_with(col("embedding"),
-          array(h.map(x => lit(x)): _*),
-          (x, y) => round(x.cast("double") * y * lit(1e12)).cast("long")),
-        lit(0L), (acc, x) => acc + x)
+      // dot(v, h_j) with the same fixed-point-exact expression
+      val prods = graft.functions.expr.FixedPointDot(
+        col("embedding"), array(h.map(x => lit(x)): _*))
       when(prods >= 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
     emb.withColumn("bucket", bucket)
