@@ -43,6 +43,30 @@ object Dataflows {
       .drop("reqFileId")
   }
 
+  /** N1 final step — pseudoSortByDistance (FSNamesystem.java:600-603,
+    * NetworkTopology weights): order each block's replicas by network
+    * distance to the client (0 = same node, 2 = same rack, 4 = off-rack)
+    * with datanodeId as the deterministic tie-break. Emits one row per
+    * block with the ordered replica list. */
+  def replicasByDistance(block: DataFrame, datanode: DataFrame,
+                         clientRack: String, clientNodeId: Long = -1L): DataFrame = {
+    val nodes = live(datanode).select(col("id").as("nodeId"), col("location"))
+    live(block)
+      .join(nodes, col("datanodeId") === col("nodeId"), "left")
+      .withColumn("distance",
+        when(col("datanodeId") === clientNodeId, 0)
+          .when(col("location") === clientRack, 2)
+          .otherwise(4))
+      .groupBy(col("id"))
+      .agg(first(col("fileId")).as("fileId"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("distance"), col("datanodeId")))),
+            x => x.getField("datanodeId").cast("string")),
+          ",").as("orderedReplicas"),
+        min(col("distance")).as("nearestDistance"))
+  }
+
   // ---- N5: blockReport reconciliation (:2468-2620) ---------------------
 
   /** Full-outer-join a datanode's reported blocks against the stored

@@ -27,6 +27,14 @@ object AnalyticsQueries {
           col("blockEnd"), col("primaryDatanodeId"), col("replicas"))
         .orderBy(col("fileId"), col("fileIndex"))
     },
+    // N1 distance sort: replicas ordered by network distance to client
+    "n1_distance_sort" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.replicasByDistance(
+          s.table("block").filter(col("fileId") % 100 === 0L),
+          s.table("datanode"), clientRack = "/rack2", clientNodeId = 7L)
+        .orderBy(col("id"))
+    },
     // N5: block-report reconciliation — full-outer-join classification
     "n5_block_report" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -110,6 +118,20 @@ object AnalyticsQueries {
         |  ON r.fileId = q.reqFileId
         |WHERE r.blockStart < 5000 + 40000 AND (r.blockEnd > 5000 OR r.blockLength = -1)
         |ORDER BY r.fileId, r.fileIndex""".stripMargin),
+    "n1_distance_sort" -> O(
+      """WITH r AS (
+        |  SELECT b.id, b.fileId, b.datanodeId,
+        |    CASE WHEN b.datanodeId = 7 THEN 0
+        |         WHEN d.location = '/rack2' THEN 2
+        |         ELSE 4 END AS distance
+        |  FROM block b
+        |  LEFT JOIN datanode d ON b.datanodeId = d.id AND d.version > 0
+        |  WHERE b.version > 0 AND b.fileId % 100 = 0)
+        |SELECT id, ANY_VALUE(fileId) AS fileId,
+        |  STRING_AGG(CAST(datanodeId AS STRING), ',' ORDER BY distance, datanodeId)
+        |    AS orderedReplicas,
+        |  MIN(distance) AS nearestDistance
+        |FROM r GROUP BY id ORDER BY id""".stripMargin),
     "n5_block_report" -> O(
       """WITH stored AS (
         |  SELECT id AS blockId, datanodeId, length AS storedLength,
