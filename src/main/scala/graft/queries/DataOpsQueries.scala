@@ -170,6 +170,16 @@ object DataOpsQueries {
         .agg(count(lit(1)).as("events"), sum(col("newSession")).as("sessions"))
         .orderBy(col("user_id"))
     },
+    // semi-structured props: JSON field extraction + aggregation
+    "e3_json_extract" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      s.table("events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("totalK"),
+          max(col("k")).as("maxK"))
+        .orderBy(col("event_type"))
+    },
     // tumbling daily windows per event type
     "e2_window_agg" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -346,6 +356,11 @@ object DataOpsQueries {
         |SELECT user_id, COUNT(*) AS events,
         |  CAST(SUM(CASE WHEN prevTs IS NULL OR tsn - prevTs > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e3_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS totalK,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS maxK
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e2_window_agg" ->
       """SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
         |  COUNT(*) AS n,

@@ -151,6 +151,26 @@ object StateQueries {
         .select(col("fileId"), col("id"), col("fileIndex"), col("blockLength"))
         .orderBy(col("fileId"))
     },
+    // S10: fan-out join — blocks of a file set (skips dirs)
+    "s10_blocks_of_files" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val files = s.table("file")
+        .filter(col("parentId") === 105L) // customer dir c_5's files
+      StateManager.blocksOfFiles(files, s.table("block"))
+        .select(col("id"), col("datanodeId"), col("fileId"), col("fileIndex"))
+        .orderBy(col("id"), col("datanodeId"))
+    },
+    // S12: datanode topology map — per-rack totals (NetworkTopology shape)
+    "s12_topology" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      StateStore.live(s.table("datanode"))
+        .groupBy(col("location"))
+        .agg(count(lit(1)).as("nodes"),
+          sum(col("capacity")).as("capacity"),
+          sum(col("remaining")).as("remaining"),
+          max(col("xceiverCount")).as("peakLoad"))
+        .orderBy(col("location"))
+    },
     // S11: block → file inverse join
     "s11_block_to_file" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -300,6 +320,20 @@ object StateQueries {
         |  FROM block WHERE version > 0 AND fileId % 200 = 0
         |  GROUP BY fileId, id, fileIndex) t
         |WHERE rn = 1 ORDER BY fileId""".stripMargin),
+    "s10_blocks_of_files" -> O(
+      """SELECT b.id, b.datanodeId, b.fileId, b.fileIndex
+        |FROM block b
+        |JOIN file f ON f.id = b.fileId AND f.version > 0 AND f.length <> -1
+        |  AND f.parentId = 105
+        |WHERE b.version > 0
+        |ORDER BY b.id, b.datanodeId""".stripMargin),
+    "s12_topology" -> O(
+      """SELECT location, COUNT(*) AS nodes,
+        |  CAST(SUM(capacity) AS BIGINT) AS capacity,
+        |  CAST(SUM(remaining) AS BIGINT) AS remaining,
+        |  MAX(xceiverCount) AS peakLoad
+        |FROM datanode WHERE version > 0
+        |GROUP BY location ORDER BY location""".stripMargin),
     "s11_block_to_file" -> O(
       """SELECT b.blockId, b.fileId, f.name, f.length
         |FROM (SELECT DISTINCT id AS blockId, fileId FROM block
