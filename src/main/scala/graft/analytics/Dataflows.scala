@@ -146,6 +146,39 @@ object Dataflows {
       .drop("__cnt")
   }
 
+  // ---- N10: ReplicationMonitor tick (FSNamesystem.java:1936-2041) ------
+
+  /** One computeDatanodeWork cycle: budget = liveNodes ×
+    * blocksReplWorkMultiplier (reference default 2); pick the top-budget
+    * under-replicated blocks (N6), choose targets for each over the live
+    * topology snapshot (N7, driver-side), and compute the excess-replica
+    * invalidation work (N8). Returns (replication work with targets,
+    * invalidation work) — the two per-datanode command queues the
+    * heartbeat handler (N9) drains. */
+  def computeDatanodeWork(block: DataFrame, file: DataFrame, datanode: DataFrame,
+                          nowMs: Long, workMultiplier: Int = 2): (DataFrame, DataFrame) = {
+    val liveNodes = StateManager.liveDatanodes(datanode, nowMs)
+      .select(col("id"), col("location"), col("remaining"),
+        col("xceiverCount"), col("adminState"))
+      .collect()
+      .map(r => Placement.Node(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .toSeq
+    val budget = math.max(1, liveNodes.size * workMultiplier)
+    val work = underReplicated(block, file, datanode, nowMs, budget).collect()
+    val spark = block.sparkSession
+    import spark.implicits._
+    val replicationWork = work.toSeq.map { r =>
+      val blockId = r.getAs[Long]("blockId")
+      val need = (r.getAs[Long]("expectedReplication") - r.getAs[Long]("liveReplicaCount")).toInt
+      val targets = Placement.chooseTargets(liveNodes, need, None,
+        blockSize = 1024L, seed = blockId)
+      (blockId, r.getAs[Long]("fileId"), r.getAs[Int]("priority"),
+        targets.map(_.id))
+    }.toDF("blockId", "fileId", "priority", "targetDatanodeIds")
+    (replicationWork, excessReplicas(block, file, datanode))
+  }
+
   // ---- N11: fsck (NamenodeFsck.java:149-353, Result :556-640) ----------
 
   /** Whole-namespace health report in one wide aggregation:
