@@ -109,8 +109,9 @@ object SparkEntry {
   /** Headline queries timed by Bench (a representative mix: scans/aggs,
     * multi-way joins, windows, recursion, reconciliation, dedup, ANN). */
   val benchQueries: Seq[String] = Seq(
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_revenue_forecast", "q18_large_orders",
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier", "q6_revenue_forecast", "q16_supplier_variety",
+    "q18_large_orders",
     "s1_path_resolution", "s2_paths", "s8_block_entries",
     "n1_block_locations", "n5_block_report", "n6_under_replicated",
     "n11_fsck", "n15_content_summary", "r9_replay",

@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale layout utilities: bucketing for co-located joins and
+  * salting for skewed keys — the two knobs that decide whether a 100 TB
+  * join shuffles (SURVEY §4 "per-datanode cache → bucketed join on
+  * datanodeId"; builder prompt: bucketing / salting / AQE).
+  */
+object Scale {
+
+  /** Write a table bucketed+sorted by the join key. Two tables bucketed
+    * the same way join WITHOUT a shuffle (SortMergeJoin over co-located
+    * buckets) — at cluster scale this is how the block table joins the
+    * datanode/report tables every monitor tick. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", sys.props("java.io.tmpdir") + s"/graft-bucketed/$table")
+      .saveAsTable(table)
+
+  /** Salted equi-join for skewed build keys: explode the small side into
+    * `salts` copies, scatter the big side's hot keys across salt ids, join
+    * on (key, salt). Result equals a plain inner equi-join on `key` —
+    * verified in ScaleSpec — but no single task receives a whole hot key.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    val bigSalted = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val smallExploded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Repartition a fact frame by its join/aggregation key so a chain of
+    * operations over the same key reuses one shuffle. */
+  def coPartition(df: DataFrame, key: String, partitions: Int): DataFrame =
+    df.repartition(partitions, col(key))
+
+  /** Session defaults for the target cluster shape — documents the knobs
+    * the engine expects at scale (AQE incl. skew-join splitting). */
+  def tuned(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    builder
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+}

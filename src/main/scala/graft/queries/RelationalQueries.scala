@@ -53,6 +53,31 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
         .orderBy($"n_name")
     },
+    // Q4-shape: EXISTS (left_semi) + priority rollup
+    "q4_order_priority" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      val lateLines = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_shipdate")
+      o.join(lateLines, $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+    // Q16-shape: distinct-count per group with an exclusion filter
+    "q16_supplier_variety" -> { (s, dir) =>
+      import s.implicits._
+      val p = Tables.part(s, dir).filter($"p_brand" =!= "Brand#1" && $"p_size".isin(1, 5, 9, 13))
+      val l = Tables.lineitem(s, dir).select($"l_partkey", $"l_suppkey")
+      p.join(l, $"p_partkey" === $"l_partkey")
+        .groupBy($"p_brand", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"p_brand", $"p_size")
+    },
     // Q18-shape: group-by-having over the fact, then enrich
     "q18_large_orders" -> { (s, dir) =>
       import s.implicits._
@@ -92,6 +117,20 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt, COUNT(*) AS n_lines
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+        |GROUP BY p_brand, p_size ORDER BY p_brand, p_size""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey,

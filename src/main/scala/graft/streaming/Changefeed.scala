@@ -74,6 +74,32 @@ object Changefeed {
       }
       .start()
 
+  /** N9 command dequeue (handleHeartbeat, FSNamesystem.java:1801-1935):
+    * each heartbeat micro-batch picks up the pending replication /
+    * invalidation commands for the reporting nodes. `workFor` supplies
+    * the current per-datanode work queues (N10 output); commands for a
+    * node are handed to `sink` exactly when that node beats. */
+  def heartbeatCommands(heartbeats: DataFrame, workFor: () => DataFrame,
+                        sink: (Long, DataFrame) => Unit): StreamingQuery =
+    heartbeats.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val beating = batch.select(col("datanodeId")).distinct()
+          sink(id, workFor().join(beating, Seq("datanodeId"), "left_semi"))
+        }
+      }
+      .start()
+
+  /** Streaming exact dedup for ingest pipelines: drop re-deliveries of
+    * the same document id within the watermark horizon — the streaming
+    * twin of Dedup.exact (state is bounded by the watermark, so this
+    * scales to unbounded ingest where a static distinct cannot). */
+  def streamingDedup(docs: DataFrame, idCol: String, timeCol: String,
+                     watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** S15 LeaseMonitor: on every trigger, scan for hard-expired leases and
     * hand the recovery candidates to `sink` (the reference runs this scan
     * every 2 s — StateManager.java:893-914). Driven by any ticking

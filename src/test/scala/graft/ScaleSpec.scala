@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.core.Scale
+import graft.streaming.Changefeed
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val n = 1000
+    Scale.writeBucketed((1 to n).map(i => (i.toLong, s"b$i")).toDF("k", "bv"),
+      "graft_bucketed_b", "k", buckets = 4)
+    Scale.writeBucketed((1 to n).map(i => (i.toLong, s"a$i")).toDF("k", "av"),
+      "graft_bucketed_a", "k", buckets = 4)
+    val joined = spark.table("graft_bucketed_a")
+      .join(spark.table("graft_bucketed_b"), "k")
+    assert(joined.count() == n)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    // 90% of the big side hits one key — the classic skew shape
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i))
+      .toDF("key", "payload")
+    val small = Seq((1L, "hot"), (2L, "cold"), (3L, "cool")).toDF("key", "tag")
+    val plain = big.join(small, "key")
+    val salted = Scale.saltedJoin(big, small, "key", salts = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.groupBy("key").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = salted.groupBy("key").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("streaming dedup drops re-delivered ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = Changefeed.streamingDedup(docs, "doc_id", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData((1L, new Timestamp(t0), "a"), (2L, new Timestamp(t0 + 1000), "b"))
+      q.processAllAvailable()
+      mem.addData((1L, new Timestamp(t0 + 2000), "a-dup"), (3L, new Timestamp(t0 + 3000), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L)) // the re-delivery of 1 dropped
+    } finally q.stop()
+  }
+}

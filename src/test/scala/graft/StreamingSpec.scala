@@ -58,6 +58,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heartbeat command dequeue hands work to beating nodes only") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = Seq((11L, 201L, "replicate"), (12L, 202L, "invalidate"),
+      (13L, 203L, "replicate")).toDF("datanodeId", "blockId", "command")
+    val mem = MemoryStream[Long]
+    val hb = mem.toDF().toDF("datanodeId")
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = Changefeed.heartbeatCommands(hb, () => work, (_, cmds) =>
+      cmds.select(col("datanodeId"), col("blockId")).collect()
+        .foreach(r => got += ((r.getLong(0), r.getLong(1)))))
+    try {
+      mem.addData(11L, 13L)
+      q.processAllAvailable()
+      assert(got.toSet == Set((11L, 201L), (13L, 203L))) // 12 never beat
+    } finally q.stop()
+  }
+
   test("block-report pipeline classifies each micro-batch against stored") {
     implicit val sqlCtx = spark.sqlContext
     val stored = Seq(
