@@ -68,6 +68,50 @@ object Vectors {
     emb.withColumn("bucket", bucket)
   }
 
+  /** IVF (inverted-file) ANN: deterministic coarse quantizer — the first
+    * nCells vectors (by id) act as centroids; every vector is assigned to
+    * its best cell by cosine, queries probe their top-`nProbe` cells.
+    * The cell column is the partition/bucket key at cluster scale: a
+    * probe touches nProbe/nCells of the corpus instead of all of it. */
+  def withIvfCell(emb: DataFrame, nCells: Int): DataFrame = {
+    val centroids = emb.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cellId"), col("embedding").as("cv"))
+    val scored = emb.crossJoin(broadcast(centroids))
+      .withColumn("cellCos", dot(col("embedding"), col("cv")) /
+        (norm(col("embedding")) * norm(col("cv"))))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cellCos").desc, col("cellId"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cellId"))
+  }
+
+  /** IVF search: top-k neighbors for `queryPred` vectors probing the
+    * query's own cell plus the next (nProbe-1) best cells. */
+  def ivfSearch(emb: DataFrame, nCells: Int, nProbe: Int,
+                queryPred: Column, k: Int): DataFrame = {
+    val celled = withIvfCell(emb, nCells).cache()
+    val centroids = emb.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cellId"), col("embedding").as("cv"))
+    // per-query probe list: top-nProbe cells by centroid cosine
+    val probes = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cellCos", dot(col("qv"), col("cv")) / (col("qn") * norm(col("cv"))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cellCos").desc, col("cellId"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cellId"))
+    val candidates = probes.join(celled, Seq("cellId"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cosine", dot(col("qv"), col("embedding")) /
+        (col("qn") * norm(col("embedding"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cellId"), col("cosine"), col("rank"))
+  }
+
   /** ANN near-duplicate pairs: same LSH bucket, cosine above threshold.
     * Norms are computed once per vector; the bucket join is the only
     * shuffle (bucket the corpus table by `bucket` at cluster scale). */

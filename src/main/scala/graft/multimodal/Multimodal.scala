@@ -55,4 +55,40 @@ object Multimodal {
       }
     }
   }
+
+  final case class ResizedMedia(doc_id: Long, modality: String,
+                                width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize plumbing: payload → fixed (w,h) thumbnail. The stub
+    * downsamples bytes deterministically (stride sampling); a real
+    * decoder swaps in behind the same partition-batched signature. */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int,
+             partitions: Int = 0): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    val m = if (partitions > 0) media.repartition(partitions) else media
+    m.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val target = math.max(1, w * h)
+        val stride = math.max(1, r.payload.length / target)
+        val out = r.payload.indices.by(stride).take(target)
+          .map(r.payload.apply).toArray
+        ResizedMedia(r.doc_id, r.modality, w, h, out)
+      }
+    }
+  }
+
+  final case class Frame(doc_id: Long, frameIdx: Int, payload: Array[Byte])
+
+  /** Frame sampling for video payloads: split the byte stream into
+    * fixed-size "frames" and keep every `everyN`-th — one input row fans
+    * out to many frame rows (the flatMap shape real video sampling has). */
+  def sampleFrames(spark: SparkSession, media: DataFrame, frameBytes: Int,
+                   everyN: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].filter(_.modality == "video").flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % everyN == 0 }
+        .map { case (bytes, i) => Frame(r.doc_id, i, bytes) }
+    }
+  }
 }

@@ -117,6 +117,12 @@ object DataOpsQueries {
       Vectors.annPairs(Tables.embeddings(s, dir), dims = 64, minCosine = 0.2)
         .orderBy(col("id1"), col("id2"))
     },
+    // IVF-bucketed ANN: coarse quantizer + probed top-k
+    "sim3_ivf" -> { (s, dir) =>
+      Vectors.ivfSearch(Tables.embeddings(s, dir), nCells = 8, nProbe = 2,
+          col("vec_id") % 100 === 0, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
     // language ID heuristic
     "t1_lang_id" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -296,6 +302,58 @@ object DataOpsQueries {
         |FROM dots d JOIN norms na ON na.vec_id = d.id1 JOIN norms nb ON nb.vec_id = d.id2
         |WHERE d.dot / (na.nrm * nb.nrm) >= 0.2
         |ORDER BY d.id1, d.id2""".stripMargin,
+    "sim3_ivf" ->
+      s"""WITH $NormsSql,
+        |cent AS (
+        |  SELECT vec_id AS cellId, embedding AS cv FROM embeddings
+        |  ORDER BY vec_id LIMIT 8),
+        |centn AS (
+        |  SELECT c.cellId, c.cv, n.nrm AS cnrm
+        |  FROM cent c JOIN norms n ON n.vec_id = c.cellId),
+        |assignDots AS (
+        |  SELECT e.vec_id, c.cellId,
+        |    CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
+        |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        |  FROM embeddings e CROSS JOIN centn c
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
+        |  GROUP BY e.vec_id, c.cellId),
+        |assignCos AS (
+        |  SELECT a.vec_id, a.cellId, a.dot / (n.nrm * c.cnrm) AS cellCos
+        |  FROM assignDots a
+        |  JOIN norms n ON n.vec_id = a.vec_id
+        |  JOIN centn c ON c.cellId = a.cellId),
+        |celled AS (
+        |  SELECT vec_id, cellId FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cellCos DESC, cellId) AS rn FROM assignCos) t
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cellId FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cellCos DESC, cellId) AS rn
+        |    FROM assignCos WHERE vec_id % 100 = 0) t
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, c.vec_id AS nid, c.cellId
+        |  FROM probes p JOIN celled c ON c.cellId = p.cellId AND c.vec_id <> p.qid),
+        |candDots AS (
+        |  SELECT cd.qid, cd.nid, cd.cellId,
+        |    CAST(SUM(CAST(ROUND(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)
+        |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        |  FROM cand cd
+        |  JOIN embeddings q ON q.vec_id = cd.qid
+        |  JOIN embeddings v ON v.vec_id = cd.nid
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
+        |  GROUP BY cd.qid, cd.nid, cd.cellId),
+        |finalCos AS (
+        |  SELECT d.qid, d.nid, d.cellId, d.dot / (nq.nrm * nn.nrm) AS cosine
+        |  FROM candDots d
+        |  JOIN norms nq ON nq.vec_id = d.qid
+        |  JOIN norms nn ON nn.vec_id = d.nid)
+        |SELECT qid, nid, cellId, cosine, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, nid) AS rank FROM finalCos) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "t1_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w

@@ -77,6 +77,34 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs == Seq(Seq(1L, 2L)))
   }
 
+  test("IVF: identical vectors share a cell; search finds the twin first") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.1f, 0.0f, 0.0f)), (11L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.2f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val cells = rows(Vectors.withIvfCell(emb, nCells = 2)
+      .select(col("vec_id"), col("cellId"))).map(r => r.head -> r.last).toMap
+    assert(cells(10L) == cells(11L)) // identical vectors co-located
+    assert(cells(10L) == 1L && cells(12L) == 2L)
+    val found = rows(Vectors.ivfSearch(emb, nCells = 2, nProbe = 1,
+      col("vec_id") === 10L, k = 2).select(col("nid"), col("rank")))
+    assert(found.head == Seq(11L, 1)) // the twin ranks first
+  }
+
+  test("multimodal resize and frame sampling plumbing") {
+    val media = Multimodal.asMedia(docs)
+    val resized = Multimodal.resize(spark, media, w = 4, h = 2, partitions = 2).collect()
+    assert(resized.length == 4 && resized.forall(_.payload.length <= 8))
+    val video = media.filter(col("modality") === "video")
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 8, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frameIdx % 2 == 0))
+    assert(frames.forall(_.payload.length <= 8))
+    val expectedDocs = video.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(frames.map(_.doc_id).toSet == expectedDocs)
+  }
+
   test("multimodal plumbing: stub decode is deterministic per payload") {
     val media = Multimodal.asMedia(docs.withColumn("text", concat(col("text"), lit("!"))))
     val feats = Multimodal.extractFeatures(spark, media, partitions = 2)

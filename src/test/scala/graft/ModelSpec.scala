@@ -1,5 +1,6 @@
 package graft
 
+import org.scalacheck.Prop.propBoolean
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{DatanodeId, Versions}
@@ -24,6 +25,23 @@ class ModelSpec extends AnyFunSuite {
   test("wins is monotone in abs(version)") {
     for (a <- longs(50); b <- longs(50).take(20))
       assert(Versions.wins(a, b) == (math.abs(b) >= math.abs(a)))
+  }
+
+  test("scalacheck properties: version algebra total order") {
+    import org.scalacheck.{Prop, Test => SCTest}
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(500)
+    val prop = Prop.forAll { (a: Long, b: Long) =>
+      (a != Long.MinValue && b != Long.MinValue) ==> {
+        val t = Versions.tombstone(a)
+        (!Versions.isLive(t)) &&
+          (Versions.order(t) == Versions.order(a)) &&
+          (Versions.wins(a, b) == (math.abs(b) >= math.abs(a))) &&
+          // wins is reflexive and total
+          Versions.wins(a, a) && (Versions.wins(a, b) || Versions.wins(b, a))
+      }
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("datanode id packs ip<<32|port and round-trips") {
