@@ -77,6 +77,33 @@ object DataOpsQueries {
       |        FROM embeddings) t
       |  GROUP BY vec_id)""".stripMargin
 
+  /** Shared oracle CTEs for the sign-LSH ANN pipeline (norms, hyperplane
+    * buckets, candidate pairs, pair dots) — used by sim2 and d5. */
+  private val AnnCoreSql: String =
+    s"""$NormsSql,
+      |pl AS (
+      |  SELECT vec_id, j,
+      |    SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) *
+      |      CAST((((j*31 + (i-1)*17) % 7) - 3) AS DOUBLE) * 1000000000000) AS BIGINT)) AS d
+      |  FROM (SELECT vec_id, embedding, UNNEST(range(1, len(embedding)+1)) AS i
+      |        FROM embeddings) t
+      |  CROSS JOIN (SELECT UNNEST(range(0,8)) AS j) u
+      |  GROUP BY vec_id, j),
+      |buck AS (
+      |  SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM pl GROUP BY vec_id),
+      |cand AS (
+      |  SELECT a.bucket, a.vec_id AS id1, b.vec_id AS id2
+      |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |pv AS (SELECT vec_id, embedding FROM embeddings),
+      |dots AS (
+      |  SELECT c.bucket, c.id1, c.id2,
+      |    CAST(SUM(CAST(ROUND(CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)
+      |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+      |  FROM cand c JOIN pv e1 ON e1.vec_id = c.id1 JOIN pv e2 ON e2.vec_id = c.id2
+      |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
+      |  GROUP BY c.bucket, c.id1, c.id2)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     // exact dedup: md5 group-by, min-id keeper
     "d1_exact_dedup" -> { (s, dir) =>
@@ -116,6 +143,14 @@ object DataOpsQueries {
     "sim2_ann_lsh" -> { (s, dir) =>
       Vectors.annPairs(Tables.embeddings(s, dir), dims = 64, minCosine = 0.2)
         .orderBy(col("id1"), col("id2"))
+    },
+    // embedding-cosine near-dup dedup: drop vectors with a lower-id
+    // near-duplicate (keeper = min neighbor id over the LSH pair set)
+    "d5_embedding_neardup" -> { (s, dir) =>
+      Vectors.annPairs(Tables.embeddings(s, dir), dims = 64, minCosine = 0.2)
+        .groupBy(col("id2").as("id"))
+        .agg(min(col("id1")).as("keepId"), count(lit(1)).as("nearDups"))
+        .orderBy(col("id"))
     },
     // IVF-bucketed ANN: coarse quantizer + probed top-k
     "sim3_ivf" -> { (s, dir) =>
@@ -275,33 +310,19 @@ object DataOpsQueries {
         |SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
     "sim2_ann_lsh" ->
-      s"""WITH $NormsSql,
-        |pl AS (
-        |  SELECT vec_id, j,
-        |    SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) *
-        |      CAST((((j*31 + (i-1)*17) % 7) - 3) AS DOUBLE) * 1000000000000) AS BIGINT)) AS d
-        |  FROM (SELECT vec_id, embedding, UNNEST(range(1, len(embedding)+1)) AS i
-        |        FROM embeddings) t
-        |  CROSS JOIN (SELECT UNNEST(range(0,8)) AS j) u
-        |  GROUP BY vec_id, j),
-        |buck AS (
-        |  SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM pl GROUP BY vec_id),
-        |cand AS (
-        |  SELECT a.bucket, a.vec_id AS id1, b.vec_id AS id2
-        |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |pv AS (SELECT vec_id, embedding FROM embeddings),
-        |dots AS (
-        |  SELECT c.bucket, c.id1, c.id2,
-        |    CAST(SUM(CAST(ROUND(CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)
-        |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-        |  FROM cand c JOIN pv e1 ON e1.vec_id = c.id1 JOIN pv e2 ON e2.vec_id = c.id2
-        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
-        |  GROUP BY c.bucket, c.id1, c.id2)
+      s"""WITH $AnnCoreSql
         |SELECT d.bucket, d.id1, d.id2, d.dot / (na.nrm * nb.nrm) AS cosine
         |FROM dots d JOIN norms na ON na.vec_id = d.id1 JOIN norms nb ON nb.vec_id = d.id2
         |WHERE d.dot / (na.nrm * nb.nrm) >= 0.2
         |ORDER BY d.id1, d.id2""".stripMargin,
+    "d5_embedding_neardup" ->
+      s"""WITH $AnnCoreSql,
+        |pairs AS (
+        |  SELECT d.id1, d.id2
+        |  FROM dots d JOIN norms na ON na.vec_id = d.id1 JOIN norms nb ON nb.vec_id = d.id2
+        |  WHERE d.dot / (na.nrm * nb.nrm) >= 0.2)
+        |SELECT id2 AS id, MIN(id1) AS keepId, COUNT(*) AS nearDups
+        |FROM pairs GROUP BY id2 ORDER BY id""".stripMargin,
     "sim3_ivf" ->
       s"""WITH $NormsSql,
         |cent AS (
