@@ -48,14 +48,13 @@ object Dedup {
   }
 
   /** MinHash signatures: k md5-seeded min-hashes per doc, as columns
-    * m0..m{k-1}. Input df must have (idCol, textCol). One explode + one
-    * groupBy — a single shuffle on doc id. */
+    * m0..m{k-1}. Input df must have (idCol, textCol). The k hashes are k
+    * MIN aggregates over the shingle rows — partial (map-side) aggregation
+    * means only per-doc partials shuffle, never a k× row explosion. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val sh = shingleRows(df, idCol, textCol)
-      .select(col(idCol), col("shingle"),
-        explode(sequence(lit(0), lit(k - 1))).as("seed"))
-      .withColumn("h", md5(concat(col("shingle"), lit("#"), col("seed"))))
-    val aggs = (0 until k).map(s => min(when(col("seed") === s, col("h"))).as(s"m$s"))
+    val aggs = (0 until k).map(s =>
+      min(md5(concat(col("shingle"), lit(s"#$s")))).as(s"m$s"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
