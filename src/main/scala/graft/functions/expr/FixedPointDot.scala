@@ -4,7 +4,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -18,42 +18,39 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * HALF_UP (away-from-zero at exact .5) rounding via BigDecimal — the
   * same rule Spark's round() and DuckDB's ROUND() apply.
   *
+  * Participates in whole-stage codegen: doGenCode emits a call to the
+  * static loop (FixedPointDot.compute), so rows stay inside the
+  * generated pipeline with no per-row expression interpretation.
+  *
   * This is the §2.7 extension-point demonstration: a scalar Expression
   * (preference order b) where built-in composition (a) is measurably
   * slower; no SparkStrategy needed.
   */
 case class FixedPointDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "fixed_point_dot"
 
-  private def getter(e: Expression): (ArrayData, Int) => Double =
+  private def typeCode(e: Expression): Int =
     e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType   => (ad, i) => ad.getFloat(i).toDouble
-      case DoubleType  => (ad, i) => ad.getDouble(i)
-      case LongType    => (ad, i) => ad.getLong(i).toDouble
-      case IntegerType => (ad, i) => ad.getInt(i).toDouble
+      case FloatType   => 0
+      case DoubleType  => 1
+      case LongType    => 2
+      case IntegerType => 3
       case other => throw new IllegalArgumentException(s"unsupported element type $other")
     }
-  @transient private lazy val getL = getter(left)
-  @transient private lazy val getR = getter(right)
+  @transient private lazy val lCode = typeCode(left)
+  @transient private lazy val rCode = typeCode(right)
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      val p = getL(x, i) * getR(y, i) * 1e12
-      // exact HALF_UP on the double's decimal value — matches both
-      // Spark round() and DuckDB ROUND(); Math.round would drift on
-      // .5-adjacent doubles (floor(p+0.5) crosses the boundary early)
-      acc += new JBigDecimal(p).setScale(0, RoundingMode.HALF_UP).longValue()
-      i += 1
-    }
-    acc
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FixedPointDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lCode, rCode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = FixedPointDot.getClass.getName.stripSuffix("$") // companion's static forwarder host
+    val (lc, rc) = (lCode, rCode)
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = $cls.compute($l, $r, $lc, $rc);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -61,7 +58,31 @@ case class FixedPointDot(left: Expression, right: Expression)
 }
 
 object FixedPointDot {
+
   /** Column wrapper: fixed-point dot as Long (scale 1e12). */
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(FixedPointDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  private def get(ad: ArrayData, i: Int, code: Int): Double = code match {
+    case 0 => ad.getFloat(i).toDouble
+    case 1 => ad.getDouble(i)
+    case 2 => ad.getLong(i).toDouble
+    case _ => ad.getInt(i).toDouble
+  }
+
+  /** The shared loop, called from both interpreted eval and generated
+    * code. Exact HALF_UP on each product's decimal value — matches both
+    * Spark round() and DuckDB ROUND(); Math.round would drift on
+    * .5-adjacent doubles (floor(p+0.5) crosses the boundary early). */
+  def compute(x: ArrayData, y: ArrayData, lCode: Int, rCode: Int): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val p = get(x, i, lCode) * get(y, i, rCode) * 1e12
+      acc += new JBigDecimal(p).setScale(0, RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    acc
+  }
 }
