@@ -39,6 +39,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changefeed state survives a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[Op]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[KeyState]()
+    def start() = Changefeed.applyOps(spark, mem.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeyState], _: Long) =>
+        batch.collect().foreach(emitted.add)
+      }
+      .start()
+    val q1 = start()
+    try {
+      mem.addData(Op(1L, "INSERT", 10L, 5L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: stale op must lose against the
+    // RECOVERED state (version 5), not a fresh empty state
+    val q2 = start()
+    try {
+      mem.addData(Op(1L, "UPDATE", 99L, 3L), Op(1L, "UPDATE", 42L, 8L))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val last = emitted.iterator().asScala.toSeq
+        .filter(_.key == 1L).maxBy(s => math.abs(s.version))
+      assert(last == KeyState(1L, 42L, 8L, live = true)) // 3 lost to recovered 5
+    } finally q2.stop()
+  }
+
   test("heartbeat windowed rates with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Long, Long)]
