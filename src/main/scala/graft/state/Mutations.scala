@@ -23,6 +23,17 @@ object Mutations {
 
   private def live(df: DataFrame) = StateStore.live(df)
 
+  /** Apply a write-set to a snapshot under the single-writer discipline:
+    * rows whose key appears in the write-set are replaced, everything
+    * else is kept — the mini-MVCC commit step (anti-join ∪ write-set).
+    * The write-set must carry the full row schema. */
+  def applyWriteSet(snapshot: DataFrame, writeSet: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    val keys = writeSet.select(keyCols.map(col): _*).distinct()
+    snapshot.join(keys, keyCols, "left_anti")
+      .unionByName(writeSet.select(snapshot.columns.map(col): _*))
+  }
+
   /** R11 (FileRepository.insertInternal): validate a batch of candidate
     * child rows (parentId, name, length, blockSize, replication, owner,
     * leaseHolder): parent must exist and be a directory; (parentId,name)

@@ -57,6 +57,41 @@ class FormatsSpec extends SparkSpec {
     assert(math.abs(approx - 500) < 50)
   }
 
+  test("F5: record serialization — product encoder and kryo round-trips") {
+    import graft.model.FileRow
+    val rows0 = Seq(
+      FileRow(1L, 0L, "a", 10L, 64L, 2L, 1L, 2L, 0L, None, 0L, 5L),
+      FileRow(2L, 1L, "b", -1L, 0L, 0L, 1L, 2L, 0L, Some("w"), 0L, 6L))
+    val ds = spark.createDataset(rows0)(org.apache.spark.sql.Encoders.product[FileRow])
+    assert(ds.collect().toSeq == rows0)
+    val kryo = spark.createDataset(rows0)(org.apache.spark.sql.Encoders.kryo[FileRow])
+    assert(kryo.collect().toSet == rows0.toSet)
+  }
+
+  test("F6: record I/O — struct ↔ json/csv round-trips") {
+    val df = Seq((1L, "a", 10L), (2L, "b", -1L)).toDF("id", "name", "length")
+    val js = df.select(to_json(struct(col("id"), col("name"), col("length"))).as("j"))
+    val schema = "id LONG, name STRING, length LONG"
+    val back = js.select(from_json(col("j"), org.apache.spark.sql.types.StructType.fromDDL(schema)).as("s"))
+      .select(col("s.id"), col("s.name"), col("s.length"))
+    assert(rows(back).toSet == rows(df).toSet)
+    val csv = df.select(concat_ws(",", col("id"), col("name"), col("length")).as("c"))
+    val backCsv = csv.select(from_csv(col("c"),
+      org.apache.spark.sql.types.StructType.fromDDL(schema),
+      Map.empty[String, String]).as("s"))
+      .select(col("s.id"), col("s.name"), col("s.length"))
+    assert(rows(backCsv).toSet == rows(df).toSet)
+  }
+
+  test("mini-MVCC: applyWriteSet replaces keyed rows, keeps the rest") {
+    import graft.state.Mutations
+    val snap = Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)).toDF("id", "v", "version")
+    val ws = Seq((2L, "b2", 10L), (4L, "d", 11L)).toDF("id", "v", "version")
+    val out = rows(Mutations.applyWriteSet(snap, ws, Seq("id"))
+      .orderBy(col("id")))
+    assert(out == Seq(Seq(1L, "a", 1L), Seq(2L, "b2", 10L), Seq(3L, "c", 3L), Seq(4L, "d", 11L)))
+  }
+
   test("P7: TDHS fluent DSL composes index find + post filters + limit") {
     val kv = Seq(
       (1L, 10L, "x", 1L), (2L, 10L, "y", 2L), (3L, 20L, "y", 3L),
