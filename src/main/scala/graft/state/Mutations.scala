@@ -31,7 +31,7 @@ object Mutations {
                     keyCols: Seq[String]): DataFrame = {
     val keys = writeSet.select(keyCols.map(col): _*).distinct()
     snapshot.join(keys, keyCols, "left_anti")
-      .unionByName(writeSet.select(snapshot.columns.map(col): _*))
+      .unionByName(writeSet.select(snapshot.columns.toIndexedSeq.map(col): _*))
   }
 
   /** R11 (FileRepository.insertInternal): validate a batch of candidate
@@ -180,6 +180,6 @@ object Mutations {
       .join(registrations.select(col("id").as("__rid")), col("id") === col("__rid"), "left_anti")
       .join(registrations.select(col("storageId").as("__rsid")),
         col("storageId") === col("__rsid"), "left_anti")
-    survivors.unionByName(registrations.select(d.columns.map(col): _*))
+    survivors.unionByName(registrations.select(d.columns.toIndexedSeq.map(col): _*))
   }
 }
