@@ -39,6 +39,28 @@ object StateQueries {
       t("file").unionByName(t("block")).unionByName(t("datanode"))
         .unionByName(t("lease")).orderBy(col("tbl"))
     },
+    // P2: batch insert with duplicate-key detection (PRIMARY uniqueness)
+    "p2_insert" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val cand = s.sql(
+        """SELECT 'h_' || CAST(i * 3 AS STRING) AS holder,
+          |       CAST(1700000100000 AS BIGINT) AS leaseTime,
+          |       CAST(500 + i AS BIGINT) AS version
+          |FROM range(0, 50) AS t(i)""".stripMargin)
+      val existing = StateStore.live(s.table("lease"))
+        .select(col("holder").as("__h"))
+      cand.join(existing, col("holder") === col("__h"), "left")
+        .withColumn("accepted", col("__h").isNull)
+        .select(col("holder"), col("accepted"))
+        .orderBy(col("holder"))
+    },
+    // P4/R5: keyed delete → tombstone write-set
+    "p4_delete" -> { (s, dir) =>
+      val dn = DerivedState.datanode(s, dir)
+      StateStore.softDelete(dn, col("location") === "/rack0")
+        .select(col("id"), col("location"), col("version"))
+        .orderBy(col("id"))
+    },
     // P7: TDHS DSL — index IN + post-filters (field NOT / GT / isNull) + limit
     "p7_tdhs_dsl" -> { (s, dir) =>
       val found = StateStore.find(DerivedState.file(s, dir), PidName,
@@ -212,6 +234,17 @@ object StateQueries {
         |  SELECT 'block', COUNT(*) FROM block UNION ALL
         |  SELECT 'datanode', COUNT(*) FROM datanode UNION ALL
         |  SELECT 'lease', COUNT(*) FROM lease) u ORDER BY tbl""".stripMargin),
+    "p2_insert" -> O(
+      """SELECT c.holder, l.holder IS NULL AS accepted
+        |FROM (SELECT 'h_' || CAST(i * 3 AS STRING) AS holder
+        |      FROM range(0, 50) AS t(i)) c
+        |LEFT JOIN lease l ON l.holder = c.holder AND l.version > 0
+        |ORDER BY c.holder""".stripMargin),
+    "p4_delete" -> O(
+      """SELECT id, location,
+        |  CASE WHEN location = '/rack0' AND version > 0 THEN 0 - version
+        |       ELSE version END AS version
+        |FROM datanode ORDER BY id""".stripMargin),
     "p7_tdhs_dsl" -> O(
       """SELECT id, parentId, name, length, replication FROM file
         |WHERE parentId IN (101,102,103,104,105,106,107,108,109,110)
