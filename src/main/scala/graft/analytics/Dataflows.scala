@@ -234,6 +234,7 @@ object Dataflows {
     var frontier = f.filter(col("id").isin(rootIds: _*))
       .select(col("id").as("rootId"), col("id"), col("length"))
     var out = frontier
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var lvl = 0
     var n = 1L
     while (n > 0 && lvl < maxDepth) {
@@ -241,14 +242,20 @@ object Dataflows {
       frontier = f.join(broadcast(parents), col("parentId") === col("__pid"))
         .select(col("rootId"), col("id"), col("length"))
       frontier.persist()
+      persisted += frontier
       n = frontier.count()
       if (n > 0) out = out.unionByName(frontier)
       lvl += 1
     }
-    out.groupBy(col("rootId")).agg(
+    val summary = out.groupBy(col("rootId")).agg(
       sum(when(col("length") =!= -1L, greatest(col("length"), lit(0L))).otherwise(0L)).as("length"),
       count(when(col("length") =!= -1L, 1)).as("fileCount"),
       count(when(col("length") === -1L, 1)).as("dirCount"))
+    // the summary is tiny: materialize it, then release the frontiers
+    val result = summary.persist()
+    result.count()
+    persisted.foreach(_.unpersist(blocking = false))
+    result
   }
 
   // ---- N16: datanode report (live/dead partition) ----------------------

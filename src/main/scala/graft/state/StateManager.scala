@@ -76,6 +76,7 @@ object StateManager {
     val f = live(file)
     var frontier = f.filter(col("id") === 0L).withColumn("path", lit(""))
     var out = frontier
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var lvl = 0
     var n = 1L
     while (n > 0 && lvl < maxDepth) {
@@ -84,11 +85,22 @@ object StateManager {
         .withColumn("path", concat(col("__ppath"), lit("/"), col("name")))
         .drop("__pid", "__ppath")
       frontier.persist()
+      persisted += frontier
       n = frontier.count()
       if (n > 0) out = out.unionByName(frontier)
       lvl += 1
     }
-    out
+    materializeAndRelease(out, persisted.toSeq)
+  }
+
+  /** Materialize the loop output, then release the per-level frontier
+    * caches — recursion helpers must not leak storage into the caller's
+    * session (the frontiers are only reachable through `out`'s lineage). */
+  private def materializeAndRelease(out: DataFrame, persisted: Seq[DataFrame]): DataFrame = {
+    val result = out.persist()
+    result.count()
+    persisted.foreach(_.unpersist(blocking = false))
+    result
   }
 
   // ---- S3: listing (getListing, :701-720) ------------------------------
@@ -107,6 +119,7 @@ object StateManager {
     val self = f.filter(col("id").isin(rootIds: _*))
     var frontier = self
     var out: DataFrame = if (includeSelf) self else null
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var lvl = 0
     var n = 1L
     while (n > 0 && lvl < maxDepth) {
@@ -114,11 +127,14 @@ object StateManager {
       frontier = f.join(broadcast(parents), col("parentId") === col("__pid")).drop("__pid")
         .filter(col("id") =!= 0L)
       frontier.persist()
+      persisted += frontier
       n = frontier.count()
       if (n > 0) out = if (out == null) frontier else out.unionByName(frontier)
       lvl += 1
     }
-    val res = if (out == null) self.limit(0) else out
+    val res =
+      if (out == null) { persisted.foreach(_.unpersist(blocking = false)); self.limit(0) }
+      else materializeAndRelease(out, persisted.toSeq)
     if (excludeDir) res.filter(col("length") =!= -1L) else res
   }
 
