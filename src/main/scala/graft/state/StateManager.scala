@@ -95,7 +95,9 @@ object StateManager {
 
   /** Materialize the loop output, then release the per-level frontier
     * caches — recursion helpers must not leak storage into the caller's
-    * session (the frontiers are only reachable through `out`'s lineage). */
+    * session (the frontiers are only reachable through `out`'s lineage).
+    * NB: the RETURNED frame is persisted; callers that keep it long-term
+    * own its release (unpersist() or catalog clearCache). */
   private def materializeAndRelease(out: DataFrame, persisted: Seq[DataFrame]): DataFrame = {
     val result = out.persist()
     result.count()
