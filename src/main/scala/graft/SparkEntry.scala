@@ -70,15 +70,16 @@ object SparkEntry {
     * verbatim in both engines. */
   private val stateChecksumSql: String =
     """SELECT t AS tbl, n, idsum, vsum FROM (
-      |  SELECT 'file' AS t, COUNT(*) AS n, SUM(id) AS idsum, SUM(version) AS vsum FROM file
+      |  SELECT 'file' AS t, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS idsum,
+      |         CAST(SUM(version) AS BIGINT) AS vsum FROM file
       |  UNION ALL
-      |  SELECT 'block', COUNT(*), SUM(id), SUM(version) FROM block
+      |  SELECT 'block', COUNT(*), CAST(SUM(id) AS BIGINT), CAST(SUM(version) AS BIGINT) FROM block
       |  UNION ALL
-      |  SELECT 'datanode', COUNT(*), SUM(id), SUM(version) FROM datanode
+      |  SELECT 'datanode', COUNT(*), CAST(SUM(id) AS BIGINT), CAST(SUM(version) AS BIGINT) FROM datanode
       |  UNION ALL
-      |  SELECT 'lease', COUNT(*), SUM(version), SUM(version) FROM lease
+      |  SELECT 'lease', COUNT(*), CAST(SUM(version) AS BIGINT), CAST(SUM(version) AS BIGINT) FROM lease
       |  UNION ALL
-      |  SELECT 'ops', COUNT(*), SUM(opKey), SUM(opVersion) FROM ops
+      |  SELECT 'ops', COUNT(*), CAST(SUM(opKey) AS BIGINT), CAST(SUM(opVersion) AS BIGINT) FROM ops
       |) u ORDER BY tbl""".stripMargin
 
   def oracleSql: Map[String, String] = Map(

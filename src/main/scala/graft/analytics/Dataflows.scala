@@ -134,8 +134,11 @@ object Dataflows {
     val expected = live(file).filter(col("length") =!= -1L)
       .select(col("id").as("fid"), col("replication").as("expectedReplication"))
     val space = live(datanode).select(col("id").as("nodeId"), col("remaining"))
+    // asc_nulls_last: a replica whose datanode row is missing/tombstoned has
+    // NULL remaining; rank it after known-space nodes (Spark default sorts
+    // NULLS FIRST, the DuckDB oracle NULLS LAST — pin one order).
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("remaining").asc, col("datanodeId").asc)
+      .orderBy(col("remaining").asc_nulls_last, col("datanodeId").asc)
     live(block)
       .join(expected, col("fileId") === col("fid")).drop("fid")
       .join(space, col("datanodeId") === col("nodeId"), "left").drop("nodeId")

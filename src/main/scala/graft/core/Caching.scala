@@ -1,0 +1,26 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Persist-ownership contract for multi-pass helpers.
+  *
+  * Helpers that cache intermediates they read more than once (recursion
+  * frontiers, LSH signatures, IVF cell assignments) must not leak that
+  * storage into the caller's session: they materialize their (small)
+  * output, then release the intermediates — which at that point are only
+  * reachable through the output's lineage.
+  *
+  * NB: the RETURNED frame is persisted; callers that keep it long-term own
+  * its release (`unpersist()` or `spark.catalog.clearCache()`). One-shot
+  * callers (the differential queries, Bench) write/collect it immediately
+  * and the storage is dropped with the session.
+  */
+object Caching {
+
+  def materializeAndRelease(out: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
+    val result = out.persist()
+    result.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    result
+  }
+}

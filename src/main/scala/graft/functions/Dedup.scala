@@ -84,11 +84,14 @@ object Dedup {
       if (c == "bandIdx" || c == "bandKey") d else d.withColumnRenamed(c, s"R$c"))
     val est = (0 until k).map(s =>
       when(col(s"Lm$s") === col(s"Rm$s"), 1).otherwise(0)).reduce(_ + _)
-    left.join(right, Seq("bandIdx", "bandKey"))
+    val pairs = left.join(right, Seq("bandIdx", "bandKey"))
       .filter(col(s"L$idCol") < col(s"R$idCol"))
       .select(col(s"L$idCol").as("id1"), col(s"R$idCol").as("id2"),
         (est.cast("double") / k).as("estJaccard"))
       .distinct()
+    // release the signature cache once the (small) pair set is materialized
+    // — persist-ownership contract in graft.core.Caching
+    graft.core.Caching.materializeAndRelease(pairs, Seq(sig))
   }
 
   /** 16-bit SimHash over the token stream: each token contributes ±1 per
@@ -126,12 +129,13 @@ object Dedup {
     val b = sh.select(col("did").as("id2"), col("shingle"))
     val interCnt = candidates.join(a, Seq("id1")).join(b, Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    candidates
+    val out = candidates
       .join(interCnt, Seq("id1", "id2"), "left")
       .join(sizes.withColumnRenamed("did", "id1").withColumnRenamed("sz", "szA"), Seq("id1"))
       .join(sizes.withColumnRenamed("did", "id2").withColumnRenamed("sz", "szB"), Seq("id2"))
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("szA") + col("szB") - col("inter")))
+    graft.core.Caching.materializeAndRelease(out, Seq(sh))
   }
 }

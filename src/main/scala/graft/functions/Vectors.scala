@@ -108,8 +108,10 @@ object Vectors {
       .withColumn("cosine", dot(col("qv"), col("embedding")) /
         (col("qn") * norm(col("embedding"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val out = candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("nid"), col("cellId"), col("cosine"), col("rank"))
+    // release the cell-assignment cache — contract in graft.core.Caching
+    graft.core.Caching.materializeAndRelease(out, Seq(celled))
   }
 
   /** ANN near-duplicate pairs: same LSH bucket, cosine above threshold.
@@ -123,9 +125,10 @@ object Vectors {
       col("bucket"), col("nrm").as("n1"))
     val right = b.select(col("vec_id").as("id2"), col("embedding").as("v2"),
       col("bucket"), col("nrm").as("n2"))
-    left.join(right, Seq("bucket")).filter(col("id1") < col("id2"))
+    val out = left.join(right, Seq("bucket")).filter(col("id1") < col("id2"))
       .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= minCosine)
       .select(col("bucket"), col("id1"), col("id2"), col("cosine"))
+    graft.core.Caching.materializeAndRelease(out, Seq(b))
   }
 }

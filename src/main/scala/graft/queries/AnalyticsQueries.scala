@@ -103,13 +103,13 @@ object AnalyticsQueries {
         |  FROM block WHERE version > 0 GROUP BY id),
         |ranged AS (
         |  SELECT *,
-        |    COALESCE(SUM(CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END)
+        |    CAST(COALESCE(SUM(CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END)
         |      OVER (PARTITION BY fileId ORDER BY fileIndex
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS blockStart,
-        |    COALESCE(SUM(CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END)
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS blockStart,
+        |    CAST(COALESCE(SUM(CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END)
         |      OVER (PARTITION BY fileId ORDER BY fileIndex
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      + (CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END) AS blockEnd
+        |      + (CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END) AS BIGINT) AS blockEnd
         |  FROM entries)
         |SELECT r.fileId, r.id, r.fileIndex, r.blockStart, r.blockEnd,
         |       r.primaryDatanodeId, r.replicas
@@ -177,7 +177,7 @@ object AnalyticsQueries {
         |  SELECT b.id, b.datanodeId, d.remaining, f.replication,
         |         COUNT(*) OVER (PARTITION BY b.id) AS cnt,
         |         ROW_NUMBER() OVER (PARTITION BY b.id
-        |           ORDER BY d.remaining ASC, b.datanodeId ASC) AS dropRank
+        |           ORDER BY d.remaining ASC NULLS LAST, b.datanodeId ASC) AS dropRank
         |  FROM block b
         |  JOIN file f ON b.fileId = f.id AND f.version > 0 AND f.length <> -1
         |  LEFT JOIN datanode d ON b.datanodeId = d.id AND d.version > 0

@@ -259,7 +259,7 @@ object StateQueries {
       """SELECT
         |  (SELECT COUNT(*) FROM file WHERE version > 0 AND length = -1) AS liveDirs,
         |  (SELECT COUNT(*) FROM file WHERE version > 0 AND length <> -1) AS liveFiles,
-        |  (SELECT SUM(CASE WHEN length > 0 THEN length ELSE 0 END) FROM file WHERE version > 0) AS liveBytes,
+        |  (SELECT CAST(SUM(CASE WHEN length > 0 THEN length ELSE 0 END) AS BIGINT) FROM file WHERE version > 0) AS liveBytes,
         |  (SELECT COUNT(*) FROM file WHERE version < 0) AS tombstones""".stripMargin),
     "r6_version_scan" -> O(
       """SELECT id, name, version FROM file WHERE ABS(version) > 1300000
@@ -329,7 +329,7 @@ object StateQueries {
         |    AND f2.id <> 0 AND f2.version > 0) u ORDER BY id""".stripMargin),
     "s7_file_info" -> O(
       """SELECT f.id, f.name,
-        |  COALESCE(s.derivedLen, 0) AS effectiveLength
+        |  CAST(COALESCE(s.derivedLen, 0) AS BIGINT) AS effectiveLength
         |FROM file f LEFT JOIN (
         |  SELECT fileId, SUM(CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END) AS derivedLen
         |  FROM (SELECT fileId, ARG_MAX(length, generationStamp * 10000000000 + version) AS blockLength
@@ -375,10 +375,10 @@ object StateQueries {
         |ORDER BY b.blockId""".stripMargin),
     "s13_cluster_stats" -> O(
       """SELECT
-        |  SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN capacity ELSE 0 END) AS capacity,
-        |  SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN dfsUsed ELSE 0 END) AS dfsUsed,
-        |  SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN remaining ELSE 0 END) AS remaining,
-        |  SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN xceiverCount ELSE 0 END) AS totalLoad,
+        |  CAST(SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN capacity ELSE 0 END) AS BIGINT) AS capacity,
+        |  CAST(SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN dfsUsed ELSE 0 END) AS BIGINT) AS dfsUsed,
+        |  CAST(SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN remaining ELSE 0 END) AS BIGINT) AS remaining,
+        |  CAST(SUM(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN xceiverCount ELSE 0 END) AS BIGINT) AS totalLoad,
         |  COUNT(CASE WHEN lastUpdated >= 1700000000000 - 600000 THEN 1 END) AS liveNodes,
         |  COUNT(CASE WHEN lastUpdated < 1700000000000 - 600000 THEN 1 END) AS deadNodes
         |FROM datanode WHERE version > 0""".stripMargin),

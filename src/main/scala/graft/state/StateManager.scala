@@ -39,7 +39,10 @@ object StateManager {
       .withColumn("__parts", split(col("path"), "/"))
       .withColumn("__depth", size(col("__parts")) - 1)
     var frontier = withParts.withColumn("__cur", lit(0L))
-    var out: DataFrame = null
+    // empty frame with the output schema (path + file columns), so callers
+    // get a valid DataFrame even when no request reaches depth >= 1
+    var out: DataFrame =
+      withParts.select(col("path")).limit(0).crossJoin(fBase.limit(0))
     // one upfront job to learn the deepest request — cheaper than a
     // per-level emptiness probe (one action instead of one per level)
     val dataDepth = withParts.agg(max(col("__depth"))).head() match {
@@ -58,7 +61,7 @@ object StateManager {
           col(pfx + "name") === element_at(col("__parts"), lvl + 1))
       val resolved = step.filter(col("__depth") === lvl)
         .select(col("path") +: cols.map(c => col(pfx + c).as(c)): _*)
-      out = if (out == null) resolved else out.unionByName(resolved)
+      out = out.unionByName(resolved)
       frontier = step.filter(col("__depth") > lvl)
         .select(col("path"), col("__parts"), col("__depth"),
           col(pfx + "id").as("__cur"))
@@ -94,16 +97,9 @@ object StateManager {
   }
 
   /** Materialize the loop output, then release the per-level frontier
-    * caches — recursion helpers must not leak storage into the caller's
-    * session (the frontiers are only reachable through `out`'s lineage).
-    * NB: the RETURNED frame is persisted; callers that keep it long-term
-    * own its release (unpersist() or catalog clearCache). */
-  private def materializeAndRelease(out: DataFrame, persisted: Seq[DataFrame]): DataFrame = {
-    val result = out.persist()
-    result.count()
-    persisted.foreach(_.unpersist(blocking = false))
-    result
-  }
+    * caches — see graft.core.Caching for the persist-ownership contract. */
+  private def materializeAndRelease(out: DataFrame, persisted: Seq[DataFrame]): DataFrame =
+    graft.core.Caching.materializeAndRelease(out, persisted)
 
   // ---- S3: listing (getListing, :701-720) ------------------------------
 

@@ -44,10 +44,26 @@ object StateStore {
   def find(df: DataFrame, index: IndexDef, keys: Seq[Any],
            cmp: Comparator.Value, limit: Int = Int.MaxValue,
            offset: Int = 0): DataFrame = {
+    val filtered = df.filter(indexPredicate(index, keys, cmp))
+    val ordered =
+      if (cmp == Comparator.DEQ) filtered.orderBy(index.cols.map(c => col(c).desc): _*)
+      else if (limit != Int.MaxValue || offset != 0) filtered.orderBy(index.cols.map(col): _*)
+      else filtered
+    val off = if (offset > 0) ordered.offset(offset) else ordered
+    if (limit != Int.MaxValue) off.limit(limit) else off
+  }
+
+  /** The predicate a `find` compiles to: the selected comparator applied
+    * to every supplied leading key column of the index. Shared by find and
+    * the TDHS DSL's update/delete so all three honor the comparator the
+    * same way (the reference builds identical WHERE clauses for
+    * SELECT/UPDATE/DELETE — DatabaseExecutorForMysqlClient.java:83-208). */
+  def indexPredicate(index: IndexDef, keys: Seq[Any],
+                     cmp: Comparator.Value): Column = {
     require(keys.nonEmpty && (cmp == Comparator.IN || keys.length <= index.cols.length),
       s"${keys.length} keys for ${index.cols.length}-col index ${index.name}")
     val prefix = index.cols.take(keys.length)
-    val pred = cmp match {
+    cmp match {
       case Comparator.IN =>
         col(prefix.head).isin(keys: _*)
       case Comparator.EQ | Comparator.DEQ =>
@@ -61,13 +77,6 @@ object StateStore {
         }
         prefix.zip(keys).map { case (cl, k) => op(col(cl), k) }.reduce(_ && _)
     }
-    val filtered = df.filter(pred)
-    val ordered =
-      if (cmp == Comparator.DEQ) filtered.orderBy(index.cols.map(c => col(c).desc): _*)
-      else if (limit != Int.MaxValue || offset != 0) filtered.orderBy(index.cols.map(col): _*)
-      else filtered
-    val off = if (offset > 0) ordered.offset(offset) else ordered
-    if (limit != Int.MaxValue) off.limit(limit) else off
   }
 
   /** P7: post-filters after an index scan (non-index columns). */

@@ -68,39 +68,24 @@ object Tdhs {
       if (projection.nonEmpty) filtered.selectExpr(projection: _*) else filtered
     }
 
-    /** TDHS update: SET expressions under the built predicate (P8). */
-    def update(sets: Map[String, StateStore.SetExpr], nowMs: Long): DataFrame = {
+    /** WHERE clause shared by update/delete: the index predicate honoring
+      * the selected comparator (same construction as find) plus any
+      * post-filters. */
+    private def writePredicate: org.apache.spark.sql.Column = {
       val pred = idx match {
-        case Some(i) if keys.nonEmpty =>
-          val prefix = i.cols.take(keys.size)
-          import org.apache.spark.sql.functions.{col, lit}
-          cmp match {
-            case Comparator.IN => col(prefix.head).isin(keys: _*)
-            case Comparator.EQ | Comparator.DEQ =>
-              prefix.zip(keys).map { case (c, k) => col(c) === lit(k) }.reduce(_ && _)
-            case Comparator.LT => col(prefix.head) < lit(keys.head)
-            case Comparator.LE => col(prefix.head) <= lit(keys.head)
-            case Comparator.GT => col(prefix.head) > lit(keys.head)
-            case Comparator.GE => col(prefix.head) >= lit(keys.head)
-          }
+        case Some(i) if keys.nonEmpty => StateStore.indexPredicate(i, keys, cmp)
         case _ => org.apache.spark.sql.functions.lit(true)
       }
-      val full = posts.map(_.toColumn).foldLeft(pred)(_ && _)
-      StateStore.update(df, full, sets, nowMs)
+      posts.map(_.toColumn).foldLeft(pred)(_ && _)
     }
 
+    /** TDHS update: SET expressions under the built predicate (P8). */
+    def update(sets: Map[String, StateStore.SetExpr], nowMs: Long): DataFrame =
+      StateStore.update(df, writePredicate, sets, nowMs)
+
     /** TDHS delete → tombstone write (R5 semantics). */
-    def delete(): DataFrame = {
-      import org.apache.spark.sql.functions.{col, lit}
-      val pred = idx match {
-        case Some(i) if keys.nonEmpty =>
-          i.cols.take(keys.size).zip(keys)
-            .map { case (c, k) => col(c) === lit(k) }.reduce(_ && _)
-        case _ => lit(true)
-      }
-      val full = posts.map(_.toColumn).foldLeft(pred)(_ && _)
-      StateStore.softDelete(df, full)
-    }
+    def delete(): DataFrame =
+      StateStore.softDelete(df, writePredicate)
   }
 
   final case class FieldStep(qb: QueryBuilder) {

@@ -26,12 +26,13 @@ def load_spark(outdir, name):
     con = duckdb.connect()
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
     if not files:
-        return None, None
+        return None, None, None
     rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
     cols = [d[0] for d in rel.description]
+    types = [str(d[1]) for d in rel.description]
     rows = rel.fetchall()
     con.close()
-    return cols, rows
+    return cols, types, rows
 
 def run_oracle(sfdir, sql):
     con = duckdb.connect()
@@ -41,9 +42,10 @@ def run_oracle(sfdir, sql):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     rel = con.execute(sql)
     cols = [d[0] for d in rel.description]
+    types = [str(d[1]) for d in rel.description]
     rows = rel.fetchall()
     con.close()
-    return cols, rows
+    return cols, types, rows
 
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -69,13 +71,13 @@ def main():
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
-        scols, srows = load_spark(outdir, name)
+        scols, stypes, srows = load_spark(outdir, name)
         if scols is None:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         try:
-            ocols, orows = run_oracle(sfdir, sql)
+            ocols, otypes, orows = run_oracle(sfdir, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -84,6 +86,16 @@ def main():
         oc, orr = canon(ocols, orows)
         if sc != oc:
             print(f"FAIL {name}: schema {sc} vs {oc}")
+            n_fail += 1
+            continue
+        # column TYPES must match too: the driver hashes typed values, so
+        # e.g. an uncast DuckDB SUM(BIGINT) -> HUGEINT hash-mismatches a
+        # Spark BIGINT even when every value compares equal in Python.
+        st = dict(zip(scols, stypes))
+        ot = dict(zip(ocols, otypes))
+        tdiff = [(c, st[c], ot[c]) for c in sc if st[c] != ot[c]]
+        if tdiff:
+            print(f"FAIL {name}: column type drift (spark vs oracle): {tdiff}")
             n_fail += 1
             continue
         if len(sr) != len(orr):
