@@ -91,6 +91,20 @@ object MutationQueries {
       Mutations.completeFileCheck(s.table("file"), s.table("block"))
         .orderBy(col("fileId"))
     },
+    // N2: startFile case ladder — new creates, overwrite of existing
+    // files, refused dirs/under-construction/no-overwrite targets
+    "n2_start_file" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(startFileReqsSql)
+      Mutations.startFile(s.table("file"), reqs, idBase = 7000000L, nowMs = Now)
+        .orderBy(col("writeOp"), col("parentId"), col("name"), col("leaseHolder"))
+    },
+    // N3: next-block allocation check for every under-construction file
+    "n3_add_block" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Mutations.addBlock(s.table("file"), s.table("block"), idBase = 5000000000L)
+        .orderBy(col("fileId"))
+    },
     // S17/N9: datanode re-registration — same storageId under a new id
     // evicts the old row
     "s17_datanode_upsert" -> { (s, dir) =>
@@ -108,9 +122,96 @@ object MutationQueries {
     },
   )
 
+  /** startFile request mix (runs verbatim in both engines): fresh names
+    * (ok), existing files with/without overwrite, customer DIRS as
+    * targets, under-construction files (o_orderkey%50=0 carry a holder).
+    * o_orderkey%97=0 targets are tombstoned → live lookup misses → plain
+    * insert, exercising the recreate-over-tombstone path. */
+  private val startFileReqsSql: String =
+    """SELECT CAST(100 + o_custkey AS BIGINT) AS parentId,
+      |       'newf_' || CAST(o_orderkey AS STRING) AS name,
+      |       'h_' || CAST(o_custkey % 100 AS STRING) AS holder,
+      |       FALSE AS overwrite
+      |FROM orders WHERE o_orderkey % 200 = 0
+      |UNION ALL
+      |SELECT CAST(100 + o_custkey AS BIGINT), 'o_' || CAST(o_orderkey AS STRING),
+      |       'h_ow', TRUE
+      |FROM orders WHERE o_orderkey % 301 = 0
+      |UNION ALL
+      |SELECT CAST(100 + o_custkey AS BIGINT), 'o_' || CAST(o_orderkey AS STRING),
+      |       'h_no', FALSE
+      |FROM orders WHERE o_orderkey % 703 = 0
+      |UNION ALL
+      |SELECT CAST(1 + c_nationkey AS BIGINT), 'c_' || CAST(c_custkey AS STRING),
+      |       'h_dir', FALSE
+      |FROM customer WHERE c_custkey % 500 = 0""".stripMargin
+
   private val O = DerivedState.oracle _
 
   def oracles: Map[String, String] = Map(
+    "n2_start_file" -> O(
+      s"""WITH reqs AS (
+         |$startFileReqsSql),
+         |j AS (
+         |  SELECT r.parentId, r.name, r.holder, r.overwrite,
+         |         p.id AS pid, p.length AS plen,
+         |         t.id AS tid, t.length AS tlen, t.leaseHolder AS tlh,
+         |         t.version AS tver,
+         |    CASE WHEN r.name IS NULL OR length(r.name) = 0 THEN 'empty name'
+         |         WHEN length(r.name) > 255 THEN 'name too long'
+         |         WHEN p.id IS NULL THEN 'parent not found'
+         |         WHEN p.length <> -1 THEN 'parent not a directory'
+         |         WHEN t.id IS NOT NULL AND t.length = -1
+         |           THEN 'already exists as directory'
+         |         WHEN t.id IS NOT NULL AND t.leaseHolder IS NOT NULL
+         |           THEN 'file under construction'
+         |         WHEN t.id IS NOT NULL AND NOT r.overwrite THEN 'file exists'
+         |         END AS reject
+         |  FROM reqs r
+         |  LEFT JOIN file p ON p.id = r.parentId AND p.version > 0
+         |  LEFT JOIN file t ON t.parentId = r.parentId AND t.name = r.name
+         |    AND t.version > 0),
+         |ok AS (
+         |  SELECT *, 7000000 + ROW_NUMBER() OVER (ORDER BY parentId, name, holder) AS newId
+         |  FROM j WHERE reject IS NULL)
+         |SELECT writeOp, id, parentId, name, leaseHolder, version, reject FROM (
+         |  SELECT 'insert' AS writeOp, newId AS id, parentId, name,
+         |         holder AS leaseHolder, newId AS version,
+         |         CAST(NULL AS STRING) AS reject
+         |  FROM ok
+         |  UNION ALL
+         |  SELECT 'tombstone', tid, parentId, name, tlh, 0 - tver,
+         |         CAST(NULL AS STRING)
+         |  FROM ok WHERE tid IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'lease', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), holder,
+         |         holder, CAST(1700000000000 AS BIGINT), CAST(NULL AS STRING)
+         |  FROM (SELECT DISTINCT holder FROM ok) h
+         |  UNION ALL
+         |  SELECT 'reject', COALESCE(tid, -1), parentId, name, holder,
+         |         CAST(0 AS BIGINT), reject
+         |  FROM j WHERE reject IS NOT NULL) u
+         |ORDER BY writeOp, parentId, name, leaseHolder""".stripMargin),
+    "n3_add_block" -> O(
+      """WITH uc AS (
+        |  SELECT id AS fileId FROM file
+        |  WHERE version > 0 AND leaseHolder IS NOT NULL),
+        |lastidx AS (
+        |  SELECT fileId AS lfid, MAX(fileIndex) AS lastIndex
+        |  FROM block WHERE version > 0 GROUP BY fileId),
+        |lastblk AS (
+        |  SELECT l.lfid, l.lastIndex,
+        |         COUNT(CASE WHEN b.length >= 0 THEN 1 END) AS finished
+        |  FROM block b JOIN lastidx l
+        |    ON b.fileId = l.lfid AND b.fileIndex = l.lastIndex
+        |  WHERE b.version > 0 GROUP BY l.lfid, l.lastIndex)
+        |SELECT uc.fileId,
+        |  5000000000 + uc.fileId AS newBlockId,
+        |  COALESCE(lb.lastIndex, 0) + 1 AS newFileIndex,
+        |  COALESCE(lb.finished, 0) AS lastFinishedReplicas,
+        |  (lb.lfid IS NULL OR lb.finished >= 1) AS canAllocate
+        |FROM uc LEFT JOIN lastblk lb ON uc.fileId = lb.lfid
+        |ORDER BY uc.fileId""".stripMargin),
     "s5_mkdirs" -> O(
       """WITH reqs AS (
         |  SELECT CAST(1 + n_nationkey AS BIGINT) AS parentId,

@@ -170,6 +170,92 @@ object Mutations {
         col("completeBlocks"), col("canComplete"))
   }
 
+  /** N2 (FSNamesystem.startFile :831-1005): batch create. Each request is
+    * (parentId, name, holder, overwrite). Outcomes per the reference's
+    * case ladder: target exists as dir → reject; target under
+    * construction (leaseHolder set) → reject; target exists as file →
+    * reject unless overwrite (then tombstone old + insert new); plus the
+    * R11 parent/name validations. The write-set carries one row per
+    * action: 'insert' (new file row, under construction with
+    * leaseHolder=holder), 'tombstone' (overwritten old row, version
+    * negated), 'lease' (holder upsert, :870), 'reject' (refused request
+    * with reason). New ids/versions are idBase + rank over the accepted
+    * batch — the driver-serialized commit point (SURVEY §7.4 risk 2). */
+  def startFile(file: DataFrame, requests: DataFrame, idBase: Long,
+                nowMs: Long): DataFrame = {
+    val f = live(file)
+    val parents = f.select(col("id").as("__pid"), col("length").as("__plen"))
+    val target = f.select(col("parentId").as("__tp"), col("name").as("__tn"),
+      col("id").as("__tid"), col("length").as("__tlen"),
+      col("leaseHolder").as("__tlh"), col("version").as("__tver"))
+    val j = requests
+      .join(parents, col("parentId") === col("__pid"), "left")
+      .join(target, col("parentId") === col("__tp") && col("name") === col("__tn"), "left")
+      .withColumn("reject",
+        when(col("name").isNull || length(col("name")) === 0, "empty name")
+          .when(length(col("name")) > 255, "name too long")
+          .when(col("__pid").isNull, "parent not found")
+          .when(col("__plen") =!= -1L, "parent not a directory")
+          .when(col("__tid").isNotNull && col("__tlen") === -1L,
+            "already exists as directory")
+          .when(col("__tid").isNotNull && col("__tlh").isNotNull,
+            "file under construction")
+          .when(col("__tid").isNotNull && !col("overwrite"), "file exists"))
+    val ok = j.filter(col("reject").isNull)
+    // deterministic id assignment: rank over (parentId, name, holder) —
+    // holder breaks ties when the same target is requested twice
+    val w = Window.orderBy(col("parentId"), col("name"), col("holder"))
+    val inserts = ok
+      .withColumn("id", lit(idBase) + row_number().over(w))
+      .select(lit("insert").as("writeOp"), col("id"), col("parentId"),
+        col("name"), col("holder").as("leaseHolder"), col("id").as("version"),
+        lit(null).cast("string").as("reject"))
+    val tombstones = ok.filter(col("__tid").isNotNull)
+      .select(lit("tombstone").as("writeOp"), col("__tid").as("id"),
+        col("parentId"), col("name"), col("__tlh").as("leaseHolder"),
+        (-col("__tver")).as("version"), lit(null).cast("string").as("reject"))
+    val leases = ok.select(col("holder")).distinct()
+      .select(lit("lease").as("writeOp"), lit(-1L).as("id"), lit(-1L).as("parentId"),
+        col("holder").as("name"), col("holder").as("leaseHolder"),
+        lit(nowMs).as("version"), lit(null).cast("string").as("reject"))
+    val rejects = j.filter(col("reject").isNotNull)
+      .select(lit("reject").as("writeOp"), coalesce(col("__tid"), lit(-1L)).as("id"),
+        col("parentId"), col("name"), col("holder").as("leaseHolder"),
+        lit(0L).as("version"), col("reject"))
+    inserts.unionByName(tombstones).unionByName(leases).unionByName(rejects)
+  }
+
+  /** N3 (FSNamesystem.getAdditionalBlock :1028-1100): block allocation
+    * check + id assignment for every under-construction file. A file may
+    * get its next block iff its current LAST stored block has ≥
+    * minReplication finished (length ≥ 0) replicas (the reference's
+    * penultimate-block check — the client is writing the next one).
+    * newBlockId = idBase + fileId (deterministic allocation); target
+    * choice is N7 (driver-side Placement over the broadcast topology);
+    * the reference then inserts one block row per target plus a
+    * NULL_DATANODE row (:1172-1181). */
+  def addBlock(file: DataFrame, block: DataFrame, idBase: Long,
+               minReplication: Int = 1): DataFrame = {
+    val uc = live(file).filter(col("leaseHolder").isNotNull)
+      .select(col("id").as("fileId"))
+    val b = live(block)
+    val lastIdx = b.groupBy(col("fileId").as("__fid"))
+      .agg(max(col("fileIndex")).as("__lastIndex"))
+    val lastBlk = b
+      .join(lastIdx, col("fileId") === col("__fid") &&
+        col("fileIndex") === col("__lastIndex"))
+      .groupBy(col("__fid"), col("__lastIndex"))
+      .agg(count(when(col("length") >= 0, 1)).as("__finished"))
+    uc.join(lastBlk, col("fileId") === col("__fid"), "left")
+      .withColumn("newBlockId", lit(idBase) + col("fileId"))
+      .withColumn("newFileIndex", coalesce(col("__lastIndex"), lit(0L)) + 1L)
+      .withColumn("lastFinishedReplicas", coalesce(col("__finished"), lit(0L)))
+      .withColumn("canAllocate",
+        col("__fid").isNull || col("__finished") >= minReplication)
+      .select(col("fileId"), col("newBlockId"), col("newFileIndex"),
+        col("lastFinishedReplicas"), col("canAllocate"))
+  }
+
   /** S17/N9 (updateDatanodeByDatanodeDescriptor + handleHeartbeat): keyed
     * upsert of registrations; a storageId collision deletes the old node
     * row (re-registration under a new id). Returns the post-upsert

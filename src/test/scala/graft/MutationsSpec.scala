@@ -89,6 +89,64 @@ class MutationsSpec extends SparkSpec {
     assert(rowsOut.size == 4 && rowsOut.map(_._2).distinct.size == 4)
   }
 
+  test("N2 startFile: full case ladder — insert/tombstone/lease/rejects") {
+    val f = file.unionByName(Seq(
+      (7L, 2L, "uc1", 0L, 64L, 1L, 0L, 0L, 0L, Some("w1"), 0L, 8L),
+    ).toDF("id", "parentId", "name", "length", "blockSize", "replication",
+      "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version"))
+    val reqs = Seq(
+      (2L, "newA", "h1", false), // fresh → insert
+      (2L, "f1", "h2", true),    // existing file + overwrite → tombstone+insert
+      (2L, "f1", "h3", false),   // existing file, no overwrite → reject
+      (1L, "b", "h4", false),    // existing dir → reject
+      (2L, "uc1", "h5", true),   // under construction → reject even w/ overwrite
+      (42L, "x", "h6", false),   // → parent not found
+    ).toDF("parentId", "name", "holder", "overwrite")
+    val out = Mutations.startFile(f, reqs, idBase = 500L, nowMs = 999L)
+    val byOp = rows(out.select(col("writeOp"), col("name"), col("leaseHolder"),
+        col("version"), col("reject")))
+      .groupBy(_.head).view.mapValues(_.map(_.tail)).toMap
+    assert(byOp("insert").map(_.head).toSet == Set("newA", "f1"))
+    assert(byOp("tombstone") == Seq(Seq("f1", null, -4L, null))) // old f1 v=4
+    assert(byOp("lease").map(_(1)).toSet == Set("h1", "h2"))
+    val rejects = byOp("reject").map(r => (r.head, r(1)) -> r(3)).toMap
+    assert(rejects(("f1", "h3")) == "file exists")
+    assert(rejects(("b", "h4")) == "already exists as directory")
+    assert(rejects(("uc1", "h5")) == "file under construction")
+    assert(rejects(("x", "h6")) == "parent not found")
+    // accepted creates get deterministic ids ranked by (parentId,name,holder)
+    val ids = rows(out.filter(col("writeOp") === "insert")
+      .select(col("name"), col("id"))).map(r => r.head -> r.last).toMap
+    assert(ids == Map("f1" -> 501L, "newA" -> 502L))
+  }
+
+  test("N3 addBlock: last-block replication gates allocation") {
+    val f = Seq(
+      (0L, -1L, "", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 1L),
+      (3L, 0L, "ucA", 0L, 64L, 2L, 0L, 0L, 0L, Some("wA"), 0L, 4L),
+      (4L, 0L, "ucB", 0L, 64L, 2L, 0L, 0L, 0L, Some("wB"), 0L, 5L),
+      (6L, 0L, "ucC", 0L, 64L, 2L, 0L, 0L, 0L, Some("wC"), 0L, 7L),
+      (9L, 0L, "done", 9L, 64L, 2L, 0L, 0L, 0L, None: Option[String], 0L, 9L),
+    ).toDF("id", "parentId", "name", "length", "blockSize", "replication",
+      "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    val b = Seq(
+      // ucA: last block (idx 2) has a finished replica → can allocate idx 3
+      (31L, 1L, 100L, 7L, 3L, 1L, 10L),
+      (32L, 1L, 100L, 7L, 3L, 2L, 11L),
+      (32L, 2L, -1L, 7L, 3L, 2L, 12L),
+      // ucB: last block (idx 1) only has under-construction replicas
+      (41L, 1L, -1L, 7L, 4L, 1L, 13L),
+      (41L, 2L, -1L, 7L, 4L, 1L, 14L),
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version")
+    val out = rows(Mutations.addBlock(f, b, idBase = 1000L)
+      .select(col("fileId"), col("newBlockId"), col("newFileIndex"), col("canAllocate")))
+      .map(r => r.head -> r.tail).toMap
+    assert(out(3L) == Seq(1003L, 3L, true))
+    assert(out(4L) == Seq(1004L, 2L, false))
+    assert(out(6L) == Seq(1006L, 1L, true)) // no blocks yet → first block ok
+    assert(!out.contains(9L)) // not under construction
+  }
+
   test("S17 upsert: storageId collision evicts the old node row") {
     val dn = Seq(
       (11L, "dn11", "DS-A", 0L, 0L, 1L, 1L, 1L, 1L, 1L, "/r1", "NORMAL", 1L),
