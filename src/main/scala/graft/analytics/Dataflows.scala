@@ -233,11 +233,15 @@ object Dataflows {
     * label down the tree, so N roots cost the same joins as one — the
     * shape that survives a 1000-root du over a 100 TB namespace. */
   def contentSummary(file: DataFrame, rootIds: Seq[Long], maxDepth: Int = 16): DataFrame = {
+    // persist only the three columns the loop touches — every level joins
+    // this frame, and a view-backed input would re-derive per level
     val f = live(file)
+      .select(col("id"), col("parentId"), col("length")).persist()
     var frontier = f.filter(col("id").isin(rootIds: _*))
       .select(col("id").as("rootId"), col("id"), col("length"))
     var out = frontier
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    persisted += f
     var lvl = 0
     var n = 1L
     while (n > 0 && lvl < maxDepth) {

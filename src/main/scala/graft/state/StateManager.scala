@@ -32,7 +32,10 @@ object StateManager {
     * resolved file's columns. Paths that don't resolve are dropped
     * (reference returns null entries). */
   def resolvePaths(file: DataFrame, paths: DataFrame, maxDepth: Int = 16): DataFrame = {
-    val fBase = live(file)
+    // persist the live table for the loop's duration: every level joins it,
+    // and re-deriving a view (e.g. the state-table union) per level costs
+    // more than one materialization (released via materializeAndRelease)
+    val fBase = live(file).persist()
     val cols = fBase.columns.toSeq
     // components: split('/a/b/c') -> ['', 'a', 'b', 'c']; depth = size-1
     val withParts = paths
@@ -66,7 +69,7 @@ object StateManager {
         .select(col("path"), col("__parts"), col("__depth"),
           col(pfx + "id").as("__cur"))
     }
-    out
+    materializeAndRelease(out, Seq(fBase))
   }
 
   // ---- S2: reverse path build (findFileById, :647-659) -----------------
@@ -76,10 +79,13 @@ object StateManager {
     * once for the whole namespace — the fsimage-export F11 shape).
     * Returns (id, path) plus the file columns. */
   def materializePaths(file: DataFrame, maxDepth: Int = 16): DataFrame = {
-    val f = live(file)
+    // persist the live table for the loop: every level joins it and a
+    // view-backed input would re-derive per level
+    val f = live(file).persist()
     var frontier = f.filter(col("id") === 0L).withColumn("path", lit(""))
     var out = frontier
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    persisted += f
     var lvl = 0
     var n = 1L
     while (n > 0 && lvl < maxDepth) {
@@ -113,11 +119,13 @@ object StateManager {
     * roots. Iterative join-until-fixpoint — the Spark recursive CTE. */
   def descendants(file: DataFrame, rootIds: Seq[Long], excludeDir: Boolean = false,
                   includeSelf: Boolean = false, maxDepth: Int = 16): DataFrame = {
-    val f = live(file)
+    // persist the live table for the loop (see resolvePaths)
+    val f = live(file).persist()
     val self = f.filter(col("id").isin(rootIds: _*))
     var frontier = self
     var out: DataFrame = if (includeSelf) self else null
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    persisted += f
     var lvl = 0
     var n = 1L
     while (n > 0 && lvl < maxDepth) {
