@@ -198,6 +198,26 @@ object DataOpsQueries {
         .join(headers, Seq("doc_id"))
         .orderBy(col("doc_id"))
     },
+    // M: batched stub decode through the mapPartitions plumbing — the
+    // oracle recomputes the deterministic fake features from byte stats
+    "m2_decode_meta" -> { (s, dir) =>
+      val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir))
+      graft.multimodal.Multimodal.extractFeatures(s, media).toDF()
+        .select(col("doc_id"), col("modality"), col("byteLen"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    },
+    // M: video frame sampling — one payload fans out to frame rows; the
+    // differential check covers kept-frame counts + the first frame bytes
+    "m3_frame_sample" -> { (s, dir) =>
+      val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir))
+      graft.multimodal.Multimodal.sampleFrames(s, media, frameBytes = 256, everyN = 2)
+        .toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nFrames"),
+          max(when(col("frameIdx") === 0, hex(col("payload")))).as("firstFrameHex"))
+        .orderBy(col("doc_id"))
+    },
     // sessionization over the events stream table (30-min gap rule)
     "e1_sessionize" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -424,6 +444,21 @@ object DataOpsQueries {
         |  octet_length(encode(text)) AS byteLen,
         |  hex(encode(substr(text, 1, 4))) AS headerHex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_decode_meta" ->
+      """SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byteLen,
+        |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1
+        |       ELSE 16 + (octet_length(encode(text)) // 64) % 64 END AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // NB: char-substr == byte-substr here because the documents corpus is
+    // pure ASCII at every sf (verified); DuckDB lacks substring-on-BLOB
+    "m3_frame_sample" ->
+      """SELECT doc_id,
+        |  (CAST(CEIL(octet_length(encode(text)) / 256.0) AS BIGINT) + 1) // 2 AS nFrames,
+        |  hex(encode(substr(text, 1, 256))) AS firstFrameHex
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
     "e1_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
