@@ -117,6 +117,32 @@ object Dedup {
     agg.withColumn("simhash", sim).select(col(idCol), col("simhash"))
   }
 
+  /** SimHash near-duplicate pairs. Candidate generation is bucket-local
+    * via band bucketing (pigeonhole: two 16-bit hashes within hamming
+    * distance 3 agree on ≥1 of 4 disjoint 4-bit bands), then the exact
+    * hamming filter runs only on candidates — the all-pairs O(n²) never
+    * materializes. At cluster scale with a 64-bit simhash, widen the
+    * bands to 16 bits and bucket the corpus by (bandIdx, bandVal). */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash16(df, idCol, textCol).cache() // melted 4× + joined 2×
+    val melted = (0 until 4).map { b =>
+      sig.select(col(idCol), lit(b).as("bandIdx"),
+        (shiftright(col("simhash"), 4 * b) % 16).as("bandVal"), col("simhash"))
+    }.reduce(_.unionByName(_))
+    val left = melted.select(col(idCol).as("id1"), col("bandIdx"),
+      col("bandVal"), col("simhash").as("s1"))
+    val right = melted.select(col(idCol).as("id2"), col("bandIdx"),
+      col("bandVal"), col("simhash").as("s2"))
+    val pairs = left.join(right, Seq("bandIdx", "bandVal"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    graft.core.Caching.materializeAndRelease(pairs, Seq(sig))
+  }
+
   /** Exact word-3-gram Jaccard for candidate pairs (id1, id2): distinct
     * shingle sets joined on shingle hash; |A∩B| / |A∪B|. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,

@@ -67,6 +67,38 @@ object DataOpsQueries {
       |  FROM band a JOIN band b ON a.doc_id < b.doc_id
       |    AND (a.b0=b.b0 OR a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3))""".stripMargin
 
+  /** Shared oracle CTE chain computing the 16-bit simhash per document
+    * (ends with sim16(doc_id, simhash); token-less docs hash to 0). */
+  private val SimhashSql: String =
+    ("""tok AS (
+      |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    (instr('0123456789abcdef', substr(md5(token),1,1))-1)*4096 +
+      |    (instr('0123456789abcdef', substr(md5(token),2,1))-1)*256 +
+      |    (instr('0123456789abcdef', substr(md5(token),3,1))-1)*16 +
+      |    (instr('0123456789abcdef', substr(md5(token),4,1))-1) AS H
+      |  FROM tok),
+      |bits AS (
+      |  SELECT doc_id,
+      |""".stripMargin +
+      (0 until 16).map(b =>
+        s"    SUM(CASE WHEN (H >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n") +
+      """
+        |  FROM th GROUP BY doc_id),
+        |sim AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+      (0 until 16).map(b =>
+        s"    (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n") +
+      """ AS simhash
+        |  FROM bits),
+        |sim16 AS (
+        |  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+        |  FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id)""".stripMargin)
+
   /** Oracle dot-product CTE fragment over embeddings — same fixed-point
     * 1e-12 BIGINT summation as Vectors.dotExpr. */
   private val NormsSql =
@@ -122,6 +154,11 @@ object DataOpsQueries {
     "d3_simhash" -> { (s, dir) =>
       Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+    // SimHash near-dup pairs: banded bucketing + exact hamming filter
+    "d6_simhash_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))
     },
     // exact n-gram Jaccard verification of LSH candidates
     "d4_ngram_jaccard" -> { (s, dir) =>
@@ -264,34 +301,20 @@ object DataOpsQueries {
         |SELECT id1, id2, estJaccard FROM pairs WHERE estJaccard >= 0.5
         |ORDER BY id1, id2""".stripMargin,
     "d3_simhash" ->
-      ("""WITH tok AS (
-        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id,
-        |    (instr('0123456789abcdef', substr(md5(token),1,1))-1)*4096 +
-        |    (instr('0123456789abcdef', substr(md5(token),2,1))-1)*256 +
-        |    (instr('0123456789abcdef', substr(md5(token),3,1))-1)*16 +
-        |    (instr('0123456789abcdef', substr(md5(token),4,1))-1) AS H
-        |  FROM tok),
-        |bits AS (
-        |  SELECT doc_id,
-        |""".stripMargin +
-      (0 until 16).map(b =>
-        s"    SUM(CASE WHEN (H >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
-        .mkString(",\n") +
-      """
-        |  FROM th GROUP BY doc_id),
-        |sim AS (
-        |  SELECT doc_id,
-        |""".stripMargin +
-      (0 until 16).map(b =>
-        s"    (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n") +
-      """ AS simhash
-        |  FROM bits)
-        |SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
-        |FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
-        |ORDER BY d.doc_id""".stripMargin),
+      s"""WITH $SimhashSql
+        |SELECT doc_id, simhash FROM sim16 ORDER BY doc_id""".stripMargin,
+    "d6_simhash_neardup" ->
+      s"""WITH $SimhashSql,
+        |m AS (
+        |  SELECT doc_id, b AS bandIdx, (simhash >> (4*b)) % 16 AS bandVal, simhash
+        |  FROM sim16 CROSS JOIN (SELECT 0 AS b UNION ALL SELECT 1
+        |                         UNION ALL SELECT 2 UNION ALL SELECT 3) bb)
+        |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+        |  CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+        |FROM m a JOIN m c ON a.bandIdx = c.bandIdx AND a.bandVal = c.bandVal
+        |  AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
     "d4_ngram_jaccard" ->
       s"""WITH $MinhashSql,
         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),

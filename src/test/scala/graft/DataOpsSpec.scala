@@ -35,6 +35,15 @@ class DataOpsSpec extends SparkSpec {
     assert(out(1L) != out(3L))
   }
 
+  test("simhash near-dups: exact dup pairs at hamming 0, id1 < id2") {
+    val out = rows(Dedup.simhashNearDups(docs, "doc_id", "text")
+      .select(col("id1"), col("id2"), col("hamming")))
+      .map(r => (r.head, r(1)) -> r(2)).toMap
+    assert(out((1L, 4L)) == 0) // identical docs
+    assert(out.keys.forall { case (a, b) =>
+      a.asInstanceOf[Long] < b.asInstanceOf[Long] })
+  }
+
   test("ngram jaccard: 1.0 for exact dup") {
     val cand = Seq((1L, 4L), (1L, 3L)).toDF("id1", "id2")
     val out = rows(Dedup.ngramJaccard(docs, "doc_id", "text", cand)
