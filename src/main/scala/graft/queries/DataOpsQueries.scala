@@ -278,6 +278,37 @@ object DataOpsQueries {
           max(col("k")).as("maxK"))
         .orderBy(col("event_type"))
     },
+    // the SAME daily-window aggregation as e2 but executed by the real
+    // Structured Streaming engine: file streaming source over the events
+    // parquet → stateful agg → AvailableNow trigger → memory sink. The
+    // oracle is identical to e2's: stream/batch parity is the check.
+    "e4_stream_window_parity" -> { (s, dir) =>
+      DerivedState.register(s, dir) // sets the nanosAsLong conf for events
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val sinkName = "e4sink"
+      s.sql(s"DROP VIEW IF EXISTS $sinkName") // re-runnable in one session
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-e4-ckpt").toString
+      // the file streaming source wants a DIRECTORY to monitor — stage one
+      // holding a symlink to the events parquet
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-e4-src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema)
+        .parquet(srcDir.toString)
+        .withColumn("day", expr("ts div 86400000000000"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("totalValue"))
+      val q = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName).orderBy(col("day"), col("event_type"))
+    },
     // tumbling daily windows per event type
     "e2_window_agg" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -499,6 +530,13 @@ object DataOpsQueries {
         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS maxK
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e2_window_agg" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS totalValue
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // identical to e2's oracle — the streamed aggregation must land on
+    // exactly the batch result
+    "e4_stream_window_parity" ->
       """SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS totalValue
