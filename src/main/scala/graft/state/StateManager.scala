@@ -32,10 +32,10 @@ object StateManager {
     * resolved file's columns. Paths that don't resolve are dropped
     * (reference returns null entries). */
   def resolvePaths(file: DataFrame, paths: DataFrame, maxDepth: Int = 16): DataFrame = {
-    // persist the live table for the loop's duration: every level joins it,
-    // and re-deriving a view (e.g. the state-table union) per level costs
-    // more than one materialization (released via materializeAndRelease)
-    val fBase = live(file).persist()
+    // NOT persisted: unlike materializePaths/descendants this loop takes no
+    // per-level actions — every level lands in ONE final plan, where a
+    // persist would only add cache-write overhead (measured slower)
+    val fBase = live(file)
     val cols = fBase.columns.toSeq
     // components: split('/a/b/c') -> ['', 'a', 'b', 'c']; depth = size-1
     val withParts = paths
@@ -69,7 +69,7 @@ object StateManager {
         .select(col("path"), col("__parts"), col("__depth"),
           col(pfx + "id").as("__cur"))
     }
-    materializeAndRelease(out, Seq(fBase))
+    out
   }
 
   // ---- S2: reverse path build (findFileById, :647-659) -----------------
