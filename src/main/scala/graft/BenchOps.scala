@@ -10,7 +10,8 @@ import graft.state.{Mutations, StateManager}
 /** Op-matrix benchmarker — the analog of the reference's
   * BenchmarkerForNamenode (A/benchmark/BenchmarkerForNamenode.java:48-80,
   * 260-295): replays the namenode op mix (create/mkdirs/delete/rename/
-  * getblocklocations/getlisting/getfileinfo/setreplication) against the
+  * getblocklocations/getlisting/getfileinfo/append/setpermission/
+  * setreplication) against the
   * engine's state tables and reports ops/s per op with the same formula
   * n·1000/elapsed-ms. Here each "op" is one element of a BATCH query —
   * the engine's natural unit — so ops/s measures batch throughput.
@@ -82,6 +83,15 @@ object BenchOps {
       timed("setreplication") {
         Mutations.setAttrs(file, col("version") > 0 && col("length") > 0,
           Map("replication" -> graft.store.StateStore.Assign(2L)), nowMs = Now)
+          .filter(col("version") > 1000000000L).count()
+      },
+      timed("append") {
+        // append = re-open + allocate the next block (N3) per UC file
+        Mutations.addBlock(file, block, idBase = 5000000000L).count()
+      },
+      timed("setpermission") {
+        Mutations.setAttrs(file, col("version") > 0,
+          Map("owner" -> graft.store.StateStore.Assign(7L)), nowMs = Now)
           .filter(col("version") > 1000000000L).count()
       },
     )
