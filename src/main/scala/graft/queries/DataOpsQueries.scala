@@ -155,6 +155,27 @@ object DataOpsQueries {
       Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // the flagship training-data cleaning pipeline: exact dedup →
+    // LSH near-dup removal → quality gate → token stats, end to end
+    "t5_clean_corpus" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      // stage 1: exact dedup — keep the min-id copy of identical texts
+      val keep = Dedup.exact(c, "doc_id", "text")
+        .filter(!col("isDuplicate")).select(col("doc_id"), col("text"))
+      // stage 2: near-dup removal — drop the larger id of any high-overlap
+      // LSH pair whose smaller id survived stage 1
+      val drop2 = Dedup.lshCandidates(c, "doc_id", "text")
+        .filter(col("estJaccard") >= 0.75)
+        .join(keep.select(col("doc_id").as("id1")), Seq("id1"), "left_semi")
+        .select(col("id2").as("doc_id")).distinct()
+      val surv = keep.join(drop2, Seq("doc_id"), "left_anti")
+      // stage 3: quality gate + token stats on the survivors
+      surv.select(col("doc_id"),
+          TextFunctions.wsTokenCount(col("text")).as("wsTokens"),
+          TextFunctions.qualityScore(col("text"), length(col("text"))).as("score"))
+        .filter(col("score") >= 75.0)
+        .orderBy(col("doc_id"))
+    },
     // SimHash near-dup pairs: banded bucketing + exact hamming filter
     "d6_simhash_neardup" -> { (s, dir) =>
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text")
@@ -334,6 +355,33 @@ object DataOpsQueries {
     "d3_simhash" ->
       s"""WITH $SimhashSql
         |SELECT doc_id, simhash FROM sim16 ORDER BY doc_id""".stripMargin,
+    "t5_clean_corpus" ->
+      s"""WITH $MinhashSql,
+        |keep AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
+        |    FROM corpus) z WHERE doc_id = k),
+        |drop2 AS (
+        |  SELECT DISTINCT p.id2 AS doc_id FROM pairs p
+        |  JOIN keep k1 ON p.id1 = k1.doc_id WHERE p.estJaccard >= 0.75),
+        |surv AS (
+        |  SELECT k.doc_id, k.text FROM keep k
+        |  LEFT JOIN drop2 d ON k.doc_id = d.doc_id WHERE d.doc_id IS NULL),
+        |sc AS (
+        |  SELECT doc_id, wsTokens,
+        |    meanLen * 10.0 + stopRatio * 50.0 - punctRatio * 100.0 + bonus AS score
+        |  FROM (
+        |    SELECT doc_id, len(w) AS wsTokens,
+        |      CASE WHEN len(w) > 0 THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) ELSE 0.0 END AS meanLen,
+        |      CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN
+        |        ('the','a','of','and','to','data','row','query','tabla','fila','der','die','das','und','ist'))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopRatio,
+        |      CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punctRatio,
+        |      CASE WHEN len(w) >= 20 THEN 25.0 ELSE 0.0 END AS bonus
+        |    FROM (SELECT doc_id, text,
+        |            regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |          FROM surv) t) f)
+        |SELECT doc_id, wsTokens, score FROM sc
+        |WHERE score >= 75.0 ORDER BY doc_id""".stripMargin,
     "d6_simhash_neardup" ->
       s"""WITH $SimhashSql,
         |m AS (
