@@ -171,9 +171,13 @@ object MutationQueries {
          |  LEFT JOIN file p ON p.id = r.parentId AND p.version > 0
          |  LEFT JOIN file t ON t.parentId = r.parentId AND t.name = r.name
          |    AND t.version > 0),
+         |okall AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY parentId, name
+         |    ORDER BY holder) AS dupRank
+         |  FROM j WHERE reject IS NULL),
          |ok AS (
          |  SELECT *, 7000000 + ROW_NUMBER() OVER (ORDER BY parentId, name, holder) AS newId
-         |  FROM j WHERE reject IS NULL)
+         |  FROM okall WHERE dupRank = 1)
          |SELECT writeOp, id, parentId, name, leaseHolder, version, reject FROM (
          |  SELECT 'insert' AS writeOp, newId AS id, parentId, name,
          |         holder AS leaseHolder, newId AS version,
@@ -190,7 +194,11 @@ object MutationQueries {
          |  UNION ALL
          |  SELECT 'reject', COALESCE(tid, -1), parentId, name, holder,
          |         CAST(0 AS BIGINT), reject
-         |  FROM j WHERE reject IS NOT NULL) u
+         |  FROM j WHERE reject IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'reject', COALESCE(tid, -1), parentId, name, holder,
+         |         CAST(0 AS BIGINT), 'duplicate in batch'
+         |  FROM okall WHERE dupRank > 1) u
          |ORDER BY writeOp, parentId, name, leaseHolder""".stripMargin),
     "n3_add_block" -> O(
       """WITH uc AS (

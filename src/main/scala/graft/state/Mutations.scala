@@ -201,9 +201,15 @@ object Mutations {
           .when(col("__tid").isNotNull && col("__tlh").isNotNull,
             "file under construction")
           .when(col("__tid").isNotNull && !col("overwrite"), "file exists"))
-    val ok = j.filter(col("reject").isNull)
-    // deterministic id assignment: rank over (parentId, name, holder) —
-    // holder breaks ties when the same target is requested twice
+    // intra-batch dedup: the reference executes creates serially, so the
+    // second request for the same (parentId, name) would see the first's
+    // just-created row — in batch, only the first (by holder order) wins
+    // and the rest are rejected, keeping the unique-key invariant
+    val dupW = Window.partitionBy(col("parentId"), col("name")).orderBy(col("holder"))
+    val ranked = j.filter(col("reject").isNull)
+      .withColumn("__dupRank", row_number().over(dupW))
+    val ok = ranked.filter(col("__dupRank") === 1)
+    // deterministic id assignment: rank over (parentId, name, holder)
     val w = Window.orderBy(col("parentId"), col("name"), col("holder"))
     val inserts = ok
       .withColumn("id", lit(idBase) + row_number().over(w))
@@ -222,7 +228,12 @@ object Mutations {
       .select(lit("reject").as("writeOp"), coalesce(col("__tid"), lit(-1L)).as("id"),
         col("parentId"), col("name"), col("holder").as("leaseHolder"),
         lit(0L).as("version"), col("reject"))
-    inserts.unionByName(tombstones).unionByName(leases).unionByName(rejects)
+    val dupRejects = ranked.filter(col("__dupRank") > 1)
+      .select(lit("reject").as("writeOp"), coalesce(col("__tid"), lit(-1L)).as("id"),
+        col("parentId"), col("name"), col("holder").as("leaseHolder"),
+        lit(0L).as("version"), lit("duplicate in batch").as("reject"))
+    inserts.unionByName(tombstones).unionByName(leases)
+      .unionByName(rejects).unionByName(dupRejects)
   }
 
   /** N3 (FSNamesystem.getAdditionalBlock :1028-1100): block allocation

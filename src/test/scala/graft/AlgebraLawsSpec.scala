@@ -57,6 +57,56 @@ class AlgebraLawsSpec extends SparkSpec {
     assert(eq.toSet == deq.toSet)
   }
 
+  test("startFile write-set law: applying it preserves (parentId,name) uniqueness") {
+    // random request batches over a small namespace, incl. repeated targets
+    val file = Seq(
+      (0L, -1L, "", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 1L),
+      (1L, 0L, "d", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 2L),
+      (2L, 1L, "f1", 5L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 3L),
+      (3L, 1L, "f2", 5L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 4L),
+    ).toDF("id", "parentId", "name", "length", "blockSize", "replication",
+      "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    val reqRnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val reqs = (1 to 12).map { i =>
+        val name = reqRnd.shuffle(Seq("f1", "f2", s"new$i", "d")).head
+        (1L, name, s"h$i", reqRnd.nextBoolean())
+      }.toDF("parentId", "name", "holder", "overwrite")
+      val ws = graft.state.Mutations.startFile(file, reqs,
+        idBase = 1000L * trial, nowMs = 9L)
+      // widen the (narrow) write-set rows to the full file schema before
+      // applying — defaults for the columns startFile doesn't carry
+      val fileWs = ws.filter(col("writeOp").isin("insert", "tombstone"))
+        .select(col("id"), col("parentId"), col("name"),
+          lit(0L).as("length"), lit(0L).as("blockSize"), lit(0L).as("replication"),
+          lit(9L).as("atime"), lit(9L).as("mtime"), lit(0L).as("owner"),
+          col("leaseHolder"), lit(0L).as("leaseRecoveryTime"), col("version"))
+      val applied = graft.state.Mutations.applyWriteSet(
+        file, fileWs, Seq("id"))
+      val liveNames = applied.filter(col("version") > 0)
+        .groupBy(col("parentId"), col("name")).count()
+        .filter(col("count") > 1).count()
+      assert(liveNames == 0, s"trial $trial produced duplicate live (parentId,name)")
+    }
+  }
+
+  test("addBlock law: canAllocate false iff last block under-replicated") {
+    val file = Seq(
+      (0L, -1L, "", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 1L),
+      (5L, 0L, "u", 0L, 0L, 2L, 0L, 0L, 0L, Some("w"), 0L, 5L),
+    ).toDF("id", "parentId", "name", "length", "blockSize", "replication",
+      "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    val rnd2 = new scala.util.Random(13)
+    for (_ <- 1 to 5) {
+      val lastLen = if (rnd2.nextBoolean()) 100L else -1L
+      val b = Seq((50L, 1L, lastLen, 7L, 5L, 1L, 10L))
+        .toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version")
+      val out = rows(graft.state.Mutations.addBlock(file, b, idBase = 900L)
+        .select(col("canAllocate"), col("lastFinishedReplicas"), col("newFileIndex")))
+      assert(out.head == Seq(lastLen >= 0, if (lastLen >= 0) 1L else 0L, 2L))
+    }
+  }
+
   test("placement: degenerate topologies") {
     // all decommissioned → nothing placeable
     val dead = (1 to 4).map(i =>
