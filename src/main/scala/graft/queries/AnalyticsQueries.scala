@@ -43,6 +43,37 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("datanodeId"), col("action"))
     },
+    // N5 through the streaming engine (SURVEY §3.3 flagship): the report
+    // feed is dumped to parquet, ingested back as a file STREAM, and each
+    // micro-batch runs the SAME stream-static reconciliation via
+    // foreachBatch — the result must land on n5's exact oracle
+    "n5_stream_report_parity" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-n5-stream")
+      val feedDir = tmp.resolve("feed").toString
+      val outDir = tmp.resolve("out").toString
+      s.table("reported").write.parquet(feedDir)
+      val schema = s.read.parquet(feedDir).schema
+      val q = s.readStream.schema(schema).parquet(feedDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Dataflows.reconcileReports(batch.sparkSession.table("block"), batch)
+            .groupBy(col("datanodeId"), col("action"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // late/duplicate batches would re-count a datanode's report; the
+      // feed is one file → one batch here, but sum anyway (idempotent
+      // grouping over whatever the engine delivered)
+      s.read.parquet(outDir)
+        .groupBy(col("datanodeId"), col("action"))
+        .agg(sum(col("n")).as("n"))
+        .orderBy(col("datanodeId"), col("action"))
+    },
     // N6: under-replication priority queue — budgeted top-k
     "n6_under_replicated" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -93,6 +124,32 @@ object AnalyticsQueries {
 
   private val O = DerivedState.oracle _
 
+  /** N5 classification — shared by the batch query and its streamed twin. */
+  private val N5OracleSql: String =
+    """WITH stored AS (
+      |  SELECT id AS blockId, datanodeId, length AS storedLength,
+      |         generationStamp AS storedGenStamp
+      |  FROM block WHERE version > 0),
+      |freshest AS (
+      |  SELECT id AS bid, MAX(generationStamp) AS maxGenStamp
+      |  FROM block WHERE version > 0 GROUP BY id),
+      |joined AS (
+      |  SELECT COALESCE(r.datanodeId, s.datanodeId) AS datanodeId,
+      |         COALESCE(r.blockId, s.blockId) AS blockId,
+      |         r.repLength, r.repGenStamp, s.storedLength, s.storedGenStamp
+      |  FROM reported r FULL OUTER JOIN stored s
+      |    ON r.datanodeId = s.datanodeId AND r.blockId = s.blockId)
+      |SELECT datanodeId,
+      |  CASE WHEN repGenStamp IS NULL THEN 'toRemove'
+      |       WHEN repGenStamp < COALESCE(f.maxGenStamp, repGenStamp) THEN 'toInvalidate'
+      |       WHEN storedGenStamp IS NULL THEN 'toAdd'
+      |       WHEN storedGenStamp < repGenStamp
+      |            OR (storedLength <> repLength AND storedLength <> -1) THEN 'toAdd'
+      |       ELSE 'ok' END AS action,
+      |  COUNT(*) AS n
+      |FROM joined LEFT JOIN freshest f ON joined.blockId = f.bid
+      |GROUP BY 1, 2 ORDER BY datanodeId, action""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "n1_block_locations" -> O(
       """WITH entries AS (
@@ -132,30 +189,9 @@ object AnalyticsQueries {
         |    AS orderedReplicas,
         |  MIN(distance) AS nearestDistance
         |FROM r GROUP BY id ORDER BY id""".stripMargin),
-    "n5_block_report" -> O(
-      """WITH stored AS (
-        |  SELECT id AS blockId, datanodeId, length AS storedLength,
-        |         generationStamp AS storedGenStamp
-        |  FROM block WHERE version > 0),
-        |freshest AS (
-        |  SELECT id AS bid, MAX(generationStamp) AS maxGenStamp
-        |  FROM block WHERE version > 0 GROUP BY id),
-        |joined AS (
-        |  SELECT COALESCE(r.datanodeId, s.datanodeId) AS datanodeId,
-        |         COALESCE(r.blockId, s.blockId) AS blockId,
-        |         r.repLength, r.repGenStamp, s.storedLength, s.storedGenStamp
-        |  FROM reported r FULL OUTER JOIN stored s
-        |    ON r.datanodeId = s.datanodeId AND r.blockId = s.blockId)
-        |SELECT datanodeId,
-        |  CASE WHEN repGenStamp IS NULL THEN 'toRemove'
-        |       WHEN repGenStamp < COALESCE(f.maxGenStamp, repGenStamp) THEN 'toInvalidate'
-        |       WHEN storedGenStamp IS NULL THEN 'toAdd'
-        |       WHEN storedGenStamp < repGenStamp
-        |            OR (storedLength <> repLength AND storedLength <> -1) THEN 'toAdd'
-        |       ELSE 'ok' END AS action,
-        |  COUNT(*) AS n
-        |FROM joined LEFT JOIN freshest f ON joined.blockId = f.bid
-        |GROUP BY 1, 2 ORDER BY datanodeId, action""".stripMargin),
+    "n5_block_report" -> O(N5OracleSql),
+    // the streamed variant must land on the identical result
+    "n5_stream_report_parity" -> O(N5OracleSql),
     "n6_under_replicated" -> O(
       """WITH livenodes AS (
         |  SELECT id FROM datanode WHERE version > 0 AND adminState = 'NORMAL'
