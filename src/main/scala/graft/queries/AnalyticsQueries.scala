@@ -36,6 +36,9 @@ object AnalyticsQueries {
         .orderBy(col("id"))
     },
     // N5: block-report reconciliation — full-outer-join classification
+    // NB: do NOT persist the block view here — ReuseExchange already
+    // dedupes the derivation's shuffle across stored/freshest/reported,
+    // and a columnar cache write measured ~50% slower (7.6s vs 5.0s)
     "n5_block_report" -> { (s, dir) =>
       DerivedState.register(s, dir)
       Dataflows.reconcileReports(s.table("block"), s.table("reported"))
