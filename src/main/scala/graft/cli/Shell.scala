@@ -19,6 +19,8 @@ import graft.state.StateManager
   *   stat <path>    file status (with derived length)
   *   fsck           namespace health report
   *   report         datanode report
+  *   dedup          simhash near-duplicate census over the documents corpus
+  *   clean          the corpus cleaning pipeline (dedup → near-dup → quality)
   */
 object Shell {
   def main(args: Array[String]): Unit = {
@@ -73,6 +75,16 @@ object Shell {
           .select(col("id"), col("name"), col("alive"), col("adminState"),
             col("capacity"), col("remaining"))
           .orderBy(col("id")).show(50, truncate = false)
+      case "dedup" =>
+        // near-duplicate census over the documents corpus
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        graft.functions.Dedup.simhashNearDups(docs, "doc_id", "text")
+          .orderBy(col("hamming"), col("id1"), col("id2"))
+          .show(20, truncate = false)
+      case "clean" =>
+        // the t5 pipeline: survivors of dedup + near-dup + quality gate
+        graft.SparkEntry.queries("t5_clean_corpus")(spark, sfDir)
+          .show(20, truncate = false)
       case other => sys.error(s"unknown verb: $other")
     }
     spark.stop()

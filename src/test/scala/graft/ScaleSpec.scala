@@ -26,6 +26,21 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join should not shuffle:\n$plan")
   }
 
+  test("S8 blockEntries over an id-bucketed block table needs no shuffle") {
+    // the cluster-scale layout for the block table: bucketed by block id,
+    // so the BlockEntry grouping is satisfied by the scan's distribution
+    val b = (1 to 300).flatMap(i => (0 until 1 + i % 3).map(r =>
+      (i.toLong, r.toLong + 1, 100L, 7L, i.toLong % 50, 1L, i.toLong)))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version")
+    Scale.writeBucketed(b, "graft_bucketed_blk", "id", buckets = 4)
+    val entries = graft.state.StateManager.blockEntries(
+      spark.table("graft_bucketed_blk"))
+    assert(entries.count() == 300)
+    val plan = entries.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed blockEntries should not shuffle:\n$plan")
+  }
+
   test("salted join equals plain join on a skewed key") {
     // 90% of the big side hits one key — the classic skew shape
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i))
