@@ -109,6 +109,76 @@ object DataOpsQueries {
       |        FROM embeddings) t
       |  GROUP BY vec_id)""".stripMargin
 
+  /** Brute-force kNN chain (needs norms; ends with bruteRanked). */
+  private val BruteSql: String =
+    """p AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS qv, c.embedding AS nv
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id % 100 = 0),
+      |dots AS (
+      |  SELECT qid, nid, CAST(SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)
+      |    * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+      |  FROM (SELECT qid, nid, qv, nv, UNNEST(range(1, len(qv)+1)) AS i FROM p) t
+      |  GROUP BY qid, nid),
+      |cosd AS (
+      |  SELECT qid, nid, dot / (na.nrm * nb.nrm) AS cosine
+      |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid),
+      |bruteRanked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      |  FROM cosd)""".stripMargin
+
+  /** IVF search chain (needs norms; ends with ivfRanked). */
+  private val IvfSql: String =
+    """cent AS (
+      |  SELECT vec_id AS cellId, embedding AS cv FROM embeddings
+      |  ORDER BY vec_id LIMIT 8),
+      |centn AS (
+      |  SELECT c.cellId, c.cv, n.nrm AS cnrm
+      |  FROM cent c JOIN norms n ON n.vec_id = c.cellId),
+      |assignDots AS (
+      |  SELECT e.vec_id, c.cellId,
+      |    CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
+      |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+      |  FROM embeddings e CROSS JOIN centn c
+      |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
+      |  GROUP BY e.vec_id, c.cellId),
+      |assignCos AS (
+      |  SELECT a.vec_id, a.cellId, a.dot / (n.nrm * c.cnrm) AS cellCos
+      |  FROM assignDots a
+      |  JOIN norms n ON n.vec_id = a.vec_id
+      |  JOIN centn c ON c.cellId = a.cellId),
+      |celled AS (
+      |  SELECT vec_id, cellId FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cellCos DESC, cellId) AS rn FROM assignCos) t
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, cellId FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cellCos DESC, cellId) AS rn
+      |    FROM assignCos WHERE vec_id % 100 = 0) t
+      |  WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.qid, c.vec_id AS nid, c.cellId
+      |  FROM probes p JOIN celled c ON c.cellId = p.cellId AND c.vec_id <> p.qid),
+      |candDots AS (
+      |  SELECT cd.qid, cd.nid, cd.cellId,
+      |    CAST(SUM(CAST(ROUND(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)
+      |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+      |  FROM cand cd
+      |  JOIN embeddings q ON q.vec_id = cd.qid
+      |  JOIN embeddings v ON v.vec_id = cd.nid
+      |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
+      |  GROUP BY cd.qid, cd.nid, cd.cellId),
+      |finalCos AS (
+      |  SELECT d.qid, d.nid, d.cellId, d.dot / (nq.nrm * nn.nrm) AS cosine
+      |  FROM candDots d
+      |  JOIN norms nq ON nq.vec_id = d.qid
+      |  JOIN norms nn ON nn.vec_id = d.nid),
+      |ivfRanked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY cosine DESC, nid) AS rank FROM finalCos)""".stripMargin
+
   /** Shared oracle CTEs for the sign-LSH ANN pipeline (norms, hyperplane
     * buckets, candidate pairs, pair dots) — used by sim2 and d5. */
   private val AnnCoreSql: String =
@@ -215,6 +285,21 @@ object DataOpsQueries {
       Vectors.ivfSearch(Tables.embeddings(s, dir), nCells = 8, nProbe = 2,
           col("vec_id") % 100 === 0, k = 5)
         .orderBy(col("qid"), col("rank"))
+    },
+    // ANN quality measurement: recall@5 of the probed IVF search against
+    // the exact brute-force top-5 — the accept/reject dial for any
+    // approximate index before it ships
+    "sim4_ivf_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pred = col("vec_id") % 100 === 0
+      val brute = Vectors.knnBrute(emb, pred, k = 5).select(col("qid"), col("nid"))
+      val ivf = Vectors.ivfSearch(emb, nCells = 8, nProbe = 2, pred, k = 5)
+        .select(col("qid"), col("nid"), lit(1).as("__hit"))
+      brute.join(ivf, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
+        .withColumn("recall", col("hits").cast("double") / 5.0)
+        .orderBy(col("qid"))
     },
     // language ID heuristic
     "t1_lang_id" -> { (s, dir) =>
@@ -414,23 +499,19 @@ object DataOpsQueries {
         |ORDER BY c.id1, c.id2""".stripMargin,
     "sim1_knn_brute" ->
       s"""WITH $NormsSql,
-        |p AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS qv, c.embedding AS nv
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id % 100 = 0),
-        |dots AS (
-        |  SELECT qid, nid, CAST(SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)
-        |    * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-        |  FROM (SELECT qid, nid, qv, nv, UNNEST(range(1, len(qv)+1)) AS i FROM p) t
-        |  GROUP BY qid, nid),
-        |cosd AS (
-        |  SELECT qid, nid, dot / (na.nrm * nb.nrm) AS cosine
-        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid),
-        |ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
-        |  FROM cosd)
-        |SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
+        |$BruteSql
+        |SELECT qid, nid, cosine, rank FROM bruteRanked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "sim4_ivf_recall" ->
+      s"""WITH $NormsSql,
+        |$BruteSql,
+        |$IvfSql
+        |SELECT b.qid, CAST(COUNT(i.nid) AS BIGINT) AS hits,
+        |  CAST(COUNT(i.nid) AS DOUBLE) / 5.0 AS recall
+        |FROM (SELECT qid, nid FROM bruteRanked WHERE rank <= 5) b
+        |LEFT JOIN (SELECT qid, nid FROM ivfRanked WHERE rank <= 5) i
+        |  ON b.qid = i.qid AND b.nid = i.nid
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
     "sim2_ann_lsh" ->
       s"""WITH $AnnCoreSql
         |SELECT d.bucket, d.id1, d.id2, d.dot / (na.nrm * nb.nrm) AS cosine
@@ -447,55 +528,8 @@ object DataOpsQueries {
         |FROM pairs GROUP BY id2 ORDER BY id""".stripMargin,
     "sim3_ivf" ->
       s"""WITH $NormsSql,
-        |cent AS (
-        |  SELECT vec_id AS cellId, embedding AS cv FROM embeddings
-        |  ORDER BY vec_id LIMIT 8),
-        |centn AS (
-        |  SELECT c.cellId, c.cv, n.nrm AS cnrm
-        |  FROM cent c JOIN norms n ON n.vec_id = c.cellId),
-        |assignDots AS (
-        |  SELECT e.vec_id, c.cellId,
-        |    CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
-        |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-        |  FROM embeddings e CROSS JOIN centn c
-        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
-        |  GROUP BY e.vec_id, c.cellId),
-        |assignCos AS (
-        |  SELECT a.vec_id, a.cellId, a.dot / (n.nrm * c.cnrm) AS cellCos
-        |  FROM assignDots a
-        |  JOIN norms n ON n.vec_id = a.vec_id
-        |  JOIN centn c ON c.cellId = a.cellId),
-        |celled AS (
-        |  SELECT vec_id, cellId FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY cellCos DESC, cellId) AS rn FROM assignCos) t
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS qid, cellId FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY cellCos DESC, cellId) AS rn
-        |    FROM assignCos WHERE vec_id % 100 = 0) t
-        |  WHERE rn <= 2),
-        |cand AS (
-        |  SELECT p.qid, c.vec_id AS nid, c.cellId
-        |  FROM probes p JOIN celled c ON c.cellId = p.cellId AND c.vec_id <> p.qid),
-        |candDots AS (
-        |  SELECT cd.qid, cd.nid, cd.cellId,
-        |    CAST(SUM(CAST(ROUND(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)
-        |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-        |  FROM cand cd
-        |  JOIN embeddings q ON q.vec_id = cd.qid
-        |  JOIN embeddings v ON v.vec_id = cd.nid
-        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
-        |  GROUP BY cd.qid, cd.nid, cd.cellId),
-        |finalCos AS (
-        |  SELECT d.qid, d.nid, d.cellId, d.dot / (nq.nrm * nn.nrm) AS cosine
-        |  FROM candDots d
-        |  JOIN norms nq ON nq.vec_id = d.qid
-        |  JOIN norms nn ON nn.vec_id = d.nid)
-        |SELECT qid, nid, cellId, cosine, rank FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-        |    ORDER BY cosine DESC, nid) AS rank FROM finalCos) t
+        |$IvfSql
+        |SELECT qid, nid, cellId, cosine, rank FROM ivfRanked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "t1_lang_id" ->
       """WITH t AS (
