@@ -81,6 +81,18 @@ object StateQueries {
         .select(col("holder"), col("leaseTime"), col("version"))
         .orderBy(col("holder"))
     },
+    // P3: UPDATE ... WHERE idx cmp ? LIMIT n — only the first n matches
+    // (in index order) are written
+    "p3_update_limited" -> { (s, dir) =>
+      val lease = DerivedState.lease(s, dir)
+      StateStore.updateLimited(lease,
+          IndexDef("TIME", Seq("leaseTime")), Seq(Now - 3600000L),
+          Comparator.LT,
+          Map("version" -> StateStore.Add(5000L)),
+          nowMs = Now, limit = 10)
+        .select(col("holder"), col("leaseTime"), col("version"))
+        .orderBy(col("holder"))
+    },
     // R5: tombstone read discipline — live rows only
     "r5_tombstone_read" -> { (s, dir) =>
       val f = DerivedState.file(s, dir)
@@ -255,6 +267,16 @@ object StateQueries {
         |  CASE WHEN leaseTime < 1700000000000 - 3600000 THEN 1700000000000 ELSE leaseTime END AS leaseTime,
         |  CASE WHEN leaseTime < 1700000000000 - 3600000 THEN version + 1000 ELSE version END AS version
         |FROM lease ORDER BY holder""".stripMargin),
+    "p3_update_limited" -> O(
+      """SELECT holder, leaseTime,
+        |  CASE WHEN leaseTime < 1700000000000 - 3600000 AND rk <= 10
+        |       THEN version + 5000 ELSE version END AS version
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY
+        |    CASE WHEN leaseTime < 1700000000000 - 3600000 THEN 0 ELSE 1 END,
+        |    leaseTime) AS rk
+        |  FROM lease) t
+        |ORDER BY holder""".stripMargin),
     "r5_tombstone_read" -> O(
       """SELECT
         |  (SELECT COUNT(*) FROM file WHERE version > 0 AND length = -1) AS liveDirs,

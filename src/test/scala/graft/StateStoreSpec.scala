@@ -33,6 +33,18 @@ class StateStoreSpec extends SparkSpec {
     assert(m("a") == (101L, 999L) && m("b") == (102L, 999L) && m("c") == (3L, 30L))
   }
 
+  test("P3 limited update writes only the first n matches in index order") {
+    val t = Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 30L, 3L), (4L, 40L, 4L))
+      .toDF("id", "v", "version")
+    val out = rows(StateStore.updateLimited(t,
+        IndexDef("PRIMARY", Seq("id")), Seq(0L), Comparator.GT,
+        Map("v" -> StateStore.Add(100L)), nowMs = 0L, limit = 2)
+      .select(col("id"), col("v")))
+      .map(r => r.head -> r.last).toMap
+    // ids 1,2 (first two in index order) updated; 3,4 untouched
+    assert(out == Map(1L -> 110L, 2L -> 120L, 3L -> 30L, 4L -> 40L))
+  }
+
   test("soft delete tombstones and live() hides them") {
     val out = StateStore.softDelete(kv, col("id") === 1L)
     assert(rows(out.filter(col("id") === 1L)).head.last == -1L)
