@@ -341,6 +341,16 @@ object DataOpsQueries {
         .join(headers, Seq("doc_id"))
         .orderBy(col("doc_id"))
     },
+    // F1 in the gate: documents → Hadoop SequenceFile[Text,Text] on disk
+    // → read back — the differential check validates the round-trip
+    "f1_seqfile_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-f1").toString
+      val kv = Tables.documents(s, dir)
+        .select(col("doc_id").cast("string").as("key"), col("text").as("value"))
+      graft.sources.Formats.writeSequenceFile(kv, s"$tmp/seq", sorted = true)
+      graft.sources.Formats.readSequenceFile(s, s"$tmp/seq")
+        .orderBy(col("key"))
+    },
     // M: batched stub decode through the mapPartitions plumbing — the
     // oracle recomputes the deterministic fake features from byte stats
     "m2_decode_meta" -> { (s, dir) =>
@@ -580,6 +590,9 @@ object DataOpsQueries {
         |  octet_length(encode(text)) AS byteLen,
         |  hex(encode(substr(text, 1, 4))) AS headerHex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "f1_seqfile_roundtrip" ->
+      """SELECT CAST(doc_id AS STRING) AS key, text AS value
+        |FROM documents ORDER BY key""".stripMargin,
     "m2_decode_meta" ->
       """SELECT doc_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,
