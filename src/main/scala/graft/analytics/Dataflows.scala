@@ -76,14 +76,21 @@ object Dataflows {
     *  - toRemove:     stored but not reported (lost replica)
     *  - ok:           lengths+genstamps agree.
     * `reported` columns: datanodeId, blockId, repLength, repGenStamp. */
-  def reconcileReports(block: DataFrame, reported: DataFrame): DataFrame = {
+  def reconcileReports(block: DataFrame, reported: DataFrame,
+                       genStampArbiter: Option[DataFrame] = None): DataFrame = {
     val stored = live(block).select(
       col("id").as("blockId"), col("datanodeId"),
       col("length").as("storedLength"), col("generationStamp").as("storedGenStamp"))
     // per-block freshest genstamp across ALL replicas — the arbiter for
     // stale-report detection (older genstamp loses, :2520-2552). Derived
-    // from `stored` (not a second scan of the block table).
-    val freshest = stored.groupBy(col("blockId").as("__bid"))
+    // from `stored` (not a second scan of the block table) unless the
+    // caller scoped `block` down (per-datanode micro-batches) and supplies
+    // the global table to arbitrate against.
+    val arbiterSrc = genStampArbiter
+      .map(b => live(b).select(col("id").as("blockId"),
+        col("generationStamp").as("storedGenStamp")))
+      .getOrElse(stored)
+    val freshest = arbiterSrc.groupBy(col("blockId").as("__bid"))
       .agg(max(col("storedGenStamp")).as("maxGenStamp"))
     reported
       .join(stored, Seq("datanodeId", "blockId"), "full_outer")
@@ -259,10 +266,7 @@ object Dataflows {
       count(when(col("length") =!= -1L, 1)).as("fileCount"),
       count(when(col("length") === -1L, 1)).as("dirCount"))
     // the summary is tiny: materialize it, then release the frontiers
-    val result = summary.persist()
-    result.count()
-    persisted.foreach(_.unpersist(blocking = false))
-    result
+    graft.core.Caching.materializeAndRelease(summary, persisted.toSeq)
   }
 
   // ---- N16: datanode report (live/dead partition) ----------------------

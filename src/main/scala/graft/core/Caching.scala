@@ -23,4 +23,22 @@ object Caching {
     intermediates.foreach(_.unpersist(blocking = false))
     result
   }
+
+  /** Session-scoped scratch space: every staging dir (SequenceFile dumps,
+    * stream checkpoints/feeds) lives under ONE per-JVM root removed by a
+    * shutdown hook — repeated gate runs must not accumulate /tmp. */
+  lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root.toFile)))
+    root
+  }
+
+  def scratchDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
 }

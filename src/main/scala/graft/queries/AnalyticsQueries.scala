@@ -52,7 +52,7 @@ object AnalyticsQueries {
     // foreachBatch — the result must land on n5's exact oracle
     "n5_stream_report_parity" -> { (s, dir) =>
       DerivedState.register(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-n5-stream")
+      val tmp = graft.core.Caching.scratchDir("n5-stream")
       val feedDir = tmp.resolve("feed").toString
       val outDir = tmp.resolve("out").toString
       s.table("reported").write.parquet(feedDir)
@@ -60,7 +60,18 @@ object AnalyticsQueries {
       val q = s.readStream.schema(schema).parquet(feedDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          Dataflows.reconcileReports(batch.sparkSession.table("block"), batch)
+          val sess = batch.sparkSession
+          // a block report is per-datanode and arrives whole (one RPC in
+          // the reference), so scope the stored side to THIS batch's
+          // reporting datanodes: each report reconciles exactly once even
+          // if the feed spans several micro-batches. The genstamp arbiter
+          // stays the GLOBAL block table (a fresher replica may live on a
+          // node that is not reporting right now).
+          val reportingNodes = batch.select(col("datanodeId")).distinct()
+          val scoped = sess.table("block")
+            .join(broadcast(reportingNodes), Seq("datanodeId"), "left_semi")
+          Dataflows.reconcileReports(scoped, batch,
+              genStampArbiter = Some(sess.table("block")))
             .groupBy(col("datanodeId"), col("action"))
             .agg(count(lit(1)).as("n"))
             .write.mode("append").parquet(outDir)
@@ -69,10 +80,19 @@ object AnalyticsQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // late/duplicate batches would re-count a datanode's report; the
-      // feed is one file → one batch here, but sum anyway (idempotent
-      // grouping over whatever the engine delivered)
+      // the reference's SECOND pass (FSNamesystem.java:2562-2594): stored
+      // replicas on datanodes that never reported in the whole feed are
+      // stale → toRemove. Per-batch scoping above cannot see them.
+      val everReported = s.read.parquet(feedDir)
+        .select(col("datanodeId")).distinct()
+      val neverReported = s.table("block").filter(col("version") > 0)
+        .join(broadcast(everReported), Seq("datanodeId"), "left_anti")
+        .groupBy(col("datanodeId"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("action", lit("toRemove"))
+        .select(col("datanodeId"), col("action"), col("n"))
       s.read.parquet(outDir)
+        .unionByName(neverReported)
         .groupBy(col("datanodeId"), col("action"))
         .agg(sum(col("n")).as("n"))
         .orderBy(col("datanodeId"), col("action"))

@@ -344,7 +344,7 @@ object DataOpsQueries {
     // F1 in the gate: documents → Hadoop SequenceFile[Text,Text] on disk
     // → read back — the differential check validates the round-trip
     "f1_seqfile_roundtrip" -> { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-f1").toString
+      val tmp = graft.core.Caching.scratchDir("f1").toString
       val kv = Tables.documents(s, dir)
         .select(col("doc_id").cast("string").as("key"), col("text").as("value"))
       graft.sources.Formats.writeSequenceFile(kv, s"$tmp/seq", sorted = true)
@@ -403,11 +403,10 @@ object DataOpsQueries {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val sinkName = "e4sink"
       s.sql(s"DROP VIEW IF EXISTS $sinkName") // re-runnable in one session
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-e4-ckpt").toString
+      val ckpt = graft.core.Caching.scratchDir("e4-ckpt").toString
       // the file streaming source wants a DIRECTORY to monitor — stage one
       // holding a symlink to the events parquet
-      val srcDir = java.nio.file.Files.createTempDirectory("graft-e4-src")
+      val srcDir = graft.core.Caching.scratchDir("e4-src")
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -607,7 +606,9 @@ object DataOpsQueries {
       """SELECT doc_id,
         |  (CAST(CEIL(octet_length(encode(text)) / 256.0) AS BIGINT) + 1) // 2 AS nFrames,
         |  hex(encode(substr(text, 1, 256))) AS firstFrameHex
-        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+        |FROM documents
+        |WHERE doc_id % 3 = 2 AND length(text) > 0 -- empty payload → no frames
+        |ORDER BY doc_id""".stripMargin,
     "e1_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),

@@ -89,7 +89,7 @@ object StateQueries {
           IndexDef("TIME", Seq("leaseTime")), Seq(Now - 3600000L),
           Comparator.LT,
           Map("version" -> StateStore.Add(5000L)),
-          nowMs = Now, limit = 10)
+          nowMs = Now, limit = 10, tieBreak = Seq("holder"))
         .select(col("holder"), col("leaseTime"), col("version"))
         .orderBy(col("holder"))
     },
@@ -274,7 +274,7 @@ object StateQueries {
         |FROM (
         |  SELECT *, ROW_NUMBER() OVER (ORDER BY
         |    CASE WHEN leaseTime < 1700000000000 - 3600000 THEN 0 ELSE 1 END,
-        |    leaseTime) AS rk
+        |    leaseTime, holder) AS rk
         |  FROM lease) t
         |ORDER BY holder""".stripMargin),
     "r5_tombstone_read" -> O(

@@ -97,17 +97,21 @@ object StateStore {
   /** P3's LIMIT clause: update only the first `limit` matching rows in
     * index order (the reference's `UPDATE t SET ... WHERE ... LIMIT n`,
     * DatabaseExecutorForMysqlClient.java:145-180). Rows beyond the limit
-    * keep their values. */
+    * keep their values. `tieBreak` columns must make (index ++ tieBreak)
+    * a total order — a NON-unique index with no tie-break would make the
+    * boundary row set nondeterministic (and differ from any oracle). */
   def updateLimited(df: DataFrame, index: IndexDef, keys: Seq[Any],
                     cmp: Comparator.Value, sets: Map[String, SetExpr],
-                    nowMs: Long, limit: Int): DataFrame = {
+                    nowMs: Long, limit: Int,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
     val pred = indexPredicate(index, keys, cmp)
-    // matching rows sort first (flag 0), then index order — so their
-    // row_numbers are exactly 1..m and `pred && rank <= n` hits the first
-    // n matches. Global window = single partition: correct for the
+    // matching rows sort first (flag 0), then (index, tieBreak) order — so
+    // their row_numbers are exactly 1..m and `pred && rank <= n` hits the
+    // first n matches. Global window = single partition: correct for the
     // serialized write path (same discipline as batch id assignment).
     val flag = when(pred, 0).otherwise(1)
-    val w = Window.orderBy(flag.asc +: index.cols.map(c => col(c).asc): _*)
+    val w = Window.orderBy(
+      flag.asc +: (index.cols ++ tieBreak).map(c => col(c).asc): _*)
     val ranked = df.withColumn("__rk", row_number().over(w))
     update(ranked, pred && col("__rk") <= limit, sets, nowMs).drop("__rk")
   }

@@ -12,7 +12,7 @@ class FormatsSpec extends SparkSpec {
   import spark.implicits._
 
   test("F1: sequence file round-trip (sorted)") {
-    val dir = Files.createTempDirectory("graft-seq").toString + "/sf"
+    val dir = graft.core.Caching.scratchDir("seq").toString + "/sf"
     val df = Seq(("b", "2"), ("a", "1"), ("c", "3")).toDF("key", "value")
     Formats.writeSequenceFile(df, dir, sorted = true)
     val back = rows(Formats.readSequenceFile(spark, dir).orderBy(col("key")))
@@ -20,7 +20,7 @@ class FormatsSpec extends SparkSpec {
   }
 
   test("F2/F3: sorted keyed parquet round-trip with codec") {
-    val dir = Files.createTempDirectory("graft-kv").toString + "/kv"
+    val dir = graft.core.Caching.scratchDir("kv").toString + "/kv"
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
     Formats.writeSortedKeyed(df, "k", dir, codec = "gzip")
     val back = spark.read.parquet(dir)
@@ -29,7 +29,7 @@ class FormatsSpec extends SparkSpec {
   }
 
   test("F11: namespace export to json") {
-    val dir = Files.createTempDirectory("graft-ns").toString + "/ns"
+    val dir = graft.core.Caching.scratchDir("ns").toString + "/ns"
     val file = Seq(
       (0L, -1L, "", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 1L),
       (1L, 0L, "a", 10L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 2L),

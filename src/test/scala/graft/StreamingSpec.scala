@@ -41,7 +41,7 @@ class StreamingSpec extends SparkSpec {
 
   test("changefeed state survives a checkpointed restart") {
     implicit val sqlCtx = spark.sqlContext
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ckpt = graft.core.Caching.scratchDir("ckpt").toString
     val mem = MemoryStream[Op]
     val emitted = new java.util.concurrent.ConcurrentLinkedQueue[KeyState]()
     def start() = Changefeed.applyOps(spark, mem.toDS())
