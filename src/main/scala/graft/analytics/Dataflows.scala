@@ -104,6 +104,19 @@ object Dataflows {
           .otherwise(lit("ok")))
   }
 
+  /** One micro-batch of the streamed N5 pipeline: a block report is
+    * per-datanode and arrives whole, so the stored side is scoped to the
+    * batch's reporting datanodes (each report reconciles exactly once
+    * across batches) while the genstamp arbiter stays the global table (a
+    * fresher replica may live on a node not reporting right now). The
+    * caller must add the second pass — toRemove for datanodes absent from
+    * the ENTIRE feed (FSNamesystem.java:2562-2594). */
+  def reconcileReportBatch(block: DataFrame, batch: DataFrame): DataFrame = {
+    val reportingNodes = batch.select(col("datanodeId")).distinct()
+    val scoped = block.join(broadcast(reportingNodes), Seq("datanodeId"), "left_semi")
+    reconcileReports(scoped, batch, genStampArbiter = Some(block))
+  }
+
   // ---- N6: under-replication priorities + top-k (UnderReplicatedBlocks.java) -
 
   /** Priority per under-replicated block (UnderReplicatedBlocks.java:70-90):

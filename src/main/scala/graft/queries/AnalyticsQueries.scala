@@ -60,18 +60,7 @@ object AnalyticsQueries {
       val q = s.readStream.schema(schema).parquet(feedDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val sess = batch.sparkSession
-          // a block report is per-datanode and arrives whole (one RPC in
-          // the reference), so scope the stored side to THIS batch's
-          // reporting datanodes: each report reconciles exactly once even
-          // if the feed spans several micro-batches. The genstamp arbiter
-          // stays the GLOBAL block table (a fresher replica may live on a
-          // node that is not reporting right now).
-          val reportingNodes = batch.select(col("datanodeId")).distinct()
-          val scoped = sess.table("block")
-            .join(broadcast(reportingNodes), Seq("datanodeId"), "left_semi")
-          Dataflows.reconcileReports(scoped, batch,
-              genStampArbiter = Some(sess.table("block")))
+          Dataflows.reconcileReportBatch(batch.sparkSession.table("block"), batch)
             .groupBy(col("datanodeId"), col("action"))
             .agg(count(lit(1)).as("n"))
             .write.mode("append").parquet(outDir)

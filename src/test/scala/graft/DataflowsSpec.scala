@@ -45,6 +45,30 @@ class DataflowsSpec extends SparkSpec {
     assert(removed == Set(201L, 203L))
   }
 
+  test("N5 streamed: per-datanode micro-batches + second pass equal the one-shot reconcile") {
+    // extra stored replica on dn13, which never reports at all
+    val blk = block.unionByName(Seq((204L, 13L, 9L, 1L, 3L, 4L, 15L))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version"))
+    val rep12 = Seq((12L, 203L, 20L, 9L))
+      .toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+    val feed = reported.unionByName(rep12)
+    def counts(df: DataFrame) =
+      rows(df.groupBy(col("datanodeId"), col("action")).agg(count(lit(1)).as("n")))
+        .map(r => (r.head, r(1)) -> r(2)).toMap
+    val oneShot = counts(Dataflows.reconcileReports(blk, feed))
+    // the feed split into per-datanode micro-batches, each scoped...
+    val batches = Dataflows.reconcileReportBatch(blk, reported)
+      .unionByName(Dataflows.reconcileReportBatch(blk, rep12))
+    // ...plus the second pass for never-reporting nodes
+    val never = blk.filter(col("version") > 0)
+      .join(feed.select(col("datanodeId")).distinct(), Seq("datanodeId"), "left_anti")
+      .select(col("datanodeId"), lit("toRemove").as("action"))
+    val streamed = counts(batches.select(col("datanodeId"), col("action"))
+      .unionByName(never))
+    assert(streamed == oneShot)
+    assert(oneShot.contains((13L, "toRemove"))) // the second pass actually fired
+  }
+
   test("N6: under-replication priority levels") {
     val dn = Seq(
       (11L, "dn11", "DS-11", 0L, 0L, 1000L, 0L, 900L, now - 1L, 0L, "/r1", "NORMAL", 1L),
