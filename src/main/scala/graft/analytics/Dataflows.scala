@@ -117,6 +117,16 @@ object Dataflows {
     reconcileReports(scoped, batch, genStampArbiter = Some(block))
   }
 
+  /** The second pass of the streamed N5 pipeline: stored replicas on
+    * datanodes that never reported across the WHOLE feed are stale →
+    * toRemove (FSNamesystem.java:2562-2594). `everReported` = the distinct
+    * datanodeIds of the full feed. */
+  def neverReportedRemovals(block: DataFrame, everReported: DataFrame): DataFrame =
+    live(block)
+      .join(broadcast(everReported.select(col("datanodeId")).distinct()),
+        Seq("datanodeId"), "left_anti")
+      .select(col("datanodeId"), lit("toRemove").as("action"))
+
   // ---- N6: under-replication priorities + top-k (UnderReplicatedBlocks.java) -
 
   /** Priority per under-replicated block (UnderReplicatedBlocks.java:70-90):

@@ -37,7 +37,10 @@ object Caching {
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
+    // never follow symlinks: staging dirs may link to SOURCE datasets
+    // (e.g. the e4 events.parquet link) — delete the link, not the target
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
     f.delete()
     ()
   }

@@ -55,7 +55,10 @@ object AnalyticsQueries {
       val tmp = graft.core.Caching.scratchDir("n5-stream")
       val feedDir = tmp.resolve("feed").toString
       val outDir = tmp.resolve("out").toString
-      s.table("reported").write.parquet(feedDir)
+      // hash-partition the feed by datanodeId so no report SPANS files —
+      // the wholeness invariant reconcileReportBatch depends on then holds
+      // for ANY file-granularity batching (e.g. maxFilesPerTrigger)
+      s.table("reported").repartition(col("datanodeId")).write.parquet(feedDir)
       val schema = s.read.parquet(feedDir).schema
       val q = s.readStream.schema(schema).parquet(feedDir)
         .writeStream
@@ -69,17 +72,12 @@ object AnalyticsQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // the reference's SECOND pass (FSNamesystem.java:2562-2594): stored
-      // replicas on datanodes that never reported in the whole feed are
-      // stale → toRemove. Per-batch scoping above cannot see them.
-      val everReported = s.read.parquet(feedDir)
-        .select(col("datanodeId")).distinct()
-      val neverReported = s.table("block").filter(col("version") > 0)
-        .join(broadcast(everReported), Seq("datanodeId"), "left_anti")
-        .groupBy(col("datanodeId"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("action", lit("toRemove"))
-        .select(col("datanodeId"), col("action"), col("n"))
+      // the reference's SECOND pass: per-batch scoping cannot see stored
+      // replicas on datanodes that never reported in the whole feed
+      val neverReported =
+        Dataflows.neverReportedRemovals(s.table("block"), s.read.parquet(feedDir))
+          .groupBy(col("datanodeId"), col("action"))
+          .agg(count(lit(1)).as("n"))
       s.read.parquet(outDir)
         .unionByName(neverReported)
         .groupBy(col("datanodeId"), col("action"))

@@ -59,12 +59,10 @@ class DataflowsSpec extends SparkSpec {
     // the feed split into per-datanode micro-batches, each scoped...
     val batches = Dataflows.reconcileReportBatch(blk, reported)
       .unionByName(Dataflows.reconcileReportBatch(blk, rep12))
-    // ...plus the second pass for never-reporting nodes
-    val never = blk.filter(col("version") > 0)
-      .join(feed.select(col("datanodeId")).distinct(), Seq("datanodeId"), "left_anti")
-      .select(col("datanodeId"), lit("toRemove").as("action"))
+    // ...plus the second pass for never-reporting nodes (the SAME helper
+    // the streamed query uses)
     val streamed = counts(batches.select(col("datanodeId"), col("action"))
-      .unionByName(never))
+      .unionByName(Dataflows.neverReportedRemovals(blk, feed)))
     assert(streamed == oneShot)
     assert(oneShot.contains((13L, "toRemove"))) // the second pass actually fired
   }
