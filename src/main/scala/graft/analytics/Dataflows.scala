@@ -262,11 +262,50 @@ object Dataflows {
     * Single-pass for ALL roots at once: the frontier carries a rootId
     * label down the tree, so N roots cost the same joins as one — the
     * shape that survives a 1000-root du over a 100 TB namespace. */
-  def contentSummary(file: DataFrame, rootIds: Seq[Long], maxDepth: Int = 16): DataFrame = {
+  def contentSummary(file: DataFrame, rootIds: Seq[Long], maxDepth: Int = 16,
+                     dirBroadcastLimit: Long = 2000000L): DataFrame = {
+    val fAll = live(file)
+    graft.state.StateManager.collectDirChildren(fAll, dirBroadcastLimit) match {
+      case Some(children) =>
+        // driver-side: the (dirId → rootId) membership of every requested
+        // subtree (a dir under two requested roots contributes to both,
+        // matching the loop); one broadcast join then attributes every
+        // row to its root(s) via its parent dir
+        val pairs = rootIds.flatMap { r =>
+          val acc = scala.collection.mutable.ArrayBuffer((r, r))
+          var frontier = Seq(r)
+          var lvl = 0
+          while (frontier.nonEmpty && lvl < maxDepth) {
+            frontier = frontier.flatMap(p => children.getOrElse(p, Nil).map(_._1))
+            acc ++= frontier.map(d => (d, r))
+            lvl += 1
+          }
+          acc
+        }
+        val spark = file.sparkSession
+        import spark.implicits._
+        val dirRoot = pairs.toDF("__did", "rootId")
+        val inSubtrees = fAll
+          .join(broadcast(dirRoot), col("parentId") === col("__did"))
+          .select(col("rootId"), col("id"), col("length"))
+        val roots = fAll.filter(col("id").isin(rootIds: _*))
+          .select(col("id").as("rootId"), col("id"), col("length"))
+        summarize(roots.unionByName(inSubtrees))
+      case None => contentSummaryIterative(fAll, rootIds, maxDepth)
+    }
+  }
+
+  private def summarize(out: DataFrame): DataFrame =
+    out.groupBy(col("rootId")).agg(
+      sum(when(col("length") =!= -1L, greatest(col("length"), lit(0L))).otherwise(0L)).as("length"),
+      count(when(col("length") =!= -1L, 1)).as("fileCount"),
+      count(when(col("length") === -1L, 1)).as("dirCount"))
+
+  private def contentSummaryIterative(fAll: DataFrame, rootIds: Seq[Long],
+                                      maxDepth: Int): DataFrame = {
     // persist only the three columns the loop touches — every level joins
     // this frame, and a view-backed input would re-derive per level
-    val f = live(file)
-      .select(col("id"), col("parentId"), col("length")).persist()
+    val f = fAll.select(col("id"), col("parentId"), col("length")).persist()
     var frontier = f.filter(col("id").isin(rootIds: _*))
       .select(col("id").as("rootId"), col("id"), col("length"))
     var out = frontier
@@ -284,12 +323,8 @@ object Dataflows {
       if (n > 0) out = out.unionByName(frontier)
       lvl += 1
     }
-    val summary = out.groupBy(col("rootId")).agg(
-      sum(when(col("length") =!= -1L, greatest(col("length"), lit(0L))).otherwise(0L)).as("length"),
-      count(when(col("length") =!= -1L, 1)).as("fileCount"),
-      count(when(col("length") === -1L, 1)).as("dirCount"))
     // the summary is tiny: materialize it, then release the frontiers
-    graft.core.Caching.materializeAndRelease(summary, persisted.toSeq)
+    graft.core.Caching.materializeAndRelease(summarize(out), persisted.toSeq)
   }
 
   // ---- N16: datanode report (live/dead partition) ----------------------

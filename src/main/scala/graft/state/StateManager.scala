@@ -27,15 +27,78 @@ object StateManager {
 
   // ---- S1: path resolution (StateManager.java:681-699) -----------------
 
-  /** Resolve absolute paths root-down by walking (parentId, name) per
-    * depth level. `paths` needs a `path` column; output appends the
-    * resolved file's columns. Paths that don't resolve are dropped
-    * (reference returns null entries). */
-  def resolvePaths(file: DataFrame, paths: DataFrame, maxDepth: Int = 16): DataFrame = {
+  /** Collect the live directory tree as a parent → children adjacency
+    * when it fits under `limit` rows of driver memory; None above it.
+    * The dir subset is tiny relative to files (the reference's namenode
+    * held the whole tree in RAM), so the common case at any scale is
+    * Some — the iterative join loops remain the unbounded fallback. */
+  private[graft] def collectDirChildren(
+      f: DataFrame, limit: Long): Option[Map[Long, Seq[(Long, String)]]] = {
+    // collect limit+1 rows in ONE action (a separate count would compute
+    // the input twice when it is a derived view); >limit rows → too big
+    val rows = f.filter(col("length") === -1L)
+      .select(col("id"), col("parentId"), col("name"))
+      .limit(math.min(limit + 1, Int.MaxValue.toLong).toInt)
+      .collect()
+    if (rows.length > limit) None
+    else Some(rows.toSeq
+      .groupBy(_.getLong(1))
+      .view.mapValues(_.map(r => (r.getLong(0), r.getString(2)))).toMap)
+  }
+
+  /** Root-down (dirId, fullPath) pairs from the adjacency; dirs not
+    * reachable from the root are excluded (matching the join loops,
+    * which never visit them). */
+  private[graft] def dirPathPairs(children: Map[Long, Seq[(Long, String)]],
+                                  maxDepth: Int): Seq[(Long, String)] = {
+    val pathOf = scala.collection.mutable.LongMap.empty[String]
+    pathOf(0L) = ""
+    var frontier = Seq(0L)
+    var lvl = 0
+    while (frontier.nonEmpty && lvl < maxDepth) {
+      frontier = frontier.flatMap { p =>
+        children.getOrElse(p, Nil).collect { case (id, name) if id != 0L =>
+          pathOf(id) = pathOf(p) + "/" + name
+          id
+        }
+      }
+      lvl += 1
+    }
+    pathOf.toSeq
+  }
+
+  /** Resolve absolute paths root-down. `paths` needs a `path` column;
+    * output appends the resolved file's columns. Paths that don't resolve
+    * are dropped (reference returns null entries).
+    *
+    * Fast path (dir tree fits on the driver): look the PARENT directory
+    * up in the broadcast dir-path map and resolve the leaf with one join
+    * — no per-level walk. Falls back to the per-depth join loop. */
+  def resolvePaths(file: DataFrame, paths: DataFrame, maxDepth: Int = 16,
+                   dirBroadcastLimit: Long = 2000000L): DataFrame = {
+    val fBase = live(file)
+    collectDirChildren(fBase, dirBroadcastLimit) match {
+      case Some(children) =>
+        val spark = file.sparkSession
+        import spark.implicits._
+        val dirPaths = dirPathPairs(children, maxDepth)
+          .map { case (id, p) => (p, id) }.toDF("__dpath", "__did")
+        val reqs = paths.select(col("path"))
+          .withColumn("__leaf", substring_index(col("path"), "/", -1))
+          .withColumn("__pp",
+            expr("substring(path, 1, length(path) - length(__leaf) - 1)"))
+        reqs.join(broadcast(dirPaths), col("__pp") === col("__dpath"))
+          .join(fBase, col("parentId") === col("__did") && col("name") === col("__leaf"))
+          .select(col("path") +: fBase.columns.toSeq.map(col): _*)
+      case None => resolvePathsIterative(fBase, paths, maxDepth)
+    }
+  }
+
+  private def resolvePathsIterative(fBase: DataFrame, paths: DataFrame,
+                                    maxDepth: Int): DataFrame = {
     // NOT persisted: unlike materializePaths/descendants this loop takes no
     // per-level actions — every level lands in ONE final plan, where a
     // persist would only add cache-write overhead (measured slower)
-    val fBase = live(file)
     val cols = fBase.columns.toSeq
     // components: split('/a/b/c') -> ['', 'a', 'b', 'c']; depth = size-1
     val withParts = paths
@@ -77,11 +140,37 @@ object StateManager {
   /** Materialize the full path of every live file by walking the tree from
     * the root downward (equivalent to per-id upward recursion, but done
     * once for the whole namespace — the fsimage-export F11 shape).
-    * Returns (id, path) plus the file columns. */
-  def materializePaths(file: DataFrame, maxDepth: Int = 16): DataFrame = {
+    * Returns (id, path) plus the file columns.
+    *
+    * Fast path: the DIRECTORY subset is small relative to files (the
+    * reference's namenode held the whole tree in RAM), so when it fits
+    * under `dirBroadcastLimit` the dir paths are built driver-side and
+    * every row resolves with ONE broadcast join — no per-level jobs.
+    * Larger trees fall back to the iterative per-level join loop. */
+  def materializePaths(file: DataFrame, maxDepth: Int = 16,
+                       dirBroadcastLimit: Long = 2000000L): DataFrame = {
+    val f = live(file)
+    collectDirChildren(f, dirBroadcastLimit) match {
+      case Some(children) =>
+        val spark = file.sparkSession
+        import spark.implicits._
+        val dirPaths = dirPathPairs(children, maxDepth).toDF("__pid", "__ppath")
+        f.join(broadcast(dirPaths), col("parentId") === col("__pid"), "left")
+          .withColumn("path",
+            when(col("id") === 0L, lit(""))
+              .otherwise(concat(col("__ppath"), lit("/"), col("name"))))
+          .filter(col("id") === 0L || col("__ppath").isNotNull)
+          .drop("__pid", "__ppath")
+      case None => materializePathsIterative(f, maxDepth)
+    }
+  }
+
+  /** The general (any tree size) per-level join loop. `f` must already be
+    * live-filtered. */
+  private def materializePathsIterative(f0: DataFrame, maxDepth: Int): DataFrame = {
     // persist the live table for the loop: every level joins it and a
     // view-backed input would re-derive per level
-    val f = live(file).persist()
+    val f = f0.persist()
     var frontier = f.filter(col("id") === 0L).withColumn("path", lit(""))
     var out = frontier
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
