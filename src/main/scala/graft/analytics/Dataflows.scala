@@ -265,30 +265,43 @@ object Dataflows {
   def contentSummary(file: DataFrame, rootIds: Seq[Long], maxDepth: Int = 16,
                      dirBroadcastLimit: Long = 2000000L): DataFrame = {
     val fAll = live(file)
-    graft.state.StateManager.collectDirChildren(fAll, dirBroadcastLimit) match {
+    graft.state.StateManager
+      .collectDirChildren(fAll, dirBroadcastLimit, needNames = false) match {
       case Some(children) =>
         // driver-side: the (dirId → rootId) membership of every requested
         // subtree (a dir under two requested roots contributes to both,
         // matching the loop); one broadcast join then attributes every
-        // row to its root(s) via its parent dir
-        val pairs = rootIds.flatMap { r =>
+        // row to its root(s) via its parent dir. Seeds are deduped and
+        // restricted to LIVE roots — the loop starts from live rows only,
+        // so a tombstoned root must yield no output here either.
+        val seeds = rootIds.distinct
+        val liveSeeds = fAll.filter(col("id").isin(seeds: _*))
+          .select(col("id")).collect().map(_.getLong(0)).toSet
+        val pairs = seeds.filter(liveSeeds).flatMap { r =>
           val acc = scala.collection.mutable.ArrayBuffer((r, r))
           var frontier = Seq(r)
           var lvl = 0
-          while (frontier.nonEmpty && lvl < maxDepth) {
-            frontier = frontier.flatMap(p => children.getOrElse(p, Nil).map(_._1))
+          // dirs to depth maxDepth-1 below the root: the child join adds
+          // one level, matching the loop's depth bound
+          while (frontier.nonEmpty && lvl < maxDepth - 1) {
+            frontier = frontier.flatMap(p =>
+              children.getOrElse(p, Nil).map(_._1).filter(_ != p))
             acc ++= frontier.map(d => (d, r))
             lvl += 1
           }
           acc
         }
+        // the membership product is per-root and unbounded by the
+        // adjacency cap (nested roots multiply it) — stay driver-safe
+        if (pairs.length > dirBroadcastLimit)
+          return contentSummaryIterative(fAll, rootIds, maxDepth)
         val spark = file.sparkSession
         import spark.implicits._
         val dirRoot = pairs.toDF("__did", "rootId")
         val inSubtrees = fAll
           .join(broadcast(dirRoot), col("parentId") === col("__did"))
           .select(col("rootId"), col("id"), col("length"))
-        val roots = fAll.filter(col("id").isin(rootIds: _*))
+        val roots = fAll.filter(col("id").isin(seeds: _*))
           .select(col("id").as("rootId"), col("id"), col("length"))
         summarize(roots.unionByName(inSubtrees))
       case None => contentSummaryIterative(fAll, rootIds, maxDepth)

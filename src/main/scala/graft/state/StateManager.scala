@@ -33,31 +33,37 @@ object StateManager {
     * held the whole tree in RAM), so the common case at any scale is
     * Some — the iterative join loops remain the unbounded fallback. */
   private[graft] def collectDirChildren(
-      f: DataFrame, limit: Long): Option[Map[Long, Seq[(Long, String)]]] = {
+      f: DataFrame, limit: Long,
+      needNames: Boolean = true): Option[Map[Long, Seq[(Long, String)]]] = {
     // collect limit+1 rows in ONE action (a separate count would compute
-    // the input twice when it is a derived view); >limit rows → too big
+    // the input twice when it is a derived view); >limit rows → too big.
+    // Clamp before +1: a huge limit must not overflow into limit(0).
+    val n = math.min(math.max(limit, 0L), (Int.MaxValue - 2).toLong).toInt + 1
+    val nameCol = if (needNames) col("name") else lit("").as("name")
     val rows = f.filter(col("length") === -1L)
-      .select(col("id"), col("parentId"), col("name"))
-      .limit(math.min(limit + 1, Int.MaxValue.toLong).toInt)
+      .select(col("id"), col("parentId"), nameCol)
+      .limit(n)
       .collect()
-    if (rows.length > limit) None
+    if (rows.length >= n) None
     else Some(rows.toSeq
       .groupBy(_.getLong(1))
       .view.mapValues(_.map(r => (r.getLong(0), r.getString(2)))).toMap)
   }
 
-  /** Root-down (dirId, fullPath) pairs from the adjacency; dirs not
-    * reachable from the root are excluded (matching the join loops,
-    * which never visit them). */
+  /** Root-down (dirId, fullPath) pairs for dirs of depth ≤ `maxDirDepth`
+    * (root = depth 0); dirs not reachable from the root are excluded
+    * (matching the join loops, which never visit them). Callers that then
+    * join CHILDREN of these dirs must pass their depth bound minus one so
+    * results stop at the same depth as the iterative fallback. */
   private[graft] def dirPathPairs(children: Map[Long, Seq[(Long, String)]],
-                                  maxDepth: Int): Seq[(Long, String)] = {
+                                  maxDirDepth: Int): Seq[(Long, String)] = {
     val pathOf = scala.collection.mutable.LongMap.empty[String]
     pathOf(0L) = ""
     var frontier = Seq(0L)
     var lvl = 0
-    while (frontier.nonEmpty && lvl < maxDepth) {
+    while (frontier.nonEmpty && lvl < maxDirDepth) {
       frontier = frontier.flatMap { p =>
-        children.getOrElse(p, Nil).collect { case (id, name) if id != 0L =>
+        children.getOrElse(p, Nil).collect { case (id, name) if id != p && id != 0L =>
           pathOf(id) = pathOf(p) + "/" + name
           id
         }
@@ -77,20 +83,24 @@ object StateManager {
   def resolvePaths(file: DataFrame, paths: DataFrame, maxDepth: Int = 16,
                    dirBroadcastLimit: Long = 2000000L): DataFrame = {
     val fBase = live(file)
+    // absolute paths only — a relative path is unresolvable by contract
+    // (consistent across the fast and iterative routes)
+    val absPaths = paths.filter(col("path").startsWith("/"))
     collectDirChildren(fBase, dirBroadcastLimit) match {
       case Some(children) =>
         val spark = file.sparkSession
         import spark.implicits._
-        val dirPaths = dirPathPairs(children, maxDepth)
+        // dirs to depth maxDepth-1: the leaf join below adds one level
+        val dirPaths = dirPathPairs(children, maxDepth - 1)
           .map { case (id, p) => (p, id) }.toDF("__dpath", "__did")
-        val reqs = paths.select(col("path"))
+        val reqs = absPaths.select(col("path"))
           .withColumn("__leaf", substring_index(col("path"), "/", -1))
           .withColumn("__pp",
             expr("substring(path, 1, length(path) - length(__leaf) - 1)"))
         reqs.join(broadcast(dirPaths), col("__pp") === col("__dpath"))
           .join(fBase, col("parentId") === col("__did") && col("name") === col("__leaf"))
           .select(col("path") +: fBase.columns.toSeq.map(col): _*)
-      case None => resolvePathsIterative(fBase, paths, maxDepth)
+      case None => resolvePathsIterative(fBase, absPaths, maxDepth)
     }
   }
 
@@ -152,9 +162,16 @@ object StateManager {
     val f = live(file)
     collectDirChildren(f, dirBroadcastLimit) match {
       case Some(children) =>
+        // the loop walks from the live ROOT row; if it is absent
+        // (tombstoned snapshot) the result is empty — match that instead
+        // of fabricating paths from an assumed root
+        if (!children.valuesIterator.flatten.exists(_._1 == 0L))
+          return f.limit(0).withColumn("path", lit(""))
         val spark = file.sparkSession
         import spark.implicits._
-        val dirPaths = dirPathPairs(children, maxDepth).toDF("__pid", "__ppath")
+        // dirs to depth maxDepth-1: the child join below adds one level,
+        // landing on the same depth bound as the iterative loop
+        val dirPaths = dirPathPairs(children, maxDepth - 1).toDF("__pid", "__ppath")
         f.join(broadcast(dirPaths), col("parentId") === col("__pid"), "left")
           .withColumn("path",
             when(col("id") === 0L, lit(""))

@@ -48,6 +48,26 @@ class StateManagerSpec extends SparkSpec {
     assert(!out.contains(7L))
   }
 
+  test("dir-map fast paths match the iterative fallback exactly") {
+    // dirBroadcastLimit = 0 forces the iterative route on the same input
+    val paths = Seq("/a/b/f1", "/a/b/dead", "/a/empty", "/a/b", "/nope", "relative")
+      .toDF("path")
+    def canon(df: DataFrame) =
+      rows(df.select(col("path"), col("id"))).map(r => (r.head, r.last)).sortBy(_.toString)
+    assert(canon(StateManager.resolvePaths(file, paths)) ==
+      canon(StateManager.resolvePaths(file, paths, dirBroadcastLimit = 0L)))
+    def canonP(df: DataFrame) =
+      rows(df.select(col("id"), col("path"))).map(r => (r.head, r.last)).sortBy(_.toString)
+    assert(canonP(StateManager.materializePaths(file)) ==
+      canonP(StateManager.materializePaths(file, dirBroadcastLimit = 0L)))
+    import graft.analytics.Dataflows
+    def canonC(df: DataFrame) = rows(df.orderBy(col("rootId")))
+    // duplicate root + a tombstoned root (7) exercise the seed rules
+    val roots = Seq(1L, 1L, 2L, 7L)
+    assert(canonC(Dataflows.contentSummary(file, roots)) ==
+      canonC(Dataflows.contentSummary(file, roots, dirBroadcastLimit = 0L)))
+  }
+
   test("S3/S4: listing and descendants") {
     assert(rows(StateManager.listChildren(file, 2L)).map(_.head).toSet == Set(3L, 4L, 6L))
     val desc = StateManager.descendants(file, Seq(1L))
