@@ -25,7 +25,10 @@ object Bench {
     // warmup (untimed): session, codegen, parquet footer caches
     SparkEntry.queries("q6_revenue_forecast")(spark, sfDir).count()
 
+    // optional comma-separated subset for local iteration (driver sets neither)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -66,32 +66,35 @@ object Dedup {
 
   /** Candidate pairs: docs sharing ANY band, id1 < id2, deduped; with the
     * minhash-agreement Jaccard estimate. The bands are melted into
-    * (bandIdx, bandKey) rows so ONE equi-join on the composite key covers
-    * all bands — one shuffle instead of k/2 self-joins, and the band key
-    * is the natural bucketing column at cluster scale. */
+    * (bandIdx, bandKey) rows via ONE posexplode pass so a single equi-join
+    * on the composite key covers all bands — one shuffle instead of k/2
+    * self-joins, and the band key is the natural bucketing column at
+    * cluster scale. No cache: both self-join sides shuffle the SAME melted
+    * subtree on (bandIdx, bandKey), so ReuseExchange computes the
+    * signature pipeline exactly once (a cache here raced its own union
+    * branches on population and cost ~40% at sf0.1). Returned plan is
+    * lazy — plan-only consumers (Explain) trigger no job. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    // cache the signatures BEFORE melting — the union reads sig k/2 times
-    // and the self-join twice more; without the cache the expensive
-    // shingle explode would recompute for every branch
-    val sig = withBands(minhashSignatures(df, idCol, textCol, k), k).cache()
-    val melted = (0 until k / 2).map { b =>
-      sig.select(col(idCol) +: lit(b).as("bandIdx") +: col(s"band$b").as("bandKey") +:
-        (0 until k).map(s => col(s"m$s")): _*)
-    }.reduce(_.unionByName(_))
+    val sig = withBands(minhashSignatures(df, idCol, textCol, k), k)
+    val bandArr = array((0 until k / 2).map(b => col(s"band$b")): _*)
+    val melted = sig.select(col(idCol) +:
+      posexplode(bandArr).as(Seq("bandIdx", "bandKey")) +:
+      (0 until k).map(s => col(s"m$s")): _*)
     val left = melted.columns.foldLeft(melted)((d, c) =>
       if (c == "bandIdx" || c == "bandKey") d else d.withColumnRenamed(c, s"L$c"))
     val right = melted.columns.foldLeft(melted)((d, c) =>
       if (c == "bandIdx" || c == "bandKey") d else d.withColumnRenamed(c, s"R$c"))
     val est = (0 until k).map(s =>
       when(col(s"Lm$s") === col(s"Rm$s"), 1).otherwise(0)).reduce(_ + _)
-    val pairs = left.join(right, Seq("bandIdx", "bandKey"))
+    // shuffle_hash: a broadcast plan would duplicate the signature
+    // pipeline on both sides (and a 4n-row melt is never broadcastable at
+    // scale); with both sides shuffled, the exchanges canonicalize equal
+    // and ReuseExchange computes the pipeline once
+    left.hint("shuffle_hash").join(right.hint("shuffle_hash"), Seq("bandIdx", "bandKey"))
       .filter(col(s"L$idCol") < col(s"R$idCol"))
       .select(col(s"L$idCol").as("id1"), col(s"R$idCol").as("id2"),
         (est.cast("double") / k).as("estJaccard"))
       .distinct()
-    // release the signature cache once the (small) pair set is materialized
-    // — persist-ownership contract in graft.core.Caching
-    graft.core.Caching.materializeAndRelease(pairs, Seq(sig))
   }
 
   /** 16-bit SimHash over the token stream: each token contributes ±1 per
@@ -125,31 +128,37 @@ object Dedup {
     * bands to 16 bits and bucket the corpus by (bandIdx, bandVal). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sig = simhash16(df, idCol, textCol).cache() // melted 4× + joined 2×
-    val melted = (0 until 4).map { b =>
-      sig.select(col(idCol), lit(b).as("bandIdx"),
-        (shiftright(col("simhash"), 4 * b) % 16).as("bandVal"), col("simhash"))
-    }.reduce(_.unionByName(_))
+    val sig = simhash16(df, idCol, textCol)
+    // one posexplode pass melts the 4 bands; the self-join sides shuffle
+    // the same subtree on (bandIdx, bandVal) so ReuseExchange computes the
+    // simhash aggregation once — no cache needed (lazy plan)
+    val bandArr = array((0 until 4).map(b => shiftright(col("simhash"), 4 * b) % 16): _*)
+    val melted = sig.select(col(idCol),
+      posexplode(bandArr).as(Seq("bandIdx", "bandVal")), col("simhash"))
     val left = melted.select(col(idCol).as("id1"), col("bandIdx"),
       col("bandVal"), col("simhash").as("s1"))
     val right = melted.select(col(idCol).as("id2"), col("bandIdx"),
       col("bandVal"), col("simhash").as("s2"))
-    val pairs = left.join(right, Seq("bandIdx", "bandVal"))
+    // shuffled (not broadcast) so the simhash subtree is computed once —
+    // see the ReuseExchange note in lshCandidates
+    left.hint("shuffle_hash").join(right.hint("shuffle_hash"), Seq("bandIdx", "bandVal"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    graft.core.Caching.materializeAndRelease(pairs, Seq(sig))
   }
 
   /** Exact word-3-gram Jaccard for candidate pairs (id1, id2): distinct
     * shingle sets joined on shingle hash; |A∩B| / |A∪B|. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    candidates: DataFrame): DataFrame = {
+    // lazy: the distinct's shuffle (below which all the tokenize/window
+    // cost sits) canonicalizes identically for all three consumers, so
+    // ReuseExchange computes the shingle pipeline once per action
     val sh = shingleRows(df, idCol, textCol)
       .withColumnRenamed(idCol, "did")
-      .distinct().cache()
+      .distinct()
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("did").as("id1"), col("shingle"))
     val b = sh.select(col("did").as("id2"), col("shingle"))
@@ -162,6 +171,6 @@ object Dedup {
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("szA") + col("szB") - col("inter")))
-    graft.core.Caching.materializeAndRelease(out, Seq(sh))
+    out
   }
 }

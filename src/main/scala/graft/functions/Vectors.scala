@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 /** Similarity search over embedding columns (Array[Float]).
   *
   * Numeric discipline for the differential oracle: each elementwise
-  * product is computed in double then cast to DECIMAL(28,12) and summed
-  * exactly, so the total is independent of summation order and identical
-  * across engines; the final divide/sqrt are correctly-rounded double ops.
+  * product is computed in double, rounded to fixed-point 1e-12 and summed
+  * as BIGINT (exact, order-independent — see [[graft.functions.expr.FixedPointDot]]),
+  * so the total is identical across engines; the final divide/sqrt are
+  * correctly-rounded double ops.
   *
   * Scale design: brute-force kNN is the baseline (query-set broadcast ×
   * corpus scan — fine for small query batches); the LSH-bucketed variant
@@ -90,7 +91,8 @@ object Vectors {
     * query's own cell plus the next (nProbe-1) best cells. */
   def ivfSearch(emb: DataFrame, nCells: Int, nProbe: Int,
                 queryPred: Column, k: Int): DataFrame = {
-    val celled = withIvfCell(emb, nCells).cache()
+    // celled is consumed once in this plan — lazy, no cache
+    val celled = withIvfCell(emb, nCells)
     val centroids = emb.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cellId"), col("embedding").as("cv"))
     // per-query probe list: top-nProbe cells by centroid cosine
@@ -108,27 +110,37 @@ object Vectors {
       .withColumn("cosine", dot(col("qv"), col("embedding")) /
         (col("qn") * norm(col("embedding"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-    val out = candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("nid"), col("cellId"), col("cosine"), col("rank"))
-    // release the cell-assignment cache — contract in graft.core.Caching
-    graft.core.Caching.materializeAndRelease(out, Seq(celled))
   }
 
   /** ANN near-duplicate pairs: same LSH bucket, cosine above threshold.
     * Norms are computed once per vector; the bucket join is the only
-    * shuffle (bucket the corpus table by `bucket` at cluster scale). */
-  def annPairs(emb: DataFrame, dims: Int, minCosine: Double): DataFrame = {
-    val b = withLshBucket(emb, dims)
+    * shuffle, and both self-join sides shuffle the SAME bucketed subtree
+    * so ReuseExchange scans/hashes the corpus once — no cache, lazy plan.
+    *
+    * Sizing `nPlanes` at scale: each bucket holds ~n/2^nPlanes vectors and
+    * the within-bucket pair join is quadratic in bucket size, so pick
+    * nPlanes ≈ log2(n / 10^4) (buckets ≳ n/10⁴) — e.g. 8 planes up to
+    * ~2.5M vectors, 17 planes at 1B. More planes trade recall for speed;
+    * compensate with band OR-ing (run r plane-sets and union pairs) the
+    * same way [[Dedup.lshCandidates]] bands minhashes. On a cluster,
+    * bucket the corpus table by `bucket` to co-partition the join. */
+  def annPairs(emb: DataFrame, dims: Int, minCosine: Double,
+               nPlanes: Int = 8): DataFrame = {
+    val b = withLshBucket(emb, dims, nPlanes)
       .select(col("vec_id"), col("embedding"), col("bucket"),
-        norm(col("embedding")).as("nrm")).cache()
+        norm(col("embedding")).as("nrm"))
     val left = b.select(col("vec_id").as("id1"), col("embedding").as("v1"),
       col("bucket"), col("nrm").as("n1"))
     val right = b.select(col("vec_id").as("id2"), col("embedding").as("v2"),
       col("bucket"), col("nrm").as("n2"))
-    val out = left.join(right, Seq("bucket")).filter(col("id1") < col("id2"))
+    // shuffled (not broadcast) so the scan+norm+bucket subtree is computed
+    // once via ReuseExchange — see the note in Dedup.lshCandidates
+    left.hint("shuffle_hash").join(right.hint("shuffle_hash"), Seq("bucket"))
+      .filter(col("id1") < col("id2"))
       .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= minCosine)
       .select(col("bucket"), col("id1"), col("id2"), col("cosine"))
-    graft.core.Caching.materializeAndRelease(out, Seq(b))
   }
 }
