@@ -105,15 +105,24 @@ object StateStore {
                     nowMs: Long, limit: Int,
                     tieBreak: Seq[String] = Nil): DataFrame = {
     val pred = indexPredicate(index, keys, cmp)
-    // matching rows sort first (flag 0), then (index, tieBreak) order — so
-    // their row_numbers are exactly 1..m and `pred && rank <= n` hits the
-    // first n matches. Global window = single partition: correct for the
-    // serialized write path (same discipline as batch id assignment).
-    val flag = when(pred, 0).otherwise(1)
-    val w = Window.orderBy(
-      flag.asc +: (index.cols ++ tieBreak).map(c => col(c).asc): _*)
-    val ranked = df.withColumn("__rk", row_number().over(w))
-    update(ranked, pred && col("__rk") <= limit, sets, nowMs).drop("__rk")
+    val ordCols = index.cols ++ tieBreak
+    // Boundary set: the first n MATCHING rows in (index, tieBreak) order.
+    // filter → orderBy → limit plans as TakeOrderedAndProject (per-partition
+    // top-n + driver merge of n·P rows) — no global single-partition sort
+    // of the table, unlike a row_number() window. The set is ≤ n rows, so
+    // broadcasting the join-back is always safe.
+    val sel = df.filter(pred)
+      .orderBy(ordCols.map(c => col(c).asc): _*)
+      .limit(limit)
+      .select(ordCols.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") } :+
+        lit(true).as("__sel"): _*)
+    // null-safe equality: tieBreak / trailing index columns may hold nulls
+    // (the predicate itself is null-rejecting only on the supplied prefix)
+    val cond = ordCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__k$i") }.reduce(_ && _)
+    val marked = df.join(broadcast(sel), cond, "left")
+    update(marked, pred && col("__sel") === lit(true), sets, nowMs)
+      .drop("__sel" +: ordCols.indices.map(i => s"__k$i"): _*)
   }
 
   def update(df: DataFrame, where: Column, sets: Map[String, SetExpr],

@@ -41,6 +41,19 @@ class ScaleSpec extends SparkSpec {
       s"bucketed blockEntries should not shuffle:\n$plan")
   }
 
+  test("P3 limited update plans as top-n, not a global sort or window") {
+    import graft.store.{Comparator, IndexDef, StateStore}
+    val t = (1 to 5000).map(i => (i.toLong, i.toLong, 1L)).toDF("id", "v", "version")
+    val out = StateStore.updateLimited(t, IndexDef("PRIMARY", Seq("id")),
+      Seq(0L), Comparator.GT, Map("v" -> StateStore.Add(100L)), nowMs = 0L, limit = 3)
+    assert(out.filter(col("v") === col("id") + 100L).count() == 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"boundary set should plan as top-n:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no global row_number rank over the full table:\n$plan")
+  }
+
   test("salted join equals plain join on a skewed key") {
     // 90% of the big side hits one key — the classic skew shape
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i))
