@@ -277,24 +277,34 @@ object Dataflows {
         val seeds = rootIds.distinct
         val liveSeeds = fAll.filter(col("id").isin(seeds: _*))
           .select(col("id")).collect().map(_.getLong(0)).toSet
-        val pairs = seeds.filter(liveSeeds).flatMap { r =>
-          val acc = scala.collection.mutable.ArrayBuffer((r, r))
+        // the membership product is per-root and unbounded by the
+        // adjacency cap (nested roots multiply it) — bail to the iterative
+        // route INSIDE the BFS, before the next level is accumulated, so a
+        // near-limit tree with many roots can never OOM the driver first;
+        // the running total is Long (an Int count could wrap past 2^31)
+        val cap = math.min(math.max(dirBroadcastLimit, 0L), (Int.MaxValue - 2).toLong)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var total = 0L
+        var over = false
+        val seedIt = seeds.filter(liveSeeds).iterator
+        while (seedIt.hasNext && !over) {
+          val r = seedIt.next()
+          acc += ((r, r)); total += 1
           var frontier = Seq(r)
           var lvl = 0
           // dirs to depth maxDepth-1 below the root: the child join adds
           // one level, matching the loop's depth bound
-          while (frontier.nonEmpty && lvl < maxDepth - 1) {
+          while (frontier.nonEmpty && lvl < maxDepth - 1 && !over) {
             frontier = frontier.flatMap(p =>
               children.getOrElse(p, Nil).map(_._1).filter(_ != p))
-            acc ++= frontier.map(d => (d, r))
+            total += frontier.length
+            if (total > cap) over = true
+            else acc ++= frontier.map(d => (d, r))
             lvl += 1
           }
-          acc
         }
-        // the membership product is per-root and unbounded by the
-        // adjacency cap (nested roots multiply it) — stay driver-safe
-        if (pairs.length > dirBroadcastLimit)
-          return contentSummaryIterative(fAll, rootIds, maxDepth)
+        if (over) return contentSummaryIterative(fAll, rootIds, maxDepth)
+        val pairs = acc.toSeq
         val spark = file.sparkSession
         import spark.implicits._
         val dirRoot = pairs.toDF("__did", "rootId")

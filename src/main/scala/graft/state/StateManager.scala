@@ -40,7 +40,12 @@ object StateManager {
     // Clamp before +1: a huge limit must not overflow into limit(0).
     val n = math.min(math.max(limit, 0L), (Int.MaxValue - 2).toLong).toInt + 1
     val nameCol = if (needNames) col("name") else lit("").as("name")
-    val rows = f.filter(col("length") === -1L)
+    // when names matter, a null-named dir must not enter the map: path
+    // concatenation would fabricate a "/null" segment for a subtree the
+    // iterative loops drop (null never equi-joins on name)
+    val dirs = f.filter(col("length") === -1L)
+    val named = if (needNames) dirs.filter(col("name").isNotNull) else dirs
+    val rows = named
       .select(col("id"), col("parentId"), nameCol)
       .limit(n)
       .collect()

@@ -26,10 +26,20 @@ final class KeyedCache(df: DataFrame, keyCol: String, maxEntries: Int = 100000) 
   private def lookup(key: Any): Option[Row] =
     df.filter(col(keyCol) === lit(key)).limit(1).collect().headOption
 
-  /** Cached point lookup; populates on miss (negative results cached). */
+  /** Cached point lookup; populates on miss (negative results cached).
+    * Miss path is get-then-putIfAbsent, NOT computeIfAbsent: the latter
+    * would hold the map's bin lock across a Spark job, serializing
+    * concurrent misses that collide on a bin. Two racing misses may both
+    * run the lookup (both see the same snapshot — harmless); first put
+    * wins. */
   def get(key: Any): Option[Row] = {
-    if (cache.size() >= maxEntries && !cache.containsKey(key)) lookup(key)
-    else cache.computeIfAbsent(key, k => lookup(k))
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val v = lookup(key)
+      if (cache.size() < maxEntries) cache.putIfAbsent(key, v)
+      v
+    }
   }
 
   /** Write-through invalidation: drop the touched keys. */

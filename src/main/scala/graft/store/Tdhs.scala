@@ -60,6 +60,10 @@ object Tdhs {
       val found = idx match {
         case Some(i) if keys.nonEmpty => StateStore.find(df, i, keys, cmp, lim, off)
         case _ =>
+          // no index selected: offset/limit page an UNORDERED scan, so page
+          // boundaries are nondeterministic run-to-run — matching the
+          // reference's full-scan TDHS get, which pages in storage order
+          // (TDHSCommon.java); select an index for stable pagination
           val base = StateStore.postFilter(df, Nil)
           val o = if (off > 0) base.offset(off) else base
           if (lim != Int.MaxValue) o.limit(lim) else o

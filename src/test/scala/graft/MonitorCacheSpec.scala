@@ -21,6 +21,25 @@ class MonitorCacheSpec extends SparkSpec {
     assert(cache.warm() == 2 && cache.get(2L).map(_.getString(1)).contains("b"))
   }
 
+  test("R1: concurrent misses neither deadlock nor corrupt the cache") {
+    val dim = (1L to 64L).map(i => (i, s"v$i")).toDF("id", "v")
+    val cache = new KeyedCache(dim, "id")
+    // 16 threads × colliding keys: under computeIfAbsent this serialized
+    // whole Spark jobs behind one bin lock; get-then-putIfAbsent must
+    // finish and agree with the source for every key
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val futures = (0 until 64).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[String]] {
+          def call(): Option[String] = cache.get((i % 8 + 1).toLong).map(_.getString(1))
+        })
+      }
+      val got = futures.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got.zipWithIndex.forall { case (v, i) => v.contains(s"v${i % 8 + 1}") })
+      assert((1L to 8L).forall(k => cache.get(k).isDefined))
+    } finally pool.shutdownNow()
+  }
+
   test("D10: metrics listener records action durations as a table") {
     val rec = Metrics.attach(spark)
     try {
