@@ -67,6 +67,22 @@ object Dataflows {
         min(col("distance")).as("nearestDistance"))
   }
 
+  /** N1 side effect (FSNamesystem.java:636-641): when access-time tracking
+    * is on, getBlockLocations touches File.ATIME before returning located
+    * blocks — the read path WRITES. For a batch of requested fileIds, emit
+    * the touch write-set: (id, atime = now, version bump) for every live
+    * non-directory target (a missing or dir target returns null at :637
+    * and touches nothing). The request set is semi-joined first so the
+    * touch scan never reads unrequested file rows. */
+  def atimeTouch(file: DataFrame, requests: DataFrame, nowMs: Long,
+                 versionBump: Long = 1000000000L): DataFrame =
+    live(file)
+      .join(broadcast(requests.select(col("fileId")).distinct()),
+        col("id") === col("fileId"), "left_semi")
+      .filter(col("length") =!= -1L)
+      .select(col("id"), lit(nowMs).as("atime"),
+        (col("version") + versionBump).as("version"))
+
   // ---- N5: blockReport reconciliation (:2468-2620) ---------------------
 
   /** Full-outer-join a datanode's reported blocks against the stored

@@ -35,6 +35,16 @@ object AnalyticsQueries {
           s.table("datanode"), clientRack = "/rack2", clientNodeId = 7L)
         .orderBy(col("id"))
     },
+    // N1 side effect: the SAME request set's ATIME touch write-set — the
+    // read path writes (tombstoned targets drop out via the live filter)
+    "n1_atime_touch" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(
+        """SELECT CAST(1000000 + o_orderkey AS BIGINT) AS fileId
+          |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin)
+      Dataflows.atimeTouch(s.table("file"), reqs, Now)
+        .orderBy(col("id"))
+    },
     // N5: block-report reconciliation — full-outer-join classification
     // NB: do NOT persist the block view here — ReuseExchange already
     // dedupes the derivation's shuffle across stored/freshest/reported,
@@ -199,6 +209,14 @@ object AnalyticsQueries {
         |    AS orderedReplicas,
         |  MIN(distance) AS nearestDistance
         |FROM r GROUP BY id ORDER BY id""".stripMargin),
+    "n1_atime_touch" -> O(
+      """SELECT f.id, CAST(1700000000000 AS BIGINT) AS atime,
+        |       f.version + 1000000000 AS version
+        |FROM file f
+        |JOIN (SELECT DISTINCT CAST(1000000 + o_orderkey AS BIGINT) AS fileId
+        |      FROM orders WHERE o_orderkey % 100 = 0) q ON f.id = q.fileId
+        |WHERE f.version > 0 AND f.length <> -1
+        |ORDER BY f.id""".stripMargin),
     "n5_block_report" -> O(N5OracleSql),
     // the streamed variant must land on the identical result
     "n5_stream_report_parity" -> O(N5OracleSql),

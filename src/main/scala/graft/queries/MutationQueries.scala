@@ -99,6 +99,15 @@ object MutationQueries {
       Mutations.startFile(s.table("file"), reqs, idBase = 7000000L, nowMs = Now)
         .orderBy(col("writeOp"), col("parentId"), col("name"), col("leaseHolder"))
     },
+    // N2 append branch: reopen-for-append case ladder — lease re-attach +
+    // file leaseHolder update + last-block finished replicas back under
+    // construction; dirs / missing / under-construction targets rejected
+    "n2_append" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(appendReqsSql)
+      Mutations.appendFile(s.table("file"), s.table("block"), reqs, nowMs = Now)
+        .orderBy(col("writeOp"), col("id"), col("name"), col("leaseHolder"))
+    },
     // N3: next-block allocation check for every under-construction file
     "n3_add_block" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -145,6 +154,30 @@ object MutationQueries {
       |SELECT CAST(1 + c_nationkey AS BIGINT), 'c_' || CAST(c_custkey AS STRING),
       |       'h_dir', FALSE
       |FROM customer WHERE c_custkey % 500 = 0""".stripMargin
+
+  /** append request mix (runs verbatim in both engines): existing order
+    * files (o%101=0 — some under construction at lcm(101,50), some
+    * tombstoned at lcm(101,97) → live lookup misses → 'file not found'),
+    * customer DIRS, genuinely missing names, plus a second holder for
+    * every o%202=0 target (⊂ the o%101 set) exercising the
+    * duplicate-in-batch → 'file under construction' path. */
+  private val appendReqsSql: String =
+    """SELECT CAST(100 + o_custkey AS BIGINT) AS parentId,
+      |       'o_' || CAST(o_orderkey AS STRING) AS name,
+      |       'ha_' || CAST(o_custkey % 50 AS STRING) AS holder
+      |FROM orders WHERE o_orderkey % 101 = 0
+      |UNION ALL
+      |SELECT CAST(1 + c_nationkey AS BIGINT), 'c_' || CAST(c_custkey AS STRING),
+      |       'ha_dir'
+      |FROM customer WHERE c_custkey % 400 = 0
+      |UNION ALL
+      |SELECT CAST(100 + o_custkey AS BIGINT), 'missing_' || CAST(o_orderkey AS STRING),
+      |       'ha_miss'
+      |FROM orders WHERE o_orderkey % 997 = 0
+      |UNION ALL
+      |SELECT CAST(100 + o_custkey AS BIGINT), 'o_' || CAST(o_orderkey AS STRING),
+      |       'hb_' || CAST(o_orderkey % 7 AS STRING)
+      |FROM orders WHERE o_orderkey % 202 = 0""".stripMargin
 
   private val O = DerivedState.oracle _
 
@@ -200,6 +233,56 @@ object MutationQueries {
          |         CAST(0 AS BIGINT), 'duplicate in batch'
          |  FROM okall WHERE dupRank > 1) u
          |ORDER BY writeOp, parentId, name, leaseHolder""".stripMargin),
+    "n2_append" -> O(
+      s"""WITH reqs AS (
+         |$appendReqsSql),
+         |j AS (
+         |  SELECT r.parentId, r.name, r.holder,
+         |         t.id AS tid, t.length AS tlen, t.leaseHolder AS tlh,
+         |         t.version AS tver,
+         |    CASE WHEN t.id IS NULL THEN 'file not found'
+         |         WHEN t.length = -1 THEN 'already exists as a directory'
+         |         WHEN t.leaseHolder IS NOT NULL THEN 'file under construction'
+         |         END AS reject
+         |  FROM reqs r
+         |  LEFT JOIN file t ON t.parentId = r.parentId AND t.name = r.name
+         |    AND t.version > 0),
+         |okall AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY parentId, name
+         |    ORDER BY holder) AS dupRank
+         |  FROM j WHERE reject IS NULL),
+         |ok AS (SELECT * FROM okall WHERE dupRank = 1),
+         |lastidx AS (
+         |  SELECT b.fileId, MAX(b.fileIndex) AS li FROM block b
+         |  JOIN (SELECT DISTINCT tid FROM ok) o ON b.fileId = o.tid
+         |  WHERE b.version > 0 GROUP BY b.fileId),
+         |reopen AS (
+         |  SELECT b.id, b.version, o.holder FROM block b
+         |  JOIN lastidx l ON b.fileId = l.fileId AND b.fileIndex = l.li
+         |  JOIN ok o ON o.tid = b.fileId
+         |  WHERE b.version > 0 AND b.length >= 0)
+         |SELECT writeOp, tbl, id, name, leaseHolder, version, reject FROM (
+         |  SELECT 'attach' AS writeOp, 'file' AS tbl, tid AS id, name,
+         |         holder AS leaseHolder, tver + 1000000000 AS version,
+         |         CAST(NULL AS STRING) AS reject
+         |  FROM ok
+         |  UNION ALL
+         |  SELECT 'lease', 'lease', CAST(-1 AS BIGINT), holder, holder,
+         |         CAST(1700000000000 AS BIGINT), CAST(NULL AS STRING)
+         |  FROM (SELECT DISTINCT holder FROM ok) h
+         |  UNION ALL
+         |  SELECT 'reopen', 'block', id, CAST(NULL AS STRING), holder,
+         |         version + 1000000000, CAST(NULL AS STRING)
+         |  FROM reopen
+         |  UNION ALL
+         |  SELECT 'reject', 'file', COALESCE(tid, -1), name, holder,
+         |         CAST(0 AS BIGINT), reject
+         |  FROM j WHERE reject IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'reject', 'file', tid, name, holder, CAST(0 AS BIGINT),
+         |         'file under construction'
+         |  FROM okall WHERE dupRank > 1) u
+         |ORDER BY writeOp, id, name, leaseHolder""".stripMargin),
     "n3_add_block" -> O(
       """WITH uc AS (
         |  SELECT id AS fileId FROM file

@@ -236,6 +236,77 @@ object Mutations {
       .unionByName(rejects).unionByName(dupRejects)
   }
 
+  /** N2 append branch (FSNamesystem.appendFile :965-1015 via
+    * startFileInternal(append=true) :842-897): batch reopen-for-append.
+    * Each request is (parentId, name, holder). Case ladder: target missing
+    * → reject (:862-863 FileNotFoundException); target is a directory →
+    * reject (:859); target under construction → reject (:931-960
+    * recoverLeaseInternal throws AlreadyBeingCreatedException). Accepted
+    * requests produce the reference's three write effects:
+    *  - 'lease'  — holder upsert (insertLeaseByHolder :870),
+    *  - 'attach' — the file row's leaseHolder set to holder with a version
+    *               bump (updateFileByFile(file, LEASEHOLDER) :872-873),
+    *  - 'reopen' — every FINISHED replica (length ≥ 0) of the file's LAST
+    *               block gets length = -1, i.e. back under construction
+    *               (:995-1001 sets lastBlocks[i].length = -1 and updates
+    *               BLOCK.LENGTH). The marking is unconditional on the
+    *               partial-block check (:978 only gates the returned
+    *               LocatedBlock, not the length reset).
+    * Two same-target requests in one batch: the reference runs them
+    * serially, so the second sees the first's lease and fails under
+    * construction — in batch the first by holder order wins, the rest
+    * reject with the same reason. */
+  def appendFile(file: DataFrame, block: DataFrame, requests: DataFrame,
+                 nowMs: Long, versionBump: Long = 1000000000L): DataFrame = {
+    val f = live(file)
+    val target = f.select(col("parentId").as("__tp"), col("name").as("__tn"),
+      col("id").as("__tid"), col("length").as("__tlen"),
+      col("leaseHolder").as("__tlh"), col("version").as("__tver"))
+    val j = requests
+      .join(target, col("parentId") === col("__tp") && col("name") === col("__tn"), "left")
+      .withColumn("reject",
+        when(col("__tid").isNull, "file not found")
+          .when(col("__tlen") === -1L, "already exists as a directory")
+          .when(col("__tlh").isNotNull, "file under construction"))
+    val dupW = Window.partitionBy(col("parentId"), col("name")).orderBy(col("holder"))
+    val ranked = j.filter(col("reject").isNull)
+      .withColumn("__dupRank", row_number().over(dupW))
+    val ok = ranked.filter(col("__dupRank") === 1)
+    val nullStr = lit(null).cast("string")
+    val attach = ok.select(lit("attach").as("writeOp"), lit("file").as("tbl"),
+      col("__tid").as("id"), col("name"), col("holder").as("leaseHolder"),
+      (col("__tver") + versionBump).as("version"), nullStr.as("reject"))
+    val leases = ok.select(col("holder")).distinct()
+      .select(lit("lease").as("writeOp"), lit("lease").as("tbl"), lit(-1L).as("id"),
+        col("holder").as("name"), col("holder").as("leaseHolder"),
+        lit(nowMs).as("version"), nullStr.as("reject"))
+    // last-block reopen: semi-join prunes the block table to the appended
+    // files FIRST (the request set is tiny vs 100 TB of replica rows), so
+    // the max-fileIndex groupBy only shuffles wanted blocks
+    val b = live(block)
+    val wanted = ok.select(col("__tid").as("__fid"), col("holder"))
+    val lastIdx = b
+      .join(wanted.select(col("__fid")).distinct(), col("fileId") === col("__fid"), "left_semi")
+      .groupBy(col("fileId").as("__lf")).agg(max(col("fileIndex")).as("__li"))
+    val reopen = b
+      .join(lastIdx, col("fileId") === col("__lf") && col("fileIndex") === col("__li"))
+      .filter(col("length") >= 0L)
+      .join(wanted, col("fileId") === col("__fid"))
+      .select(lit("reopen").as("writeOp"), lit("block").as("tbl"), col("id"),
+        nullStr.as("name"), col("holder").as("leaseHolder"),
+        (col("version") + versionBump).as("version"), nullStr.as("reject"))
+    val rejects = j.filter(col("reject").isNotNull)
+      .select(lit("reject").as("writeOp"), lit("file").as("tbl"),
+        coalesce(col("__tid"), lit(-1L)).as("id"), col("name"),
+        col("holder").as("leaseHolder"), lit(0L).as("version"), col("reject"))
+    val dupRejects = ranked.filter(col("__dupRank") > 1)
+      .select(lit("reject").as("writeOp"), lit("file").as("tbl"),
+        col("__tid").as("id"), col("name"), col("holder").as("leaseHolder"),
+        lit(0L).as("version"), lit("file under construction").as("reject"))
+    attach.unionByName(leases).unionByName(reopen)
+      .unionByName(rejects).unionByName(dupRejects)
+  }
+
   /** N3 (FSNamesystem.getAdditionalBlock :1028-1100): block allocation
     * check + id assignment for every under-construction file. A file may
     * get its next block iff its current LAST stored block has ≥

@@ -120,6 +120,42 @@ class MutationsSpec extends SparkSpec {
     assert(ids == Map("f1" -> 501L, "newA" -> 502L))
   }
 
+  test("N2 appendFile: attach/lease/reopen + full reject ladder") {
+    val f = file.unionByName(Seq(
+      (7L, 2L, "uc1", 0L, 64L, 1L, 0L, 0L, 0L, Some("w1"), 0L, 8L),
+    ).toDF("id", "parentId", "name", "length", "blockSize", "replication",
+      "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version"))
+    val b = Seq(
+      // file 3: idx1 finished ×2; idx2 (LAST) one finished + one UC replica
+      (31L, 1L, 100L, 7L, 3L, 1L, 10L),
+      (31L, 2L, 100L, 7L, 3L, 1L, 11L),
+      (32L, 1L, 80L, 7L, 3L, 2L, 12L),
+      (32L, 2L, -1L, 7L, 3L, 2L, 13L),
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version")
+    val reqs = Seq(
+      (2L, "f1", "hA"),   // exists, closed → attach + reopen last block
+      (2L, "f1", "hB"),   // duplicate in batch → loses to hA (holder order)
+      (1L, "b", "hC"),    // directory → reject
+      (2L, "uc1", "hD"),  // under construction → reject
+      (2L, "nope", "hE"), // missing → reject
+    ).toDF("parentId", "name", "holder")
+    val out = Mutations.appendFile(f, b, reqs, nowMs = 555L)
+    val byOp = rows(out.select(col("writeOp"), col("tbl"), col("id"),
+        col("name"), col("leaseHolder"), col("version"), col("reject")))
+      .groupBy(_.head).view.mapValues(_.map(_.tail)).toMap
+    // attach: file 3 re-leased to hA with a version bump
+    assert(byOp("attach") == Seq(Seq("file", 3L, "f1", "hA", 1000000004L, null)))
+    assert(byOp("lease").map(_(3)) == Seq("hA"))
+    // reopen: ONLY the finished replica of the LAST block (32@dn1);
+    // 32@dn2 is already UC, idx-1 replicas are untouched
+    assert(byOp("reopen").map(r => (r(1), r(4))) == Seq((32L, 1000000012L)))
+    val rejects = byOp("reject").map(r => (r(2), r(3)) -> r(5)).toMap
+    assert(rejects(("f1", "hB")) == "file under construction")
+    assert(rejects(("b", "hC")) == "already exists as a directory")
+    assert(rejects(("uc1", "hD")) == "file under construction")
+    assert(rejects(("nope", "hE")) == "file not found")
+  }
+
   test("N3 addBlock: last-block replication gates allocation") {
     val f = Seq(
       (0L, -1L, "", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 1L),
