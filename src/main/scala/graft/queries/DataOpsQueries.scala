@@ -351,6 +351,23 @@ object DataOpsQueries {
       graft.sources.Formats.readSequenceFile(s, s"$tmp/seq")
         .orderBy(col("key"))
     },
+    // F1 Sorter.merge in the gate: two overlapping pre-sorted runs of the
+    // documents table merged into one sorted sequence file — docs on both
+    // the %2 and %3 grids appear TWICE (merge keeps duplicates)
+    "f2_seqfile_merge" -> { (s, dir) =>
+      val tmp = graft.core.Caching.scratchDir("f2").toString
+      val docs = Tables.documents(s, dir)
+      val kv = (pred: org.apache.spark.sql.Column) => docs.filter(pred)
+        .select(col("doc_id").cast("string").as("key"), col("text").as("value"))
+      graft.sources.Formats.writeSequenceFile(
+        kv(col("doc_id") % 2 === 0L), s"$tmp/runA", sorted = true)
+      graft.sources.Formats.writeSequenceFile(
+        kv(col("doc_id") % 3 === 0L), s"$tmp/runB", sorted = true)
+      graft.sources.Formats.mergeSequenceFiles(s,
+        Seq(s"$tmp/runA", s"$tmp/runB"), s"$tmp/merged")
+      graft.sources.Formats.readSequenceFile(s, s"$tmp/merged")
+        .orderBy(col("key"), col("value"))
+    },
     // M: batched stub decode through the mapPartitions plumbing — the
     // oracle recomputes the deterministic fake features from byte stats
     "m2_decode_meta" -> { (s, dir) =>
@@ -592,6 +609,14 @@ object DataOpsQueries {
     "f1_seqfile_roundtrip" ->
       """SELECT CAST(doc_id AS STRING) AS key, text AS value
         |FROM documents ORDER BY key""".stripMargin,
+    "f2_seqfile_merge" ->
+      """SELECT key, value FROM (
+        |  SELECT CAST(doc_id AS STRING) AS key, text AS value
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS STRING), text
+        |  FROM documents WHERE doc_id % 3 = 0) u
+        |ORDER BY key, value""".stripMargin,
     "m2_decode_meta" ->
       """SELECT doc_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,

@@ -114,6 +114,44 @@ object MutationQueries {
       Mutations.addBlock(s.table("file"), s.table("block"), idBase = 5000000000L)
         .orderBy(col("fileId"))
     },
+    // P9: the startFile write-set committed ATOMICALLY across the file
+    // AND lease tables (BatchStatementImpl analog); the differential
+    // check is post-state checksums of both tables — any drift in the
+    // multi-table apply (lost tombstone, double insert, missed lease
+    // upsert) shows in the sums
+    "p9_batch_commit" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(startFileReqsSql)
+      val ws = Mutations.startFile(s.table("file"), reqs, idBase = 7000000L, nowMs = Now)
+      val inserts = ws.filter(col("writeOp") === "insert")
+        .select(col("id"), col("parentId"), col("name"), lit(0L).as("length"),
+          lit(1024L).as("blockSize"), lit(1L).as("replication"),
+          lit(Now).as("atime"), lit(Now).as("mtime"), lit(0L).as("owner"),
+          col("leaseHolder"), lit(0L).as("leaseRecoveryTime"), col("version"))
+      val tombstones = s.table("file")
+        .join(ws.filter(col("writeOp") === "tombstone")
+          .select(col("id").as("__tid"), col("version").as("__tver")),
+          col("id") === col("__tid"))
+        .withColumn("version", col("__tver"))
+        .drop("__tid", "__tver")
+        .select(inserts.columns.toIndexedSeq.map(col): _*)
+      val leaseWs = ws.filter(col("writeOp") === "lease")
+        .select(col("leaseHolder").as("holder"), lit(Now).as("leaseTime"),
+          lit(Now).as("version"))
+      val post = Mutations.commitBatch(
+        Map("file" -> s.table("file"), "lease" -> s.table("lease")),
+        Map("file" -> inserts.unionByName(tombstones), "lease" -> leaseWs),
+        Map("file" -> Seq("id"), "lease" -> Seq("holder")))
+      val fsum = post("file")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("idsum"),
+          sum(col("version")).as("vsum"))
+        .select(lit("file").as("tbl"), col("n"), col("idsum"), col("vsum"))
+      val lsum = post("lease")
+        .agg(count(lit(1)).as("n"), sum(col("leaseTime")).as("idsum"),
+          sum(col("version")).as("vsum"))
+        .select(lit("lease").as("tbl"), col("n"), col("idsum"), col("vsum"))
+      fsum.unionByName(lsum).orderBy(col("tbl"))
+    },
     // S17/N9: datanode re-registration — same storageId under a new id
     // evicts the old row
     "s17_datanode_upsert" -> { (s, dir) =>
@@ -303,6 +341,56 @@ object MutationQueries {
         |  (lb.lfid IS NULL OR lb.finished >= 1) AS canAllocate
         |FROM uc LEFT JOIN lastblk lb ON uc.fileId = lb.lfid
         |ORDER BY uc.fileId""".stripMargin),
+    "p9_batch_commit" -> O(
+      s"""WITH reqs AS (
+         |$startFileReqsSql),
+         |j AS (
+         |  SELECT r.parentId, r.name, r.holder, r.overwrite,
+         |         p.id AS pid, p.length AS plen,
+         |         t.id AS tid, t.leaseHolder AS tlh, t.version AS tver,
+         |    CASE WHEN r.name IS NULL OR length(r.name) = 0 THEN 'x'
+         |         WHEN length(r.name) > 255 THEN 'x'
+         |         WHEN p.id IS NULL THEN 'x'
+         |         WHEN p.length <> -1 THEN 'x'
+         |         WHEN t.id IS NOT NULL AND t.length = -1 THEN 'x'
+         |         WHEN t.id IS NOT NULL AND t.leaseHolder IS NOT NULL THEN 'x'
+         |         WHEN t.id IS NOT NULL AND NOT r.overwrite THEN 'x'
+         |         END AS reject
+         |  FROM reqs r
+         |  LEFT JOIN file p ON p.id = r.parentId AND p.version > 0
+         |  LEFT JOIN file t ON t.parentId = r.parentId AND t.name = r.name
+         |    AND t.version > 0),
+         |okall AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY parentId, name
+         |    ORDER BY holder) AS dupRank
+         |  FROM j WHERE reject IS NULL),
+         |ok AS (
+         |  SELECT *, 7000000 + ROW_NUMBER() OVER (ORDER BY parentId, name, holder) AS newId
+         |  FROM okall WHERE dupRank = 1),
+         |filews AS (
+         |  SELECT newId AS id, newId AS version FROM ok
+         |  UNION ALL
+         |  SELECT tid, 0 - tver FROM ok WHERE tid IS NOT NULL),
+         |filepost AS (
+         |  SELECT id, version FROM file WHERE id NOT IN (SELECT id FROM filews)
+         |  UNION ALL SELECT id, version FROM filews),
+         |leasews AS (
+         |  SELECT holder, CAST(1700000000000 AS BIGINT) AS leaseTime,
+         |         CAST(1700000000000 AS BIGINT) AS version
+         |  FROM (SELECT DISTINCT holder FROM ok) h),
+         |leasepost AS (
+         |  SELECT holder, leaseTime, version FROM lease
+         |  WHERE holder NOT IN (SELECT holder FROM leasews)
+         |  UNION ALL SELECT holder, leaseTime, version FROM leasews)
+         |SELECT tbl, n, idsum, vsum FROM (
+         |  SELECT 'file' AS tbl, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS idsum,
+         |         CAST(SUM(version) AS BIGINT) AS vsum
+         |  FROM filepost
+         |  UNION ALL
+         |  SELECT 'lease', COUNT(*), CAST(SUM(leaseTime) AS BIGINT),
+         |         CAST(SUM(version) AS BIGINT)
+         |  FROM leasepost) u
+         |ORDER BY tbl""".stripMargin),
     "s5_mkdirs" -> O(
       """WITH reqs AS (
         |  SELECT CAST(1 + n_nationkey AS BIGINT) AS parentId,

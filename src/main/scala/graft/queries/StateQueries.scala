@@ -123,6 +123,43 @@ object StateQueries {
         .select(col("opKey"), col("op"), col("version"), col("payload"))
         .orderBy(col("opKey"))
     },
+    // R9/D1: the SAME replay executed by the REAL streaming engine — the
+    // ops feed becomes a file stream, flatMapGroupsWithState keeps the
+    // per-key latest-wins state (Changefeed.applyOps), and the final
+    // per-key state must land on r9_replay's exact oracle
+    "r9_stream_parity" -> { (s, dir) =>
+      import s.implicits._
+      DerivedState.register(s, dir)
+      val tmp = graft.core.Caching.scratchDir("r9-stream")
+      val feedDir = tmp.resolve("feed").toString
+      s.table("ops")
+        .select(col("opKey").as("key"), col("op"),
+          col("opVersion").as("version"), col("payload"))
+        .write.parquet(feedDir)
+      val schema = s.read.parquet(feedDir).schema
+      val sinkName = "r9sink"
+      s.sql(s"DROP VIEW IF EXISTS $sinkName")
+      val opsStream = s.readStream.schema(schema).parquet(feedDir)
+        .as[graft.streaming.Changefeed.Op]
+      val q = graft.streaming.Changefeed.applyOps(s, opsStream).toDF()
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("update")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the sink holds every state CHANGE across micro-batches; the final
+      // state per key is the max-abs(version) row (state only moves toward
+      // higher abs version — same tie-break as StateStore.latestWins)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+        .orderBy(abs(col("version")).desc, col("version").desc)
+      s.table(sinkName)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("live"))
+        .select(col("key").as("opKey"), lit("UPSERT").as("op"),
+          col("version"), col("payload"))
+        .orderBy(col("opKey"))
+    },
     // S1: batch path resolution root-down
     "s1_path_resolution" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -234,6 +271,14 @@ object StateQueries {
 
   private val O = DerivedState.oracle _
 
+  /** R9 latest-abs(version)-wins reduction — shared by the batch replay
+    * and its streamed twin. */
+  private val R9OracleSql: String =
+    """SELECT opKey, op, opVersion AS version, payload FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY opKey
+      |    ORDER BY ABS(opVersion) DESC, opVersion DESC) AS rn FROM ops) t
+      |WHERE rn = 1 AND opVersion > 0 ORDER BY opKey""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "p1_indexed_find" -> O(
       """SELECT id, parentId, name, length, replication, version
@@ -292,11 +337,9 @@ object StateQueries {
         |  SELECT 'block', MAX(ABS(version)) FROM block UNION ALL
         |  SELECT 'datanode', MAX(ABS(version)) FROM datanode UNION ALL
         |  SELECT 'lease', MAX(ABS(version)) FROM lease) u ORDER BY tbl""".stripMargin),
-    "r9_replay" -> O(
-      """SELECT opKey, op, opVersion AS version, payload FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY opKey
-        |    ORDER BY ABS(opVersion) DESC, opVersion DESC) AS rn FROM ops) t
-        |WHERE rn = 1 AND opVersion > 0 ORDER BY opKey""".stripMargin),
+    "r9_replay" -> O(R9OracleSql),
+    // the streamed replay must land on the identical result
+    "r9_stream_parity" -> O(R9OracleSql),
     "s1_path_resolution" -> O(
       """SELECT r.path, f3.id, f3.length, f3.version
         |FROM (SELECT '/n_' || CAST(c_nationkey AS STRING) ||

@@ -32,6 +32,26 @@ object Formats {
       .saveAsSequenceFile(path)
   }
 
+  /** F1: SequenceFile.Sorter merge analog (C/org/apache/hadoop/io/
+    * SequenceFile.java — Sorter.merge :2637-2687, MergeQueue): k-way
+    * merge of pre-sorted runs into one globally sorted sequence file,
+    * duplicates preserved (merge, not dedup). Spark-first: the union of
+    * runs is range-partitioned and sorted — the shuffle's range partition
+    * IS the distributed merge pass, and unlike the reference's
+    * single-process heap (bounded by `factor` streams per pass) it takes
+    * any number of runs in one pass at any scale. Equal keys are ordered
+    * by value (the reference's equal-key order is stream-arrival order,
+    * which a distributed merge cannot reproduce — pin a total order
+    * instead). */
+  def mergeSequenceFiles(spark: SparkSession, runPaths: Seq[String],
+                         outPath: String): Unit = {
+    require(runPaths.nonEmpty, "mergeSequenceFiles needs at least one run")
+    val merged = runPaths.map(p => readSequenceFile(spark, p))
+      .reduce(_ unionByName _)
+      .orderBy(col("key"), col("value"))
+    writeSequenceFile(merged, outPath)
+  }
+
   /** F2/F3: MapFile/TFile analog — a sorted, bucketed parquet table whose
     * row-group min/max stats serve as the key index (point lookups skip
     * row groups the way MapFile's index skips blocks). */

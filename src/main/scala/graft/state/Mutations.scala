@@ -34,6 +34,22 @@ object Mutations {
       .unionByName(writeSet.select(snapshot.columns.toIndexedSeq.map(col): _*))
   }
 
+  /** P9 full shape (A/database/tdhsocket/client/statement/
+    * BatchStatementImpl.java — one round-trip carrying heterogeneous
+    * writes): multi-table atomic batch commit. Every write-set is
+    * computed against the SAME snapshot map and all tables are swapped at
+    * ONE commit point under the single-writer discipline — the batch
+    * analog of the reference's batch statement, and the end-to-end shape
+    * startFile actually needs (file inserts/tombstones + lease upserts in
+    * one commit; add the block write-set for N3). Tables without a
+    * write-set pass through unchanged. */
+  def commitBatch(snapshots: Map[String, DataFrame],
+                  writeSets: Map[String, DataFrame],
+                  keys: Map[String, Seq[String]]): Map[String, DataFrame] =
+    snapshots.map { case (t, snap) =>
+      t -> writeSets.get(t).map(ws => applyWriteSet(snap, ws, keys(t))).getOrElse(snap)
+    }
+
   /** R11 (FileRepository.insertInternal): validate a batch of candidate
     * child rows (parentId, name, length, blockSize, replication, owner,
     * leaseHolder): parent must exist and be a directory; (parentId,name)

@@ -19,6 +19,22 @@ class FormatsSpec extends SparkSpec {
     assert(back == Seq(Seq("a", "1"), Seq("b", "2"), Seq("c", "3")))
   }
 
+  test("F1: Sorter.merge — k-way merge of sorted runs keeps duplicates") {
+    val base = graft.core.Caching.scratchDir("seqmerge").toString
+    val runA = Seq(("a", "1"), ("c", "3"), ("e", "5")).toDF("key", "value")
+    val runB = Seq(("b", "2"), ("c", "30"), ("d", "4")).toDF("key", "value")
+    val runC = Seq(("a", "0"), ("f", "6")).toDF("key", "value")
+    Formats.writeSequenceFile(runA, s"$base/runA", sorted = true)
+    Formats.writeSequenceFile(runB, s"$base/runB", sorted = true)
+    Formats.writeSequenceFile(runC, s"$base/runC", sorted = true)
+    Formats.mergeSequenceFiles(spark,
+      Seq(s"$base/runA", s"$base/runB", s"$base/runC"), s"$base/merged")
+    val back = rows(Formats.readSequenceFile(spark, s"$base/merged")
+      .orderBy(col("key"), col("value")))
+    assert(back == Seq(Seq("a", "0"), Seq("a", "1"), Seq("b", "2"),
+      Seq("c", "3"), Seq("c", "30"), Seq("d", "4"), Seq("e", "5"), Seq("f", "6")))
+  }
+
   test("F2/F3: sorted keyed parquet round-trip with codec") {
     val dir = graft.core.Caching.scratchDir("kv").toString + "/kv"
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
@@ -90,6 +106,23 @@ class FormatsSpec extends SparkSpec {
     val out = rows(Mutations.applyWriteSet(snap, ws, Seq("id"))
       .orderBy(col("id")))
     assert(out == Seq(Seq(1L, "a", 1L), Seq(2L, "b2", 10L), Seq(3L, "c", 3L), Seq(4L, "d", 11L)))
+  }
+
+  test("P9: commitBatch applies heterogeneous write-sets to every table at once") {
+    import graft.state.Mutations
+    val file = Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "version")
+    val lease = Seq(("h1", 10L), ("h2", 20L)).toDF("holder", "leaseTime")
+    val post = Mutations.commitBatch(
+      Map("file" -> file, "lease" -> lease, "block" -> file),
+      Map("file" -> Seq((2L, "b2", 9L)).toDF("id", "v", "version"),
+          "lease" -> Seq(("h2", 99L), ("h3", 30L)).toDF("holder", "leaseTime")),
+      Map("file" -> Seq("id"), "lease" -> Seq("holder")))
+    assert(rows(post("file").orderBy(col("id"))) ==
+      Seq(Seq(1L, "a", 1L), Seq(2L, "b2", 9L)))
+    assert(rows(post("lease").orderBy(col("holder"))) ==
+      Seq(Seq("h1", 10L), Seq("h2", 99L), Seq("h3", 30L)))
+    // a table with no write-set passes through unchanged
+    assert(rows(post("block").orderBy(col("id"))) == rows(file.orderBy(col("id"))))
   }
 
   test("P7: TDHS fluent DSL composes index find + post filters + limit") {
