@@ -100,6 +100,59 @@ object Changefeed {
     docs.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** D2 fault model (A/distributed/editlogger/DistributedEditLogger.java):
+    * the reference's async edit appliers carry a pause gate
+    * (pauseApply/resumeApply :151-161 — apply() blocks on the flag :90),
+    * a latched failure flag (failToApply set on any error :102-105 while
+    * the queue KEEPS DRAINING), and per-invocation metrics (:94-113).
+    * This wraps a foreachBatch body with the same contract plus bounded
+    * retries: a batch that still fails after `maxRetries` attempts is
+    * QUARANTINED via `poison` (recorded, stream keeps moving) instead of
+    * killing the query — the streaming analog of the reference logging
+    * the bad invocation and latching failToApply. The ledger
+    * (batchId, attempts, outcome, elapsedMs) is the
+    * DistributedMetrics.timeVaryingRateInc analog. */
+  final case class ApplyOutcome(batchId: Long, attempts: Int,
+                                outcome: String, elapsedMs: Long)
+
+  final class RetryingApplier(
+      body: (DataFrame, Long) => Unit,
+      poison: (DataFrame, Long, Throwable) => Unit = (_, _, _) => (),
+      maxRetries: Int = 2) extends ((DataFrame, Long) => Unit) with Serializable {
+
+    private val paused = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val log = new java.util.concurrent.ConcurrentLinkedQueue[ApplyOutcome]()
+
+    /** pauseApply :151 — subsequent applies block until resume. */
+    def pause(): Unit = paused.set(true)
+    /** resumeApply :157. */
+    def resume(): Unit = { paused.synchronized { paused.set(false); paused.notifyAll() } }
+    /** failToApply :46 — latched true once any batch is quarantined. */
+    def failedToApply: Boolean = failed.get()
+    def ledger: Seq[ApplyOutcome] = { import scala.jdk.CollectionConverters._; log.asScala.toSeq }
+
+    def apply(batch: DataFrame, id: Long): Unit = {
+      paused.synchronized { while (paused.get()) paused.wait(100) }
+      val t0 = System.nanoTime()
+      var attempt = 0
+      var lastErr: Throwable = null
+      var done = false
+      while (!done && attempt <= maxRetries) {
+        attempt += 1
+        try { body(batch, id); done = true }
+        catch { case t: Throwable => lastErr = t }
+      }
+      val ms = (System.nanoTime() - t0) / 1000000L
+      if (done) log.add(ApplyOutcome(id, attempt, "applied", ms))
+      else {
+        failed.set(true)
+        log.add(ApplyOutcome(id, attempt, "quarantined", ms))
+        poison(batch, id, lastErr)
+      }
+    }
+  }
+
   /** S15 LeaseMonitor: on every trigger, scan for hard-expired leases and
     * hand the recovery candidates to `sink` (the reference runs this scan
     * every 2 s — StateManager.java:893-914). Driven by any ticking

@@ -106,6 +106,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D2 retrying applier: transient failures retry, poisoned batches quarantine") {
+    implicit val sqlCtx = spark.sqlContext
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val poisoned = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var flakyLeft = 2 // batch 0's body fails twice, then succeeds
+    val applier = new Changefeed.RetryingApplier(
+      body = (batch, id) => {
+        if (id == 0L && flakyLeft > 0) { flakyLeft -= 1; sys.error("transient") }
+        if (id == 1L) sys.error("permanent")
+        applied += id; batch.count(); ()
+      },
+      poison = (_, id, _) => poisoned += id,
+      maxRetries = 2)
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().writeStream.foreachBatch(applier).start()
+    try {
+      mem.addData(1L); q.processAllAvailable() // batch 0: flaky → applied on try 3
+      mem.addData(2L); q.processAllAvailable() // batch 1: permanent → quarantined
+      mem.addData(3L); q.processAllAvailable() // batch 2: the stream keeps moving
+      assert(applied.toSeq == Seq(0L, 2L))
+      assert(poisoned.toSeq == Seq(1L))
+      assert(applier.failedToApply) // latched by the quarantine, like failToApply
+      val byId = applier.ledger.map(o => o.batchId -> (o.attempts, o.outcome)).toMap
+      assert(byId(0L) == ((3, "applied")))
+      assert(byId(1L) == ((3, "quarantined")))
+      assert(byId(2L) == ((1, "applied")))
+    } finally q.stop()
+  }
+
+  test("D2 pause gate: applies block while paused, drain after resume") {
+    implicit val sqlCtx = spark.sqlContext
+    val applied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val applier = new Changefeed.RetryingApplier(
+      body = (_, _) => { applied.incrementAndGet(); () })
+    applier.pause()
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().writeStream.foreachBatch(applier).start()
+    try {
+      mem.addData(1L)
+      Thread.sleep(300)
+      assert(applied.get() == 0) // gated, like pauseApply :151
+      applier.resume()
+      q.processAllAvailable()
+      assert(applied.get() == 1)
+    } finally q.stop()
+  }
+
   test("block-report pipeline classifies each micro-batch against stored") {
     implicit val sqlCtx = spark.sqlContext
     val stored = Seq(
