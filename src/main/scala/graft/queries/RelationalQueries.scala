@@ -163,6 +163,157 @@ object RelationalQueries {
         .select($"l_orderkey", $"o_orderpriority", $"total_qty")
         .orderBy($"l_orderkey")
     },
+    // Q8-shape: market share — one nation's slice of a region's revenue
+    // per year (conditional-sum ÷ total over the same joined frame)
+    "q8_market_share" -> { (s, dir) =>
+      import s.implicits._
+      val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+      val cn = Tables.nation(s, dir).select($"n_nationkey".as("ck"), $"n_regionkey")
+      val sn = Tables.nation(s, dir).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+      val p = Tables.part(s, dir).filter($"p_type" === "STANDARD")
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(cn), $"c_nationkey" === $"ck")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(sn), $"s_nationkey" === $"sk")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(
+          (dsum(when($"supp_nation" === "NATION_3",
+            $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0)) /
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"o_year")
+    },
+    // Q9-shape: profit by supplier nation × year for one part family
+    // (no partsupp table in the testdata → profit = discounted revenue)
+    "q9_product_profit" -> { (s, dir) =>
+      import s.implicits._
+      val p = Tables.part(s, dir).filter($"p_type" === "PROMO")
+      val sn = Tables.nation(s, dir).select($"n_nationkey".as("sk"), $"n_name".as("nation"))
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val sup = Tables.supplier(s, dir)
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(sn), $"s_nationkey" === $"sk")
+        .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"nation", $"o_year".desc)
+    },
+    // Q12-shape: late-shipment counts split by order priority class per
+    // line status (the testdata has no shipmode/receiptdate — "late" =
+    // shipped > 30 days after the order date)
+    "q12_late_lines" -> { (s, dir) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      val o = Tables.orders(s, dir)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+        .groupBy($"l_linestatus")
+        .agg(
+          count(when($"o_orderpriority" === "1-URGENT" ||
+            $"o_orderpriority" === "2-HIGH", 1)).as("high_line_count"),
+          count(when($"o_orderpriority" =!= "1-URGENT" &&
+            $"o_orderpriority" =!= "2-HIGH", 1)).as("low_line_count"))
+        .orderBy($"l_linestatus")
+    },
+    // Q13-shape: customer order-count histogram — LEFT OUTER join with the
+    // filter INSIDE the join, then a double aggregation
+    "q13_order_distribution" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter($"o_orderpriority" =!= "5-LOW")
+      c.join(o, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+    // Q15-shape: top supplier(s) — per-supplier revenue joined against the
+    // GLOBAL max of the same derivation (self-join on an aggregate)
+    "q15_top_supplier" -> { (s, dir) =>
+      import s.implicits._
+      val rev = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+      val top = rev.agg(max($"total_revenue").as("__max"))
+      rev.join(broadcast(top), $"total_revenue" === $"__max").drop("__max")
+        .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_revenue")
+        .orderBy($"s_suppkey")
+    },
+    // Q17-shape: small-quantity revenue — per-part average joined back to
+    // the fact (the classic correlated-subquery-to-join rewrite)
+    "q17_small_quantity" -> { (s, dir) =>
+      import s.implicits._
+      val p = Tables.part(s, dir).filter($"p_brand" === "Brand#3")
+      val l = Tables.lineitem(s, dir)
+      val lp = l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      val avgQty = lp.groupBy($"l_partkey".as("__pk"))
+        .agg((dsum($"l_quantity") / count(lit(1))).as("__avgQty"))
+      lp.join(avgQty, $"l_partkey" === $"__pk")
+        .filter($"l_quantity" < lit(0.2) * $"__avgQty")
+        .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    },
+    // Q21-shape: suppliers who kept multi-supplier orders waiting — a
+    // semi-join (another supplier participated) composed with an
+    // anti-join (no OTHER supplier was late) on the same fact
+    "q21_waiting_suppliers" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate")
+      val late = Tables.lineitem(s, dir)
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .select($"l_orderkey", $"l_suppkey")
+      val all = Tables.lineitem(s, dir)
+        .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_semi")
+        .select($"l_orderkey".as("a_orderkey"), $"l_suppkey".as("a_suppkey"))
+      val l1 = late
+        .join(all, $"l_orderkey" === $"a_orderkey" && $"l_suppkey" =!= $"a_suppkey",
+          "left_semi")
+      val otherLate = late.select($"l_orderkey".as("b_orderkey"), $"l_suppkey".as("b_suppkey"))
+      val sole = l1.join(otherLate,
+        $"l_orderkey" === $"b_orderkey" && $"l_suppkey" =!= $"b_suppkey", "left_anti")
+      sole.join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    },
+    // Q22-shape: positive-balance customers above the average with no
+    // RECENT orders (every synthetic customer has some order — the
+    // recency window keeps the anti-join non-trivial) — scalar-aggregate
+    // threshold + anti-join
+    "q22_sales_opportunity" -> { (s, dir) =>
+      import s.implicits._
+      val codes = Seq(1L, 3L, 5L, 7L, 9L)
+      val c = Tables.customer(s, dir).filter($"c_nationkey".isin(codes: _*))
+      val avgBal = c.filter($"c_acctbal" > 0.0)
+        .agg((dsum($"c_acctbal") / count(lit(1))).as("__avg"))
+      val rich = c.join(broadcast(avgBal), $"c_acctbal" > $"__avg").drop("__avg")
+      rich.join(Tables.orders(s, dir)
+            .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+            .select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey".as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+        .orderBy($"cntrycode")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -258,5 +409,117 @@ object RelationalQueries {
         |SELECT l_orderkey, o_orderpriority, total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS mkt_share,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_profit,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH percust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '5-LOW') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM percust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH lp AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |avgq AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avgQty
+        |  FROM lp GROUP BY l_partkey)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM lp JOIN avgq ON l_partkey = pk
+        |WHERE l_quantity < 0.2 * avgQty""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH fo AS (
+        |  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+        |late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |allf AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM fo))
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM allf a
+        |              WHERE a.l_orderkey = l1.l_orderkey
+        |                AND a.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l2
+        |                  WHERE l2.l_orderkey = l1.l_orderkey
+        |                    AND l2.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH cc AS (
+        |  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+        |avgbal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS a
+        |  FROM cc WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM cc
+        |WHERE c_acctbal > (SELECT a FROM avgbal)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
   )
 }
