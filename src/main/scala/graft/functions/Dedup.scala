@@ -97,6 +97,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: flag training docs sharing ≥ `minShared`
+    * distinct word-3-gram shingles with ANY document of an evaluation
+    * set — the train/test-overlap check every training-data pipeline
+    * runs before a corpus ships. Output (trainId, evalId, sharedShingles)
+    * names the contaminating pair, not just a flag. Scale shape: the
+    * eval side is small by construction (benchmarks are thousands of
+    * docs, the corpus is billions), so its distinct shingle set is
+    * BROADCAST and the corpus-side shingle stream never shuffles — cost
+    * is one map-side join + one partial-aggregated groupBy on the hits. */
+  def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, minShared: Int = 3): DataFrame = {
+    val t = shingleRows(train, idCol, textCol)
+      .withColumnRenamed(idCol, "trainId").distinct()
+    val e = shingleRows(evalDocs, idCol, textCol)
+      .withColumnRenamed(idCol, "evalId").distinct()
+    t.join(broadcast(e), Seq("shingle"))
+      .groupBy(col("trainId"), col("evalId"))
+      .agg(count(lit(1)).as("sharedShingles"))
+      .filter(col("sharedShingles") >= minShared)
+  }
+
   /** 16-bit SimHash over the token stream: each token contributes ±1 per
     * bit of a 16-bit md5-derived hash; final bit = sign of the sum.
     * Pure integer arithmetic → oracle-portable. */

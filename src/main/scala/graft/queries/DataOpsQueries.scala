@@ -326,6 +326,16 @@ object DataOpsQueries {
         .orderBy(col("doc_id"))
     },
     // document fingerprint (bottom-4 md5 sketch)
+    // decontamination: training docs sharing >=2 distinct 3-gram shingles
+    // with the eval slice (doc_id % 97 = 0) — train/test overlap report
+    "t6_decontaminate" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      Dedup.contamination(
+          d.filter(col("doc_id") % 97 =!= 0L),
+          d.filter(col("doc_id") % 97 === 0L),
+          "doc_id", "text", minShared = 2)
+        .orderBy(col("trainId"), col("evalId"))
+    },
     "t4_fingerprint" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -594,6 +604,22 @@ object DataOpsQueries {
         |  len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS bpeTokens,
         |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS approxTokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t6_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 3
+        |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]
+        |    ELSE [] END) AS shingle
+        |  FROM words),
+        |shd AS (SELECT DISTINCT doc_id, shingle FROM sh)
+        |SELECT t.doc_id AS trainId, e.doc_id AS evalId,
+        |       COUNT(*) AS sharedShingles
+        |FROM shd t JOIN shd e ON t.shingle = e.shingle
+        |WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY trainId, evalId""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  array_to_string((list_sort(list_transform(

@@ -54,6 +54,25 @@ class ScaleSpec extends SparkSpec {
       s"no global row_number rank over the full table:\n$plan")
   }
 
+  test("N2 append: block table is semi-join-pruned, no cartesian anywhere") {
+    import graft.state.Mutations
+    val file = (0 to 200).map(i =>
+      (i.toLong, 0L, if (i == 0) "" else s"f$i", if (i == 0) -1L else 10L,
+        64L, 1L, 0L, 0L, 0L, None: Option[String], 0L, i.toLong + 1))
+      .toDF("id", "parentId", "name", "length", "blockSize", "replication",
+        "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    val block = (1 to 2000).map(i =>
+      (i.toLong, 1L + i % 5, 10L, 7L, i.toLong % 200, 1L + i / 200, i.toLong))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version")
+    val reqs = Seq((0L, "f3", "h1"), (0L, "f4", "h2")).toDF("parentId", "name", "holder")
+    val out = Mutations.appendFile(file, block, reqs, nowMs = 1L)
+    assert(out.filter(col("writeOp") === "attach").count() == 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"block scan must be pruned to appended files via a semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("salted join equals plain join on a skewed key") {
     // 90% of the big side hits one key — the classic skew shape
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i))
