@@ -86,8 +86,13 @@ object BenchOps {
           .filter(col("version") > 1000000000L).count()
       },
       timed("append") {
-        // append = re-open + allocate the next block (N3) per UC file
-        Mutations.addBlock(file, block, idBase = 5000000000L).count()
+        // the REAL reopen-for-append ladder (N2 append branch): lease
+        // re-attach + last-block reopen write-set per closed file slice
+        val reqs = file.filter(col("version") > 0 && col("length") > 0 &&
+            col("leaseHolder").isNull && col("id") % 5 === 0)
+          .select(col("parentId"), col("name"),
+            concat(lit("hb_"), (col("id") % 100).cast("string")).as("holder"))
+        Mutations.appendFile(file, block, reqs, nowMs = Now).count()
       },
       timed("setpermission") {
         Mutations.setAttrs(file, col("version") > 0,
