@@ -90,6 +90,44 @@ class AlgebraLawsSpec extends SparkSpec {
     }
   }
 
+  test("append round-trip law: committed append state gates complete/addBlock") {
+    // append f's write-set → commitBatch(file+block) → the file is under
+    // construction, its reopened last block blocks BOTH completeFile and
+    // the next allocation — the cross-operator invariant the reference
+    // keeps via its per-file lock (appendFile → getAdditionalBlock)
+    val file = Seq(
+      (0L, -1L, "", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 1L),
+      (5L, 0L, "f", 200L, 64L, 1L, 0L, 0L, 0L, None: Option[String], 0L, 5L),
+    ).toDF("id", "parentId", "name", "length", "blockSize", "replication",
+      "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    val block = Seq(
+      (50L, 1L, 100L, 7L, 5L, 1L, 10L),
+      (51L, 1L, 100L, 7L, 5L, 2L, 11L), // last block, finished
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version")
+    val reqs = Seq((0L, "f", "hA")).toDF("parentId", "name", "holder")
+    val ws = graft.state.Mutations.appendFile(file, block, reqs, nowMs = 9L)
+    val fileWs = file.join(ws.filter(col("writeOp") === "attach")
+        .select(col("id").as("__i"), col("leaseHolder").as("__lh"), col("version").as("__v")),
+        col("id") === col("__i"))
+      .withColumn("leaseHolder", col("__lh")).withColumn("version", col("__v"))
+      .drop("__i", "__lh", "__v")
+    val blockWs = block.join(ws.filter(col("writeOp") === "reopen")
+        .select(col("id").as("__i"), col("version").as("__v")), col("id") === col("__i"))
+      .withColumn("length", lit(-1L)).withColumn("version", col("__v"))
+      .drop("__i", "__v")
+    val post = graft.state.Mutations.commitBatch(
+      Map("file" -> file, "block" -> block),
+      Map("file" -> fileWs, "block" -> blockWs),
+      Map("file" -> Seq("id"), "block" -> Seq("id")))
+    val check = rows(graft.state.Mutations
+      .completeFileCheck(post("file"), post("block"))
+      .select(col("fileId"), col("canComplete")))
+    assert(check == Seq(Seq(5L, false))) // reopened block ⇒ cannot complete
+    val alloc = rows(graft.state.Mutations.addBlock(post("file"), post("block"), idBase = 900L)
+      .select(col("fileId"), col("canAllocate"), col("newFileIndex")))
+    assert(alloc == Seq(Seq(5L, false, 3L))) // last block back under construction
+  }
+
   test("addBlock law: canAllocate false iff last block under-replicated") {
     val file = Seq(
       (0L, -1L, "", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 1L),
