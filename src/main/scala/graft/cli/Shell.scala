@@ -21,6 +21,8 @@ import graft.state.StateManager
   *   report         datanode report
   *   dedup          simhash near-duplicate census over the documents corpus
   *   clean          the corpus cleaning pipeline (dedup → near-dup → quality)
+  *   append <path>  reopen-for-append write-set for one file
+  *   decontaminate  train/eval n-gram overlap report over the documents corpus
   */
 object Shell {
   def main(args: Array[String]): Unit = {
@@ -84,6 +86,24 @@ object Shell {
       case "clean" =>
         // the t5 pipeline: survivors of dedup + near-dup + quality gate
         graft.SparkEntry.queries("t5_clean_corpus")(spark, sfDir)
+          .show(20, truncate = false)
+      case "append" =>
+        import spark.implicits._
+        val id = resolve(path)
+        val target = file.filter(col("id") === id && col("version") > 0)
+          .select(col("parentId"), col("name")).collect()
+        require(target.nonEmpty, s"no such live file: $path")
+        val reqs = Seq((target.head.getLong(0), target.head.getString(1), "shell"))
+          .toDF("parentId", "name", "holder")
+        graft.state.Mutations.appendFile(file, block, reqs, nowMs = Now)
+          .orderBy(col("writeOp"), col("id")).show(50, truncate = false)
+      case "decontaminate" =>
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        graft.functions.Dedup.contamination(
+            docs.filter(col("doc_id") % 97 =!= 0L),
+            docs.filter(col("doc_id") % 97 === 0L),
+            "doc_id", "text", minShared = 2)
+          .orderBy(col("sharedShingles").desc, col("trainId"), col("evalId"))
           .show(20, truncate = false)
       case other => sys.error(s"unknown verb: $other")
     }
