@@ -30,22 +30,29 @@ object Dedup {
       .withColumn("isDuplicate", col(idCol) =!= col("keepId"))
   }
 
-  /** Word 3-gram shingle rows (id, shingle). Tokenizes ONCE per doc
-    * (posexplode of the generator argument), then forms shingles with
-    * window lead() — building shingles with element_at inside a transform
-    * lambda would re-run the tokenizer regexp per element (Catalyst
-    * inlines the outer expression into the lambda body). Docs with < 3
-    * tokens yield no shingles. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Word n-gram rows (id, shingle). Tokenizes ONCE per doc (posexplode
+    * of the generator argument), then forms n-grams with window lead() —
+    * building them with element_at inside a transform lambda would re-run
+    * the tokenizer regexp per element (Catalyst inlines the outer
+    * expression into the lambda body). Docs with < n tokens yield no
+    * rows. */
+  def ngramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
     val tok = df.select(col(idCol),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    tok
-      .withColumn("w1", lead(col("w"), 1).over(w))
-      .withColumn("w2", lead(col("w"), 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col(idCol), concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
+    val withLeads = (1 until n).foldLeft(tok)((d, i) =>
+      d.withColumn(s"w$i", lead(col("w"), i).over(w)))
+    val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
+    withLeads
+      .filter(if (n > 1) col(s"w${n - 1}").isNotNull else lit(true))
+      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"))
   }
+
+  /** Word 3-gram shingle rows (id, shingle) — the LSH/decontamination
+    * shingle unit. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ngramRows(df, idCol, textCol, 3)
 
   /** MinHash signatures: k md5-seeded min-hashes per doc, as columns
     * m0..m{k-1}. Input df must have (idCol, textCol). The k hashes are k
@@ -168,6 +175,55 @@ object Dedup {
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Connected components over a near-duplicate pair graph: every doc in
+    * a transitively-connected cluster gets the cluster's minimum id as its
+    * `clusterId` (the canonical keeper). Input is the (id1, id2) pair set
+    * from any candidate generator (LSH, SimHash, embedding ANN).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converged
+    * when a round changes nothing. Rounds = graph diameter, and near-dup
+    * graphs are unions of small dense cliques (diameter 2-3 in practice),
+    * so the loop is shallow. Each round is one shuffle on the edge key —
+    * never an all-pairs product — and the edge list is the only state, so
+    * the 100 TB path is `rounds × O(|E|)` with partial aggregation; for
+    * adversarial long-chain graphs swap in large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce"), which keeps
+    * the same per-round join shape.
+    *
+    * Returns (id, clusterId); every endpoint of every pair appears once.
+    * Isolated docs (no pair) are absent by construction — callers treat
+    * missing as "own cluster". The returned frame is persisted (Caching
+    * contract; one-shot callers drop it with the session). */
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // undirected edges, both directions: (id, nbr)
+    val edges = pairs.select(col("id1").as("id"), col("id2").as("nbr"))
+      .union(pairs.select(col("id2").as("id"), col("id1").as("nbr")))
+      .persist()
+    var labels = edges.select(col("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    labels.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // min over {own label} ∪ {neighbor labels}
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("label").as("nbrLabel")), Seq("nbr"))
+        .groupBy(col("id")).agg(min(col("nbrLabel")).as("nbrMin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    val out = labels.select(col("id"), col("label").as("clusterId"))
+    graft.core.Caching.materializeAndRelease(out, Seq(edges, labels))
   }
 
   /** Exact word-3-gram Jaccard for candidate pairs (id1, id2): distinct

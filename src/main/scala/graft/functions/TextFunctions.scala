@@ -73,4 +73,23 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     concat_ws(",", slice(array_sort(transform(array_distinct(tokens(text)),
       t => md5(t))), 1, 4))
+
+  /** PII scrubbing + normalization for training corpora. The regexes are
+    * deliberately RE2-compatible (no backrefs/lookaround) so the DuckDB
+    * differential oracle — and any RE2-based production scrubber — matches
+    * byte-for-byte. Applied to the lowercased text; whitespace is
+    * collapsed last so redaction tokens never glue words together. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(EmailPattern), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(PhonePattern), lit(0)))
+
+  def piiScrub(text: Column): Column = {
+    val noEmail = regexp_replace(lower(text), EmailPattern, "<email>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<phone>")
+    trim(regexp_replace(noPhone, "\\s+", " "))
+  }
 }

@@ -461,6 +461,108 @@ object DataOpsQueries {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("totalValue"))
         .orderBy(col("day"), col("event_type"))
     },
+    // near-dup CLUSTERS: connected components over the LSH pair graph —
+    // transitive closure turns pairwise near-dups into keep-one-per-cluster
+    // (pairwise keeps A,C of A~B~C; clustering keeps only A)
+    "d7_dup_clusters" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val pairs = Dedup.lshCandidates(c, "doc_id", "text")
+        .filter(col("estJaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+      Dedup.dupClusters(pairs)
+        .withColumn("clusterSize",
+          count(lit(1)).over(Window.partitionBy(col("clusterId"))))
+        .select(col("id").as("doc_id"), col("clusterId"), col("clusterSize"))
+        .orderBy(col("doc_id"))
+    },
+    // sequence packing for training: concat docs in shard order, chunk
+    // into 512-token context windows; each doc reports its start/end
+    // window and whether it straddles a boundary. Shard-local windows
+    // (never a global sort) — at 100 TB the shard count scales with the
+    // cluster and each packer partition stays bounded.
+    "t7_pack_sequences" -> { (s, dir) =>
+      val cap = 512.0
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        greatest(TextFunctions.wsTokenCount(col("text")).cast("long"), lit(1L)).as("tok"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cumEnd", sum(col("tok")).over(w))
+        .withColumn("startBin",
+          floor((col("cumEnd") - col("tok")).cast("double") / cap).cast("long"))
+        .withColumn("endBin",
+          floor((col("cumEnd") - 1).cast("double") / cap).cast("long"))
+        .withColumn("straddles", col("startBin") =!= col("endBin"))
+        .select(col("doc_id"), col("shard"), col("tok"), col("cumEnd"),
+          col("startBin"), col("endBin"), col("straddles"))
+        .orderBy(col("doc_id"))
+    },
+    // PII scrub: deterministic synthetic contact block appended, then
+    // email/phone redaction + whitespace normalization; the oracle
+    // recomputes the scrubbed text's md5 with the same RE2-safe patterns
+    "t8_pii_scrub" -> { (s, dir) =>
+      val dirty = concat(col("text"),
+        lit(" Contact: user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          TextFunctions.emailCount(col("dirty")).as("nEmails"),
+          TextFunctions.phoneCount(col("dirty")).as("nPhones"),
+          md5(TextFunctions.piiScrub(col("dirty"))).as("cleanHash"))
+        .orderBy(col("doc_id"))
+    },
+    // repetition-based quality signals (Gopher-style): distinct-token
+    // ratio, top-token fraction, duplicate-bigram fraction per doc
+    "t9_repetition" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val tok = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      val perTok = tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val tokStats = perTok.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("nTok"),
+        count(lit(1)).as("distinctTok"),
+        max(col("c")).as("topCnt"))
+      val per2 = Dedup.ngramRows(d, "doc_id", "text", 2)
+        .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("c2"))
+      val g2Stats = per2.groupBy(col("doc_id")).agg(
+        sum(col("c2")).as("n2"), count(lit(1)).as("distinct2"))
+      d.select(col("doc_id"))
+        .join(tokStats, Seq("doc_id"), "left")
+        .join(g2Stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nTok"), lit(0L)).as("nTok"),
+          when(col("nTok") > 0,
+            col("distinctTok").cast("double") / col("nTok")).otherwise(0.0)
+            .as("distinctRatio"),
+          when(col("nTok") > 0,
+            col("topCnt").cast("double") / col("nTok")).otherwise(0.0)
+            .as("topTokenRatio"),
+          when(col("n2") > 0,
+            (col("n2") - col("distinct2")).cast("double") / col("n2")).otherwise(0.0)
+            .as("dupBigramRatio"))
+        .orderBy(col("doc_id"))
+    },
+    // stratified deterministic sampling: md5-bucket each doc, keep a
+    // per-language rate — reproducible corpus downsampling with a
+    // per-stratum checksum of the kept ids
+    "t10_stratified_sample" -> { (s, dir) =>
+      val bucket = (expr("cast(conv(substring(md5(cast(doc_id as string)),1,4),16,10) as bigint)") % 100)
+      val rate = when(col("lang") === "en", 25L)
+        .when(col("lang") === "es", 50L)
+        .when(col("lang") === "de", 75L)
+        .otherwise(100L)
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .withColumn("keep", col("bucket") < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("nKept"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
+        .orderBy(col("lang"))
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -688,5 +790,106 @@ object DataOpsQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS totalValue
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // transitive closure via recursive CTE = the label-propagation loop's
+    // fixpoint: min reachable id per node
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE $MinhashSql,
+        |edges AS (SELECT id1, id2 FROM pairs WHERE estJaccard >= 0.5),
+        |und AS (SELECT id1 AS a, id2 AS b FROM edges
+        |        UNION ALL SELECT id2, id1 FROM edges),
+        |nodes AS (SELECT DISTINCT a AS id FROM und),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+        |lab AS (SELECT id AS doc_id, MIN(r) AS clusterId FROM reach GROUP BY id)
+        |SELECT doc_id, clusterId,
+        |  COUNT(*) OVER (PARTITION BY clusterId) AS clusterSize
+        |FROM lab ORDER BY doc_id""".stripMargin,
+    "t7_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    GREATEST(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT), 1) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, tok,
+        |    SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumEnd
+        |  FROM t)
+        |SELECT doc_id, shard, tok, CAST(cumEnd AS BIGINT) AS cumEnd,
+        |  CAST(FLOOR(CAST(cumEnd - tok AS DOUBLE) / 512.0) AS BIGINT) AS startBin,
+        |  CAST(FLOOR(CAST(cumEnd - 1 AS DOUBLE) / 512.0) AS BIGINT) AS endBin,
+        |  CAST(FLOOR(CAST(cumEnd - tok AS DOUBLE) / 512.0) AS BIGINT) <>
+        |    CAST(FLOOR(CAST(cumEnd - 1 AS DOUBLE) / 512.0) AS BIGINT) AS straddles
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t8_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or +1-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(dirty),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS nEmails,
+        |    len(regexp_extract_all(lower(dirty),
+        |      '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS nPhones,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(dirty),
+        |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+        |        '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<phone>', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM d)
+        |SELECT doc_id, nEmails, nPhones, md5(clean) AS cleanHash
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t9_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(w) AS t FROM w),
+        |pt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+        |ts AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nTok,
+        |    COUNT(*) AS distinctTok, MAX(c) AS topCnt
+        |  FROM pt GROUP BY doc_id),
+        |g2 AS (
+        |  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 2
+        |    THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+        |    ELSE [] END) AS s
+        |  FROM w),
+        |p2 AS (SELECT doc_id, s, COUNT(*) AS c2 FROM g2 GROUP BY doc_id, s),
+        |s2 AS (
+        |  SELECT doc_id, CAST(SUM(c2) AS BIGINT) AS n2, COUNT(*) AS distinct2
+        |  FROM p2 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(ts.nTok, 0) AS nTok,
+        |  CASE WHEN ts.nTok > 0
+        |    THEN CAST(ts.distinctTok AS DOUBLE) / ts.nTok ELSE 0.0 END AS distinctRatio,
+        |  CASE WHEN ts.nTok > 0
+        |    THEN CAST(ts.topCnt AS DOUBLE) / ts.nTok ELSE 0.0 END AS topTokenRatio,
+        |  CASE WHEN s2.n2 > 0
+        |    THEN CAST(s2.n2 - s2.distinct2 AS DOUBLE) / s2.n2 ELSE 0.0 END AS dupBigramRatio
+        |FROM documents d
+        |LEFT JOIN ts ON d.doc_id = ts.doc_id
+        |LEFT JOIN s2 ON d.doc_id = s2.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "t10_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096 +
+        |     (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256 +
+        |     (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16 +
+        |     (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100 AS bucket
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, bucket,
+        |    bucket < (CASE lang WHEN 'en' THEN 25 WHEN 'es' THEN 50
+        |              WHEN 'de' THEN 75 ELSE 100 END) AS keep
+        |  FROM b)
+        |SELECT lang, COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -114,6 +114,42 @@ class DataOpsSpec extends SparkSpec {
     assert(frames.map(_.doc_id).toSet == expectedDocs)
   }
 
+  test("dup clusters: transitive chain collapses to min id; components separate") {
+    // chain 1-2, 2-5 plus isolated pair 7-9: two components
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("id1", "id2")
+    val out = rows(Dedup.dupClusters(pairs).orderBy(col("id")))
+      .map(r => r.head -> r.last).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dup clusters: long path converges past one round") {
+    // a 6-node path stresses multi-round propagation (diameter 5)
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val out = rows(Dedup.dupClusters(pairs)).map(_.last).distinct
+    assert(out == Seq(1L))
+  }
+
+  test("ngramRows generalizes shingles: bigrams and unigrams") {
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val bi = rows(Dedup.ngramRows(one, "doc_id", "text", 2).select(col("shingle")))
+      .map(_.head)
+    assert(bi == Seq("a b", "b c"))
+    val uni = rows(Dedup.ngramRows(one, "doc_id", "text", 1).select(col("shingle")))
+      .map(_.head)
+    assert(uni == Seq("a", "b", "c"))
+  }
+
+  test("pii scrub redacts emails and phones, collapses whitespace") {
+    val d = Seq((1L, "Mail Bob.Smith+x@Example.COM  or +1-555-0042  now"))
+      .toDF("doc_id", "text")
+    val out = rows(d.select(
+      TextFunctions.piiScrub(col("text")),
+      TextFunctions.emailCount(col("text")),
+      TextFunctions.phoneCount(col("text")))).head
+    assert(out.head == "mail <email> or <phone> now")
+    assert(out(1) == 1 && out(2) == 1)
+  }
+
   test("multimodal plumbing: stub decode is deterministic per payload") {
     val media = Multimodal.asMedia(docs.withColumn("text", concat(col("text"), lit("!"))))
     val feats = Multimodal.extractFeatures(spark, media, partitions = 2)
