@@ -30,23 +30,31 @@ object Dedup {
       .withColumn("isDuplicate", col(idCol) =!= col("keepId"))
   }
 
-  /** Word n-gram rows (id, shingle). Tokenizes ONCE per doc (posexplode
-    * of the generator argument), then forms n-grams with window lead() —
-    * building them with element_at inside a transform lambda would re-run
-    * the tokenizer regexp per element (Catalyst inlines the outer
-    * expression into the lambda body). Docs with < n tokens yield no
-    * rows. */
+  /** Word n-gram rows (id, shingle), built entirely map-side: the token
+    * array is zipped with its own shifted slices (`zip_with` chain), so
+    * n-gram formation needs NO shuffle — unlike a posexplode + window
+    * lead() construction, which exchanges and sorts the whole token
+    * stream before the first shingle exists. The lambdas reference only
+    * their own arguments (never the outer tokens expression), so the
+    * tokenizer regexp is evaluated a constant number of times per ROW —
+    * building n-grams with element_at inside a transform lambda would
+    * instead re-run it per ELEMENT (Catalyst inlines the captured outer
+    * expression into the lambda body). Tail positions with < n tokens
+    * left produce null (concat propagates null through the zip padding)
+    * and are filtered; docs with < n tokens yield no rows. */
   def ngramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
-    val tok = df.select(col(idCol),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val withLeads = (1 until n).foldLeft(tok)((d, i) =>
-      d.withColumn(s"w$i", lead(col("w"), i).over(w)))
-    val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
-    withLeads
-      .filter(if (n > 1) col(s"w${n - 1}").isNotNull else lit(true))
-      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"))
+    // two-level select: the token array materializes in its own projection
+    // and the n-gram tree references it n+ times — CollapseProject refuses
+    // to inline a non-cheap expression referenced more than once
+    // (SPARK-36718), so the tokenizer runs once per row, not once per
+    // reference
+    val tok = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
+    val grams = (1 until n).foldLeft(toks) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i + 1), size(toks)), (x, y) => concat(x, lit(" "), y))
+    }
+    tok.select(col(idCol), explode(filter(grams, _.isNotNull)).as("shingle"))
   }
 
   /** Word 3-gram shingle rows (id, shingle) — the LSH/decontamination

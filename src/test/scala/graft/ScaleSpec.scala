@@ -73,6 +73,19 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("t7 packing windows are shard-partitioned, never single-partition") {
+    // the packer's cumulative sums must stay shard-local: an empty
+    // partitionBy would compile to Exchange SinglePartition and gather
+    // the whole corpus through one task — the one plan that cannot
+    // survive a 100x scale-up
+    val out = graft.queries.DataOpsQueries.queries("t7_pack_sequences")(
+      spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"shard-local window must not gather to one partition:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("salted join equals plain join on a skewed key") {
     // 90% of the big side hits one key — the classic skew shape
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i))
