@@ -185,6 +185,35 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental exact dedup: classify a NEW batch against an EXISTING
+    * corpus without re-pairing the corpus with itself — the shape every
+    * additive ingestion pipeline needs. Status per batch doc:
+    * `dup_of_existing` (content hash already in the corpus; keepId = min
+    * existing id), `dup_in_batch` (first seen in this batch under a
+    * smaller id), or `unique`. Existing wins over in-batch.
+    *
+    * Scale shape: the existing side collapses to (contentHash, minId) via
+    * a partial-aggregated groupBy — in production that table is the
+    * maintained dedup index, appended per batch, so the per-batch cost is
+    * O(batch) map work + one hash join against the index (broadcast when
+    * the batch is the small side). The LSH analog joins the batch's band
+    * keys against the stored signature table the same way. */
+  def incrementalExact(existing: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val index = existing
+      .select(md5(col(textCol)).as("contentHash"), col(idCol).as("exId"))
+      .groupBy(col("contentHash")).agg(min(col("exId")).as("existingKeepId"))
+    val w = Window.partitionBy(col("contentHash"))
+    batch.select(col(idCol), md5(col(textCol)).as("contentHash"))
+      .withColumn("batchKeepId", min(col(idCol)).over(w))
+      .join(index, Seq("contentHash"), "left")
+      .select(col(idCol),
+        when(col("existingKeepId").isNotNull, lit("dup_of_existing"))
+          .when(col(idCol) =!= col("batchKeepId"), lit("dup_in_batch"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("existingKeepId"), col("batchKeepId")).as("keepId"))
+  }
+
   /** Connected components over a near-duplicate pair graph: every doc in
     * a transitively-connected cluster gets the cluster's minimum id as its
     * `clusterId` (the canonical keeper). Input is the (id1, id2) pair set

@@ -545,6 +545,18 @@ object DataOpsQueries {
             .as("dupBigramRatio"))
         .orderBy(col("doc_id"))
     },
+    // incremental dedup: classify the ingest batch (doc_id % 3 == 0)
+    // against the standing corpus — no corpus self-pairing, one hash
+    // join against the (hash, minId) dedup index
+    "d8_incremental_dedup" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      Dedup.incrementalExact(
+          c.filter(col("doc_id") % 3 =!= 0L),
+          c.filter(col("doc_id") % 3 === 0L),
+          "doc_id", "text")
+        .select(col("doc_id"), col("status"), col("keepId"))
+        .orderBy(col("doc_id"))
+    },
     // stratified deterministic sampling: md5-bucket each doc, keep a
     // per-language rate — reproducible corpus downsampling with a
     // per-stratum checksum of the kept ids
@@ -874,6 +886,22 @@ object DataOpsQueries {
         |LEFT JOIN ts ON d.doc_id = ts.doc_id
         |LEFT JOIN s2 ON d.doc_id = s2.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "d8_incremental_dedup" ->
+      s"""WITH $CorpusSql,
+        |idx AS (
+        |  SELECT md5(text) AS contentHash, MIN(doc_id) AS existingKeepId
+        |  FROM corpus WHERE doc_id % 3 <> 0 GROUP BY md5(text)),
+        |b AS (
+        |  SELECT doc_id, md5(text) AS contentHash,
+        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS batchKeepId
+        |  FROM corpus WHERE doc_id % 3 = 0)
+        |SELECT b.doc_id,
+        |  CASE WHEN idx.existingKeepId IS NOT NULL THEN 'dup_of_existing'
+        |       WHEN b.doc_id <> b.batchKeepId THEN 'dup_in_batch'
+        |       ELSE 'unique' END AS status,
+        |  COALESCE(idx.existingKeepId, b.batchKeepId) AS keepId
+        |FROM b LEFT JOIN idx ON b.contentHash = idx.contentHash
+        |ORDER BY b.doc_id""".stripMargin,
     "t10_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

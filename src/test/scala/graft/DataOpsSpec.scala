@@ -129,6 +129,19 @@ class DataOpsSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("incremental dedup: existing beats in-batch, unique stands alone") {
+    val existing = Seq((10L, "aaa"), (11L, "bbb")).toDF("doc_id", "text")
+    val batch = Seq((20L, "aaa"), (21L, "ccc"), (22L, "ccc"), (23L, "ddd"))
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.incrementalExact(existing, batch, "doc_id", "text")
+      .select(col("doc_id"), col("status"), col("keepId")).orderBy(col("doc_id")))
+    assert(out == Seq(
+      Seq(20L, "dup_of_existing", 10L),
+      Seq(21L, "unique", 21L),
+      Seq(22L, "dup_in_batch", 21L),
+      Seq(23L, "unique", 23L)))
+  }
+
   test("ngramRows generalizes shingles: bigrams and unigrams") {
     val one = Seq((1L, "a b c")).toDF("doc_id", "text")
     val bi = rows(Dedup.ngramRows(one, "doc_id", "text", 2).select(col("shingle")))
