@@ -545,6 +545,23 @@ object DataOpsQueries {
             .as("dupBigramRatio"))
         .orderBy(col("doc_id"))
     },
+    // distinctive terms per document: rank tokens by tf/df (the
+    // integer-exact tf-idf core — no log, so the oracle matches
+    // bit-for-bit); df table is vocabulary-sized and reusable
+    "t11_distinctive_terms" -> { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val rankW = Window.partitionBy(col("doc_id"))
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("w"))
+      tf.join(docFreq, Seq("w"))
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("w"), col("tf"), col("df"), col("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
     // incremental dedup: classify the ingest batch (doc_id % 3 == 0)
     // against the standing corpus — no corpus self-pairing, one hash
     // join against the (hash, minId) dedup index
@@ -886,6 +903,20 @@ object DataOpsQueries {
         |LEFT JOIN ts ON d.doc_id = ts.doc_id
         |LEFT JOIN s2 ON d.doc_id = s2.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "t11_distinctive_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |docFreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |r AS (
+        |  SELECT tf.doc_id, tf.w, tf.tf, docFreq.df,
+        |    CAST(tf.tf AS DOUBLE) / docFreq.df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / docFreq.df DESC, tf.w) AS rank
+        |  FROM tf JOIN docFreq ON tf.w = docFreq.w)
+        |SELECT doc_id, w, tf, df, score, rank FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "d8_incremental_dedup" ->
       s"""WITH $CorpusSql,
         |idx AS (

@@ -73,6 +73,24 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("minhash signatures over a doc_id-bucketed corpus need no shuffle") {
+    // the 100 TB dedup layout: corpus bucketed by doc id. n-gram
+    // formation is map-side (zip_with chain) and Generate preserves the
+    // scan's distribution, so the signature groupBy is satisfied straight
+    // off the bucketed scan — the whole minhash pipeline runs without a
+    // single exchange
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta token$i end"))
+      .toDF("doc_id", "text")
+    Scale.writeBucketed(docs, "graft_bucketed_docs", "doc_id", buckets = 4)
+    val sig = graft.functions.Dedup.minhashSignatures(
+      spark.table("graft_bucketed_docs"), "doc_id", "text")
+    assert(sig.count() == 200)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed minhash should not shuffle:\n$plan")
+  }
+
   test("t7 packing windows are shard-partitioned, never single-partition") {
     // the packer's cumulative sums must stay shard-local: an empty
     // partitionBy would compile to Exchange SinglePartition and gather
