@@ -123,13 +123,17 @@ object Dedup {
     * is one map-side join + one partial-aggregated groupBy on the hits. */
   def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
                     textCol: String, minShared: Int = 3): DataFrame = {
-    val t = shingleRows(train, idCol, textCol)
-      .withColumnRenamed(idCol, "trainId").distinct()
+    // the corpus-side shingle stream is joined RAW against the broadcast
+    // eval set — distinct-ing it first would shuffle every shingle of the
+    // training corpus before the join prunes anything. Only the hits
+    // shuffle: countDistinct de-dups repeated shingles of one train doc
+    // on the (already tiny) joined set.
+    val t = shingleRows(train, idCol, textCol).withColumnRenamed(idCol, "trainId")
     val e = shingleRows(evalDocs, idCol, textCol)
       .withColumnRenamed(idCol, "evalId").distinct()
     t.join(broadcast(e), Seq("shingle"))
       .groupBy(col("trainId"), col("evalId"))
-      .agg(count(lit(1)).as("sharedShingles"))
+      .agg(countDistinct(col("shingle")).as("sharedShingles"))
       .filter(col("sharedShingles") >= minShared)
   }
 
@@ -258,6 +262,15 @@ object Dedup {
       labels = next
       converged = changed == 0
       round += 1
+    }
+    if (!converged) {
+      edges.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within $maxRounds rounds - the pair " +
+        "graph has a path longer than maxRounds. Raise maxRounds, or for " +
+        "adversarial long-chain graphs use a large-star/small-star variant " +
+        "(labels would be silently wrong if returned here).")
     }
     val out = labels.select(col("id"), col("label").as("clusterId"))
     graft.core.Caching.materializeAndRelease(out, Seq(edges, labels))

@@ -106,7 +106,8 @@ object MutationQueries {
       DerivedState.register(s, dir)
       val reqs = s.sql(appendReqsSql)
       Mutations.appendFile(s.table("file"), s.table("block"), reqs, nowMs = Now)
-        .orderBy(col("writeOp"), col("id"), col("name"), col("leaseHolder"))
+        .orderBy(col("writeOp"), col("id"), col("name"), col("leaseHolder"),
+          col("version"))
     },
     // N3: next-block allocation check for every under-construction file
     "n3_add_block" -> { (s, dir) =>
@@ -320,7 +321,7 @@ object MutationQueries {
          |  SELECT 'reject', 'file', tid, name, holder, CAST(0 AS BIGINT),
          |         'file under construction'
          |  FROM okall WHERE dupRank > 1) u
-         |ORDER BY writeOp, id, name, leaseHolder""".stripMargin),
+         |ORDER BY writeOp, id, name, leaseHolder, version""".stripMargin),
     "n3_add_block" -> O(
       """WITH uc AS (
         |  SELECT id AS fileId FROM file

@@ -45,10 +45,17 @@ object Mutations {
     * write-set pass through unchanged. */
   def commitBatch(snapshots: Map[String, DataFrame],
                   writeSets: Map[String, DataFrame],
-                  keys: Map[String, Seq[String]]): Map[String, DataFrame] =
+                  keys: Map[String, Seq[String]]): Map[String, DataFrame] = {
+    // an atomic batch must not silently drop writes: every write-set needs
+    // a snapshot to apply against (a typo'd table name would otherwise
+    // commit partially and "succeed")
+    val orphans = writeSets.keySet.diff(snapshots.keySet)
+    require(orphans.isEmpty,
+      s"commitBatch: write-sets for ${orphans.mkString(", ")} have no matching snapshot")
     snapshots.map { case (t, snap) =>
       t -> writeSets.get(t).map(ws => applyWriteSet(snap, ws, keys(t))).getOrElse(snap)
     }
+  }
 
   /** R11 (FileRepository.insertInternal): validate a batch of candidate
     * child rows (parentId, name, length, blockSize, replication, owner,

@@ -140,8 +140,15 @@ object Changefeed {
       var done = false
       while (!done && attempt <= maxRetries) {
         attempt += 1
+        // retry only recoverable failures: fatal JVM errors must surface,
+        // and an interrupt (query.stop() mid-batch) must abort the batch
+        // with the thread's interrupt flag restored, not burn retries
         try { body(batch, id); done = true }
-        catch { case t: Throwable => lastErr = t }
+        catch {
+          case ie: InterruptedException =>
+            Thread.currentThread().interrupt(); throw ie
+          case scala.util.control.NonFatal(t) => lastErr = t
+        }
       }
       val ms = (System.nanoTime() - t0) / 1000000L
       if (done) log.add(ApplyOutcome(id, attempt, "applied", ms))

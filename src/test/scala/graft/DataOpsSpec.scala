@@ -122,6 +122,15 @@ class DataOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dup clusters: refuses to return unconverged labels") {
+    // a 26-node path cannot converge in 3 rounds — silent wrong labels
+    // must be an error, not a result
+    val pairs = (1L to 25L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(pairs, maxRounds = 3)
+    }
+  }
+
   test("dup clusters: long path converges past one round") {
     // a 6-node path stresses multi-round propagation (diameter 5)
     val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("id1", "id2")

@@ -123,6 +123,11 @@ class FormatsSpec extends SparkSpec {
       Seq(Seq("h1", 10L), Seq("h2", 99L), Seq("h3", 30L)))
     // a table with no write-set passes through unchanged
     assert(rows(post("block").orderBy(col("id"))) == rows(file.orderBy(col("id"))))
+    // a write-set with no snapshot must fail loudly, never commit partially
+    intercept[IllegalArgumentException] {
+      Mutations.commitBatch(Map("file" -> file),
+        Map("file" -> file, "laese" -> lease), Map("file" -> Seq("id")))
+    }
   }
 
   test("P7: TDHS fluent DSL composes index find + post filters + limit") {
