@@ -387,6 +387,17 @@ object DataOpsQueries {
           col("width"), col("height"))
         .orderBy(col("doc_id"))
     },
+    // M: resize plumbing through the batched mapPartitions path — the
+    // stub's stride-sampled thumbnail is recomputed by the oracle from
+    // the same byte stream (hash + length checked per doc)
+    "m4_resize" -> { (s, dir) =>
+      val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir))
+      graft.multimodal.Multimodal.resize(s, media, w = 4, h = 2).toDF()
+        .select(col("doc_id"), col("modality"), col("width"), col("height"),
+          md5(col("payload")).as("thumbHash"),
+          octet_length(col("payload")).as("thumbBytes"))
+        .orderBy(col("doc_id"))
+    },
     // M: video frame sampling — one payload fans out to frame rows; the
     // differential check covers kept-frame counts + the first frame bytes
     "m3_frame_sample" -> { (s, dir) =>
@@ -782,6 +793,27 @@ object DataOpsQueries {
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1
         |       ELSE 16 + (octet_length(encode(text)) // 64) % 64 END AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // stride sampling mirror: stride = max(1, len div 8); positions
+    // 0, stride, 2*stride, ... capped at 8 samples (w*h = 4*2)
+    "m4_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |    text, length(text) AS len
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, modality, text, len,
+        |    GREATEST(1, len // 8) AS stride
+        |  FROM m),
+        |t AS (
+        |  SELECT doc_id, modality,
+        |    array_to_string([substr(text, 1 + i*stride, 1)
+        |      FOR i IN range(0, LEAST(8,
+        |        CAST(CEIL(CAST(len AS DOUBLE) / stride) AS BIGINT)))], '') AS thumb
+        |  FROM p)
+        |SELECT doc_id, modality, 4 AS width, 2 AS height,
+        |  md5(thumb) AS thumbHash, length(thumb) AS thumbBytes
+        |FROM t ORDER BY doc_id""".stripMargin,
     // NB: char-substr == byte-substr here because the documents corpus is
     // pure ASCII at every sf (verified); DuckDB lacks substring-on-BLOB
     "m3_frame_sample" ->
