@@ -223,16 +223,17 @@ object Dedup {
     * `clusterId` (the canonical keeper). Input is the (id1, id2) pair set
     * from any candidate generator (LSH, SimHash, embedding ANN).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels; converged
-    * when a round changes nothing. Rounds = graph diameter, and near-dup
-    * graphs are unions of small dense cliques (diameter 2-3 in practice),
-    * so the loop is shallow. Each round is one shuffle on the edge key —
-    * never an all-pairs product — and the edge list is the only state, so
-    * the 100 TB path is `rounds × O(|E|)` with partial aggregation; for
-    * adversarial long-chain graphs swap in large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce"), which keeps
-    * the same per-round join shape.
+    * Algorithm: min-label propagation with pointer jumping — each round
+    * every node takes the least of its own label, its neighbors' labels,
+    * and its label's label (path halving); converged when a round changes
+    * nothing. The grandparent hop halves label-chain lengths every round,
+    * so rounds = O(log diameter) — a million-node chain settles in ~20
+    * rounds — while near-dup graphs (unions of small dense cliques)
+    * settle in 2-3. Each round is two key shuffles (edge join + label
+    * self-join), never an all-pairs product, and the edge list is the
+    * only state, so the 100 TB path is `O(log d) × O(|E|)` with partial
+    * aggregation — the same round shape as the large-star/small-star
+    * family (Kiveris et al., "Connected Components in MapReduce").
     *
     * Returns (id, clusterId); every endpoint of every pair appears once.
     * Isolated docs (no pair) are absent by construction — callers treat
@@ -249,12 +250,19 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // min over {own label} ∪ {neighbor labels}
+      // min over {own label} ∪ {neighbor labels} ∪ {label's label}
       val nbrMin = edges
         .join(labels.select(col("id").as("nbr"), col("label").as("nbrLabel")), Seq("nbr"))
         .groupBy(col("id")).agg(min(col("nbrLabel")).as("nbrMin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+      // pointer jump: a label is itself a node id, so dereference it once
+      // per round — path halving turns O(diameter) rounds into O(log d)
+      val grand = labels
+        .join(labels.select(col("id").as("gid"), col("label").as("grandLabel")),
+          col("label") === col("gid"), "left")
+        .select(col("id"), coalesce(col("grandLabel"), col("label")).as("grand"))
+      val next = labels.join(nbrMin, Seq("id"), "left").join(grand, Seq("id"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbrMin"), col("label")), col("grand")).as("label"))
         .persist()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).limit(1).count()

@@ -131,9 +131,11 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
-  test("dup clusters: long path converges past one round") {
-    // a 6-node path stresses multi-round propagation (diameter 5)
-    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("id1", "id2")
+  test("dup clusters: a 100-node path converges in O(log d) rounds") {
+    // plain min-label propagation needs 99 rounds here and would trip the
+    // default 20-round cap; the pointer-jumping variant must finish well
+    // inside it
+    val pairs = (1L to 99L).map(i => (i, i + 1)).toDF("id1", "id2")
     val out = rows(Dedup.dupClusters(pairs)).map(_.last).distinct
     assert(out == Seq(1L))
   }
