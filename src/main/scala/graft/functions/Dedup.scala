@@ -201,14 +201,20 @@ object Dedup {
     * maintained dedup index, appended per batch, so the per-batch cost is
     * O(batch) map work + one hash join against the index (broadcast when
     * the batch is the small side). The LSH analog joins the batch's band
-    * keys against the stored signature table the same way. */
+    * keys against the stored signature table the same way.
+    *
+    * Content identity is sha-256, not md5: this classifier DISCARDS data
+    * (dup_of_existing rows never enter the corpus), and md5 collisions are
+    * practically constructible — adversarial content colliding with an
+    * existing doc would be silently dropped. The batch-internal grouping
+    * uses the same hash so one map pass computes it once. */
   def incrementalExact(existing: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
     val index = existing
-      .select(md5(col(textCol)).as("contentHash"), col(idCol).as("exId"))
+      .select(sha2(col(textCol), 256).as("contentHash"), col(idCol).as("exId"))
       .groupBy(col("contentHash")).agg(min(col("exId")).as("existingKeepId"))
     val w = Window.partitionBy(col("contentHash"))
-    batch.select(col(idCol), md5(col(textCol)).as("contentHash"))
+    batch.select(col(idCol), sha2(col(textCol), 256).as("contentHash"))
       .withColumn("batchKeepId", min(col(idCol)).over(w))
       .join(index, Seq("contentHash"), "left")
       .select(col(idCol),
@@ -260,10 +266,17 @@ object Dedup {
         .join(labels.select(col("id").as("gid"), col("label").as("grandLabel")),
           col("label") === col("gid"), "left")
         .select(col("id"), coalesce(col("grandLabel"), col("label")).as("grand"))
+      // localCheckpoint (eager) both fully materializes the round AND cuts
+      // its lineage: each round's plan otherwise embeds the previous
+      // round's ~4x (nbrMin join, grandparent self-join, final join), so
+      // plan size — and recompute cost through any unpersisted ancestor —
+      // grows geometrically with rounds. With the checkpoint, round r's
+      // plan starts from round r-1's materialized blocks, and the `changed`
+      // probe below reads two materialized frames instead of re-deriving.
       val next = labels.join(nbrMin, Seq("id"), "left").join(grand, Seq("id"))
         .select(col("id"),
           least(col("label"), coalesce(col("nbrMin"), col("label")), col("grand")).as("label"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist(blocking = false)

@@ -80,7 +80,19 @@ object TextFunctions {
     * byte-for-byte. Applied to the lowercased text; whitespace is
     * collapsed last so redaction tokens never glue words together. */
   val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val PhonePattern = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Phone shapes: optional +country (1-3 digits), optional area code —
+    * parenthesized `(555) ` or separated `555-` — then the NNN<sep>NNNN
+    * core; separators are `-`, `.` or space. Matches 555-123-4567,
+    * +1-555-123-4567, (555) 123-4567, 555.123.4567, 555 123 4567 and the
+    * bare 7-digit local form 555-0123 … 555-0199. Deliberately
+    * conservative the other way: bare 10-digit runs (no separators) are
+    * NOT matched — they collide with record ids — and non-NANP groupings
+    * redact only their trailing NNN<sep>NNNN digits. A separated numeric
+    * range like `100-2026` also matches (over-redaction is the safe
+    * failure mode for a PII scrubber). */
+  val PhonePattern =
+    "(\\+?[0-9]{1,3}[-. ])?(\\([0-9]{3}\\)[ ]?|[0-9]{3}[-. ])?[0-9]{3}[-. ][0-9]{4}"
 
   def emailCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(EmailPattern), lit(0)))

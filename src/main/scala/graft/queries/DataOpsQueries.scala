@@ -894,12 +894,12 @@ object DataOpsQueries {
         |    len(regexp_extract_all(lower(dirty),
         |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS nEmails,
         |    len(regexp_extract_all(lower(dirty),
-        |      '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS nPhones,
+        |      '(\+?[0-9]{1,3}[-. ])?(\([0-9]{3}\)[ ]?|[0-9]{3}[-. ])?[0-9]{3}[-. ][0-9]{4}')) AS nPhones,
         |    trim(regexp_replace(
         |      regexp_replace(
         |        regexp_replace(lower(dirty),
         |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
-        |        '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<phone>', 'g'),
+        |        '(\+?[0-9]{1,3}[-. ])?(\([0-9]{3}\)[ ]?|[0-9]{3}[-. ])?[0-9]{3}[-. ][0-9]{4}', '<phone>', 'g'),
         |      '\s+', ' ', 'g')) AS clean
         |  FROM d)
         |SELECT doc_id, nEmails, nPhones, md5(clean) AS cleanHash
@@ -952,11 +952,11 @@ object DataOpsQueries {
     "d8_incremental_dedup" ->
       s"""WITH $CorpusSql,
         |idx AS (
-        |  SELECT md5(text) AS contentHash, MIN(doc_id) AS existingKeepId
-        |  FROM corpus WHERE doc_id % 3 <> 0 GROUP BY md5(text)),
+        |  SELECT sha256(text) AS contentHash, MIN(doc_id) AS existingKeepId
+        |  FROM corpus WHERE doc_id % 3 <> 0 GROUP BY sha256(text)),
         |b AS (
-        |  SELECT doc_id, md5(text) AS contentHash,
-        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS batchKeepId
+        |  SELECT doc_id, sha256(text) AS contentHash,
+        |    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS batchKeepId
         |  FROM corpus WHERE doc_id % 3 = 0)
         |SELECT b.doc_id,
         |  CASE WHEN idx.existingKeepId IS NOT NULL THEN 'dup_of_existing'
