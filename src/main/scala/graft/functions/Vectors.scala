@@ -143,4 +143,94 @@ object Vectors {
       .filter(col("cosine") >= minCosine)
       .select(col("bucket"), col("id1"), col("id2"), col("cosine"))
   }
+
+  // ---- Product quantization (PQ) --------------------------------------
+
+  /** Fixed-point squared-L2 distance between two vector columns (BIGINT,
+    * scale 1e12 — exact and engine-independent, see FixedPointL2). */
+  def l2sq(a: Column, b: Column): Column = graft.functions.expr.FixedPointL2(a, b)
+
+  /** Deterministic PQ codebook: the first `kCode` vectors (by vec_id)
+    * donate their subvectors as centroids — one row per (subspace j,
+    * centroid c), cv = the dsub-dim slice. kCode·m rows total, always
+    * broadcast. (A trained k-means codebook drops in by replacing this
+    * frame; everything downstream is codebook-agnostic.) */
+  def pqCodebook(emb: DataFrame, m: Int, dsub: Int, kCode: Int): DataFrame = {
+    // kCode rows — the single-partition window ranks a bounded frame
+    val w = Window.orderBy(col("vec_id"))
+    emb.orderBy(col("vec_id")).limit(kCode)
+      .withColumn("c", (row_number().over(w) - 1).cast("long"))
+      .select(col("c"), explode(sequence(lit(0L), lit(m - 1L))).as("j"), col("embedding"))
+      .select(col("j"), col("c"),
+        slice(col("embedding"), col("j").cast("int") * dsub + 1, lit(dsub)).as("cv"))
+  }
+
+  /** PQ code assignment: every vector × broadcast codebook, nearest
+    * centroid per subspace by exact fixed-point L2² (ties → lower c).
+    * The cross join fans each row out m·kCode ways INSIDE its task and
+    * min_by's map-side partials collapse it back to m rows before the
+    * one skinny shuffle on (vec_id, j) — at 100 TB the codes build is a
+    * single linear pass over the corpus. Output: (vec_id, j, code). */
+  def pqCodes(emb: DataFrame, codebook: DataFrame, dsub: Int): DataFrame =
+    emb.crossJoin(broadcast(codebook))
+      .withColumn("d2",
+        l2sq(slice(col("embedding"), col("j").cast("int") * dsub + 1, lit(dsub)), col("cv")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("code"))
+
+  /** PQ asymmetric-distance (ADC) top-k search: queries keep their full
+    * vectors, the corpus is represented only by its codes. Per query the
+    * distance table lut(qid, j, c) = L2²(query subvector, centroid) is
+    * tiny (nq·m·kCode rows) and broadcast; the search is then ONE scan of
+    * the codes table — join on (j, code), partial-aggregated SUM per
+    * (qid, vec_id) — no full-vector math against the corpus at all.
+    * This is the 100 TB path: 8 bytes of code replace 256 bytes of
+    * floats, and scan cost is independent of dimensionality. Distances
+    * are exact BIGINTs end-to-end (sum of fixed-point subspace terms),
+    * so ranking is engine-independent. */
+  def pqAdcSearch(emb: DataFrame, m: Int, dsub: Int, kCode: Int,
+                  queryPred: Column, k: Int): DataFrame = {
+    val cb = pqCodebook(emb, m, dsub, kCode)
+    val codes = pqCodes(emb, cb, dsub)
+    val lut = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("j"), col("c"),
+        l2sq(slice(col("qv"), col("j").cast("int") * dsub + 1, lit(dsub)), col("cv")).as("qd2"))
+    val scored = codes
+      .join(broadcast(lut), codes("j") === lut("j") && col("code") === lut("c"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2")).as("adcDist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adcDist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("adcDist"), col("rank"))
+  }
+
+  /** Exact top-k by full-vector fixed-point L2² for a query subset — the
+    * ground truth the PQ recall gate measures against. */
+  def l2BruteTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    broadcast(queries).join(corpus, col("qid") =!= col("nid"))
+      .withColumn("d2", l2sq(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("d2"), col("rank"))
+  }
+
+  /** recall@k of the PQ-ADC index vs the exact L2 ground truth — the
+    * accept dial every approximate index ships with (same contract as
+    * the IVF gate, sim4). */
+  def pqRecall(emb: DataFrame, m: Int, dsub: Int, kCode: Int,
+               queryPred: Column, k: Int): DataFrame = {
+    val approx = pqAdcSearch(emb, m, dsub, kCode, queryPred, k)
+      .select(col("qid"), col("nid"))
+    val exact = l2BruteTopK(emb, queryPred, k).select(col("qid"), col("nid"))
+    exact.join(approx.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit")).as("hits"),
+        (count(col("hit")).cast("double") / k).as("recall"))
+  }
 }

@@ -206,6 +206,57 @@ object DataOpsQueries {
       |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
       |  GROUP BY c.bucket, c.id1, c.id2)""".stripMargin
 
+  /** Product-quantization oracle chain: deterministic codebook (first 4
+    * vectors' subvectors), per-subspace code assignment by exact
+    * fixed-point L2², broadcastable ADC distance table, ranked ADC scan
+    * (ends with adcRanked). All distances are BIGINTs — no doubles in
+    * the index at all. Mirrors Vectors.pqCodebook/pqCodes/pqAdcSearch. */
+  private val PqSql: String =
+    """firstv AS (
+      |  SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4) t),
+      |cb AS (
+      |  SELECT c, j, [embedding[j*8 + i] FOR i IN range(1, 9)] AS cv
+      |  FROM firstv CROSS JOIN (SELECT UNNEST(range(0, 8)) AS j) u),
+      |codeDist AS (
+      |  SELECT e.vec_id, b.j, b.c,
+      |    SUM(CAST(ROUND((CAST(e.embedding[b.j*8+i] AS DOUBLE) - CAST(b.cv[i] AS DOUBLE))
+      |      * (CAST(e.embedding[b.j*8+i] AS DOUBLE) - CAST(b.cv[i] AS DOUBLE))
+      |      * 1000000000000) AS BIGINT)) AS d2
+      |  FROM embeddings e CROSS JOIN cb b
+      |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) ix
+      |  GROUP BY e.vec_id, b.j, b.c),
+      |codes AS (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+      |    FROM codeDist) t WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS qid, j, c, d2 AS qd2 FROM codeDist WHERE vec_id % 100 = 0),
+      |adc AS (
+      |  SELECT l.qid, cd.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adcDist
+      |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+      |  WHERE l.qid <> cd.vec_id
+      |  GROUP BY l.qid, cd.vec_id),
+      |adcRanked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adcDist, vec_id) AS rank
+      |  FROM adc)""".stripMargin
+
+  /** Exact full-vector fixed-point L2² ground truth for the PQ recall
+    * gate (ends with exRanked). */
+  private val ExactL2Sql: String =
+    """exl2 AS (
+      |  SELECT q.vec_id AS qid, v.vec_id AS nid,
+      |    SUM(CAST(ROUND((CAST(q.embedding[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))
+      |      * (CAST(q.embedding[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))
+      |      * 1000000000000) AS BIGINT)) AS d2
+      |  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+      |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
+      |  WHERE q.vec_id % 100 = 0
+      |  GROUP BY q.vec_id, v.vec_id),
+      |exRanked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+      |  FROM exl2)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     // exact dedup: md5 group-by, min-id keeper
     "d1_exact_dedup" -> { (s, dir) =>
@@ -299,6 +350,19 @@ object DataOpsQueries {
         .groupBy(col("qid"))
         .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
         .withColumn("recall", col("hits").cast("double") / 5.0)
+        .orderBy(col("qid"))
+    },
+    // product-quantization ADC search: corpus reduced to 8 one-byte
+    // codes per vector, queries ranked by exact-BIGINT table lookups
+    "sim5_pq_adc" -> { (s, dir) =>
+      Vectors.pqAdcSearch(Tables.embeddings(s, dir), m = 8, dsub = 8, kCode = 4,
+          col("vec_id") % 100 === 0, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    // PQ quality measurement: recall@5 vs the exact full-vector L2 truth
+    "sim6_pq_recall" -> { (s, dir) =>
+      Vectors.pqRecall(Tables.embeddings(s, dir), m = 8, dsub = 8, kCode = 4,
+          col("vec_id") % 100 === 0, k = 5)
         .orderBy(col("qid"))
     },
     // language ID heuristic
@@ -709,6 +773,19 @@ object DataOpsQueries {
         |$IvfSql
         |SELECT qid, nid, cellId, cosine, rank FROM ivfRanked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "sim5_pq_adc" ->
+      s"""WITH $PqSql
+        |SELECT qid, vec_id AS nid, adcDist, rank FROM adcRanked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "sim6_pq_recall" ->
+      s"""WITH $PqSql,
+        |$ExactL2Sql
+        |SELECT e.qid, COUNT(a.vec_id) AS hits,
+        |  CAST(COUNT(a.vec_id) AS DOUBLE) / 5.0 AS recall
+        |FROM (SELECT qid, nid FROM exRanked WHERE rank <= 5) e
+        |LEFT JOIN (SELECT qid, vec_id FROM adcRanked WHERE rank <= 5) a
+        |  ON a.qid = e.qid AND a.vec_id = e.nid
+        |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
     "t1_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
