@@ -6,12 +6,18 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR at local[32] and prints one JSON line.
   *
   * Methodology: one untimed warmup query amortizes session/codegen
-  * startup; caches are cleared between queries so each runs cold from
-  * parquet; each query is forced with count() (full plan execution). */
+  * startup; caches are cleared between repetitions so each runs cold from
+  * parquet; each query is forced with count() (full plan execution).
+  * Every query is timed SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * reported number is the MEDIAN — a single timed run proved untrustworthy
+  * on a loaded machine (one noisy round-5 run read 1.89x of baseline while
+  * an idle re-run reproduced ~1.0x). The per-query min/median/max spread
+  * is printed in the same JSON line so a contaminated run is visible. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -30,15 +36,23 @@ object Bench {
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(ts: Seq[Double]): Double = ts(ts.size / 2)
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + median(ts) }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.head + "," + median(ts) + "," + ts.last + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) => median(ts) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

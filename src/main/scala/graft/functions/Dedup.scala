@@ -15,15 +15,19 @@ import org.apache.spark.sql.functions._
   * by near-duplicate cluster sizes, and a salt column can be added to the
   * band key when a cluster explodes).
   *
-  * Hash functions are md5-based so the DuckDB differential oracle computes
-  * bit-identical signatures.
+  * Content IDENTITY (the hash a discarding classifier keys on) is
+  * sha-256 everywhere: md5 collisions are practically constructible, and
+  * adversarial content colliding with a keeper would be silently dropped.
+  * SIGNATURE hashes (minhash/simhash/band keys) stay md5 — they only
+  * gate candidate generation, an exact verify runs behind them, and the
+  * DuckDB differential oracle computes bit-identical values either way.
   */
 object Dedup {
 
-  /** Exact dedup: md5(text) groups; keeper = min(id) per group. Returns
-    * (id, contentHash, keepId, isDuplicate). */
+  /** Exact dedup: sha-256(text) groups; keeper = min(id) per group.
+    * Returns (id, contentHash, keepId, isDuplicate). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = md5(col(textCol))
+    val h = sha2(col(textCol), 256)
     val w = Window.partitionBy(col("contentHash"))
     df.withColumn("contentHash", h)
       .withColumn("keepId", min(col(idCol)).over(w))
@@ -84,32 +88,44 @@ object Dedup {
     * (bandIdx, bandKey) rows via ONE posexplode pass so a single equi-join
     * on the composite key covers all bands — one shuffle instead of k/2
     * self-joins, and the band key is the natural bucketing column at
-    * cluster scale. No cache: both self-join sides shuffle the SAME melted
-    * subtree on (bandIdx, bandKey), so ReuseExchange computes the
-    * signature pipeline exactly once (a cache here raced its own union
-    * branches on population and cost ~40% at sf0.1). Returned plan is
-    * lazy — plan-only consumers (Explain) trigger no job. */
+    * cluster scale.
+    *
+    * Shape: the melt carries ONLY (id, bandIdx, bandKey) — candidate rows
+    * through the band join and the pair `distinct()` are 3 narrow columns,
+    * not 2×k md5 strings (the wide-melt formulation shipped ~8× wider pair
+    * rows through the widest shuffle of the whole pipeline). The minhash
+    * agreement estimate is joined back AFTER the dedup, from the k-column
+    * signature frame keyed by id. No cache anywhere: every consumer sits on
+    * the signature groupBy's exchange, and partial aggregation puts the
+    * expensive work (tokenize, shingle, k md5s per shingle) BELOW that
+    * exchange — ReuseExchange computes it once per action; above it only
+    * n-row aggregates re-run. Returned plan is lazy — plan-only consumers
+    * (Explain) trigger no job. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val sig = withBands(minhashSignatures(df, idCol, textCol, k), k)
+    val sig = minhashSignatures(df, idCol, textCol, k)
+    val banded = withBands(sig, k)
     val bandArr = array((0 until k / 2).map(b => col(s"band$b")): _*)
-    val melted = sig.select(col(idCol) +:
-      posexplode(bandArr).as(Seq("bandIdx", "bandKey")) +:
-      (0 until k).map(s => col(s"m$s")): _*)
-    val left = melted.columns.foldLeft(melted)((d, c) =>
-      if (c == "bandIdx" || c == "bandKey") d else d.withColumnRenamed(c, s"L$c"))
-    val right = melted.columns.foldLeft(melted)((d, c) =>
-      if (c == "bandIdx" || c == "bandKey") d else d.withColumnRenamed(c, s"R$c"))
+    val melted = banded.select(col(idCol),
+      posexplode(bandArr).as(Seq("bandIdx", "bandKey")))
+    val left = melted.select(col(idCol).as("id1"), col("bandIdx"), col("bandKey"))
+    val right = melted.select(col(idCol).as("id2"), col("bandIdx"), col("bandKey"))
+    // shuffle_hash: a broadcast plan would duplicate the melt on both sides
+    // (and a (k/2)·n-row melt is never broadcastable at scale); with both
+    // sides shuffled, the exchanges canonicalize equal and ReuseExchange
+    // computes the melt once
+    val pairs = left.hint("shuffle_hash")
+      .join(right.hint("shuffle_hash"), Seq("bandIdx", "bandKey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    val sigL = (0 until k).foldLeft(sig.withColumnRenamed(idCol, "id1"))(
+      (d, s) => d.withColumnRenamed(s"m$s", s"Lm$s"))
+    val sigR = (0 until k).foldLeft(sig.withColumnRenamed(idCol, "id2"))(
+      (d, s) => d.withColumnRenamed(s"m$s", s"Rm$s"))
     val est = (0 until k).map(s =>
       when(col(s"Lm$s") === col(s"Rm$s"), 1).otherwise(0)).reduce(_ + _)
-    // shuffle_hash: a broadcast plan would duplicate the signature
-    // pipeline on both sides (and a 4n-row melt is never broadcastable at
-    // scale); with both sides shuffled, the exchanges canonicalize equal
-    // and ReuseExchange computes the pipeline once
-    left.hint("shuffle_hash").join(right.hint("shuffle_hash"), Seq("bandIdx", "bandKey"))
-      .filter(col(s"L$idCol") < col(s"R$idCol"))
-      .select(col(s"L$idCol").as("id1"), col(s"R$idCol").as("id2"),
-        (est.cast("double") / k).as("estJaccard"))
-      .distinct()
+    pairs.join(sigL, Seq("id1")).join(sigR, Seq("id2"))
+      .select(col("id1"), col("id2"), (est.cast("double") / k).as("estJaccard"))
   }
 
   /** Benchmark decontamination: flag training docs sharing ≥ `minShared`

@@ -228,9 +228,12 @@ object Vectors {
     val approx = pqAdcSearch(emb, m, dsub, kCode, queryPred, k)
       .select(col("qid"), col("nid"))
     val exact = l2BruteTopK(emb, queryPred, k).select(col("qid"), col("nid"))
+    // denominator = the exact rows actually present per query (count(*)
+    // over the left side), not lit(k): with fewer than k other vectors the
+    // ground truth has < k rows and a perfect index must still score 1.0
     exact.join(approx.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
       .agg(count(col("hit")).as("hits"),
-        (count(col("hit")).cast("double") / k).as("recall"))
+        (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
   }
 }

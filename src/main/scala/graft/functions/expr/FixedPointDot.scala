@@ -80,7 +80,8 @@ object FixedPointDot {
     var i = 0
     while (i < n) {
       val p = get(x, i, lCode) * get(y, i, rCode) * 1e12
-      acc += new JBigDecimal(p).setScale(0, RoundingMode.HALF_UP).longValue()
+      // longValueExact: same fail-fast-on-overflow contract as FixedPointL2
+      acc += new JBigDecimal(p).setScale(0, RoundingMode.HALF_UP).longValueExact()
       i += 1
     }
     acc

@@ -14,11 +14,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * product-quantization index ([[graft.functions.Vectors.pqAdcSearch]]).
   *
   * Same numeric contract as [[FixedPointDot]]: the per-element difference
-  * of two floats is exact in double, the square is one double rounding,
-  * and the HALF_UP fixed-point conversion matches the SQL formulation
+  * is computed with ONE identical IEEE double subtraction in both engines
+  * (parity, not exactness — widely separated magnitudes round), the square
+  * is one more double rounding, and the HALF_UP fixed-point conversion
+  * matches the SQL formulation
   * `SUM(CAST(ROUND((a[i]-b[i])*(a[i]-b[i])*1e12) AS BIGINT))` bit-for-bit
   * in both Spark and DuckDB — so PQ code assignment and ADC distances are
   * engine-independent BIGINTs (no doubles anywhere in the index).
+  *
+  * Numeric contract: each scaled term must fit a signed 64-bit long, i.e.
+  * per-element |a[i]−b[i]| ≲ 3000 at the 1e12 scale. Violations throw
+  * (longValueExact) instead of silently wrapping to a garbage distance.
   *
   * Participates in whole-stage codegen (doGenCode emits a static call),
   * keeping the distance loop inside the generated pipeline.
@@ -77,7 +83,9 @@ object FixedPointL2 {
     while (i < n) {
       val d = get(x, i, lCode) - get(y, i, rCode)
       val p = d * d * 1e12
-      acc += new JBigDecimal(p).setScale(0, RoundingMode.HALF_UP).longValue()
+      // longValueExact: fail fast on terms outside long range instead of
+      // silently wrapping (generic int/long arrays make overflow plausible)
+      acc += new JBigDecimal(p).setScale(0, RoundingMode.HALF_UP).longValueExact()
       i += 1
     }
     acc

@@ -258,7 +258,7 @@ object DataOpsQueries {
       |  FROM exl2)""".stripMargin
 
   def queries: Map[String, Q] = Map(
-    // exact dedup: md5 group-by, min-id keeper
+    // exact dedup: sha-256 group-by, min-id keeper
     "d1_exact_dedup" -> { (s, dir) =>
       Dedup.exact(corpus(s, dir), "doc_id", "text")
         .filter(col("isDuplicate"))
@@ -346,10 +346,12 @@ object DataOpsQueries {
       val brute = Vectors.knnBrute(emb, pred, k = 5).select(col("qid"), col("nid"))
       val ivf = Vectors.ivfSearch(emb, nCells = 8, nProbe = 2, pred, k = 5)
         .select(col("qid"), col("nid"), lit(1).as("__hit"))
+      // recall denominator = actual ground-truth rows per query (count(*)
+      // over the brute side), not lit(k) — same contract as Vectors.pqRecall
       brute.join(ivf, Seq("qid", "nid"), "left")
         .groupBy(col("qid"))
-        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
-        .withColumn("recall", col("hits").cast("double") / 5.0)
+        .agg(count(col("__hit")).as("hits"),
+          (count(col("__hit")).cast("double") / count(lit(1))).as("recall"))
         .orderBy(col("qid"))
     },
     // product-quantization ADC search: corpus reduced to 8 one-byte
@@ -672,7 +674,7 @@ object DataOpsQueries {
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       s"""WITH $CorpusSql,
-        |h AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keepId
+        |h AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keepId
         |      FROM corpus)
         |SELECT doc_id AS id, keepId FROM h WHERE doc_id <> keepId ORDER BY id""".stripMargin,
     "d2_minhash_lsh" ->
@@ -686,7 +688,7 @@ object DataOpsQueries {
       s"""WITH $MinhashSql,
         |keep AS (
         |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
+        |    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS k
         |    FROM corpus) z WHERE doc_id = k),
         |drop2 AS (
         |  SELECT DISTINCT p.id2 AS doc_id FROM pairs p
@@ -749,7 +751,7 @@ object DataOpsQueries {
         |$BruteSql,
         |$IvfSql
         |SELECT b.qid, CAST(COUNT(i.nid) AS BIGINT) AS hits,
-        |  CAST(COUNT(i.nid) AS DOUBLE) / 5.0 AS recall
+        |  CAST(COUNT(i.nid) AS DOUBLE) / COUNT(*) AS recall
         |FROM (SELECT qid, nid FROM bruteRanked WHERE rank <= 5) b
         |LEFT JOIN (SELECT qid, nid FROM ivfRanked WHERE rank <= 5) i
         |  ON b.qid = i.qid AND b.nid = i.nid
@@ -781,7 +783,7 @@ object DataOpsQueries {
       s"""WITH $PqSql,
         |$ExactL2Sql
         |SELECT e.qid, COUNT(a.vec_id) AS hits,
-        |  CAST(COUNT(a.vec_id) AS DOUBLE) / 5.0 AS recall
+        |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall
         |FROM (SELECT qid, nid FROM exRanked WHERE rank <= 5) e
         |LEFT JOIN (SELECT qid, vec_id FROM adcRanked WHERE rank <= 5) a
         |  ON a.qid = e.qid AND a.vec_id = e.nid

@@ -291,8 +291,11 @@ object StateManager {
     val ord = col("generationStamp") * lit(10000000000L) + col("version")
     b.groupBy(col("id"))
       .agg(
-        first(col("fileId")).as("fileId"),
-        first(col("fileIndex")).as("fileIndex"),
+        // max (not first): fileId/fileIndex are functionally dependent on
+        // block id in well-formed data, so max == the value — and max stays
+        // deterministic against corrupt inputs where first() would not be
+        max(col("fileId")).as("fileId"),
+        max(col("fileIndex")).as("fileIndex"),
         max(col("generationStamp")).as("maxGenStamp"),
         max_by(col("datanodeId"), ord).as("primaryDatanodeId"),
         max_by(col("length"), ord).as("blockLength"),
