@@ -176,12 +176,77 @@ object Dedup {
     agg.withColumn("simhash", sim).select(col(idCol), col("simhash"))
   }
 
+  /** 64-bit SimHash over the token stream — the cluster-scale width
+    * (16-bit simhash collides massively past a few hundred docs; see
+    * [[simhashNearDups]]'s banding note). Same ±1-per-bit construction as
+    * [[simhash16]] but over the full 64-bit md5 prefix. The packed value
+    * is a signed long — bit 63 contributes Long.MinValue, added LAST so
+    * no partial sum overflows — and xor/bit_count read the raw bit
+    * pattern in both engines, so hamming distances stay exact. Token hash
+    * bits come from two 32-bit halves of the first 16 md5 hex chars
+    * (big-endian nibbles), avoiding any 64-bit intermediate. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode_outer(TextFunctions.tokens(col(textCol))).as("token"))
+    val hexmap = "0123456789abcdef"
+    // md5 materialized once per row: non-cheap and referenced 16×, so
+    // CollapseProject keeps the projection boundary (SPARK-36718)
+    val withH = tok.withColumn("__h", md5(col("token")))
+    def half(firstChar: Int): Column =
+      (0 until 8).map { i =>
+        (instr(lit(hexmap), substring(col("__h"), firstChar + i, 1)) - 1) *
+          (1L << (4 * (7 - i)))
+      }.reduce(_ + _)
+    val withHalves = withH.withColumn("__hi", half(1)).withColumn("__lo", half(9))
+    def bit(b: Int): Column =
+      if (b < 32) shiftright(col("__lo"), b) % 2
+      else shiftright(col("__hi"), b - 32) % 2
+    val sums = (0 until 64).map { b =>
+      sum(when(col("token").isNotNull,
+        when(bit(b) === 1, 1).otherwise(-1)).otherwise(0)).as(s"s$b")
+    }
+    val agg = withHalves.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val sim = (0 until 63).map(b =>
+      when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _) +
+      when(col("s63") > 0, Long.MinValue).otherwise(0L)
+    agg.withColumn("simhash", sim).select(col(idCol), col("simhash"))
+  }
+
+  /** 64-bit SimHash near-duplicate pairs with 16-bit bands: two 64-bit
+    * hashes within hamming distance 3 agree on ≥ 1 of 4 disjoint 16-bit
+    * bands (pigeonhole), so candidates are bucket-local on
+    * (bandIdx, bandVal) and the exact hamming filter runs only on
+    * candidates. 16-bit bands keep expected bucket occupancy ~n/65536 per
+    * band — the corpus-scale config [[simhashNearDups]]'s docstring
+    * names. Band extraction is `(simhash >> 16t) & 0xFFFF`: the mask
+    * makes arithmetic vs logical shift irrelevant, so Spark and the
+    * DuckDB oracle agree on the signed packed value. */
+  def simhashNearDups64(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sig = simhash64(df, idCol, textCol)
+    val bandArr = array((0 until 4).map(t =>
+      shiftright(col("simhash"), 16 * t).bitwiseAND(lit(65535L))): _*)
+    val melted = sig.select(col(idCol),
+      posexplode(bandArr).as(Seq("bandIdx", "bandVal")), col("simhash"))
+    val left = melted.select(col(idCol).as("id1"), col("bandIdx"),
+      col("bandVal"), col("simhash").as("s1"))
+    val right = melted.select(col(idCol).as("id2"), col("bandIdx"),
+      col("bandVal"), col("simhash").as("s2"))
+    left.hint("shuffle_hash").join(right.hint("shuffle_hash"), Seq("bandIdx", "bandVal"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash near-duplicate pairs. Candidate generation is bucket-local
     * via band bucketing (pigeonhole: two 16-bit hashes within hamming
     * distance 3 agree on ≥1 of 4 disjoint 4-bit bands), then the exact
     * hamming filter runs only on candidates — the all-pairs O(n²) never
-    * materializes. At cluster scale with a 64-bit simhash, widen the
-    * bands to 16 bits and bucket the corpus by (bandIdx, bandVal). */
+    * materializes. At cluster scale use [[simhashNearDups64]] — the
+    * 64-bit hash with 16-bit bands — since 16-bit simhash collides
+    * massively past a few hundred docs. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val sig = simhash16(df, idCol, textCol)

@@ -53,9 +53,15 @@ object Vectors {
   }
 
   /** Deterministic pseudo-random hyperplane component for plane j, dim k:
-    * ((j*31 + k*17) % 7) - 3 — integers, identical in any engine. */
+    * (((j*31 + k*17 + j*k*13) % 101) % 7) - 3 — integers, identical in
+    * any engine. The j·k cross term matters: a form linear in j and k
+    * collapses mod the small modulus (31 ≡ 17 ≡ 3 mod 7 made plane j
+    * depend only on j mod 7 — SEVEN distinct planes in the whole family,
+    * so "independent" plane-sets produced identical cuts and band OR-ing
+    * gained nothing). With the cross term, planes are distinct for
+    * j up to the outer modulus 101. */
   def hyperplane(j: Int, dims: Int): Seq[Double] =
-    (0 until dims).map(k => (((j * 31 + k * 17) % 7) - 3).toDouble)
+    (0 until dims).map(k => ((((j * 31 + k * 17 + j * k * 13) % 101) % 7) - 3).toDouble)
 
   /** Sign-LSH bucket id (nPlanes-bit int) for each vector. */
   def withLshBucket(emb: DataFrame, dims: Int, nPlanes: Int = 8): DataFrame = {
@@ -142,6 +148,61 @@ object Vectors {
       .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= minCosine)
       .select(col("bucket"), col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Multi-probe (band-OR) sign-LSH near-duplicate pairs: `r` independent
+    * plane-sets (set t uses hyperplanes t·nPlanes … t·nPlanes+nPlanes−1),
+    * candidate pairs are the UNION over sets of bucket-local pairs — the
+    * recall dial [[Dedup.withBands]] gives minhash LSH, applied to the
+    * embedding index. With r sets a true near-dup pair is missed only if
+    * it splits in EVERY set, so recall rises as 1−(1−p)^r per pair while
+    * cost stays r × the single-set bucket join.
+    *
+    * Same narrow-pair shape as [[Dedup.lshCandidates]]: only
+    * (vec_id, setIdx, bucket) flows through the bucket join and the pair
+    * `distinct()`; full vectors join back AFTER the dedup for the exact
+    * cosine filter. r=1 reproduces [[annPairs]]' pair set exactly. */
+  def annPairsMulti(emb: DataFrame, dims: Int, minCosine: Double,
+                    nPlanes: Int = 8, r: Int = 2): DataFrame = {
+    val bucketCols = (0 until r).map { t =>
+      (0 until nPlanes).map { j =>
+        val h = hyperplane(t * nPlanes + j, dims)
+        val prods = graft.functions.expr.FixedPointDot(
+          col("embedding"), array(h.map(x => lit(x)): _*))
+        when(prods >= 0, 1L << j).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val melted = emb.select(col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("setIdx", "bucket")))
+    val left = melted.select(col("vec_id").as("id1"), col("setIdx"), col("bucket"))
+    val right = melted.select(col("vec_id").as("id2"), col("setIdx"), col("bucket"))
+    // shuffled so ReuseExchange computes the r-bucket melt once — see the
+    // note in Dedup.lshCandidates
+    val pairs = left.hint("shuffle_hash")
+      .join(right.hint("shuffle_hash"), Seq("setIdx", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    val v = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val vL = v.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
+    val vR = v.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
+    pairs.join(vL, Seq("id1")).join(vR, Seq("id2"))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Exact all-pairs cosine-threshold ground truth — O(n²), the
+    * gate/test-scale baseline the LSH pair recall is measured against
+    * (never the 100 TB path; annPairsMulti is). */
+  def bruteCosinePairs(emb: DataFrame, minCosine: Double): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = v.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
+    val b = v.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id1"), col("id2"), col("cosine"))
   }
 
   // ---- Product quantization (PQ) --------------------------------------

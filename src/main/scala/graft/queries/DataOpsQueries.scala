@@ -99,6 +99,46 @@ object DataOpsQueries {
         |  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
         |  FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id)""".stripMargin)
 
+  /** Shared oracle CTE chain computing the 64-bit simhash per corpus doc
+    * (ends with sim64f(doc_id, simhash); token-less docs hash to 0).
+    * Mirrors Dedup.simhash64: the token hash is two 32-bit halves of the
+    * first 16 md5 hex chars; the packed value is a signed BIGINT whose
+    * bit-63 term (long min) is added LAST so no partial sum overflows. */
+  private val Simhash64Sql: String = {
+    val halves = Seq(("hi", 1), ("lo", 9)).map { case (name, firstChar) =>
+      (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(h, ${firstChar + i}, 1))-1)*${1L << (4 * (7 - i))}"
+      }.mkString("    ", " +\n    ", s" AS $name")
+    }.mkString(",\n")
+    val bitSums = (0 until 64).map { b =>
+      val src = if (b < 32) s"(lo >> $b)" else s"(hi >> ${b - 32})"
+      s"    SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n")
+    val pack = (0 until 63).map(b =>
+      s"    (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" +\n") +
+      " +\n    (CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    s"""tok64 AS (
+      |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  FROM corpus),
+      |th64 AS (SELECT doc_id, md5(token) AS h FROM tok64),
+      |hv64 AS (
+      |  SELECT doc_id,
+      |$halves
+      |  FROM th64),
+      |bits64 AS (
+      |  SELECT doc_id,
+      |$bitSums
+      |  FROM hv64 GROUP BY doc_id),
+      |sim64 AS (
+      |  SELECT doc_id,
+      |$pack AS simhash
+      |  FROM bits64),
+      |sim64f AS (
+      |  SELECT c.doc_id, COALESCE(s.simhash, 0) AS simhash
+      |  FROM (SELECT DISTINCT doc_id FROM corpus) c
+      |  LEFT JOIN sim64 s ON c.doc_id = s.doc_id)""".stripMargin
+  }
+
   /** Oracle dot-product CTE fragment over embeddings — same fixed-point
     * 1e-12 BIGINT summation as Vectors.dotExpr. */
   private val NormsSql =
@@ -186,7 +226,7 @@ object DataOpsQueries {
       |pl AS (
       |  SELECT vec_id, j,
       |    SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) *
-      |      CAST((((j*31 + (i-1)*17) % 7) - 3) AS DOUBLE) * 1000000000000) AS BIGINT)) AS d
+      |      CAST(((((j*31 + (i-1)*17 + j*(i-1)*13) % 101) % 7) - 3) AS DOUBLE) * 1000000000000) AS BIGINT)) AS d
       |  FROM (SELECT vec_id, embedding, UNNEST(range(1, len(embedding)+1)) AS i
       |        FROM embeddings) t
       |  CROSS JOIN (SELECT UNNEST(range(0,8)) AS j) u
@@ -302,6 +342,12 @@ object DataOpsQueries {
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id1"), col("id2"))
     },
+    // 64-bit SimHash with 16-bit bands — the corpus-scale width; run on
+    // the dup-bearing corpus so exact duplicates surface at hamming 0
+    "d9_simhash64_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDups64(corpus(s, dir), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))
+    },
     // exact n-gram Jaccard verification of LSH candidates
     "d4_ngram_jaccard" -> { (s, dir) =>
       val c = corpus(s, dir)
@@ -330,6 +376,23 @@ object DataOpsQueries {
         .groupBy(col("id2").as("id"))
         .agg(min(col("id1")).as("keepId"), count(lit(1)).as("nearDups"))
         .orderBy(col("id"))
+    },
+    // multi-probe (band-OR) LSH recall gate: true near-dup pairs found by
+    // 1 vs 4 independent plane-sets against the exact all-pairs truth —
+    // demonstrates the recall dial the single-set index lacks
+    "sim7_ann_multiprobe" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val truth = Vectors.bruteCosinePairs(emb, minCosine = 0.2)
+      val single = Vectors.annPairsMulti(emb, dims = 64, minCosine = 0.2,
+        nPlanes = 8, r = 1)
+      val multi = Vectors.annPairsMulti(emb, dims = 64, minCosine = 0.2,
+        nPlanes = 8, r = 4)
+      truth.agg(count(lit(1)).as("truePairs"))
+        .crossJoin(single.agg(count(lit(1)).as("found1")))
+        .crossJoin(multi.agg(count(lit(1)).as("foundMulti")))
+        .select(col("truePairs"), col("found1"), col("foundMulti"),
+          (col("found1").cast("double") / col("truePairs")).as("recall1"),
+          (col("foundMulti").cast("double") / col("truePairs")).as("recallMulti"))
     },
     // IVF-bucketed ANN: coarse quantizer + probed top-k
     "sim3_ivf" -> { (s, dir) =>
@@ -723,6 +786,64 @@ object DataOpsQueries {
         |  AND a.doc_id < c.doc_id
         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
         |ORDER BY id1, id2""".stripMargin,
+    "d9_simhash64_neardup" ->
+      s"""WITH $CorpusSql,
+        |$Simhash64Sql,
+        |m64 AS (
+        |  SELECT doc_id, b AS bandIdx, (simhash >> (16*b)) & 65535 AS bandVal, simhash
+        |  FROM sim64f CROSS JOIN (SELECT UNNEST(range(0,4)) AS b) bb)
+        |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+        |  CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+        |FROM m64 a JOIN m64 c ON a.bandIdx = c.bandIdx AND a.bandVal = c.bandVal
+        |  AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+    "sim7_ann_multiprobe" ->
+      s"""WITH $NormsSql,
+        |plM AS (
+        |  SELECT vec_id, j,
+        |    SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) *
+        |      CAST(((((j*31 + (i-1)*17 + j*(i-1)*13) % 101) % 7) - 3) AS DOUBLE) * 1000000000000) AS BIGINT)) AS d
+        |  FROM (SELECT vec_id, embedding, UNNEST(range(1, len(embedding)+1)) AS i
+        |        FROM embeddings) t
+        |  CROSS JOIN (SELECT UNNEST(range(0,32)) AS j) u
+        |  GROUP BY vec_id, j),
+        |buckM AS (
+        |  SELECT vec_id, j // 8 AS setIdx,
+        |    CAST(SUM(CASE WHEN d >= 0 THEN (1 << (j % 8)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM plM GROUP BY vec_id, j // 8),
+        |candM AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM buckM a JOIN buckM b ON a.setIdx = b.setIdx AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id),
+        |cand1 AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM buckM a JOIN buckM b ON a.setIdx = b.setIdx AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id
+        |  WHERE a.setIdx = 0),
+        |ap AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS v1, b.embedding AS v2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |apd AS (
+        |  SELECT id1, id2,
+        |    CAST(SUM(CAST(ROUND(CAST(v1[i] AS DOUBLE) * CAST(v2[i] AS DOUBLE)
+        |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        |  FROM (SELECT id1, id2, v1, v2, UNNEST(range(1, 65)) AS i FROM ap) z
+        |  GROUP BY id1, id2),
+        |tp AS (
+        |  SELECT d.id1, d.id2 FROM apd d
+        |  JOIN norms na ON na.vec_id = d.id1 JOIN norms nb ON nb.vec_id = d.id2
+        |  WHERE d.dot / (na.nrm * nb.nrm) >= 0.2),
+        |f1 AS (SELECT t.id1 FROM tp t JOIN cand1 c ON c.id1 = t.id1 AND c.id2 = t.id2),
+        |fM AS (SELECT t.id1 FROM tp t JOIN candM c ON c.id1 = t.id1 AND c.id2 = t.id2)
+        |SELECT
+        |  (SELECT COUNT(*) FROM tp) AS truePairs,
+        |  (SELECT COUNT(*) FROM f1) AS found1,
+        |  (SELECT COUNT(*) FROM fM) AS foundMulti,
+        |  CAST((SELECT COUNT(*) FROM f1) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM tp) AS recall1,
+        |  CAST((SELECT COUNT(*) FROM fM) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM tp) AS recallMulti""".stripMargin,
     "d4_ngram_jaccard" ->
       s"""WITH $MinhashSql,
         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
