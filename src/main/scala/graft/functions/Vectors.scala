@@ -75,17 +75,93 @@ object Vectors {
     emb.withColumn("bucket", bucket)
   }
 
-  /** IVF (inverted-file) ANN: deterministic coarse quantizer — the first
-    * nCells vectors (by id) act as centroids; every vector is assigned to
-    * its best cell by cosine, queries probe their top-`nProbe` cells.
-    * The cell column is the partition/bucket key at cluster scale: a
-    * probe touches nProbe/nCells of the corpus instead of all of it. */
-  def withIvfCell(emb: DataFrame, nCells: Int): DataFrame = {
-    val centroids = emb.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cellId"), col("embedding").as("cv"))
-    val scored = emb.crossJoin(broadcast(centroids))
+  /** Norm of a double-array centroid column — the same fixed-point-exact
+    * expression shape as [[norm]], so trained and seed centroids rank
+    * identically in any engine. */
+  private def centroidNorm(cv: Column): Column =
+    sqrt(graft.functions.expr.FixedPointDot(cv, cv).cast("double") / lit(1e12))
+
+  /** Deterministic seed centroids: the first nCells vectors by id, upcast
+    * to double (exact) — iteration 0 of [[kmeansCentroids]], and the
+    * replayable starting point the differential oracle reproduces. */
+  def seedCentroids(emb: DataFrame, nCells: Int): DataFrame =
+    emb.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cellId"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+
+  /** Lloyd-trained IVF centroids (spherical k-means: assign by cosine,
+    * update by mean), seeded deterministically so the whole training run
+    * is oracle-replayable. Each iteration is plain DataFrame algebra —
+    * assign = crossJoin with the BROADCAST centroid frame + top-1 window,
+    * update = posexplode + partial-aggregated fixed-point sums per
+    * (cell, dim) — so at 100 TB a round is one linear corpus pass plus a
+    * centroid-count-sized shuffle. Empty cells keep their previous
+    * centroid. Means are exact: Σ round(x·1e12) as BIGINT, then ONE
+    * double division per dim — bit-identical in DuckDB. The bounded
+    * (nCells × dims) centroid frame is localCheckpoint-ed per round,
+    * cutting the geometric plan growth the same way dupClusters does. */
+  def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    var cent = seedCentroids(emb, nCells)
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    for (_ <- 0 until iters) {
+      val cn = cent.withColumn("cnrm", centroidNorm(col("cv")))
+      val assign = vecs.crossJoin(broadcast(cn))
+        .withColumn("cellCos",
+          dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cellCos").desc, col("cellId"))))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("cellId"))
+      val sums = assign.join(emb, Seq("vec_id"))
+        .select(col("cellId"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cellId"), col("i"))
+        .agg(sum(round(col("x").cast("double") * lit(1e12)).cast("long")).as("sfix"),
+          count(lit(1)).as("n"))
+      val means = sums
+        .withColumn("mval", col("sfix").cast("double") / col("n") / lit(1e12))
+        .groupBy(col("cellId"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mval")))),
+          s => s.getField("mval")).as("ncv"))
+      cent = cent.join(means, Seq("cellId"), "left")
+        .select(col("cellId"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** The spherical-k-means objective for a centroid frame: Σ over the
+    * corpus of dot(v, ĉ(v)) — each vector's dot with its assigned cell's
+    * UNIT centroid. This is the quantity Lloyd rounds monotonically
+    * improve (assignment maximizes each term at fixed centroids; the mean
+    * update maximizes each cell's term sum at fixed assignment), so it
+    * gates "training worked" independent of whether the fixture has
+    * cluster structure — unlike recall@nProbe, which is noise on
+    * structureless data. Terms are FLOOR-ed to 1e-6 fixed point before
+    * the exact BIGINT sum: floor of an identical double is identical in
+    * every engine (no rounding-rule ties, unlike double→decimal casts,
+    * which disagreed by 1 ulp between Spark's HALF_UP and DuckDB). */
+  def ivfObjective(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cn = centroids.withColumn("cnrm", centroidNorm(col("cv")))
+    val ranked = emb.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cn))
       .withColumn("cellCos", dot(col("embedding"), col("cv")) /
-        (norm(col("embedding")) * norm(col("cv"))))
+        (col("nrm") * col("cnrm")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cellCos").desc, col("cellId"))))
+      .filter(col("__rn") === 1)
+    ranked.agg(
+      (sum(floor((dot(col("embedding"), col("cv")) / col("cnrm")) * lit(1e6))
+        .cast("long")).cast("double") / lit(1e6)).as("objective"))
+  }
+
+  /** Cell assignment against an explicit (cellId, cv) centroid frame. */
+  def withIvfCell(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cn = centroids.withColumn("cnrm", centroidNorm(col("cv")))
+    val scored = emb.crossJoin(broadcast(cn))
+      .withColumn("cellCos", dot(col("embedding"), col("cv")) /
+        (norm(col("embedding")) * col("cnrm")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cellCos").desc, col("cellId"))
     scored.withColumn("__rn", row_number().over(w))
@@ -93,24 +169,39 @@ object Vectors {
       .select(col("vec_id"), col("embedding"), col("cellId"))
   }
 
+  /** IVF cell assignment with the deterministic seed quantizer (kept for
+    * the untrained baseline; train with [[kmeansCentroids]] for real
+    * corpora). */
+  def withIvfCell(emb: DataFrame, nCells: Int): DataFrame =
+    withIvfCell(emb, seedCentroids(emb, nCells))
+
   /** IVF search: top-k neighbors for `queryPred` vectors probing the
-    * query's own cell plus the next (nProbe-1) best cells. */
+    * query's own cell plus the next (nProbe-1) best cells. `iters` > 0
+    * trains the coarse quantizer with that many Lloyd rounds first
+    * (iters = 0 keeps the deterministic seed quantizer). The cell column
+    * is the partition/bucket key at cluster scale: a probe touches
+    * nProbe/nCells of the corpus instead of all of it. */
   def ivfSearch(emb: DataFrame, nCells: Int, nProbe: Int,
-                queryPred: Column, k: Int): DataFrame = {
-    // celled is consumed once in this plan — lazy, no cache
-    val celled = withIvfCell(emb, nCells)
-    val centroids = emb.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cellId"), col("embedding").as("cv"))
-    // per-query probe list: top-nProbe cells by centroid cosine
-    val probes = emb.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        norm(col("embedding")).as("qn"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cellCos", dot(col("qv"), col("cv")) / (col("qn") * norm(col("cv"))))
+                queryPred: Column, k: Int, iters: Int = 0): DataFrame = {
+    val centroids =
+      if (iters > 0) kmeansCentroids(emb, nCells, iters)
+      else seedCentroids(emb, nCells)
+    val cn = centroids.withColumn("cnrm", centroidNorm(col("cv")))
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    // ONE assignment ranking drives both the corpus cells (rn = 1) and the
+    // per-query probe lists (rn <= nProbe) — the centroid frame is
+    // broadcast, so this is a single linear corpus pass
+    val ranked = vecs.crossJoin(broadcast(cn))
+      .withColumn("cellCos", dot(col("embedding"), col("cv")) /
+        (col("nrm") * col("cnrm")))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cellCos").desc, col("cellId"))))
-      .filter(col("__rn") <= nProbe)
-      .select(col("qid"), col("qv"), col("qn"), col("cellId"))
+        Window.partitionBy(col("vec_id")).orderBy(col("cellCos").desc, col("cellId"))))
+    val celled = ranked.filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cellId"))
+    val probes = ranked.filter(queryPred && col("__rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("cellId"))
     val candidates = probes.join(celled, Seq("cellId"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("cosine", dot(col("qv"), col("embedding")) /
@@ -214,8 +305,9 @@ object Vectors {
   /** Deterministic PQ codebook: the first `kCode` vectors (by vec_id)
     * donate their subvectors as centroids — one row per (subspace j,
     * centroid c), cv = the dsub-dim slice. kCode·m rows total, always
-    * broadcast. (A trained k-means codebook drops in by replacing this
-    * frame; everything downstream is codebook-agnostic.) */
+    * broadcast. This is the replayable SEED: [[pqCodebookTrained]] runs
+    * Lloyd rounds on top of it; everything downstream is
+    * codebook-agnostic. */
   def pqCodebook(emb: DataFrame, m: Int, dsub: Int, kCode: Int): DataFrame = {
     // kCode rows — the single-partition window ranks a bounded frame
     val w = Window.orderBy(col("vec_id"))
@@ -226,8 +318,48 @@ object Vectors {
         slice(col("embedding"), col("j").cast("int") * dsub + 1, lit(dsub)).as("cv"))
   }
 
+  /** Lloyd-trained PQ codebook: per-subspace k-means under the exact
+    * fixed-point L2² metric, seeded by [[pqCodebook]]'s deterministic
+    * first-kCode subvectors so the whole run is oracle-replayable.
+    * Assign = the same crossJoin+min_by shape as [[pqCodes]]; update =
+    * fixed-point-exact subvector means per (subspace, code). All m
+    * subspaces train in the SAME linear corpus pass per round (the
+    * codebook frame carries every (j, c)), and the m·kCode·dsub centroid
+    * frame is localCheckpoint-ed per round to cut plan growth. Empty
+    * codes keep their previous centroid. */
+  def pqCodebookTrained(emb: DataFrame, m: Int, dsub: Int, kCode: Int,
+                        iters: Int): DataFrame = {
+    var cb = pqCodebook(emb, m, dsub, kCode)
+      .select(col("j"), col("c"),
+        transform(col("cv"), x => x.cast("double")).as("cv"))
+    for (_ <- 0 until iters) {
+      val assign = emb.crossJoin(broadcast(cb))
+        .withColumn("d2", l2sq(
+          slice(col("embedding"), col("j").cast("int") * dsub + 1, lit(dsub)), col("cv")))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("c"))
+      val sums = assign.join(emb, Seq("vec_id"))
+        .select(col("j"), col("c"),
+          posexplode(slice(col("embedding"), col("j").cast("int") * dsub + 1, lit(dsub)))
+            .as(Seq("i", "x")))
+        .groupBy(col("j"), col("c"), col("i"))
+        .agg(sum(round(col("x").cast("double") * lit(1e12)).cast("long")).as("sfix"),
+          count(lit(1)).as("n"))
+      val means = sums
+        .withColumn("mval", col("sfix").cast("double") / col("n") / lit(1e12))
+        .groupBy(col("j"), col("c"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mval")))),
+          s => s.getField("mval")).as("ncv"))
+      cb = cb.join(means, Seq("j", "c"), "left")
+        .select(col("j"), col("c"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
   /** PQ code assignment: every vector × broadcast codebook, nearest
     * centroid per subspace by exact fixed-point L2² (ties → lower c).
+    * Works with either the seed codebook or [[pqCodebookTrained]]'s.
     * The cross join fans each row out m·kCode ways INSIDE its task and
     * min_by's map-side partials collapse it back to m rows before the
     * one skinny shuffle on (vec_id, j) — at 100 TB the codes build is a
@@ -250,8 +382,10 @@ object Vectors {
     * are exact BIGINTs end-to-end (sum of fixed-point subspace terms),
     * so ranking is engine-independent. */
   def pqAdcSearch(emb: DataFrame, m: Int, dsub: Int, kCode: Int,
-                  queryPred: Column, k: Int): DataFrame = {
-    val cb = pqCodebook(emb, m, dsub, kCode)
+                  queryPred: Column, k: Int, iters: Int = 0): DataFrame = {
+    val cb =
+      if (iters > 0) pqCodebookTrained(emb, m, dsub, kCode, iters)
+      else pqCodebook(emb, m, dsub, kCode)
     val codes = pqCodes(emb, cb, dsub)
     val lut = emb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -285,8 +419,8 @@ object Vectors {
     * accept dial every approximate index ships with (same contract as
     * the IVF gate, sim4). */
   def pqRecall(emb: DataFrame, m: Int, dsub: Int, kCode: Int,
-               queryPred: Column, k: Int): DataFrame = {
-    val approx = pqAdcSearch(emb, m, dsub, kCode, queryPred, k)
+               queryPred: Column, k: Int, iters: Int = 0): DataFrame = {
+    val approx = pqAdcSearch(emb, m, dsub, kCode, queryPred, k, iters)
       .select(col("qid"), col("nid"))
     val exact = l2BruteTopK(emb, queryPred, k).select(col("qid"), col("nid"))
     // denominator = the exact rows actually present per query (count(*)

@@ -167,40 +167,74 @@ object DataOpsQueries {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
       |  FROM cosd)""".stripMargin
 
-  /** IVF search chain (needs norms; ends with ivfRanked). */
-  private val IvfSql: String =
-    """cent AS (
-      |  SELECT vec_id AS cellId, embedding AS cv FROM embeddings
-      |  ORDER BY vec_id LIMIT 8),
-      |centn AS (
-      |  SELECT c.cellId, c.cv, n.nrm AS cnrm
-      |  FROM cent c JOIN norms n ON n.vec_id = c.cellId),
-      |assignDots AS (
-      |  SELECT e.vec_id, c.cellId,
-      |    CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
-      |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-      |  FROM embeddings e CROSS JOIN centn c
-      |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
-      |  GROUP BY e.vec_id, c.cellId),
-      |assignCos AS (
-      |  SELECT a.vec_id, a.cellId, a.dot / (n.nrm * c.cnrm) AS cellCos
-      |  FROM assignDots a
-      |  JOIN norms n ON n.vec_id = a.vec_id
-      |  JOIN centn c ON c.cellId = a.cellId),
-      |celled AS (
-      |  SELECT vec_id, cellId FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      |      ORDER BY cellCos DESC, cellId) AS rn FROM assignCos) t
-      |  WHERE rn = 1),
-      |probes AS (
-      |  SELECT vec_id AS qid, cellId FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      |      ORDER BY cellCos DESC, cellId) AS rn
-      |    FROM assignCos WHERE vec_id % 100 = 0) t
-      |  WHERE rn <= 2),
-      |cand AS (
-      |  SELECT p.qid, c.vec_id AS nid, c.cellId
-      |  FROM probes p JOIN celled c ON c.cellId = p.cellId AND c.vec_id <> p.qid),
+  /** IVF oracle chain with `iters` Lloyd rounds (needs norms; ends with
+    * ivfRanked). Mirrors Vectors.kmeansCentroids + ivfSearch: seed =
+    * first-8 centroids upcast to exact doubles; per round, cosine
+    * assignment over fixed-point dots, then fixed-point subvector means
+    * (Σ round(x·1e12) BIGINT, ONE double division per dim), empty cells
+    * keeping their centroid. iters = 0 reproduces the untrained seed
+    * quantizer. */
+  private def ivfSql(iters: Int): String = {
+    val seed =
+      """cent0 AS (
+        |  SELECT vec_id AS cellId,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) t)""".stripMargin
+    def cn(t: Int) =
+      s"""cn$t AS (
+        |  SELECT cellId, cv,
+        |    sqrt(CAST(SUM(CAST(ROUND(cv[i] * cv[i] * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12) AS cnrm
+        |  FROM (SELECT cellId, cv, UNNEST(range(1, len(cv)+1)) AS i FROM cent$t) z
+        |  GROUP BY cellId, cv)""".stripMargin
+    def ad(t: Int) =
+      s"""ad$t AS (
+        |  SELECT e.vec_id, c.cellId,
+        |    CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * c.cv[i]
+        |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        |  FROM embeddings e CROSS JOIN cn$t c
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
+        |  GROUP BY e.vec_id, c.cellId)""".stripMargin
+    def rk(t: Int) =
+      s"""rk$t AS (
+        |  SELECT a.vec_id, a.cellId,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY a.dot / (n.nrm * c.cnrm) DESC, a.cellId) AS rn
+        |  FROM ad$t a JOIN norms n ON n.vec_id = a.vec_id
+        |  JOIN cn$t c ON c.cellId = a.cellId)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val p = t - 1
+      s"""${cn(p)},
+        |${ad(p)},
+        |${rk(p)},
+        |asg$p AS (SELECT vec_id, cellId FROM rk$p WHERE rn = 1),
+        |ms$p AS (
+        |  SELECT s.cellId, z.i,
+        |    SUM(CAST(ROUND(CAST(z.x AS DOUBLE) * 1000000000000) AS BIGINT)) AS sfix,
+        |    COUNT(*) AS n
+        |  FROM asg$p s JOIN (
+        |    SELECT vec_id, UNNEST(embedding) AS x,
+        |           UNNEST(range(1, len(embedding)+1)) AS i
+        |    FROM embeddings) z ON z.vec_id = s.vec_id
+        |  GROUP BY s.cellId, z.i),
+        |nc$p AS (
+        |  SELECT cellId, list(CAST(sfix AS DOUBLE) / n / 1e12 ORDER BY i) AS cv
+        |  FROM ms$p GROUP BY cellId),
+        |cent$t AS (
+        |  SELECT p.cellId, COALESCE(q.cv, p.cv) AS cv
+        |  FROM cent$p p LEFT JOIN nc$p q ON q.cellId = p.cellId)""".stripMargin
+    }
+    val f = iters
+    val finalChain =
+      s"""${cn(f)},
+        |${ad(f)},
+        |${rk(f)},
+        |celled AS (SELECT vec_id, cellId FROM rk$f WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cellId FROM rk$f
+        |  WHERE rn <= 2 AND vec_id % 100 = 0),
+        |cand AS (
+        |  SELECT p.qid, c.vec_id AS nid, c.cellId
+        |  FROM probes p JOIN celled c ON c.cellId = p.cellId AND c.vec_id <> p.qid),
       |candDots AS (
       |  SELECT cd.qid, cd.nid, cd.cellId,
       |    CAST(SUM(CAST(ROUND(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)
@@ -218,6 +252,8 @@ object DataOpsQueries {
       |ivfRanked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
       |    ORDER BY cosine DESC, nid) AS rank FROM finalCos)""".stripMargin
+    (Seq(seed) ++ rounds :+ finalChain).mkString(",\n")
+  }
 
   /** Shared oracle CTEs for the sign-LSH ANN pipeline (norms, hyperplane
     * buckets, candidate pairs, pair dots) — used by sim2 and d5. */
@@ -246,26 +282,54 @@ object DataOpsQueries {
       |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
       |  GROUP BY c.bucket, c.id1, c.id2)""".stripMargin
 
-  /** Product-quantization oracle chain: deterministic codebook (first 4
-    * vectors' subvectors), per-subspace code assignment by exact
-    * fixed-point L2², broadcastable ADC distance table, ranked ADC scan
-    * (ends with adcRanked). All distances are BIGINTs — no doubles in
-    * the index at all. Mirrors Vectors.pqCodebook/pqCodes/pqAdcSearch. */
-  private val PqSql: String =
-    """firstv AS (
-      |  SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c
-      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4) t),
-      |cb AS (
-      |  SELECT c, j, [embedding[j*8 + i] FOR i IN range(1, 9)] AS cv
-      |  FROM firstv CROSS JOIN (SELECT UNNEST(range(0, 8)) AS j) u),
-      |codeDist AS (
-      |  SELECT e.vec_id, b.j, b.c,
-      |    SUM(CAST(ROUND((CAST(e.embedding[b.j*8+i] AS DOUBLE) - CAST(b.cv[i] AS DOUBLE))
-      |      * (CAST(e.embedding[b.j*8+i] AS DOUBLE) - CAST(b.cv[i] AS DOUBLE))
-      |      * 1000000000000) AS BIGINT)) AS d2
-      |  FROM embeddings e CROSS JOIN cb b
-      |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) ix
-      |  GROUP BY e.vec_id, b.j, b.c),
+  /** Product-quantization oracle chain with `iters` Lloyd rounds per
+    * subspace: deterministic seed codebook (first 4 vectors' subvectors,
+    * upcast to exact doubles), per-subspace code assignment by exact
+    * fixed-point L2², fixed-point-exact mean updates, then the
+    * broadcastable ADC distance table and ranked ADC scan (ends with
+    * adcRanked). Distances are BIGINTs throughout. Mirrors
+    * Vectors.pqCodebookTrained/pqCodes/pqAdcSearch; iters = 0 reproduces
+    * the untrained seed codebook. */
+  private def pqSql(iters: Int): String = {
+    val seed =
+      """firstv AS (
+        |  SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4) t),
+        |cb0 AS (
+        |  SELECT c, j, [CAST(embedding[j*8 + i] AS DOUBLE) FOR i IN range(1, 9)] AS cv
+        |  FROM firstv CROSS JOIN (SELECT UNNEST(range(0, 8)) AS j) u)""".stripMargin
+    def pd(t: Int, name: String) =
+      s"""$name AS (
+        |  SELECT e.vec_id, b.j, b.c,
+        |    SUM(CAST(ROUND((CAST(e.embedding[b.j*8+i] AS DOUBLE) - b.cv[i])
+        |      * (CAST(e.embedding[b.j*8+i] AS DOUBLE) - b.cv[i])
+        |      * 1000000000000) AS BIGINT)) AS d2
+        |  FROM embeddings e CROSS JOIN cb$t b
+        |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) ix
+        |  GROUP BY e.vec_id, b.j, b.c)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val p = t - 1
+      s"""${pd(p, s"pd$p")},
+        |pa$p AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+        |    FROM pd$p) z WHERE rn = 1),
+        |pm$p AS (
+        |  SELECT a.j, a.c, ix.i,
+        |    SUM(CAST(ROUND(CAST(e.embedding[a.j*8+ix.i] AS DOUBLE) * 1000000000000) AS BIGINT)) AS sfix,
+        |    COUNT(*) AS n
+        |  FROM pa$p a JOIN embeddings e ON e.vec_id = a.vec_id
+        |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) ix
+        |  GROUP BY a.j, a.c, ix.i),
+        |pn$p AS (
+        |  SELECT j, c, list(CAST(sfix AS DOUBLE) / n / 1e12 ORDER BY i) AS cv
+        |  FROM pm$p GROUP BY j, c),
+        |cb$t AS (
+        |  SELECT p.j, p.c, COALESCE(q.cv, p.cv) AS cv
+        |  FROM cb$p p LEFT JOIN pn$p q ON q.j = p.j AND q.c = p.c)""".stripMargin
+    }
+    val finalChain =
+      s"""${pd(iters, "codeDist")},
       |codes AS (
       |  SELECT vec_id, j, c AS code FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
@@ -280,6 +344,8 @@ object DataOpsQueries {
       |adcRanked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adcDist, vec_id) AS rank
       |  FROM adc)""".stripMargin
+    (Seq(seed) ++ rounds :+ finalChain).mkString(",\n")
+  }
 
   /** Exact full-vector fixed-point L2² ground truth for the PQ recall
     * gate (ends with exRanked). */
@@ -394,20 +460,37 @@ object DataOpsQueries {
           (col("found1").cast("double") / col("truePairs")).as("recall1"),
           (col("foundMulti").cast("double") / col("truePairs")).as("recallMulti"))
     },
-    // IVF-bucketed ANN: coarse quantizer + probed top-k
+    // k-means training gate: the spherical objective Σ dot(v, unit
+    // centroid) must strictly improve seed → trained. recall@nProbe
+    // (sim4) is noise on the structureless synthetic fixture (0.40-0.56
+    // across iteration counts); the objective is monotone under Lloyd
+    // rounds by construction, so it proves training works anywhere.
+    "sim8_ivf_train_gain" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Vectors.ivfObjective(emb, Vectors.seedCentroids(emb, 8))
+        .select(col("objective").as("seedObjective"))
+        .crossJoin(Vectors.ivfObjective(emb, Vectors.kmeansCentroids(emb, 8, 3))
+          .select(col("objective").as("trainedObjective")))
+        .select(col("seedObjective"), col("trainedObjective"),
+          (col("trainedObjective") > col("seedObjective")).as("improved"))
+    },
+    // IVF-bucketed ANN: Lloyd-trained coarse quantizer + probed top-k
     "sim3_ivf" -> { (s, dir) =>
       Vectors.ivfSearch(Tables.embeddings(s, dir), nCells = 8, nProbe = 2,
-          col("vec_id") % 100 === 0, k = 5)
+          col("vec_id") % 100 === 0, k = 5, iters = 3)
         .orderBy(col("qid"), col("rank"))
     },
     // ANN quality measurement: recall@5 of the probed IVF search against
     // the exact brute-force top-5 — the accept/reject dial for any
-    // approximate index before it ships
+    // approximate index before it ships. NB: on this synthetic fixture
+    // the embeddings are uniform (no cluster structure), so this number
+    // is a noisy ~0.4-0.6 regardless of training; sim8 gates training
+    // quality via the monotone k-means objective instead
     "sim4_ivf_recall" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val pred = col("vec_id") % 100 === 0
       val brute = Vectors.knnBrute(emb, pred, k = 5).select(col("qid"), col("nid"))
-      val ivf = Vectors.ivfSearch(emb, nCells = 8, nProbe = 2, pred, k = 5)
+      val ivf = Vectors.ivfSearch(emb, nCells = 8, nProbe = 2, pred, k = 5, iters = 3)
         .select(col("qid"), col("nid"), lit(1).as("__hit"))
       // recall denominator = actual ground-truth rows per query (count(*)
       // over the brute side), not lit(k) — same contract as Vectors.pqRecall
@@ -418,16 +501,17 @@ object DataOpsQueries {
         .orderBy(col("qid"))
     },
     // product-quantization ADC search: corpus reduced to 8 one-byte
-    // codes per vector, queries ranked by exact-BIGINT table lookups
+    // codes per vector (Lloyd-trained codebook), queries ranked by
+    // exact-BIGINT table lookups
     "sim5_pq_adc" -> { (s, dir) =>
       Vectors.pqAdcSearch(Tables.embeddings(s, dir), m = 8, dsub = 8, kCode = 4,
-          col("vec_id") % 100 === 0, k = 5)
+          col("vec_id") % 100 === 0, k = 5, iters = 3)
         .orderBy(col("qid"), col("rank"))
     },
     // PQ quality measurement: recall@5 vs the exact full-vector L2 truth
     "sim6_pq_recall" -> { (s, dir) =>
       Vectors.pqRecall(Tables.embeddings(s, dir), m = 8, dsub = 8, kCode = 4,
-          col("vec_id") % 100 === 0, k = 5)
+          col("vec_id") % 100 === 0, k = 5, iters = 3)
         .orderBy(col("qid"))
     },
     // language ID heuristic
@@ -798,6 +882,22 @@ object DataOpsQueries {
         |  AND a.doc_id < c.doc_id
         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
         |ORDER BY id1, id2""".stripMargin,
+    "sim8_ivf_train_gain" ->
+      s"""WITH $NormsSql,
+        |${ivfSql(3)},
+        |obj0 AS (
+        |  SELECT CAST(SUM(CAST(FLOOR(a.dot / c.cnrm * 1000000) AS BIGINT)) AS DOUBLE) / 1e6 AS o
+        |  FROM rk0 r JOIN ad0 a ON a.vec_id = r.vec_id AND a.cellId = r.cellId
+        |  JOIN cn0 c ON c.cellId = r.cellId
+        |  WHERE r.rn = 1),
+        |obj3 AS (
+        |  SELECT CAST(SUM(CAST(FLOOR(a.dot / c.cnrm * 1000000) AS BIGINT)) AS DOUBLE) / 1e6 AS o
+        |  FROM rk3 r JOIN ad3 a ON a.vec_id = r.vec_id AND a.cellId = r.cellId
+        |  JOIN cn3 c ON c.cellId = r.cellId
+        |  WHERE r.rn = 1)
+        |SELECT o0.o AS seedObjective, o3.o AS trainedObjective,
+        |  o3.o > o0.o AS improved
+        |FROM obj0 o0, obj3 o3""".stripMargin,
     "sim7_ann_multiprobe" ->
       s"""WITH $NormsSql,
         |plM AS (
@@ -870,7 +970,7 @@ object DataOpsQueries {
     "sim4_ivf_recall" ->
       s"""WITH $NormsSql,
         |$BruteSql,
-        |$IvfSql
+        |${ivfSql(3)}
         |SELECT b.qid, CAST(COUNT(i.nid) AS BIGINT) AS hits,
         |  CAST(COUNT(i.nid) AS DOUBLE) / COUNT(*) AS recall
         |FROM (SELECT qid, nid FROM bruteRanked WHERE rank <= 5) b
@@ -893,15 +993,15 @@ object DataOpsQueries {
         |FROM pairs GROUP BY id2 ORDER BY id""".stripMargin,
     "sim3_ivf" ->
       s"""WITH $NormsSql,
-        |$IvfSql
+        |${ivfSql(3)}
         |SELECT qid, nid, cellId, cosine, rank FROM ivfRanked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "sim5_pq_adc" ->
-      s"""WITH $PqSql
+      s"""WITH ${pqSql(3)}
         |SELECT qid, vec_id AS nid, adcDist, rank FROM adcRanked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "sim6_pq_recall" ->
-      s"""WITH $PqSql,
+      s"""WITH ${pqSql(3)},
         |$ExactL2Sql
         |SELECT e.qid, COUNT(a.vec_id) AS hits,
         |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall
