@@ -1,34 +1,51 @@
 package graft.cli
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Dataflows
 import graft.model.DerivedState
-import graft.state.StateManager
+import graft.state.{Mutations, StateManager}
+import graft.store.StateStore
 
 /** FsShell-style verbs (SURVEY §2.5 F9, C/org/apache/hadoop/fs/
   * FsShell.java) over the engine's state tables — the demo CLI surface.
   *
-  * Usage: runMain graft.cli.Shell <sfDir> <verb> [arg]
-  *   ls <path>      listing of a directory
-  *   lsr <path>     recursive listing
-  *   du <path>      per-child subtree sizes
-  *   dus <path>     single subtree summary
-  *   count <path>   {dirs, files, bytes} of a subtree
-  *   stat <path>    file status (with derived length)
-  *   fsck           namespace health report
-  *   report         datanode report
-  *   dedup          simhash near-duplicate census over the documents corpus
-  *   clean          the corpus cleaning pipeline (dedup → near-dup → quality)
-  *   append <path>  reopen-for-append write-set for one file
-  *   decontaminate  train/eval n-gram overlap report over the documents corpus
+  * Usage: runMain graft.cli.Shell <sfDir> <verb> [args...]
+  *
+  * Namespace verbs (over the derived state tables):
+  *   ls <path>       listing of a directory
+  *   lsr <path>      recursive listing
+  *   du <path>       per-child subtree sizes
+  *   dus <path>      single subtree summary
+  *   count <path>    {dirs, files, bytes} of a subtree
+  *   stat <path>     file status (with derived length)
+  *   test <path>     existence/type probe (exists, isDir, isFile)
+  *   setrep <path> <n>   replication write-set for one live file
+  *   chown <path> <uid>  owner write-set for one live file
+  *   fsck            namespace health report
+  *   report          datanode report
+  *   append <path>   reopen-for-append write-set for one file
+  *
+  * Content verbs (over SequenceFile dirs — the engine's F1 storage
+  * format; the reference's cat/text/tail/getmerge read DFS bytes, which
+  * SURVEY scopes to the storage layer, so here they read the engine's
+  * own on-disk format):
+  *   cat <dir>             all (key, value) rows in key order
+  *   text <dir>            alias of cat (values are already text)
+  *   tail <dir> [n]        last n rows by key (default 10)
+  *   getmerge <in>... <out>  merge pre-sorted runs into <out>, show result
+  *
+  * Corpus verbs (documents table):
+  *   dedup / clean / decontaminate
+  *
+  * `run` returns the frame `main` displays — the session lifecycle stays
+  * in `main`, so specs drive every verb end-to-end through `run`.
   */
 object Shell {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Shell <sfDir> <verb> [path]")
-    val (sfDir, verb) = (args(0), args(1))
-    val path = if (args.length > 2) args(2) else "/"
+    require(args.length >= 2, "usage: Shell <sfDir> <verb> [args...]")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-shell")
@@ -36,16 +53,23 @@ object Shell {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    DerivedState.register(spark, sfDir)
-    val file = spark.table("file")
-    val block = spark.table("block")
-    val datanode = spark.table("datanode")
+    run(spark, args(0), args(1), args.drop(2).toSeq).show(50, truncate = false)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, sfDir: String, verb: String,
+          args: Seq[String] = Seq("/")): DataFrame = {
+    import spark.implicits._
+    lazy val tables = { DerivedState.register(spark, sfDir); () }
+    def file = { tables; spark.table("file") }
+    def block = { tables; spark.table("block") }
+    def datanode = { tables; spark.table("datanode") }
     val Now = DerivedState.NowMs
+    val path = args.headOption.getOrElse("/")
 
     def resolve(p: String): Long =
       if (p == "/" || p.isEmpty) 0L
       else {
-        import spark.implicits._
         val hits = StateManager.resolvePaths(file, Seq(p).toDF("path"))
           .select("id").collect()
         require(hits.nonEmpty, s"no such path: $p")
@@ -56,47 +80,84 @@ object Shell {
       case "ls" =>
         StateManager.listChildren(file, resolve(path))
           .select(col("name"), col("length"), col("replication"), col("mtime"))
-          .orderBy(col("name")).show(50, truncate = false)
+          .orderBy(col("name"))
       case "lsr" =>
         StateManager.descendants(file, Seq(resolve(path)))
           .select(col("id"), col("parentId"), col("name"), col("length"))
-          .orderBy(col("id")).show(50, truncate = false)
+          .orderBy(col("id"))
       case "du" =>
         val children = StateManager.listChildren(file, resolve(path))
           .select(col("id")).collect().map(_.getLong(0)).toSeq
-        Dataflows.contentSummary(file, children).orderBy(col("rootId")).show(50)
+        Dataflows.contentSummary(file, children).orderBy(col("rootId"))
       case "dus" | "count" =>
-        Dataflows.contentSummary(file, Seq(resolve(path))).show()
+        Dataflows.contentSummary(file, Seq(resolve(path)))
       case "stat" =>
         val id = resolve(path)
-        StateManager.fileInfo(file, block).filter(col("id") === id).show(truncate = false)
+        StateManager.fileInfo(file, block).filter(col("id") === id)
+      case "test" =>
+        // FsShell test -e/-d/-z probe as one row (exit codes are not a
+        // DataFrame surface; the caller reads the booleans)
+        val hits = StateManager.resolvePaths(file, Seq(path).toDF("path"))
+          .select(col("id"), col("length")).collect()
+        val exists = path == "/" || hits.nonEmpty
+        val isDir = path == "/" || hits.headOption.exists(_.getLong(1) == -1L)
+        Seq((path, exists, isDir, exists && !isDir))
+          .toDF("path", "exists", "isDir", "isFile")
+      case "setrep" =>
+        require(args.size >= 2, "usage: setrep <path> <replication>")
+        val id = resolve(path)
+        Mutations.setAttrs(file, col("id") === id && col("version") > 0,
+            Map("replication" -> StateStore.Assign(args(1).toLong)), nowMs = Now)
+          .filter(col("id") === id)
+          .select(col("id"), col("name"), col("replication"), col("version"))
+      case "chown" =>
+        require(args.size >= 2, "usage: chown <path> <ownerId>")
+        val id = resolve(path)
+        Mutations.setAttrs(file, col("id") === id && col("version") > 0,
+            Map("owner" -> StateStore.Assign(args(1).toLong)), nowMs = Now)
+          .filter(col("id") === id)
+          .select(col("id"), col("name"), col("owner"), col("version"))
       case "fsck" =>
-        Dataflows.fsck(file, block, datanode, Now).show(truncate = false)
+        Dataflows.fsck(file, block, datanode, Now)
       case "report" =>
         Dataflows.datanodeReport(datanode, Now)
           .select(col("id"), col("name"), col("alive"), col("adminState"),
             col("capacity"), col("remaining"))
-          .orderBy(col("id")).show(50, truncate = false)
+          .orderBy(col("id"))
+      case "cat" | "text" =>
+        graft.sources.Formats.readSequenceFile(spark, path)
+          .orderBy(col("key"), col("value"))
+      case "tail" =>
+        val n = if (args.size > 1) args(1).toInt else 10
+        // global tail of a display-bounded frame: the single-partition
+        // window ranks what the CLI is about to print, not a corpus
+        val w = Window.orderBy(col("key").desc, col("value").desc)
+        graft.sources.Formats.readSequenceFile(spark, path)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n).drop("__rn")
+          .orderBy(col("key"), col("value"))
+      case "getmerge" =>
+        require(args.size >= 3, "usage: getmerge <in>... <out>")
+        graft.sources.Formats.mergeSequenceFiles(spark, args.dropRight(1), args.last)
+        graft.sources.Formats.readSequenceFile(spark, args.last)
+          .orderBy(col("key"), col("value"))
       case "dedup" =>
         // near-duplicate census over the documents corpus
         val docs = graft.core.Tables.documents(spark, sfDir)
         graft.functions.Dedup.simhashNearDups(docs, "doc_id", "text")
           .orderBy(col("hamming"), col("id1"), col("id2"))
-          .show(20, truncate = false)
       case "clean" =>
         // the t5 pipeline: survivors of dedup + near-dup + quality gate
         graft.SparkEntry.queries("t5_clean_corpus")(spark, sfDir)
-          .show(20, truncate = false)
       case "append" =>
-        import spark.implicits._
         val id = resolve(path)
         val target = file.filter(col("id") === id && col("version") > 0)
           .select(col("parentId"), col("name")).collect()
         require(target.nonEmpty, s"no such live file: $path")
         val reqs = Seq((target.head.getLong(0), target.head.getString(1), "shell"))
           .toDF("parentId", "name", "holder")
-        graft.state.Mutations.appendFile(file, block, reqs, nowMs = Now)
-          .orderBy(col("writeOp"), col("id")).show(50, truncate = false)
+        Mutations.appendFile(file, block, reqs, nowMs = Now)
+          .orderBy(col("writeOp"), col("id"))
       case "decontaminate" =>
         val docs = graft.core.Tables.documents(spark, sfDir)
         graft.functions.Dedup.contamination(
@@ -104,9 +165,7 @@ object Shell {
             docs.filter(col("doc_id") % 97 === 0L),
             "doc_id", "text", minShared = 2)
           .orderBy(col("sharedShingles").desc, col("trainId"), col("evalId"))
-          .show(20, truncate = false)
       case other => sys.error(s"unknown verb: $other")
     }
-    spark.stop()
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cli.Shell
+import graft.model.DerivedState
+import graft.state.StateManager
+
+/** Drives the FsShell-style CLI end-to-end through Shell.run — the same
+  * dispatch `main` shows — covering the round-6 verbs (cat/text/tail/
+  * test/getmerge/setrep/chown) plus a smoke pass over the originals. */
+class ShellSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("content verbs read the engine's SequenceFile format") {
+    val tmp = graft.core.Caching.scratchDir("shellspec").toString
+    val kv = Seq(("1", "a"), ("2", "b"), ("3", "c"), ("4", "d")).toDF("key", "value")
+    graft.sources.Formats.writeSequenceFile(
+      kv.filter($"key" <= "2"), s"$tmp/runA", sorted = true)
+    graft.sources.Formats.writeSequenceFile(
+      kv.filter($"key" > "2"), s"$tmp/runB", sorted = true)
+
+    assert(rows(Shell.run(spark, sf, "cat", Seq(s"$tmp/runA")))
+      == Seq(Seq("1", "a"), Seq("2", "b")))
+    assert(rows(Shell.run(spark, sf, "text", Seq(s"$tmp/runB")))
+      == Seq(Seq("3", "c"), Seq("4", "d")))
+    // tail keeps the LAST n by key, re-sorted ascending for display
+    assert(rows(Shell.run(spark, sf, "tail", Seq(s"$tmp/runA", "1")))
+      == Seq(Seq("2", "b")))
+    // getmerge: pre-sorted runs → one merged sequence file, shown back
+    assert(rows(Shell.run(spark, sf, "getmerge",
+        Seq(s"$tmp/runA", s"$tmp/runB", s"$tmp/merged")))
+      == Seq(Seq("1", "a"), Seq("2", "b"), Seq("3", "c"), Seq("4", "d")))
+  }
+
+  test("namespace verbs: test, setrep, chown against the derived state") {
+    DerivedState.register(spark, sf)
+    // a real live file path from the snapshot, built by the S2 operator
+    val sample = StateManager.materializePaths(spark.table("file"))
+      .filter(col("length") >= 0 && col("version") > 0)
+      .orderBy(col("id"))
+      .select(col("id"), col("path")).limit(1).collect().head
+    val (fid, fpath) = (sample.getLong(0), sample.getString(1))
+
+    assert(rows(Shell.run(spark, sf, "test", Seq(fpath)))
+      == Seq(Seq(fpath, true, false, true)))
+    assert(rows(Shell.run(spark, sf, "test", Seq("/")))
+      == Seq(Seq("/", true, true, false)))
+    assert(rows(Shell.run(spark, sf, "test", Seq("/no/such/path")))
+      == Seq(Seq("/no/such/path", false, false, false)))
+
+    val rep = rows(Shell.run(spark, sf, "setrep", Seq(fpath, "7")))
+    assert(rep.size == 1 && rep.head(0) == fid && rep.head(2) == 7L)
+
+    val own = rows(Shell.run(spark, sf, "chown", Seq(fpath, "42")))
+    assert(own.size == 1 && own.head(0) == fid && own.head(2) == 42L)
+
+    // smoke: the original verbs still dispatch
+    assert(rows(Shell.run(spark, sf, "test", Seq(fpath))).nonEmpty)
+    assert(Shell.run(spark, sf, "fsck", Seq()).count() >= 1)
+    assert(Shell.run(spark, sf, "ls", Seq("/")).count() >= 1)
+  }
+}
