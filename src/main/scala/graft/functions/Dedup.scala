@@ -99,14 +99,37 @@ object Dedup {
     * the signature groupBy's exchange, and partial aggregation puts the
     * expensive work (tokenize, shingle, k md5s per shingle) BELOW that
     * exchange — ReuseExchange computes it once per action; above it only
-    * n-row aggregates re-run. Returned plan is lazy — plan-only consumers
-    * (Explain) trigger no job. */
-  def lshCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    * n-row aggregates re-run (verified on the executed AQE plan: ONE
+    * shingle stage, the right melt and both signature join-backs are
+    * ReusedExchange nodes). Returned plan is lazy — plan-only consumers
+    * (Explain) trigger no job.
+    *
+    * `maxBucket` is the skew valve: the pair join is quadratic in band
+    * bucket size, and a degenerate bucket (boilerplate text, an empty
+    * shingle set, adversarial spam) turns one reducer into an O(n²)
+    * straggler at corpus scale. Buckets larger than the cap are DROPPED
+    * before pairing — a band shared by thousands of docs carries no
+    * discriminating signal, and a real near-dup pair inside it still
+    * surfaces through its other k/2−1 bands. Default = no cap (exact
+    * candidate semantics, oracle-checked). */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, k)
     val banded = withBands(sig, k)
     val bandArr = array((0 until k / 2).map(b => col(s"band$b")): _*)
-    val melted = banded.select(col(idCol),
+    val meltedAll = banded.select(col(idCol),
       posexplode(bandArr).as(Seq("bandIdx", "bandKey")))
+    val melted =
+      if (maxBucket == Int.MaxValue) meltedAll
+      else {
+        // partial-aggregated bucket census + semi-join prune: the census
+        // rides the same (bandIdx, bandKey) shuffle the pair join needs
+        val keep = meltedAll.groupBy(col("bandIdx"), col("bandKey"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucket)
+          .select(col("bandIdx"), col("bandKey"))
+        meltedAll.join(keep, Seq("bandIdx", "bandKey"), "left_semi")
+      }
     val left = melted.select(col(idCol).as("id1"), col("bandIdx"), col("bandKey"))
     val right = melted.select(col(idCol).as("id2"), col("bandIdx"), col("bandKey"))
     // shuffle_hash: a broadcast plan would duplicate the melt on both sides

@@ -29,6 +29,62 @@ class DataOpsSpec extends SparkSpec {
     assert(!cand.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("lshCandidates maxBucket drops degenerate mega-buckets, keeps real pairs") {
+    // 40 copies of boilerplate (every band bucket holds all 40) + one
+    // genuine near-dup pair: the skew valve must kill the quadratic
+    // bucket and keep the discriminating one
+    val boiler = (100L to 139L).map(i => (i, "identical boilerplate text repeated across the corpus many times"))
+    val corpus = (boiler :+
+      (1L, "the quick brown fox jumps over the lazy dog") :+
+      (2L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text")
+    val uncapped = rows(Dedup.lshCandidates(corpus, "doc_id", "text")
+      .select(col("id1"), col("id2"))).map(r => (r.head, r.last)).toSet
+    assert(uncapped.size >= 40 * 39 / 2, "uncapped must pair the whole mega-bucket")
+    val capped = rows(Dedup.lshCandidates(corpus, "doc_id", "text", maxBucket = 10)
+      .select(col("id1"), col("id2"))).map(r => (r.head, r.last)).toSet
+    assert(capped == Set((1L, 2L)),
+      s"cap=10 keeps only the discriminating pair, got $capped")
+  }
+
+  test("fixed-point kernels fail fast on long overflow instead of wrapping") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val big = new GenericArrayData(Array(1000000, 1000000))   // term ~1e24 >> Long.Max
+    val ok = new GenericArrayData(Array(1, 2))
+    intercept[ArithmeticException] {
+      graft.functions.expr.FixedPointDot.compute(big, big, 3, 3)
+    }
+    intercept[ArithmeticException] {
+      graft.functions.expr.FixedPointL2.compute(big, ok, 3, 3)
+    }
+    assert(graft.functions.expr.FixedPointDot.compute(ok, ok, 3, 3) == 5L * 1000000000000L)
+  }
+
+  test("kmeans training: objective non-decreasing, clustered fixture separates") {
+    // 3 clean direction-clusters, ids interleaved so the 3 seed centroids
+    // span them; spherical k-means must (a) monotonically improve the
+    // objective and (b) land each member in its cluster's cell
+    val vecs = (0 until 30).map { i =>
+      val c = i % 3
+      val base = Array.fill(4)(0.05f * ((i * 7 + 3) % 5))
+      base(c) = 1.0f + 0.01f * (i % 4)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val objs = Seq(0, 1, 3).map { it =>
+      val cents = if (it > 0) Vectors.kmeansCentroids(vecs, 3, it)
+        else Vectors.seedCentroids(vecs, 3)
+      rows(Vectors.ivfObjective(vecs, cents)).head.head.asInstanceOf[Double]
+    }
+    assert(objs(0) <= objs(1) + 1e-9 && objs(1) <= objs(2) + 1e-9,
+      s"objective must be non-decreasing across rounds: $objs")
+    val celled = rows(Vectors.withIvfCell(vecs, Vectors.kmeansCentroids(vecs, 3, 3))
+      .select(col("vec_id"), col("cellId")))
+      .map(r => (r.head.asInstanceOf[Long], r.last.asInstanceOf[Long]))
+    val byCluster = celled.groupBy { case (id, _) => id % 3 }.values
+    assert(byCluster.forall(g => g.map(_._2).toSet.size == 1),
+      s"each direction-cluster must share one cell: $celled")
+    assert(celled.map(_._2).toSet.size == 3, "the three clusters use three distinct cells")
+  }
+
   test("simhash is deterministic and equal for identical docs") {
     val out = rows(Dedup.simhash16(docs, "doc_id", "text")).map(r => r.head -> r.last).toMap
     assert(out(1L) == out(4L))
