@@ -304,8 +304,8 @@ object Dedup {
     * a partial-aggregated groupBy — in production that table is the
     * maintained dedup index, appended per batch, so the per-batch cost is
     * O(batch) map work + one hash join against the index (broadcast when
-    * the batch is the small side). The LSH analog joins the batch's band
-    * keys against the stored signature table the same way.
+    * the batch is the small side). [[incrementalLsh]] is the NEAR-dup
+    * analog over the stored banded signature table.
     *
     * Content identity is sha-256, not md5: this classifier DISCARDS data
     * (dup_of_existing rows never enter the corpus), and md5 collisions are
@@ -326,6 +326,62 @@ object Dedup {
           .when(col(idCol) =!= col("batchKeepId"), lit("dup_in_batch"))
           .otherwise(lit("unique")).as("status"),
         coalesce(col("existingKeepId"), col("batchKeepId")).as("keepId"))
+  }
+
+  /** Incremental NEAR-dup classification: batch docs against the standing
+    * corpus's signature index — the LSH analog of [[incrementalExact]],
+    * completing the additive-ingest story its docstring names. Each batch
+    * doc gets its candidate set from ONE band equi-join against the
+    * (stored, in production) banded signature table; candidates are
+    * verified by minhash agreement and aggregated to
+    * (id, status near_dup|unique, matchId = min existing near-dup id,
+    * bestEst = max agreement, nearDups). The corpus is never self-paired:
+    * per-batch cost is O(batch) signature map work + the band join —
+    * the same index-maintenance shape as the exact path. Narrow melt +
+    * join-back-after-dedup, like [[lshCandidates]]. `maxBucket` is the
+    * same skew valve. */
+  def incrementalLsh(existing: DataFrame, batch: DataFrame, idCol: String,
+                     textCol: String, k: Int = 8, minEst: Double = 0.5,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    val exSig = withBands(minhashSignatures(existing, idCol, textCol, k), k)
+    val bSig = withBands(minhashSignatures(batch, idCol, textCol, k), k)
+    val bandArr = array((0 until k / 2).map(b => col(s"band$b")): _*)
+    val exMeltAll = exSig.select(col(idCol).as("exId"),
+      posexplode(bandArr).as(Seq("bandIdx", "bandKey")))
+    val exMelt =
+      if (maxBucket == Int.MaxValue) exMeltAll
+      else {
+        val keep = exMeltAll.groupBy(col("bandIdx"), col("bandKey"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucket)
+          .select(col("bandIdx"), col("bandKey"))
+        exMeltAll.join(keep, Seq("bandIdx", "bandKey"), "left_semi")
+      }
+    val bMelt = bSig.select(col(idCol).as("bid"),
+      posexplode(bandArr).as(Seq("bandIdx", "bandKey")))
+    val cand = bMelt.hint("shuffle_hash")
+      .join(exMelt.hint("shuffle_hash"), Seq("bandIdx", "bandKey"))
+      .select(col("bid"), col("exId")).distinct()
+    val sigB = (0 until k).foldLeft(bSig.withColumnRenamed(idCol, "bid"))(
+      (d, s) => d.withColumnRenamed(s"m$s", s"Bm$s"))
+      .select(col("bid") +: (0 until k).map(s => col(s"Bm$s")): _*)
+    val sigE = (0 until k).foldLeft(exSig.withColumnRenamed(idCol, "exId"))(
+      (d, s) => d.withColumnRenamed(s"m$s", s"Em$s"))
+      .select(col("exId") +: (0 until k).map(s => col(s"Em$s")): _*)
+    val est = (0 until k).map(s =>
+      when(col(s"Bm$s") === col(s"Em$s"), 1).otherwise(0)).reduce(_ + _)
+    val scored = cand.join(sigB, Seq("bid")).join(sigE, Seq("exId"))
+      .select(col("bid"), col("exId"), (est.cast("double") / k).as("est"))
+      .filter(col("est") >= minEst)
+    val agg = scored.groupBy(col("bid"))
+      .agg(min(col("exId")).as("matchId"), max(col("est")).as("bestEst"),
+        count(lit(1)).as("nearDups"))
+    batch.select(col(idCol))
+      .join(agg, col(idCol) === col("bid"), "left")
+      .select(col(idCol),
+        when(col("matchId").isNotNull, lit("near_dup")).otherwise(lit("unique")).as("status"),
+        col("matchId"), col("bestEst"),
+        coalesce(col("nearDups"), lit(0L)).as("nearDups"))
   }
 
   /** Connected components over a near-duplicate pair graph: every doc in

@@ -252,9 +252,13 @@ object Vectors {
     * Same narrow-pair shape as [[Dedup.lshCandidates]]: only
     * (vec_id, setIdx, bucket) flows through the bucket join and the pair
     * `distinct()`; full vectors join back AFTER the dedup for the exact
-    * cosine filter. r=1 reproduces [[annPairs]]' pair set exactly. */
+    * cosine filter. r=1 reproduces [[annPairs]]' pair set exactly.
+    * `maxBucket` is the same skew valve as [[Dedup.lshCandidates]]': a
+    * degenerate bucket (e.g. a spike of identical embeddings) is dropped
+    * before the quadratic pair join; default = no cap. */
   def annPairsMulti(emb: DataFrame, dims: Int, minCosine: Double,
-                    nPlanes: Int = 8, r: Int = 2): DataFrame = {
+                    nPlanes: Int = 8, r: Int = 2,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
     val bucketCols = (0 until r).map { t =>
       (0 until nPlanes).map { j =>
         val h = hyperplane(t * nPlanes + j, dims)
@@ -263,8 +267,17 @@ object Vectors {
         when(prods >= 0, 1L << j).otherwise(0L)
       }.reduce(_ + _)
     }
-    val melted = emb.select(col("vec_id"),
+    val meltedAll = emb.select(col("vec_id"),
       posexplode(array(bucketCols: _*)).as(Seq("setIdx", "bucket")))
+    val melted =
+      if (maxBucket == Int.MaxValue) meltedAll
+      else {
+        val keep = meltedAll.groupBy(col("setIdx"), col("bucket"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucket)
+          .select(col("setIdx"), col("bucket"))
+        meltedAll.join(keep, Seq("setIdx", "bucket"), "left_semi")
+      }
     val left = melted.select(col("vec_id").as("id1"), col("setIdx"), col("bucket"))
     val right = melted.select(col("vec_id").as("id2"), col("setIdx"), col("bucket"))
     // shuffled so ReuseExchange computes the r-bucket melt once — see the

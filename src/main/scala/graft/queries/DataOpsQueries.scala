@@ -798,6 +798,16 @@ object DataOpsQueries {
         .select(col("doc_id"), col("status"), col("keepId"))
         .orderBy(col("doc_id"))
     },
+    // incremental NEAR-dup classification: the ingest batch against the
+    // standing corpus's banded signature index — the LSH analog of d8
+    "d10_incremental_lsh" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      Dedup.incrementalLsh(
+          c.filter(col("doc_id") % 3 =!= 0L),
+          c.filter(col("doc_id") % 3 === 0L),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // stratified deterministic sampling: md5-bucket each doc, keep a
     // per-language rate — reproducible corpus downsampling with a
     // per-stratum checksum of the kept ids
@@ -1265,6 +1275,33 @@ object DataOpsQueries {
         |  COALESCE(idx.existingKeepId, b.batchKeepId) AS keepId
         |FROM b LEFT JOIN idx ON b.contentHash = idx.contentHash
         |ORDER BY b.doc_id""".stripMargin,
+    "d10_incremental_lsh" ->
+      s"""WITH $MinhashSql,
+        |mlt AS (
+        |  SELECT doc_id, bandIdx,
+        |    CASE bandIdx WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bandKey
+        |  FROM band CROSS JOIN (SELECT UNNEST(range(0,4)) AS bandIdx) u),
+        |candI AS (
+        |  SELECT DISTINCT bt.doc_id AS bid, ex.doc_id AS exId
+        |  FROM mlt bt JOIN mlt ex ON bt.bandIdx = ex.bandIdx AND bt.bandKey = ex.bandKey
+        |  WHERE bt.doc_id % 3 = 0 AND ex.doc_id % 3 <> 0),
+        |estI AS (
+        |  SELECT c.bid, c.exId,
+        |    ((CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END)
+        |    ) / 8.0 AS est
+        |  FROM candI c JOIN band a ON a.doc_id = c.bid JOIN band b ON b.doc_id = c.exId),
+        |aggI AS (
+        |  SELECT bid, MIN(exId) AS matchId, MAX(est) AS bestEst, COUNT(*) AS nearDups
+        |  FROM estI WHERE est >= 0.5 GROUP BY bid)
+        |SELECT t.doc_id,
+        |  CASE WHEN a.matchId IS NOT NULL THEN 'near_dup' ELSE 'unique' END AS status,
+        |  a.matchId, a.bestEst, COALESCE(a.nearDups, 0) AS nearDups
+        |FROM (SELECT doc_id FROM corpus WHERE doc_id % 3 = 0) t
+        |LEFT JOIN aggI a ON a.bid = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "t10_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -209,6 +209,20 @@ class DataOpsSpec extends SparkSpec {
       Seq(23L, "unique", 23L)))
   }
 
+  test("incremental LSH: batch near-dup of existing matched, unique stands alone") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now friends"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // near/exact of 1
+      (11L, "unrelated payload with its own vocabulary tokens throughout"),
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.incrementalLsh(existing, batch, "doc_id", "text")
+      .select(col("doc_id"), col("status"), col("matchId")).orderBy(col("doc_id")))
+    assert(out == Seq(Seq(10L, "near_dup", 1L), Seq(11L, "unique", null)))
+  }
+
   test("ngramRows generalizes shingles: bigrams and unigrams") {
     val one = Seq((1L, "a b c")).toDF("doc_id", "text")
     val bi = rows(Dedup.ngramRows(one, "doc_id", "text", 2).select(col("shingle")))

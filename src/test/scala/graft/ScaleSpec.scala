@@ -117,6 +117,24 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("lshCandidates reuses the signature pipeline across all consumers") {
+    // the shingle→minhash stage is the expensive pass; the narrow-melt
+    // shape must compute it ONCE per action, with the right melt and the
+    // two estJaccard join-backs as ReusedExchange nodes. The round-5
+    // wide-melt formulation satisfied this but shipped 8× wider pair
+    // rows; a future regression that breaks exchange canonicalization
+    // would silently recompute the corpus pass up to 4×.
+    val docs = (1L to 200L).map(i =>
+      (i, s"shared words t${i % 9} u${i % 7} v${i % 5} w${i % 3} x$i y${i % 11} z${i % 13}"))
+      .toDF("doc_id", "text")
+    val out = graft.functions.Dedup.lshCandidates(docs, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    assert(reused >= 2, s"expected >=2 ReusedExchange in the executed plan, got $reused:\n" +
+      plan.linesIterator.take(40).mkString("\n"))
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
