@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -99,6 +99,27 @@ object Changefeed {
                      watermark: String = "10 minutes"): DataFrame =
     docs.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Streaming NEAR-dup classification: the streaming twin of
+    * [[graft.functions.Dedup.incrementalLsh]]. Each micro-batch of the
+    * docs stream is classified against the STATIC standing-corpus frame
+    * (in production: the maintained banded signature table, reloaded per
+    * restart) — a stream-static join shape, so state never grows with the
+    * stream: Structured Streaming plans the static side once and each
+    * batch pays only its own signature map work + the band join. The
+    * classified rows land in `sink` per batch (the caller's parquet
+    * append / index-maintenance hook). */
+  def streamingIncrementalLsh(docs: DataFrame, existing: DataFrame,
+                              idCol: String, textCol: String,
+                              sink: (DataFrame, Long) => Unit,
+                              minEst: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val out = graft.functions.Dedup.incrementalLsh(
+          existing, batch.toDF(), idCol, textCol, minEst = minEst)
+        sink(out, batchId)
+      }
+      .start()
 
   /** D2 fault model (A/distributed/editlogger/DistributedEditLogger.java):
     * the reference's async edit appliers carry a pause gate

@@ -173,4 +173,32 @@ class StreamingSpec extends SparkSpec {
       assert(acc((11L, 202L)) == "toRemove") // stored but absent from report
     } finally q.stop()
   }
+
+  test("streamed incremental LSH matches the batch classification") {
+    implicit val sqlCtx = spark.sqlContext
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now friends"),
+    ).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "unrelated payload with its own vocabulary tokens throughout"),
+    )
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.concurrent.TrieMap[Long, (String, Any)]()
+    val q = Changefeed.streamingIncrementalLsh(
+      mem.toDF().toDF("doc_id", "text"), existing, "doc_id", "text",
+      (out, _) => out.collect().foreach(r =>
+        acc(r.getLong(0)) = (r.getString(1), r.get(2))))
+    try {
+      mem.addData(batchDocs: _*)
+      q.processAllAvailable()
+      // parity with the batch path on the same inputs
+      val expect = graft.functions.Dedup.incrementalLsh(
+          existing, batchDocs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+      assert(acc.toMap == expect)
+      assert(acc(10L) == (("near_dup", 1L)) && acc(11L)._1 == "unique")
+    } finally q.stop()
+  }
 }
