@@ -45,7 +45,11 @@ object Bench {
       }.sorted
       name -> times
     }
-    def median(ts: Seq[Double]): Double = ts(ts.size / 2)
+    // true median: midpoint average for even rep counts — ts(size/2) would
+    // report the WORSE of two runs under REPS=2, defeating the purpose
+    def median(ts: Seq[Double]): Double =
+      if (ts.size % 2 == 1) ts(ts.size / 2)
+      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>

@@ -95,7 +95,7 @@ object Shell {
         val id = resolve(path)
         StateManager.fileInfo(file, block).filter(col("id") === id)
       case "test" =>
-        // FsShell test -e/-d/-z probe as one row (exit codes are not a
+        // FsShell test -e/-d/-f probe as one row (exit codes are not a
         // DataFrame surface; the caller reads the booleans)
         val hits = StateManager.resolvePaths(file, Seq(path).toDF("path"))
           .select(col("id"), col("length")).collect()
@@ -129,15 +129,14 @@ object Shell {
           .orderBy(col("key"), col("value"))
       case "tail" =>
         val n = if (args.size > 1) args(1).toInt else 10
-        // global tail of a display-bounded frame: the single-partition
-        // window ranks what the CLI is about to print, not a corpus
-        val w = Window.orderBy(col("key").desc, col("value").desc)
+        // top-n via orderBy+limit → TakeOrderedAndProject (per-partition
+        // top-n + driver merge), never a single-partition window over the
+        // whole file
         graft.sources.Formats.readSequenceFile(spark, path)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= n).drop("__rn")
+          .orderBy(col("key").desc, col("value").desc).limit(n)
           .orderBy(col("key"), col("value"))
       case "getmerge" =>
-        require(args.size >= 3, "usage: getmerge <in>... <out>")
+        require(args.size >= 2, "usage: getmerge <in>... <out>")
         graft.sources.Formats.mergeSequenceFiles(spark, args.dropRight(1), args.last)
         graft.sources.Formats.readSequenceFile(spark, args.last)
           .orderBy(col("key"), col("value"))

@@ -77,6 +77,21 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The shared skew valve: drop key-buckets larger than `maxBucket` from
+    * a melted frame before a quadratic pair join — a partial-aggregated
+    * bucket census + left_semi prune riding the join's own shuffle key.
+    * No-op when uncapped, so default semantics stay exact. */
+  private[functions] def capBuckets(melt: DataFrame, keys: Seq[String],
+                                    maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) melt
+    else {
+      val keep = melt.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucket)
+        .select(keys.map(col): _*)
+      melt.join(keep, keys, "left_semi")
+    }
+
   /** LSH band keys over a signature frame (bands of 2 minhashes). */
   def withBands(sig: DataFrame, k: Int = 8): DataFrame =
     (0 until k / 2).foldLeft(sig) { (d, b) =>
@@ -117,19 +132,9 @@ object Dedup {
     val sig = minhashSignatures(df, idCol, textCol, k)
     val banded = withBands(sig, k)
     val bandArr = array((0 until k / 2).map(b => col(s"band$b")): _*)
-    val meltedAll = banded.select(col(idCol),
-      posexplode(bandArr).as(Seq("bandIdx", "bandKey")))
-    val melted =
-      if (maxBucket == Int.MaxValue) meltedAll
-      else {
-        // partial-aggregated bucket census + semi-join prune: the census
-        // rides the same (bandIdx, bandKey) shuffle the pair join needs
-        val keep = meltedAll.groupBy(col("bandIdx"), col("bandKey"))
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxBucket)
-          .select(col("bandIdx"), col("bandKey"))
-        meltedAll.join(keep, Seq("bandIdx", "bandKey"), "left_semi")
-      }
+    val melted = capBuckets(banded.select(col(idCol),
+      posexplode(bandArr).as(Seq("bandIdx", "bandKey"))),
+      Seq("bandIdx", "bandKey"), maxBucket)
     val left = melted.select(col(idCol).as("id1"), col("bandIdx"), col("bandKey"))
     val right = melted.select(col(idCol).as("id2"), col("bandIdx"), col("bandKey"))
     // shuffle_hash: a broadcast plan would duplicate the melt on both sides
@@ -333,55 +338,75 @@ object Dedup {
     * completing the additive-ingest story its docstring names. Each batch
     * doc gets its candidate set from ONE band equi-join against the
     * (stored, in production) banded signature table; candidates are
-    * verified by minhash agreement and aggregated to
-    * (id, status near_dup|unique, matchId = min existing near-dup id,
-    * bestEst = max agreement, nearDups). The corpus is never self-paired:
-    * per-batch cost is O(batch) signature map work + the band join —
-    * the same index-maintenance shape as the exact path. Narrow melt +
-    * join-back-after-dedup, like [[lshCandidates]]. `maxBucket` is the
-    * same skew valve. */
+    * verified by minhash agreement and aggregated per batch doc.
+    *
+    * Status mirrors [[incrementalExact]]'s three-way classification:
+    * `near_dup` (matches the standing corpus; matchId = min existing
+    * near-dup id), `near_dup_in_batch` (no existing match, but a
+    * SMALLER-id batch doc is a near-dup — first-seen-wins, so a burst of
+    * near-copies delivered in one batch is not silently admitted), or
+    * `unique`. bestEst = max agreement against the chosen source class;
+    * nearDups = total candidates ≥ minEst across both classes. The
+    * standing corpus is never self-paired: per-batch cost is O(batch)
+    * signature map work + the band join + the batch-internal band
+    * self-join (quadratic only within the batch's own buckets). Narrow
+    * melt + join-back-after-dedup, like [[lshCandidates]]; `maxBucket`
+    * is the same skew valve. */
   def incrementalLsh(existing: DataFrame, batch: DataFrame, idCol: String,
                      textCol: String, k: Int = 8, minEst: Double = 0.5,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val exSig = withBands(minhashSignatures(existing, idCol, textCol, k), k)
     val bSig = withBands(minhashSignatures(batch, idCol, textCol, k), k)
     val bandArr = array((0 until k / 2).map(b => col(s"band$b")): _*)
-    val exMeltAll = exSig.select(col(idCol).as("exId"),
-      posexplode(bandArr).as(Seq("bandIdx", "bandKey")))
-    val exMelt =
-      if (maxBucket == Int.MaxValue) exMeltAll
-      else {
-        val keep = exMeltAll.groupBy(col("bandIdx"), col("bandKey"))
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxBucket)
-          .select(col("bandIdx"), col("bandKey"))
-        exMeltAll.join(keep, Seq("bandIdx", "bandKey"), "left_semi")
-      }
+    val exMelt = capBuckets(exSig.select(col(idCol).as("exId"),
+      posexplode(bandArr).as(Seq("bandIdx", "bandKey"))),
+      Seq("bandIdx", "bandKey"), maxBucket)
     val bMelt = bSig.select(col(idCol).as("bid"),
       posexplode(bandArr).as(Seq("bandIdx", "bandKey")))
-    val cand = bMelt.hint("shuffle_hash")
+    val candE = bMelt.hint("shuffle_hash")
       .join(exMelt.hint("shuffle_hash"), Seq("bandIdx", "bandKey"))
       .select(col("bid"), col("exId")).distinct()
+    // batch-internal candidates: only SMALLER batch ids are potential
+    // keepers (first-seen-wins, mirroring incrementalExact's batchKeepId)
+    val kMelt = bMelt.select(col("bid").as("kbid"), col("bandIdx"), col("bandKey"))
+    val candB = bMelt.hint("shuffle_hash")
+      .join(kMelt.hint("shuffle_hash"), Seq("bandIdx", "bandKey"))
+      .filter(col("kbid") < col("bid"))
+      .select(col("bid"), col("kbid")).distinct()
     val sigB = (0 until k).foldLeft(bSig.withColumnRenamed(idCol, "bid"))(
       (d, s) => d.withColumnRenamed(s"m$s", s"Bm$s"))
       .select(col("bid") +: (0 until k).map(s => col(s"Bm$s")): _*)
     val sigE = (0 until k).foldLeft(exSig.withColumnRenamed(idCol, "exId"))(
       (d, s) => d.withColumnRenamed(s"m$s", s"Em$s"))
       .select(col("exId") +: (0 until k).map(s => col(s"Em$s")): _*)
+    val sigK = (0 until k).foldLeft(bSig.withColumnRenamed(idCol, "kbid"))(
+      (d, s) => d.withColumnRenamed(s"m$s", s"Em$s"))
+      .select(col("kbid") +: (0 until k).map(s => col(s"Em$s")): _*)
     val est = (0 until k).map(s =>
       when(col(s"Bm$s") === col(s"Em$s"), 1).otherwise(0)).reduce(_ + _)
-    val scored = cand.join(sigB, Seq("bid")).join(sigE, Seq("exId"))
-      .select(col("bid"), col("exId"), (est.cast("double") / k).as("est"))
+    val aggE = candE.join(sigB, Seq("bid")).join(sigE, Seq("exId"))
+      .select(col("bid").as("ebid"), col("exId"), (est.cast("double") / k).as("est"))
       .filter(col("est") >= minEst)
-    val agg = scored.groupBy(col("bid"))
-      .agg(min(col("exId")).as("matchId"), max(col("est")).as("bestEst"),
-        count(lit(1)).as("nearDups"))
+      .groupBy(col("ebid"))
+      .agg(min(col("exId")).as("exMatchId"), max(col("est")).as("exBest"),
+        count(lit(1)).as("exN"))
+    val aggB = candB.join(sigB, Seq("bid")).join(sigK, Seq("kbid"))
+      .select(col("bid").as("bbid"), col("kbid"), (est.cast("double") / k).as("est"))
+      .filter(col("est") >= minEst)
+      .groupBy(col("bbid"))
+      .agg(min(col("kbid")).as("bMatchId"), max(col("est")).as("bBest"),
+        count(lit(1)).as("bN"))
     batch.select(col(idCol))
-      .join(agg, col(idCol) === col("bid"), "left")
+      .join(aggE, col(idCol) === col("ebid"), "left")
+      .join(aggB, col(idCol) === col("bbid"), "left")
       .select(col(idCol),
-        when(col("matchId").isNotNull, lit("near_dup")).otherwise(lit("unique")).as("status"),
-        col("matchId"), col("bestEst"),
-        coalesce(col("nearDups"), lit(0L)).as("nearDups"))
+        when(col("exMatchId").isNotNull, lit("near_dup"))
+          .when(col("bMatchId").isNotNull, lit("near_dup_in_batch"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("exMatchId"), col("bMatchId")).as("matchId"),
+        when(col("exMatchId").isNotNull, col("exBest"))
+          .otherwise(col("bBest")).as("bestEst"),
+        (coalesce(col("exN"), lit(0L)) + coalesce(col("bN"), lit(0L))).as("nearDups"))
   }
 
   /** Connected components over a near-duplicate pair graph: every doc in

@@ -267,17 +267,9 @@ object Vectors {
         when(prods >= 0, 1L << j).otherwise(0L)
       }.reduce(_ + _)
     }
-    val meltedAll = emb.select(col("vec_id"),
-      posexplode(array(bucketCols: _*)).as(Seq("setIdx", "bucket")))
-    val melted =
-      if (maxBucket == Int.MaxValue) meltedAll
-      else {
-        val keep = meltedAll.groupBy(col("setIdx"), col("bucket"))
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxBucket)
-          .select(col("setIdx"), col("bucket"))
-        meltedAll.join(keep, Seq("setIdx", "bucket"), "left_semi")
-      }
+    val melted = Dedup.capBuckets(emb.select(col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("setIdx", "bucket"))),
+      Seq("setIdx", "bucket"), maxBucket)
     val left = melted.select(col("vec_id").as("id1"), col("setIdx"), col("bucket"))
     val right = melted.select(col("vec_id").as("id2"), col("setIdx"), col("bucket"))
     // shuffled so ReuseExchange computes the r-bucket melt once — see the

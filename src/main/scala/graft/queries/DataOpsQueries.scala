@@ -1295,12 +1295,32 @@ object DataOpsQueries {
         |  FROM candI c JOIN band a ON a.doc_id = c.bid JOIN band b ON b.doc_id = c.exId),
         |aggI AS (
         |  SELECT bid, MIN(exId) AS matchId, MAX(est) AS bestEst, COUNT(*) AS nearDups
-        |  FROM estI WHERE est >= 0.5 GROUP BY bid)
+        |  FROM estI WHERE est >= 0.5 GROUP BY bid),
+        |candB AS (
+        |  SELECT DISTINCT bt.doc_id AS bid, kp.doc_id AS kbid
+        |  FROM mlt bt JOIN mlt kp ON bt.bandIdx = kp.bandIdx AND bt.bandKey = kp.bandKey
+        |  WHERE bt.doc_id % 3 = 0 AND kp.doc_id % 3 = 0 AND kp.doc_id < bt.doc_id),
+        |estB AS (
+        |  SELECT c.bid, c.kbid,
+        |    ((CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END)
+        |    ) / 8.0 AS est
+        |  FROM candB c JOIN band a ON a.doc_id = c.bid JOIN band b ON b.doc_id = c.kbid),
+        |aggB AS (
+        |  SELECT bid, MIN(kbid) AS bMatchId, MAX(est) AS bBest, COUNT(*) AS bN
+        |  FROM estB WHERE est >= 0.5 GROUP BY bid)
         |SELECT t.doc_id,
-        |  CASE WHEN a.matchId IS NOT NULL THEN 'near_dup' ELSE 'unique' END AS status,
-        |  a.matchId, a.bestEst, COALESCE(a.nearDups, 0) AS nearDups
+        |  CASE WHEN a.matchId IS NOT NULL THEN 'near_dup'
+        |       WHEN g.bMatchId IS NOT NULL THEN 'near_dup_in_batch'
+        |       ELSE 'unique' END AS status,
+        |  COALESCE(a.matchId, g.bMatchId) AS matchId,
+        |  CASE WHEN a.matchId IS NOT NULL THEN a.bestEst ELSE g.bBest END AS bestEst,
+        |  COALESCE(a.nearDups, 0) + COALESCE(g.bN, 0) AS nearDups
         |FROM (SELECT doc_id FROM corpus WHERE doc_id % 3 = 0) t
         |LEFT JOIN aggI a ON a.bid = t.doc_id
+        |LEFT JOIN aggB g ON g.bid = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
     "t10_stratified_sample" ->
       """WITH b AS (

@@ -217,10 +217,16 @@ class DataOpsSpec extends SparkSpec {
     val batch = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),   // near/exact of 1
       (11L, "unrelated payload with its own vocabulary tokens throughout"),
+      (20L, "fresh novel content never seen by the standing corpus before"),
+      (21L, "fresh novel content never seen by the standing corpus before"), // in-batch dup of 20
     ).toDF("doc_id", "text")
     val out = rows(Dedup.incrementalLsh(existing, batch, "doc_id", "text")
       .select(col("doc_id"), col("status"), col("matchId")).orderBy(col("doc_id")))
-    assert(out == Seq(Seq(10L, "near_dup", 1L), Seq(11L, "unique", null)))
+    assert(out == Seq(
+      Seq(10L, "near_dup", 1L),
+      Seq(11L, "unique", null),
+      Seq(20L, "unique", null),                 // first-seen keeper stands
+      Seq(21L, "near_dup_in_batch", 20L)))      // same-batch burst caught
   }
 
   test("ngramRows generalizes shingles: bigrams and unigrams") {

@@ -33,6 +33,9 @@ class ShellSpec extends SparkSpec {
     assert(rows(Shell.run(spark, sf, "getmerge",
         Seq(s"$tmp/runA", s"$tmp/runB", s"$tmp/merged")))
       == Seq(Seq("1", "a"), Seq("2", "b"), Seq("3", "c"), Seq("4", "d")))
+    // the FsShell-standard 2-arg form (one source) is valid too
+    assert(rows(Shell.run(spark, sf, "getmerge", Seq(s"$tmp/runA", s"$tmp/merged1")))
+      == Seq(Seq("1", "a"), Seq("2", "b")))
   }
 
   test("namespace verbs: test, setrep, chown against the derived state") {
