@@ -175,6 +175,36 @@ object Vectors {
   def withIvfCell(emb: DataFrame, nCells: Int): DataFrame =
     withIvfCell(emb, seedCentroids(emb, nCells))
 
+  /** IVF probe against a PREBUILT celled corpus — the production shape:
+    * assign cells once ([[withIvfCell]] + [[kmeansCentroids]]), write the
+    * (vec_id, embedding, cellId) table BUCKETED BY cellId, then serve
+    * many probe batches. Queries rank the broadcast centroid frame for
+    * their top-nProbe cells; the candidate join is an equi-join on
+    * cellId, so a cellId-bucketed corpus satisfies it from the scan's
+    * own distribution — the corpus is never re-shuffled per probe batch
+    * (ScaleSpec proves this on a bucketed table). Returns the same
+    * (qid, nid, cellId, cosine, rank) shape as [[ivfSearch]]. */
+  def ivfProbe(celled: DataFrame, centroids: DataFrame, queries: DataFrame,
+               nProbe: Int, k: Int): DataFrame = {
+    val cn = centroids.withColumn("cnrm", centroidNorm(col("cv")))
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+      .crossJoin(broadcast(cn))
+      .withColumn("cellCos", dot(col("qv"), col("cv")) / (col("qn") * col("cnrm")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cellCos").desc, col("cellId"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cellId"))
+    val candidates = probes.join(celled, Seq("cellId"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cosine", dot(col("qv"), col("embedding")) /
+        (col("qn") * norm(col("embedding"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cellId"), col("cosine"), col("rank"))
+  }
+
   /** IVF search: top-k neighbors for `queryPred` vectors probing the
     * query's own cell plus the next (nProbe-1) best cells. `iters` > 0
     * trains the coarse quantizer with that many Lloyd rounds first

@@ -135,6 +135,38 @@ class ScaleSpec extends SparkSpec {
       plan.linesIterator.take(40).mkString("\n"))
   }
 
+  test("IVF probe over a cellId-bucketed celled corpus never re-shuffles the corpus") {
+    import graft.functions.Vectors
+    // build once: trained centroids + cell assignment, stored bucketed by
+    // cellId — the production layout the ivfProbe docstring names
+    val emb = (0 until 64).map { i =>
+      val v = Array.fill(8)(0.1f * ((i * 3 + 1) % 7)); v(i % 4) = 1.5f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Vectors.kmeansCentroids(emb, 4, 2)
+    Scale.writeBucketed(Vectors.withIvfCell(emb, cents), "graft_bucketed_cells",
+      "cellId", buckets = 4)
+    val celled = spark.table("graft_bucketed_cells")
+    // probe WITHOUT broadcast (hint the shuffle path): the bucketed corpus
+    // side must satisfy the cellId join from its scan distribution
+    val queries = emb.filter(col("vec_id") % 16 === 0)
+    val out = Vectors.ivfProbe(celled.hint("shuffle_hash"), cents, queries,
+      nProbe = 2, k = 3)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    // exactly the probe side may exchange on cellId; the corpus scan must not
+    val corpusExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(cellId"))
+      .size
+    assert(corpusExchanges <= 1,
+      s"bucketed corpus must not re-shuffle on cellId (probe side only):\n$plan")
+    // parity: prebuilt probe == the one-shot ivfSearch on the same centroids
+    val oneShot = Vectors.ivfSearch(emb, 4, 2, col("vec_id") % 16 === 0, 3, iters = 2)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    val preBuilt = out.select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    assert(preBuilt == oneShot, "prebuilt probe must equal one-shot search")
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
