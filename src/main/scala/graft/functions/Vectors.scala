@@ -422,9 +422,23 @@ object Vectors {
       if (iters > 0) pqCodebookTrained(emb, m, dsub, kCode, iters)
       else pqCodebook(emb, m, dsub, kCode)
     val codes = pqCodes(emb, cb, dsub)
-    val lut = emb.filter(queryPred)
+    val queries = emb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .crossJoin(broadcast(cb))
+    pqAdcProbe(codes, cb, queries, dsub, k)
+  }
+
+  /** PQ-ADC probe against a PREBUILT codes table — the production shape:
+    * codebook trained and codes assigned ONCE (m one-byte codes replace
+    * the float vector), stored, then served to many probe batches. The
+    * per-batch distance table is tiny (nq·m·kCode rows) and broadcast,
+    * so a probe is ONE linear scan of the codes table with
+    * partial-aggregated SUM — cost independent of dimensionality and of
+    * how many batches came before. `queries` must have (qid, qv).
+    * [[pqAdcSearch]] is this probe over freshly built codes. */
+  def pqAdcProbe(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+                 dsub: Int, k: Int): DataFrame = {
+    val lut = queries.select(col("qid"), col("qv"))
+      .crossJoin(broadcast(codebook))
       .select(col("qid"), col("j"), col("c"),
         l2sq(slice(col("qv"), col("j").cast("int") * dsub + 1, lit(dsub)), col("cv")).as("qd2"))
     val scored = codes

@@ -167,6 +167,27 @@ class ScaleSpec extends SparkSpec {
     assert(preBuilt == oneShot, "prebuilt probe must equal one-shot search")
   }
 
+  test("PQ probe over a prebuilt codes table equals the one-shot search") {
+    import graft.functions.Vectors
+    val emb = (0 until 48).map { i =>
+      val v = Array.fill(16)(0.2f * ((i * 5 + 2) % 6)); v(i % 8) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cb = Vectors.pqCodebookTrained(emb, m = 4, dsub = 4, kCode = 3, iters = 2)
+    // "store" the index: codes materialized once, probed from the table
+    Scale.writeBucketed(Vectors.pqCodes(emb, cb, dsub = 4),
+      "graft_pq_codes", "vec_id", buckets = 4)
+    val queries = emb.filter(col("vec_id") % 12 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val preBuilt = Vectors.pqAdcProbe(spark.table("graft_pq_codes"), cb, queries,
+        dsub = 4, k = 3)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    val oneShot = Vectors.pqAdcSearch(emb, m = 4, dsub = 4, kCode = 3,
+        col("vec_id") % 12 === 0, k = 3, iters = 2)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    assert(preBuilt == oneShot && preBuilt.nonEmpty)
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
