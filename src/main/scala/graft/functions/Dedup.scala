@@ -367,9 +367,12 @@ object Dedup {
       .join(exMelt.hint("shuffle_hash"), Seq("bandIdx", "bandKey"))
       .select(col("bid"), col("exId")).distinct()
     // batch-internal candidates: only SMALLER batch ids are potential
-    // keepers (first-seen-wins, mirroring incrementalExact's batchKeepId)
-    val kMelt = bMelt.select(col("bid").as("kbid"), col("bandIdx"), col("bandKey"))
-    val candB = bMelt.hint("shuffle_hash")
+    // keepers (first-seen-wins, mirroring incrementalExact's batchKeepId).
+    // The self-join is quadratic in BATCH bucket size, so the same valve
+    // applies to it (a capped bucket still classifies vs the corpus above)
+    val bMeltCapped = capBuckets(bMelt, Seq("bandIdx", "bandKey"), maxBucket)
+    val kMelt = bMeltCapped.select(col("bid").as("kbid"), col("bandIdx"), col("bandKey"))
+    val candB = bMeltCapped.hint("shuffle_hash")
       .join(kMelt.hint("shuffle_hash"), Seq("bandIdx", "bandKey"))
       .filter(col("kbid") < col("bid"))
       .select(col("bid"), col("kbid")).distinct()
