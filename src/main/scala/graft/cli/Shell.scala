@@ -22,6 +22,11 @@ import graft.store.StateStore
   *   count <path>    {dirs, files, bytes} of a subtree
   *   stat <path>     file status (with derived length)
   *   test <path>     existence/type probe (exists, isDir, isFile)
+  *   mkdir <path>    mkdir write-set (parent must exist)
+  *   touchz <path>   zero-length file-create write-set
+  *   mv <src> <dst>  rename/move write-set (+ both-parent mtime touches)
+  *   rm <path>       guarded non-recursive delete write-set
+  *   rmr <path>      recursive subtree tombstone write-set
   *   setrep <path> <n>   replication write-set for one live file
   *   chown <path> <uid>  owner write-set for one live file
   *   fsck            namespace health report
@@ -67,6 +72,14 @@ object Shell {
     val Now = DerivedState.NowMs
     val path = args.headOption.getOrElse("/")
 
+    // "/a/b/c" → ("/a/b", "c"); "/x" → ("/", "x")
+    def splitPath(p: String): (String, String) = {
+      val trimmed = p.stripSuffix("/")
+      val cut = trimmed.lastIndexOf('/')
+      require(cut >= 0 && trimmed.length > cut + 1, s"not an absolute path: $p")
+      (if (cut == 0) "/" else trimmed.substring(0, cut), trimmed.substring(cut + 1))
+    }
+
     def resolve(p: String): Long =
       if (p == "/" || p.isEmpty) 0L
       else {
@@ -103,6 +116,31 @@ object Shell {
         val isDir = path == "/" || hits.headOption.exists(_.getLong(1) == -1L)
         Seq((path, exists, isDir, exists && !isDir))
           .toDF("path", "exists", "isDir", "isFile")
+      case "mkdir" | "touchz" =>
+        // write-set only (like append/setrep): parent must already exist,
+        // new id = max live id + rank — the caller applies it under the
+        // single-writer discipline
+        val (pPath, name) = splitPath(path)
+        val idBase = file.agg(max(col("id"))).collect()(0).getLong(0)
+        Mutations.mkdirs(file, Seq((resolve(pPath), name)).toDF("parentId", "name"),
+            idBase = idBase, nowMs = Now,
+            leafLength = if (verb == "mkdir") -1L else 0L)
+          .orderBy(col("writeOp"), col("id"))
+      case "mv" =>
+        require(args.size >= 2, "usage: mv <src> <dstPath>")
+        val id = resolve(path)
+        val (dstParent, newName) = splitPath(args(1))
+        Mutations.rename(file,
+            Seq((id, resolve(dstParent), newName)).toDF("id", "newParentId", "newName"),
+            nowMs = Now)
+          .orderBy(col("writeOp"), col("id"))
+      case "rm" =>
+        Mutations.guardedDelete(file, Seq(resolve(path)).toDF("id"))
+          .orderBy(col("id"))
+      case "rmr" =>
+        StateManager.recursiveDelete(file, Seq(resolve(path)))
+          .select(col("id"), col("parentId"), col("name"), col("version"))
+          .orderBy(col("id"))
       case "setrep" =>
         require(args.size >= 2, "usage: setrep <path> <replication>")
         val id = resolve(path)

@@ -65,4 +65,42 @@ class ShellSpec extends SparkSpec {
     assert(Shell.run(spark, sf, "fsck", Seq()).count() >= 1)
     assert(Shell.run(spark, sf, "ls", Seq("/")).count() >= 1)
   }
+
+  test("mutation verbs emit the operators' write-sets") {
+    DerivedState.register(spark, sf)
+    val file = spark.table("file")
+    val maxId = file.agg(max(col("id"))).collect().head.getLong(0)
+    val sampleFile = StateManager.materializePaths(file)
+      .filter(col("length") >= 0 && col("version") > 0)
+      .orderBy(col("id")).select(col("id"), col("path")).limit(1).collect().head
+    val sampleDir = StateManager.materializePaths(file)
+      .filter(col("length") === -1 && col("id") > 0 && col("version") > 0)
+      .orderBy(col("id")).select(col("id"), col("path")).limit(1).collect().head
+
+    // mkdir under root: one insert row with a fresh id and dir length
+    val mk = rows(Shell.run(spark, sf, "mkdir", Seq("/shellspec_dir"))
+      .filter(col("writeOp") === "insert")
+      .select(col("id"), col("name"), col("length")))
+    assert(mk == Seq(Seq(maxId + 1, "shellspec_dir", -1L)))
+    // touchz: same shape, zero length
+    val tz = rows(Shell.run(spark, sf, "touchz", Seq("/shellspec_file"))
+      .filter(col("writeOp") === "insert").select(col("name"), col("length")))
+    assert(tz == Seq(Seq("shellspec_file", 0L)))
+    // mv: the sample file moves under root with a new name
+    val mv = rows(Shell.run(spark, sf, "mv",
+        Seq(sampleFile.getString(1), "/shellspec_moved"))
+      .filter(col("writeOp") === "move")
+      .select(col("id"), col("parentId"), col("name")))
+    assert(mv == Seq(Seq(sampleFile.getLong(0), 0L, "shellspec_moved")))
+    // rm on a live file: tombstone row (version < 0, no reject)
+    val rm = rows(Shell.run(spark, sf, "rm", Seq(sampleFile.getString(1)))
+      .select(col("id"), col("reject"), col("version")))
+    assert(rm.size == 1 && rm.head(0) == sampleFile.getLong(0)
+      && rm.head(1) == null && rm.head(2).asInstanceOf[Long] < 0)
+    // rmr on a dir: whole subtree tombstoned, root included
+    val rmr = rows(Shell.run(spark, sf, "rmr", Seq(sampleDir.getString(1)))
+      .select(col("id"), col("version")))
+    assert(rmr.nonEmpty && rmr.forall(_(1).asInstanceOf[Long] < 0)
+      && rmr.exists(_(0) == sampleDir.getLong(0)))
+  }
 }
