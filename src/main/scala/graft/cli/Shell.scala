@@ -74,6 +74,7 @@ object Shell {
 
     // "/a/b/c" → ("/a/b", "c"); "/x" → ("/", "x")
     def splitPath(p: String): (String, String) = {
+      require(p.startsWith("/"), s"not an absolute path: $p")
       val trimmed = p.stripSuffix("/")
       val cut = trimmed.lastIndexOf('/')
       require(cut >= 0 && trimmed.length > cut + 1, s"not an absolute path: $p")
@@ -119,26 +120,37 @@ object Shell {
       case "mkdir" | "touchz" =>
         // write-set only (like append/setrep): parent must already exist,
         // new id = max live id + rank — the caller applies it under the
-        // single-writer discipline
+        // single-writer discipline. A refused request fails LOUD with the
+        // validator's reason instead of returning an empty frame.
         val (pPath, name) = splitPath(path)
+        val req = Seq((resolve(pPath), name)).toDF("parentId", "name")
+        val rejects = Mutations.validateInserts(file, req)
+          .filter(col("reject").isNotNull).select(col("reject")).collect()
+        require(rejects.isEmpty, s"$verb $path refused: ${rejects.head.getString(0)}")
         val idBase = file.agg(max(col("id"))).collect()(0).getLong(0)
-        Mutations.mkdirs(file, Seq((resolve(pPath), name)).toDF("parentId", "name"),
-            idBase = idBase, nowMs = Now,
+        Mutations.mkdirs(file, req, idBase = idBase, nowMs = Now,
             leafLength = if (verb == "mkdir") -1L else 0L)
           .orderBy(col("writeOp"), col("id"))
       case "mv" =>
         require(args.size >= 2, "usage: mv <src> <dstPath>")
         val id = resolve(path)
         val (dstParent, newName) = splitPath(args(1))
-        Mutations.rename(file,
+        val out = Mutations.rename(file,
             Seq((id, resolve(dstParent), newName)).toDF("id", "newParentId", "newName"),
             nowMs = Now)
           .orderBy(col("writeOp"), col("id"))
+        // rename drops rejected rows from the write-set — surface the
+        // refusal (target exists / under own subtree / ...) loudly
+        require(out.filter(col("writeOp") === "move").limit(1).count() > 0,
+          s"mv $path -> ${args(1)} refused by rename validation")
+        out
       case "rm" =>
         Mutations.guardedDelete(file, Seq(resolve(path)).toDF("id"))
           .orderBy(col("id"))
       case "rmr" =>
-        StateManager.recursiveDelete(file, Seq(resolve(path)))
+        val id = resolve(path)
+        require(id != 0L, "cannot delete root") // match rm's guard
+        StateManager.recursiveDelete(file, Seq(id))
           .select(col("id"), col("parentId"), col("name"), col("version"))
           .orderBy(col("id"))
       case "setrep" =>

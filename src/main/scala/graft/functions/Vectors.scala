@@ -175,6 +175,18 @@ object Vectors {
   def withIvfCell(emb: DataFrame, nCells: Int): DataFrame =
     withIvfCell(emb, seedCentroids(emb, nCells))
 
+  /** Shared IVF scoring tail: probe rows (qid, qv, qn, cellId) × celled
+    * corpus → exact-cosine top-k per query. */
+  private def scoreCells(probes: DataFrame, celled: DataFrame, k: Int): DataFrame = {
+    val candidates = probes.join(celled, Seq("cellId"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cosine", dot(col("qv"), col("embedding")) /
+        (col("qn") * norm(col("embedding"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cellId"), col("cosine"), col("rank"))
+  }
+
   /** IVF probe against a PREBUILT celled corpus — the production shape:
     * assign cells once ([[withIvfCell]] + [[kmeansCentroids]]), write the
     * (vec_id, embedding, cellId) table BUCKETED BY cellId, then serve
@@ -196,13 +208,7 @@ object Vectors {
         Window.partitionBy(col("qid")).orderBy(col("cellCos").desc, col("cellId"))))
       .filter(col("__rn") <= nProbe)
       .select(col("qid"), col("qv"), col("qn"), col("cellId"))
-    val candidates = probes.join(celled, Seq("cellId"))
-      .filter(col("qid") =!= col("vec_id"))
-      .withColumn("cosine", dot(col("qv"), col("embedding")) /
-        (col("qn") * norm(col("embedding"))))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("cellId"), col("cosine"), col("rank"))
+    scoreCells(probes, celled, k)
   }
 
   /** IVF search: top-k neighbors for `queryPred` vectors probing the
@@ -232,13 +238,7 @@ object Vectors {
     val probes = ranked.filter(queryPred && col("__rn") <= nProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("cellId"))
-    val candidates = probes.join(celled, Seq("cellId"))
-      .filter(col("qid") =!= col("vec_id"))
-      .withColumn("cosine", dot(col("qv"), col("embedding")) /
-        (col("qn") * norm(col("embedding"))))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("cellId"), col("cosine"), col("rank"))
+    scoreCells(probes, celled, k)
   }
 
   /** ANN near-duplicate pairs: same LSH bucket, cosine above threshold.
@@ -422,9 +422,7 @@ object Vectors {
       if (iters > 0) pqCodebookTrained(emb, m, dsub, kCode, iters)
       else pqCodebook(emb, m, dsub, kCode)
     val codes = pqCodes(emb, cb, dsub)
-    val queries = emb.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    pqAdcProbe(codes, cb, queries, dsub, k)
+    pqAdcProbe(codes, cb, emb.filter(queryPred), dsub, k)
   }
 
   /** PQ-ADC probe against a PREBUILT codes table — the production shape:
@@ -433,11 +431,13 @@ object Vectors {
     * per-batch distance table is tiny (nq·m·kCode rows) and broadcast,
     * so a probe is ONE linear scan of the codes table with
     * partial-aggregated SUM — cost independent of dimensionality and of
-    * how many batches came before. `queries` must have (qid, qv).
+    * how many batches came before. `queries` has (vec_id, embedding) —
+    * the same contract as [[ivfProbe]].
     * [[pqAdcSearch]] is this probe over freshly built codes. */
   def pqAdcProbe(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
                  dsub: Int, k: Int): DataFrame = {
-    val lut = queries.select(col("qid"), col("qv"))
+    val lut = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .crossJoin(broadcast(codebook))
       .select(col("qid"), col("j"), col("c"),
         l2sq(slice(col("qv"), col("j").cast("int") * dsub + 1, lit(dsub)), col("cv")).as("qd2"))

@@ -118,16 +118,28 @@ object Mutations {
       col("name").as("__oldN"))
     val parents = f.select(col("id").as("__tp"), col("length").as("__tplen"))
     val taken = f.select(col("parentId").as("__cp"), col("name").as("__cn"))
+    // ancestry guard via the S2 path builder: moving a dir under its own
+    // subtree creates a parent CYCLE (the subtree silently vanishes from
+    // every root-down walk). One join per side beats a per-level loop:
+    // target-under-source ⟺ target path extends source path.
+    val paths = StateManager.materializePaths(file)
+      .select(col("id").as("__pathId"), col("path").as("__path"))
+    val srcPaths = paths.select(col("__pathId").as("__sid"), col("__path").as("__srcPath"))
+    val dstPaths = paths.select(col("__pathId").as("__did"), col("__path").as("__dstPath"))
     val validated = renames
       .join(cur, col("id") === col("__id"), "inner")
       .join(parents, col("newParentId") === col("__tp"), "left")
       .join(taken, col("newParentId") === col("__cp") && col("newName") === col("__cn"), "left")
+      .join(srcPaths, col("id") === col("__sid"), "left")
+      .join(dstPaths, col("newParentId") === col("__did"), "left")
       .withColumn("reject",
         when(col("id") === 0L, "cannot rename root")
           .when(col("newParentId") === col("id"), "parent is self")
           .when(col("__tp").isNull, "target parent not found")
           .when(col("__tplen") =!= -1L, "target parent not a directory")
-          .when(col("__cn").isNotNull, "target exists"))
+          .when(col("__cn").isNotNull, "target exists")
+          .when(col("__dstPath").startsWith(concat(col("__srcPath"), lit("/"))),
+            "cannot move under own subtree"))
     val ok = validated.filter(col("reject").isNull)
     val moved = f.join(ok.select(col("id").as("__mid"), col("newParentId"),
         col("newName"), col("__oldP")), col("id") === col("__mid"), "inner")

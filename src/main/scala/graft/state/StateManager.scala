@@ -249,6 +249,16 @@ object StateManager {
       if (n > 0) out = if (out == null) frontier else out.unionByName(frontier)
       lvl += 1
     }
+    if (n > 0) {
+      // a silent cut here would hand callers (recursiveDelete!) a partial
+      // subtree — tombstoning it would orphan the levels below. Refuse
+      // instead, like dupClusters on non-convergence.
+      persisted.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"descendants exceeded maxDepth=$maxDepth with a non-empty frontier - " +
+        "the subtree is deeper; raise maxDepth (a truncated result would " +
+        "silently orphan the deeper levels)")
+    }
     val res =
       if (out == null) { persisted.foreach(_.unpersist(blocking = false)); self.limit(0) }
       else materializeAndRelease(out, persisted.toSeq)

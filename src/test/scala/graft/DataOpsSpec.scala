@@ -229,6 +229,23 @@ class DataOpsSpec extends SparkSpec {
       Seq(21L, "near_dup_in_batch", 20L)))      // same-batch burst caught
   }
 
+  test("incremental LSH maxBucket caps both the corpus melt and the batch self-join") {
+    // mega-bucket on BOTH sides: boilerplate in the standing corpus AND a
+    // burst of it in the batch; the cap must kill both quadratic joins
+    // while the genuine pair still classifies
+    val existing = ((100L to 139L).map(i => (i, "identical boilerplate text repeated across the corpus many times")) :+
+      (1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val batch = ((200L to 239L).map(i => (i, "identical boilerplate text repeated across the corpus many times")) :+
+      (300L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text")
+    val capped = rows(Dedup.incrementalLsh(existing, batch, "doc_id", "text",
+        minEst = 0.25, maxBucket = 10)
+      .select(col("doc_id"), col("status"), col("matchId")))
+      .map(r => r.head.asInstanceOf[Long] -> ((r(1), r(2)))).toMap
+    assert(capped(300L) == (("near_dup", 1L)), "discriminating pair survives the cap")
+    assert((200L to 239L).forall(i => capped(i) == (("unique", null))),
+      "mega-bucket batch rows classify unique under the cap (no quadratic join)")
+  }
+
   test("ngramRows generalizes shingles: bigrams and unigrams") {
     val one = Seq((1L, "a b c")).toDF("doc_id", "text")
     val bi = rows(Dedup.ngramRows(one, "doc_id", "text", 2).select(col("shingle")))

@@ -56,6 +56,17 @@ class MutationsSpec extends SparkSpec {
     assert(touched == Set(1L, 5L)) // old parent + new parent
   }
 
+  test("R12 rename: moving a dir under its own subtree is refused") {
+    // /a under /a/b would orphan the whole subtree behind a parent cycle;
+    // a legal sibling move in the same batch must still go through
+    val renames = Seq((1L, 2L, "a2"), (3L, 1L, "f1up"))
+      .toDF("id", "newParentId", "newName")
+    val out = Mutations.rename(file, renames, nowMs = 888L)
+    val moved = rows(out.filter(col("writeOp") === "move")
+      .select(col("id"), col("parentId"), col("name")))
+    assert(moved == Seq(Seq(3L, 1L, "f1up"))) // cycle move rejected, legal one kept
+  }
+
   test("R13 delete: refuses root and non-empty dir, tombstones the rest") {
     val out = rows(Mutations.guardedDelete(file, Seq(0L, 1L, 5L, 3L).toDF("id"))
       .select(col("id"), col("version"), col("reject")))

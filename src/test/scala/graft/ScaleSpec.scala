@@ -178,7 +178,6 @@ class ScaleSpec extends SparkSpec {
     Scale.writeBucketed(Vectors.pqCodes(emb, cb, dsub = 4),
       "graft_pq_codes", "vec_id", buckets = 4)
     val queries = emb.filter(col("vec_id") % 12 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val preBuilt = Vectors.pqAdcProbe(spark.table("graft_pq_codes"), cb, queries,
         dsub = 4, k = 3)
       .select("qid", "nid", "rank").collect().map(_.toSeq).toSet

@@ -76,6 +76,17 @@ class StateManagerSpec extends SparkSpec {
     assert(rows(files).map(_.head).toSet == Set(3L, 4L, 6L))
   }
 
+  test("S4: descendants refuses a maxDepth cut instead of truncating") {
+    // depth-2 subtree under /a: a cut at depth 1 would silently orphan
+    // /a/b's children if recursiveDelete tombstoned the partial result
+    val e = intercept[IllegalStateException] {
+      StateManager.descendants(file, Seq(1L), maxDepth = 1).collect()
+    }
+    assert(e.getMessage.contains("maxDepth"))
+    assert(rows(StateManager.descendants(file, Seq(1L), maxDepth = 3))
+      .map(_.head).toSet == Set(2L, 5L, 3L, 4L, 6L))
+  }
+
   test("S6: recursive delete tombstones the live subtree") {
     val out = rows(StateManager.recursiveDelete(file, Seq(2L)).select(col("id"), col("version")))
     assert(out.map(_.head).toSet == Set(2L, 3L, 4L, 6L))
