@@ -337,16 +337,21 @@ object Vectors {
     * scale 1e12 — exact and engine-independent, see FixedPointL2). */
   def l2sq(a: Column, b: Column): Column = graft.functions.expr.FixedPointL2(a, b)
 
-  /** Deterministic PQ codebook: the first `kCode` vectors (by vec_id)
-    * donate their subvectors as centroids — one row per (subspace j,
-    * centroid c), cv = the dsub-dim slice. kCode·m rows total, always
-    * broadcast. This is the replayable SEED: [[pqCodebookTrained]] runs
-    * Lloyd rounds on top of it; everything downstream is
-    * codebook-agnostic. */
-  def pqCodebook(emb: DataFrame, m: Int, dsub: Int, kCode: Int): DataFrame = {
+  /** Deterministic PQ codebook: the first `kCode` vectors (by vec_id,
+    * after skipping `skip`) donate their subvectors as centroids — one
+    * row per (subspace j, centroid c), cv = the dsub-dim slice. kCode·m
+    * rows total, always broadcast. This is the replayable SEED:
+    * [[pqCodebookTrained]] runs Lloyd rounds on top of it; everything
+    * downstream is codebook-agnostic. `skip` matters for RESIDUAL input
+    * ([[ivfPqSearch]]): the first nCells vectors are the coarse-centroid
+    * donors whose residuals are all-zero, and a codebook seeded from
+    * zero vectors is degenerate (every code identical) — skipping them
+    * seeds from the first vectors with real residual spread. */
+  def pqCodebook(emb: DataFrame, m: Int, dsub: Int, kCode: Int,
+                 skip: Int = 0): DataFrame = {
     // kCode rows — the single-partition window ranks a bounded frame
     val w = Window.orderBy(col("vec_id"))
-    emb.orderBy(col("vec_id")).limit(kCode)
+    emb.orderBy(col("vec_id")).offset(skip).limit(kCode)
       .withColumn("c", (row_number().over(w) - 1).cast("long"))
       .select(col("c"), explode(sequence(lit(0L), lit(m - 1L))).as("j"), col("embedding"))
       .select(col("j"), col("c"),
@@ -363,8 +368,8 @@ object Vectors {
     * frame is localCheckpoint-ed per round to cut plan growth. Empty
     * codes keep their previous centroid. */
   def pqCodebookTrained(emb: DataFrame, m: Int, dsub: Int, kCode: Int,
-                        iters: Int): DataFrame = {
-    var cb = pqCodebook(emb, m, dsub, kCode)
+                        iters: Int, skip: Int = 0): DataFrame = {
+    var cb = pqCodebook(emb, m, dsub, kCode, skip)
       .select(col("j"), col("c"),
         transform(col("cv"), x => x.cast("double")).as("cv"))
     for (_ <- 0 until iters) {
@@ -475,6 +480,106 @@ object Vectors {
     // denominator = the exact rows actually present per query (count(*)
     // over the left side), not lit(k): with fewer than k other vectors the
     // ground truth has < k rows and a perfect index must still score 1.0
+    exact.join(approx.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit")).as("hits"),
+        (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+  }
+
+  // ---- IVF-PQ (residual) index ----------------------------------------
+
+  /** Residual frame of an IVF-celled corpus: each vector minus its cell's
+    * centroid, element type double (ONE IEEE subtraction per element —
+    * identical in any engine). Output (vec_id, cellId, embedding) where
+    * `embedding` IS the residual, so the whole PQ toolchain
+    * ([[pqCodebook]] / [[pqCodebookTrained]] / [[pqCodes]]) runs on it
+    * unchanged. Quantizing residuals instead of raw vectors is what makes
+    * the coarse and fine quantizers compose: the PQ codebook only has to
+    * cover the within-cell spread, not the whole space. */
+  def ivfResiduals(emb: DataFrame, centroids: DataFrame): DataFrame =
+    withIvfCell(emb, centroids)
+      .join(broadcast(centroids), Seq("cellId"))
+      .select(col("vec_id"), col("cellId"),
+        zip_with(col("embedding"), col("cv"), (x, c) => x.cast("double") - c)
+          .as("embedding"))
+
+  /** IVF-PQ ADC probe against a PREBUILT index — the composed production
+    * shape (FAISS-style IVFADC): the corpus is `codes`
+    * (vec_id, cellId, j, code) = PQ codes of the cell RESIDUALS, plus the
+    * broadcast-sized `codebook` (residual subspace centroids) and coarse
+    * `centroids`. Per query: rank cells by exact cosine against the
+    * broadcast centroid frame, keep `nProbe`; compute the query's
+    * residual AGAINST EACH PROBED CELL (ADC tables must live in the same
+    * residual frame as the codes they score); build the
+    * nq·nProbe·m·kCode-row LUT and broadcast it; then ONE scan of the
+    * codes table joined on (cellId, j, code) with a partial-aggregated
+    * SUM. Distances are exact BIGINTs end-to-end. At scale, store the
+    * codes table partitioned/bucketed by cellId so a probe touches only
+    * the probed cells' buckets — cost scales with nProbe/nCells of the
+    * corpus, times m bytes per vector instead of 4·dims. */
+  def ivfPqProbe(codes: DataFrame, codebook: DataFrame, centroids: DataFrame,
+                 queries: DataFrame, dsub: Int, nProbe: Int, k: Int): DataFrame = {
+    val cn = centroids.withColumn("cnrm", centroidNorm(col("cv")))
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+      .crossJoin(broadcast(cn))
+      .withColumn("cellCos", dot(col("qv"), col("cv")) / (col("qn") * col("cnrm")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cellCos").desc, col("cellId"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("cellId"),
+        zip_with(col("qv"), col("cv"), (x, c) => x.cast("double") - c).as("qrv"))
+    val lut = probes.crossJoin(broadcast(codebook))
+      .select(col("qid"), col("cellId").as("pcell"), col("j").as("pj"),
+        col("c").as("pc"),
+        l2sq(slice(col("qrv"), col("j").cast("int") * dsub + 1, lit(dsub)),
+          col("cv")).as("qd2"))
+    val scored = codes
+      .join(broadcast(lut), col("cellId") === col("pcell") &&
+        col("j") === col("pj") && col("code") === col("pc"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2")).as("adcDist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adcDist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("adcDist"), col("rank"))
+  }
+
+  /** One-shot IVF-PQ search: train/seed the coarse quantizer, quantize
+    * the cell residuals, probe. `iters` trains the coarse k-means,
+    * `pqIters` the residual codebook (0 = deterministic seeds — the
+    * oracle-replayable baseline). [[ivfPqProbe]] is the serve path over a
+    * prebuilt index; this composes the build inline for the differential
+    * gate. */
+  def ivfPqSearch(emb: DataFrame, nCells: Int, nProbe: Int, queryPred: Column,
+                  k: Int, m: Int, dsub: Int, kCode: Int,
+                  iters: Int = 0, pqIters: Int = 0): DataFrame = {
+    val cent =
+      if (iters > 0) kmeansCentroids(emb, nCells, iters)
+      else seedCentroids(emb, nCells)
+    val resid = ivfResiduals(emb, cent)
+    val residEmb = resid.select(col("vec_id"), col("embedding"))
+    // seed the residual codebook PAST the coarse donors (see pqCodebook)
+    val cb =
+      if (pqIters > 0) pqCodebookTrained(residEmb, m, dsub, kCode, pqIters, skip = nCells)
+      else pqCodebook(residEmb, m, dsub, kCode, skip = nCells)
+    val codes = pqCodes(residEmb, cb, dsub)
+      .join(resid.select(col("vec_id"), col("cellId")), Seq("vec_id"))
+    ivfPqProbe(codes, cb, cent, emb.filter(queryPred), dsub, nProbe, k)
+  }
+
+  /** recall@k of the IVF-PQ index vs the exact full-vector L2 truth —
+    * the same accept dial as [[pqRecall]], now over the composed index
+    * (coarse pruning AND residual quantization both cost recall; this
+    * measures the two together). */
+  def ivfPqRecall(emb: DataFrame, nCells: Int, nProbe: Int, queryPred: Column,
+                  k: Int, m: Int, dsub: Int, kCode: Int,
+                  iters: Int = 0, pqIters: Int = 0): DataFrame = {
+    val approx = ivfPqSearch(emb, nCells, nProbe, queryPred, k, m, dsub, kCode,
+        iters, pqIters)
+      .select(col("qid"), col("nid"))
+    val exact = l2BruteTopK(emb, queryPred, k).select(col("qid"), col("nid"))
     exact.join(approx.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
       .agg(count(col("hit")).as("hits"),

@@ -347,6 +347,63 @@ object DataOpsQueries {
     (Seq(seed) ++ rounds :+ finalChain).mkString(",\n")
   }
 
+  /** IVF-PQ (residual) oracle chain: composes on [[ivfSql]]'s trained
+    * coarse quantizer (celled / cent / rk CTEs), quantizes the cell
+    * RESIDUALS with the deterministic seed codebook (first 4 vectors by
+    * id AFTER the 8 coarse donors — their residuals are all-zero and
+    * would make every code identical), and scores probed cells by ADC
+    * over the query's per-cell residual. Mirrors Vectors.ivfPqSearch
+    * (iters = coarse Lloyd rounds, pqIters = 0); ends with ivfadcRanked.
+    * Distances are BIGINTs throughout. */
+  private def ivfPqSql(iters: Int): String =
+    s"""${ivfSql(iters)},
+      |resid AS (
+      |  SELECT c.vec_id, c.cellId,
+      |    [CAST(e.embedding[i] AS DOUBLE) - ct.cv[i] FOR i IN range(1, 65)] AS rv
+      |  FROM celled c JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN cent$iters ct ON ct.cellId = c.cellId),
+      |rfirst AS (
+      |  SELECT rv, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c
+      |  FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 4 OFFSET 8) t),
+      |rcb AS (
+      |  SELECT c, j, [rv[j*8 + i] FOR i IN range(1, 9)] AS cv
+      |  FROM rfirst CROSS JOIN (SELECT UNNEST(range(0, 8)) AS j) u),
+      |rcd AS (
+      |  SELECT r.vec_id, r.cellId, b.j, b.c,
+      |    SUM(CAST(ROUND((r.rv[b.j*8+i] - b.cv[i]) * (r.rv[b.j*8+i] - b.cv[i])
+      |      * 1000000000000) AS BIGINT)) AS d2
+      |  FROM resid r CROSS JOIN rcb b
+      |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) ix
+      |  GROUP BY r.vec_id, r.cellId, b.j, b.c),
+      |rcodes AS (
+      |  SELECT vec_id, cellId, j, c AS code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+      |    FROM rcd) t WHERE rn = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS qid, cellId FROM rk$iters
+      |  WHERE rn <= 2 AND vec_id % 100 = 0),
+      |qresid AS (
+      |  SELECT p.qid, p.cellId,
+      |    [CAST(e.embedding[i] AS DOUBLE) - ct.cv[i] FOR i IN range(1, 65)] AS rv
+      |  FROM qprobe p JOIN embeddings e ON e.vec_id = p.qid
+      |  JOIN cent$iters ct ON ct.cellId = p.cellId),
+      |qlut AS (
+      |  SELECT q.qid, q.cellId, b.j, b.c,
+      |    SUM(CAST(ROUND((q.rv[b.j*8+i] - b.cv[i]) * (q.rv[b.j*8+i] - b.cv[i])
+      |      * 1000000000000) AS BIGINT)) AS qd2
+      |  FROM qresid q CROSS JOIN rcb b
+      |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) ix
+      |  GROUP BY q.qid, q.cellId, b.j, b.c),
+      |ivfadc AS (
+      |  SELECT l.qid, cd.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adcDist
+      |  FROM rcodes cd JOIN qlut l
+      |    ON l.cellId = cd.cellId AND l.j = cd.j AND l.c = cd.code
+      |  WHERE l.qid <> cd.vec_id
+      |  GROUP BY l.qid, cd.vec_id),
+      |ivfadcRanked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adcDist, vec_id) AS rank
+      |  FROM ivfadc)""".stripMargin
+
   /** Exact full-vector fixed-point L2² ground truth for the PQ recall
     * gate (ends with exRanked). */
   private val ExactL2Sql: String =
@@ -512,6 +569,22 @@ object DataOpsQueries {
     "sim6_pq_recall" -> { (s, dir) =>
       Vectors.pqRecall(Tables.embeddings(s, dir), m = 8, dsub = 8, kCode = 4,
           col("vec_id") % 100 === 0, k = 5, iters = 3)
+        .orderBy(col("qid"))
+    },
+    // composed IVF-PQ (FAISS-style IVFADC): Lloyd-trained coarse cells,
+    // PQ codes over the cell RESIDUALS, probed-cell-restricted ADC scan
+    "sim9_ivfpq_adc" -> { (s, dir) =>
+      Vectors.ivfPqSearch(Tables.embeddings(s, dir), nCells = 8, nProbe = 2,
+          col("vec_id") % 100 === 0, k = 5, m = 8, dsub = 8, kCode = 4,
+          iters = 3, pqIters = 0)
+        .orderBy(col("qid"), col("rank"))
+    },
+    // IVF-PQ quality gate: recall@5 vs exact L2 — coarse pruning and
+    // residual quantization measured together
+    "sim10_ivfpq_recall" -> { (s, dir) =>
+      Vectors.ivfPqRecall(Tables.embeddings(s, dir), nCells = 8, nProbe = 2,
+          col("vec_id") % 100 === 0, k = 5, m = 8, dsub = 8, kCode = 4,
+          iters = 3, pqIters = 0)
         .orderBy(col("qid"))
     },
     // language ID heuristic
@@ -1017,6 +1090,21 @@ object DataOpsQueries {
         |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall
         |FROM (SELECT qid, nid FROM exRanked WHERE rank <= 5) e
         |LEFT JOIN (SELECT qid, vec_id FROM adcRanked WHERE rank <= 5) a
+        |  ON a.qid = e.qid AND a.vec_id = e.nid
+        |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+    "sim9_ivfpq_adc" ->
+      s"""WITH $NormsSql,
+        |${ivfPqSql(3)}
+        |SELECT qid, vec_id AS nid, adcDist, rank FROM ivfadcRanked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "sim10_ivfpq_recall" ->
+      s"""WITH $NormsSql,
+        |${ivfPqSql(3)},
+        |$ExactL2Sql
+        |SELECT e.qid, COUNT(a.vec_id) AS hits,
+        |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall
+        |FROM (SELECT qid, nid FROM exRanked WHERE rank <= 5) e
+        |LEFT JOIN (SELECT qid, vec_id FROM ivfadcRanked WHERE rank <= 5) a
         |  ON a.qid = e.qid AND a.vec_id = e.nid
         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
     "t1_lang_id" ->

@@ -157,6 +157,31 @@ class DataOpsSpec extends SparkSpec {
     assert(found.head == Seq(11L, 1)) // the twin ranks first
   }
 
+  test("IVF-PQ: residuals live in the assigned cell's frame; twin ranks first") {
+    // ids 1,2 donate the coarse cells (their residuals are 0); the PQ
+    // codebook donors are the first post-skip ids 10,11 — distinct
+    // residuals, so the seed codebook isn't degenerate
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.2f, 0.0f)), (11L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (12L, Array(0.0f, 0.9f, 0.3f, 0.0f)), (13L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val cent = Vectors.seedCentroids(emb, 2)
+    val resid = rows(Vectors.ivfResiduals(emb, cent)
+      .select(col("vec_id"), col("cellId"), col("embedding")))
+      .map(r => r.head -> ((r(1), r(2)))).toMap
+    // identical vectors: same cell, identical residuals; centroid row 1
+    // has residual 0 against its own cell
+    assert(resid(11L) == resid(13L))
+    assert(resid(1L)._2.asInstanceOf[scala.collection.Seq[Double]].forall(_ == 0.0))
+    // twin search through the full composed index (seed quantizers):
+    // identical residual → identical codes → ADC distance 0 → rank 1
+    val found = rows(Vectors.ivfPqSearch(emb, nCells = 2, nProbe = 1,
+        col("vec_id") === 11L, k = 2, m = 2, dsub = 2, kCode = 2)
+      .select(col("nid"), col("rank"), col("adcDist")))
+    assert(found.head(0) == 13L && found.head(1) == 1 && found.head(2) == 0L)
+  }
+
   test("multimodal resize and frame sampling plumbing") {
     val media = Multimodal.asMedia(docs)
     val resized = Multimodal.resize(spark, media, w = 4, h = 2, partitions = 2).collect()

@@ -187,6 +187,33 @@ class ScaleSpec extends SparkSpec {
     assert(preBuilt == oneShot && preBuilt.nonEmpty)
   }
 
+  test("IVF-PQ probe over a prebuilt cellId-bucketed codes table equals one-shot") {
+    import graft.functions.Vectors
+    val emb = (0 until 48).map { i =>
+      val v = Array.fill(16)(0.2f * ((i * 5 + 2) % 6)); v(i % 8) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    // build once: trained coarse cells, residuals, seed residual codebook
+    // (donors skip the coarse seeds), codes stored bucketed by cellId —
+    // the layout where a probe touches only probed cells' buckets
+    val cents = Vectors.kmeansCentroids(emb, 4, 2)
+    val resid = Vectors.ivfResiduals(emb, cents)
+    val residEmb = resid.select(col("vec_id"), col("embedding"))
+    val cb = Vectors.pqCodebook(residEmb, m = 4, dsub = 4, kCode = 3, skip = 4)
+    Scale.writeBucketed(
+      Vectors.pqCodes(residEmb, cb, dsub = 4)
+        .join(resid.select(col("vec_id"), col("cellId")), Seq("vec_id")),
+      "graft_ivfpq_codes", "cellId", buckets = 4)
+    val queries = emb.filter(col("vec_id") % 12 === 0)
+    val preBuilt = Vectors.ivfPqProbe(spark.table("graft_ivfpq_codes"), cb, cents,
+        queries, dsub = 4, nProbe = 2, k = 3)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    val oneShot = Vectors.ivfPqSearch(emb, nCells = 4, nProbe = 2,
+        col("vec_id") % 12 === 0, k = 3, m = 4, dsub = 4, kCode = 3, iters = 2)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    assert(preBuilt == oneShot && preBuilt.nonEmpty)
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
