@@ -551,14 +551,22 @@ object Vectors {
     * `pqIters` the residual codebook (0 = deterministic seeds — the
     * oracle-replayable baseline). [[ivfPqProbe]] is the serve path over a
     * prebuilt index; this composes the build inline for the differential
-    * gate. */
+    * gate.
+    *
+    * `corpusPred` restricts which vectors train AND populate the index —
+    * the INCREMENTAL-ingest split: the standing corpus is indexed once,
+    * a new batch (queryPred, disjoint) only probes, O(batch) work against
+    * the standing structure, exactly like [[Dedup.incrementalExact]]'s
+    * additive shape. Default = the whole frame (self-search). */
   def ivfPqSearch(emb: DataFrame, nCells: Int, nProbe: Int, queryPred: Column,
                   k: Int, m: Int, dsub: Int, kCode: Int,
-                  iters: Int = 0, pqIters: Int = 0): DataFrame = {
+                  iters: Int = 0, pqIters: Int = 0,
+                  corpusPred: Column = lit(true)): DataFrame = {
+    val corpus = emb.filter(corpusPred)
     val cent =
-      if (iters > 0) kmeansCentroids(emb, nCells, iters)
-      else seedCentroids(emb, nCells)
-    val resid = ivfResiduals(emb, cent)
+      if (iters > 0) kmeansCentroids(corpus, nCells, iters)
+      else seedCentroids(corpus, nCells)
+    val resid = ivfResiduals(corpus, cent)
     val residEmb = resid.select(col("vec_id"), col("embedding"))
     // seed the residual codebook PAST the coarse donors (see pqCodebook)
     val cb =

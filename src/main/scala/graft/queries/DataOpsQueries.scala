@@ -174,25 +174,37 @@ object DataOpsQueries {
     * (Σ round(x·1e12) BIGINT, ONE double division per dim), empty cells
     * keeping their centroid. iters = 0 reproduces the untrained seed
     * quantizer. */
-  private def ivfSql(iters: Int): String = {
+  private def ivfSql(iters: Int, trainFilter: String = "TRUE",
+                     corpusFilter: String = "TRUE",
+                     queryFilter: String = "vec_id % 100 = 0"): String = {
+    // trainFilter restricts which vectors SEED and TRAIN the quantizer
+    // (and, via corpusFilter, which are indexed); queryFilter picks the
+    // probe set. Defaults reproduce the original whole-corpus chain
+    // byte-identically; the split is what expresses INCREMENTAL ingest
+    // (standing corpus trains + is indexed, the new batch only probes).
     val seed =
-      """cent0 AS (
+      s"""cent0 AS (
         |  SELECT vec_id AS cellId,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) t)""".stripMargin
+        |  FROM (SELECT * FROM embeddings WHERE $trainFilter
+        |        ORDER BY vec_id LIMIT 8) t)""".stripMargin
     def cn(t: Int) =
       s"""cn$t AS (
         |  SELECT cellId, cv,
         |    sqrt(CAST(SUM(CAST(ROUND(cv[i] * cv[i] * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12) AS cnrm
         |  FROM (SELECT cellId, cv, UNNEST(range(1, len(cv)+1)) AS i FROM cent$t) z
         |  GROUP BY cellId, cv)""".stripMargin
-    def ad(t: Int) =
+    // training-round assignments cover only trainFilter rows; the FINAL
+    // pass ranks every vector (corpus rows keep rn=1 for the index,
+    // query rows keep rn<=nProbe for the probe)
+    def ad(t: Int, where: String = "TRUE") =
       s"""ad$t AS (
         |  SELECT e.vec_id, c.cellId,
         |    CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * c.cv[i]
         |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
         |  FROM embeddings e CROSS JOIN cn$t c
         |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
+        |  WHERE $where
         |  GROUP BY e.vec_id, c.cellId)""".stripMargin
     def rk(t: Int) =
       s"""rk$t AS (
@@ -204,7 +216,7 @@ object DataOpsQueries {
     val rounds = (1 to iters).map { t =>
       val p = t - 1
       s"""${cn(p)},
-        |${ad(p)},
+        |${ad(p, trainFilter)},
         |${rk(p)},
         |asg$p AS (SELECT vec_id, cellId FROM rk$p WHERE rn = 1),
         |ms$p AS (
@@ -228,10 +240,11 @@ object DataOpsQueries {
       s"""${cn(f)},
         |${ad(f)},
         |${rk(f)},
-        |celled AS (SELECT vec_id, cellId FROM rk$f WHERE rn = 1),
+        |celled AS (SELECT vec_id, cellId FROM rk$f
+        |  WHERE rn = 1 AND $corpusFilter),
         |probes AS (
         |  SELECT vec_id AS qid, cellId FROM rk$f
-        |  WHERE rn <= 2 AND vec_id % 100 = 0),
+        |  WHERE rn <= 2 AND $queryFilter),
         |cand AS (
         |  SELECT p.qid, c.vec_id AS nid, c.cellId
         |  FROM probes p JOIN celled c ON c.cellId = p.cellId AND c.vec_id <> p.qid),
@@ -355,8 +368,10 @@ object DataOpsQueries {
     * over the query's per-cell residual. Mirrors Vectors.ivfPqSearch
     * (iters = coarse Lloyd rounds, pqIters = 0); ends with ivfadcRanked.
     * Distances are BIGINTs throughout. */
-  private def ivfPqSql(iters: Int): String =
-    s"""${ivfSql(iters)},
+  private def ivfPqSql(iters: Int, trainFilter: String = "TRUE",
+                       corpusFilter: String = "TRUE",
+                       queryFilter: String = "vec_id % 100 = 0"): String =
+    s"""${ivfSql(iters, trainFilter, corpusFilter, queryFilter)},
       |resid AS (
       |  SELECT c.vec_id, c.cellId,
       |    [CAST(e.embedding[i] AS DOUBLE) - ct.cv[i] FOR i IN range(1, 65)] AS rv
@@ -381,7 +396,7 @@ object DataOpsQueries {
       |    FROM rcd) t WHERE rn = 1),
       |qprobe AS (
       |  SELECT vec_id AS qid, cellId FROM rk$iters
-      |  WHERE rn <= 2 AND vec_id % 100 = 0),
+      |  WHERE rn <= 2 AND $queryFilter),
       |qresid AS (
       |  SELECT p.qid, p.cellId,
       |    [CAST(e.embedding[i] AS DOUBLE) - ct.cv[i] FOR i IN range(1, 65)] AS rv
@@ -586,6 +601,16 @@ object DataOpsQueries {
           col("vec_id") % 100 === 0, k = 5, m = 8, dsub = 8, kCode = 4,
           iters = 3, pqIters = 0)
         .orderBy(col("qid"))
+    },
+    // incremental ANN ingest: the standing corpus (6/7 of vectors) trains
+    // and populates the IVF-PQ index ONCE; the new batch (vec_id % 7 = 3)
+    // only probes — each batch vector's top-3 standing neighbors, O(batch)
+    // work against the standing structure (the vector-side twin of d8/d10)
+    "sim11_ivfpq_ingest" -> { (s, dir) =>
+      Vectors.ivfPqSearch(Tables.embeddings(s, dir), nCells = 8, nProbe = 2,
+          col("vec_id") % 7 === 3, k = 3, m = 8, dsub = 8, kCode = 4,
+          iters = 2, pqIters = 0, corpusPred = col("vec_id") % 7 =!= 3)
+        .orderBy(col("qid"), col("rank"))
     },
     // language ID heuristic
     "t1_lang_id" -> { (s, dir) =>
@@ -1107,6 +1132,13 @@ object DataOpsQueries {
         |LEFT JOIN (SELECT qid, vec_id FROM ivfadcRanked WHERE rank <= 5) a
         |  ON a.qid = e.qid AND a.vec_id = e.nid
         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+    "sim11_ivfpq_ingest" ->
+      s"""WITH $NormsSql,
+        |${ivfPqSql(2, trainFilter = "vec_id % 7 <> 3",
+                    corpusFilter = "vec_id % 7 <> 3",
+                    queryFilter = "vec_id % 7 = 3")}
+        |SELECT qid, vec_id AS nid, adcDist, rank FROM ivfadcRanked
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "t1_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
