@@ -121,6 +121,29 @@ object Changefeed {
       }
       .start()
 
+  /** Streaming ANN ingest: the streaming twin of
+    * [[graft.functions.Vectors.ivfPqSearch]]'s incremental split
+    * (sim11). Each micro-batch of arriving vectors probes the STANDING
+    * IVF-PQ index — prebuilt codes table + broadcast-sized codebook and
+    * centroid frames, all static — so per batch the work is the batch's
+    * own cell ranking + residual LUT + one codes-table scan, O(batch)
+    * against the standing structure with no streaming state at all.
+    * `sink` receives each batch's (qid, nid, adcDist, rank) — the
+    * caller's near-dup gate / index-append hook (appending the batch's
+    * own codes to the index is the same [[Vectors.pqCodes]] call the
+    * batch path uses). */
+  def streamingAnnIngest(vectors: DataFrame, codes: DataFrame,
+                         codebook: DataFrame, centroids: DataFrame,
+                         dsub: Int, nProbe: Int, k: Int,
+                         sink: (DataFrame, Long) => Unit): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val out = graft.functions.Vectors.ivfPqProbe(
+          codes, codebook, centroids, batch.toDF(), dsub, nProbe, k)
+        sink(out, batchId)
+      }
+      .start()
+
   /** D2 fault model (A/distributed/editlogger/DistributedEditLogger.java):
     * the reference's async edit appliers carry a pause gate
     * (pauseApply/resumeApply :151-161 — apply() blocks on the flag :90),

@@ -201,4 +201,43 @@ class StreamingSpec extends SparkSpec {
       assert(acc(10L) == (("near_dup", 1L)) && acc(11L)._1 == "unique")
     } finally q.stop()
   }
+
+  test("streamed ANN ingest probes the standing IVF-PQ index per batch") {
+    import graft.functions.Vectors
+    implicit val sqlCtx = spark.sqlContext
+    // standing index built once from the static corpus
+    val standing = (0 until 24).map { i =>
+      val v = Array.fill(8)(0.25f * ((i * 3 + 1) % 5)); v(i % 4) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Vectors.kmeansCentroids(standing, 2, 1)
+    val resid = Vectors.ivfResiduals(standing, cents)
+    val residEmb = resid.select(col("vec_id"), col("embedding"))
+    val cb = Vectors.pqCodebook(residEmb, m = 2, dsub = 4, kCode = 2, skip = 2)
+    val codes = Vectors.pqCodes(residEmb, cb, dsub = 4)
+      .join(resid.select(col("vec_id"), col("cellId")), Seq("vec_id"))
+      .cache()
+    // arriving batch: twins of standing vectors 5 and 9, plus a fresh one
+    val arrivals = Seq(
+      (105L, { val v = Array.fill(8)(0.25f * ((5 * 3 + 1) % 5)); v(1) = 1.0f; v }),
+      (109L, { val v = Array.fill(8)(0.25f * ((9 * 3 + 1) % 5)); v(1) = 1.0f; v }),
+      (110L, Array.fill(8)(0.9f)),
+    )
+    val mem = MemoryStream[(Long, Array[Float])]
+    val acc = scala.collection.concurrent.TrieMap[(Long, Int), Long]()
+    val q = Changefeed.streamingAnnIngest(
+      mem.toDF().toDF("vec_id", "embedding"), codes, cb, cents,
+      dsub = 4, nProbe = 1, k = 2,
+      (out, _) => out.collect().foreach(r =>
+        acc((r.getLong(0), r.getInt(3))) = r.getLong(1)))
+    try {
+      mem.addData(arrivals: _*)
+      q.processAllAvailable()
+      // parity with the batch probe on the same arrivals
+      val expect = Vectors.ivfPqProbe(codes, cb, cents,
+          arrivals.toDF("vec_id", "embedding"), dsub = 4, nProbe = 1, k = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      assert(acc.toMap == expect && acc.nonEmpty)
+    } finally q.stop()
+  }
 }
