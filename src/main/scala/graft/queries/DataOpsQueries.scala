@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{Dedup, TextFunctions, Vectors}
+import graft.functions.{Dedup, Shuffles, TextFunctions, Vectors}
 import graft.model.DerivedState
 
 /** queries()+oracleSql() for the training-data-pipeline operators:
@@ -924,6 +924,16 @@ object DataOpsQueries {
           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("lang"))
     },
+    // deterministic corpus shuffle: a replayable global permutation with
+    // NO global sort — md5-hash shard assignment + shard-local rank
+    // (the pre-packing shuffle every training pipeline runs; a new salt
+    // is a fresh epoch permutation)
+    "t12_shard_shuffle" -> { (s, dir) =>
+      Shuffles.shardShuffle(Tables.documents(s, dir).select(col("doc_id")),
+          "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -1459,5 +1469,24 @@ object DataOpsQueries {
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
         |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "t12_shard_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'epoch0') AS hx
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id,
+        |    CAST(strpos('0123456789abcdef', hx[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', hx[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', hx[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', hx[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', hx[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', hx[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
+        |  FROM h)
+        |SELECT doc_id, hkey % 8 AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
   )
 }

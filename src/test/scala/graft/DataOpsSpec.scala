@@ -182,6 +182,29 @@ class DataOpsSpec extends SparkSpec {
     assert(found.head(0) == 13L && found.head(1) == 1 && found.head(2) == 0L)
   }
 
+  test("shard shuffle: total replayable permutation, new salt reorders") {
+    import graft.functions.Shuffles
+    val ids = (1L to 200L).toDF("doc_id")
+    val out = rows(Shuffles.shardShuffle(ids, "doc_id", nShards = 4)
+      .select(col("doc_id"), col("shard"), col("pos")))
+    // a permutation: every (shard, pos) unique, pos contiguous from 1
+    assert(out.size == 200)
+    assert(out.map(r => (r(1), r(2))).distinct.size == 200)
+    val byShard = out.groupBy(_(1)).view.mapValues(_.map(_(2).asInstanceOf[Long]).sorted)
+    assert(byShard.values.forall(ps => ps == (1L to ps.size)))
+    // replayable: same salt → same assignment; new salt → different order
+    val again = rows(Shuffles.shardShuffle(ids, "doc_id", nShards = 4)
+      .select(col("doc_id"), col("shard"), col("pos")))
+    assert(again == out)
+    val epoch1 = rows(Shuffles.shardShuffle(ids, "doc_id", nShards = 4, salt = "epoch1")
+      .select(col("doc_id"), col("shard"), col("pos")))
+    assert(epoch1 != out)
+    // shuffled, not id-ordered: within a shard, doc_id is not monotone
+    val idsInOrder = out.sortBy(r => (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+      .groupBy(_(1)).values.map(_.map(_.head.asInstanceOf[Long]))
+    assert(idsInOrder.exists(seq => seq != seq.sorted))
+  }
+
   test("multimodal resize and frame sampling plumbing") {
     val media = Multimodal.asMedia(docs)
     val resized = Multimodal.resize(spark, media, w = 4, h = 2, partitions = 2).collect()
