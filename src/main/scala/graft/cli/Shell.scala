@@ -1,7 +1,6 @@
 package graft.cli
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Dataflows
@@ -128,17 +127,29 @@ object Shell {
           .filter(col("reject").isNotNull).select(col("reject")).collect()
         require(rejects.isEmpty, s"$verb $path refused: ${rejects.head.getString(0)}")
         val idBase = file.agg(max(col("id"))).collect()(0).getLong(0)
-        Mutations.mkdirs(file, req, idBase = idBase, nowMs = Now,
+        // localCheckpoint: execute the write-set plan ONCE, then both the
+        // drift guard below and the caller's consumption read the
+        // materialized rows (mkdirs re-validates internally; if its rules
+        // ever drift ahead of the pre-check above, fail loud, not empty)
+        val ws = Mutations.mkdirs(file, req, idBase = idBase, nowMs = Now,
             leafLength = if (verb == "mkdir") -1L else 0L)
           .orderBy(col("writeOp"), col("id"))
+          .localCheckpoint()
+        require(ws.filter(col("writeOp") === "insert").limit(1).count() > 0,
+          s"$verb $path refused by mkdirs validation")
+        ws
       case "mv" =>
         require(args.size >= 2, "usage: mv <src> <dstPath>")
         val id = resolve(path)
         val (dstParent, newName) = splitPath(args(1))
+        // localCheckpoint: rename's plan embeds a whole-namespace path
+        // build (cycle guard) — execute it once, not once for the
+        // refusal check and again for the caller
         val out = Mutations.rename(file,
             Seq((id, resolve(dstParent), newName)).toDF("id", "newParentId", "newName"),
             nowMs = Now)
           .orderBy(col("writeOp"), col("id"))
+          .localCheckpoint()
         // rename drops rejected rows from the write-set — surface the
         // refusal (target exists / under own subtree / ...) loudly
         require(out.filter(col("writeOp") === "move").limit(1).count() > 0,
@@ -156,6 +167,10 @@ object Shell {
       case "setrep" =>
         require(args.size >= 2, "usage: setrep <path> <replication>")
         val id = resolve(path)
+        // replication is a FILE attribute (dirs have length = -1)
+        require(file.filter(col("id") === id && col("version") > 0 &&
+            col("length") >= 0L).limit(1).count() > 0,
+          s"setrep: not a live file: $path")
         Mutations.setAttrs(file, col("id") === id && col("version") > 0,
             Map("replication" -> StateStore.Assign(args(1).toLong)), nowMs = Now)
           .filter(col("id") === id)

@@ -354,8 +354,19 @@ object Dedup {
     * is the same skew valve. */
   def incrementalLsh(existing: DataFrame, batch: DataFrame, idCol: String,
                      textCol: String, k: Int = 8, minEst: Double = 0.5,
-                     maxBucket: Int = Int.MaxValue): DataFrame = {
-    val exSig = withBands(minhashSignatures(existing, idCol, textCol, k), k)
+                     maxBucket: Int = Int.MaxValue): DataFrame =
+    incrementalLshAgainst(withBands(minhashSignatures(existing, idCol, textCol, k), k),
+      batch, idCol, textCol, k, minEst, maxBucket)
+
+  /** [[incrementalLsh]] against a PREBUILT banded signature frame — the
+    * production/streaming shape: the standing corpus's signatures are
+    * computed (and stored, or persisted) ONCE, and each batch pays only
+    * its own signature map work + the band join. `exSig` is
+    * [[withBands]]([[minhashSignatures]](existing)) — (idCol, m0..m(k−1),
+    * band0..band(k/2−1)). */
+  def incrementalLshAgainst(exSig: DataFrame, batch: DataFrame, idCol: String,
+                            textCol: String, k: Int = 8, minEst: Double = 0.5,
+                            maxBucket: Int = Int.MaxValue): DataFrame = {
     val bSig = withBands(minhashSignatures(batch, idCol, textCol, k), k)
     val bandArr = array((0 until k / 2).map(b => col(s"band$b")): _*)
     val exMelt = capBuckets(exSig.select(col(idCol).as("exId"),

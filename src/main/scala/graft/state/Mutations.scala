@@ -121,12 +121,14 @@ object Mutations {
     // ancestry guard via the S2 path builder: moving a dir under its own
     // subtree creates a parent CYCLE (the subtree silently vanishes from
     // every root-down walk). One join per side beats a per-level loop:
-    // target-under-source ⟺ target path extends source path.
+    // target-under-source ⟺ target path extends source path. A node the
+    // path builder could not reach (deeper than its maxDepth) has a null
+    // path and is REFUSED rather than waved through unverified.
     val paths = StateManager.materializePaths(file)
       .select(col("id").as("__pathId"), col("path").as("__path"))
     val srcPaths = paths.select(col("__pathId").as("__sid"), col("__path").as("__srcPath"))
     val dstPaths = paths.select(col("__pathId").as("__did"), col("__path").as("__dstPath"))
-    val validated = renames
+    val baseValidated = renames
       .join(cur, col("id") === col("__id"), "inner")
       .join(parents, col("newParentId") === col("__tp"), "left")
       .join(taken, col("newParentId") === col("__cp") && col("newName") === col("__cn"), "left")
@@ -138,8 +140,29 @@ object Mutations {
           .when(col("__tp").isNull, "target parent not found")
           .when(col("__tplen") =!= -1L, "target parent not a directory")
           .when(col("__cn").isNotNull, "target exists")
+          .when(col("__srcPath").isNull || col("__dstPath").isNull,
+            "path unresolved (deeper than maxDepth) - cannot verify ancestry")
           .when(col("__dstPath").startsWith(concat(col("__srcPath"), lit("/"))),
             "cannot move under own subtree"))
+    // per-row checks see PRE-rename paths only, so a batch can still
+    // compose a cycle out of individually-valid moves (A under B's
+    // subtree while B moves under A's). Conservatively refuse any row
+    // whose destination is, or lies under, ANOTHER base-valid renamed
+    // node: once that node moves, the destination's final location is
+    // defined by this same batch — entangled batches must be split.
+    val movers = baseValidated.filter(col("reject").isNull)
+      .select(col("id").as("__mvid"), col("__srcPath").as("__mvpath"))
+    val entangled = baseValidated
+      .select(col("id").as("__eid"), col("__dstPath").as("__edst"))
+      .join(broadcast(movers), col("__mvid") =!= col("__eid") &&
+        (col("__edst") === col("__mvpath") ||
+         col("__edst").startsWith(concat(col("__mvpath"), lit("/")))))
+      .select(col("__eid")).distinct()
+    val validated = baseValidated
+      .join(entangled, col("id") === col("__eid"), "left")
+      .withColumn("reject", coalesce(col("reject"),
+        when(col("__eid").isNotNull,
+          "batch-entangled: destination inside another renamed subtree")))
     val ok = validated.filter(col("reject").isNull)
     val moved = f.join(ok.select(col("id").as("__mid"), col("newParentId"),
         col("newName"), col("__oldP")), col("id") === col("__mid"), "inner")

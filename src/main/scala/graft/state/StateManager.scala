@@ -250,14 +250,23 @@ object StateManager {
       lvl += 1
     }
     if (n > 0) {
-      // a silent cut here would hand callers (recursiveDelete!) a partial
-      // subtree — tombstoning it would orphan the levels below. Refuse
-      // instead, like dupClusters on non-convergence.
-      persisted.foreach(_.unpersist(blocking = false))
-      throw new IllegalStateException(
-        s"descendants exceeded maxDepth=$maxDepth with a non-empty frontier - " +
-        "the subtree is deeper; raise maxDepth (a truncated result would " +
-        "silently orphan the deeper levels)")
+      // the loop stopped on the depth cap with a live frontier. That is
+      // only a problem if the frontier has CHILDREN — a subtree whose
+      // deepest level sits exactly at maxDepth is complete. Probe one
+      // level (limit 1: any child at all) before deciding; a silent cut
+      // would hand callers (recursiveDelete!) a partial subtree and
+      // tombstoning it would orphan the levels below, so refuse instead,
+      // like dupClusters on non-convergence.
+      val deeper = f.join(broadcast(frontier.select(col("id").as("__pid"))),
+          col("parentId") === col("__pid"))
+        .filter(col("id") =!= 0L).limit(1).count()
+      if (deeper > 0) {
+        persisted.foreach(_.unpersist(blocking = false))
+        throw new IllegalStateException(
+          s"descendants exceeded maxDepth=$maxDepth with an unfinished frontier - " +
+          "the subtree is deeper; raise maxDepth (a truncated result would " +
+          "silently orphan the deeper levels)")
+      }
     }
     val res =
       if (out == null) { persisted.foreach(_.unpersist(blocking = false)); self.limit(0) }

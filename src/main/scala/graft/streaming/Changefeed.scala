@@ -101,25 +101,32 @@ object Changefeed {
       .dropDuplicatesWithinWatermark(idCol)
 
   /** Streaming NEAR-dup classification: the streaming twin of
-    * [[graft.functions.Dedup.incrementalLsh]]. Each micro-batch of the
-    * docs stream is classified against the STATIC standing-corpus frame
+    * [[graft.functions.Dedup.incrementalLsh]]. The standing corpus's
+    * banded signature frame is computed ONCE, up front, and persisted
     * (in production: the maintained banded signature table, reloaded per
-    * restart) — a stream-static join shape, so state never grows with the
-    * stream: Structured Streaming plans the static side once and each
-    * batch pays only its own signature map work + the band join. The
+    * restart) — foreachBatch re-executes the static side's plan every
+    * micro-batch, so handing it the raw corpus would re-tokenize and
+    * re-minhash the whole standing corpus per batch. With the persisted
+    * signature frame, each batch pays only its own signature map work +
+    * the band join, and state never grows with the stream. The
     * classified rows land in `sink` per batch (the caller's parquet
     * append / index-maintenance hook). */
   def streamingIncrementalLsh(docs: DataFrame, existing: DataFrame,
                               idCol: String, textCol: String,
                               sink: (DataFrame, Long) => Unit,
-                              minEst: Double = 0.5): StreamingQuery =
+                              minEst: Double = 0.5): StreamingQuery = {
+    import graft.functions.Dedup
+    val exSig = Dedup.withBands(Dedup.minhashSignatures(existing, idCol, textCol))
+      .persist()
+    exSig.count() // materialize before the first batch arrives
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val out = graft.functions.Dedup.incrementalLsh(
-          existing, batch.toDF(), idCol, textCol, minEst = minEst)
+        val out = Dedup.incrementalLshAgainst(
+          exSig, batch.toDF(), idCol, textCol, minEst = minEst)
         sink(out, batchId)
       }
       .start()
+  }
 
   /** Streaming ANN ingest: the streaming twin of
     * [[graft.functions.Vectors.ivfPqSearch]]'s incremental split

@@ -58,13 +58,30 @@ class MutationsSpec extends SparkSpec {
 
   test("R12 rename: moving a dir under its own subtree is refused") {
     // /a under /a/b would orphan the whole subtree behind a parent cycle;
-    // a legal sibling move in the same batch must still go through
+    // a legal sibling move in the same batch must still go through (the
+    // cycle row fails BASE validation, so it does not entangle the other)
     val renames = Seq((1L, 2L, "a2"), (3L, 1L, "f1up"))
       .toDF("id", "newParentId", "newName")
     val out = Mutations.rename(file, renames, nowMs = 888L)
     val moved = rows(out.filter(col("writeOp") === "move")
       .select(col("id"), col("parentId"), col("name")))
     assert(moved == Seq(Seq(3L, 1L, "f1up"))) // cycle move rejected, legal one kept
+  }
+
+  test("R12 rename: a batch-entangled swap is refused whole") {
+    // /a/b -> under /a/empty while /a/empty -> under /a/b: each row is
+    // valid against PRE-rename paths, but applying both composes a
+    // parent 2-cycle detached from /a — both must be refused
+    val renames = Seq((2L, 5L, "b2"), (5L, 2L, "e2"))
+      .toDF("id", "newParentId", "newName")
+    val out = Mutations.rename(file, renames, nowMs = 888L)
+    assert(rows(out.filter(col("writeOp") === "move")).isEmpty)
+    // and independently-targeted rows in the same batch still move
+    val mixed = Seq((2L, 5L, "b2"), (5L, 2L, "e2"), (3L, 1L, "f1up"))
+      .toDF("id", "newParentId", "newName")
+    val kept = rows(Mutations.rename(file, mixed, nowMs = 888L)
+      .filter(col("writeOp") === "move").select(col("id")))
+    assert(kept == Seq(Seq(3L)))
   }
 
   test("R13 delete: refuses root and non-empty dir, tombstones the rest") {

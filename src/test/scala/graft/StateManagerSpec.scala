@@ -83,7 +83,9 @@ class StateManagerSpec extends SparkSpec {
       StateManager.descendants(file, Seq(1L), maxDepth = 1).collect()
     }
     assert(e.getMessage.contains("maxDepth"))
-    assert(rows(StateManager.descendants(file, Seq(1L), maxDepth = 3))
+    // a subtree whose deepest level sits EXACTLY at maxDepth is complete:
+    // the depth-2 frontier {3,4,6} has no children, so no refusal
+    assert(rows(StateManager.descendants(file, Seq(1L), maxDepth = 2))
       .map(_.head).toSet == Set(2L, 5L, 3L, 4L, 6L))
   }
 
