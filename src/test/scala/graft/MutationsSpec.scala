@@ -84,6 +84,18 @@ class MutationsSpec extends SparkSpec {
     assert(kept == Seq(Seq(3L)))
   }
 
+  test("R12 rename: guard fast path matches the iterative fallback") {
+    // every guard case at once: cycle, entangled swap, legal file move;
+    // dirBroadcastLimit = 0 forces the per-level walk on the same input
+    val mixed = Seq((1L, 2L, "a2"), (2L, 5L, "b2"), (5L, 2L, "e2"), (3L, 1L, "f1up"))
+      .toDF("id", "newParentId", "newName")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select(col("writeOp"), col("id"), col("parentId"), col("name")))
+        .sortBy(_.toString)
+    assert(canon(Mutations.rename(file, mixed, nowMs = 9L)) ==
+      canon(Mutations.rename(file, mixed, nowMs = 9L, dirBroadcastLimit = 0L)))
+  }
+
   test("R13 delete: refuses root and non-empty dir, tombstones the rest") {
     val out = rows(Mutations.guardedDelete(file, Seq(0L, 1L, 5L, 3L).toDF("id"))
       .select(col("id"), col("version"), col("reject")))
