@@ -66,6 +66,51 @@ object Dedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
     ngramRows(df, idCol, textCol, 3)
 
+  /** Content-defined chunking (CDC) sub-document dedup: split each doc's
+    * token stream at content-defined boundaries — a boundary falls AFTER
+    * token t whenever the first hex digit of md5(t) is among the lowest
+    * `boundaryHexDigits` (p = digits/16, mean chunk ≈ 16/digits tokens) —
+    * hash each chunk, and count per doc how many of its chunks also
+    * appear in ANOTHER doc. Because boundaries depend only on local
+    * content, identical passages chunk identically wherever they sit
+    * (shift-resistant, the CDC property rolling-hash dedup relies on),
+    * so shared boilerplate/quotations surface even when whole-doc and
+    * near-dup dedup both miss them. Returns one row per INPUT doc:
+    * (idCol, nChunks, nSharedChunks) — zero-token docs report 0/0.
+    *
+    * Scale shape: the chunk-id assignment is a per-DOC running count
+    * (window partitioned by doc id — bounded by doc length, never a
+    * global sort); chunk texts aggregate with map-side partials; the only
+    * corpus-wide shuffle is the narrow (chunkHash → distinct-doc count)
+    * group-by. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                boundaryHexDigits: Int = 2): DataFrame = {
+    val tok = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("i", "token")))
+    val isB = when(instr(lit("0123456789abcdef"),
+      substring(md5(col("token")), 1, 1)) <= boundaryHexDigits, 1L).otherwise(0L)
+    // chunkId = boundaries among STRICTLY PRIOR tokens of the same doc
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok.withColumn("b", isB)
+      .withColumn("chunkId", coalesce(sum(col("b")).over(wPrev), lit(0L)))
+      .groupBy(col(idCol), col("chunkId"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("token")))),
+        s => s.getField("token")), " ")).as("chunkHash"))
+    val docsPerChunk = chunks.groupBy(col("chunkHash"))
+      .agg(countDistinct(col(idCol)).as("__nDocs"))
+    val perDoc = chunks.join(docsPerChunk, Seq("chunkHash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nChunks"),
+        sum(when(col("__nDocs") > 1, 1L).otherwise(0L)).as("__nShared"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nChunks"), lit(0L)).as("nChunks"),
+        coalesce(col("__nShared"), lit(0L)).as("nSharedChunks"))
+  }
+
   /** MinHash signatures: k md5-seeded min-hashes per doc, as columns
     * m0..m{k-1}. Input df must have (idCol, textCol). The k hashes are k
     * MIN aggregates over the shingle rows — partial (map-side) aggregation

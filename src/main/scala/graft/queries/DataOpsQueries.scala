@@ -924,6 +924,13 @@ object DataOpsQueries {
           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("lang"))
     },
+    // content-defined chunking sub-document dedup: boundaries from the
+    // token content itself (shift-resistant), chunk hashes deduped across
+    // docs — catches shared passages whole-doc/near-dup dedup both miss
+    "d11_cdc_chunks" -> { (s, dir) =>
+      Dedup.cdcChunks(corpus(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // deterministic corpus shuffle: a replayable global permutation with
     // NO global sort — md5-hash shard assignment + shard-local rank
     // (the pre-packing shuffle every training pipeline runs; a new salt
@@ -1469,6 +1476,41 @@ object DataOpsQueries {
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
         |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "d11_cdc_chunks" ->
+      s"""WITH $CorpusSql,
+        |words AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM corpus),
+        |tok AS (
+        |  SELECT doc_id, i, w[i] AS token
+        |  FROM (SELECT doc_id, w, UNNEST(range(1, len(w)+1)) AS i FROM words) t),
+        |tb AS (
+        |  SELECT doc_id, i, token,
+        |    CASE WHEN strpos('0123456789abcdef', substr(md5(token), 1, 1)) <= 2
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM tok),
+        |tc AS (
+        |  SELECT doc_id, i, token,
+        |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunkId
+        |  FROM tb),
+        |chunks AS (
+        |  SELECT doc_id, chunkId,
+        |    md5(array_to_string(list(token ORDER BY i), ' ')) AS chunkHash
+        |  FROM tc GROUP BY doc_id, chunkId),
+        |dpc AS (
+        |  SELECT chunkHash, COUNT(DISTINCT doc_id) AS nDocs
+        |  FROM chunks GROUP BY chunkHash),
+        |perDoc AS (
+        |  SELECT c.doc_id, COUNT(*) AS nChunks,
+        |    SUM(CASE WHEN d.nDocs > 1 THEN 1 ELSE 0 END) AS nShared
+        |  FROM chunks c JOIN dpc d ON d.chunkHash = c.chunkHash
+        |  GROUP BY c.doc_id)
+        |SELECT x.doc_id,
+        |  CAST(COALESCE(p.nChunks, 0) AS BIGINT) AS nChunks,
+        |  CAST(COALESCE(p.nShared, 0) AS BIGINT) AS nSharedChunks
+        |FROM corpus x LEFT JOIN perDoc p ON p.doc_id = x.doc_id
+        |ORDER BY x.doc_id""".stripMargin,
     "t12_shard_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'epoch0') AS hx

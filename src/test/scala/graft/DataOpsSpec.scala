@@ -182,6 +182,28 @@ class DataOpsSpec extends SparkSpec {
     assert(found.head(0) == 13L && found.head(1) == 1 && found.head(2) == 0L)
   }
 
+  test("CDC chunks: shift-resistant sub-document dedup") {
+    import graft.functions.Dedup
+    val passage = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, passage),
+      (2L, "totally unrelated opening words first then " + passage), // shifted
+      (3L, "nothing in common with anything else here at all"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.cdcChunks(docs, "doc_id", "text")
+      .select(col("doc_id"), col("nChunks"), col("nSharedChunks")))
+      .map(r => r.head -> ((r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))).toMap
+    // the shared passage chunks identically despite doc 2's prefix shift:
+    // every interior chunk of doc 1 appears in doc 2 (only the chunk cut
+    // at the splice point may differ)
+    assert(out(1L)._2 >= out(1L)._1 - 1 && out(1L)._2 > 0,
+      s"shift-resistance: ${out(1L)}")
+    assert(out(2L)._2 > 0)
+    assert(out(3L) == ((out(3L)._1, 0L)) && out(3L)._1 > 0) // nothing shared
+    assert(out(4L) == ((0L, 0L)))                           // empty doc
+  }
+
   test("shard shuffle: total replayable permutation, new salt reorders") {
     import graft.functions.Shuffles
     val ids = (1L to 200L).toDF("doc_id")
