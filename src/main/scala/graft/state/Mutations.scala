@@ -111,27 +111,30 @@ object Mutations {
     * target parent exists and is a dir, no target collision. Returns the
     * moved rows (new parentId/name, negated-then-bumped? no — same id,
     * version bumped by `versionBump`) plus mtime touches of BOTH parents. */
-  /** Driver-side ancestor chains over the collected dir tree: for every
-    * live dir, the (dirId, ancestorId) pairs of its root-ward chain
-    * INCLUDING itself (root excluded); dirs whose chain never reaches the
-    * root (detached, or a corrupt parent cycle) land in the unresolved
-    * list instead — ancestry the guard cannot verify is refused, never
-    * waved through. */
-  private def dirAncestors(children: Map[Long, Seq[(Long, String)]])
+  /** Driver-side ancestor chains over the collected dir tree, for the
+    * requested `anchors` ONLY (the batch's destination dirs — walking
+    * every live dir would build O(#dirs × depth) pairs on the driver for
+    * a batch that moves a handful): the (anchorId, ancestorId) pairs of
+    * each anchor's root-ward chain INCLUDING itself (root excluded).
+    * Chains that do not reach the root within `maxDepth` steps (deeper
+    * tree, detached ancestor, corrupt parent cycle) land in the
+    * unresolved list instead — ancestry the guard cannot verify is
+    * refused, never waved through; the same cap governs the iterative
+    * fallback, so both routes validate identically. */
+  private def dirAncestors(children: Map[Long, Seq[(Long, String)]],
+                           anchors: Iterable[Long], maxDepth: Int)
       : (Seq[(Long, Long)], Seq[Long]) = {
     val parentOf = new scala.collection.mutable.LongMap[Long]()
     children.foreach { case (p, cs) => cs.foreach { case (c, _) => parentOf(c) = p } }
     val pairs = Seq.newBuilder[(Long, Long)]
     val unresolved = Seq.newBuilder[Long]
-    val cap = parentOf.size + 1
-    parentOf.keys.foreach { d =>
+    anchors.foreach { d =>
       var cur = d
       var steps = 0
       val chain = Seq.newBuilder[(Long, Long)]
-      while (cur != 0L && steps <= cap) {
+      while (cur > 0L && steps < maxDepth) {
         chain += ((d, cur))
-        cur = parentOf.getOrElse(cur, -1L)
-        if (cur == -1L) steps = cap + 1 // detached: parent not a live dir
+        cur = parentOf.getOrElse(cur, -1L) // -1: parent not a live dir
         steps += 1
       }
       if (cur == 0L) pairs ++= chain.result() else unresolved += d
@@ -149,7 +152,17 @@ object Mutations {
       col("name").as("__oldN"), col("length").as("__oldLen"))
     val parents = f.select(col("id").as("__tp"), col("length").as("__tplen"))
     val taken = f.select(col("parentId").as("__cp"), col("name").as("__cn"))
+    // intra-batch dedup (the serial reference applies one at a time, so
+    // the second of two same-target renames would hit "target exists" —
+    // mirror that deterministically): one rename per id, one id per
+    // (parent, name) target, ranked by id like startFile's dup ranking
+    val wDupTarget = Window.partitionBy(col("newParentId"), col("newName"))
+      .orderBy(col("id"))
+    val wDupId = Window.partitionBy(col("id"))
+      .orderBy(col("newParentId"), col("newName"))
     val baseValidated = renames
+      .withColumn("__dupT", row_number().over(wDupTarget))
+      .withColumn("__dupI", row_number().over(wDupId))
       .join(cur, col("id") === col("__id"), "inner")
       .join(parents, col("newParentId") === col("__tp"), "left")
       .join(taken, col("newParentId") === col("__cp") && col("newName") === col("__cn"), "left")
@@ -158,7 +171,9 @@ object Mutations {
           .when(col("newParentId") === col("id"), "parent is self")
           .when(col("__tp").isNull, "target parent not found")
           .when(col("__tplen") =!= -1L, "target parent not a directory")
-          .when(col("__cn").isNotNull, "target exists"))
+          .when(col("__cn").isNotNull, "target exists")
+          .when(col("__dupI") > 1, "duplicate rename of id in batch")
+          .when(col("__dupT") > 1, "target exists (earlier in batch)"))
       .persist()
     // Ancestry guard: moving a DIR under its own subtree creates a parent
     // CYCLE (the subtree silently vanishes from every root-down walk).
@@ -199,8 +214,14 @@ object Mutations {
     val touches = f.join(parentIds, col("id") === col("__p"), "left_semi")
       .withColumn("mtime", lit(nowMs))
       .select(col("id"), col("parentId"), col("name"), col("mtime"), col("version"))
-    moved.drop("__oldP").withColumn("writeOp", lit("move"))
+    val out = moved.drop("__oldP").withColumn("writeOp", lit("move"))
       .unionByName(touches.withColumn("writeOp", lit("touch")))
+    // materialize the (batch-sized) write-set and RELEASE the internal
+    // caches — without this every rename call leaves the full live table
+    // plus two batch frames pinned with no handle for the caller to drop
+    // (the returned persisted frame is the caller's, per the Caching
+    // contract, like dupClusters)
+    graft.core.Caching.materializeAndRelease(out, Seq(f, baseValidated, validated))
   }
 
   /** The dir-rename ancestry/entanglement pass of [[rename]] — only
@@ -212,7 +233,12 @@ object Mutations {
     val (anc, unresolvedIds) =
       StateManager.collectDirChildren(f, dirBroadcastLimit, needNames = false) match {
         case Some(children) =>
-          val (pairs, unresolved) = dirAncestors(children)
+          // anchors = the batch's DISTINCT destination dirs (batch-
+          // bounded driver collect, like the N7 placement budget) — the
+          // chains walked are O(batch × depth), not O(#dirs × depth)
+          val anchors = seed.select(col("__dst")).distinct()
+            .collect().map(_.getLong(0))
+          val (pairs, unresolved) = dirAncestors(children, anchors, maxDepth)
           val pairsDf = sp.createDataFrame(pairs).toDF("__dir", "__anc")
           val unresolvedDf = sp.createDataFrame(unresolved.map(Tuple1(_))).toDF("__udir")
           (seed.join(pairsDf, col("__dst") === col("__dir"))
@@ -220,24 +246,36 @@ object Mutations {
            seed.join(broadcast(unresolvedDf), col("__dst") === col("__udir"))
              .select(col("__wid").as("__uid")).distinct())
         case None =>
-          val parentOf = f.select(col("id").as("__aid"), col("parentId").as("__pnext"))
+          // ancestors are DIRS by construction (matching the fast path's
+          // dir-tree map): a live FILE in a parent chain is corrupt state
+          // and must break the chain, not be walked through
+          val parentOf = f.filter(col("length") === -1L)
+            .select(col("id").as("__aid"), col("parentId").as("__pnext"))
           var frontier = seed.select(col("__wid"), col("__dst").as("__anc"))
             .filter(col("__anc") > 0L)
           var walked = frontier
+          // a chain whose next ancestor is NOT a live dir (left-join
+          // miss) is broken — UNRESOLVED, exactly like the fast path's
+          // detached-parent case; silently dropping it would wave the
+          // move through unverified
+          var broken = seed.limit(0).select(col("__wid").as("__uid"))
           var lvl = 0
           var n = frontier.count()
           while (n > 0 && lvl < maxDepth) {
-            frontier = frontier.join(parentOf, col("__anc") === col("__aid"))
+            val stepped = frontier
+              .join(parentOf, col("__anc") === col("__aid"), "left")
+              .select(col("__wid"), col("__pnext"))
+            broken = broken.unionByName(stepped.filter(col("__pnext").isNull)
+              .select(col("__wid").as("__uid")))
+            frontier = stepped.filter(col("__pnext") > 0L)
               .select(col("__wid"), col("__pnext").as("__anc"))
-              .filter(col("__anc") > 0L)
             n = frontier.count()
             if (n > 0) walked = walked.unionByName(frontier)
             lvl += 1
           }
-          // frontier still live at maxDepth: ancestry UNVERIFIED (deeper
-          // tree, or corrupt parent cycle) — refuse below
-          val unres = if (n > 0) frontier.select(col("__wid").as("__uid")).distinct()
-            else frontier.limit(0).select(col("__wid").as("__uid"))
+          // frontier still live at maxDepth: deeper tree or parent cycle
+          val unres = (if (n > 0) broken.unionByName(frontier.select(col("__wid").as("__uid")))
+            else broken).distinct()
           (walked, unres)
       }
     // own id among the destination's ancestors ⟺ destination lies in the

@@ -84,6 +84,19 @@ class MutationsSpec extends SparkSpec {
     assert(kept == Seq(Seq(3L)))
   }
 
+  test("R12 rename: intra-batch duplicate targets and ids are refused") {
+    // two rows claiming the same (parent, name) would break the unique
+    // key after apply; two renames of one id would emit conflicting moves
+    val renames = Seq((2L, 1L, "x"), (3L, 1L, "x"), (3L, 5L, "z"))
+      .toDF("id", "newParentId", "newName")
+    val moved = rows(Mutations.rename(file, renames, nowMs = 9L)
+      .filter(col("writeOp") === "move")
+      .select(col("id"), col("parentId"), col("name")))
+    // id 2 wins the (1, "x") target (lowest id); id 3 is refused twice
+    // over — duplicate id in batch AND second claim on (1, "x")
+    assert(moved == Seq(Seq(2L, 1L, "x")))
+  }
+
   test("R12 rename: guard fast path matches the iterative fallback") {
     // every guard case at once: cycle, entangled swap, legal file move;
     // dirBroadcastLimit = 0 forces the per-level walk on the same input
