@@ -39,4 +39,33 @@ object Shuffles {
       .withColumn("shard", col("hkey") % nShards)
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Token-budgeted mixture sampling — the data-mixing step of a
+    * training pipeline: each source (`groupCol`) gets a token budget,
+    * and the sample admits that source's docs in deterministic hash
+    * order until the budget is spent. Groups absent from `budgets` are
+    * dropped (budget 0).
+    *
+    * Scale shape: a per-source cumulative sum would be ONE window
+    * partition per source — a near-global sort for a big source — so the
+    * budget is split evenly across `nShards` hash shards and each
+    * (source, shard) window is corpus/nShards-bounded. The admission
+    * rule (tokens spent BEFORE the doc < shard budget) admits at most
+    * one budget-straddling doc per shard; the result is deterministic,
+    * replayable from the salt, and within nShards·avgDocTokens of the
+    * target. Returns the input plus (hkey, shard, cumBefore, keep). */
+  def budgetedMix(df: DataFrame, idCol: String, groupCol: String,
+                  tokenCol: String, budgets: Map[String, Long],
+                  nShards: Int, salt: String = "mix0"): DataFrame = {
+    val shardBudget = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b / nShards)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol), col("shard"))
+      .orderBy(col("hkey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("hkey", hashKey(col(idCol), salt))
+      .withColumn("shard", col("hkey") % nShards)
+      .withColumn("cumBefore", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("keep", col("cumBefore") < shardBudget)
+  }
 }

@@ -941,6 +941,21 @@ object DataOpsQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))
     },
+    // token-budgeted mixture: per-language token budgets filled in
+    // deterministic hash order, budget split across 4 shards so no
+    // per-source global sort exists; per-stratum summary + id checksum
+    "t13_budget_mix" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+      Shuffles.budgetedMix(d, "doc_id", "lang", "tok",
+          Map("en" -> 4000L, "es" -> 2000L, "de" -> 1000L), nShards = 4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("nKept"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("keptTokens"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
+        .orderBy(col("lang"))
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -1530,5 +1545,35 @@ object DataOpsQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id)
         |    AS BIGINT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
+    "t13_budget_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR) || 'mix0') AS hx
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, tok,
+        |    CAST(strpos('0123456789abcdef', hx[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', hx[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', hx[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', hx[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', hx[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', hx[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
+        |  FROM h),
+        |c AS (
+        |  SELECT doc_id, lang, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY lang, hkey % 4
+        |      ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <
+        |    (CASE lang WHEN 'en' THEN 1000 WHEN 'es' THEN 500
+        |      WHEN 'de' THEN 250 ELSE 0 END) AS keep
+        |  FROM k)
+        |SELECT lang, COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
+        |  CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS keptTokens,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -227,6 +227,31 @@ class DataOpsSpec extends SparkSpec {
     assert(idsInOrder.exists(seq => seq != seq.sorted))
   }
 
+  test("budgeted mix: shard quotas respected, at most one straddler each") {
+    import graft.functions.Shuffles
+    val docs = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b", 10L))
+      .toDF("doc_id", "src", "tok")
+    val out = Shuffles.budgetedMix(docs, "doc_id", "src", "tok",
+      Map("a" -> 200L, "b" -> 400L), nShards = 4)
+    val kept = rows(out.filter(col("keep"))
+      .select(col("src"), col("shard"), col("tok")))
+    // per (src, shard): spent-before < budget/4, so kept tokens never
+    // exceed quota + one straddling doc
+    val perShard = kept.groupBy(r => (r.head, r(1)))
+      .view.mapValues(_.map(_(2).asInstanceOf[Long]).sum)
+    assert(perShard.collect { case ((("a"), _), t) => t }.forall(_ <= 50L + 10L))
+    assert(perShard.collect { case ((("b"), _), t) => t }.forall(_ <= 100L + 10L))
+    // deterministic: same call, same kept set; unknown source dropped
+    val again = rows(Shuffles.budgetedMix(docs, "doc_id", "src", "tok",
+      Map("a" -> 200L, "b" -> 400L), nShards = 4).filter(col("keep"))
+      .select(col("doc_id"))).map(_.head)
+    assert(again.toSet == rows(out.filter(col("keep"))
+      .select(col("doc_id"))).map(_.head).toSet)
+    val none = Shuffles.budgetedMix(docs.filter(col("src") === "a"), "doc_id",
+      "src", "tok", Map("b" -> 400L), nShards = 4)
+    assert(rows(none.filter(col("keep"))).isEmpty)
+  }
+
   test("multimodal resize and frame sampling plumbing") {
     val media = Multimodal.asMedia(docs)
     val resized = Multimodal.resize(spark, media, w = 4, h = 2, partitions = 2).collect()
