@@ -142,14 +142,13 @@ object Shell {
         require(args.size >= 2, "usage: mv <src> <dstPath>")
         val id = resolve(path)
         val (dstParent, newName) = splitPath(args(1))
-        // localCheckpoint: rename's plan embeds a whole-namespace path
-        // build (cycle guard) — execute it once, not once for the
-        // refusal check and again for the caller
+        // rename returns a MATERIALIZED persisted write-set (Caching
+        // contract), so the refusal check below and the display both
+        // read the cache; the one-verb-per-process CLI drops it on exit
         val out = Mutations.rename(file,
             Seq((id, resolve(dstParent), newName)).toDF("id", "newParentId", "newName"),
             nowMs = Now)
           .orderBy(col("writeOp"), col("id"))
-          .localCheckpoint()
         // rename drops rejected rows from the write-set — surface the
         // refusal (target exists / under own subtree / ...) loudly
         require(out.filter(col("writeOp") === "move").limit(1).count() > 0,

@@ -57,8 +57,14 @@ object Shuffles {
   def budgetedMix(df: DataFrame, idCol: String, groupCol: String,
                   tokenCol: String, budgets: Map[String, Long],
                   nShards: Int, salt: String = "mix0"): DataFrame = {
-    val shardBudget = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
-      when(col(groupCol) === g, lit(b / nShards)).otherwise(acc)
+    // shard budget in DOUBLE: integer division would floor a budget
+    // smaller than nShards to 0 and silently drop the source outright —
+    // exactly the small sources a mixture exists to protect. With the
+    // fractional quota the first doc of each shard always admits
+    // (cumBefore 0 < b/n for any b > 0), so a positive budget keeps
+    // ≥ 1 doc and the overshoot stays ≤ nShards straddling docs.
+    val shardBudget = budgets.foldLeft(lit(0.0)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b.toDouble / nShards)).otherwise(acc)
     }
     val w = Window.partitionBy(col(groupCol), col("shard"))
       .orderBy(col("hkey"), col(idCol))

@@ -143,8 +143,12 @@ object Mutations {
   }
 
   def rename(file: DataFrame, renames: DataFrame, nowMs: Long,
-             versionBump: Long = 1000000000L, maxDepth: Int = 16,
+             versionBump: Long = 1000000000L, maxDepth: Int = 64,
              dirBroadcastLimit: Long = 2000000L): DataFrame = {
+    // maxDepth 64 (vs the BFS ops' 16): the ancestry walk is O(depth)
+    // per DESTINATION dir — driver-trivial on the fast path — so the cap
+    // exists only to refuse corrupt cycles, and a legal deep namespace
+    // must not trip it
     // persisted: the ancestry guard and the write-set scan f repeatedly
     // (Caching contract, like dupClusters)
     val f = live(file).persist()
@@ -155,14 +159,14 @@ object Mutations {
     // intra-batch dedup (the serial reference applies one at a time, so
     // the second of two same-target renames would hit "target exists" —
     // mirror that deterministically): one rename per id, one id per
-    // (parent, name) target, ranked by id like startFile's dup ranking
-    val wDupTarget = Window.partitionBy(col("newParentId"), col("newName"))
-      .orderBy(col("id"))
-    val wDupId = Window.partitionBy(col("id"))
-      .orderBy(col("newParentId"), col("newName"))
-    val baseValidated = renames
-      .withColumn("__dupT", row_number().over(wDupTarget))
-      .withColumn("__dupI", row_number().over(wDupId))
+    // (parent, name) target. Exact-duplicate rows collapse FIRST (the
+    // same rename twice is one rename — and two identical rows tie both
+    // dup windows, which would rank them nondeterministically); ranking
+    // happens AFTER the live-id join and the base ladder, with rejected
+    // rows ordered last, so a phantom id or an already-refused row can
+    // never consume rank 1 from the valid claimer (startFile ranks its
+    // dups the same way).
+    val base0 = renames.distinct()
       .join(cur, col("id") === col("__id"), "inner")
       .join(parents, col("newParentId") === col("__tp"), "left")
       .join(taken, col("newParentId") === col("__cp") && col("newName") === col("__cn"), "left")
@@ -171,9 +175,18 @@ object Mutations {
           .when(col("newParentId") === col("id"), "parent is self")
           .when(col("__tp").isNull, "target parent not found")
           .when(col("__tplen") =!= -1L, "target parent not a directory")
-          .when(col("__cn").isNotNull, "target exists")
-          .when(col("__dupI") > 1, "duplicate rename of id in batch")
-          .when(col("__dupT") > 1, "target exists (earlier in batch)"))
+          .when(col("__cn").isNotNull, "target exists"))
+    val rejOrd = when(col("reject").isNull, 0).otherwise(1)
+    val wDupTarget = Window.partitionBy(col("newParentId"), col("newName"))
+      .orderBy(rejOrd, col("id"))
+    val wDupId = Window.partitionBy(col("id"))
+      .orderBy(rejOrd, col("newParentId"), col("newName"))
+    val baseValidated = base0
+      .withColumn("__dupT", row_number().over(wDupTarget))
+      .withColumn("__dupI", row_number().over(wDupId))
+      .withColumn("reject", coalesce(col("reject"),
+        when(col("__dupI") > 1, "duplicate rename of id in batch")
+          .when(col("__dupT") > 1, "target exists (earlier in batch)")))
       .persist()
     // Ancestry guard: moving a DIR under its own subtree creates a parent
     // CYCLE (the subtree silently vanishes from every root-down walk).
@@ -265,7 +278,12 @@ object Mutations {
             val stepped = frontier
               .join(parentOf, col("__anc") === col("__aid"), "left")
               .select(col("__wid"), col("__pnext"))
-            broken = broken.unionByName(stepped.filter(col("__pnext").isNull)
+            // broken = join miss (ancestor not a live dir) OR a negative
+            // parent pointer on a non-root node (only root carries -1;
+            // anywhere else it is corrupt state the fast path also
+            // refuses). pnext == 0 is the clean root exit.
+            broken = broken.unionByName(stepped
+              .filter(col("__pnext").isNull || col("__pnext") < 0L)
               .select(col("__wid").as("__uid")))
             frontier = stepped.filter(col("__pnext") > 0L)
               .select(col("__wid"), col("__pnext").as("__anc"))
