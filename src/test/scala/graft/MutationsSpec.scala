@@ -109,6 +109,25 @@ class MutationsSpec extends SparkSpec {
       canon(Mutations.rename(file, mixed, nowMs = 9L, dirBroadcastLimit = 0L)))
   }
 
+  test("R12 rename: corrupt ancestry refuses a dir move on both guard routes") {
+    // dir 11 sits under dir 10 whose parent pointer is negative (corrupt:
+    // only root carries -1) — a dir move INTO 11 has unverifiable
+    // ancestry and must refuse; a file move into 11 is still fine (files
+    // cannot cycle)
+    val f = file.unionByName(Seq(
+      (10L, -5L, "corrupt", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 11L),
+      (11L, 10L, "sub", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 12L),
+    ).toDF("id", "parentId", "name", "length", "blockSize", "replication",
+      "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version"))
+    val renames = Seq((5L, 11L, "moved_dir"), (3L, 11L, "moved_file"))
+      .toDF("id", "newParentId", "newName")
+    def movedIds(limit: Long) =
+      rows(Mutations.rename(f, renames, nowMs = 9L, dirBroadcastLimit = limit)
+        .filter(col("writeOp") === "move").select(col("id"))).map(_.head).toSet
+    assert(movedIds(2000000L) == Set(3L), "fast path: dir refused, file moves")
+    assert(movedIds(0L) == Set(3L), "fallback: dir refused, file moves")
+  }
+
   test("R13 delete: refuses root and non-empty dir, tombstones the rest") {
     val out = rows(Mutations.guardedDelete(file, Seq(0L, 1L, 5L, 3L).toDF("id"))
       .select(col("id"), col("version"), col("reject")))
