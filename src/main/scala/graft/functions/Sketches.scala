@@ -38,4 +38,39 @@ object Sketches {
   def approxQuantiles(df: DataFrame, column: String,
                       probabilities: Array[Double], relErr: Double = 0.01): Array[Double] =
     df.stat.approxQuantile(column, probabilities, relErr)
+
+  /** Deterministic HyperLogLog cardinality (m = 64 registers, 32-bit
+    * rank window) — the differential-gateable twin of
+    * [[approxDistinct]]: bucket and rank come from md5 hex (integer and
+    * string ops only), registers are plain MAXes, and the harmonic sum
+    * is an EXACT BIGINT (terms 2^(33−M_j), order-independent), so the
+    * raw estimate is bit-identical in any engine. At 100 TB this is the
+    * cardinality path: registers partial-aggregate map-side, the shuffle
+    * is 64 rows, while COUNT(DISTINCT) shuffles every distinct value.
+    * No low-range bias correction — callers gate against the exact
+    * count anyway (t14), and production use goes through the built-in
+    * sketch. Returns one row: (sumInt, hllEstimate). */
+  def hllCardinality(df: DataFrame, valueCol: String): DataFrame = {
+    val hexmap = "0123456789abcdef"
+    val h = md5(col(valueCol).cast("string"))
+    def hexAt(i: Int) = instr(lit(hexmap), substring(h, i, 1)) - 1
+    val bucket = (hexAt(1) * 16 + hexAt(2)) % 64
+    // rank = 1 + leading zeros of the 32-bit window (hex chars 3..10):
+    // 33 − bit-length(w), via the minimal binary string both engines
+    // produce (Spark conv / DuckDB bin) — no log2, no float
+    val w = conv(substring(h, 3, 8), 16, 10).cast("long")
+    val rank = when(w === 0L, lit(33L))
+      .otherwise(lit(33L) - length(conv(w.cast("string"), 10, 2)))
+    val regs = df.select(bucket.as("bucket"), rank.as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("M"))
+    // absent buckets carry register 0 (term 2^33)
+    val terms = df.sparkSession.range(64).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("M"), lit(0L)).as("M"))
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - M AS INT))").as("term"))
+    terms.agg(sum(col("term")).as("sumInt"))
+      .select(col("sumInt"),
+        (lit(0.709) * lit(4096) * lit(8589934592.0) /
+          col("sumInt").cast("double")).as("hllEstimate"))
+  }
 }

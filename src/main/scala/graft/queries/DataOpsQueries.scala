@@ -941,6 +941,21 @@ object DataOpsQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))
     },
+    // deterministic HLL cardinality of distinct (doc, token) pairs —
+    // ~10k distinct values, well above m = 64 so the raw estimate is in
+    // its valid regime (the corpus's ~31-token vocabulary alone would
+    // sit in the small-range zone raw HLL is biased in) — gated against
+    // the exact count; the 64-row-shuffle alternative to COUNT(DISTINCT)
+    "t14_hll_tokens" -> { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tk"))
+        .select(concat(col("doc_id").cast("string"), lit(":"), col("tk")).as("dt"))
+      graft.functions.Sketches.hllCardinality(tok, "dt")
+        .crossJoin(tok.agg(countDistinct(col("dt")).as("exactDistinct")))
+        .select(col("sumInt"), col("hllEstimate"), col("exactDistinct"),
+          ((col("hllEstimate") - col("exactDistinct").cast("double")) /
+            col("exactDistinct").cast("double")).as("relErr"))
+    },
     // token-budgeted mixture: per-language token budgets filled in
     // deterministic hash order, budget split across 4 shards so no
     // per-source global sort exists; per-stratum summary + id checksum
@@ -1545,6 +1560,44 @@ object DataOpsQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id)
         |    AS BIGINT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
+    "t14_hll_tokens" ->
+      """WITH tokr AS (
+        |  SELECT CAST(doc_id AS VARCHAR) || ':' ||
+        |    UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |hh AS (SELECT token, md5(CAST(token AS VARCHAR)) AS h FROM tokr),
+        |br AS (
+        |  SELECT
+        |    ((CAST(strpos('0123456789abcdef', h[1]) - 1 AS BIGINT)) * 16
+        |      + (CAST(strpos('0123456789abcdef', h[2]) - 1 AS BIGINT))) % 64 AS bucket,
+        |    CAST(strpos('0123456789abcdef', h[3]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', h[4]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', h[5]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', h[6]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', h[7]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', h[8]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', h[9]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', h[10]) - 1 AS BIGINT) AS w
+        |  FROM hh),
+        |rr AS (
+        |  SELECT bucket,
+        |    CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rank
+        |  FROM br),
+        |regs AS (SELECT bucket, MAX(rank) AS M FROM rr GROUP BY bucket),
+        |terms AS (
+        |  SELECT (CAST(1 AS BIGINT) << CAST(33 - COALESCE(r.M, 0) AS INT)) AS term
+        |  FROM (SELECT UNNEST(range(0, 64)) AS bucket) b
+        |  LEFT JOIN regs r ON r.bucket = b.bucket),
+        |s AS (SELECT CAST(SUM(term) AS BIGINT) AS sumInt FROM terms),
+        |ex AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS exactDistinct FROM tokr)
+        |SELECT s.sumInt,
+        |  CAST(0.709 AS DOUBLE) * 4096 * CAST(8589934592 AS DOUBLE)
+        |    / CAST(s.sumInt AS DOUBLE) AS hllEstimate,
+        |  ex.exactDistinct,
+        |  (CAST(0.709 AS DOUBLE) * 4096 * CAST(8589934592 AS DOUBLE)
+        |    / CAST(s.sumInt AS DOUBLE) - CAST(ex.exactDistinct AS DOUBLE))
+        |    / CAST(ex.exactDistinct AS DOUBLE) AS relErr
+        |FROM s, ex""".stripMargin,
     "t13_budget_mix" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

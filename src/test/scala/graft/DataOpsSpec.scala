@@ -252,6 +252,17 @@ class DataOpsSpec extends SparkSpec {
     assert(rows(none.filter(col("keep"))).isEmpty)
   }
 
+  test("HLL cardinality: estimate inside the m=64 error band, deterministic") {
+    import graft.functions.Sketches
+    val vals = (1L to 5000L).map(i => Tuple1(s"value_$i")).toDF("v")
+    val est = rows(Sketches.hllCardinality(vals, "v"))
+      .head(1).asInstanceOf[Double]
+    // rsd for m=64 is ~1.04/8 = 13%; allow 3 sigma
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est")
+    val again = rows(Sketches.hllCardinality(vals, "v")).head(1)
+    assert(again == est) // deterministic md5 registers: same input, same estimate
+  }
+
   test("multimodal resize and frame sampling plumbing") {
     val media = Multimodal.asMedia(docs)
     val resized = Multimodal.resize(spark, media, w = 4, h = 2, partitions = 2).collect()
