@@ -51,10 +51,10 @@ object Sketches {
     * count anyway (t14), and production use goes through the built-in
     * sketch. Returns one row: (sumInt, hllEstimate). */
   def hllCardinality(df: DataFrame, valueCol: String): DataFrame = {
-    val hexmap = "0123456789abcdef"
     val h = md5(col(valueCol).cast("string"))
-    def hexAt(i: Int) = instr(lit(hexmap), substring(h, i, 1)) - 1
-    val bucket = (hexAt(1) * 16 + hexAt(2)) % 64
+    // first hex byte mod m (the DuckDB oracle spells the same value with
+    // its strpos hexmap chain — DuckDB has no conv)
+    val bucket = conv(substring(h, 1, 2), 16, 10).cast("long") % 64
     // rank = 1 + leading zeros of the 32-bit window (hex chars 3..10):
     // 33 − bit-length(w), via the minimal binary string both engines
     // produce (Spark conv / DuckDB bin) — no log2, no float

@@ -947,9 +947,12 @@ object DataOpsQueries {
     // sit in the small-range zone raw HLL is biased in) — gated against
     // the exact count; the 64-row-shuffle alternative to COUNT(DISTINCT)
     "t14_hll_tokens" -> { (s, dir) =>
+      // persisted: both the sketch and the exact gate read the tokenized
+      // frame — one tokenize pass, not two (session-scoped cache)
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tk"))
         .select(concat(col("doc_id").cast("string"), lit(":"), col("tk")).as("dt"))
+        .persist()
       graft.functions.Sketches.hllCardinality(tok, "dt")
         .crossJoin(tok.agg(countDistinct(col("dt")).as("exactDistinct")))
         .select(col("sumInt"), col("hllEstimate"), col("exactDistinct"),
@@ -1620,8 +1623,8 @@ object DataOpsQueries {
         |    COALESCE(SUM(tok) OVER (PARTITION BY lang, hkey % 4
         |      ORDER BY hkey, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <
-        |    (CASE lang WHEN 'en' THEN 1000 WHEN 'es' THEN 500
-        |      WHEN 'de' THEN 250 ELSE 0 END) AS keep
+        |    (CASE lang WHEN 'en' THEN 4000 WHEN 'es' THEN 2000
+        |      WHEN 'de' THEN 1000 ELSE 0 END) / CAST(4 AS DOUBLE) AS keep
         |  FROM k)
         |SELECT lang, COUNT(*) AS total,
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nKept,

@@ -176,14 +176,21 @@ object Mutations {
           .when(col("__tp").isNull, "target parent not found")
           .when(col("__tplen") =!= -1L, "target parent not a directory")
           .when(col("__cn").isNotNull, "target exists"))
+    // the windows SEQUENCE: dup-id rejection resolves first, and only
+    // its survivors compete for targets — otherwise a row already
+    // refused as a duplicate id would still consume rank 1 of its
+    // target and wrongly block the valid claimant. (A claimant refused
+    // LATER by the ancestry/entanglement guard still blocks its target
+    // in this batch — conservative; split the batch to release it.)
     val rejOrd = when(col("reject").isNull, 0).otherwise(1)
-    val wDupTarget = Window.partitionBy(col("newParentId"), col("newName"))
-      .orderBy(rejOrd, col("id"))
     val wDupId = Window.partitionBy(col("id"))
       .orderBy(rejOrd, col("newParentId"), col("newName"))
-    val baseValidated = base0
+    val dupIdRanked = base0.withColumn("__dupI", row_number().over(wDupId))
+    val tgtOrd = when(col("reject").isNull && col("__dupI") === 1, 0).otherwise(1)
+    val wDupTarget = Window.partitionBy(col("newParentId"), col("newName"))
+      .orderBy(tgtOrd, col("id"))
+    val baseValidated = dupIdRanked
       .withColumn("__dupT", row_number().over(wDupTarget))
-      .withColumn("__dupI", row_number().over(wDupId))
       .withColumn("reject", coalesce(col("reject"),
         when(col("__dupI") > 1, "duplicate rename of id in batch")
           .when(col("__dupT") > 1, "target exists (earlier in batch)")))
@@ -224,7 +231,13 @@ object Mutations {
         col("version"), col("__oldP"))
     val parentIds = moved.select(col("__oldP").as("__p"))
       .unionByName(moved.select(col("parentId").as("__p"))).distinct()
+    // a touched parent that is ITSELF moved in this batch must not also
+    // emit a touch row — the stale (old parentId/name, unbumped version)
+    // touch would conflict with its move row, leaving two rows per key
+    // after apply; the move row already carries mtime = nowMs
     val touches = f.join(parentIds, col("id") === col("__p"), "left_semi")
+      .join(moved.select(col("id").as("__movedId")),
+        col("id") === col("__movedId"), "left_anti")
       .withColumn("mtime", lit(nowMs))
       .select(col("id"), col("parentId"), col("name"), col("mtime"), col("version"))
     val out = moved.drop("__oldP").withColumn("writeOp", lit("move"))
@@ -266,6 +279,13 @@ object Mutations {
             .select(col("id").as("__aid"), col("parentId").as("__pnext"))
           var frontier = seed.select(col("__wid"), col("__dst").as("__anc"))
             .filter(col("__anc") > 0L)
+          // per-level persists (like descendants): without them, level
+          // k's count() re-executes levels 1..k-1 and the final anc
+          // consumers (cycle + entanglement) re-run the whole walk —
+          // O(depth²) at the 64-level cap. Released after `walked`
+          // materializes below.
+          val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          frontier.persist(); levels += frontier
           var walked = frontier
           // a chain whose next ancestor is NOT a live dir (left-join
           // miss) is broken — UNRESOLVED, exactly like the fast path's
@@ -287,6 +307,7 @@ object Mutations {
               .select(col("__wid").as("__uid")))
             frontier = stepped.filter(col("__pnext") > 0L)
               .select(col("__wid"), col("__pnext").as("__anc"))
+            frontier.persist(); levels += frontier
             n = frontier.count()
             if (n > 0) walked = walked.unionByName(frontier)
             lvl += 1
@@ -294,7 +315,10 @@ object Mutations {
           // frontier still live at maxDepth: deeper tree or parent cycle
           val unres = (if (n > 0) broken.unionByName(frontier.select(col("__wid").as("__uid")))
             else broken).distinct()
-          (walked, unres)
+          // materialize the walk result once, release the level caches:
+          // the cycle and entanglement consumers below re-read `anc`
+          val w = graft.core.Caching.materializeAndRelease(walked, levels.toSeq)
+          (w, unres)
       }
     // own id among the destination's ancestors ⟺ destination lies in the
     // row's own subtree
@@ -323,14 +347,16 @@ object Mutations {
       .join(broadcast(movers), col("__anc") === col("__mvid") &&
         col("__wid") =!= col("__mvid"))
       .select(col("__wid").as("__eid")).distinct()
-    // persisted: the write-set in rename references the validated frame
-    // several times; cache the batch-sized result, not the pipeline
-    withWalk
-      .join(entangledIds, col("id") === col("__eid"), "left")
-      .withColumn("reject", coalesce(col("reject"),
-        when(col("__eid").isNotNull,
-          "batch-entangled: destination inside another renamed subtree")))
-      .persist()
+    // materialize the batch-sized validated frame (the write-set in
+    // rename references it several times) and release the walk cache —
+    // on the fast path `anc` is unpersisted and the release is a no-op
+    graft.core.Caching.materializeAndRelease(
+      withWalk
+        .join(entangledIds, col("id") === col("__eid"), "left")
+        .withColumn("reject", coalesce(col("reject"),
+          when(col("__eid").isNotNull,
+            "batch-entangled: destination inside another renamed subtree"))),
+      Seq(anc))
   }
 
   /** R13 (FileRepository.deleteInternal): guarded non-recursive delete —

@@ -250,6 +250,11 @@ class DataOpsSpec extends SparkSpec {
     val none = Shuffles.budgetedMix(docs.filter(col("src") === "a"), "doc_id",
       "src", "tok", Map("b" -> 400L), nShards = 4)
     assert(rows(none.filter(col("keep"))).isEmpty)
+    // a positive budget below nShards must NOT floor to zero: the
+    // fractional quota admits exactly the first doc of each shard
+    val tiny = rows(Shuffles.budgetedMix(docs, "doc_id", "src", "tok",
+      Map("a" -> 2L), nShards = 4).filter(col("keep")).select(col("src")))
+    assert(tiny.size == 4 && tiny.forall(_.head == "a"))
   }
 
   test("HLL cardinality: estimate inside the m=64 error band, deterministic") {

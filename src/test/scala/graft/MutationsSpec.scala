@@ -84,6 +84,21 @@ class MutationsSpec extends SparkSpec {
     assert(kept == Seq(Seq(3L)))
   }
 
+  test("R12 rename: a moved dir that is also a touched parent emits ONE row") {
+    // dir 2 moves while file 3 moves OUT of dir 2: the old-parent touch
+    // of 3 lands on 2, which already has a move row — a stale touch
+    // (old parentId/name, unbumped version) would leave two rows per key
+    val renames = Seq((2L, 5L, "b2"), (3L, 1L, "f1up"))
+      .toDF("id", "newParentId", "newName")
+    val out = rows(Mutations.rename(file, renames, nowMs = 9L)
+      .select(col("writeOp"), col("id"), col("parentId"), col("name")))
+    val rowsFor2 = out.filter(_(1) == 2L)
+    assert(rowsFor2 == Seq(Seq("move", 2L, 5L, "b2")))
+    // parents with no move row still get their touches: 1 (old parent of
+    // both) and 5 (new parent of 2)
+    assert(out.filter(_.head == "touch").map(_(1)).toSet == Set(1L, 5L))
+  }
+
   test("R12 rename: intra-batch duplicate targets and ids are refused") {
     // two rows claiming the same (parent, name) would break the unique
     // key after apply; two renames of one id would emit conflicting moves
