@@ -104,6 +104,22 @@ class ScaleSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("shuffle/mix/CDC windows are shard- or doc-partitioned, never single-partition") {
+    // same invariant as the t7 packer: every windowed op added for the
+    // training pipeline (t12 shuffle ranks, t13 budget cumsums, d11
+    // chunk-id running counts) partitions by shard / (source, shard) /
+    // doc — an Exchange SinglePartition would gather the corpus through
+    // one task at 100 TB
+    for (q <- Seq("t12_shard_shuffle", "t13_budget_mix", "d11_cdc_chunks")) {
+      val out = graft.queries.DataOpsQueries.queries(q)(
+        spark, "/root/testdata/sf0.001")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$q must not gather to one partition:\n${plan.take(2000)}")
+      assert(out.count() > 0)
+    }
+  }
+
   test("salted join equals plain join on a skewed key") {
     // 90% of the big side hits one key — the classic skew shape
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i))
