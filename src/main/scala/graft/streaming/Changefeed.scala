@@ -151,6 +151,45 @@ object Changefeed {
       }
       .start()
 
+  /** One arriving doc of the budgeted-mix stream (id, source group,
+    * token count, plus the deterministic shuffle key/shard assigned
+    * up front by [[graft.functions.Shuffles.hashKey]]). */
+  final case class MixDoc(id: Long, src: String, tok: Long, hkey: Long, shard: Long)
+
+  /** Admission decision for one arriving doc. */
+  final case class MixAdmit(id: Long, src: String, shard: Long, keep: Boolean)
+
+  /** Streaming token-budgeted mixture: the STATEFUL twin of
+    * [[graft.functions.Shuffles.budgetedMix]] — the per-(source, shard)
+    * tokens-spent counter lives in flatMapGroupsWithState state, so the
+    * budget keeps filling across micro-batches and a source stops
+    * admitting the moment its quota is spent, no matter how many batches
+    * later its docs arrive. Within one batch each group spends in
+    * (hkey, id) order — the same deterministic hash order as the batch
+    * op, so a single batch containing the whole corpus reproduces the
+    * batch classification exactly (asserted in StreamingSpec). State is
+    * ONE counter per (source, shard) — bounded by the mixture
+    * configuration, not the stream. Admission mirrors the batch rule:
+    * spent-before < budget/nShards (fractional, so a positive budget
+    * admits at least one doc per shard). */
+  def streamingBudgetedMix(docs: Dataset[MixDoc], budgets: Map[String, Long],
+                           nShards: Int): Dataset[MixAdmit] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => (d.src, d.shard))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (String, Long), batch: Iterator[MixDoc], state: GroupState[Long]) => {
+          val quota = budgets.get(key._1).map(_.toDouble / nShards).getOrElse(0.0)
+          var spent = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.sortBy(d => (d.hkey, d.id)).map { d =>
+            val keep = spent < quota
+            if (keep) spent += d.tok
+            MixAdmit(d.id, d.src, d.shard, keep)
+          }
+          state.update(spent)
+          out.iterator
+        })
+  }
+
   /** D2 fault model (A/distributed/editlogger/DistributedEditLogger.java):
     * the reference's async edit appliers carry a pause gate
     * (pauseApply/resumeApply :151-161 — apply() blocks on the flag :90),

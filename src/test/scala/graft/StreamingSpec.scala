@@ -202,6 +202,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed budgeted mix: batch-1 parity, quota persists across batches") {
+    import graft.functions.Shuffles
+    import graft.streaming.Changefeed.{MixAdmit, MixDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val budgets = Map("a" -> 200L, "b" -> 400L)
+    val base = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b", 10L))
+      .toDF("doc_id", "src", "tok")
+    val docs = rows(base
+      .withColumn("hkey", Shuffles.hashKey(col("doc_id"), "mix0"))
+      .withColumn("shard", col("hkey") % 4))
+      .map(r => MixDoc(r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long], r(4).asInstanceOf[Long]))
+    val mem = MemoryStream[MixDoc]
+    val q = Changefeed.streamingBudgetedMix(mem.toDS(), budgets, nShards = 4)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mix_out").as[MixAdmit].collect()
+        .filter(_.keep).map(_.id).toSet
+      // one batch holding the whole corpus = the batch op exactly
+      val batchKept = rows(Shuffles.budgetedMix(base, "doc_id", "src", "tok",
+          budgets, nShards = 4).filter(col("keep")).select(col("doc_id")))
+        .map(_.head.asInstanceOf[Long]).toSet
+      assert(streamed == batchKept && streamed.nonEmpty)
+      // the spent counters survive into the next batch: quotas are long
+      // exhausted, so late arrivals are refused (and an unbudgeted
+      // source never admits)
+      mem.addData(MixDoc(1001L, "a", 10L, 0L, 0L), MixDoc(1002L, "b", 10L, 0L, 1L),
+        MixDoc(1003L, "c", 10L, 0L, 2L))
+      q.processAllAvailable()
+      val late = spark.table("mix_out").as[MixAdmit].collect()
+        .filter(a => a.id >= 1001L)
+      assert(late.length == 3 && late.forall(!_.keep))
+    } finally q.stop()
+  }
+
   test("streamed ANN ingest probes the standing IVF-PQ index per batch") {
     import graft.functions.Vectors
     implicit val sqlCtx = spark.sqlContext
