@@ -947,17 +947,21 @@ object DataOpsQueries {
     // sit in the small-range zone raw HLL is biased in) — gated against
     // the exact count; the 64-row-shuffle alternative to COUNT(DISTINCT)
     "t14_hll_tokens" -> { (s, dir) =>
-      // persisted: both the sketch and the exact gate read the tokenized
-      // frame — one tokenize pass, not two (session-scoped cache)
+      // the sketch and the exact gate both read the tokenized frame:
+      // cache it for ONE tokenize pass, materialize the 1-row result,
+      // release the cache (Caching contract — a bare persist here would
+      // pin a corpus-sized frame per invocation for the session)
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tk"))
         .select(concat(col("doc_id").cast("string"), lit(":"), col("tk")).as("dt"))
         .persist()
-      graft.functions.Sketches.hllCardinality(tok, "dt")
-        .crossJoin(tok.agg(countDistinct(col("dt")).as("exactDistinct")))
-        .select(col("sumInt"), col("hllEstimate"), col("exactDistinct"),
-          ((col("hllEstimate") - col("exactDistinct").cast("double")) /
-            col("exactDistinct").cast("double")).as("relErr"))
+      graft.core.Caching.materializeAndRelease(
+        graft.functions.Sketches.hllCardinality(tok, "dt")
+          .crossJoin(tok.agg(countDistinct(col("dt")).as("exactDistinct")))
+          .select(col("sumInt"), col("hllEstimate"), col("exactDistinct"),
+            ((col("hllEstimate") - col("exactDistinct").cast("double")) /
+              col("exactDistinct").cast("double")).as("relErr")),
+        Seq(tok))
     },
     // token-budgeted mixture: per-language token budgets filled in
     // deterministic hash order, budget split across 4 shards so no

@@ -315,10 +315,16 @@ object Mutations {
           // frontier still live at maxDepth: deeper tree or parent cycle
           val unres = (if (n > 0) broken.unionByName(frontier.select(col("__wid").as("__uid")))
             else broken).distinct()
-          // materialize the walk result once, release the level caches:
-          // the cycle and entanglement consumers below re-read `anc`
-          val w = graft.core.Caching.materializeAndRelease(walked, levels.toSeq)
-          (w, unres)
+          // materialize BOTH walk outputs while the level caches are
+          // still live — `unres` unions per-level `broken` slices, so
+          // releasing first would hand its later evaluation the full
+          // O(depth²) uncached re-walk. `walked` may BE levels(0) (a
+          // one-level walk): releasing that entry would uncache the
+          // frame just materialized, so it is excluded.
+          val u = graft.core.Caching.materializeAndRelease(unres, Seq.empty)
+          val w = graft.core.Caching.materializeAndRelease(walked,
+            levels.toSeq.filterNot(_ eq walked))
+          (w, u)
       }
     // own id among the destination's ancestors ⟺ destination lies in the
     // row's own subtree
@@ -348,15 +354,15 @@ object Mutations {
         col("__wid") =!= col("__mvid"))
       .select(col("__wid").as("__eid")).distinct()
     // materialize the batch-sized validated frame (the write-set in
-    // rename references it several times) and release the walk cache —
-    // on the fast path `anc` is unpersisted and the release is a no-op
+    // rename references it several times) and release the walk caches —
+    // on the fast path both are unpersisted and the release is a no-op
     graft.core.Caching.materializeAndRelease(
       withWalk
         .join(entangledIds, col("id") === col("__eid"), "left")
         .withColumn("reject", coalesce(col("reject"),
           when(col("__eid").isNotNull,
             "batch-entangled: destination inside another renamed subtree"))),
-      Seq(anc))
+      Seq(anc, unresolvedIds))
   }
 
   /** R13 (FileRepository.deleteInternal): guarded non-recursive delete —

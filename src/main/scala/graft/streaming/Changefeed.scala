@@ -185,7 +185,12 @@ object Changefeed {
             if (keep) spent += d.tok
             MixAdmit(d.id, d.src, d.shard, keep)
           }
-          state.update(spent)
+          // no state entry for unbudgeted sources: they admit nothing
+          // and a stream carrying high-cardinality junk src labels must
+          // not grow the state store — this is what keeps state bounded
+          // by the MIX CONFIG (budgeted sources × nShards), not the
+          // stream's label space
+          if (quota > 0.0) state.update(spent)
           out.iterator
         })
   }
