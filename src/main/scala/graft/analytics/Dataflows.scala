@@ -147,8 +147,14 @@ object Dataflows {
 
   /** Priority per under-replicated block (UnderReplicatedBlocks.java:70-90):
     * 0 = last replica (or decommissioned-only), 1 = < 1/3 of expected,
-    * 2 = rest; then the budgeted pick = top-k by (priority, blockId) —
-    * chooseUnderReplicatedBlocks (FSNamesystem.java:2043-2098). */
+    * 2 = rest; then the budgeted pick round-robins the budget across the
+    * levels — chooseUnderReplicatedBlocks (FSNamesystem.java:2043-2098) —
+    * so a flood of priority-0 blocks can never starve levels 1-2 of
+    * replication work. Each level is first pruned to its top-k by blockId
+    * (a per-level TakeOrderedAndProject — no global sort, no wide window
+    * at 100 TB where the under-replicated set can be table-sized), then
+    * the per-level take thresholds are computed driver-side over the 3
+    * bounded counts ([[roundRobinTakes]]). */
   def underReplicated(block: DataFrame, file: DataFrame, datanode: DataFrame,
                       nowMs: Long, k: Int): DataFrame = {
     val liveNodeIds = StateManager.liveDatanodes(datanode, nowMs)
@@ -160,14 +166,57 @@ object Dataflows {
       .agg(count(lit(1)).as("liveReplicaCount"))
     val expected = live(file).filter(col("length") =!= -1L)
       .select(col("id").as("fid"), col("replication").as("expectedReplication"))
-    liveReplicas.join(expected, col("fileId") === col("fid")).drop("fid")
+    val scored = liveReplicas.join(expected, col("fileId") === col("fid")).drop("fid")
       .filter(col("liveReplicaCount") < col("expectedReplication"))
       .withColumn("priority",
         when(col("liveReplicaCount") <= 1, lit(0))
           .when(col("liveReplicaCount") * 3 < col("expectedReplication"), lit(1))
           .otherwise(lit(2)))
+    // a level can never take more than the whole budget, so pruning each
+    // level to k rows preserves the allocation exactly
+    val pruned = (0 to 2).map(l =>
+        scored.filter(col("priority") === l).orderBy(col("blockId")).limit(k))
+      .reduce(_.unionByName(_)).persist()
+    val counts = pruned.groupBy(col("priority")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
+    val takes = roundRobinTakes(k,
+      Array(counts.getOrElse(0, 0), counts.getOrElse(1, 0), counts.getOrElse(2, 0)))
+    val w = Window.partitionBy(col("priority")).orderBy(col("blockId"))
+    val out = pruned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= when(col("priority") === 0, takes(0))
+        .when(col("priority") === 1, takes(1)).otherwise(takes(2)))
+      .drop("__rn")
       .orderBy(col("priority"), col("blockId"))
-      .limit(k)
+    graft.core.Caching.materializeAndRelease(out, Seq(pruned))
+  }
+
+  /** chooseUnderReplicatedBlocks' budget split (FSNamesystem.java:2043-2098):
+    * sweep the levels round-robin — each sweep offers every level
+    * ceil(remaining/3), a level's unused quota spills to the next level,
+    * and budget left after a sweep wraps into the next one — until the
+    * budget or all demand is exhausted. Driver-side over 3 bounded counts. */
+  private[graft] def roundRobinTakes(budget: Int, demand: Array[Int]): Array[Int] = {
+    require(demand.length == 3, "three priority levels")
+    val takes = Array(0, 0, 0)
+    var r = math.min(budget, demand.map(_.toLong).sum.min(Int.MaxValue).toInt)
+    var progressed = true
+    while (r > 0 && progressed) {
+      progressed = false
+      val base = (r + 2) / 3
+      var rem = r
+      var spill = 0
+      var l = 0
+      while (l < 3) {
+        val quota = math.min(base + spill, rem)
+        val t = math.min(quota, demand(l) - takes(l))
+        if (t > 0) { takes(l) += t; rem -= t; progressed = true }
+        spill = quota - t
+        l += 1
+      }
+      r = rem
+    }
+    takes
   }
 
   // ---- N8: excess replicas (processOverReplicatedBlock :2789-2890) -----

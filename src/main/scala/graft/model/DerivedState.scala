@@ -146,10 +146,14 @@ object DerivedState {
       .mkString("WITH ", ",\n", "\n")
 
   /** Prepend the derived-table CTEs; a query that itself starts with WITH
-    * gets its CTE list merged into the prefix. */
+    * gets its CTE list merged into the prefix (RECURSIVE, which SQL only
+    * allows once at the head of the whole WITH clause, is hoisted). */
   def oracle(sql: String): String = {
     val t = sql.trim
-    if (t.regionMatches(true, 0, "WITH ", 0, 5))
+    if (t.regionMatches(true, 0, "WITH RECURSIVE ", 0, 15))
+      "WITH RECURSIVE " + oraclePrefix.stripSuffix("\n").stripPrefix("WITH ") +
+        ",\n" + t.substring(15)
+    else if (t.regionMatches(true, 0, "WITH ", 0, 5))
       oraclePrefix.stripSuffix("\n") + ",\n" + t.substring(5)
     else oraclePrefix + sql
   }

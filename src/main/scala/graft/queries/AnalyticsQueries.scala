@@ -220,22 +220,58 @@ object AnalyticsQueries {
     "n5_block_report" -> O(N5OracleSql),
     // the streamed variant must land on the identical result
     "n5_stream_report_parity" -> O(N5OracleSql),
+    // the recursive `alloc` CTE replays Dataflows.roundRobinTakes sweep by
+    // sweep: base = ceil(r/3) per level, unused quota spills to the next
+    // level, leftover budget wraps into the next sweep
     "n6_under_replicated" -> O(
-      """WITH livenodes AS (
+      """WITH RECURSIVE livenodes AS (
         |  SELECT id FROM datanode WHERE version > 0 AND adminState = 'NORMAL'
         |    AND lastUpdated >= 1700000000000 - 600000),
         |cnt AS (
         |  SELECT b.id AS blockId, b.fileId, COUNT(*) AS liveReplicaCount
         |  FROM block b JOIN livenodes n ON b.datanodeId = n.id
-        |  WHERE b.version > 0 GROUP BY b.id, b.fileId)
-        |SELECT c.blockId, c.fileId, c.liveReplicaCount,
-        |       f.replication AS expectedReplication,
-        |       CASE WHEN c.liveReplicaCount <= 1 THEN 0
-        |            WHEN c.liveReplicaCount * 3 < f.replication THEN 1
-        |            ELSE 2 END AS priority
-        |FROM cnt c JOIN file f ON c.fileId = f.id AND f.version > 0 AND f.length <> -1
-        |WHERE c.liveReplicaCount < f.replication
-        |ORDER BY priority, blockId LIMIT 100""".stripMargin),
+        |  WHERE b.version > 0 GROUP BY b.id, b.fileId),
+        |scored AS (
+        |  SELECT c.blockId, c.fileId, c.liveReplicaCount,
+        |         f.replication AS expectedReplication,
+        |         CASE WHEN c.liveReplicaCount <= 1 THEN 0
+        |              WHEN c.liveReplicaCount * 3 < f.replication THEN 1
+        |              ELSE 2 END AS priority
+        |  FROM cnt c JOIN file f ON c.fileId = f.id AND f.version > 0 AND f.length <> -1
+        |  WHERE c.liveReplicaCount < f.replication),
+        |demand AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN priority = 0 THEN 1 END), 0) AS BIGINT) AS d0,
+        |         CAST(COALESCE(SUM(CASE WHEN priority = 1 THEN 1 END), 0) AS BIGINT) AS d1,
+        |         CAST(COALESCE(SUM(CASE WHEN priority = 2 THEN 1 END), 0) AS BIGINT) AS d2
+        |  FROM scored),
+        |alloc AS (
+        |  SELECT LEAST(CAST(100 AS BIGINT), d0 + d1 + d2) AS r,
+        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS t1,
+        |         CAST(0 AS BIGINT) AS t2, CAST(1 AS BIGINT) AS moved
+        |  FROM demand
+        |  UNION ALL
+        |  SELECT rem2 - a2, t0 + a0, t1 + a1, t2 + a2, a0 + a1 + a2
+        |  FROM (
+        |    SELECT *, LEAST(base + (q1 - a1), rem2, d2 - t2) AS a2 FROM (
+        |      SELECT *, rem1 - a1 AS rem2 FROM (
+        |        SELECT *, LEAST(q1, d1 - t1) AS a1 FROM (
+        |          SELECT *, LEAST(base + (q0 - a0), rem1) AS q1 FROM (
+        |            SELECT *, r - a0 AS rem1 FROM (
+        |              SELECT *, LEAST(q0, d0 - t0) AS a0 FROM (
+        |                SELECT a.r, a.t0, a.t1, a.t2, d.d0, d.d1, d.d2,
+        |                       (a.r + 2) // 3 AS base,
+        |                       LEAST((a.r + 2) // 3, a.r) AS q0
+        |                FROM alloc a, demand d
+        |                WHERE a.r > 0 AND a.moved > 0)))))))),
+        |takes AS (
+        |  SELECT MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2 FROM alloc),
+        |picked AS (
+        |  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY priority ORDER BY blockId) AS rn
+        |  FROM scored s)
+        |SELECT p.blockId, p.fileId, p.liveReplicaCount, p.expectedReplication, p.priority
+        |FROM picked p, takes t
+        |WHERE p.rn <= CASE p.priority WHEN 0 THEN t.t0 WHEN 1 THEN t.t1 ELSE t.t2 END
+        |ORDER BY p.priority, p.blockId""".stripMargin),
     "n8_excess_replicas" -> O(
       """WITH x AS (
         |  SELECT b.id, b.datanodeId, d.remaining, f.replication,

@@ -81,6 +81,37 @@ class DataflowsSpec extends SparkSpec {
     assert(m(201L) == (1L, 0) && m(202L) == (1L, 0) && m(203L) == (1L, 0))
   }
 
+  test("N6: round-robin budget split — a P0 flood does not starve P1") {
+    val dn = Seq(
+      (1L, "dn1", "DS-1", 0L, 0L, 1000L, 0L, 900L, now - 1L, 0L, "/r1", "NORMAL", 1L),
+      (2L, "dn2", "DS-2", 0L, 0L, 1000L, 0L, 900L, now - 1L, 0L, "/r1", "NORMAL", 2L),
+    ).toDF("id", "name", "storageId", "ipcPort", "infoPort", "capacity", "dfsUsed",
+      "remaining", "lastUpdated", "xceiverCount", "location", "adminState", "version")
+    val files = Seq((1L, 100L, 2L, 1L), (2L, 100L, 7L, 1L))
+      .toDF("id", "length", "replication", "version")
+    // 40 last-replica blocks (priority 0) vs 10 at 2/7 replicas (priority 1)
+    val p0 = (0 until 40).map(i => (1000L + i, 1L, 1L, 1L))
+    val p1 = (0 until 10).flatMap(i =>
+      Seq((2000L + i, 1L, 2L, 1L), (2000L + i, 2L, 2L, 1L)))
+    val blocks = (p0 ++ p1).toDF("id", "datanodeId", "fileId", "version")
+    val out = rows(Dataflows.underReplicated(blocks, files, dn, now, k = 12)
+      .select(col("blockId"), col("priority")))
+    val byPrio = out.groupBy(_(1))
+      .map { case (p, rs) => p -> rs.map(_.head.asInstanceOf[Long]).sorted }
+    // strict (priority, blockId) top-12 would take 12 P0 blocks and starve
+    // P1 entirely; the round-robin split gives each level its share
+    assert(byPrio(0) == (1000L to 1005L).toSeq)
+    assert(byPrio(1) == (2000L to 2005L).toSeq)
+  }
+
+  test("N6: roundRobinTakes spill-and-wrap allocation") {
+    assert(Dataflows.roundRobinTakes(10, Array(1, 100, 100)).toSeq == Seq(1, 7, 2))
+    assert(Dataflows.roundRobinTakes(10, Array(100, 0, 0)).toSeq == Seq(10, 0, 0))
+    assert(Dataflows.roundRobinTakes(9, Array(100, 100, 100)).toSeq == Seq(3, 3, 3))
+    assert(Dataflows.roundRobinTakes(10, Array(0, 0, 4)).toSeq == Seq(0, 0, 4))
+    assert(Dataflows.roundRobinTakes(0, Array(5, 5, 5)).toSeq == Seq(0, 0, 0))
+  }
+
   test("N17: block synchronization reconciles to max genstamp, min length") {
     val out = rows(Dataflows.blockSynchronization(block)
       .select(col("id"), col("recoveredGenStamp"), col("recoveredLength"), col("syncReplicas")))
