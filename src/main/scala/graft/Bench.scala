@@ -36,27 +36,38 @@ object Bench {
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times
+      (name, times, failed)
     }
     // true median: midpoint average for even rep counts — ts(size/2) would
     // report the WORSE of two runs under REPS=2, defeating the purpose
     def median(ts: Seq[Double]): Double =
       if (ts.size % 2 == 1) ts(ts.size / 2)
       else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + median(ts) }
-      .mkString("{", ",", "}")
-    val spread = results.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.head + "," + median(ts) + "," + ts.last + "]"
+    // a failed query reports null, never its time-to-failure: a crash must
+    // not read as a speedup in the committed JSON
+    val qs = results.map { case (k, ts, failed) =>
+      "\"" + k + "\":" + (if (failed) "null" else median(ts).toString)
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, ts) => median(ts) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, ts, failed) =>
+      "\"" + k + "\":" +
+        (if (failed) "null" else s"[${ts.head},${median(ts)},${ts.last}]")
+    }.mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, ts, false) => median(ts) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

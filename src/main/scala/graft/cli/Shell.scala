@@ -80,6 +80,13 @@ object Shell {
       (if (cut == 0) "/" else trimmed.substring(0, cut), trimmed.substring(cut + 1))
     }
 
+    // bounded write-sets come back as local-row frames: the distributed
+    // plan executes exactly once and no persisted/checkpointed storage
+    // outlives the verb (run() is reused across many calls in one session)
+    def localized(rows: Array[org.apache.spark.sql.Row],
+                  schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
     def resolve(p: String): Long =
       if (p == "/" || p.isEmpty) 0L
       else {
@@ -127,33 +134,37 @@ object Shell {
           .filter(col("reject").isNotNull).select(col("reject")).collect()
         require(rejects.isEmpty, s"$verb $path refused: ${rejects.head.getString(0)}")
         val idBase = file.agg(max(col("id"))).collect()(0).getLong(0)
-        // localCheckpoint: execute the write-set plan ONCE, then both the
-        // drift guard below and the caller's consumption read the
-        // materialized rows (mkdirs re-validates internally; if its rules
-        // ever drift ahead of the pre-check above, fail loud, not empty)
+        // collect: execute the write-set plan ONCE, then both the drift
+        // guard below and the caller's consumption read the local rows
+        // (mkdirs re-validates internally; if its rules ever drift ahead
+        // of the pre-check above, fail loud, not empty). A write-set is
+        // bounded by the request batch — localizing it leaves nothing
+        // cached behind in a long-lived session (run() is a reusable API).
         val ws = Mutations.mkdirs(file, req, idBase = idBase, nowMs = Now,
-            leafLength = if (verb == "mkdir") -1L else 0L)
-          .orderBy(col("writeOp"), col("id"))
-          .localCheckpoint()
-        require(ws.filter(col("writeOp") === "insert").limit(1).count() > 0,
+          leafLength = if (verb == "mkdir") -1L else 0L)
+        val rows = ws.orderBy(col("writeOp"), col("id")).collect()
+        require(rows.exists(_.getAs[String]("writeOp") == "insert"),
           s"$verb $path refused by mkdirs validation")
-        ws
+        localized(rows, ws.schema)
       case "mv" =>
         require(args.size >= 2, "usage: mv <src> <dstPath>")
         val id = resolve(path)
         val (dstParent, newName) = splitPath(args(1))
         // rename returns a MATERIALIZED persisted write-set (Caching
-        // contract), so the refusal check below and the display both
-        // read the cache; the one-verb-per-process CLI drops it on exit
+        // contract); localize it and release the cache whether or not the
+        // refusal check passes — run() is a reusable API, not only the
+        // one-verb-per-process CLI, so it must not leak per-call storage
         val out = Mutations.rename(file,
-            Seq((id, resolve(dstParent), newName)).toDF("id", "newParentId", "newName"),
-            nowMs = Now)
-          .orderBy(col("writeOp"), col("id"))
-        // rename drops rejected rows from the write-set — surface the
-        // refusal (target exists / under own subtree / ...) loudly
-        require(out.filter(col("writeOp") === "move").limit(1).count() > 0,
-          s"mv $path -> ${args(1)} refused by rename validation")
-        out
+          Seq((id, resolve(dstParent), newName)).toDF("id", "newParentId", "newName"),
+          nowMs = Now)
+        try {
+          val rows = out.orderBy(col("writeOp"), col("id")).collect()
+          // rename drops rejected rows from the write-set — surface the
+          // refusal (target exists / under own subtree / ...) loudly
+          require(rows.exists(_.getAs[String]("writeOp") == "move"),
+            s"mv $path -> ${args(1)} refused by rename validation")
+          localized(rows, out.schema)
+        } finally out.unpersist(blocking = false)
       case "rm" =>
         Mutations.guardedDelete(file, Seq(resolve(path)).toDF("id"))
           .orderBy(col("id"))

@@ -119,13 +119,42 @@ object Changefeed {
     val exSig = Dedup.withBands(Dedup.minhashSignatures(existing, idCol, textCol))
       .persist()
     exSig.count() // materialize before the first batch arrives
-    docs.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val out = Dedup.incrementalLshAgainst(
-          exSig, batch.toDF(), idCol, textCol, minEst = minEst)
-        sink(out, batchId)
+    val session = docs.sparkSession
+    // release the corpus signature cache when THIS query terminates —
+    // repeated start/stop in one session (tests, restarts) must not
+    // accumulate corpus-sized cached frames. The listener is registered
+    // before start() and keyed by id set immediately after, so the async
+    // termination event (delivered on the listener bus, strictly after
+    // start() returns) always sees the id.
+    val queryId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == queryId.get) {
+          exSig.unpersist(blocking = false)
+          session.streams.removeListener(this)
+        }
+    }
+    session.streams.addListener(listener)
+    val query =
+      try {
+        docs.writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val out = Dedup.incrementalLshAgainst(
+              exSig, batch.toDF(), idCol, textCol, minEst = minEst)
+            sink(out, batchId)
+          }
+          .start()
+      } catch {
+        case e: Throwable =>
+          session.streams.removeListener(listener)
+          exSig.unpersist(blocking = false)
+          throw e
       }
-      .start()
+    queryId.set(query.id)
+    query
   }
 
   /** Streaming ANN ingest: the streaming twin of
