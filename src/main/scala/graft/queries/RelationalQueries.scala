@@ -314,6 +314,80 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
         .orderBy($"cntrycode")
     },
+    // Q2-shape: min-cost supplier per part in one region — the classic
+    // correlated-MIN subquery, rewritten as a min-per-group join-back.
+    // (No partsupp table in the synthetic schema: the part-supplier cost
+    // relation is derived as MIN(l_extendedprice) per (part, supplier) —
+    // MIN of raw doubles, so the join-back equality is exact in both
+    // engines.)
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      import s.implicits._
+      val cost = Tables.lineitem(s, dir)
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"l_extendedprice").as("supplycost"))
+      val eu = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir).filter($"r_name" === "EUROPE")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val ec = cost.join(broadcast(eu), $"l_suppkey" === $"s_suppkey")
+      val minCost = ec.groupBy($"l_partkey".as("__pk"))
+        .agg(min($"supplycost").as("__min"))
+      val p = Tables.part(s, dir).filter($"p_size" <= 10 && $"p_type" === "STANDARD")
+      ec.join(minCost, $"l_partkey" === $"__pk" && $"supplycost" === $"__min")
+        .drop("__pk", "__min")
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
+          $"s_suppkey", $"supplycost")
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
+    },
+    // Q11-shape: important stock — per-part value within one nation
+    // group's suppliers, kept above a scalar-aggregate fraction of the
+    // total (the HAVING-scalar-subquery shape). Threshold derives from
+    // the same exact decimal total on both sides, then one double
+    // multiply — no accumulation-order drift.
+    "q11_important_stock" -> { (s, dir) =>
+      import s.implicits._
+      val scopedSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .filter($"n_name".isin("NATION_3", "NATION_8"))),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey")
+      val scoped = Tables.lineitem(s, dir)
+        .join(broadcast(scopedSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
+      val v = scoped.groupBy($"l_partkey")
+        .agg(dsum($"l_extendedprice" * $"l_quantity").as("value"))
+      val thresh = scoped
+        .agg((dsum($"l_extendedprice" * $"l_quantity") * lit(0.001)).as("__t"))
+      v.join(broadcast(thresh), $"value" > $"__t").drop("__t")
+        .orderBy($"value".desc, $"l_partkey")
+    },
+    // Q20-shape: potential part promotion — a semi-join chain: parts by
+    // name pattern → per-(supplier, part) availability proxy vs the
+    // quantity shipped in the target year → suppliers of one region that
+    // hold such surplus stock. All quantities are exact decimal sums, so
+    // the surplus comparison is bit-identical in both engines.
+    "q20_part_promotion" -> { (s, dir) =>
+      import s.implicits._
+      val pk = Tables.part(s, dir).filter($"p_name".like("%bolt%"))
+        .select($"p_partkey")
+      val a = Tables.lineitem(s, dir)
+        .join(broadcast(pk), $"l_partkey" === $"p_partkey", "left_semi")
+        .groupBy($"l_suppkey", $"l_partkey")
+        .agg(dsum($"l_quantity").as("avail"),
+          dsum(when($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1997-01-01").cast("timestamp"), $"l_quantity")
+            .otherwise(0.0)).as("shipped"))
+      val qualified = a.filter($"avail" > lit(2.0) * $"shipped")
+        .select($"l_suppkey").distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter($"n_regionkey" === 2)),
+          $"s_nationkey" === $"n_nationkey")
+        .join(qualified, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name", $"n_name")
+        .orderBy($"s_suppkey")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -508,6 +582,59 @@ object RelationalQueries {
         |                    AND l2.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |ec AS (
+        |  SELECT c.l_partkey, c.supplycost, e.s_suppkey, e.s_name,
+        |         e.s_acctbal, e.n_name
+        |  FROM cost c JOIN eu e ON c.l_suppkey = e.s_suppkey)
+        |SELECT ec.s_acctbal, ec.s_name, ec.n_name, p.p_partkey,
+        |       ec.s_suppkey, ec.supplycost
+        |FROM part p JOIN ec ON p.p_partkey = ec.l_partkey
+        |WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+        |  AND ec.supplycost = (SELECT MIN(supplycost) FROM ec e2
+        |                       WHERE e2.l_partkey = p.p_partkey)
+        |ORDER BY ec.s_acctbal DESC, ec.n_name, ec.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      """WITH scoped AS (
+        |  SELECT l_partkey, l_extendedprice, l_quantity
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name IN ('NATION_3', 'NATION_8'))),
+        |v AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS value
+        |  FROM scoped GROUP BY l_partkey)
+        |SELECT l_partkey, value FROM v
+        |WHERE value > (
+        |  SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |         * CAST(0.001 AS DOUBLE)
+        |  FROM scoped)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q20_part_promotion" ->
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'),
+        |a AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS avail,
+        |    CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |          AND l_shipdate < TIMESTAMP '1997-01-01'
+        |          THEN l_quantity ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS shipped
+        |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pk)
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |  AND s_suppkey IN (SELECT l_suppkey FROM a
+        |                    WHERE avail > CAST(2.0 AS DOUBLE) * shipped)
+        |ORDER BY s_suppkey""".stripMargin,
     "q22_sales_opportunity" ->
       """WITH cc AS (
         |  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
