@@ -1,32 +1,43 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Membership/cardinality sketches (SURVEY §2.5 F7): the reference's
   * bloom-filter family (standard/counting/dynamic/retouched, under
-  * C/org/apache/hadoop/util/bloom/) maps to Spark's built-in
-  * BloomFilter sketch + approx_count_distinct (HLL). The filter is built
-  * distributed (one pass, merged on the driver) and applied as a
-  * broadcast predicate — the classic semi-join pruning pattern for
-  * 100 TB joins where the build side is small.
+  * C/org/apache/hadoop/util/bloom/) maps to Spark's built-in bloom
+  * expression pair + approx_count_distinct (HLL). The filter is built
+  * as the BloomFilterAggregate binary aggregate (map-side partial
+  * build, one merge — the same expression Spark's runtime join filters
+  * use) and probed with the codegen'd BloomFilterMightContain, so a
+  * 100 TB semi-join prune stays inside whole-stage codegen instead of
+  * paying a per-row Scala UDF call.
   */
 object Sketches {
 
-  /** Build a bloom filter over a column (distributed build + merge). */
+  /** Build a bloom filter over a LONG column as a distributed binary
+    * aggregate; returns the merged filter's serialized bytes. */
   def buildBloom(df: DataFrame, column: String, expectedItems: Long,
-                 fpp: Double = 0.01): BloomFilter =
-    df.stat.bloomFilter(column, expectedItems, fpp)
+                 fpp: Double = 0.01): Array[Byte] = {
+    // optimal sizing m = -n·ln(p)/ln(2)² (the classic bloom formula)
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new BloomFilterAggregate(ColumnBridge.expression(col(column)),
+      Literal(expectedItems), Literal(numBits))
+    df.select(ColumnBridge.column(agg.toAggregateExpression()).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+  }
 
   /** Prune `df` to rows whose `column` might be in the filter — false
-    * positives possible, false negatives not (BloomMapFile semantics). */
-  def mightContain(df: DataFrame, column: String, bloom: BloomFilter): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(bloom)
-    val contains = udf((v: Long) => bc.value.mightContainLong(v))
-    df.filter(contains(col(column)))
-  }
+    * positives possible, false negatives not (BloomMapFile semantics).
+    * The probe is a native codegen'd expression over the filter literal. */
+  def mightContain(df: DataFrame, column: String, bloom: Array[Byte]): DataFrame =
+    df.filter(ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), ColumnBridge.expression(col(column)))))
 
   /** HLL cardinality per group — the sketch analog of COUNT(DISTINCT). */
   def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
