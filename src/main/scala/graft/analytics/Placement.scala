@@ -57,9 +57,14 @@ object Placement {
       val second = chosen(1)
       pick(nodes.filter(_.rack == second.rack)).orElse(pick(nodes)).foreach(chosen += _)
     }
-    // rest: random fill
-    while (chosen.size < replication && pick(nodes).isDefined)
-      pick(nodes).foreach(chosen += _)
+    // rest: random fill — the guard and the placement consume the SAME
+    // draw, so each filled slot advances the RNG exactly once (replay
+    // traces match a single-draw reference walk)
+    var fill = if (chosen.size < replication) pick(nodes) else None
+    while (fill.isDefined) {
+      fill.foreach(chosen += _)
+      fill = if (chosen.size < replication) pick(nodes) else None
+    }
     chosen.toSeq
   }
 }

@@ -28,6 +28,7 @@ import graft.store.StateStore
   *   rmr <path>      recursive subtree tombstone write-set
   *   setrep <path> <n>   replication write-set for one live file
   *   chown <path> <uid>  owner write-set for one live file
+  *   chmod <path> <octal> validate + resolve, then reference-faithful no-op
   *   fsck            namespace health report
   *   report          datanode report
   *   append <path>   reopen-for-append write-set for one file
@@ -191,6 +192,24 @@ object Shell {
         Mutations.setAttrs(file, col("id") === id && col("version") > 0,
             Map("owner" -> StateStore.Assign(args(1).toLong)), nowMs = Now)
           .filter(col("id") === id)
+          .select(col("id"), col("name"), col("owner"), col("version"))
+      case "chmod" =>
+        require(args.size >= 2, "usage: chmod <path> <octalMode>")
+        val mode =
+          try java.lang.Integer.parseInt(args(1), 8)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"chmod: bad octal mode: ${args(1)}") }
+        require(mode >= 0 && mode <= 0xFFF, s"chmod: bad octal mode: ${args(1)}")
+        val id = resolve(path)
+        // Fidelity note: the reference's file model carries NO permission
+        // column (A/file/File.java:37-58 — owner is the only principal
+        // field) and its FSNamesystem.setPermission is an explicit TODO
+        // no-op (H/org/apache/hadoop/hdfs/server/namenode/
+        // FSNamesystem.java:578-580). chmod therefore validates the mode
+        // and resolves the path like every verb — refusing bad input
+        // loudly — and then, exactly like the reference, changes nothing:
+        // the live row comes back untouched (version included).
+        file.filter(col("id") === id && col("version") > 0)
           .select(col("id"), col("name"), col("owner"), col("version"))
       case "fsck" =>
         Dataflows.fsck(file, block, datanode, Now)

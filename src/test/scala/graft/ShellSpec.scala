@@ -60,6 +60,17 @@ class ShellSpec extends SparkSpec {
     val own = rows(Shell.run(spark, sf, "chown", Seq(fpath, "42")))
     assert(own.size == 1 && own.head(0) == fid && own.head(2) == 42L)
 
+    // chmod: validates mode + path, then — like the reference's no-op
+    // setPermission (no permission column in the file model) — returns
+    // the live row untouched, version included
+    val before = rows(spark.table("file").filter(col("id") === fid)
+      .select(col("id"), col("name"), col("owner"), col("version")))
+    assert(rows(Shell.run(spark, sf, "chmod", Seq(fpath, "755"))) == before)
+    assertThrows[IllegalArgumentException](
+      Shell.run(spark, sf, "chmod", Seq(fpath, "9x8")))
+    assertThrows[IllegalArgumentException](
+      Shell.run(spark, sf, "chmod", Seq("/no/such/path", "755")))
+
     // smoke: the original verbs still dispatch
     assert(rows(Shell.run(spark, sf, "test", Seq(fpath))).nonEmpty)
     assert(Shell.run(spark, sf, "fsck", Seq()).count() >= 1)
