@@ -240,6 +240,90 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed budgeted mix: spent quota survives a kill-and-resume") {
+    import graft.streaming.Changefeed.{MixAdmit, MixDoc}
+    implicit val sqlCtx = spark.sqlContext
+    // budget 100 over 2 shards → 50 tokens per (source, shard); docs are
+    // 10 tokens, so a shard admits while spent-before < 50
+    val budgets = Map("a" -> 100L)
+    val ckpt = graft.core.Caching.scratchDir("mixckpt").toString
+    val mem = MemoryStream[MixDoc]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[MixAdmit]()
+    def start() = Changefeed.streamingBudgetedMix(mem.toDS(), budgets, nShards = 2)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[MixAdmit], _: Long) =>
+        b.collect().foreach(emitted.add)
+      }
+      .start()
+    def kept = {
+      import scala.jdk.CollectionConverters._
+      emitted.iterator().asScala.filter(_.keep).map(_.id).toSet
+    }
+    val q1 = start()
+    try {
+      // shard 0 spends 30 of 50; shard 1 spends its full 50 (6th refused)
+      mem.addData((1L to 3L).map(i => MixDoc(i, "a", 10L, i, 0L)) ++
+        (11L to 16L).map(i => MixDoc(i, "a", 10L, i, 1L)): _*)
+      q1.processAllAvailable()
+      assert(kept == Set(1L, 2L, 3L, 11L, 12L, 13L, 14L, 15L))
+    } finally q1.stop() // kill
+    val q2 = start()    // resume from the checkpointed state store
+    try {
+      mem.addData((21L to 24L).map(i => MixDoc(i, "a", 10L, i, 0L)) :+
+        MixDoc(31L, "a", 10L, 31L, 1L): _*)
+      q2.processAllAvailable()
+      // shard 0 recovered spent=30: admits 21 (→40) and 22 (→50), refuses
+      // 23/24; shard 1 recovered spent=50: refuses 31 outright. A fresh
+      // (lost) state would have admitted 23, 24 and 31.
+      assert(kept == Set(1L, 2L, 3L, 11L, 12L, 13L, 14L, 15L, 21L, 22L))
+    } finally q2.stop()
+  }
+
+  test("streamed incremental LSH: late, out-of-order deliveries classify identically") {
+    implicit val sqlCtx = spark.sqlContext
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now friends"),
+    ).toDF("doc_id", "text")
+    val d10 = (10L, "the quick brown fox jumps over the lazy dog")
+    val d11 = (11L, "unrelated payload with its own vocabulary tokens throughout")
+    // batch-path expectation FIRST (its output frame stays persisted per
+    // the Caching contract), then baseline the cache census so the
+    // stream's own signature cache release is observable after stop()
+    val expect = graft.functions.Dedup.incrementalLsh(existing,
+        Seq(d10, d11).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val mem = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.concurrent.TrieMap[Long, Map[Long, (String, Any)]]()
+    val q = Changefeed.streamingIncrementalLsh(
+      mem.toDF().toDF("doc_id", "text"), existing, "doc_id", "text",
+      (out, bid) => perBatch(bid) = out.collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap)
+    try {
+      mem.addData(d11) // the "later" doc arrives first
+      q.processAllAvailable()
+      mem.addData(d10) // out-of-order arrival
+      q.processAllAvailable()
+      mem.addData(d10) // duplicate late re-delivery
+      q.processAllAvailable()
+      // every delivery classifies exactly as the one-shot batch op,
+      // regardless of arrival order or batch boundaries...
+      assert(perBatch(0L) == Map(11L -> expect(11L)))
+      assert(perBatch(1L) == Map(10L -> expect(10L)))
+      // ...and a re-delivery replays idempotently
+      assert(perBatch(2L) == perBatch(1L))
+    } finally q.stop()
+    // the termination listener releases the corpus signature cache
+    // (async event — poll briefly)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.size > cachedBefore &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore)
+  }
+
   test("streamed ANN ingest probes the standing IVF-PQ index per batch") {
     import graft.functions.Vectors
     implicit val sqlCtx = spark.sqlContext
