@@ -41,6 +41,54 @@ class ScaleSpec extends SparkSpec {
       s"bucketed blockEntries should not shuffle:\n$plan")
   }
 
+  test("S1 path walk over a parentId-bucketed file table plans zero hash exchange") {
+    // the cluster-scale namespace layout the StateManager scaladoc
+    // promises: file bucketed by parentId. Every level of the iterative
+    // walk (dirBroadcastLimit = 0 forces it) broadcasts the frontier
+    // against the bucketed scan — the whole resolution runs without one
+    // hash exchange, so it cannot degrade into tree-sized shuffles at
+    // 100 TB namespace scale
+    val f = (0 to 300).map { i =>
+      val parent = if (i == 0) 0L else (i - 1) / 3
+      (i.toLong, parent, if (i == 0) "" else s"n$i", if (i % 4 == 0) -1L else 10L,
+        64L, 1L, 0L, 0L, 0L, None: Option[String], 0L, i.toLong + 1)
+    }.toDF("id", "parentId", "name", "length", "blockSize", "replication",
+      "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    Scale.writeBucketed(f, "graft_bucketed_file", "parentId", buckets = 4)
+    val out = graft.state.StateManager.resolvePaths(
+      spark.table("graft_bucketed_file"),
+      Seq("/n1", "/n1/n4", "/n1/n4/n13").toDF("path"), dirBroadcastLimit = 0L)
+    assert(out.collect().length == 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed path walk must not hash-shuffle:\n${plan.take(4000)}")
+  }
+
+  test("N5 genstamp arbiter over an id-bucketed block table aggregates shuffle-free") {
+    // same id-bucketed block layout as the S8 case: the per-block
+    // max-genstamp arbiter groupBy is satisfied straight off the bucketed
+    // scan (partial+final aggregate collapse, no Exchange between them) —
+    // at 100 TB the arbiter pass costs a scan, never a table-wide shuffle
+    val blk = (1 to 2000).map(i =>
+      (i.toLong, 1L + i % 5, 10L, 7L, i.toLong % 200, 1L + i / 200, i.toLong))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version")
+    val reported = (1 to 500).map(i => (1L + i % 5, i.toLong, 10L, 7L))
+      .toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+    Scale.writeBucketed(blk, "graft_bucketed_blk5", "id", buckets = 4)
+    def exchanges(src: org.apache.spark.sql.DataFrame) = {
+      val df = graft.analytics.Dataflows.reconcileReports(src, reported)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val bucketed = exchanges(spark.table("graft_bucketed_blk5"))
+    // the arbiter's single-key aggregation exchange is gone entirely...
+    assert(!bucketed.contains("Exchange hashpartitioning(blockId"),
+      s"arbiter groupBy must read the bucket distribution:\n${bucketed.take(4000)}")
+    // ...and strictly fewer hash exchanges than the unbucketed plan
+    def count(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(count(bucketed) < count(exchanges(blk)))
+  }
+
   test("P3 limited update plans as top-n, not a global sort or window") {
     import graft.store.{Comparator, IndexDef, StateStore}
     val t = (1 to 5000).map(i => (i.toLong, i.toLong, 1L)).toDF("id", "v", "version")
