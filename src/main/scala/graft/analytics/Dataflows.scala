@@ -172,10 +172,15 @@ object Dataflows {
         when(col("liveReplicaCount") <= 1, lit(0))
           .when(col("liveReplicaCount") * 3 < col("expectedReplication"), lit(1))
           .otherwise(lit(2)))
+    // persist the scored set: the three per-level prunes below each read
+    // it, and without the cache every prune re-runs the replica
+    // aggregation's reduce side (measured slower than the cache write
+    // even with ReuseExchange deduping the map side)
+    val scoredCached = scored.persist()
     // a level can never take more than the whole budget, so pruning each
     // level to k rows preserves the allocation exactly
     val pruned = (0 to 2).map(l =>
-        scored.filter(col("priority") === l).orderBy(col("blockId")).limit(k))
+        scoredCached.filter(col("priority") === l).orderBy(col("blockId")).limit(k))
       .reduce(_.unionByName(_)).persist()
     val counts = pruned.groupBy(col("priority")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
@@ -188,7 +193,7 @@ object Dataflows {
         .when(col("priority") === 1, takes(1)).otherwise(takes(2)))
       .drop("__rn")
       .orderBy(col("priority"), col("blockId"))
-    graft.core.Caching.materializeAndRelease(out, Seq(pruned))
+    graft.core.Caching.materializeAndRelease(out, Seq(scoredCached, pruned))
   }
 
   /** chooseUnderReplicatedBlocks' budget split (FSNamesystem.java:2043-2098):
