@@ -66,7 +66,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedNames = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, ts, false) => median(ts) }.sum
+    // a run with any failure reports a null TOTAL too: a sum missing a
+    // crashed query's time would read as a cross-round speedup
+    val total =
+      if (results.exists(_._3)) "null"
+      else results.collect { case (_, ts, false) => median(ts) }.sum.toString
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }

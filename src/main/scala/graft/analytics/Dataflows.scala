@@ -268,7 +268,11 @@ object Dataflows {
         r.getLong(3), r.getString(4)))
       .toSeq
     val budget = math.max(1, liveNodes.size * workMultiplier)
-    val work = underReplicated(block, file, datanode, nowMs, budget).collect()
+    // underReplicated returns a persisted frame (Caching contract); this
+    // one-shot consumer owns the release — a monitor ticking every few
+    // seconds must not orphan one cache entry per cycle
+    val workDf = underReplicated(block, file, datanode, nowMs, budget)
+    val work = try workDf.collect() finally workDf.unpersist(blocking = false)
     val spark = block.sparkSession
     import spark.implicits._
     val replicationWork = work.toSeq.map { r =>

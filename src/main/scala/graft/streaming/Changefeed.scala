@@ -122,20 +122,27 @@ object Changefeed {
     val session = docs.sparkSession
     // release the corpus signature cache when THIS query terminates —
     // repeated start/stop in one session (tests, restarts) must not
-    // accumulate corpus-sized cached frames. The listener is registered
-    // before start() and keyed by id set immediately after, so the async
-    // termination event (delivered on the listener bus, strictly after
-    // start() returns) always sees the id.
+    // accumulate corpus-sized cached frames. Termination events are
+    // delivered asynchronously on the listener bus, possibly BEFORE the
+    // caller thread has recorded the query id — so the listener records
+    // every termination it sees, and whichever side observes both facts
+    // (id known + that id terminated) performs the one release.
     val queryId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]
+    val terminated = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def releaseCache(): Unit =
+      if (released.compareAndSet(false, true)) exSig.unpersist(blocking = false)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+        terminated.add(e.id)
         if (e.id == queryId.get) {
-          exSig.unpersist(blocking = false)
+          releaseCache()
           session.streams.removeListener(this)
         }
+      }
     }
     session.streams.addListener(listener)
     val query =
@@ -149,11 +156,15 @@ object Changefeed {
           .start()
       } catch {
         case e: Throwable =>
+          releaseCache()
           session.streams.removeListener(listener)
-          exSig.unpersist(blocking = false)
           throw e
       }
     queryId.set(query.id)
+    if (terminated.contains(query.id)) { // terminated before the id landed
+      releaseCache()
+      session.streams.removeListener(listener)
+    }
     query
   }
 

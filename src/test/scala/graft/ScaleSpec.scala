@@ -42,12 +42,14 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("S1 path walk over a parentId-bucketed file table plans zero hash exchange") {
-    // the cluster-scale namespace layout the StateManager scaladoc
-    // promises: file bucketed by parentId. Every level of the iterative
-    // walk (dirBroadcastLimit = 0 forces it) broadcasts the frontier
-    // against the bucketed scan — the whole resolution runs without one
-    // hash exchange, so it cannot degrade into tree-sized shuffles at
-    // 100 TB namespace scale
+    // the scale property pinned here: every level of the iterative walk
+    // (dirBroadcastLimit = 0 forces it) BROADCASTS the frontier against
+    // the file scan, so path resolution never hash-shuffles the namespace
+    // table — for any layout; a regression to a shuffle join fails this.
+    // The table is written in the parentId-bucketed layout the
+    // StateManager scaladoc names for cluster scale, which exercises the
+    // bucketed reader through the walk (the no-exchange claim itself
+    // does not depend on the bucketing — the broadcast is stronger)
     val f = (0 to 300).map { i =>
       val parent = if (i == 0) 0L else (i - 1) / 3
       (i.toLong, parent, if (i == 0) "" else s"n$i", if (i % 4 == 0) -1L else 10L,
