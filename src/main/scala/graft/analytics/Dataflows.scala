@@ -182,18 +182,27 @@ object Dataflows {
     val pruned = (0 to 2).map(l =>
         scoredCached.filter(col("priority") === l).orderBy(col("blockId")).limit(k))
       .reduce(_.unionByName(_)).persist()
-    val counts = pruned.groupBy(col("priority")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
-    val takes = roundRobinTakes(k,
-      Array(counts.getOrElse(0, 0), counts.getOrElse(1, 0), counts.getOrElse(2, 0)))
-    val w = Window.partitionBy(col("priority")).orderBy(col("blockId"))
-    val out = pruned
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= when(col("priority") === 0, takes(0))
-        .when(col("priority") === 1, takes(1)).otherwise(takes(2)))
-      .drop("__rn")
-      .orderBy(col("priority"), col("blockId"))
-    graft.core.Caching.materializeAndRelease(out, Seq(scoredCached, pruned))
+    try {
+      val counts = pruned.groupBy(col("priority")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
+      val takes = roundRobinTakes(k,
+        Array(counts.getOrElse(0, 0), counts.getOrElse(1, 0), counts.getOrElse(2, 0)))
+      val w = Window.partitionBy(col("priority")).orderBy(col("blockId"))
+      val out = pruned
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= when(col("priority") === 0, takes(0))
+          .when(col("priority") === 1, takes(1)).otherwise(takes(2)))
+        .drop("__rn")
+        .orderBy(col("priority"), col("blockId"))
+      graft.core.Caching.materializeAndRelease(out, Seq(scoredCached, pruned))
+    } catch {
+      // a failing action between the persists and the release above must
+      // not orphan the intermediates (monitor ticks repeat)
+      case e: Throwable =>
+        scoredCached.unpersist(blocking = false)
+        pruned.unpersist(blocking = false)
+        throw e
+    }
   }
 
   /** chooseUnderReplicatedBlocks' budget split (FSNamesystem.java:2043-2098):

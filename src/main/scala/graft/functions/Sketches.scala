@@ -22,26 +22,19 @@ object Sketches {
   /** Build a bloom filter over a LONG column as a distributed binary
     * aggregate; returns the merged filter's serialized bytes.
     *
-    * Sizing is clamped to the session's runtime-bloom-filter maxima
-    * (BloomFilterAggregate hard-requires estimatedNumItems/numBits under
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`,
-    * default 4M items / 64M bits). Clamping keeps the no-false-negatives
-    * contract — only the false-POSITIVE rate degrades past the cap — so
-    * oversized builds stay correct prunes; raise those two confs for a
+    * BloomFilterAggregate clamps the requested sizing to the session's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * internally (default 4M items / 64M bits), which preserves the
+    * no-false-negatives contract — only the false-POSITIVE rate degrades
+    * past the cap (spec'd in FormatsSpec). Raise those confs for a
     * full-fidelity filter at larger cardinalities. */
   def buildBloom(df: DataFrame, column: String, expectedItems: Long,
                  fpp: Double = 0.01): Array[Byte] = {
-    val conf = df.sparkSession.conf
-    val maxItems =
-      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val maxBits =
-      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-    val items = math.min(expectedItems, maxItems)
     // optimal sizing m = -n·ln(p)/ln(2)² (the classic bloom formula)
-    val numBits = math.min(maxBits, math.max(64L,
-      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val agg = new BloomFilterAggregate(ColumnBridge.expression(col(column)),
-      Literal(items), Literal(numBits))
+      Literal(expectedItems), Literal(numBits))
     df.select(ColumnBridge.column(agg.toAggregateExpression()).as("bloom"))
       .head().getAs[Array[Byte]](0)
   }

@@ -127,7 +127,10 @@ object Changefeed {
     // caller thread has recorded the query id — so the listener records
     // every termination it sees, and whichever side observes both facts
     // (id known + that id terminated) performs the one release.
-    val queryId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]
+    // keyed by runId, not id: a query id is stable across checkpoint
+    // restarts, so a late event from a prior run could otherwise release
+    // a live successor's cache — runId is unique per run
+    val queryRunId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]
     val terminated = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     def releaseCache(): Unit =
@@ -137,8 +140,8 @@ object Changefeed {
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
-        terminated.add(e.id)
-        if (e.id == queryId.get) {
+        terminated.add(e.runId)
+        if (e.runId == queryRunId.get) {
           releaseCache()
           session.streams.removeListener(this)
         }
@@ -160,8 +163,8 @@ object Changefeed {
           session.streams.removeListener(listener)
           throw e
       }
-    queryId.set(query.id)
-    if (terminated.contains(query.id)) { // terminated before the id landed
+    queryRunId.set(query.runId)
+    if (terminated.contains(query.runId)) { // terminated before the id landed
       releaseCache()
       session.streams.removeListener(listener)
     }

@@ -66,8 +66,8 @@ class FormatsSpec extends SparkSpec {
     assert(keys.forall(kept.contains)) // no false negatives
     assert(kept.size < 1000)           // pruned most non-members
     // oversized builds clamp to the session's runtime-bloom maxima
-    // instead of tripping BloomFilterAggregate's hard require — and the
-    // clamped filter still never false-negatives
+    // inside BloomFilterAggregate — and the clamped filter still never
+    // false-negatives
     val big = Sketches.buildBloom(build, "k", expectedItems = 100000000L, fpp = 0.0001)
     val keptBig = rows(Sketches.mightContain(probe, "k", big))
       .map(_.head.asInstanceOf[Long]).toSet
