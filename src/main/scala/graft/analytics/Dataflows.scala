@@ -172,35 +172,32 @@ object Dataflows {
         when(col("liveReplicaCount") <= 1, lit(0))
           .when(col("liveReplicaCount") * 3 < col("expectedReplication"), lit(1))
           .otherwise(lit(2)))
-    // persist the scored set: the three per-level prunes below each read
-    // it, and without the cache every prune re-runs the replica
-    // aggregation's reduce side (measured slower than the cache write
-    // even with ReuseExchange deduping the map side)
+    // persist the scored set: the level-count aggregate and the per-level
+    // picks below each read it, and without the cache every consumer
+    // re-runs the replica aggregation's reduce side (measured slower
+    // than the cache write even with ReuseExchange deduping the map side)
     val scoredCached = scored.persist()
-    // a level can never take more than the whole budget, so pruning each
-    // level to k rows preserves the allocation exactly
-    val pruned = (0 to 2).map(l =>
-        scoredCached.filter(col("priority") === l).orderBy(col("blockId")).limit(k))
-      .reduce(_.unionByName(_)).persist()
     try {
-      val counts = pruned.groupBy(col("priority")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
+      // level demand capped at k — a level can never take more than the
+      // whole budget, so the cap preserves the allocation exactly
+      val counts = scoredCached.groupBy(col("priority")).count().collect()
+        .map(r => r.getInt(0) -> math.min(r.getLong(1), k.toLong).toInt).toMap
       val takes = roundRobinTakes(k,
         Array(counts.getOrElse(0, 0), counts.getOrElse(1, 0), counts.getOrElse(2, 0)))
-      val w = Window.partitionBy(col("priority")).orderBy(col("blockId"))
-      val out = pruned
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= when(col("priority") === 0, takes(0))
-          .when(col("priority") === 1, takes(1)).otherwise(takes(2)))
-        .drop("__rn")
+      // each level's pick is its first takes(l) blocks in blockId order —
+      // a per-level TakeOrderedAndProject off the cache (no global sort,
+      // no wide window at 100 TB where the set can be table-sized)
+      val out = (0 to 2).map(l =>
+          scoredCached.filter(col("priority") === l)
+            .orderBy(col("blockId")).limit(takes(l)))
+        .reduce(_.unionByName(_))
         .orderBy(col("priority"), col("blockId"))
-      graft.core.Caching.materializeAndRelease(out, Seq(scoredCached, pruned))
+      graft.core.Caching.materializeAndRelease(out, Seq(scoredCached))
     } catch {
-      // a failing action between the persists and the release above must
-      // not orphan the intermediates (monitor ticks repeat)
+      // a failing action between the persist and the release above must
+      // not orphan the intermediate (monitor ticks repeat)
       case e: Throwable =>
         scoredCached.unpersist(blocking = false)
-        pruned.unpersist(blocking = false)
         throw e
     }
   }
