@@ -148,13 +148,19 @@ object Dataflows {
   /** Priority per under-replicated block (UnderReplicatedBlocks.java:70-90):
     * 0 = last replica (or decommissioned-only), 1 = < 1/3 of expected,
     * 2 = rest; then the budgeted pick round-robins the budget across the
-    * levels — chooseUnderReplicatedBlocks (FSNamesystem.java:2043-2098) —
-    * so a flood of priority-0 blocks can never starve levels 1-2 of
-    * replication work. Each level is first pruned to its top-k by blockId
+    * levels so a flood of priority-0 blocks can never starve levels 1-2
+    * of replication work. The reference gets this fairness from a
+    * persistent replIndex cursor that resumes and wraps across monitor
+    * ticks (chooseUnderReplicatedBlocks, FSNamesystem.java:2043-2098);
+    * a stateless declarative tick achieves the same no-starvation
+    * property with a per-level budget split instead ([[roundRobinTakes]]
+    * — and within a single tick it is strictly fairer: the reference can
+    * spend a whole tick inside a large P0 backlog before the cursor
+    * reaches P1). Each level is first pruned to its top-k by blockId
     * (a per-level TakeOrderedAndProject — no global sort, no wide window
     * at 100 TB where the under-replicated set can be table-sized), then
     * the per-level take thresholds are computed driver-side over the 3
-    * bounded counts ([[roundRobinTakes]]). */
+    * bounded counts. */
   def underReplicated(block: DataFrame, file: DataFrame, datanode: DataFrame,
                       nowMs: Long, k: Int): DataFrame = {
     val liveNodeIds = StateManager.liveDatanodes(datanode, nowMs)
