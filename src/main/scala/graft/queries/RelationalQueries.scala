@@ -358,8 +358,10 @@ object RelationalQueries {
         .join(broadcast(scopedSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
       val v = scoped.groupBy($"l_partkey")
         .agg(dsum($"l_extendedprice" * $"l_quantity").as("value"))
+      // 0.0002 keeps the threshold non-degenerate across sf0.001-sf0.1
+      // (TPC-H's real q11 scales its fraction by 1/SF for the same reason)
       val thresh = scoped
-        .agg((dsum($"l_extendedprice" * $"l_quantity") * lit(0.001)).as("__t"))
+        .agg((dsum($"l_extendedprice" * $"l_quantity") * lit(0.0002)).as("__t"))
       v.join(broadcast(thresh), $"value" > $"__t").drop("__t")
         .orderBy($"value".desc, $"l_partkey")
     },
@@ -616,7 +618,7 @@ object RelationalQueries {
         |SELECT l_partkey, value FROM v
         |WHERE value > (
         |  SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-        |         * CAST(0.001 AS DOUBLE)
+        |         * CAST(0.0002 AS DOUBLE)
         |  FROM scoped)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q20_part_promotion" ->
