@@ -156,11 +156,12 @@ object Dataflows {
     * property with a per-level budget split instead ([[roundRobinTakes]]
     * — and within a single tick it is strictly fairer: the reference can
     * spend a whole tick inside a large P0 backlog before the cursor
-    * reaches P1). Each level is first pruned to its top-k by blockId
-    * (a per-level TakeOrderedAndProject — no global sort, no wide window
-    * at 100 TB where the under-replicated set can be table-sized), then
-    * the per-level take thresholds are computed driver-side over the 3
-    * bounded counts. */
+    * reaches P1). The per-level take thresholds come first — computed
+    * driver-side from the 3 level counts (each capped at k, which
+    * provably preserves the allocation) — then each level's pick is its
+    * first takes(l) blocks in blockId order, a per-level
+    * TakeOrderedAndProject (no global sort, no wide window at 100 TB
+    * where the under-replicated set can be table-sized). */
   def underReplicated(block: DataFrame, file: DataFrame, datanode: DataFrame,
                       nowMs: Long, k: Int): DataFrame = {
     val liveNodeIds = StateManager.liveDatanodes(datanode, nowMs)

@@ -19,7 +19,16 @@ object Caching {
 
   def materializeAndRelease(out: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
     val result = out.persist()
-    result.count()
+    // a failed materialize must release EVERYTHING it pinned — the caller
+    // never receives `result`, so nothing else can (helpers run inside
+    // repeating ticks; an orphan per failure accumulates)
+    try result.count()
+    catch {
+      case e: Throwable =>
+        result.unpersist(blocking = false)
+        intermediates.foreach(_.unpersist(blocking = false))
+        throw e
+    }
     intermediates.foreach(_.unpersist(blocking = false))
     result
   }

@@ -358,10 +358,15 @@ object RelationalQueries {
         .join(broadcast(scopedSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
       val v = scoped.groupBy($"l_partkey")
         .agg(dsum($"l_extendedprice" * $"l_quantity").as("value"))
-      // 0.0002 keeps the threshold non-degenerate across sf0.001-sf0.1
-      // (TPC-H's real q11 scales its fraction by 1/SF for the same reason)
-      val thresh = scoped
-        .agg((dsum($"l_extendedprice" * $"l_quantity") * lit(0.0002)).as("__t"))
+      // scale-free threshold: 1.2× the average per-part value. A fixed
+      // fraction of the TOTAL degenerates as the part count grows (real
+      // TPC-H scales its fraction by 1/SF for the same reason); dividing
+      // by the part count makes the filter bite (~65% dropped) at every
+      // SF. Exact-decimal total / exact count, then two IEEE ops — the
+      // threshold is bit-identical in both engines.
+      val thresh = scoped.agg(
+        (dsum($"l_extendedprice" * $"l_quantity") / countDistinct($"l_partkey")
+          * lit(1.2)).as("__t"))
       v.join(broadcast(thresh), $"value" > $"__t").drop("__t")
         .orderBy($"value".desc, $"l_partkey")
     },
@@ -618,7 +623,7 @@ object RelationalQueries {
         |SELECT l_partkey, value FROM v
         |WHERE value > (
         |  SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-        |         * CAST(0.0002 AS DOUBLE)
+        |         / COUNT(DISTINCT l_partkey) * CAST(1.2 AS DOUBLE)
         |  FROM scoped)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q20_part_promotion" ->
