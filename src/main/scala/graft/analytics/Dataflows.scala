@@ -179,34 +179,28 @@ object Dataflows {
         when(col("liveReplicaCount") <= 1, lit(0))
           .when(col("liveReplicaCount") * 3 < col("expectedReplication"), lit(1))
           .otherwise(lit(2)))
-    // persist the scored set: the level-count aggregate and the per-level
-    // picks below each read it, and without the cache every consumer
-    // re-runs the replica aggregation's reduce side (measured slower
-    // than the cache write even with ReuseExchange deduping the map side)
-    val scoredCached = scored.persist()
-    try {
-      // level demand capped at k — a level can never take more than the
-      // whole budget, so the cap preserves the allocation exactly
-      val counts = scoredCached.groupBy(col("priority")).count().collect()
-        .map(r => r.getInt(0) -> math.min(r.getLong(1), k.toLong).toInt).toMap
-      val takes = roundRobinTakes(k,
-        Array(counts.getOrElse(0, 0), counts.getOrElse(1, 0), counts.getOrElse(2, 0)))
-      // each level's pick is its first takes(l) blocks in blockId order —
-      // a per-level TakeOrderedAndProject off the cache (no global sort,
-      // no wide window at 100 TB where the set can be table-sized)
-      val out = (0 to 2).map(l =>
-          scoredCached.filter(col("priority") === l)
-            .orderBy(col("blockId")).limit(takes(l)))
-        .reduce(_.unionByName(_))
-        .orderBy(col("priority"), col("blockId"))
-      graft.core.Caching.materializeAndRelease(out, Seq(scoredCached))
-    } catch {
-      // a failing action between the persist and the release above must
-      // not orphan the intermediate (monitor ticks repeat)
-      case e: Throwable =>
-        scoredCached.unpersist(blocking = false)
-        throw e
-    }
+    // ONE distributed action: the union of the three per-level top-k
+    // prunes (each a TakeOrderedAndProject — no global sort, no wide
+    // window at 100 TB where the scored set can be table-sized; the
+    // shared scored subtree's shuffle dedupes via ReuseExchange inside
+    // the single plan). The pruned rows (≤ 3k) come to the driver, where
+    // the budget split and the final slice are in-memory — level demand
+    // capped at k preserves the allocation exactly, since no level can
+    // ever take more than the whole budget. The result is the tick's
+    // work list, ≤ k rows by contract (budget = liveNodes ×
+    // workMultiplier), returned as a driver-local frame: no persisted
+    // storage outlives the call and downstream actions are free.
+    val pruned = (0 to 2).map(l =>
+        scored.filter(col("priority") === l).orderBy(col("blockId")).limit(k))
+      .reduce(_.unionByName(_))
+    val byLevel = pruned.collect().groupBy(_.getAs[Int]("priority"))
+    val takes = roundRobinTakes(k,
+      Array(0, 1, 2).map(l => byLevel.getOrElse(l, Array.empty).length))
+    val picked = (0 to 2).flatMap(l =>
+      byLevel.getOrElse(l, Array.empty)
+        .sortBy(_.getAs[Long]("blockId")).take(takes(l)))
+    block.sparkSession.createDataFrame(
+      java.util.Arrays.asList(picked: _*), pruned.schema)
   }
 
   /** chooseUnderReplicatedBlocks' budget split (FSNamesystem.java:2043-2098):
@@ -281,11 +275,9 @@ object Dataflows {
         r.getLong(3), r.getString(4)))
       .toSeq
     val budget = math.max(1, liveNodes.size * workMultiplier)
-    // underReplicated returns a persisted frame (Caching contract); this
-    // one-shot consumer owns the release — a monitor ticking every few
-    // seconds must not orphan one cache entry per cycle
-    val workDf = underReplicated(block, file, datanode, nowMs, budget)
-    val work = try workDf.collect() finally workDf.unpersist(blocking = false)
+    // underReplicated returns a driver-local frame (≤ budget rows, no
+    // persisted storage) — collect is free and nothing needs releasing
+    val work = underReplicated(block, file, datanode, nowMs, budget).collect()
     val spark = block.sparkSession
     import spark.implicits._
     val replicationWork = work.toSeq.map { r =>
