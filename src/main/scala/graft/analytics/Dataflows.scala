@@ -164,6 +164,34 @@ object Dataflows {
     * where the under-replicated set can be table-sized). */
   def underReplicated(block: DataFrame, file: DataFrame, datanode: DataFrame,
                       nowMs: Long, k: Int): DataFrame = {
+    // ONE distributed action: the pruned union's rows (≤ 3k) come to the
+    // driver, where the budget split and the final slice are in-memory —
+    // level demand capped at k preserves the allocation exactly, since
+    // no level can ever take more than the whole budget. The result is
+    // the tick's work list, ≤ k rows by contract (budget = liveNodes ×
+    // workMultiplier), returned as a driver-local frame: no persisted
+    // storage outlives the call and downstream actions are free.
+    val pruned = underReplicatedPruned(block, file, datanode, nowMs, k)
+    val byLevel = pruned.collect().groupBy(_.getAs[Int]("priority"))
+    val takes = roundRobinTakes(k,
+      Array(0, 1, 2).map(l => byLevel.getOrElse(l, Array.empty).length))
+    val picked = (0 to 2).flatMap(l =>
+      byLevel.getOrElse(l, Array.empty)
+        .sortBy(_.getAs[Long]("blockId")).take(takes(l)))
+    block.sparkSession.createDataFrame(
+      java.util.Arrays.asList(picked: _*), pruned.schema)
+  }
+
+  /** The distributed part of N6, LAZY for plan inspection: the union of
+    * the three per-level top-k prunes (each a TakeOrderedAndProject — no
+    * global sort, no wide window at 100 TB where the scored set can be
+    * table-sized). The three branches share the scored subtree verbatim,
+    * so its shuffle runs once via ReuseExchange inside the single plan —
+    * ScaleSpec pins that reuse, since losing it would silently triple
+    * the replica aggregation per monitor tick. */
+  private[graft] def underReplicatedPruned(block: DataFrame, file: DataFrame,
+                                           datanode: DataFrame, nowMs: Long,
+                                           k: Int): DataFrame = {
     val liveNodeIds = StateManager.liveDatanodes(datanode, nowMs)
       .filter(col("adminState") === "NORMAL")
       .select(col("id").as("nodeId"))
@@ -179,28 +207,9 @@ object Dataflows {
         when(col("liveReplicaCount") <= 1, lit(0))
           .when(col("liveReplicaCount") * 3 < col("expectedReplication"), lit(1))
           .otherwise(lit(2)))
-    // ONE distributed action: the union of the three per-level top-k
-    // prunes (each a TakeOrderedAndProject — no global sort, no wide
-    // window at 100 TB where the scored set can be table-sized; the
-    // shared scored subtree's shuffle dedupes via ReuseExchange inside
-    // the single plan). The pruned rows (≤ 3k) come to the driver, where
-    // the budget split and the final slice are in-memory — level demand
-    // capped at k preserves the allocation exactly, since no level can
-    // ever take more than the whole budget. The result is the tick's
-    // work list, ≤ k rows by contract (budget = liveNodes ×
-    // workMultiplier), returned as a driver-local frame: no persisted
-    // storage outlives the call and downstream actions are free.
-    val pruned = (0 to 2).map(l =>
+    (0 to 2).map(l =>
         scored.filter(col("priority") === l).orderBy(col("blockId")).limit(k))
       .reduce(_.unionByName(_))
-    val byLevel = pruned.collect().groupBy(_.getAs[Int]("priority"))
-    val takes = roundRobinTakes(k,
-      Array(0, 1, 2).map(l => byLevel.getOrElse(l, Array.empty).length))
-    val picked = (0 to 2).flatMap(l =>
-      byLevel.getOrElse(l, Array.empty)
-        .sortBy(_.getAs[Long]("blockId")).take(takes(l)))
-    block.sparkSession.createDataFrame(
-      java.util.Arrays.asList(picked: _*), pruned.schema)
   }
 
   /** chooseUnderReplicatedBlocks' budget split (FSNamesystem.java:2043-2098):

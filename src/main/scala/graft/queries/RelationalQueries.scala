@@ -343,10 +343,10 @@ object RelationalQueries {
         .limit(100)
     },
     // Q11-shape: important stock — per-part value within one nation
-    // group's suppliers, kept above a scalar-aggregate fraction of the
-    // total (the HAVING-scalar-subquery shape). Threshold derives from
-    // the same exact decimal total on both sides, then one double
-    // multiply — no accumulation-order drift.
+    // group's suppliers, kept above a scalar-aggregate threshold (the
+    // HAVING-scalar-subquery shape): 1.2× the average per-part value,
+    // derived from the same exact decimal total and exact part count on
+    // both sides, then two IEEE ops — no accumulation-order drift.
     "q11_important_stock" -> { (s, dir) =>
       import s.implicits._
       val scopedSupp = Tables.supplier(s, dir)

@@ -91,6 +91,30 @@ class ScaleSpec extends SparkSpec {
     assert(count(bucketed) < count(exchanges(blk)))
   }
 
+  test("N6 pruned union reuses the scored subtree's exchanges across all three levels") {
+    // the one-action N6 shape is only one-action-cheap if the three
+    // per-level branches canonicalize to the SAME scored subtree — a
+    // regression in exchange canonicalization (the lshCandidates test
+    // guards the same property for the minhash pipeline) would silently
+    // run the replica aggregation three times per monitor tick
+    val dn = (1 to 4).map(i =>
+      (i.toLong, s"dn$i", s"DS-$i", 0L, 0L, 1000L, 0L, 900L, 999999L, 0L, "/r1", "NORMAL", i.toLong))
+      .toDF("id", "name", "storageId", "ipcPort", "infoPort", "capacity", "dfsUsed",
+        "remaining", "lastUpdated", "xceiverCount", "location", "adminState", "version")
+    val files = (1 to 50).map(i => (i.toLong, 100L, 2L + i % 6, 1L))
+      .toDF("id", "length", "replication", "version")
+    val blocks = (1 to 2000).map(i => (i.toLong, 1L + i % 4, 1L + i % 50, 1L))
+      .toDF("id", "datanodeId", "fileId", "version")
+    val pruned = graft.analytics.Dataflows.underReplicatedPruned(
+      blocks, files, dn, nowMs = 1000000L, k = 20)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    assert(reused >= 2,
+      s"branches 2 and 3 must reuse the scored subtree's exchange, got $reused:\n" +
+        plan.linesIterator.take(40).mkString("\n"))
+  }
+
   test("P3 limited update plans as top-n, not a global sort or window") {
     import graft.store.{Comparator, IndexDef, StateStore}
     val t = (1 to 5000).map(i => (i.toLong, i.toLong, 1L)).toDF("id", "v", "version")
