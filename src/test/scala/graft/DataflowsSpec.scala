@@ -112,6 +112,26 @@ class DataflowsSpec extends SparkSpec {
     assert(Dataflows.roundRobinTakes(0, Array(5, 5, 5)).toSeq == Seq(0, 0, 0))
   }
 
+  test("N6: budget-split laws on seeded random inputs") {
+    // NB: per-level takes are deliberately NOT budget-monotone — one more
+    // budget unit can shift the spill so an earlier level absorbs what a
+    // later one held (budget 3→4 on demands (1,5,5) moves level 2 from 1
+    // to 0) — so the laws checked are the ones the semantics guarantee
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 5000) {
+      val budget = rnd.nextInt(300)
+      val d = Array.fill(3)(rnd.nextInt(200))
+      val t = Dataflows.roundRobinTakes(budget, d)
+      assert(t.sum == math.min(budget, d.sum))                 // conservation
+      assert((0 to 2).forall(l => t(l) >= 0 && t(l) <= d(l)))  // demand caps
+      if (budget > 0 && d(0) > 0) assert(t(0) > 0)             // P0 served first
+      // capping demand at the budget never changes the allocation (the
+      // equivalence the per-level k-prune relies on)
+      val capped = d.map(x => math.min(x, budget))
+      assert(Dataflows.roundRobinTakes(budget, capped).toSeq == t.toSeq)
+    }
+  }
+
   test("N17: block synchronization reconciles to max genstamp, min length") {
     val out = rows(Dataflows.blockSynchronization(block)
       .select(col("id"), col("recoveredGenStamp"), col("recoveredLength"), col("syncReplicas")))
