@@ -29,6 +29,8 @@ import graft.store.StateStore
   *   setrep <path> <n>   replication write-set for one live file
   *   chown <path> <uid>  owner write-set for one live file
   *   chmod <path> <octal> validate + resolve, then reference-faithful no-op
+  *   chgrp <path> <group> validate + resolve, then reference-faithful no-op
+  *   df                  cluster capacity/used/remaining (S13 agg)
   *   fsck            namespace health report
   *   report          datanode report
   *   append <path>   reopen-for-append write-set for one file
@@ -192,6 +194,23 @@ object Shell {
         Mutations.setAttrs(file, col("id") === id && col("version") > 0,
             Map("owner" -> StateStore.Assign(args(1).toLong)), nowMs = Now)
           .filter(col("id") === id)
+          .select(col("id"), col("name"), col("owner"), col("version"))
+      case "df" =>
+        // FsShell df (C/org/apache/hadoop/fs/FsShell.java "-df"): cluster
+        // capacity/used/remaining + use% — one S13 wide agg over live nodes
+        StateManager.clusterStats(datanode, Now)
+          .select(col("capacity"), col("dfsUsed"), col("remaining"),
+            (round(col("dfsUsed") * 100.0 / col("capacity"), 2)).as("usePct"),
+            col("liveNodes"), col("deadNodes"))
+      case "chgrp" =>
+        require(args.size >= 2, s"usage: chgrp <path> <group>")
+        val id = resolve(path)
+        // Same fidelity class as chmod: the reference's file model has no
+        // group column (A/file/File.java:37-58 — owner int only; its
+        // FsShellPermissions routes chgrp through the chown handler into
+        // setOwner, which is a TODO no-op, FSNamesystem.java:587-589).
+        // Validate + resolve loudly, change nothing.
+        file.filter(col("id") === id && col("version") > 0)
           .select(col("id"), col("name"), col("owner"), col("version"))
       case "chmod" =>
         require(args.size >= 2, "usage: chmod <path> <octalMode>")

@@ -71,6 +71,17 @@ class ShellSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Shell.run(spark, sf, "chmod", Seq("/no/such/path", "755")))
 
+    // chgrp: same no-op fidelity class (no group column in the model)
+    assert(rows(Shell.run(spark, sf, "chgrp", Seq(fpath, "staff"))) == before)
+    assertThrows[IllegalArgumentException](
+      Shell.run(spark, sf, "chgrp", Seq("/no/such/path", "staff")))
+
+    // df: one cluster-stats row with a bounded use percentage
+    val df0 = rows(Shell.run(spark, sf, "df", Seq()))
+    assert(df0.size == 1)
+    val usePct = df0.head(3).asInstanceOf[Double]
+    assert(usePct >= 0.0 && usePct <= 100.0)
+
     // smoke: the original verbs still dispatch
     assert(rows(Shell.run(spark, sf, "test", Seq(fpath))).nonEmpty)
     assert(Shell.run(spark, sf, "fsck", Seq()).count() >= 1)
