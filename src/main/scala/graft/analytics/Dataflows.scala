@@ -242,27 +242,43 @@ object Dataflows {
 
   // ---- N8: excess replicas (processOverReplicatedBlock :2789-2890) -----
 
-  /** Over-replicated blocks: rank replicas by the drop preference (prefer
-    * the node with the least remaining space, :2827 chooseExcessReplicates)
-    * and emit the replicas beyond the expected count as invalidation work,
-    * grouped per datanode (recentInvalidateSets). */
+  /** Over-replicated blocks: rank replicas by the reference's RACK-AWARE
+    * drop preference (chooseExcessReplicates, FSNamesystem.java:2813-2890):
+    * pick least-free-space nodes from racks holding MORE than one replica
+    * first — so an invalidation never removes a rack while alternatives
+    * exist — and only then from single-replica racks. The reference walks
+    * that choice sequentially (priSet/remains with demotion as racks
+    * drain); the equivalent static ranking marks each rack's max-remaining
+    * replica as its would-be survivor (the node the least-space-first
+    * sequence never picks while the rack still holds another) and orders
+    * drops by (non-survivor first, remaining asc, datanodeId). Emits the
+    * replicas beyond the expected count as invalidation work, grouped per
+    * datanode (recentInvalidateSets). The delNodeHint fast path is the
+    * per-op incremental flow, not the batch sweep. */
   def excessReplicas(block: DataFrame, file: DataFrame, datanode: DataFrame): DataFrame = {
     val expected = live(file).filter(col("length") =!= -1L)
       .select(col("id").as("fid"), col("replication").as("expectedReplication"))
-    val space = live(datanode).select(col("id").as("nodeId"), col("remaining"))
+    val space = live(datanode)
+      .select(col("id").as("nodeId"), col("remaining"), col("location"))
     // asc_nulls_last: a replica whose datanode row is missing/tombstoned has
     // NULL remaining; rank it after known-space nodes (Spark default sorts
-    // NULLS FIRST, the DuckDB oracle NULLS LAST — pin one order).
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("remaining").asc_nulls_last, col("datanodeId").asc)
+    // NULLS FIRST, the DuckDB oracle NULLS LAST — pin one order). A NULL
+    // location is a singleton rack (nothing to co-protect).
+    val wBlock = Window.partitionBy(col("id"))
+    val wRack = Window.partitionBy(col("id"), col("__rack"))
     live(block)
       .join(expected, col("fileId") === col("fid")).drop("fid")
       .join(space, col("datanodeId") === col("nodeId"), "left").drop("nodeId")
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .withColumn("__rack",
+        coalesce(col("location"), concat(lit("?"), col("datanodeId").cast("string"))))
+      .withColumn("__surv", row_number().over(
+        wRack.orderBy(col("remaining").desc_nulls_first, col("datanodeId").desc)) === 1)
+      .withColumn("__cnt", count(lit(1)).over(wBlock))
       .filter(col("__cnt") > col("expectedReplication"))
-      .withColumn("dropRank", row_number().over(w))
+      .withColumn("dropRank", row_number().over(wBlock.orderBy(
+        col("__surv").asc, col("remaining").asc_nulls_last, col("datanodeId").asc)))
       .filter(col("dropRank") <= col("__cnt") - col("expectedReplication"))
-      .drop("__cnt")
+      .drop("__cnt", "__surv", "__rack", "location")
   }
 
   // ---- N10: ReplicationMonitor tick (FSNamesystem.java:1936-2041) ------

@@ -272,18 +272,30 @@ object AnalyticsQueries {
         |FROM picked p, takes t
         |WHERE p.rn <= CASE p.priority WHEN 0 THEN t.t0 WHEN 1 THEN t.t1 ELSE t.t2 END
         |ORDER BY p.priority, p.blockId""".stripMargin),
+    // rack-aware drop order (chooseExcessReplicates): each rack's
+    // max-remaining replica is its would-be survivor; non-survivors drop
+    // first so an invalidation never removes a rack while alternatives
+    // exist, least-remaining-space first within each class
     "n8_excess_replicas" -> O(
       """WITH x AS (
         |  SELECT b.id, b.datanodeId, d.remaining, f.replication,
-        |         COUNT(*) OVER (PARTITION BY b.id) AS cnt,
-        |         ROW_NUMBER() OVER (PARTITION BY b.id
-        |           ORDER BY d.remaining ASC NULLS LAST, b.datanodeId ASC) AS dropRank
+        |         COALESCE(d.location, '?' || CAST(b.datanodeId AS VARCHAR)) AS rack,
+        |         COUNT(*) OVER (PARTITION BY b.id) AS cnt
         |  FROM block b
         |  JOIN file f ON b.fileId = f.id AND f.version > 0 AND f.length <> -1
         |  LEFT JOIN datanode d ON b.datanodeId = d.id AND d.version > 0
-        |  WHERE b.version > 0)
-        |SELECT id, datanodeId, remaining, dropRank FROM x
-        |WHERE cnt > replication AND dropRank <= cnt - replication AND id % 20 = 0
+        |  WHERE b.version > 0),
+        |y AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id, rack
+        |           ORDER BY remaining DESC NULLS FIRST, datanodeId DESC) AS survRank
+        |  FROM x),
+        |z AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |           ORDER BY CASE WHEN survRank = 1 THEN 1 ELSE 0 END ASC,
+        |                    remaining ASC NULLS LAST, datanodeId ASC) AS dropRank
+        |  FROM y WHERE cnt > replication)
+        |SELECT id, datanodeId, remaining, dropRank FROM z
+        |WHERE dropRank <= cnt - replication AND id % 20 = 0
         |ORDER BY id, dropRank""".stripMargin),
     "n11_fsck" -> O(
       """WITH livenodes AS (

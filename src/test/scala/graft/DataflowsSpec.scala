@@ -132,6 +132,23 @@ class DataflowsSpec extends SparkSpec {
     }
   }
 
+  test("N8: rack-aware excess drop never removes a rack while alternatives exist") {
+    val dn = Seq((1L, "/rackA", 10L), (2L, "/rackA", 30L), (3L, "/rackB", 5L))
+      .map { case (id, rack, rem) =>
+        (id, s"dn$id", s"DS-$id", 0L, 0L, 1000L, 0L, rem, now - 1L, 0L, rack, "NORMAL", id)
+      }
+      .toDF("id", "name", "storageId", "ipcPort", "infoPort", "capacity", "dfsUsed",
+        "remaining", "lastUpdated", "xceiverCount", "location", "adminState", "version")
+    val files = Seq((1L, 100L, 2L, 1L)).toDF("id", "length", "replication", "version")
+    val blocks = Seq((100L, 1L, 1L, 1L), (100L, 2L, 1L, 1L), (100L, 3L, 1L, 1L))
+      .toDF("id", "datanodeId", "fileId", "version")
+    val out = rows(Dataflows.excessReplicas(blocks, files, dn)
+      .select(col("id"), col("datanodeId"), col("dropRank")))
+    // pure least-space would drop dn3 (5 left) and lose rack B entirely;
+    // the rack-aware order drops rack A's non-survivor dn1 instead
+    assert(out == Seq(Seq(100L, 1L, 1)))
+  }
+
   test("N17: block synchronization reconciles to max genstamp, min length") {
     val out = rows(Dataflows.blockSynchronization(block)
       .select(col("id"), col("recoveredGenStamp"), col("recoveredLength"), col("syncReplicas")))
