@@ -290,8 +290,14 @@ object Dataflows {
     * invalidation work (N8). Returns (replication work with targets,
     * invalidation work) — the two per-datanode command queues the
     * heartbeat handler (N9) drains. */
+  /** `pending` = blockId → replications already scheduled and in flight
+    * (pendingReplications): live + pending replicas count as effective,
+    * so a block with enough work in flight schedules nothing more and
+    * the target count is expected − effective, not expected − live
+    * (computeReplicationWorkForBlock, FSNamesystem.java:2120-2128,2140). */
   def computeDatanodeWork(block: DataFrame, file: DataFrame, datanode: DataFrame,
-                          nowMs: Long, workMultiplier: Int = 2): (DataFrame, DataFrame) = {
+                          nowMs: Long, workMultiplier: Int = 2,
+                          pending: Map[Long, Int] = Map.empty): (DataFrame, DataFrame) = {
     val liveNodes = StateManager.liveDatanodes(datanode, nowMs)
       .select(col("id"), col("location"), col("remaining"),
         col("xceiverCount"), col("adminState"))
@@ -299,19 +305,34 @@ object Dataflows {
       .map(r => Placement.Node(r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getString(4)))
       .toSeq
+    val nodeById = liveNodes.map(n => n.id -> n).toMap
     val budget = math.max(1, liveNodes.size * workMultiplier)
     // underReplicated returns a driver-local frame (≤ budget rows, no
     // persisted storage) — collect is free and nothing needs releasing
     val work = underReplicated(block, file, datanode, nowMs, budget).collect()
+    // current replica holders of the picked blocks (≤ budget × replication
+    // rows): the reference seeds chooseTarget with them so a new replica
+    // never lands on a node that already holds one
+    val workIds = work.map(_.getAs[Long]("blockId")).toSeq
+    val holders: Map[Long, Seq[Long]] =
+      if (workIds.isEmpty) Map.empty
+      else live(block).filter(col("id").isin(workIds: _*))
+        .select(col("id"), col("datanodeId")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
     val spark = block.sparkSession
     import spark.implicits._
-    val replicationWork = work.toSeq.map { r =>
+    val replicationWork = work.toSeq.flatMap { r =>
       val blockId = r.getAs[Long]("blockId")
-      val need = (r.getAs[Long]("expectedReplication") - r.getAs[Long]("liveReplicaCount")).toInt
-      val targets = Placement.chooseTargets(liveNodes, need, None,
-        blockSize = 1024L, seed = blockId)
-      (blockId, r.getAs[Long]("fileId"), r.getAs[Int]("priority"),
-        targets.map(_.id))
+      val effective = r.getAs[Long]("liveReplicaCount") + pending.getOrElse(blockId, 0)
+      val need = (r.getAs[Long]("expectedReplication") - effective).toInt
+      if (need <= 0) None // enough replicas already live or in flight
+      else {
+        val existing = holders.getOrElse(blockId, Nil).flatMap(nodeById.get)
+        val targets = Placement.chooseTargets(liveNodes, need, None,
+          blockSize = 1024L, seed = blockId, existing = existing)
+        Some((blockId, r.getAs[Long]("fileId"), r.getAs[Int]("priority"),
+          targets.map(_.id)))
+      }
     }.toDF("blockId", "fileId", "priority", "targetDatanodeIds")
     (replicationWork, excessReplicas(block, file, datanode))
   }

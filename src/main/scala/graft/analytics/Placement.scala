@@ -28,16 +28,26 @@ object Placement {
       chosen.count(_.rack == n.rack) < maxPerRack &&
       !chosen.exists(_.id == n.id)
 
-  /** Choose `replication` targets. Deterministic given `seed` (the caller
-    * passes e.g. the block id) so tests and replays are stable. */
+  /** Choose `replication` NEW targets. Deterministic given `seed` (the
+    * caller passes e.g. the block id) so tests and replays are stable.
+    *
+    * `existing` = nodes already holding a replica (the reference seeds
+    * chooseTarget with them, ReplicationTargetChooser.java:84-103): they
+    * are never chosen again, they count toward the per-rack quota, and
+    * they shift the case ladder the same way the reference's
+    * numOfResults switch does (a block with one live replica places its
+    * next one on a REMOTE rack, etc.). Only the new targets return. */
   def chooseTargets(nodes: Seq[Node], replication: Int, writerRack: Option[String],
-                    blockSize: Long, seed: Long): Seq[Node] = {
+                    blockSize: Long, seed: Long,
+                    existing: Seq[Node] = Nil): Seq[Node] = {
     if (nodes.isEmpty || replication <= 0) return Nil
     val rnd = new Random(seed)
     val racks = nodes.map(_.rack).distinct.size.max(1)
-    val maxPerRack = (replication - 1) / racks + 2
-    val avgLoad = nodes.map(_.xceiverCount).sum.toDouble / nodes.size
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Node]
+    chosen ++= existing
+    val want = chosen.size + replication
+    val maxPerRack = (want - 1) / racks + 2
+    val avgLoad = nodes.map(_.xceiverCount).sum.toDouble / nodes.size
 
     def pick(candidates: Seq[Node]): Option[Node] = {
       val good = candidates.filter(isGood(_, blockSize, avgLoad, chosen.toSeq, maxPerRack))
@@ -45,26 +55,29 @@ object Placement {
       else Some(good(rnd.nextInt(good.size)))
     }
 
-    // 1st: writer-local rack if possible, else anywhere
-    val first = writerRack.flatMap(r => pick(nodes.filter(_.rack == r))).orElse(pick(nodes))
-    first.foreach(chosen += _)
-    // 2nd: remote rack from the 1st
-    if (replication >= 2) chosen.headOption.foreach { f =>
+    // 1st overall: writer-local rack if possible, else anywhere
+    if (chosen.isEmpty) {
+      writerRack.flatMap(r => pick(nodes.filter(_.rack == r))).orElse(pick(nodes))
+        .foreach(chosen += _)
+    }
+    // 2nd overall: remote rack from the 1st
+    if (chosen.size == 1 && chosen.size < want) {
+      val f = chosen.head
       pick(nodes.filter(_.rack != f.rack)).orElse(pick(nodes)).foreach(chosen += _)
     }
-    // 3rd: same rack as the 2nd
-    if (replication >= 3 && chosen.size >= 2) {
+    // 3rd overall: same rack as the 2nd
+    if (chosen.size == 2 && chosen.size < want) {
       val second = chosen(1)
       pick(nodes.filter(_.rack == second.rack)).orElse(pick(nodes)).foreach(chosen += _)
     }
     // rest: random fill — the guard and the placement consume the SAME
     // draw, so each filled slot advances the RNG exactly once (replay
     // traces match a single-draw reference walk)
-    var fill = if (chosen.size < replication) pick(nodes) else None
+    var fill = if (chosen.size < want) pick(nodes) else None
     while (fill.isDefined) {
       fill.foreach(chosen += _)
-      fill = if (chosen.size < replication) pick(nodes) else None
+      fill = if (chosen.size < want) pick(nodes) else None
     }
-    chosen.toSeq
+    chosen.drop(existing.size).toSeq
   }
 }

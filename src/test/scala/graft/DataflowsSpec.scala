@@ -169,6 +169,43 @@ class DataflowsSpec extends SparkSpec {
     assert(out(2L) == Seq(5L, 1L, 1L))
   }
 
+  test("N7: existing holders are never re-chosen and shift the case ladder") {
+    val nodes = (1 to 6).map(i => Placement.Node(i.toLong, s"/r${i % 2}",
+      remaining = 1000000L, xceiverCount = 2, adminState = "NORMAL"))
+    for (seed <- 1L to 50L) {
+      val holder = nodes.head // node 1, /r1
+      val t = Placement.chooseTargets(nodes, 2, None, blockSize = 100,
+        seed = seed, existing = Seq(holder))
+      assert(t.size == 2 && !t.map(_.id).contains(holder.id)) // never re-chosen
+      assert(t.head.rack != holder.rack) // 2nd overall goes to a remote rack
+      assert(t(1).rack == t.head.rack)   // 3rd overall stays with the 2nd
+    }
+    // existing = Nil keeps the exact draw sequence of the old surface
+    val t1 = Placement.chooseTargets(nodes, 3, Some("/r0"), blockSize = 100, seed = 7L)
+    val t2 = Placement.chooseTargets(nodes, 3, Some("/r0"), blockSize = 100, seed = 7L,
+      existing = Nil)
+    assert(t1.map(_.id) == t2.map(_.id))
+  }
+
+  test("N10: pending replications discount the scheduled work") {
+    val now = 1000000L
+    val dn = Seq(11L, 12L, 13L).map(i => (i, s"dn$i", s"DS-$i", 0L, 0L, 1L << 30, 0L,
+      (1L << 29) + i, now - 1L, 0L, s"/r${i % 2}", "NORMAL", i))
+      .toDF("id", "name", "storageId", "ipcPort", "infoPort", "capacity", "dfsUsed",
+        "remaining", "lastUpdated", "xceiverCount", "location", "adminState", "version")
+    val files = Seq((3L, 100L, 2L, 1L)).toDF("id", "length", "replication", "version")
+    val blocks = Seq((201L, 11L, 3L, 1L), (202L, 12L, 3L, 1L))
+      .toDF("id", "datanodeId", "fileId", "version")
+    // both blocks have 1/2 replicas; 201 already has one replication in
+    // flight → only 202 schedules, and its target avoids the holder
+    val (repl, _) = Dataflows.computeDatanodeWork(blocks, files, dn, now,
+      pending = Map(201L -> 1))
+    val r = rows(repl.select(col("blockId"), col("targetDatanodeIds")))
+    assert(r.map(_.head) == Seq(202L))
+    val targets = r.head.last.asInstanceOf[scala.collection.Seq[Long]]
+    assert(targets.size == 1 && !targets.contains(12L))
+  }
+
   test("N7: placement respects racks, space and determinism") {
     val nodes = (1 to 6).map(i => Placement.Node(i.toLong, s"/r${i % 2}",
       remaining = 1000000L, xceiverCount = 2, adminState = "NORMAL"))
