@@ -321,19 +321,43 @@ object Dataflows {
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
     val spark = block.sparkSession
     import spark.implicits._
+    // replication source per block (chooseSourceDatanode,
+    // FSNamesystem.java:2210-2262): prefer DECOMMISSION_INPROGRESS
+    // holders (no write traffic), never DECOMMISSIONED, skip nodes
+    // already at the per-tick replication-stream limit; a deterministic
+    // min-id pick within the preferred class replaces the reference's
+    // coin-flip reservoir. No usable source (or no targets) → the block
+    // schedules nothing this tick, like the reference's false return.
+    val MaxReplicationStreams = 2
+    val streams = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
     val replicationWork = work.toSeq.flatMap { r =>
       val blockId = r.getAs[Long]("blockId")
       val effective = r.getAs[Long]("liveReplicaCount") + pending.getOrElse(blockId, 0)
       val need = (r.getAs[Long]("expectedReplication") - effective).toInt
       if (need <= 0) None // enough replicas already live or in flight
       else {
-        val existing = holders.getOrElse(blockId, Nil).flatMap(nodeById.get)
-        val targets = Placement.chooseTargets(liveNodes, need, None,
-          blockSize = 1024L, seed = blockId, existing = existing)
-        Some((blockId, r.getAs[Long]("fileId"), r.getAs[Int]("priority"),
-          targets.map(_.id)))
+        val holderNodes = holders.getOrElse(blockId, Nil).flatMap(nodeById.get)
+        val usable = holderNodes.filter(n =>
+          n.adminState != "DECOMMISSIONED" && streams(n.id) < MaxReplicationStreams)
+        val preferred = usable.filter(_.adminState == "DECOMMISSION_INPROGRESS")
+        val src = (if (preferred.nonEmpty) preferred else usable)
+          .sortBy(_.id).headOption
+        // the case ladder counts only LIVE replicas (the reference's
+        // chosenNodes); non-NORMAL holders can never be targets anyway
+        // (isGood requires NORMAL), so they need no explicit exclusion
+        val existing = holderNodes.filter(_.adminState == "NORMAL")
+        src.flatMap { s =>
+          val targets = Placement.chooseTargets(liveNodes, need, None,
+            blockSize = 1024L, seed = blockId, existing = existing)
+          if (targets.isEmpty) None
+          else {
+            streams(s.id) += 1
+            Some((blockId, r.getAs[Long]("fileId"), r.getAs[Int]("priority"),
+              s.id, targets.map(_.id)))
+          }
+        }
       }
-    }.toDF("blockId", "fileId", "priority", "targetDatanodeIds")
+    }.toDF("blockId", "fileId", "priority", "srcDatanodeId", "targetDatanodeIds")
     (replicationWork, excessReplicas(block, file, datanode))
   }
 

@@ -200,8 +200,9 @@ class DataflowsSpec extends SparkSpec {
     // flight → only 202 schedules, and its target avoids the holder
     val (repl, _) = Dataflows.computeDatanodeWork(blocks, files, dn, now,
       pending = Map(201L -> 1))
-    val r = rows(repl.select(col("blockId"), col("targetDatanodeIds")))
+    val r = rows(repl.select(col("blockId"), col("srcDatanodeId"), col("targetDatanodeIds")))
     assert(r.map(_.head) == Seq(202L))
+    assert(r.head(1) == 12L) // the copy is sourced from the block's holder
     val targets = r.head.last.asInstanceOf[scala.collection.Seq[Long]]
     assert(targets.size == 1 && !targets.contains(12L))
   }
