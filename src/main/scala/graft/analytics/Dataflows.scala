@@ -285,12 +285,13 @@ object Dataflows {
 
   /** One computeDatanodeWork cycle: budget = liveNodes ×
     * blocksReplWorkMultiplier (reference default 2); pick the top-budget
-    * under-replicated blocks (N6), choose targets for each over the live
-    * topology snapshot (N7, driver-side), and compute the excess-replica
-    * invalidation work (N8). Returns (replication work with targets,
-    * invalidation work) — the two per-datanode command queues the
-    * heartbeat handler (N9) drains. */
-  /** `pending` = blockId → replications already scheduled and in flight
+    * under-replicated blocks (N6), choose a source + targets for each
+    * over the live topology snapshot (N7, driver-side), and compute the
+    * excess-replica invalidation work (N8). Returns (replication work
+    * with source + targets, invalidation work) — the two per-datanode
+    * command queues the heartbeat handler (N9) drains.
+    *
+    * `pending` = blockId → replications already scheduled and in flight
     * (pendingReplications): live + pending replicas count as effective,
     * so a block with enough work in flight schedules nothing more and
     * the target count is expected − effective, not expected − live
@@ -336,7 +337,9 @@ object Dataflows {
       val need = (r.getAs[Long]("expectedReplication") - effective).toInt
       if (need <= 0) None // enough replicas already live or in flight
       else {
-        val holderNodes = holders.getOrElse(blockId, Nil).flatMap(nodeById.get)
+        // sorted: the case ladder is order-sensitive (chosen(1) picks the
+        // next rack), and collect order is not a replay-stable input
+        val holderNodes = holders.getOrElse(blockId, Nil).sorted.flatMap(nodeById.get)
         val usable = holderNodes.filter(n =>
           n.adminState != "DECOMMISSIONED" && streams(n.id) < MaxReplicationStreams)
         val preferred = usable.filter(_.adminState == "DECOMMISSION_INPROGRESS")

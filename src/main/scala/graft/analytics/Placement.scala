@@ -65,10 +65,15 @@ object Placement {
       val f = chosen.head
       pick(nodes.filter(_.rack != f.rack)).orElse(pick(nodes)).foreach(chosen += _)
     }
-    // 3rd overall: same rack as the 2nd
+    // 3rd overall: same rack as the 2nd — unless the first two already
+    // share a rack, in which case a REMOTE rack (ReplicationTargetChooser
+    // case 2: two same-rack replicas must not become three)
     if (chosen.size == 2 && chosen.size < want) {
-      val second = chosen(1)
-      pick(nodes.filter(_.rack == second.rack)).orElse(pick(nodes)).foreach(chosen += _)
+      val (a, b) = (chosen(0), chosen(1))
+      val cand =
+        if (a.rack == b.rack) nodes.filter(_.rack != b.rack)
+        else nodes.filter(_.rack == b.rack)
+      pick(cand).orElse(pick(nodes)).foreach(chosen += _)
     }
     // rest: random fill — the guard and the placement consume the SAME
     // draw, so each filled slot advances the RNG exactly once (replay

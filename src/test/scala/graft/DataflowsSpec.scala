@@ -180,6 +180,15 @@ class DataflowsSpec extends SparkSpec {
       assert(t.head.rack != holder.rack) // 2nd overall goes to a remote rack
       assert(t(1).rack == t.head.rack)   // 3rd overall stays with the 2nd
     }
+    // two existing holders already SHARING a rack: the next replica must
+    // go to a remote rack (case 2 — never three replicas on one rack
+    // while another rack is available)
+    for (seed <- 1L to 50L) {
+      val sameRack = Seq(nodes(1), nodes(3)) // ids 2, 4 — both /r0
+      val t = Placement.chooseTargets(nodes, 1, None, blockSize = 100,
+        seed = seed, existing = sameRack)
+      assert(t.size == 1 && t.head.rack != "/r0")
+    }
     // existing = Nil keeps the exact draw sequence of the old surface
     val t1 = Placement.chooseTargets(nodes, 3, Some("/r0"), blockSize = 100, seed = 7L)
     val t2 = Placement.chooseTargets(nodes, 3, Some("/r0"), blockSize = 100, seed = 7L,
