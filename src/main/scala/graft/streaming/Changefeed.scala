@@ -76,17 +76,42 @@ object Changefeed {
 
   /** N9 command dequeue (handleHeartbeat, FSNamesystem.java:1801-1935):
     * each heartbeat micro-batch picks up the pending replication /
-    * invalidation commands for the reporting nodes. `workFor` supplies
-    * the current per-datanode work queues (N10 output); commands for a
-    * node are handed to `sink` exactly when that node beats. */
+    * invalidation commands for the reporting nodes, CAPPED per heartbeat
+    * the way the reference caps them (:1841-1846): at most
+    * maxReplicationStreams − xmitsInProgress replication commands (the
+    * heartbeat may carry an `xmitsInProgress` column; absent means 0)
+    * and at most blockInvalidateLimit invalidations, in blockId order —
+    * a node with a deep queue drains it across beats instead of being
+    * handed unbounded work. `workFor` supplies the current per-datanode
+    * work queues (N10 output) with (datanodeId, blockId, command). */
   def heartbeatCommands(heartbeats: DataFrame, workFor: () => DataFrame,
-                        sink: (Long, DataFrame) => Unit): StreamingQuery =
+                        sink: (Long, DataFrame) => Unit,
+                        maxReplicationStreams: Int = 2,
+                        blockInvalidateLimit: Int = 100): StreamingQuery =
     heartbeats.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          val beating = batch.select(col("datanodeId")).distinct()
-          sink(id, workFor().join(beating, Seq("datanodeId"), "left_semi"))
+          val hasXmits = batch.columns.contains("xmitsInProgress")
+          val beating =
+            if (hasXmits)
+              batch.groupBy(col("datanodeId"))
+                .agg(max(col("xmitsInProgress")).as("__xmits"))
+            else batch.select(col("datanodeId")).distinct()
+          val replCap =
+            if (hasXmits) greatest(lit(0), lit(maxReplicationStreams) - col("__xmits"))
+            else lit(maxReplicationStreams)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("datanodeId"), col("command"))
+            .orderBy(col("blockId"))
+          val capped = workFor()
+            .join(beating, Seq("datanodeId"))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <=
+              when(col("command") === "replicate", replCap)
+                .otherwise(lit(blockInvalidateLimit)))
+            .drop("__rn", "__xmits")
+          sink(id, capped)
         }
       }
       .start()

@@ -106,6 +106,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heartbeat dequeue caps commands per beat like handleHeartbeat") {
+    implicit val sqlCtx = spark.sqlContext
+    // node 11's queue: 3 replications + 4 invalidations — one beat with
+    // 1 transfer already in flight must hand out only
+    // maxReplicationStreams − xmits = 1 replication (lowest blockId) and
+    // blockInvalidateLimit = 2 invalidations
+    val work = ((1 to 3).map(i => (11L, 200L + i, "replicate")) ++
+      (1 to 4).map(i => (11L, 300L + i, "invalidate"))).toDF("datanodeId", "blockId", "command")
+    val mem = MemoryStream[(Long, Long)]
+    val hb = mem.toDF().toDF("datanodeId", "xmitsInProgress")
+    val got = scala.collection.mutable.Set.empty[(Long, String)]
+    val q = Changefeed.heartbeatCommands(hb, () => work, (_, cmds) =>
+      cmds.select(col("blockId"), col("command")).collect()
+        .foreach(r => got += ((r.getLong(0), r.getString(1)))),
+      maxReplicationStreams = 2, blockInvalidateLimit = 2)
+    try {
+      mem.addData((11L, 1L))
+      q.processAllAvailable()
+      assert(got.toSet == Set((201L, "replicate"),
+        (301L, "invalidate"), (302L, "invalidate")))
+    } finally q.stop()
+  }
+
   test("D2 retrying applier: transient failures retry, poisoned batches quarantine") {
     implicit val sqlCtx = spark.sqlContext
     val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
