@@ -94,6 +94,22 @@ object AnalyticsQueries {
         .agg(sum(col("n")).as("n"))
         .orderBy(col("datanodeId"), col("action"))
     },
+    // N5 post-pass: blocks of deleted files refine to the reference's
+    // report-time cleanup (deleteInternal defers block deletion to the
+    // next report) — every 37th file simulated as deleted since the feed
+    "n5_orphan_refine" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      // lit(-1): a plain -version would RESURRECT already-tombstoned rows
+      val fileAfterDeletes = s.table("file")
+        .withColumn("version",
+          when(col("id") % 37 === 0, lit(-1L)).otherwise(col("version")))
+      Dataflows.refineOrphanActions(
+          Dataflows.reconcileReports(s.table("block"), s.table("reported")),
+          s.table("block"), fileAfterDeletes)
+        .groupBy(col("datanodeId"), col("action"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("datanodeId"), col("action"))
+    },
     // N6: under-replication priority queue — budgeted top-k
     "n6_under_replicated" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -220,6 +236,43 @@ object AnalyticsQueries {
     "n5_block_report" -> O(N5OracleSql),
     // the streamed variant must land on the identical result
     "n5_stream_report_parity" -> O(N5OracleSql),
+    "n5_orphan_refine" -> O(
+      """WITH stored AS (
+        |  SELECT id AS blockId, datanodeId, length AS storedLength,
+        |         generationStamp AS storedGenStamp
+        |  FROM block WHERE version > 0),
+        |freshest AS (
+        |  SELECT id AS bid, MAX(generationStamp) AS maxGenStamp
+        |  FROM block WHERE version > 0 GROUP BY id),
+        |joined AS (
+        |  SELECT COALESCE(r.datanodeId, s.datanodeId) AS datanodeId,
+        |         COALESCE(r.blockId, s.blockId) AS blockId,
+        |         r.repLength, r.repGenStamp, s.storedLength, s.storedGenStamp
+        |  FROM reported r FULL OUTER JOIN stored s
+        |    ON r.datanodeId = s.datanodeId AND r.blockId = s.blockId),
+        |classified AS (
+        |  SELECT joined.datanodeId, joined.blockId,
+        |    CASE WHEN repGenStamp IS NULL THEN 'toRemove'
+        |         WHEN repGenStamp < COALESCE(f.maxGenStamp, repGenStamp) THEN 'toInvalidate'
+        |         WHEN storedGenStamp IS NULL THEN 'toAdd'
+        |         WHEN storedGenStamp < repGenStamp
+        |              OR (storedLength <> repLength AND storedLength <> -1) THEN 'toAdd'
+        |         ELSE 'ok' END AS action
+        |  FROM joined LEFT JOIN freshest f ON joined.blockId = f.bid),
+        |owner AS (
+        |  SELECT DISTINCT id AS obid, fileId FROM block WHERE version > 0),
+        |livefiles AS (
+        |  SELECT id AS lfid FROM file WHERE version > 0 AND id % 37 <> 0),
+        |refined AS (
+        |  SELECT c.datanodeId,
+        |    CASE WHEN lf.lfid IS NOT NULL THEN c.action
+        |         WHEN o.obid IS NOT NULL THEN 'toRemove'
+        |         ELSE 'toInvalidate' END AS action
+        |  FROM classified c
+        |  LEFT JOIN owner o ON c.blockId = o.obid
+        |  LEFT JOIN livefiles lf ON o.fileId = lf.lfid)
+        |SELECT datanodeId, action, COUNT(*) AS n FROM refined
+        |GROUP BY 1, 2 ORDER BY datanodeId, action""".stripMargin),
     // the recursive `alloc` CTE replays Dataflows.roundRobinTakes sweep by
     // sweep: base = ceil(r/3) per level, unused quota spills to the next
     // level, leftover budget wraps into the next sweep

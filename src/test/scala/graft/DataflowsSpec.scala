@@ -81,6 +81,26 @@ class DataflowsSpec extends SparkSpec {
     assert(m(201L) == (1L, 0) && m(202L) == (1L, 0) && m(203L) == (1L, 0))
   }
 
+  test("N5 post-pass: blocks of deleted files refine to report-time cleanup") {
+    val actions = Dataflows.reconcileReports(block, reported)
+    def refined(f: DataFrame) =
+      rows(Dataflows.refineOrphanActions(actions, block, f)
+        .filter(col("datanodeId") === 11L)
+        .select(col("blockId"), col("action")))
+        .map(r => r.head -> r.last).toMap
+    // every file deleted since the feed: stored blocks → toRemove
+    // (removeStoredBlock), the never-stored 299 resolves no file at all
+    // → toInvalidate (rejectAddStoredBlock)
+    assert(refined(file.withColumn("version", -col("version")))
+      == Map(201L -> "toRemove", 202L -> "toRemove", 203L -> "toRemove",
+             299L -> "toInvalidate"))
+    // with the file alive the stage-1 classification passes through,
+    // except the unknown 299, which no addStoredBlock could ever accept
+    assert(refined(file)
+      == Map(201L -> "ok", 202L -> "toAdd", 203L -> "toInvalidate",
+             299L -> "toInvalidate"))
+  }
+
   test("N6: round-robin budget split — a P0 flood does not starve P1") {
     val dn = Seq(
       (1L, "dn1", "DS-1", 0L, 0L, 1000L, 0L, 900L, now - 1L, 0L, "/r1", "NORMAL", 1L),
