@@ -137,15 +137,23 @@ object Dataflows {
     * datanodes that never reported across the WHOLE feed are stale →
     * toRemove (FSNamesystem.java:2562-2594). `everReported` = the distinct
     * datanodeIds of the full feed. */
+  def neverReportedRemovals(block: DataFrame, everReported: DataFrame): DataFrame =
+    live(block)
+      .join(broadcast(everReported.select(col("datanodeId")).distinct()),
+        Seq("datanodeId"), "left_anti")
+      .select(col("datanodeId"), lit("toRemove").as("action"))
+
   /** Report post-pass (processReport, FSNamesystem.java:2573-2620):
     * deleteInternal defers block cleanup to exactly this pass ("block
     * will be deleted for no file is found on next block report",
     * :1403). An action whose block belongs to NO live file refines to
-    * the reference's outcome: stored rows become toRemove
+    * the reference's outcome, discriminated by the action row's OWN
+    * storedness: rows with a stored replica become toRemove
     * (removeStoredBlock drops the row and the replica), reported-only
-    * unknown blocks become toInvalidate (addStoredBlock resolves no
-    * file and invalidates the replica). Actions over live files pass
-    * through unchanged. */
+    * rows become toInvalidate (addStoredBlock resolves no file and
+    * rejects, invalidating the replica — a reported-only replica of a
+    * block stored elsewhere has no row to remove). Actions over live
+    * files pass through unchanged. */
   def refineOrphanActions(actions: DataFrame, block: DataFrame,
                           file: DataFrame): DataFrame = {
     val owner = live(block)
@@ -156,16 +164,10 @@ object Dataflows {
       .join(liveFiles, col("__fileId") === col("__fid"), "left")
       .withColumn("action",
         when(col("__fid").isNotNull, col("action"))
-          .when(col("__bid").isNotNull, lit("toRemove"))
+          .when(col("storedGenStamp").isNotNull, lit("toRemove"))
           .otherwise(lit("toInvalidate")))
       .drop("__bid", "__fileId", "__fid")
   }
-
-  def neverReportedRemovals(block: DataFrame, everReported: DataFrame): DataFrame =
-    live(block)
-      .join(broadcast(everReported.select(col("datanodeId")).distinct()),
-        Seq("datanodeId"), "left_anti")
-      .select(col("datanodeId"), lit("toRemove").as("action"))
 
   // ---- N6: under-replication priorities + top-k (UnderReplicatedBlocks.java) -
 

@@ -160,8 +160,10 @@ object AnalyticsQueries {
 
   private val O = DerivedState.oracle _
 
-  /** N5 classification — shared by the batch query and its streamed twin. */
-  private val N5OracleSql: String =
+  /** N5 per-row classification CTE chain — the single home of the
+    * CASE ladder, shared by the batch query, its streamed twin and the
+    * orphan post-pass (ends with the `classified` CTE). */
+  private val N5ClassifySql: String =
     """WITH stored AS (
       |  SELECT id AS blockId, datanodeId, length AS storedLength,
       |         generationStamp AS storedGenStamp
@@ -174,16 +176,21 @@ object AnalyticsQueries {
       |         COALESCE(r.blockId, s.blockId) AS blockId,
       |         r.repLength, r.repGenStamp, s.storedLength, s.storedGenStamp
       |  FROM reported r FULL OUTER JOIN stored s
-      |    ON r.datanodeId = s.datanodeId AND r.blockId = s.blockId)
-      |SELECT datanodeId,
-      |  CASE WHEN repGenStamp IS NULL THEN 'toRemove'
-      |       WHEN repGenStamp < COALESCE(f.maxGenStamp, repGenStamp) THEN 'toInvalidate'
-      |       WHEN storedGenStamp IS NULL THEN 'toAdd'
-      |       WHEN storedGenStamp < repGenStamp
-      |            OR (storedLength <> repLength AND storedLength <> -1) THEN 'toAdd'
-      |       ELSE 'ok' END AS action,
-      |  COUNT(*) AS n
-      |FROM joined LEFT JOIN freshest f ON joined.blockId = f.bid
+      |    ON r.datanodeId = s.datanodeId AND r.blockId = s.blockId),
+      |classified AS (
+      |  SELECT joined.datanodeId, joined.blockId, joined.storedGenStamp,
+      |    CASE WHEN repGenStamp IS NULL THEN 'toRemove'
+      |         WHEN repGenStamp < COALESCE(f.maxGenStamp, repGenStamp) THEN 'toInvalidate'
+      |         WHEN storedGenStamp IS NULL THEN 'toAdd'
+      |         WHEN storedGenStamp < repGenStamp
+      |              OR (storedLength <> repLength AND storedLength <> -1) THEN 'toAdd'
+      |         ELSE 'ok' END AS action
+      |  FROM joined LEFT JOIN freshest f ON joined.blockId = f.bid)""".stripMargin
+
+  /** N5 classification — shared by the batch query and its streamed twin. */
+  private val N5OracleSql: String =
+    s"""$N5ClassifySql
+      |SELECT datanodeId, action, COUNT(*) AS n FROM classified
       |GROUP BY 1, 2 ORDER BY datanodeId, action""".stripMargin
 
   def oracles: Map[String, String] = Map(
@@ -237,28 +244,7 @@ object AnalyticsQueries {
     // the streamed variant must land on the identical result
     "n5_stream_report_parity" -> O(N5OracleSql),
     "n5_orphan_refine" -> O(
-      """WITH stored AS (
-        |  SELECT id AS blockId, datanodeId, length AS storedLength,
-        |         generationStamp AS storedGenStamp
-        |  FROM block WHERE version > 0),
-        |freshest AS (
-        |  SELECT id AS bid, MAX(generationStamp) AS maxGenStamp
-        |  FROM block WHERE version > 0 GROUP BY id),
-        |joined AS (
-        |  SELECT COALESCE(r.datanodeId, s.datanodeId) AS datanodeId,
-        |         COALESCE(r.blockId, s.blockId) AS blockId,
-        |         r.repLength, r.repGenStamp, s.storedLength, s.storedGenStamp
-        |  FROM reported r FULL OUTER JOIN stored s
-        |    ON r.datanodeId = s.datanodeId AND r.blockId = s.blockId),
-        |classified AS (
-        |  SELECT joined.datanodeId, joined.blockId,
-        |    CASE WHEN repGenStamp IS NULL THEN 'toRemove'
-        |         WHEN repGenStamp < COALESCE(f.maxGenStamp, repGenStamp) THEN 'toInvalidate'
-        |         WHEN storedGenStamp IS NULL THEN 'toAdd'
-        |         WHEN storedGenStamp < repGenStamp
-        |              OR (storedLength <> repLength AND storedLength <> -1) THEN 'toAdd'
-        |         ELSE 'ok' END AS action
-        |  FROM joined LEFT JOIN freshest f ON joined.blockId = f.bid),
+      s"""$N5ClassifySql,
         |owner AS (
         |  SELECT DISTINCT id AS obid, fileId FROM block WHERE version > 0),
         |livefiles AS (
@@ -266,7 +252,7 @@ object AnalyticsQueries {
         |refined AS (
         |  SELECT c.datanodeId,
         |    CASE WHEN lf.lfid IS NOT NULL THEN c.action
-        |         WHEN o.obid IS NOT NULL THEN 'toRemove'
+        |         WHEN c.storedGenStamp IS NOT NULL THEN 'toRemove'
         |         ELSE 'toInvalidate' END AS action
         |  FROM classified c
         |  LEFT JOIN owner o ON c.blockId = o.obid

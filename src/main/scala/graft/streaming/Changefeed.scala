@@ -98,8 +98,12 @@ object Changefeed {
               batch.groupBy(col("datanodeId"))
                 .agg(max(col("xmitsInProgress")).as("__xmits"))
             else batch.select(col("datanodeId")).distinct()
+          // coalesce: a null xmits value means "none in flight", not a
+          // zeroed cap (greatest() skips null arguments)
           val replCap =
-            if (hasXmits) greatest(lit(0), lit(maxReplicationStreams) - col("__xmits"))
+            if (hasXmits)
+              greatest(lit(0),
+                lit(maxReplicationStreams) - coalesce(col("__xmits"), lit(0L)))
             else lit(maxReplicationStreams)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("datanodeId"), col("command"))

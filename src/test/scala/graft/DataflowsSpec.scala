@@ -99,6 +99,18 @@ class DataflowsSpec extends SparkSpec {
     assert(refined(file)
       == Map(201L -> "ok", 202L -> "toAdd", 203L -> "toInvalidate",
              299L -> "toInvalidate"))
+    // a reported-only replica of a block stored ELSEWHERE (dn13 reports
+    // 201, stored on dn11/12): with the file dead there is no (dn13, 201)
+    // row to remove — the replica must be invalidated, not "removed"
+    val rep13 = reported.unionByName(
+      Seq((13L, 201L, 40L, 5L)).toDF("datanodeId", "blockId", "repLength", "repGenStamp"))
+    val out13 = rows(Dataflows.refineOrphanActions(
+        Dataflows.reconcileReports(block, rep13),
+        block, file.withColumn("version", -col("version")))
+      .filter(col("datanodeId") === 13L)
+      .select(col("blockId"), col("action")))
+      .map(r => r.head -> r.last).toMap
+    assert(out13 == Map(201L -> "toInvalidate"))
   }
 
   test("N6: round-robin budget split — a P0 flood does not starve P1") {
