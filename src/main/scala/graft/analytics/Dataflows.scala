@@ -115,6 +115,12 @@ object Dataflows {
         when(col("repGenStamp").isNull, lit("toRemove"))
           .when(col("repGenStamp") < coalesce(col("maxGenStamp"), col("repGenStamp")), lit("toInvalidate"))
           .when(col("storedGenStamp").isNull, lit("toAdd"))
+          // markBlockAsCorrupt (addStoredBlock, FSNamesystem.java:2653-2657):
+          // an equal-genstamp replica reported SHORTER than stored is a
+          // corrupt replica, not an update
+          .when(col("storedGenStamp") === col("repGenStamp") &&
+                col("repLength") < col("storedLength") &&
+                col("storedLength") =!= -1L, lit("toInvalidate"))
           .when(col("storedGenStamp") < col("repGenStamp") ||
                 (col("storedLength") =!= col("repLength") && col("storedLength") =!= -1L), lit("toAdd"))
           .otherwise(lit("ok")))

@@ -182,6 +182,8 @@ object AnalyticsQueries {
       |    CASE WHEN repGenStamp IS NULL THEN 'toRemove'
       |         WHEN repGenStamp < COALESCE(f.maxGenStamp, repGenStamp) THEN 'toInvalidate'
       |         WHEN storedGenStamp IS NULL THEN 'toAdd'
+      |         WHEN storedGenStamp = repGenStamp AND repLength < storedLength
+      |              AND storedLength <> -1 THEN 'toInvalidate'
       |         WHEN storedGenStamp < repGenStamp
       |              OR (storedLength <> repLength AND storedLength <> -1) THEN 'toAdd'
       |         ELSE 'ok' END AS action

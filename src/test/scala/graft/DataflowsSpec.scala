@@ -43,6 +43,16 @@ class DataflowsSpec extends SparkSpec {
       .filter(col("datanodeId") === 12L && col("action") === "toRemove")
       .select(col("blockId"))).map(_.head).toSet
     assert(removed == Set(201L, 203L))
+    // markBlockAsCorrupt: an equal-genstamp replica reported SHORTER than
+    // stored is corrupt → toInvalidate (a LONGER report stays toAdd)
+    val blk = block.unionByName(Seq((204L, 11L, 50L, 5L, 3L, 4L, 15L))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version"))
+    val repShort = Seq((11L, 204L, 40L, 5L))
+      .toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+    val corrupt = rows(Dataflows.reconcileReports(blk, repShort)
+      .filter(col("blockId") === 204L && col("repGenStamp").isNotNull)
+      .select(col("action"))).map(_.head)
+    assert(corrupt == Seq("toInvalidate"))
   }
 
   test("N5 streamed: per-datanode micro-batches + second pass equal the one-shot reconcile") {
