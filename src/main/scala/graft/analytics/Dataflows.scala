@@ -88,7 +88,8 @@ object Dataflows {
   /** Full-outer-join a datanode's reported blocks against the stored
     * replica rows and classify (:2520-2594):
     *  - toAdd:        reported, not stored (or stored with older genstamp)
-    *  - toInvalidate: reported with a STALE genstamp vs the file's max
+    *  - toInvalidate: reported with a STALE genstamp vs the file's max,
+    *                  or equal-genstamp but SHORTER than the primary
     *  - toRemove:     stored but not reported (lost replica)
     *  - ok:           lengths+genstamps agree.
     * `reported` columns: datanodeId, blockId, repLength, repGenStamp. */
@@ -97,33 +98,36 @@ object Dataflows {
     val stored = live(block).select(
       col("id").as("blockId"), col("datanodeId"),
       col("length").as("storedLength"), col("generationStamp").as("storedGenStamp"))
-    // per-block freshest genstamp across ALL replicas — the arbiter for
-    // stale-report detection (older genstamp loses, :2520-2552). Derived
-    // from `stored` (not a second scan of the block table) unless the
-    // caller scoped `block` down (per-datanode micro-batches) and supplies
-    // the global table to arbitrate against.
-    val arbiterSrc = genStampArbiter
-      .map(b => live(b).select(col("id").as("blockId"),
-        col("generationStamp").as("storedGenStamp")))
-      .getOrElse(stored)
-    val freshest = arbiterSrc.groupBy(col("blockId").as("__bid"))
-      .agg(max(col("storedGenStamp")).as("maxGenStamp"))
+    // per-block freshest replica across ALL replicas — the BlockEntry
+    // primary (argmax by (generationStamp, version), BlockEntry.java:47-61)
+    // arbitrating stale-report detection (older genstamp loses,
+    // :2520-2552) AND the corrupt-length rule below. Derived from the
+    // same `block` frame unless the caller scoped it down (per-datanode
+    // micro-batches) and supplies the global table to arbitrate against.
+    val arbiterSrc = genStampArbiter.map(live).getOrElse(live(block))
+    val freshest = arbiterSrc.groupBy(col("id").as("__bid"))
+      .agg(max(col("generationStamp")).as("maxGenStamp"),
+        max_by(col("length"), struct(col("generationStamp"), col("version")))
+          .as("freshestLength"))
     reported
       .join(stored, Seq("datanodeId", "blockId"), "full_outer")
       .join(freshest, col("blockId") === col("__bid"), "left").drop("__bid")
       .withColumn("action",
         when(col("repGenStamp").isNull, lit("toRemove"))
           .when(col("repGenStamp") < coalesce(col("maxGenStamp"), col("repGenStamp")), lit("toInvalidate"))
+          // markBlockAsCorrupt (addStoredBlock, FSNamesystem.java:2648-2657):
+          // a replica reported with the primary's genstamp but SHORTER than
+          // the BlockEntry primary length is corrupt — whether or not the
+          // reporting node already holds a stored replica, so this fires
+          // BEFORE the never-stored toAdd branch. A -1 (under-construction)
+          // primary length corrupts nothing: no report is < -1.
+          .when(col("repGenStamp") === col("maxGenStamp") &&
+                col("repLength") < col("freshestLength"), lit("toInvalidate"))
           .when(col("storedGenStamp").isNull, lit("toAdd"))
-          // markBlockAsCorrupt (addStoredBlock, FSNamesystem.java:2653-2657):
-          // an equal-genstamp replica reported SHORTER than stored is a
-          // corrupt replica, not an update
-          .when(col("storedGenStamp") === col("repGenStamp") &&
-                col("repLength") < col("storedLength") &&
-                col("storedLength") =!= -1L, lit("toInvalidate"))
           .when(col("storedGenStamp") < col("repGenStamp") ||
                 (col("storedLength") =!= col("repLength") && col("storedLength") =!= -1L), lit("toAdd"))
           .otherwise(lit("ok")))
+      .drop("freshestLength")
   }
 
   /** One micro-batch of the streamed N5 pipeline: a block report is
@@ -291,7 +295,8 @@ object Dataflows {
     val expected = live(file).filter(col("length") =!= -1L)
       .select(col("id").as("fid"), col("replication").as("expectedReplication"))
     val space = live(datanode)
-      .select(col("id").as("nodeId"), col("remaining"), col("location"))
+      .select(col("id").as("nodeId"), col("remaining"), col("location"),
+        col("adminState"))
     // asc_nulls_last: a replica whose datanode row is missing/tombstoned has
     // NULL remaining; rank it after known-space nodes (Spark default sorts
     // NULLS FIRST, the DuckDB oracle NULLS LAST — pin one order). A NULL
@@ -301,6 +306,14 @@ object Dataflows {
     live(block)
       .join(expected, col("fileId") === col("fid")).drop("fid")
       .join(space, col("datanodeId") === col("nodeId"), "left").drop("nodeId")
+      // processOverReplicatedBlock (FSNamesystem.java:2798-2808) drops
+      // DECOMMISSION_INPROGRESS/DECOMMISSIONED holders from nonExcess
+      // BEFORE chooseExcessReplicates: their replicas neither count toward
+      // the excess total nor rank as drop candidates (they vanish on their
+      // own when the node retires). A replica with no datanode row keeps
+      // candidacy (adminState unknown ≠ decommissioning).
+      .filter(col("adminState").isNull || col("adminState") === "NORMAL")
+      .drop("adminState")
       .withColumn("__rack",
         coalesce(col("location"), concat(lit("?"), col("datanodeId").cast("string"))))
       .withColumn("__surv", row_number().over(

@@ -200,7 +200,11 @@ object Shell {
         // capacity/used/remaining + use% — one S13 wide agg over live nodes
         StateManager.clusterStats(datanode, Now)
           .select(col("capacity"), col("dfsUsed"), col("remaining"),
-            (round(col("dfsUsed") * 100.0 / col("capacity"), 2)).as("usePct"),
+            // zero live capacity (empty/all-dead cluster) is 0% used, not
+            // NaN/Infinity from the raw division
+            when(col("capacity") > 0,
+              round(col("dfsUsed") * 100.0 / col("capacity"), 2))
+              .otherwise(lit(0.0)).as("usePct"),
             col("liveNodes"), col("deadNodes"))
       case "chgrp" =>
         require(args.size >= 2, s"usage: chgrp <path> <group>")

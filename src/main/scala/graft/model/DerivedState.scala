@@ -122,14 +122,21 @@ object DerivedState {
 
   /** reported: a synthetic block report for datanodes 1-8 with the N5
     * perturbation matrix — dropped replicas (version%13, → toRemove),
-    * stale genstamps (version%7, → toInvalidate), changed lengths
-    * (version%5, → toAdd), plus never-stored rows re-keyed to the
-    * NULL_DATANODE id 0 (→ toAdd). */
+    * stale genstamps (version%7, → toInvalidate), grown lengths
+    * (version%5, → toAdd), SHORTENED lengths (version%11, → corrupt
+    * toInvalidate via the primary-length rule), plus never-stored rows
+    * re-keyed to the NULL_DATANODE id 0 (→ toAdd, or toInvalidate when
+    * the re-keyed report is shortened — the corrupt rule fires even with
+    * no stored replica on the reporting node). */
   val reportedSql: String =
     """SELECT CASE WHEN datanodeId = 10 THEN CAST(0 AS BIGINT) ELSE datanodeId END AS datanodeId,
       |       id AS blockId,
-      |       CASE WHEN datanodeId = 10 THEN length
-      |            WHEN version % 5 = 0 THEN length + 1000 ELSE length END AS repLength,
+      |       CASE WHEN datanodeId = 10 THEN
+      |              CASE WHEN version % 3 = 0 AND length > 0 THEN length - 700
+      |                   ELSE length END
+      |            WHEN version % 5 = 0 THEN length + 1000
+      |            WHEN version % 11 = 0 AND length > 0 THEN length - 500
+      |            ELSE length END AS repLength,
       |       CASE WHEN datanodeId = 10 THEN generationStamp
       |            WHEN version % 7 = 0 THEN generationStamp - 1
       |            ELSE generationStamp END AS repGenStamp

@@ -169,7 +169,8 @@ object AnalyticsQueries {
       |         generationStamp AS storedGenStamp
       |  FROM block WHERE version > 0),
       |freshest AS (
-      |  SELECT id AS bid, MAX(generationStamp) AS maxGenStamp
+      |  SELECT id AS bid, MAX(generationStamp) AS maxGenStamp,
+      |         ARG_MAX(length, generationStamp * 10000000000 + version) AS freshestLength
       |  FROM block WHERE version > 0 GROUP BY id),
       |joined AS (
       |  SELECT COALESCE(r.datanodeId, s.datanodeId) AS datanodeId,
@@ -181,9 +182,9 @@ object AnalyticsQueries {
       |  SELECT joined.datanodeId, joined.blockId, joined.storedGenStamp,
       |    CASE WHEN repGenStamp IS NULL THEN 'toRemove'
       |         WHEN repGenStamp < COALESCE(f.maxGenStamp, repGenStamp) THEN 'toInvalidate'
+      |         WHEN repGenStamp = f.maxGenStamp
+      |              AND repLength < f.freshestLength THEN 'toInvalidate'
       |         WHEN storedGenStamp IS NULL THEN 'toAdd'
-      |         WHEN storedGenStamp = repGenStamp AND repLength < storedLength
-      |              AND storedLength <> -1 THEN 'toInvalidate'
       |         WHEN storedGenStamp < repGenStamp
       |              OR (storedLength <> repLength AND storedLength <> -1) THEN 'toAdd'
       |         ELSE 'ok' END AS action
@@ -316,7 +317,9 @@ object AnalyticsQueries {
     // rack-aware drop order (chooseExcessReplicates): each rack's
     // max-remaining replica is its would-be survivor; non-survivors drop
     // first so an invalidation never removes a rack while alternatives
-    // exist, least-remaining-space first within each class
+    // exist, least-remaining-space first within each class; replicas on
+    // decommissioning/decommissioned nodes are excluded from nonExcess
+    // before counting (processOverReplicatedBlock)
     "n8_excess_replicas" -> O(
       """WITH x AS (
         |  SELECT b.id, b.datanodeId, d.remaining, f.replication,
@@ -325,7 +328,8 @@ object AnalyticsQueries {
         |  FROM block b
         |  JOIN file f ON b.fileId = f.id AND f.version > 0 AND f.length <> -1
         |  LEFT JOIN datanode d ON b.datanodeId = d.id AND d.version > 0
-        |  WHERE b.version > 0),
+        |  WHERE b.version > 0
+        |    AND (d.adminState IS NULL OR d.adminState = 'NORMAL')),
         |y AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id, rack
         |           ORDER BY remaining DESC NULLS FIRST, datanodeId DESC) AS survRank

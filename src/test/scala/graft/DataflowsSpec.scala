@@ -53,6 +53,28 @@ class DataflowsSpec extends SparkSpec {
       .filter(col("blockId") === 204L && col("repGenStamp").isNotNull)
       .select(col("action"))).map(_.head)
     assert(corrupt == Seq("toInvalidate"))
+    // the corrupt rule arbitrates against the BlockEntry PRIMARY
+    // (addStoredBlock compares storedBlockEntry.getLength()), so it fires
+    // even when the reporting node holds NO stored replica of the block
+    val repShort13 = Seq((13L, 204L, 40L, 5L))
+      .toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+    val corrupt13 = rows(Dataflows.reconcileReports(blk, repShort13)
+      .filter(col("blockId") === 204L && col("repGenStamp").isNotNull)
+      .select(col("action"))).map(_.head)
+    assert(corrupt13 == Seq("toInvalidate"))
+    // ...and against the primary's length, NOT the reporting node's own
+    // replica: dn12's replica (v21) is the primary at length 50, so dn11
+    // reporting 45 > its own stored 40 is still corrupt
+    val blk2 = block.unionByName(Seq(
+        (205L, 11L, 40L, 5L, 3L, 5L, 20L),
+        (205L, 12L, 50L, 5L, 3L, 5L, 21L))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId", "fileIndex", "version"))
+    val rep205 = Seq((11L, 205L, 45L, 5L))
+      .toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+    val corrupt205 = rows(Dataflows.reconcileReports(blk2, rep205)
+      .filter(col("blockId") === 205L && col("repGenStamp").isNotNull)
+      .select(col("action"))).map(_.head)
+    assert(corrupt205 == Seq("toInvalidate"))
   }
 
   test("N5 streamed: per-datanode micro-batches + second pass equal the one-shot reconcile") {
@@ -189,6 +211,13 @@ class DataflowsSpec extends SparkSpec {
     // pure least-space would drop dn3 (5 left) and lose rack B entirely;
     // the rack-aware order drops rack A's non-survivor dn1 instead
     assert(out == Seq(Seq(100L, 1L, 1)))
+    // a DECOMMISSION_INPROGRESS holder leaves nonExcess entirely
+    // (processOverReplicatedBlock): with dn1 decommissioning, only 2
+    // NORMAL replicas remain = expected 2 → nothing is excess
+    val dnDecom = dn.withColumn("adminState",
+      when(col("id") === 1L, "DECOMMISSION_INPROGRESS").otherwise(col("adminState")))
+    assert(rows(Dataflows.excessReplicas(blocks, files, dnDecom)
+      .select(col("id"))).isEmpty)
   }
 
   test("N17: block synchronization reconciles to max genstamp, min length") {
