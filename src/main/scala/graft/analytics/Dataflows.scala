@@ -455,12 +455,27 @@ object Dataflows {
 
   // ---- N15: du / count / ContentSummary (ContentSummary.java:27-110) ---
 
-  /** Subtree aggregation {length, fileCount, dirCount} per requested root.
-    * Single-pass for ALL roots at once: the frontier carries a rootId
-    * label down the tree, so N roots cost the same joins as one — the
-    * shape that survives a 1000-root du over a 100 TB namespace. */
+  /** Subtree aggregation {length, fileCount, dirCount, spaceConsumed,
+    * quota, spaceQuota} per requested root. Single-pass for ALL roots at
+    * once: the frontier carries a rootId label down the tree, so N roots
+    * cost the same joins as one — the shape that survives a 1000-root du
+    * over a 100 TB namespace.
+    *
+    * Quota semantics (ContentSummary.java:31-66, INode.java:194-216):
+    * spaceConsumed = Σ file length × replication over the subtree
+    * (INodeFile.diskspaceConsumed — the ADFS file table maintains length
+    * as the total block length, so the INode-side last-block round-up
+    * collapses into it); quota/spaceQuota come from per-dir quota rows
+    * (`quotas`: dirId, nsQuota, dsQuota) keyed by the ROOT dir, −1 = not
+    * set (INode.getNsQuota/getDsQuota default). */
   def contentSummary(file: DataFrame, rootIds: Seq[Long], maxDepth: Int = 16,
-                     dirBroadcastLimit: Long = 2000000L): DataFrame = {
+                     dirBroadcastLimit: Long = 2000000L,
+                     quotas: Option[DataFrame] = None): DataFrame =
+    attachQuotas(contentSummaryRaw(file, rootIds, maxDepth, dirBroadcastLimit),
+      quotas)
+
+  private def contentSummaryRaw(file: DataFrame, rootIds: Seq[Long],
+                                maxDepth: Int, dirBroadcastLimit: Long): DataFrame = {
     val fAll = live(file)
     graft.state.StateManager
       .collectDirChildren(fAll, dirBroadcastLimit, needNames = false) match {
@@ -507,9 +522,9 @@ object Dataflows {
         val dirRoot = pairs.toDF("__did", "rootId")
         val inSubtrees = fAll
           .join(broadcast(dirRoot), col("parentId") === col("__did"))
-          .select(col("rootId"), col("id"), col("length"))
+          .select(col("rootId"), col("id"), col("length"), col("replication"))
         val roots = fAll.filter(col("id").isin(seeds: _*))
-          .select(col("id").as("rootId"), col("id"), col("length"))
+          .select(col("id").as("rootId"), col("id"), col("length"), col("replication"))
         summarize(roots.unionByName(inSubtrees))
       case None => contentSummaryIterative(fAll, rootIds, maxDepth)
     }
@@ -519,15 +534,36 @@ object Dataflows {
     out.groupBy(col("rootId")).agg(
       sum(when(col("length") =!= -1L, greatest(col("length"), lit(0L))).otherwise(0L)).as("length"),
       count(when(col("length") =!= -1L, 1)).as("fileCount"),
-      count(when(col("length") === -1L, 1)).as("dirCount"))
+      count(when(col("length") === -1L, 1)).as("dirCount"),
+      sum(when(col("length") =!= -1L,
+        greatest(col("length"), lit(0L)) * col("replication")).otherwise(0L))
+        .as("spaceConsumed"))
+
+  /** quota/spaceQuota per root from the per-dir quota rows; −1 where no
+    * quota row exists (getNsQuota/getDsQuota default, INode.java:209-215).
+    * Quota rows are a dimension (one per quota'd dir) — broadcast. */
+  private def attachQuotas(summary: DataFrame, quotas: Option[DataFrame]): DataFrame =
+    quotas match {
+      case Some(q) =>
+        summary
+          .join(broadcast(q.select(col("dirId").as("__qid"),
+            col("nsQuota"), col("dsQuota"))), col("rootId") === col("__qid"), "left")
+          .drop("__qid")
+          .withColumn("quota", coalesce(col("nsQuota"), lit(-1L)))
+          .withColumn("spaceQuota", coalesce(col("dsQuota"), lit(-1L)))
+          .drop("nsQuota", "dsQuota")
+      case None =>
+        summary.withColumn("quota", lit(-1L)).withColumn("spaceQuota", lit(-1L))
+    }
 
   private def contentSummaryIterative(fAll: DataFrame, rootIds: Seq[Long],
                                       maxDepth: Int): DataFrame = {
-    // persist only the three columns the loop touches — every level joins
+    // persist only the columns the loop touches — every level joins
     // this frame, and a view-backed input would re-derive per level
-    val f = fAll.select(col("id"), col("parentId"), col("length")).persist()
+    val f = fAll.select(col("id"), col("parentId"), col("length"),
+      col("replication")).persist()
     var frontier = f.filter(col("id").isin(rootIds: _*))
-      .select(col("id").as("rootId"), col("id"), col("length"))
+      .select(col("id").as("rootId"), col("id"), col("length"), col("replication"))
     var out = frontier
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     persisted += f
@@ -536,7 +572,7 @@ object Dataflows {
     while (n > 0 && lvl < maxDepth) {
       val parents = frontier.select(col("rootId"), col("id").as("__pid"))
       frontier = f.join(broadcast(parents), col("parentId") === col("__pid"))
-        .select(col("rootId"), col("id"), col("length"))
+        .select(col("rootId"), col("id"), col("length"), col("replication"))
       frontier.persist()
       persisted += frontier
       n = frontier.count()

@@ -113,7 +113,27 @@ object Shell {
           .select(col("id")).collect().map(_.getLong(0)).toSeq
         Dataflows.contentSummary(file, children).orderBy(col("rootId"))
       case "dus" | "count" =>
-        Dataflows.contentSummary(file, Seq(resolve(path)))
+        // count [-q] <path> (fs/shell/Count.java:30-77): -q prefixes the
+        // quota columns in ContentSummary.toString(true) order — "none"/
+        // "inf" when unset (quota<=0), which in this engine is always,
+        // faithfully: the ADFS file model carries no quota column, so no
+        // quota is ever set (INode.getNsQuota default -1)
+        val qOpt = args.contains("-q")
+        val target = args.filterNot(_ == "-q").headOption.getOrElse("/")
+        val s = Dataflows.contentSummary(file, Seq(resolve(target)))
+        if (qOpt) s.select(
+          when(col("quota") > 0, col("quota").cast("string"))
+            .otherwise(lit("none")).as("quota"),
+          when(col("quota") > 0,
+            (col("quota") - (col("dirCount") + col("fileCount"))).cast("string"))
+            .otherwise(lit("inf")).as("remainingQuota"),
+          when(col("spaceQuota") > 0, col("spaceQuota").cast("string"))
+            .otherwise(lit("none")).as("spaceQuota"),
+          when(col("spaceQuota") > 0,
+            (col("spaceQuota") - col("spaceConsumed")).cast("string"))
+            .otherwise(lit("inf")).as("remainingSpaceQuota"),
+          col("dirCount"), col("fileCount"), col("length"))
+        else s
       case "stat" =>
         val id = resolve(path)
         StateManager.fileInfo(file, block).filter(col("id") === id)

@@ -140,6 +140,23 @@ object AnalyticsQueries {
     // N15: du / count / ContentSummary per top-level dir (all roots, one pass)
     "n15_content_summary" -> { (s, dir) =>
       Dataflows.contentSummary(DerivedState.file(s, dir), (1L to 26L))
+        .select(col("rootId"), col("length"), col("fileCount"), col("dirCount"))
+        .orderBy(col("rootId"))
+    },
+    // N15 quota surface (count -q): per-root nsQuota/dsQuota rows joined
+    // onto the summary; remaining quotas follow ContentSummary.toString's
+    // quota>0 gate (null = "inf"/"none" when unset)
+    "n15_quota" -> { (s, dir) =>
+      val quotas = s.sql(QuotaRowsSql)
+      Dataflows.contentSummary(DerivedState.file(s, dir), (1L to 26L),
+          quotas = Some(quotas))
+        .withColumn("remainingQuota",
+          when(col("quota") > 0, col("quota") - (col("dirCount") + col("fileCount"))))
+        .withColumn("remainingSpaceQuota",
+          when(col("spaceQuota") > 0, col("spaceQuota") - col("spaceConsumed")))
+        .select(col("rootId"), col("quota"), col("remainingQuota"),
+          col("spaceQuota"), col("remainingSpaceQuota"),
+          col("dirCount"), col("fileCount"), col("length"), col("spaceConsumed"))
         .orderBy(col("rootId"))
     },
     // N16: datanode report — live/dead × adminState partition
@@ -159,6 +176,17 @@ object AnalyticsQueries {
   )
 
   private val O = DerivedState.oracle _
+
+  /** Per-dir quota rows for n15_quota — the SAME SQL text runs in Spark
+    * and DuckDB (quotas are an INodeDirectoryWithQuota-side concept, not
+    * an ADFS table, so they're synthesized here, not in DerivedState). */
+  private val QuotaRowsSql: String =
+    """SELECT CAST(i AS BIGINT) AS dirId,
+      |       CASE WHEN i % 2 = 0 THEN CAST(40 + i AS BIGINT)
+      |            ELSE CAST(-1 AS BIGINT) END AS nsQuota,
+      |       CASE WHEN i % 3 = 0 THEN CAST(400000 * i AS BIGINT)
+      |            ELSE CAST(-1 AS BIGINT) END AS dsQuota
+      |FROM range(1, 27) AS t(i)""".stripMargin
 
   /** N5 per-row classification CTE chain — the single home of the
     * CASE ladder, shared by the batch query, its streamed twin and the
@@ -394,6 +422,38 @@ object AnalyticsQueries {
         |  COUNT(CASE WHEN length <> -1 THEN 1 END) AS fileCount,
         |  COUNT(CASE WHEN length = -1 THEN 1 END) AS dirCount
         |FROM allrows GROUP BY rootId ORDER BY rootId""".stripMargin),
+    "n15_quota" -> O(
+      s"""WITH lvl0 AS (
+        |  SELECT id AS rootId, id, length, replication FROM file
+        |  WHERE version > 0 AND id >= 1 AND id <= 26),
+        |lvl1 AS (
+        |  SELECT p.rootId, f.id, f.length, f.replication
+        |  FROM file f JOIN lvl0 p ON f.parentId = p.id WHERE f.version > 0),
+        |lvl2 AS (
+        |  SELECT p.rootId, f.id, f.length, f.replication
+        |  FROM file f JOIN lvl1 p ON f.parentId = p.id WHERE f.version > 0),
+        |allrows AS (
+        |  SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2),
+        |summary AS (
+        |  SELECT rootId,
+        |    CAST(SUM(CASE WHEN length <> -1 AND length > 0 THEN length ELSE 0 END) AS BIGINT) AS length,
+        |    COUNT(CASE WHEN length <> -1 THEN 1 END) AS fileCount,
+        |    COUNT(CASE WHEN length = -1 THEN 1 END) AS dirCount,
+        |    CAST(SUM(CASE WHEN length <> -1 AND length > 0 THEN length * replication ELSE 0 END) AS BIGINT) AS spaceConsumed
+        |  FROM allrows GROUP BY rootId),
+        |quotarows AS (
+        |$QuotaRowsSql
+        |)
+        |SELECT s.rootId,
+        |  COALESCE(q.nsQuota, CAST(-1 AS BIGINT)) AS quota,
+        |  CASE WHEN COALESCE(q.nsQuota, CAST(-1 AS BIGINT)) > 0
+        |       THEN q.nsQuota - (s.dirCount + s.fileCount) END AS remainingQuota,
+        |  COALESCE(q.dsQuota, CAST(-1 AS BIGINT)) AS spaceQuota,
+        |  CASE WHEN COALESCE(q.dsQuota, CAST(-1 AS BIGINT)) > 0
+        |       THEN q.dsQuota - s.spaceConsumed END AS remainingSpaceQuota,
+        |  s.dirCount, s.fileCount, s.length, s.spaceConsumed
+        |FROM summary s LEFT JOIN quotarows q ON s.rootId = q.dirId
+        |ORDER BY s.rootId""".stripMargin),
     "n16_datanode_report" -> O(
       """SELECT lastUpdated >= 1700000000000 - 600000 AS alive, adminState,
         |  COUNT(*) AS nodes, CAST(SUM(capacity) AS BIGINT) AS capacity
