@@ -476,7 +476,12 @@ object Dataflows {
 
   private def contentSummaryRaw(file: DataFrame, rootIds: Seq[Long],
                                 maxDepth: Int, dirBroadcastLimit: Long): DataFrame = {
-    val fAll = live(file)
+    // minimal namespace frames (id,parentId,length) are a valid input:
+    // spaceConsumed degrades to length×1, matching a replication-1 tree
+    val fLive = live(file)
+    val fAll =
+      if (fLive.columns.contains("replication")) fLive
+      else fLive.withColumn("replication", lit(1L))
     graft.state.StateManager
       .collectDirChildren(fAll, dirBroadcastLimit, needNames = false) match {
       case Some(children) =>

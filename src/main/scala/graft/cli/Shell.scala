@@ -109,9 +109,13 @@ object Shell {
           .select(col("id"), col("parentId"), col("name"), col("length"))
           .orderBy(col("id"))
       case "du" =>
+        // du prints per-child sizes only (FsShell.du) — the quota columns
+        // belong to count -q, keep this surface at its pre-quota shape
         val children = StateManager.listChildren(file, resolve(path))
           .select(col("id")).collect().map(_.getLong(0)).toSeq
-        Dataflows.contentSummary(file, children).orderBy(col("rootId"))
+        Dataflows.contentSummary(file, children)
+          .select(col("rootId"), col("length"), col("fileCount"), col("dirCount"))
+          .orderBy(col("rootId"))
       case "dus" | "count" =>
         // count [-q] <path> (fs/shell/Count.java:30-77): -q prefixes the
         // quota columns in ContentSummary.toString(true) order — "none"/
@@ -133,7 +137,10 @@ object Shell {
             (col("spaceQuota") - col("spaceConsumed")).cast("string"))
             .otherwise(lit("inf")).as("remainingSpaceQuota"),
           col("dirCount"), col("fileCount"), col("length"))
-        else s
+        // without -q, count prints only dirCount/fileCount/length
+        // (Count.java:63-66) — keep the pre-quota column surface
+        else s.select(col("rootId"), col("length"), col("fileCount"),
+          col("dirCount"))
       case "stat" =>
         val id = resolve(path)
         StateManager.fileInfo(file, block).filter(col("id") === id)

@@ -198,7 +198,8 @@ object AnalyticsQueries {
       |  FROM block WHERE version > 0),
       |freshest AS (
       |  SELECT id AS bid, MAX(generationStamp) AS maxGenStamp,
-      |         ARG_MAX(length, generationStamp * 10000000000 + version) AS freshestLength
+      |         ARG_MAX(length, CAST(generationStamp AS HUGEINT)
+      |                 * 9223372036854775808 + version) AS freshestLength
       |  FROM block WHERE version > 0 GROUP BY id),
       |joined AS (
       |  SELECT COALESCE(r.datanodeId, s.datanodeId) AS datanodeId,
