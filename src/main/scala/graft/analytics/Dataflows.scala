@@ -588,6 +588,72 @@ object Dataflows {
     graft.core.Caching.materializeAndRelease(summarize(out), persisted.toSeq)
   }
 
+  // ---- Decommission finish gate (isReplicationInProgress :3353-3398) ---
+
+  /** Per-candidate decommissioningStatus counters — the finish gate of the
+    * decommission lifecycle (isReplicationInProgress,
+    * FSNamesystem.java:3353-3398): a node may retire only when NO block it
+    * holds is under-replicated against the post-transition admin map.
+    *
+    * `effAdmin`: (id, effState) — the datanode admin states WITH the
+    * batch's transitions already applied (a starting node's own replicas
+    * must count as decommissioned, exactly as the reference flips the
+    * descriptor before checkDecommissionStateInternal :3185-3190).
+    * `candidates`: (nodeId) — the nodes to evaluate.
+    *
+    * Replica classification follows countNodes (:3290-3315): a replica
+    * whose datanode row is missing is skipped (`node == null → continue`),
+    * non-NORMAL holders count as decommissioned, the rest live (the
+    * corrupt/excess maps are transient namenode memory, not table state —
+    * under the table-state model they are empty, so those branches
+    * classify live, the same collapse fsck uses). Blocks whose file is
+    * deleted are skipped (`file == null` guard :3364-3366).
+    *
+    * Scale shape: replica counting is scoped to the blocks the candidates
+    * actually hold (a left-semi prune) — a 10-node decommission on a
+    * 100 TB namespace aggregates only those nodes' blocks, never the whole
+    * block table; the admin map is a broadcast dimension. Output per
+    * candidate: underReplicatedBlocks, decommissionOnlyReplicas,
+    * underReplicatedInOpenFiles (decommissioningStatus.set :3395),
+    * replicationDone. */
+  def decommissionStatus(block: DataFrame, file: DataFrame,
+                         effAdmin: DataFrame, candidates: DataFrame): DataFrame = {
+    val b = live(block)
+    val cand = candidates.select(col("nodeId")).distinct()
+    val eff = effAdmin.select(col("id").as("__nid"), col("effState"))
+    // blocks held by any candidate — the only blocks whose replica counts
+    // the gate ever reads
+    val heldIds = b.join(broadcast(cand), col("datanodeId") === col("nodeId"))
+      .select(col("id")).distinct()
+    val counts = b
+      .join(heldIds.select(col("id").as("__hid")), col("id") === col("__hid"), "left_semi")
+      .join(broadcast(eff), col("datanodeId") === col("__nid"))
+      .groupBy(col("id").as("__bid"))
+      .agg(count(when(col("effState") === "NORMAL", 1)).as("__live"),
+           count(when(col("effState") =!= "NORMAL", 1)).as("__decom"))
+    val fileDim = live(file).select(col("id").as("__fid"),
+      col("replication").as("__expected"),
+      col("leaseHolder").isNotNull.as("__open"))
+    val held = b.join(broadcast(cand), col("datanodeId") === col("nodeId"))
+      .select(col("nodeId"), col("id").as("__hbid"), col("fileId"))
+      .join(fileDim, col("fileId") === col("__fid"))
+      .join(counts, col("__hbid") === col("__bid"))
+      .withColumn("__under", col("__expected") > col("__live"))
+    val perNode = held.groupBy(col("nodeId")).agg(
+      count(when(col("__under"), 1)).as("underReplicatedBlocks"),
+      count(when(col("__under") && col("__live") === 0L && col("__decom") > 0L, 1))
+        .as("decommissionOnlyReplicas"),
+      count(when(col("__under") && col("__open"), 1)).as("underReplicatedInOpenFiles"))
+    // a candidate holding no blocks (of live files) finishes immediately
+    cand.join(perNode.withColumnRenamed("nodeId", "__pn"),
+        col("nodeId") === col("__pn"), "left").drop("__pn")
+      .select(col("nodeId"),
+        coalesce(col("underReplicatedBlocks"), lit(0L)).as("underReplicatedBlocks"),
+        coalesce(col("decommissionOnlyReplicas"), lit(0L)).as("decommissionOnlyReplicas"),
+        coalesce(col("underReplicatedInOpenFiles"), lit(0L)).as("underReplicatedInOpenFiles"))
+      .withColumn("replicationDone", col("underReplicatedBlocks") === 0L)
+  }
+
   // ---- N16: datanode report (live/dead partition) ----------------------
 
   def datanodeReport(datanode: DataFrame, nowMs: Long): DataFrame =

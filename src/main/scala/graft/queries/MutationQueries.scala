@@ -153,6 +153,19 @@ object MutationQueries {
         .select(lit("lease").as("tbl"), col("n"), col("idsum"), col("vsum"))
       fsum.unionByName(lsum).orderBy(col("tbl"))
     },
+    // Decommission lifecycle: start on every 5th node (the skip branch
+    // fires on an already-retired one), stop on a decommissioned and an
+    // in-progress node, and the standing in-progress node re-checked —
+    // gate evaluated over the blocks of every 625th file so a node holding
+    // none of them retires in the same batch (the immediate-finish branch)
+    "n_decommission" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(decommissionReqsSql)
+      Mutations.setAdminState(s.table("datanode"),
+          s.table("block").filter(col("fileId") % 625 === 0L),
+          s.table("file"), reqs)
+        .orderBy(col("id"))
+    },
     // S17/N9: datanode re-registration — same storageId under a new id
     // evicts the old row
     "s17_datanode_upsert" -> { (s, dir) =>
@@ -218,9 +231,96 @@ object MutationQueries {
       |       'hb_' || CAST(o_orderkey % 7 AS STRING)
       |FROM orders WHERE o_orderkey % 202 = 0""".stripMargin
 
+  /** decommission request mix (runs verbatim in both engines): start on
+    * every id%5=2 node — node 17 is already DECOMMISSIONED so the :3183
+    * skip branch drops it — plus stop on 34 (decommissioned → NORMAL) and
+    * 38 (in-progress → NORMAL); node 19 stays in-progress → re-checked. */
+  private val decommissionReqsSql: String =
+    """SELECT id AS nodeId, 'start' AS op FROM datanode
+      |WHERE version > 0 AND id % 5 = 2
+      |UNION ALL SELECT CAST(34 AS BIGINT), 'stop'
+      |UNION ALL SELECT CAST(38 AS BIGINT), 'stop'""".stripMargin
+
   private val O = DerivedState.oracle _
 
   def oracles: Map[String, String] = Map(
+    "n_decommission" -> O(
+      s"""WITH reqs AS (
+         |$decommissionReqsSql),
+         |dn AS (SELECT id, adminState, version FROM datanode WHERE version > 0),
+         |starts AS (
+         |  SELECT d.id, d.version FROM dn d
+         |  JOIN reqs r ON d.id = r.nodeId AND r.op = 'start'
+         |  WHERE d.adminState = 'NORMAL'),
+         |stops AS (
+         |  SELECT d.id, d.adminState, d.version FROM dn d
+         |  JOIN reqs r ON d.id = r.nodeId AND r.op = 'stop'
+         |  WHERE d.adminState <> 'NORMAL'),
+         |checks AS (
+         |  SELECT d.id, d.version FROM dn d
+         |  WHERE d.adminState = 'DECOMMISSION_INPROGRESS'
+         |    AND d.id NOT IN (SELECT id FROM stops)),
+         |eff AS (
+         |  SELECT d.id,
+         |    CASE WHEN d.id IN (SELECT id FROM starts) THEN 'DECOMMISSION_INPROGRESS'
+         |         WHEN d.id IN (SELECT id FROM stops) THEN 'NORMAL'
+         |         ELSE d.adminState END AS effState
+         |  FROM dn d),
+         |blk AS (SELECT id, datanodeId, fileId FROM block
+         |        WHERE version > 0 AND fileId % 625 = 0),
+         |cand AS (SELECT id AS nodeId FROM starts
+         |         UNION SELECT id FROM checks),
+         |counts AS (
+         |  SELECT b.id,
+         |    COUNT(CASE WHEN e.effState = 'NORMAL' THEN 1 END) AS liveReps,
+         |    COUNT(CASE WHEN e.effState <> 'NORMAL' THEN 1 END) AS decomReps
+         |  FROM blk b JOIN eff e ON b.datanodeId = e.id
+         |  WHERE b.id IN (SELECT b2.id FROM blk b2
+         |                 JOIN cand c ON b2.datanodeId = c.nodeId)
+         |  GROUP BY b.id),
+         |held AS (
+         |  SELECT c.nodeId, f.replication, f.leaseHolder, k.liveReps, k.decomReps
+         |  FROM cand c
+         |  JOIN blk b ON b.datanodeId = c.nodeId
+         |  JOIN file f ON b.fileId = f.id AND f.version > 0
+         |  JOIN counts k ON b.id = k.id),
+         |agg AS (
+         |  SELECT nodeId,
+         |    COUNT(CASE WHEN replication > liveReps THEN 1 END) AS u,
+         |    COUNT(CASE WHEN replication > liveReps AND liveReps = 0
+         |               AND decomReps > 0 THEN 1 END) AS donly,
+         |    COUNT(CASE WHEN replication > liveReps
+         |               AND leaseHolder IS NOT NULL THEN 1 END) AS uopen
+         |  FROM held GROUP BY nodeId),
+         |status AS (
+         |  SELECT c.nodeId, COALESCE(a.u, 0) AS u, COALESCE(a.donly, 0) AS donly,
+         |         COALESCE(a.uopen, 0) AS uopen
+         |  FROM cand c LEFT JOIN agg a ON c.nodeId = a.nodeId)
+         |SELECT writeOp, id, prevAdminState, adminState, underReplicatedBlocks,
+         |       decommissionOnlyReplicas, underReplicatedInOpenFiles, version
+         |FROM (
+         |  SELECT 'admin' AS writeOp, s.id, 'NORMAL' AS prevAdminState,
+         |         CASE WHEN st.u = 0 THEN 'DECOMMISSIONED'
+         |              ELSE 'DECOMMISSION_INPROGRESS' END AS adminState,
+         |         st.u AS underReplicatedBlocks,
+         |         st.donly AS decommissionOnlyReplicas,
+         |         st.uopen AS underReplicatedInOpenFiles,
+         |         s.version + 1 AS version
+         |  FROM starts s JOIN status st ON s.id = st.nodeId
+         |  UNION ALL
+         |  SELECT CASE WHEN st.u = 0 THEN 'admin' ELSE 'status' END, c.id,
+         |         'DECOMMISSION_INPROGRESS',
+         |         CASE WHEN st.u = 0 THEN 'DECOMMISSIONED'
+         |              ELSE 'DECOMMISSION_INPROGRESS' END,
+         |         st.u, st.donly, st.uopen,
+         |         CASE WHEN st.u = 0 THEN c.version + 1 ELSE c.version END
+         |  FROM checks c JOIN status st ON c.id = st.nodeId
+         |  UNION ALL
+         |  SELECT 'admin', p.id, p.adminState, 'NORMAL',
+         |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |         CAST(NULL AS BIGINT), p.version + 1
+         |  FROM stops p)
+         |ORDER BY id""".stripMargin),
     "n2_start_file" -> O(
       s"""WITH reqs AS (
          |$startFileReqsSql),

@@ -580,6 +580,94 @@ object Mutations {
         col("lastFinishedReplicas"), col("canAllocate"))
   }
 
+  /** Decommission lifecycle producer (startDecommission/stopDecommission +
+    * checkDecommissionStateInternal, FSNamesystem.java:3183-3201,3405-3417):
+    * NORMAL → DECOMMISSION_INPROGRESS → DECOMMISSIONED transitions as a
+    * batch write-set over the datanode table.
+    *
+    * `requests`: (nodeId, op) with op ∈ start|stop.
+    *  - start: a NORMAL node flips to DECOMMISSION_INPROGRESS and is
+    *    immediately gate-checked (:3190 calls the check inside start) — a
+    *    node holding no under-replicated blocks retires in the same batch.
+    *    Nodes already in-progress/decommissioned are skipped (:3183).
+    *  - stop: an in-progress or decommissioned node returns to NORMAL
+    *    (:3196-3199); no counters are computed for it.
+    *  - every stored DECOMMISSION_INPROGRESS node not being stopped is
+    *    re-checked, folding in the DecommissionedMonitor tick (:3488).
+    *
+    * The reference walks nodes one at a time; the batch formulation
+    * applies ALL admin transitions first and evaluates every gate against
+    * that one post-transition map ([[Dataflows.decommissionStatus]]) —
+    * order-independent where the sequential walk would depend on
+    * iteration order.
+    *
+    * Write-set rows: (writeOp admin|status, id, prevAdminState,
+    * adminState, the three decommissioningStatus counters (:3395, null
+    * for stops), version — bumped only when the state actually changes,
+    * matching updateDatanodeByDatanodeDescriptor being called only on
+    * transitions). */
+  def setAdminState(datanode: DataFrame, block: DataFrame, file: DataFrame,
+                    requests: DataFrame): DataFrame = {
+    val d = live(datanode).select(col("id"), col("adminState"), col("version"))
+    val req = requests.select(col("nodeId"), col("op"))
+    val starts = d
+      .join(broadcast(req.filter(col("op") === "start").select(col("nodeId"))),
+        col("id") === col("nodeId"))
+      .filter(col("adminState") === "NORMAL")
+      .select(col("id"), col("version"))
+    val stops = d
+      .join(broadcast(req.filter(col("op") === "stop").select(col("nodeId"))),
+        col("id") === col("nodeId"))
+      .filter(col("adminState") =!= "NORMAL")
+      .select(col("id"), col("adminState"), col("version"))
+    val checks = d.filter(col("adminState") === "DECOMMISSION_INPROGRESS")
+      .join(broadcast(stops.select(col("id").as("__sid"))),
+        col("id") === col("__sid"), "left_anti")
+      .select(col("id"), col("version"))
+    val eff = d
+      .join(broadcast(starts.select(col("id").as("__st"))),
+        col("id") === col("__st"), "left")
+      .join(broadcast(stops.select(col("id").as("__sp"))),
+        col("id") === col("__sp"), "left")
+      .select(col("id"),
+        when(col("__st").isNotNull, lit("DECOMMISSION_INPROGRESS"))
+          .when(col("__sp").isNotNull, lit("NORMAL"))
+          .otherwise(col("adminState")).as("effState"))
+    val cand = starts.select(col("id").as("nodeId"))
+      .unionByName(checks.select(col("id").as("nodeId")))
+    val status = graft.analytics.Dataflows
+      .decommissionStatus(block, file, eff, cand)
+      .select(col("nodeId").as("__n"), col("underReplicatedBlocks"),
+        col("decommissionOnlyReplicas"), col("underReplicatedInOpenFiles"),
+        col("replicationDone"))
+    def gateRows(nodes: DataFrame, prevState: String): DataFrame =
+      nodes.join(status, col("id") === col("__n")).drop("__n")
+        .withColumn("prevAdminState", lit(prevState))
+        .withColumn("adminState",
+          when(col("replicationDone"), "DECOMMISSIONED")
+            .otherwise("DECOMMISSION_INPROGRESS"))
+        .withColumn("writeOp",
+          when(col("adminState") =!= col("prevAdminState"), "admin")
+            .otherwise("status"))
+        .withColumn("version",
+          when(col("adminState") =!= col("prevAdminState"), col("version") + 1L)
+            .otherwise(col("version")))
+        .select(col("writeOp"), col("id"), col("prevAdminState"),
+          col("adminState"), col("underReplicatedBlocks"),
+          col("decommissionOnlyReplicas"), col("underReplicatedInOpenFiles"),
+          col("version"))
+    val stopRows = stops
+      .select(lit("admin").as("writeOp"), col("id"),
+        col("adminState").as("prevAdminState"), lit("NORMAL").as("adminState"),
+        lit(null).cast("long").as("underReplicatedBlocks"),
+        lit(null).cast("long").as("decommissionOnlyReplicas"),
+        lit(null).cast("long").as("underReplicatedInOpenFiles"),
+        (col("version") + 1L).as("version"))
+    gateRows(starts, "NORMAL")
+      .unionByName(gateRows(checks, "DECOMMISSION_INPROGRESS"))
+      .unionByName(stopRows)
+  }
+
   /** S17/N9 (updateDatanodeByDatanodeDescriptor + handleHeartbeat): keyed
     * upsert of registrations; a storageId collision deletes the old node
     * row (re-registration under a new id). Returns the post-upsert

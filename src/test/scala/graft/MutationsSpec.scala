@@ -270,6 +270,60 @@ class MutationsSpec extends SparkSpec {
     assert(!out.contains(9L)) // not under construction
   }
 
+  test("decommission lifecycle: start/stop/check transition matrix") {
+    val dn = Seq(
+      (1L, "NORMAL", 10L), (2L, "NORMAL", 20L),
+      (3L, "DECOMMISSION_INPROGRESS", 30L), (4L, "DECOMMISSIONED", 40L),
+      (5L, "DECOMMISSION_INPROGRESS", 50L), (6L, "NORMAL", 60L),
+      (7L, "NORMAL", 70L), (8L, "DECOMMISSION_INPROGRESS", 80L),
+    ).toDF("id", "adminState", "version")
+    val files = Seq(
+      (100L, 0L, "fa", 10L, 2L, None: Option[String], 100L),
+      (101L, 0L, "fb", 10L, 1L, Some("h"), 101L),
+      (102L, 0L, "fc", 10L, 1L, None: Option[String], -102L), // deleted
+    ).toDF("id", "parentId", "name", "length", "replication",
+      "leaseHolder", "version")
+    val blocks = Seq(
+      // 900: node 1 + two NORMAL holders → still fully replicated if 1 leaves
+      (900L, 1L, 10L, 1L, 100L, 1L, 1L), (900L, 6L, 10L, 1L, 100L, 1L, 2L),
+      (900L, 7L, 10L, 1L, 100L, 1L, 3L),
+      // 901: node 1's replica is the ONLY one, file open → under +
+      // decommission-only + open-file counters all fire
+      (901L, 1L, 10L, 1L, 101L, 1L, 4L),
+      // 903: its file is deleted → skipped entirely (file == null guard)
+      (903L, 1L, 10L, 1L, 102L, 1L, 5L),
+      // 902: node 3's block is safe elsewhere → its check retires it
+      (902L, 3L, 10L, 1L, 100L, 2L, 6L), (902L, 6L, 10L, 1L, 100L, 2L, 7L),
+      (902L, 7L, 10L, 1L, 100L, 2L, 8L),
+      // 904: node 8 still needed (1 live < 2 expected) → stays in-progress
+      (904L, 8L, 10L, 1L, 100L, 3L, 9L), (904L, 6L, 10L, 1L, 100L, 3L, 10L),
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+      "fileIndex", "version")
+    val reqs = Seq((1L, "start"), (2L, "start"), (4L, "start"), (5L, "stop"))
+      .toDF("nodeId", "op")
+    val out = rows(Mutations.setAdminState(dn, blocks, files, reqs)
+      .select(col("id"), col("writeOp"), col("prevAdminState"), col("adminState"),
+        col("underReplicatedBlocks"), col("decommissionOnlyReplicas"),
+        col("underReplicatedInOpenFiles"), col("version")))
+      .map(r => r.head -> r.tail).toMap
+    // start with an under-replicated open-file block → in progress
+    assert(out(1L) == Seq("admin", "NORMAL", "DECOMMISSION_INPROGRESS",
+      1L, 1L, 1L, 11L))
+    // start holding nothing → retires in the same batch (:3190 check)
+    assert(out(2L) == Seq("admin", "NORMAL", "DECOMMISSIONED", 0L, 0L, 0L, 21L))
+    // standing in-progress node whose blocks are all safe → finishes
+    assert(out(3L) == Seq("admin", "DECOMMISSION_INPROGRESS", "DECOMMISSIONED",
+      0L, 0L, 0L, 31L))
+    // stop → back to NORMAL, no counters, version bumped
+    assert(out(5L) == Seq("admin", "DECOMMISSION_INPROGRESS", "NORMAL",
+      null, null, null, 51L))
+    // still-needed node: status row only, version unchanged
+    assert(out(8L) == Seq("status", "DECOMMISSION_INPROGRESS",
+      "DECOMMISSION_INPROGRESS", 1L, 0L, 0L, 80L))
+    // start on an already-DECOMMISSIONED node is skipped (:3183)
+    assert(!out.contains(4L) && out.size == 5)
+  }
+
   test("S17 upsert: storageId collision evicts the old node row") {
     val dn = Seq(
       (11L, "dn11", "DS-A", 0L, 0L, 1L, 1L, 1L, 1L, 1L, "/r1", "NORMAL", 1L),
