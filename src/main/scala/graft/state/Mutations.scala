@@ -23,6 +23,27 @@ object Mutations {
 
   private def live(df: DataFrame) = StateStore.live(df)
 
+  /** Deterministic 1-based global rank by `sortCols` WITHOUT a
+    * single-partition window: range-repartition on the keys, sort within
+    * partitions, zipWithIndex. Each partition covers a contiguous key
+    * range, so partition-order concatenation IS the global sort order and
+    * the index is the exact global rank wherever the sampled range
+    * boundaries fall — a 100M-row bulk ingest ranks across all executors
+    * instead of serializing through one task (the old
+    * `Window.orderBy(...)` with no partitionBy). Keys must be unique per
+    * row (callers dedupe first) or ranks among ties are unstable. */
+  private def globalRank(df: DataFrame, rankCol: String,
+                         sortCols: org.apache.spark.sql.Column*): DataFrame = {
+    val ordered = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ordered.schema
+      .add(rankCol, org.apache.spark.sql.types.LongType, nullable = false)
+    df.sparkSession.createDataFrame(
+      ordered.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+  }
+
   /** Apply a write-set to a snapshot under the single-writer discipline:
     * rows whose key appears in the write-set are replaced, everything
     * else is kept — the mini-MVCC commit step (anti-join ∪ write-set).
@@ -86,9 +107,8 @@ object Mutations {
              nowMs: Long, leafLength: Long = -1L): DataFrame = {
     val validated = validateInserts(file, requests)
       .filter(col("reject").isNull).drop("reject")
-    val w = Window.orderBy(col("parentId"), col("name"))
-    val newRows = validated
-      .withColumn("id", lit(idBase) + row_number().over(w))
+    val newRows = globalRank(validated, "__rank", col("parentId"), col("name"))
+      .withColumn("id", lit(idBase) + col("__rank")).drop("__rank")
       .withColumn("length", lit(leafLength))
       .withColumn("blockSize", lit(0L)).withColumn("replication", lit(0L))
       .withColumn("atime", lit(nowMs)).withColumn("mtime", lit(nowMs))
@@ -451,10 +471,11 @@ object Mutations {
     val ranked = j.filter(col("reject").isNull)
       .withColumn("__dupRank", row_number().over(dupW))
     val ok = ranked.filter(col("__dupRank") === 1)
-    // deterministic id assignment: rank over (parentId, name, holder)
-    val w = Window.orderBy(col("parentId"), col("name"), col("holder"))
-    val inserts = ok
-      .withColumn("id", lit(idBase) + row_number().over(w))
+    // deterministic id assignment: rank over (parentId, name, holder) —
+    // distributed (range-partitioned zipWithIndex), never one task
+    val inserts = globalRank(ok, "__rank",
+        col("parentId"), col("name"), col("holder"))
+      .withColumn("id", lit(idBase) + col("__rank"))
       .select(lit("insert").as("writeOp"), col("id"), col("parentId"),
         col("name"), col("holder").as("leaseHolder"), col("id").as("version"),
         lit(null).cast("string").as("reject"))

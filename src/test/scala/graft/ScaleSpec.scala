@@ -128,6 +128,38 @@ class ScaleSpec extends SparkSpec {
       s"no global row_number rank over the full table:\n$plan")
   }
 
+  test("mkdirs/startFile id assignment is distributed: no single-partition sort or window") {
+    import graft.state.Mutations
+    val file = (0 to 50).map(i =>
+      (i.toLong, 0L, if (i == 0) "" else s"d$i", -1L,
+        0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, i.toLong + 1))
+      .toDF("id", "parentId", "name", "length", "blockSize", "replication",
+        "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    val reqs = (1 to 500).map(i => (1L + i % 50, s"new_$i")).toDF("parentId", "name")
+    val mk = Mutations.mkdirs(file, reqs, idBase = 1000L, nowMs = 1L)
+    // ids stay the dense (parentId, name) rank the window used to assign
+    val inserted = mk.filter(col("writeOp") === "insert")
+      .select(col("id"), col("parentId"), col("name")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(inserted.length == 500)
+    assert(inserted.map(_._1).toSeq == (1001L to 1500L))
+    assert(inserted.map(t => (t._2, t._3)).toSeq ==
+      inserted.map(t => (t._2, t._3)).sortBy(identity).toSeq)
+    val plan = mk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"id rank must not be a partition-less window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"id rank must not collapse the write-set into one task:\n$plan")
+    // startFile: same property (its dup-rank window IS partitioned)
+    val sreqs = (1 to 200).map(i => (0L, s"sf_$i", s"h${i % 7}", false))
+      .toDF("parentId", "name", "holder", "overwrite")
+    val sf = Mutations.startFile(file, sreqs, idBase = 2000L, nowMs = 1L)
+    assert(sf.filter(col("writeOp") === "insert").count() == 200)
+    val splan = sf.queryExecution.executedPlan.toString
+    assert(!splan.contains("Exchange SinglePartition"),
+      s"startFile ids must not serialize through one task:\n$splan")
+  }
+
   test("N2 append: block table is semi-join-pruned, no cartesian anywhere") {
     import graft.state.Mutations
     val file = (0 to 200).map(i =>
