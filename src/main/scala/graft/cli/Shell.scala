@@ -195,6 +195,25 @@ object Shell {
             s"mv $path -> ${args(1)} refused by rename validation")
           localized(rows, out.schema)
         } finally out.unpersist(blocking = false)
+      case "cp" =>
+        require(args.size >= 2, "usage: cp <src> <dstPath>")
+        val id = resolve(path)
+        val (dstParent, newName) = splitPath(args(1))
+        val maxFileId = file.agg(max(col("id"))).collect()(0).getLong(0)
+        val maxBlockId = block.agg(max(col("id"))).collect()(0).getLong(0)
+        val out = Mutations.copy(file, block,
+          Seq((id, resolve(dstParent), newName))
+            .toDF("srcId", "dstParentId", "newName"),
+          idBase = maxFileId, blockIdBase = maxBlockId)
+        val rows = out.orderBy(col("writeOp"), col("tbl"), col("id")).collect()
+        // a refused copy fails LOUD with the validator's reason
+        rows.find(_.getAs[String]("writeOp") == "reject").foreach(r =>
+          throw new IllegalArgumentException(
+            s"cp $path -> ${args(1)} refused: ${r.getAs[String]("reject")}"))
+        localized(rows, out.schema)
+      case "expunge" =>
+        Mutations.expunge(file, nowMs = Now)
+          .orderBy(col("writeOp"), col("id"))
       case "rm" =>
         Mutations.guardedDelete(file, Seq(resolve(path)).toDF("id"))
           .orderBy(col("id"))

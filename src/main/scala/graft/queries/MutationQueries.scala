@@ -153,6 +153,17 @@ object MutationQueries {
         .select(lit("lease").as("tbl"), col("n"), col("idsum"), col("vsum"))
       fsum.unionByName(lsum).orderBy(col("tbl"))
     },
+    // FsShell cp: recursive metadata copy of customer-dir subtrees under
+    // nation dir 6 (file rows + duplicated block rows under new ids),
+    // plus the full reject ladder — missing source, destination
+    // collision, parent-not-a-directory, copy-into-own-subtree
+    "n_copy" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(copyReqsSql)
+      Mutations.copy(s.table("file"), s.table("block"), reqs,
+          idBase = 8000000L, blockIdBase = 20000000L)
+        .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
+    },
     // Decommission lifecycle: start on every 5th node (the skip branch
     // fires on an already-retired one), stop on a decommissioned and an
     // in-progress node, and the standing in-progress node re-checked —
@@ -241,9 +252,126 @@ object MutationQueries {
       |UNION ALL SELECT CAST(34 AS BIGINT), 'stop'
       |UNION ALL SELECT CAST(38 AS BIGINT), 'stop'""".stripMargin
 
+  /** cp request mix (runs verbatim in both engines): recursive copies of
+    * every 5th customer dir of nation 9 (order files + their blocks come
+    * along), a missing source, a name collision under nation dir 6, a
+    * TOMBSTONED destination parent (order 0 is %97-deleted → not found),
+    * a live FILE as the destination parent, and nation dir 2 copied into
+    * one of its own customer subdirs (FileUtil.checkDependencies). */
+  private val copyReqsSql: String =
+    """SELECT CAST(100 + c_custkey AS BIGINT) AS srcId,
+      |       CAST(6 AS BIGINT) AS dstParentId,
+      |       'cp_' || CAST(c_custkey AS STRING) AS newName
+      |FROM customer WHERE c_nationkey = 9 AND c_custkey % 5 = 0
+      |UNION ALL
+      |SELECT CAST(99999999 AS BIGINT), CAST(6 AS BIGINT), 'cp_missing'
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(6 AS BIGINT),
+      |       'c_' || CAST(MIN(c_custkey) AS STRING)
+      |FROM customer WHERE c_nationkey = 5
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), CAST(1000000 + MIN(o_orderkey) AS BIGINT), 'x'
+      |FROM orders
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), CAST(1000000 + MIN(o_orderkey) AS BIGINT), 'y'
+      |FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey > 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(100 + MIN(c_custkey) AS BIGINT), 'loop'
+      |FROM customer WHERE c_nationkey = 1""".stripMargin
+
   private val O = DerivedState.oracle _
 
   def oracles: Map[String, String] = Map(
+    "n_copy" -> O(
+      s"""WITH RECURSIVE reqs AS (
+         |$copyReqsSql),
+         |v AS (
+         |  SELECT r.srcId, r.dstParentId, r.newName,
+         |    CASE WHEN s.id IS NULL THEN 'source not found'
+         |         WHEN p.id IS NULL THEN 'parent not found'
+         |         WHEN p.length <> -1 THEN 'parent not a directory'
+         |         WHEN t.name IS NOT NULL THEN 'destination exists'
+         |         END AS reject
+         |  FROM reqs r
+         |  LEFT JOIN file s ON s.id = r.srcId AND s.version > 0
+         |  LEFT JOIN file p ON p.id = r.dstParentId AND p.version > 0
+         |  LEFT JOIN file t ON t.parentId = r.dstParentId
+         |    AND t.name = r.newName AND t.version > 0),
+         |deduped AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY dstParentId, newName
+         |    ORDER BY srcId) AS dup
+         |  FROM v WHERE reject IS NULL),
+         |acc AS (SELECT srcId, dstParentId, newName FROM deduped WHERE dup = 1),
+         |members AS (
+         |  SELECT r.srcId, r.dstParentId, r.newName,
+         |         f.id, f.parentId, f.name, f.length
+         |  FROM acc r JOIN file f ON f.id = r.srcId AND f.version > 0
+         |  UNION ALL
+         |  SELECT m.srcId, m.dstParentId, m.newName,
+         |         c.id, c.parentId, c.name, c.length
+         |  FROM members m JOIN file c ON c.parentId = m.id
+         |    AND c.version > 0 AND c.id <> 0),
+         |cyc AS (SELECT DISTINCT srcId, dstParentId, newName
+         |        FROM members WHERE id = dstParentId),
+         |good AS (
+         |  SELECT m.* FROM members m
+         |  LEFT JOIN cyc c ON m.srcId = c.srcId AND m.dstParentId = c.dstParentId
+         |    AND m.newName = c.newName
+         |  WHERE c.srcId IS NULL),
+         |ranked AS (
+         |  SELECT *, 8000000 + ROW_NUMBER() OVER (ORDER BY srcId, dstParentId,
+         |    newName, id) AS newId
+         |  FROM good),
+         |copiedfiles AS (
+         |  SELECT srcId, dstParentId, newName, id AS oldF, newId AS newF
+         |  FROM ranked WHERE length <> -1),
+         |reps AS (
+         |  SELECT cf.srcId, cf.dstParentId, cf.newName, b.id AS ob,
+         |         b.datanodeId, b.length, cf.newF
+         |  FROM copiedfiles cf
+         |  JOIN block b ON b.fileId = cf.oldF AND b.version > 0),
+         |bkeys AS (
+         |  SELECT srcId, dstParentId, newName, ob,
+         |    20000000 + ROW_NUMBER() OVER (ORDER BY srcId, dstParentId,
+         |      newName, ob) AS newBid
+         |  FROM (SELECT DISTINCT srcId, dstParentId, newName, ob FROM reps))
+         |SELECT writeOp, tbl, id, parentId, name, length, datanodeId,
+         |       srcId, version, reject
+         |FROM (
+         |  SELECT 'copy' AS writeOp, 'file' AS tbl, g.newId AS id,
+         |         CASE WHEN g.id = g.srcId THEN g.dstParentId
+         |              ELSE pm.newId END AS parentId,
+         |         CASE WHEN g.id = g.srcId THEN g.newName
+         |              ELSE g.name END AS name,
+         |         g.length, CAST(NULL AS BIGINT) AS datanodeId,
+         |         g.id AS srcId, g.newId AS version, CAST(NULL AS STRING) AS reject
+         |  FROM ranked g
+         |  LEFT JOIN ranked pm ON pm.srcId = g.srcId
+         |    AND pm.dstParentId = g.dstParentId AND pm.newName = g.newName
+         |    AND pm.id = g.parentId
+         |  UNION ALL
+         |  SELECT 'copy', 'block', k.newBid, r.newF,
+         |         CAST(NULL AS STRING), r.length, r.datanodeId,
+         |         r.ob, k.newBid, CAST(NULL AS STRING)
+         |  FROM reps r JOIN bkeys k ON k.srcId = r.srcId
+         |    AND k.dstParentId = r.dstParentId AND k.newName = r.newName
+         |    AND k.ob = r.ob
+         |  UNION ALL
+         |  SELECT 'reject', 'file', srcId, dstParentId, newName,
+         |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), srcId,
+         |         CAST(0 AS BIGINT), reject
+         |  FROM v WHERE reject IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'reject', 'file', srcId, dstParentId, newName,
+         |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), srcId,
+         |         CAST(0 AS BIGINT), 'duplicate in batch'
+         |  FROM deduped WHERE dup > 1
+         |  UNION ALL
+         |  SELECT 'reject', 'file', srcId, dstParentId, newName,
+         |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), srcId,
+         |         CAST(0 AS BIGINT), 'cannot copy a directory into its own subtree'
+         |  FROM cyc)
+         |ORDER BY writeOp, tbl, id, datanodeId""".stripMargin),
     "n_decommission" -> O(
       s"""WITH reqs AS (
          |$decommissionReqsSql),

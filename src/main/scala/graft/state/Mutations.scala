@@ -601,6 +601,168 @@ object Mutations {
         col("lastFinishedReplicas"), col("canAllocate"))
   }
 
+  /** FsShell cp as a metadata write-set (fs/FsShell.java:978-991 `copy` →
+    * FileUtil.copy): each request (srcId, dstParentId, newName) copies the
+    * source subtree under the destination parent. The byte plane collapses
+    * to row duplication: the reference re-writes data through the write
+    * pipeline (fresh block identity, placement chosen at write time); the
+    * metadata engine duplicates each copied file's live replica rows under
+    * new block ids, keeping placement and genstamp — the deterministic
+    * batch image of "same bytes, new identity".
+    *
+    * Validations: source must exist; destination parent must exist and be
+    * a directory; (dstParentId, newName) must not collide with a live row
+    * (FileUtil.checkDest "already exists"); a directory cannot be copied
+    * into its own subtree (FileUtil.checkDependencies); duplicate
+    * destinations within one batch — first by srcId wins, the rest reject
+    * (the startFile serial-execution convention).
+    *
+    * New ids are idBase/blockIdBase + a distributed rank over the copied
+    * set ([[globalRank]] — never a single-partition window); versions of
+    * new rows equal their ids (the insert convention). Output rows:
+    * (writeOp copy|reject, tbl file|block, id, parentId — for block rows
+    * the new OWNER file id —, name, length, datanodeId, srcId — the
+    * copied row's original id —, version, reject). */
+  def copy(file: DataFrame, block: DataFrame, requests: DataFrame,
+           idBase: Long, blockIdBase: Long, maxDepth: Int = 16): DataFrame = {
+    val f = live(file)
+    val reqs = requests.select(col("srcId").as("__rsrc"),
+      col("dstParentId").as("__rdst"), col("newName").as("__rname"))
+    val srcInfo = f.select(col("id").as("__sid"))
+    val parents = f.select(col("id").as("__pid"), col("length").as("__plen"))
+    val taken = f.select(col("parentId").as("__tp"), col("name").as("__tn"))
+    val v0 = reqs
+      .join(srcInfo, col("__rsrc") === col("__sid"), "left")
+      .join(parents, col("__rdst") === col("__pid"), "left")
+      .join(taken, col("__rdst") === col("__tp") && col("__rname") === col("__tn"), "left")
+      .withColumn("reject",
+        when(col("__sid").isNull, "source not found")
+          .when(col("__pid").isNull, "parent not found")
+          .when(col("__plen") =!= -1L, "parent not a directory")
+          .when(col("__tn").isNotNull, "destination exists"))
+    val dupW = Window.partitionBy(col("__rdst"), col("__rname")).orderBy(col("__rsrc"))
+    val ranked = v0.filter(col("reject").isNull)
+      .withColumn("__dup", row_number().over(dupW))
+    val accepted = ranked.filter(col("__dup") === 1)
+      .select(col("__rsrc"), col("__rdst"), col("__rname"))
+    // per-request subtree BFS (the S4 loop carrying the request key, so
+    // one batch of N copies costs the same per-level joins as one)
+    val fKeep = f.select(col("id"), col("parentId"), col("name"), col("length"))
+      .persist()
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    persisted += fKeep
+    var frontier = fKeep.join(broadcast(accepted), col("id") === col("__rsrc"))
+    var members = frontier
+    var lvl = 0
+    var n = 1L
+    while (n > 0 && lvl < maxDepth) {
+      val ps = frontier.select(col("__rsrc"), col("__rdst"), col("__rname"),
+        col("id").as("__fp"))
+      frontier = fKeep.join(broadcast(ps), col("parentId") === col("__fp"))
+        .filter(col("id") =!= 0L).drop("__fp")
+      frontier.persist()
+      persisted += frontier
+      n = frontier.count()
+      if (n > 0) members = members.unionByName(frontier)
+      lvl += 1
+    }
+    if (n > 0) {
+      persisted.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"copy exceeded maxDepth=$maxDepth with an unfinished frontier - " +
+        "a truncated copy would silently drop the deeper levels")
+    }
+    val allMembers = graft.core.Caching
+      .materializeAndRelease(members, persisted.toSeq)
+    // FileUtil.checkDependencies: the destination parent inside the
+    // source subtree (or the source itself) refuses the whole request
+    val cyc = allMembers.filter(col("id") === col("__rdst"))
+      .select(col("__rsrc"), col("__rdst"), col("__rname")).distinct()
+    val good = allMembers.join(cyc,
+      Seq("__rsrc", "__rdst", "__rname"), "left_anti")
+    val rankedRows = globalRank(good, "__rk",
+        col("__rsrc"), col("__rdst"), col("__rname"), col("id"))
+      .withColumn("__newId", lit(idBase) + col("__rk"))
+    val rankMap = rankedRows.select(col("__rsrc").as("__m1"),
+      col("__rdst").as("__m2"), col("__rname").as("__m3"),
+      col("id").as("__oldP"), col("__newId").as("__newP"))
+    val fileRows = rankedRows
+      .join(rankMap, col("__rsrc") === col("__m1") && col("__rdst") === col("__m2")
+        && col("__rname") === col("__m3") && col("parentId") === col("__oldP"), "left")
+      .select(lit("copy").as("writeOp"), lit("file").as("tbl"),
+        col("__newId").as("id"),
+        when(col("id") === col("__rsrc"), col("__rdst"))
+          .otherwise(col("__newP")).as("parentId"),
+        when(col("id") === col("__rsrc"), col("__rname"))
+          .otherwise(col("name")).as("name"),
+        col("length"), lit(null).cast("long").as("datanodeId"),
+        col("id").as("srcId"), col("__newId").as("version"),
+        lit(null).cast("string").as("reject"))
+    // block duplication for the copied files
+    val copiedFiles = rankedRows.filter(col("length") =!= -1L)
+      .select(col("__rsrc"), col("__rdst"), col("__rname"),
+        col("id").as("__cfOld"), col("__newId").as("__cfNew"))
+    val replicas = live(block)
+      .join(copiedFiles, col("fileId") === col("__cfOld"))
+    val blockKeys = globalRank(
+        replicas.select(col("__rsrc"), col("__rdst"), col("__rname"),
+          col("id").as("__ob")).distinct(),
+        "__brk", col("__rsrc"), col("__rdst"), col("__rname"), col("__ob"))
+      .withColumn("__newBid", lit(blockIdBase) + col("__brk"))
+      .select(col("__rsrc").as("__b1"), col("__rdst").as("__b2"),
+        col("__rname").as("__b3"), col("__ob"), col("__newBid"))
+    val blockRows = replicas
+      .join(blockKeys, col("__rsrc") === col("__b1") && col("__rdst") === col("__b2")
+        && col("__rname") === col("__b3") && col("id") === col("__ob"))
+      .select(lit("copy").as("writeOp"), lit("block").as("tbl"),
+        col("__newBid").as("id"), col("__cfNew").as("parentId"),
+        lit(null).cast("string").as("name"), col("length"),
+        col("datanodeId"), col("id").as("srcId"),
+        col("__newBid").as("version"), lit(null).cast("string").as("reject"))
+    def rejRow(src: Column, dst: Column, nm: Column, reason: Column): Seq[Column] =
+      Seq(lit("reject").as("writeOp"), lit("file").as("tbl"), src.as("id"),
+        dst.as("parentId"), nm.as("name"), lit(null).cast("long").as("length"),
+        lit(null).cast("long").as("datanodeId"), src.as("srcId"),
+        lit(0L).as("version"), reason.as("reject"))
+    val rejects = v0.filter(col("reject").isNotNull)
+      .select(rejRow(col("__rsrc"), col("__rdst"), col("__rname"), col("reject")): _*)
+    val dupRejects = ranked.filter(col("__dup") > 1)
+      .select(rejRow(col("__rsrc"), col("__rdst"), col("__rname"),
+        lit("duplicate in batch")): _*)
+    val cycRejects = cyc
+      .select(rejRow(col("__rsrc"), col("__rdst"), col("__rname"),
+        lit("cannot copy a directory into its own subtree")): _*)
+    fileRows.unionByName(blockRows).unionByName(rejects)
+      .unionByName(dupRejects).unionByName(cycRejects)
+  }
+
+  /** FsShell expunge (fs/FsShell.java:1122-1125 → Trash.expunge +
+    * Trash.checkpoint, fs/Trash.java): every checkpoint directory under a
+    * `.Trash` dir is deleted (the interval collapsed to 0 — all
+    * checkpoints are aged out, the batch image of repeated expunges), then
+    * the live `Current` dir is renamed to a new checkpoint stamped
+    * `nowMs` (the reference stamps with a date format; the caller's clock
+    * is the parameter so the write-set stays deterministic). Returns
+    * tombstone rows (version negated, S6 semantics) plus one 'move' row
+    * per checkpointed Current. */
+  def expunge(file: DataFrame, nowMs: Long, trashName: String = ".Trash"): DataFrame = {
+    val f = live(file)
+    val trashDirs = f.filter(col("name") === trashName && col("length") === -1L)
+      .select(col("id").as("__tid"))
+    val checkpoints = f.join(broadcast(trashDirs), col("parentId") === col("__tid"))
+    val aged = checkpoints.filter(col("name") =!= "Current")
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val removed = if (aged.isEmpty) f.limit(0)
+      else StateManager.recursiveDelete(file, aged)
+    val tombstones = removed
+      .select(lit("tombstone").as("writeOp"), col("id"), col("parentId"),
+        col("name"), col("version"))
+    val moves = checkpoints.filter(col("name") === "Current")
+      .select(lit("move").as("writeOp"), col("id"), col("parentId"),
+        lit(nowMs.toString).as("name"), (col("version") + 1L).as("version"))
+    tombstones.unionByName(moves)
+  }
+
   /** Decommission lifecycle producer (startDecommission/stopDecommission +
     * checkDecommissionStateInternal, FSNamesystem.java:3183-3201,3405-3417):
     * NORMAL → DECOMMISSION_INPROGRESS → DECOMMISSIONED transitions as a

@@ -270,6 +270,58 @@ class MutationsSpec extends SparkSpec {
     assert(!out.contains(9L)) // not under construction
   }
 
+  test("cp: recursive metadata copy, block duplication, dup/cycle rejects") {
+    val f = Seq(
+      (0L, -1L, "", -1L, 1L), (1L, 0L, "a", -1L, 2L), (2L, 1L, "f1", 10L, 3L),
+      (3L, 1L, "sub", -1L, 4L), (4L, 3L, "f2", 20L, 5L), (5L, 0L, "dst", -1L, 6L),
+    ).toDF("id", "parentId", "name", "length", "version")
+    val b = Seq(
+      (70L, 1L, 10L, 9L, 2L, 1L, 1L), (70L, 2L, 10L, 9L, 2L, 1L, 2L),
+      (71L, 1L, 20L, 9L, 4L, 1L, 3L),
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+      "fileIndex", "version")
+    val reqs = Seq(
+      (1L, 5L, "acopy"),    // recursive dir copy
+      (2L, 5L, "dupname"), (4L, 5L, "dupname"), // second loses (srcId order)
+      (1L, 3L, "loop"),     // dst parent inside the source subtree
+    ).toDF("srcId", "dstParentId", "newName")
+    val out = rows(Mutations.copy(f, b, reqs, idBase = 100L, blockIdBase = 200L)
+      .select(col("writeOp"), col("tbl"), col("id"), col("parentId"),
+        col("name"), col("srcId"), col("datanodeId"), col("reject")))
+    val files = out.filter(r => r.head == "copy" && r(1) == "file")
+      .map(r => r(2) -> (r(3), r(4), r(5))).toMap
+    // subtree ids are the dense (request, oldId) rank; parents remapped
+    assert(files == Map(
+      101L -> ((5L, "acopy", 1L)), 102L -> ((101L, "f1", 2L)),
+      103L -> ((101L, "sub", 3L)), 104L -> ((103L, "f2", 4L)),
+      105L -> ((5L, "dupname", 2L))))
+    // block 70 duplicated once per copied owner, replicas intact
+    val blocks = out.filter(r => r.head == "copy" && r(1) == "block")
+      .map(r => (r(2), r(3), r(5), r(6)))
+    assert(blocks.toSet == Set(
+      (201L, 102L, 70L, 1L), (201L, 102L, 70L, 2L), (202L, 104L, 71L, 1L),
+      (203L, 105L, 70L, 1L), (203L, 105L, 70L, 2L)))
+    val rejects = out.filter(_.head == "reject").map(r => r(5) -> r.last).toMap
+    assert(rejects == Map(4L -> "duplicate in batch",
+      1L -> "cannot copy a directory into its own subtree"))
+  }
+
+  test("expunge: aged checkpoints tombstoned, Current re-checkpointed") {
+    val f = Seq(
+      (0L, -1L, "", -1L, 1L), (10L, 0L, "user", -1L, 2L),
+      (11L, 10L, ".Trash", -1L, 3L), (12L, 11L, "ckpt1", -1L, 4L),
+      (13L, 12L, "old", 5L, 5L), (14L, 11L, "Current", -1L, 6L),
+      (15L, 14L, "fresh", 7L, 7L),
+    ).toDF("id", "parentId", "name", "length", "version")
+    val out = rows(Mutations.expunge(f, nowMs = 777L)
+      .select(col("writeOp"), col("id"), col("name"), col("version")))
+      .map(r => r(1) -> (r.head, r(2), r(3))).toMap
+    assert(out(12L) == (("tombstone", "ckpt1", -4L)))
+    assert(out(13L) == (("tombstone", "old", -5L)))
+    assert(out(14L) == (("move", "777", 7L)))
+    assert(!out.contains(15L)) // Current's content survives the rename
+  }
+
   test("decommission lifecycle: start/stop/check transition matrix") {
     val dn = Seq(
       (1L, "NORMAL", 10L), (2L, "NORMAL", 20L),

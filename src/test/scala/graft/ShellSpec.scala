@@ -114,6 +114,18 @@ class ShellSpec extends SparkSpec {
       .filter(col("writeOp") === "move")
       .select(col("id"), col("parentId"), col("name")))
     assert(mv == Seq(Seq(sampleFile.getLong(0), 0L, "shellspec_moved")))
+    // cp: one copied file row + its duplicated block rows
+    val cp = rows(Shell.run(spark, sf, "cp",
+        Seq(sampleFile.getString(1), "/shellspec_copy"))
+      .select(col("writeOp"), col("tbl"), col("name"), col("srcId")))
+    assert(cp.count(r => r(1) == "file") == 1
+      && cp.exists(r => r(1) == "file" && r(2) == "shellspec_copy"
+        && r(3) == sampleFile.getLong(0)))
+    // a refused copy (destination exists) fails loud
+    assertThrows[IllegalArgumentException](
+      Shell.run(spark, sf, "cp", Seq(sampleFile.getString(1), sampleFile.getString(1))))
+    // expunge: the snapshot has no .Trash dir → an empty write-set
+    assert(Shell.run(spark, sf, "expunge", Seq()).count() == 0)
     // rm on a live file: tombstone row (version < 0, no reject)
     val rm = rows(Shell.run(spark, sf, "rm", Seq(sampleFile.getString(1)))
       .select(col("id"), col("reject"), col("version")))
