@@ -44,19 +44,32 @@ object Dataflows {
   }
 
   /** N1 final step — pseudoSortByDistance (FSNamesystem.java:600-603,
-    * NetworkTopology weights): order each block's replicas by network
-    * distance to the client (0 = same node, 2 = same rack, 4 = off-rack)
-    * with datanodeId as the deterministic tie-break. Emits one row per
-    * block with the ordered replica list. */
+    * NetworkTopology.getDistance NetworkTopology.java:434-470): order each
+    * block's replicas by network distance to the client, datanodeId as the
+    * deterministic tie-break. The topology is an arbitrary-depth
+    * slash-path tree (/dc/rack, /dc/pod/rack, …): distance between two
+    * hosts = 2 × (rackDepth − commonPrefixSegments) + 2, the getDistance
+    * walk for the uniform-depth tree every real deployment runs (its
+    * unequal-level branches only fire on nodes outside the cluster →
+    * MAX_VALUE warnings). Same node = 0; a flat '/rackN' topology
+    * reproduces the classic 0/2/4 ladder, an unknown (null) location
+    * ranks beyond every shared level. The client rack is a plan-time
+    * constant, so the ladder compiles to a prefix-match CASE — pure
+    * codegen, no per-row path splitting. */
   def replicasByDistance(block: DataFrame, datanode: DataFrame,
                          clientRack: String, clientNodeId: Long = -1L): DataFrame = {
     val nodes = live(datanode).select(col("id").as("nodeId"), col("location"))
+    val cSegs = clientRack.split("/").filter(_.nonEmpty)
+    val depth = cSegs.length
+    var ladder = when(col("datanodeId") === clientNodeId, 0)
+      .when(col("location") === clientRack, 2)
+    for (k <- (depth - 1) to 1 by -1)
+      ladder = ladder.when(
+        col("location").startsWith("/" + cSegs.take(k).mkString("/") + "/"),
+        2 * (depth - k) + 2)
     live(block)
       .join(nodes, col("datanodeId") === col("nodeId"), "left")
-      .withColumn("distance",
-        when(col("datanodeId") === clientNodeId, 0)
-          .when(col("location") === clientRack, 2)
-          .otherwise(4))
+      .withColumn("distance", ladder.otherwise(2 * depth + 2))
       .groupBy(col("id"))
       .agg(first(col("fileId")).as("fileId"),
         array_join(

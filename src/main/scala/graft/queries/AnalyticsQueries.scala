@@ -35,6 +35,17 @@ object AnalyticsQueries {
           s.table("datanode"), clientRack = "/rack2", clientNodeId = 7L)
         .orderBy(col("id"))
     },
+    // N1 distance sort over a 3-level topology (/dc/rack): the ladder
+    // deepens to 0/2/4/6 — same rack, same dc other rack, other dc
+    "n1_distance_sort3" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val dn3 = s.table("datanode").withColumn("location",
+        concat(lit("/dc"), (col("id") % 2).cast("string"), col("location")))
+      Dataflows.replicasByDistance(
+          s.table("block").filter(col("fileId") % 100 === 0L),
+          dn3, clientRack = "/dc1/rack2", clientNodeId = 7L)
+        .orderBy(col("id"))
+    },
     // N1 side effect: the SAME request set's ATIME touch write-set — the
     // read path writes (tombstoned targets drop out via the live filter)
     "n1_atime_touch" -> { (s, dir) =>
@@ -258,6 +269,24 @@ object AnalyticsQueries {
         |         ELSE 4 END AS distance
         |  FROM block b
         |  LEFT JOIN datanode d ON b.datanodeId = d.id AND d.version > 0
+        |  WHERE b.version > 0 AND b.fileId % 100 = 0)
+        |SELECT id, ANY_VALUE(fileId) AS fileId,
+        |  STRING_AGG(CAST(datanodeId AS STRING), ',' ORDER BY distance, datanodeId)
+        |    AS orderedReplicas,
+        |  MIN(distance) AS nearestDistance
+        |FROM r GROUP BY id ORDER BY id""".stripMargin),
+    "n1_distance_sort3" -> O(
+      """WITH dn AS (
+        |  SELECT id, '/dc' || CAST(id % 2 AS STRING) || location AS location
+        |  FROM datanode WHERE version > 0),
+        |r AS (
+        |  SELECT b.id, b.fileId, b.datanodeId,
+        |    CASE WHEN b.datanodeId = 7 THEN 0
+        |         WHEN d.location = '/dc1/rack2' THEN 2
+        |         WHEN d.location LIKE '/dc1/%' THEN 4
+        |         ELSE 6 END AS distance
+        |  FROM block b
+        |  LEFT JOIN dn d ON b.datanodeId = d.id
         |  WHERE b.version > 0 AND b.fileId % 100 = 0)
         |SELECT id, ANY_VALUE(fileId) AS fileId,
         |  STRING_AGG(CAST(datanodeId AS STRING), ',' ORDER BY distance, datanodeId)

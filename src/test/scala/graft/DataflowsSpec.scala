@@ -228,6 +228,32 @@ class DataflowsSpec extends SparkSpec {
     assert(out(203L) == Seq(9L, 20L, 1L)) // gs-8 replica excluded
   }
 
+  test("N1 distance: multi-level topology common-prefix ladder") {
+    val dn = Seq(
+      (1L, "/dc0/pod0/rackA", 1L), (2L, "/dc0/pod0/rackB", 2L),
+      (3L, "/dc0/pod1/rackC", 3L), (4L, "/dc1/pod0/rackA", 4L),
+      (5L, "/dc0/pod0/rackA", 5L),
+    ).toDF("id", "location", "version")
+    val blk = (1L to 5L).map(d => (900L, d, 10L, 1L, 3L, 1L, d))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+        "fileIndex", "version")
+    val out = rows(Dataflows.replicasByDistance(blk, dn,
+        clientRack = "/dc0/pod0/rackA", clientNodeId = 5L)
+      .select(col("orderedReplicas"), col("nearestDistance"))).head
+    // 0 same node, 2 same rack, 4 same pod, 6 same dc, 8 off-dc
+    assert(out == Seq("5,1,2,3,4", 0))
+    // flat topology keeps the classic 0/2/4 ladder
+    val flat = Seq((1L, "/r0", 1L), (2L, "/r1", 2L), (3L, "/r0", 3L))
+      .toDF("id", "location", "version")
+    val blk2 = (1L to 3L).map(d => (901L, d, 10L, 1L, 3L, 1L, d))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+        "fileIndex", "version")
+    val flatOut = rows(Dataflows.replicasByDistance(blk2, flat,
+        clientRack = "/r0", clientNodeId = 1L)
+      .select(col("orderedReplicas"), col("nearestDistance"))).head
+    assert(flatOut == Seq("1,3,2", 0))
+  }
+
   test("N15: content summary aggregates subtrees in one pass") {
     val tree = Seq(
       (0L, -1L, "", -1L, 1L), (1L, 0L, "a", -1L, 2L), (2L, 0L, "b", -1L, 3L),
