@@ -49,9 +49,12 @@ final class KeyedCache(df: DataFrame, keyCol: String, maxEntries: Int = 100000) 
   def size: Int = cache.size()
 
   /** Pre-warm with the full (bounded) key set in ONE job instead of
-    * per-key lookups. */
+    * per-key lookups. Ordered by key: when the table exceeds
+    * `maxEntries`, the warmed subset is the deterministic lowest-key
+    * prefix (TakeOrderedAndProject), never whichever partitions answered
+    * first. */
   def warm(): Int = {
-    val all = df.limit(maxEntries).collect()
+    val all = df.orderBy(col(keyCol)).limit(maxEntries).collect()
     all.foreach(r => cache.put(r.getAs[Any](keyCol), Some(r)))
     all.length
   }
