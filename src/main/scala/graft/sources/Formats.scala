@@ -20,17 +20,53 @@ object Formats {
       .toDF("key", "value")
   }
 
+  /** F1 write modes: the reference's three SequenceFile layouts
+    * (C/org/apache/hadoop/io/SequenceFile.java:78-93 — NONE = plain
+    * records, RECORD = each value compressed alone, BLOCK = key/value
+    * runs compressed together). */
+  val SeqCompressionModes: Seq[String] = Seq("none", "record", "block")
+
   /** F1: write a 2-column DataFrame as SequenceFile[Text, Text]; the
-    * `sorted` flag mirrors SequenceFile.Sorter (sort before write). */
-  def writeSequenceFile(df: DataFrame, path: String, sorted: Boolean = false): Unit = {
+    * `sorted` flag mirrors SequenceFile.Sorter (sort before write),
+    * `compression` picks the NONE/RECORD/BLOCK layout. The mode is set
+    * on a per-job JobConf — never the shared session Configuration — so
+    * concurrent writers with different modes don't race. */
+  def writeSequenceFile(df: DataFrame, path: String, sorted: Boolean = false,
+                        compression: String = "none"): Unit = {
     import org.apache.hadoop.io.Text
+    import org.apache.hadoop.io.compress.DefaultCodec
+    import org.apache.hadoop.mapred.{JobConf, SequenceFileOutputFormat}
     val cols = df.columns
     require(cols.length == 2, s"sequence file needs (key,value), got ${cols.mkString(",")}")
+    require(SeqCompressionModes.contains(compression),
+      s"compression must be one of ${SeqCompressionModes.mkString("/")}, got $compression")
     val ordered = if (sorted) df.orderBy(col(cols(0))) else df
+    val conf = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    compression match {
+      case "none" =>
+        org.apache.hadoop.mapred.FileOutputFormat.setCompressOutput(conf, false)
+      case mode =>
+        org.apache.hadoop.mapred.FileOutputFormat.setCompressOutput(conf, true)
+        org.apache.hadoop.mapred.FileOutputFormat
+          .setOutputCompressorClass(conf, classOf[DefaultCodec])
+        SequenceFileOutputFormat.setOutputCompressionType(conf,
+          org.apache.hadoop.io.SequenceFile.CompressionType
+            .valueOf(mode.toUpperCase))
+    }
     ordered.rdd
       .map(r => (new Text(String.valueOf(r.get(0))), new Text(String.valueOf(r.get(1)))))
-      .saveAsSequenceFile(path)
+      .saveAsHadoopFile(path, classOf[Text], classOf[Text],
+        classOf[SequenceFileOutputFormat[Text, Text]], conf)
   }
+
+  /** F1: SequenceFile.Sorter.sort analog (SequenceFile.java — the full
+    * external sort, not just the merge): one range-partitioned shuffle
+    * sort replaces the reference's spill-runs-then-heap-merge loop; any
+    * input size sorts in a single distributed pass. */
+  def sortSequenceFile(spark: SparkSession, inPath: String, outPath: String,
+                       compression: String = "none"): Unit =
+    writeSequenceFile(readSequenceFile(spark, inPath), outPath,
+      sorted = true, compression = compression)
 
   /** F1: SequenceFile.Sorter merge analog (C/org/apache/hadoop/io/
     * SequenceFile.java — Sorter.merge :2637-2687, MergeQueue): k-way
@@ -62,6 +98,25 @@ object Formats {
       .write.mode(SaveMode.Overwrite)
       .option("compression", codec)
       .parquet(path)
+
+  /** F2 read side (MapFile.Reader.get, C/org/apache/hadoop/io/
+    * MapFile.java:420-437): keyed point lookup over a writeSortedKeyed
+    * table. The parquet row-group min/max stats ARE the MapFile key
+    * index: the pushed equality predicate skips every row group whose
+    * key range excludes the probe, reading only the group the index
+    * points at — the same block-skip MapFile.Reader does with its
+    * in-memory index. */
+  def pointLookup(spark: SparkSession, path: String, keyCol: String,
+                  key: Any): DataFrame =
+    spark.read.parquet(path).filter(col(keyCol) === lit(key))
+
+  /** F2 getClosest (MapFile.java:439-462): the entry with the smallest
+    * key at-or-after the probe — a pushed range predicate (row-group
+    * skip below the probe) + top-1, never a full scan. */
+  def closestLookup(spark: SparkSession, path: String, keyCol: String,
+                    key: Any): DataFrame =
+    spark.read.parquet(path).filter(col(keyCol) >= lit(key))
+      .orderBy(col(keyCol)).limit(1)
 
   /** F4: supported write codecs (DefaultCodec/Gzip/BZip2/Deflate/Snappy
     * in the reference → parquet codecs here). */

@@ -19,6 +19,35 @@ class FormatsSpec extends SparkSpec {
     assert(back == Seq(Seq("a", "1"), Seq("b", "2"), Seq("c", "3")))
   }
 
+  test("F1: compression-mode matrix — NONE/RECORD/BLOCK layouts round-trip") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.SequenceFile
+    val base = graft.core.Caching.scratchDir("seqmodes").toString
+    val df = (1 to 200).map(i => (f"k$i%03d", s"v$i" * 20)).toDF("key", "value")
+    val expected = rows(df.orderBy(col("key")))
+    for (mode <- Formats.SeqCompressionModes) {
+      val dir = s"$base/$mode"
+      Formats.writeSequenceFile(df, dir, sorted = true, compression = mode)
+      assert(rows(Formats.readSequenceFile(spark, dir).orderBy(col("key"))) == expected,
+        s"round-trip mode=$mode")
+      // the on-disk header must carry the layout flags the mode promises
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      val part = fs.globStatus(new Path(s"$dir/part-*")).head.getPath
+      val reader = new SequenceFile.Reader(conf, SequenceFile.Reader.file(part))
+      try {
+        assert(reader.isCompressed == (mode != "none"), s"mode=$mode compressed flag")
+        assert(reader.isBlockCompressed == (mode == "block"), s"mode=$mode block flag")
+      } finally reader.close()
+    }
+    // Sorter.sort analog: unsorted file in, sorted (block-compressed) file out
+    Formats.writeSequenceFile(df.orderBy(col("value")), s"$base/unsorted")
+    Formats.sortSequenceFile(spark, s"$base/unsorted", s"$base/sorted",
+      compression = "block")
+    assert(rows(Formats.readSequenceFile(spark, s"$base/sorted")
+      .orderBy(col("key"))) == expected)
+  }
+
   test("F1: Sorter.merge — k-way merge of sorted runs keeps duplicates") {
     val base = graft.core.Caching.scratchDir("seqmerge").toString
     val runA = Seq(("a", "1"), ("c", "3"), ("e", "5")).toDF("key", "value")
@@ -42,6 +71,27 @@ class FormatsSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() == 100)
     assert(rows(back.filter(col("k") === 42L)).head == Seq(42L, "v42"))
+  }
+
+  test("F2 read path: point lookup skips row groups via the key stats index") {
+    val dir = graft.core.Caching.scratchDir("mapread").toString + "/kv"
+    val df = spark.range(100000).select(col("id").as("k"), (col("id") * 2L).as("v"))
+    Formats.writeSortedKeyed(df, "k", dir)
+    val out = Formats.pointLookup(spark, dir, "k", 73333L)
+    assert(rows(out) == Seq(Seq(73333L, 146666L)))
+    // the scan must have read ONE range partition's row group, not the
+    // table: the pushed key predicate + row-group min/max skip the rest
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") && planStr.contains("EqualTo(k,73333)"),
+      s"key predicate must reach the parquet scan:\n$planStr")
+    val scan = out.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.toLowerCase.contains("scan")).get
+    val produced = scan.metrics("numOutputRows").value
+    assert(produced > 0 && produced <= 100000 / 4 + 1000,
+      s"row groups outside the key range must be skipped, scan read $produced rows")
+    // getClosest: smallest key at-or-after a probe BETWEEN stored keys
+    val closest = Formats.closestLookup(spark, dir, "k", 500L)
+    assert(rows(closest) == Seq(Seq(500L, 1000L)))
   }
 
   test("F11: namespace export to json") {
