@@ -54,11 +54,57 @@ object Dedup {
     // (SPARK-36718), so the tokenizer runs once per row, not once per
     // reference
     val tok = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-    val toks = col("__toks")
-    val grams = (1 until n).foldLeft(toks) { (acc, i) =>
+    tok.select(col(idCol),
+      explode(filter(gramChain(col("__toks"), n), _.isNotNull)).as("shingle"))
+  }
+
+  /** The shared zip_with n-gram chain over a token array: entry i joins
+    * tokens [i, i+n); the trailing n-1 positions (too few tokens left)
+    * come out null via concat's null propagation — filter them, and only
+    * them, before exploding (they are tail-only, so a filtered
+    * posexplode still yields original 0-based positions). */
+  private def gramChain(toks: Column, n: Int): Column =
+    (1 until n).foldLeft(toks) { (acc, i) =>
       zip_with(acc, slice(toks, lit(i + 1), size(toks)), (x, y) => concat(x, lit(" "), y))
     }
-    tok.select(col(idCol), explode(filter(grams, _.isNotNull)).as("shingle"))
+
+  /** Exact duplicated-substring spans — the suffix-array dedup family
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): a token run of length >= k that occurs more than
+    * once ANYWHERE in the corpus (another doc or the same doc) is a
+    * duplicate span; returns each doc's MAXIMAL such spans as 0-based
+    * token ranges (idCol, spanStart, spanEnd, spanTokens).
+    *
+    * Spark-first reformulation of the suffix array: a duplicated run of
+    * length >= k is exactly a maximal chain of adjacent duplicated
+    * k-grams. So (1) hash every k-gram with its position map-side (the
+    * zip_with chain — no shuffle), (2) ONE corpus-wide group-by finds
+    * grams with occurrence count > 1 (map-side combined), (3) the
+    * duplicated positions join back and adjacent positions merge into
+    * islands (pos − row_number over a PER-DOC window — bounded by doc
+    * length, never a global sort). Nothing is quadratic: no pair join,
+    * no suffix sort. Gram identity is sha-256 per the class contract —
+    * spans get CUT from training data, so a constructible collision
+    * (xxhash64) would let adversarial content mark arbitrary spans. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val tok = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val posGrams = tok.select(col(idCol),
+        posexplode(filter(gramChain(col("__toks"), k), _.isNotNull))
+          .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        sha2(col("gram"), 256).as("__gh"))
+    val dupGrams = posGrams.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select(col("__gh"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    posGrams.join(dupGrams, Seq("__gh"))
+      .withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("spanStart"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("spanEnd"))
+      .select(col(idCol), col("spanStart"), col("spanEnd"),
+        (col("spanEnd") - col("spanStart") + 1L).as("spanTokens"))
   }
 
   /** Word 3-gram shingle rows (id, shingle) — the LSH/decontamination

@@ -931,6 +931,14 @@ object DataOpsQueries {
       Dedup.cdcChunks(corpus(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // exact duplicated-substring spans (the suffix-array dedup family):
+    // maximal runs of >= 8 tokens occurring more than once in the
+    // corpus, as per-doc 0-based token ranges — the spans a training
+    // pipeline cuts, at sub-document precision whole-doc dedup lacks
+    "d12_dup_spans" -> { (s, dir) =>
+      Dedup.duplicateSpans(corpus(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("spanStart"))
+    },
     // deterministic corpus shuffle: a replayable global permutation with
     // NO global sort — md5-hash shard assignment + shard-local rank
     // (the pre-packing shuffle every training pipeline runs; a new salt
@@ -1548,6 +1556,26 @@ object DataOpsQueries {
         |  CAST(COALESCE(p.nShared, 0) AS BIGINT) AS nSharedChunks
         |FROM corpus x LEFT JOIN perDoc p ON p.doc_id = x.doc_id
         |ORDER BY x.doc_id""".stripMargin,
+    "d12_dup_spans" ->
+      s"""WITH $CorpusSql,
+        |words AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM corpus),
+        |posed AS (
+        |  SELECT doc_id, UNNEST(range(1, GREATEST(len(w) - 6, 1))) AS i, w
+        |  FROM words),
+        |grams AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM posed),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+        |isl AS (
+        |  SELECT g.doc_id, g.pos,
+        |    g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+        |  FROM grams g JOIN dup USING (gram))
+        |SELECT doc_id, MIN(pos) AS spanStart, MAX(pos) + 7 AS spanEnd,
+        |  MAX(pos) - MIN(pos) + 8 AS spanTokens
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, spanStart""".stripMargin,
     "t12_shard_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'epoch0') AS hx

@@ -204,6 +204,29 @@ class DataOpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L)))                           // empty doc
   }
 
+  test("duplicate spans: maximal >=k-token runs marked, cross- and intra-doc") {
+    import graft.functions.Dedup
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"u$i").mkString(" ") + " " + shared + " " +
+        (1 to 5).map(i => s"v$i").mkString(" ")),
+      (2L, "w1 w2 w3 " + shared + " x1 x2"),
+      (3L, (1 to 12).map(i => s"z$i").mkString(" ")), // long enough, all unique
+      (4L, rep + " q1 " + rep),                       // intra-doc repetition
+      (5L, "a b c"),                                  // too short for any gram
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.duplicateSpans(docs, "doc_id", "text")
+      .orderBy(col("doc_id"), col("spanStart")))
+    // the 10-token shared run is ONE maximal span per doc (grams chain),
+    // the self-repeat marks both occurrences, unique/short docs are silent
+    assert(out == Seq(
+      Seq(1L, 5L, 14L, 10L),
+      Seq(2L, 3L, 12L, 10L),
+      Seq(4L, 0L, 7L, 8L),
+      Seq(4L, 9L, 16L, 8L)))
+  }
+
   test("shard shuffle: total replayable permutation, new salt reorders") {
     import graft.functions.Shuffles
     val ids = (1L to 200L).toDF("doc_id")
