@@ -635,9 +635,14 @@ object Dataflows {
     val cand = candidates.select(col("nodeId")).distinct()
     val eff = effAdmin.select(col("id").as("__nid"), col("effState"))
     // blocks held by any candidate — the only blocks whose replica counts
-    // the gate ever reads
-    val heldIds = b.join(broadcast(cand), col("datanodeId") === col("nodeId"))
-      .select(col("id")).distinct()
+    // the gate ever reads. Pinned via localCheckpoint (frees on GC, the
+    // dupClusters convention): both consumers below would otherwise each
+    // re-scan the block table for the same candidate-held subset.
+    val heldReplicas = b
+      .join(broadcast(cand), col("datanodeId") === col("nodeId"))
+      .select(col("nodeId"), col("id"), col("fileId"))
+      .localCheckpoint()
+    val heldIds = heldReplicas.select(col("id")).distinct()
     val counts = b
       .join(heldIds.select(col("id").as("__hid")), col("id") === col("__hid"), "left_semi")
       .join(broadcast(eff), col("datanodeId") === col("__nid"))
@@ -647,7 +652,7 @@ object Dataflows {
     val fileDim = live(file).select(col("id").as("__fid"),
       col("replication").as("__expected"),
       col("leaseHolder").isNotNull.as("__open"))
-    val held = b.join(broadcast(cand), col("datanodeId") === col("nodeId"))
+    val held = heldReplicas
       .select(col("nodeId"), col("id").as("__hbid"), col("fileId"))
       .join(fileDim, col("fileId") === col("__fid"))
       .join(counts, col("__hbid") === col("__bid"))

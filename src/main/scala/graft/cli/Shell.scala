@@ -199,18 +199,27 @@ object Shell {
         require(args.size >= 2, "usage: cp <src> <dstPath>")
         val id = resolve(path)
         val (dstParent, newName) = splitPath(args(1))
-        val maxFileId = file.agg(max(col("id"))).collect()(0).getLong(0)
-        val maxBlockId = block.agg(max(col("id"))).collect()(0).getLong(0)
+        // coalesce: an empty table's max(id) is null and getLong would NPE
+        // (a directories-only namespace has zero block rows)
+        val maxFileId = file.agg(coalesce(max(col("id")), lit(0L)))
+          .collect()(0).getLong(0)
+        val maxBlockId = block.agg(coalesce(max(col("id")), lit(0L)))
+          .collect()(0).getLong(0)
+        // copy returns a MATERIALIZED persisted write-set (Caching
+        // contract, like rename) — release it whether or not the refusal
+        // check passes
         val out = Mutations.copy(file, block,
           Seq((id, resolve(dstParent), newName))
             .toDF("srcId", "dstParentId", "newName"),
           idBase = maxFileId, blockIdBase = maxBlockId)
-        val rows = out.orderBy(col("writeOp"), col("tbl"), col("id")).collect()
-        // a refused copy fails LOUD with the validator's reason
-        rows.find(_.getAs[String]("writeOp") == "reject").foreach(r =>
-          throw new IllegalArgumentException(
-            s"cp $path -> ${args(1)} refused: ${r.getAs[String]("reject")}"))
-        localized(rows, out.schema)
+        try {
+          val rows = out.orderBy(col("writeOp"), col("tbl"), col("id")).collect()
+          // a refused copy fails LOUD with the validator's reason
+          rows.find(_.getAs[String]("writeOp") == "reject").foreach(r =>
+            throw new IllegalArgumentException(
+              s"cp $path -> ${args(1)} refused: ${r.getAs[String]("reject")}"))
+          localized(rows, out.schema)
+        } finally out.unpersist(blocking = false)
       case "expunge" =>
         Mutations.expunge(file, nowMs = Now)
           .orderBy(col("writeOp"), col("id"))

@@ -70,14 +70,18 @@ object Dedup {
 
   /** Exact duplicated-substring spans — the suffix-array dedup family
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language
-    * Models Better"): a token run of length >= k that occurs more than
-    * once ANYWHERE in the corpus (another doc or the same doc) is a
-    * duplicate span; returns each doc's MAXIMAL such spans as 0-based
-    * token ranges (idCol, spanStart, spanEnd, spanTokens).
+    * Models Better"): every k-token window that occurs more than once
+    * ANYWHERE in the corpus (another doc or the same doc) is duplicated
+    * material; returns, per doc, the maximal UNIONS of overlapping/
+    * adjacent duplicated k-windows as 0-based token ranges (idCol,
+    * spanStart, spanEnd, spanTokens). Every k-window inside a reported
+    * span is duplicated somewhere; the span AS A WHOLE need not occur
+    * contiguously elsewhere (two abutting runs duplicated in different
+    * sources merge — the union is what a cut pass removes anyway).
     *
     * Spark-first reformulation of the suffix array: a duplicated run of
-    * length >= k is exactly a maximal chain of adjacent duplicated
-    * k-grams. So (1) hash every k-gram with its position map-side (the
+    * length >= k appears as a chain of adjacent duplicated k-grams. So
+    * (1) hash every k-gram with its position map-side (the
     * zip_with chain — no shuffle), (2) ONE corpus-wide group-by finds
     * grams with occurrence count > 1 (map-side combined), (3) the
     * duplicated positions join back and adjacent positions merge into

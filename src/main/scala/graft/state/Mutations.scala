@@ -34,8 +34,16 @@ object Mutations {
     * row (callers dedupe first) or ranks among ties are unstable. */
   private def globalRank(df: DataFrame, rankCol: String,
                          sortCols: org.apache.spark.sql.Column*): DataFrame = {
-    val ordered = df.repartitionByRange(sortCols: _*)
+    // pin the input, then the sorted image: zipWithIndex runs an EAGER
+    // startIndices job at construction and the caller consumes the frame
+    // later, so without the checkpoints the full upstream validation DAG
+    // would run three times (range-boundary sampling, the index job, the
+    // consumption). localCheckpoint blocks free on GC (the dupClusters
+    // convention) — no unpersist handle needs to escape this helper.
+    val pinned = df.localCheckpoint()
+    val ordered = pinned.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint()
     val schema = ordered.schema
       .add(rankCol, org.apache.spark.sql.types.LongType, nullable = false)
     df.sparkSession.createDataFrame(
@@ -107,6 +115,13 @@ object Mutations {
              nowMs: Long, leafLength: Long = -1L): DataFrame = {
     val validated = validateInserts(file, requests)
       .filter(col("reject").isNull).drop("reject")
+      // in-batch duplicate (parentId, name) requests collapse to one row:
+      // validateInserts only checks collisions against LIVE rows, so two
+      // identical requests would both pass and commit two live children
+      // under one name (the serial reference rejects the second). Every
+      // other attribute is overwritten below, so any survivor yields the
+      // same write-set — dropDuplicates is deterministic here.
+      .dropDuplicates("parentId", "name")
     val newRows = globalRank(validated, "__rank", col("parentId"), col("name"))
       .withColumn("id", lit(idBase) + col("__rank")).drop("__rank")
       .withColumn("length", lit(leafLength))
@@ -622,7 +637,8 @@ object Mutations {
     * new rows equal their ids (the insert convention). Output rows:
     * (writeOp copy|reject, tbl file|block, id, parentId — for block rows
     * the new OWNER file id —, name, length, datanodeId, srcId — the
-    * copied row's original id —, version, reject). */
+    * copied row's original id —, version, reject). Returns a MATERIALIZED
+    * persisted frame the caller must unpersist (the rename convention). */
   def copy(file: DataFrame, block: DataFrame, requests: DataFrame,
            idBase: Long, blockIdBase: Long, maxDepth: Int = 16): DataFrame = {
     val f = live(file)
@@ -732,8 +748,14 @@ object Mutations {
     val cycRejects = cyc
       .select(rejRow(col("__rsrc"), col("__rdst"), col("__rname"),
         lit("cannot copy a directory into its own subtree")): _*)
-    fileRows.unionByName(blockRows).unionByName(rejects)
+    val out = fileRows.unionByName(blockRows).unionByName(rejects)
       .unionByName(dupRejects).unionByName(cycRejects)
+    // materialize the (batch-sized) write-set and RELEASE the pinned
+    // subtree member set — allMembers has no other handle, so returning
+    // a frame that merely references it would leak one cached DataFrame
+    // per call. The returned persisted frame is the caller's to
+    // unpersist (the rename convention; Shell cp releases in finally).
+    graft.core.Caching.materializeAndRelease(out, Seq(allMembers))
   }
 
   /** FsShell expunge (fs/FsShell.java:1122-1125 → Trash.expunge +
@@ -792,7 +814,10 @@ object Mutations {
   def setAdminState(datanode: DataFrame, block: DataFrame, file: DataFrame,
                     requests: DataFrame): DataFrame = {
     val d = live(datanode).select(col("id"), col("adminState"), col("version"))
-    val req = requests.select(col("nodeId"), col("op"))
+    // a duplicated (nodeId, op) row must not duplicate the node in the
+    // effective admin map — its replicas would double-count in every
+    // candidate's gate and the write-set would carry duplicate rows
+    val req = requests.select(col("nodeId"), col("op")).distinct()
     val starts = d
       .join(broadcast(req.filter(col("op") === "start").select(col("nodeId"))),
         col("id") === col("nodeId"))
@@ -823,22 +848,27 @@ object Mutations {
       .select(col("nodeId").as("__n"), col("underReplicatedBlocks"),
         col("decommissionOnlyReplicas"), col("underReplicatedInOpenFiles"),
         col("replicationDone"))
-    def gateRows(nodes: DataFrame, prevState: String): DataFrame =
-      nodes.join(status, col("id") === col("__n")).drop("__n")
-        .withColumn("prevAdminState", lit(prevState))
-        .withColumn("adminState",
-          when(col("replicationDone"), "DECOMMISSIONED")
-            .otherwise("DECOMMISSION_INPROGRESS"))
-        .withColumn("writeOp",
-          when(col("adminState") =!= col("prevAdminState"), "admin")
-            .otherwise("status"))
-        .withColumn("version",
-          when(col("adminState") =!= col("prevAdminState"), col("version") + 1L)
-            .otherwise(col("version")))
-        .select(col("writeOp"), col("id"), col("prevAdminState"),
-          col("adminState"), col("underReplicatedBlocks"),
-          col("decommissionOnlyReplicas"), col("underReplicatedInOpenFiles"),
-          col("version"))
+    // union the gated node sets BEFORE the status join: joining per set
+    // would evaluate the whole decommissionStatus DAG (the expensive
+    // block-table aggregation) once per branch instead of once total
+    val gateNodes = starts
+      .withColumn("prevAdminState", lit("NORMAL"))
+      .unionByName(checks
+        .withColumn("prevAdminState", lit("DECOMMISSION_INPROGRESS")))
+    val gated = gateNodes.join(status, col("id") === col("__n")).drop("__n")
+      .withColumn("adminState",
+        when(col("replicationDone"), "DECOMMISSIONED")
+          .otherwise("DECOMMISSION_INPROGRESS"))
+      .withColumn("writeOp",
+        when(col("adminState") =!= col("prevAdminState"), "admin")
+          .otherwise("status"))
+      .withColumn("version",
+        when(col("adminState") =!= col("prevAdminState"), col("version") + 1L)
+          .otherwise(col("version")))
+      .select(col("writeOp"), col("id"), col("prevAdminState"),
+        col("adminState"), col("underReplicatedBlocks"),
+        col("decommissionOnlyReplicas"), col("underReplicatedInOpenFiles"),
+        col("version"))
     val stopRows = stops
       .select(lit("admin").as("writeOp"), col("id"),
         col("adminState").as("prevAdminState"), lit("NORMAL").as("adminState"),
@@ -846,9 +876,7 @@ object Mutations {
         lit(null).cast("long").as("decommissionOnlyReplicas"),
         lit(null).cast("long").as("underReplicatedInOpenFiles"),
         (col("version") + 1L).as("version"))
-    gateRows(starts, "NORMAL")
-      .unionByName(gateRows(checks, "DECOMMISSION_INPROGRESS"))
-      .unionByName(stopRows)
+    gated.unionByName(stopRows)
   }
 
   /** S17/N9 (updateDatanodeByDatanodeDescriptor + handleHeartbeat): keyed
