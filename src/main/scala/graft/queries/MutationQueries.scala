@@ -177,6 +177,23 @@ object MutationQueries {
           s.table("file"), reqs)
         .orderBy(col("id"))
     },
+    // Lease release lifecycle over every leased (under-construction)
+    // file: aliveness synthesized so all three branches fire — every 3rd
+    // node heartbeats at Now and the rest are stale; nodes > 35 are
+    // dropped (the unknown-descriptor finalize); every UC file with
+    // fileId % 200 = 150 loses its block rows (the no-blocks finalize)
+    "n_release" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val holders = s.sql(
+        """SELECT DISTINCT leaseHolder AS holder FROM file
+          |WHERE version > 0 AND leaseHolder IS NOT NULL""".stripMargin)
+      val dn = s.table("datanode").filter(col("id") <= 35L)
+        .withColumn("lastUpdated",
+          when(col("id") % 3 === 0L, lit(Now)).otherwise(lit(0L)))
+      val blocks = s.table("block").filter(col("fileId") % 200 =!= 150L)
+      Mutations.releaseLeases(s.table("file"), blocks, dn, holders, Now)
+        .orderBy(col("writeOp"), col("id"))
+    },
     // S17/N9: datanode re-registration — same storageId under a new id
     // evicts the old row
     "s17_datanode_upsert" -> { (s, dir) =>
@@ -372,6 +389,82 @@ object MutationQueries {
          |         CAST(0 AS BIGINT), 'cannot copy a directory into its own subtree'
          |  FROM cyc)
          |ORDER BY writeOp, tbl, id, datanodeId""".stripMargin),
+    "n_release" -> O(
+      s"""WITH holders AS (
+         |  SELECT DISTINCT leaseHolder AS h FROM file
+         |  WHERE version > 0 AND leaseHolder IS NOT NULL),
+         |uc AS (
+         |  SELECT f.id AS fid, f.version AS fver FROM file f
+         |  JOIN holders ON f.leaseHolder = holders.h WHERE f.version > 0),
+         |fb AS (
+         |  SELECT b.* FROM block b JOIN uc ON b.fileId = uc.fid
+         |  WHERE b.version > 0 AND b.fileId % 200 <> 150),
+         |entries AS (
+         |  SELECT fileId, fileIndex,
+         |    ARG_MAX(id, CAST(generationStamp AS HUGEINT) * 9223372036854775808
+         |            + version) AS blockId,
+         |    ARG_MAX(length, CAST(generationStamp AS HUGEINT) * 9223372036854775808
+         |            + version) AS primLen
+         |  FROM fb GROUP BY fileId, fileIndex),
+         |perFile AS (
+         |  SELECT fileId,
+         |    SUM(CASE WHEN primLen > 0 THEN primLen ELSE 0 END) AS totalLen,
+         |    ARG_MAX(blockId, fileIndex) AS lastBlockId,
+         |    MAX(fileIndex) AS lastIdx
+         |  FROM entries GROUP BY fileId),
+         |dn AS (
+         |  SELECT id, CASE WHEN id % 3 = 0 THEN $Now ELSE 0 END AS lastUpdated
+         |  FROM datanode WHERE version > 0 AND id <= 35),
+         |lastReps AS (
+         |  SELECT DISTINCT b.fileId, b.datanodeId FROM fb b
+         |  JOIN perFile p ON b.fileId = p.fileId AND b.fileIndex = p.lastIdx
+         |  WHERE b.datanodeId <> 0),
+         |targets AS (
+         |  SELECT l.fileId, l.datanodeId,
+         |    dn.lastUpdated >= $Now - 600000 AS alive
+         |  FROM lastReps l JOIN dn ON l.datanodeId = dn.id),
+         |rot AS (
+         |  SELECT fileId, datanodeId, alive,
+         |    ROW_NUMBER() OVER (PARTITION BY fileId ORDER BY datanodeId) - 1 AS rk,
+         |    COUNT(*) OVER (PARTITION BY fileId) AS n
+         |  FROM targets),
+         |rot2 AS (SELECT *, ((rk - $Now % n) % n + n) % n AS rotOrd FROM rot),
+         |stats AS (
+         |  SELECT fileId, COUNT(*) AS nT,
+         |    SUM(CASE WHEN alive THEN 1 ELSE 0 END) AS nAlive
+         |  FROM rot2 GROUP BY fileId),
+         |prim AS (
+         |  SELECT fileId, ARG_MIN(datanodeId, rotOrd) AS primaryNode
+         |  FROM rot2 WHERE alive GROUP BY fileId),
+         |cls AS (
+         |  SELECT u.fid, u.fver, COALESCE(p.totalLen, 0) AS totalLen,
+         |    p.lastBlockId, COALESCE(s.nT, 0) AS nT,
+         |    COALESCE(s.nAlive, 0) AS nAlive, pr.primaryNode
+         |  FROM uc u
+         |  LEFT JOIN perFile p ON u.fid = p.fileId
+         |  LEFT JOIN stats s ON u.fid = s.fileId
+         |  LEFT JOIN prim pr ON u.fid = pr.fileId)
+         |SELECT 'finalize' AS writeOp, 'file' AS tbl, fid AS id,
+         |  CAST(totalLen AS BIGINT) AS length, CAST(NULL AS STRING) AS leaseHolder,
+         |  CAST(0 AS BIGINT) AS leaseRecoveryTime, CAST(NULL AS BIGINT) AS blockId,
+         |  CAST(NULL AS BIGINT) AS primaryNodeId, fver + 1 AS version
+         |FROM cls WHERE nT = 0
+         |UNION ALL
+         |SELECT 'recover', 'cmd', fid, CAST(NULL AS BIGINT), CAST(NULL AS STRING),
+         |  CAST(NULL AS BIGINT), lastBlockId, primaryNode, fver
+         |FROM cls WHERE nAlive > 0
+         |UNION ALL
+         |SELECT 'nnlease', 'file', fid, CAST(NULL AS BIGINT), 'NN_Recovery',
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  fver + 1
+         |FROM cls WHERE nT > 0 AND nAlive = 0
+         |UNION ALL
+         |SELECT 'lease', 'lease', CAST(-1 AS BIGINT), CAST(NULL AS BIGINT),
+         |  'NN_Recovery', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST($Now AS BIGINT)
+         |FROM (SELECT COUNT(*) AS c FROM cls WHERE nT > 0 AND nAlive = 0) t
+         |WHERE t.c > 0
+         |ORDER BY writeOp, id""".stripMargin),
     "n_decommission" -> O(
       s"""WITH reqs AS (
          |$decommissionReqsSql),

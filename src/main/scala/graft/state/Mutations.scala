@@ -879,6 +879,124 @@ object Mutations {
     gated.unionByName(stopRows)
   }
 
+  /** Lease release write-set (internalReleaseLeaseOne,
+    * FSNamesystem.java:1506-1563 + finalizeINodeFileUnderConstruction
+    * :1565-1572; driven by LeaseMonitor hard expiry and recoverLease
+    * :931-960): every under-construction file of a released holder takes
+    * ONE of three transitions, decided by its LAST block entry's targets:
+    *
+    *  - NO targets (no block rows, only NULL_DATANODE flag rows, or
+    *    every replica's datanode row missing — the reference skips
+    *    unknown descriptors, state/StateManager.java:296-305) →
+    *    'finalize': length = Σ per-index primary lengths > 0
+    *    (BlockEntry.getTotalLength, block/BlockEntry.java:158-164),
+    *    leaseHolder cleared, leaseRecoveryTime 0, version bumped.
+    *  - an ALIVE target exists → one 'recover' command row: the primary
+    *    is chosen by rotating from nowMs % n over the nodeId-sorted
+    *    target list (the reference rotates a now()-seeded index over its
+    *    arrival-order array :1548-1554 — the RNG pinned to a replayable
+    *    order, the N7 convention); the file row itself is untouched
+    *    (addBlockToBeRecovered is the N9 command plane).
+    *  - targets but NONE alive → 'nnlease': leaseHolder becomes
+    *    NN_Recovery (:1557-1559, HdfsConstants.NN_RECOVERY_LEASEHOLDER)
+    *    with a version bump, plus ONE 'lease' renew row for NN_Recovery
+    *    stamped nowMs (renewLease :1559).
+    *
+    * Alive = heartbeat within HeartbeatExpiryMs (the datanodeReport
+    * rule); targets exclude datanodeId 0 (Datanode.NULL_DATANODE_ID,
+    * BlockEntry.getBlockList(false)). Per-file windows are bounded by
+    * replica counts — nothing global. Output rows: (writeOp
+    * finalize|recover|nnlease|lease, tbl file|cmd|lease, id, length,
+    * leaseHolder, leaseRecoveryTime, blockId, primaryNodeId, version). */
+  def releaseLeases(file: DataFrame, block: DataFrame, datanode: DataFrame,
+                    holders: DataFrame, nowMs: Long): DataFrame = {
+    val hs = holders.select(col("holder").as("__h")).distinct()
+    val uc = live(file)
+      .join(broadcast(hs), col("leaseHolder") === col("__h"))
+      .select(col("id").as("__fid"), col("version").as("__fver"))
+    val fb = live(block)
+      .join(broadcast(uc.select(col("__fid"))), col("fileId") === col("__fid"))
+    val ord = struct(col("generationStamp"), col("version"))
+    val entries = fb.groupBy(col("fileId"), col("fileIndex"))
+      .agg(max_by(col("id"), ord).as("__blockId"),
+           max_by(col("length"), ord).as("__primLen"))
+    val perFile = entries.groupBy(col("fileId"))
+      .agg(sum(when(col("__primLen") > 0, col("__primLen")).otherwise(0L))
+             .as("__totalLen"),
+           max_by(col("__blockId"), col("fileIndex")).as("__lastBlockId"),
+           max(col("fileIndex")).as("__lastIdx"))
+      .select(col("fileId").as("__pf"), col("__totalLen"),
+        col("__lastBlockId"), col("__lastIdx"))
+    val lastReps = fb.filter(col("datanodeId") =!= 0L)
+      .join(perFile.select(col("__pf"), col("__lastIdx")),
+        col("fileId") === col("__pf") && col("fileIndex") === col("__lastIdx"))
+      .select(col("fileId").as("__tf"), col("datanodeId")).distinct()
+    // inner join: a replica whose datanode row is missing contributes no
+    // target (getDatanodeDescriptorListByBlockList skips nulls)
+    val targets = lastReps
+      .join(live(datanode).select(col("id").as("__did"),
+          (col("lastUpdated") >= nowMs - StateManager.HeartbeatExpiryMs)
+            .as("__alive")),
+        col("datanodeId") === col("__did"))
+      .select(col("__tf"), col("datanodeId"), col("__alive"))
+    val wT = Window.partitionBy(col("__tf")).orderBy(col("datanodeId"))
+    val rotated = targets
+      .withColumn("__rk", row_number().over(wT) - 1)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__tf"))))
+      .withColumn("__rot",
+        ((col("__rk") - lit(nowMs) % col("__n")) % col("__n") + col("__n"))
+          % col("__n"))
+    val targetStats = rotated.groupBy(col("__tf"))
+      .agg(count(lit(1)).as("__nTargets"),
+           sum(when(col("__alive"), 1L).otherwise(0L)).as("__nAlive"))
+    val primary = rotated.filter(col("__alive"))
+      .groupBy(col("__tf").as("__prf"))
+      .agg(min_by(col("datanodeId"), col("__rot")).as("__primary"))
+    val cls = uc
+      .join(perFile, col("__fid") === col("__pf"), "left")
+      .join(targetStats, col("__fid") === col("__tf"), "left")
+      .join(primary, col("__fid") === col("__prf"), "left")
+      .select(col("__fid"), col("__fver"),
+        coalesce(col("__totalLen"), lit(0L)).as("__totalLen"),
+        col("__lastBlockId"),
+        coalesce(col("__nTargets"), lit(0L)).as("__nTargets"),
+        coalesce(col("__nAlive"), lit(0L)).as("__nAlive"),
+        col("__primary"))
+    val finalizes = cls.filter(col("__nTargets") === 0L)
+      .select(lit("finalize").as("writeOp"), lit("file").as("tbl"),
+        col("__fid").as("id"), col("__totalLen").as("length"),
+        lit(null).cast("string").as("leaseHolder"),
+        lit(0L).as("leaseRecoveryTime"),
+        lit(null).cast("long").as("blockId"),
+        lit(null).cast("long").as("primaryNodeId"),
+        (col("__fver") + 1L).as("version"))
+    val recovers = cls.filter(col("__nAlive") > 0L)
+      .select(lit("recover").as("writeOp"), lit("cmd").as("tbl"),
+        col("__fid").as("id"), lit(null).cast("long").as("length"),
+        lit(null).cast("string").as("leaseHolder"),
+        lit(null).cast("long").as("leaseRecoveryTime"),
+        col("__lastBlockId").as("blockId"), col("__primary").as("primaryNodeId"),
+        col("__fver").as("version"))
+    val nnleases = cls.filter(col("__nTargets") > 0L && col("__nAlive") === 0L)
+      .select(lit("nnlease").as("writeOp"), lit("file").as("tbl"),
+        col("__fid").as("id"), lit(null).cast("long").as("length"),
+        lit("NN_Recovery").as("leaseHolder"),
+        lit(null).cast("long").as("leaseRecoveryTime"),
+        lit(null).cast("long").as("blockId"),
+        lit(null).cast("long").as("primaryNodeId"),
+        (col("__fver") + 1L).as("version"))
+    val renew = nnleases.groupBy().agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 0)
+      .select(lit("lease").as("writeOp"), lit("lease").as("tbl"),
+        lit(-1L).as("id"), lit(null).cast("long").as("length"),
+        lit("NN_Recovery").as("leaseHolder"),
+        lit(null).cast("long").as("leaseRecoveryTime"),
+        lit(null).cast("long").as("blockId"),
+        lit(null).cast("long").as("primaryNodeId"),
+        lit(nowMs).as("version"))
+    finalizes.unionByName(recovers).unionByName(nnleases).unionByName(renew)
+  }
+
   /** S17/N9 (updateDatanodeByDatanodeDescriptor + handleHeartbeat): keyed
     * upsert of registrations; a storageId collision deletes the old node
     * row (re-registration under a new id). Returns the post-upsert

@@ -376,6 +376,50 @@ class MutationsSpec extends SparkSpec {
     assert(!out.contains(4L) && out.size == 5)
   }
 
+  test("lease release: finalize/recover/nnlease transition matrix") {
+    val nowMs = 1000000000L // expiry window = 600000 → lastUpdated 0 is dead
+    val files = Seq(
+      (100L, Some("h1"), 100L), // no blocks at all → finalize len 0
+      (101L, Some("h1"), 101L), // only a NULL_DATANODE flag row → finalize
+      (102L, Some("h2"), 102L), // dead + alive replica → recover, primary 2
+      (103L, Some("h2"), 103L), // only a dead replica → nnlease
+      (104L, Some("h3"), 104L), // holder not released → untouched
+      (105L, Some("h1"), 105L), // replica on an unknown node → finalize
+      (106L, Some("h1"), 106L), // 2 indexes, last under construction → recover
+      (107L, Some("h2"), 107L), // 3 alive targets → rotation picks 3, not 2
+    ).toDF("id", "leaseHolder", "version")
+    val blocks = Seq(
+      (11L, 0L, 500L, 1L, 101L, 0L, 5L),
+      (21L, 1L, 1000L, 1L, 102L, 0L, 2L), (21L, 2L, 1000L, 1L, 102L, 0L, 3L),
+      (31L, 1L, 400L, 1L, 103L, 0L, 4L),
+      (51L, 9L, 700L, 1L, 105L, 0L, 6L),
+      (61L, 2L, 100L, 1L, 106L, 0L, 7L), (62L, 2L, -1L, 1L, 106L, 1L, 8L),
+      (71L, 2L, 800L, 1L, 107L, 0L, 9L), (71L, 3L, 800L, 1L, 107L, 0L, 10L),
+      (71L, 5L, 800L, 1L, 107L, 0L, 11L),
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+      "fileIndex", "version")
+    val dn = Seq(
+      (1L, 0L, 1L), (2L, nowMs, 2L), (3L, nowMs, 3L), (5L, nowMs, 4L),
+    ).toDF("id", "lastUpdated", "version")
+    val holders = Seq("h1", "h2").toDF("holder")
+    val out = rows(Mutations.releaseLeases(files, blocks, dn, holders, nowMs)
+      .orderBy(col("writeOp"), col("id")))
+    assert(out == Seq(
+      // finalize: length = Σ primary lengths > 0, holder cleared, bump
+      Seq("finalize", "file", 100L, 0L, null, 0L, null, null, 101L),
+      Seq("finalize", "file", 101L, 500L, null, 0L, null, null, 102L),
+      Seq("finalize", "file", 105L, 700L, null, 0L, null, null, 106L),
+      // lease renew row for the NN_Recovery takeover, stamped nowMs
+      Seq("lease", "lease", -1L, null, "NN_Recovery", null, null, null, nowMs),
+      // nnlease: targets exist but none alive
+      Seq("nnlease", "file", 103L, null, "NN_Recovery", null, null, null, 104L),
+      // recover: 102 → only alive target 2; 106 → LAST entry's block (62);
+      // 107 → rotation from nowMs % 3 = 1 over [2,3,5] picks 3 (not min 2)
+      Seq("recover", "cmd", 102L, null, null, null, 21L, 2L, 102L),
+      Seq("recover", "cmd", 106L, null, null, null, 62L, 2L, 106L),
+      Seq("recover", "cmd", 107L, null, null, null, 71L, 3L, 107L)))
+  }
+
   test("S17 upsert: storageId collision evicts the old node row") {
     val dn = Seq(
       (11L, "dn11", "DS-A", 0L, 0L, 1L, 1L, 1L, 1L, 1L, "/r1", "NORMAL", 1L),
