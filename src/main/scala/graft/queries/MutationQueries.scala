@@ -194,6 +194,27 @@ object MutationQueries {
       Mutations.releaseLeases(s.table("file"), blocks, dn, holders, Now)
         .orderBy(col("writeOp"), col("id"))
     },
+    // commitBlockSynchronization applied to every block of each %50 UC
+    // file (plus %50=1 non-UC files for the not-under-construction
+    // reject and a missing block id): even block ids close their file,
+    // %5 ids delete the block, targets rotate over 2 known nodes + one
+    // unknown (ignored)
+    "n_block_sync" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(
+        """SELECT id AS blockId, CAST(200 AS BIGINT) AS newGenStamp,
+          |       id % 2 = 0 AS closeFile, id % 5 = 0 AS deleteBlock,
+          |       array(1 + id % 40, 1 + (id + 7) % 40,
+          |             CAST(99 AS BIGINT)) AS targets
+          |FROM (SELECT DISTINCT id FROM block
+          |      WHERE version > 0 AND (fileId % 50 = 0 OR fileId % 50 = 1)) t
+          |UNION ALL
+          |SELECT CAST(42 AS BIGINT), CAST(200 AS BIGINT), false, false,
+          |       array(CAST(1 AS BIGINT))""".stripMargin)
+      Mutations.commitBlockSync(s.table("file"), s.table("block"),
+          s.table("datanode"), reqs, versionBase = 30000000L)
+        .orderBy(col("writeOp"), col("id"), col("datanodeId"))
+    },
     // S17/N9: datanode re-registration — same storageId under a new id
     // evicts the old row
     "s17_datanode_upsert" -> { (s, dir) =>
@@ -389,6 +410,99 @@ object MutationQueries {
          |         CAST(0 AS BIGINT), 'cannot copy a directory into its own subtree'
          |  FROM cyc)
          |ORDER BY writeOp, tbl, id, datanodeId""".stripMargin),
+    "n_block_sync" -> O(
+      s"""WITH reqs0 AS (
+         |  SELECT id AS blockId, CAST(200 AS BIGINT) AS newGenStamp,
+         |         id % 2 = 0 AS closeFile, id % 5 = 0 AS deleteBlock,
+         |         [1 + id % 40, 1 + (id + 7) % 40, CAST(99 AS BIGINT)] AS targets
+         |  FROM (SELECT DISTINCT id FROM block
+         |        WHERE version > 0 AND (fileId % 50 = 0 OR fileId % 50 = 1)) t
+         |  UNION ALL
+         |  SELECT CAST(42 AS BIGINT), CAST(200 AS BIGINT), false, false,
+         |         [CAST(1 AS BIGINT)]),
+         |liveB AS (SELECT * FROM block WHERE version > 0),
+         |meta AS (
+         |  SELECT b.id AS mb, MAX(b.fileId) AS mfid, MAX(b.fileIndex) AS midx,
+         |    MAX(CASE WHEN b.datanodeId = 0 THEN 1 ELSE 0 END) AS hasFlag
+         |  FROM liveB b JOIN reqs0 r ON b.id = r.blockId GROUP BY b.id),
+         |classified AS (
+         |  SELECT r.*, m.mb, m.mfid, m.midx, m.hasFlag,
+         |    f.id AS fbid, f.leaseHolder AS flh, f.version AS fbver,
+         |    CASE WHEN m.mb IS NULL THEN 'block not found'
+         |         WHEN f.id IS NULL THEN 'file not found'
+         |         WHEN f.leaseHolder IS NULL THEN 'file not under construction'
+         |    END AS reject
+         |  FROM reqs0 r
+         |  LEFT JOIN meta m ON r.blockId = m.mb
+         |  LEFT JOIN (SELECT * FROM file WHERE version > 0) f ON m.mfid = f.id),
+         |good AS (SELECT * FROM classified WHERE reject IS NULL),
+         |vt AS (
+         |  SELECT DISTINCT g.blockId, g.newGenStamp, g.mfid, g.midx,
+         |    UNNEST(g.targets) AS tgt
+         |  FROM good g WHERE NOT g.deleteBlock),
+         |valid AS (
+         |  SELECT vt.* FROM vt
+         |  JOIN (SELECT id FROM datanode WHERE version > 0) d ON vt.tgt = d.id),
+         |nv AS (SELECT blockId, COUNT(*) AS nValid FROM valid GROUP BY blockId),
+         |gf AS (
+         |  SELECT g.*, COALESCE(nv.nValid, 0) AS nValid FROM good g
+         |  LEFT JOIN nv ON g.blockId = nv.blockId),
+         |insertKeys AS (
+         |  SELECT blockId, tgt AS datanodeId, newGenStamp, mfid, midx FROM valid
+         |  UNION ALL
+         |  SELECT blockId, CAST(0 AS BIGINT), newGenStamp, mfid, midx FROM gf
+         |  WHERE NOT deleteBlock AND nValid = 0 AND hasFlag = 0),
+         |ins AS (
+         |  SELECT 'insert' AS writeOp, 'block' AS tbl, blockId AS id,
+         |    datanodeId, CAST(-1 AS BIGINT) AS length,
+         |    newGenStamp AS generationStamp, mfid AS fileId, midx AS fileIndex,
+         |    30000000 + ROW_NUMBER() OVER (ORDER BY blockId, datanodeId)
+         |      AS version,
+         |    CAST(NULL AS STRING) AS reject
+         |  FROM insertKeys),
+         |tombs AS (
+         |  SELECT 'tombstone' AS writeOp, 'block' AS tbl, b.id, b.datanodeId,
+         |    b.length, b.generationStamp, b.fileId, b.fileIndex,
+         |    -b.version AS version, CAST(NULL AS STRING) AS reject
+         |  FROM liveB b JOIN gf g ON b.id = g.blockId
+         |  WHERE g.deleteBlock OR b.datanodeId <> 0
+         |     OR (b.datanodeId = 0 AND g.nValid > 0)),
+         |aff AS (SELECT DISTINCT mfid AS cf, fbver FROM good WHERE closeFile),
+         |post AS (
+         |  SELECT b.fileId, b.fileIndex, b.length, b.generationStamp, b.version
+         |  FROM liveB b JOIN aff ON b.fileId = aff.cf
+         |  WHERE NOT EXISTS (SELECT 1 FROM tombs t
+         |                    WHERE t.id = b.id AND t.datanodeId = b.datanodeId)
+         |  UNION ALL
+         |  SELECT i.fileId, i.fileIndex, i.length, i.generationStamp, i.version
+         |  FROM ins i JOIN aff ON i.fileId = aff.cf),
+         |pent AS (
+         |  SELECT fileId, fileIndex,
+         |    ARG_MAX(length, CAST(generationStamp AS HUGEINT)
+         |            * 9223372036854775808 + version) AS plen
+         |  FROM post GROUP BY fileId, fileIndex),
+         |totals AS (
+         |  SELECT fileId, SUM(CASE WHEN plen > 0 THEN plen ELSE 0 END) AS tot
+         |  FROM pent GROUP BY fileId),
+         |fin AS (
+         |  SELECT 'finalize' AS writeOp, 'file' AS tbl, a.cf AS id,
+         |    CAST(NULL AS BIGINT) AS datanodeId,
+         |    CAST(COALESCE(t.tot, 0) AS BIGINT) AS length,
+         |    CAST(NULL AS BIGINT) AS generationStamp, a.cf AS fileId,
+         |    CAST(NULL AS BIGINT) AS fileIndex, a.fbver + 1 AS version,
+         |    CAST(NULL AS STRING) AS reject
+         |  FROM aff a LEFT JOIN totals t ON a.cf = t.fileId),
+         |rej AS (
+         |  SELECT 'reject' AS writeOp, 'block' AS tbl, blockId AS id,
+         |    CAST(NULL AS BIGINT) AS datanodeId, CAST(NULL AS BIGINT) AS length,
+         |    newGenStamp AS generationStamp, mfid AS fileId,
+         |    CAST(NULL AS BIGINT) AS fileIndex, CAST(0 AS BIGINT) AS version,
+         |    reject
+         |  FROM classified WHERE reject IS NOT NULL)
+         |SELECT * FROM (
+         |  SELECT * FROM tombs UNION ALL SELECT * FROM ins
+         |  UNION ALL SELECT * FROM fin UNION ALL SELECT * FROM rej)
+         |ORDER BY writeOp, id, datanodeId""".stripMargin),
     "n_release" -> O(
       s"""WITH holders AS (
          |  SELECT DISTINCT leaseHolder AS h FROM file

@@ -997,6 +997,137 @@ object Mutations {
     finalizes.unionByName(recovers).unionByName(nnleases).unionByName(renew)
   }
 
+  /** commitBlockSynchronization write-set (FSNamesystem.java:1575-1639)
+    * — the APPLY side of lease recovery: the primary datanode reports
+    * the synchronized last block back. Per request (blockId,
+    * newGenStamp, closeFile, deleteBlock, targets):
+    *
+    *  - reject when the block has no live rows, its file is gone, or the
+    *    file is not under construction (:1586-1592; the safe-mode gate is
+    *    transient namenode memory — N14 computes the ratio as analysis,
+    *    there is no global mode bit in the table model).
+    *  - deleteBlock → tombstone EVERY row of the block, flag row
+    *    included (deleteBlockById :1596).
+    *  - otherwise: tombstone the old replica rows (:1610-1613), insert
+    *    one under-construction row (length −1, the new genstamp) per
+    *    target with a KNOWN datanode row (:1615-1623, unknown targets
+    *    ignored), and reconcile the NULL_DATANODE flag row — it must
+    *    exist exactly when no valid target was added (insert :1603-1608,
+    *    delete-when-added :1625-1627).
+    *  - closeFile → 'finalize' the file against the POST-update block
+    *    image (finalizeINodeFileUnderConstruction :1629-1633): length =
+    *    Σ per-index primary lengths > 0 (the fresh rows carry −1, so a
+    *    just-synced entry contributes nothing until its replicas
+    *    re-report — the reference's re-read does the same), holder
+    *    cleared, version bumped. newLength is logged, never stored
+    *    (:1631 reads the block entries, not the argument) — omitted.
+    *
+    * At most one request per blockId: exact duplicates collapse; among
+    * conflicting ones the (newGenStamp, closeFile, deleteBlock)-max
+    * wins deterministically. New-row versions are versionBase + the
+    * distributed (blockId, datanodeId) rank; tombstones negate the old
+    * version (the S6 convention). Output rows: (writeOp
+    * insert|tombstone|finalize|reject, tbl block|file, id, datanodeId,
+    * length, generationStamp, fileId, fileIndex, version, reject). */
+  def commitBlockSync(file: DataFrame, block: DataFrame, datanode: DataFrame,
+                      requests: DataFrame, versionBase: Long): DataFrame = {
+    val b = live(block)
+    val dupW = Window.partitionBy(col("blockId"))
+      .orderBy(col("newGenStamp").desc, col("closeFile").desc,
+        col("deleteBlock").desc)
+    val reqs = requests
+      .select(col("blockId"), col("newGenStamp"), col("closeFile"),
+        col("deleteBlock"), col("targets")).distinct()
+      .withColumn("__dup", row_number().over(dupW))
+      .filter(col("__dup") === 1).drop("__dup")
+    val reqRows = b.join(broadcast(reqs), col("id") === col("blockId"))
+    val meta = reqRows.groupBy(col("blockId").as("__mb"))
+      .agg(max(col("fileId")).as("__mfid"),
+           max(col("fileIndex")).as("__midx"),
+           max(when(col("datanodeId") === 0L, 1L).otherwise(0L)).as("__hasFlag"))
+    val fdim = live(file).select(col("id").as("__fbid"),
+      col("leaseHolder").as("__flh"), col("version").as("__fbver"))
+    val classified = reqs
+      .join(meta, col("blockId") === col("__mb"), "left")
+      .join(fdim, col("__mfid") === col("__fbid"), "left")
+      .withColumn("reject",
+        when(col("__mb").isNull, "block not found")
+          .when(col("__fbid").isNull, "file not found")
+          .when(col("__flh").isNull, "file not under construction"))
+    val good = classified.filter(col("reject").isNull)
+    // targets with a KNOWN datanode row; duplicate targets collapse
+    val valid = good.filter(!col("deleteBlock"))
+      .select(col("blockId"), col("newGenStamp"), col("__mfid"), col("__midx"),
+        explode(col("targets")).as("__t")).distinct()
+      .join(broadcast(live(datanode).select(col("id").as("__dnid"))),
+        col("__t") === col("__dnid"))
+    val nValid = valid.groupBy(col("blockId").as("__vb"))
+      .agg(count(lit(1)).as("__nValid"))
+    val gf = good.join(nValid, col("blockId") === col("__vb"), "left")
+      .withColumn("__nValid", coalesce(col("__nValid"), lit(0L)))
+    // new replica rows ∪ (flag rows for no-target syncs with no standing
+    // flag) — ranked together so versions stay collision-free
+    val insertKeys = valid
+      .select(col("blockId"), col("__t").as("datanodeId"),
+        col("newGenStamp"), col("__mfid"), col("__midx"))
+      .unionByName(gf
+        .filter(!col("deleteBlock") && col("__nValid") === 0L &&
+          col("__hasFlag") === 0L)
+        .select(col("blockId"), lit(0L).as("datanodeId"),
+          col("newGenStamp"), col("__mfid"), col("__midx")))
+    val inserts = globalRank(insertKeys, "__rk", col("blockId"), col("datanodeId"))
+      .select(lit("insert").as("writeOp"), lit("block").as("tbl"),
+        col("blockId").as("id"), col("datanodeId"),
+        lit(-1L).as("length"), col("newGenStamp").as("generationStamp"),
+        col("__mfid").as("fileId"), col("__midx").as("fileIndex"),
+        (lit(versionBase) + col("__rk")).as("version"),
+        lit(null).cast("string").as("reject"))
+    val gInfo = gf.select(col("blockId").as("__gb"),
+      col("deleteBlock").as("__del"), col("__nValid"), col("__hasFlag"))
+    val tombs = reqRows.join(gInfo, col("blockId") === col("__gb"))
+      .filter(col("__del") || col("datanodeId") =!= 0L ||
+        (col("datanodeId") === 0L && col("__nValid") > 0L))
+      .select(lit("tombstone").as("writeOp"), lit("block").as("tbl"),
+        col("id"), col("datanodeId"), col("length"), col("generationStamp"),
+        col("fileId"), col("fileIndex"), (-col("version")).as("version"),
+        lit(null).cast("string").as("reject"))
+    // closeFile: finalize against the post-update block image
+    val affFiles = good.filter(col("closeFile"))
+      .select(col("__mfid").as("__cf"), col("__fbver")).distinct()
+    val post = b.join(broadcast(affFiles), col("fileId") === col("__cf"))
+      .join(tombs.select(col("id").as("__tbid"), col("datanodeId").as("__tdn")),
+        col("id") === col("__tbid") && col("datanodeId") === col("__tdn"),
+        "left_anti")
+      .select(col("fileId"), col("fileIndex"), col("length"),
+        col("generationStamp"), col("version"))
+      .unionByName(inserts
+        .join(broadcast(affFiles), col("fileId") === col("__cf"))
+        .select(col("fileId"), col("fileIndex"), col("length"),
+          col("generationStamp"), col("version")))
+    val totals = post.groupBy(col("fileId"), col("fileIndex"))
+      .agg(max_by(col("length"), struct(col("generationStamp"), col("version")))
+        .as("__plen"))
+      .groupBy(col("fileId"))
+      .agg(sum(when(col("__plen") > 0, col("__plen")).otherwise(0L)).as("__tot"))
+    val finalizes = affFiles
+      .join(totals, col("__cf") === col("fileId"), "left")
+      .select(lit("finalize").as("writeOp"), lit("file").as("tbl"),
+        col("__cf").as("id"), lit(null).cast("long").as("datanodeId"),
+        coalesce(col("__tot"), lit(0L)).as("length"),
+        lit(null).cast("long").as("generationStamp"),
+        col("__cf").as("fileId"), lit(null).cast("long").as("fileIndex"),
+        (col("__fbver") + 1L).as("version"),
+        lit(null).cast("string").as("reject"))
+    val rejects = classified.filter(col("reject").isNotNull)
+      .select(lit("reject").as("writeOp"), lit("block").as("tbl"),
+        col("blockId").as("id"), lit(null).cast("long").as("datanodeId"),
+        lit(null).cast("long").as("length"),
+        col("newGenStamp").as("generationStamp"),
+        col("__mfid").as("fileId"), lit(null).cast("long").as("fileIndex"),
+        lit(0L).as("version"), col("reject"))
+    tombs.unionByName(inserts).unionByName(finalizes).unionByName(rejects)
+  }
+
   /** S17/N9 (updateDatanodeByDatanodeDescriptor + handleHeartbeat): keyed
     * upsert of registrations; a storageId collision deletes the old node
     * row (re-registration under a new id). Returns the post-upsert

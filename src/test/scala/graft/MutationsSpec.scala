@@ -420,6 +420,54 @@ class MutationsSpec extends SparkSpec {
       Seq("recover", "cmd", 107L, null, null, null, 71L, 3L, 107L)))
   }
 
+  test("commitBlockSync: delete/retarget/flag/finalize matrix") {
+    val files = Seq(
+      (200L, Some("h"), 10L),
+      (201L, None: Option[String], 11L), // not under construction
+      (203L, Some("h2"), 13L), (204L, Some("h3"), 14L),
+      (205L, Some("h4"), 15L),
+    ).toDF("id", "leaseHolder", "version")
+    val blocks = Seq(
+      (300L, 1L, 900L, 5L, 200L, 0L, 30L), (300L, 2L, 900L, 5L, 200L, 0L, 31L),
+      (301L, 1L, 500L, 5L, 200L, 1L, 32L), // untouched sibling entry
+      (310L, 1L, 100L, 3L, 201L, 0L, 40L),
+      (330L, 1L, 700L, 4L, 203L, 0L, 50L), (330L, 0L, -1L, 4L, 203L, 0L, 51L),
+      (340L, 1L, 800L, 4L, 204L, 0L, 60L),
+      (350L, 1L, 850L, 4L, 205L, 0L, 70L), (350L, 0L, -1L, 4L, 205L, 0L, 71L),
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+      "fileIndex", "version")
+    val dn = Seq((1L, 1L), (2L, 2L)).toDF("id", "version")
+    val reqs = Seq(
+      // retarget to {2} (dup + unknown 9 collapse), close the file
+      (300L, 6L, true, false, Seq(2L, 9L, 2L)),
+      (310L, 7L, false, false, Seq(1L)),   // reject: not under construction
+      (320L, 8L, false, false, Seq(1L)),   // reject: block not found
+      (330L, 5L, false, false, Seq(9L)),   // no valid target, flag KEPT
+      (340L, 9L, false, false, Seq.empty[Long]), // no target, flag INSERTED
+      (350L, 9L, true, true, Seq(1L)),     // deleteBlock: all rows incl flag
+    ).toDF("blockId", "newGenStamp", "closeFile", "deleteBlock", "targets")
+    val out = rows(Mutations.commitBlockSync(files, blocks, dn, reqs,
+        versionBase = 9000L)
+      .orderBy(col("writeOp"), col("id"), col("datanodeId")))
+    assert(out == Seq(
+      // finalize reads the POST image: 300's fresh rows are -1 (excluded),
+      // sibling entry 301 carries the length; 205 loses everything
+      Seq("finalize", "file", 200L, null, 500L, null, 200L, null, 11L, null),
+      Seq("finalize", "file", 205L, null, 0L, null, 205L, null, 16L, null),
+      Seq("insert", "block", 300L, 2L, -1L, 6L, 200L, 0L, 9001L, null),
+      Seq("insert", "block", 340L, 0L, -1L, 9L, 204L, 0L, 9002L, null),
+      Seq("reject", "block", 310L, null, null, 7L, 201L, null, 0L,
+        "file not under construction"),
+      Seq("reject", "block", 320L, null, null, 8L, null, null, 0L,
+        "block not found"),
+      Seq("tombstone", "block", 300L, 1L, 900L, 5L, 200L, 0L, -30L, null),
+      Seq("tombstone", "block", 300L, 2L, 900L, 5L, 200L, 0L, -31L, null),
+      Seq("tombstone", "block", 330L, 1L, 700L, 4L, 203L, 0L, -50L, null),
+      Seq("tombstone", "block", 340L, 1L, 800L, 4L, 204L, 0L, -60L, null),
+      Seq("tombstone", "block", 350L, 0L, -1L, 4L, 205L, 0L, -71L, null),
+      Seq("tombstone", "block", 350L, 1L, 850L, 4L, 205L, 0L, -70L, null)))
+  }
+
   test("S17 upsert: storageId collision evicts the old node row") {
     val dn = Seq(
       (11L, "dn11", "DS-A", 0L, 0L, 1L, 1L, 1L, 1L, 1L, "/r1", "NORMAL", 1L),
