@@ -14,6 +14,23 @@ object MutationQueries {
 
   private val Now = DerivedState.NowMs
 
+  /** n_block_sync's new-row version base — one constant for the Spark
+    * gate and the oracle literal. Must clear every live block version
+    * (S6 latest-wins replays on max |version|): derived block versions
+    * reach ~5.9M at sf0.01 and ~23.2M at sf0.1. */
+  private val BlockSyncVersionBase = 30000000L
+
+  /** DuckDB twin of Mutations.primaryEntries — the per-(fileId,
+    * fileIndex) BlockEntry primary by (generationStamp, version)
+    * (HUGEINT-packed tuple order); the two must stay identical. */
+  private def primaryEntriesSql(src: String): String =
+    s"""SELECT fileId, fileIndex,
+       |    ARG_MAX(id, CAST(generationStamp AS HUGEINT) * 9223372036854775808
+       |            + version) AS blockId,
+       |    ARG_MAX(length, CAST(generationStamp AS HUGEINT) * 9223372036854775808
+       |            + version) AS primLen
+       |  FROM $src GROUP BY fileId, fileIndex""".stripMargin
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -197,22 +214,34 @@ object MutationQueries {
     // commitBlockSynchronization applied to every block of each %50 UC
     // file (plus %50=1 non-UC files for the not-under-construction
     // reject and a missing block id): even block ids close their file,
-    // %5 ids delete the block, targets rotate over 2 known nodes + one
-    // unknown (ignored)
+    // %5 ids delete the block, %11 ids carry only an unknown target
+    // (the no-valid-target arms), %7 ids get a synthetic NULL_DATANODE
+    // flag row (the flag kept/tombstoned arms) — every branch of the
+    // operator fires under the oracle
     "n_block_sync" -> { (s, dir) =>
       DerivedState.register(s, dir)
       val reqs = s.sql(
         """SELECT id AS blockId, CAST(200 AS BIGINT) AS newGenStamp,
           |       id % 2 = 0 AS closeFile, id % 5 = 0 AS deleteBlock,
-          |       array(1 + id % 40, 1 + (id + 7) % 40,
-          |             CAST(99 AS BIGINT)) AS targets
+          |       CASE WHEN id % 11 = 0 THEN array(CAST(99 AS BIGINT))
+          |            ELSE array(1 + id % 40, 1 + (id + 7) % 40,
+          |                       CAST(99 AS BIGINT)) END AS targets
           |FROM (SELECT DISTINCT id FROM block
           |      WHERE version > 0 AND (fileId % 50 = 0 OR fileId % 50 = 1)) t
           |UNION ALL
           |SELECT CAST(42 AS BIGINT), CAST(200 AS BIGINT), false, false,
           |       array(CAST(1 AS BIGINT))""".stripMargin)
-      Mutations.commitBlockSync(s.table("file"), s.table("block"),
-          s.table("datanode"), reqs, versionBase = 30000000L)
+      val flagRows = s.sql(
+        """SELECT id, CAST(0 AS BIGINT) AS datanodeId,
+          |       CAST(-1 AS BIGINT) AS length,
+          |       CAST(90 AS BIGINT) AS generationStamp,
+          |       MAX(fileId) AS fileId, MAX(fileIndex) AS fileIndex,
+          |       id AS version
+          |FROM block WHERE version > 0 AND fileId % 50 = 0 AND id % 7 = 0
+          |GROUP BY id""".stripMargin)
+      Mutations.commitBlockSync(s.table("file"),
+          s.table("block").unionByName(flagRows),
+          s.table("datanode"), reqs, versionBase = BlockSyncVersionBase)
         .orderBy(col("writeOp"), col("id"), col("datanodeId"))
     },
     // S17/N9: datanode re-registration — same storageId under a new id
@@ -414,17 +443,37 @@ object MutationQueries {
       s"""WITH reqs0 AS (
          |  SELECT id AS blockId, CAST(200 AS BIGINT) AS newGenStamp,
          |         id % 2 = 0 AS closeFile, id % 5 = 0 AS deleteBlock,
-         |         [1 + id % 40, 1 + (id + 7) % 40, CAST(99 AS BIGINT)] AS targets
+         |         CASE WHEN id % 11 = 0 THEN [CAST(99 AS BIGINT)]
+         |              ELSE [1 + id % 40, 1 + (id + 7) % 40,
+         |                    CAST(99 AS BIGINT)] END AS targets
          |  FROM (SELECT DISTINCT id FROM block
          |        WHERE version > 0 AND (fileId % 50 = 0 OR fileId % 50 = 1)) t
          |  UNION ALL
          |  SELECT CAST(42 AS BIGINT), CAST(200 AS BIGINT), false, false,
          |         [CAST(1 AS BIGINT)]),
-         |liveB AS (SELECT * FROM block WHERE version > 0),
+         |reqs AS (
+         |  SELECT blockId, newGenStamp, closeFile, deleteBlock, targets
+         |  FROM (SELECT DISTINCT * FROM reqs0) d
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY blockId
+         |    ORDER BY newGenStamp DESC, closeFile DESC, deleteBlock DESC,
+         |             targets DESC) = 1),
+         |flagRows AS (
+         |  SELECT id, CAST(0 AS BIGINT) AS datanodeId,
+         |    CAST(-1 AS BIGINT) AS length, CAST(90 AS BIGINT) AS generationStamp,
+         |    MAX(fileId) AS fileId, MAX(fileIndex) AS fileIndex, id AS version
+         |  FROM block WHERE version > 0 AND fileId % 50 = 0 AND id % 7 = 0
+         |  GROUP BY id),
+         |blockAug AS (
+         |  SELECT id, datanodeId, length, generationStamp, fileId, fileIndex,
+         |         version FROM block
+         |  UNION ALL
+         |  SELECT id, datanodeId, length, generationStamp, fileId, fileIndex,
+         |         version FROM flagRows),
+         |liveB AS (SELECT * FROM blockAug WHERE version > 0),
          |meta AS (
          |  SELECT b.id AS mb, MAX(b.fileId) AS mfid, MAX(b.fileIndex) AS midx,
          |    MAX(CASE WHEN b.datanodeId = 0 THEN 1 ELSE 0 END) AS hasFlag
-         |  FROM liveB b JOIN reqs0 r ON b.id = r.blockId GROUP BY b.id),
+         |  FROM liveB b JOIN reqs r ON b.id = r.blockId GROUP BY b.id),
          |classified AS (
          |  SELECT r.*, m.mb, m.mfid, m.midx, m.hasFlag,
          |    f.id AS fbid, f.leaseHolder AS flh, f.version AS fbver,
@@ -432,7 +481,7 @@ object MutationQueries {
          |         WHEN f.id IS NULL THEN 'file not found'
          |         WHEN f.leaseHolder IS NULL THEN 'file not under construction'
          |    END AS reject
-         |  FROM reqs0 r
+         |  FROM reqs r
          |  LEFT JOIN meta m ON r.blockId = m.mb
          |  LEFT JOIN (SELECT * FROM file WHERE version > 0) f ON m.mfid = f.id),
          |good AS (SELECT * FROM classified WHERE reject IS NULL),
@@ -456,8 +505,8 @@ object MutationQueries {
          |  SELECT 'insert' AS writeOp, 'block' AS tbl, blockId AS id,
          |    datanodeId, CAST(-1 AS BIGINT) AS length,
          |    newGenStamp AS generationStamp, mfid AS fileId, midx AS fileIndex,
-         |    30000000 + ROW_NUMBER() OVER (ORDER BY blockId, datanodeId)
-         |      AS version,
+         |    $BlockSyncVersionBase + ROW_NUMBER()
+         |      OVER (ORDER BY blockId, datanodeId) AS version,
          |    CAST(NULL AS STRING) AS reject
          |  FROM insertKeys),
          |tombs AS (
@@ -469,20 +518,20 @@ object MutationQueries {
          |     OR (b.datanodeId = 0 AND g.nValid > 0)),
          |aff AS (SELECT DISTINCT mfid AS cf, fbver FROM good WHERE closeFile),
          |post AS (
-         |  SELECT b.fileId, b.fileIndex, b.length, b.generationStamp, b.version
+         |  SELECT b.id, b.fileId, b.fileIndex, b.length, b.generationStamp,
+         |    b.version
          |  FROM liveB b JOIN aff ON b.fileId = aff.cf
          |  WHERE NOT EXISTS (SELECT 1 FROM tombs t
          |                    WHERE t.id = b.id AND t.datanodeId = b.datanodeId)
          |  UNION ALL
-         |  SELECT i.fileId, i.fileIndex, i.length, i.generationStamp, i.version
+         |  SELECT i.id, i.fileId, i.fileIndex, i.length, i.generationStamp,
+         |    i.version
          |  FROM ins i JOIN aff ON i.fileId = aff.cf),
          |pent AS (
-         |  SELECT fileId, fileIndex,
-         |    ARG_MAX(length, CAST(generationStamp AS HUGEINT)
-         |            * 9223372036854775808 + version) AS plen
-         |  FROM post GROUP BY fileId, fileIndex),
+         |${primaryEntriesSql("post")}),
          |totals AS (
-         |  SELECT fileId, SUM(CASE WHEN plen > 0 THEN plen ELSE 0 END) AS tot
+         |  SELECT fileId, SUM(CASE WHEN primLen > 0 THEN primLen ELSE 0 END)
+         |    AS tot
          |  FROM pent GROUP BY fileId),
          |fin AS (
          |  SELECT 'finalize' AS writeOp, 'file' AS tbl, a.cf AS id,
@@ -514,12 +563,7 @@ object MutationQueries {
          |  SELECT b.* FROM block b JOIN uc ON b.fileId = uc.fid
          |  WHERE b.version > 0 AND b.fileId % 200 <> 150),
          |entries AS (
-         |  SELECT fileId, fileIndex,
-         |    ARG_MAX(id, CAST(generationStamp AS HUGEINT) * 9223372036854775808
-         |            + version) AS blockId,
-         |    ARG_MAX(length, CAST(generationStamp AS HUGEINT) * 9223372036854775808
-         |            + version) AS primLen
-         |  FROM fb GROUP BY fileId, fileIndex),
+         |${primaryEntriesSql("fb")}),
          |perFile AS (
          |  SELECT fileId,
          |    SUM(CASE WHEN primLen > 0 THEN primLen ELSE 0 END) AS totalLen,

@@ -879,6 +879,20 @@ object Mutations {
     gated.unionByName(stopRows)
   }
 
+  /** Per-(fileId, fileIndex) BlockEntry primary over a replica frame:
+    * argmax by (generationStamp, version) (BlockEntry.java:47-51) —
+    * THE single home of the primary formula shared by the lease-release
+    * and block-synchronization producers (its DuckDB twin is
+    * MutationQueries.primaryEntriesSql; the two must stay identical).
+    * Input needs (id, fileId, fileIndex, length, generationStamp,
+    * version); returns (fileId, fileIndex, __blockId, __primLen). */
+  private def primaryEntries(replicas: DataFrame): DataFrame = {
+    val ord = struct(col("generationStamp"), col("version"))
+    replicas.groupBy(col("fileId"), col("fileIndex"))
+      .agg(max_by(col("id"), ord).as("__blockId"),
+           max_by(col("length"), ord).as("__primLen"))
+  }
+
   /** Lease release write-set (internalReleaseLeaseOne,
     * FSNamesystem.java:1506-1563 + finalizeINodeFileUnderConstruction
     * :1565-1572; driven by LeaseMonitor hard expiry and recoverLease
@@ -916,11 +930,7 @@ object Mutations {
       .select(col("id").as("__fid"), col("version").as("__fver"))
     val fb = live(block)
       .join(broadcast(uc.select(col("__fid"))), col("fileId") === col("__fid"))
-    val ord = struct(col("generationStamp"), col("version"))
-    val entries = fb.groupBy(col("fileId"), col("fileIndex"))
-      .agg(max_by(col("id"), ord).as("__blockId"),
-           max_by(col("length"), ord).as("__primLen"))
-    val perFile = entries.groupBy(col("fileId"))
+    val perFile = primaryEntries(fb).groupBy(col("fileId"))
       .agg(sum(when(col("__primLen") > 0, col("__primLen")).otherwise(0L))
              .as("__totalLen"),
            max_by(col("__blockId"), col("fileIndex")).as("__lastBlockId"),
@@ -952,6 +962,9 @@ object Mutations {
     val primary = rotated.filter(col("__alive"))
       .groupBy(col("__tf").as("__prf"))
       .agg(min_by(col("datanodeId"), col("__rot")).as("__primary"))
+    // one classification row per file, pinned: the three output branches
+    // plus the renew count would otherwise each re-run the block-table
+    // aggregations and rotation windows (localCheckpoint frees on GC)
     val cls = uc
       .join(perFile, col("__fid") === col("__pf"), "left")
       .join(targetStats, col("__fid") === col("__tf"), "left")
@@ -962,6 +975,7 @@ object Mutations {
         coalesce(col("__nTargets"), lit(0L)).as("__nTargets"),
         coalesce(col("__nAlive"), lit(0L)).as("__nAlive"),
         col("__primary"))
+      .localCheckpoint()
     val finalizes = cls.filter(col("__nTargets") === 0L)
       .select(lit("finalize").as("writeOp"), lit("file").as("tbl"),
         col("__fid").as("id"), col("__totalLen").as("length"),
@@ -1023,10 +1037,13 @@ object Mutations {
     *    (:1631 reads the block entries, not the argument) — omitted.
     *
     * At most one request per blockId: exact duplicates collapse; among
-    * conflicting ones the (newGenStamp, closeFile, deleteBlock)-max
-    * wins deterministically. New-row versions are versionBase + the
-    * distributed (blockId, datanodeId) rank; tombstones negate the old
-    * version (the S6 convention). Output rows: (writeOp
+    * conflicting ones the (newGenStamp, closeFile, deleteBlock,
+    * targets)-max wins deterministically (the full-key tiebreak every
+    * sibling dedup window uses). New-row versions are versionBase + the
+    * distributed (blockId, datanodeId) rank — versionBase must exceed
+    * every live block version, or the S6 latest-wins replay (max
+    * |version| per key) would let a fresh row's own tombstone outrank
+    * it. Tombstones negate the old version. Output rows: (writeOp
     * insert|tombstone|finalize|reject, tbl block|file, id, datanodeId,
     * length, generationStamp, fileId, fileIndex, version, reject). */
   def commitBlockSync(file: DataFrame, block: DataFrame, datanode: DataFrame,
@@ -1034,19 +1051,24 @@ object Mutations {
     val b = live(block)
     val dupW = Window.partitionBy(col("blockId"))
       .orderBy(col("newGenStamp").desc, col("closeFile").desc,
-        col("deleteBlock").desc)
+        col("deleteBlock").desc, col("targets").desc)
     val reqs = requests
       .select(col("blockId"), col("newGenStamp"), col("closeFile"),
         col("deleteBlock"), col("targets")).distinct()
       .withColumn("__dup", row_number().over(dupW))
       .filter(col("__dup") === 1).drop("__dup")
+    // pinned: the block∩requests rows feed the classification AND the
+    // tombstone branch (which the finalize post-image anti-joins again)
     val reqRows = b.join(broadcast(reqs), col("id") === col("blockId"))
+      .localCheckpoint()
     val meta = reqRows.groupBy(col("blockId").as("__mb"))
       .agg(max(col("fileId")).as("__mfid"),
            max(col("fileIndex")).as("__midx"),
            max(when(col("datanodeId") === 0L, 1L).otherwise(0L)).as("__hasFlag"))
     val fdim = live(file).select(col("id").as("__fbid"),
       col("leaseHolder").as("__flh"), col("version").as("__fbver"))
+    // pinned: every output branch (tombstones, inserts, finalizes,
+    // rejects) reads this classification
     val classified = reqs
       .join(meta, col("blockId") === col("__mb"), "left")
       .join(fdim, col("__mfid") === col("__fbid"), "left")
@@ -1054,6 +1076,7 @@ object Mutations {
         when(col("__mb").isNull, "block not found")
           .when(col("__fbid").isNull, "file not found")
           .when(col("__flh").isNull, "file not under construction"))
+      .localCheckpoint()
     val good = classified.filter(col("reject").isNull)
     // targets with a KNOWN datanode row; duplicate targets collapse
     val valid = good.filter(!col("deleteBlock"))
@@ -1098,17 +1121,15 @@ object Mutations {
       .join(tombs.select(col("id").as("__tbid"), col("datanodeId").as("__tdn")),
         col("id") === col("__tbid") && col("datanodeId") === col("__tdn"),
         "left_anti")
-      .select(col("fileId"), col("fileIndex"), col("length"),
+      .select(col("id"), col("fileId"), col("fileIndex"), col("length"),
         col("generationStamp"), col("version"))
       .unionByName(inserts
         .join(broadcast(affFiles), col("fileId") === col("__cf"))
-        .select(col("fileId"), col("fileIndex"), col("length"),
+        .select(col("id"), col("fileId"), col("fileIndex"), col("length"),
           col("generationStamp"), col("version")))
-    val totals = post.groupBy(col("fileId"), col("fileIndex"))
-      .agg(max_by(col("length"), struct(col("generationStamp"), col("version")))
-        .as("__plen"))
-      .groupBy(col("fileId"))
-      .agg(sum(when(col("__plen") > 0, col("__plen")).otherwise(0L)).as("__tot"))
+    val totals = primaryEntries(post).groupBy(col("fileId"))
+      .agg(sum(when(col("__primLen") > 0, col("__primLen")).otherwise(0L))
+        .as("__tot"))
     val finalizes = affFiles
       .join(totals, col("__cf") === col("fileId"), "left")
       .select(lit("finalize").as("writeOp"), lit("file").as("tbl"),
