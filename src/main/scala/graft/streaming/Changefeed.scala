@@ -339,4 +339,28 @@ object Changefeed {
         sink(id, graft.state.StateManager.leaseRecoveryCandidates(lease(), file(), nowMs()))
       }
       .start()
+
+  /** S15+N17 LeaseMonitor, full chain: each tick finds the hard-expired
+    * leases AND produces the release write-set for their holders — the
+    * reference's checkLeases → internalReleaseLease composition
+    * (state/StateManager.java:893-914 driving FSNamesystem.java:931-960,
+    * 1506-1563). `sink` receives (batchId, expired-lease candidates,
+    * release write-set) and owns the commit (applyWriteSet) plus the
+    * lease deletion the reference performs after a successful release. */
+  def leaseRecoveryMonitor(ticks: DataFrame, lease: () => DataFrame,
+                           file: () => DataFrame, block: () => DataFrame,
+                           datanode: () => DataFrame, nowMs: () => Long,
+                           sink: (Long, DataFrame, DataFrame) => Unit): StreamingQuery =
+    ticks.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (_: DataFrame, id: Long) =>
+        val now = nowMs()
+        val cands = graft.state.StateManager
+          .leaseRecoveryCandidates(lease(), file(), now)
+        val holders = cands.select(col("holder")).distinct()
+        sink(id, cands,
+          graft.state.Mutations.releaseLeases(file(), block(), datanode(),
+            holders, now))
+      }
+      .start()
 }

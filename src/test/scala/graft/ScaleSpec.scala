@@ -128,6 +128,34 @@ class ScaleSpec extends SparkSpec {
       s"no global row_number rank over the full table:\n$plan")
   }
 
+  test("lease-recovery producers: no cartesian, candidate sides broadcast") {
+    import graft.state.Mutations
+    val files = (1 to 200).map(i => (i.toLong,
+      if (i % 4 == 0) Some(s"h${i % 10}") else None, i.toLong))
+      .toDF("id", "leaseHolder", "version")
+    val blocks = (1 to 200).flatMap(i => (1 to 2).map(r =>
+      (i * 10L + r, r.toLong, 100L, 5L, i.toLong, 0L, i * 10L + r)))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+        "fileIndex", "version")
+    val dn = Seq((1L, 0L, 1L), (2L, 999999999L, 2L))
+      .toDF("id", "lastUpdated", "version")
+    val rel = Mutations.releaseLeases(files, blocks, dn,
+      Seq("h0", "h2").toDF("holder"), nowMs = 999999999L)
+    rel.collect()
+    val relPlan = rel.queryExecution.executedPlan.toString
+    assert(!relPlan.contains("CartesianProduct"),
+      s"releaseLeases must never cross-join:\n$relPlan")
+    val reqs = (1 to 50).map(i => (i * 10L + 1, 9L, i % 2 == 0, i % 5 == 0,
+      Seq(1L, 2L))).toDF("blockId", "newGenStamp", "closeFile",
+      "deleteBlock", "targets")
+    val sync = Mutations.commitBlockSync(files, blocks, dn, reqs,
+      versionBase = 100000L)
+    sync.collect()
+    val syncPlan = sync.queryExecution.executedPlan.toString
+    assert(!syncPlan.contains("CartesianProduct"),
+      s"commitBlockSync must never cross-join:\n$syncPlan")
+  }
+
   test("mkdirs/startFile id assignment is distributed: no single-partition sort or window") {
     import graft.state.Mutations
     val file = (0 to 50).map(i =>

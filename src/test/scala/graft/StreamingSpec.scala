@@ -129,6 +129,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lease recovery monitor: each tick releases the hard-expired holders") {
+    implicit val sqlCtx = spark.sqlContext
+    val nowMs = 1000000000L
+    val lease = Seq(
+      ("h1", nowMs - 4000000L, 1L), // hard-expired (limit 3600s)
+      ("h2", nowMs - 100L, 2L),     // fresh — must not release
+    ).toDF("holder", "leaseTime", "version")
+    val file = Seq(
+      (100L, Some("h1"), 10L), (101L, Some("h2"), 11L),
+    ).toDF("id", "leaseHolder", "version")
+    val block = Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+        "fileIndex", "version")
+    val dn = Seq.empty[(Long, Long, Long)].toDF("id", "lastUpdated", "version")
+    val mem = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Any])]
+    val q = Changefeed.leaseRecoveryMonitor(mem.toDF().toDF("tick"),
+      () => lease, () => file, () => block, () => dn, () => nowMs,
+      (_, cands, ws) => {
+        cands.select(col("holder")).collect()
+          .foreach(r => got += (("cand", Seq(r.getString(0)))))
+        ws.collect().foreach(r => got += (("ws", r.toSeq)))
+      })
+    try {
+      mem.addData(1L)
+      q.processAllAvailable()
+      // h1's file finalizes (no blocks → immediate commit); h2 untouched
+      assert(got.toList == List(
+        ("cand", Seq("h1")),
+        ("ws", Seq("finalize", "file", 100L, 0L, null, 0L, null, null, 11L))))
+    } finally q.stop()
+  }
+
   test("D2 retrying applier: transient failures retry, poisoned batches quarantine") {
     implicit val sqlCtx = spark.sqlContext
     val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
