@@ -34,14 +34,18 @@ object Mutations {
     * row (callers dedupe first) or ranks among ties are unstable. */
   private def globalRank(df: DataFrame, rankCol: String,
                          sortCols: org.apache.spark.sql.Column*): DataFrame = {
-    // pin the input, then the sorted image: zipWithIndex runs an EAGER
-    // startIndices job at construction and the caller consumes the frame
-    // later, so without the checkpoints the full upstream validation DAG
-    // would run three times (range-boundary sampling, the index job, the
-    // consumption). localCheckpoint blocks free on GC (the dupClusters
-    // convention) — no unpersist handle needs to escape this helper.
-    val pinned = df.localCheckpoint()
-    val ordered = pinned.repartitionByRange(sortCols: _*)
+    // pin the sorted image: zipWithIndex runs an EAGER startIndices job
+    // at construction and the caller consumes the frame later, so
+    // without the checkpoint the upstream validation DAG would run three
+    // times (range-boundary sampling, the index job, the consumption)
+    // and the sort twice. Pinned, upstream runs exactly twice (the
+    // sampling pass + the shuffle map — the inherent repartitionByRange
+    // price) and the sort once. localCheckpoint blocks free on GC (the
+    // dupClusters convention) — no unpersist handle needs to escape
+    // this helper; a second input-side pin would save the sampling pass
+    // but costs one more eager job per call, a bad trade for the
+    // latency-bound small-batch write path.
+    val ordered = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .localCheckpoint()
     val schema = ordered.schema
