@@ -20,6 +20,18 @@ object MutationQueries {
     * reach ~5.9M at sf0.01 and ~23.2M at sf0.1. */
   private val BlockSyncVersionBase = 30000000L
 
+  /** n_block_sync's synthetic NULL_DATANODE flag rows (gs 90 sentinel,
+    * one per %7 block of a %50 UC file) — ONE dialect-shared text run
+    * verbatim by the Spark gate and spliced into the oracle CTE. */
+  private val BlockSyncFlagRowsSql: String =
+    """SELECT id, CAST(0 AS BIGINT) AS datanodeId,
+      |       CAST(-1 AS BIGINT) AS length,
+      |       CAST(90 AS BIGINT) AS generationStamp,
+      |       MAX(fileId) AS fileId, MAX(fileIndex) AS fileIndex,
+      |       id AS version
+      |FROM block WHERE version > 0 AND fileId % 50 = 0 AND id % 7 = 0
+      |GROUP BY id""".stripMargin
+
   /** DuckDB twin of Mutations.primaryEntries — the per-(fileId,
     * fileIndex) BlockEntry primary by (generationStamp, version)
     * (HUGEINT-packed tuple order); the two must stay identical. */
@@ -231,14 +243,7 @@ object MutationQueries {
           |UNION ALL
           |SELECT CAST(42 AS BIGINT), CAST(200 AS BIGINT), false, false,
           |       array(CAST(1 AS BIGINT))""".stripMargin)
-      val flagRows = s.sql(
-        """SELECT id, CAST(0 AS BIGINT) AS datanodeId,
-          |       CAST(-1 AS BIGINT) AS length,
-          |       CAST(90 AS BIGINT) AS generationStamp,
-          |       MAX(fileId) AS fileId, MAX(fileIndex) AS fileIndex,
-          |       id AS version
-          |FROM block WHERE version > 0 AND fileId % 50 = 0 AND id % 7 = 0
-          |GROUP BY id""".stripMargin)
+      val flagRows = s.sql(BlockSyncFlagRowsSql)
       Mutations.commitBlockSync(s.table("file"),
           s.table("block").unionByName(flagRows),
           s.table("datanode"), reqs, versionBase = BlockSyncVersionBase)
@@ -458,11 +463,7 @@ object MutationQueries {
          |    ORDER BY newGenStamp DESC, closeFile DESC, deleteBlock DESC,
          |             targets DESC) = 1),
          |flagRows AS (
-         |  SELECT id, CAST(0 AS BIGINT) AS datanodeId,
-         |    CAST(-1 AS BIGINT) AS length, CAST(90 AS BIGINT) AS generationStamp,
-         |    MAX(fileId) AS fileId, MAX(fileIndex) AS fileIndex, id AS version
-         |  FROM block WHERE version > 0 AND fileId % 50 = 0 AND id % 7 = 0
-         |  GROUP BY id),
+         |$BlockSyncFlagRowsSql),
          |blockAug AS (
          |  SELECT id, datanodeId, length, generationStamp, fileId, fileIndex,
          |         version FROM block

@@ -926,6 +926,14 @@ object Mutations {
     * replica counts — nothing global. Output rows: (writeOp
     * finalize|recover|nnlease|lease, tbl file|cmd|lease, id, length,
     * leaseHolder, leaseRecoveryTime, blockId, primaryNodeId, version). */
+  /** Schema of [[releaseLeases]] output rows — for callers that need an
+    * empty write-set frame without paying the release job graph. */
+  val ReleaseWriteSetSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "writeOp STRING, tbl STRING, id BIGINT, length BIGINT, " +
+      "leaseHolder STRING, leaseRecoveryTime BIGINT, blockId BIGINT, " +
+      "primaryNodeId BIGINT, version BIGINT")
+
   def releaseLeases(file: DataFrame, block: DataFrame, datanode: DataFrame,
                     holders: DataFrame, nowMs: Long): DataFrame = {
     val hs = holders.select(col("holder").as("__h")).distinct()
@@ -1053,6 +1061,16 @@ object Mutations {
   def commitBlockSync(file: DataFrame, block: DataFrame, datanode: DataFrame,
                       requests: DataFrame, versionBase: Long): DataFrame = {
     val b = live(block)
+    // enforce the precondition instead of silently corrupting: a fresh
+    // row versioned below its own tombstone's magnitude would LOSE the
+    // S6 max-|version| replay, permanently dropping the re-targeted
+    // replica. One projection-pruned scan on the recovery path is cheap
+    // insurance against that.
+    val maxVer = b.agg(coalesce(max(col("version")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(maxVer < versionBase,
+      s"versionBase=$versionBase must exceed every live block version " +
+      s"(max=$maxVer) or latest-wins replay resurrects tombstones")
     val dupW = Window.partitionBy(col("blockId"))
       .orderBy(col("newGenStamp").desc, col("closeFile").desc,
         col("deleteBlock").desc, col("targets").desc)

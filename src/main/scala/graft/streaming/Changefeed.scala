@@ -355,12 +355,23 @@ object Changefeed {
       .outputMode(OutputMode.Append)
       .foreachBatch { (_: DataFrame, id: Long) =>
         val now = nowMs()
+        // pin the candidate scan: the suppliers read MUTABLE snapshots,
+        // so a lazy cands consumed by the sink AFTER it commits the
+        // write-set would re-evaluate against the post-commit tables
+        // (released holders vanish → the post-release lease deletion
+        // would never find them)
         val cands = graft.state.StateManager
-          .leaseRecoveryCandidates(lease(), file(), now)
-        val holders = cands.select(col("holder")).distinct()
-        sink(id, cands,
-          graft.state.Mutations.releaseLeases(file(), block(), datanode(),
-            holders, now))
+          .leaseRecoveryCandidates(lease(), file(), now).localCheckpoint()
+        // an idle tick must not pay the full release job graph (file +
+        // block scans, rotation windows) to produce an empty write-set
+        val ws =
+          if (cands.isEmpty)
+            cands.sparkSession.createDataFrame(
+              cands.sparkSession.sparkContext.emptyRDD[Row],
+              graft.state.Mutations.ReleaseWriteSetSchema)
+          else graft.state.Mutations.releaseLeases(file(), block(), datanode(),
+            cands.select(col("holder")).distinct(), now)
+        sink(id, cands, ws)
       }
       .start()
 }
