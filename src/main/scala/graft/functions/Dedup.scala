@@ -90,15 +90,23 @@ object Dedup {
     * no suffix sort. Gram identity is sha-256 per the class contract —
     * spans get CUT from training data, so a constructible collision
     * (xxhash64) would let adversarial content mark arbitrary spans. */
-  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8): DataFrame = {
-    require(k >= 2, s"span gram width must be >= 2, got $k")
+  /** (idCol, pos, __gh) rows: every k-gram's 0-based start position and
+    * sha-256 identity, built map-side — shared by [[duplicateSpans]] and
+    * [[cutDuplicateSpans]]. */
+  private def posGramRows(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
     val tok = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-    val posGrams = tok.select(col(idCol),
+    tok.select(col(idCol),
         posexplode(filter(gramChain(col("__toks"), k), _.isNotNull))
           .as(Seq("pos", "gram")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         sha2(col("gram"), 256).as("__gh"))
+  }
+
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val posGrams = posGramRows(df, idCol, textCol, k)
     val dupGrams = posGrams.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select(col("__gh"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
@@ -109,6 +117,59 @@ object Dedup {
         (max(col("pos")) + lit(k - 1).cast("long")).as("spanEnd"))
       .select(col(idCol), col("spanStart"), col("spanEnd"),
         (col("spanEnd") - col("spanStart") + 1L).as("spanTokens"))
+  }
+
+  /** The CUT companion of [[duplicateSpans]] (Lee et al. 2022 remove all
+    * but one occurrence of each duplicated substring): the FIRST
+    * occurrence of every duplicated k-gram — rank 1 by (doc id, pos)
+    * over the gram's occurrences — survives; every later occurrence's k
+    * token positions are cut from its doc. Returns one row per input
+    * doc: (idCol, totalTokens, keptTokens, cutTokens,
+    * cleanedFingerprint = md5 of the surviving tokens in order) — the
+    * transform a training pipeline applies, summarized so the result is
+    * oracle-hashable without shipping full cleaned texts.
+    *
+    * Scale shape: the occurrence rank is a window per GRAM (bounded by
+    * an individual gram's repeat count — the corpus-wide boilerplate
+    * worst case, the price of exact keep-one semantics; banded LSH
+    * stays the tool when approximate is enough); the cut-position melt
+    * (k rows per cut gram) and the token anti-join shuffle on doc id.
+    * Gram identity is sha-256 (spans get cut — the identity contract). */
+  def cutDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val posGrams = posGramRows(df, idCol, textCol, k)
+    val wG = Window.partitionBy(col("__gh"))
+    val occ = posGrams
+      .withColumn("__n", count(lit(1)).over(wG))
+      .withColumn("__occ",
+        row_number().over(wG.orderBy(col(idCol), col("pos"))))
+    val cutToks = occ.filter(col("__n") > 1 && col("__occ") > 1)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long")))
+          .as("tokPos"))
+      .distinct()
+    val toks = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("tokPos", "token")))
+      .select(col(idCol), col("tokPos").cast("long").as("tokPos"), col("token"))
+    val perDocTotal = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__total"))
+    val kept = toks.join(cutToks, Seq(idCol, "tokPos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("tokPos"), col("token")))),
+          s => s.getField("token")), " ")).as("__fp"))
+    df.select(col(idCol))
+      .join(perDocTotal, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__total"), lit(0L)).as("totalTokens"),
+        coalesce(col("__kept"), lit(0L)).as("keptTokens"),
+        (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("cutTokens"),
+        coalesce(col("__fp"), md5(lit(""))).as("cleanedFingerprint"))
   }
 
   /** Word 3-gram shingle rows (id, shingle) — the LSH/decontamination

@@ -939,6 +939,14 @@ object DataOpsQueries {
       Dedup.duplicateSpans(corpus(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("spanStart"))
     },
+    // the cut companion: first occurrence of every duplicated 8-gram
+    // survives, later occurrences' tokens are removed — per-doc token
+    // counts + a fingerprint of the cleaned text (the actual transform
+    // a dedup pipeline applies, hashable without shipping full texts)
+    "d13_span_cut" -> { (s, dir) =>
+      Dedup.cutDuplicateSpans(corpus(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // deterministic corpus shuffle: a replayable global permutation with
     // NO global sort — md5-hash shard assignment + shard-local rank
     // (the pre-packing shuffle every training pipeline runs; a new salt
@@ -1576,6 +1584,48 @@ object DataOpsQueries {
         |SELECT doc_id, MIN(pos) AS spanStart, MAX(pos) + 7 AS spanEnd,
         |  MAX(pos) - MIN(pos) + 8 AS spanTokens
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, spanStart""".stripMargin,
+    "d13_span_cut" ->
+      s"""WITH $CorpusSql,
+        |words AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM corpus),
+        |posed AS (
+        |  SELECT doc_id, UNNEST(range(1, GREATEST(len(w) - 6, 1))) AS i, w
+        |  FROM words),
+        |grams AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM posed),
+        |occ AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY gram) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS occ
+        |  FROM grams),
+        |cutPos AS (
+        |  SELECT DISTINCT doc_id, UNNEST(range(pos, pos + 8)) AS tokPos
+        |  FROM occ WHERE n > 1 AND occ > 1),
+        |toks AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tokPos, w[i] AS token
+        |  FROM (SELECT doc_id, UNNEST(range(1, len(w) + 1)) AS i, w
+        |        FROM words) t),
+        |tot AS (SELECT doc_id, COUNT(*) AS total FROM toks GROUP BY doc_id),
+        |kept AS (
+        |  SELECT t.doc_id, COUNT(*) AS kept,
+        |    md5(string_agg(t.token, ' ' ORDER BY t.tokPos)) AS fp
+        |  FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM cutPos c
+        |                    WHERE c.doc_id = t.doc_id AND c.tokPos = t.tokPos)
+        |  GROUP BY t.doc_id)
+        |SELECT x.doc_id,
+        |  CAST(COALESCE(tt.total, 0) AS BIGINT) AS totalTokens,
+        |  CAST(COALESCE(kp.kept, 0) AS BIGINT) AS keptTokens,
+        |  CAST(COALESCE(tt.total, 0) - COALESCE(kp.kept, 0) AS BIGINT)
+        |    AS cutTokens,
+        |  COALESCE(kp.fp, md5('')) AS cleanedFingerprint
+        |FROM corpus x
+        |LEFT JOIN tot tt ON tt.doc_id = x.doc_id
+        |LEFT JOIN kept kp ON kp.doc_id = x.doc_id
+        |ORDER BY x.doc_id""".stripMargin,
     "t12_shard_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'epoch0') AS hx

@@ -227,6 +227,33 @@ class DataOpsSpec extends SparkSpec {
       Seq(4L, 9L, 16L, 8L)))
   }
 
+  test("span cut: first occurrence survives, later occurrences lose their tokens") {
+    import graft.functions.Dedup
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"u$i").mkString(" ") + " " + shared + " " +
+        (1 to 5).map(i => s"v$i").mkString(" ")),
+      (2L, "w1 w2 w3 " + shared + " x1 x2"),
+      (4L, rep + " q1 " + rep),
+      (5L, "a b c"),
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.cutDuplicateSpans(docs, "doc_id", "text")
+      .orderBy(col("doc_id")))
+    assert(out == Seq(
+      // doc 1 owns every shared gram's first occurrence → nothing cut
+      Seq(1L, 20L, 20L, 0L, md5hex(((1 to 5).map(i => s"u$i") ++
+        (1 to 10).map(i => s"s$i") ++ (1 to 5).map(i => s"v$i")).mkString(" "))),
+      // doc 2's copy of the 10-token run is cut whole
+      Seq(2L, 15L, 5L, 10L, md5hex("w1 w2 w3 x1 x2")),
+      // the self-repeat keeps its first 8 tokens, loses the second run
+      Seq(4L, 17L, 9L, 8L, md5hex(((1 to 8).map(i => s"r$i") :+ "q1").mkString(" "))),
+      // too short for any gram → untouched
+      Seq(5L, 3L, 3L, 0L, md5hex("a b c"))))
+  }
+
   test("shard shuffle: total replayable permutation, new salt reorders") {
     import graft.functions.Shuffles
     val ids = (1L to 200L).toDF("doc_id")
