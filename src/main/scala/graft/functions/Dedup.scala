@@ -68,6 +68,29 @@ object Dedup {
       zip_with(acc, slice(toks, lit(i + 1), size(toks)), (x, y) => concat(x, lit(" "), y))
     }
 
+  /** md5 of tokens joined by ' ' in position order — the ordered-token
+    * identity aggregate shared by cdcChunks (chunk hash) and
+    * cutDuplicateSpans (cleaned fingerprint); separator/sort/hash must
+    * not drift between them (the DuckDB twins use
+    * md5(string_agg/array_to_string ... ORDER BY pos)). */
+  private def orderedTokensMd5(posCol: Column, tokCol: Column): Column =
+    md5(array_join(transform(
+      array_sort(collect_list(struct(posCol.as("p"), tokCol.as("t")))),
+      s => s.getField("t")), " "))
+
+  /** (idCol, pos, __gh) rows: every k-gram's 0-based start position and
+    * sha-256 identity, built map-side — shared by [[duplicateSpans]] and
+    * [[cutDuplicateSpans]]. */
+  private def posGramRows(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val tok = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    tok.select(col(idCol),
+        posexplode(filter(gramChain(col("__toks"), k), _.isNotNull))
+          .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        sha2(col("gram"), 256).as("__gh"))
+  }
+
   /** Exact duplicated-substring spans — the suffix-array dedup family
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): every k-token window that occurs more than once
@@ -90,19 +113,6 @@ object Dedup {
     * no suffix sort. Gram identity is sha-256 per the class contract —
     * spans get CUT from training data, so a constructible collision
     * (xxhash64) would let adversarial content mark arbitrary spans. */
-  /** (idCol, pos, __gh) rows: every k-gram's 0-based start position and
-    * sha-256 identity, built map-side — shared by [[duplicateSpans]] and
-    * [[cutDuplicateSpans]]. */
-  private def posGramRows(df: DataFrame, idCol: String, textCol: String,
-                          k: Int): DataFrame = {
-    val tok = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-    tok.select(col(idCol),
-        posexplode(filter(gramChain(col("__toks"), k), _.isNotNull))
-          .as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        sha2(col("gram"), 256).as("__gh"))
-  }
-
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8): DataFrame = {
     require(k >= 2, s"span gram width must be >= 2, got $k")
@@ -120,17 +130,22 @@ object Dedup {
   }
 
   /** The CUT companion of [[duplicateSpans]] (Lee et al. 2022 remove all
-    * but one occurrence of each duplicated substring): the FIRST
-    * occurrence of every duplicated k-gram — rank 1 by (doc id, pos)
-    * over the gram's occurrences — survives; every later occurrence's k
-    * token positions are cut from its doc. Returns one row per input
-    * doc: (idCol, totalTokens, keptTokens, cutTokens,
+    * but one occurrence of each duplicated substring): per duplicated
+    * k-gram, the rank-1 occurrence by (doc id, pos) is never cut ITSELF;
+    * every later occurrence's k token positions are removed from its
+    * doc. When occurrences OVERLAP (a period-p self-repeat with p < k),
+    * a later occurrence's cut window can reach into the rank-1
+    * occurrence's tokens, so no complete copy of that gram need survive
+    * — deletion is at-least-keep-one-start, not exactly-keep-one-copy
+    * (overlapping repeats are degenerate repetition a cleaner WANTS
+    * gone; t9's repetition scorer is the detector for that). Returns
+    * one row per input doc: (idCol, totalTokens, keptTokens, cutTokens,
     * cleanedFingerprint = md5 of the surviving tokens in order) — the
     * transform a training pipeline applies, summarized so the result is
     * oracle-hashable without shipping full cleaned texts.
     *
-    * Scale shape: the occurrence rank is a window per GRAM (bounded by
-    * an individual gram's repeat count — the corpus-wide boilerplate
+    * Scale shape: the occurrence rank is ONE window per GRAM (bounded
+    * by an individual gram's repeat count — the corpus-wide boilerplate
     * worst case, the price of exact keep-one semantics; banded LSH
     * stays the tool when approximate is enough); the cut-position melt
     * (k rows per cut gram) and the token anti-join shuffle on doc id.
@@ -139,12 +154,11 @@ object Dedup {
                         k: Int = 8): DataFrame = {
     require(k >= 2, s"span gram width must be >= 2, got $k")
     val posGrams = posGramRows(df, idCol, textCol, k)
-    val wG = Window.partitionBy(col("__gh"))
-    val occ = posGrams
-      .withColumn("__n", count(lit(1)).over(wG))
-      .withColumn("__occ",
-        row_number().over(wG.orderBy(col(idCol), col("pos"))))
-    val cutToks = occ.filter(col("__n") > 1 && col("__occ") > 1)
+    // rank > 1 already implies the gram repeats — no count window needed
+    val occ = posGrams.withColumn("__occ",
+      row_number().over(Window.partitionBy(col("__gh"))
+        .orderBy(col(idCol), col("pos"))))
+    val cutToks = occ.filter(col("__occ") > 1)
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long")))
           .as("tokPos"))
@@ -158,9 +172,7 @@ object Dedup {
     val kept = toks.join(cutToks, Seq(idCol, "tokPos"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__kept"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("tokPos"), col("token")))),
-          s => s.getField("token")), " ")).as("__fp"))
+        orderedTokensMd5(col("tokPos"), col("token")).as("__fp"))
     df.select(col(idCol))
       .join(perDocTotal, Seq(idCol), "left")
       .join(kept, Seq(idCol), "left")
@@ -206,9 +218,7 @@ object Dedup {
     val chunks = tok.withColumn("b", isB)
       .withColumn("chunkId", coalesce(sum(col("b")).over(wPrev), lit(0L)))
       .groupBy(col(idCol), col("chunkId"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("i"), col("token")))),
-        s => s.getField("token")), " ")).as("chunkHash"))
+      .agg(orderedTokensMd5(col("i"), col("token")).as("chunkHash"))
     val docsPerChunk = chunks.groupBy(col("chunkHash"))
       .agg(countDistinct(col(idCol)).as("__nDocs"))
     val perDoc = chunks.join(docsPerChunk, Seq("chunkHash"))

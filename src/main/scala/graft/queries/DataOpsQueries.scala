@@ -32,6 +32,23 @@ object DataOpsQueries {
       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
       |)""".stripMargin
 
+  /** Shared oracle CTE chain for the span-dedup family (d12/d13): the
+    * tokenizer, 1-based gram positions and 8-gram texts over the corpus
+    * (ends with grams(doc_id, pos, gram); k = 8 lives ONLY here and in
+    * the Spark calls' default). */
+  private val SpanGramSql: String =
+    s"""$CorpusSql,
+      |words AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |  FROM corpus),
+      |posed AS (
+      |  SELECT doc_id, UNNEST(range(1, GREATEST(len(w) - 6, 1))) AS i, w
+      |  FROM words),
+      |grams AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |         array_to_string(w[i:i+7], ' ') AS gram
+      |  FROM posed)""".stripMargin
+
   /** Shared oracle CTEs for minhash signatures + bands over the corpus. */
   private val MinhashSql =
     s"""$CorpusSql,
@@ -1565,17 +1582,7 @@ object DataOpsQueries {
         |FROM corpus x LEFT JOIN perDoc p ON p.doc_id = x.doc_id
         |ORDER BY x.doc_id""".stripMargin,
     "d12_dup_spans" ->
-      s"""WITH $CorpusSql,
-        |words AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-        |  FROM corpus),
-        |posed AS (
-        |  SELECT doc_id, UNNEST(range(1, GREATEST(len(w) - 6, 1))) AS i, w
-        |  FROM words),
-        |grams AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |         array_to_string(w[i:i+7], ' ') AS gram
-        |  FROM posed),
+      s"""WITH $SpanGramSql,
         |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
         |isl AS (
         |  SELECT g.doc_id, g.pos,
@@ -1585,25 +1592,14 @@ object DataOpsQueries {
         |  MAX(pos) - MIN(pos) + 8 AS spanTokens
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, spanStart""".stripMargin,
     "d13_span_cut" ->
-      s"""WITH $CorpusSql,
-        |words AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-        |  FROM corpus),
-        |posed AS (
-        |  SELECT doc_id, UNNEST(range(1, GREATEST(len(w) - 6, 1))) AS i, w
-        |  FROM words),
-        |grams AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |         array_to_string(w[i:i+7], ' ') AS gram
-        |  FROM posed),
+      s"""WITH $SpanGramSql,
         |occ AS (
         |  SELECT doc_id, pos,
-        |    COUNT(*) OVER (PARTITION BY gram) AS n,
         |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS occ
         |  FROM grams),
         |cutPos AS (
         |  SELECT DISTINCT doc_id, UNNEST(range(pos, pos + 8)) AS tokPos
-        |  FROM occ WHERE n > 1 AND occ > 1),
+        |  FROM occ WHERE occ > 1),
         |toks AS (
         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tokPos, w[i] AS token
         |  FROM (SELECT doc_id, UNNEST(range(1, len(w) + 1)) AS i, w
