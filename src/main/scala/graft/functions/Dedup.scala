@@ -129,6 +129,42 @@ object Dedup {
         (col("spanEnd") - col("spanStart") + 1L).as("spanTokens"))
   }
 
+  /** Incremental duplicated-span detection — the [[duplicateSpans]]
+    * analog of incrementalExact/incrementalLsh, completing the
+    * additive-ingest story: a NEW batch's spans are classified against a
+    * STANDING corpus gram index without recomputing corpus-internal
+    * spans. A batch position is duplicated when its k-gram (a) exists
+    * anywhere in the standing corpus — ONE semi-join against the
+    * (stored, in production) distinct-gram index — or (b) repeats
+    * within the batch itself. Adjacent duplicated positions merge per
+    * doc exactly as in duplicateSpans. Returns (idCol, spanStart,
+    * spanEnd, spanTokens, vsExisting — whether any window of the span
+    * matched the standing corpus rather than only the batch). */
+  def incrementalSpans(existing: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val index = posGramRows(existing, idCol, textCol, k)
+      .select(col("__gh")).distinct()
+    val bg = posGramRows(batch, idCol, textCol, k)
+    val cnt = bg.groupBy(col("__gh")).agg(count(lit(1)).as("__bn"))
+    val marked = bg
+      .join(cnt, Seq("__gh"))
+      .join(index.withColumn("__exMark", lit(true)), Seq("__gh"), "left")
+      .select(col(idCol), col("pos"), col("__bn"),
+        coalesce(col("__exMark"), lit(false)).as("__ex"))
+      .filter(col("__bn") > 1 || col("__ex"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("spanStart"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("spanEnd"),
+        max(col("__ex")).as("vsExisting"))
+      .select(col(idCol), col("spanStart"), col("spanEnd"),
+        (col("spanEnd") - col("spanStart") + 1L).as("spanTokens"),
+        col("vsExisting"))
+  }
+
   /** The CUT companion of [[duplicateSpans]] (Lee et al. 2022 remove all
     * but one occurrence of each duplicated substring): per duplicated
     * k-gram, the rank-1 occurrence by (doc id, pos) is never cut ITSELF;

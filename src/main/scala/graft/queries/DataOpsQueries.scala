@@ -956,6 +956,17 @@ object DataOpsQueries {
       Dedup.duplicateSpans(corpus(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("spanStart"))
     },
+    // incremental span dedup: a new batch's duplicated spans against the
+    // standing corpus's gram index (or within the batch), no corpus-wide
+    // recompute — the additive-ingest variant of d12
+    "d14_incremental_spans" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      Dedup.incrementalSpans(
+          c.filter(col("doc_id") % 3 =!= 0L),
+          c.filter(col("doc_id") % 3 === 0L),
+          "doc_id", "text")
+        .orderBy(col("doc_id"), col("spanStart"))
+    },
     // the cut companion: first occurrence of every duplicated 8-gram
     // survives, later occurrences' tokens are removed — per-doc token
     // counts + a fingerprint of the cleaned text (the actual transform
@@ -1590,6 +1601,23 @@ object DataOpsQueries {
         |  FROM grams g JOIN dup USING (gram))
         |SELECT doc_id, MIN(pos) AS spanStart, MAX(pos) + 7 AS spanEnd,
         |  MAX(pos) - MIN(pos) + 8 AS spanTokens
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, spanStart""".stripMargin,
+    "d14_incremental_spans" ->
+      s"""WITH $SpanGramSql,
+        |exIdx AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 3 <> 0),
+        |bg AS (SELECT doc_id, pos, gram FROM grams WHERE doc_id % 3 = 0),
+        |cnt AS (SELECT gram, COUNT(*) AS bn FROM bg GROUP BY gram),
+        |marked AS (
+        |  SELECT b.doc_id, b.pos, (e.gram IS NOT NULL) AS ex
+        |  FROM bg b JOIN cnt c USING (gram)
+        |  LEFT JOIN exIdx e USING (gram)
+        |  WHERE c.bn > 1 OR e.gram IS NOT NULL),
+        |isl AS (
+        |  SELECT doc_id, pos, ex,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM marked)
+        |SELECT doc_id, MIN(pos) AS spanStart, MAX(pos) + 7 AS spanEnd,
+        |  MAX(pos) - MIN(pos) + 8 AS spanTokens, MAX(ex) AS vsExisting
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, spanStart""".stripMargin,
     "d13_span_cut" ->
       s"""WITH $SpanGramSql,

@@ -227,6 +227,26 @@ class DataOpsSpec extends SparkSpec {
       Seq(4L, 9L, 16L, 8L)))
   }
 
+  test("incremental spans: batch classifies vs standing index, no corpus recompute") {
+    import graft.functions.Dedup
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val existing = Seq(
+      (1L, "e1 e2 " + shared + " e3 e4"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "b1 b2 " + shared + " b3"),              // matches the corpus
+      (6L, (1 to 12).map(i => s"c$i").mkString(" ")), // batch-internal dup pair
+      (9L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (12L, (1 to 12).map(i => s"u$i").mkString(" ")), // unique
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.incrementalSpans(existing, batch, "doc_id", "text")
+      .orderBy(col("doc_id"), col("spanStart")))
+    assert(out == Seq(
+      Seq(3L, 2L, 11L, 10L, true),   // the corpus-shared run, vsExisting
+      Seq(6L, 0L, 11L, 12L, false),  // batch-only duplication
+      Seq(9L, 0L, 11L, 12L, false)))
+  }
+
   test("span cut: first occurrence survives, later occurrences lose their tokens") {
     import graft.functions.Dedup
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
