@@ -141,10 +141,25 @@ object Dedup {
     * spanEnd, spanTokens, vsExisting — whether any window of the span
     * matched the standing corpus rather than only the batch). */
   def incrementalSpans(existing: DataFrame, batch: DataFrame,
-                       idCol: String, textCol: String, k: Int = 8): DataFrame = {
+                       idCol: String, textCol: String, k: Int = 8): DataFrame =
+    incrementalSpansAgainst(spanGramIndex(existing, idCol, textCol, k),
+      batch, idCol, textCol, k)
+
+  /** The standing corpus's distinct-gram index (one sha-256 gram hash
+    * per row) — the stored structure [[incrementalSpansAgainst]] and its
+    * streaming twin classify batches against. */
+  def spanGramIndex(existing: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame =
+    posGramRows(existing, idCol, textCol, k).select(col("__gh")).distinct()
+
+  /** [[incrementalSpans]] against a PREBUILT gram index — the variant a
+    * production ingest calls with the stored index (the d10
+    * incrementalLshAgainst convention). */
+  def incrementalSpansAgainst(exIndex: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 8): DataFrame = {
     require(k >= 2, s"span gram width must be >= 2, got $k")
-    val index = posGramRows(existing, idCol, textCol, k)
-      .select(col("__gh")).distinct()
+    val index = exIndex.select(col("__gh"))
     val bg = posGramRows(batch, idCol, textCol, k)
     val cnt = bg.groupBy(col("__gh")).agg(count(lit(1)).as("__bn"))
     val marked = bg

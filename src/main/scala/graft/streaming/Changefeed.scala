@@ -140,30 +140,27 @@ object Changefeed {
     * the band join, and state never grows with the stream. The
     * classified rows land in `sink` per batch (the caller's parquet
     * append / index-maintenance hook). */
-  def streamingIncrementalLsh(docs: DataFrame, existing: DataFrame,
-                              idCol: String, textCol: String,
-                              sink: (DataFrame, Long) => Unit,
-                              minEst: Double = 0.5): StreamingQuery = {
-    import graft.functions.Dedup
-    val exSig = Dedup.withBands(Dedup.minhashSignatures(existing, idCol, textCol))
-      .persist()
-    exSig.count() // materialize before the first batch arrives
-    val session = docs.sparkSession
-    // release the corpus signature cache when THIS query terminates —
-    // repeated start/stop in one session (tests, restarts) must not
-    // accumulate corpus-sized cached frames. Termination events are
-    // delivered asynchronously on the listener bus, possibly BEFORE the
-    // caller thread has recorded the query id — so the listener records
-    // every termination it sees, and whichever side observes both facts
-    // (id known + that id terminated) performs the one release.
-    // keyed by runId, not id: a query id is stable across checkpoint
-    // restarts, so a late event from a prior run could otherwise release
-    // a live successor's cache — runId is unique per run
+  /** Start a streaming query whose every batch reads the PINNED
+    * `standing` frame, releasing the cache exactly once when THIS run
+    * terminates — repeated start/stop in one session (tests, restarts)
+    * must not accumulate corpus-sized cached frames. Termination events
+    * are delivered asynchronously on the listener bus, possibly BEFORE
+    * the caller thread has recorded the query id — so the listener
+    * records every termination it sees, and whichever side observes
+    * both facts (id known + that id terminated) performs the one
+    * release. Keyed by runId, not id: a query id is stable across
+    * checkpoint restarts, so a late event from a prior run could
+    * otherwise release a live successor's cache — runId is unique per
+    * run. */
+  private def withStandingFrame(standing: DataFrame, session: SparkSession)
+                               (start: DataFrame => StreamingQuery): StreamingQuery = {
+    val pinned = standing.persist()
+    pinned.count() // materialize before the first batch arrives
     val queryRunId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]
     val terminated = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     def releaseCache(): Unit =
-      if (released.compareAndSet(false, true)) exSig.unpersist(blocking = false)
+      if (released.compareAndSet(false, true)) pinned.unpersist(blocking = false)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -178,15 +175,8 @@ object Changefeed {
     }
     session.streams.addListener(listener)
     val query =
-      try {
-        docs.writeStream
-          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-            val out = Dedup.incrementalLshAgainst(
-              exSig, batch.toDF(), idCol, textCol, minEst = minEst)
-            sink(out, batchId)
-          }
-          .start()
-      } catch {
+      try start(pinned)
+      catch {
         case e: Throwable =>
           releaseCache()
           session.streams.removeListener(listener)
@@ -198,6 +188,42 @@ object Changefeed {
       session.streams.removeListener(listener)
     }
     query
+  }
+
+  def streamingIncrementalLsh(docs: DataFrame, existing: DataFrame,
+                              idCol: String, textCol: String,
+                              sink: (DataFrame, Long) => Unit,
+                              minEst: Double = 0.5): StreamingQuery = {
+    import graft.functions.Dedup
+    val exSig = Dedup.withBands(Dedup.minhashSignatures(existing, idCol, textCol))
+    withStandingFrame(exSig, docs.sparkSession) { pinned =>
+      docs.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          sink(Dedup.incrementalLshAgainst(
+            pinned, batch.toDF(), idCol, textCol, minEst = minEst), batchId)
+        }
+        .start()
+    }
+  }
+
+  /** Streaming twin of [[graft.functions.Dedup.incrementalSpans]]: each
+    * micro-batch's duplicated spans classify against the PINNED standing
+    * gram index (batch-internal repetition included) — O(batch) work per
+    * trigger against a static structure, no streaming state. */
+  def streamingIncrementalSpans(docs: DataFrame, existing: DataFrame,
+                                idCol: String, textCol: String,
+                                sink: (DataFrame, Long) => Unit,
+                                k: Int = 8): StreamingQuery = {
+    import graft.functions.Dedup
+    val exIdx = Dedup.spanGramIndex(existing, idCol, textCol, k)
+    withStandingFrame(exIdx, docs.sparkSession) { pinned =>
+      docs.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          sink(Dedup.incrementalSpansAgainst(
+            pinned, batch.toDF(), idCol, textCol, k), batchId)
+        }
+        .start()
+    }
   }
 
   /** Streaming ANN ingest: the streaming twin of

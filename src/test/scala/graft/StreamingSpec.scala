@@ -230,6 +230,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed incremental spans match the batch classification") {
+    implicit val sqlCtx = spark.sqlContext
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val existing = Seq((1L, "e1 e2 " + shared + " e3 e4")).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (10L, "b1 b2 " + shared + " b3"),                 // matches the corpus
+      (11L, (1 to 12).map(i => s"u$i").mkString(" ")),  // unique
+    )
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.concurrent.TrieMap[(Long, Long), (Long, Boolean)]()
+    val q = Changefeed.streamingIncrementalSpans(
+      mem.toDF().toDF("doc_id", "text"), existing, "doc_id", "text",
+      (out, _) => out.collect().foreach(r =>
+        acc((r.getLong(0), r.getLong(1))) = ((r.getLong(3), r.getBoolean(4)))))
+    try {
+      mem.addData(batchDocs: _*)
+      q.processAllAvailable()
+      val expect = graft.functions.Dedup.incrementalSpans(
+          existing, batchDocs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getBoolean(4))))
+        .toMap
+      assert(acc.toMap == expect)
+      assert(acc((10L, 2L)) == ((10L, true)) && !acc.keys.exists(_._1 == 11L))
+    } finally q.stop()
+  }
+
   test("streamed incremental LSH matches the batch classification") {
     implicit val sqlCtx = spark.sqlContext
     val existing = Seq(
