@@ -1,6 +1,7 @@
 package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
 
 /** Deterministic derivation of the four ADFS state tables (SURVEY §1.2)
   * from the driver's TPC-H-ish testdata, written in a SQL dialect subset
@@ -165,14 +166,25 @@ object DerivedState {
     else oraclePrefix + sql
   }
 
+  /** events.ts normalized to BIGINT epoch-nanos whatever the parquet
+    * encoding: TIMESTAMP(NANOS) testdata arrives as BIGINT via the
+    * nanosAsLong legacy conf and passes through; TIMESTAMP(MICROS)
+    * (driver generators vary by round) arrives as a timestamp column and
+    * is converted (UTC session) — the DuckDB oracle side's epoch_ns(ts)
+    * yields the same nanos either way. */
+  def normalizeEventTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType) df
+    else df.withColumn("ts",
+      unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+
   /** Register base parquet views + derived temp views in the session.
-    * events.parquet carries TIMESTAMP(NANOS) which Spark only reads with
-    * the nanosAsLong legacy conf → events.ts is BIGINT nanos here (the
-    * DuckDB oracle side uses epoch_ns(ts) for parity). */
+    * events.ts is ALWAYS BIGINT nanos here (normalizeEventTs). */
   def register(spark: SparkSession, sfDir: String): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.core.Tables.names.foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+      val raw = spark.read.parquet(s"$sfDir/$t.parquet")
+      val df = if (t == "events") normalizeEventTs(raw) else raw
+      df.createOrReplaceTempView(t)
     }
     // NOT cached: leaving the derived tables as views keeps Catalyst free
     // to push each query's filters/projections into the parquet scans —

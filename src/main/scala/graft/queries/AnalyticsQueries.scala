@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Dataflows
+import graft.analytics.{Balancer, Dataflows}
 import graft.model.DerivedState
 
 /** queries()+oracleSql() for the namenode dataflow operators (SURVEY §2.4,
@@ -184,6 +184,29 @@ object AnalyticsQueries {
           b.filter(col("fileId") % 50 === 0L))
         .orderBy(col("id"))
     },
+    // Balancer planner (server/balancer/Balancer.java): per-node
+    // classification vs cluster-average utilization, the imbalance
+    // scalar, the six-pass (source,target,bytes) schedule and the
+    // per-pair block pick. Threshold 0.08% spreads the synthetic
+    // cluster across all four classes.
+    "bal1_classify" -> { (s, dir) =>
+      Balancer.classify(DerivedState.datanode(s, dir), Now, BalancerThreshold)
+        .orderBy(col("id"))
+    },
+    "bal2_imbalance" -> { (s, dir) =>
+      Balancer.imbalance(DerivedState.datanode(s, dir), Now, BalancerThreshold)
+    },
+    "bal3_pairs" -> { (s, dir) =>
+      Balancer.pairs(DerivedState.datanode(s, dir), Now, BalancerThreshold)
+        .orderBy(col("pass"), col("sourceId"), col("targetId"))
+    },
+    "bal4_moves" -> { (s, dir) =>
+      val dn = DerivedState.datanode(s, dir)
+      Balancer.movePlan(
+          Balancer.pairs(dn, Now, BalancerThreshold),
+          DerivedState.block(s, dir), dn, Now)
+        .orderBy(col("pass"), col("sourceId"), col("targetId"), col("blockId"))
+    },
   )
 
   private val O = DerivedState.oracle _
@@ -240,8 +263,8 @@ object AnalyticsQueries {
     "n1_block_locations" -> O(
       """WITH entries AS (
         |  SELECT id, ANY_VALUE(fileId) AS fileId, ANY_VALUE(fileIndex) AS fileIndex,
-        |    ARG_MAX(datanodeId, generationStamp * 10000000000 + version) AS primaryDatanodeId,
-        |    ARG_MAX(length, generationStamp * 10000000000 + version) AS blockLength,
+        |    ARG_MAX(datanodeId, CAST(generationStamp AS HUGEINT) * 9223372036854775808 + version) AS primaryDatanodeId,
+        |    ARG_MAX(length, CAST(generationStamp AS HUGEINT) * 9223372036854775808 + version) AS blockLength,
         |    STRING_AGG(CAST(datanodeId AS STRING), ',' ORDER BY datanodeId) AS replicas
         |  FROM block WHERE version > 0 GROUP BY id),
         |ranged AS (
@@ -497,5 +520,162 @@ object AnalyticsQueries {
         |  COUNT(*) AS syncReplicas
         |FROM b JOIN mx ON b.id = mx.id AND b.generationStamp = mx.maxGs
         |GROUP BY b.id ORDER BY b.id""".stripMargin),
+    "bal1_classify" -> O(
+      s"""WITH $BalancerClsCtes
+        |SELECT id, location, nodeClass, maxSizeToMove,
+        |  CAST(trunc(u * 10000.0) AS BIGINT) AS utilBp
+        |FROM bl_cls ORDER BY id""".stripMargin),
+    "bal2_imbalance" -> O(
+      s"""WITH $BalancerClsCtes
+        |SELECT overLoadedBytes, underLoadedBytes,
+        |  GREATEST(overLoadedBytes, underLoadedBytes) AS bytesLeftToMove
+        |FROM (SELECT
+        |  CAST(COALESCE(SUM(CASE WHEN nodeClass = 'overUtilized'
+        |    THEN CAST(trunc((u - avgU - $BalancerThreshold) * capacity / 100.0) AS BIGINT)
+        |    END), 0) AS BIGINT) AS overLoadedBytes,
+        |  CAST(COALESCE(SUM(CASE WHEN nodeClass = 'underUtilized'
+        |    THEN CAST(trunc((avgU - $BalancerThreshold - u) * capacity / 100.0) AS BIGINT)
+        |    END), 0) AS BIGINT) AS underLoadedBytes
+        |  FROM bl_cls)""".stripMargin),
+    "bal3_pairs" -> O(
+      s"""WITH $BalancerClsCtes,
+        |$BalancerPassCtes
+        |SELECT pass, sourceId, targetId, moveSize FROM bl_pairs
+        |ORDER BY pass, sourceId, targetId""".stripMargin),
+    "bal4_moves" -> O(
+      s"""WITH $BalancerClsCtes,
+        |$BalancerPassCtes,
+        |bl_rk AS (SELECT id, location FROM bl_live),
+        |bl_locs AS (
+        |  SELECT b.id AS blockId, b.datanodeId AS holderId, r.location AS rack
+        |  FROM (SELECT DISTINCT id, datanodeId FROM block WHERE version > 0) b
+        |  LEFT JOIN bl_rk r ON b.datanodeId = r.id),
+        |bl_len AS (
+        |  SELECT id AS blockId,
+        |    ARG_MAX(length, CAST(generationStamp AS HUGEINT) * 9223372036854775808 + version) AS blockLength
+        |  FROM block WHERE version > 0 GROUP BY id),
+        |bl_cand AS (
+        |  SELECT p.pass, p.sourceId, p.targetId, p.moveSize, l.blockId, n.blockLength
+        |  FROM bl_pairs p
+        |  JOIN bl_rk sr ON sr.id = p.sourceId
+        |  JOIN bl_rk tr ON tr.id = p.targetId
+        |  JOIN bl_locs l ON l.holderId = p.sourceId
+        |  JOIN bl_len n ON n.blockId = l.blockId AND n.blockLength > 0
+        |  WHERE NOT EXISTS (SELECT 1 FROM bl_locs x
+        |          WHERE x.blockId = l.blockId AND x.holderId = p.targetId)
+        |    AND (sr.location = tr.location
+        |         OR NOT EXISTS (SELECT 1 FROM bl_locs x
+        |              WHERE x.blockId = l.blockId AND x.rack = tr.location)
+        |         OR EXISTS (SELECT 1 FROM bl_locs x
+        |              WHERE x.blockId = l.blockId AND x.holderId <> p.sourceId
+        |                AND x.rack = sr.location))),
+        |bl_claim AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY blockId
+        |    ORDER BY pass, sourceId, targetId) AS rn
+        |  FROM bl_cand),
+        |bl_budget AS (
+        |  SELECT *, SUM(blockLength) OVER (PARTITION BY pass, sourceId, targetId
+        |    ORDER BY blockId) AS cum
+        |  FROM bl_claim WHERE rn = 1)
+        |SELECT pass, sourceId, targetId, blockId, blockLength FROM bl_budget
+        |WHERE cum <= moveSize
+        |ORDER BY pass, sourceId, targetId, blockId""".stripMargin),
   )
+
+  /** Balancer oracle threshold (percent): 0.08 spreads the synthetic
+    * datanode table across all four utilization classes. */
+  val BalancerThreshold: Double = 0.08
+
+  /** DuckDB twin of Balancer.classifyFull — expression-for-expression the
+    * reference arithmetic (Balancer.java:489-523,986-1013) in the same
+    * IEEE op order as the Spark side, with trunc() matching Java/Spark
+    * toward-zero long casts (DuckDB CAST rounds, so trunc is explicit). */
+  private val BalancerClsCtes: String =
+    s"""bl_live AS (
+      |  SELECT id, location, capacity, dfsUsed, remaining FROM datanode
+      |  WHERE version > 0 AND lastUpdated >= $Now - 600000
+      |    AND adminState = 'NORMAL'),
+      |bl_avg AS (
+      |  SELECT CAST(SUM(dfsUsed) AS DOUBLE) / SUM(capacity) * 100.0 AS avgU
+      |  FROM bl_live),
+      |bl_u AS (
+      |  SELECT id, location, capacity, remaining,
+      |    dfsUsed * 100.0 / capacity AS u, avgU
+      |  FROM bl_live, bl_avg),
+      |bl_cls AS (
+      |  SELECT id, location, capacity, remaining, u, avgU,
+      |    CASE WHEN u > avgU THEN
+      |           CASE WHEN u > avgU + $BalancerThreshold THEN 'overUtilized'
+      |                ELSE 'aboveAvgUtilized' END
+      |         ELSE CASE WHEN u >= avgU - $BalancerThreshold AND u < avgU
+      |                   THEN 'belowAvgUtilized' ELSE 'underUtilized' END
+      |    END AS nodeClass,
+      |    LEAST(10737418240,
+      |      CASE WHEN u < avgU THEN LEAST(remaining, m0) ELSE m0 END) AS maxSizeToMove
+      |  FROM (SELECT *,
+      |          CASE WHEN u >= avgU + $BalancerThreshold OR u <= avgU - $BalancerThreshold
+      |               THEN CAST(trunc($BalancerThreshold * capacity / 100.0) AS BIGINT)
+      |               ELSE CAST(trunc(abs(avgU - u) * capacity / 100.0) AS BIGINT)
+      |          END AS m0
+      |        FROM bl_u))""".stripMargin
+
+  /** DuckDB twin of Balancer.pairs: the six capacity-packing passes in
+    * chooseNodes order, each consuming the availability the previous
+    * passes left (generated — the passes differ only in class pair and
+    * rack scope). */
+  private val BalancerPassCtes: String = {
+    val passes = Seq(
+      ("overUtilized", "underUtilized", true),
+      ("overUtilized", "belowAvgUtilized", true),
+      ("aboveAvgUtilized", "underUtilized", true),
+      ("overUtilized", "underUtilized", false),
+      ("overUtilized", "belowAvgUtilized", false),
+      ("aboveAvgUtilized", "underUtilized", false))
+    val cur = scala.collection.mutable.Map(
+      "overUtilized" -> "bl_av_over0", "aboveAvgUtilized" -> "bl_av_above0",
+      "underUtilized" -> "bl_av_under0", "belowAvgUtilized" -> "bl_av_below0")
+    val sb = new StringBuilder
+    sb ++= """bl_av_over0 AS (SELECT id, location, maxSizeToMove AS avail
+      |  FROM bl_cls WHERE nodeClass = 'overUtilized'),
+      |bl_av_above0 AS (SELECT id, location, maxSizeToMove AS avail
+      |  FROM bl_cls WHERE nodeClass = 'aboveAvgUtilized'),
+      |bl_av_under0 AS (SELECT id, location, maxSizeToMove AS avail
+      |  FROM bl_cls WHERE nodeClass = 'underUtilized'),
+      |bl_av_below0 AS (SELECT id, location, maxSizeToMove AS avail
+      |  FROM bl_cls WHERE nodeClass = 'belowAvgUtilized'),
+      |""".stripMargin
+    passes.zipWithIndex.foreach { case ((sk, tk, sameRack), idx) =>
+      val i = idx + 1
+      val part = if (sameRack) "PARTITION BY location " else ""
+      val rackJoin = if (sameRack) "s.location = t.location AND " else ""
+      sb ++=
+        s"""bl_s$i AS (
+          |  SELECT id, location, avail, SUM(avail) OVER ($part ORDER BY id) AS e
+          |  FROM ${cur(sk)} WHERE avail > 0),
+          |bl_t$i AS (
+          |  SELECT id, location, avail, SUM(avail) OVER ($part ORDER BY id) AS e
+          |  FROM ${cur(tk)} WHERE avail > 0),
+          |bl_p$i AS (
+          |  SELECT CAST($i AS BIGINT) AS pass, s.id AS sourceId, t.id AS targetId,
+          |    CAST(LEAST(s.e, t.e) - GREATEST(s.e - s.avail, t.e - t.avail) AS BIGINT) AS moveSize
+          |  FROM bl_s$i s JOIN bl_t$i t
+          |    ON ${rackJoin}s.e - s.avail < t.e AND t.e - t.avail < s.e
+          |  WHERE LEAST(s.e, t.e) - GREATEST(s.e - s.avail, t.e - t.avail) > 0),
+          |""".stripMargin
+      Seq((sk, "sourceId"), (tk, "targetId")).foreach { case (k, idCol) =>
+        val nxt = s"bl_av_${k.stripSuffix("Utilized").toLowerCase}$i"
+        sb ++=
+          s"""$nxt AS (
+            |  SELECT a.id, a.location,
+            |    a.avail - COALESCE((SELECT SUM(moveSize) FROM bl_p$i
+            |                        WHERE $idCol = a.id), 0) AS avail
+            |  FROM ${cur(k)} a),
+            |""".stripMargin
+        cur(k) = nxt
+      }
+    }
+    sb ++= (1 to 6).map(i => s"SELECT * FROM bl_p$i")
+      .mkString("bl_pairs AS (\n  ", "\n  UNION ALL ", ")")
+    sb.toString
+  }
 }

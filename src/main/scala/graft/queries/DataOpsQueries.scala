@@ -776,8 +776,8 @@ object DataOpsQueries {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(schema)
-        .parquet(srcDir.toString)
+      val stream = DerivedState.normalizeEventTs(
+          s.readStream.schema(schema).parquet(srcDir.toString))
         .withColumn("day", expr("ts div 86400000000000"))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"),

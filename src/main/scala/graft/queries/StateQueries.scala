@@ -397,15 +397,15 @@ object StateQueries {
         |  CAST(COALESCE(s.derivedLen, 0) AS BIGINT) AS effectiveLength
         |FROM file f LEFT JOIN (
         |  SELECT fileId, SUM(CASE WHEN blockLength > 0 THEN blockLength ELSE 0 END) AS derivedLen
-        |  FROM (SELECT fileId, ARG_MAX(length, generationStamp * 10000000000 + version) AS blockLength
+        |  FROM (SELECT fileId, ARG_MAX(length, CAST(generationStamp AS HUGEINT) * 9223372036854775808 + version) AS blockLength
         |        FROM block WHERE version > 0 GROUP BY fileId, id) e
         |  GROUP BY fileId) s ON s.fileId = f.id
         |WHERE f.version > 0 AND f.length = 0 ORDER BY f.id""".stripMargin),
     "s8_block_entries" -> O(
       """SELECT id, ANY_VALUE(fileId) AS fileId, ANY_VALUE(fileIndex) AS fileIndex,
         |  MAX(generationStamp) AS maxGenStamp,
-        |  ARG_MAX(datanodeId, generationStamp * 10000000000 + version) AS primaryDatanodeId,
-        |  ARG_MAX(length, generationStamp * 10000000000 + version) AS blockLength,
+        |  ARG_MAX(datanodeId, CAST(generationStamp AS HUGEINT) * 9223372036854775808 + version) AS primaryDatanodeId,
+        |  ARG_MAX(length, CAST(generationStamp AS HUGEINT) * 9223372036854775808 + version) AS blockLength,
         |  COUNT(*) AS replicaCount,
         |  STRING_AGG(CAST(datanodeId AS STRING), ',' ORDER BY datanodeId) AS replicas
         |FROM block WHERE version > 0 AND fileId % 200 = 0
@@ -413,7 +413,7 @@ object StateQueries {
     "s9_last_block" -> O(
       """SELECT fileId, id, fileIndex, blockLength FROM (
         |  SELECT fileId, id, fileIndex,
-        |    ARG_MAX(length, generationStamp * 10000000000 + version) AS blockLength,
+        |    ARG_MAX(length, CAST(generationStamp AS HUGEINT) * 9223372036854775808 + version) AS blockLength,
         |    ROW_NUMBER() OVER (PARTITION BY fileId ORDER BY fileIndex DESC) AS rn
         |  FROM block WHERE version > 0 AND fileId % 200 = 0
         |  GROUP BY fileId, id, fileIndex) t

@@ -302,12 +302,13 @@ object StateManager {
 
   /** Group replica rows by block id: the primary replica is the argmax by
     * (generationStamp, version) (:49-54); replicas listed in stable order;
-    * one row per block. `ord` packs the (genStamp, version) tiebreak into
-    * one comparable long — version < 1e10 by construction in tests, and
-    * max_by(struct) is avoided only to keep oracle-portable output. */
+    * one row per block. The tiebreak is a true tuple ordering
+    * (max_by over a struct key — lexicographic, overflow-free at any
+    * genStamp/version magnitude); the DuckDB oracles mirror it with a
+    * HUGEINT-widened key, so the two stay ordinally identical. */
   def blockEntries(block: DataFrame): DataFrame = {
     val b = live(block)
-    val ord = col("generationStamp") * lit(10000000000L) + col("version")
+    val ord = struct(col("generationStamp"), col("version"))
     b.groupBy(col("id"))
       .agg(
         // max (not first): fileId/fileIndex are functionally dependent on
