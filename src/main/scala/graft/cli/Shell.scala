@@ -24,7 +24,8 @@ import graft.store.StateStore
   *   mkdir <path>    mkdir write-set (parent must exist)
   *   touchz <path>   zero-length file-create write-set
   *   mv <src> <dst>  rename/move write-set (+ both-parent mtime touches)
-  *   rm <path>       guarded non-recursive delete write-set
+  *   rm [-trash] <path>  guarded non-recursive delete write-set; -trash
+  *                   moves to /.Trash/Current instead (Trash.moveToTrash)
   *   rmr <path>      recursive subtree tombstone write-set
   *   setrep <path> <n>   replication write-set for one live file
   *   chown <path> <uid>  owner write-set for one live file
@@ -33,6 +34,7 @@ import graft.store.StateStore
   *   df                  cluster capacity/used/remaining (S13 agg)
   *   fsck            namespace health report
   *   report          datanode report
+  *   balancer [-threshold t] [-report]  balancer move schedule / node classes
   *   append <path>   reopen-for-append write-set for one file
   *
   * Content verbs (over SequenceFile dirs — the engine's F1 storage
@@ -224,7 +226,22 @@ object Shell {
         Mutations.expunge(file, nowMs = Now)
           .orderBy(col("writeOp"), col("id"))
       case "rm" =>
-        Mutations.guardedDelete(file, Seq(resolve(path)).toDF("id"))
+        // -trash simulates fs.trash.interval > 0: FsShell delete first
+        // tries Trash.moveToTrash (fs/Trash.java:103-152) and only
+        // deletes for real when the trash is disabled — the default
+        // interval is 0, so plain rm stays a true delete
+        if (args.contains("-trash")) {
+          val target = args.filterNot(_ == "-trash").headOption.getOrElse("/")
+          val maxFileId = file.agg(coalesce(max(col("id")), lit(0L)))
+            .collect()(0).getLong(0)
+          val out = Mutations.moveToTrash(file,
+            Seq(resolve(target)).toDF("id"), idBase = maxFileId, nowMs = Now)
+          val rows = out.orderBy(col("writeOp"), col("id")).collect()
+          rows.find(_.getAs[String]("writeOp") == "reject").foreach(r =>
+            throw new IllegalArgumentException(
+              s"rm -trash $target refused: ${r.getAs[String]("reject")}"))
+          localized(rows, out.schema)
+        } else Mutations.guardedDelete(file, Seq(resolve(path)).toDF("id"))
           .orderBy(col("id"))
       case "rmr" =>
         val id = resolve(path)
@@ -289,6 +306,18 @@ object Shell {
         // the live row comes back untouched (version included).
         file.filter(col("id") === id && col("version") > 0)
           .select(col("id"), col("name"), col("owner"), col("version"))
+      case "balancer" =>
+        // start-balancer.sh [-threshold t] (server/balancer/Balancer.java):
+        // prints the move schedule; -report prints the per-node
+        // classification instead
+        val t = args.sliding(2).collectFirst {
+          case Seq("-threshold", v) => v.toDouble }.getOrElse(10.0)
+        if (args.contains("-report"))
+          graft.analytics.Balancer.classify(datanode, Now, t)
+            .orderBy(col("id"))
+        else
+          graft.analytics.Balancer.pairs(datanode, Now, t)
+            .orderBy(col("pass"), col("sourceId"), col("targetId"))
       case "fsck" =>
         Dataflows.fsck(file, block, datanode, Now)
       case "report" =>

@@ -193,6 +193,18 @@ object MutationQueries {
           idBase = 8000000L, blockIdBase = 20000000L)
         .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
     },
+    // Trash.moveToTrash: mirror-chain creation + moves + the reject
+    // ladder. The request mix keeps dir requests (nation-13 customers)
+    // disjoint from file requests (other nations) — a nested batch is
+    // engine-defined (MutationsSpec) but not reference-reproducible, so
+    // the oracle stays on the common semantics
+    "n_trash" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(trashReqsSql)
+      Mutations.moveToTrash(s.table("file"), reqs, idBase = 9000000L,
+          nowMs = Now)
+        .orderBy(col("writeOp"), col("id"), col("name"))
+    },
     // Decommission lifecycle: start on every 5th node (the skip branch
     // fires on an already-retired one), stop on a decommissioned and an
     // in-progress node, and the standing in-progress node re-checked —
@@ -314,6 +326,24 @@ object MutationQueries {
       |       'hb_' || CAST(o_orderkey % 7 AS STRING)
       |FROM orders WHERE o_orderkey % 202 = 0""".stripMargin
 
+  /** trash request mix (runs verbatim in both engines): order files
+    * outside nation 13, customer dirs of nation 13 (disjoint subtrees —
+    * see n_trash), the root (container guard), a phantom id, and one
+    * tombstoned order file (%97-deleted → "no such file"). */
+  private val trashReqsSql: String =
+    """SELECT CAST(1000000 + o_orderkey AS BIGINT) AS id
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 211 = 3 AND o_orderkey % 97 <> 0
+      |  AND c_nationkey <> 13
+      |UNION ALL
+      |SELECT CAST(100 + c_custkey AS BIGINT) FROM customer
+      |WHERE c_nationkey = 13 AND c_custkey % 40 = 1
+      |UNION ALL SELECT CAST(0 AS BIGINT)
+      |UNION ALL SELECT CAST(99999999 AS BIGINT)
+      |UNION ALL
+      |SELECT CAST(1000000 + MIN(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey > 0""".stripMargin
+
   /** decommission request mix (runs verbatim in both engines): start on
     * every id%5=2 node — node 17 is already DECOMMISSIONED so the :3183
     * skip branch drops it — plus stop on 34 (decommissioned → NORMAL) and
@@ -354,6 +384,101 @@ object MutationQueries {
   private val O = DerivedState.oracle _
 
   def oracles: Map[String, String] = Map(
+    "n_trash" -> O(
+      s"""WITH RECURSIVE req AS (
+         |$trashReqsSql),
+         |p AS (
+         |  SELECT id, parentId, name, length, version, '' AS path
+         |  FROM file WHERE id = 0 AND version > 0
+         |  UNION ALL
+         |  SELECT f.id, f.parentId, f.name, f.length, f.version,
+         |         p.path || '/' || f.name
+         |  FROM file f JOIN p ON f.parentId = p.id
+         |  WHERE f.version > 0 AND f.id <> 0),
+         |rv AS (
+         |  SELECT r.id AS rid, p.id AS lid, p.parentId AS oldP, p.name, p.path
+         |  FROM (SELECT DISTINCT id FROM req) r LEFT JOIN p ON p.id = r.id),
+         |rej AS (
+         |  SELECT rid, CASE WHEN lid IS NULL THEN 'no such file'
+         |                   WHEN rid = 0 THEN 'cannot move root to trash'
+         |                   WHEN path = '/.Trash'
+         |                     OR starts_with(path, '/.Trash/') THEN 'already in trash'
+         |              END AS reject
+         |  FROM rv),
+         |oks AS (
+         |  SELECT rv.*, substr(path, 1, length(path) - length(name) - 1) AS ppath
+         |  FROM rv JOIN rej ON rv.rid = rej.rid WHERE rej.reject IS NULL),
+         |chains AS (
+         |  SELECT rid, cpath FROM (
+         |    SELECT o.rid, '/.Trash' AS cpath FROM oks o
+         |    UNION ALL SELECT o.rid, '/.Trash/Current' FROM oks o
+         |    UNION ALL
+         |    SELECT o.rid, '/.Trash/Current' || d.path
+         |    FROM oks o JOIN p d ON d.length = -1 AND d.id <> 0
+         |      AND (o.ppath = d.path OR starts_with(o.ppath, d.path || '/')))),
+         |exist AS (
+         |  SELECT DISTINCT c.cpath AS mpath, p.id, p.length
+         |  FROM chains c JOIN p ON p.path = c.cpath),
+         |blockedreq AS (
+         |  SELECT DISTINCT c.rid FROM chains c
+         |  JOIN exist e ON e.mpath = c.cpath AND e.length <> -1),
+         |ok2 AS (
+         |  SELECT * FROM oks WHERE rid NOT IN (SELECT rid FROM blockedreq)),
+         |needed AS (
+         |  SELECT DISTINCT cpath FROM chains
+         |  WHERE rid IN (SELECT rid FROM ok2)),
+         |missing AS (
+         |  SELECT cpath, 9000000 + ROW_NUMBER() OVER (ORDER BY cpath) AS nid
+         |  FROM needed WHERE cpath NOT IN (SELECT mpath FROM exist)),
+         |dirids AS (
+         |  SELECT cpath, nid AS did FROM missing
+         |  UNION ALL SELECT mpath, id FROM exist WHERE length = -1),
+         |insrows AS (
+         |  SELECT 'insert' AS writeOp, m.nid AS id,
+         |    COALESCE(d2.did, 0) AS parentId,
+         |    list_last(string_split(m.cpath, '/')) AS name,
+         |    CAST(-1 AS BIGINT) AS length, CAST($Now AS BIGINT) AS mtime,
+         |    m.nid AS version, CAST(NULL AS STRING) AS reject
+         |  FROM missing m
+         |  LEFT JOIN dirids d2 ON d2.cpath = substr(m.cpath, 1,
+         |    length(m.cpath) - length(list_last(string_split(m.cpath, '/'))) - 1)),
+         |mvrows AS (
+         |  SELECT 'move' AS writeOp, o.rid AS id, di.did AS parentId,
+         |    o.name, pf.length, CAST($Now AS BIGINT) AS mtime,
+         |    pf.version + 1000000000 AS version, CAST(NULL AS STRING) AS reject
+         |  FROM ok2 o
+         |  JOIN dirids di ON di.cpath = '/.Trash/Current' || o.ppath
+         |  JOIN p pf ON pf.id = o.rid),
+         |touchids AS (
+         |  SELECT DISTINCT tid FROM (
+         |    SELECT oldP AS tid FROM ok2
+         |    UNION ALL
+         |    SELECT e.id FROM exist e
+         |    JOIN (SELECT DISTINCT '/.Trash/Current' || ppath AS dp FROM ok2) dd
+         |      ON e.mpath = dd.dp AND e.length = -1
+         |    UNION ALL
+         |    SELECT parentId FROM insrows
+         |    WHERE parentId NOT IN (SELECT nid FROM missing)) t
+         |  WHERE tid NOT IN (SELECT rid FROM ok2)),
+         |tchrows AS (
+         |  SELECT 'touch' AS writeOp, pf.id, pf.parentId, pf.name, pf.length,
+         |    CAST($Now AS BIGINT) AS mtime, pf.version,
+         |    CAST(NULL AS STRING) AS reject
+         |  FROM p pf JOIN touchids t ON pf.id = t.tid),
+         |rejrows AS (
+         |  SELECT 'reject' AS writeOp, rid AS id, CAST(NULL AS BIGINT) AS parentId,
+         |    CAST(NULL AS STRING) AS name, CAST(NULL AS BIGINT) AS length,
+         |    CAST(NULL AS BIGINT) AS mtime, CAST(NULL AS BIGINT) AS version,
+         |    reject
+         |  FROM rej WHERE reject IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'reject', rid, NULL, NULL, NULL, NULL, NULL,
+         |    'trash path blocked by a file'
+         |  FROM blockedreq)
+         |SELECT writeOp, id, parentId, name, length, mtime, version, reject
+         |FROM (SELECT * FROM insrows UNION ALL SELECT * FROM mvrows
+         |      UNION ALL SELECT * FROM tchrows UNION ALL SELECT * FROM rejrows) u
+         |ORDER BY writeOp, id, name""".stripMargin),
     "n_copy" -> O(
       s"""WITH RECURSIVE reqs AS (
          |$copyReqsSql),

@@ -762,6 +762,160 @@ object Mutations {
     graft.core.Caching.materializeAndRelease(out, Seq(allMembers))
   }
 
+  /** Trash.moveToTrash (fs/Trash.java:103-152 — FsShell delete calls it
+    * first when fs.trash.interval > 0): move each live source under
+    * `<trash>/Current` at a mirror of its ORIGINAL full path
+    * (makeTrashRelativePath :120-121), creating the missing mirror
+    * directories (:128) and suffixing ".j" (j = 1..) when the mirror
+    * name is taken (:142-145). Batch write-set rows:
+    *  - `insert`: created mirror dirs — ids `idBase + rank` over
+    *    lexicographic mirror-path order (a parent path sorts before its
+    *    children), mkdirs attribute conventions;
+    *  - `move`: one per source — new parentId/name, version bumped;
+    *  - `touch`: rename semantics — old parents, pre-existing
+    *    destination dirs, and live parents of created dirs;
+    *  - `reject`: missing/tombstoned id ("no such file"), the root (the
+    *    trash-container guard, :117), a source already inside the trash
+    *    (:114 returns false), and a mirror chain blocked by an existing
+    *    FILE row.
+    * Requests are independent — a nested dir+child batch mirrors each at
+    * its pre-move path, where the sequential reference would see the
+    * child's post-move path; don't batch nested requests. The driver
+    * composition is request-batch-bounded (the rename-anchor convention)
+    * and the collision probe reads only destination-dir children whose
+    * names extend a requested base name. */
+  def moveToTrash(file: DataFrame, ids: DataFrame, idBase: Long, nowMs: Long,
+                  trashName: String = ".Trash",
+                  versionBump: Long = 1000000000L): DataFrame = {
+    val sp = file.sparkSession
+    import sp.implicits._
+    val f = live(file)
+    val trashRoot = "/" + trashName
+    val currentRoot = trashRoot + "/Current"
+    val pathsFull = graft.state.StateManager.materializePaths(file)
+      .select(col("id").as("__lid"), col("path").as("__path"),
+        col("length").as("__len"))
+    // request rows + live row + original path (batch-bounded collect)
+    val reqRows = ids.select(col("id").as("__rid")).distinct()
+      .join(f.select(col("id"), col("parentId").as("__op"), col("name")),
+        col("__rid") === col("id"), "left")
+      .join(pathsFull, col("__rid") === col("__lid"), "left")
+      .select(col("__rid"), col("id"), col("__op"), col("name"), col("__path"))
+      .collect().sortBy(_.getLong(0))
+    case class Req(rid: Long, oldParent: Long, name: String, ppath: String)
+    val rejects = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ok = scala.collection.mutable.ArrayBuffer.empty[Req]
+    reqRows.foreach { r =>
+      val rid = r.getLong(0)
+      if (r.isNullAt(1)) rejects += ((rid, "no such file"))
+      else if (rid == 0L) rejects += ((rid, "cannot move root to trash"))
+      else {
+        val name = r.getString(3)
+        val path = r.getString(4)
+        if (path == trashRoot || path.startsWith(trashRoot + "/"))
+          rejects += ((rid, "already in trash"))
+        else ok += Req(rid, r.getLong(2), name,
+          path.substring(0, path.length - name.length - 1))
+      }
+    }
+    // mirror-dir chains: /.Trash, /.Trash/Current, then Current + each
+    // prefix of the source's parent path
+    def chainOf(ppath: String): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      b += trashRoot
+      b += currentRoot
+      var acc = currentRoot
+      ppath.split("/").filter(_.nonEmpty).foreach { c =>
+        acc = acc + "/" + c; b += acc
+      }
+      b.result()
+    }
+    val neededPaths = ok.toSeq.flatMap(r => chainOf(r.ppath)).distinct.sorted
+    val existing: Map[String, (Long, Long)] = if (neededPaths.isEmpty) Map.empty
+      else pathsFull.filter(col("__path").isin(neededPaths: _*))
+        .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+    // a FILE row anywhere on a source's mirror chain blocks that source
+    val blockedPaths = existing.collect { case (p, (_, len)) if len != -1L => p }.toSet
+    val (okClear, blocked) = ok.partition(r => !chainOf(r.ppath).exists(blockedPaths))
+    blocked.foreach(r => rejects += ((r.rid, "trash path blocked by a file")))
+    val missing = okClear.flatMap(r => chainOf(r.ppath)).distinct.sorted
+      .filterNot(existing.contains)
+    val newDirIds: Map[String, Long] =
+      missing.zipWithIndex.map { case (p, i) => p -> (idBase + i + 1) }.toMap
+    def dirId(p: String): Long = existing.get(p).map(_._1).getOrElse(newDirIds(p))
+    def parentPathOf(p: String): String = {
+      val cut = p.lastIndexOf('/'); if (cut == 0) "" else p.substring(0, cut)
+    }
+    def parentIdOf(p: String): Long = {
+      val pp = parentPathOf(p); if (pp.isEmpty) 0L else dirId(pp)
+    }
+    // collision probe: live children of PRE-EXISTING destination dirs
+    // whose names extend a requested base (new dirs start empty)
+    val destOf: Req => String =
+      r => if (r.ppath.isEmpty) currentRoot else currentRoot + r.ppath
+    val existingDestIds = okClear.toSeq.map(destOf).distinct
+      .flatMap(p => existing.get(p).map(_._1))
+    val bases = okClear.map(_.name).distinct
+    val taken = scala.collection.mutable.Set.empty[(Long, String)]
+    if (existingDestIds.nonEmpty && bases.nonEmpty) {
+      val nameHit = bases.map(b =>
+        col("name") === b || col("name").startsWith(b + ".")).reduce(_ || _)
+      f.filter(col("parentId").isin(existingDestIds: _*) && nameHit)
+        .select(col("parentId"), col("name")).collect()
+        .foreach(r => taken += ((r.getLong(0), r.getString(1))))
+    }
+    // a move must not collide with a mirror dir CREATED in this batch
+    // either (a dir and its own descendant in one batch both claim the
+    // dir's mirror name — the sequential reference cannot produce the
+    // mix; the batch form resolves it with the same ".j" rule)
+    missing.foreach { p =>
+      taken += ((parentIdOf(p), p.substring(p.lastIndexOf('/') + 1)))
+    }
+    // deterministic in-batch order (dest path, base name, id): each
+    // claimant takes the first free of base, base.1, base.2, ...
+    val moveAssign = okClear.sortBy(r => (destOf(r), r.name, r.rid)).map { r =>
+      val d = dirId(destOf(r))
+      var j = 0
+      var cand = r.name
+      while (taken((d, cand))) { j += 1; cand = r.name + "." + j }
+      taken += ((d, cand))
+      (r.rid, d, cand, r.oldParent)
+    }.toSeq
+    // write-set assembly — uniform (writeOp, id, parentId, name, length,
+    // mtime, version, reject)
+    val inserts = missing.map { p =>
+      val id = dirId(p)
+      ("insert", id, parentIdOf(p), p.substring(p.lastIndexOf('/') + 1),
+        -1L, nowMs, id, null: String)
+    }.toSeq.toDF("writeOp", "id", "parentId", "name", "length", "mtime",
+      "version", "reject")
+    val mv = moveAssign.map(m => (m._1, m._2, m._3))
+      .toDF("__mid", "__np", "__nn")
+    val moves = f.join(broadcast(mv), col("id") === col("__mid"))
+      .select(lit("move").as("writeOp"), col("id"),
+        col("__np").as("parentId"), col("__nn").as("name"), col("length"),
+        lit(nowMs).as("mtime"), (col("version") + versionBump).as("version"),
+        lit(null).cast("string").as("reject"))
+    val movedIds = moveAssign.map(_._1).toSet
+    val touchIds = (moveAssign.map(_._4) ++ existingDestIds ++
+        missing.map(parentPathOf).filter(p => p.isEmpty || existing.contains(p))
+          .map(p => if (p.isEmpty) 0L else existing(p)._1))
+      .distinct.filterNot(movedIds)
+    val touches =
+      if (touchIds.isEmpty) moves.limit(0)
+      else f.filter(col("id").isin(touchIds: _*))
+        .select(lit("touch").as("writeOp"), col("id"), col("parentId"),
+          col("name"), col("length"), lit(nowMs).as("mtime"), col("version"),
+          lit(null).cast("string").as("reject"))
+    val rej = rejects.toSeq.map { case (rid, msg) =>
+      ("reject", rid, null.asInstanceOf[java.lang.Long],
+        null: String, null.asInstanceOf[java.lang.Long],
+        null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long], msg)
+    }.toDF("writeOp", "id", "parentId", "name", "length", "mtime",
+      "version", "reject")
+    inserts.unionByName(moves).unionByName(touches).unionByName(rej)
+  }
+
   /** FsShell expunge (fs/FsShell.java:1122-1125 → Trash.expunge +
     * Trash.checkpoint, fs/Trash.java): every checkpoint directory under a
     * `.Trash` dir is deleted (the interval collapsed to 0 — all

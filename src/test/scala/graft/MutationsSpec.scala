@@ -322,6 +322,83 @@ class MutationsSpec extends SparkSpec {
     assert(!out.contains(15L)) // Current's content survives the rename
   }
 
+  test("moveToTrash: mirror-dir chain, move, touches, rejects") {
+    // namespace: /a/b/f1 (file), /a/empty (dir); no trash yet
+    val out = rows(Mutations.moveToTrash(file,
+        Seq(3L, 0L, 42L).toDF("id"), idBase = 200L, nowMs = 777L)
+      .select(col("writeOp"), col("id"), col("parentId"), col("name"),
+        col("version"), col("reject"))
+      .orderBy(col("writeOp"), col("id")))
+    // inserts: the whole mirror chain in lexicographic path order
+    assert(out.filter(_.head == "insert") == Seq(
+      Seq("insert", 201L, 0L, ".Trash", 201L, null),
+      Seq("insert", 202L, 201L, "Current", 202L, null),
+      Seq("insert", 203L, 202L, "a", 203L, null),
+      Seq("insert", 204L, 203L, "b", 204L, null)))
+    // the move lands at the mirror of the ORIGINAL path
+    assert(out.filter(_.head == "move") ==
+      Seq(Seq("move", 3L, 204L, "f1", 1000000004L, null)))
+    // touches: the old parent and the live parent (root) of the chain
+    assert(out.filter(_.head == "touch").map(_(1)).toSet == Set(0L, 2L))
+    // rejects: the root guard and a phantom id
+    assert(out.filter(_.head == "reject").map(r => r(1) -> r(5)).toMap ==
+      Map(0L -> "cannot move root to trash", 42L -> "no such file"))
+  }
+
+  test("moveToTrash: pre-existing trash, collision suffix, in-trash reject") {
+    val f = Seq(
+      (0L, -1L, "", -1L, 1L),
+      (1L, 0L, "a", -1L, 2L),
+      (3L, 1L, "f1", 100L, 4L),
+      (20L, 0L, ".Trash", -1L, 5L),
+      (21L, 20L, "Current", -1L, 6L),
+      (22L, 21L, "a", -1L, 7L),
+      (23L, 22L, "f1", 50L, 8L),   // prior trashed f1 → collision
+      (24L, 22L, "f1.1", 60L, 9L), // and its first suffix too
+    ).toDF("id", "parentId", "name", "length", "version")
+    val out = rows(Mutations.moveToTrash(f, Seq(3L, 23L).toDF("id"),
+        idBase = 300L, nowMs = 777L)
+      .select(col("writeOp"), col("id"), col("parentId"), col("name"),
+        col("reject")))
+    // no dirs to create; f1 dodges f1 and f1.1 → f1.2
+    assert(out.filter(_.head == "insert").isEmpty)
+    assert(out.filter(_.head == "move") ==
+      Seq(Seq("move", 3L, 22L, "f1.2", null)))
+    // old parent + the pre-existing destination dir
+    assert(out.filter(_.head == "touch").map(_(1)).toSet == Set(1L, 22L))
+    assert(out.filter(_.head == "reject") ==
+      Seq(Seq("reject", 23L, null, null, "already in trash")))
+  }
+
+  test("moveToTrash: nested dir+descendant batch — the dir dodges its own mirror") {
+    // /a and /a/b/f1 trashed together: f1's mirror chain creates
+    // Current/a and Current/a/b; the moved dir /a then collides with the
+    // created Current/a and takes a.1
+    val out = rows(Mutations.moveToTrash(file, Seq(1L, 3L).toDF("id"),
+        idBase = 400L, nowMs = 777L)
+      .select(col("writeOp"), col("id"), col("parentId"), col("name")))
+    val inserts = out.filter(_.head == "insert")
+    assert(inserts.map(_(3)) == Seq(".Trash", "Current", "a", "b"))
+    val moves = out.filter(_.head == "move").map(r => r(1) -> (r(2), r(3))).toMap
+    assert(moves(3L) == ((404L, "f1")))   // under created Current/a/b
+    assert(moves(1L) == ((402L, "a.1")))  // dodges the created Current/a
+  }
+
+  test("moveToTrash: a file on the mirror chain blocks the source") {
+    val f = Seq(
+      (0L, -1L, "", -1L, 1L),
+      (1L, 0L, "a", -1L, 2L),
+      (3L, 1L, "f1", 100L, 4L),
+      (20L, 0L, ".Trash", -1L, 5L),
+      (21L, 20L, "Current", -1L, 6L),
+      (22L, 21L, "a", 99L, 7L), // a FILE where the mirror dir must be
+    ).toDF("id", "parentId", "name", "length", "version")
+    val out = rows(Mutations.moveToTrash(f, Seq(3L).toDF("id"),
+        idBase = 300L, nowMs = 777L)
+      .select(col("writeOp"), col("id"), col("reject")))
+    assert(out == Seq(Seq("reject", 3L, "trash path blocked by a file")))
+  }
+
   test("decommission lifecycle: start/stop/check transition matrix") {
     val dn = Seq(
       (1L, "NORMAL", 10L), (2L, "NORMAL", 20L),

@@ -136,5 +136,28 @@ class ShellSpec extends SparkSpec {
       .select(col("id"), col("version")))
     assert(rmr.nonEmpty && rmr.forall(_(1).asInstanceOf[Long] < 0)
       && rmr.exists(_(0) == sampleDir.getLong(0)))
+    // rm -trash: no delete — the file MOVES under the created mirror chain
+    val rt = rows(Shell.run(spark, sf, "rm",
+        Seq("-trash", sampleFile.getString(1)))
+      .select(col("writeOp"), col("id"), col("name")))
+    assert(rt.count(_.head == "move") == 1
+      && rt.exists(r => r.head == "insert" && r(2) == ".Trash")
+      && rt.exists(r => r.head == "insert" && r(2) == "Current")
+      && rt.forall(_.head != "reject"))
+    // rm -trash on the root fails loud (the trash-container guard)
+    assertThrows[IllegalArgumentException](
+      Shell.run(spark, sf, "rm", Seq("-trash", "/")))
+  }
+
+  test("balancer verb: schedule and -report classification") {
+    val rep = rows(Shell.run(spark, sf, "balancer",
+      Seq("-report", "-threshold", "0.08")))
+    assert(rep.nonEmpty)
+    val classes = rep.map(_(2).asInstanceOf[String]).toSet
+    assert(classes.subsetOf(Set("overUtilized", "aboveAvgUtilized",
+      "belowAvgUtilized", "underUtilized")))
+    val sched = rows(Shell.run(spark, sf, "balancer",
+      Seq("-threshold", "0.08")))
+    assert(sched.nonEmpty && sched.forall(_(3).asInstanceOf[Long] > 0))
   }
 }
