@@ -210,6 +210,29 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("balancer movePlan: blocks reach pairs via an equi-join, no cartesian") {
+    // the 100 TB shape: the block side is data-scale and must shuffle by
+    // holder ONCE into a broadcast equi-join with the (node-bounded) pair
+    // schedule — a predicate join of pairs × blocks would plan a
+    // BroadcastNestedLoop/Cartesian over every block row
+    import graft.analytics.Balancer
+    val now = 1700000000000L
+    val dn = (1 to 12).map(i => (i.toLong, 10000L, (i * 700).toLong, 9000L,
+        now, s"/rack${i % 3}", "NORMAL", i.toLong))
+      .toDF("id", "capacity", "dfsUsed", "remaining", "lastUpdated",
+        "location", "adminState", "version")
+    val blk = (1 to 3000).map(i =>
+      (i.toLong, 1L + i % 12, 10L, 7L, i.toLong % 200, 1L, i.toLong))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+        "fileIndex", "version")
+    val plan = Balancer.movePlan(Balancer.pairs(dn, now, 10.0), blk, dn, now)
+    plan.count() // exercisable end-to-end
+    val p = plan.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pairs must broadcast into the block side:\n$p")
+  }
+
   test("minhash signatures over a doc_id-bucketed corpus need no shuffle") {
     // the 100 TB dedup layout: corpus bucketed by doc id. n-gram
     // formation is map-side (zip_with chain) and Generate preserves the
