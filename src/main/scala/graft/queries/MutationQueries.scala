@@ -193,6 +193,19 @@ object MutationQueries {
           idBase = 8000000L, blockIdBase = 20000000L)
         .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
     },
+    // abandonBlock: checkLease ladder + replica tombstones over the UC
+    // files of the derived namespace
+    "n_abandon_block" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      // NB: the min-block lookup is a grouped JOIN, not a correlated
+      // scalar subquery — the subquery's decorrelation re-resolved the
+      // view unions inside the operator's joins and crashed the
+      // optimizer (PushProjectionThroughUnion, key-not-found)
+      val reqs = s.sql(abandonReqsSql)
+      Mutations.abandonBlock(s.table("file"), s.table("block"), reqs)
+        .orderBy(col("writeOp"), col("fileId"), col("blockId"),
+          col("datanodeId"), col("reject"))
+    },
     // Trash.moveToTrash: mirror-chain creation + moves + the reject
     // ladder. The request mix keeps dir requests (nation-13 customers)
     // disjoint from file requests (other nations) — a nested batch is
@@ -326,6 +339,35 @@ object MutationQueries {
       |       'hb_' || CAST(o_orderkey % 7 AS STRING)
       |FROM orders WHERE o_orderkey % 202 = 0""".stripMargin
 
+  /** abandonBlock request mix (runs verbatim in both engines): the first
+    * block of every 4th under-construction file abandoned by its own
+    * holder, one wrong-holder, one completed file, one directory, one
+    * phantom file and one null holder. */
+  private val abandonReqsSql: String =
+    """SELECT f.id AS fileId, m.blockId, f.leaseHolder AS holder
+      |FROM file f LEFT JOIN (SELECT fileId AS mfid, MIN(id) AS blockId
+      |                       FROM block WHERE version > 0
+      |                       GROUP BY fileId) m ON m.mfid = f.id
+      |WHERE f.version > 0 AND f.leaseHolder IS NOT NULL AND f.id % 4 = 1
+      |UNION ALL
+      |SELECT f.id, m.blockId, 'wrong_holder'
+      |FROM file f LEFT JOIN (SELECT fileId AS mfid, MIN(id) AS blockId
+      |                       FROM block WHERE version > 0
+      |                       GROUP BY fileId) m ON m.mfid = f.id
+      |WHERE f.version > 0 AND f.leaseHolder IS NOT NULL AND f.id % 4 = 2
+      |UNION ALL
+      |SELECT MIN(f.id), CAST(NULL AS BIGINT), 'h'
+      |FROM file f
+      |WHERE f.version > 0 AND f.leaseHolder IS NULL AND f.length >= 0
+      |UNION ALL
+      |SELECT CAST(5 AS BIGINT), CAST(NULL AS BIGINT), 'h'
+      |UNION ALL
+      |SELECT CAST(99999999 AS BIGINT), CAST(NULL AS BIGINT), 'h'
+      |UNION ALL
+      |SELECT MIN(f.id), CAST(NULL AS BIGINT), CAST(NULL AS STRING)
+      |FROM file f
+      |WHERE f.version > 0 AND f.leaseHolder IS NOT NULL""".stripMargin
+
   /** trash request mix (runs verbatim in both engines): order files
     * outside nation 13, customer dirs of nation 13 (disjoint subtrees —
     * see n_trash), the root (container guard), a phantom id, and one
@@ -384,6 +426,30 @@ object MutationQueries {
   private val O = DerivedState.oracle _
 
   def oracles: Map[String, String] = Map(
+    "n_abandon_block" -> O(
+      s"""WITH req AS (
+         |$abandonReqsSql),
+         |rv AS (SELECT DISTINCT fileId, blockId, holder FROM req),
+         |v AS (
+         |  SELECT rv.fileId, rv.blockId, rv.holder,
+         |    CASE WHEN f.id IS NULL THEN 'file not found'
+         |         WHEN f.length = -1 THEN 'file is a directory'
+         |         WHEN f.leaseHolder IS NULL THEN 'file not under construction'
+         |         WHEN rv.holder IS NULL THEN 'null holder'
+         |         WHEN rv.holder <> f.leaseHolder THEN 'wrong holder'
+         |    END AS reject
+         |  FROM rv LEFT JOIN file f ON f.id = rv.fileId AND f.version > 0)
+         |SELECT writeOp, fileId, blockId, datanodeId, version, reject FROM (
+         |  SELECT 'tombstone' AS writeOp, v.fileId, b.id AS blockId,
+         |         b.datanodeId, -b.version AS version,
+         |         CAST(NULL AS STRING) AS reject
+         |  FROM v JOIN block b ON b.id = v.blockId AND b.version > 0
+         |  WHERE v.reject IS NULL
+         |  UNION ALL
+         |  SELECT 'reject', fileId, blockId, CAST(NULL AS BIGINT),
+         |         CAST(NULL AS BIGINT), reject
+         |  FROM v WHERE reject IS NOT NULL) u
+         |ORDER BY writeOp, fileId, blockId, datanodeId, reject""".stripMargin),
     "n_trash" -> O(
       s"""WITH RECURSIVE req AS (
          |$trashReqsSql),

@@ -1212,6 +1212,62 @@ object Mutations {
     * it. Tombstones negate the old version. Output rows: (writeOp
     * insert|tombstone|finalize|reject, tbl block|file, id, datanodeId,
     * length, generationStamp, fileId, fileIndex, version, reject). */
+  /** dfs.max.objects gate (checkFsObjectLimit, FSNamesystem.java:4070-4073,
+    * invoked by startFile :1031 and mkdirs :1451): when the configured cap
+    * is non-zero and file rows + block rows already meet it, the request
+    * refuses BEFORE creating anything — the reference throws the same
+    * way. Callers gate their write-set ops with it; 0 (the reference's
+    * default) disables the two counts entirely. */
+  def checkFsObjectLimit(file: DataFrame, block: DataFrame,
+                         maxFsObjects: Long): Unit =
+    if (maxFsObjects != 0) {
+      val n = live(file).count() + live(block).count()
+      if (maxFsObjects <= n)
+        throw new IllegalStateException(
+          s"Exceeded the configured number of objects $maxFsObjects in the filesystem.")
+    }
+
+  /** abandonBlock (FSNamesystem.java:1065-1080 + checkLease :1086-1093):
+    * the client lets go of one block of its under-construction file —
+    * every replica row of the block is tombstoned (deleteBlockById),
+    * gated by the full checkLease ladder. `requests`: (fileId, blockId,
+    * holder). Reject reasons mirror the LeaseExpiredException cases in
+    * checkLease's order: missing/tombstoned file, directory, completed
+    * file (no leaseHolder), null holder, wrong holder. A lease-valid
+    * request whose block has no live rows deletes nothing and is NOT a
+    * reject — the reference returns true regardless. Safe-mode is the
+    * caller's gate (N14), as for every write-set op. */
+  def abandonBlock(file: DataFrame, block: DataFrame,
+                   requests: DataFrame): DataFrame = {
+    val f = live(file).select(col("id").as("__fid"),
+      col("length").as("__flen"), col("leaseHolder").as("__flh"))
+    val reqs = requests.select(col("fileId"), col("blockId"), col("holder"))
+      .distinct()
+      .join(f, col("fileId") === col("__fid"), "left")
+      .withColumn("reject",
+        when(col("__fid").isNull, "file not found")
+          .when(col("__flen") === -1L, "file is a directory")
+          .when(col("__flh").isNull, "file not under construction")
+          .when(col("holder").isNull, "null holder")
+          .when(col("holder") =!= col("__flh"), "wrong holder"))
+    // one left join instead of a tombstones∪rejects union: a rejected
+    // request keeps its single row (the join condition requires a clear
+    // reject), a valid one fans out to its replica rows, and a valid
+    // no-op (no live rows) drops out below
+    val replicas = live(block).select(col("id").as("__ab"),
+      col("datanodeId"), col("version").as("__bv"))
+    reqs.join(replicas,
+        col("blockId") === col("__ab") && col("reject").isNull, "left")
+      .filter(col("reject").isNotNull || col("datanodeId").isNotNull)
+      .select(
+        when(col("reject").isNull, lit("tombstone")).otherwise(lit("reject"))
+          .as("writeOp"),
+        col("fileId"), col("blockId"),
+        when(col("reject").isNull, col("datanodeId")).as("datanodeId"),
+        when(col("reject").isNull, -col("__bv")).as("version"),
+        col("reject"))
+  }
+
   def commitBlockSync(file: DataFrame, block: DataFrame, datanode: DataFrame,
                       requests: DataFrame, versionBase: Long): DataFrame = {
     val b = live(block)

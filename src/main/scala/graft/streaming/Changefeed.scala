@@ -366,6 +366,34 @@ object Changefeed {
       }
       .start()
 
+  /** Balancer iteration loop (Balancer.java main :1240-1330): each tick
+    * re-plans from the CURRENT datanode snapshot and hands `sink` the
+    * (batchId, imbalance row, move schedule). The caller dispatches the
+    * moves; the next tick plans against the updated report — the
+    * reference's while-loop convergence, one iteration per trigger. An
+    * already-balanced tick (bytesLeftToMove == 0, checked BEFORE pairing
+    * exactly like the reference's early exit) short-circuits to an empty
+    * schedule. */
+  def balancerMonitor(ticks: DataFrame, datanode: () => DataFrame,
+                      nowMs: () => Long, thresholdPct: Double,
+                      sink: (Long, DataFrame, DataFrame) => Unit): StreamingQuery =
+    ticks.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (_: DataFrame, id: Long) =>
+        val dn = datanode()
+        val now = nowMs()
+        // pin: the supplier reads a mutable snapshot — a lazy frame the
+        // sink consumes after dispatching moves would re-plan post-hoc
+        val imb = graft.analytics.Balancer
+          .imbalance(dn, now, thresholdPct).localCheckpoint()
+        val pairs =
+          if (imb.head().getAs[Long]("bytesLeftToMove") == 0L)
+            graft.analytics.Balancer.pairs(dn.limit(0), now, thresholdPct)
+          else graft.analytics.Balancer.pairs(dn, now, thresholdPct)
+        sink(id, imb, pairs)
+      }
+      .start()
+
   /** S15+N17 LeaseMonitor, full chain: each tick finds the hard-expired
     * leases AND produces the release write-set for their holders — the
     * reference's checkLeases → internalReleaseLease composition

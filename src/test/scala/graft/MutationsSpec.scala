@@ -322,6 +322,55 @@ class MutationsSpec extends SparkSpec {
     assert(!out.contains(15L)) // Current's content survives the rename
   }
 
+  test("checkFsObjectLimit: refuses at the cap, free when disabled") {
+    val b = Seq((500L, 1L, 10L, 7L, 3L, 1L, 5L))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+        "fileIndex", "version")
+    // fixture: 5 live file rows + 1 live block row = 6 objects
+    Mutations.checkFsObjectLimit(file, b, maxFsObjects = 0L)  // disabled
+    Mutations.checkFsObjectLimit(file, b, maxFsObjects = 7L)  // below cap
+    assertThrows[IllegalStateException](
+      Mutations.checkFsObjectLimit(file, b, maxFsObjects = 6L))
+  }
+
+  test("abandonBlock: checkLease ladder gates the replica tombstones") {
+    val f = Seq(
+      (0L, -1L, "", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 1L),
+      (1L, 0L, "d", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 2L),
+      (10L, 1L, "uc", 0L, 64L, 2L, 0L, 0L, 0L, Some("h1"), 0L, 3L),
+      (11L, 1L, "done", 100L, 64L, 2L, 0L, 0L, 0L, None: Option[String], 0L, 4L),
+    ).toDF("id", "parentId", "name", "length", "blockSize", "replication",
+      "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    val b = Seq(
+      (500L, 1L, -1L, 7L, 10L, 1L, 5L), (500L, 2L, -1L, 7L, 10L, 1L, 6L),
+      (501L, 1L, 50L, 7L, 11L, 1L, 7L),
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+      "fileIndex", "version")
+    val reqs = Seq(
+      (10L, 500L, Some("h1")),              // valid → both replicas tombstone
+      (10L, 502L, Some("h1")),              // valid, no live rows → no-op
+      (11L, 501L, Some("h1")),              // completed file
+      (1L, 500L, Some("h1")),               // directory
+      (99L, 500L, Some("h1")),              // missing file
+      (10L, 500L, None: Option[String]),    // null holder
+      (10L, 500L, Some("h2")),              // wrong holder
+    ).toDF("fileId", "blockId", "holder")
+    val out = rows(Mutations.abandonBlock(f, b, reqs)
+      .select(col("writeOp"), col("fileId"), col("blockId"),
+        col("datanodeId"), col("version"), col("reject"))
+      .orderBy(col("writeOp"), col("fileId"), col("blockId"),
+        col("datanodeId"), col("reject")))
+    assert(out.filter(_.head == "tombstone") == Seq(
+      Seq("tombstone", 10L, 500L, 1L, -5L, null),
+      Seq("tombstone", 10L, 500L, 2L, -6L, null)))
+    assert(out.filter(_.head == "reject").map(r => (r(1), r(5))).toSet == Set(
+      (11L, "file not under construction"),
+      (1L, "file is a directory"),
+      (99L, "file not found"),
+      (10L, "null holder"),
+      (10L, "wrong holder")))
+  }
+
   test("moveToTrash: mirror-dir chain, move, touches, rejects") {
     // namespace: /a/b/f1 (file), /a/empty (dir); no trash yet
     val out = rows(Mutations.moveToTrash(file,

@@ -162,6 +162,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("balancer monitor: re-plans per tick, early-exits once balanced") {
+    implicit val sqlCtx = spark.sqlContext
+    val now = 1700000000000L
+    def cluster(skewed: Boolean) = {
+      val used = if (skewed) Seq(5000L, 1000L, 4000L, 2500L, 1500L, 2000L)
+                 else Seq(2700L, 2600L, 2700L, 2700L, 2600L, 2700L)
+      used.zipWithIndex.map { case (u, i) =>
+        (i.toLong + 1, 10000L, u, 9000L, now,
+          if (i < 3) "/rackA" else "/rackB", "NORMAL", i.toLong + 1)
+      }.toDF("id", "capacity", "dfsUsed", "remaining", "lastUpdated",
+        "location", "adminState", "version")
+    }
+    // mutable snapshot: tick 1 sees the skew, the "dispatch" flips it to
+    // the balanced report, tick 2 must early-exit
+    var snapshot = cluster(skewed = true)
+    val mem = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Seq[Any]])]
+    val q = Changefeed.balancerMonitor(mem.toDF().toDF("tick"),
+      () => snapshot, () => now, thresholdPct = 10.0,
+      (id, imb, pairs) => {
+        got += ((id, imb.head().getAs[Long]("bytesLeftToMove"),
+          rows(pairs.orderBy(col("pass"), col("sourceId"), col("targetId")))))
+        snapshot = cluster(skewed = false)
+      })
+    try {
+      mem.addData(1L)
+      q.processAllAvailable()
+      mem.addData(2L)
+      q.processAllAvailable()
+      val (_, left1, pairs1) = got(0)
+      // tick 1: the BalancerSpec fixture's schedule, verbatim
+      assert(left1 > 0 && pairs1 == rows(
+        graft.analytics.Balancer.pairs(cluster(skewed = true), now, 10.0)
+          .orderBy(col("pass"), col("sourceId"), col("targetId"))))
+      // tick 2: balanced — the reference's pre-pairing early exit
+      val (_, left2, pairs2) = got(1)
+      assert(left2 == 0L && pairs2.isEmpty)
+    } finally q.stop()
+  }
+
   test("D2 retrying applier: transient failures retry, poisoned batches quarantine") {
     implicit val sqlCtx = spark.sqlContext
     val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
