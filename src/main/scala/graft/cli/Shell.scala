@@ -103,7 +103,13 @@ object Shell {
 
     verb match {
       case "ls" =>
-        StateManager.listChildren(file, resolve(path))
+        // glob patterns list their MATCHES (globStatus semantics); a
+        // literal path lists its children
+        if (path.exists(c => "*?[{".indexOf(c.toInt) >= 0))
+          StateManager.resolveGlobs(file, Seq(path))
+            .select(col("path"), col("length"), col("replication"), col("mtime"))
+            .orderBy(col("path"))
+        else StateManager.listChildren(file, resolve(path))
           .select(col("name"), col("length"), col("replication"), col("mtime"))
           .orderBy(col("name"))
       case "lsr" =>

@@ -180,6 +180,15 @@ object StateQueries {
         .select(col("id"), col("path"), col("length"))
         .orderBy(col("id"))
     },
+    // S1 glob expansion (FileSystem.globStatus / TestGlobPaths):
+    // wildcard, ?, brace alternation and a character class over the
+    // derived namespace, all patterns in one walk
+    "s_glob" -> { (s, dir) =>
+      StateManager.resolveGlobs(DerivedState.file(s, dir),
+          Seq("/n_*", "/n_1?/c_*00", "/n_{3,7}/c_*5", "/n_2/c_1[0-9]3"))
+        .select(col("pattern"), col("path"), col("id"), col("length"))
+        .orderBy(col("pattern"), col("path"))
+    },
     // S3: directory listing with affixed paths
     "s3_listing" -> { (s, dir) =>
       StateManager.listChildren(DerivedState.file(s, dir), parentId = 8L)
@@ -352,6 +361,34 @@ object StateQueries {
         |JOIN file f2 ON f2.parentId = f1.id AND f2.name = 'c_' || CAST(ck AS STRING) AND f2.version > 0
         |JOIN file f3 ON f3.parentId = f2.id AND f3.name = 'o_' || CAST(ok AS STRING) AND f3.version > 0
         |ORDER BY r.path""".stripMargin),
+    "s_glob" -> O(
+      """SELECT pattern, path, id, length FROM (
+        |  SELECT '/n_*' AS pattern, '/' || f1.name AS path, f1.id, f1.length
+        |  FROM file f1
+        |  WHERE f1.parentId = 0 AND f1.id <> 0 AND f1.version > 0
+        |    AND regexp_matches(f1.name, '^n_[^/]*$')
+        |  UNION ALL
+        |  SELECT '/n_1?/c_*00', '/' || f1.name || '/' || f2.name, f2.id, f2.length
+        |  FROM file f1 JOIN file f2 ON f2.parentId = f1.id
+        |  WHERE f1.parentId = 0 AND f1.id <> 0 AND f1.version > 0
+        |    AND f2.version > 0 AND f2.id <> 0
+        |    AND regexp_matches(f1.name, '^n_1[^/]$')
+        |    AND regexp_matches(f2.name, '^c_[^/]*00$')
+        |  UNION ALL
+        |  SELECT '/n_{3,7}/c_*5', '/' || f1.name || '/' || f2.name, f2.id, f2.length
+        |  FROM file f1 JOIN file f2 ON f2.parentId = f1.id
+        |  WHERE f1.parentId = 0 AND f1.id <> 0 AND f1.version > 0
+        |    AND f2.version > 0 AND f2.id <> 0
+        |    AND regexp_matches(f1.name, '^n_(3|7)$')
+        |    AND regexp_matches(f2.name, '^c_[^/]*5$')
+        |  UNION ALL
+        |  SELECT '/n_2/c_1[0-9]3', '/' || f1.name || '/' || f2.name, f2.id, f2.length
+        |  FROM file f1 JOIN file f2 ON f2.parentId = f1.id
+        |  WHERE f1.parentId = 0 AND f1.id <> 0 AND f1.version > 0
+        |    AND f2.version > 0 AND f2.id <> 0
+        |    AND regexp_matches(f1.name, '^n_2$')
+        |    AND regexp_matches(f2.name, '^c_1[0-9]3$')
+        |) u ORDER BY pattern, path""".stripMargin),
     "s2_paths" -> O(
       """SELECT id, path, length FROM (
         |  SELECT id, '' AS path, length FROM file WHERE id = 0 AND version > 0

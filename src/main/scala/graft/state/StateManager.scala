@@ -109,6 +109,86 @@ object StateManager {
     }
   }
 
+  /** Translate ONE glob path component to an anchored regex —
+    * FileSystem.globStatus / GlobExpander semantics
+    * (C/org/apache/hadoop/fs/FileSystem.java glob family, GlobExpander
+    * for {a,b}): `*` and `?` never cross a separator, `[...]` character
+    * classes (incl. leading-^ negation and ranges) pass through, `{a,b}`
+    * becomes alternation, backslash escapes the next char, every other
+    * regex metacharacter is escaped literal. The anchors make Spark's
+    * partial-match rlike and DuckDB's regexp_matches agree. */
+  private[graft] def globToRegex(comp: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    var inBracket = false
+    var braceDepth = 0
+    while (i < comp.length) {
+      val c = comp.charAt(i)
+      if (inBracket) {
+        if (c == ']') inBracket = false
+        sb += c
+      } else c match {
+        case '*' => sb ++= "[^/]*"
+        case '?' => sb ++= "[^/]"
+        case '[' => inBracket = true; sb += '['
+        case '{' => braceDepth += 1; sb += '('
+        case '}' if braceDepth > 0 => braceDepth -= 1; sb += ')'
+        case ',' if braceDepth > 0 => sb += '|'
+        case '\\' if i + 1 < comp.length =>
+          i += 1; sb ++= java.util.regex.Pattern.quote(comp.charAt(i).toString)
+        case ch if "\\.[]{}()*+?^$|".indexOf(ch.toInt) >= 0 => sb += '\\'; sb += ch
+        case ch => sb += ch
+      }
+      i += 1
+    }
+    sb += '$'
+    sb.toString
+  }
+
+  /** S1 with glob components (FileSystem.globStatus + GlobExpander;
+    * TestGlobPaths): expand absolute glob patterns against the live
+    * namespace. Returns (pattern, path, <file columns>) — one row per
+    * matched node, every pattern in one pass. The walk is the
+    * resolvePaths level loop with a per-level REGEX name match instead
+    * of equality: the (pattern × matched-dir) frontier broadcasts into a
+    * map-side join against the file scan, so the namespace itself never
+    * shuffles. The frontier is bounded by the matches per level — a
+    * degenerate all-wildcard pattern makes it the whole directory level,
+    * which is the glob's real answer set, not an artifact. */
+  def resolveGlobs(file: DataFrame, patterns: Seq[String],
+                   maxDepth: Int = 16): DataFrame = {
+    val fBase = live(file)
+    val spark = file.sparkSession
+    import spark.implicits._
+    val cols = fBase.columns.toSeq
+    val reqs = patterns.distinct.filter(_.startsWith("/"))
+      .map(p => (p, p.split("/").filter(_.nonEmpty).toSeq.map(globToRegex)))
+    val maxComps = (0 +: reqs.map(_._2.length)).max
+    val reqDf = reqs.toDF("pattern", "__regex")
+      .withColumn("__depth", size(col("__regex")))
+    var frontier = reqDf.withColumn("__cur", lit(0L))
+      .withColumn("__ppath", lit(""))
+    var out = reqDf.select(col("pattern")).limit(0)
+      .withColumn("path", lit("")).crossJoin(fBase.limit(0))
+    for (lvl <- 1 to math.min(maxDepth, maxComps)) {
+      val pfx = s"__g${lvl}_"
+      val f = fBase.select(cols.map(c => col(c).as(pfx + c)): _*)
+      val step = broadcast(frontier.filter(col("__depth") >= lvl))
+        .join(f, col(pfx + "parentId") === col("__cur") &&
+          regexp_like(col(pfx + "name"), element_at(col("__regex"), lvl)))
+        .withColumn("__mpath",
+          concat(col("__ppath"), lit("/"), col(pfx + "name")))
+      val resolved = step.filter(col("__depth") === lvl)
+        .select(col("pattern") +: col("__mpath").as("path") +:
+          cols.map(c => col(pfx + c).as(c)): _*)
+      out = out.unionByName(resolved)
+      frontier = step.filter(col("__depth") > lvl)
+        .select(col("pattern"), col("__regex"), col("__depth"),
+          col(pfx + "id").as("__cur"), col("__mpath").as("__ppath"))
+    }
+    out
+  }
+
   private def resolvePathsIterative(fBase: DataFrame, paths: DataFrame,
                                     maxDepth: Int): DataFrame = {
     // NOT persisted: unlike materializePaths/descendants this loop takes no

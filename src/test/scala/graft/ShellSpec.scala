@@ -149,6 +149,11 @@ class ShellSpec extends SparkSpec {
       Shell.run(spark, sf, "rm", Seq("-trash", "/")))
   }
 
+  test("ls with a glob pattern lists the matches, not children") {
+    val out = rows(Shell.run(spark, sf, "ls", Seq("/n_{3,7}")))
+    assert(out.map(_.head) == Seq("/n_3", "/n_7"))
+  }
+
   test("balancer verb: schedule and -report classification") {
     val rep = rows(Shell.run(spark, sf, "balancer",
       Seq("-report", "-threshold", "0.08")))

@@ -117,6 +117,35 @@ class StateManagerSpec extends SparkSpec {
     assert(out(4L) == 102L)
   }
 
+  test("glob translation: wildcard, class, braces, escapes, anchoring") {
+    assert(StateManager.globToRegex("f*") == "^f[^/]*$")
+    assert(StateManager.globToRegex("f?x") == "^f[^/]x$")
+    assert(StateManager.globToRegex("f[a-z0]") == "^f[a-z0]$")
+    assert(StateManager.globToRegex("f[^ab]") == "^f[^ab]$")
+    assert(StateManager.globToRegex("{f1,f2}") == "^(f1|f2)$")
+    assert(StateManager.globToRegex("a.b") == "^a\\.b$")
+    assert(StateManager.globToRegex("a\\*b") == "^a\\Q*\\Eb$")
+    // a bracket keeps regex specials literal inside it
+    assert(StateManager.globToRegex("x[*?]") == "^x[*?]$")
+  }
+
+  test("glob resolution: matches per pattern, files don't recurse, tombstones excluded") {
+    val out = rows(StateManager.resolveGlobs(file,
+        Seq("/a/*", "/a/b/f?", "/a/{b,empty}", "/a/b/f1/*", "/a/b/[du]*"))
+      .select(col("pattern"), col("path"), col("id"))
+      .orderBy(col("pattern"), col("path")))
+    assert(out == Seq(
+      Seq("/a/*", "/a/b", 2L),
+      Seq("/a/*", "/a/empty", 5L),
+      // [du]* takes live "uc" but NOT the tombstoned "dead"
+      Seq("/a/b/[du]*", "/a/b/uc", 6L),
+      Seq("/a/b/f?", "/a/b/f1", 3L),
+      Seq("/a/b/f?", "/a/b/f2", 4L),
+      Seq("/a/{b,empty}", "/a/b", 2L),
+      Seq("/a/{b,empty}", "/a/empty", 5L)))
+    // "/a/b/f1/*" matches nothing: f1 is a file, the walk stops there
+  }
+
   test("S13/S14: cluster stats and lease expiry") {
     val now = 1000000L
     val dn = Seq(
