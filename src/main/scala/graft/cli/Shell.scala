@@ -101,11 +101,24 @@ object Shell {
         hits.head.getLong(0)
       }
 
+    def hasGlob(p: String): Boolean =
+      p.exists(c => "*?[{".indexOf(c.toInt) >= 0)
+
+    // FsShell expands glob arguments before dispatch (globStatus) — a
+    // multi-target verb takes every match, a literal path stays single
+    def resolveMany(p: String): Seq[Long] =
+      if (hasGlob(p)) {
+        val ids = StateManager.resolveGlobs(file, Seq(p))
+          .select(col("id")).collect().map(_.getLong(0)).toSeq
+        require(ids.nonEmpty, s"no match: $p")
+        ids
+      } else Seq(resolve(p))
+
     verb match {
       case "ls" =>
         // glob patterns list their MATCHES (globStatus semantics); a
         // literal path lists its children
-        if (path.exists(c => "*?[{".indexOf(c.toInt) >= 0))
+        if (hasGlob(path))
           StateManager.resolveGlobs(file, Seq(path))
             .select(col("path"), col("length"), col("replication"), col("mtime"))
             .orderBy(col("path"))
@@ -132,7 +145,7 @@ object Shell {
         // quota is ever set (INode.getNsQuota default -1)
         val qOpt = args.contains("-q")
         val target = args.filterNot(_ == "-q").headOption.getOrElse("/")
-        val s = Dataflows.contentSummary(file, Seq(resolve(target)))
+        val s = Dataflows.contentSummary(file, resolveMany(target))
         if (qOpt) s.select(
           when(col("quota") > 0, col("quota").cast("string"))
             .otherwise(lit("none")).as("quota"),
@@ -247,12 +260,12 @@ object Shell {
             throw new IllegalArgumentException(
               s"rm -trash $target refused: ${r.getAs[String]("reject")}"))
           localized(rows, out.schema)
-        } else Mutations.guardedDelete(file, Seq(resolve(path)).toDF("id"))
+        } else Mutations.guardedDelete(file, resolveMany(path).toDF("id"))
           .orderBy(col("id"))
       case "rmr" =>
-        val id = resolve(path)
-        require(id != 0L, "cannot delete root") // match rm's guard
-        StateManager.recursiveDelete(file, Seq(id))
+        val ids = resolveMany(path)
+        require(!ids.contains(0L), "cannot delete root") // match rm's guard
+        StateManager.recursiveDelete(file, ids)
           .select(col("id"), col("parentId"), col("name"), col("version"))
           .orderBy(col("id"))
       case "setrep" =>

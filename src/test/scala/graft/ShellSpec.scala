@@ -154,6 +154,17 @@ class ShellSpec extends SparkSpec {
     assert(out.map(_.head) == Seq("/n_3", "/n_7"))
   }
 
+  test("multi-target verbs expand globs: count and rmr over matches") {
+    // count over two nation subtrees at once — one summary row each
+    val cnt = rows(Shell.run(spark, sf, "count", Seq("/n_{3,7}")))
+    assert(cnt.size == 2)
+    // rmr over the glob tombstones both subtrees (write-set only)
+    val rmr = rows(Shell.run(spark, sf, "rmr", Seq("/n_{3,7}"))
+      .select(col("id"), col("version")))
+    assert(rmr.count(r => Seq(4L, 8L).contains(r.head)) == 2
+      && rmr.forall(_(1).asInstanceOf[Long] < 0))
+  }
+
   test("balancer verb: schedule and -report classification") {
     val rep = rows(Shell.run(spark, sf, "balancer",
       Seq("-report", "-threshold", "0.08")))
