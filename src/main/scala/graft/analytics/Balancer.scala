@@ -239,7 +239,12 @@ object Balancer {
         collect_set(col("datanodeId")).as("holders"))
       .filter(col("blockLength") > 0)
       .withColumn("holderId", explode(col("holders")))
-      .join(rack, col("holderId") === col("__nid"), "left")
+      // INNER join: holders on dead/decommissioning nodes are dropped from
+      // locs, matching the reference's unknown-datanode filter in
+      // getBlockList ("datanode != null"). A left join would carry a null
+      // rack into exists(), whose three-valued logic silently turns the
+      // rack-safety filter into NULL and drops good candidates.
+      .join(rack, col("holderId") === col("__nid"))
       .groupBy(col("blockId"), col("blockLength"))
       .agg(collect_set(struct(col("holderId"), col("__rack"))).as("locs"))
     val p = pairsDf

@@ -180,6 +180,10 @@ object Shell {
         // single-writer discipline. A refused request fails LOUD with the
         // validator's reason instead of returning an empty frame.
         val (pPath, name) = splitPath(path)
+        // dfs.max.objects gate, reference default 0 = disabled
+        // (FSNamesystem.java:4070-4073 via startFile :1031 / mkdirs :1451)
+        Mutations.checkFsObjectLimit(file, block,
+          spark.conf.get("graft.dfs.max.objects", "0").toLong)
         val req = Seq((resolve(pPath), name)).toDF("parentId", "name")
         val rejects = Mutations.validateInserts(file, req)
           .filter(col("reject").isNotNull).select(col("reject")).collect()
@@ -253,8 +257,10 @@ object Shell {
           val target = args.filterNot(_ == "-trash").headOption.getOrElse("/")
           val maxFileId = file.agg(coalesce(max(col("id")), lit(0L)))
             .collect()(0).getLong(0)
+          // FsShell expands globs before dispatch for every path argument,
+          // trash-enabled deletes included — mirror rm/rmr's resolveMany
           val out = Mutations.moveToTrash(file,
-            Seq(resolve(target)).toDF("id"), idBase = maxFileId, nowMs = Now)
+            resolveMany(target).toDF("id"), idBase = maxFileId, nowMs = Now)
           val rows = out.orderBy(col("writeOp"), col("id")).collect()
           rows.find(_.getAs[String]("writeOp") == "reject").foreach(r =>
             throw new IllegalArgumentException(

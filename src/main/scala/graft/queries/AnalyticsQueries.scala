@@ -549,7 +549,7 @@ object AnalyticsQueries {
         |bl_locs AS (
         |  SELECT b.id AS blockId, b.datanodeId AS holderId, r.location AS rack
         |  FROM (SELECT DISTINCT id, datanodeId FROM block WHERE version > 0) b
-        |  LEFT JOIN bl_rk r ON b.datanodeId = r.id),
+        |  JOIN bl_rk r ON b.datanodeId = r.id),
         |bl_len AS (
         |  SELECT id AS blockId,
         |    ARG_MAX(length, CAST(generationStamp AS HUGEINT) * 9223372036854775808 + version) AS blockLength

@@ -1177,41 +1177,6 @@ object Mutations {
     finalizes.unionByName(recovers).unionByName(nnleases).unionByName(renew)
   }
 
-  /** commitBlockSynchronization write-set (FSNamesystem.java:1575-1639)
-    * — the APPLY side of lease recovery: the primary datanode reports
-    * the synchronized last block back. Per request (blockId,
-    * newGenStamp, closeFile, deleteBlock, targets):
-    *
-    *  - reject when the block has no live rows, its file is gone, or the
-    *    file is not under construction (:1586-1592; the safe-mode gate is
-    *    transient namenode memory — N14 computes the ratio as analysis,
-    *    there is no global mode bit in the table model).
-    *  - deleteBlock → tombstone EVERY row of the block, flag row
-    *    included (deleteBlockById :1596).
-    *  - otherwise: tombstone the old replica rows (:1610-1613), insert
-    *    one under-construction row (length −1, the new genstamp) per
-    *    target with a KNOWN datanode row (:1615-1623, unknown targets
-    *    ignored), and reconcile the NULL_DATANODE flag row — it must
-    *    exist exactly when no valid target was added (insert :1603-1608,
-    *    delete-when-added :1625-1627).
-    *  - closeFile → 'finalize' the file against the POST-update block
-    *    image (finalizeINodeFileUnderConstruction :1629-1633): length =
-    *    Σ per-index primary lengths > 0 (the fresh rows carry −1, so a
-    *    just-synced entry contributes nothing until its replicas
-    *    re-report — the reference's re-read does the same), holder
-    *    cleared, version bumped. newLength is logged, never stored
-    *    (:1631 reads the block entries, not the argument) — omitted.
-    *
-    * At most one request per blockId: exact duplicates collapse; among
-    * conflicting ones the (newGenStamp, closeFile, deleteBlock,
-    * targets)-max wins deterministically (the full-key tiebreak every
-    * sibling dedup window uses). New-row versions are versionBase + the
-    * distributed (blockId, datanodeId) rank — versionBase must exceed
-    * every live block version, or the S6 latest-wins replay (max
-    * |version| per key) would let a fresh row's own tombstone outrank
-    * it. Tombstones negate the old version. Output rows: (writeOp
-    * insert|tombstone|finalize|reject, tbl block|file, id, datanodeId,
-    * length, generationStamp, fileId, fileIndex, version, reject). */
   /** dfs.max.objects gate (checkFsObjectLimit, FSNamesystem.java:4070-4073,
     * invoked by startFile :1031 and mkdirs :1451): when the configured cap
     * is non-zero and file rows + block rows already meet it, the request
@@ -1268,6 +1233,41 @@ object Mutations {
         col("reject"))
   }
 
+  /** commitBlockSynchronization write-set (FSNamesystem.java:1575-1639)
+    * — the APPLY side of lease recovery: the primary datanode reports
+    * the synchronized last block back. Per request (blockId,
+    * newGenStamp, closeFile, deleteBlock, targets):
+    *
+    *  - reject when the block has no live rows, its file is gone, or the
+    *    file is not under construction (:1586-1592; the safe-mode gate is
+    *    transient namenode memory — N14 computes the ratio as analysis,
+    *    there is no global mode bit in the table model).
+    *  - deleteBlock → tombstone EVERY row of the block, flag row
+    *    included (deleteBlockById :1596).
+    *  - otherwise: tombstone the old replica rows (:1610-1613), insert
+    *    one under-construction row (length −1, the new genstamp) per
+    *    target with a KNOWN datanode row (:1615-1623, unknown targets
+    *    ignored), and reconcile the NULL_DATANODE flag row — it must
+    *    exist exactly when no valid target was added (insert :1603-1608,
+    *    delete-when-added :1625-1627).
+    *  - closeFile → 'finalize' the file against the POST-update block
+    *    image (finalizeINodeFileUnderConstruction :1629-1633): length =
+    *    Σ per-index primary lengths > 0 (the fresh rows carry −1, so a
+    *    just-synced entry contributes nothing until its replicas
+    *    re-report — the reference's re-read does the same), holder
+    *    cleared, version bumped. newLength is logged, never stored
+    *    (:1631 reads the block entries, not the argument) — omitted.
+    *
+    * At most one request per blockId: exact duplicates collapse; among
+    * conflicting ones the (newGenStamp, closeFile, deleteBlock,
+    * targets)-max wins deterministically (the full-key tiebreak every
+    * sibling dedup window uses). New-row versions are versionBase + the
+    * distributed (blockId, datanodeId) rank — versionBase must exceed
+    * every live block version, or the S6 latest-wins replay (max
+    * |version| per key) would let a fresh row's own tombstone outrank
+    * it. Tombstones negate the old version. Output rows: (writeOp
+    * insert|tombstone|finalize|reject, tbl block|file, id, datanodeId,
+    * length, generationStamp, fileId, fileIndex, version, reject). */
   def commitBlockSync(file: DataFrame, block: DataFrame, datanode: DataFrame,
                       requests: DataFrame, versionBase: Long): DataFrame = {
     val b = live(block)

@@ -127,4 +127,27 @@ class BalancerSpec extends SparkSpec {
       Seq(1L, 1L, 5L, 104L),  // excluded from n2 (replica there already)
       Seq(2L, 3L, 4L, 106L))) // b106's claim beats cross-rack (4,n3,n5)
   }
+
+  test("movePlan: a holder on a dead node cannot veto a cross-rack move") {
+    // two live nodes in different racks force the only pair cross-rack;
+    // the extra replica sits on n9, whose heartbeat is stale. The
+    // reference drops unknown datanodes from block.locations
+    // (getBlockList's 'datanode != null'), so n9 must not appear in locs
+    // — a left join would carry a NULL rack into exists() and
+    // three-valued logic would silently drop the candidate.
+    val dn2 = Seq(
+      dn(1L, 5000L, "/rackA"),
+      dn(2L, 1000L, "/rackB"),
+      (9L, 10000L, 1000L, 9000L, now - 700000L, "/rackA", "NORMAL", 9L),
+    ).toDF("id", "capacity", "dfsUsed", "remaining", "lastUpdated",
+      "location", "adminState", "version")
+    val block = Seq(
+      (1L, 1L, 500L, 1L, 9L, 1L, 1L),
+      (1L, 9L, 500L, 1L, 9L, 1L, 2L),
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+      "fileIndex", "version")
+    val out = rows(Balancer.movePlan(Balancer.pairs(dn2, now, t), block, dn2, now)
+      .select(col("pass"), col("sourceId"), col("targetId"), col("blockId")))
+    assert(out == Seq(Seq(4L, 1L, 2L, 1L)))
+  }
 }

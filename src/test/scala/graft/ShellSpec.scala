@@ -154,6 +154,25 @@ class ShellSpec extends SparkSpec {
     assert(out.map(_.head) == Seq("/n_3", "/n_7"))
   }
 
+  test("rm -trash expands globs: both matches move under the mirror chain") {
+    val rt = rows(Shell.run(spark, sf, "rm", Seq("-trash", "/n_{3,7}"))
+      .select(col("writeOp"), col("name")))
+    assert(rt.count(_.head == "move") == 2
+      && rt.exists(r => r.head == "move" && r(1) == "n_3")
+      && rt.exists(r => r.head == "move" && r(1) == "n_7")
+      && rt.forall(_.head != "reject"))
+  }
+
+  test("mkdir refuses when graft.dfs.max.objects is at or below the live count") {
+    spark.conf.set("graft.dfs.max.objects", "1")
+    try assertThrows[IllegalStateException](
+      Shell.run(spark, sf, "mkdir", Seq("/shellspec_capped")))
+    finally spark.conf.unset("graft.dfs.max.objects")
+    // gate released → the same request goes through
+    assert(Shell.run(spark, sf, "mkdir", Seq("/shellspec_capped"))
+      .filter(col("writeOp") === "insert").count() == 1)
+  }
+
   test("multi-target verbs expand globs: count and rmr over matches") {
     // count over two nation subtrees at once — one summary row each
     val cnt = rows(Shell.run(spark, sf, "count", Seq("/n_{3,7}")))
