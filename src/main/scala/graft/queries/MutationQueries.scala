@@ -14,11 +14,13 @@ object MutationQueries {
 
   private val Now = DerivedState.NowMs
 
-  /** n_block_sync's new-row version base — one constant for the Spark
-    * gate and the oracle literal. Must clear every live block version
-    * (S6 latest-wins replays on max |version|): derived block versions
-    * reach ~5.9M at sf0.01 and ~23.2M at sf0.1. */
-  private val BlockSyncVersionBase = 30000000L
+  /** n_block_sync's new-row version base — DERIVED from the augmented
+    * block table (next 10M boundary above its max live version, see
+    * Mutations.blockSyncVersionBase) so a scale-factor bump can never
+    * trip commitBlockSync's versionBase guard. The oracle computes the
+    * identical integer arithmetic in its vbase CTE. */
+  private val BlockSyncVersionBaseSql: String =
+    "(SELECT (MAX(version) // 10000000 + 1) * 10000000 FROM liveB)"
 
   /** n_block_sync's synthetic NULL_DATANODE flag rows (gs 90 sentinel,
     * one per %7 block of a %50 UC file) — ONE dialect-shared text run
@@ -269,9 +271,10 @@ object MutationQueries {
           |SELECT CAST(42 AS BIGINT), CAST(200 AS BIGINT), false, false,
           |       array(CAST(1 AS BIGINT))""".stripMargin)
       val flagRows = s.sql(BlockSyncFlagRowsSql)
-      Mutations.commitBlockSync(s.table("file"),
-          s.table("block").unionByName(flagRows),
-          s.table("datanode"), reqs, versionBase = BlockSyncVersionBase)
+      val aug = s.table("block").unionByName(flagRows)
+      Mutations.commitBlockSync(s.table("file"), aug,
+          s.table("datanode"), reqs,
+          versionBase = Mutations.blockSyncVersionBase(aug))
         .orderBy(col("writeOp"), col("id"), col("datanodeId"))
     },
     // S17/N9: datanode re-registration — same storageId under a new id
@@ -697,7 +700,7 @@ object MutationQueries {
          |  SELECT 'insert' AS writeOp, 'block' AS tbl, blockId AS id,
          |    datanodeId, CAST(-1 AS BIGINT) AS length,
          |    newGenStamp AS generationStamp, mfid AS fileId, midx AS fileIndex,
-         |    $BlockSyncVersionBase + ROW_NUMBER()
+         |    $BlockSyncVersionBaseSql + ROW_NUMBER()
          |      OVER (ORDER BY blockId, datanodeId) AS version,
          |    CAST(NULL AS STRING) AS reject
          |  FROM insertKeys),

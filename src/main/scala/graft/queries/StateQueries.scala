@@ -102,9 +102,12 @@ object StateQueries {
         sum(when(col("length") > 0, col("length")).otherwise(0L)).as("liveBytes"))
         .crossJoin(f.filter(col("version") < 0).agg(count(lit(1)).as("tombstones")))
     },
-    // R6: incremental version-range scan (the replication feed)
+    // R6: incremental version-range scan (the replication feed). The
+    // threshold sits INSIDE the derived version range (file versions
+    // reach ~1.01M at sf0.01, ~4M at sf0.1) so the page is non-empty and
+    // the limit-500 pagination is actually exercised at the correctness SF.
     "r6_version_scan" -> { (s, dir) =>
-      StateStore.versionsGreaterThan(DerivedState.file(s, dir), 1300000L, 500)
+      StateStore.versionsGreaterThan(DerivedState.file(s, dir), 1000000L, 500)
         .select(col("id"), col("name"), col("version"))
     },
     // R7: max version per table via aggregation (replaces binary search)
@@ -338,7 +341,7 @@ object StateQueries {
         |  (SELECT CAST(SUM(CASE WHEN length > 0 THEN length ELSE 0 END) AS BIGINT) FROM file WHERE version > 0) AS liveBytes,
         |  (SELECT COUNT(*) FROM file WHERE version < 0) AS tombstones""".stripMargin),
     "r6_version_scan" -> O(
-      """SELECT id, name, version FROM file WHERE ABS(version) > 1300000
+      """SELECT id, name, version FROM file WHERE ABS(version) > 1000000
         |ORDER BY ABS(version) LIMIT 500""".stripMargin),
     "r7_max_version" -> O(
       """SELECT tbl, maxVersion FROM (

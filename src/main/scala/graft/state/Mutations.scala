@@ -1177,6 +1177,18 @@ object Mutations {
     finalizes.unionByName(recovers).unionByName(nnleases).unionByName(renew)
   }
 
+  /** commitBlockSync's new-row version base, derived from the DATA
+    * instead of a scale-coupled constant: the next 10M boundary above
+    * the max live block version. Any caller-side margin this wide keeps
+    * fresh rows above every tombstone magnitude the S6 latest-wins
+    * replay will ever compare them against, at any scale factor. The
+    * oracle computes the same integer arithmetic in a CTE. */
+  def blockSyncVersionBase(block: DataFrame): Long = {
+    val maxVer = live(block).agg(coalesce(max(col("version")), lit(0L)))
+      .collect()(0).getLong(0)
+    (maxVer / 10000000L + 1L) * 10000000L
+  }
+
   /** dfs.max.objects gate (checkFsObjectLimit, FSNamesystem.java:4070-4073,
     * invoked by startFile :1031 and mkdirs :1451): when the configured cap
     * is non-zero and file rows + block rows already meet it, the request

@@ -594,6 +594,29 @@ class MutationsSpec extends SparkSpec {
       Seq("tombstone", "block", 350L, 1L, 850L, 4L, 205L, 0L, -70L, null)))
   }
 
+  test("blockSyncVersionBase clears any block-version scale (high-version fixture)") {
+    // sf-coupled constants broke here before: a driver bump to bigger
+    // testdata pushed versions past the old 30M literal. The derived
+    // base is the next 10M boundary above the max LIVE version — a
+    // tombstone's magnitude (|−v|) never exceeds a live sibling's, so
+    // the S6 latest-wins guard is satisfied at any scale.
+    val blocks = Seq(
+      (300L, 1L, 900L, 5L, 200L, 0L, 123456789012L),
+      (300L, 2L, 900L, 5L, 200L, 0L, -123456789013L), // tombstone ignored
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+      "fileIndex", "version")
+    val base = Mutations.blockSyncVersionBase(blocks)
+    assert(base == 123460000000L && base > 123456789012L)
+    // and it feeds commitBlockSync's guard without tripping
+    val files = Seq((200L, Some("h"), 10L)).toDF("id", "leaseHolder", "version")
+    val dn = Seq((2L, 1L)).toDF("id", "version")
+    val reqs = Seq((300L, 6L, false, false, Seq(2L)))
+      .toDF("blockId", "newGenStamp", "closeFile", "deleteBlock", "targets")
+    val ins = rows(Mutations.commitBlockSync(files, blocks, dn, reqs, base)
+      .filter(col("writeOp") === "insert").select(col("version")))
+    assert(ins == Seq(Seq(base + 1L)))
+  }
+
   test("S17 upsert: storageId collision evicts the old node row") {
     val dn = Seq(
       (11L, "dn11", "DS-A", 0L, 0L, 1L, 1L, 1L, 1L, 1L, "/r1", "NORMAL", 1L),
