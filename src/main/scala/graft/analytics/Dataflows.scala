@@ -455,6 +455,261 @@ object Dataflows {
       (sum(col("totalReplicas")).cast("double") / sum(col("nBlocks"))).as("avgReplication"))
   }
 
+  /** N11 per-file findings (NamenodeFsck.check :193-353): one row per
+    * CLOSED file with at least one finding — default fsck skips open
+    * files before any check (:227-233), so leaseHolder-bearing files
+    * never appear. Per block of the file, counted against the
+    * live-datanode set:
+    *  - MISSING: no holder is live (:305-312; locs.length == 0);
+    *  - under-replicated: 0 < live < target (:272-283);
+    *  - over-replicated: live > target (:264-267);
+    *  - mis-replicated: live replicas span fewer than
+    *    min(2, replication, clusterRacks) racks while the cluster has
+    *    more than one rack (:285-299,
+    *    ReplicationTargetChooser.verifyBlockPlacement :431-461 — a
+    *    missing block counts here too, its rack set is empty).
+    * A file with a missing block is corrupt (:327-331); block length is
+    * the BlockEntry-primary (genStamp, version)-argmax convention. */
+  def fsckFiles(file: DataFrame, block: DataFrame, datanode: DataFrame,
+                nowMs: Long): DataFrame = {
+    val liveN = StateManager.liveDatanodes(datanode, nowMs)
+      .select(col("id").as("__nid"), col("location").as("__rack"))
+    val clusterRacks = liveN.agg(
+      countDistinct(col("__rack")).as("__clusterRacks"))
+    val ord = struct(col("generationStamp"), col("version"))
+    val perBlock = live(block)
+      .join(liveN, col("datanodeId") === col("__nid"), "left")
+      .groupBy(col("id").as("blockId"), col("fileId").as("__bfid"))
+      .agg(count(col("__nid")).as("__liveReplicas"),
+        countDistinct(col("__rack")).as("__numRacks"),
+        max_by(col("length"), ord).as("__blockLen"))
+    val files = live(file)
+      .filter(col("length") =!= -1L && col("leaseHolder").isNull)
+      .select(col("id").as("fileId"), col("replication"),
+        col("length").as("fileSize"))
+    val perFile = files
+      .join(perBlock, col("fileId") === col("__bfid"))
+      .crossJoin(broadcast(clusterRacks))
+      .withColumn("__missing", (col("__liveReplicas") === 0).cast("int"))
+      .withColumn("__under", (col("__liveReplicas") > 0 &&
+        col("__liveReplicas") < col("replication")).cast("int"))
+      .withColumn("__over", (col("__liveReplicas") > col("replication")).cast("int"))
+      .withColumn("__misrep", (col("__clusterRacks") > 1 && col("__numRacks") <
+        least(lit(2L), col("replication"), col("__clusterRacks"))).cast("int"))
+      .groupBy(col("fileId"), col("replication"), col("fileSize"))
+      .agg(count(col("blockId")).as("nBlocks"),
+        sum(col("__missing")).cast("long").as("missingBlocks"),
+        sum(when(col("__missing") === 1, greatest(col("__blockLen"), lit(0L)))
+          .otherwise(0L)).as("missingSize"),
+        sum(col("__under")).cast("long").as("underBlocks"),
+        sum(col("__over")).cast("long").as("overBlocks"),
+        sum(col("__misrep")).cast("long").as("misReplicatedBlocks"))
+      .filter(col("missingBlocks") > 0 || col("underBlocks") > 0 ||
+        col("overBlocks") > 0 || col("misReplicatedBlocks") > 0)
+    val paths = StateManager.materializePaths(file)
+      .select(col("id").as("__pid"), col("path"))
+    perFile.join(paths, col("fileId") === col("__pid"))
+      .select(col("path"), col("fileId"), col("replication"), col("fileSize"),
+        col("nBlocks"), col("missingBlocks"), col("missingSize"),
+        col("underBlocks"), col("overBlocks"), col("misReplicatedBlocks"))
+  }
+
+  /** N11 `-move`: the lost+found write-set (NamenodeFsck.lostFoundMove
+    * :355-420). Per corrupt CLOSED file (missing > 0; an open file is
+    * never checked, so the reference's !isOpen gate :340-345 is already
+    * satisfied):
+    *  - `insert` rows creating `/lost+found<fullPath>` as a DIRECTORY
+    *    chain (mkdirs(target) :371 — the file's own name becomes a dir)
+    *    — ids `idBase + rank` over lexicographic created-path order, a
+    *    parent path sorting before its children;
+    *  - `insert` rows for the chain files under it: each maximal run of
+    *    blocks (fileIndex order) that still have a live replica becomes
+    *    one file named by its 0-based run ordinal (:377-397 — a
+    *    replica-less block closes the current chain and is skipped),
+    *    length = Σ BlockEntry-primary lengths of the run;
+    *  - `tombstone` rows for the original file row and every live block
+    *    row (dfs.delete(fullName, true) :412);
+    *  - `touch` rows: the old parent dir and pre-existing dirs reused as
+    *    insert parents (the mkdirs/delete mtime convention);
+    *  - `reject` when the mirror chain is blocked by an existing FILE
+    *    row ("lost+found path blocked by a file" — mkdirs would fail
+    *    :372-374).
+    * Chain-file ids share the one lexicographic ranking with the created
+    * dirs (chain "10" therefore ranks before chain "2" — ids only need
+    * determinism, not numeric order). Request-batch-bounded like
+    * moveToTrash: the corrupt set is a findings-sized frame. */
+  def fsckMove(file: DataFrame, block: DataFrame, datanode: DataFrame,
+               nowMs: Long, idBase: Long): DataFrame = {
+    // findings-sized frame; pinned because it feeds four branches below
+    val corrupt = fsckFiles(file, block, datanode, nowMs)
+      .filter(col("missingBlocks") > 0)
+      .select(col("fileId").as("__cfid"), col("path").as("__cpath"))
+      .localCheckpoint()
+    val paths = StateManager.materializePaths(file)
+      .select(col("id").as("__lid"), col("parentId").as("__lpar"),
+        col("name").as("__lname"), col("length").as("__llen"),
+        col("mtime").as("__lmtime"), col("version").as("__lver"),
+        col("path").as("__lpath"))
+    val dirs = paths.filter(col("__llen") === -1L && col("__lid") =!= 0L)
+      .select(col("__lpath").as("__dpath"))
+    // needed mirror prefixes per corrupt file: /lost+found, one per
+    // ancestor dir, and the full path itself (which becomes a dir). The
+    // ancestor probe broadcasts the findings-sized corrupt set against
+    // the dir dimension — never the block table.
+    val needAnc = broadcast(corrupt).join(dirs,
+        col("__cpath").startsWith(concat(col("__dpath"), lit("/"))))
+      .select(col("__cfid"),
+        concat(lit("/lost+found"), col("__dpath")).as("cpath"))
+    val needs = corrupt.select(col("__cfid"), lit("/lost+found").as("cpath"))
+      .unionByName(needAnc)
+      .unionByName(corrupt.select(col("__cfid"),
+        concat(lit("/lost+found"), col("__cpath")).as("cpath")))
+    val existing = needs.select(col("cpath")).distinct()
+      .join(paths, col("cpath") === col("__lpath"))
+      .select(col("cpath").as("__epath"), col("__lid").as("__eid"),
+        col("__llen").as("__elen"))
+    // a FILE row anywhere on a mirror chain blocks that corrupt file
+    val blocked = needs
+      .join(existing.filter(col("__elen") =!= -1L),
+        col("cpath") === col("__epath"), "left_semi")
+      .select(col("__cfid")).distinct()
+    val ok = corrupt.join(blocked, Seq("__cfid"), "left_anti").localCheckpoint()
+    // chain files: per ok file, maximal runs of blocks with a live replica
+    val liveNIds = StateManager.liveDatanodes(datanode, nowMs)
+      .select(col("id").as("__nid"))
+    val ordB = struct(col("generationStamp"), col("version"))
+    val pb = live(block)
+      .join(broadcast(ok.select(col("__cfid"))),
+        col("fileId") === col("__cfid"), "left_semi")
+      .join(liveNIds, col("datanodeId") === col("__nid"), "left")
+      .groupBy(col("fileId"), col("id").as("blockId"))
+      .agg(max(col("fileIndex")).as("fileIndex"),
+        count(col("__nid")).as("__live"),
+        max_by(col("length"), ordB).as("__blen"))
+    val w = Window.partitionBy(col("fileId"))
+      .orderBy(col("fileIndex"), col("blockId"))
+    val chains = pb
+      .withColumn("__has", col("__live") > 0)
+      .withColumn("__start",
+        when(col("__has") && !coalesce(lag(col("__has"), 1).over(w),
+          lit(false)), 1L).otherwise(0L))
+      .withColumn("__chain", sum(col("__start")).over(w) - 1L)
+      .filter(col("__has"))
+      .groupBy(col("fileId"), col("__chain"))
+      .agg(sum(greatest(col("__blen"), lit(0L))).as("__clen"))
+      .join(ok, col("fileId") === col("__cfid"))
+      .select(col("__cfid").as("__chfid"),
+        concat(lit("/lost+found"), col("__cpath")).as("__chdir"),
+        col("__chain").cast("string").as("__chname"), col("__clen"))
+    // one lexicographic ranking over every created path (dirs + chains)
+    val missingDirs = needs.join(ok.select(col("__cfid")), Seq("__cfid"), "left_semi")
+      .select(col("cpath")).distinct()
+      .join(existing, col("cpath") === col("__epath"), "left_anti")
+      .select(col("cpath"), lit(true).as("__isDir"),
+        lit(null).cast("long").as("__clen"))
+    val createdAll = missingDirs.unionByName(
+        chains.select(concat(col("__chdir"), lit("/"), col("__chname"))
+          .as("cpath"), lit(false).as("__isDir"), col("__clen")))
+      .withColumn("nid",
+        lit(idBase) + row_number().over(Window.orderBy(col("cpath"))))
+      .localCheckpoint() // bounded by the findings set; ranked once
+    val dirIds = createdAll.filter(col("__isDir"))
+      .select(col("cpath").as("__ppath"), col("nid").as("__ppid"))
+      .unionByName(existing.filter(col("__elen") === -1L)
+        .select(col("__epath").as("__ppath"), col("__eid").as("__ppid")))
+    val parentPath = expr(
+      "substring(cpath, 1, length(cpath) - length(reverse(split_part(reverse(cpath), '/', 1))) - 1)")
+    val insRows = createdAll
+      .withColumn("__par", parentPath)
+      .join(dirIds, col("__par") === col("__ppath"), "left")
+      .select(lit("insert").as("writeOp"), lit("file").as("tbl"),
+        col("nid").as("id"), lit(null).cast("long").as("datanodeId"),
+        coalesce(col("__ppid"), lit(0L)).as("parentId"),
+        expr("reverse(split_part(reverse(cpath), '/', 1))").as("name"),
+        when(col("__isDir"), lit(-1L)).otherwise(col("__clen")).as("length"),
+        lit(nowMs).as("mtime"), col("nid").as("version"),
+        lit(null).cast("string").as("reject"))
+    // tombstones: the original file row + every live block row
+    val fileTombs = ok.join(paths, col("__cfid") === col("__lid"))
+      .select(lit("tombstone").as("writeOp"), lit("file").as("tbl"),
+        col("__cfid").as("id"), lit(null).cast("long").as("datanodeId"),
+        col("__lpar").as("parentId"), col("__lname").as("name"),
+        col("__llen").as("length"), lit(null).cast("long").as("mtime"),
+        (-col("__lver")).as("version"), lit(null).cast("string").as("reject"))
+    val blockTombs = live(block)
+      .join(broadcast(ok.select(col("__cfid"))),
+        col("fileId") === col("__cfid"), "left_semi")
+      .select(lit("tombstone").as("writeOp"), lit("block").as("tbl"),
+        col("id"), col("datanodeId"),
+        lit(null).cast("long").as("parentId"),
+        lit(null).cast("string").as("name"),
+        col("length"), lit(null).cast("long").as("mtime"),
+        (-col("version")).as("version"), lit(null).cast("string").as("reject"))
+    // touch: old parents of moved-away files + pre-existing dirs reused
+    // as insert parents (the mkdirs/delete mtime convention)
+    val touchIds = ok.join(paths, col("__cfid") === col("__lid"))
+      .select(col("__lpar").as("__tid"))
+      .unionByName(insRows
+        .join(createdAll.select(col("nid")),
+          col("parentId") === col("nid"), "left_anti")
+        .select(col("parentId").as("__tid")))
+      .distinct()
+    val touchRows = touchIds.join(paths, col("__tid") === col("__lid"))
+      .select(lit("touch").as("writeOp"), lit("file").as("tbl"),
+        col("__lid").as("id"), lit(null).cast("long").as("datanodeId"),
+        col("__lpar").as("parentId"), col("__lname").as("name"),
+        col("__llen").as("length"), lit(nowMs).as("mtime"),
+        col("__lver").as("version"), lit(null).cast("string").as("reject"))
+    val rejRows = blocked
+      .select(lit("reject").as("writeOp"), lit("file").as("tbl"),
+        col("__cfid").as("id"), lit(null).cast("long").as("datanodeId"),
+        lit(null).cast("long").as("parentId"),
+        lit(null).cast("string").as("name"),
+        lit(null).cast("long").as("length"),
+        lit(null).cast("long").as("mtime"),
+        lit(null).cast("long").as("version"),
+        lit("lost+found path blocked by a file").as("reject"))
+    insRows.unionByName(fileTombs).unionByName(blockTombs)
+      .unionByName(touchRows).unionByName(rejRows)
+  }
+
+  /** N11 `-delete` (FIXING_DELETE :346-349 — namenode.delete(path, true)
+    * per corrupt closed file): tombstone the file row and every live
+    * block row, touch the parent dir. Same write-set schema as
+    * fsckMove minus the lost+found machinery. */
+  def fsckDelete(file: DataFrame, block: DataFrame, datanode: DataFrame,
+                 nowMs: Long): DataFrame = {
+    val corrupt = fsckFiles(file, block, datanode, nowMs)
+      .filter(col("missingBlocks") > 0)
+      .select(col("fileId").as("__cfid")).localCheckpoint()
+    val f = live(file).select(col("id").as("__lid"),
+      col("parentId").as("__lpar"), col("name").as("__lname"),
+      col("length").as("__llen"), col("version").as("__lver"))
+    val fileTombs = corrupt.join(f, col("__cfid") === col("__lid"))
+      .select(lit("tombstone").as("writeOp"), lit("file").as("tbl"),
+        col("__cfid").as("id"), lit(null).cast("long").as("datanodeId"),
+        col("__lpar").as("parentId"), col("__lname").as("name"),
+        col("__llen").as("length"), lit(null).cast("long").as("mtime"),
+        (-col("__lver")).as("version"))
+    val blockTombs = live(block)
+      .join(broadcast(corrupt), col("fileId") === col("__cfid"), "left_semi")
+      .select(lit("tombstone").as("writeOp"), lit("block").as("tbl"),
+        col("id"), col("datanodeId"),
+        lit(null).cast("long").as("parentId"),
+        lit(null).cast("string").as("name"),
+        col("length"), lit(null).cast("long").as("mtime"),
+        (-col("version")).as("version"))
+    val touchRows = corrupt.join(f, col("__cfid") === col("__lid"))
+      .select(col("__lpar").as("__tid")).distinct()
+      .join(f, col("__tid") === col("__lid"))
+      .select(lit("touch").as("writeOp"), lit("file").as("tbl"),
+        col("__lid").as("id"), lit(null).cast("long").as("datanodeId"),
+        col("__lpar").as("parentId"), col("__lname").as("name"),
+        col("__llen").as("length"), lit(nowMs).as("mtime"),
+        col("__lver").as("version"))
+    fileTombs.unionByName(blockTombs).unionByName(touchRows)
+  }
+
   // ---- N14: safe-mode threshold (SafeModeInfo :3531-3700) --------------
 
   /** Fraction of blocks that reached minimal replication vs total. */

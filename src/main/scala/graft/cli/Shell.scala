@@ -344,7 +344,21 @@ object Shell {
           graft.analytics.Balancer.pairs(datanode, Now, t)
             .orderBy(col("pass"), col("sourceId"), col("targetId"))
       case "fsck" =>
-        Dataflows.fsck(file, block, datanode, Now)
+        // flags follow DFSck (NamenodeFsck.java:118-145): -files lists
+        // per-file findings, -move rescues corrupt files to /lost+found
+        // (a write-set here), -delete removes them; default = the
+        // aggregate Result row
+        if (args.contains("-files"))
+          Dataflows.fsckFiles(file, block, datanode, Now).orderBy(col("path"))
+        else if (args.contains("-move")) {
+          val idBase = file.agg(coalesce(max(col("id")), lit(0L)))
+            .collect()(0).getLong(0)
+          Dataflows.fsckMove(file, block, datanode, Now, idBase)
+            .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
+        } else if (args.contains("-delete"))
+          Dataflows.fsckDelete(file, block, datanode, Now)
+            .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
+        else Dataflows.fsck(file, block, datanode, Now)
       case "report" =>
         Dataflows.datanodeReport(datanode, Now)
           .select(col("id"), col("name"), col("alive"), col("adminState"),

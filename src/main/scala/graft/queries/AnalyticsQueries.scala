@@ -142,6 +142,29 @@ object AnalyticsQueries {
       DerivedState.register(s, dir)
       Dataflows.fsck(s.table("file"), s.table("block"), s.table("datanode"), Now)
     },
+    // N11 per-file findings: the dead-node synthesis (FsckDeadNodesSql,
+    // both dialects) orphans every block whose holders are all %4=1
+    // nodes, so missing/under/over/mis-replicated all fire
+    "n11_fsck_files" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.fsckFiles(s.table("file"), s.table("block"),
+          s.sql(FsckDeadNodesSql), Now)
+        .orderBy(col("path"))
+    },
+    // N11 -move: lost+found write-set for the corrupt files
+    "n11_fsck_move" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.fsckMove(s.table("file"), s.table("block"),
+          s.sql(FsckDeadNodesSql), Now, idBase = FsckMoveIdBase)
+        .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
+    },
+    // N11 -delete: tombstone write-set for the corrupt files
+    "n11_fsck_delete" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.fsckDelete(s.table("file"), s.table("block"),
+          s.sql(FsckDeadNodesSql), Now)
+        .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
+    },
     // N14: safe-mode threshold ratio
     "n14_safe_mode" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -451,6 +474,156 @@ object AnalyticsQueries {
         |  CAST(SUM(missingBlocks) AS BIGINT) AS missingBlocks,
         |  CAST(SUM(totalReplicas) AS DOUBLE) / CAST(SUM(nBlocks) AS DOUBLE) AS avgReplication
         |FROM perfile""".stripMargin),
+    "n11_fsck_files" -> O(
+      s"""WITH RECURSIVE $FsckCommonCtes
+        |SELECT pp.path, b.fileId, b.replication, b.fileSize, b.nBlocks,
+        |  b.missingBlocks, b.missingSize, b.underBlocks, b.overBlocks,
+        |  b.misReplicatedBlocks
+        |FROM fk_bad b JOIN fk_path pp ON pp.id = b.fileId
+        |ORDER BY pp.path""".stripMargin),
+    "n11_fsck_move" -> O(
+      s"""WITH RECURSIVE $FsckCommonCtes,
+        |cor AS (
+        |  SELECT b.fileId AS cfid, pp.path AS cpath, pp.parentId AS oldP,
+        |    pp.name AS cname, pp.length AS clen0, pp.version AS cver
+        |  FROM fk_bad b JOIN fk_path pp ON pp.id = b.fileId
+        |  WHERE b.missingBlocks > 0),
+        |needs AS (
+        |  SELECT cfid, '/lost+found' AS cpath FROM cor
+        |  UNION ALL
+        |  SELECT c.cfid, '/lost+found' || d.path FROM cor c
+        |  JOIN fk_path d ON d.length = -1 AND d.id <> 0
+        |    AND starts_with(c.cpath, d.path || '/')
+        |  UNION ALL
+        |  SELECT cfid, '/lost+found' || cpath FROM cor),
+        |exist AS (
+        |  SELECT DISTINCT n.cpath AS epath, pp.id AS eid, pp.length AS elen
+        |  FROM (SELECT DISTINCT cpath FROM needs) n
+        |  JOIN fk_path pp ON pp.path = n.cpath),
+        |blockedreq AS (
+        |  SELECT DISTINCT n.cfid FROM needs n
+        |  JOIN exist e ON e.epath = n.cpath AND e.elen <> -1),
+        |ok AS (
+        |  SELECT * FROM cor
+        |  WHERE cfid NOT IN (SELECT cfid FROM blockedreq)),
+        |pbx AS (
+        |  SELECT b.fileId, b.id AS blockId, MAX(b.fileIndex) AS fileIndex,
+        |    COUNT(n.id) AS livec,
+        |    ARG_MAX(b.length, CAST(b.generationStamp AS HUGEINT)
+        |            * 9223372036854775808 + b.version) AS blen
+        |  FROM block b LEFT JOIN fk_live n ON b.datanodeId = n.id
+        |  WHERE b.version > 0 AND b.fileId IN (SELECT cfid FROM ok)
+        |  GROUP BY b.fileId, b.id),
+        |runs AS (
+        |  SELECT *, SUM(CASE WHEN has AND NOT COALESCE(prev, FALSE)
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY fileId ORDER BY fileIndex, blockId) - 1 AS chain
+        |  FROM (SELECT *, livec > 0 AS has,
+        |          LAG(livec > 0) OVER (PARTITION BY fileId
+        |            ORDER BY fileIndex, blockId) AS prev
+        |        FROM pbx) t),
+        |chains AS (
+        |  SELECT r.fileId AS chfid, o.cpath AS opath,
+        |    CAST(r.chain AS VARCHAR) AS chname,
+        |    CAST(SUM(GREATEST(r.blen, 0)) AS BIGINT) AS clen
+        |  FROM runs r JOIN ok o ON o.cfid = r.fileId
+        |  WHERE r.has GROUP BY r.fileId, o.cpath, r.chain),
+        |created AS (
+        |  SELECT d.cpath, TRUE AS isDir, CAST(NULL AS BIGINT) AS clen FROM (
+        |    SELECT DISTINCT n.cpath FROM needs n
+        |    WHERE n.cfid IN (SELECT cfid FROM ok)
+        |      AND n.cpath NOT IN (SELECT epath FROM exist)) d
+        |  UNION ALL
+        |  SELECT '/lost+found' || opath || '/' || chname, FALSE, clen
+        |  FROM chains),
+        |ranked AS (
+        |  SELECT *, $FsckMoveIdBase + ROW_NUMBER() OVER (ORDER BY cpath)
+        |    AS nid
+        |  FROM created),
+        |dirids AS (
+        |  SELECT cpath AS ppath, nid AS ppid FROM ranked WHERE isDir
+        |  UNION ALL SELECT epath, eid FROM exist WHERE elen = -1),
+        |insrows AS (
+        |  SELECT 'insert' AS writeOp, 'file' AS tbl, r.nid AS id,
+        |    CAST(NULL AS BIGINT) AS datanodeId,
+        |    COALESCE(d.ppid, 0) AS parentId,
+        |    list_last(string_split(r.cpath, '/')) AS name,
+        |    CASE WHEN r.isDir THEN CAST(-1 AS BIGINT) ELSE r.clen END
+        |      AS length,
+        |    CAST($Now AS BIGINT) AS mtime, r.nid AS version,
+        |    CAST(NULL AS STRING) AS reject
+        |  FROM ranked r LEFT JOIN dirids d ON d.ppath = substr(r.cpath, 1,
+        |    length(r.cpath) - length(list_last(string_split(r.cpath, '/'))) - 1)),
+        |ftombs AS (
+        |  SELECT 'tombstone' AS writeOp, 'file' AS tbl, o.cfid AS id,
+        |    CAST(NULL AS BIGINT) AS datanodeId, o.oldP AS parentId,
+        |    o.cname AS name, o.clen0 AS length,
+        |    CAST(NULL AS BIGINT) AS mtime, -o.cver AS version,
+        |    CAST(NULL AS STRING) AS reject
+        |  FROM ok o),
+        |btombs AS (
+        |  SELECT 'tombstone' AS writeOp, 'block' AS tbl, b.id, b.datanodeId,
+        |    CAST(NULL AS BIGINT) AS parentId, CAST(NULL AS STRING) AS name,
+        |    b.length, CAST(NULL AS BIGINT) AS mtime, -b.version AS version,
+        |    CAST(NULL AS STRING) AS reject
+        |  FROM block b
+        |  WHERE b.version > 0 AND b.fileId IN (SELECT cfid FROM ok)),
+        |touchids AS (
+        |  SELECT DISTINCT tid FROM (
+        |    SELECT oldP AS tid FROM ok
+        |    UNION ALL
+        |    SELECT parentId FROM insrows
+        |    WHERE parentId NOT IN (SELECT nid FROM ranked)) t),
+        |tchrows AS (
+        |  SELECT 'touch' AS writeOp, 'file' AS tbl, pp.id,
+        |    CAST(NULL AS BIGINT) AS datanodeId, pp.parentId, pp.name,
+        |    pp.length, CAST($Now AS BIGINT) AS mtime, pp.version,
+        |    CAST(NULL AS STRING) AS reject
+        |  FROM fk_path pp JOIN touchids t ON pp.id = t.tid),
+        |rejrows AS (
+        |  SELECT 'reject' AS writeOp, 'file' AS tbl, cfid AS id,
+        |    CAST(NULL AS BIGINT) AS datanodeId,
+        |    CAST(NULL AS BIGINT) AS parentId, CAST(NULL AS STRING) AS name,
+        |    CAST(NULL AS BIGINT) AS length, CAST(NULL AS BIGINT) AS mtime,
+        |    CAST(NULL AS BIGINT) AS version,
+        |    'lost+found path blocked by a file' AS reject
+        |  FROM blockedreq)
+        |SELECT writeOp, tbl, id, datanodeId, parentId, name, length, mtime,
+        |  version, reject
+        |FROM (SELECT * FROM insrows UNION ALL SELECT * FROM ftombs
+        |      UNION ALL SELECT * FROM btombs UNION ALL SELECT * FROM tchrows
+        |      UNION ALL SELECT * FROM rejrows) u
+        |ORDER BY writeOp, tbl, id, datanodeId""".stripMargin),
+    "n11_fsck_delete" -> O(
+      s"""WITH RECURSIVE $FsckCommonCtes,
+        |cor AS (SELECT fileId AS cfid FROM fk_bad WHERE missingBlocks > 0),
+        |fl2 AS (
+        |  SELECT id, parentId, name, length, version FROM file
+        |  WHERE version > 0),
+        |ftombs AS (
+        |  SELECT 'tombstone' AS writeOp, 'file' AS tbl, c.cfid AS id,
+        |    CAST(NULL AS BIGINT) AS datanodeId, f.parentId, f.name,
+        |    f.length, CAST(NULL AS BIGINT) AS mtime, -f.version AS version
+        |  FROM cor c JOIN fl2 f ON f.id = c.cfid),
+        |btombs AS (
+        |  SELECT 'tombstone' AS writeOp, 'block' AS tbl, b.id, b.datanodeId,
+        |    CAST(NULL AS BIGINT) AS parentId, CAST(NULL AS STRING) AS name,
+        |    b.length, CAST(NULL AS BIGINT) AS mtime, -b.version AS version
+        |  FROM block b
+        |  WHERE b.version > 0 AND b.fileId IN (SELECT cfid FROM cor)),
+        |tchrows AS (
+        |  SELECT 'touch' AS writeOp, 'file' AS tbl, f.id,
+        |    CAST(NULL AS BIGINT) AS datanodeId, f.parentId, f.name,
+        |    f.length, CAST($Now AS BIGINT) AS mtime, f.version AS version
+        |  FROM fl2 f
+        |  WHERE f.id IN (
+        |    SELECT DISTINCT f2.parentId FROM cor c
+        |    JOIN fl2 f2 ON f2.id = c.cfid))
+        |SELECT writeOp, tbl, id, datanodeId, parentId, name, length, mtime,
+        |  version
+        |FROM (SELECT * FROM ftombs UNION ALL SELECT * FROM btombs
+        |      UNION ALL SELECT * FROM tchrows) u
+        |ORDER BY writeOp, tbl, id, datanodeId""".stripMargin),
     "n14_safe_mode" -> O(
       """WITH perblock AS (
         |  SELECT id, COUNT(*) AS replicas FROM block WHERE version > 0 GROUP BY id)
@@ -585,6 +758,74 @@ object AnalyticsQueries {
   /** Balancer oracle threshold (percent): 0.08 spreads the synthetic
     * datanode table across all four utilization classes. */
   val BalancerThreshold: Double = 0.08
+
+  /** fsck fixtures: ONE dialect-shared datanode projection that marks
+    * every %4=1 node dead (lastUpdated 0), run verbatim by the Spark
+    * queries and spliced into the DuckDB oracles — blocks held only by
+    * those nodes become MISSING, firing every finding class. */
+  private val FsckDeadNodesSql: String =
+    """SELECT id, location,
+      |       CASE WHEN id % 4 = 1 THEN CAST(0 AS BIGINT)
+      |            ELSE lastUpdated END AS lastUpdated,
+      |       version
+      |FROM datanode""".stripMargin
+
+  /** fsck -move id base for created lost+found rows — above every live
+    * file id at any tested SF (ids are path-ranked from here). */
+  private val FsckMoveIdBase: Long = 8000000L
+
+  /** Shared fsck oracle CTE chain: dead-node projection → live nodes →
+    * per-block liveness/racks/argmax-length → per-CLOSED-file finding
+    * counts (DuckDB twin of Dataflows.fsckFiles). Callers append their
+    * own CTEs; `fk_path` is the recursive path builder every fsck oracle
+    * needs (files for output paths, move for the mirror chain). */
+  private val FsckCommonCtes: String =
+    s"""fk_dnx AS ($FsckDeadNodesSql),
+      |fk_live AS (
+      |  SELECT id, location FROM fk_dnx
+      |  WHERE version > 0 AND lastUpdated >= $Now - 600000),
+      |fk_nrk AS (SELECT COUNT(DISTINCT location) AS clusterRacks FROM fk_live),
+      |fk_pb AS (
+      |  SELECT b.id AS blockId, b.fileId,
+      |    COUNT(n.id) AS liveReplicas,
+      |    COUNT(DISTINCT n.location) AS numRacks,
+      |    ARG_MAX(b.length, CAST(b.generationStamp AS HUGEINT)
+      |            * 9223372036854775808 + b.version) AS blockLen
+      |  FROM block b LEFT JOIN fk_live n ON b.datanodeId = n.id
+      |  WHERE b.version > 0
+      |  GROUP BY b.id, b.fileId),
+      |fk_fl AS (
+      |  SELECT id, replication, length FROM file
+      |  WHERE version > 0 AND length <> -1 AND leaseHolder IS NULL),
+      |fk_pf AS (
+      |  SELECT f.id AS fileId, f.replication, f.length AS fileSize,
+      |    COUNT(*) AS nBlocks,
+      |    CAST(SUM(CASE WHEN p.liveReplicas = 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS missingBlocks,
+      |    CAST(SUM(CASE WHEN p.liveReplicas = 0 THEN GREATEST(p.blockLen, 0)
+      |             ELSE 0 END) AS BIGINT) AS missingSize,
+      |    CAST(SUM(CASE WHEN p.liveReplicas > 0
+      |              AND p.liveReplicas < f.replication THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS underBlocks,
+      |    CAST(SUM(CASE WHEN p.liveReplicas > f.replication THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS overBlocks,
+      |    CAST(SUM(CASE WHEN r.clusterRacks > 1 AND p.numRacks <
+      |              LEAST(2, f.replication, r.clusterRacks) THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS misReplicatedBlocks
+      |  FROM fk_fl f JOIN fk_pb p ON p.fileId = f.id CROSS JOIN fk_nrk r
+      |  GROUP BY f.id, f.replication, f.length),
+      |fk_bad AS (
+      |  SELECT * FROM fk_pf
+      |  WHERE missingBlocks > 0 OR underBlocks > 0 OR overBlocks > 0
+      |     OR misReplicatedBlocks > 0),
+      |fk_path AS (
+      |  SELECT id, parentId, name, length, version, '' AS path
+      |  FROM file WHERE id = 0 AND version > 0
+      |  UNION ALL
+      |  SELECT f.id, f.parentId, f.name, f.length, f.version,
+      |         pp.path || '/' || f.name
+      |  FROM file f JOIN fk_path pp ON f.parentId = pp.id
+      |  WHERE f.version > 0 AND f.id <> 0)""".stripMargin
 
   /** DuckDB twin of Balancer.classifyFull — expression-for-expression the
     * reference arithmetic (Balancer.java:489-523,986-1013) in the same

@@ -327,4 +327,63 @@ class DataflowsSpec extends SparkSpec {
     val tight = nodes.map(_.copy(remaining = 10L))
     assert(Placement.chooseTargets(tight, 3, Some("/r0"), blockSize = 100, seed = 7L).isEmpty)
   }
+
+  test("N11 -move: chain runs split on replica-less blocks; mirror dirs + tombstones") {
+    // /d/f has five blocks: [live, MISSING, live, live, MISSING] →
+    // chain 0 = {b0}, chain 1 = {b2, b3} (the reference closes the
+    // current chain file at each replica-less block and skips it,
+    // NamenodeFsck.java:377-397); the trailing missing block opens none.
+    val files = Seq(
+      (0L, 0L, "", -1L, 0L, 1L),
+      (1L, 0L, "d", -1L, 0L, 2L),
+      (2L, 1L, "f", 500L, 2L, 3L),
+    ).map { case (id, p, n, len, repl, v) =>
+      (id, p, n, len, 64L, repl, 0L, 0L, 0L, None: Option[String], 0L, v)
+    }.toDF("id", "parentId", "name", "length", "blockSize", "replication",
+      "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    val blocks = Seq(
+      (90L, 11L, 100L, 1L, 2L, 0L, 20L),
+      (91L, 99L, 110L, 1L, 2L, 1L, 21L), // holder 99 is dead → MISSING
+      (92L, 11L, 120L, 1L, 2L, 2L, 22L),
+      (93L, 12L, 130L, 1L, 2L, 3L, 23L),
+      (94L, 99L, 140L, 1L, 2L, 4L, 24L), // dead again
+    ).toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+      "fileIndex", "version")
+    val dn = Seq((11L, "/r0", now, 1L), (12L, "/r1", now, 2L),
+      (99L, "/r0", 0L, 3L)) // stale heartbeat = dead
+      .toDF("id", "location", "lastUpdated", "version")
+
+    val findings = rows(Dataflows.fsckFiles(files, blocks, dn, now)
+      .select(col("path"), col("missingBlocks"), col("missingSize"),
+        col("underBlocks"), col("misReplicatedBlocks")))
+    // 2 missing; the 3 live blocks each sit on ONE rack with repl 2 in a
+    // 2-rack cluster → under-replicated AND placement-violated; the 2
+    // missing blocks are placement-violated too (empty rack set)
+    assert(findings == Seq(Seq("/d/f", 2L, 250L, 3L, 5L)))
+
+    val mv = rows(Dataflows.fsckMove(files, blocks, dn, now, idBase = 1000L)
+      .select(col("writeOp"), col("tbl"), col("id"), col("parentId"),
+        col("name"), col("length"), col("version"))
+      .orderBy(col("writeOp"), col("tbl"), col("id"), col("name")))
+    val ins = mv.filter(_.head == "insert")
+    // created (path-ranked): /lost+found(1001) /lost+found/d(1002)
+    // /lost+found/d/f(1003, a DIR) /lost+found/d/f/0(1004) /…/f/1(1005)
+    assert(ins == Seq(
+      Seq("insert", "file", 1001L, 0L, "lost+found", -1L, 1001L),
+      Seq("insert", "file", 1002L, 1001L, "d", -1L, 1002L),
+      Seq("insert", "file", 1003L, 1002L, "f", -1L, 1003L),
+      Seq("insert", "file", 1004L, 1003L, "0", 100L, 1004L),
+      Seq("insert", "file", 1005L, 1003L, "1", 250L, 1005L)))
+    // original file + all five block rows tombstoned; old parent + root touched
+    assert(mv.count(r => r.head == "tombstone" && r(1) == "file") == 1
+      && mv.count(r => r.head == "tombstone" && r(1) == "block") == 5
+      && mv.filter(_.head == "touch").map(_(2)).toSet == Set(1L, 0L)
+      && mv.forall(_.head != "reject"))
+
+    val del = rows(Dataflows.fsckDelete(files, blocks, dn, now)
+      .select(col("writeOp"), col("tbl"), col("id")))
+    assert(del.count(r => r.head == "tombstone" && r(1) == "block") == 5
+      && del.exists(r => r.head == "tombstone" && r(1) == "file" && r(2) == 2L)
+      && del.exists(r => r.head == "touch" && r(2) == 1L))
+  }
 }
