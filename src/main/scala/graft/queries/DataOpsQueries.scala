@@ -706,6 +706,26 @@ object DataOpsQueries {
       graft.sources.Formats.readSequenceFile(s, s"$tmp/merged")
         .orderBy(col("key"), col("value"))
     },
+    // F2/F3 interop in the gate: supplier rows written driver-side
+    // through the REAL Hadoop MapFile.Writer (bounded: the supplier
+    // dimension), then read back by the distributed MapFile-dir reader
+    "f3_mapfile_read" -> { (s, dir) =>
+      import org.apache.hadoop.io.Text
+      val tmp = graft.core.Caching.scratchDir("f3").toString
+      val mfDir = s"$tmp/mapfile"
+      val kvs = Tables.supplier(s, dir)
+        .select(col("s_suppkey").cast("string"), col("s_name"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .sortBy(_._1) // MapFile appends must arrive in Text key order
+      val conf = s.sparkContext.hadoopConfiguration
+      val w = new org.apache.hadoop.io.MapFile.Writer(conf,
+        new org.apache.hadoop.fs.Path(mfDir),
+        org.apache.hadoop.io.MapFile.Writer.keyClass(classOf[Text]),
+        org.apache.hadoop.io.MapFile.Writer.valueClass(classOf[Text]))
+      try kvs.foreach { case (k, v) => w.append(new Text(k), new Text(v)) }
+      finally w.close()
+      graft.sources.Formats.readMapFileDir(s, mfDir).orderBy(col("key"))
+    },
     // M: batched stub decode through the mapPartitions plumbing — the
     // oracle recomputes the deterministic fake features from byte stats
     "m2_decode_meta" -> { (s, dir) =>
@@ -1313,6 +1333,9 @@ object DataOpsQueries {
         |  SELECT CAST(doc_id AS STRING), text
         |  FROM documents WHERE doc_id % 3 = 0) u
         |ORDER BY key, value""".stripMargin,
+    "f3_mapfile_read" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS key, s_name AS value
+        |FROM supplier ORDER BY key""".stripMargin,
     "m2_decode_meta" ->
       """SELECT doc_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,

@@ -62,11 +62,155 @@ object Formats {
   /** F1: SequenceFile.Sorter.sort analog (SequenceFile.java — the full
     * external sort, not just the merge): one range-partitioned shuffle
     * sort replaces the reference's spill-runs-then-heap-merge loop; any
-    * input size sorts in a single distributed pass. */
+    * input size sorts in a single distributed pass.
+    *
+    * `descending` is the RawComparator hook (the Sorter takes an
+    * arbitrary comparator; reverse order is the common custom one) and
+    * the sort is TYPED: the file's own key class decides the order, so a
+    * LongWritable file sorts numerically where Text sorts byte-wise —
+    * exactly what the per-class RawComparators encode. */
   def sortSequenceFile(spark: SparkSession, inPath: String, outPath: String,
-                       compression: String = "none"): Unit =
-    writeSequenceFile(readSequenceFile(spark, inPath), outPath,
-      sorted = true, compression = compression)
+                       compression: String = "none",
+                       descending: Boolean = false): Unit = {
+    val in = readSequenceFileTyped(spark, inPath)
+    val keyOrd = if (descending) col(in.columns(0)).desc else col(in.columns(0)).asc
+    writeSequenceFileTyped(in.orderBy(keyOrd), outPath,
+      compression = compression)
+  }
+
+  // ---- F1 generality: beyond Text,Text --------------------------------
+
+  import org.apache.hadoop.fs.Path
+  import org.apache.hadoop.io.{BytesWritable, DoubleWritable, IntWritable,
+    LongWritable, NullWritable, Text, Writable}
+
+  private def sparkTypeFor(c: Class[_]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    c match {
+      case x if x == classOf[Text] => StringType
+      case x if x == classOf[LongWritable] => LongType
+      case x if x == classOf[IntWritable] => IntegerType
+      case x if x == classOf[DoubleWritable] => DoubleType
+      case x if x == classOf[BytesWritable] => BinaryType
+      case x if x == classOf[NullWritable] => NullType
+      case other => StringType // unknown Writables surface via toString
+    }
+  }
+
+  /** Writables are REUSED by Hadoop record readers — every branch copies
+    * the payload out before the row leaves the iterator. */
+  private def writableToAny(w: Writable): Any = w match {
+    case t: Text => t.toString
+    case l: LongWritable => l.get
+    case i: IntWritable => i.get
+    case d: DoubleWritable => d.get
+    case b: BytesWritable => java.util.Arrays.copyOf(b.getBytes, b.getLength)
+    case _: NullWritable => null
+    case other => other.toString
+  }
+
+  /** F1 reader for ARBITRARY Writable pairs (the reference reader is
+    * key/value-class generic, SequenceFile.java reader side): probe the
+    * first file's header for the key/value classes, then scan the whole
+    * path with those classes and native Spark column types (Text →
+    * string, LongWritable → long, BytesWritable → binary, …). */
+  def readSequenceFileTyped(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.mapred.SequenceFileInputFormat
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val first =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .minBy(_.getName)
+      else p
+    val reader = new org.apache.hadoop.io.SequenceFile.Reader(
+      conf, org.apache.hadoop.io.SequenceFile.Reader.file(first))
+    val (kc, vc) =
+      try (reader.getKeyClass, reader.getValueClass) finally reader.close()
+    val rdd = spark.sparkContext.hadoopFile(path,
+        classOf[SequenceFileInputFormat[Writable, Writable]],
+        kc.asInstanceOf[Class[Writable]], vc.asInstanceOf[Class[Writable]])
+      .map { case (k, v) => Row(writableToAny(k), writableToAny(v)) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("key", sparkTypeFor(kc)),
+      StructField("value", sparkTypeFor(vc)))))
+  }
+
+  private def writableFor(dt: org.apache.spark.sql.types.DataType)
+      : (Class[_ <: Writable], Any => Writable) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => (classOf[Text], a => new Text(String.valueOf(a)))
+      case LongType => (classOf[LongWritable],
+        a => new LongWritable(a.asInstanceOf[Long]))
+      case IntegerType => (classOf[IntWritable],
+        a => new IntWritable(a.asInstanceOf[Int]))
+      case DoubleType => (classOf[DoubleWritable],
+        a => new DoubleWritable(a.asInstanceOf[Double]))
+      case BinaryType => (classOf[BytesWritable],
+        a => new BytesWritable(a.asInstanceOf[Array[Byte]]))
+      case other => throw new IllegalArgumentException(
+        s"no Writable mapping for column type $other")
+    }
+  }
+
+  /** F1 writer for arbitrary Writable pairs: the DataFrame column types
+    * pick the key/value classes (string → Text, long → LongWritable,
+    * binary → BytesWritable, int/double likewise). Compression modes as
+    * in writeSequenceFile. */
+  def writeSequenceFileTyped(df: DataFrame, path: String,
+                             compression: String = "none"): Unit = {
+    import org.apache.hadoop.io.compress.DefaultCodec
+    import org.apache.hadoop.mapred.{JobConf, SequenceFileOutputFormat}
+    val cols = df.schema.fields
+    require(cols.length == 2, s"sequence file needs (key,value), got ${cols.length} cols")
+    require(SeqCompressionModes.contains(compression),
+      s"compression must be one of ${SeqCompressionModes.mkString("/")}, got $compression")
+    val (kClass, kConv) = writableFor(cols(0).dataType)
+    val (vClass, vConv) = writableFor(cols(1).dataType)
+    val conf = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    compression match {
+      case "none" =>
+        org.apache.hadoop.mapred.FileOutputFormat.setCompressOutput(conf, false)
+      case mode =>
+        org.apache.hadoop.mapred.FileOutputFormat.setCompressOutput(conf, true)
+        org.apache.hadoop.mapred.FileOutputFormat
+          .setOutputCompressorClass(conf, classOf[DefaultCodec])
+        SequenceFileOutputFormat.setOutputCompressionType(conf,
+          org.apache.hadoop.io.SequenceFile.CompressionType
+            .valueOf(mode.toUpperCase))
+    }
+    df.rdd.map(r => (kConv(r.get(0)), vConv(r.get(1))))
+      .saveAsHadoopFile(path, kClass, vClass,
+        classOf[SequenceFileOutputFormat[Writable, Writable]], conf)
+  }
+
+  // ---- F2 interop: REAL MapFile directories ---------------------------
+
+  /** F2 interop (MapFile.java:420-462): read an actual on-disk MapFile
+    * DIRECTORY — `data` (the key-sorted SequenceFile) and `index` (every
+    * 128th key → byte position). A user's existing MapFile/SetFile dirs
+    * load without conversion; the parquet analog (writeSortedKeyed)
+    * remains the native write path. */
+  def readMapFileDir(spark: SparkSession, dir: String): DataFrame =
+    readSequenceFileTyped(spark, new Path(dir, "data").toString)
+
+  /** The MapFile index SequenceFile as (key, byte offset) — MapFile
+    * readers binary-search it; at Spark level it doubles as a row-count
+    * cross-check and a manual split planner. */
+  def readMapFileIndex(spark: SparkSession, dir: String): DataFrame =
+    readSequenceFileTyped(spark, new Path(dir, "index").toString)
+      .withColumnRenamed("value", "offset")
+
+  /** MapFile.Reader.get over a real MapFile dir: equality filter over the
+    * data file (the scan prunes via pushed predicates the way the index
+    * skips blocks; a driver-side index seek would serialize the read). */
+  def mapFileGet(spark: SparkSession, dir: String, key: Any): DataFrame =
+    readMapFileDir(spark, dir).filter(col("key") === lit(key))
 
   /** F1: SequenceFile.Sorter merge analog (C/org/apache/hadoop/io/
     * SequenceFile.java — Sorter.merge :2637-2687, MergeQueue): k-way
@@ -121,6 +265,56 @@ object Formats {
   /** F4: supported write codecs (DefaultCodec/Gzip/BZip2/Deflate/Snappy
     * in the reference → parquet codecs here). */
   val Codecs: Seq[String] = Seq("snappy", "gzip", "zstd", "lz4", "none")
+
+  // ---- F8: alternate filesystem schemes -------------------------------
+
+  /** F8: write a Hadoop Archive (the HAR layout HarFileSystem reads —
+    * `_index`, `_masterindex`, `part-0`; version 3) from the FILES
+    * directly under `srcDir`, readable afterwards by ANY Hadoop client
+    * through the har:// scheme (C/org/apache/hadoop/fs/HarFileSystem
+    * .java reader side). The real HadoopArchives tool is a MapReduce
+    * job; this driver-side writer produces the same layout for bounded
+    * inputs (fixtures, config bundles) — one flat directory level, one
+    * part file. */
+  def createHar(spark: SparkSession, srcDir: String, harDir: String): Unit = {
+    require(harDir.endsWith(".har"), s"har dir must end with .har: $harDir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    val har = new Path(harDir)
+    val outFs = har.getFileSystem(conf)
+    outFs.mkdirs(har)
+    val files = fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName)
+    val part = outFs.create(new Path(har, "part-0"), true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    var off = 0L
+    try files.foreach { st =>
+      val in = fs.open(st.getPath)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0) { part.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      entries += ((st.getPath.getName, off, st.getLen))
+      off += st.getLen
+    } finally part.close()
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val props = enc("0 420 root root") // modtime perm owner group
+    val index = new StringBuilder
+    index ++= s"${enc("/")} dir $props 0 0 " +
+      files.map(f => enc(f.getPath.getName)).mkString(" ") + "\n"
+    entries.foreach { case (name, o, l) =>
+      index ++= s"${enc("/" + name)} file part-0 $o $l $props\n"
+    }
+    val idxBytes = index.toString.getBytes("UTF-8")
+    val idx = outFs.create(new Path(har, "_index"), true)
+    try idx.write(idxBytes) finally idx.close()
+    // one store covering every hash: masterindex rows are
+    // (startHash endHash beginByte endByte) into _index
+    val mi = outFs.create(new Path(har, "_masterindex"), true)
+    try mi.write(s"3 \n0 2147483647 0 ${idxBytes.length}\n".getBytes("UTF-8"))
+    finally mi.close()
+  }
 
   /** F11: offlineImageViewer analog — export the whole live namespace
     * (id, path, attrs) as json or csv. */

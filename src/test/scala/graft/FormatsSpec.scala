@@ -48,6 +48,58 @@ class FormatsSpec extends SparkSpec {
       .orderBy(col("key"))) == expected)
   }
 
+  test("F1 typed: LongWritable/BytesWritable pairs round-trip; numeric comparator sort") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{LongWritable, SequenceFile}
+    val base = graft.core.Caching.scratchDir("seqtyped").toString
+    val df = Seq((20L, Array[Byte](1, 2)), (3L, Array[Byte](3)),
+      (100L, Array[Byte](4, 5, 6))).toDF("key", "value")
+    Formats.writeSequenceFileTyped(df, s"$base/t")
+    val back = Formats.readSequenceFileTyped(spark, s"$base/t")
+    assert(back.schema.fields.map(_.dataType.typeName).toSeq == Seq("long", "binary"))
+    val got = rows(back.orderBy(col("key")))
+    assert(got.map(_.head) == Seq(3L, 20L, 100L)
+      && got(2)(1).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](4, 5, 6))
+
+    // the typed sort is the RawComparator behavior: LongWritable keys
+    // order NUMERICALLY on disk (Text order would give 100 < 20 < 3)
+    def diskKeys(dir: String): Seq[Long] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      fs.globStatus(new Path(s"$dir/part-*")).map(_.getPath).sortBy(_.getName)
+        .flatMap { p =>
+          val r = new SequenceFile.Reader(conf, SequenceFile.Reader.file(p))
+          val k = new LongWritable; val v = new org.apache.hadoop.io.BytesWritable
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          try { while (r.next(k, v)) buf += k.get } finally r.close()
+          buf
+        }.toSeq
+    }
+    Formats.sortSequenceFile(spark, s"$base/t", s"$base/asc")
+    assert(diskKeys(s"$base/asc") == Seq(3L, 20L, 100L))
+    Formats.sortSequenceFile(spark, s"$base/t", s"$base/desc", descending = true)
+    assert(diskKeys(s"$base/desc") == Seq(100L, 20L, 3L))
+  }
+
+  test("F2 interop: a REAL MapFile directory reads back (data + index + get)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{MapFile, Text}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.core.Caching.scratchDir("mapfiledir").toString + "/mf"
+    val w = new MapFile.Writer(conf, new Path(dir),
+      MapFile.Writer.keyClass(classOf[Text]),
+      MapFile.Writer.valueClass(classOf[Text]))
+    try (1 to 300).foreach(i => w.append(new Text(f"k$i%04d"), new Text(s"v$i")))
+    finally w.close()
+    val back = Formats.readMapFileDir(spark, dir)
+    assert(back.count() == 300)
+    assert(rows(Formats.mapFileGet(spark, dir, "k0042")) == Seq(Seq("k0042", "v42")))
+    // default index interval 128 → ceil(300/128) index entries, offsets long
+    val idx = Formats.readMapFileIndex(spark, dir)
+    assert(idx.columns.toSeq == Seq("key", "offset"))
+    assert(idx.count() == 3 && idx.schema("offset").dataType.typeName == "long")
+  }
+
   test("F1: Sorter.merge — k-way merge of sorted runs keeps duplicates") {
     val base = graft.core.Caching.scratchDir("seqmerge").toString
     val runA = Seq(("a", "1"), ("c", "3"), ("e", "5")).toDF("key", "value")
@@ -92,6 +144,31 @@ class FormatsSpec extends SparkSpec {
     // getClosest: smallest key at-or-after a probe BETWEEN stored keys
     val closest = Formats.closestLookup(spark, dir, "k", 500L)
     assert(rows(closest) == Seq(Seq(500L, 1000L)))
+  }
+
+  test("F8: har:// — an archive written by createHar reads back through the scheme") {
+    val base = graft.core.Caching.scratchDir("har").toString
+    val srcDir = s"$base/src"
+    val csv = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "word")
+    csv.coalesce(1).write.option("header", "true").csv(srcDir)
+    Formats.createHar(spark, srcDir, s"$base/arch.har")
+    // the whole read path goes through HarFileSystem: list + open + seek
+    val back = spark.read.option("header", "true")
+      .csv(s"har://$base/arch.har")
+      .filter(col("word").isNotNull)
+    assert(rows(back.orderBy(col("id")))
+      == Seq(Seq("1", "alpha"), Seq("2", "beta"), Seq("3", "gamma")))
+  }
+
+  test("F8: viewfs:// — a mount-table link resolves reads through the scheme") {
+    val base = graft.core.Caching.scratchDir("viewfs").toString
+    val df = (1 to 50).map(i => (i.toLong, s"w$i")).toDF("id", "w")
+    df.write.parquet(s"$base/tbl")
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.viewfs.mounttable.graftcluster.link./data", s"file:$base/tbl")
+    val back = spark.read.parquet("viewfs://graftcluster/data")
+    assert(back.count() == 50
+      && rows(back.filter(col("id") === 7L)) == Seq(Seq(7L, "w7")))
   }
 
   test("F11: namespace export to json") {
