@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * steps run batched per partition (the Scala analog of mapInPandas —
   * one decoder instantiation per partition, vectorized batches).
   *
-  * The decode itself is STUBBED (no image/audio libs in this container):
-  * `StubDecoder` derives deterministic fake features from the bytes. The
-  * Spark-side plumbing — schema, partitioning, batch shape — is real and
-  * tested; swap `StubDecoder` for a JNI/FFI decoder in production.
+  * Images decode FOR REAL: `ImageDecoder` handles PNG/BMP through
+  * javax.imageio (pure JVM — no native libs needed), computing actual
+  * dimensions, mean luma, and scaled thumbnails. Audio/video payloads
+  * (no media libs in this container) fall back to `StubDecoder`, which
+  * derives deterministic fake features from the bytes; swap it for a
+  * JNI/FFI decoder in production — the partition-batched signature is
+  * the contract either way.
   */
 object Multimodal {
 
@@ -28,8 +31,58 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** Real pure-JVM decode for PNG/BMP payloads — javax.imageio ships
+    * with the JRE, so no native media libs are needed. Magic-byte
+    * sniffing gates the expensive ImageIO path: at corpus scale only
+    * rows that actually look like images pay for a decode attempt; an
+    * undecodable or non-image payload falls back to the stub. */
+  object ImageDecoder {
+    private def isPng(b: Array[Byte]): Boolean = b.length > 8 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    private def isBmp(b: Array[Byte]): Boolean =
+      b.length > 2 && b(0) == 'B' && b(1) == 'M'
+    def sniff(b: Array[Byte]): Boolean = isPng(b) || isBmp(b)
+
+    private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!sniff(payload)) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** (width, height, mean ITU-R 601 luma) of a decodable image. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Double)] =
+      readImage(payload).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0.0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+              (rgb & 0xff) * 114L) / 1000.0
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sum / (w.toLong * h))
+      }
+
+    /** Scale a decodable image to (w, h) and re-encode as PNG. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      readImage(payload).map { img =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      }
+  }
+
   /** Deterministic fake decode: "dimensions" and "luma" from byte stats.
-    * Replace with a real decoder; the signature is the contract. */
+    * The fallback for payloads the pure-JVM ImageDecoder cannot handle
+    * (audio/video codecs — no media libs in this container). */
   object StubDecoder {
     def decode(modality: String, payload: Array[Byte]): (Int, Int, Double) = {
       val n = payload.length
@@ -50,7 +103,8 @@ object Multimodal {
     m.as[MediaRow].mapPartitions { rows =>
       // per-partition decoder init goes here (expensive handle, once)
       rows.map { r =>
-        val (w, h, luma) = StubDecoder.decode(r.modality, r.payload)
+        val (w, h, luma) = ImageDecoder.decode(r.payload)
+          .getOrElse(StubDecoder.decode(r.modality, r.payload))
         MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, w, h, luma)
       }
     }
@@ -59,19 +113,22 @@ object Multimodal {
   final case class ResizedMedia(doc_id: Long, modality: String,
                                 width: Int, height: Int, payload: Array[Byte])
 
-  /** Resize plumbing: payload → fixed (w,h) thumbnail. The stub
-    * downsamples bytes deterministically (stride sampling); a real
-    * decoder swaps in behind the same partition-batched signature. */
+  /** Resize plumbing: payload → fixed (w,h) thumbnail. PNG/BMP payloads
+    * go through the real ImageDecoder (scale + PNG re-encode); anything
+    * else downsamples bytes deterministically (stride sampling) behind
+    * the same partition-batched signature. */
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int,
              partitions: Int = 0): Dataset[ResizedMedia] = {
     import spark.implicits._
     val m = if (partitions > 0) media.repartition(partitions) else media
     m.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val target = math.max(1, w * h)
-        val stride = math.max(1, r.payload.length / target)
-        val out = r.payload.indices.by(stride).take(target)
-          .map(r.payload.apply).toArray
+        val out = ImageDecoder.resize(r.payload, w, h).getOrElse {
+          val target = math.max(1, w * h)
+          val stride = math.max(1, r.payload.length / target)
+          r.payload.indices.by(stride).take(target)
+            .map(r.payload.apply).toArray
+        }
         ResizedMedia(r.doc_id, r.modality, w, h, out)
       }
     }

@@ -351,6 +351,40 @@ class DataOpsSpec extends SparkSpec {
     assert(frames.map(_.doc_id).toSet == expectedDocs)
   }
 
+  test("multimodal REAL decode: generated PNGs yield true dims, luma, thumbnails") {
+    import java.awt.image.BufferedImage
+    // a 64x32 PNG: left half pure red (luma 76.245), right half pure
+    // white (luma 255) → mean luma (76.245 + 255) / 2
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq((1L, "image", png(64, 32)), (2L, "image", png(20, 10)),
+        (3L, "audio", "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "modality", "payload")
+    val feats = Multimodal.extractFeatures(spark, media, partitions = 2)
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).width == 64 && feats(0).height == 32)
+    assert(feats(1).width == 20 && feats(1).height == 10)
+    val expLuma = ((255 * 299 / 1000.0) + 255.0) / 2
+    assert(math.abs(feats(0).meanLuma - expLuma) < 0.01,
+      s"real luma, got ${feats(0).meanLuma}")
+    // the audio row fell back to the stub (width from byte stats)
+    assert(feats(2).width == 16 + "not an image".length % 64)
+    // resize: the thumbnail is a REAL 4x2 PNG that decodes back
+    val thumb = Multimodal.resize(spark, media, w = 4, h = 2).collect()
+      .find(_.doc_id == 1L).get
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumb.payload))
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    // left edge stays red-ish, right edge white-ish after scaling
+    assert((back.getRGB(0, 0) & 0xff0000) != 0 && (back.getRGB(3, 1) & 0xffffff) == 0xffffff)
+  }
+
   test("dup clusters: transitive chain collapses to min id; components separate") {
     // chain 1-2, 2-5 plus isolated pair 7-9: two components
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("id1", "id2")
