@@ -71,7 +71,22 @@ object Bench {
     val total =
       if (results.exists(_._3)) "null"
       else results.collect { case (_, ts, false) => median(ts) }.sum.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failedNames,"sf":"$sfDir"}""")
+    // contention guard: flag the artifact when a query's REPORTED number
+    // is itself inflated — median/min > 1.5x means at least half the reps
+    // ran slow, i.e. the machine was busy for the bulk of the measurement
+    // (round-9's committed bench read 4.9x on code that hadn't changed).
+    // One stray slow rep out of three is ordinary GC/page-cache jitter
+    // and doesn't move the median, so max/min is deliberately NOT the
+    // signal. Sub-second medians are exempt: JIT noise dominates there.
+    val contendedNames = results.collect {
+      case (k, ts, false) if ts.head > 0 && median(ts) / ts.head > 1.5
+        && median(ts) > 1.0 => "\"" + k + "\""
+    }
+    val contended = contendedNames.nonEmpty
+    if (contended)
+      System.err.println(s"[bench] CONTENDED (max/min > 1.5x): " +
+        contendedNames.mkString(", ") + " — re-run on an idle box")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failedNames,"contended":$contended,"contendedQueries":[${contendedNames.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
