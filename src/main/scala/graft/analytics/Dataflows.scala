@@ -424,35 +424,136 @@ object Dataflows {
 
   // ---- N11: fsck (NamenodeFsck.java:149-353, Result :556-640) ----------
 
-  /** Whole-namespace health report in one wide aggregation:
-    * file ⋈ grouped-blocks → counts/sums/conditional counts. */
-  def fsck(file: DataFrame, block: DataFrame, datanode: DataFrame, nowMs: Long): DataFrame = {
+  /** Live-node → dense INT rack-id dimension + the cluster rack count
+    * (a 1-row frame). Rack STRINGS must not ride the per-block shuffle —
+    * 6M '/rackN' payloads through the aggregation measured 2× the whole
+    * query — so the dimension maps each live node to a rack ordinal
+    * (rack-dimension window, bounded by rack count) and the block side
+    * joins the broadcast dimension for two ints. */
+  /** The rack count comes back as a plan-time LITERAL (driver-side count
+    * on the rack dimension — topology is namenode-memory-sized, the
+    * Placement convention): a 1-row crossJoin would sit as a
+    * BroadcastNestedLoopJoin between the file⋈block join and the
+    * per-file aggregation, breaking their codegen fusion. */
+  private def nodeRackDim(datanode: DataFrame, nowMs: Long): (DataFrame, Long) = {
+    val liveN = StateManager.liveDatanodes(datanode, nowMs)
+      .select(col("id").as("__nid"), col("location"))
+    val rackDim = liveN.select(col("location")).distinct()
+      .withColumn("__rid", row_number().over(Window.orderBy(col("location"))))
+      .localCheckpoint() // rack-dimension-sized; counted AND joined below
+    val dim = liveN.join(broadcast(rackDim), Seq("location"))
+      .select(col("__nid"), col("__rid"))
+    (dim, rackDim.count())
+  }
+
+  /** Per-block liveness/rack-spread/length off ONE block scan: live
+    * replica count, min/max rack ordinal (the placement rule only asks
+    * "≥ 2 racks?", so min/max replaces a countDistinct that would force
+    * the expand plan), and max stored length. Length is max-stored, not
+    * the BlockEntry argmax: it is only reported for MISSING blocks,
+    * whose rows are all dead replicas — no live primary exists to rank
+    * by (genStamp, version), and max is the conservative lost-bytes
+    * bound (an argmax struct here measured ~2/3 of the whole query). */
+  private def fsckPerBlock(block: DataFrame, dim: DataFrame): DataFrame =
+    live(block)
+      .join(broadcast(dim), col("datanodeId") === col("__nid"), "left")
+      .groupBy(col("id").as("blockId"), col("fileId").as("__bfid"))
+      .agg(count(col("__nid")).as("__live"),
+        min(col("__rid")).as("__rkMin"),
+        max(col("__rid")).as("__rkMax"),
+        max(greatest(col("length"), lit(0L))).as("__blockLen"))
+
+  /** Whole-namespace health report — the full Result field set
+    * (NamenodeFsck.Result :556-640) as ONE row. Faithful to the default
+    * walk: OPEN files are skipped before any check (:227-233) and
+    * surface only as the totalOpenFiles/Blocks/Size triple (Result
+    * prints them apart from the validated totals, :605-621); dirs count
+    * every live directory the walk visits, root included (:199). Per
+    * CLOSED-file block, against the live-datanode set: missing (no live
+    * holder, :305-312, with its bytes → missingSize), under/over vs the
+    * file's target (:264-283), minimally-replicated (≥ minReplication,
+    * :269-270), mis-replicated (the min(2, repl, clusterRacks) placement
+    * rule, :285-299). corruptFiles counts files with ≥1 missing block
+    * (:327-331); avgReplication is getReplicationFactor :598-602 (0.0
+    * on an empty namespace). totalSize sums the files' namespace
+    * lengths (file.getLen, :234), not block bytes. */
+  def fsck(file: DataFrame, block: DataFrame, datanode: DataFrame, nowMs: Long,
+           minReplication: Int = 1): DataFrame = {
     val files = live(file)
-    val liveNodeIds = StateManager.liveDatanodes(datanode, nowMs)
-      .select(col("id").as("nodeId"))
-    val perBlock = live(block)
-      .join(liveNodeIds, col("datanodeId") === col("nodeId"), "left_semi")
-      .groupBy(col("id").as("blockId"), col("fileId"))
-      .agg(count(lit(1)).as("liveReplicas"),
-           max(greatest(col("length"), lit(0L))).as("blockLen"))
-    val perFile = files.filter(col("length") =!= -1L)
-      .select(col("id"), col("replication"))
-      .join(perBlock, col("id") === perBlock("fileId"), "left")
-      .groupBy(col("id"), col("replication"))
-      .agg(count(col("blockId")).as("nBlocks"),
-           sum(coalesce(col("blockLen"), lit(0L))).as("fileSize"),
-           sum(coalesce(col("liveReplicas"), lit(0L))).as("totalReplicas"),
-           count(when(col("liveReplicas") < col("replication"), 1)).as("underBlocks"),
-           count(when(col("liveReplicas") > col("replication"), 1)).as("overBlocks"),
-           count(when(col("liveReplicas").isNull, 1)).as("missingBlocks"))
+    val (dim, clusterRacks) = nodeRackDim(datanode, nowMs)
+    val perBlock = fsckPerBlock(block, dim)
+    // ONE scan of the file table: rows are status-tagged and every
+    // Result field routes off the status in the final aggregation.
+    // Separate dir/open/openBlocks branches would re-derive the file and
+    // block tables once per branch — the derived tables are views, so an
+    // extra scan is an extra full derivation, not a cheap re-read.
+    val fAll = files.withColumn("__status",
+        when(col("length") === -1L, "dir")
+          .when(col("leaseHolder").isNotNull, "open")
+          .otherwise("closed"))
+      .select(col("id").as("__fid"), col("replication"),
+        col("length").as("__flen"), col("__status"))
+    val hasB = col("blockId").isNotNull
+    val isClosed = col("__status") === "closed"
+    // numRacks < min(2, repl, clusterRacks) given clusterRacks > 1 ⟺
+    //   repl ≥ 2: block spans ≤ 1 rack (min/max equal or both null)
+    //   repl = 1: no live replica at all (numRacks = 0)
+    //   repl ≤ 0: never (minRacks = 0)
+    val spans1 = col("__rkMin").isNull || col("__rkMin") === col("__rkMax")
+    // shuffle_hash, not sort-merge: both sides partition on the file id
+    // (no broadcast — perBlock is block-dimension-sized and would OOM a
+    // 100 TB driver; the old plan only broadcast it through a local-mode
+    // size underestimate), and hashing skips SMJ's two sorts
+    val perFile = fAll
+      .join(perBlock.hint("shuffle_hash"), col("__fid") === col("__bfid"), "left")
+      .withColumn("__missing",
+        when(isClosed && hasB && col("__live") === 0, 1L).otherwise(0L))
+      .withColumn("__missSize", when(isClosed && hasB && col("__live") === 0,
+        col("__blockLen")).otherwise(0L))
+      .withColumn("__under", when(isClosed && col("__live") > 0 &&
+        col("__live") < col("replication"), 1L).otherwise(0L))
+      .withColumn("__over",
+        when(isClosed && col("__live") > col("replication"), 1L).otherwise(0L))
+      .withColumn("__minR",
+        when(isClosed && col("__live") >= minReplication, 1L).otherwise(0L))
+      .withColumn("__misR", when(isClosed && lit(clusterRacks) > 1 && hasB &&
+        ((col("replication") >= 2 && spans1) ||
+         (col("replication") === 1 && col("__live") === 0)), 1L).otherwise(0L))
+      .groupBy(col("__fid"), col("__flen"), col("__status"))
+      .agg(count(col("blockId")).as("__nb"),
+        sum(col("__missing")).as("__miss"), sum(col("__missSize")).as("__msz"),
+        sum(col("__under")).as("__und"), sum(col("__over")).as("__ovr"),
+        sum(col("__minR")).as("__min"), sum(col("__misR")).as("__mis"),
+        sum(when(isClosed, coalesce(col("__live"), lit(0L))).otherwise(0L))
+          .as("__reps"))
+    val closedRow = col("__status") === "closed"
     perFile.agg(
-      count(lit(1)).as("totalFiles"),
-      sum(col("nBlocks")).as("totalBlocks"),
-      sum(col("fileSize")).as("totalSize"),
-      sum(col("underBlocks")).as("underReplicatedBlocks"),
-      sum(col("overBlocks")).as("overReplicatedBlocks"),
-      sum(col("missingBlocks")).as("missingBlocks"),
-      (sum(col("totalReplicas")).cast("double") / sum(col("nBlocks"))).as("avgReplication"))
+      count(when(closedRow, 1)).as("totalFiles"),
+      count(when(col("__status") === "dir", 1)).as("totalDirs"),
+      coalesce(sum(when(closedRow, col("__nb"))), lit(0L)).as("totalBlocks"),
+      coalesce(sum(when(closedRow, col("__flen"))), lit(0L)).as("totalSize"),
+      sum(col("__und")).as("underReplicatedBlocks"),
+      sum(col("__ovr")).as("overReplicatedBlocks"),
+      sum(col("__min")).as("minReplicatedBlocks"),
+      sum(col("__mis")).as("misReplicatedBlocks"),
+      sum(col("__miss")).as("missingBlocks"),
+      sum(col("__msz")).as("missingSize"),
+      count(when(closedRow && col("__miss") > 0, 1)).as("corruptFiles"),
+      when(coalesce(sum(when(closedRow, col("__nb"))), lit(0L)) === 0, lit(0.0))
+        .otherwise(sum(col("__reps")).cast("double") /
+          sum(when(closedRow, col("__nb"))))
+        .as("avgReplication"),
+      count(when(col("__status") === "open", 1)).as("totalOpenFiles"),
+      coalesce(sum(when(col("__status") === "open", col("__nb"))), lit(0L))
+        .as("totalOpenFilesBlocks"),
+      coalesce(sum(when(col("__status") === "open", col("__flen"))), lit(0L))
+        .as("totalOpenFilesSize"))
+      .select(col("totalFiles"), col("totalDirs"), col("totalBlocks"),
+        col("totalSize"), col("underReplicatedBlocks"),
+        col("overReplicatedBlocks"), col("minReplicatedBlocks"),
+        col("misReplicatedBlocks"), col("missingBlocks"), col("missingSize"),
+        col("corruptFiles"), col("avgReplication"), col("totalOpenFiles"),
+        col("totalOpenFilesBlocks"), col("totalOpenFilesSize"))
   }
 
   /** N11 per-file findings (NamenodeFsck.check :193-353): one row per
@@ -468,38 +569,35 @@ object Dataflows {
     *    more than one rack (:285-299,
     *    ReplicationTargetChooser.verifyBlockPlacement :431-461 — a
     *    missing block counts here too, its rack set is empty).
-    * A file with a missing block is corrupt (:327-331); block length is
-    * the BlockEntry-primary (genStamp, version)-argmax convention. */
+    * A file with a missing block is corrupt (:327-331). A missing
+    * block's reported size is its max stored replica length — all its
+    * rows are dead replicas, so no live primary exists for the
+    * BlockEntry argmax to rank, and max is the conservative lost-bytes
+    * bound (fsckMove's chain lengths, which do have live primaries,
+    * keep the argmax convention). */
   def fsckFiles(file: DataFrame, block: DataFrame, datanode: DataFrame,
                 nowMs: Long): DataFrame = {
-    val liveN = StateManager.liveDatanodes(datanode, nowMs)
-      .select(col("id").as("__nid"), col("location").as("__rack"))
-    val clusterRacks = liveN.agg(
-      countDistinct(col("__rack")).as("__clusterRacks"))
-    val ord = struct(col("generationStamp"), col("version"))
-    val perBlock = live(block)
-      .join(liveN, col("datanodeId") === col("__nid"), "left")
-      .groupBy(col("id").as("blockId"), col("fileId").as("__bfid"))
-      .agg(count(col("__nid")).as("__liveReplicas"),
-        countDistinct(col("__rack")).as("__numRacks"),
-        max_by(col("length"), ord).as("__blockLen"))
+    val (dim, clusterRacks) = nodeRackDim(datanode, nowMs)
+    val perBlock = fsckPerBlock(block, dim)
+      .withColumnRenamed("__live", "__liveReplicas")
     val files = live(file)
       .filter(col("length") =!= -1L && col("leaseHolder").isNull)
       .select(col("id").as("fileId"), col("replication"),
         col("length").as("fileSize"))
+    val spans1 = col("__rkMin").isNull || col("__rkMin") === col("__rkMax")
     val perFile = files
       .join(perBlock, col("fileId") === col("__bfid"))
-      .crossJoin(broadcast(clusterRacks))
       .withColumn("__missing", (col("__liveReplicas") === 0).cast("int"))
       .withColumn("__under", (col("__liveReplicas") > 0 &&
         col("__liveReplicas") < col("replication")).cast("int"))
       .withColumn("__over", (col("__liveReplicas") > col("replication")).cast("int"))
-      .withColumn("__misrep", (col("__clusterRacks") > 1 && col("__numRacks") <
-        least(lit(2L), col("replication"), col("__clusterRacks"))).cast("int"))
+      .withColumn("__misrep", (lit(clusterRacks) > 1 &&
+        ((col("replication") >= 2 && spans1) ||
+         (col("replication") === 1 && col("__liveReplicas") === 0))).cast("int"))
       .groupBy(col("fileId"), col("replication"), col("fileSize"))
       .agg(count(col("blockId")).as("nBlocks"),
         sum(col("__missing")).cast("long").as("missingBlocks"),
-        sum(when(col("__missing") === 1, greatest(col("__blockLen"), lit(0L)))
+        sum(when(col("__missing") === 1, col("__blockLen"))
           .otherwise(0L)).as("missingSize"),
         sum(col("__under")).cast("long").as("underBlocks"),
         sum(col("__over")).cast("long").as("overBlocks"),

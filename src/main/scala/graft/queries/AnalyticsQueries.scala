@@ -447,33 +447,68 @@ object AnalyticsQueries {
         |WHERE dropRank <= cnt - replication AND id % 20 = 0
         |ORDER BY id, dropRank""".stripMargin),
     "n11_fsck" -> O(
-      """WITH livenodes AS (
-        |  SELECT id FROM datanode WHERE version > 0
-        |    AND lastUpdated >= 1700000000000 - 600000),
+      s"""WITH livenodes AS (
+        |  SELECT id, location FROM datanode WHERE version > 0
+        |    AND lastUpdated >= $Now - 600000),
+        |nrk AS (SELECT COUNT(DISTINCT location) AS clusterRacks FROM livenodes),
         |perblock AS (
-        |  SELECT b.id AS blockId, b.fileId, COUNT(*) AS liveReplicas,
-        |         MAX(CASE WHEN b.length > 0 THEN b.length ELSE 0 END) AS blockLen
-        |  FROM block b JOIN livenodes n ON b.datanodeId = n.id
+        |  SELECT b.id AS blockId, b.fileId,
+        |    COUNT(n.id) AS livec,
+        |    COUNT(DISTINCT n.location) AS numRacks,
+        |    MAX(GREATEST(b.length, 0)) AS blockLen
+        |  FROM block b LEFT JOIN livenodes n ON b.datanodeId = n.id
         |  WHERE b.version > 0 GROUP BY b.id, b.fileId),
+        |closed AS (
+        |  SELECT id, replication, length FROM file
+        |  WHERE version > 0 AND length <> -1 AND leaseHolder IS NULL),
         |perfile AS (
-        |  SELECT f.id, f.replication,
-        |         COUNT(p.blockId) AS nBlocks,
-        |         SUM(COALESCE(p.blockLen, 0)) AS fileSize,
-        |         SUM(COALESCE(p.liveReplicas, 0)) AS totalReplicas,
-        |         COUNT(CASE WHEN p.liveReplicas < f.replication THEN 1 END) AS underBlocks,
-        |         COUNT(CASE WHEN p.liveReplicas > f.replication THEN 1 END) AS overBlocks,
-        |         COUNT(CASE WHEN p.liveReplicas IS NULL THEN 1 END) AS missingBlocks
-        |  FROM file f LEFT JOIN perblock p ON p.fileId = f.id
-        |  WHERE f.version > 0 AND f.length <> -1
-        |  GROUP BY f.id, f.replication)
-        |SELECT COUNT(*) AS totalFiles,
-        |  CAST(SUM(nBlocks) AS BIGINT) AS totalBlocks,
-        |  CAST(SUM(fileSize) AS BIGINT) AS totalSize,
-        |  CAST(SUM(underBlocks) AS BIGINT) AS underReplicatedBlocks,
-        |  CAST(SUM(overBlocks) AS BIGINT) AS overReplicatedBlocks,
-        |  CAST(SUM(missingBlocks) AS BIGINT) AS missingBlocks,
-        |  CAST(SUM(totalReplicas) AS DOUBLE) / CAST(SUM(nBlocks) AS DOUBLE) AS avgReplication
-        |FROM perfile""".stripMargin),
+        |  SELECT f.id, f.length,
+        |    COUNT(p.blockId) AS nb,
+        |    SUM(CASE WHEN p.blockId IS NOT NULL AND p.livec = 0
+        |             THEN 1 ELSE 0 END) AS miss,
+        |    SUM(CASE WHEN p.blockId IS NOT NULL AND p.livec = 0
+        |             THEN p.blockLen ELSE 0 END) AS msz,
+        |    SUM(CASE WHEN p.livec > 0 AND p.livec < f.replication
+        |             THEN 1 ELSE 0 END) AS und,
+        |    SUM(CASE WHEN p.livec > f.replication THEN 1 ELSE 0 END) AS ovr,
+        |    SUM(CASE WHEN p.livec >= 1 THEN 1 ELSE 0 END) AS minr,
+        |    SUM(CASE WHEN r.clusterRacks > 1 AND p.blockId IS NOT NULL
+        |              AND p.numRacks < LEAST(2, f.replication, r.clusterRacks)
+        |             THEN 1 ELSE 0 END) AS misr,
+        |    SUM(COALESCE(p.livec, 0)) AS reps
+        |  FROM closed f LEFT JOIN perblock p ON p.fileId = f.id CROSS JOIN nrk r
+        |  GROUP BY f.id, f.length),
+        |dirsagg AS (
+        |  SELECT COUNT(*) AS totalDirs FROM file
+        |  WHERE version > 0 AND length = -1),
+        |openagg AS (
+        |  SELECT COUNT(*) AS totalOpenFiles,
+        |    CAST(COALESCE(SUM(length), 0) AS BIGINT) AS totalOpenFilesSize
+        |  FROM file
+        |  WHERE version > 0 AND length <> -1 AND leaseHolder IS NOT NULL),
+        |openblocks AS (
+        |  SELECT COUNT(DISTINCT b.id) AS totalOpenFilesBlocks
+        |  FROM block b JOIN file f2 ON b.fileId = f2.id
+        |  WHERE b.version > 0 AND f2.version > 0 AND f2.length <> -1
+        |    AND f2.leaseHolder IS NOT NULL)
+        |SELECT COUNT(*) AS totalFiles, d.totalDirs,
+        |  CAST(SUM(nb) AS BIGINT) AS totalBlocks,
+        |  CAST(SUM(length) AS BIGINT) AS totalSize,
+        |  CAST(SUM(und) AS BIGINT) AS underReplicatedBlocks,
+        |  CAST(SUM(ovr) AS BIGINT) AS overReplicatedBlocks,
+        |  CAST(SUM(minr) AS BIGINT) AS minReplicatedBlocks,
+        |  CAST(SUM(misr) AS BIGINT) AS misReplicatedBlocks,
+        |  CAST(SUM(miss) AS BIGINT) AS missingBlocks,
+        |  CAST(SUM(msz) AS BIGINT) AS missingSize,
+        |  COUNT(CASE WHEN miss > 0 THEN 1 END) AS corruptFiles,
+        |  CASE WHEN SUM(nb) = 0 THEN 0.0
+        |       ELSE CAST(SUM(reps) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE)
+        |  END AS avgReplication,
+        |  o.totalOpenFiles, ob.totalOpenFilesBlocks, o.totalOpenFilesSize
+        |FROM perfile CROSS JOIN dirsagg d CROSS JOIN openagg o
+        |CROSS JOIN openblocks ob
+        |GROUP BY d.totalDirs, o.totalOpenFiles, o.totalOpenFilesSize,
+        |  ob.totalOpenFilesBlocks""".stripMargin),
     "n11_fsck_files" -> O(
       s"""WITH RECURSIVE $FsckCommonCtes
         |SELECT pp.path, b.fileId, b.replication, b.fileSize, b.nBlocks,
@@ -789,8 +824,7 @@ object AnalyticsQueries {
       |  SELECT b.id AS blockId, b.fileId,
       |    COUNT(n.id) AS liveReplicas,
       |    COUNT(DISTINCT n.location) AS numRacks,
-      |    ARG_MAX(b.length, CAST(b.generationStamp AS HUGEINT)
-      |            * 9223372036854775808 + b.version) AS blockLen
+      |    MAX(GREATEST(b.length, 0)) AS blockLen
       |  FROM block b LEFT JOIN fk_live n ON b.datanodeId = n.id
       |  WHERE b.version > 0
       |  GROUP BY b.id, b.fileId),
@@ -802,7 +836,7 @@ object AnalyticsQueries {
       |    COUNT(*) AS nBlocks,
       |    CAST(SUM(CASE WHEN p.liveReplicas = 0 THEN 1 ELSE 0 END)
       |         AS BIGINT) AS missingBlocks,
-      |    CAST(SUM(CASE WHEN p.liveReplicas = 0 THEN GREATEST(p.blockLen, 0)
+      |    CAST(SUM(CASE WHEN p.liveReplicas = 0 THEN p.blockLen
       |             ELSE 0 END) AS BIGINT) AS missingSize,
       |    CAST(SUM(CASE WHEN p.liveReplicas > 0
       |              AND p.liveReplicas < f.replication THEN 1 ELSE 0 END)
