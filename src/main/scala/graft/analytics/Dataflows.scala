@@ -574,16 +574,22 @@ object Dataflows {
     * rows are dead replicas, so no live primary exists for the
     * BlockEntry argmax to rank, and max is the conservative lost-bytes
     * bound (fsckMove's chain lengths, which do have live primaries,
-    * keep the argmax convention). */
+    * keep the argmax convention).
+    *
+    * `showOpenFiles` is the -openforwrite flag (:118-126): open files
+    * skip the early return, get the same checks, and carry
+    * openForWrite = true (:237-239 prints the OPENFORWRITE marker). */
   def fsckFiles(file: DataFrame, block: DataFrame, datanode: DataFrame,
-                nowMs: Long): DataFrame = {
+                nowMs: Long, showOpenFiles: Boolean = false): DataFrame = {
     val (dim, clusterRacks) = nodeRackDim(datanode, nowMs)
     val perBlock = fsckPerBlock(block, dim)
       .withColumnRenamed("__live", "__liveReplicas")
     val files = live(file)
-      .filter(col("length") =!= -1L && col("leaseHolder").isNull)
+      .filter(col("length") =!= -1L &&
+        (lit(showOpenFiles) || col("leaseHolder").isNull))
       .select(col("id").as("fileId"), col("replication"),
-        col("length").as("fileSize"))
+        col("length").as("fileSize"),
+        col("leaseHolder").isNotNull.as("openForWrite"))
     val spans1 = col("__rkMin").isNull || col("__rkMin") === col("__rkMax")
     val perFile = files
       .join(perBlock, col("fileId") === col("__bfid"))
@@ -594,7 +600,8 @@ object Dataflows {
       .withColumn("__misrep", (lit(clusterRacks) > 1 &&
         ((col("replication") >= 2 && spans1) ||
          (col("replication") === 1 && col("__liveReplicas") === 0))).cast("int"))
-      .groupBy(col("fileId"), col("replication"), col("fileSize"))
+      .groupBy(col("fileId"), col("replication"), col("fileSize"),
+        col("openForWrite"))
       .agg(count(col("blockId")).as("nBlocks"),
         sum(col("__missing")).cast("long").as("missingBlocks"),
         sum(when(col("__missing") === 1, col("__blockLen"))
@@ -609,7 +616,8 @@ object Dataflows {
     perFile.join(paths, col("fileId") === col("__pid"))
       .select(col("path"), col("fileId"), col("replication"), col("fileSize"),
         col("nBlocks"), col("missingBlocks"), col("missingSize"),
-        col("underBlocks"), col("overBlocks"), col("misReplicatedBlocks"))
+        col("underBlocks"), col("overBlocks"), col("misReplicatedBlocks"),
+        col("openForWrite"))
   }
 
   /** N11 `-move`: the lost+found write-set (NamenodeFsck.lostFoundMove

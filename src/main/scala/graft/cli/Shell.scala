@@ -348,8 +348,10 @@ object Shell {
         // per-file findings, -move rescues corrupt files to /lost+found
         // (a write-set here), -delete removes them; default = the
         // aggregate Result row
-        if (args.contains("-files"))
-          Dataflows.fsckFiles(file, block, datanode, Now).orderBy(col("path"))
+        if (args.contains("-files") || args.contains("-openforwrite"))
+          Dataflows.fsckFiles(file, block, datanode, Now,
+              showOpenFiles = args.contains("-openforwrite"))
+            .orderBy(col("path"))
         else if (args.contains("-move")) {
           val idBase = file.agg(coalesce(max(col("id")), lit(0L)))
             .collect()(0).getLong(0)

@@ -151,6 +151,14 @@ object AnalyticsQueries {
           s.sql(FsckDeadNodesSql), Now)
         .orderBy(col("path"))
     },
+    // N11 -openforwrite: open files skip the early return and get the
+    // same checks, marked openForWrite (DFSck flag :118-126)
+    "n11_fsck_open" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.fsckFiles(s.table("file"), s.table("block"),
+          s.sql(FsckDeadNodesSql), Now, showOpenFiles = true)
+        .orderBy(col("path"))
+    },
     // N11 -move: lost+found write-set for the corrupt files
     "n11_fsck_move" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -513,8 +521,37 @@ object AnalyticsQueries {
       s"""WITH RECURSIVE $FsckCommonCtes
         |SELECT pp.path, b.fileId, b.replication, b.fileSize, b.nBlocks,
         |  b.missingBlocks, b.missingSize, b.underBlocks, b.overBlocks,
-        |  b.misReplicatedBlocks
+        |  b.misReplicatedBlocks, FALSE AS openForWrite
         |FROM fk_bad b JOIN fk_path pp ON pp.id = b.fileId
+        |ORDER BY pp.path""".stripMargin),
+    "n11_fsck_open" -> O(
+      s"""WITH RECURSIVE $FsckCommonCtes,
+        |ofl AS (
+        |  SELECT id, replication, length, leaseHolder IS NOT NULL AS ofw
+        |  FROM file WHERE version > 0 AND length <> -1),
+        |opf AS (
+        |  SELECT f.id AS fileId, f.replication, f.length AS fileSize, f.ofw,
+        |    COUNT(*) AS nBlocks,
+        |    CAST(SUM(CASE WHEN p.liveReplicas = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS missingBlocks,
+        |    CAST(SUM(CASE WHEN p.liveReplicas = 0 THEN p.blockLen
+        |             ELSE 0 END) AS BIGINT) AS missingSize,
+        |    CAST(SUM(CASE WHEN p.liveReplicas > 0
+        |              AND p.liveReplicas < f.replication THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS underBlocks,
+        |    CAST(SUM(CASE WHEN p.liveReplicas > f.replication THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS overBlocks,
+        |    CAST(SUM(CASE WHEN r.clusterRacks > 1 AND p.numRacks <
+        |              LEAST(2, f.replication, r.clusterRacks) THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS misReplicatedBlocks
+        |  FROM ofl f JOIN fk_pb p ON p.fileId = f.id CROSS JOIN fk_nrk r
+        |  GROUP BY f.id, f.replication, f.length, f.ofw)
+        |SELECT pp.path, b.fileId, b.replication, b.fileSize, b.nBlocks,
+        |  b.missingBlocks, b.missingSize, b.underBlocks, b.overBlocks,
+        |  b.misReplicatedBlocks, b.ofw AS openForWrite
+        |FROM opf b JOIN fk_path pp ON pp.id = b.fileId
+        |WHERE b.missingBlocks > 0 OR b.underBlocks > 0 OR b.overBlocks > 0
+        |   OR b.misReplicatedBlocks > 0
         |ORDER BY pp.path""".stripMargin),
     "n11_fsck_move" -> O(
       s"""WITH RECURSIVE $FsckCommonCtes,

@@ -390,6 +390,38 @@ class ScaleSpec extends SparkSpec {
     assert(preBuilt == oneShot && preBuilt.nonEmpty)
   }
 
+  test("N11 fsck plan shape: no nested-loop join, no sort-merge, one block scan") {
+    // pins the three plan properties that keep the full-Result fsck at
+    // baseline (see BASELINE.md round-10 close): the cluster-rack count
+    // is a literal (a 1-row BroadcastNestedLoopJoin between the
+    // file⋈block join and the per-file agg broke codegen fusion), the
+    // file⋈perBlock join hashes instead of sort-merging (no broadcast
+    // either — perBlock is block-dimension-sized at 100 TB), and the
+    // rack dimension rides the per-block shuffle as INT ordinals, so
+    // exactly ONE scan of the block table feeds the whole report.
+    val f = Seq(
+      (0L, 0L, "", -1L, 0L, 1L), (1L, 0L, "d", -1L, 0L, 2L),
+      (2L, 1L, "f", 500L, 2L, 3L), (3L, 1L, "g", 100L, 2L, 4L),
+    ).map { case (id, p, n, len, repl, v) =>
+      (id, p, n, len, 64L, repl, 0L, 0L, 0L, None: Option[String], 0L, v) }
+      .toDF("id", "parentId", "name", "length", "blockSize", "replication",
+        "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
+    val b = Seq((90L, 11L, 100L, 1L, 2L, 0L, 20L), (91L, 12L, 100L, 1L, 3L, 0L, 21L))
+      .toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+        "fileIndex", "version")
+    val dn = Seq((11L, "/r0", 1700000000000L, 1L), (12L, "/r1", 1700000000000L, 2L))
+      .toDF("id", "location", "lastUpdated", "version")
+    val out = graft.analytics.Dataflows.fsck(f, b, dn, 1700000000000L)
+    assert(out.count() == 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"cluster-rack count must be a literal, not a 1-row cross join:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"file-perBlock join must hash, not sort:\n${plan.take(3000)}")
+    assert(plan.split("LocalTableScan").length - 1 <= 4 &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
