@@ -726,6 +726,25 @@ object DataOpsQueries {
       finally w.close()
       graft.sources.Formats.readMapFileDir(s, mfDir).orderBy(col("key"))
     },
+    // F3 interop in the gate: part rows written distributed as a dir of
+    // REAL gz-compressed binary TFiles (one sorted part per task), read
+    // back by the distributed TFile scanner
+    "f4_tfile_roundtrip" -> { (s, dir) =>
+      val tmp = graft.core.Caching.scratchDir("f4").toString
+      val kv = Tables.part(s, dir)
+        .select(col("p_partkey").cast("string").as("key"), col("p_name").as("value"))
+      graft.sources.Formats.writeTFileDir(kv, s"$tmp/tf", compression = "gz")
+      graft.sources.Formats.readTFileDir(s, s"$tmp/tf").orderBy(col("key"))
+    },
+    // F3 seek in the gate: block-index point lookup (createScannerByKey)
+    // over a sorted TFile dir — only the probe key's block decompresses
+    "f5_tfile_seek" -> { (s, dir) =>
+      val tmp = graft.core.Caching.scratchDir("f5").toString
+      val kv = Tables.supplier(s, dir)
+        .select(col("s_suppkey").cast("string").as("key"), col("s_name").as("value"))
+      graft.sources.Formats.writeTFileDir(kv, s"$tmp/tf")
+      graft.sources.Formats.tfileGet(s, s"$tmp/tf", "7").orderBy(col("key"))
+    },
     // M: batched stub decode through the mapPartitions plumbing — the
     // oracle recomputes the deterministic fake features from byte stats
     "m2_decode_meta" -> { (s, dir) =>
@@ -1336,6 +1355,12 @@ object DataOpsQueries {
     "f3_mapfile_read" ->
       """SELECT CAST(s_suppkey AS VARCHAR) AS key, s_name AS value
         |FROM supplier ORDER BY key""".stripMargin,
+    "f4_tfile_roundtrip" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS key, p_name AS value
+        |FROM part ORDER BY key""".stripMargin,
+    "f5_tfile_seek" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS key, s_name AS value
+        |FROM supplier WHERE s_suppkey = 7 ORDER BY key""".stripMargin,
     "m2_decode_meta" ->
       """SELECT doc_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,

@@ -262,6 +262,168 @@ object Formats {
     spark.read.parquet(path).filter(col(keyCol) >= lit(key))
       .orderBy(col(keyCol)).limit(1)
 
+  // ---- F3 interop: REAL binary TFiles ---------------------------------
+
+  /** TFile block compressions available pure-JVM — the reference's third
+    * option ("lzo", Compression.java) needs native libs and is rejected
+    * up front rather than failing mid-write. */
+  val TFileCompressions: Seq[String] = Seq("none", "gz")
+
+  /** F3 interop write side (reference adfs-common …/io/file/tfile/
+    * TFile.java:275-466 — Writer appends memcmp-ordered keys into
+    * compressed data blocks with a per-file block index): a 2-column
+    * string DataFrame becomes a DIRECTORY of real binary TFiles, one per
+    * task. The frame is range-partitioned on the key and sorted within
+    * partitions, so every part is a valid SORTED TFile and the parts
+    * tile the key space in file-name order — global order with no
+    * driver funnel. Goes through saveAsHadoopFile so the Hadoop conf
+    * ships with the job and the output committer covers task retries.
+    *
+    * Spark's UTF8String comparison is unsigned byte order over UTF-8,
+    * which is exactly the memcmp order TFile.Writer enforces for sorted
+    * files (TFile.java:160 COMPARATOR_MEMCMP) — the sort below is the
+    * writer's append-order contract, not a convenience. */
+  def writeTFileDir(df: DataFrame, path: String, compression: String = "none",
+                    minBlockSize: Int = 64 * 1024): Unit = {
+    import org.apache.hadoop.mapred.JobConf
+    val cols = df.columns
+    require(cols.length == 2, s"tfile needs (key,value), got ${cols.mkString(",")}")
+    require(TFileCompressions.contains(compression),
+      s"compression must be one of ${TFileCompressions.mkString("/")}, got $compression")
+    val conf = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    conf.set(TFileOutputFormat.CompressionKey, compression)
+    conf.setInt(TFileOutputFormat.MinBlockKey, minBlockSize)
+    df.repartitionByRange(col(cols(0)))
+      .sortWithinPartitions(col(cols(0)))
+      .rdd
+      .map(r => (new BytesWritable(String.valueOf(r.get(0)).getBytes("UTF-8")),
+                 new BytesWritable(String.valueOf(r.get(1)).getBytes("UTF-8"))))
+      .saveAsHadoopFile(path, classOf[BytesWritable], classOf[BytesWritable],
+        classOf[TFileOutputFormat], conf)
+  }
+
+  /** Qualified part-file URIs under a TFile path (dir or single file),
+    * in name order — the global key order for range-tiled dirs. */
+  private def tfileParts(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).map(_.getPath)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .sortBy(_.getName).map(_.toString).toSeq
+    else Seq(st.getPath.toString)
+  }
+
+  /** F3 interop read side (TFile.java:794-1068 Reader + Scanner): scan a
+    * TFile file or directory back as (key, value). One Spark task per
+    * part file, each STREAMING its own scanner (entries never
+    * materialize per-file); a fresh task-side Configuration resolves the
+    * filesystem from the part URI's scheme. */
+  def readTFileDir(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = tfileParts(spark, path)
+    spark.sparkContext.parallelize(files, files.length)
+      .flatMap(scanTFile)
+      .toDF("key", "value")
+  }
+
+  /** TFile.Reader seek (createScannerByKey, TFile.java:1123-1141): keyed
+    * point lookup over a SORTED TFile dir. Each part seeks through the
+    * file's own block index, so only the block holding the probe key is
+    * decompressed — the reference's seekTo, never a full scan. Unsorted
+    * files (isSorted false) fall back to a streamed filter. */
+  def tfileGet(spark: SparkSession, path: String, key: String): DataFrame = {
+    import spark.implicits._
+    val files = tfileParts(spark, path)
+    spark.sparkContext.parallelize(files, files.length)
+      .flatMap(f => seekTFile(f, key))
+      .toDF("key", "value")
+  }
+
+  private def readFully(in: java.io.InputStream): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    bos.toByteArray
+  }
+
+  /** Stream one TFile part; the reader/stream close when the scanner
+    * drains (TFile value lengths may be chunk-encoded, so values read
+    * through getValueStream rather than a length-sized buffer). */
+  private def scanTFile(fileUri: String): Iterator[(String, String)] = {
+    import org.apache.hadoop.io.file.tfile.TFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new Path(fileUri)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    val reader = new TFile.Reader(in, len, conf)
+    val scanner = reader.createScanner()
+    new Iterator[(String, String)] {
+      private var live = !scanner.atEnd()
+      private def closeAll(): Unit = { scanner.close(); reader.close(); in.close() }
+      if (!live) closeAll()
+      def hasNext: Boolean = live
+      def next(): (String, String) = {
+        val e = scanner.entry()
+        val kb = new Array[Byte](e.getKeyLength)
+        e.getKey(kb)
+        val vb = readFully(e.getValueStream)
+        scanner.advance()
+        if (scanner.atEnd()) { live = false; closeAll() }
+        (new String(kb, "UTF-8"), new String(vb, "UTF-8"))
+      }
+    }
+  }
+
+  /** Seek one part to `key` and return the matching entries (duplicate
+    * keys allowed — scan forward while the key holds). Bounded output,
+    * so this materializes and closes eagerly. */
+  private def seekTFile(fileUri: String, key: String): Seq[(String, String)] = {
+    import org.apache.hadoop.io.file.tfile.TFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new Path(fileUri)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    val reader = new TFile.Reader(in, len, conf)
+    try {
+      if (!reader.isSorted)
+        return scanTFile(fileUri).filter(_._1 == key).toSeq
+      val kb = key.getBytes("UTF-8")
+      // seeking past a part's key range trips TFileIndex.getEntry with an
+      // out-of-bounds block index — range-check against the part's own
+      // first/last keys (the range-tiled dir makes most parts miss here)
+      if (reader.getEntryCount == 0L) return Seq.empty
+      def cmp(a: Array[Byte], r: org.apache.hadoop.io.file.tfile.RawComparable): Int = {
+        val b = java.util.Arrays.copyOfRange(r.buffer, r.offset, r.offset + r.size)
+        java.util.Arrays.compareUnsigned(a, b)
+      }
+      if (cmp(kb, reader.getFirstKey) < 0 || cmp(kb, reader.getLastKey) > 0)
+        return Seq.empty
+      val scanner = reader.createScannerByKey(kb, null)
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var go = !scanner.atEnd()
+        while (go) {
+          val e = scanner.entry()
+          val kb = new Array[Byte](e.getKeyLength)
+          e.getKey(kb)
+          val k = new String(kb, "UTF-8")
+          if (k == key) {
+            out += ((k, new String(readFully(e.getValueStream), "UTF-8")))
+            scanner.advance()
+            go = !scanner.atEnd()
+          } else go = false
+        }
+        out.toSeq
+      } finally scanner.close()
+    } finally { reader.close(); in.close() }
+  }
+
   /** F4: supported write codecs (DefaultCodec/Gzip/BZip2/Deflate/Snappy
     * in the reference → parquet codecs here). */
   val Codecs: Seq[String] = Seq("snappy", "gzip", "zstd", "lz4", "none")
@@ -328,4 +490,42 @@ object Formats {
       case other  => ns.write.mode(SaveMode.Overwrite).format(other).save(path)
     }
   }
+}
+
+/** mapred OutputFormat writing each task's records as ONE real binary
+  * sorted TFile (reference adfs-common …/io/file/tfile/TFile.java:275
+  * Writer). A named class — not a closure — because Hadoop instantiates
+  * output formats reflectively per task; compression and block size ride
+  * in on the JobConf under the keys below. */
+class TFileOutputFormat
+    extends org.apache.hadoop.mapred.FileOutputFormat[
+      org.apache.hadoop.io.BytesWritable, org.apache.hadoop.io.BytesWritable] {
+  import org.apache.hadoop.fs.FileSystem
+  import org.apache.hadoop.io.BytesWritable
+  import org.apache.hadoop.io.file.tfile.TFile
+  import org.apache.hadoop.mapred.{JobConf, RecordWriter, Reporter}
+  import org.apache.hadoop.util.Progressable
+
+  override def getRecordWriter(ignored: FileSystem, job: JobConf, name: String,
+      progress: Progressable): RecordWriter[BytesWritable, BytesWritable] = {
+    val file = org.apache.hadoop.mapred.FileOutputFormat.getTaskOutputPath(job, name)
+    val out = file.getFileSystem(job).create(file, progress)
+    val writer = new TFile.Writer(out,
+      job.getInt(TFileOutputFormat.MinBlockKey, 64 * 1024),
+      job.get(TFileOutputFormat.CompressionKey, "none"),
+      TFile.COMPARATOR_MEMCMP, job)
+    new RecordWriter[BytesWritable, BytesWritable] {
+      override def write(k: BytesWritable, v: BytesWritable): Unit =
+        writer.append(k.getBytes, 0, k.getLength, v.getBytes, 0, v.getLength)
+      override def close(reporter: Reporter): Unit = {
+        writer.close()
+        out.close()
+      }
+    }
+  }
+}
+
+object TFileOutputFormat {
+  val CompressionKey = "graft.tfile.compression"
+  val MinBlockKey = "graft.tfile.minblock"
 }

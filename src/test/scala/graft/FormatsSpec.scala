@@ -100,6 +100,64 @@ class FormatsSpec extends SparkSpec {
     assert(idx.count() == 3 && idx.schema("offset").dataType.typeName == "long")
   }
 
+  test("F3 interop: TFile dir round-trips (none + gz); parts are sorted binary TFiles") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.file.tfile.TFile
+    val base = graft.core.Caching.scratchDir("tfile").toString
+    val df = (1 to 500).map(i => (f"k$i%04d", s"v$i" * 8)).toDF("key", "value")
+    val expected = rows(df.orderBy(col("key")))
+    for (comp <- Formats.TFileCompressions) {
+      val dir = s"$base/$comp"
+      Formats.writeTFileDir(df, dir, compression = comp)
+      assert(rows(Formats.readTFileDir(spark, dir).orderBy(col("key"))) == expected,
+        s"round-trip compression=$comp")
+    }
+    // every part must be readable by the RAW Hadoop TFile.Reader and
+    // carry the sorted flag — binary interop, not a private layout
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val parts = fs.globStatus(new Path(s"$base/gz/part-*")).map(_.getPath)
+    assert(parts.nonEmpty)
+    var total = 0L
+    parts.foreach { p =>
+      val in = fs.open(p)
+      val r = new TFile.Reader(in, fs.getFileStatus(p).getLen, conf)
+      try { assert(r.isSorted, s"$p must be a sorted TFile"); total += r.getEntryCount }
+      finally { r.close(); in.close() }
+    }
+    assert(total == 500, s"raw readers saw $total entries")
+  }
+
+  test("F3 interop: a TFile written by the RAW Hadoop writer reads back") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.file.tfile.TFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new Path(graft.core.Caching.scratchDir("tfileraw").toString, "t.tfile")
+    val fs = file.getFileSystem(conf)
+    val out = fs.create(file)
+    val w = new TFile.Writer(out, 64 * 1024, "gz", TFile.COMPARATOR_MEMCMP, conf)
+    try (1 to 100).foreach { i =>
+      val k = f"k$i%03d".getBytes("UTF-8"); val v = s"v$i".getBytes("UTF-8")
+      w.append(k, v)
+    } finally { w.close(); out.close() }
+    val back = Formats.readTFileDir(spark, file.toString)
+    assert(back.count() == 100)
+    assert(rows(back.filter(col("key") === "k042")) == Seq(Seq("k042", "v42")))
+  }
+
+  test("F3: tfileGet seeks through the block index — hit, duplicate keys, miss") {
+    val base = graft.core.Caching.scratchDir("tfileseek").toString
+    val df = ((1 to 300).map(i => (f"k$i%04d", s"v$i"))
+      :+ ("k0200", "dup")).toDF("key", "value")
+    Formats.writeTFileDir(df, s"$base/tf", minBlockSize = 256)
+    assert(rows(Formats.tfileGet(spark, s"$base/tf", "k0123"))
+      == Seq(Seq("k0123", "v123")))
+    // duplicate keys: the seek scans forward while the key holds
+    assert(rows(Formats.tfileGet(spark, s"$base/tf", "k0200").orderBy(col("value")))
+      == Seq(Seq("k0200", "dup"), Seq("k0200", "v200")))
+    assert(Formats.tfileGet(spark, s"$base/tf", "nope").count() == 0)
+  }
+
   test("F1: Sorter.merge — k-way merge of sorted runs keeps duplicates") {
     val base = graft.core.Caching.scratchDir("seqmerge").toString
     val runA = Seq(("a", "1"), ("c", "3"), ("e", "5")).toDF("key", "value")
