@@ -745,6 +745,41 @@ object DataOpsQueries {
       graft.sources.Formats.writeTFileDir(kv, s"$tmp/tf")
       graft.sources.Formats.tfileGet(s, s"$tmp/tf", "7").orderBy(col("key"))
     },
+    // F2 SetFile interop in the gate: nation names appended through the
+    // REAL SetFile.Writer (bounded: the nation dimension), read back as
+    // the key column by the distributed reader
+    "f6_setfile_keys" -> { (s, dir) =>
+      import org.apache.hadoop.io.Text
+      val tmp = graft.core.Caching.scratchDir("f6").toString
+      val setDir = s"$tmp/set"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      val keys = Tables.nation(s, dir).select(col("n_name"))
+        .collect().map(_.getString(0)).sorted // SetFile appends strictly ascend
+      val w = new org.apache.hadoop.io.SetFile.Writer(conf, fs, setDir,
+        classOf[Text], org.apache.hadoop.io.SequenceFile.CompressionType.NONE)
+      try keys.foreach(k => w.append(new Text(k))) finally w.close()
+      graft.sources.Formats.readSetFileDir(s, setDir).orderBy(col("key"))
+    },
+    // F2 BloomMapFile interop in the gate: the on-disk bloom consulted
+    // before the distributed get — the hit path lands here; the miss
+    // path (no job at all) is pinned in FormatsSpec
+    "f7_bloom_get" -> { (s, dir) =>
+      import org.apache.hadoop.io.{BloomMapFile, MapFile, Text}
+      val tmp = graft.core.Caching.scratchDir("f7").toString
+      val bmDir = s"$tmp/bloom"
+      val conf = s.sparkContext.hadoopConfiguration
+      val kvs = Tables.supplier(s, dir)
+        .select(col("s_suppkey").cast("string"), col("s_name"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .sortBy(_._1)
+      val w = new BloomMapFile.Writer(conf, new org.apache.hadoop.fs.Path(bmDir),
+        MapFile.Writer.keyClass(classOf[Text]),
+        MapFile.Writer.valueClass(classOf[Text]))
+      try kvs.foreach { case (k, v) => w.append(new Text(k), new Text(v)) }
+      finally w.close()
+      graft.sources.Formats.bloomMapFileGet(s, bmDir, "9").orderBy(col("key"))
+    },
     // M: batched stub decode through the mapPartitions plumbing — the
     // oracle recomputes the deterministic fake features from byte stats
     "m2_decode_meta" -> { (s, dir) =>
@@ -1361,6 +1396,11 @@ object DataOpsQueries {
     "f5_tfile_seek" ->
       """SELECT CAST(s_suppkey AS VARCHAR) AS key, s_name AS value
         |FROM supplier WHERE s_suppkey = 7 ORDER BY key""".stripMargin,
+    "f6_setfile_keys" ->
+      "SELECT n_name AS key FROM nation ORDER BY key",
+    "f7_bloom_get" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS key, s_name AS value
+        |FROM supplier WHERE s_suppkey = 9 ORDER BY key""".stripMargin,
     "m2_decode_meta" ->
       """SELECT doc_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,

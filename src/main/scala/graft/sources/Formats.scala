@@ -212,6 +212,37 @@ object Formats {
   def mapFileGet(spark: SparkSession, dir: String, key: Any): DataFrame =
     readMapFileDir(spark, dir).filter(col("key") === lit(key))
 
+  /** F2 interop: a real SetFile dir (C/org/apache/hadoop/io/SetFile.java
+    * — a MapFile whose values are NullWritable) reads back as its key
+    * column. */
+  def readSetFileDir(spark: SparkSession, dir: String): DataFrame =
+    readMapFileDir(spark, dir).select(col("key"))
+
+  /** F2 interop: BloomMapFile.Reader.get (C/org/apache/hadoop/io/
+    * BloomMapFile.java:225-252) — consult the dir's on-disk `bloom`
+    * filter FIRST and launch the distributed lookup only on a probable
+    * hit. The membership test runs driver-side through the real
+    * BloomMapFile.Reader (exactly the reference's probablyHasKey buffer
+    * discipline, so no symmetric-hash surprises); a bloom miss returns
+    * an empty frame without scheduling a single task — the sparse-get
+    * fast path the format exists for. */
+  def bloomMapFileGet(spark: SparkSession, dir: String, key: String): DataFrame = {
+    import org.apache.hadoop.io.{BloomMapFile, Text}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = new BloomMapFile.Reader(new Path(dir), conf)
+    val probable =
+      try reader.probablyHasKey(new Text(key))
+      finally reader.close()
+    if (probable) mapFileGet(spark, dir, key)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+  }
+
   /** F1: SequenceFile.Sorter merge analog (C/org/apache/hadoop/io/
     * SequenceFile.java — Sorter.merge :2637-2687, MergeQueue): k-way
     * merge of pre-sorted runs into one globally sorted sequence file,

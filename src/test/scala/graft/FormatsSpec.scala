@@ -100,6 +100,38 @@ class FormatsSpec extends SparkSpec {
     assert(idx.count() == 3 && idx.schema("offset").dataType.typeName == "long")
   }
 
+  test("F2 interop: SetFile and BloomMapFile dirs read back; bloom miss skips the scan") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.hadoop.io.{BloomMapFile, MapFile, NullWritable, SetFile, Text}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.getLocal(conf)
+    val base = graft.core.Caching.scratchDir("bloomset").toString
+    // real SetFile (MapFile with NullWritable values): keys only
+    val setDir = s"$base/set"
+    val sw = new SetFile.Writer(conf, fs, setDir, classOf[Text],
+      org.apache.hadoop.io.SequenceFile.CompressionType.NONE)
+    try (1 to 100).foreach(i => sw.append(new Text(f"s$i%03d")))
+    finally sw.close()
+    val setBack = Formats.readSetFileDir(spark, setDir)
+    assert(setBack.columns.toSeq == Seq("key") && setBack.count() == 100)
+    assert(rows(setBack.filter(col("key") === "s042")) == Seq(Seq("s042")))
+    // real BloomMapFile: hits go distributed, definite misses never
+    // launch a job (the bloom consulted through the REAL reader)
+    val bmDir = s"$base/bloom"
+    val bw = new BloomMapFile.Writer(conf, new Path(bmDir),
+      MapFile.Writer.keyClass(classOf[Text]),
+      MapFile.Writer.valueClass(classOf[Text]))
+    try (1 to 100).foreach(i => bw.append(new Text(f"k$i%03d"), new Text(s"v$i")))
+    finally bw.close()
+    assert(fs.exists(new Path(bmDir, "bloom")), "writer must emit the bloom file")
+    assert(rows(Formats.bloomMapFileGet(spark, bmDir, "k077")) == Seq(Seq("k077", "v77")))
+    val miss = Formats.bloomMapFileGet(spark, bmDir, "definitely-absent-key")
+    assert(miss.isEmpty)
+    // the miss result is the jobless empty frame, not a filtered scan
+    assert(miss.rdd.getNumPartitions == 0,
+      "a bloom miss must return the empty frame without a scan behind it")
+  }
+
   test("F3 interop: TFile dir round-trips (none + gz); parts are sorted binary TFiles") {
     import org.apache.hadoop.fs.Path
     import org.apache.hadoop.io.file.tfile.TFile
