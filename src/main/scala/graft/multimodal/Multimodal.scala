@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * steps run batched per partition (the Scala analog of mapInPandas —
   * one decoder instantiation per partition, vectorized batches).
   *
-  * Images decode FOR REAL: `ImageDecoder` handles PNG/BMP through
-  * javax.imageio (pure JVM — no native libs needed), computing actual
-  * dimensions, mean luma, and scaled thumbnails. Audio/video payloads
-  * (no media libs in this container) fall back to `StubDecoder`, which
-  * derives deterministic fake features from the bytes; swap it for a
-  * JNI/FFI decoder in production — the partition-batched signature is
+  * Images and WAV audio decode FOR REAL: `ImageDecoder` handles PNG/BMP
+  * through javax.imageio (pure JVM — no native libs needed), computing
+  * actual dimensions, mean luma, and scaled thumbnails; `WavDecoder`
+  * parses RIFF/WAVE PCM headers and amplitudes. Compressed audio/video
+  * codecs (no media libs in this container) fall back to `StubDecoder`,
+  * which derives deterministic fake features from the bytes; swap it for
+  * a JNI/FFI decoder in production — the partition-batched signature is
   * the contract either way.
   */
 object Multimodal {
@@ -80,6 +81,60 @@ object Multimodal {
       }
   }
 
+  /** Real pure-JVM decode for RIFF/WAVE PCM audio payloads — a chunk-walk
+    * header parse plus an amplitude scan, no native codecs needed. Maps
+    * onto the feature contract as (framesPerChannel, channels,
+    * mean |amplitude| normalized to [0,1]); 8-bit (unsigned) and 16-bit
+    * (signed little-endian) PCM supported, anything else falls through
+    * to the stub. */
+  object WavDecoder {
+    def sniff(b: Array[Byte]): Boolean = b.length > 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    def decode(b: Array[Byte]): Option[(Int, Int, Double)] = {
+      if (!sniff(b)) return None
+      var off = 12
+      var channels = 0
+      var bits = 0
+      while (off + 8 <= b.length) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val size = le32(b, off + 4)
+        if (size < 0) return None
+        if (id == "fmt " && size >= 16 && off + 24 <= b.length) {
+          channels = le16(b, off + 10) // chunk body: format@+8, channels@+10
+          bits = le16(b, off + 22)     // bitsPerSample@+22
+        } else if (id == "data") {
+          if (channels <= 0 || (bits != 8 && bits != 16)) return None
+          val bytesPer = bits / 8
+          val n0 = math.min(size.toLong, (b.length - off - 8).toLong).toInt
+          val n = n0 - n0 % (bytesPer * channels) // whole frames only
+          val frames = n / (bytesPer * channels)
+          if (frames == 0) return None
+          var sum = 0.0
+          var i = off + 8
+          val end = off + 8 + n
+          if (bits == 8)
+            while (i < end) { sum += math.abs((b(i) & 0xff) - 128) / 128.0; i += 1 }
+          else
+            while (i < end) {
+              sum += math.abs((le16(b, i) << 16 >> 16).toDouble) / 32768.0
+              i += 2
+            }
+          return Some((frames, channels, sum / (n / bytesPer)))
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      None
+    }
+  }
+
   /** Deterministic fake decode: "dimensions" and "luma" from byte stats.
     * The fallback for payloads the pure-JVM ImageDecoder cannot handle
     * (audio/video codecs — no media libs in this container). */
@@ -104,6 +159,7 @@ object Multimodal {
       // per-partition decoder init goes here (expensive handle, once)
       rows.map { r =>
         val (w, h, luma) = ImageDecoder.decode(r.payload)
+          .orElse(WavDecoder.decode(r.payload))
           .getOrElse(StubDecoder.decode(r.modality, r.payload))
         MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, w, h, luma)
       }
