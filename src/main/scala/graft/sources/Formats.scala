@@ -324,14 +324,19 @@ object Formats {
     val conf = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
     conf.set(TFileOutputFormat.CompressionKey, compression)
     conf.setInt(TFileOutputFormat.MinBlockKey, minBlockSize)
-    df.repartitionByRange(col(cols(0)))
-      .sortWithinPartitions(col(cols(0)))
-      .rdd
+    tfileOrdered(df).rdd
       .map(r => (new BytesWritable(String.valueOf(r.get(0)).getBytes("UTF-8")),
                  new BytesWritable(String.valueOf(r.get(1)).getBytes("UTF-8"))))
       .saveAsHadoopFile(path, classOf[BytesWritable], classOf[BytesWritable],
         classOf[TFileOutputFormat], conf)
   }
+
+  /** The writer's distribution: ONE range-partition exchange on the key
+    * plus a partition-local sort — never a hash shuffle, never a global
+    * single-partition sort (ScaleSpec pins this shape). */
+  private[graft] def tfileOrdered(df: DataFrame): DataFrame =
+    df.repartitionByRange(col(df.columns(0)))
+      .sortWithinPartitions(col(df.columns(0)))
 
   /** Qualified part-file URIs under a TFile path (dir or single file),
     * in name order — the global key order for range-tiled dirs. */

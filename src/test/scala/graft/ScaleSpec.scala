@@ -422,6 +422,21 @@ class ScaleSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("TFile writer distribution: one range exchange, partition-local sort only") {
+    val df = (1 to 5000).map(i => (f"k$i%05d", s"v$i")).toDF("key", "value")
+    val plan = graft.sources.Formats.tfileOrdered(df)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"the writer must range-tile the key space:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no hash shuffle in the TFile write path:\n$plan")
+    // the sort must be partition-local (sorted TFile parts), never a
+    // global single-partition sort funneling the corpus
+    assert("Sort \\[key[^\\]]*\\], false".r.findFirstIn(plan).isDefined
+      && !plan.contains("], true"),
+      s"partition-local sort expected:\n$plan")
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
