@@ -245,6 +245,54 @@ object Shell {
               s"cp $path -> ${args(1)} refused: ${r.getAs[String]("reject")}"))
           localized(rows, out.schema)
         } finally out.unpersist(blocking = false)
+      case "put" | "copyFromLocal" | "moveFromLocal" =>
+        // namenode side of the client write loop (FsShell.java:128-161 →
+        // DFSClient create/addBlock/complete): the LOCAL file's real
+        // length drives the declarative block fan-out; byte transport
+        // (F10) is out of scope per SURVEY
+        require(args.size >= 2, s"usage: $verb <localFile> <dfsPath>")
+        val local = new java.io.File(path)
+        require(local.isFile, s"local file not found: $path")
+        val (pPath, name) = splitPath(args(1))
+        Mutations.checkFsObjectLimit(file, block,
+          spark.conf.get("graft.dfs.max.objects", "0").toLong)
+        val req = Seq((resolve(pPath), name, "shell", local.length()))
+          .toDF("parentId", "name", "holder", "fileLength")
+        val idBase = file.agg(coalesce(max(col("id")), lit(0L)))
+          .collect()(0).getLong(0)
+        val blockIdBase = block.agg(coalesce(max(col("id")), lit(0L)))
+          .collect()(0).getLong(0)
+        val ws = Mutations.putFile(file, req, idBase = idBase,
+          blockIdBase = blockIdBase,
+          blockSize = spark.conf.get("graft.dfs.block.size", "67108864").toLong,
+          nowMs = Now)
+        val rows = ws.orderBy(col("writeOp"), col("tbl"), col("id")).collect()
+        rows.find(_.getAs[String]("writeOp") == "reject").foreach(r =>
+          throw new IllegalArgumentException(
+            s"$verb $path -> ${args(1)} refused: ${r.getAs[String]("reject")}"))
+        // moveFromLocal = copyFromLocal + local delete (FsShell.java:140-151)
+        if (verb == "moveFromLocal") local.delete()
+        localized(rows, ws.schema)
+      case "get" | "copyToLocal" =>
+        // namenode side of get (FsShell.java:163-234 copyToLocal →
+        // DFSClient.open → getBlockLocations): the block manifest the
+        // client would fetch, replicas distance-ordered for a client on
+        // clientRack (conf) — byte transport out of scope per SURVEY
+        val id = resolve(path)
+        val reqs = Seq((id, 0L, Long.MaxValue)).toDF("fileId", "offset", "reqLen")
+        val manifest = Dataflows.blockLocations(block, reqs)
+          .select(col("fileId"), col("id"), col("fileIndex"),
+            col("blockStart"), col("blockEnd"))
+        val ordered = Dataflows.replicasByDistance(
+            block.filter(col("fileId") === id), datanode,
+            clientRack = spark.conf.get("graft.client.rack", "/default-rack"))
+          .select(col("id").as("__bid"), col("orderedReplicas"))
+        manifest.join(ordered, col("id") === col("__bid"), "left").drop("__bid")
+          .orderBy(col("fileIndex"))
+      case "moveToLocal" =>
+        // the reference refuses too (FsShell.java:329-330)
+        throw new UnsupportedOperationException(
+          "Option '-moveToLocal' is not implemented yet.")
       case "expunge" =>
         Mutations.expunge(file, nowMs = Now)
           .orderBy(col("writeOp"), col("id"))

@@ -195,6 +195,16 @@ object MutationQueries {
           idBase = 8000000L, blockIdBase = 20000000L)
         .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
     },
+    // FsShell put collapsed to the namenode write-set: completed file
+    // rows with REAL lengths + sequence()-exploded block rows (last
+    // block partial), validation and id assignment per startFile
+    "n_put" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val reqs = s.sql(putReqsSql)
+      Mutations.putFile(s.table("file"), reqs, idBase = 7100000L,
+          blockIdBase = 8000000000L, blockSize = 67108864L, nowMs = Now)
+        .orderBy(col("writeOp"), col("tbl"), col("id"), col("fileIndex"))
+    },
     // abandonBlock: checkLease ladder + replica tombstones over the UC
     // files of the derived namespace
     "n_abandon_block" -> { (s, dir) =>
@@ -318,6 +328,31 @@ object MutationQueries {
       |       'h_dir', FALSE
       |FROM customer WHERE c_custkey % 500 = 0""".stripMargin
 
+  /** put request mix (runs verbatim in both engines): multi-block files
+    * (block-aligned + ragged tails), zero-length files (no block rows),
+    * and a parent-not-found reject batch. Lengths are derived so the
+    * last-block arithmetic sees both the exact-multiple and the partial
+    * case. */
+  private val putReqsSql: String =
+    """SELECT CAST(100 + o_custkey AS BIGINT) AS parentId,
+      |       'put_' || CAST(o_orderkey AS STRING) AS name,
+      |       'h_put' AS holder,
+      |       CAST((o_orderkey % 4) * 67108864 + (o_orderkey % 7777) * 1000
+      |            AS BIGINT) AS fileLength
+      |FROM orders WHERE o_orderkey % 401 = 0
+      |UNION ALL
+      |SELECT CAST(100 + o_custkey AS BIGINT), 'putz_' || CAST(o_orderkey AS STRING),
+      |       'h_put', CAST(0 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 1103 = 0
+      |UNION ALL
+      |SELECT CAST(100 + o_custkey AS BIGINT), 'pute_' || CAST(o_orderkey AS STRING),
+      |       'h_put', CAST(((o_custkey % 3) + 1) * 67108864 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 907 = 0
+      |UNION ALL
+      |SELECT CAST(999999999 AS BIGINT), 'nope_' || CAST(c_custkey AS STRING),
+      |       'h_put', CAST(5 AS BIGINT)
+      |FROM customer WHERE c_custkey % 700 = 0""".stripMargin
+
   /** append request mix (runs verbatim in both engines): existing order
     * files (o%101=0 — some under construction at lcm(101,50), some
     * tombstoned at lcm(101,97) → live lookup misses → 'file not found'),
@@ -429,6 +464,71 @@ object MutationQueries {
   private val O = DerivedState.oracle _
 
   def oracles: Map[String, String] = Map(
+    "n_put" -> O(
+      s"""WITH reqs AS (
+         |$putReqsSql),
+         |j AS (
+         |  SELECT r.parentId, r.name, r.holder, r.fileLength,
+         |         p.id AS pid, p.length AS plen,
+         |         t.id AS tid, t.length AS tlen, t.leaseHolder AS tlh,
+         |    CASE WHEN r.name IS NULL OR length(r.name) = 0 THEN 'empty name'
+         |         WHEN length(r.name) > 255 THEN 'name too long'
+         |         WHEN p.id IS NULL THEN 'parent not found'
+         |         WHEN p.length <> -1 THEN 'parent not a directory'
+         |         WHEN t.id IS NOT NULL AND t.length = -1
+         |           THEN 'already exists as directory'
+         |         WHEN t.id IS NOT NULL AND t.leaseHolder IS NOT NULL
+         |           THEN 'file under construction'
+         |         WHEN t.id IS NOT NULL THEN 'file exists'
+         |         END AS reject
+         |  FROM reqs r
+         |  LEFT JOIN file p ON p.id = r.parentId AND p.version > 0
+         |  LEFT JOIN file t ON t.parentId = r.parentId AND t.name = r.name
+         |    AND t.version > 0),
+         |okall AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY parentId, name
+         |    ORDER BY holder) AS dupRank
+         |  FROM j WHERE reject IS NULL),
+         |ok AS (
+         |  SELECT *, 7100000 + ROW_NUMBER() OVER (ORDER BY parentId, name, holder)
+         |    AS newId
+         |  FROM okall WHERE dupRank = 1),
+         |blk AS (
+         |  SELECT newId AS fileId, fileLength,
+         |         (fileLength + 67108863) // 67108864 AS nBlocks
+         |  FROM ok WHERE fileLength > 0),
+         |bx AS (
+         |  SELECT fileId, unnest(range(1, nBlocks + 1)) AS fileIndex,
+         |         nBlocks, fileLength
+         |  FROM blk),
+         |br AS (
+         |  SELECT fileId, fileIndex,
+         |         CAST(CASE WHEN fileIndex < nBlocks THEN 67108864
+         |              ELSE fileLength - (nBlocks - 1) * 67108864 END AS BIGINT)
+         |           AS blockLength,
+         |         8000000000 + ROW_NUMBER() OVER (ORDER BY fileId, fileIndex)
+         |           AS blockId
+         |  FROM bx)
+         |SELECT writeOp, tbl, id, parentId, name, length, fileIndex, version,
+         |       reject FROM (
+         |  SELECT 'insert' AS writeOp, 'file' AS tbl, newId AS id, parentId,
+         |         name, fileLength AS length, CAST(0 AS BIGINT) AS fileIndex,
+         |         newId AS version, CAST(NULL AS STRING) AS reject
+         |  FROM ok
+         |  UNION ALL
+         |  SELECT 'blockInsert', 'block', blockId, fileId, CAST(NULL AS STRING),
+         |         blockLength, fileIndex, blockId, CAST(NULL AS STRING)
+         |  FROM br
+         |  UNION ALL
+         |  SELECT 'reject', 'file', COALESCE(tid, -1), parentId, name,
+         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), reject
+         |  FROM j WHERE reject IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'reject', 'file', COALESCE(tid, -1), parentId, name,
+         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |         'duplicate in batch'
+         |  FROM okall WHERE dupRank > 1) u
+         |ORDER BY writeOp, tbl, id, fileIndex""".stripMargin),
     "n_abandon_block" -> O(
       s"""WITH req AS (
          |$abandonReqsSql),

@@ -518,6 +518,64 @@ object Mutations {
       .unionByName(rejects).unionByName(dupRejects)
   }
 
+  /** FsShell put/copyFromLocal collapsed to its NAMENODE effect
+    * (C/org/apache/hadoop/fs/FsShell.java:128-161 copy/moveFromLocal →
+    * the DFSClient write loop: create DFSClient.java:3261, addBlock per
+    * block :3562, close/complete :3857). Each request is (parentId, name,
+    * holder, fileLength) where fileLength is the REAL local byte count;
+    * the whole client loop lands as ONE declarative write-set — the
+    * completed file row (length set, lease already released by close())
+    * plus ceil(fileLength/blockSize) block rows with real lengths (the
+    * last block partial), fanned out via sequence()/explode. No driver
+    * loop anywhere, so a million-file ingest batch plans exactly like one
+    * file. Validation and id assignment are startFile's (the same case
+    * ladder and idBase + rank); block ids are blockIdBase + rank over
+    * (fileId, fileIndex). Output rows:
+    * (writeOp insert|blockInsert|reject, tbl file|block, id, parentId
+    * [= fileId for block rows], name, length, fileIndex, version,
+    * reject). Empty files produce no block rows (the reference writes
+    * none for length 0). */
+  def putFile(file: DataFrame, requests: DataFrame, idBase: Long,
+              blockIdBase: Long, blockSize: Long, nowMs: Long): DataFrame = {
+    require(blockSize > 0L, s"blockSize must be positive, got $blockSize")
+    val ws = startFile(file,
+      requests.select(col("parentId"), col("name"), col("holder"),
+        lit(false).as("overwrite")),
+      idBase, nowMs)
+    val accepted = ws.filter(col("writeOp") === "insert")
+      .join(requests.select(col("parentId").as("__rp"), col("name").as("__rn"),
+          col("fileLength")),
+        col("parentId") === col("__rp") && col("name") === col("__rn"))
+      .drop("__rp", "__rn")
+    val fileRows = accepted.select(
+      lit("insert").as("writeOp"), lit("file").as("tbl"), col("id"),
+      col("parentId"), col("name"), col("fileLength").as("length"),
+      lit(0L).as("fileIndex"), col("version"),
+      lit(null).cast("string").as("reject"))
+    // lengths stay well under 2^53, so the double round-trip in the
+    // ceil-divide is exact
+    val exploded = accepted.filter(col("fileLength") > 0L)
+      .withColumn("nBlocks",
+        floor((col("fileLength") + lit(blockSize - 1L)) / lit(blockSize)).cast("long"))
+      .withColumn("fileIndex", explode(sequence(lit(1L), col("nBlocks"))))
+      .withColumn("blockLength",
+        when(col("fileIndex") < col("nBlocks"), lit(blockSize))
+          .otherwise(col("fileLength") - (col("nBlocks") - 1L) * lit(blockSize)))
+      .select(col("id").as("fileId"), col("fileIndex"), col("blockLength"))
+    val blockRows = globalRank(exploded, "__brank", col("fileId"), col("fileIndex"))
+      .select(lit("blockInsert").as("writeOp"), lit("block").as("tbl"),
+        (lit(blockIdBase) + col("__brank")).as("id"),
+        col("fileId").as("parentId"), lit(null).cast("string").as("name"),
+        col("blockLength").as("length"), col("fileIndex"),
+        (lit(blockIdBase) + col("__brank")).as("version"),
+        lit(null).cast("string").as("reject"))
+    val rejects = ws.filter(col("writeOp") === "reject")
+      .select(col("writeOp"), lit("file").as("tbl"), col("id"),
+        col("parentId"), col("name"), lit(0L).as("length"),
+        lit(0L).as("fileIndex"), col("version"), col("reject"))
+    fileRows.unionByName(blockRows).unionByName(rejects)
+  }
+
   /** N2 append branch (FSNamesystem.appendFile :965-1015 via
     * startFileInternal(append=true) :842-897): batch reopen-for-append.
     * Each request is (parentId, name, holder). Case ladder: target missing

@@ -149,6 +149,54 @@ class ShellSpec extends SparkSpec {
       Shell.run(spark, sf, "rm", Seq("-trash", "/")))
   }
 
+  test("put writes the namenode-side block chain from a real local file; get reads the manifest") {
+    DerivedState.register(spark, sf)
+    // a real local file whose length spans 2 blocks at a small blockSize
+    val local = java.nio.file.Files.createTempFile("shellput", ".bin")
+    java.nio.file.Files.write(local, new Array[Byte](1500))
+    spark.conf.set("graft.dfs.block.size", "1024")
+    try {
+      // a live directory from the snapshot to put into
+      val dir = StateManager.materializePaths(spark.table("file"))
+        .filter(col("length") === -1L && col("version") > 0 && col("id") > 0L)
+        .orderBy(col("id")).select(col("path")).limit(1).collect().head.getString(0)
+      val out = Shell.run(spark, sf, "put",
+        Seq(local.toString, s"$dir/shellput.bin")).collect()
+      val ins = out.filter(_.getAs[String]("writeOp") == "insert")
+      assert(ins.length == 1 && ins.head.getAs[Long]("length") == 1500L)
+      val blks = out.filter(_.getAs[String]("writeOp") == "blockInsert")
+        .sortBy(_.getAs[Long]("fileIndex"))
+      assert(blks.map(_.getAs[Long]("length")).toSeq == Seq(1024L, 476L),
+        "two blocks: one full, one partial tail")
+      assert(blks.forall(_.getAs[Long]("parentId") == ins.head.getAs[Long]("id")),
+        "block rows attach to the new file id")
+      // get on an existing file returns its distance-ordered manifest
+      val someFile = StateManager.materializePaths(spark.table("file"))
+        .filter(col("length") > 0L && col("version") > 0)
+        .orderBy(col("id")).select(col("path")).limit(1).collect().head.getString(0)
+      val manifest = Shell.run(spark, sf, "get", Seq(someFile)).collect()
+      assert(manifest.nonEmpty && manifest.head.schema.fieldNames.toSeq ==
+        Seq("fileId", "id", "fileIndex", "blockStart", "blockEnd", "orderedReplicas"))
+      // the reference refuses moveToLocal (FsShell.java:329-330) — so do we
+      intercept[UnsupportedOperationException] {
+        Shell.run(spark, sf, "moveToLocal", Seq(someFile))
+      }
+      // moveFromLocal deletes the local source after a successful put
+      val local2 = java.nio.file.Files.createTempFile("shellmv", ".bin")
+      java.nio.file.Files.write(local2, new Array[Byte](10))
+      Shell.run(spark, sf, "moveFromLocal", Seq(local2.toString, s"$dir/shellmv.bin"))
+      assert(!java.nio.file.Files.exists(local2))
+      // a refused put (missing parent) fails loud with the reason
+      val err = intercept[IllegalArgumentException] {
+        Shell.run(spark, sf, "put", Seq(local.toString, "/no/such/dir/f.bin"))
+      }
+      assert(err.getMessage.contains("no such path"))
+    } finally {
+      spark.conf.unset("graft.dfs.block.size")
+      java.nio.file.Files.deleteIfExists(local)
+    }
+  }
+
   test("ls with a glob pattern lists the matches, not children") {
     val out = rows(Shell.run(spark, sf, "ls", Seq("/n_{3,7}")))
     assert(out.map(_.head) == Seq("/n_3", "/n_7"))
