@@ -620,6 +620,61 @@ object Dataflows {
         col("openForWrite"))
   }
 
+  /** N11 `-blocks/-locations/-racks` detail (NamenodeFsck.java:99-103
+    * option flags; per-block report loop :254-312): one row per block of
+    * every checked (closed, live) file whose path starts with
+    * `pathPrefix` — fsck is path-scoped in the reference, and the prefix
+    * is also the 100 TB valve: the block detail is subtree-sized, not
+    * namespace-sized, with blocks pruned to the subtree (left-semi)
+    * BEFORE any aggregation. Per block: live replica count, stored
+    * length, the missing/under/over/mis-replication classification
+    * against the file's target (the same ladder fsck/fsckFiles use),
+    * and the -locations/-racks surfaces — live holders in datanodeId
+    * order with their rack strings, comma-joined (the reference prints
+    * locations only for known datanodes: dead holders never appear). */
+  def fsckBlocks(file: DataFrame, block: DataFrame, datanode: DataFrame,
+                 nowMs: Long, pathPrefix: String = "/"): DataFrame = {
+    val liveN = StateManager.liveDatanodes(datanode, nowMs)
+      .select(col("id").as("__nid"), col("location").as("__rack"))
+    // node-dimension count, same bounded driver action as nodeRackDim
+    val clusterRacks = liveN.select(col("__rack")).distinct().count()
+    val paths = StateManager.materializePaths(file)
+      .select(col("id").as("__pid"), col("path"))
+    val prefixOk =
+      if (pathPrefix == "/") lit(true)
+      else col("path") === pathPrefix || col("path").startsWith(pathPrefix + "/")
+    val files = live(file)
+      .filter(col("length") =!= -1L && col("leaseHolder").isNull)
+      .join(paths, col("id") === col("__pid"))
+      .filter(prefixOk)
+      .select(col("id").as("__fid"), col("replication"), col("path"))
+    val perBlock = live(block)
+      .join(files.select(col("__fid")), col("fileId") === col("__fid"), "left_semi")
+      .join(broadcast(liveN), col("datanodeId") === col("__nid"), "left")
+      .groupBy(col("id").as("blockId"), col("fileId"), col("fileIndex"))
+      .agg(count(col("__nid")).as("liveReplicas"),
+        max(greatest(col("length"), lit(0L))).as("blockLen"),
+        array_sort(collect_list(when(col("__nid").isNotNull,
+          struct(col("datanodeId"), col("__rack"))))).as("__locs"))
+      .withColumn("numRacks",
+        size(array_distinct(transform(col("__locs"), x => x.getField("__rack")))))
+    perBlock.join(files, col("fileId") === col("__fid"))
+      .select(col("path"), col("fileId"), col("blockId"), col("fileIndex"),
+        col("blockLen"), col("liveReplicas"),
+        col("replication").cast("long").as("expectedReplication"),
+        (col("liveReplicas") === 0).as("missing"),
+        (col("liveReplicas") > 0 &&
+          col("liveReplicas") < col("replication")).as("underReplicated"),
+        (col("liveReplicas") > col("replication")).as("overReplicated"),
+        (lit(clusterRacks) > 1L && col("numRacks").cast("long") <
+          least(lit(2L), col("replication").cast("long"), lit(clusterRacks)))
+          .as("misReplicated"),
+        array_join(transform(col("__locs"),
+          x => x.getField("datanodeId").cast("string")), ",").as("locations"),
+        array_join(transform(col("__locs"), x => x.getField("__rack")), ",")
+          .as("racks"))
+  }
+
   /** N11 `-move`: the lost+found write-set (NamenodeFsck.lostFoundMove
     * :355-420). Per corrupt CLOSED file (missing > 0; an open file is
     * never checked, so the reference's !isOpen gate :340-345 is already

@@ -396,7 +396,19 @@ object Shell {
         // per-file findings, -move rescues corrupt files to /lost+found
         // (a write-set here), -delete removes them; default = the
         // aggregate Result row
-        if (args.contains("-files") || args.contains("-openforwrite"))
+        if (args.exists(Set("-blocks", "-locations", "-racks"))) {
+          // -blocks per-block detail; -locations adds holders, -racks
+          // their racks (NamenodeFsck.java:139-141) — path-scoped: the
+          // first non-flag arg is the subtree, default /
+          val scope = args.find(!_.startsWith("-")).getOrElse("/")
+          val detail = Dataflows.fsckBlocks(file, block, datanode, Now,
+            pathPrefix = scope)
+          val drop =
+            (if (args.contains("-racks")) Seq.empty[String] else Seq("racks")) ++
+            (if (args.contains("-locations") || args.contains("-racks"))
+               Seq.empty[String] else Seq("locations"))
+          detail.drop(drop: _*).orderBy(col("path"), col("fileIndex"))
+        } else if (args.contains("-files") || args.contains("-openforwrite"))
           Dataflows.fsckFiles(file, block, datanode, Now,
               showOpenFiles = args.contains("-openforwrite"))
             .orderBy(col("path"))

@@ -151,6 +151,14 @@ object AnalyticsQueries {
           s.sql(FsckDeadNodesSql), Now)
         .orderBy(col("path"))
     },
+    // N11 -blocks/-locations/-racks: per-block detail for a path-scoped
+    // subtree — replica holders and their racks in datanodeId order
+    "n11_fsck_blocks" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.fsckBlocks(s.table("file"), s.table("block"),
+          s.sql(FsckDeadNodesSql), Now, pathPrefix = "/n_7")
+        .orderBy(col("path"), col("fileIndex"), col("blockId"))
+    },
     // N11 -openforwrite: open files skip the early return and get the
     // same checks, marked openForWrite (DFSck flag :118-126)
     "n11_fsck_open" -> { (s, dir) =>
@@ -524,6 +532,38 @@ object AnalyticsQueries {
         |  b.misReplicatedBlocks, FALSE AS openForWrite
         |FROM fk_bad b JOIN fk_path pp ON pp.id = b.fileId
         |ORDER BY pp.path""".stripMargin),
+    "n11_fsck_blocks" -> O(
+      s"""WITH RECURSIVE $FsckCommonCtes,
+        |scoped AS (
+        |  SELECT f.id AS fileId, f.replication, pp.path
+        |  FROM fk_fl f JOIN fk_path pp ON pp.id = f.id
+        |  WHERE pp.path = '/n_7' OR starts_with(pp.path, '/n_7/')),
+        |pb AS (
+        |  SELECT b.id AS blockId, b.fileId, b.fileIndex,
+        |    COUNT(n.id) AS liveReplicas,
+        |    COUNT(DISTINCT n.location) AS numRacks,
+        |    MAX(GREATEST(b.length, 0)) AS blockLen,
+        |    string_agg(CAST(b.datanodeId AS VARCHAR), ',' ORDER BY b.datanodeId)
+        |      FILTER (WHERE n.id IS NOT NULL) AS locations,
+        |    string_agg(n.location, ',' ORDER BY b.datanodeId)
+        |      FILTER (WHERE n.id IS NOT NULL) AS racks
+        |  FROM block b LEFT JOIN fk_live n ON b.datanodeId = n.id
+        |  WHERE b.version > 0
+        |    AND b.fileId IN (SELECT fileId FROM scoped)
+        |  GROUP BY b.id, b.fileId, b.fileIndex)
+        |SELECT s.path, p.fileId, p.blockId, p.fileIndex, p.blockLen,
+        |  p.liveReplicas,
+        |  CAST(s.replication AS BIGINT) AS expectedReplication,
+        |  p.liveReplicas = 0 AS missing,
+        |  p.liveReplicas > 0 AND p.liveReplicas < s.replication
+        |    AS underReplicated,
+        |  p.liveReplicas > s.replication AS overReplicated,
+        |  r.clusterRacks > 1 AND p.numRacks <
+        |    LEAST(2, s.replication, r.clusterRacks) AS misReplicated,
+        |  COALESCE(p.locations, '') AS locations,
+        |  COALESCE(p.racks, '') AS racks
+        |FROM pb p JOIN scoped s ON s.fileId = p.fileId CROSS JOIN fk_nrk r
+        |ORDER BY s.path, p.fileIndex, p.blockId""".stripMargin),
     "n11_fsck_open" -> O(
       s"""WITH RECURSIVE $FsckCommonCtes,
         |ofl AS (

@@ -128,6 +128,47 @@ class AlgebraLawsSpec extends SparkSpec {
     assert(alloc == Seq(Seq(5L, false, 3L))) // last block back under construction
   }
 
+  test("putFile fan-out laws: lengths tile exactly, ids unique, empties blockless") {
+    import graft.state.Mutations
+    val fileCols = Seq("id", "parentId", "name", "length", "leaseHolder", "version")
+    val ns = Seq((0L, -1L, "", -1L, None: Option[String], 1L),
+        (1L, 0L, "d", -1L, None: Option[String], 2L))
+      .toDF(fileCols: _*)
+    val bs = 1000L
+    // random request lengths across the interesting boundary cases
+    val lens = Seq(0L, 1L, bs - 1, bs, bs + 1, 3 * bs, 3 * bs + 7) ++
+      Seq.fill(20)(math.abs(rnd.nextLong()) % (10 * bs))
+    val reqs = lens.zipWithIndex
+      .map { case (l, i) => (1L, s"f$i", "h", l) }
+      .toDF("parentId", "name", "holder", "fileLength")
+    val ws = Mutations.putFile(ns, reqs, idBase = 100L, blockIdBase = 1000L,
+      blockSize = bs, nowMs = 5L)
+    val files = ws.filter(col("writeOp") === "insert").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("length")).toMap
+    assert(files.size == lens.size, "every request accepted")
+    val blocks = ws.filter(col("writeOp") === "blockInsert").collect()
+      .map(r => (r.getAs[Long]("parentId"), r.getAs[Long]("fileIndex"),
+        r.getAs[Long]("length"), r.getAs[Long]("id")))
+    // law 1: per file, block lengths sum to the file length exactly
+    val byFile = blocks.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    files.foreach { case (fid, flen) =>
+      assert(byFile.getOrElse(fid, 0L) == flen, s"file $fid tiles to $flen")
+    }
+    // law 2: every block but the last is FULL; the last is in (0, bs]
+    blocks.groupBy(_._1).foreach { case (fid, bl) =>
+      val sorted = bl.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, "contiguous indexes")
+      assert(sorted.init.forall(_._3 == bs), s"file $fid non-final blocks full")
+      assert(sorted.last._3 > 0L && sorted.last._3 <= bs)
+    }
+    // law 3: zero-length files produce no block rows
+    val emptyIds = files.filter(_._2 == 0L).keySet
+    assert(emptyIds.nonEmpty && blocks.forall(b => !emptyIds.contains(b._1)))
+    // law 4: block ids globally unique and above the base
+    val bids = blocks.map(_._4)
+    assert(bids.distinct.length == bids.length && bids.forall(_ > 1000L))
+  }
+
   test("addBlock law: canAllocate false iff last block under-replicated") {
     val file = Seq(
       (0L, -1L, "", -1L, 0L, 0L, 0L, 0L, 0L, None: Option[String], 0L, 1L),

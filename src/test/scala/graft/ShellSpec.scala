@@ -149,6 +149,23 @@ class ShellSpec extends SparkSpec {
       Shell.run(spark, sf, "rm", Seq("-trash", "/")))
   }
 
+  test("fsck -blocks/-locations/-racks: per-block detail, path-scoped, flag-gated columns") {
+    val base = Shell.run(spark, sf, "fsck", Seq("-blocks", "/n_7"))
+    assert(base.columns.toSeq == Seq("path", "fileId", "blockId", "fileIndex",
+      "blockLen", "liveReplicas", "expectedReplication", "missing",
+      "underReplicated", "overReplicated", "misReplicated"))
+    val paths = base.select("path").collect().map(_.getString(0))
+    assert(paths.nonEmpty && paths.forall(_.startsWith("/n_7")))
+    val locs = Shell.run(spark, sf, "fsck", Seq("-locations", "/n_7"))
+    assert(locs.columns.contains("locations") && !locs.columns.contains("racks"))
+    val racks = Shell.run(spark, sf, "fsck", Seq("-racks", "/n_7"))
+    assert(racks.columns.contains("racks") && racks.columns.contains("locations"))
+    // healthy blocks list every live holder; scope defaults to /
+    val withLoc = racks.filter(col("liveReplicas") > 0).limit(5).collect()
+    assert(withLoc.forall(r => r.getAs[String]("locations")
+      .split(",").length == r.getAs[Long]("liveReplicas")))
+  }
+
   test("put writes the namenode-side block chain from a real local file; get reads the manifest") {
     DerivedState.register(spark, sf)
     // a real local file whose length spans 2 blocks at a small blockSize
