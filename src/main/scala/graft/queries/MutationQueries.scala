@@ -205,6 +205,80 @@ object MutationQueries {
           blockIdBase = 8000000000L, blockSize = 67108864L, nowMs = Now)
         .orderBy(col("writeOp"), col("tbl"), col("id"), col("fileIndex"))
     },
+    // put ingest STREAMED (the production shape): the request mix arrives
+    // in micro-batches; each batch's putFile runs against the namespace
+    // AS EVOLVED by the previous batches, id bases ratcheting forward —
+    // the single-writer commit loop. Parity surface is id-agnostic
+    // ((parent, name) → length + ordered block lengths) because rank-
+    // assigned ids legitimately differ with batch boundaries; acceptance
+    // and fan-out must not. Write-sets are request-bounded, so the
+    // driver-side accumulation is the standard bounded-collect shape.
+    "n_put_stream_parity" -> { (s, dir) =>
+      import s.implicits._
+      DerivedState.register(s, dir)
+      val tmp = graft.core.Caching.scratchDir("nput-stream")
+      val feedDir = tmp.resolve("feed").toString
+      s.sql(putReqsSql).repartition(4).write.parquet(feedDir)
+      val schema = s.read.parquet(feedDir).schema
+      val fileCols = Seq("id", "parentId", "name", "length", "leaseHolder", "version")
+      var fileSnap = s.table("file").select(fileCols.map(col): _*)
+      var idBase = fileSnap.filter(col("version") > 0)
+        .agg(coalesce(max(col("id")), lit(0L))).collect()(0).getLong(0)
+      var blockIdBase = 8000000000L
+      val fileRows = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String, Long)] // id, parentId, name, length
+      val blockRows = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)] // fileId, fileIndex, length
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // force several micro-batches
+        .parquet(feedDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // request-mix-bounded: localize the batch into the OUTER session
+          // so putFile's joins never mix micro-batch and session plans
+          val reqRows = batch.toDF().collect()
+          val reqs = s.createDataFrame(
+            java.util.Arrays.asList(reqRows: _*), batch.schema)
+          val ws = graft.state.Mutations.putFile(fileSnap, reqs,
+            idBase = idBase, blockIdBase = blockIdBase,
+            blockSize = 67108864L, nowMs = Now).collect()
+          val ins = ws.filter(_.getAs[String]("writeOp") == "insert")
+            .map(r => (r.getAs[Long]("id"), r.getAs[Long]("parentId"),
+              r.getAs[String]("name"), r.getAs[Long]("length")))
+          fileRows ++= ins
+          blockRows ++= ws.filter(_.getAs[String]("writeOp") == "blockInsert")
+            .map(r => (r.getAs[Long]("parentId"), r.getAs[Long]("fileIndex"),
+              r.getAs[Long]("length")))
+          if (ins.nonEmpty) {
+            val newRows = s.createDataFrame(ins.toSeq
+              .map { case (id, p, n, l) => (id, p, n, l, None: Option[String], id) }
+              .toDF(fileCols: _*).rdd, fileSnap.schema)
+            fileSnap = fileSnap.unionByName(newRows).localCheckpoint()
+            idBase = math.max(idBase, ins.map(_._1).max)
+            blockIdBase = math.max(blockIdBase,
+              ws.filter(_.getAs[String]("writeOp") == "blockInsert")
+                .map(_.getAs[Long]("id")).foldLeft(blockIdBase)(math.max))
+          }
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val files = fileRows.toSeq.toDF("fileId", "parentId", "name", "length")
+      val blocks = blockRows.toSeq.toDF("bFileId", "fileIndex", "blockLen")
+      files.join(
+          blocks.groupBy(col("bFileId"))
+            .agg(count(lit(1)).as("nBlocks"),
+              array_join(transform(
+                array_sort(collect_list(struct(col("fileIndex"), col("blockLen")))),
+                x => x.getField("blockLen").cast("string")), ",").as("blockLens")),
+          col("fileId") === col("bFileId"), "left")
+        .select(col("parentId"), col("name"), col("length"),
+          coalesce(col("nBlocks"), lit(0L)).as("nBlocks"),
+          coalesce(col("blockLens"), lit("")).as("blockLens"))
+        .orderBy(col("parentId"), col("name"))
+    },
     // abandonBlock: checkLease ladder + replica tombstones over the UC
     // files of the derived namespace
     "n_abandon_block" -> { (s, dir) =>
@@ -529,6 +603,49 @@ object MutationQueries {
          |         'duplicate in batch'
          |  FROM okall WHERE dupRank > 1) u
          |ORDER BY writeOp, tbl, id, fileIndex""".stripMargin),
+    "n_put_stream_parity" -> O(
+      s"""WITH reqs AS (
+         |$putReqsSql),
+         |j AS (
+         |  SELECT r.parentId, r.name, r.holder, r.fileLength,
+         |         p.id AS pid, t.id AS tid,
+         |    CASE WHEN r.name IS NULL OR length(r.name) = 0 THEN 'x'
+         |         WHEN length(r.name) > 255 THEN 'x'
+         |         WHEN p.id IS NULL THEN 'x'
+         |         WHEN p.length <> -1 THEN 'x'
+         |         WHEN t.id IS NOT NULL THEN 'x'
+         |         END AS reject
+         |  FROM reqs r
+         |  LEFT JOIN file p ON p.id = r.parentId AND p.version > 0
+         |  LEFT JOIN file t ON t.parentId = r.parentId AND t.name = r.name
+         |    AND t.version > 0),
+         |ok AS (
+         |  SELECT parentId, name, fileLength,
+         |         ROW_NUMBER() OVER (PARTITION BY parentId, name
+         |           ORDER BY holder) AS dupRank
+         |  FROM j WHERE reject IS NULL),
+         |acc AS (SELECT * FROM ok WHERE dupRank = 1),
+         |blk AS (
+         |  SELECT parentId, name, fileLength,
+         |         (fileLength + 67108863) // 67108864 AS nBlocks
+         |  FROM acc WHERE fileLength > 0),
+         |bx AS (
+         |  SELECT parentId, name,
+         |         unnest(range(1, nBlocks + 1)) AS fileIndex,
+         |         nBlocks, fileLength
+         |  FROM blk),
+         |agg AS (
+         |  SELECT parentId, name, COUNT(*) AS nBlocks,
+         |    string_agg(CAST(CAST(CASE WHEN fileIndex < nBlocks THEN 67108864
+         |      ELSE fileLength - (nBlocks - 1) * 67108864 END AS BIGINT)
+         |      AS VARCHAR), ',' ORDER BY fileIndex) AS blockLens
+         |  FROM bx GROUP BY parentId, name)
+         |SELECT a.parentId, a.name, a.fileLength AS length,
+         |  COALESCE(g.nBlocks, 0) AS nBlocks,
+         |  COALESCE(g.blockLens, '') AS blockLens
+         |FROM acc a LEFT JOIN agg g
+         |  ON g.parentId = a.parentId AND g.name = a.name
+         |ORDER BY a.parentId, a.name""".stripMargin),
     "n_abandon_block" -> O(
       s"""WITH req AS (
          |$abandonReqsSql),
