@@ -293,6 +293,42 @@ object Shell {
         // the reference refuses too (FsShell.java:329-330)
         throw new UnsupportedOperationException(
           "Option '-moveToLocal' is not implemented yet.")
+      case "setQuota" | "setSpaceQuota" | "clrQuota" | "clrSpaceQuota" =>
+        // DFSAdmin quota commands (hdfs/tools/DFSAdmin.java:71-160):
+        // write-set rows against the quotas side-table contentSummary
+        // consumes — the ADFS file table carries no quota column, so the
+        // side-table IS the store. QUOTA_DONT_SET leaves the other leg
+        // untouched on apply (FSConstants.java:30-31).
+        val QuotaDontSet = Long.MaxValue
+        val QuotaReset = -1L
+        val (q, dirs) =
+          if (verb.startsWith("set")) {
+            require(args.size >= 2, s"usage: $verb <quota> <dir>...")
+            (args.head.toLong, args.tail)
+          } else (QuotaReset, args)
+        require(!verb.startsWith("set") || q > 0,
+          s"$verb: quota must be positive, got $q") // DFSAdmin.java:121-124
+        val ids = dirs.flatMap(resolveMany)
+        // per-directory commands: a file target fails loud, like the
+        // reference's "not a directory" from setQuota
+        val targets = file.filter(col("id").isin(ids: _*) && col("version") > 0)
+          .select(col("id"), col("length")).collect()
+        targets.filter(_.getLong(1) != -1L).foreach(r =>
+          throw new IllegalArgumentException(
+            s"$verb: ${r.getLong(0)} is not a directory"))
+        val nsQ = verb match {
+          case "setQuota" => q
+          case "clrQuota" => QuotaReset
+          case _          => QuotaDontSet
+        }
+        val dsQ = verb match {
+          case "setSpaceQuota" => q
+          case "clrSpaceQuota" => QuotaReset
+          case _               => QuotaDontSet
+        }
+        ids.map(i => ("quota", i, nsQ, dsQ))
+          .toDF("writeOp", "dirId", "nsQuota", "dsQuota")
+          .orderBy(col("dirId"))
       case "expunge" =>
         Mutations.expunge(file, nowMs = Now)
           .orderBy(col("writeOp"), col("id"))

@@ -149,6 +149,36 @@ class ShellSpec extends SparkSpec {
       Shell.run(spark, sf, "rm", Seq("-trash", "/")))
   }
 
+  test("quota admin verbs emit side-table write-sets that count -q consumes") {
+    DerivedState.register(spark, sf)
+    val dir = StateManager.materializePaths(spark.table("file"))
+      .filter(col("length") === -1L && col("version") > 0 && col("id") > 0L)
+      .orderBy(col("id")).select(col("id"), col("path")).limit(1).collect().head
+    val (did, dpath) = (dir.getLong(0), dir.getString(1))
+    val set = Shell.run(spark, sf, "setQuota", Seq("500", dpath)).collect()
+    assert(set.map(r => (r.getAs[Long]("dirId"), r.getAs[Long]("nsQuota"),
+      r.getAs[Long]("dsQuota"))).toSeq == Seq((did, 500L, Long.MaxValue)))
+    val clr = Shell.run(spark, sf, "clrSpaceQuota", Seq(dpath)).collect()
+    assert(clr.head.getAs[Long]("dsQuota") == -1L
+      && clr.head.getAs[Long]("nsQuota") == Long.MaxValue)
+    // the write-set rows ARE the quotas frame contentSummary consumes
+    val quotas = Shell.run(spark, sf, "setQuota", Seq("500", dpath))
+      .select(col("dirId"), col("nsQuota"), col("dsQuota"))
+    val cs = graft.analytics.Dataflows.contentSummary(
+      spark.table("file"), Seq(did), quotas = Some(quotas)).collect().head
+    assert(cs.getAs[Long]("quota") == 500L)
+    // a FILE target refuses loud, a zero quota refuses loud
+    val f = StateManager.materializePaths(spark.table("file"))
+      .filter(col("length") >= 0L && col("version") > 0)
+      .orderBy(col("id")).select(col("path")).limit(1).collect().head.getString(0)
+    intercept[IllegalArgumentException] {
+      Shell.run(spark, sf, "setQuota", Seq("5", f))
+    }
+    intercept[IllegalArgumentException] {
+      Shell.run(spark, sf, "setQuota", Seq("0", dpath))
+    }
+  }
+
   test("fsck -blocks/-locations/-racks: per-block detail, path-scoped, flag-gated columns") {
     val base = Shell.run(spark, sf, "fsck", Seq("-blocks", "/n_7"))
     assert(base.columns.toSeq == Seq("path", "fileId", "blockId", "fileIndex",
