@@ -293,6 +293,61 @@ object Shell {
         // the reference refuses too (FsShell.java:329-330)
         throw new UnsupportedOperationException(
           "Option '-moveToLocal' is not implemented yet.")
+      case "safemode" =>
+        // dfsadmin -safemode get (SafeModeInfo, FSNamesystem.java:3531-
+        // 3700): blocks at minimal replication vs total against the
+        // threshold; enter/leave are process state in the reference —
+        // here the frame IS the state, so get reports it
+        val thr = spark.conf
+          .get("graft.dfs.safemode.threshold.pct", "0.999").toDouble
+        Dataflows.safeModeRatio(block, minReplication = 1)
+          .select(col("totalBlocks"), col("safeBlocks"),
+            (col("safeBlocks").cast("double") /
+              greatest(col("totalBlocks"), lit(1L))).as("ratio"),
+            lit(thr).as("threshold"))
+          .withColumn("inSafeMode", col("ratio") < col("threshold"))
+      case "refreshNodes" =>
+        // dfsadmin -refreshNodes (FSNamesystem.java:3444-3470): re-read
+        // dfs.hosts / dfs.hosts.exclude and reconcile every datanode —
+        // not-in-hosts → DECOMMISSIONED outright (case 2), excluded →
+        // startDecommission (case 3), re-included → stopDecommission
+        // (case 4). Args: <hostsFile|-> <excludesFile|->, local newline
+        // lists of node NAMES; '-'/missing = empty (empty hosts = all
+        // included, the Hadoop convention).
+        def readList(p: String): Set[String] =
+          if (p == "-") Set.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))
+              .asScala.map(_.trim).filter(_.nonEmpty).toSet
+          }
+        val hosts = readList(args.headOption.getOrElse("-"))
+        val excludes = readList(args.drop(1).headOption.getOrElse("-"))
+        // node-dimension bounded, like the reference's descriptor walk
+        val nodes = datanode.filter(col("version") > 0)
+          .select(col("id"), col("name"), col("adminState"), col("version"))
+          .collect()
+        def inHosts(n: String) = hosts.isEmpty || hosts.contains(n)
+        val reqs = nodes.flatMap { r =>
+          val (name, st) = (r.getString(1), r.getString(2))
+          if (!inHosts(name)) None // case 2 handled below
+          else if (excludes.contains(name) && st == "NORMAL")
+            Some((r.getLong(0), "start")) // case 3
+          else if (!excludes.contains(name) && st != "NORMAL")
+            Some((r.getLong(0), "stop")) // case 4
+          else None
+        }.toSeq
+        val ws = Mutations.setAdminState(datanode, block, file,
+          reqs.toDF("nodeId", "op"))
+        val direct = nodes.toSeq
+          .filter(r => !inHosts(r.getString(1)) && r.getString(2) != "DECOMMISSIONED")
+          .map(r => ("admin", r.getLong(0), r.getString(2), "DECOMMISSIONED",
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            r.getLong(3) + 1L))
+          .toDF("writeOp", "id", "prevAdminState", "adminState",
+            "underReplicatedBlocks", "decommissionOnlyReplicas",
+            "underReplicatedInOpenFiles", "version")
+        ws.unionByName(direct).orderBy(col("writeOp"), col("id"))
       case "setQuota" | "setSpaceQuota" | "clrQuota" | "clrSpaceQuota" =>
         // DFSAdmin quota commands (hdfs/tools/DFSAdmin.java:71-160):
         // write-set rows against the quotas side-table contentSummary

@@ -149,6 +149,38 @@ class ShellSpec extends SparkSpec {
       Shell.run(spark, sf, "rm", Seq("-trash", "/")))
   }
 
+  test("dfsadmin verbs: safemode ratio; refreshNodes reconciles hosts/excludes") {
+    DerivedState.register(spark, sf)
+    val sm = Shell.run(spark, sf, "safemode").collect().head
+    assert(sm.getAs[Long]("totalBlocks") > 0
+      && sm.getAs[Double]("ratio") >= 0.0 && sm.getAs[Double]("ratio") <= 1.0)
+    val nodes = spark.table("datanode").filter(col("version") > 0)
+      .select(col("id"), col("name"), col("adminState")).collect()
+    val normals = nodes.filter(_.getString(2) == "NORMAL")
+    assert(normals.length >= 2, "fixture needs two NORMAL nodes")
+    val (exclNode, droppedNode) = (normals(0), normals(1))
+    val tmp = graft.core.Caching.scratchDir("refresh")
+    val hostsFile = tmp.resolve("hosts")
+    val exclFile = tmp.resolve("excludes")
+    // hosts = everyone but droppedNode; excludes = exclNode
+    java.nio.file.Files.write(hostsFile,
+      nodes.map(_.getString(1)).filter(_ != droppedNode.getString(1))
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(exclFile,
+      exclNode.getString(1).getBytes("UTF-8"))
+    val out = Shell.run(spark, sf, "refreshNodes",
+      Seq(hostsFile.toString, exclFile.toString)).collect()
+    // case 3: the excluded NORMAL node starts decommissioning (or lands
+    // DECOMMISSIONED at once when its replicas are already elsewhere)
+    val ex = out.filter(_.getAs[Long]("id") == exclNode.getLong(0))
+    assert(ex.nonEmpty && ex.head.getAs[String]("prevAdminState") == "NORMAL"
+      && ex.head.getAs[String]("adminState").startsWith("DECOMMISSION"))
+    // case 2: the not-in-hosts node is decommissioned outright
+    val dr = out.filter(_.getAs[Long]("id") == droppedNode.getLong(0))
+    assert(dr.map(r => (r.getAs[String]("writeOp"), r.getAs[String]("adminState")))
+      .toSeq == Seq(("admin", "DECOMMISSIONED")))
+  }
+
   test("quota admin verbs emit side-table write-sets that count -q consumes") {
     DerivedState.register(spark, sf)
     val dir = StateManager.materializePaths(spark.table("file"))
