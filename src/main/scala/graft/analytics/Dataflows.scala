@@ -643,11 +643,16 @@ object Dataflows {
     val prefixOk =
       if (pathPrefix == "/") lit(true)
       else col("path") === pathPrefix || col("path").startsWith(pathPrefix + "/")
-    val files = live(file)
+    val files0 = live(file)
       .filter(col("length") =!= -1L && col("leaseHolder").isNull)
       .join(paths, col("id") === col("__pid"))
       .filter(prefixOk)
       .select(col("id").as("__fid"), col("replication"), col("path"))
+    // a scoped prefix makes the file side subtree-sized — broadcast it
+    // into the prune and the final join instead of shuffling the block
+    // table into a sort-merge; the whole-namespace scope ("/") keeps the
+    // shuffled join, where a broadcast could not be assumed to fit
+    val files = if (pathPrefix == "/") files0 else broadcast(files0)
     val perBlock = live(block)
       .join(files.select(col("__fid")), col("fileId") === col("__fid"), "left_semi")
       .join(broadcast(liveN), col("datanodeId") === col("__nid"), "left")
