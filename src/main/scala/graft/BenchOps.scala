@@ -52,6 +52,14 @@ object BenchOps {
         Mutations.mkdirs(file, reqs, idBase = 9000000L, nowMs = Now, leafLength = 0L)
           .filter(col("writeOp") === "insert").count()
       },
+      timed("put") {
+        // the whole client write loop per file: create validation + the
+        // declarative block fan-out (multi-block chains, ragged tails)
+        val reqs = spark.sql(
+          "SELECT CAST(100 + c_custkey AS BIGINT) AS parentId, 'benchput_' || CAST(c_custkey AS STRING) AS name, 'hb' AS holder, CAST((c_custkey % 5) * 67108864 + c_custkey % 9999 AS BIGINT) AS fileLength FROM customer")
+        Mutations.putFile(file, reqs, idBase = 9800000L,
+          blockIdBase = 9000000000L, blockSize = 67108864L, nowMs = Now).count()
+      },
       timed("mkdirs") {
         val reqs = spark.sql(
           "SELECT CAST(1 + n_nationkey AS BIGINT) AS parentId, 'benchdir_' || CAST(c_custkey AS STRING) AS name FROM customer JOIN nation ON c_nationkey = n_nationkey")
