@@ -745,6 +745,16 @@ object DataOpsQueries {
       graft.sources.Formats.writeTFileDir(kv, s"$tmp/tf")
       graft.sources.Formats.tfileGet(s, s"$tmp/tf", "7").orderBy(col("key"))
     },
+    // F2 WRITE interop in the gate: customers written distributed as a
+    // dir of REAL part-MapFiles (range-tiled, one MapFile per task),
+    // read back by the distributed parts reader
+    "f8_mapfile_write" -> { (s, dir) =>
+      val tmp = graft.core.Caching.scratchDir("f8").toString
+      val kv = Tables.customer(s, dir)
+        .select(col("c_custkey").cast("string").as("key"), col("c_name").as("value"))
+      graft.sources.Formats.writeMapFileDir(kv, s"$tmp/mf")
+      graft.sources.Formats.readMapFileParts(s, s"$tmp/mf").orderBy(col("key"))
+    },
     // F2 SetFile interop in the gate: nation names appended through the
     // REAL SetFile.Writer (bounded: the nation dimension), read back as
     // the key column by the distributed reader
@@ -1398,6 +1408,9 @@ object DataOpsQueries {
         |FROM supplier WHERE s_suppkey = 7 ORDER BY key""".stripMargin,
     "f6_setfile_keys" ->
       "SELECT n_name AS key FROM nation ORDER BY key",
+    "f8_mapfile_write" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS value
+        |FROM customer ORDER BY key""".stripMargin,
     "f7_bloom_get" ->
       """SELECT CAST(s_suppkey AS VARCHAR) AS key, s_name AS value
         |FROM supplier WHERE s_suppkey = 9 ORDER BY key""".stripMargin,

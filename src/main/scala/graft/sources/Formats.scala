@@ -243,6 +243,40 @@ object Formats {
           org.apache.spark.sql.types.StringType))))
   }
 
+  /** F2 interop WRITE side (MapFile.java Writer via the stock mapred
+    * MapFileOutputFormat): a (key, value) string DataFrame becomes a
+    * directory of real MapFiles — one `part-NNNNN` dir (data + index
+    * SequenceFiles) per task, the exact multi-part layout Hadoop
+    * reducers produce, so existing tooling (MapFileOutputFormat
+    * .getReaders, MapFile.Reader) opens it unchanged. Parts are
+    * range-tiled and partition-sorted like the TFile writer —
+    * MapFile.Writer enforces ascending Text keys at append time, so the
+    * sort is the format's contract, not a convenience. */
+  def writeMapFileDir(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.mapred.{JobConf, MapFileOutputFormat}
+    val cols = df.columns
+    require(cols.length == 2, s"mapfile needs (key,value), got ${cols.mkString(",")}")
+    val conf = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    tfileOrdered(df).rdd
+      .map(r => (new Text(String.valueOf(r.get(0))),
+                 new Text(String.valueOf(r.get(1)))))
+      .saveAsHadoopFile(path, classOf[Text], classOf[Text],
+        classOf[MapFileOutputFormat], conf)
+  }
+
+  /** Read a directory of part-MapFiles (the writeMapFileDir layout):
+    * every part's `data` SequenceFile in one distributed scan, parts in
+    * name order (= global key order for the range-tiled layout). */
+  def readMapFileParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    require(parts.nonEmpty, s"no part-* MapFiles under $dir")
+    parts.map(d => readMapFileDir(spark, d)).reduce(_ unionByName _)
+  }
+
   /** F1: SequenceFile.Sorter merge analog (C/org/apache/hadoop/io/
     * SequenceFile.java — Sorter.merge :2637-2687, MergeQueue): k-way
     * merge of pre-sorted runs into one globally sorted sequence file,

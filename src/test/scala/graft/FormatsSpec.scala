@@ -132,6 +132,33 @@ class FormatsSpec extends SparkSpec {
       "a bloom miss must return the empty frame without a scan behind it")
   }
 
+  test("F2 interop WRITE: writeMapFileDir emits real part-MapFiles Hadoop tooling opens") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.Text
+    val base = graft.core.Caching.scratchDir("mfwrite").toString
+    val df = (1 to 400).map(i => (f"k$i%04d", s"v$i")).toDF("key", "value")
+    Formats.writeMapFileDir(df, s"$base/mf")
+    // round-trip through our distributed parts reader
+    assert(rows(Formats.readMapFileParts(spark, s"$base/mf").orderBy(col("key")))
+      == rows(df.orderBy(col("key"))))
+    // STOCK Hadoop tooling opens the layout: getReaders + a seeked get
+    val conf = spark.sparkContext.hadoopConfiguration
+    val readers = org.apache.hadoop.mapred.MapFileOutputFormat
+      .getReaders(null, new Path(s"$base/mf"), conf)
+    try {
+      assert(readers.nonEmpty)
+      val v = new Text()
+      val hit = readers.exists(r => r.get(new Text("k0123"), v) != null)
+      assert(hit && v.toString == "v123", "raw MapFile.Reader.get must find k0123")
+      // every part's index file exists (MapFile dir = data + index)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      fs.listStatus(new Path(s"$base/mf"))
+        .filter(_.getPath.getName.startsWith("part-")).foreach { p =>
+          assert(fs.exists(new Path(p.getPath, "index")), s"${p.getPath} index")
+        }
+    } finally readers.foreach(_.close())
+  }
+
   test("F3 interop: TFile dir round-trips (none + gz); parts are sorted binary TFiles") {
     import org.apache.hadoop.fs.Path
     import org.apache.hadoop.io.file.tfile.TFile
