@@ -293,6 +293,12 @@ object Shell {
         // the reference refuses too (FsShell.java:329-330)
         throw new UnsupportedOperationException(
           "Option '-moveToLocal' is not implemented yet.")
+      case "metasave" | "finalizeUpgrade" =>
+        // both have EMPTY bodies in the reference (FSNamesystem.java:
+        // 460-461 metaSave, :3472-3473 finalizeUpgrade — ADFS dropped
+        // them with the in-memory namespace); the faithful behavior is
+        // the same no-op
+        spark.emptyDataFrame
       case "safemode" =>
         // dfsadmin -safemode get (SafeModeInfo, FSNamesystem.java:3531-
         // 3700): blocks at minimal replication vs total against the

@@ -179,6 +179,9 @@ class ShellSpec extends SparkSpec {
     val dr = out.filter(_.getAs[Long]("id") == droppedNode.getLong(0))
     assert(dr.map(r => (r.getAs[String]("writeOp"), r.getAs[String]("adminState")))
       .toSeq == Seq(("admin", "DECOMMISSIONED")))
+    // metasave/finalizeUpgrade: empty bodies in the reference → no-ops
+    assert(Shell.run(spark, sf, "metasave", Seq("x")).isEmpty)
+    assert(Shell.run(spark, sf, "finalizeUpgrade").isEmpty)
   }
 
   test("quota admin verbs emit side-table write-sets that count -q consumes") {
