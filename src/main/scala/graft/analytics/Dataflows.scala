@@ -640,9 +640,13 @@ object Dataflows {
     val clusterRacks = liveN.select(col("__rack")).distinct().count()
     val paths = StateManager.materializePaths(file)
       .select(col("id").as("__pid"), col("path"))
+    // stored paths carry no trailing slash — a user's "/n_7/" must scope
+    // like "/n_7", not silently match nothing
+    val prefix =
+      if (pathPrefix.length > 1) pathPrefix.stripSuffix("/") else pathPrefix
     val prefixOk =
-      if (pathPrefix == "/") lit(true)
-      else col("path") === pathPrefix || col("path").startsWith(pathPrefix + "/")
+      if (prefix == "/") lit(true)
+      else col("path") === prefix || col("path").startsWith(prefix + "/")
     val files0 = live(file)
       .filter(col("length") =!= -1L && col("leaseHolder").isNull)
       .join(paths, col("id") === col("__pid"))
@@ -652,7 +656,7 @@ object Dataflows {
     // into the prune and the final join instead of shuffling the block
     // table into a sort-merge; the whole-namespace scope ("/") keeps the
     // shuffled join, where a broadcast could not be assumed to fit
-    val files = if (pathPrefix == "/") files0 else broadcast(files0)
+    val files = if (prefix == "/") files0 else broadcast(files0)
     val perBlock = live(block)
       .join(files.select(col("__fid")), col("fileId") === col("__fid"), "left_semi")
       .join(broadcast(liveN), col("datanodeId") === col("__nid"), "left")

@@ -306,12 +306,17 @@ object Shell {
         // here the frame IS the state, so get reports it
         val thr = spark.conf
           .get("graft.dfs.safemode.threshold.pct", "0.999").toDouble
+        // the reference truncates: blockThreshold = (int)(total * pct)
+        // and stays in safe mode while safe < threshold — so an empty
+        // namespace (threshold 0) is OUT of safe mode, and 99/100 at
+        // pct .999 (threshold 99) is too
         Dataflows.safeModeRatio(block, minReplication = 1)
           .select(col("totalBlocks"), col("safeBlocks"),
             (col("safeBlocks").cast("double") /
               greatest(col("totalBlocks"), lit(1L))).as("ratio"),
             lit(thr).as("threshold"))
-          .withColumn("inSafeMode", col("ratio") < col("threshold"))
+          .withColumn("inSafeMode",
+            col("safeBlocks") < floor(col("totalBlocks") * lit(thr)).cast("long"))
       case "refreshNodes" =>
         // dfsadmin -refreshNodes (FSNamesystem.java:3444-3470): re-read
         // dfs.hosts / dfs.hosts.exclude and reconcile every datanode —
@@ -343,16 +348,23 @@ object Shell {
             Some((r.getLong(0), "stop")) // case 4
           else None
         }.toSeq
-        val ws = Mutations.setAdminState(datanode, block, file,
-          reqs.toDF("nodeId", "op"))
-        val direct = nodes.toSeq
+        val directRows = nodes.toSeq
           .filter(r => !inHosts(r.getString(1)) && r.getString(2) != "DECOMMISSIONED")
+        val direct = directRows
           .map(r => ("admin", r.getLong(0), r.getString(2), "DECOMMISSIONED",
             None: Option[Long], None: Option[Long], None: Option[Long],
             r.getLong(3) + 1L))
           .toDF("writeOp", "id", "prevAdminState", "adminState",
             "underReplicatedBlocks", "decommissionOnlyReplicas",
             "underReplicatedInOpenFiles", "version")
+        // setAdminState re-gates EVERY DECOMMISSION_INPROGRESS node; a
+        // dropped-from-hosts node in that state is already decided by the
+        // direct case-2 row — keep exactly one row per node
+        val directIds = directRows.map(_.getLong(0))
+        val ws = Mutations.setAdminState(datanode, block, file,
+            reqs.toDF("nodeId", "op"))
+          .filter(if (directIds.isEmpty) lit(true)
+                  else !col("id").isin(directIds: _*))
         ws.unionByName(direct).orderBy(col("writeOp"), col("id"))
       case "setQuota" | "setSpaceQuota" | "clrQuota" | "clrSpaceQuota" =>
         // DFSAdmin quota commands (hdfs/tools/DFSAdmin.java:71-160):
@@ -493,7 +505,18 @@ object Shell {
         // per-file findings, -move rescues corrupt files to /lost+found
         // (a write-set here), -delete removes them; default = the
         // aggregate Result row
-        if (args.exists(Set("-blocks", "-locations", "-racks"))) {
+        if (args.contains("-move")) {
+          // action flags take precedence: the reference runs the rescue
+          // alongside any print flags, and of the two surfaces only the
+          // write-set has effects — never silently drop it
+          val idBase = file.agg(coalesce(max(col("id")), lit(0L)))
+            .collect()(0).getLong(0)
+          Dataflows.fsckMove(file, block, datanode, Now, idBase)
+            .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
+        } else if (args.contains("-delete"))
+          Dataflows.fsckDelete(file, block, datanode, Now)
+            .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
+        else if (args.exists(Set("-blocks", "-locations", "-racks"))) {
           // -blocks per-block detail; -locations adds holders, -racks
           // their racks (NamenodeFsck.java:139-141) — path-scoped: the
           // first non-flag arg is the subtree, default /
@@ -509,14 +532,6 @@ object Shell {
           Dataflows.fsckFiles(file, block, datanode, Now,
               showOpenFiles = args.contains("-openforwrite"))
             .orderBy(col("path"))
-        else if (args.contains("-move")) {
-          val idBase = file.agg(coalesce(max(col("id")), lit(0L)))
-            .collect()(0).getLong(0)
-          Dataflows.fsckMove(file, block, datanode, Now, idBase)
-            .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
-        } else if (args.contains("-delete"))
-          Dataflows.fsckDelete(file, block, datanode, Now)
-            .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
         else Dataflows.fsck(file, block, datanode, Now)
       case "report" =>
         Dataflows.datanodeReport(datanode, Now)

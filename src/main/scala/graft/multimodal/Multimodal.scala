@@ -103,15 +103,18 @@ object Multimodal {
       var off = 12
       var channels = 0
       var bits = 0
+      var pcm = false
       while (off + 8 <= b.length) {
         val id = new String(b, off, 4, "US-ASCII")
         val size = le32(b, off + 4)
         if (size < 0) return None
         if (id == "fmt " && size >= 16 && off + 24 <= b.length) {
-          channels = le16(b, off + 10) // chunk body: format@+8, channels@+10
+          pcm = le16(b, off + 8) == 1  // audioFormat: only PCM decodes;
+                                       // A-law/mu-law etc. fall to the stub
+          channels = le16(b, off + 10)
           bits = le16(b, off + 22)     // bitsPerSample@+22
         } else if (id == "data") {
-          if (channels <= 0 || (bits != 8 && bits != 16)) return None
+          if (!pcm || channels <= 0 || (bits != 8 && bits != 16)) return None
           val bytesPer = bits / 8
           val n0 = math.min(size.toLong, (b.length - off - 8).toLong).toInt
           val n = n0 - n0 % (bytesPer * channels) // whole frames only
@@ -129,7 +132,12 @@ object Multimodal {
             }
           return Some((frames, channels, sum / (n / bytesPer)))
         }
-        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+        // RIFF chunks are word-aligned; advance in Long — a hostile
+        // 0x7FFFFFF0 chunk size would overflow Int into a negative
+        // offset and turn the walk into an out-of-bounds read
+        val next = off.toLong + 8L + size.toLong + (size & 1)
+        if (next > b.length.toLong) return None
+        off = next.toInt
       }
       None
     }

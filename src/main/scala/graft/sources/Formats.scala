@@ -422,7 +422,10 @@ object Formats {
 
   /** Stream one TFile part; the reader/stream close when the scanner
     * drains (TFile value lengths may be chunk-encoded, so values read
-    * through getValueStream rather than a length-sized buffer). */
+    * through getValueStream rather than a length-sized buffer). A
+    * task-completion listener also closes them when the consumer stops
+    * early (limit/take) or a corrupt entry throws mid-scan — without it
+    * the handles would live for the executor's lifetime. */
   private def scanTFile(fileUri: String): Iterator[(String, String)] = {
     import org.apache.hadoop.io.file.tfile.TFile
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -432,9 +435,15 @@ object Formats {
     val in = fs.open(p)
     val reader = new TFile.Reader(in, len, conf)
     val scanner = reader.createScanner()
+    var closed = false
+    def closeAll(): Unit = if (!closed) {
+      closed = true
+      scanner.close(); reader.close(); in.close()
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
     new Iterator[(String, String)] {
       private var live = !scanner.atEnd()
-      private def closeAll(): Unit = { scanner.close(); reader.close(); in.close() }
       if (!live) closeAll()
       def hasNext: Boolean = live
       def next(): (String, String) = {

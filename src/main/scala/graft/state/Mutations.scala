@@ -538,15 +538,24 @@ object Mutations {
   def putFile(file: DataFrame, requests: DataFrame, idBase: Long,
               blockIdBase: Long, blockSize: Long, nowMs: Long): DataFrame = {
     require(blockSize > 0L, s"blockSize must be positive, got $blockSize")
+    // one request row per (parentId, name, holder): duplicate requests
+    // would otherwise multiply the insert row through the join below
+    // (startFile keeps ONE winner per (parentId, name)); max() makes the
+    // same-holder-different-length degenerate case deterministic
+    val reqKeyed = requests.groupBy(col("parentId"), col("name"), col("holder"))
+      .agg(max(col("fileLength")).as("fileLength"))
     val ws = startFile(file,
       requests.select(col("parentId"), col("name"), col("holder"),
         lit(false).as("overwrite")),
       idBase, nowMs)
+    // join the winner's holder too — a losing duplicate's request row
+    // must not attach to the winner's insert
     val accepted = ws.filter(col("writeOp") === "insert")
-      .join(requests.select(col("parentId").as("__rp"), col("name").as("__rn"),
-          col("fileLength")),
-        col("parentId") === col("__rp") && col("name") === col("__rn"))
-      .drop("__rp", "__rn")
+      .join(reqKeyed.select(col("parentId").as("__rp"), col("name").as("__rn"),
+          col("holder").as("__rh"), col("fileLength")),
+        col("parentId") === col("__rp") && col("name") === col("__rn") &&
+          col("leaseHolder") === col("__rh"))
+      .drop("__rp", "__rn", "__rh")
     val fileRows = accepted.select(
       lit("insert").as("writeOp"), lit("file").as("tbl"), col("id"),
       col("parentId"), col("name"), col("fileLength").as("length"),

@@ -167,6 +167,19 @@ class AlgebraLawsSpec extends SparkSpec {
     // law 4: block ids globally unique and above the base
     val bids = blocks.map(_._4)
     assert(bids.distinct.length == bids.length && bids.forall(_ > 1000L))
+    // law 5: duplicate requests collapse to ONE winner — the join back
+    // to requests must not multiply the insert row or the fan-out
+    val dupReqs = Seq((1L, "dup", "h1", 2500L), (1L, "dup", "h2", 7000L))
+      .toDF("parentId", "name", "holder", "fileLength")
+    val dupWs = Mutations.putFile(ns, dupReqs, idBase = 500L,
+      blockIdBase = 5000L, blockSize = bs, nowMs = 5L).collect()
+    val dupIns = dupWs.filter(_.getAs[String]("writeOp") == "insert")
+    assert(dupIns.length == 1 && dupIns.head.getAs[Long]("length") == 2500L,
+      "h1 wins by holder order; exactly one insert")
+    val dupBlks = dupWs.filter(_.getAs[String]("writeOp") == "blockInsert")
+    assert(dupBlks.map(_.getAs[Long]("length")).sorted.toSeq == Seq(500L, bs, bs),
+      "fan-out from the winner's length only")
+    assert(dupWs.count(_.getAs[String]("writeOp") == "reject") == 1)
   }
 
   test("addBlock law: canAllocate false iff last block under-replicated") {

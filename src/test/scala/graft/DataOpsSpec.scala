@@ -412,6 +412,18 @@ class DataOpsSpec extends SparkSpec {
     assert(feats(1).height == 1, "stub audio keeps height 1")
     // truncated header and zero-frame data refuse rather than misreport
     assert(Multimodal.WavDecoder.decode(wav.take(20)).isEmpty)
+    // non-PCM (A-law, audioFormat 6) refuses — compressed samples must
+    // not be read as PCM
+    val alaw = "RIFF".getBytes ++ le32(4 + 24 + 8 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++
+      (le16(6) ++ le16(2) ++ le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16)) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    assert(Multimodal.WavDecoder.decode(alaw).isEmpty)
+    // a hostile chunk size near Int.MaxValue must not overflow the walk
+    // into an out-of-bounds read — refuse, never throw
+    val hostile = "RIFF".getBytes ++ le32(0x7ffffff0) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0x7ffffff0) ++ new Array[Byte](64)
+    assert(Multimodal.WavDecoder.decode(hostile).isEmpty)
     val empty = "RIFF".getBytes ++ le32(4 + 24 + 8) ++ "WAVE".getBytes ++
       "fmt ".getBytes ++ le32(16) ++ fmt ++ "data".getBytes ++ le32(0) ++
       new Array[Byte](8) // padding so sniff's length gate passes

@@ -229,6 +229,18 @@ class ShellSpec extends SparkSpec {
     val withLoc = racks.filter(col("liveReplicas") > 0).limit(5).collect()
     assert(withLoc.forall(r => r.getAs[String]("locations")
       .split(",").length == r.getAs[Long]("liveReplicas")))
+    // a trailing slash scopes identically (stored paths carry none)
+    assert(Shell.run(spark, sf, "fsck", Seq("-blocks", "/n_7/")).count()
+      == base.count())
+    // action flags beat print flags: -move combined with -blocks must
+    // still produce the rescue write-set, never silently drop it
+    val combo = Shell.run(spark, sf, "fsck", Seq("-move", "-blocks"))
+    assert(combo.columns.contains("writeOp"))
+    // safemode uses the reference's truncated threshold: a fully safe
+    // namespace is OUT of safe mode
+    val sm = Shell.run(spark, sf, "safemode").collect().head
+    if (sm.getAs[Long]("safeBlocks") == sm.getAs[Long]("totalBlocks"))
+      assert(!sm.getAs[Boolean]("inSafeMode"))
   }
 
   test("put writes the namenode-side block chain from a real local file; get reads the manifest") {
