@@ -183,6 +183,12 @@ object StateQueries {
         .select(col("id"), col("path"), col("length"))
         .orderBy(col("id"))
     },
+    // F11 oiv FileDistribution: file-size histogram, every step-bucket
+    // emitted (zeros included), overflow sizes in the last bucket
+    "f9_file_distribution" -> { (s, dir) =>
+      graft.sources.Formats.fileDistribution(DerivedState.file(s, dir),
+        maxSize = 4194304L, step = 65536L)
+    },
     // S1 glob expansion (FileSystem.globStatus / TestGlobPaths):
     // wildcard, ?, brace alternation and a character class over the
     // derived namespace, all patterns in one walk
@@ -392,6 +398,18 @@ object StateQueries {
         |    AND regexp_matches(f1.name, '^n_2$')
         |    AND regexp_matches(f2.name, '^c_1[0-9]3$')
         |) u ORDER BY pattern, path""".stripMargin),
+    "f9_file_distribution" -> O(
+      """WITH b AS (
+        |  SELECT CASE WHEN length > 4194304 THEN 64
+        |         ELSE CAST(CEIL(CAST(length AS DOUBLE) / 65536) AS BIGINT)
+        |         END AS bucket
+        |  FROM file WHERE version > 0 AND length >= 0),
+        |g AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket)
+        |SELECT CAST(gs.i * 65536 AS BIGINT) AS size,
+        |       COALESCE(g.n, 0) AS numFiles
+        |FROM (SELECT unnest(range(0, 65)) AS i) gs
+        |LEFT JOIN g ON g.bucket = gs.i
+        |ORDER BY size""".stripMargin),
     "s2_paths" -> O(
       """SELECT id, path, length FROM (
         |  SELECT id, '' AS path, length FROM file WHERE id = 0 AND version > 0

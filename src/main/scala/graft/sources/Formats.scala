@@ -557,6 +557,35 @@ object Formats {
     finally mi.close()
   }
 
+  /** F11 oiv FileDistribution visitor (offlineImageViewer/
+    * FileDistributionVisitor.java:83-137): file-size histogram over the
+    * live namespace. The [0, maxSize] range splits into step-sized
+    * segments; a file of size s lands in bucket ceil(s/step) (bucket 0
+    * holds exactly the empty files), anything beyond maxSize in the
+    * last bucket. Every bucket row is emitted, zeros included, as
+    * (size = bucketIdx × step, numFiles) — the visitor's two-column
+    * output. Directories are excluded, matching the visitor's
+    * numBlocks<0 skip. One groupBy over the file table joined to a
+    * generated bucket spine — namespace-scale-safe. */
+  def fileDistribution(file: DataFrame, maxSize: Long = 0x2000000000L,
+                       step: Long = 0x200000L): DataFrame = {
+    require(step > 0 && maxSize >= step, s"need 0 < step <= maxSize")
+    val nBuckets = (maxSize / step) + 1L
+    require(nBuckets < Int.MaxValue, s"too many distribution intervals $nBuckets")
+    val spark = file.sparkSession
+    val bucketed = file.filter(col("version") > 0 && col("length") >= 0L)
+      .select(
+        when(col("length") > maxSize, lit(nBuckets - 1L))
+          .otherwise(ceil(col("length").cast("double") / lit(step)).cast("long"))
+          .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("numFiles"))
+    spark.range(nBuckets).select(col("id").as("bucket"))
+      .join(bucketed, Seq("bucket"), "left")
+      .select((col("bucket") * step).as("size"),
+        coalesce(col("numFiles"), lit(0L)).as("numFiles"))
+      .orderBy(col("size"))
+  }
+
   /** F11: offlineImageViewer analog — export the whole live namespace
     * (id, path, attrs) as json or csv. */
   def exportNamespace(file: DataFrame, path: String, format: String = "json"): Unit = {
