@@ -620,6 +620,19 @@ object Dataflows {
         col("openForWrite"))
   }
 
+  /** Normalize a user path scope: strip ALL trailing slashes (stored
+    * paths carry none — "/n_7//" must scope like "/n_7", never silently
+    * match nothing), keeping "/" for the root. */
+  private def normScope(p: String): String = {
+    val t = p.replaceAll("/+$", "")
+    if (t.isEmpty) "/" else t
+  }
+
+  private def scopeFilter(pathCol: org.apache.spark.sql.Column,
+                          prefix: String): org.apache.spark.sql.Column =
+    if (prefix == "/") lit(true)
+    else pathCol === prefix || pathCol.startsWith(prefix + "/")
+
   /** N11 `-blocks/-locations/-racks` detail (NamenodeFsck.java:99-103
     * option flags; per-block report loop :254-312): one row per block of
     * every checked (closed, live) file whose path starts with
@@ -640,13 +653,8 @@ object Dataflows {
     val clusterRacks = liveN.select(col("__rack")).distinct().count()
     val paths = StateManager.materializePaths(file)
       .select(col("id").as("__pid"), col("path"))
-    // stored paths carry no trailing slash — a user's "/n_7/" must scope
-    // like "/n_7", not silently match nothing
-    val prefix =
-      if (pathPrefix.length > 1) pathPrefix.stripSuffix("/") else pathPrefix
-    val prefixOk =
-      if (prefix == "/") lit(true)
-      else col("path") === prefix || col("path").startsWith(prefix + "/")
+    val prefix = normScope(pathPrefix)
+    val prefixOk = scopeFilter(col("path"), prefix)
     val files0 = live(file)
       .filter(col("length") =!= -1L && col("leaseHolder").isNull)
       .join(paths, col("id") === col("__pid"))
@@ -709,10 +717,13 @@ object Dataflows {
     * determinism, not numeric order). Request-batch-bounded like
     * moveToTrash: the corrupt set is a findings-sized frame. */
   def fsckMove(file: DataFrame, block: DataFrame, datanode: DataFrame,
-               nowMs: Long, idBase: Long): DataFrame = {
-    // findings-sized frame; pinned because it feeds four branches below
+               nowMs: Long, idBase: Long, pathPrefix: String = "/"): DataFrame = {
+    // findings-sized frame; pinned because it feeds four branches below.
+    // The reference's fsck walks only the requested subtree, so a scoped
+    // -move must never rescue (write!) outside it.
     val corrupt = fsckFiles(file, block, datanode, nowMs)
-      .filter(col("missingBlocks") > 0)
+      .filter(col("missingBlocks") > 0 &&
+        scopeFilter(col("path"), normScope(pathPrefix)))
       .select(col("fileId").as("__cfid"), col("path").as("__cpath"))
       .localCheckpoint()
     val paths = StateManager.materializePaths(file)
@@ -848,9 +859,10 @@ object Dataflows {
     * block row, touch the parent dir. Same write-set schema as
     * fsckMove minus the lost+found machinery. */
   def fsckDelete(file: DataFrame, block: DataFrame, datanode: DataFrame,
-                 nowMs: Long): DataFrame = {
+                 nowMs: Long, pathPrefix: String = "/"): DataFrame = {
     val corrupt = fsckFiles(file, block, datanode, nowMs)
-      .filter(col("missingBlocks") > 0)
+      .filter(col("missingBlocks") > 0 &&
+        scopeFilter(col("path"), normScope(pathPrefix)))
       .select(col("fileId").as("__cfid")).localCheckpoint()
     val f = live(file).select(col("id").as("__lid"),
       col("parentId").as("__lpar"), col("name").as("__lname"),
@@ -890,6 +902,22 @@ object Dataflows {
       count(lit(1)).as("totalBlocks"),
       count(when(col("replicas") >= minReplication, 1)).as("safeBlocks"))
   }
+
+  /** dfsadmin -safemode get: the ratio against the reference's
+    * TRUNCATED threshold — blockThreshold = (int)(total × pct), in safe
+    * mode while safe < threshold (SafeModeInfo.needEnter) — so an empty
+    * namespace (threshold 0) is OUT of safe mode, and 99 safe of 100 at
+    * pct .999 (threshold 99) is too. */
+  def safeModeStatus(block: DataFrame, minReplication: Int,
+                     thresholdPct: Double): DataFrame =
+    safeModeRatio(block, minReplication)
+      .select(col("totalBlocks"), col("safeBlocks"),
+        (col("safeBlocks").cast("double") /
+          greatest(col("totalBlocks"), lit(1L))).as("ratio"),
+        lit(thresholdPct).as("threshold"),
+        (col("safeBlocks") <
+          floor(col("totalBlocks") * lit(thresholdPct)).cast("long"))
+          .as("inSafeMode"))
 
   // ---- N15: du / count / ContentSummary (ContentSummary.java:27-110) ---
 

@@ -304,19 +304,9 @@ object Shell {
         // 3700): blocks at minimal replication vs total against the
         // threshold; enter/leave are process state in the reference —
         // here the frame IS the state, so get reports it
-        val thr = spark.conf
-          .get("graft.dfs.safemode.threshold.pct", "0.999").toDouble
-        // the reference truncates: blockThreshold = (int)(total * pct)
-        // and stays in safe mode while safe < threshold — so an empty
-        // namespace (threshold 0) is OUT of safe mode, and 99/100 at
-        // pct .999 (threshold 99) is too
-        Dataflows.safeModeRatio(block, minReplication = 1)
-          .select(col("totalBlocks"), col("safeBlocks"),
-            (col("safeBlocks").cast("double") /
-              greatest(col("totalBlocks"), lit(1L))).as("ratio"),
-            lit(thr).as("threshold"))
-          .withColumn("inSafeMode",
-            col("safeBlocks") < floor(col("totalBlocks") * lit(thr)).cast("long"))
+        Dataflows.safeModeStatus(block, minReplication = 1,
+          thresholdPct = spark.conf
+            .get("graft.dfs.safemode.threshold.pct", "0.999").toDouble)
       case "refreshNodes" =>
         // dfsadmin -refreshNodes (FSNamesystem.java:3444-3470): re-read
         // dfs.hosts / dfs.hosts.exclude and reconcile every datanode —
@@ -505,22 +495,24 @@ object Shell {
         // per-file findings, -move rescues corrupt files to /lost+found
         // (a write-set here), -delete removes them; default = the
         // aggregate Result row
+        // the reference's fsck is path-scoped: the first non-flag arg
+        // bounds every surface, including the -move/-delete write-sets
+        val scope = args.find(!_.startsWith("-")).getOrElse("/")
         if (args.contains("-move")) {
           // action flags take precedence: the reference runs the rescue
           // alongside any print flags, and of the two surfaces only the
           // write-set has effects — never silently drop it
           val idBase = file.agg(coalesce(max(col("id")), lit(0L)))
             .collect()(0).getLong(0)
-          Dataflows.fsckMove(file, block, datanode, Now, idBase)
+          Dataflows.fsckMove(file, block, datanode, Now, idBase,
+              pathPrefix = scope)
             .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
         } else if (args.contains("-delete"))
-          Dataflows.fsckDelete(file, block, datanode, Now)
+          Dataflows.fsckDelete(file, block, datanode, Now, pathPrefix = scope)
             .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
         else if (args.exists(Set("-blocks", "-locations", "-racks"))) {
           // -blocks per-block detail; -locations adds holders, -racks
-          // their racks (NamenodeFsck.java:139-141) — path-scoped: the
-          // first non-flag arg is the subtree, default /
-          val scope = args.find(!_.startsWith("-")).getOrElse("/")
+          // their racks (NamenodeFsck.java:139-141)
           val detail = Dataflows.fsckBlocks(file, block, datanode, Now,
             pathPrefix = scope)
           val drop =

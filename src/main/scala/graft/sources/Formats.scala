@@ -573,10 +573,18 @@ object Formats {
     val nBuckets = (maxSize / step) + 1L
     require(nBuckets < Int.MaxValue, s"too many distribution intervals $nBuckets")
     val spark = file.sparkSession
-    val bucketed = file.filter(col("version") > 0 && col("length") >= 0L)
+    // least() clamps the final PARTIAL bucket when maxSize is not a
+    // step multiple: ceil(s/step) can reach nBuckets for s in
+    // (floor(maxSize/step)*step, maxSize] — the reference would index
+    // past its array there; clamping keeps those files counted in the
+    // last bucket instead of dropped by the spine join
+    val bucketed = graft.store.StateStore.live(file)
+      .filter(col("length") >= 0L)
       .select(
         when(col("length") > maxSize, lit(nBuckets - 1L))
-          .otherwise(ceil(col("length").cast("double") / lit(step)).cast("long"))
+          .otherwise(least(
+            ceil(col("length").cast("double") / lit(step)).cast("long"),
+            lit(nBuckets - 1L)))
           .as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("numFiles"))
     spark.range(nBuckets).select(col("id").as("bucket"))

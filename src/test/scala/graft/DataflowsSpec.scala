@@ -32,6 +32,26 @@ class DataflowsSpec extends SparkSpec {
     (11L, 299L, 10L, 1L),  // never stored -> toAdd
   ).toDF("datanodeId", "blockId", "repLength", "repGenStamp")
 
+  test("N14: safe-mode status uses the reference's truncated threshold") {
+    // (blockId, replica holders): safe ⇔ holders ≥ minReplication (2)
+    def blks(pairs: Seq[(Long, Seq[Long])]): DataFrame =
+      pairs.flatMap { case (b, dns) => dns.map(d => (b, d, 40L, 1L, 3L, 1L, b)) }
+        .toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+          "fileIndex", "version")
+    def inSafe(b: DataFrame): Boolean = Dataflows
+      .safeModeStatus(b, minReplication = 2, thresholdPct = 0.999)
+      .collect().head.getAs[Boolean]("inSafeMode")
+    // 99 safe of 100: threshold (int)(100 × .999) = 99; 99 >= 99 → OUT
+    val b99 = blks((1L to 99L).map(i => (i, Seq(1L, 2L))) :+ (100L -> Seq(1L)))
+    assert(!inSafe(b99))
+    // 98 safe of 100: 98 < 99 → IN safe mode
+    val b98 = blks((1L to 98L).map(i => (i, Seq(1L, 2L))) ++
+      Seq(99L -> Seq(1L), 100L -> Seq(2L)))
+    assert(inSafe(b98))
+    // an empty namespace: threshold 0 → OUT of safe mode
+    assert(!inSafe(b99.filter(col("id") > 999L)))
+  }
+
   test("N5: blockReport classification matrix") {
     val out = rows(Dataflows.reconcileReports(block, reported)
       .filter(col("datanodeId") === 11L)

@@ -217,6 +217,20 @@ class FormatsSpec extends SparkSpec {
     assert(Formats.tfileGet(spark, s"$base/tf", "nope").count() == 0)
   }
 
+  test("F11: fileDistribution buckets — empty, partial-final, overflow") {
+    val file = Seq(
+      (1L, 0L, 1L),    // empty file → bucket 0
+      (2L, 10L, 2L),   // → ceil(10/30)=1
+      (3L, 95L, 3L),   // partial final bucket: ceil(95/30)=4 clamps to 3
+      (4L, 500L, 4L),  // > maxSize → last bucket
+      (5L, -1L, 5L),   // dir, excluded
+      (6L, 60L, -6L),  // tombstone, excluded
+    ).toDF("id", "length", "version")
+    val out = rows(Formats.fileDistribution(file, maxSize = 100L, step = 30L))
+    assert(out == Seq(Seq(0L, 1L), Seq(30L, 1L), Seq(60L, 0L), Seq(90L, 2L)))
+    assert(out.map(_(1).asInstanceOf[Long]).sum == 4L, "no file dropped")
+  }
+
   test("F1: Sorter.merge — k-way merge of sorted runs keeps duplicates") {
     val base = graft.core.Caching.scratchDir("seqmerge").toString
     val runA = Seq(("a", "1"), ("c", "3"), ("e", "5")).toDF("key", "value")

@@ -236,11 +236,12 @@ class ShellSpec extends SparkSpec {
     // still produce the rescue write-set, never silently drop it
     val combo = Shell.run(spark, sf, "fsck", Seq("-move", "-blocks"))
     assert(combo.columns.contains("writeOp"))
-    // safemode uses the reference's truncated threshold: a fully safe
-    // namespace is OUT of safe mode
+    // safemode verb surfaces exactly Dataflows.safeModeStatus (whose
+    // truncated-threshold semantics DataflowsSpec pins directly)
     val sm = Shell.run(spark, sf, "safemode").collect().head
-    if (sm.getAs[Long]("safeBlocks") == sm.getAs[Long]("totalBlocks"))
-      assert(!sm.getAs[Boolean]("inSafeMode"))
+    val expect = graft.analytics.Dataflows
+      .safeModeStatus(spark.table("block"), 1, 0.999).collect().head
+    assert(sm == expect)
   }
 
   test("put writes the namenode-side block chain from a real local file; get reads the manifest") {
