@@ -62,6 +62,13 @@ object Balancer {
     datanode.filter(col("version") > 0)
       .filter(col("lastUpdated") >= nowMs - StateManager.HeartbeatExpiryMs)
       .filter(col("adminState") === "NORMAL")
+      // capacity 0 (fresh registration, all volumes failed): the
+      // reference's IEEE arithmetic turns it into a NaN utilization that
+      // silently poisons the schedule; under Spark's default ANSI mode
+      // the division would throw DIVIDE_BY_ZERO instead. A node with no
+      // capacity can neither donate a meaningful utilization nor receive
+      // bytes — exclude it up front.
+      .filter(col("capacity") > 0L)
 
   /** Full-precision classification: per live NORMAL node, its utilization,
     * class and byte quota. Kept private because the double-valued columns
@@ -243,8 +250,12 @@ object Balancer {
       // locs, matching the reference's unknown-datanode filter in
       // getBlockList ("datanode != null"). A left join would carry a null
       // rack into exists(), whose three-valued logic silently turns the
-      // rack-safety filter into NULL and drops good candidates.
-      .join(rack, col("holderId") === col("__nid"))
+      // rack-safety filter into NULL and drops good candidates. Broadcast:
+      // the exploded replica frame is the widest in the plan and the rack
+      // dimension is node-count-bounded — without the hint Spark's size
+      // estimate over this derived frame can pick a sort-merge that
+      // shuffles the whole melt.
+      .join(broadcast(rack), col("holderId") === col("__nid"))
       .groupBy(col("blockId"), col("blockLength"))
       .agg(collect_set(struct(col("holderId"), col("__rack"))).as("locs"))
     val p = pairsDf

@@ -96,32 +96,52 @@ object Dedup {
     * Models Better"): every k-token window that occurs more than once
     * ANYWHERE in the corpus (another doc or the same doc) is duplicated
     * material; returns, per doc, the maximal UNIONS of overlapping/
-    * adjacent duplicated k-windows as 0-based token ranges (idCol,
-    * spanStart, spanEnd, spanTokens). Every k-window inside a reported
-    * span is duplicated somewhere; the span AS A WHOLE need not occur
-    * contiguously elsewhere (two abutting runs duplicated in different
-    * sources merge — the union is what a cut pass removes anyway).
+    * abutting duplicated k-windows as 0-based token ranges (idCol,
+    * spanStart, spanEnd, spanTokens) — every token of a reported span
+    * lies inside SOME duplicated window (so Σ spanTokens counts each
+    * duplicated token once), though an interior k-window of the span
+    * need not itself be duplicated, and the span AS A WHOLE need not
+    * occur contiguously elsewhere (runs duplicated in different sources
+    * merge — the union is what a cut pass removes anyway).
     *
     * Spark-first reformulation of the suffix array: a duplicated run of
     * length >= k appears as a chain of adjacent duplicated k-grams. So
     * (1) hash every k-gram with its position map-side (the
     * zip_with chain — no shuffle), (2) ONE corpus-wide group-by finds
     * grams with occurrence count > 1 (map-side combined), (3) the
-    * duplicated positions join back and adjacent positions merge into
-    * islands (pos − row_number over a PER-DOC window — bounded by doc
-    * length, never a global sort). Nothing is quadratic: no pair join,
+    * duplicated positions join back and overlapping/abutting windows
+    * merge into islands ([[mergeIslands]]: a lag + running-sum PER-DOC
+    * window — bounded by doc length, never a global sort). Nothing is
+    * quadratic: no pair join,
     * no suffix sort. Gram identity is sha-256 per the class contract —
     * spans get CUT from training data, so a constructible collision
     * (xxhash64) would let adversarial content mark arbitrary spans. */
+  /** Merge duplicated k-gram start positions (rows carrying idCol, pos)
+    * into maximal spans: windows [p1, p1+k−1] and [p2, p2+k−1] (p1 < p2)
+    * merge when they overlap or abut — p2 − p1 ≤ k — so every span is a
+    * maximal UNION of duplicated windows and Σ spanTokens counts each
+    * duplicated token exactly once. (A consecutive-positions-only rule
+    * would emit mutually OVERLAPPING spans whenever duplicated grams sit
+    * 2..k−1 apart — double-counting the overlap.) The shared single
+    * home for duplicateSpans and incrementalSpansAgainst, whose merge
+    * must not drift. One per-doc window (lag + running flag sum),
+    * bounded by doc length — never a global sort. */
+  private def mergeIslands(marked: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("__newIsland",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("__island", sum(col("__newIsland"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8): DataFrame = {
     require(k >= 2, s"span gram width must be >= 2, got $k")
     val posGrams = posGramRows(df, idCol, textCol, k)
     val dupGrams = posGrams.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select(col("__gh"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    posGrams.join(dupGrams, Seq("__gh"))
-      .withColumn("__island", col("pos") - row_number().over(w))
+    mergeIslands(posGrams.join(dupGrams, Seq("__gh")), idCol, k)
       .groupBy(col(idCol), col("__island"))
       .agg(min(col("pos")).as("spanStart"),
         (max(col("pos")) + lit(k - 1).cast("long")).as("spanEnd"))
@@ -168,9 +188,7 @@ object Dedup {
       .select(col(idCol), col("pos"), col("__bn"),
         coalesce(col("__exMark"), lit(false)).as("__ex"))
       .filter(col("__bn") > 1 || col("__ex"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    marked
-      .withColumn("__island", col("pos") - row_number().over(w))
+    mergeIslands(marked, idCol, k)
       .groupBy(col(idCol), col("__island"))
       .agg(min(col("pos")).as("spanStart"),
         (max(col("pos")) + lit(k - 1).cast("long")).as("spanEnd"),
@@ -467,12 +485,18 @@ object Dedup {
     * makes arithmetic vs logical shift irrelevant, so Spark and the
     * DuckDB oracle agree on the signed packed value. */
   def simhashNearDups64(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     val sig = simhash64(df, idCol, textCol)
     val bandArr = array((0 until 4).map(t =>
       shiftright(col("simhash"), 16 * t).bitwiseAND(lit(65535L))): _*)
-    val melted = sig.select(col(idCol),
-      posexplode(bandArr).as(Seq("bandIdx", "bandVal")), col("simhash"))
+    // skew valve, same as lshCandidates: every empty/whitespace-only doc
+    // hashes to simhash 0, so one band bucket can go quadratic in the
+    // self-join below — capBuckets drops buckets past maxBucket (a
+    // degenerate bucket means the band carries no discriminating signal)
+    val melted = capBuckets(sig.select(col(idCol),
+      posexplode(bandArr).as(Seq("bandIdx", "bandVal")), col("simhash")),
+      Seq("bandIdx", "bandVal"), maxBucket)
     val left = melted.select(col(idCol).as("id1"), col("bandIdx"),
       col("bandVal"), col("simhash").as("s1"))
     val right = melted.select(col(idCol).as("id2"), col("bandIdx"),
@@ -493,14 +517,17 @@ object Dedup {
     * 64-bit hash with 16-bit bands — since 16-bit simhash collides
     * massively past a few hundred docs. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val sig = simhash16(df, idCol, textCol)
     // one posexplode pass melts the 4 bands; the self-join sides shuffle
     // the same subtree on (bandIdx, bandVal) so ReuseExchange computes the
-    // simhash aggregation once — no cache needed (lazy plan)
+    // simhash aggregation once — no cache needed (lazy plan).
+    // capBuckets is the same degenerate-bucket valve lshCandidates has.
     val bandArr = array((0 until 4).map(b => shiftright(col("simhash"), 4 * b) % 16): _*)
-    val melted = sig.select(col(idCol),
-      posexplode(bandArr).as(Seq("bandIdx", "bandVal")), col("simhash"))
+    val melted = capBuckets(sig.select(col(idCol),
+      posexplode(bandArr).as(Seq("bandIdx", "bandVal")), col("simhash")),
+      Seq("bandIdx", "bandVal"), maxBucket)
     val left = melted.select(col(idCol).as("id1"), col("bandIdx"),
       col("bandVal"), col("simhash").as("s1"))
     val right = melted.select(col(idCol).as("id2"), col("bandIdx"),
@@ -668,6 +695,11 @@ object Dedup {
       .persist()
     var labels = edges.select(col("id")).distinct()
       .withColumn("label", col("id")).persist()
+    // any action below can fail mid-iteration (executor loss, cancel);
+    // without this, edges and the current labels frame stay pinned past
+    // the failure — the orphan-per-failure hazard the Caching contract
+    // exists to prevent
+    try {
     labels.count()
     var converged = false
     var round = 0
@@ -700,17 +732,19 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
-    if (!converged) {
-      edges.unpersist(blocking = false)
-      labels.unpersist(blocking = false)
+    if (!converged)
       throw new IllegalStateException(
         s"dupClusters did not converge within $maxRounds rounds - the pair " +
         "graph has a path longer than maxRounds. Raise maxRounds, or for " +
         "adversarial long-chain graphs use a large-star/small-star variant " +
         "(labels would be silently wrong if returned here).")
-    }
     val out = labels.select(col("id"), col("label").as("clusterId"))
     graft.core.Caching.materializeAndRelease(out, Seq(edges, labels))
+    } catch { case e: Throwable =>
+      edges.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      throw e
+    }
   }
 
   /** Exact word-3-gram Jaccard for candidate pairs (id1, id2): distinct
@@ -728,13 +762,23 @@ object Dedup {
     val b = sh.select(col("did").as("id2"), col("shingle"))
     val interCnt = candidates.join(a, Seq("id1")).join(b, Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    // LEFT joins to sizes: a candidate doc with fewer tokens than the
+    // shingle width has NO shingle rows — an inner join would silently
+    // drop the pair from a stage whose contract is "score every
+    // candidate". Such pairs come out with jaccard NULL (no shingle
+    // signal either way), never dropped and never guessed.
     val out = candidates
       .join(interCnt, Seq("id1", "id2"), "left")
-      .join(sizes.withColumnRenamed("did", "id1").withColumnRenamed("sz", "szA"), Seq("id1"))
-      .join(sizes.withColumnRenamed("did", "id2").withColumnRenamed("sz", "szB"), Seq("id2"))
+      .join(sizes.withColumnRenamed("did", "id1").withColumnRenamed("sz", "szA"),
+        Seq("id1"), "left")
+      .join(sizes.withColumnRenamed("did", "id2").withColumnRenamed("sz", "szB"),
+        Seq("id2"), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("szA", coalesce(col("szA"), lit(0L)))
+      .withColumn("szB", coalesce(col("szB"), lit(0L)))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("szA") + col("szB") - col("inter")))
+        when(col("szA") + col("szB") - col("inter") > 0L,
+          col("inter").cast("double") / (col("szA") + col("szB") - col("inter"))))
     out
   }
 }

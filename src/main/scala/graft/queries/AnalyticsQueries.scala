@@ -946,7 +946,7 @@ object AnalyticsQueries {
     s"""bl_live AS (
       |  SELECT id, location, capacity, dfsUsed, remaining FROM datanode
       |  WHERE version > 0 AND lastUpdated >= $Now - 600000
-      |    AND adminState = 'NORMAL'),
+      |    AND adminState = 'NORMAL' AND capacity > 0),
       |bl_avg AS (
       |  SELECT CAST(SUM(dfsUsed) AS DOUBLE) / SUM(capacity) * 100.0 AS avgU
       |  FROM bl_live),

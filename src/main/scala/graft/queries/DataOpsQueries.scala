@@ -1245,12 +1245,15 @@ object DataOpsQueries {
         |  JOIN dsh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
         |  GROUP BY c.id1, c.id2)
         |SELECT c.id1, c.id2,
-        |  CAST(COALESCE(i.i,0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(i.i,0)) AS jaccard
+        |  CAST(COALESCE(i.i,0) AS DOUBLE) /
+        |    (COALESCE(sa.sz,0) + COALESCE(sb.sz,0) - COALESCE(i.i,0)) AS jaccard
         |FROM cand c
         |LEFT JOIN icnt i ON i.id1 = c.id1 AND i.id2 = c.id2
-        |JOIN szs sa ON sa.doc_id = c.id1
-        |JOIN szs sb ON sb.doc_id = c.id2
-        |WHERE CAST(COALESCE(i.i,0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(i.i,0)) >= 0.5
+        |LEFT JOIN szs sa ON sa.doc_id = c.id1
+        |LEFT JOIN szs sb ON sb.doc_id = c.id2
+        |WHERE COALESCE(sa.sz,0) + COALESCE(sb.sz,0) - COALESCE(i.i,0) > 0
+        |  AND CAST(COALESCE(i.i,0) AS DOUBLE) /
+        |    (COALESCE(sa.sz,0) + COALESCE(sb.sz,0) - COALESCE(i.i,0)) >= 0.5
         |ORDER BY c.id1, c.id2""".stripMargin,
     "sim1_knn_brute" ->
       s"""WITH $NormsSql,
@@ -1696,10 +1699,15 @@ object DataOpsQueries {
     "d12_dup_spans" ->
       s"""WITH $SpanGramSql,
         |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
-        |isl AS (
+        |flg AS (
         |  SELECT g.doc_id, g.pos,
-        |    g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
-        |  FROM grams g JOIN dup USING (gram))
+        |    CASE WHEN g.pos - LAG(g.pos) OVER (PARTITION BY g.doc_id
+        |      ORDER BY g.pos) <= 8 THEN 0 ELSE 1 END AS ni
+        |  FROM grams g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flg)
         |SELECT doc_id, MIN(pos) AS spanStart, MAX(pos) + 7 AS spanEnd,
         |  MAX(pos) - MIN(pos) + 8 AS spanTokens
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, spanStart""".stripMargin,
@@ -1713,10 +1721,15 @@ object DataOpsQueries {
         |  FROM bg b JOIN cnt c USING (gram)
         |  LEFT JOIN exIdx e USING (gram)
         |  WHERE c.bn > 1 OR e.gram IS NOT NULL),
-        |isl AS (
+        |flg AS (
         |  SELECT doc_id, pos, ex,
-        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM marked)
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+        |      ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS ni
+        |  FROM marked),
+        |isl AS (
+        |  SELECT doc_id, pos, ex, SUM(ni) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flg)
         |SELECT doc_id, MIN(pos) AS spanStart, MAX(pos) + 7 AS spanEnd,
         |  MAX(pos) - MIN(pos) + 8 AS spanTokens, MAX(ex) AS vsExisting
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, spanStart""".stripMargin,

@@ -32,9 +32,12 @@ class BalancerSpec extends SparkSpec {
     dn(4L, 2500L, "/rackB"),
     dn(5L, 1500L, "/rackA"),
     dn(6L, 2000L, "/rackB"),
-    // excluded rows: decommissioning, and one dead (stale heartbeat)
+    // excluded rows: decommissioning, one dead (stale heartbeat), and a
+    // capacity-0 registration — its division would throw under ANSI mode
+    // and its NaN utilization would poison the schedule in IEEE mode
     (7L, 10000L, 9000L, 1000L, now, "/rackA", "DECOMMISSION_INPROGRESS", 7L),
     (8L, 10000L, 9000L, 1000L, now - 700000L, "/rackB", "NORMAL", 8L),
+    (9L, 0L, 0L, 0L, now, "/rackA", "NORMAL", 9L),
   ).toDF("id", "capacity", "dfsUsed", "remaining", "lastUpdated",
     "location", "adminState", "version")
 

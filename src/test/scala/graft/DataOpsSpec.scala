@@ -225,6 +225,19 @@ class DataOpsSpec extends SparkSpec {
       Seq(2L, 3L, 12L, 10L),
       Seq(4L, 0L, 7L, 8L),
       Seq(4L, 9L, 16L, 8L)))
+    // overlap case: doc 6's windows at pos 0 (dup of doc 7) and pos 2
+    // (dup of doc 8) — gap 2 < k — merge into ONE span over tokens 0..9;
+    // two overlapping spans would double-count tokens 2..7
+    val a = (1 to 10).map(i => s"a$i")
+    val out2 = rows(Dedup.duplicateSpans(Seq(
+        (6L, a.mkString(" ")),
+        (7L, a.take(8).mkString(" ")),
+        (8L, a.drop(2).mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy(col("doc_id"), col("spanStart")))
+    assert(out2 == Seq(
+      Seq(6L, 0L, 9L, 10L),
+      Seq(7L, 0L, 7L, 8L),
+      Seq(8L, 0L, 7L, 8L)))
   }
 
   test("incremental spans: batch classifies vs standing index, no corpus recompute") {
