@@ -104,4 +104,127 @@ object TextFunctions {
     val noPhone = regexp_replace(noEmail, PhonePattern, "<phone>")
     trim(regexp_replace(noPhone, "\\s+", " "))
   }
+
+  // ===== Page-structure filters (Gopher rules / C4 line filters) =====
+
+  /** Deterministic "page" derivation: the flat one-line synthetic docs
+    * re-assembled into a multi-line page so the line/punctuation-shape
+    * filters below have real structure to measure. Tokens are chunked
+    * into 12-word lines; line i gets a `- ` bullet prefix when
+    * (doc_id+i) % 17 = 2, an `...` ellipsis suffix when
+    * (doc_id+i) % 13 = 5, else a terminal `.` when i % 3 = 0; boilerplate
+    * marker lines (javascript / `{` / lorem ipsum) are appended on fixed
+    * doc_id residues. Pure array/string expressions — the DuckDB oracle
+    * reproduces the assembly byte-for-byte, and at corpus scale this is
+    * a narrow map stage like every other text operator here. */
+  def pageText(docId: Column, text: Column): Column = {
+    val w = tokens(text)
+    val nLines = greatest(ceil(size(w).cast("double") / lit(12.0)), lit(1L))
+    val lines = transform(sequence(lit(0L), nLines - lit(1L)), i => {
+      val body = concat_ws(" ", slice(w, (i * 12 + 1).cast("int"), lit(12)))
+      val pre = when((docId + i) % 17 === 2, lit("- ")).otherwise(lit(""))
+      val suf = when((docId + i) % 13 === 5, lit("..."))
+        .when(i % 3 === 0, lit(".")).otherwise(lit(""))
+      concat(pre, body, suf)
+    })
+    val extra = (m: Int, s: String) =>
+      when(docId % m === 0, array(lit(s))).otherwise(array().cast("array<string>"))
+    array_join(
+      concat(lines, extra(31, "enable javascript to continue"),
+        extra(41, "config { options }"),
+        extra(53, "lorem ipsum dolor sit amet.")),
+      "\n")
+  }
+
+  /** The Gopher quality-rule stopword list (Rae et al. 2021, App. A). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Whitespace words of a page (punctuation kept — mean-word-length and
+    * symbol ratios measure the raw words, per the published rules). */
+  def pageWords(page: Column): Column =
+    regexp_extract_all(page, lit("\\S+"), lit(0))
+
+  /** Gopher quality rules (Rae et al. 2021) over a (doc_id, page) frame:
+    * word-count band 50–100k, mean word length 3–10, symbol-to-word
+    * ratio (# and …) ≤ 0.1, bullet-line share ≤ 0.9, ellipsis-line share
+    * ≤ 0.3, alpha-word share ≥ 0.8, ≥ 2 distinct stopwords. Emits the
+    * features and the conjunction `keep` — all narrow column
+    * expressions, one map stage at any scale. */
+  def gopherRules(pages: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = pageWords(col("page"))
+    val lines = split(col("page"), "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val ellipsisCount =
+      (length(col("page")) - length(replace(col("page"), lit("...")))) / 3
+    val hashCount =
+      length(col("page")) - length(replace(col("page"), lit("#")))
+    val meanWordLen = when(nWords > 0,
+      aggregate(words, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / nWords).otherwise(lit(0.0))
+    val symbolRatio = when(nWords > 0,
+      (hashCount + ellipsisCount).cast("double") / nWords).otherwise(lit(0.0))
+    val bulletRatio = when(nLines > 0,
+      size(filter(lines, l => l.startsWith("- "))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val ellipsisLineRatio = when(nLines > 0,
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val alphaRatio = when(nWords > 0,
+      size(filter(words, x => x.rlike("[a-z]"))).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val stopHits = size(array_intersect(
+      array_distinct(tokens(col("page"))),
+      array(GopherStops.map(lit): _*))).cast("long")
+    pages
+      .withColumn("nWords", nWords)
+      .withColumn("meanWordLen", meanWordLen)
+      .withColumn("symbolRatio", symbolRatio)
+      .withColumn("bulletRatio", bulletRatio)
+      .withColumn("ellipsisLineRatio", ellipsisLineRatio)
+      .withColumn("alphaRatio", alphaRatio)
+      .withColumn("stopHits", stopHits)
+      .withColumn("keep",
+        col("nWords").between(50L, 100000L) &&
+        col("meanWordLen").between(3.0, 10.0) &&
+        col("symbolRatio") <= 0.1 &&
+        col("bulletRatio") <= 0.9 &&
+        col("ellipsisLineRatio") <= 0.3 &&
+        col("alphaRatio") >= 0.8 &&
+        col("stopHits") >= 2L)
+      .select(col("doc_id"), col("nWords"), col("meanWordLen"),
+        col("symbolRatio"), col("bulletRatio"), col("ellipsisLineRatio"),
+        col("alphaRatio"), col("stopHits"), col("keep"))
+  }
+
+  /** C4 line/page filters (Raffel et al. 2020) over a (doc_id, page)
+    * frame: keep lines ending in terminal punctuation (`.` `!` `?` `"`)
+    * with ≥ 5 words and no "javascript"; drop whole pages containing
+    * `{` or "lorem ipsum". Emits the cleaned text itself plus line
+    * counts and the drop reason. */
+  def c4Filters(pages: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lines = split(col("page"), "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+      size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= 5 &&
+      !l.contains("javascript"))
+    val pageDrop = col("page").contains("{") ||
+      col("page").contains("lorem ipsum")
+    pages
+      .withColumn("nLines", size(lines).cast("long"))
+      .withColumn("pageDrop", pageDrop)
+      .withColumn("dropReason",
+        when(col("page").contains("{"), lit("brace"))
+          .when(col("page").contains("lorem ipsum"), lit("lorem"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("nKept",
+        when(col("pageDrop"), lit(0L)).otherwise(size(kept).cast("long")))
+      .withColumn("cleanText",
+        when(col("pageDrop"), lit("")).otherwise(array_join(kept, "\n")))
+      .select(col("doc_id"), col("nLines"), col("nKept"), col("pageDrop"),
+        col("dropReason"), col("cleanText"),
+        length(col("cleanText")).cast("long").as("keptChars"))
+  }
 }

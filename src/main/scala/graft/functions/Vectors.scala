@@ -331,6 +331,43 @@ object Vectors {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): Lloyd a
+    * coarse k-means over the embeddings, then prune WITHIN each cluster —
+    * a vector is dropped when any smaller-id vector in its cell sits at
+    * cosine ≥ `minCosine` (earlier-id-wins, the same deterministic keep
+    * rule the exact/LSH dedup family uses; `dupOf` is the smallest such
+    * id). Returns one row per vector: (vec_id, cellId, keep, dupOf).
+    *
+    * Scale shape: the pair candidates are CELL-LOCAL — the all-pairs
+    * O(n²) never materializes, and sizing nCells ≈ n / targetCellSize
+    * bounds the quadratic term per cell exactly like the paper's
+    * pre-clustering does. Both sides of the self-join shuffle the SAME
+    * celled subtree (shuffle_hash, so ReuseExchange assigns cells once);
+    * at cluster scale, write the celled table bucketed by cellId and the
+    * join is co-partitioned. Training cost is [[kmeansCentroids]]' —
+    * one linear corpus pass per round against a broadcast centroid
+    * frame. */
+  def semDedup(emb: DataFrame, nCells: Int, iters: Int,
+               minCosine: Double): DataFrame = {
+    val cent =
+      if (iters > 0) kmeansCentroids(emb, nCells, iters)
+      else seedCentroids(emb, nCells)
+    val celled = withIvfCell(emb, cent)
+      .withColumn("nrm", norm(col("embedding")))
+    val a = celled.select(col("cellId"), col("vec_id").as("aId"),
+      col("embedding").as("av"), col("nrm").as("an"))
+    val b = celled.select(col("cellId"), col("vec_id").as("bId"),
+      col("embedding").as("bv"), col("nrm").as("bn"))
+    val dups = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("cellId"))
+      .filter(col("aId") < col("bId"))
+      .withColumn("cosine", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("bId")).agg(min(col("aId")).as("dupOf"))
+    celled.join(dups, col("vec_id") === col("bId"), "left")
+      .select(col("vec_id"), col("cellId"),
+        col("dupOf").isNull.as("keep"), col("dupOf"))
+  }
+
   // ---- Product quantization (PQ) --------------------------------------
 
   /** Fixed-point squared-L2 distance between two vector columns (BIGINT,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{Dedup, Shuffles, TextFunctions, Vectors}
+import graft.functions.{Dedup, Events, Shuffles, TextFunctions, Vectors}
 import graft.model.DerivedState
 
 /** queries()+oracleSql() for the training-data-pipeline operators:
@@ -48,6 +48,28 @@ object DataOpsQueries {
       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
       |         array_to_string(w[i:i+7], ' ') AS gram
       |  FROM posed)""".stripMargin
+
+  /** Oracle twin of [[graft.functions.TextFunctions.pageText]] — the
+    * deterministic page assembly (12-word lines, bullet/ellipsis/period
+    * decorations, boilerplate marker lines) reproduced byte-for-byte. */
+  private val PageSql: String =
+    """pages AS (
+      |  SELECT doc_id,
+      |    array_to_string(
+      |      [CASE WHEN (doc_id + i) % 17 = 2 THEN '- ' ELSE '' END ||
+      |       array_to_string(w[i*12+1 : i*12+12], ' ') ||
+      |       CASE WHEN (doc_id + i) % 13 = 5 THEN '...'
+      |            WHEN i % 3 = 0 THEN '.' ELSE '' END
+      |       FOR i IN range(0, GREATEST(CAST(ceil(len(w) / 12.0) AS BIGINT), 1))] ||
+      |      (CASE WHEN doc_id % 31 = 0 THEN ['enable javascript to continue']
+      |          ELSE CAST([] AS VARCHAR[]) END) ||
+      |      (CASE WHEN doc_id % 41 = 0 THEN ['config { options }']
+      |          ELSE CAST([] AS VARCHAR[]) END) ||
+      |      (CASE WHEN doc_id % 53 = 0 THEN ['lorem ipsum dolor sit amet.']
+      |          ELSE CAST([] AS VARCHAR[]) END),
+      |      chr(10)) AS page
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |        FROM documents) t)""".stripMargin
 
   /** Shared oracle CTEs for minhash signatures + bands over the corpus. */
   private val MinhashSql =
@@ -1106,6 +1128,80 @@ object DataOpsQueries {
           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("lang"))
     },
+    // CCNet-style rarity scoring: per-doc mean unigram surprisal under
+    // the corpus's own unigram model, in INTEGER-EXACT floor-log2 bits
+    // (floorLog2(n) = len(binary(n)) − 1 — no libm log, so both engines
+    // agree bit-for-bit; the real CCNet uses a KenLM model the same
+    // pipeline shape would serve). df is vocabulary-bounded → broadcast;
+    // the doc-keyed aggregate is the only corpus-sized shuffle
+    "t17_surprisal" -> { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      val df = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val totals = df.agg(sum(col("cnt")).as("N"))
+      tok.join(broadcast(df), Seq("w"))
+        .crossJoin(broadcast(totals))
+        .withColumn("b", (length(bin(col("N"))) - length(bin(col("cnt")))).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nTok"), sum(col("b")).as("bits"))
+        .withColumn("meanBits", col("bits").cast("double") / col("nTok"))
+        .orderBy(col("doc_id"))
+    },
+    // SemDeDup: coarse k-means over the embeddings, then earlier-id-wins
+    // cosine pruning WITHIN each cell — the published semantic-dedup
+    // recipe whose pair candidates stay cluster-local (never all-pairs)
+    "d15_semdedup" -> { (s, dir) =>
+      Vectors.semDedup(Tables.embeddings(s, dir), nCells = 8, iters = 2,
+          minCosine = 0.2)
+        .orderBy(col("vec_id"))
+    },
+    // Gopher quality rules (Rae et al. 2021) over the derived page
+    // corpus: word-count band, mean word length, symbol-to-word ratio,
+    // bullet/ellipsis line shares, alpha-word share, stopword presence —
+    // all narrow column expressions, one map stage at any scale
+    "t15_gopher_rules" -> { (s, dir) =>
+      TextFunctions.gopherRules(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextFunctions.pageText(col("doc_id"), col("text")).as("page")))
+        .orderBy(col("doc_id"))
+    },
+    // C4 line/page filters (Raffel et al. 2020) over the same page
+    // corpus: keep lines ending in terminal punctuation with ≥ 5 words
+    // and no "javascript"; drop whole pages containing "{" or
+    // "lorem ipsum". Emits the cleaned text itself (byte-compared
+    // against the oracle's assembly)
+    "t16_c4_filters" -> { (s, dir) =>
+      TextFunctions.c4Filters(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextFunctions.pageText(col("doc_id"), col("text")).as("page")))
+        .orderBy(col("doc_id"))
+    },
+    // ordered 4-step funnel (signup → view → click → purchase) with a
+    // 24 h conversion window: step k's timestamp is the first event of
+    // its type strictly after step k-1 and within the window of it
+    // (standard funnel attribution). ONE groupBy(user) with per-step
+    // conditional sorted collects, then pure array expressions pick the
+    // chain: a single shuffle on user_id, no self-joins, no per-step
+    // passes. Per-user arrays are bounded by that user's per-type event
+    // count (the usual funnel-operator contract); at 100 TB the stage
+    // stays a hash aggregate over the user key.
+    "e5_funnel" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Events.funnel(s.table("events"),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+    // cohort day-N retention: cohort = day of first activity; one row per
+    // (cohortDay, dayOffset) with the distinct active users and the
+    // retention ratio. The (user, day) distinct and the first-day
+    // aggregate shuffle on the same user key (exchange reuse); the final
+    // aggregate is cohortDay × offset — a calendar-bounded dimension —
+    // and the cohort-size side of the ratio join is broadcast.
+    "e6_retention" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Events.retention(s.table("events"))
+        .orderBy(col("cohortDay"), col("dayOffset"))
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -1851,5 +1947,155 @@ object DataOpsQueries {
         |  CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS keptTokens,
         |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "t17_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |df AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS N FROM df),
+        |b AS (
+        |  SELECT t.doc_id,
+        |    CAST(length(format('{:b}', tot.N)) - length(format('{:b}', d.cnt)) AS BIGINT) AS bits1
+        |  FROM tok t JOIN df d USING (w) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS nTok, CAST(SUM(bits1) AS BIGINT) AS bits
+        |  FROM b GROUP BY doc_id)
+        |SELECT doc_id, nTok, bits,
+        |  CAST(bits AS DOUBLE) / nTok AS meanBits
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // the ivfSql chain replays the same 2-round Lloyd training and cell
+    // assignment; within-cell pairs + the earlier-id-wins drop rule on top
+    "d15_semdedup" ->
+      s"""WITH $NormsSql,
+        |${ivfSql(2)},
+        |sdCand AS (
+        |  SELECT a.cellId, a.vec_id AS aId, b.vec_id AS bId
+        |  FROM celled a JOIN celled b
+        |    ON a.cellId = b.cellId AND a.vec_id < b.vec_id),
+        |sdDots AS (
+        |  SELECT c.cellId, c.aId, c.bId,
+        |    CAST(SUM(CAST(ROUND(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
+        |      * 1000000000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        |  FROM sdCand c
+        |  JOIN embeddings ea ON ea.vec_id = c.aId
+        |  JOIN embeddings eb ON eb.vec_id = c.bId
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) ix
+        |  GROUP BY c.cellId, c.aId, c.bId),
+        |sdDup AS (
+        |  SELECT d.bId AS vid, MIN(d.aId) AS dupOf
+        |  FROM sdDots d
+        |  JOIN norms na ON na.vec_id = d.aId
+        |  JOIN norms nb ON nb.vec_id = d.bId
+        |  WHERE d.dot / (na.nrm * nb.nrm) >= 0.2
+        |  GROUP BY d.bId)
+        |SELECT c.vec_id, c.cellId, s.vid IS NULL AS keep, s.dupOf
+        |FROM celled c LEFT JOIN sdDup s ON s.vid = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
+    "t15_gopher_rules" ->
+      s"""WITH $PageSql,
+        |feat AS (
+        |  SELECT doc_id, page,
+        |    regexp_extract_all(page, '\\S+') AS words,
+        |    string_split(page, chr(10)) AS lines,
+        |    regexp_extract_all(lower(page), '[a-z0-9]+') AS toks
+        |  FROM pages),
+        |f2 AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS nWords,
+        |    CAST(len(lines) AS BIGINT) AS nLines,
+        |    (length(page) - length(replace(page, '...', ''))) / 3 AS ellipsisCount,
+        |    length(page) - length(replace(page, '#', '')) AS hashCount,
+        |    list_sum(list_transform(words, x -> length(x))) AS sumLen,
+        |    len(list_filter(lines, l -> starts_with(l, '- '))) AS bulletLines,
+        |    len(list_filter(lines, l -> ends_with(l, '...'))) AS ellLines,
+        |    len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS alphaWords,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopHits
+        |  FROM feat),
+        |f3 AS (
+        |  SELECT doc_id, nWords,
+        |    CASE WHEN nWords > 0 THEN CAST(sumLen AS DOUBLE) / nWords
+        |         ELSE 0.0 END AS meanWordLen,
+        |    CASE WHEN nWords > 0 THEN CAST(hashCount + ellipsisCount AS DOUBLE) / nWords
+        |         ELSE 0.0 END AS symbolRatio,
+        |    CASE WHEN nLines > 0 THEN CAST(bulletLines AS DOUBLE) / nLines
+        |         ELSE 0.0 END AS bulletRatio,
+        |    CASE WHEN nLines > 0 THEN CAST(ellLines AS DOUBLE) / nLines
+        |         ELSE 0.0 END AS ellipsisLineRatio,
+        |    CASE WHEN nWords > 0 THEN CAST(alphaWords AS DOUBLE) / nWords
+        |         ELSE 0.0 END AS alphaRatio,
+        |    stopHits
+        |  FROM f2)
+        |SELECT doc_id, nWords, meanWordLen, symbolRatio, bulletRatio,
+        |  ellipsisLineRatio, alphaRatio, stopHits,
+        |  (nWords BETWEEN 50 AND 100000) AND (meanWordLen BETWEEN 3.0 AND 10.0)
+        |    AND symbolRatio <= 0.1 AND bulletRatio <= 0.9
+        |    AND ellipsisLineRatio <= 0.3 AND alphaRatio >= 0.8
+        |    AND stopHits >= 2 AS keep
+        |FROM f3 ORDER BY doc_id""".stripMargin,
+    "t16_c4_filters" ->
+      s"""WITH $PageSql,
+        |lns AS (SELECT doc_id, page, string_split(page, chr(10)) AS lines
+        |        FROM pages),
+        |k AS (
+        |  SELECT doc_id, page, lines,
+        |    list_filter(lines, l ->
+        |      (right(l, 1) IN ('.', '!', '?', '"'))
+        |      AND len(regexp_extract_all(l, '\\S+')) >= 5
+        |      AND NOT contains(l, 'javascript')) AS kept,
+        |    (contains(page, '{') OR contains(page, 'lorem ipsum')) AS pageDrop
+        |  FROM lns)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS nLines,
+        |  CAST(CASE WHEN pageDrop THEN 0 ELSE len(kept) END AS BIGINT) AS nKept,
+        |  pageDrop,
+        |  CASE WHEN contains(page, '{') THEN 'brace'
+        |       WHEN contains(page, 'lorem ipsum') THEN 'lorem' END AS dropReason,
+        |  CASE WHEN pageDrop THEN '' ELSE array_to_string(kept, chr(10)) END AS cleanText,
+        |  CAST(length(CASE WHEN pageDrop THEN ''
+        |    ELSE array_to_string(kept, chr(10)) END) AS BIGINT) AS keptChars
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // step chain mirrored as nested CTE hops: DuckDB's list() FILTER is
+    // the sorted conditional collect; [1] on an empty/NULL list is NULL,
+    // matching get()'s null out-of-bounds; a NULL prior step nulls the
+    // lambda so the filtered list drains — both engines propagate the
+    // missing step identically. 86400000000000 = the 24 h window in ns
+    "e5_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+        |arr AS (
+        |  SELECT user_id,
+        |    list(tsn ORDER BY tsn) FILTER (WHERE event_type = 'signup') AS a0,
+        |    list(tsn ORDER BY tsn) FILTER (WHERE event_type = 'view') AS a1,
+        |    list(tsn ORDER BY tsn) FILTER (WHERE event_type = 'click') AS a2,
+        |    list(tsn ORDER BY tsn) FILTER (WHERE event_type = 'purchase') AS a3
+        |  FROM e GROUP BY user_id),
+        |f1 AS (SELECT user_id, a1, a2, a3, a0[1] AS t1 FROM arr),
+        |f2 AS (SELECT user_id, a2, a3, t1,
+        |         list_filter(a1, x -> x > t1 AND x <= t1 + 86400000000000)[1] AS t2 FROM f1),
+        |f3 AS (SELECT user_id, a3, t1, t2,
+        |         list_filter(a2, x -> x > t2 AND x <= t2 + 86400000000000)[1] AS t3 FROM f2),
+        |f4 AS (SELECT user_id, t1, t2, t3,
+        |         list_filter(a3, x -> x > t3 AND x <= t3 + 86400000000000)[1] AS t4 FROM f3)
+        |SELECT user_id, t1, t2, t3, t4,
+        |  CAST(CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+        |    WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1
+        |    ELSE 0 END AS BIGINT) AS stage
+        |FROM f4 ORDER BY user_id""".stripMargin,
+    "e6_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohortDay FROM d GROUP BY user_id),
+        |cs AS (SELECT cohortDay, COUNT(*) AS cohortSize FROM c GROUP BY cohortDay),
+        |r AS (
+        |  SELECT c.cohortDay, d.day - c.cohortDay AS dayOffset,
+        |    COUNT(*) AS activeUsers
+        |  FROM d JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohortDay, r.dayOffset, r.activeUsers,
+        |  cs.cohortSize,
+        |  CAST(r.activeUsers AS DOUBLE) / cs.cohortSize AS retention
+        |FROM r JOIN cs USING (cohortDay)
+        |ORDER BY r.cohortDay, r.dayOffset""".stripMargin,
   )
 }

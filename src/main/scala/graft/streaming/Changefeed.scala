@@ -252,6 +252,39 @@ object Changefeed {
   /** One arriving doc of the budgeted-mix stream (id, source group,
     * token count, plus the deterministic shuffle key/shard assigned
     * up front by [[graft.functions.Shuffles.hashKey]]). */
+  /** One event for the streaming sessionizer (ts in epoch nanos). */
+  final case class SessEvent(user_id: Long, ts: Long)
+
+  /** Per-user sessionizer state/output: running event and session counts
+    * plus the last event time (the open session's edge). */
+  final case class SessCount(user_id: Long, events: Long, sessions: Long,
+                             lastTs: Long)
+
+  /** Streaming gap sessionization: the STATEFUL twin of e1 — per-user
+    * (lastTs, counts) lives in mapGroupsWithState, so a session spanning
+    * micro-batches is continued, not re-opened, and each user's state is
+    * O(1) regardless of stream length. Within a batch events process in
+    * ts order; across batches the caller feeds time-ordered triggers
+    * (the usual ingest contract — a watermark-sorted source). Feeding
+    * the whole corpus through in ANY batch split reproduces the batch
+    * window-lag sessionization exactly (asserted in StreamingSpec). */
+  def streamingSessionize(events: Dataset[SessEvent],
+                          gapNs: Long = 1800000000000L): Dataset[SessCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[SessEvent], state: GroupState[SessCount]) => {
+          var st = state.getOption.getOrElse(SessCount(uid, 0L, 0L, Long.MinValue))
+          batch.toSeq.sortBy(_.ts).foreach { e =>
+            val newSession = st.lastTs == Long.MinValue || e.ts - st.lastTs > gapNs
+            st = SessCount(uid, st.events + 1,
+              st.sessions + (if (newSession) 1L else 0L), e.ts)
+          }
+          state.update(st)
+          st
+        })
+  }
+
   final case class MixDoc(id: Long, src: String, tok: Long, hkey: Long, shard: Long)
 
   /** Admission decision for one arriving doc. */

@@ -540,6 +540,85 @@ class DataOpsSpec extends SparkSpec {
     assert(out(1) == 1 && out(2) == 1)
   }
 
+  test("semDedup drops within-cell near-dups, earlier id wins") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.01f, 0.0f, 0.0f)), // near-dup of 1
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // exact dup of 2
+      (5L, Array(0.6f, 0.8f, 0.0f, 0.0f)),  // same cell as 2, below threshold
+    ).toDF("vec_id", "embedding")
+    val out = rows(Vectors.semDedup(emb, nCells = 2, iters = 1, minCosine = 0.95)
+      .select(col("vec_id"), col("keep"), col("dupOf")).orderBy(col("vec_id")))
+    assert(out == Seq(
+      Seq(1L, true, null), Seq(2L, true, null),
+      Seq(3L, false, 1L), Seq(4L, false, 2L), Seq(5L, true, null)))
+  }
+
+  test("pageText assembles deterministic decorated lines") {
+    val text = (1 to 24).map(i => s"w$i").mkString(" ")
+    val page = rows(Seq((2L, text)).toDF("doc_id", "text")
+      .select(TextFunctions.pageText(col("doc_id"), col("text"))))
+      .head.head.asInstanceOf[String]
+    // doc_id 2, line 0: (2+0)%17=2 → bullet; 0%3=0 → terminal period
+    // line 1: no bullet ((2+1)%17=3), no suffix (3%13≠5, 1%3≠0)
+    val l0 = "- " + (1 to 12).map(i => s"w$i").mkString(" ") + "."
+    val l1 = (13 to 24).map(i => s"w$i").mkString(" ")
+    assert(page == s"$l0\n$l1")
+  }
+
+  test("pageText appends boilerplate marker lines on the fixed residues") {
+    val p = rows(Seq((31L * 41L, "alpha beta")).toDF("doc_id", "text")
+      .select(TextFunctions.pageText(col("doc_id"), col("text"))))
+      .head.head.asInstanceOf[String]
+    assert(p.contains("enable javascript to continue"))
+    assert(p.contains("config { options }"))
+    assert(!p.contains("lorem ipsum"))
+  }
+
+  test("gopherRules computes the published features exactly") {
+    val pages = Seq((7L, "- the dog...\nthe with cat."))
+      .toDF("doc_id", "page")
+    val out = rows(TextFunctions.gopherRules(pages)).head
+    // words: ["-","the","dog...","the","with","cat."] → 6
+    assert(out(1) == 6L)                 // nWords
+    assert(out(2) == 21.0 / 6)           // meanWordLen
+    assert(out(3) == 1.0 / 6)            // symbolRatio (one ellipsis)
+    assert(out(4) == 0.5)                // bulletRatio
+    assert(out(5) == 0.5)                // ellipsisLineRatio
+    assert(out(6) == 5.0 / 6)            // alphaRatio ("-" has no alpha)
+    assert(out(7) == 2L)                 // stopHits (the, with)
+    assert(out(8) == false)              // nWords < 50
+  }
+
+  test("gopherRules keep: word-count band and stopword floor bind") {
+    val good = (1 to 30).flatMap(_ => Seq("the", "with")).mkString(" ") +
+      " alpha beta gamma delta"               // 64 words, 2 stopwords
+    val pages = Seq((1L, good), (2L, "tiny page the with"))
+      .toDF("doc_id", "page")
+    val out = rows(TextFunctions.gopherRules(pages)
+      .select(col("doc_id"), col("keep")).orderBy(col("doc_id")))
+    assert(out == Seq(Seq(1L, true), Seq(2L, false)))
+  }
+
+  test("c4Filters keeps terminal-punct ≥5-word non-js lines, drops marker pages") {
+    val pages = Seq(
+      (1L, "one two three four five.\nshort line.\n" +
+        "no terminal punct in this line\n" +
+        "the javascript line is quite long.\n" +
+        "six seven eight nine ten eleven!"),
+      (2L, "lorem ipsum dolor sit amet."),
+      (3L, "config { x } set now ok.")).toDF("doc_id", "page")
+    val out = rows(TextFunctions.c4Filters(pages)
+      .select(col("doc_id"), col("nLines"), col("nKept"), col("pageDrop"),
+        col("dropReason"), col("cleanText"))
+      .orderBy(col("doc_id")))
+    assert(out(0) == Seq(1L, 5L, 2L, false, null,
+      "one two three four five.\nsix seven eight nine ten eleven!"))
+    assert(out(1) == Seq(2L, 1L, 0L, true, "lorem", ""))
+    assert(out(2) == Seq(3L, 1L, 0L, true, "brace", ""))
+  }
+
   test("multimodal plumbing: stub decode is deterministic per payload") {
     val media = Multimodal.asMedia(docs.withColumn("text", concat(col("text"), lit("!"))))
     val feats = Multimodal.extractFeatures(spark, media, partitions = 2)

@@ -437,6 +437,54 @@ class ScaleSpec extends SparkSpec {
       s"partition-local sort expected:\n$plan")
   }
 
+  test("funnel is ONE user-keyed exchange — no self-joins, no per-step passes") {
+    val ev = (1 to 200).map(i =>
+      (i.toLong % 20, Seq("signup", "view", "click", "purchase")(i % 4),
+        i.toLong * 1000000000L))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.functions.Events.funnel(ev,
+      Seq("signup", "view", "click", "purchase"))
+    out.collect()
+    // count only the FINAL adaptive plan — the "Initial Plan" section of
+    // the AQE string repeats every node
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"funnel must shuffle once on user_id, got $exchanges:\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("retention broadcasts the cohort-size dimension for the ratio join") {
+    val ev = (1 to 300).map(i =>
+      (i.toLong % 30, "view", (i % 7).toLong * 86400000000000L + i))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.functions.Events.retention(ev)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "cohortSize must reach the ratio join as a broadcast:\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("semDedup pair join reuses the celled subtree's exchange") {
+    // the cell-assignment pass (centroid broadcast + per-vector window)
+    // is the expensive subtree; both sides of the within-cell self-join
+    // shuffle it by cellId, so exchange canonicalization must compute it
+    // once — a regression would silently run the assignment twice
+    val emb = (1L to 120L).map(i =>
+      (i, Array.tabulate(8)(d => ((i % 5) + d * 0.1 + (i % 3) * 0.01).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.Vectors.semDedup(emb, nCells = 4, iters = 1,
+      minCosine = 0.999)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    assert(reused >= 1,
+      s"expected the celled subtree reused across the pair self-join, got $reused:\n" +
+        plan.linesIterator.take(40).mkString("\n"))
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]

@@ -325,6 +325,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed sessionization: batch parity, sessions continue across batches") {
+    import graft.streaming.Changefeed.{SessCount, SessEvent}
+    implicit val sqlCtx = spark.sqlContext
+    // per user: 10 events, 10-min steps, a 45-min jump before i = 4 and
+    // i = 8 → 3 sessions. Batch split at i = 2 and i = 6 puts both jumps
+    // INSIDE batches and both batch boundaries INSIDE sessions — the
+    // state must carry the open session across the trigger
+    def ts(u: Long, i: Long): Long =
+      (u * 1000000L + i * 600L + (i / 4L) * 2700L) * 1000000000L
+    val evs = for { u <- 1L to 6L; i <- 0L until 10L } yield SessEvent(u, ts(u, i))
+    val mem = MemoryStream[SessEvent]
+    val q = Changefeed.streamingSessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      Seq(0L until 2L, 2L until 6L, 6L until 10L).foreach { r =>
+        mem.addData((for { u <- 1L to 6L; i <- r } yield SessEvent(u, ts(u, i))): _*)
+        q.processAllAvailable()
+      }
+      val finalStates = spark.table("sess_out").as[SessCount].collect()
+        .groupBy(_.user_id).map { case (_, rs) => rs.maxBy(_.events) }
+      // batch truth: the e1 window-lag sessionization on the same events
+      val base = evs.toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val batch = rows(base.withColumn("prevTs", lag(col("ts"), 1).over(w))
+        .withColumn("ns", when(col("prevTs").isNull ||
+          col("ts") - col("prevTs") > 1800000000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("events"), sum(col("ns")).as("sessions")))
+        .map(r => r(0) -> (r(1), r(2))).toMap
+      assert(finalStates.size == 6)
+      finalStates.foreach { st =>
+        assert((st.events, st.sessions) == batch(st.user_id),
+          s"user ${st.user_id}: streamed (${st.events},${st.sessions}) vs batch ${batch(st.user_id)}")
+      }
+      assert(finalStates.forall(_.sessions == 3L))
+    } finally q.stop()
+  }
+
   test("streamed budgeted mix: batch-1 parity, quota persists across batches") {
     import graft.functions.Shuffles
     import graft.streaming.Changefeed.{MixAdmit, MixDoc}
