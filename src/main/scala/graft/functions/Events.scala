@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics for product/behavioral pipelines: ordered
@@ -52,6 +53,80 @@ object Events {
       }.otherwise(0L)
     df.select(col("user_id") +:
       (1 to steps.size).map(i => col(s"t$i")) :+ stage.as("stage"): _*)
+  }
+
+  /** Backward as-of join (kdb `aj` / pandas `merge_asof` / DuckDB
+    * ASOF JOIN semantics): each probe row is matched with the quote row
+    * of the same key having the greatest quote ts ≤ probe ts — or no
+    * match when none exists (or the match is older than `toleranceNs`).
+    * `quotes` must be unique per (key, ts): at equal timestamps the pick
+    * among duplicate quotes would otherwise be engine-dependent, so
+    * dedupe first (the e7 entry keeps MAX(value) per (user, ts)).
+    *
+    * NOT a join at execution time: both sides are tagged and unioned,
+    * shuffled ONCE on the key, and a per-key ordered window carries the
+    * last quote forward (`last(_, ignoreNulls)` over unbounded-preceding
+    * rows; quotes order before probes at equal ts, giving the ≤ bound).
+    * That is the canonical distributed as-of shape: one exchange, one
+    * per-key sort, no range-predicate join — which Spark would execute
+    * as BroadcastNestedLoop (or a cartesian) and which blows up as
+    * probes × quotes at cluster scale. Left-row ties in the window order
+    * are harmless (probe rows carry a null quote, so the running "last
+    * non-null" is unaffected by their relative order).
+    *
+    * Output: every probe column, then `matchedTs` + the payload columns
+    * (null when unmatched / out of tolerance) — probe columns must not
+    * collide with those names. */
+  def asofJoin(probes: DataFrame, quotes: DataFrame, key: String,
+               ts: String, payload: Seq[String],
+               toleranceNs: Option[Long] = None): DataFrame = {
+    val q = quotes.select(col(key), col(ts),
+      struct(col(ts).as("matchedTs") +: payload.map(col): _*).as("__q"),
+      lit(0).as("__side"))
+    val p = probes.select(col(key), col(ts),
+      struct(probes.columns.map(col).toSeq: _*).as("__l"),
+      lit(1).as("__side"))
+    val u = q.withColumn("__l", lit(null).cast(p.schema("__l").dataType))
+      .unionByName(p.withColumn("__q", lit(null).cast(q.schema("__q").dataType)))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u.withColumn("__m", last(col("__q"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val inTol = toleranceNs match {
+      case Some(t) => when(col(ts) - col("__m")("matchedTs") <= t, col("__m"))
+      case None    => col("__m")
+    }
+    carried.withColumn("__m", inTol)
+      .select(probes.columns.toSeq.map(c => col("__l")(c).as(c)) ++
+        ("matchedTs" +: payload).map(c => col("__m")(c).as(c)): _*)
+  }
+
+  /** Point-in-interval (range) join: every (point, interval) pair of the
+    * same key with start ≤ ts < end (half-open; empty/negative intervals
+    * drop out). Executed as an EQUI-join on (key, time bucket): each
+    * interval explodes to the `bucketNs`-wide buckets it covers
+    * (⌈len/bucketNs⌉+1 copies), each point lands in exactly one bucket —
+    * so a qualifying pair meets exactly once and needs no dedup pass,
+    * and the exact range predicate runs only on bucket-local candidates.
+    * Pick bucketNs near the typical interval length: fan-out stays O(1)
+    * per interval while candidates stay bucket-local. A raw
+    * range-predicate join would plan as BroadcastNestedLoop — every
+    * point scanned per interval — which no cluster survives at 100 TB.
+    *
+    * Column names (other than `key`) must not collide across the two
+    * inputs; rename before calling. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                ts: String, start: String, end: String,
+                bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    val p = points.withColumn("__b", expr(s"`$ts` div ${bucketNs}L"))
+    val iv = intervals.filter(col(end) > col(start))
+      .withColumn("__b", explode(sequence(
+        expr(s"`$start` div ${bucketNs}L"),
+        expr(s"(`$end` - 1) div ${bucketNs}L"))))
+    p.join(iv, Seq(key, "__b"))
+      .filter(col(ts) >= col(start) && col(ts) < col(end))
+      .drop("__b")
   }
 
   /** Cohort day-N retention: cohort = day of a user's first activity;

@@ -1202,6 +1202,47 @@ object DataOpsQueries {
       Events.retention(s.table("events"))
         .orderBy(col("cohortDay"), col("dayOffset"))
     },
+    // backward as-of join: each click is enriched with the user's latest
+    // view at-or-before it (quotes deduped to MAX(value) per (user, ts)
+    // so the ≤-tie pick is engine-independent). Execution is union-tag +
+    // ONE user-keyed exchange + a per-key ordered last(ignoreNulls)
+    // window — no range-predicate join, nothing broadcast, no pair
+    // blowup; the oracle is DuckDB's NATIVE ASOF LEFT JOIN, a fully
+    // independent implementation of the same semantics.
+    "e7_asof_join" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val ev = s.table("events")
+      val quotes = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("quote"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Events.asofJoin(probes, quotes, "user_id", "ts", Seq("quote"))
+        .orderBy(col("event_id"))
+    },
+    // point-in-interval range join: clicks falling inside a 6 h
+    // attribution window [ts, ts+6h) opened by each purchase of the same
+    // user. Executed as an equi-join on (user, 6 h time bucket) — each
+    // window explodes to ≤ 2 bucket copies, each click lands in exactly
+    // one bucket, so every qualifying pair meets exactly once and the
+    // exact range predicate only sees bucket-local candidates. The
+    // oracle runs the raw BETWEEN join (fine at oracle scale; the thing
+    // the bucketed plan avoids at 100 TB).
+    "e8_range_join" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val ev = s.table("events")
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("wstart"),
+          (col("ts") + lit(6L * 3600L * 1000000000L)).as("wend"))
+      val pts = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      Events.rangeJoin(pts, iv, "user_id", "ts", "wstart", "wend",
+          bucketNs = 6L * 3600L * 1000000000L)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("ts"), col("wstart"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -2097,5 +2138,32 @@ object DataOpsQueries {
         |  CAST(r.activeUsers AS DOUBLE) / cs.cohortSize AS retention
         |FROM r JOIN cs USING (cohortDay)
         |ORDER BY r.cohortDay, r.dayOffset""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    // the backward-as-of semantics (greatest qts ≤ ts per key, null when
+    // none) checking the Spark union-tag/window plan result-for-result
+    "e7_asof_join" ->
+      """WITH q AS (
+        |  SELECT user_id, epoch_ns(ts) AS qts, MAX(value) AS quote
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tsn
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.tsn AS ts,
+        |  q.qts AS matchedTs, q.quote
+        |FROM c ASOF LEFT JOIN q
+        |  ON c.user_id = q.user_id AND c.tsn >= q.qts
+        |ORDER BY c.event_id""".stripMargin,
+    "e8_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS wstart,
+        |    epoch_ns(ts) + 21600000000000 AS wend
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT event_id AS click_id, user_id, epoch_ns(ts) AS tsn
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.click_id, iv.purchase_id, p.user_id, p.tsn AS ts, iv.wstart
+        |FROM p JOIN iv ON p.user_id = iv.user_id
+        |  AND p.tsn >= iv.wstart AND p.tsn < iv.wend
+        |ORDER BY p.click_id, iv.purchase_id""".stripMargin,
   )
 }

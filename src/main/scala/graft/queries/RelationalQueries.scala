@@ -53,6 +53,35 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
         .orderBy($"n_name")
     },
+    // OLAP ROLLUP: per-(flag, status) revenue plus the per-flag and
+    // grand-total super-aggregate rows in ONE pass — Spark's rollup
+    // plans a single Expand + hash aggregate (no per-level re-scans);
+    // gid is the standard grouping bitmask (engine-identical to
+    // DuckDB's GROUPING(a, b))
+    "q23_rollup_revenue" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(grouping_id().as("gid"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select($"l_returnflag", $"l_linestatus", $"gid", $"revenue", $"n_items")
+        .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+    },
+    // OLAP CUBE: all four grouping combinations of (ship year, flag) in
+    // one Expand pass — the yearly/flag marginals and the grand total
+    // fall out of the same shuffle as the base cells
+    "q24_cube_year_flag" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .withColumn("ship_year", year($"l_shipdate").cast("long"))
+        .cube($"ship_year", $"l_returnflag")
+        .agg(grouping_id().as("gid"),
+          dsum($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select($"ship_year", $"l_returnflag", $"gid", $"sum_qty", $"n_items")
+        .orderBy($"gid", $"ship_year", $"l_returnflag")
+    },
     // Q4-shape: EXISTS (left_semi) + priority rollup
     "q4_order_priority" -> { (s, dir) =>
       import s.implicits._
@@ -398,6 +427,23 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q23_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q24_cube_year_flag" ->
+      """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+        |  l_returnflag,
+        |  GROUPING(CAST(EXTRACT(year FROM l_shipdate) AS BIGINT), l_returnflag) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE (CAST(EXTRACT(year FROM l_shipdate) AS BIGINT), l_returnflag)
+        |ORDER BY gid, ship_year, l_returnflag""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

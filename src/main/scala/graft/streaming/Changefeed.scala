@@ -285,6 +285,45 @@ object Changefeed {
         })
   }
 
+  /** One row of the unified as-of stream: side 0 = quote (value carries
+    * the payload), side 1 = probe (id identifies the probe row). */
+  final case class AsofEvent(key: Long, ts: Long, side: Int, id: Long,
+                             value: Double)
+
+  /** Enrichment emitted per probe: the matched quote ts/value, or None
+    * when no quote at-or-before the probe has been seen. */
+  final case class AsofMatch(id: Long, key: Long, ts: Long,
+                             matchedTs: Option[Long], value: Option[Double])
+
+  /** Streaming backward as-of join: the STATEFUL twin of
+    * [[graft.functions.Events.asofJoin]] over ONE unified stream of
+    * quotes and probes. Per-key state is the single latest quote
+    * (ts, value) — O(1) per key no matter how long the stream runs,
+    * because a backward as-of never needs an older quote again once a
+    * newer one is on file. Within a micro-batch rows process in
+    * (ts, side, id) order (quotes before probes at equal ts — the same
+    * ≤ bound as the batch operator); across batches the caller feeds
+    * time-ordered triggers per key (the watermark-sorted ingest
+    * contract [[streamingSessionize]] documents). Feeding the whole
+    * corpus through in ANY such batch split reproduces the batch
+    * asofJoin exactly (asserted in StreamingSpec). */
+  def streamingAsof(events: Dataset[AsofEvent]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, batch: Iterator[AsofEvent], state: GroupState[(Long, Double)]) => {
+          var last = state.getOption
+          val out = batch.toSeq.sortBy(e => (e.ts, e.side, e.id)).flatMap {
+            case q if q.side == 0 =>
+              last = Some((q.ts, q.value)); None
+            case p =>
+              Some(AsofMatch(p.id, key, p.ts, last.map(_._1), last.map(_._2)))
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+  }
+
   final case class MixDoc(id: Long, src: String, tok: Long, hkey: Long, shard: Long)
 
   /** Admission decision for one arriving doc. */

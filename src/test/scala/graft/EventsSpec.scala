@@ -37,6 +37,67 @@ class EventsSpec extends SparkSpec {
     assert(out == Seq(Seq(10L * H, 11L * H)))
   }
 
+  test("asofJoin matches the greatest quote ts ≤ probe ts, per key") {
+    val quotes = Seq(
+      (1L, 10L * H, 1.0), (1L, 20L * H, 2.0), (1L, 30L * H, 3.0),
+      (2L, 15L * H, 9.0),
+    ).toDF("user_id", "ts", "quote")
+    val probes = Seq(
+      (100L, 1L, 20L * H),  // equal ts → the 20 h quote itself (≤ bound)
+      (101L, 1L, 25L * H),  // between 20 h and 30 h → 20 h quote
+      (102L, 1L, 5L * H),   // before every quote → unmatched
+      (103L, 2L, 50L * H),  // other key → that key's only quote
+      (104L, 3L, 50L * H),  // key with no quotes at all → unmatched
+    ).toDF("event_id", "user_id", "ts")
+    val out = rows(Events.asofJoin(probes, quotes, "user_id", "ts",
+        Seq("quote"))
+      .select(col("event_id"), col("matchedTs"), col("quote"))
+      .orderBy(col("event_id")))
+    assert(out == Seq(
+      Seq(100L, 20L * H, 2.0),
+      Seq(101L, 20L * H, 2.0),
+      Seq(102L, null, null),
+      Seq(103L, 15L * H, 9.0),
+      Seq(104L, null, null)))
+  }
+
+  test("asofJoin tolerance nulls matches older than the bound") {
+    val quotes = Seq((1L, 10L * H, 1.0)).toDF("user_id", "ts", "quote")
+    val probes = Seq((100L, 1L, 11L * H), (101L, 1L, 20L * H))
+      .toDF("event_id", "user_id", "ts")
+    val out = rows(Events.asofJoin(probes, quotes, "user_id", "ts",
+        Seq("quote"), toleranceNs = Some(2L * H))
+      .select(col("event_id"), col("matchedTs"), col("quote"))
+      .orderBy(col("event_id")))
+    assert(out == Seq(
+      Seq(100L, 10L * H, 1.0),   // 1 h old, inside the 2 h tolerance
+      Seq(101L, null, null)))    // 10 h old → nulled
+  }
+
+  test("rangeJoin: half-open bounds, bucket spanning, exactly-once pairs") {
+    val B = 6L * H
+    val iv = Seq(
+      // interval spanning three buckets: [5h, 14h)
+      (10L, 1L, 5L * H, 14L * H),
+      // second interval overlapping the first: [8h, 9h)
+      (11L, 1L, 8L * H, 9L * H),
+      // empty interval → dropped
+      (12L, 1L, 20L * H, 20L * H),
+    ).toDF("iv_id", "user_id", "s", "e")
+    val pts = Seq(
+      (100L, 1L, 5L * H),   // inclusive start of 10
+      (101L, 1L, 8L * H),   // inside BOTH 10 and 11
+      (102L, 1L, 13L * H),  // third bucket of 10 only
+      (103L, 1L, 14L * H),  // exclusive end → no match
+      (104L, 1L, 20L * H),  // only the empty interval → no match
+      (105L, 2L, 8L * H),   // other key → no match
+    ).toDF("p_id", "user_id", "ts")
+    val out = rows(Events.rangeJoin(pts, iv, "user_id", "ts", "s", "e", B)
+      .select(col("p_id"), col("iv_id")).orderBy(col("p_id"), col("iv_id")))
+    assert(out == Seq(
+      Seq(100L, 10L), Seq(101L, 10L), Seq(101L, 11L), Seq(102L, 10L)))
+  }
+
   test("retention: cohort from first activity, per-offset distinct users") {
     val D = Events.DayNs
     val ev = Seq(

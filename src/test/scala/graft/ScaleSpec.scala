@@ -485,6 +485,42 @@ class ScaleSpec extends SparkSpec {
         plan.linesIterator.take(40).mkString("\n"))
   }
 
+  test("asofJoin plans ONE key exchange and no join operator at all") {
+    // the union-tag design: the probe×quote match must come from a
+    // per-key window over a single hashpartitioning(user_id) exchange —
+    // any Join node (worst: BroadcastNestedLoop on the ≤ range) means
+    // the scalable shape regressed
+    val quotes = (1L to 50L).map(i => (i % 5, i * 10L, i.toDouble))
+      .toDF("user_id", "ts", "quote")
+    val probes = (1L to 50L).map(i => (i % 5, i * 7L + 3L, i))
+      .toDF("user_id", "ts", "event_id")
+    val out = graft.functions.Events.asofJoin(
+      probes, quotes, "user_id", "ts", Seq("quote"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"no join operator expected:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"one key exchange expected, got $exchanges:\n$plan")
+    assert(out.count() == 50L)
+  }
+
+  test("rangeJoin plans an equi-join on (key, bucket), never a nested loop") {
+    val iv = (1L to 40L).map(i => (i % 4, i * 100L, i * 100L + 250L, i))
+      .toDF("user_id", "s", "e", "iv_id")
+    val pts = (1L to 200L).map(i => (i % 4, i * 23L, i))
+      .toDF("user_id", "ts", "p_id")
+    val out = graft.functions.Events.rangeJoin(
+      pts, iv, "user_id", "ts", "s", "e", bucketNs = 200L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), s"no BNLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the exact-predicate filter must ride on an equi-join over the
+    // bucket key (broadcast-hash here at test scale; hash/sort-merge at
+    // cluster scale — anything but a loop join)
+    assert(plan.contains("Join") && plan.contains("__b"),
+      s"bucketed equi-join expected:\n$plan")
+    out.count()
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]

@@ -365,6 +365,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed as-of join: batch parity, latest quote carries across batches") {
+    import graft.streaming.Changefeed.{AsofEvent, AsofMatch}
+    implicit val sqlCtx = spark.sqlContext
+    // per key: quotes at t = i*100, probes at t = i*100 + 50 (and one
+    // probe BEFORE any quote). Batch split mid-stream puts a probe in a
+    // later batch than its matching quote — state must carry the quote.
+    def quote(k: Long, i: Long) = AsofEvent(k, i * 100L, 0, 0L, i * 10.0 + k)
+    def probe(k: Long, i: Long) = AsofEvent(k, i * 100L + 50L, 1, k * 1000L + i, 0.0)
+    val all = for { k <- 1L to 4L; i <- 0L until 6L; e <- Seq(quote(k, i), probe(k, i)) } yield e
+    val early = (1L to 4L).map(k => AsofEvent(k, -5L, 1, k * 1000L + 999L, 0.0))
+    val mem = MemoryStream[AsofEvent]
+    val q = Changefeed.streamingAsof(mem.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: the early unmatched probes + i ∈ [0, 2); batch 2: [2, 4);
+      // batch 3: [4, 6) — every split lands between a quote and probes
+      // that still need it
+      Seq(0L until 2L, 2L until 4L, 4L until 6L).zipWithIndex.foreach { case (r, bi) =>
+        val batch = (for { k <- 1L to 4L; i <- r; e <- Seq(quote(k, i), probe(k, i)) } yield e) ++
+          (if (bi == 0) early else Nil)
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("asof_out").as[AsofMatch].collect()
+        .map(m => m.id -> ((m.matchedTs, m.value))).toMap
+      // batch truth: Events.asofJoin over the same rows as DataFrames
+      val quotes = (all).filter(_.side == 0)
+        .map(e => (e.key, e.ts, e.value)).toDF("key", "ts", "value")
+      val probes = (all ++ early).filter(_.side == 1)
+        .map(e => (e.id, e.key, e.ts)).toDF("id", "key", "ts")
+      val batchOut = rows(graft.functions.Events
+        .asofJoin(probes, quotes, "key", "ts", Seq("value"))
+        .select(col("id"), col("matchedTs"), col("value")))
+      assert(streamed.size == batchOut.size)
+      batchOut.foreach { r =>
+        val (mts, v) = streamed(r.head.asInstanceOf[Long])
+        assert(mts == Option(r(1)) && v == Option(r(2)),
+          s"probe ${r.head}: streamed ($mts,$v) vs batch (${r(1)},${r(2)})")
+      }
+    } finally q.stop()
+  }
+
   test("streamed budgeted mix: batch-1 parity, quota persists across batches") {
     import graft.functions.Shuffles
     import graft.streaming.Changefeed.{MixAdmit, MixDoc}
