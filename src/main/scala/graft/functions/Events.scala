@@ -55,21 +55,29 @@ object Events {
       (1 to steps.size).map(i => col(s"t$i")) :+ stage.as("stage"): _*)
   }
 
-  /** Backward as-of join (kdb `aj` / pandas `merge_asof` / DuckDB
-    * ASOF JOIN semantics): each probe row is matched with the quote row
-    * of the same key having the greatest quote ts ≤ probe ts — or no
-    * match when none exists (or the match is older than `toleranceNs`).
-    * `quotes` must be unique per (key, ts): at equal timestamps the pick
-    * among duplicate quotes would otherwise be engine-dependent, so
-    * dedupe first (the e7 entry keeps MAX(value) per (user, ts)).
+  /** As-of join (kdb `aj` / pandas `merge_asof` / DuckDB ASOF JOIN
+    * semantics): each probe row is matched with one quote row of the
+    * same key by time proximity —
+    *  - `backward` (default): the greatest quote ts ≤ probe ts,
+    *  - `forward`: the smallest quote ts ≥ probe ts,
+    *  - `nearest`: whichever of those two is closer (tie → backward,
+    *    so an exact-ts quote always wins) —
+    * or no match when none qualifies (or it is farther than
+    * `toleranceNs`). `quotes` must be unique per (key, ts): at equal
+    * timestamps the pick among duplicate quotes would otherwise be
+    * engine-dependent, so dedupe first (the e7 entry keeps MAX(value)
+    * per (user, ts)).
     *
     * NOT a join at execution time: both sides are tagged and unioned,
     * shuffled ONCE on the key, and a per-key ordered window carries the
     * last quote forward (`last(_, ignoreNulls)` over unbounded-preceding
-    * rows; quotes order before probes at equal ts, giving the ≤ bound).
-    * That is the canonical distributed as-of shape: one exchange, one
-    * per-key sort, no range-predicate join — which Spark would execute
-    * as BroadcastNestedLoop (or a cartesian) and which blows up as
+    * rows; quotes order before probes at equal ts, giving the closed
+    * bound). `forward` is the same walk over the reversed ordering;
+    * `nearest` evaluates both windows over the SAME single exchange
+    * (only the sort differs) and picks per row. That is the canonical
+    * distributed as-of shape: one exchange, per-key sorts, no
+    * range-predicate join — which Spark would execute as
+    * BroadcastNestedLoop (or a cartesian) and which blows up as
     * probes × quotes at cluster scale. Left-row ties in the window order
     * are harmless (probe rows carry a null quote, so the running "last
     * non-null" is unaffected by their relative order).
@@ -79,7 +87,10 @@ object Events {
     * collide with those names. */
   def asofJoin(probes: DataFrame, quotes: DataFrame, key: String,
                ts: String, payload: Seq[String],
-               toleranceNs: Option[Long] = None): DataFrame = {
+               toleranceNs: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val q = quotes.select(col(key), col(ts),
       struct(col(ts).as("matchedTs") +: payload.map(col): _*).as("__q"),
       lit(0).as("__side"))
@@ -88,17 +99,39 @@ object Events {
       lit(1).as("__side"))
     val u = q.withColumn("__l", lit(null).cast(p.schema("__l").dataType))
       .unionByName(p.withColumn("__q", lit(null).cast(q.schema("__q").dataType)))
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = u.withColumn("__m", last(col("__q"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    val inTol = toleranceNs match {
-      case Some(t) => when(col(ts) - col("__m")("matchedTs") <= t, col("__m"))
-      case None    => col("__m")
+    def carriedOver(reversed: Boolean) = {
+      val o = if (reversed) col(ts).desc else col(ts).asc
+      last(col("__q"), ignoreNulls = true).over(
+        Window.partitionBy(col(key)).orderBy(o, col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     }
-    carried.withColumn("__m", inTol)
-      .select(probes.columns.toSeq.map(c => col("__l")(c).as(c)) ++
-        ("matchedTs" +: payload).map(c => col("__m")(c).as(c)): _*)
+    // distance of a candidate match, ∞ when absent/out-of-tolerance —
+    // backward distance = ts − mts, forward = mts − ts (both ≥ 0)
+    def dist(m: org.apache.spark.sql.Column, forward: Boolean) = {
+      val d = if (forward) m("matchedTs") - col(ts) else col(ts) - m("matchedTs")
+      val tolOk = toleranceNs.map(t => d <= t).getOrElse(lit(true))
+      when(m.isNotNull && tolOk, d)
+    }
+    val carried = direction match {
+      case "backward" => u.withColumn("__mb", carriedOver(reversed = false))
+        .filter(col("__side") === 1)
+        .withColumn("__m", when(dist(col("__mb"), forward = false).isNotNull, col("__mb")))
+      case "forward" => u.withColumn("__mf", carriedOver(reversed = true))
+        .filter(col("__side") === 1)
+        .withColumn("__m", when(dist(col("__mf"), forward = true).isNotNull, col("__mf")))
+      case "nearest" => u
+        .withColumn("__mb", carriedOver(reversed = false))
+        .withColumn("__mf", carriedOver(reversed = true))
+        .filter(col("__side") === 1)
+        .withColumn("__db", dist(col("__mb"), forward = false))
+        .withColumn("__df", dist(col("__mf"), forward = true))
+        .withColumn("__m",
+          when(col("__db").isNotNull &&
+               (col("__df").isNull || col("__db") <= col("__df")), col("__mb"))
+          .otherwise(when(col("__df").isNotNull, col("__mf"))))
+    }
+    carried.select(probes.columns.toSeq.map(c => col("__l")(c).as(c)) ++
+      ("matchedTs" +: payload).map(c => col("__m")(c).as(c)): _*)
   }
 
   /** Point-in-interval (range) join: every (point, interval) pair of the

@@ -1220,6 +1220,22 @@ object DataOpsQueries {
       Events.asofJoin(probes, quotes, "user_id", "ts", Seq("quote"))
         .orderBy(col("event_id"))
     },
+    // the FORWARD direction of the same operator (smallest quote ts ≥
+    // probe ts): the identical union-tag plan over the reversed per-key
+    // ordering — still one exchange, no join; the oracle flips DuckDB's
+    // ASOF inequality to <=
+    "e9_asof_forward" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val ev = s.table("events")
+      val quotes = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("quote"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Events.asofJoin(probes, quotes, "user_id", "ts", Seq("quote"),
+          direction = "forward")
+        .orderBy(col("event_id"))
+    },
     // point-in-interval range join: clicks falling inside a 6 h
     // attribution window [ts, ts+6h) opened by each purchase of the same
     // user. Executed as an equi-join on (user, 6 h time bucket) — each
@@ -2152,6 +2168,18 @@ object DataOpsQueries {
         |  q.qts AS matchedTs, q.quote
         |FROM c ASOF LEFT JOIN q
         |  ON c.user_id = q.user_id AND c.tsn >= q.qts
+        |ORDER BY c.event_id""".stripMargin,
+    "e9_asof_forward" ->
+      """WITH q AS (
+        |  SELECT user_id, epoch_ns(ts) AS qts, MAX(value) AS quote
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tsn
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.tsn AS ts,
+        |  q.qts AS matchedTs, q.quote
+        |FROM c ASOF LEFT JOIN q
+        |  ON c.user_id = q.user_id AND c.tsn <= q.qts
         |ORDER BY c.event_id""".stripMargin,
     "e8_range_join" ->
       """WITH iv AS (

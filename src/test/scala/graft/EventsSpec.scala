@@ -61,6 +61,56 @@ class EventsSpec extends SparkSpec {
       Seq(104L, null, null)))
   }
 
+  test("asofJoin forward matches the smallest quote ts ≥ probe ts") {
+    val quotes = Seq(
+      (1L, 10L * H, 1.0), (1L, 20L * H, 2.0), (1L, 30L * H, 3.0),
+    ).toDF("user_id", "ts", "quote")
+    val probes = Seq(
+      (100L, 1L, 20L * H),  // equal ts → the 20 h quote itself (≥ bound)
+      (101L, 1L, 25L * H),  // between → the NEXT quote at 30 h
+      (102L, 1L, 35L * H),  // after every quote → unmatched
+    ).toDF("event_id", "user_id", "ts")
+    val out = rows(Events.asofJoin(probes, quotes, "user_id", "ts",
+        Seq("quote"), direction = "forward")
+      .select(col("event_id"), col("matchedTs"), col("quote"))
+      .orderBy(col("event_id")))
+    assert(out == Seq(
+      Seq(100L, 20L * H, 2.0),
+      Seq(101L, 30L * H, 3.0),
+      Seq(102L, null, null)))
+  }
+
+  test("asofJoin nearest picks the closer side; ties go backward") {
+    val quotes = Seq(
+      (1L, 10L * H, 1.0), (1L, 20L * H, 2.0),
+    ).toDF("user_id", "ts", "quote")
+    val probes = Seq(
+      (100L, 1L, 13L * H),  // 3 h back vs 7 h forward → backward
+      (101L, 1L, 18L * H),  // 8 h back vs 2 h forward → forward
+      (102L, 1L, 15L * H),  // equidistant → backward wins the tie
+      (103L, 1L, 25L * H),  // only a backward candidate
+      (104L, 1L, 5L * H),   // only a forward candidate
+    ).toDF("event_id", "user_id", "ts")
+    val out = rows(Events.asofJoin(probes, quotes, "user_id", "ts",
+        Seq("quote"), direction = "nearest")
+      .select(col("event_id"), col("matchedTs"), col("quote"))
+      .orderBy(col("event_id")))
+    assert(out == Seq(
+      Seq(100L, 10L * H, 1.0),
+      Seq(101L, 20L * H, 2.0),
+      Seq(102L, 10L * H, 1.0),
+      Seq(103L, 20L * H, 2.0),
+      Seq(104L, 10L * H, 1.0)))
+    // nearest + tolerance: both sides farther than the bound → unmatched
+    val tol = rows(Events.asofJoin(probes, quotes, "user_id", "ts",
+        Seq("quote"), toleranceNs = Some(2L * H), direction = "nearest")
+      .select(col("event_id"), col("matchedTs"))
+      .orderBy(col("event_id")))
+    assert(tol == Seq(
+      Seq(100L, null), Seq(101L, 20L * H), Seq(102L, null),
+      Seq(103L, null), Seq(104L, null)))
+  }
+
   test("asofJoin tolerance nulls matches older than the bound") {
     val quotes = Seq((1L, 10L * H, 1.0)).toDF("user_id", "ts", "quote")
     val probes = Seq((100L, 1L, 11L * H), (101L, 1L, 20L * H))

@@ -501,6 +501,14 @@ class ScaleSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"one key exchange expected, got $exchanges:\n$plan")
     assert(out.count() == 50L)
+    // nearest evaluates BOTH direction windows — still one exchange
+    // (the two sorts share the key partitioning), still no join
+    val near = graft.functions.Events.asofJoin(
+      probes, quotes, "user_id", "ts", Seq("quote"), direction = "nearest")
+    val nplan = near.queryExecution.executedPlan.toString
+    assert(!nplan.contains("Join"), s"no join operator expected:\n$nplan")
+    assert("Exchange hashpartitioning".r.findAllIn(nplan).size == 1,
+      s"nearest must reuse the single key exchange:\n$nplan")
   }
 
   test("rangeJoin plans an equi-join on (key, bucket), never a nested loop") {
