@@ -162,6 +162,34 @@ object Events {
       .drop("__b")
   }
 
+  /** Interval-overlap join: every (left, right) interval pair of the
+    * same key that OVERLAPS — `ls < re && rs < le` (half-open;
+    * empty intervals drop out). Both sides explode to the `bucketNs`
+    * buckets they cover, equi-join on (key, bucket) — and since two
+    * overlapping intervals co-occupy every bucket of their overlap, the
+    * pair is kept only in the FIRST bucket both occupy
+    * (max(⌊ls/B⌋, ⌊rs/B⌋)), which makes each pair meet exactly once
+    * with no distinct/dedup shuffle. Same scale story as [[rangeJoin]]:
+    * fan-out ⌈len/B⌉+1 per interval, candidates bucket-local, no
+    * nested-loop join. Column names other than `key` must not collide
+    * across the inputs. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   ls: String, le: String, rs: String, re: String,
+                   bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    def explodeBuckets(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) > col(s))
+        .withColumn("__b", explode(sequence(
+          expr(s"`$s` div ${bucketNs}L"),
+          expr(s"(`$e` - 1) div ${bucketNs}L"))))
+    explodeBuckets(left, ls, le)
+      .join(explodeBuckets(right, rs, re), Seq(key, "__b"))
+      .filter(col(ls) < col(re) && col(rs) < col(le))
+      .filter(col("__b") === greatest(
+        expr(s"`$ls` div ${bucketNs}L"), expr(s"`$rs` div ${bucketNs}L")))
+      .drop("__b")
+  }
+
   /** Cohort day-N retention: cohort = day of a user's first activity;
     * one row per (cohortDay, dayOffset) with the distinct active users,
     * the cohort size and the retention ratio. */

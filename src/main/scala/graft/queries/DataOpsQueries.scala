@@ -1259,9 +1259,43 @@ object DataOpsQueries {
           col("ts"), col("wstart"))
         .orderBy(col("click_id"), col("purchase_id"))
     },
+    // interval-overlap join: each user's 2 h view windows × 2 h click
+    // windows. Both sides explode to 2 h buckets, equi-join on (user,
+    // bucket), and a pair is kept only in the FIRST bucket both occupy
+    // — exactly-once semantics with no distinct shuffle. The oracle is
+    // the raw overlap-predicate join.
+    "e10_interval_join" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val ev = s.table("events")
+      val twoH = 2L * 3600L * 1000000000L
+      def win(t: String, idAs: String, sAs: String, eAs: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("event_id").as(idAs), col("user_id"),
+            col("ts").as(sAs), (col("ts") + lit(twoH)).as(eAs))
+      Events.intervalJoin(
+          win("view", "view_id", "vs", "ve"),
+          win("click", "click_id", "cs", "ce"),
+          "user_id", "vs", "ve", "cs", "ce", bucketNs = twoH)
+        .select(col("view_id"), col("click_id"), col("user_id"),
+          col("vs"), col("cs"))
+        .orderBy(col("view_id"), col("click_id"))
+    },
   )
 
   def oracles: Map[String, String] = Map(
+    "e10_interval_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, epoch_ns(ts) AS vs,
+        |    epoch_ns(ts) + 7200000000000 AS ve
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_ns(ts) AS cs,
+        |    epoch_ns(ts) + 7200000000000 AS ce
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.view_id, c.click_id, v.user_id, v.vs, c.cs
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND v.vs < c.ce AND c.cs < v.ve
+        |ORDER BY v.view_id, c.click_id""".stripMargin,
     "d1_exact_dedup" ->
       s"""WITH $CorpusSql,
         |h AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keepId

@@ -148,6 +148,25 @@ class EventsSpec extends SparkSpec {
       Seq(100L, 10L), Seq(101L, 10L), Seq(101L, 11L), Seq(102L, 10L)))
   }
 
+  test("intervalJoin: overlap pairs meet exactly once across bucket spans") {
+    val B = 6L * H
+    val left = Seq(
+      (10L, 1L, 5L * H, 20L * H),   // spans buckets 0..3
+      (11L, 1L, 30L * H, 31L * H),  // disjoint from everything on the right
+      (12L, 1L, 40L * H, 40L * H),  // empty → dropped
+    ).toDF("l_id", "user_id", "ls", "le")
+    val right = Seq(
+      (20L, 1L, 0L, 36L * H),       // covers left 10 entirely (6 shared buckets)
+      (21L, 1L, 19L * H, 22L * H),  // overlaps left 10 by [19h, 20h)
+      (22L, 1L, 20L * H, 25L * H),  // touches left 10's exclusive end → no pair
+      (23L, 2L, 5L * H, 20L * H),   // other key
+    ).toDF("r_id", "user_id", "rs", "re")
+    val out = rows(Events.intervalJoin(left, right, "user_id",
+        "ls", "le", "rs", "re", B)
+      .select(col("l_id"), col("r_id")).orderBy(col("l_id"), col("r_id")))
+    assert(out == Seq(Seq(10L, 20L), Seq(10L, 21L), Seq(11L, 20L)))
+  }
+
   test("retention: cohort from first activity, per-offset distinct users") {
     val D = Events.DayNs
     val ev = Seq(
