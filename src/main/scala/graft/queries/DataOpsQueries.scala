@@ -1259,6 +1259,29 @@ object DataOpsQueries {
           col("ts"), col("wstart"))
         .orderBy(col("click_id"), col("purchase_id"))
     },
+    // EXACT distributed percentiles (percentile_disc semantics: the
+    // value at row ⌈p·n⌉ in sorted order) of doc length per language —
+    // one shuffle on the group key + a per-group sort; no floating
+    // interpolation, so the order statistics are engine-identical
+    // integers (percentile_approx/quantile sketches trade exactness for
+    // a mergeable summary — Sketches.approxQuantiles is that path).
+    // Rank ties are harmless: the value AT a rank is a property of the
+    // sorted multiset, whatever order equal values take.
+    "t18_percentiles" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      val wn = Window.partitionBy(col("lang"))
+      val ranked = d.select(col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      def pct(p: Double, name: String) =
+        min(when(col("rn") >= ceil(lit(p) * col("n")), col("n_chars")))
+          .as(name)
+      ranked.groupBy(col("lang"))
+        .agg(pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"),
+          pct(0.9, "p90"), count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    },
     // interval-overlap join: each user's 2 h view windows × 2 h click
     // windows. Both sides explode to 2 h buckets, equi-join on (user,
     // bucket), and a pair is kept only in the FIRST bucket both occupy
@@ -1283,6 +1306,19 @@ object DataOpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "t18_percentiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |  MIN(CASE WHEN rn >= CEIL(0.25 * n) THEN n_chars END) AS p25,
+        |  MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN n_chars END) AS p50,
+        |  MIN(CASE WHEN rn >= CEIL(0.75 * n) THEN n_chars END) AS p75,
+        |  MIN(CASE WHEN rn >= CEIL(0.9 * n) THEN n_chars END) AS p90,
+        |  COUNT(*) AS n_docs
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "e10_interval_join" ->
       """WITH v AS (
         |  SELECT event_id AS view_id, user_id, epoch_ns(ts) AS vs,

@@ -285,6 +285,39 @@ object Changefeed {
         })
   }
 
+  /** Streaming range join: each micro-batch of arriving points
+    * (key, ts, …) is attributed against the STANDING interval table
+    * (campaign/session/maintenance windows) via the same bucketized
+    * equi-join as [[graft.functions.Events.rangeJoin]] — the pre-bucketed
+    * interval frame is built ONCE and pinned (foreachBatch re-executes
+    * the static side's plan per trigger, so handing it raw intervals
+    * would re-explode the whole standing table every batch). Per batch
+    * the work is the batch's own bucket keying + the bucket-local join:
+    * O(batch), no streaming state. `sink` receives each batch's matched
+    * pairs. */
+  def streamingRangeJoin(points: DataFrame, intervals: DataFrame,
+                         key: String, ts: String, start: String, end: String,
+                         bucketNs: Long,
+                         sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    val bucketed = intervals.filter(col(end) > col(start))
+      .withColumn("__b", explode(sequence(
+        expr(s"`$start` div ${bucketNs}L"),
+        expr(s"(`$end` - 1) div ${bucketNs}L"))))
+    withStandingFrame(bucketed, points.sparkSession) { pinned =>
+      points.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val out = batch.toDF()
+            .withColumn("__b", expr(s"`$ts` div ${bucketNs}L"))
+            .join(pinned, Seq(key, "__b"))
+            .filter(col(ts) >= col(start) && col(ts) < col(end))
+            .drop("__b")
+          sink(out, batchId)
+        }
+        .start()
+    }
+  }
+
   /** One row of the unified as-of stream: side 0 = quote (value carries
     * the payload), side 1 = probe (id identifies the probe row). */
   final case class AsofEvent(key: Long, ts: Long, side: Int, id: Long,

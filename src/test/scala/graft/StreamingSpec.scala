@@ -325,6 +325,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed range join attributes each batch against standing windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000000000L
+    val intervals = Seq(
+      (10L, 1L, 5L * H, 14L * H),  // spans three 6 h buckets
+      (11L, 1L, 8L * H, 9L * H),
+      (12L, 2L, 0L, 6L * H),
+    ).toDF("iv_id", "user_id", "s", "e")
+    val pts = Seq(
+      (100L, 1L, 5L * H), (101L, 1L, 8L * H), (102L, 1L, 13L * H),
+      (103L, 1L, 14L * H), (104L, 2L, 3L * H), (105L, 2L, 7L * H),
+    )
+    val mem = MemoryStream[(Long, Long, Long)]
+    val acc = scala.collection.concurrent.TrieMap[(Long, Long), Long]()
+    val q = Changefeed.streamingRangeJoin(
+      mem.toDF().toDF("p_id", "user_id", "ts"), intervals,
+      "user_id", "ts", "s", "e", bucketNs = 6L * H,
+      (out, _) => out.collect().foreach { r =>
+        val k = (r.getAs[Long]("p_id"), r.getAs[Long]("iv_id"))
+        acc(k) = acc.getOrElse(k, 0L) + 1L
+      })
+    try {
+      // two batches — the standing side must not rebuild per trigger,
+      // and no pair may arrive twice
+      mem.addData(pts.take(3): _*); q.processAllAvailable()
+      mem.addData(pts.drop(3): _*); q.processAllAvailable()
+      val expect = rows(graft.functions.Events.rangeJoin(
+          pts.toDF("p_id", "user_id", "ts"), intervals,
+          "user_id", "ts", "s", "e", bucketNs = 6L * H)
+        .select(col("p_id"), col("iv_id")))
+        .map(r => (r.head.asInstanceOf[Long], r.last.asInstanceOf[Long])).toSet
+      assert(acc.keySet == expect)
+      assert(acc.values.forall(_ == 1L), s"duplicated pairs: $acc")
+      assert(expect == Set((100L, 10L), (101L, 10L), (101L, 11L),
+        (102L, 10L), (104L, 12L)))
+    } finally q.stop()
+  }
+
   test("streamed sessionization: batch parity, sessions continue across batches") {
     import graft.streaming.Changefeed.{SessCount, SessEvent}
     implicit val sqlCtx = spark.sqlContext
