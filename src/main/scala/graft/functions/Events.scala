@@ -91,7 +91,13 @@ object Events {
                direction: String = "backward"): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
-    val q = quotes.select(col(key), col(ts),
+    // NULL-key quotes can never match under join semantics (DuckDB's
+    // ASOF ON c.k = q.k, kdb aj, merge_asof all agree) — but
+    // Window.partitionBy GROUPS nulls, so without this filter a
+    // NULL-key probe would silently match a NULL-key quote. Dropping
+    // them leaves NULL-key probes in a quote-free partition → unmatched
+    // rows, preserving the LEFT semantics.
+    val q = quotes.filter(col(key).isNotNull).select(col(key), col(ts),
       struct(col(ts).as("matchedTs") +: payload.map(col): _*).as("__q"),
       lit(0).as("__side"))
     val p = probes.select(col(key), col(ts),
@@ -134,17 +140,50 @@ object Events {
       ("matchedTs" +: payload).map(c => col("__m")(c).as(c)): _*)
   }
 
+  /** The per-interval bucket cap [[bucketized]] enforces: one corrupt
+    * or open-ended-sentinel end value (e.g. Long.MaxValue) must fail
+    * loudly on ITS row, not OOM an executor mid-explode. 2^20 buckets
+    * ≈ a year of 30 s buckets — far beyond any sane bucketNs choice
+    * (fan-out is meant to be O(1)); genuinely longer intervals call for
+    * a coarser bucketNs. */
+  val MaxBucketsPerInterval: Long = 1L << 20
+
+  /** Shared bucketizer for the range/interval join family (the batch
+    * operators AND [[graft.streaming.Changefeed.streamingRangeJoin]]'s
+    * pinned standing frame build on this one definition — exactly-once
+    * pairing and stream/batch parity depend on the point-side keying
+    * and interval-side explode using the SAME bucket function): keeps
+    * non-empty intervals and explodes each to the `bucketNs`-wide
+    * buckets it covers, guarded by [[MaxBucketsPerInterval]] via a
+    * row-level raise_error — the bad row is named, the job dies
+    * cleanly. */
+  private[graft] def bucketized(intervals: DataFrame, start: String,
+                                end: String, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    val b0 = expr(s"`$start` div ${bucketNs}L")
+    val b1 = expr(s"(`$end` - 1) div ${bucketNs}L")
+    intervals.filter(col(end) > col(start))
+      .withColumn("__b", explode(
+        when(b1 - b0 < MaxBucketsPerInterval, sequence(b0, b1))
+          .otherwise(raise_error(concat(
+            lit(s"rangeJoin: interval ["), col(start), lit(", "), col(end),
+            lit(s") spans more than $MaxBucketsPerInterval buckets of " +
+              s"$bucketNs ns — corrupt bound or bucketNs far too small"))))))
+  }
+
   /** Point-in-interval (range) join: every (point, interval) pair of the
     * same key with start ≤ ts < end (half-open; empty/negative intervals
     * drop out). Executed as an EQUI-join on (key, time bucket): each
     * interval explodes to the `bucketNs`-wide buckets it covers
-    * (⌈len/bucketNs⌉+1 copies), each point lands in exactly one bucket —
-    * so a qualifying pair meets exactly once and needs no dedup pass,
-    * and the exact range predicate runs only on bucket-local candidates.
-    * Pick bucketNs near the typical interval length: fan-out stays O(1)
-    * per interval while candidates stay bucket-local. A raw
-    * range-predicate join would plan as BroadcastNestedLoop — every
-    * point scanned per interval — which no cluster survives at 100 TB.
+    * (⌈len/bucketNs⌉+1 copies, capped loudly at
+    * [[MaxBucketsPerInterval]]), each point lands in exactly one
+    * bucket — so a qualifying pair meets exactly once and needs no
+    * dedup pass, and the exact range predicate runs only on
+    * bucket-local candidates. Pick bucketNs near the typical interval
+    * length: fan-out stays O(1) per interval while candidates stay
+    * bucket-local. A raw range-predicate join would plan as
+    * BroadcastNestedLoop — every point scanned per interval — which no
+    * cluster survives at 100 TB.
     *
     * Column names (other than `key`) must not collide across the two
     * inputs; rename before calling. */
@@ -153,11 +192,7 @@ object Events {
                 bucketNs: Long): DataFrame = {
     require(bucketNs > 0, "bucketNs must be positive")
     val p = points.withColumn("__b", expr(s"`$ts` div ${bucketNs}L"))
-    val iv = intervals.filter(col(end) > col(start))
-      .withColumn("__b", explode(sequence(
-        expr(s"`$start` div ${bucketNs}L"),
-        expr(s"(`$end` - 1) div ${bucketNs}L"))))
-    p.join(iv, Seq(key, "__b"))
+    p.join(bucketized(intervals, start, end, bucketNs), Seq(key, "__b"))
       .filter(col(ts) >= col(start) && col(ts) < col(end))
       .drop("__b")
   }
@@ -177,13 +212,8 @@ object Events {
                    ls: String, le: String, rs: String, re: String,
                    bucketNs: Long): DataFrame = {
     require(bucketNs > 0, "bucketNs must be positive")
-    def explodeBuckets(df: DataFrame, s: String, e: String) =
-      df.filter(col(e) > col(s))
-        .withColumn("__b", explode(sequence(
-          expr(s"`$s` div ${bucketNs}L"),
-          expr(s"(`$e` - 1) div ${bucketNs}L"))))
-    explodeBuckets(left, ls, le)
-      .join(explodeBuckets(right, rs, re), Seq(key, "__b"))
+    bucketized(left, ls, le, bucketNs)
+      .join(bucketized(right, rs, re, bucketNs), Seq(key, "__b"))
       .filter(col(ls) < col(re) && col(rs) < col(le))
       .filter(col("__b") === greatest(
         expr(s"`$ls` div ${bucketNs}L"), expr(s"`$rs` div ${bucketNs}L")))

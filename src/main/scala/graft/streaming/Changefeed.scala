@@ -300,10 +300,10 @@ object Changefeed {
                          bucketNs: Long,
                          sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(bucketNs > 0, "bucketNs must be positive")
-    val bucketed = intervals.filter(col(end) > col(start))
-      .withColumn("__b", explode(sequence(
-        expr(s"`$start` div ${bucketNs}L"),
-        expr(s"(`$end` - 1) div ${bucketNs}L"))))
+    // the ONE bucket definition the batch operators use — parity with
+    // Events.rangeJoin depends on byte-identical bucketization
+    val bucketed = graft.functions.Events.bucketized(
+      intervals, start, end, bucketNs)
     withStandingFrame(bucketed, points.sparkSession) { pinned =>
       points.writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -348,7 +348,12 @@ object Changefeed {
           var last = state.getOption
           val out = batch.toSeq.sortBy(e => (e.ts, e.side, e.id)).flatMap {
             case q if q.side == 0 =>
-              last = Some((q.ts, q.value)); None
+              // monotonic guard: a contract-violating LATE quote (older
+              // than the quote already on file) must not roll the state
+              // back and silently corrupt every later probe's match —
+              // within a batch the sort makes this a no-op
+              if (last.forall(_._1 <= q.ts)) last = Some((q.ts, q.value))
+              None
             case p =>
               Some(AsofMatch(p.id, key, p.ts, last.map(_._1), last.map(_._2)))
           }

@@ -148,6 +148,35 @@ class EventsSpec extends SparkSpec {
       Seq(100L, 10L), Seq(101L, 10L), Seq(101L, 11L), Seq(102L, 10L)))
   }
 
+  test("asofJoin: NULL-key probes never match NULL-key quotes (join semantics)") {
+    val quotes = Seq[(java.lang.Long, Long, Double)](
+      (null, 5L * H, 1.0), (1L, 5L * H, 2.0),
+    ).toDF("user_id", "ts", "quote")
+    val probes = Seq[(Long, java.lang.Long, Long)](
+      (100L, null, 10L * H), (101L, 1L, 10L * H),
+    ).toDF("event_id", "user_id", "ts")
+    val out = rows(Events.asofJoin(probes, quotes, "user_id", "ts",
+        Seq("quote"))
+      .select(col("event_id"), col("matchedTs"), col("quote"))
+      .orderBy(col("event_id")))
+    // the NULL-key probe stays (LEFT semantics) but matches nothing —
+    // Window.partitionBy groups nulls, a raw window plan would pair them
+    assert(out == Seq(Seq(100L, null, null), Seq(101L, 5L * H, 2.0)))
+  }
+
+  test("rangeJoin: a bucket-bomb interval fails loudly, not with an OOM") {
+    val iv = Seq((10L, 1L, 0L, Long.MaxValue))
+      .toDF("iv_id", "user_id", "s", "e")
+    val pts = Seq((100L, 1L, 5L)).toDF("p_id", "user_id", "ts")
+    val err = intercept[Exception] {
+      Events.rangeJoin(pts, iv, "user_id", "ts", "s", "e", 1000L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("spans more than")),
+      s"expected the named-row raise_error, got: $err")
+  }
+
   test("intervalJoin: overlap pairs meet exactly once across bucket spans") {
     val B = 6L * H
     val left = Seq(

@@ -325,6 +325,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed as-of: a late quote cannot roll state back") {
+    import graft.streaming.Changefeed.{AsofEvent, AsofMatch}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AsofEvent]
+    val q = Changefeed.streamingAsof(mem.toDS())
+      .writeStream.format("memory").queryName("asof_late_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(AsofEvent(1L, 100L, 0, 0L, 5.0)); q.processAllAvailable()
+      // batch 2 delivers an OLDER quote (contract violation) + a probe:
+      // the probe must still see the ts=100 quote, not the stale ts=50
+      mem.addData(AsofEvent(1L, 50L, 0, 0L, 9.0),
+        AsofEvent(1L, 200L, 1, 42L, 0.0))
+      q.processAllAvailable()
+      val m = spark.table("asof_late_out").as[AsofMatch].collect()
+        .find(_.id == 42L).get
+      assert(m.matchedTs.contains(100L) && m.value.contains(5.0),
+        s"late quote rolled the state back: $m")
+    } finally q.stop()
+  }
+
   test("streamed range join attributes each batch against standing windows") {
     implicit val sqlCtx = spark.sqlContext
     val H = 3600000000000L
