@@ -74,4 +74,39 @@ object Shuffles {
       .withColumn("cumBefore", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("keep", col("cumBefore") < shardBudget)
   }
+
+  /** Spread the low 32 bits of `x` onto the even bit positions of a
+    * 64-bit value (the standard Morton magic-mask ladder — pure integer
+    * shifts/masks, so Spark and any SQL engine compute it identically). */
+  private def spreadBits(x: Column): Column = {
+    val steps = Seq(
+      (16, 281470681808895L),     // 0x0000FFFF0000FFFF
+      (8, 71777214294589695L),    // 0x00FF00FF00FF00FF
+      (4, 1085102592571150095L),  // 0x0F0F0F0F0F0F0F0F
+      (2, 3689348814741910323L),  // 0x3333333333333333
+      (1, 6148914691236517205L))  // 0x5555555555555555
+    steps.foldLeft(x.bitwiseAND(lit(4294967295L))) { case (acc, (s, m)) =>
+      (acc.bitwiseOR(shiftleft(acc, s))).bitwiseAND(lit(m))
+    }
+  }
+
+  /** 2-D Morton (Z-order) interleave of two non-negative dimension
+    * values (each must fit in 32 bits; x takes the even bits, y the
+    * odd). Nearby (x, y) pairs land near each other on the curve. */
+  def mortonInterleave(x: Column, y: Column): Column =
+    spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
+
+  /** Z-order data layout (the Delta/Iceberg OPTIMIZE ZORDER shape):
+    * range-partition the frame by the Morton code of two filter
+    * dimensions, so files written from the result are 2-D-local and a
+    * scan filtering on EITHER dimension prunes most of them via
+    * min/max footer stats. This is a LAYOUT operator: one range
+    * exchange (sampling + shuffle), no global sort — rows inside a
+    * partition stay unsorted unless the writer sorts within partitions.
+    * At 100 TB this is how a (user, day)-filtered events lake avoids
+    * reading every file for either predicate. */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+                   nPartitions: Int): DataFrame =
+    df.withColumn("zval", mortonInterleave(col(xCol), col(yCol)))
+      .repartitionByRange(nPartitions, col("zval"))
 }

@@ -1259,6 +1259,21 @@ object DataOpsQueries {
           col("ts"), col("wstart"))
         .orderBy(col("click_id"), col("purchase_id"))
     },
+    // Z-order (Morton) codes for 2-D data layout: interleave (user_id,
+    // event day) bits so range-partitioned files are local in BOTH
+    // dimensions and either filter prunes via footer min/max stats (the
+    // Delta/Iceberg OPTIMIZE ZORDER shape — Shuffles.zorderLayout is
+    // the one-range-exchange layout op; this entry differentials the
+    // pure-integer mask ladder itself, engine-identical by
+    // construction)
+    "t19_zorder" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val z = Shuffles.mortonInterleave(col("user_id"),
+        expr(s"ts div ${Events.DayNs}"))
+      s.table("events")
+        .select(col("event_id"), z.as("zval"))
+        .orderBy(col("event_id"))
+    },
     // EXACT distributed percentiles (percentile_disc semantics: the
     // value at row ⌈p·n⌉ in sorted order) of doc length per language —
     // one shuffle on the group key + a per-group sort; no floating
@@ -1306,6 +1321,24 @@ object DataOpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the same Morton magic-mask ladder in portable integer SQL
+    "t19_zorder" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id & 4294967295 AS a,
+        |    (epoch_ns(ts) // 86400000000000) & 4294967295 AS b
+        |  FROM events),
+        |s1 AS (SELECT event_id, (a | (a << 16)) & 281470681808895 AS a,
+        |              (b | (b << 16)) & 281470681808895 AS b FROM e),
+        |s2 AS (SELECT event_id, (a | (a << 8)) & 71777214294589695 AS a,
+        |              (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+        |s3 AS (SELECT event_id, (a | (a << 4)) & 1085102592571150095 AS a,
+        |              (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+        |s4 AS (SELECT event_id, (a | (a << 2)) & 3689348814741910323 AS a,
+        |              (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+        |s5 AS (SELECT event_id, (a | (a << 1)) & 6148914691236517205 AS a,
+        |              (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
+        |SELECT event_id, a | (b << 1) AS zval FROM s5
+        |ORDER BY event_id""".stripMargin,
     "t18_percentiles" ->
       """WITH r AS (
         |  SELECT lang, n_chars,

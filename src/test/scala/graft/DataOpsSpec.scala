@@ -15,6 +15,20 @@ class DataOpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("mortonInterleave: known codes, 32-bit range, dimension symmetry") {
+    import graft.functions.Shuffles
+    val df = Seq(
+      (1L, 0L, 0L), (2L, 3L, 1L), (3L, 0L, 1L), (4L, 1L, 0L),
+      (5L, 2147483648L, 0L),       // bit 31 → even bit 62
+      (6L, 4294967295L, 4294967295L), // full 32-bit ones → all 64 bits set
+    ).toDF("id", "x", "y")
+    val out = rows(df.select(col("id"),
+        Shuffles.mortonInterleave(col("x"), col("y")).as("z"))
+      .orderBy(col("id"))).map(_.last)
+    // spread(3)=0b101=5, spread(1)=1 → 5 | (1<<1) = 7
+    assert(out == Seq(0L, 7L, 2L, 1L, 4611686018427387904L, -1L))
+  }
+
   test("exact dedup keeps min id per content hash") {
     val out = rows(Dedup.exact(docs, "doc_id", "text")
       .filter(col("isDuplicate")).select(col("doc_id"), col("keepId")))

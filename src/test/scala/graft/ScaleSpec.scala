@@ -529,6 +529,18 @@ class ScaleSpec extends SparkSpec {
     out.count()
   }
 
+  test("zorderLayout plans ONE range exchange, no global sort") {
+    val df = (1L to 500L).map(i => (i, i % 37L, i % 11L))
+      .toDF("event_id", "user_id", "day")
+    val out = graft.functions.Shuffles.zorderLayout(df, "user_id", "day", 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"range exchange expected:\n$plan")
+    // layout ≠ ordering: no Sort operator outside the range sampler
+    assert(!plan.contains("Sort ["), s"no global sort expected:\n$plan")
+    assert(out.count() == 500L)
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
