@@ -57,6 +57,45 @@ object Sketches {
                       probabilities: Array[Double], relErr: Double = 0.01): Array[Double] =
     df.stat.approxQuantile(column, probabilities, relErr)
 
+  /** Deterministic Count-Min sketch build: d salted md5 hash rows ×
+    * w counters. Each input row lands in one slot per hash row; the
+    * sketch is the (row, slot) → count table — d·w cells no matter the
+    * input size, aggregated with map-side partials (the shuffle carries
+    * ≤ d·w rows per partition). Like [[hllCardinality]], every op is
+    * integer/string (md5 hex → int), so the sketch is bit-identical in
+    * any engine — the differential-gateable twin of a production CMS. */
+  def countMinSketch(df: DataFrame, valueCol: String,
+                     d: Int = 4, w: Int = 256): DataFrame = {
+    df.select(explode(array(cmSlots(col(valueCol), d, w): _*)).as("rs"))
+      .groupBy(col("rs")("row").as("row"), col("rs")("slot").as("slot"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The d (row, slot) cells a value hashes to (slot = first 2 md5 hex
+    * chars of value ∥ "cm<row>", mod w — with the default w = 256 the
+    * mod is the identity, which is what the SQL oracle spells). */
+  private def cmSlots(v: Column, d: Int, w: Int): Seq[Column] =
+    (0 until d).map { i =>
+      struct(lit(i.toLong).as("row"),
+        (conv(substring(md5(concat(v.cast("string"), lit(s"cm$i"))), 1, 2),
+          16, 10).cast("long") % w).as("slot"))
+    }
+
+  /** Point-frequency estimates from a built sketch: est(v) = min over
+    * hash rows of the value's counter (the CMS guarantee: never an
+    * undercount; overcount only on slot collisions). The sketch side is
+    * d·w rows — broadcast — so probing any number of keys is one narrow
+    * broadcast join, no shuffle of the sketch. */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame,
+                       valueCol: String, d: Int = 4, w: Int = 256): DataFrame =
+    probes.select(col(valueCol),
+        explode(array(cmSlots(col(valueCol), d, w): _*)).as("rs"))
+      .select(col(valueCol), col("rs")("row").as("row"),
+        col("rs")("slot").as("slot"))
+      .join(broadcast(sketch), Seq("row", "slot"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cmEstimate"))
+
   /** Deterministic HyperLogLog cardinality (m = 64 registers, 32-bit
     * rank window) — the differential-gateable twin of
     * [[approxDistinct]]: bucket and rank come from md5 hex (integer and

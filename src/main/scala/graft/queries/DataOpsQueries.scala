@@ -1259,6 +1259,24 @@ object DataOpsQueries {
           col("ts"), col("wstart"))
         .orderBy(col("click_id"), col("purchase_id"))
     },
+    // deterministic Count-Min sketch (d = 4 salted md5 rows × 256
+    // counters) over event_type frequencies, probed for every distinct
+    // type next to the exact count: est ≥ exact by the CMS guarantee,
+    // and every op is integer/string so the whole sketch differentials
+    // bit-exact. The sketch is d·w cells regardless of input size
+    // (map-side partials) and the probe join broadcasts it.
+    "t20_countmin" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val ev = s.table("events")
+      val sk = graft.functions.Sketches.countMinSketch(ev, "event_type")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exactCount"))
+      graft.functions.Sketches.countMinEstimate(
+          sk, ev.select(col("event_type")).distinct(), "event_type")
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("exactCount"), col("cmEstimate"))
+        .orderBy(col("event_type"))
+    },
     // Z-order (Morton) codes for 2-D data layout: interleave (user_id,
     // event day) bits so range-partitioned files are local in BOTH
     // dimensions and either filter prunes via footer min/max stats (the
@@ -1321,6 +1339,36 @@ object DataOpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the same d=4 × w=256 CMS in portable SQL: slot = first two md5
+    // hex chars of value ∥ 'cm<row>' (w = 256 → no mod needed)
+    "t20_countmin" ->
+      """WITH rows4 AS (SELECT UNNEST(range(0, 4)) AS row),
+        |cells AS (
+        |  SELECT row,
+        |    CAST((strpos('0123456789abcdef', hx[1]) - 1) * 16
+        |      + (strpos('0123456789abcdef', hx[2]) - 1) AS BIGINT) AS slot
+        |  FROM (
+        |    SELECT r.row AS row,
+        |      md5(e.event_type || 'cm' || CAST(r.row AS VARCHAR)) AS hx
+        |    FROM events e, rows4 r)),
+        |sk AS (SELECT row, slot, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT event_type FROM events),
+        |pcells AS (
+        |  SELECT event_type, row,
+        |    CAST((strpos('0123456789abcdef', hx[1]) - 1) * 16
+        |      + (strpos('0123456789abcdef', hx[2]) - 1) AS BIGINT) AS slot
+        |  FROM (
+        |    SELECT p.event_type AS event_type, r.row AS row,
+        |      md5(p.event_type || 'cm' || CAST(r.row AS VARCHAR)) AS hx
+        |    FROM probes p, rows4 r)),
+        |est AS (
+        |  SELECT pc.event_type, MIN(COALESCE(sk.c, 0)) AS cmEstimate
+        |  FROM pcells pc LEFT JOIN sk ON sk.row = pc.row AND sk.slot = pc.slot
+        |  GROUP BY pc.event_type),
+        |ex AS (SELECT event_type, COUNT(*) AS exactCount FROM events GROUP BY 1)
+        |SELECT ex.event_type, ex.exactCount, est.cmEstimate
+        |FROM ex JOIN est ON ex.event_type = est.event_type
+        |ORDER BY ex.event_type""".stripMargin,
     // the same Morton magic-mask ladder in portable integer SQL
     "t19_zorder" ->
       """WITH e AS (

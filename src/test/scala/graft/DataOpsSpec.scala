@@ -15,6 +15,24 @@ class DataOpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("countMin: exact when collision-free, never undercounts when forced") {
+    import graft.functions.Sketches
+    val ev = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "v")
+    val probes = Seq("a", "b", "c").map(Tuple1(_)).toDF("v")
+    // w = 256: 3 keys cannot realistically collide → estimates exact
+    val sk = Sketches.countMinSketch(ev, "v")
+    val est = rows(Sketches.countMinEstimate(sk, probes, "v").orderBy(col("v")))
+      .map(r => r.head -> r.last).toMap
+    assert(est == Map("a" -> 7L, "b" -> 3L, "c" -> 1L))
+    // w = 1: every key shares the single slot → every estimate is the
+    // total row count — an OVERcount for all keys, never an undercount
+    val sk1 = Sketches.countMinSketch(ev, "v", w = 1)
+    val est1 = rows(Sketches.countMinEstimate(sk1, probes, "v", w = 1))
+      .map(_.last)
+    assert(est1.forall(_ == 11L))
+  }
+
   test("mortonInterleave: known codes, 32-bit range, dimension symmetry") {
     import graft.functions.Shuffles
     val df = Seq(
