@@ -57,6 +57,78 @@ object Sketches {
                       probabilities: Array[Double], relErr: Double = 0.01): Array[Double] =
     df.stat.approxQuantile(column, probabilities, relErr)
 
+  /** Bounded k-minimum-values buffer: a custom typed Aggregator whose
+    * partial state is AT MOST k distinct hash values — the production
+    * shape for distinct estimation: map-side partials are k longs per
+    * partition and the merge is k-bounded, so nothing ever shuffles
+    * O(distinct). (Contrast a distinct().orderBy().limit(k), which
+    * shuffles the full distinct set.) */
+  final class KMinValues(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Long], Array[Long]]
+      with Serializable {
+    // buffer = SORTED distinct array, ≤ k elements — the native array
+    // encoder round-trips it exactly (a kryo'd TreeSet comes back as a
+    // HashSet and loses the ordering contract); inserts rebuild the
+    // ≤ k-long array, trivial at sketch sizes
+    def zero: Array[Long] = Array.emptyLongArray
+    private def insert(b: Array[Long], a: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(b, a)
+      if (i >= 0) b // already present
+      else {
+        val p = -i - 1
+        val out = new Array[Long](b.length + 1)
+        System.arraycopy(b, 0, out, 0, p)
+        out(p) = a
+        System.arraycopy(b, p, out, p + 1, b.length - p)
+        if (out.length > k) out.dropRight(1) else out
+      }
+    }
+    def reduce(b: Array[Long], a: Long): Array[Long] =
+      if (b.length < k || a < b.last) insert(b, a) else b
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      y.foldLeft(x)(reduce)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The k smallest distinct 32-bit hashes of a column (KMV / bottom-k
+    * theta-style sketch) via [[KMinValues]]; hash = the engine-portable
+    * [[Shuffles.hashKey]]. Driver receives ≤ k longs. */
+  def kmvMinima(df: DataFrame, valueCol: String, k: Int,
+                salt: String = "kmv"): Array[Long] = {
+    import df.sparkSession.implicits._
+    df.select(Shuffles.hashKey(col(valueCol), salt).as("hv")).as[Long]
+      .select(new KMinValues(k).toColumn).head()
+  }
+
+  /** KMV distinct estimate — EXACT when the sketch never filled
+    * (estimate = |minima|), else the classic (k−1)·2^32 / h_(k), in
+    * INTEGER division so the value is engine-identical. */
+  def kmvEstimate(minima: Array[Long], k: Int): Long =
+    if (minima.length < k) minima.length
+    else (k - 1L) * 4294967296L / minima.last
+
+  /** KMV set estimates over two sketches: the union sketch is the k
+    * smallest of the merged minima; the intersection estimate is the
+    * standard |K(∪) ∩ A ∩ B| / k share of the union estimate (integer
+    * arithmetic throughout). Returns (estUnion, estIntersect). */
+  def kmvSetEstimates(a: Array[Long], b: Array[Long], k: Int): (Long, Long) = {
+    val union = (a ++ b).distinct.sorted.take(k)
+    val estU =
+      if (union.length < k) union.length.toLong
+      else (k - 1L) * 4294967296L / union.last
+    val sa = a.toSet; val sb = b.toSet
+    val matches = union.count(h => sa(h) && sb(h)).toLong
+    // unfilled union sketch = the COMPLETE union: matches IS |A ∩ B|
+    // (the m/k ratio is only meaningful once the sketch saturates)
+    val estI = if (union.length < k) matches else matches * estU / k
+    (estU, estI)
+  }
+
   /** Deterministic Count-Min sketch build: d salted md5 hash rows ×
     * w counters. Each input row lands in one slot per hash row; the
     * sketch is the (row, slot) → count table — d·w cells no matter the

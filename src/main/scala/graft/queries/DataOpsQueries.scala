@@ -1259,6 +1259,34 @@ object DataOpsQueries {
           col("ts"), col("wstart"))
         .orderBy(col("click_id"), col("purchase_id"))
     },
+    // KMV (bottom-k / theta-style) distinct sketch, k = 64: distinct
+    // viewers, clickers, their union AND intersection estimated from
+    // two 64-long sketches — the mergeable-set-algebra story COUNT
+    // DISTINCT can't do (estimating an intersection without co-shuffling
+    // either side). The sketch aggregate is a custom typed Aggregator
+    // whose partial state is ≤ k longs per partition (nothing shuffles
+    // O(distinct)); estimates are integer-exact ((k−1)·2^32 div h_k) so
+    // the row differentials bit-for-bit. Driver sees ≤ 2k longs.
+    "t21_kmv" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      import s.implicits._
+      val ev = s.table("events")
+      val k = 64
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id"))
+      val a = graft.functions.Sketches.kmvMinima(users("view"), "user_id", k)
+      val b = graft.functions.Sketches.kmvMinima(users("click"), "user_id", k)
+      val (estU, estI) = graft.functions.Sketches.kmvSetEstimates(a, b, k)
+      val exactA = users("view").distinct().count()
+      val exactB = users("click").distinct().count()
+      val exactI = users("view").distinct()
+        .join(users("click").distinct(), "user_id").count()
+      Seq((exactA, graft.functions.Sketches.kmvEstimate(a, k),
+          exactB, graft.functions.Sketches.kmvEstimate(b, k),
+          exactA + exactB - exactI, estU, exactI, estI))
+        .toDF("exactA", "estA", "exactB", "estB",
+          "exactU", "estU", "exactI", "estI")
+    },
     // deterministic Count-Min sketch (d = 4 salted md5 rows × 256
     // counters) over event_type frequencies, probed for every distinct
     // type next to the exact count: est ≥ exact by the CMS guarantee,
@@ -1339,6 +1367,43 @@ object DataOpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the same KMV algebra in SQL: hv = hashKey's 8-hex-char md5 value,
+    // bottom-64 DISTINCT hashes per side, union = bottom-64 of the
+    // merged sets, estimates in the same integer division
+    "t21_kmv" -> {
+      val hv = (1 to 8).map(i =>
+        s"CAST(strpos('0123456789abcdef', hx[$i]) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")
+        .mkString("\n        + ")
+      s"""WITH ua AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |ub AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |ha AS (SELECT DISTINCT $hv AS hv
+        |  FROM (SELECT md5(CAST(user_id AS VARCHAR) || 'kmv') AS hx FROM ua)),
+        |hb AS (SELECT DISTINCT $hv AS hv
+        |  FROM (SELECT md5(CAST(user_id AS VARCHAR) || 'kmv') AS hx FROM ub)),
+        |ka AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+        |kb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+        |ku AS (SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+        |       ORDER BY hv LIMIT 64),
+        |stats AS (SELECT
+        |  (SELECT COUNT(*) FROM ka) AS na, (SELECT MAX(hv) FROM ka) AS hka,
+        |  (SELECT COUNT(*) FROM kb) AS nb, (SELECT MAX(hv) FROM kb) AS hkb,
+        |  (SELECT COUNT(*) FROM ku) AS nu, (SELECT MAX(hv) FROM ku) AS hku,
+        |  (SELECT COUNT(*) FROM ku
+        |     WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)) AS m,
+        |  (SELECT COUNT(*) FROM ua) AS exactA,
+        |  (SELECT COUNT(*) FROM ub) AS exactB,
+        |  (SELECT COUNT(*) FROM ua JOIN ub USING (user_id)) AS exactI)
+        |SELECT exactA,
+        |  CASE WHEN na < 64 THEN na ELSE 63 * 4294967296 // hka END AS estA,
+        |  exactB,
+        |  CASE WHEN nb < 64 THEN nb ELSE 63 * 4294967296 // hkb END AS estB,
+        |  exactA + exactB - exactI AS exactU,
+        |  CASE WHEN nu < 64 THEN nu ELSE 63 * 4294967296 // hku END AS estU,
+        |  exactI,
+        |  CASE WHEN nu < 64 THEN m
+        |    ELSE m * (63 * 4294967296 // hku) // 64 END AS estI
+        |FROM stats""".stripMargin
+    },
     // the same d=4 × w=256 CMS in portable SQL: slot = first two md5
     // hex chars of value ∥ 'cm<row>' (w = 256 → no mod needed)
     "t20_countmin" ->

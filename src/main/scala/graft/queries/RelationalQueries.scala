@@ -82,6 +82,23 @@ object RelationalQueries {
         .select($"ship_year", $"l_returnflag", $"gid", $"sum_qty", $"n_items")
         .orderBy($"gid", $"ship_year", $"l_returnflag")
     },
+    // OLAP GROUPING SETS: the two one-dimension marginals + the grand
+    // total, WITHOUT the base (flag, status) cells — the custom-sets
+    // case rollup/cube can't express; same single Expand + hash
+    // aggregate execution. SQL surface (GROUP BY GROUPING SETS) over
+    // the registered views — the DataFrame API has no grouping-sets
+    // verb, and the SQL route exercises the same parser path a
+    // migrating user would.
+    "q25_grouping_sets" -> { (s, dir) =>
+      graft.model.DerivedState.register(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        |  grouping_id(l_returnflag, l_linestatus) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+    },
     // Q4-shape: EXISTS (left_semi) + priority rollup
     "q4_order_priority" -> { (s, dir) =>
       import s.implicits._
@@ -434,6 +451,14 @@ object RelationalQueries {
         |  COUNT(*) AS n_items
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q25_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q24_cube_year_flag" ->
       """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,

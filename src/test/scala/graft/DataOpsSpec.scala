@@ -15,6 +15,24 @@ class DataOpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("KMV: bounded sorted distinct buffer, exact and filled regimes, set algebra") {
+    import graft.functions.Sketches
+    val a = (0L until 100L).map(Tuple1(_)).toDF("v")       // 100 distinct
+    val b = (50L until 150L).map(Tuple1(_)).toDF("v")
+    // filled regime: buffer saturates at k, stays sorted and distinct
+    val m32 = Sketches.kmvMinima(a, "v", k = 32)
+    assert(m32.length == 32 && m32.sameElements(m32.sorted)
+      && m32.distinct.length == 32)
+    val est32 = Sketches.kmvEstimate(m32, 32)
+    assert(est32 > 50L && est32 < 200L, s"k=32 estimate off: $est32")
+    // exact regime: sketch never fills → estimates are exact counts
+    val ma = Sketches.kmvMinima(a, "v", k = 256)
+    val mb = Sketches.kmvMinima(b, "v", k = 256)
+    assert(Sketches.kmvEstimate(ma, 256) == 100L)
+    val (estU, estI) = Sketches.kmvSetEstimates(ma, mb, 256)
+    assert(estU == 150L && estI == 50L)
+  }
+
   test("countMin: exact when collision-free, never undercounts when forced") {
     import graft.functions.Sketches
     val ev = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
