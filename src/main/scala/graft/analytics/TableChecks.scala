@@ -1,0 +1,74 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table-level data-quality checks for lake pipelines (the Deequ-style
+  * constraint surface): column profiles, key uniqueness and referential
+  * integrity — each a single aggregation or one semi/anti join, so every
+  * check is one scan (profiles share ONE pass across all requested
+  * columns) and nothing collects more than the check-dimension row set.
+  * At 100 TB these are the nightly gates that catch a bad upstream
+  * delivery before training reads it.
+  */
+object TableChecks {
+
+  /** One row per profiled column: row count, nulls, distinct count and
+    * min/max (as strings — type-agnostic, engine-portable ordering is
+    * the caller's concern for non-numeric types). ALL columns profile in
+    * ONE pass: a single aggregate computes every metric, then a stack
+    * expression melts the row — no per-column scans. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        count_distinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // melt via explode-of-structs with UNIFORM field names (stack()
+    // types each tuple by its source column names and refuses the mix)
+    val structs = cols.map(c => struct(
+      lit(c).as("colName"), col(s"__n_$c").as("nRows"),
+      col(s"__null_$c").as("nNulls"), col(s"__dist_$c").as("nDistinct"),
+      col(s"__min_$c").as("minVal"), col(s"__max_$c").as("maxVal")))
+    one.select(explode(array(structs: _*)).as("m")).select(col("m.*"))
+  }
+
+  /** Duplicate-key report: every key value violating a uniqueness
+    * constraint, with its multiplicity — empty means the constraint
+    * holds. One hash aggregate on the key. */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("multiplicity"))
+      .filter(col("multiplicity") > 1)
+
+  /** Referential-integrity orphans: child rows whose key has no parent
+    * (a LEFT ANTI join — the parent side hashes/broadcasts, no fact
+    * fan-out). NULL child keys are excluded, as in SQL FK semantics. */
+  def fkOrphans(child: DataFrame, parent: DataFrame,
+                childKey: String, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)),
+        Seq(childKey), "left_anti")
+
+  /** The roll-up gate: one row of pass/fail counters for a standard
+    * constraint set — key uniqueness, FK integrity, and a non-null
+    * requirement — the shape a scheduler alerts on. */
+  def gate(child: DataFrame, parent: DataFrame, childKey: String,
+           parentKey: String, uniqueKeys: Seq[String],
+           notNullCol: String): DataFrame = {
+    val dups = duplicateKeys(parent, uniqueKeys)
+      .agg(coalesce(sum(col("multiplicity")), lit(0L)).as("dupKeyRows"))
+    val orphans = fkOrphans(child, parent, childKey, parentKey)
+      .agg(count(lit(1)).as("orphanRows"))
+    val nulls = child.agg(
+      sum(when(col(notNullCol).isNull, 1L).otherwise(0L)).as("nullRows"))
+    dups.crossJoin(orphans).crossJoin(nulls)
+      .withColumn("pass",
+        col("dupKeyRows") === 0 && col("orphanRows") === 0 &&
+        col("nullRows") === 0)
+  }
+}

@@ -1259,6 +1259,36 @@ object DataOpsQueries {
           col("ts"), col("wstart"))
         .orderBy(col("click_id"), col("purchase_id"))
     },
+    // Deequ-style table profile: every requested column's row/null/
+    // distinct counts + min/max in ONE aggregation pass (stack-melted
+    // afterwards — no per-column scans)
+    "v1_profile" -> { (s, dir) =>
+      graft.analytics.TableChecks.profile(
+          Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_quantity", "l_shipdate"))
+        .orderBy(col("colName"))
+    },
+    // referential-integrity check, exercised on a SIMULATED partial
+    // parent delivery (only status-F orders arrived): fkOrphans must
+    // surface every lineitem pointing at a missing order — a LEFT ANTI
+    // join, parent side broadcast/hashed, no fact fan-out
+    "v2_fk_orphans" -> { (s, dir) =>
+      graft.analytics.TableChecks.fkOrphans(
+          Tables.lineitem(s, dir),
+          Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("orphanLines"))
+        .orderBy(col("l_orderkey"))
+    },
+    // the roll-up quality gate a scheduler alerts on: key uniqueness +
+    // FK integrity + not-null, one row of counters and the verdict
+    "v3_quality_gate" -> { (s, dir) =>
+      graft.analytics.TableChecks.gate(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        "l_orderkey", "o_orderkey",
+        uniqueKeys = Seq("o_orderkey"), notNullCol = "l_shipdate")
+    },
     // KMV (bottom-k / theta-style) distinct sketch, k = 64: distinct
     // viewers, clickers, their union AND intersection estimated from
     // two 64-long sketches — the mergeable-set-algebra story COUNT
@@ -1367,6 +1397,43 @@ object DataOpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "v1_profile" -> {
+      def row(c: String) =
+        s"""SELECT '$c' AS colName, COUNT(*) AS nRows,
+          |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nNulls,
+          |  COUNT(DISTINCT $c) AS nDistinct,
+          |  CAST(MIN($c) AS VARCHAR) AS minVal,
+          |  CAST(MAX($c) AS VARCHAR) AS maxVal
+          |FROM lineitem""".stripMargin
+      s"""${row("l_orderkey")}
+        |UNION ALL
+        |${row("l_quantity")}
+        |UNION ALL
+        |${row("l_shipdate")}
+        |ORDER BY colName""".stripMargin
+    },
+    "v2_fk_orphans" ->
+      """SELECT l_orderkey, COUNT(*) AS orphanLines
+        |FROM lineitem
+        |WHERE l_orderkey IS NOT NULL
+        |  AND l_orderkey NOT IN (
+        |    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "v3_quality_gate" ->
+      """WITH dups AS (
+        |  SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS dupKeyRows FROM (
+        |    SELECT COUNT(*) AS m FROM orders GROUP BY o_orderkey
+        |    HAVING COUNT(*) > 1)),
+        |orph AS (
+        |  SELECT COUNT(*) AS orphanRows FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |nn AS (
+        |  SELECT CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nullRows FROM lineitem)
+        |SELECT dupKeyRows, orphanRows, nullRows,
+        |  dupKeyRows = 0 AND orphanRows = 0 AND nullRows = 0 AS pass
+        |FROM dups, orph, nn""".stripMargin,
     // the same KMV algebra in SQL: hv = hashKey's 8-hex-char md5 value,
     // bottom-64 DISTINCT hashes per side, union = bottom-64 of the
     // merged sets, estimates in the same integer division

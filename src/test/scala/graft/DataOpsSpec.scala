@@ -15,6 +15,26 @@ class DataOpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("TableChecks: null FK keys excluded, dup keys surfaced, gate verdict") {
+    import graft.analytics.TableChecks
+    val parent = Seq(1L, 2L, 2L, 3L).map(Tuple1(_)).toDF("pk")
+    val child = Seq[(Long, java.lang.Long)](
+      (10L, 1L), (11L, 9L), (12L, null), (13L, 3L)).toDF("id", "fk")
+    // null child keys are NOT orphans (SQL FK semantics); 9 is
+    val orph = rows(TableChecks.fkOrphans(child, parent, "fk", "pk")
+      .select(col("id")))
+    assert(orph == Seq(Seq(11L)))
+    val dups = rows(TableChecks.duplicateKeys(parent, Seq("pk"))
+      .select(col("pk"), col("multiplicity")))
+    assert(dups == Seq(Seq(2L, 2L)))
+    val g = rows(TableChecks.gate(child, parent, "fk", "pk",
+      Seq("pk"), "fk")).head
+    // dup rows 2, one orphan, one null → fail
+    assert(g == Seq(2L, 1L, 1L, false))
+    val profile = rows(TableChecks.profile(child, Seq("fk"))).head
+    assert(profile == Seq("fk", 4L, 1L, 3L, "1", "9"))
+  }
+
   test("KMV: bounded sorted distinct buffer, exact and filled regimes, set algebra") {
     import graft.functions.Sketches
     val a = (0L until 100L).map(Tuple1(_)).toDF("v")       // 100 distinct
