@@ -318,6 +318,31 @@ object Changefeed {
     }
   }
 
+  /** Streaming distinct-cardinality via the mergeable KMV sketch: each
+    * micro-batch aggregates its OWN bottom-k (the bounded typed
+    * Aggregator — ≤ k longs per partition), which then folds into the
+    * standing k-long sketch on the driver. State is k longs TOTAL for
+    * an unbounded stream — the streaming COUNT(DISTINCT) problem
+    * without keeping distinct values anywhere. `sink` receives the
+    * running merged minima + the running estimate per batch. */
+  def streamingKmv(values: DataFrame, valueCol: String, k: Int,
+                   sink: (Array[Long], Long, Long) => Unit): StreamingQuery = {
+    val standing = new java.util.concurrent.atomic.AtomicReference[Array[Long]](
+      Array.emptyLongArray)
+    val agg = new graft.functions.Sketches.KMinValues(k)
+    values.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val batchMins = batch.toDF()
+          .select(graft.functions.Shuffles.hashKey(col(valueCol), "kmv").as("hv"))
+          .as[Long].select(agg.toColumn).head()
+        val merged = standing.updateAndGet(cur => agg.merge(
+          cur.clone(), batchMins))
+        sink(merged, graft.functions.Sketches.kmvEstimate(merged, k), batchId)
+      }
+      .start()
+  }
+
   /** One row of the unified as-of stream: side 0 = quote (value carries
     * the payload), side 1 = probe (id identifies the probe row). */
   final case class AsofEvent(key: Long, ts: Long, side: Int, id: Long,

@@ -325,6 +325,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed KMV: batch folds reach the whole-corpus sketch exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0L until 200L) ++ (100L until 300L) // 300 distinct, overlap
+    val mem = MemoryStream[Long]
+    @volatile var lastMins: Array[Long] = Array.empty
+    @volatile var lastEst = 0L
+    val q = Changefeed.streamingKmv(mem.toDF().toDF("v"), "v", k = 64,
+      (mins, est, _) => { lastMins = mins; lastEst = est })
+    try {
+      mem.addData(all.take(200): _*); q.processAllAvailable()
+      mem.addData(all.drop(200): _*); q.processAllAvailable()
+      // the fold across batches must equal the one-shot batch sketch
+      val whole = graft.functions.Sketches.kmvMinima(
+        all.map(Tuple1(_)).toDF("v"), "v", k = 64)
+      assert(lastMins.sameElements(whole),
+        s"streamed fold diverged from the batch sketch")
+      assert(lastEst == graft.functions.Sketches.kmvEstimate(whole, 64))
+      // sanity: the estimate is in the right neighborhood of 300
+      assert(lastEst > 150L && lastEst < 600L, s"estimate $lastEst")
+    } finally q.stop()
+  }
+
   test("streamed as-of: a late quote cannot roll state back") {
     import graft.streaming.Changefeed.{AsofEvent, AsofMatch}
     implicit val sqlCtx = spark.sqlContext
