@@ -99,6 +99,38 @@ object RelationalQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
     },
+    // PIVOT: quantity totals cross-tabbed returnflag × linestatus —
+    // Spark's pivot with EXPLICIT pivot values (never the
+    // values-discovery pre-query: that's an extra collect at scale);
+    // one hash aggregate, columns fan out at plan time
+    "q26_pivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum($"l_quantity"))
+        .withColumnRenamed("F", "qty_F").withColumnRenamed("O", "qty_O")
+        .orderBy($"l_returnflag")
+    },
+    // the ranking-window suite over one partition spec: rank /
+    // dense_rank / percent_rank / cume_dist / ntile share a single
+    // sort within each nation partition — one exchange, one sort,
+    // five windows (supplier count per nation is the partition bound)
+    "q27_window_suite" -> { (s, dir) =>
+      import s.implicits._
+      val sup = Tables.supplier(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"s_nationkey").orderBy($"s_acctbal", $"s_suppkey")
+      // rank family cast to long: Spark's rank()/ntile() are INT while
+      // every SQL engine returns BIGINT — the driver hashes typed values
+      sup.select($"s_suppkey", $"s_nationkey",
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy($"s_suppkey")
+    },
     // Q4-shape: EXISTS (left_semi) + priority rollup
     "q4_order_priority" -> { (s, dir) =>
       import s.implicits._
@@ -452,6 +484,24 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q26_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q27_window_suite" ->
+      """SELECT s_suppkey, s_nationkey,
+        |  RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CUME_DIST() OVER w AS cdist,
+        |  NTILE(4) OVER w AS quartile
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
     "q25_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  GROUPING(l_returnflag, l_linestatus) AS gid,

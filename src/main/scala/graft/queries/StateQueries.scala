@@ -110,6 +110,16 @@ object StateQueries {
       StateStore.versionsGreaterThan(DerivedState.file(s, dir), 1000000L, 500)
         .select(col("id"), col("name"), col("version"))
     },
+    // R6b: TIME TRAVEL over the version algebra — the live file state
+    // as of version 1M (inside the derived range at every SF): drop ops
+    // newer than v, latest-wins replay, drop tombstones. D4's full-sync
+    // snapshot generalized to any point in version history; one key
+    // shuffle.
+    "r6b_snapshot_asof" -> { (s, dir) =>
+      StateStore.snapshotAsOf(DerivedState.file(s, dir), Seq("id"), 1000000L)
+        .select(col("id"), col("name"), col("version"))
+        .orderBy(col("id"))
+    },
     // R7: max version per table via aggregation (replaces binary search)
     "r7_max_version" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -349,6 +359,13 @@ object StateQueries {
     "r6_version_scan" -> O(
       """SELECT id, name, version FROM file WHERE ABS(version) > 1000000
         |ORDER BY ABS(version) LIMIT 500""".stripMargin),
+    "r6b_snapshot_asof" -> O(
+      """SELECT id, name, version FROM (
+        |  SELECT id, name, version, ROW_NUMBER() OVER (
+        |    PARTITION BY id ORDER BY ABS(version) DESC, version DESC) AS rk
+        |  FROM file WHERE ABS(version) <= 1000000) t
+        |WHERE rk = 1 AND version > 0
+        |ORDER BY id""".stripMargin),
     "r7_max_version" -> O(
       """SELECT tbl, maxVersion FROM (
         |  SELECT 'file' AS tbl, MAX(ABS(version)) AS maxVersion FROM file UNION ALL

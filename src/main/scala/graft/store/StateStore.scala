@@ -174,4 +174,13 @@ object StateStore {
     * binary-search-with-emptiness-probes (:168-189). */
   def maxVersion(df: DataFrame): DataFrame =
     df.agg(max(abs(col("version"))).as("maxVersion"))
+
+  /** Time travel over the version algebra: the LIVE state as of version
+    * `v` — drop every op newer than v, replay latest-wins on what
+    * remains, drop tombstones. This is D4's full-sync snapshot
+    * generalized to any point in version history (a row deleted after v
+    * is alive in the snapshot; a row born after v is absent). Same
+    * single key shuffle as [[latestWins]]. */
+  def snapshotAsOf(df: DataFrame, keyCols: Seq[String], v: Long): DataFrame =
+    live(latestWins(df.filter(abs(col("version")) <= v), keyCols))
 }

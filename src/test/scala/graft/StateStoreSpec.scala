@@ -59,6 +59,22 @@ class StateStoreSpec extends SparkSpec {
     assert(out == Map(1L -> "y", 2L -> "q")) // -5 beats 4 on abs order
   }
 
+  test("snapshotAsOf: deleted-after-v lives, born-after-v is absent") {
+    val ops = Seq(
+      (1L, "a", 0L, 3L), (1L, "a", 0L, -8L),   // deleted AFTER v=5 → alive at 5
+      (2L, "b", 0L, 7L),                        // born after v=5 → absent
+      (3L, "c", 0L, 2L), (3L, "c2", 0L, 5L),   // updated at exactly v → c2
+      (4L, "d", 0L, -4L),                       // deleted before v → absent
+    ).toDF("id", "name", "value", "version")
+    val at5 = rows(StateStore.snapshotAsOf(ops, Seq("id"), 5L)
+      .select(col("id"), col("name")).orderBy(col("id")))
+    assert(at5 == Seq(Seq(1L, "a"), Seq(3L, "c2")))
+    // as of "now" (max version) the snapshot equals live(latestWins)
+    val now = rows(StateStore.snapshotAsOf(ops, Seq("id"), 100L)
+      .select(col("id")).orderBy(col("id")))
+    assert(now == Seq(Seq(2L), Seq(3L)))
+  }
+
   test("post filters and version scans") {
     assert(rows(StateStore.postFilter(kv, Seq(PostNot("name", "a")))).size == 4)
     assert(rows(StateStore.versionsGreaterThan(kv, 3L, 10)).map(_.head) == Seq(4L, 5L))
