@@ -22,7 +22,11 @@ object TableChecks {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(count(lit(1)).as(s"__n_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        // coalesced: SUM over an EMPTY table is NULL, and an empty
+        // delivery is exactly what these checks exist to catch — the
+        // profile must say 0 nulls, not null nulls
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__null_$c"),
         count_distinct(col(c)).as(s"__dist_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
@@ -64,8 +68,11 @@ object TableChecks {
       .agg(coalesce(sum(col("multiplicity")), lit(0L)).as("dupKeyRows"))
     val orphans = fkOrphans(child, parent, childKey, parentKey)
       .agg(count(lit(1)).as("orphanRows"))
-    val nulls = child.agg(
-      sum(when(col(notNullCol).isNull, 1L).otherwise(0L)).as("nullRows"))
+    // coalesced: an EMPTY child table must yield pass=true, not the
+    // NULL verdict a bare SUM's three-valued && would produce
+    val nulls = child.agg(coalesce(
+      sum(when(col(notNullCol).isNull, 1L).otherwise(0L)), lit(0L))
+      .as("nullRows"))
     dups.crossJoin(orphans).crossJoin(nulls)
       .withColumn("pass",
         col("dupKeyRows") === 0 && col("orphanRows") === 0 &&

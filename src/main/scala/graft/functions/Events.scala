@@ -189,10 +189,21 @@ object Events {
     * inputs; rename before calling. */
   def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
                 ts: String, start: String, end: String,
-                bucketNs: Long): DataFrame = {
+                bucketNs: Long): DataFrame =
+    probeJoin(points, bucketized(intervals, start, end, bucketNs),
+      key, ts, start, end, bucketNs)
+
+  /** The probe side of the bucketized range join — point bucket keying,
+    * the (key, bucket) equi-join against an ALREADY-bucketized interval
+    * frame, and the exact half-open predicate. One definition shared by
+    * [[rangeJoin]] and the streaming twin's per-batch body: stream/batch
+    * parity depends on this keying and predicate being byte-identical. */
+  private[graft] def probeJoin(points: DataFrame, bucketedIntervals: DataFrame,
+                               key: String, ts: String, start: String,
+                               end: String, bucketNs: Long): DataFrame = {
     require(bucketNs > 0, "bucketNs must be positive")
-    val p = points.withColumn("__b", expr(s"`$ts` div ${bucketNs}L"))
-    p.join(bucketized(intervals, start, end, bucketNs), Seq(key, "__b"))
+    points.withColumn("__b", expr(s"`$ts` div ${bucketNs}L"))
+      .join(bucketedIntervals, Seq(key, "__b"))
       .filter(col(ts) >= col(start) && col(ts) < col(end))
       .drop("__b")
   }

@@ -106,7 +106,13 @@ object Shuffles {
     * At 100 TB this is how a (user, day)-filtered events lake avoids
     * reading every file for either predicate. */
   def zorderLayout(df: DataFrame, xCol: String, yCol: String,
-                   nPartitions: Int): DataFrame =
+                   nPartitions: Int): DataFrame = {
+    // zval is part of the OUTPUT contract (writers sort within
+    // partitions by it before writing) — so an existing zval column is
+    // a hard error, never a silent overwrite
+    require(!df.columns.contains("zval"),
+      "zorderLayout emits a 'zval' column; the input already has one")
     df.withColumn("zval", mortonInterleave(col(xCol), col(yCol)))
       .repartitionByRange(nPartitions, col("zval"))
+  }
 }

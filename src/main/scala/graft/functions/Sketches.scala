@@ -101,7 +101,10 @@ object Sketches {
   def kmvMinima(df: DataFrame, valueCol: String, k: Int,
                 salt: String = "kmv"): Array[Long] = {
     import df.sparkSession.implicits._
-    df.select(Shuffles.hashKey(col(valueCol), salt).as("hv")).as[Long]
+    // nulls are skipped, as COUNT(DISTINCT) does — a null value hashes
+    // to a null hv and would abort the non-nullable typed aggregation
+    df.filter(col(valueCol).isNotNull)
+      .select(Shuffles.hashKey(col(valueCol), salt).as("hv")).as[Long]
       .select(new KMinValues(k).toColumn).head()
   }
 
@@ -118,9 +121,7 @@ object Sketches {
     * arithmetic throughout). Returns (estUnion, estIntersect). */
   def kmvSetEstimates(a: Array[Long], b: Array[Long], k: Int): (Long, Long) = {
     val union = (a ++ b).distinct.sorted.take(k)
-    val estU =
-      if (union.length < k) union.length.toLong
-      else (k - 1L) * 4294967296L / union.last
+    val estU = kmvEstimate(union, k)
     val sa = a.toSet; val sb = b.toSet
     val matches = union.count(h => sa(h) && sb(h)).toLong
     // unfilled union sketch = the COMPLETE union: matches IS |A ∩ B|

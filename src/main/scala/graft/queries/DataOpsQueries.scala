@@ -1400,7 +1400,7 @@ object DataOpsQueries {
     "v1_profile" -> {
       def row(c: String) =
         s"""SELECT '$c' AS colName, COUNT(*) AS nRows,
-          |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nNulls,
+          |  CAST(COALESCE(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nNulls,
           |  COUNT(DISTINCT $c) AS nDistinct,
           |  CAST(MIN($c) AS VARCHAR) AS minVal,
           |  CAST(MAX($c) AS VARCHAR) AS maxVal
@@ -1429,7 +1429,7 @@ object DataOpsQueries {
         |  WHERE l_orderkey IS NOT NULL
         |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
         |nn AS (
-        |  SELECT CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0)
         |    AS BIGINT) AS nullRows FROM lineitem)
         |SELECT dupKeyRows, orphanRows, nullRows,
         |  dupKeyRows = 0 AND orphanRows = 0 AND nullRows = 0 AS pass

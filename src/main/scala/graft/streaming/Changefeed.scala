@@ -307,12 +307,8 @@ object Changefeed {
     withStandingFrame(bucketed, points.sparkSession) { pinned =>
       points.writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          val out = batch.toDF()
-            .withColumn("__b", expr(s"`$ts` div ${bucketNs}L"))
-            .join(pinned, Seq(key, "__b"))
-            .filter(col(ts) >= col(start) && col(ts) < col(end))
-            .drop("__b")
-          sink(out, batchId)
+          sink(graft.functions.Events.probeJoin(
+            batch.toDF(), pinned, key, ts, start, end, bucketNs), batchId)
         }
         .start()
     }
@@ -324,11 +320,20 @@ object Changefeed {
     * standing k-long sketch on the driver. State is k longs TOTAL for
     * an unbounded stream — the streaming COUNT(DISTINCT) problem
     * without keeping distinct values anywhere. `sink` receives the
-    * running merged minima + the running estimate per batch. */
+    * running merged minima + the running estimate per batch.
+    *
+    * The running sketch is DRIVER state, not checkpointed streaming
+    * state (unlike the flatMapGroupsWithState twins): after a
+    * checkpoint restart the committed pre-restart batches are NOT
+    * replayed, so a bare restart resets the count. Callers using a
+    * checkpoint must persist the sink's last minima and rehydrate via
+    * `initial` — the sketch is mergeable, so the fold continues
+    * exactly. */
   def streamingKmv(values: DataFrame, valueCol: String, k: Int,
-                   sink: (Array[Long], Long, Long) => Unit): StreamingQuery = {
+                   sink: (Array[Long], Long, Long) => Unit,
+                   initial: Array[Long] = Array.emptyLongArray): StreamingQuery = {
     val standing = new java.util.concurrent.atomic.AtomicReference[Array[Long]](
-      Array.emptyLongArray)
+      initial)
     val agg = new graft.functions.Sketches.KMinValues(k)
     values.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

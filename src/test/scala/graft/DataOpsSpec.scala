@@ -35,6 +35,27 @@ class DataOpsSpec extends SparkSpec {
     assert(profile == Seq("fk", 4L, 1L, 3L, "1", "9"))
   }
 
+  test("TableChecks: an empty child delivery yields a verdict, not NULL") {
+    import graft.analytics.TableChecks
+    val parent = Seq(1L).map(Tuple1(_)).toDF("pk")
+    val empty = Seq.empty[(Long, Long)].toDF("id", "fk")
+    val g = rows(TableChecks.gate(empty, parent, "fk", "pk", Seq("pk"), "fk")).head
+    assert(g == Seq(0L, 0L, 0L, true), s"empty delivery must PASS: $g")
+    assert(rows(TableChecks.profile(empty, Seq("fk"))).head(2) == 0L)
+  }
+
+  test("KMV skips nulls like COUNT(DISTINCT); zorder refuses a zval clash") {
+    import graft.functions.{Sketches, Shuffles}
+    val withNulls = Seq[java.lang.Long](1L, null, 2L, null, 1L)
+      .map(Tuple1(_)).toDF("v")
+    val m = Sketches.kmvMinima(withNulls, "v", k = 8)
+    assert(m.length == 2) // 2 distinct non-null values, nulls skipped
+    val clash = Seq((1L, 2L, 3L)).toDF("x", "y", "zval")
+    intercept[IllegalArgumentException] {
+      Shuffles.zorderLayout(clash, "x", "y", 4)
+    }
+  }
+
   test("KMV: bounded sorted distinct buffer, exact and filled regimes, set algebra") {
     import graft.functions.Sketches
     val a = (0L until 100L).map(Tuple1(_)).toDF("v")       // 100 distinct

@@ -344,6 +344,17 @@ class StreamingSpec extends SparkSpec {
       assert(lastEst == graft.functions.Sketches.kmvEstimate(whole, 64))
       // sanity: the estimate is in the right neighborhood of 300
       assert(lastEst > 150L && lastEst < 600L, s"estimate $lastEst")
+      // restart-rehydration: a new query seeded with the persisted
+      // minima must continue the fold exactly (mergeable sketch)
+      val mem2 = MemoryStream[Long]
+      @volatile var rehydrated: Array[Long] = Array.empty
+      val q2 = Changefeed.streamingKmv(mem2.toDF().toDF("v"), "v", k = 64,
+        (mins, _, _) => rehydrated = mins, initial = lastMins)
+      try {
+        mem2.addData(0L until 10L: _*) // already-seen values: fold is stable
+        q2.processAllAvailable()
+        assert(rehydrated.sameElements(lastMins))
+      } finally q2.stop()
     } finally q.stop()
   }
 
