@@ -196,6 +196,77 @@ class EventsSpec extends SparkSpec {
     assert(out == Seq(Seq(10L, 20L), Seq(10L, 21L), Seq(11L, 20L)))
   }
 
+  test("as-of law: every direction × tolerance matches a brute-force reference") {
+    val rnd = new scala.util.Random(42)
+    val quoteRows = (1 to 120).map(_ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(500).toLong, rnd.nextInt(1000) / 10.0))
+      .groupBy(q => (q._1, q._2)).map(_._2.maxBy(_._3)).toSeq // unique (key, ts)
+    val probeRows = (1 to 150).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(550).toLong))
+    val quotes = quoteRows.toDF("user_id", "ts", "quote")
+    val probes = probeRows.toDF("event_id", "user_id", "ts")
+    val byKey = quoteRows.groupBy(_._1)
+    def brute(key: Long, ts: Long, dir: String, tol: Option[Long]) = {
+      val qs = byKey.getOrElse(key, Seq.empty)
+      val back = qs.filter(q => q._2 <= ts && tol.forall(t => ts - q._2 <= t))
+        .sortBy(_._2).lastOption
+      val fwd = qs.filter(q => q._2 >= ts && tol.forall(t => q._2 - ts <= t))
+        .sortBy(_._2).headOption
+      dir match {
+        case "backward" => back
+        case "forward"  => fwd
+        case "nearest"  => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (ts - b._2 <= f._2 - ts) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+    }
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(37L))) {
+      val got = rows(Events.asofJoin(probes, quotes, "user_id", "ts",
+          Seq("quote"), toleranceNs = tol, direction = dir)
+        .select(col("event_id"), col("matchedTs"), col("quote")))
+        .map(r => r.head -> ((r(1), r(2)))).toMap
+      probeRows.foreach { case (id, key, ts) =>
+        val want = brute(key, ts, dir, tol)
+          .map(q => (q._2, q._3)).getOrElse((null, null))
+        assert(got(id) == want, s"dir=$dir tol=$tol probe=$id: ${got(id)} vs $want")
+      }
+    }
+  }
+
+  test("range/interval law: any bucket width equals the brute predicate join") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(800).toLong))
+    val ivs = (1 to 80).map(i =>
+      { val s = rnd.nextInt(800).toLong
+        (1000L + i, rnd.nextInt(6).toLong, s, s + rnd.nextInt(120).toLong - 10L) })
+    val pdf = pts.toDF("p_id", "user_id", "ts")
+    val idf = ivs.toDF("iv_id", "user_id", "s", "e")
+    val bruteRange = (for {
+      (pid, pk, ts) <- pts; (vid, vk, s, e) <- ivs
+      if pk == vk && ts >= s && ts < e } yield (pid, vid)).sorted
+    val bruteOverlap = (for {
+      (aid, ak, as_, ae) <- ivs.map(v => (v._1, v._2, v._3, v._4))
+      (bid, bk, bs, be) <- pts.map(p => (p._1, p._2, p._3, p._3 + 50L))
+      if ak == bk && as_ < be && bs < ae && ae > as_ && be > bs
+    } yield (aid, bid)).sorted
+    val pIv = pts.map(p => (p._1, p._2, p._3, p._3 + 50L))
+      .toDF("b_id", "user_id", "bs", "be")
+    for (bucket <- Seq(1L, 7L, 64L, 1000L)) {
+      val gotR = rows(Events.rangeJoin(pdf, idf, "user_id", "ts", "s", "e",
+          bucket).select(col("p_id"), col("iv_id")))
+        .map(r => (r.head.asInstanceOf[Long], r.last.asInstanceOf[Long])).sorted
+      assert(gotR == bruteRange, s"rangeJoin bucket=$bucket diverged")
+      val gotO = rows(Events.intervalJoin(idf, pIv, "user_id", "s", "e",
+          "bs", "be", bucket).select(col("iv_id"), col("b_id")))
+        .map(r => (r.head.asInstanceOf[Long], r.last.asInstanceOf[Long])).sorted
+      assert(gotO == bruteOverlap, s"intervalJoin bucket=$bucket diverged (exactly-once included)")
+    }
+  }
+
   test("retention: cohort from first activity, per-offset distinct users") {
     val D = Events.DayNs
     val ev = Seq(
