@@ -1259,6 +1259,43 @@ object DataOpsQueries {
           col("ts"), col("wstart"))
         .orderBy(col("click_id"), col("purchase_id"))
     },
+    // MAD-based outlier gate (the robust anomaly detector a value
+    // pipeline runs per segment): per event_type, the median event
+    // value, the median absolute deviation, and how many events sit
+    // beyond 3×MAD. Both medians are percentile_disc ORDER STATISTICS
+    // (value at row ⌈n/2⌉) — picked values, no interpolation, so every
+    // double compares bit-exact across engines. Two windowed passes
+    // over the same type-keyed shuffle.
+    "t22_mad_outliers" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val ev = s.table("events").select(col("event_type"), col("value"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wn = Window.partitionBy(col("event_type"))
+      val med = ev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("rn") >= ceil(col("n") * 0.5), col("value")))
+          .as("median"))
+      // med and mad are type-dimension frames: both joins broadcast,
+      // the fact side shuffles only on its type key (twice, for the
+      // two order statistics) — no per-type array ever materializes
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("median")))
+      val wd = Window.partitionBy(col("event_type")).orderBy(col("adev"))
+      val madF = dev.withColumn("rn", row_number().over(wd))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("event_type"), col("median"))
+        .agg(min(when(col("rn") >= ceil(col("n") * 0.5), col("adev"))).as("mad"),
+          count(lit(1)).as("nEvents"))
+      dev.join(broadcast(madF), Seq("event_type", "median"))
+        .groupBy(col("event_type"), col("median"), col("mad"), col("nEvents"))
+        .agg(coalesce(sum(when(col("adev") > col("mad") * 3.0, 1L)
+          .otherwise(0L)), lit(0L)).as("nOutliers"))
+        .select(col("event_type"), col("median"), col("mad"),
+          col("nEvents"), col("nOutliers"))
+        .orderBy(col("event_type"))
+    },
     // Deequ-style table profile: every requested column's row/null/
     // distinct counts + min/max in ONE aggregation pass (stack-melted
     // afterwards — no per-column scans)
@@ -1397,6 +1434,36 @@ object DataOpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "t22_mad_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |r1 AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN value END) AS median
+        |  FROM r1 GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, med.median, ABS(e.value - med.median) AS adev
+        |  FROM e JOIN med USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, median, adev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |madf AS (
+        |  SELECT event_type, median,
+        |    MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN adev END) AS mad,
+        |    COUNT(*) AS nEvents
+        |  FROM r2 GROUP BY event_type, median)
+        |SELECT d.event_type, m.median, m.mad, m.nEvents,
+        |  CAST(COALESCE(SUM(CASE WHEN d.adev > m.mad * 3.0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS nOutliers
+        |FROM dev d JOIN madf m ON d.event_type = m.event_type
+        |GROUP BY d.event_type, m.median, m.mad, m.nEvents
+        |ORDER BY d.event_type""".stripMargin,
     "v1_profile" -> {
       def row(c: String) =
         s"""SELECT '$c' AS colName, COUNT(*) AS nRows,
