@@ -314,6 +314,25 @@ object Changefeed {
     }
   }
 
+  /** Stream-STREAM attribution join — Spark's native watermarked
+    * stream-stream inner join with a time-range condition (the
+    * impression→click attribution shape): each click joins the same
+    * user's impressions at most `window` older. Both sides carry
+    * watermarks, so the state store retains only impressions younger
+    * than watermark + window and clicks younger than watermark — the
+    * engine prunes join state itself; nothing grows with the stream.
+    * This is the one join family the foreachBatch twins can't express:
+    * BOTH sides unbounded, neither pinnable. Inputs:
+    * (user_id, impTime, imp_id) and (c_user_id, clickTime, click_id). */
+  def streamStreamAttribution(impressions: DataFrame, clicks: DataFrame,
+                              window: String = "1 hour",
+                              watermark: String = "2 hours"): DataFrame =
+    impressions.withWatermark("impTime", watermark)
+      .join(clicks.withWatermark("clickTime", watermark),
+        expr(s"""user_id = c_user_id AND
+                |clickTime >= impTime AND
+                |clickTime <= impTime + INTERVAL $window""".stripMargin))
+
   /** Streaming distinct-cardinality via the mergeable KMV sketch: each
     * micro-batch aggregates its OWN bottom-k (the bounded typed
     * Aggregator — ≤ k longs per partition), which then folds into the

@@ -325,6 +325,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: watermarked time-range join, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(m: Long) = new Timestamp(t0 + m * 60000L)
+    // impressions at minutes 0, 30, 90 per user; clicks at 20, 75, 200
+    val imps = for { u <- 1L to 3L; (m, i) <- Seq((0L, 1L), (30L, 2L), (90L, 3L)) }
+      yield (u, ts(m), u * 10L + i)
+    val clks = for { u <- 1L to 3L; (m, i) <- Seq((20L, 1L), (75L, 2L), (200L, 3L)) }
+      yield (u, ts(m), u * 100L + i)
+    val memI = MemoryStream[(Long, Timestamp, Long)]
+    val memC = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Changefeed.streamStreamAttribution(
+      memI.toDF().toDF("user_id", "impTime", "imp_id"),
+      memC.toDF().toDF("c_user_id", "clickTime", "click_id"))
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two triggers, clicks split across them — the join state must
+      // hold the early impressions until their window closes
+      memI.addData(imps.take(6): _*); memC.addData(clks.take(3): _*)
+      q.processAllAvailable()
+      memI.addData(imps.drop(6): _*); memC.addData(clks.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("attr_out").select(col("imp_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      // batch truth: click within [impTime, impTime + 1h]
+      val want = (for { (u, it, ii) <- imps; (cu, ct, ci) <- clks
+        if u == cu && ct.getTime >= it.getTime &&
+           ct.getTime <= it.getTime + 3600000L } yield (ii, ci)).sorted
+      assert(got.sameElements(want), s"got ${got.toSeq} want $want")
+      // click at minute 200 attributes to NO impression (all > 1h old)
+      assert(!got.exists(_._2 % 100 == 3))
+    } finally q.stop()
+  }
+
   test("streamed KMV: batch folds reach the whole-corpus sketch exactly") {
     implicit val sqlCtx = spark.sqlContext
     val all = (0L until 200L) ++ (100L until 300L) // 300 distinct, overlap
