@@ -15,6 +15,29 @@ class DataOpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("sketch laws on seeded random data: CMS never undercounts, KMV lands close") {
+    import graft.functions.Sketches
+    val rnd = new scala.util.Random(11)
+    // zipf-ish: key k appears ~ 400/k times
+    val vals = (1 to 40).flatMap(k => Seq.fill(400 / k)(s"key$k"))
+      .map(Tuple1(_))
+    val df = vals.toDF("v")
+    val exact = vals.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val sk = Sketches.countMinSketch(df, "v")
+    val probes = exact.keys.map(Tuple1(_)).toSeq.toDF("v")
+    val est = rows(Sketches.countMinEstimate(sk, probes, "v"))
+      .map(r => r.head.asInstanceOf[String] -> r.last.asInstanceOf[Long]).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted $k: ${est(k)} < $n")
+    }
+    // KMV on 200 random distinct values, k = 64: within ±35%
+    val kvals = (1 to 200).map(_ => rnd.nextLong()).distinct
+    val kdf = kvals.map(Tuple1(_)).toDF("v")
+    val kmvEst = Sketches.kmvEstimate(Sketches.kmvMinima(kdf, "v", 64), 64)
+    assert(kmvEst > kvals.size * 0.65 && kmvEst < kvals.size * 1.35,
+      s"KMV estimate $kmvEst far from ${kvals.size}")
+  }
+
   test("TableChecks: null FK keys excluded, dup keys surfaced, gate verdict") {
     import graft.analytics.TableChecks
     val parent = Seq(1L, 2L, 2L, 3L).map(Tuple1(_)).toDF("pk")
