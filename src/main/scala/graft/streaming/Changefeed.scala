@@ -314,6 +314,25 @@ object Changefeed {
     }
   }
 
+  /** Gap sessionization through Spark's NATIVE `session_window`
+    * streaming aggregate: per user, dynamic windows that extend while
+    * events keep arriving within `gap` and close when the watermark
+    * passes the gap — the engine merges overlapping session fragments
+    * across micro-batches itself (no custom state function). Append
+    * mode emits each session ONCE, when it closes: the complement of
+    * [[streamingSessionize]], which emits running per-user counters on
+    * every update. Input: (user_id, ts TIMESTAMP). Output: user_id,
+    * session start/end, nEvents. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("nEvents"))
+      .select(col("user_id"),
+        col("session_window.start").as("sessStart"),
+        col("session_window.end").as("sessEnd"),
+        col("nEvents"))
+
   /** Stream-STREAM attribution join — Spark's native watermarked
     * stream-stream inner join with a time-range condition (the
     * impression→click attribution shape): each click joins the same

@@ -529,6 +529,26 @@ class ScaleSpec extends SparkSpec {
     out.count()
   }
 
+  test("exact percentiles partition by the group key, never a single partition") {
+    // the t18 shape: rank windows MUST ride hashpartitioning(lang) —
+    // an Exchange SinglePartition would mean a global sort of the corpus
+    val df = (1L to 2000L).map(i => (s"lang${i % 5}", i % 997L))
+      .toDF("lang", "n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val out = df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("lang"))
+      .agg(min(when(col("rn") >= ceil(col("n") * 0.5), col("n_chars"))).as("p50"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no single-partition exchange:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(lang"),
+      s"group-keyed exchange expected:\n$plan")
+    assert(out.count() == 5L)
+  }
+
   test("zorderLayout plans ONE range exchange, no global sort") {
     val df = (1L to 500L).map(i => (i, i % 37L, i % 11L))
       .toDF("event_id", "user_id", "day")

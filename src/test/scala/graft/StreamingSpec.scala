@@ -325,6 +325,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window: fragments merge across batches, close on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(m: Long) = new Timestamp(t0 + m * 60000L)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Changefeed.sessionWindows(mem.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 events at 0 and 20 min (one session, still open)
+      mem.addData((1L, ts(0)), (1L, ts(20))); q.processAllAvailable()
+      // batch 2: 25 min EXTENDS the session (fragment merge across the
+      // trigger); user 2 opens its own; late watermark driver at 600 min
+      // closes everything older
+      mem.addData((1L, ts(25)), (2L, ts(30)), (1L, ts(600)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(1000))); q.processAllAvailable() // push watermark
+      val got = spark.table("sw_out")
+        .select(col("user_id"), col("sessStart"), col("sessEnd"), col("nEvents"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      // user 1 session: events 0/20/25 → [0, 55) with 3 events (the
+      // engine merged the cross-batch fragments); user 2: [30, 60) / 1
+      assert(got.contains((1L, t0, t0 + 55L * 60000L, 3L)), s"got $got")
+      assert(got.contains((2L, t0 + 30L * 60000L, t0 + 60L * 60000L, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join: watermarked time-range join, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
