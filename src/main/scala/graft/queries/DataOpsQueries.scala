@@ -16,6 +16,28 @@ object DataOpsQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The percentile_disc ORDER-STATISTIC pick shared by t18/t22: the
+    * value at row ⌈p·n⌉ in per-group sorted order — picked values, no
+    * interpolation, so doubles compare bit-exact across engines. Rank
+    * ties are harmless (the value AT a rank is a property of the sorted
+    * multiset). NULL values are pre-filtered because engines DISAGREE on
+    * null sort order (Spark ranks nulls first, DuckDB last) — every
+    * oracle twin carries the matching IS NOT NULL. One shuffle on the
+    * group key + a per-group sort. */
+  private def orderStats(df: DataFrame, keyCols: Seq[String],
+                         valueCol: String, ps: Seq[(Double, String)],
+                         extraAggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(valueCol))
+    val wn = Window.partitionBy(keyCols.map(col): _*)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+    val aggs = ps.map { case (p, nm) =>
+      min(when(col("__rn") >= ceil(col("__n") * p), col(valueCol))).as(nm)
+    } ++ extraAggs
+    ranked.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** documents ∪ re-keyed copies of every 7th doc — a corpus with known
     * exact duplicates for the dedup demos (same derivation in oracle). */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -1268,30 +1290,24 @@ object DataOpsQueries {
     // over the same type-keyed shuffle.
     "t22_mad_outliers" -> { (s, dir) =>
       DerivedState.register(s, dir)
+      // null values pre-filtered ONCE here (the orderStats helper also
+      // filters its own input): median/MAD over present values only,
+      // matching the oracle's IS NOT NULL
       val ev = s.table("events").select(col("event_type"), col("value"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-      val wn = Window.partitionBy(col("event_type"))
-      val med = ev
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-        .groupBy(col("event_type"))
-        .agg(min(when(col("rn") >= ceil(col("n") * 0.5), col("value")))
-          .as("median"))
+        .filter(col("value").isNotNull)
+      val med = orderStats(ev, Seq("event_type"), "value",
+        Seq(0.5 -> "median"))
       // med and mad are type-dimension frames: both joins broadcast,
       // the fact side shuffles only on its type key (twice, for the
       // two order statistics) — no per-type array ever materializes
       val dev = ev.join(broadcast(med), Seq("event_type"))
         .withColumn("adev", abs(col("value") - col("median")))
-      val wd = Window.partitionBy(col("event_type")).orderBy(col("adev"))
-      val madF = dev.withColumn("rn", row_number().over(wd))
-        .withColumn("n", count(lit(1)).over(wn))
-        .groupBy(col("event_type"), col("median"))
-        .agg(min(when(col("rn") >= ceil(col("n") * 0.5), col("adev"))).as("mad"),
-          count(lit(1)).as("nEvents"))
+      val madF = orderStats(dev, Seq("event_type", "median"), "adev",
+        Seq(0.5 -> "mad"), Seq(count(lit(1)).as("nEvents")))
       dev.join(broadcast(madF), Seq("event_type", "median"))
         .groupBy(col("event_type"), col("median"), col("mad"), col("nEvents"))
-        .agg(coalesce(sum(when(col("adev") > col("mad") * 3.0, 1L)
-          .otherwise(0L)), lit(0L)).as("nOutliers"))
+        .agg(sum(when(col("adev") > col("mad") * 3.0, 1L).otherwise(0L))
+          .as("nOutliers"))
         .select(col("event_type"), col("median"), col("mad"),
           col("nEvents"), col("nOutliers"))
         .orderBy(col("event_type"))
@@ -1396,18 +1412,10 @@ object DataOpsQueries {
     // Rank ties are harmless: the value AT a rank is a property of the
     // sorted multiset, whatever order equal values take.
     "t18_percentiles" -> { (s, dir) =>
-      val d = Tables.documents(s, dir)
-      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
-      val wn = Window.partitionBy(col("lang"))
-      val ranked = d.select(col("lang"), col("n_chars"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-      def pct(p: Double, name: String) =
-        min(when(col("rn") >= ceil(lit(p) * col("n")), col("n_chars")))
-          .as(name)
-      ranked.groupBy(col("lang"))
-        .agg(pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"),
-          pct(0.9, "p90"), count(lit(1)).as("n_docs"))
+      orderStats(Tables.documents(s, dir).select(col("lang"), col("n_chars")),
+          Seq("lang"), "n_chars",
+          Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90"),
+          Seq(count(lit(1)).as("n_docs")))
         .orderBy(col("lang"))
     },
     // interval-overlap join: each user's 2 h view windows × 2 h click
@@ -1435,7 +1443,8 @@ object DataOpsQueries {
 
   def oracles: Map[String, String] = Map(
     "t22_mad_outliers" ->
-      """WITH e AS (SELECT event_type, value FROM events),
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |r1 AS (
         |  SELECT event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
@@ -1459,7 +1468,7 @@ object DataOpsQueries {
         |    COUNT(*) AS nEvents
         |  FROM r2 GROUP BY event_type, median)
         |SELECT d.event_type, m.median, m.mad, m.nEvents,
-        |  CAST(COALESCE(SUM(CASE WHEN d.adev > m.mad * 3.0 THEN 1 ELSE 0 END), 0)
+        |  CAST(SUM(CASE WHEN d.adev > m.mad * 3.0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS nOutliers
         |FROM dev d JOIN madf m ON d.event_type = m.event_type
         |GROUP BY d.event_type, m.median, m.mad, m.nEvents
@@ -1591,7 +1600,7 @@ object DataOpsQueries {
         |  SELECT lang, n_chars,
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
         |    COUNT(*) OVER (PARTITION BY lang) AS n
-        |  FROM documents)
+        |  FROM documents WHERE n_chars IS NOT NULL)
         |SELECT lang,
         |  MIN(CASE WHEN rn >= CEIL(0.25 * n) THEN n_chars END) AS p25,
         |  MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN n_chars END) AS p50,
