@@ -556,9 +556,18 @@ class ScaleSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("Exchange rangepartitioning"),
       s"range exchange expected:\n$plan")
-    // layout ≠ ordering: no Sort operator outside the range sampler
+    // layout ≠ ordering: no Sort operator outside the range sampler.
+    // (The min/max normalization agg contributes a SCALAR
+    // single-partition exchange over per-partition partials — constant
+    // size, not a data shuffle.)
     assert(!plan.contains("Sort ["), s"no global sort expected:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1)
     assert(out.count() == 500L)
+    // the stretch normalization: both 37- and 11-value dims must reach
+    // the TOP of the 16-bit scale so their variation sits in zval's
+    // high bits (raw interleave left narrow dims unprunable)
+    val z = out.agg(max(col("zval"))).head().getLong(0)
+    assert(z > (1L << 30), s"zval range not stretched: max=$z")
   }
 
   test("streaming dedup drops re-delivered ids within the watermark") {
