@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -226,5 +226,59 @@ object TextFunctions {
       .select(col("doc_id"), col("nLines"), col("nKept"), col("pageDrop"),
         col("dropReason"), col("cleanText"),
         length(col("cleanText")).cast("long").as("keptChars"))
+  }
+
+  // ---- Distributed BPE tokenizer training -----------------------------
+
+  /** Adjacent-symbol pair counts over a words frame whose `symsCol` is
+    * the space-joined symbol sequence ("l o w"). The distributed core
+    * of BPE training: a map-side explode of per-word adjacent pairs +
+    * one hash aggregate — at corpus scale the shuffle carries only the
+    * (pair, partial-count) rows, never the corpus. Single-symbol words
+    * contribute nothing. */
+  def bpePairCounts(words: DataFrame, symsCol: String): DataFrame =
+    words
+      .withColumn("__s", split(col(symsCol), " "))
+      .filter(size(col("__s")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__s) - 1), " +
+          "i -> struct(element_at(__s, i) AS a, element_at(__s, i + 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p")("a").as("a"), col("p")("b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** One BPE merge applied corpus-wide: every adjacent (a, b) becomes
+    * the fused symbol — a sentinel-padded string replace, which scans
+    * left-to-right over non-overlapping occurrences exactly like the
+    * reference BPE merge ("a a a" → "aa a"). Pure map work. */
+  def bpeApplyMerge(words: DataFrame, symsCol: String,
+                    a: String, b: String): DataFrame =
+    words.withColumn(symsCol, btrim(replace(
+      concat(lit(" "), col(symsCol), lit(" ")),
+      lit(s" $a $b "), lit(s" ${a}${b} "))))
+
+  /** k rounds of BPE training: each round counts pairs, picks the most
+    * frequent (ties broken by (a, b) order — deterministic, where the
+    * reference implementations inherit dict order), and fuses it
+    * everywhere. Per round: one count aggregate + a 1-row collect + a
+    * map — the corpus shuffles ZERO times; only pair counts move.
+    * Returns the merge table (a, b, count) in order and the final
+    * corpus. Stops early when no pair repeats. */
+  def bpeTrain(words: DataFrame, symsCol: String,
+               k: Int): (Seq[(String, String, Long)], DataFrame) = {
+    var cur = words.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    for (_ <- 0 until k if !done) {
+      val top = bpePairCounts(cur, symsCol)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < 2) done = true
+      else {
+        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
+        merges += ((a, b, top(0).getAs[Long]("cnt")))
+        cur = bpeApplyMerge(cur, symsCol, a, b).localCheckpoint()
+      }
+    }
+    (merges.toSeq, cur)
   }
 }

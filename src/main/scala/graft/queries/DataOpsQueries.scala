@@ -1281,6 +1281,25 @@ object DataOpsQueries {
           col("ts"), col("wstart"))
         .orderBy(col("click_id"), col("purchase_id"))
     },
+    // the distributed core of BPE tokenizer training: adjacent-symbol
+    // pair counts over the char-split word corpus (round 1 of
+    // TextFunctions.bpeTrain, whose merge loop is spec-tested) — a
+    // map-side bigram explode + ONE hash aggregate; the corpus never
+    // shuffles, only (pair, count) rows do. Top-10 by (count, pair).
+    "t23_bpe_pairs" -> { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+        .filter(length(col("w")) >= 2)
+      words.select(explode(expr(
+          "transform(sequence(1, length(w) - 1), " +
+            "i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p")("a").as("a"), col("p")("b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(10)
+    },
     // MAD-based outlier gate (the robust anomaly detector a value
     // pipeline runs per segment): per event_type, the median event
     // value, the median absolute deviation, and how many events sit
@@ -1442,6 +1461,19 @@ object DataOpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "t23_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT w, UNNEST(range(1, length(w))) AS i
+        |  FROM w WHERE length(w) >= 2),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 1) AS a,
+        |    substr(w, CAST(i AS INT) + 1, 1) AS b
+        |  FROM pos)
+        |SELECT a, b, COUNT(*) AS cnt FROM p
+        |GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 10""".stripMargin,
     "t22_mad_outliers" ->
       """WITH e AS (
         |  SELECT event_type, value FROM events WHERE value IS NOT NULL),

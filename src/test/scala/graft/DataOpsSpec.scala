@@ -15,6 +15,27 @@ class DataOpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("BPE training: greedy-left merges, deterministic ties, early stop") {
+    import graft.functions.TextFunctions
+    def chars(w: String) = w.mkString(" ")
+    val corpus = Seq("low", "low", "lower", "lowest").map(w => Tuple1(chars(w)))
+      .toDF("syms")
+    val (merges, fin) = TextFunctions.bpeTrain(corpus, "syms", k = 3)
+    // (l,o) and (o,w) tie at 4 → (l,o) wins by pair order; then (lo,w);
+    // then (low,e) at 2
+    assert(merges == Seq(("l", "o", 4L), ("lo", "w", 4L), ("low", "e", 2L)))
+    val out = rows(fin.orderBy(col("syms"))).map(_.head)
+    assert(out == Seq("low", "low", "lowe r", "lowe s t"))
+    // greedy-left overlap: (a,a) in "aaa" fuses the first pair only
+    val aaa = Seq(Tuple1("a a a"), Tuple1("a a")).toDF("syms")
+    val (m2, f2) = TextFunctions.bpeTrain(aaa, "syms", k = 1)
+    assert(m2 == Seq(("a", "a", 3L)))
+    assert(rows(f2.orderBy(col("syms"))).map(_.head) == Seq("aa", "aa a"))
+    // early stop: nothing repeats → no merge even with k budget left
+    val uniq = Seq(Tuple1("x y"), Tuple1("p q")).toDF("syms")
+    assert(TextFunctions.bpeTrain(uniq, "syms", k = 5)._1.isEmpty)
+  }
+
   test("sketch laws on seeded random data: CMS never undercounts, KMV lands close") {
     import graft.functions.Sketches
     val rnd = new scala.util.Random(11)
