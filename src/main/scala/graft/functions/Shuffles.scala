@@ -123,26 +123,40 @@ object Shuffles {
     // a hard error, never a silent overwrite
     require(!df.columns.contains("zval"),
       "zorderLayout emits a 'zval' column; the input already has one")
-    val b = df.agg(min(col(xCol)).as("__xmin"), max(col(xCol)).as("__xmax"),
-      min(col(yCol)).as("__ymin"), max(col(yCol)).as("__ymax"))
-    // overflow-safe INTEGER scaling that STRETCHES as well as shrinks:
-    // a narrow dimension (30 distinct epoch-days) must spread across
-    // the full 16 bits or its variation stays in zval's finest
-    // granularity and prunes nothing. Narrow ranges (≤ 2^20, where
-    // (c−lo)·65535 cannot overflow) multiply first; wide ranges
-    // (nanosecond spans) divide by the bucket width instead, clamped
-    // into the last bucket.
-    def scale(c: String, lo: String, r: String): Column =
-      when(col(r) <= 1048576L,
-        expr(s"((`$c` - $lo) * 65535L) div greatest($r, 1L)"))
-      .otherwise(least(
-        expr(s"(`$c` - $lo) div greatest($r div 65535L, 1L)"), lit(65535L)))
-    df.crossJoin(broadcast(b))
-      .withColumn("__xr", expr("__xmax - __xmin"))
-      .withColumn("__yr", expr("__ymax - __ymin"))
-      .withColumn("zval", mortonInterleave(
-        scale(xCol, "__xmin", "__xr"), scale(yCol, "__ymin", "__yr")))
-      .drop("__xmin", "__xmax", "__ymin", "__ymax", "__xr", "__yr")
+    // bounds come back to the driver (ONE scalar aggregate — the only
+    // extra action) so the range math runs in BigInt: a dimension
+    // spanning more than half the 64-bit space (hash-valued ids, a
+    // Long.MinValue sentinel) would wrap `max − min` negative inside an
+    // expression and silently garbage the layout. Literal lo/width also
+    // mean no temp columns and no crossJoin — nothing to clash with
+    // caller names.
+    val r = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    require(!r.anyNull, "zorderLayout: empty input or all-null dimension")
+    def params(lo: Long, hi: Long): (Long, Long, Boolean) = {
+      val range = BigInt(hi) - BigInt(lo)
+      // narrow ranges (≤ 2^20) STRETCH across the full 16 bits via the
+      // multiply path — a 30-value day dimension left raw would vary
+      // only in zval's finest bits and prune nothing (measured; see
+      // BASELINE.md); wide ranges divide by the 16-bit bucket width
+      if (range <= 1048576L) (lo, range.toLong max 1L, true)
+      else (lo, (range / 65535).toLong, false)
+    }
+    def scaled(c: String, p: (Long, Long, Boolean)): Column = p match {
+      // narrow: the true difference is ≤ 2^20, so two's-complement
+      // subtraction is exact wherever the bounds sit
+      case (lo, range, true) =>
+        expr(s"((`$c` - ${lo}L) * 65535L) div ${range}L")
+      // wide: divide BEFORE subtracting — (c − lo) itself can exceed
+      // 2^63 for hash-range bounds; (c div w − lo div w) stays small,
+      // is monotone in c, and lands in [0, 65537) before the clamp
+      case (lo, width, false) =>
+        least(expr(s"(`$c` div ${width}L) - ${lo / width}L"), lit(65535L))
+    }
+    val px = params(r.getLong(0), r.getLong(1))
+    val py = params(r.getLong(2), r.getLong(3))
+    df.withColumn("zval",
+        mortonInterleave(scaled(xCol, px), scaled(yCol, py)))
       .repartitionByRange(nPartitions, col("zval"))
   }
 }

@@ -247,15 +247,26 @@ object TextFunctions {
       .groupBy(col("p")("a").as("a"), col("p")("b").as("b"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** One BPE merge applied corpus-wide: every adjacent (a, b) becomes
-    * the fused symbol — a sentinel-padded string replace, which scans
-    * left-to-right over non-overlapping occurrences exactly like the
-    * reference BPE merge ("a a a" → "aa a"). Pure map work. */
+  /** One BPE merge applied corpus-wide: a left-to-right fold over the
+    * symbol array fusing each adjacent (a, b) whose left symbol wasn't
+    * itself consumed — EXACT reference greedy-left semantics
+    * ("a a a" → "aa a", "a b a b" → "ab ab"). A sentinel-padded string
+    * replace is NOT equivalent: consecutive occurrences share their
+    * delimiter space, which replace consumes, silently skipping every
+    * second occurrence ("b a n a n a" would keep its second "a n").
+    * Pure map work; the fold is a codegen'd aggregate() expression. */
   def bpeApplyMerge(words: DataFrame, symsCol: String,
-                    a: String, b: String): DataFrame =
-    words.withColumn(symsCol, btrim(replace(
-      concat(lit(" "), col(symsCol), lit(" ")),
-      lit(s" $a $b "), lit(s" ${a}${b} "))))
+                    a: String, b: String): DataFrame = {
+    val fused = words.withColumn(symsCol, array_join(
+      aggregate(split(col(symsCol), " "),
+        array().cast("array<string>"),
+        (acc, s) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s)))),
+      " "))
+    fused
+  }
 
   /** k rounds of BPE training: each round counts pairs, picks the most
     * frequent (ties broken by (a, b) order — deterministic, where the
@@ -276,7 +287,12 @@ object TextFunctions {
       else {
         val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
         merges += ((a, b, top(0).getAs[Long]("cnt")))
+        // release round r−1's checkpointed blocks once round r is
+        // materialized (the dupClusters loop convention) — at vocab-size
+        // k the storage footprint must stay ONE corpus copy, not k
+        val prev = cur
         cur = bpeApplyMerge(cur, symsCol, a, b).localCheckpoint()
+        prev.unpersist(blocking = false)
       }
     }
     (merges.toSeq, cur)

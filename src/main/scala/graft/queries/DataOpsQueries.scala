@@ -1287,16 +1287,13 @@ object DataOpsQueries {
     // map-side bigram explode + ONE hash aggregate; the corpus never
     // shuffles, only (pair, count) rows do. Top-10 by (count, pair).
     "t23_bpe_pairs" -> { (s, dir) =>
+      // through the LIBRARY operator (bpeTrain's round-1 core), on the
+      // char-split symbol representation the merge loop consumes
       val words = Tables.documents(s, dir)
         .select(explode(expr(
           "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
-        .filter(length(col("w")) >= 2)
-      words.select(explode(expr(
-          "transform(sequence(1, length(w) - 1), " +
-            "i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"))
-          .as("p"))
-        .groupBy(col("p")("a").as("a"), col("p")("b").as("b"))
-        .agg(count(lit(1)).as("cnt"))
+        .select(expr("array_join(split(w, ''), ' ')").as("syms"))
+      TextFunctions.bpePairCounts(words, "syms")
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(10)
     },

@@ -31,6 +31,16 @@ class DataOpsSpec extends SparkSpec {
     val (m2, f2) = TextFunctions.bpeTrain(aaa, "syms", k = 1)
     assert(m2 == Seq(("a", "a", 3L)))
     assert(rows(f2.orderBy(col("syms"))).map(_.head) == Seq("aa", "aa a"))
+    // CONSECUTIVE occurrences must all fuse (a string replace over the
+    // space-joined form consumes the shared delimiter and skips every
+    // second one — "banana" kept its second "an"): greedy-left fold
+    val banana = Seq(Tuple1("b a n a n a"), Tuple1("a b a b")).toDF("syms")
+    val an = rows(TextFunctions.bpeApplyMerge(banana, "syms", "a", "n")
+      .orderBy(col("syms"))).map(_.head)
+    assert(an == Seq("a b a b", "b an an a"), s"got $an")
+    val ab = rows(TextFunctions.bpeApplyMerge(banana, "syms", "a", "b")
+      .orderBy(col("syms"))).map(_.head)
+    assert(ab == Seq("ab ab", "b a n a n a"), s"got $ab")
     // early stop: nothing repeats → no merge even with k budget left
     val uniq = Seq(Tuple1("x y"), Tuple1("p q")).toDF("syms")
     assert(TextFunctions.bpeTrain(uniq, "syms", k = 5)._1.isEmpty)
