@@ -5,15 +5,20 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics for product/behavioral pipelines: ordered
-  * funnels with conversion windows and cohort retention. Inputs are
-  * (user_id, event_type, ts) frames with ts in epoch NANOSECONDS (the
-  * engine's event-time convention — see DerivedState.normalizeEventTs).
+  * funnels with conversion windows, cohort retention, and the
+  * time-series join family — as-of (backward/forward/nearest),
+  * point-in-interval range join and interval-overlap join. Inputs are
+  * event frames with ts in epoch NANOSECONDS (the engine's event-time
+  * convention — see DerivedState.normalizeEventTs).
   *
-  * Both operators are single-shuffle shapes: funnel is one hash
-  * aggregate on the user key; retention's three aggregates share the
-  * user-keyed exchange and its ratio join broadcasts the cohort-sized
-  * dimension. No self-joins, no per-step passes — at 100 TB each stays
-  * a linear scan plus user-keyed shuffles.
+  * Every operator here is a bounded-shuffle shape: funnel is one hash
+  * aggregate on the user key; retention's aggregates share the
+  * user-keyed exchange with a broadcast ratio join; the as-of family
+  * is union-tag + ONE key exchange + per-key windows (never a
+  * range-predicate join); the range/interval joins are equi-joins on
+  * (key, time bucket) with exactly-once pair semantics. No self-joins,
+  * no nested loops — at 100 TB each stays a linear scan plus key-local
+  * work.
   */
 object Events {
 
