@@ -167,9 +167,15 @@ object Events {
     require(bucketNs > 0, "bucketNs must be positive")
     val b0 = expr(s"`$start` div ${bucketNs}L")
     val b1 = expr(s"(`$end` - 1) div ${bucketNs}L")
+    // span check in DECIMAL(38,0): b1 - b0 in Long can wrap negative for
+    // extreme bounds (start near Long.MinValue, end positive), bypassing
+    // this named-row diagnostic in favor of Spark's generic
+    // sequence-length error
+    val span = b1.cast(org.apache.spark.sql.types.DecimalType(38, 0)) -
+      b0.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     intervals.filter(col(end) > col(start))
       .withColumn("__b", explode(
-        when(b1 - b0 < MaxBucketsPerInterval, sequence(b0, b1))
+        when(span < MaxBucketsPerInterval, sequence(b0, b1))
           .otherwise(raise_error(concat(
             lit(s"rangeJoin: interval ["), col(start), lit(", "), col(end),
             lit(s") spans more than $MaxBucketsPerInterval buckets of " +

@@ -67,6 +67,9 @@ object Sketches {
       extends org.apache.spark.sql.expressions.Aggregator[
         Long, Array[Long], Array[Long]]
       with Serializable {
+    // a non-positive k would surface as an opaque executor-side
+    // ArrayIndexOutOfBounds in reduce (b.last on empty) — refuse up front
+    require(k >= 1, s"KMinValues needs k >= 1, got $k")
     // buffer = SORTED distinct array, ≤ k elements — the native array
     // encoder round-trips it exactly (a kryo'd TreeSet comes back as a
     // HashSet and loses the ordering contract); inserts rebuild the
