@@ -80,6 +80,53 @@ object Dataflows {
         min(col("distance")).as("nearestDistance"))
   }
 
+  /** [[replicasByDistance]] consulting the standing CorruptReplicasMap
+    * (FSNamesystem.java:666-701): known-corrupt replicas are EXCLUDED
+    * from the returned machine set while at least one good replica
+    * remains; when every replica is corrupt the block is served anyway —
+    * all replicas included — and flagged (`blockCorrupt`, the reference's
+    * corrupt-marked LocatedBlock). `corrupt`: (blockId, datanodeId) marks
+    * (see [[Replication.corruptMarks]]) — corrupt-set-sized, broadcast.
+    * The distance ladder and ordering are [[replicasByDistance]]'s; the
+    * exclusion runs in array-land AFTER the one aggregation, so the plan
+    * shape (one groupBy over the pruned replicas) is unchanged. */
+  def replicasByDistance(block: DataFrame, datanode: DataFrame,
+                         clientRack: String, clientNodeId: Long,
+                         corrupt: DataFrame): DataFrame = {
+    val nodes = live(datanode).select(col("id").as("nodeId"), col("location"))
+    val cSegs = clientRack.split("/").filter(_.nonEmpty)
+    val depth = cSegs.length
+    var ladder = when(col("datanodeId") === clientNodeId, 0)
+      .when(col("location") === clientRack, 2)
+    for (k <- (depth - 1) to 1 by -1)
+      ladder = ladder.when(
+        col("location").startsWith("/" + cSegs.take(k).mkString("/") + "/"),
+        2 * (depth - k) + 2)
+    val markDim = corrupt
+      .select(col("blockId").as("__mbid"), col("datanodeId").as("__mdid"),
+        lit(true).as("__corrupt"))
+    live(block)
+      .join(nodes, col("datanodeId") === col("nodeId"), "left")
+      .join(broadcast(markDim),
+        col("id") === col("__mbid") && col("datanodeId") === col("__mdid"), "left")
+      .withColumn("distance", ladder.otherwise(2 * depth + 2))
+      .withColumn("__bad", coalesce(col("__corrupt"), lit(false)))
+      .groupBy(col("id"))
+      .agg(first(col("fileId")).as("fileId"),
+        array_sort(collect_list(
+          struct(col("distance"), col("datanodeId"), col("__bad")))).as("__all"))
+      .withColumn("__good",
+        filter(col("__all"), x => !x.getField("__bad")))
+      .withColumn("blockCorrupt", size(col("__good")) === 0)
+      .withColumn("__sel",
+        when(col("blockCorrupt"), col("__all")).otherwise(col("__good")))
+      .select(col("id"), col("fileId"),
+        array_join(transform(col("__sel"),
+          x => x.getField("datanodeId").cast("string")), ",").as("orderedReplicas"),
+        element_at(col("__sel"), 1).getField("distance").as("nearestDistance"),
+        col("blockCorrupt"))
+  }
+
   /** N1 side effect (FSNamesystem.java:636-641): when access-time tracking
     * is on, getBlockLocations touches File.ATIME before returning located
     * blocks — the read path WRITES. For a batch of requested fileIds, emit

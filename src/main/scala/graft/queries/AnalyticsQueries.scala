@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Balancer, Dataflows}
+import graft.analytics.{Balancer, Dataflows, Replication}
 import graft.model.DerivedState
 
 /** queries()+oracleSql() for the namenode dataflow operators (SURVEY §2.4,
@@ -246,6 +246,59 @@ object AnalyticsQueries {
           DerivedState.block(s, dir), dn, Now)
         .orderBy(col("pass"), col("sourceId"), col("targetId"), col("blockId"))
     },
+    // N10 PendingReplicationBlocks lifecycle end-to-end: seed pending
+    // table → this tick's schedule (add/increment+timestamp reset) →
+    // blockReceived decrements → timeout scan → the timed-out blocks
+    // re-enter the under-replication queue with CURRENT replica counts.
+    // A block rescheduled this tick never times out (timestamp reset);
+    // a fully-received block leaves the table before the scan.
+    "n10_pending_requeue" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val p1 = Replication.pendingAfterSchedule(
+        s.sql(PendingSeedSql), s.sql(PendingScheduledSql), Now)
+      val p2 = Replication.pendingAfterReceipts(p1, s.sql(PendingReceivedSql))
+      val t = Replication.pendingTimedOut(p2, Now)
+      Replication.pendingRequeue(t, s.table("block"), s.table("file"),
+          s.table("datanode"), Now)
+        .orderBy(col("blockId"))
+    },
+    // N10 tick with the pending discount (computeReplicationWorkForBlock):
+    // effective = live + in-flight, so blocks with enough work already
+    // scheduled drop out and the rest carry needed = expected − effective
+    "n10_tick" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val work = Dataflows.underReplicated(s.table("block"), s.table("file"),
+        s.table("datanode"), Now, k = 100)
+      Replication.discountPending(work, s.sql(PendingTickSql))
+        .select(col("blockId"), col("fileId"), col("liveReplicaCount"),
+          col("expectedReplication"), col("priority"), col("pendingReplicas"),
+          col("effectiveReplicas"), col("needed"))
+        .orderBy(col("priority"), col("blockId"))
+    },
+    // N9 heartbeat command caps: the reporting nodes pick up their queued
+    // work capped per beat — maxReplicationStreams − xmitsInProgress
+    // replicate commands, blockInvalidateLimit invalidations, blockId
+    // order (the SAME capCommands body the streaming monitor runs)
+    "n9_commands" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Replication.capCommands(s.sql(N9WorkQueueSql), s.sql(N9BeatingSql),
+          maxReplicationStreams = 2, blockInvalidateLimit = 5)
+        .select(col("datanodeId"), col("blockId"), col("command"))
+        .orderBy(col("datanodeId"), col("command"), col("blockId"))
+    },
+    // N1 consulting the standing CorruptReplicasMap: corrupt replicas
+    // (marked from the N5 sweep's stored-replica toInvalidate decisions)
+    // are excluded from the located list while a good replica remains;
+    // an all-corrupt block serves every replica, flagged blockCorrupt
+    "n1_corrupt_exclusion" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val marks = Replication.corruptMarks(
+        Dataflows.reconcileReports(s.table("block"), s.table("reported")))
+      Dataflows.replicasByDistance(
+          s.table("block").filter(col("fileId") % 100 === 0L),
+          s.table("datanode"), "/rack2", 7L, marks)
+        .orderBy(col("id"))
+    },
   )
 
   private val O = DerivedState.oracle _
@@ -386,53 +439,8 @@ object AnalyticsQueries {
     // sweep: base = ceil(r/3) per level, unused quota spills to the next
     // level, leftover budget wraps into the next sweep
     "n6_under_replicated" -> O(
-      """WITH RECURSIVE livenodes AS (
-        |  SELECT id FROM datanode WHERE version > 0 AND adminState = 'NORMAL'
-        |    AND lastUpdated >= 1700000000000 - 600000),
-        |cnt AS (
-        |  SELECT b.id AS blockId, b.fileId, COUNT(*) AS liveReplicaCount
-        |  FROM block b JOIN livenodes n ON b.datanodeId = n.id
-        |  WHERE b.version > 0 GROUP BY b.id, b.fileId),
-        |scored AS (
-        |  SELECT c.blockId, c.fileId, c.liveReplicaCount,
-        |         f.replication AS expectedReplication,
-        |         CASE WHEN c.liveReplicaCount <= 1 THEN 0
-        |              WHEN c.liveReplicaCount * 3 < f.replication THEN 1
-        |              ELSE 2 END AS priority
-        |  FROM cnt c JOIN file f ON c.fileId = f.id AND f.version > 0 AND f.length <> -1
-        |  WHERE c.liveReplicaCount < f.replication),
-        |demand AS (
-        |  SELECT CAST(COALESCE(SUM(CASE WHEN priority = 0 THEN 1 END), 0) AS BIGINT) AS d0,
-        |         CAST(COALESCE(SUM(CASE WHEN priority = 1 THEN 1 END), 0) AS BIGINT) AS d1,
-        |         CAST(COALESCE(SUM(CASE WHEN priority = 2 THEN 1 END), 0) AS BIGINT) AS d2
-        |  FROM scored),
-        |alloc AS (
-        |  SELECT LEAST(CAST(100 AS BIGINT), d0 + d1 + d2) AS r,
-        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS t1,
-        |         CAST(0 AS BIGINT) AS t2, CAST(1 AS BIGINT) AS moved
-        |  FROM demand
-        |  UNION ALL
-        |  SELECT rem2 - a2, t0 + a0, t1 + a1, t2 + a2, a0 + a1 + a2
-        |  FROM (
-        |    SELECT *, LEAST(base + (q1 - a1), rem2, d2 - t2) AS a2 FROM (
-        |      SELECT *, rem1 - a1 AS rem2 FROM (
-        |        SELECT *, LEAST(q1, d1 - t1) AS a1 FROM (
-        |          SELECT *, LEAST(base + (q0 - a0), rem1) AS q1 FROM (
-        |            SELECT *, r - a0 AS rem1 FROM (
-        |              SELECT *, LEAST(q0, d0 - t0) AS a0 FROM (
-        |                SELECT a.r, a.t0, a.t1, a.t2, d.d0, d.d1, d.d2,
-        |                       (a.r + 2) // 3 AS base,
-        |                       LEAST((a.r + 2) // 3, a.r) AS q0
-        |                FROM alloc a, demand d
-        |                WHERE a.r > 0 AND a.moved > 0)))))))),
-        |takes AS (
-        |  SELECT MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2 FROM alloc),
-        |picked AS (
-        |  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY priority ORDER BY blockId) AS rn
-        |  FROM scored s)
-        |SELECT p.blockId, p.fileId, p.liveReplicaCount, p.expectedReplication, p.priority
-        |FROM picked p, takes t
-        |WHERE p.rn <= CASE p.priority WHEN 0 THEN t.t0 WHEN 1 THEN t.t1 ELSE t.t2 END
+      s"""WITH RECURSIVE $N6PickCtes
+        |$N6PickSelect
         |ORDER BY p.priority, p.blockId""".stripMargin),
     // rack-aware drop order (chooseExcessReplicates): each rack's
     // max-remaining replica is its would-be survivor; non-survivors drop
@@ -462,6 +470,117 @@ object AnalyticsQueries {
         |SELECT id, datanodeId, remaining, dropRank FROM z
         |WHERE dropRank <= cnt - replication AND id % 20 = 0
         |ORDER BY id, dropRank""".stripMargin),
+    // the lifecycle pipeline replayed CTE by CTE: full-outer schedule
+    // merge (timestamp reset), receipt decrement with the <=0 drop, the
+    // 5-minute timeout scan, then the requeue scoring over CURRENT state
+    "n10_pending_requeue" -> O(
+      s"""WITH pr_seed AS (
+        |$PendingSeedSql),
+        |pr_sched AS (
+        |$PendingScheduledSql),
+        |pr_recv AS (
+        |$PendingReceivedSql),
+        |pr_p1 AS (
+        |  SELECT COALESCE(p.blockId, s.blockId) AS blockId,
+        |         COALESCE(p.inFlight, CAST(0 AS BIGINT))
+        |           + COALESCE(s.add0, CAST(0 AS BIGINT)) AS inFlight,
+        |         CASE WHEN s.blockId IS NOT NULL THEN CAST(1700000000000 AS BIGINT)
+        |              ELSE p.since END AS since
+        |  FROM pr_seed p
+        |  FULL OUTER JOIN (SELECT blockId, SUM(numTargets) AS add0
+        |                   FROM pr_sched GROUP BY blockId) s
+        |    ON p.blockId = s.blockId),
+        |pr_p2 AS (
+        |  SELECT p.blockId,
+        |         p.inFlight - COALESCE(r.done, CAST(0 AS BIGINT)) AS inFlight,
+        |         p.since
+        |  FROM pr_p1 p
+        |  LEFT JOIN (SELECT blockId, COUNT(*) AS done
+        |             FROM pr_recv GROUP BY blockId) r
+        |    ON p.blockId = r.blockId
+        |  WHERE p.inFlight - COALESCE(r.done, CAST(0 AS BIGINT)) > 0),
+        |pr_t AS (SELECT blockId FROM pr_p2 WHERE 1700000000000 > since + 300000),
+        |pr_ln AS (
+        |  SELECT id FROM datanode WHERE version > 0 AND adminState = 'NORMAL'
+        |    AND lastUpdated >= 1700000000000 - 600000),
+        |pr_cnt AS (
+        |  SELECT b.id AS blockId, b.fileId, COUNT(n.id) AS liveReplicaCount
+        |  FROM block b LEFT JOIN pr_ln n ON b.datanodeId = n.id
+        |  WHERE b.version > 0 AND b.id IN (SELECT blockId FROM pr_t)
+        |  GROUP BY b.id, b.fileId)
+        |SELECT c.blockId, c.fileId, c.liveReplicaCount,
+        |       f.replication AS expectedReplication,
+        |       CASE WHEN c.liveReplicaCount <= 1 THEN 0
+        |            WHEN c.liveReplicaCount * 3 < f.replication THEN 1
+        |            ELSE 2 END AS priority
+        |FROM pr_cnt c JOIN file f ON c.fileId = f.id AND f.version > 0 AND f.length <> -1
+        |WHERE c.liveReplicaCount < f.replication
+        |ORDER BY c.blockId""".stripMargin),
+    "n10_tick" -> O(
+      s"""WITH RECURSIVE $N6PickCtes,
+        |n10_pick AS (
+        |$N6PickSelect),
+        |n10_pend AS (
+        |$PendingTickSql)
+        |SELECT p.blockId, p.fileId, p.liveReplicaCount, p.expectedReplication,
+        |  p.priority,
+        |  COALESCE(s.inFlight, CAST(0 AS BIGINT)) AS pendingReplicas,
+        |  p.liveReplicaCount + COALESCE(s.inFlight, CAST(0 AS BIGINT))
+        |    AS effectiveReplicas,
+        |  p.expectedReplication
+        |    - (p.liveReplicaCount + COALESCE(s.inFlight, CAST(0 AS BIGINT)))
+        |    AS needed
+        |FROM n10_pick p LEFT JOIN n10_pend s ON p.blockId = s.blockId
+        |WHERE p.expectedReplication
+        |    - (p.liveReplicaCount + COALESCE(s.inFlight, CAST(0 AS BIGINT))) > 0
+        |ORDER BY p.priority, p.blockId""".stripMargin),
+    "n9_commands" -> O(
+      s"""WITH n9w AS (
+        |$N9WorkQueueSql),
+        |n9b AS (
+        |$N9BeatingSql),
+        |n9x AS (SELECT datanodeId, MAX(xmitsInProgress) AS xm
+        |        FROM n9b GROUP BY datanodeId),
+        |n9j AS (
+        |  SELECT w.datanodeId, w.blockId, w.command,
+        |    GREATEST(0, 2 - x.xm) AS replCap,
+        |    ROW_NUMBER() OVER (PARTITION BY w.datanodeId, w.command
+        |                       ORDER BY w.blockId) AS rn
+        |  FROM n9w w JOIN n9x x ON w.datanodeId = x.datanodeId)
+        |SELECT datanodeId, blockId, command FROM n9j
+        |WHERE rn <= CASE WHEN command = 'replicate' THEN replCap ELSE 5 END
+        |ORDER BY datanodeId, command, blockId""".stripMargin),
+    // corrupt marks = the N5 sweep's stored-replica toInvalidate rows;
+    // exclusion per FSNamesystem.java:666-701 — corrupt replicas drop
+    // from the machine set while a good one remains, an all-corrupt
+    // block serves everything and flags blockCorrupt
+    "n1_corrupt_exclusion" -> O(
+      s"""$N5ClassifySql,
+        |cx_marks AS (
+        |  SELECT DISTINCT blockId, datanodeId FROM classified
+        |  WHERE action = 'toInvalidate' AND storedGenStamp IS NOT NULL),
+        |cx_r AS (
+        |  SELECT b.id, b.fileId, b.datanodeId,
+        |    CASE WHEN b.datanodeId = 7 THEN 0
+        |         WHEN d.location = '/rack2' THEN 2
+        |         ELSE 4 END AS distance,
+        |    m.blockId IS NOT NULL AS corrupt
+        |  FROM block b
+        |  LEFT JOIN datanode d ON b.datanodeId = d.id AND d.version > 0
+        |  LEFT JOIN cx_marks m ON b.id = m.blockId AND b.datanodeId = m.datanodeId
+        |  WHERE b.version > 0 AND b.fileId % 100 = 0),
+        |cx_g AS (
+        |  SELECT id, COUNT(CASE WHEN NOT corrupt THEN 1 END) AS goodc
+        |  FROM cx_r GROUP BY id)
+        |SELECT r.id, ANY_VALUE(r.fileId) AS fileId,
+        |  STRING_AGG(CAST(r.datanodeId AS STRING), ','
+        |             ORDER BY r.distance, r.datanodeId)
+        |    FILTER (WHERE g.goodc = 0 OR NOT r.corrupt) AS orderedReplicas,
+        |  MIN(r.distance) FILTER (WHERE g.goodc = 0 OR NOT r.corrupt)
+        |    AS nearestDistance,
+        |  ANY_VALUE(g.goodc = 0) AS blockCorrupt
+        |FROM cx_r r JOIN cx_g g ON r.id = g.id
+        |GROUP BY r.id ORDER BY r.id""".stripMargin),
     "n11_fsck" -> O(
       s"""WITH livenodes AS (
         |  SELECT id, location FROM datanode WHERE version > 0
@@ -870,6 +989,110 @@ object AnalyticsQueries {
   /** Balancer oracle threshold (percent): 0.08 spreads the synthetic
     * datanode table across all four utilization classes. */
   val BalancerThreshold: Double = 0.08
+
+  /** N6 pick oracle CTEs (shared by n6_under_replicated and n10_tick):
+    * live-NORMAL replica counts → priority scoring → the recursive
+    * `alloc` replay of Dataflows.roundRobinTakes (budget 100), sweep by
+    * sweep — base = ceil(r/3) per level, unused quota spills to the next
+    * level, leftover budget wraps into the next sweep. Ends with
+    * `picked`/`takes`; [[N6PickSelect]] is the matching final select. */
+  private val N6PickCtes: String =
+    """livenodes AS (
+      |  SELECT id FROM datanode WHERE version > 0 AND adminState = 'NORMAL'
+      |    AND lastUpdated >= 1700000000000 - 600000),
+      |cnt AS (
+      |  SELECT b.id AS blockId, b.fileId, COUNT(*) AS liveReplicaCount
+      |  FROM block b JOIN livenodes n ON b.datanodeId = n.id
+      |  WHERE b.version > 0 GROUP BY b.id, b.fileId),
+      |scored AS (
+      |  SELECT c.blockId, c.fileId, c.liveReplicaCount,
+      |         f.replication AS expectedReplication,
+      |         CASE WHEN c.liveReplicaCount <= 1 THEN 0
+      |              WHEN c.liveReplicaCount * 3 < f.replication THEN 1
+      |              ELSE 2 END AS priority
+      |  FROM cnt c JOIN file f ON c.fileId = f.id AND f.version > 0 AND f.length <> -1
+      |  WHERE c.liveReplicaCount < f.replication),
+      |demand AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN priority = 0 THEN 1 END), 0) AS BIGINT) AS d0,
+      |         CAST(COALESCE(SUM(CASE WHEN priority = 1 THEN 1 END), 0) AS BIGINT) AS d1,
+      |         CAST(COALESCE(SUM(CASE WHEN priority = 2 THEN 1 END), 0) AS BIGINT) AS d2
+      |  FROM scored),
+      |alloc AS (
+      |  SELECT LEAST(CAST(100 AS BIGINT), d0 + d1 + d2) AS r,
+      |         CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS t1,
+      |         CAST(0 AS BIGINT) AS t2, CAST(1 AS BIGINT) AS moved
+      |  FROM demand
+      |  UNION ALL
+      |  SELECT rem2 - a2, t0 + a0, t1 + a1, t2 + a2, a0 + a1 + a2
+      |  FROM (
+      |    SELECT *, LEAST(base + (q1 - a1), rem2, d2 - t2) AS a2 FROM (
+      |      SELECT *, rem1 - a1 AS rem2 FROM (
+      |        SELECT *, LEAST(q1, d1 - t1) AS a1 FROM (
+      |          SELECT *, LEAST(base + (q0 - a0), rem1) AS q1 FROM (
+      |            SELECT *, r - a0 AS rem1 FROM (
+      |              SELECT *, LEAST(q0, d0 - t0) AS a0 FROM (
+      |                SELECT a.r, a.t0, a.t1, a.t2, d.d0, d.d1, d.d2,
+      |                       (a.r + 2) // 3 AS base,
+      |                       LEAST((a.r + 2) // 3, a.r) AS q0
+      |                FROM alloc a, demand d
+      |                WHERE a.r > 0 AND a.moved > 0)))))))),
+      |takes AS (
+      |  SELECT MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2 FROM alloc),
+      |picked AS (
+      |  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY priority ORDER BY blockId) AS rn
+      |  FROM scored s)""".stripMargin
+
+  private val N6PickSelect: String =
+    """SELECT p.blockId, p.fileId, p.liveReplicaCount, p.expectedReplication, p.priority
+      |FROM picked p, takes t
+      |WHERE p.rn <= CASE p.priority WHEN 0 THEN t.t0 WHEN 1 THEN t.t1 ELSE t.t2 END""".stripMargin
+
+  /** N10 pending-table fixtures — ONE dialect-shared text per frame, run
+    * verbatim by Spark (s.sql) and spliced into the DuckDB oracles, so
+    * the two engines derive the identical lifecycle inputs. The seed
+    * staggers (inFlight, since) by block-id group: ~1/3 of entries are
+    * past the 5-minute timeout at NOW, receipts fully drain single-target
+    * entries, and the schedule overlaps the seed at id % 90 = 0 (the
+    * increment-and-reset-timestamp branch). */
+  private val PendingSeedSql: String =
+    """SELECT id AS blockId,
+      |       CAST(1 + CAST(FLOOR(id / 30.0) AS BIGINT) % 3 AS BIGINT) AS inFlight,
+      |       CAST(1700000000000 - (CAST(FLOOR(id / 30.0) AS BIGINT) % 9) * 60000 AS BIGINT) AS since
+      |FROM (SELECT DISTINCT id FROM block WHERE version > 0 AND id % 30 = 0) t""".stripMargin
+
+  /** Denser pending fixture for n10_tick: the N6 pick takes the SMALLEST
+    * under-replicated blockIds per level, so a sparse (id % 30) seed can
+    * miss the pick entirely and leave the discount vacuous — id % 3
+    * guarantees ~1/3 of picked blocks carry in-flight work, and the 1-2
+    * in-flight counts fully discount some picks (the needed <= 0 drop
+    * branch fires too). */
+  private val PendingTickSql: String =
+    """SELECT id AS blockId,
+      |       CAST(1 + CAST(FLOOR(id / 3.0) AS BIGINT) % 2 AS BIGINT) AS inFlight,
+      |       CAST(1700000000000 - 60000 AS BIGINT) AS since
+      |FROM (SELECT DISTINCT id FROM block WHERE version > 0 AND id % 3 = 0) t""".stripMargin
+
+  private val PendingScheduledSql: String =
+    """SELECT id AS blockId, CAST(1 + id % 2 AS BIGINT) AS numTargets
+      |FROM (SELECT DISTINCT id FROM block WHERE version > 0 AND id % 45 = 0) t""".stripMargin
+
+  private val PendingReceivedSql: String =
+    """SELECT id AS blockId
+      |FROM (SELECT DISTINCT id FROM block WHERE version > 0 AND id % 60 = 0) t""".stripMargin
+
+  /** N9 fixtures: a per-datanode work queue (replicate/invalidate mix)
+    * and a heartbeat batch covering half the nodes with varying
+    * xmitsInProgress, so every cap branch fires — repl cap 2/1/0, the
+    * invalidate limit, and the no-heartbeat drop. */
+  private val N9WorkQueueSql: String =
+    """SELECT CAST(1 + id % 40 AS BIGINT) AS datanodeId, id AS blockId,
+      |       CASE WHEN id % 3 = 0 THEN 'replicate' ELSE 'invalidate' END AS command
+      |FROM (SELECT DISTINCT id FROM block WHERE version > 0 AND id % 7 = 0) t""".stripMargin
+
+  private val N9BeatingSql: String =
+    """SELECT CAST(i AS BIGINT) AS datanodeId,
+      |       CAST(i % 4 AS BIGINT) AS xmitsInProgress
+      |FROM range(1, 21) AS t(i)""".stripMargin
 
   /** fsck fixtures: ONE dialect-shared datanode projection that marks
     * every %4=1 node dead (lastUpdated 0), run verbatim by the Spark

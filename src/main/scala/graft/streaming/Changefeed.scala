@@ -92,30 +92,10 @@ object Changefeed {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          val hasXmits = batch.columns.contains("xmitsInProgress")
-          val beating =
-            if (hasXmits)
-              batch.groupBy(col("datanodeId"))
-                .agg(max(col("xmitsInProgress")).as("__xmits"))
-            else batch.select(col("datanodeId")).distinct()
-          // coalesce: a null xmits value means "none in flight", not a
-          // zeroed cap (greatest() skips null arguments)
-          val replCap =
-            if (hasXmits)
-              greatest(lit(0),
-                lit(maxReplicationStreams) - coalesce(col("__xmits"), lit(0L)))
-            else lit(maxReplicationStreams)
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("datanodeId"), col("command"))
-            .orderBy(col("blockId"))
-          val capped = workFor()
-            .join(beating, Seq("datanodeId"))
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") <=
-              when(col("command") === "replicate", replCap)
-                .otherwise(lit(blockInvalidateLimit)))
-            .drop("__rn", "__xmits")
-          sink(id, capped)
+          // ONE capping definition shared with the batch/gated form —
+          // stream/batch parity rides on Replication.capCommands
+          sink(id, graft.analytics.Replication.capCommands(
+            workFor(), batch, maxReplicationStreams, blockInvalidateLimit))
         }
       }
       .start()
@@ -369,15 +349,20 @@ object Changefeed {
     * exactly. */
   def streamingKmv(values: DataFrame, valueCol: String, k: Int,
                    sink: (Array[Long], Long, Long) => Unit,
-                   initial: Array[Long] = Array.emptyLongArray): StreamingQuery = {
+                   initial: Array[Long] = Array.emptyLongArray,
+                   salt: String = "kmv"): StreamingQuery = {
     val standing = new java.util.concurrent.atomic.AtomicReference[Array[Long]](
       initial)
     val agg = new graft.functions.Sketches.KMinValues(k)
     values.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         import batch.sparkSession.implicits._
+        // nulls skip the sketch exactly as kmvMinima's batch fold does —
+        // a null value hashes to a null hv and would abort the
+        // non-nullable typed aggregation, killing the stream mid-batch
         val batchMins = batch.toDF()
-          .select(graft.functions.Shuffles.hashKey(col(valueCol), "kmv").as("hv"))
+          .filter(col(valueCol).isNotNull)
+          .select(graft.functions.Shuffles.hashKey(col(valueCol), salt).as("hv"))
           .as[Long].select(agg.toColumn).head()
         val merged = standing.updateAndGet(cur => agg.merge(
           cur.clone(), batchMins))
@@ -604,6 +589,45 @@ object Changefeed {
           else graft.state.Mutations.releaseLeases(file(), block(), datanode(),
             cands.select(col("holder")).distinct(), now)
         sink(id, cands, ws)
+      }
+      .start()
+
+  /** N10 PendingReplicationMonitor tick loop
+    * (PendingReplicationBlocks.java:173-207 driving FSNamesystem
+    * .processPendingReplications :2324-2334): each trigger scans the
+    * CURRENT pending table for timed-out requests and hands `sink` the
+    * (batchId, timed-out entries, survivors, requeue rows) — the caller
+    * owns committing the survivor table back and re-entering the requeue
+    * rows into the under-replication queue, mirroring the reference's
+    * iter.remove + neededReplications.add. Driven by any ticking stream
+    * (rate source in production, MemoryStream in tests). */
+  def pendingReplicationMonitor(ticks: DataFrame, pending: () => DataFrame,
+                                block: () => DataFrame, file: () => DataFrame,
+                                datanode: () => DataFrame, nowMs: () => Long,
+                                timeoutMs: Long = 5 * 60 * 1000L,
+                                sink: (Long, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery =
+    ticks.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (_: DataFrame, id: Long) =>
+        val now = nowMs()
+        // pin the scan: the suppliers read MUTABLE snapshots — a lazy
+        // timed-out frame the sink consumes AFTER committing the survivor
+        // table would re-evaluate against the post-commit state and see
+        // its own removals
+        val p = pending().localCheckpoint()
+        val timedOut = graft.analytics.Replication
+          .pendingTimedOut(p, now, timeoutMs).localCheckpoint()
+        val survivors = graft.analytics.Replication
+          .pendingSurvivors(p, now, timeoutMs)
+        // an idle tick (nothing timed out) must not pay the block-table
+        // requeue scan to learn there is nothing to requeue
+        val requeue =
+          if (timedOut.isEmpty)
+            graft.analytics.Replication.pendingRequeue(
+              timedOut, block().limit(0), file().limit(0), datanode().limit(0), now)
+          else graft.analytics.Replication.pendingRequeue(
+            timedOut, block(), file(), datanode(), now)
+        sink(id, timedOut, survivors, requeue)
       }
       .start()
 }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dataflows, Replication}
+
+/** PendingReplicationBlocks lifecycle, CorruptReplicasMap semantics and
+  * the N9 command caps (reference behaviors:
+  * PendingReplicationBlocks.java add/remove/timeout,
+  * FSNamesystem.java:666-701 corrupt exclusion, :2324-2334 requeue). */
+class ReplicationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Now = 1700000000000L
+
+  test("pendingAfterSchedule inserts new entries and increments+restamps existing") {
+    val pending = Seq((1L, 2L, Now - 400000L), (2L, 1L, Now - 100000L))
+      .toDF("blockId", "inFlight", "since")
+    val scheduled = Seq((1L, 1L), (3L, 2L)).toDF("blockId", "numTargets")
+    val out = Replication.pendingAfterSchedule(pending, scheduled, Now)
+      .orderBy("blockId").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // block 1: 2+1 in flight, timestamp RESET to now (the reference's
+    // found.incrementReplicas + setTimeStamp); block 2 untouched; block 3 new
+    assert(out.toSeq == Seq((1L, 3L, Now), (2L, 1L, Now - 100000L), (3L, 2L, Now)))
+  }
+
+  test("pendingAfterReceipts decrements and drops entries reaching zero") {
+    val pending = Seq((1L, 2L, Now), (2L, 1L, Now), (3L, 1L, Now))
+      .toDF("blockId", "inFlight", "since")
+    // two receipts for block 1, one for block 2, one for UNTRACKED block 9
+    val received = Seq(1L, 1L, 2L, 9L).toDF("blockId")
+    val out = Replication.pendingAfterReceipts(pending, received)
+      .orderBy("blockId").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((3L, 1L))) // 1 and 2 fully received, 9 a no-op
+  }
+
+  test("timed-out entries requeue with current replica counts; recovered blocks do not") {
+    val pending = Seq(
+      (10L, 1L, Now - 400000L), // timed out (5 min limit)
+      (11L, 1L, Now - 400000L), // timed out but block recovered meanwhile
+      (12L, 1L, Now - 100000L), // still fresh
+    ).toDF("blockId", "inFlight", "since")
+    val timedOut = Replication.pendingTimedOut(pending, Now)
+    assert(timedOut.select("blockId").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+    assert(Replication.pendingSurvivors(pending, Now)
+      .select("blockId").as[Long].collect().toSeq == Seq(12L))
+    val block = Seq(
+      (10L, 1L, 100L, 5L, 0L, 1L), // one live replica of a repl-3 file
+      (11L, 1L, 101L, 5L, 0L, 2L), (11L, 2L, 101L, 5L, 0L, 3L),
+      (11L, 3L, 101L, 5L, 0L, 4L), // fully recovered (3 replicas live)
+    ).toDF("id", "datanodeId", "fileId", "generationStamp", "fileIndex", "version")
+      .withColumn("length", lit(1000L))
+    val file = Seq((100L, 3L, 1000L, 1L), (101L, 3L, 1000L, 2L))
+      .toDF("id", "replication", "length", "version")
+    val datanode = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("lastUpdated", lit(Now))
+      .withColumn("adminState", lit("NORMAL"))
+      .withColumn("version", col("id"))
+    val rq = Replication.pendingRequeue(timedOut, block, file, datanode, Now)
+      .collect()
+    assert(rq.length == 1)
+    assert(rq.head.getAs[Long]("blockId") == 10L)
+    assert(rq.head.getAs[Long]("liveReplicaCount") == 1L)
+    assert(rq.head.getAs[Int]("priority") == 0) // last-replica level
+  }
+
+  test("requeue keeps a block whose replicas all sit on dead nodes") {
+    val timedOut = Seq((20L, 1L, 0L)).toDF("blockId", "inFlight", "since")
+    val block = Seq((20L, 1L, 200L, 5L, 0L, 1L))
+      .toDF("id", "datanodeId", "fileId", "generationStamp", "fileIndex", "version")
+      .withColumn("length", lit(1000L))
+    val file = Seq((200L, 2L, 1000L, 1L)).toDF("id", "replication", "length", "version")
+    val datanode = Seq((1L, 0L)).toDF("id", "lastUpdated") // dead
+      .withColumn("adminState", lit("NORMAL")).withColumn("version", lit(1L))
+    val rq = Replication.pendingRequeue(timedOut, block, file, datanode, Now).collect()
+    // zero live replicas → still queue membership (neededReplications.add
+    // with liveReplicas 0), priority 0
+    assert(rq.length == 1 && rq.head.getAs[Long]("liveReplicaCount") == 0L)
+  }
+
+  test("discountPending drops fully-covered blocks and reduces the rest") {
+    val work = Seq(
+      (1L, 100L, 1L, 3L, 0), // needs 2
+      (2L, 100L, 2L, 3L, 2), // needs 1, 1 in flight → drop
+      (3L, 100L, 1L, 3L, 0), // needs 2, 1 in flight → needs 1
+    ).toDF("blockId", "fileId", "liveReplicaCount", "expectedReplication", "priority")
+    val pending = Seq((2L, 1L, Now), (3L, 1L, Now)).toDF("blockId", "inFlight", "since")
+    val out = Replication.discountPending(work, pending)
+      .orderBy("blockId")
+      .select("blockId", "pendingReplicas", "effectiveReplicas", "needed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L, 1L, 2L), (3L, 1L, 2L, 1L)))
+  }
+
+  test("corrupt marks exclude replicas while a good one remains; all-corrupt serves all") {
+    val block = Seq(
+      // block 1: replicas on 1,2 — node 2 marked corrupt → only 1 served
+      (1L, 1L, 100L, 1L), (1L, 2L, 100L, 2L),
+      // block 2: single replica on 3, marked → all-corrupt, served anyway
+      (2L, 3L, 100L, 3L),
+    ).toDF("id", "datanodeId", "fileId", "version")
+      .withColumn("length", lit(1000L)).withColumn("generationStamp", lit(5L))
+      .withColumn("fileIndex", lit(0L))
+    val datanode = Seq((1L, "/rack0"), (2L, "/rack1"), (3L, "/rack0"))
+      .toDF("id", "location").withColumn("version", col("id"))
+    val marks = Seq((1L, 2L), (2L, 3L)).toDF("blockId", "datanodeId")
+    val out = Dataflows.replicasByDistance(block, datanode, "/rack0", -1L, marks)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("orderedReplicas") == "1")
+    assert(!out(0).getAs[Boolean]("blockCorrupt"))
+    assert(out(1).getAs[String]("orderedReplicas") == "3")
+    assert(out(1).getAs[Boolean]("blockCorrupt"))
+  }
+
+  test("corruptMarks picks only stored-replica toInvalidate decisions") {
+    val actions = Seq(
+      (1L, 1L, "toInvalidate", Some(5L)),  // stored replica → mark
+      (2L, 2L, "toInvalidate", None),      // reported-only → no mark
+      (3L, 3L, "toAdd", Some(5L)),
+    ).toDF("blockId", "datanodeId", "action", "storedGenStamp")
+    assert(Replication.corruptMarks(actions).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("corruptInvalidations converts marks once enough good replicas live") {
+    val block = Seq(
+      // block 1: good replicas on 1,2 + corrupt on 3; replication 2 → sweep
+      (1L, 1L, 100L, 1L), (1L, 2L, 100L, 2L), (1L, 3L, 100L, 3L),
+      // block 2: good on 1, corrupt on 2; replication 2 → keep the mark
+      (2L, 1L, 101L, 4L), (2L, 2L, 101L, 5L),
+    ).toDF("id", "datanodeId", "fileId", "version")
+      .withColumn("length", lit(1000L)).withColumn("generationStamp", lit(5L))
+      .withColumn("fileIndex", lit(0L))
+    val file = Seq((100L, 2L, 1000L, 1L), (101L, 2L, 1000L, 2L))
+      .toDF("id", "replication", "length", "version")
+    val datanode = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("lastUpdated", lit(Now))
+      .withColumn("adminState", lit("NORMAL"))
+      .withColumn("version", col("id"))
+    val marks = Seq((1L, 3L), (2L, 2L)).toDF("blockId", "datanodeId")
+    val inv = Replication.corruptInvalidations(marks, block, file, datanode, Now)
+      .collect()
+    assert(inv.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L)))
+  }
+
+  test("corruptMarksCompact drops marks whose replica row is gone") {
+    val marks = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("blockId", "datanodeId")
+    val block = Seq((1L, 1L, 1L), (2L, 1L, -2L)) // (2,1) tombstoned
+      .toDF("id", "datanodeId", "version")
+    val out = Replication.corruptMarksCompact(marks, block).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L)))
+  }
+}

@@ -723,4 +723,45 @@ class StreamingSpec extends SparkSpec {
       assert(acc.toMap == expect && acc.nonEmpty)
     } finally q.stop()
   }
+
+  test("pending-replication monitor: timed-out requests requeue, fresh ones survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    // mutable clock + mutable pending table — the sink commits survivors
+    // back, exactly the caller contract the monitor documents
+    val clock = new java.util.concurrent.atomic.AtomicLong(t0)
+    val pendingRef = new java.util.concurrent.atomic.AtomicReference(
+      Seq((10L, 1L, t0 - 60000L), (11L, 1L, t0 - 400000L))
+        .toDF("blockId", "inFlight", "since"))
+    val block = Seq((10L, 1L, 100L, 1L), (11L, 1L, 101L, 2L))
+      .toDF("id", "datanodeId", "fileId", "version")
+      .withColumn("length", lit(1000L)).withColumn("generationStamp", lit(5L))
+      .withColumn("fileIndex", lit(0L))
+    val file = Seq((100L, 3L, 1000L, 1L), (101L, 3L, 1000L, 2L))
+      .toDF("id", "replication", "length", "version")
+    val datanode = Seq(1L).toDF("id")
+      .withColumn("lastUpdated", lit(t0 + 600000L))
+      .withColumn("adminState", lit("NORMAL")).withColumn("version", lit(1L))
+    val mem = MemoryStream[Long]
+    val requeued = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Changefeed.pendingReplicationMonitor(
+      mem.toDF(), () => pendingRef.get(), () => block, () => file,
+      () => datanode, () => clock.get(), timeoutMs = 300000L,
+      sink = (_, _, survivors, requeue) => {
+        requeued ++= requeue.select("blockId").collect().map(_.getLong(0))
+        pendingRef.set(survivors.localCheckpoint())
+      })
+    try {
+      // tick 1 at t0: block 11 (aged 400 s) times out and requeues with
+      // its current 1-of-3 replica state; block 10 (60 s) survives
+      mem.addData(1L); q.processAllAvailable()
+      assert(requeued.toSeq == Seq(11L))
+      assert(pendingRef.get().select("blockId").collect().map(_.getLong(0)).toSeq == Seq(10L))
+      // tick 2, clock +4 min: block 10 has now aged past the timeout too
+      clock.set(t0 + 240001L)
+      mem.addData(2L); q.processAllAvailable()
+      assert(requeued.toSeq == Seq(11L, 10L))
+      assert(pendingRef.get().isEmpty)
+    } finally q.stop()
+  }
 }
