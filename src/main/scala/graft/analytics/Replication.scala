@@ -199,6 +199,153 @@ object Replication {
         lit("toInvalidate").as("action"))
   }
 
+  // ---- blockReceived per-op flow (FSNamesystem.java:2995-3050 → --------
+  // ---- addStoredBlock :2627-2735 + chooseExcessReplicates delHint) -----
+
+  /** The per-op incremental reconcile — blockReceived driving
+    * addStoredBlock for a batch of receipts, each (datanodeId, blockId,
+    * repLength, repGenStamp, delHint). Per op, against the CURRENT state:
+    *
+    *  - `rejectInvalidate`: the block has no live row at all, or its file
+    *    is deleted (rejectAddStoredBlock :2739-2747 — the replica is
+    *    invalidated);
+    *  - `corruptInvalidate`: genstamp older than the entry primary's, or
+    *    equal-genstamp but shorter (markBlockAsCorrupt :2648-2657);
+    *  - `add`: no stored replica on the reporting node — a replica row
+    *    insert (:2659-2673);
+    *  - `update`: the stored row differs in genstamp or length, including
+    *    the −1 → valid under-construction completion (:2674-2681);
+    *  - `ignore`: byte-identical (:2682).
+    *
+    * For valid receipts (add/update/ignore) of a block that is NOT the
+    * last block of an open file (the blockIsUnderConstruction skip,
+    * :2640-2644,2706), the replication check runs: liveAfter = NORMAL
+    * holders after the op (+ `pending` in-flight, :2712) vs the file's
+    * target; over-replicated ops emit `firstDrop` — the one node
+    * chooseExcessReplicates picks first, honoring delHint when the hint
+    * holds a replica and (hint ∈ priSet ∨ addedNode ∉ priSet), where
+    * priSet = nodes on racks holding >1 replica (:2869-2875); otherwise
+    * the least-remaining-space node from priSet, falling back to all
+    * holders (the reference's iterator-min; (remaining, datanodeId) is
+    * the deterministic tie-break). A hint equal to the reporting node is
+    * ignored (:2791-2793). Corrupt/reject receipts classify only.
+    *
+    * Scale shape: ops are batch-sized — they broadcast into left-semi
+    * prunes of the block table (one for the ops' blocks, one for the
+    * owner files' last-block index), so per-op cost is O(receipt batch),
+    * never O(table). The batch sweep (reconcileReports) and this per-op
+    * flow agree action-for-action on the same state — the parity law
+    * ReplicationSpec pins (the one divergence: a −1-length stored replica
+    * completing is per-op `update` but batch `ok`, the sweep's
+    * non-actionable-UC convention). */
+  def blockReceived(block: DataFrame, file: DataFrame, datanode: DataFrame,
+                    ops: DataFrame, pending: Option[DataFrame] = None): DataFrame = {
+    val b = live(block)
+    val opBlocks = ops.select(col("blockId")).distinct()
+    // ONE pruned scan feeds stored-row lookup, entry primary and holders
+    val pruned = b
+      .join(broadcast(opBlocks), col("id") === col("blockId"), "left_semi")
+      .localCheckpoint()
+    val freshest = pruned.groupBy(col("id").as("__bid"))
+      .agg(max(col("generationStamp")).as("maxGenStamp"),
+        max_by(col("length"), struct(col("generationStamp"), col("version")))
+          .as("freshestLength"),
+        first(col("fileId")).as("__ownerFid"))
+    val stored = pruned.select(col("id").as("blockId"), col("datanodeId"),
+      col("length").as("storedLength"), col("generationStamp").as("storedGenStamp"))
+    val fdim = live(file).select(col("id").as("__fid"),
+      col("replication").as("expectedReplication"),
+      col("leaseHolder").isNotNull.as("__open"))
+    // last block index per owner file — the blockIsUnderConstruction gate
+    // needs the file's TRUE last block, which may not be in the op batch
+    val ownerFiles = freshest.select(col("__ownerFid").as("__of")).distinct()
+    val lastIdx = b
+      .join(broadcast(ownerFiles), col("fileId") === col("__of"), "left_semi")
+      .groupBy(col("fileId").as("__lf"))
+      .agg(max(col("fileIndex")).as("__lastIdx"))
+    val opIdx = pruned
+      .groupBy(col("id").as("__ib"))
+      .agg(max(col("fileIndex")).as("__blkIdx"))
+    val pend = pending.getOrElse(
+      ops.sparkSession.emptyDataFrame
+        .withColumn("blockId", lit(null).cast("long"))
+        .withColumn("inFlight", lit(null).cast("long")))
+      .select(col("blockId").as("__pb"), col("inFlight").as("__pin"))
+    val classified = ops
+      .join(stored, Seq("blockId", "datanodeId"), "left")
+      .join(broadcast(freshest), col("blockId") === col("__bid"), "left")
+      .join(broadcast(fdim), col("__ownerFid") === col("__fid"), "left")
+      .join(broadcast(lastIdx), col("__ownerFid") === col("__lf"), "left")
+      .join(broadcast(opIdx), col("blockId") === col("__ib"), "left")
+      .join(broadcast(pend), col("blockId") === col("__pb"), "left")
+      .withColumn("outcome",
+        when(col("__bid").isNull, lit("rejectInvalidate"))
+          .when(col("__fid").isNull, lit("rejectInvalidate"))
+          .when(col("repGenStamp") < col("maxGenStamp"), lit("corruptInvalidate"))
+          .when(col("repGenStamp") === col("maxGenStamp") &&
+            col("repLength") < col("freshestLength"), lit("corruptInvalidate"))
+          .when(col("storedGenStamp").isNull, lit("add"))
+          .when(col("storedGenStamp") =!= col("repGenStamp") ||
+            col("storedLength") =!= col("repLength"), lit("update"))
+          .otherwise(lit("ignore")))
+      .withColumn("__blockUC",
+        col("__open") && col("__blkIdx") === col("__lastIdx"))
+    // post-op holder set per block, with rack/space for the excess pick —
+    // the op node is a holder after any valid receipt, whether it was
+    // stored before or not, so the set is op-independent per block
+    val ddim = live(datanode).select(col("id").as("__did"),
+      col("location").as("__rack"), col("remaining").as("__rem"),
+      col("adminState").as("__adm"))
+    val holderBase = pruned.select(col("id").as("__hb"), col("datanodeId")).distinct()
+    val opNodes = ops.select(col("blockId").as("__hb"), col("datanodeId")).distinct()
+    val holders = holderBase.unionByName(opNodes).distinct()
+      .join(broadcast(ddim), col("datanodeId") === col("__did"), "left")
+      // processOverReplicatedBlock drops decommissioning holders from
+      // nonExcess (:2798-2808); an unknown-node holder keeps candidacy
+      .filter(col("__adm").isNull || col("__adm") === "NORMAL")
+      .withColumn("__rackKey",
+        coalesce(col("__rack"), concat(lit("?"), col("datanodeId").cast("string"))))
+    val wBlk = Window.partitionBy(col("__hb"))
+    val wRack = Window.partitionBy(col("__hb"), col("__rackKey"))
+    val ranked = holders
+      .withColumn("__cnt", count(lit(1)).over(wBlk))
+      .withColumn("__pri", count(lit(1)).over(wRack) > 1)
+      .withColumn("__stdRank", row_number().over(wBlk.orderBy(
+        col("__pri").desc, col("__rem").asc_nulls_last, col("datanodeId").asc)))
+      .localCheckpoint() // feeds three probes below; holder-set-sized
+    val stdPick = ranked.filter(col("__stdRank") === 1)
+      .select(col("__hb").as("__sb"), col("datanodeId").as("__stdDrop"))
+    val cnts = ranked.groupBy(col("__hb").as("__cb"))
+      .agg(max(col("__cnt")).as("__liveAfter"))
+    val hintFlags = ranked.select(col("__hb").as("__fb"),
+      col("datanodeId").as("__fd"), col("__pri"))
+    classified
+      .join(broadcast(cnts), col("blockId") === col("__cb"), "left")
+      .join(broadcast(stdPick), col("blockId") === col("__sb"), "left")
+      .join(broadcast(hintFlags.withColumnRenamed("__pri", "__hintPri")),
+        col("blockId") === col("__fb") && col("delHint") === col("__fd") &&
+          col("delHint") =!= col("datanodeId"), "left")
+      .join(broadcast(hintFlags
+          .select(col("__fb").as("__ab"), col("__fd").as("__ad"),
+            col("__pri").as("__addedPri"))),
+        col("blockId") === col("__ab") && col("datanodeId") === col("__ad"), "left")
+      .withColumn("__valid", col("outcome").isin("add", "update", "ignore"))
+      .withColumn("liveAfter",
+        when(col("__valid"), coalesce(col("__liveAfter"), lit(0L))))
+      .withColumn("__excess",
+        col("__valid") && !coalesce(col("__blockUC"), lit(false)) &&
+          col("liveAfter") + coalesce(col("__pin"), lit(0L)) >
+            col("expectedReplication"))
+      .withColumn("firstDrop",
+        when(col("__excess"),
+          when(col("__fb").isNotNull &&
+            (col("__hintPri") || !coalesce(col("__addedPri"), lit(false))),
+            col("delHint"))
+            .otherwise(col("__stdDrop"))))
+      .select(col("datanodeId"), col("blockId"), col("outcome"),
+        col("liveAfter"), col("expectedReplication"), col("firstDrop"))
+  }
+
   // ---- N9: heartbeat command caps (handleHeartbeat :1801-1935) ---------
 
   /** The per-heartbeat command cap, batch form — ONE definition shared

@@ -286,6 +286,16 @@ object AnalyticsQueries {
         .select(col("datanodeId"), col("blockId"), col("command"))
         .orderBy(col("datanodeId"), col("command"), col("blockId"))
     },
+    // blockReceived per-op incremental reconcile: each receipt classifies
+    // against CURRENT state (reject/corrupt/add/update/ignore — the
+    // addStoredBlock ladder) and over-replicated valid receipts emit the
+    // chooseExcessReplicates first drop, honoring delHint when eligible
+    "n_block_received" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Replication.blockReceived(s.table("block"), s.table("file"),
+          s.table("datanode"), s.sql(BlockReceivedOpsSql))
+        .orderBy(col("blockId"), col("datanodeId"))
+    },
     // N1 consulting the standing CorruptReplicasMap: corrupt replicas
     // (marked from the N5 sweep's stored-replica toInvalidate decisions)
     // are excluded from the located list while a good replica remains;
@@ -550,6 +560,87 @@ object AnalyticsQueries {
         |SELECT datanodeId, blockId, command FROM n9j
         |WHERE rn <= CASE WHEN command = 'replicate' THEN replCap ELSE 5 END
         |ORDER BY datanodeId, command, blockId""".stripMargin),
+    "n_block_received" -> O(
+      s"""WITH br_ops AS (
+        |$BlockReceivedOpsSql),
+        |br_pruned AS (
+        |  SELECT b.* FROM block b WHERE b.version > 0
+        |    AND b.id IN (SELECT blockId FROM br_ops)),
+        |br_fresh AS (
+        |  SELECT id AS bid, MAX(generationStamp) AS maxGenStamp,
+        |    ARG_MAX(length, CAST(generationStamp AS HUGEINT)
+        |            * 9223372036854775808 + version) AS freshestLength,
+        |    ANY_VALUE(fileId) AS ownerFid
+        |  FROM br_pruned GROUP BY id),
+        |br_stored AS (
+        |  SELECT id AS blockId, datanodeId, length AS storedLength,
+        |         generationStamp AS storedGenStamp FROM br_pruned),
+        |br_fdim AS (
+        |  SELECT id AS fid, replication AS expectedReplication,
+        |         leaseHolder IS NOT NULL AS isopen
+        |  FROM file WHERE version > 0),
+        |br_last AS (
+        |  SELECT fileId AS lf, MAX(fileIndex) AS lastIdx FROM block
+        |  WHERE version > 0 AND fileId IN (SELECT ownerFid FROM br_fresh)
+        |  GROUP BY fileId),
+        |br_opidx AS (
+        |  SELECT id AS ib, MAX(fileIndex) AS blkIdx FROM br_pruned GROUP BY id),
+        |br_cls AS (
+        |  SELECT o.datanodeId, o.blockId, o.delHint,
+        |    fd.expectedReplication,
+        |    COALESCE(fd.isopen AND oi.blkIdx = l.lastIdx, FALSE) AS blockUC,
+        |    CASE WHEN f.bid IS NULL THEN 'rejectInvalidate'
+        |         WHEN fd.fid IS NULL THEN 'rejectInvalidate'
+        |         WHEN o.repGenStamp < f.maxGenStamp THEN 'corruptInvalidate'
+        |         WHEN o.repGenStamp = f.maxGenStamp
+        |              AND o.repLength < f.freshestLength THEN 'corruptInvalidate'
+        |         WHEN s.storedGenStamp IS NULL THEN 'add'
+        |         WHEN s.storedGenStamp <> o.repGenStamp
+        |              OR s.storedLength <> o.repLength THEN 'update'
+        |         ELSE 'ignore' END AS outcome
+        |  FROM br_ops o
+        |  LEFT JOIN br_stored s ON o.blockId = s.blockId AND o.datanodeId = s.datanodeId
+        |  LEFT JOIN br_fresh f ON o.blockId = f.bid
+        |  LEFT JOIN br_fdim fd ON f.ownerFid = fd.fid
+        |  LEFT JOIN br_last l ON f.ownerFid = l.lf
+        |  LEFT JOIN br_opidx oi ON o.blockId = oi.ib),
+        |br_holders AS (
+        |  SELECT DISTINCT hb, datanodeId FROM (
+        |    SELECT id AS hb, datanodeId FROM br_pruned
+        |    UNION ALL
+        |    SELECT blockId AS hb, datanodeId FROM br_ops) u),
+        |br_hr AS (
+        |  SELECT h.hb, h.datanodeId, d.remaining,
+        |    COALESCE(d.location, '?' || CAST(h.datanodeId AS VARCHAR)) AS rackKey
+        |  FROM br_holders h
+        |  LEFT JOIN datanode d ON h.datanodeId = d.id AND d.version > 0
+        |  WHERE d.adminState IS NULL OR d.adminState = 'NORMAL'),
+        |br_rank AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY hb
+        |      ORDER BY pri DESC, remaining ASC NULLS LAST, datanodeId ASC) AS stdRank
+        |  FROM (SELECT *, COUNT(*) OVER (PARTITION BY hb) AS cnt,
+        |          COUNT(*) OVER (PARTITION BY hb, rackKey) > 1 AS pri
+        |        FROM br_hr) t),
+        |br_std AS (SELECT hb AS sb, datanodeId AS stdDrop FROM br_rank WHERE stdRank = 1),
+        |br_cnt AS (SELECT hb AS cb, MAX(cnt) AS liveAfter FROM br_rank GROUP BY hb)
+        |SELECT c.datanodeId, c.blockId, c.outcome,
+        |  CASE WHEN c.outcome IN ('add','update','ignore')
+        |       THEN COALESCE(n.liveAfter, 0) END AS liveAfter,
+        |  c.expectedReplication,
+        |  CASE WHEN c.outcome IN ('add','update','ignore') AND NOT c.blockUC
+        |        AND COALESCE(n.liveAfter, 0) > c.expectedReplication
+        |       THEN CASE WHEN hf.fd IS NOT NULL
+        |                  AND (hf.hintPri OR NOT COALESCE(af.addedPri, FALSE))
+        |                 THEN c.delHint ELSE sd.stdDrop END
+        |  END AS firstDrop
+        |FROM br_cls c
+        |LEFT JOIN br_cnt n ON c.blockId = n.cb
+        |LEFT JOIN br_std sd ON c.blockId = sd.sb
+        |LEFT JOIN (SELECT hb AS fb, datanodeId AS fd, pri AS hintPri FROM br_rank) hf
+        |  ON c.blockId = hf.fb AND c.delHint = hf.fd AND c.delHint <> c.datanodeId
+        |LEFT JOIN (SELECT hb AS ab, datanodeId AS ad, pri AS addedPri FROM br_rank) af
+        |  ON c.blockId = af.ab AND c.datanodeId = af.ad
+        |ORDER BY c.blockId, c.datanodeId""".stripMargin),
     // corrupt marks = the N5 sweep's stored-replica toInvalidate rows;
     // exclusion per FSNamesystem.java:666-701 — corrupt replicas drop
     // from the machine set while a good one remains, an all-corrupt
@@ -1093,6 +1184,34 @@ object AnalyticsQueries {
     """SELECT CAST(i AS BIGINT) AS datanodeId,
       |       CAST(i % 4 AS BIGINT) AS xmitsInProgress
       |FROM range(1, 21) AS t(i)""".stripMargin
+
+  /** blockReceived ops fixture: datanode 3's report rows (covering the
+    * reported table's full perturbation matrix — stale genstamps, grown
+    * and shortened lengths, so corrupt/update/ignore all fire), each
+    * carrying a delHint pointing at the block's LARGEST holder — a real
+    * co-holder, so the hint-honored branch fires and is distinguishable
+    * from the least-space standard pick (which favors small node ids on
+    * the synthetic cluster); when that holder is node 3 itself the
+    * hint-equals-addedNode null-out fires;
+    * datanode 4's rows re-keyed to node 9, which holds almost none of
+    * them (the `add` branch, and extra over-replication); plus one
+    * receipt for a block that does not exist (rejectAddStoredBlock).
+    * Blocks of tombstoned files hit the no-file reject branch naturally. */
+  private val BlockReceivedOpsSql: String =
+    """SELECT r.datanodeId, r.blockId, r.repLength, r.repGenStamp,
+      |       h.minOther AS delHint
+      |FROM reported r
+      |LEFT JOIN (SELECT id AS hid, MAX(datanodeId) AS minOther
+      |           FROM block WHERE version > 0 GROUP BY id) h
+      |  ON r.blockId = h.hid
+      |WHERE r.datanodeId = 3
+      |UNION ALL
+      |SELECT CAST(9 AS BIGINT), blockId, repLength, repGenStamp,
+      |       CAST(NULL AS BIGINT)
+      |FROM reported WHERE datanodeId = 4
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), CAST(999 AS BIGINT), CAST(100 AS BIGINT),
+      |       CAST(100 AS BIGINT), CAST(NULL AS BIGINT)""".stripMargin
 
   /** fsck fixtures: ONE dialect-shared datanode projection that marks
     * every %4=1 node dead (lastUpdated 0), run verbatim by the Spark

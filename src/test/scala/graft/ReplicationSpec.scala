@@ -142,6 +142,70 @@ class ReplicationSpec extends SparkSpec {
     assert(inv.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L)))
   }
 
+  test("per-op blockReceived agrees with the batch sweep action-for-action") {
+    // one block per classification branch; datanode 1 reports all of them
+    val block = Seq(
+      (1L, 1L, 100L, 10L, 500L, 1L),  // stale-genstamp report → corrupt
+      (2L, 1L, 100L, 10L, 500L, 2L),  // short report → corrupt
+      (3L, 1L, 100L, 10L, 500L, 3L),  // grown report → update / batch toAdd
+      (4L, 1L, 100L, 10L, 500L, 4L),  // identical report → ignore / ok
+      (5L, 2L, 100L, 10L, 500L, 5L),  // never stored on node 1 → add / toAdd
+      (6L, 1L, 100L, 10L, -1L, 6L),   // UC completion: per-op update, batch ok
+    ).toDF("id", "datanodeId", "fileId", "generationStamp", "length", "version")
+      .withColumn("fileIndex", lit(0L))
+    val file = Seq((100L, 3L, 1000L, 1L)).toDF("id", "replication", "length", "version")
+      .withColumn("leaseHolder", lit(null).cast("string"))
+    val datanode = Seq(1L, 2L).toDF("id")
+      .withColumn("location", lit("/r0")).withColumn("remaining", lit(100L))
+      .withColumn("lastUpdated", lit(Now)).withColumn("adminState", lit("NORMAL"))
+      .withColumn("version", col("id"))
+    val reported = Seq(
+      (1L, 1L, 500L, 9L), (1L, 2L, 400L, 10L), (1L, 3L, 600L, 10L),
+      (1L, 4L, 500L, 10L), (1L, 5L, 500L, 10L), (1L, 6L, 700L, 10L),
+    ).toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+    val perOp = Replication.blockReceived(block, file, datanode,
+        reported.withColumn("delHint", lit(null).cast("long")))
+      .select("blockId", "outcome").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // keyed by (node, block): the sweep ALSO emits a toRemove row for
+    // block 5's unreported stored replica on node 2 — the per-op flow
+    // compares against the reporting node's own row
+    val batch = Dataflows.reconcileReports(block, reported)
+      .select("datanodeId", "blockId", "action").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // the mapping between the two vocabularies; blocks 6 is the ONE
+    // documented divergence (−1 UC completion: per-op update, batch ok)
+    val expectBatchOf = Map(
+      "corruptInvalidate" -> "toInvalidate", "add" -> "toAdd",
+      "update" -> "toAdd", "ignore" -> "ok")
+    assert(perOp == Map(1L -> "corruptInvalidate", 2L -> "corruptInvalidate",
+      3L -> "update", 4L -> "ignore", 5L -> "add", 6L -> "update"))
+    (1L to 5L).foreach { b =>
+      assert(batch((1L, b)) == expectBatchOf(perOp(b)), s"block $b")
+    }
+    assert(batch((1L, 6L)) == "ok") // the sweep's non-actionable-UC convention
+  }
+
+  test("blockReceived rejects receipts for unknown blocks and deleted files") {
+    val block = Seq((1L, 1L, 100L, 10L, 500L, 1L))
+      .toDF("id", "datanodeId", "fileId", "generationStamp", "length", "version")
+      .withColumn("fileIndex", lit(0L))
+    val file = Seq((100L, 3L, 1000L, -1L)) // tombstoned owner
+      .toDF("id", "replication", "length", "version")
+      .withColumn("leaseHolder", lit(null).cast("string"))
+    val datanode = Seq(1L).toDF("id")
+      .withColumn("location", lit("/r0")).withColumn("remaining", lit(100L))
+      .withColumn("lastUpdated", lit(Now)).withColumn("adminState", lit("NORMAL"))
+      .withColumn("version", lit(1L))
+    val ops = Seq((1L, 1L, 500L, 10L), (1L, 99L, 500L, 10L))
+      .toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+      .withColumn("delHint", lit(null).cast("long"))
+    val out = Replication.blockReceived(block, file, datanode, ops)
+      .select("blockId", "outcome").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "rejectInvalidate", 99L -> "rejectInvalidate"))
+  }
+
   test("corruptMarksCompact drops marks whose replica row is gone") {
     val marks = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("blockId", "datanodeId")
     val block = Seq((1L, 1L, 1L), (2L, 1L, -2L)) // (2,1) tombstoned
