@@ -199,6 +199,22 @@ object StateQueries {
       graft.sources.Formats.fileDistribution(DerivedState.file(s, dir),
         maxSize = 4194304L, step = 65536L)
     },
+    // F11 oiv Ls visitor: ls-style line per inode (type char, padded
+    // replication/user/size, loader-format modTime, path)
+    "f10_oiv_ls" -> { (s, dir) =>
+      graft.sources.Formats.oivLs(DerivedState.file(s, dir))
+        .filter(col("id") % 50 === 0L)
+        .orderBy(col("id"))
+    },
+    // F11 oiv XML visitor: the INODE element per inode — block children
+    // in fileIndex order, NUM_BLOCKS attr (−1 for dirs), quota tags
+    // exactly when numBlocks ≠ 0, the PERMISSIONS trailer
+    "f10_oiv_xml" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      graft.sources.Formats.oivXml(s.table("file"), s.table("block"))
+        .filter(col("id") % 50 === 0L)
+        .orderBy(col("id"))
+    },
     // S1 glob expansion (FileSystem.globStatus / TestGlobPaths):
     // wildcard, ?, brace alternation and a character class over the
     // derived namespace, all patterns in one walk
@@ -415,6 +431,84 @@ object StateQueries {
         |    AND regexp_matches(f1.name, '^n_2$')
         |    AND regexp_matches(f2.name, '^c_1[0-9]3$')
         |) u ORDER BY pattern, path""".stripMargin),
+    "f10_oiv_ls" -> O(
+      """WITH RECURSIVE ox_path AS (
+        |  SELECT id, parentId, name, length, replication, owner, mtime,
+        |         '' AS path
+        |  FROM file WHERE id = 0 AND version > 0
+        |  UNION ALL
+        |  SELECT f.id, f.parentId, f.name, f.length, f.replication, f.owner,
+        |         f.mtime, p.path || '/' || f.name
+        |  FROM file f JOIN ox_path p ON f.parentId = p.id
+        |  WHERE f.version > 0 AND f.id <> 0)
+        |SELECT id,
+        |  CASE WHEN id = 0 THEN '/' ELSE path END AS path,
+        |  (CASE WHEN length = -1 THEN 'd' ELSE '-' END) || ' ' ||
+        |  lpad(CASE WHEN replication > 0 THEN CAST(replication AS STRING)
+        |            ELSE '-' END, 2, ' ') || ' ' ||
+        |  lpad(CAST(owner AS STRING), 8, ' ') || ' ' ||
+        |  lpad('', 10, ' ') || ' ' ||
+        |  lpad(CAST(CASE WHEN length = -1 THEN 0
+        |                 ELSE GREATEST(length, 0) END AS STRING), 10, ' ')
+        |    || ' ' ||
+        |  strftime(epoch_ms(mtime), '%Y-%m-%d %H:%M') || ' ' ||
+        |  CASE WHEN id = 0 THEN '/' ELSE path END AS line
+        |FROM ox_path WHERE id % 50 = 0
+        |ORDER BY id""".stripMargin),
+    "f10_oiv_xml" -> O(
+      """WITH RECURSIVE ox_path AS (
+        |  SELECT id, parentId, name, length, replication, owner, mtime,
+        |         atime, blockSize, '' AS path
+        |  FROM file WHERE id = 0 AND version > 0
+        |  UNION ALL
+        |  SELECT f.id, f.parentId, f.name, f.length, f.replication, f.owner,
+        |         f.mtime, f.atime, f.blockSize, p.path || '/' || f.name
+        |  FROM file f JOIN ox_path p ON f.parentId = p.id
+        |  WHERE f.version > 0 AND f.id <> 0),
+        |ox_pb AS (
+        |  SELECT fileId, id AS bid, MAX(fileIndex) AS fi,
+        |    ARG_MAX(length, CAST(generationStamp AS HUGEINT)
+        |            * 9223372036854775808 + version) AS len,
+        |    MAX(generationStamp) AS gs
+        |  FROM block WHERE version > 0 GROUP BY fileId, id),
+        |ox_bt AS (
+        |  SELECT fileId, COUNT(*) AS nb,
+        |    string_agg('<BLOCK>' || chr(10) ||
+        |      '<BLOCK_ID>' || CAST(bid AS STRING) || '</BLOCK_ID>' || chr(10) ||
+        |      '<NUM_BYTES>' || CAST(len AS STRING) || '</NUM_BYTES>' || chr(10) ||
+        |      '<GENERATION_STAMP>' || CAST(gs AS STRING) ||
+        |      '</GENERATION_STAMP>' || chr(10) || '</BLOCK>' || chr(10),
+        |      '' ORDER BY fi, bid, len, gs) AS tags
+        |  FROM ox_pb GROUP BY fileId)
+        |SELECT p.id,
+        |  CASE WHEN p.id = 0 THEN '/' ELSE p.path END AS path,
+        |  '<INODE>' || chr(10) ||
+        |  '<INODE_PATH>' || p.path || '</INODE_PATH>' || chr(10) ||
+        |  '<REPLICATION>' || CAST(p.replication AS STRING) || '</REPLICATION>'
+        |    || chr(10) ||
+        |  '<MODIFICATION_TIME>' || strftime(epoch_ms(p.mtime), '%Y-%m-%d %H:%M')
+        |    || '</MODIFICATION_TIME>' || chr(10) ||
+        |  '<ACCESS_TIME>' || strftime(epoch_ms(p.atime), '%Y-%m-%d %H:%M')
+        |    || '</ACCESS_TIME>' || chr(10) ||
+        |  '<BLOCK_SIZE>' || CAST(p.blockSize AS STRING) || '</BLOCK_SIZE>'
+        |    || chr(10) ||
+        |  '<BLOCKS NUM_BLOCKS="' ||
+        |    CAST(CASE WHEN p.length = -1 THEN -1
+        |              ELSE COALESCE(b.nb, 0) END AS STRING) || '">' || chr(10) ||
+        |  CASE WHEN p.length = -1 THEN '' ELSE COALESCE(b.tags, '') END ||
+        |  '</BLOCKS>' || chr(10) ||
+        |  CASE WHEN (CASE WHEN p.length = -1 THEN -1
+        |                  ELSE COALESCE(b.nb, 0) END) = 0 THEN ''
+        |       ELSE '<NS_QUOTA>-1</NS_QUOTA>' || chr(10) ||
+        |            '<DS_QUOTA>-1</DS_QUOTA>' || chr(10) END ||
+        |  '<PERMISSIONS>' || chr(10) ||
+        |  '<USER_NAME>' || CAST(p.owner AS STRING) || '</USER_NAME>' || chr(10) ||
+        |  '<GROUP_NAME></GROUP_NAME>' || chr(10) ||
+        |  '<PERMISSION_STRING></PERMISSION_STRING>' || chr(10) ||
+        |  '</PERMISSIONS>' || chr(10) || '</INODE>' AS xml
+        |FROM ox_path p LEFT JOIN ox_bt b ON p.id = b.fileId
+        |WHERE p.id % 50 = 0
+        |ORDER BY p.id""".stripMargin),
     "f9_file_distribution" -> O(
       """WITH b AS (
         |  SELECT CASE WHEN length > 4194304 THEN 64

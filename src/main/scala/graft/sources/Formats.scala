@@ -594,6 +594,94 @@ object Formats {
       .orderBy(col("size"))
   }
 
+  /** F11 oiv Ls visitor (offlineImageViewer/LsImageVisitor.java:77-118):
+    * one ls-style text line per live inode — the type char then the
+    * java-Formatter-padded " %2s %8s %10s %10d %10s %s" fields
+    * (replication or '-' when 0, user, group, total block bytes,
+    * modification time, path; filesize is the visitor's Σ NUM_BYTES,
+    * which the ADFS file table maintains as `length`). The ADFS file
+    * table stores owner as an int id and no permission/group strings
+    * (A/state/File.java fields — the fork's replicated attribute
+    * surface), so perms collapse to the type char, USER_NAME is the
+    * owner id and GROUP_NAME is empty. modTime formats as the loader's
+    * yyyy-MM-dd HH:mm (ImageLoaderCurrent.java:98), UTC for
+    * engine-stable output; the root prints as "/" (:127-129). One
+    * broadcast path join + string expressions — namespace-scale-safe. */
+  def oivLs(file: DataFrame): DataFrame = {
+    val ns = graft.state.StateManager.materializePaths(file)
+    val isDir = col("length") === -1L
+    val shownPath = when(col("id") === 0L, lit("/")).otherwise(col("path"))
+    ns.select(col("id"), shownPath.as("path"),
+      concat(
+        when(isDir, lit("d")).otherwise(lit("-")),
+        lit(" "),
+        lpad(when(col("replication") > 0, col("replication").cast("string"))
+          .otherwise(lit("-")), 2, " "),
+        lit(" "), lpad(col("owner").cast("string"), 8, " "),
+        lit(" "), lpad(lit(""), 10, " "),
+        lit(" "),
+        lpad(when(isDir, lit(0L)).otherwise(greatest(col("length"), lit(0L)))
+          .cast("string"), 10, " "),
+        lit(" "),
+        date_format(timestamp_millis(col("mtime")), "yyyy-MM-dd HH:mm"),
+        lit(" "), shownPath).as("line"))
+  }
+
+  /** F11 oiv XML visitor (XmlImageVisitor.java:70-90 writeTag/attr forms
+    * over ImageLoaderCurrent.processINodes :257-285): per live inode the
+    * INODE element text — INODE_PATH, REPLICATION, MODIFICATION_TIME and
+    * ACCESS_TIME (loader dateFormat, UTC), BLOCK_SIZE, the BLOCKS
+    * element (NUM_BLOCKS attr: block count for files, −1 for dirs) with
+    * one BLOCK child per block carrying BLOCK_ID/NUM_BYTES/
+    * GENERATION_STAMP — the BlockEntry primary, fileIndex order — then
+    * NS_QUOTA/DS_QUOTA exactly when numBlocks ≠ 0 (:274-277; −1 = unset,
+    * the ADFS table has no quota column), and the PERMISSIONS element
+    * (owner id as USER_NAME; group/perm strings are not in the fork's
+    * replicated surface, so they emit empty). Block lists ride ONE
+    * groupBy of the pruned block table; at 100 TB export is
+    * per-partition string building, no driver funnel. */
+  def oivXml(file: DataFrame, block: DataFrame): DataFrame = {
+    val b = graft.store.StateStore.live(block)
+    val perBlock = b.groupBy(col("fileId").as("__bf"), col("id").as("__bid"))
+      .agg(max(col("fileIndex")).as("__fi"),
+        org.apache.spark.sql.functions.max_by(col("length"),
+          struct(col("generationStamp"), col("version"))).as("__len"),
+        max(col("generationStamp")).as("__gs"))
+    val perFile = perBlock.groupBy(col("__bf"))
+      .agg(array_sort(collect_list(struct(col("__fi"), col("__bid"),
+        col("__len"), col("__gs")))).as("__blks"))
+    val ns = graft.state.StateManager.materializePaths(file)
+    val isDir = col("length") === -1L
+    val fmt = (c: org.apache.spark.sql.Column) =>
+      date_format(timestamp_millis(c), "yyyy-MM-dd HH:mm")
+    val nBlocks = when(isDir, lit(-1)).otherwise(
+      coalesce(size(col("__blks")), lit(0)))
+    val blockTags = when(isDir || col("__blks").isNull, lit(""))
+      .otherwise(array_join(transform(col("__blks"), x => concat(
+        lit("<BLOCK>\n<BLOCK_ID>"), x.getField("__bid").cast("string"),
+        lit("</BLOCK_ID>\n<NUM_BYTES>"), x.getField("__len").cast("string"),
+        lit("</NUM_BYTES>\n<GENERATION_STAMP>"), x.getField("__gs").cast("string"),
+        lit("</GENERATION_STAMP>\n</BLOCK>\n"))), ""))
+    val quotaTags = when(nBlocks === 0, lit(""))
+      .otherwise(lit("<NS_QUOTA>-1</NS_QUOTA>\n<DS_QUOTA>-1</DS_QUOTA>\n"))
+    ns.join(perFile, col("id") === col("__bf"), "left")
+      .select(col("id"),
+        when(col("id") === 0L, lit("/")).otherwise(col("path")).as("path"),
+        concat(
+          lit("<INODE>\n<INODE_PATH>"),
+          when(col("id") === 0L, lit("")).otherwise(col("path")),
+          lit("</INODE_PATH>\n<REPLICATION>"), col("replication").cast("string"),
+          lit("</REPLICATION>\n<MODIFICATION_TIME>"), fmt(col("mtime")),
+          lit("</MODIFICATION_TIME>\n<ACCESS_TIME>"), fmt(col("atime")),
+          lit("</ACCESS_TIME>\n<BLOCK_SIZE>"), col("blockSize").cast("string"),
+          lit("</BLOCK_SIZE>\n<BLOCKS NUM_BLOCKS=\""), nBlocks.cast("string"),
+          lit("\">\n"), blockTags, lit("</BLOCKS>\n"), quotaTags,
+          lit("<PERMISSIONS>\n<USER_NAME>"), col("owner").cast("string"),
+          lit("</USER_NAME>\n<GROUP_NAME></GROUP_NAME>\n" +
+            "<PERMISSION_STRING></PERMISSION_STRING>\n</PERMISSIONS>\n</INODE>"))
+          .as("xml"))
+  }
+
   /** F11: offlineImageViewer analog — export the whole live namespace
     * (id, path, attrs) as json or csv. */
   def exportNamespace(file: DataFrame, path: String, format: String = "json"): Unit = {
