@@ -853,35 +853,72 @@ object Mutations {
     * names extend a requested base name. */
   def moveToTrash(file: DataFrame, ids: DataFrame, idBase: Long, nowMs: Long,
                   trashName: String = ".Trash",
-                  versionBump: Long = 1000000000L): DataFrame = {
+                  versionBump: Long = 1000000000L,
+                  dirBroadcastLimit: Long = 2000000L): DataFrame = {
     val sp = file.sparkSession
     import sp.implicits._
     val f = live(file)
     val trashRoot = "/" + trashName
     val currentRoot = trashRoot + "/Current"
-    val pathsFull = graft.state.StateManager.materializePaths(file)
+    // Path resolution strategy. Fast path (dir tree fits on the driver —
+    // the namenode-memory convention): request paths come from ONE
+    // batch-bounded probe of the file table plus the driver dir map, and
+    // mirror-chain existence is a map lookup for dirs plus one
+    // (parentId, name)-bounded probe for blocking files — the old route
+    // materialized the WHOLE namespace's paths and scanned it three
+    // times for what is usually a handful of ids. The iterative fallback
+    // keeps the whole-namespace probes for trees too big to collect.
+    val dirMap = graft.state.StateManager
+      .collectDirChildren(f, dirBroadcastLimit)
+      .map(ch => graft.state.StateManager.dirPathPairs(ch, 16).toMap)
+    lazy val pathsFull = graft.state.StateManager.materializePaths(file)
       .select(col("id").as("__lid"), col("path").as("__path"),
         col("length").as("__len"))
     // request rows + live row + original path (batch-bounded collect)
-    val reqRows = ids.select(col("id").as("__rid")).distinct()
-      .join(f.select(col("id"), col("parentId").as("__op"), col("name")),
-        col("__rid") === col("id"), "left")
-      .join(pathsFull, col("__rid") === col("__lid"), "left")
-      .select(col("__rid"), col("id"), col("__op"), col("name"), col("__path"))
-      .collect().sortBy(_.getLong(0))
+    val reqRows: Array[(Long, Boolean, Long, String, String)] = dirMap match {
+      case Some(pathOf) =>
+        ids.select(col("id").as("__rid")).distinct()
+          .join(f.select(col("id"), col("parentId").as("__op"), col("name"),
+            col("length").as("__l")), col("__rid") === col("id"), "left")
+          .collect().map { r =>
+            val rid = r.getLong(0)
+            if (r.isNullAt(1)) (rid, false, 0L, null: String, null: String)
+            else {
+              val parent = r.getLong(2)
+              val name = r.getString(3)
+              // a dir resolves in the map; a file appends its leaf to the
+              // parent dir's path; an unreachable row (parent outside the
+              // rooted tree) has no path — classified like a missing row,
+              // matching the whole-namespace route's exclusion of
+              // unrooted inodes
+              val path: String =
+                if (rid == 0L) ""
+                else if (r.getLong(4) == -1L) pathOf.get(rid).orNull
+                else pathOf.get(parent).map(_ + "/" + name).orNull
+              (rid, path != null || rid == 0L, parent, name, path)
+            }
+          }
+      case None =>
+        ids.select(col("id").as("__rid")).distinct()
+          .join(f.select(col("id"), col("parentId").as("__op"), col("name")),
+            col("__rid") === col("id"), "left")
+          .join(pathsFull, col("__rid") === col("__lid"), "left")
+          .collect().map { r =>
+            val rid = r.getLong(0)
+            if (r.isNullAt(1)) (rid, false, 0L, null: String, null: String)
+            else (rid, !r.isNullAt(4), r.getLong(2), r.getString(3), r.getString(4))
+          }
+    }
     case class Req(rid: Long, oldParent: Long, name: String, ppath: String)
     val rejects = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val ok = scala.collection.mutable.ArrayBuffer.empty[Req]
-    reqRows.foreach { r =>
-      val rid = r.getLong(0)
-      if (r.isNullAt(1)) rejects += ((rid, "no such file"))
+    reqRows.sortBy(_._1).foreach { case (rid, found, parent, name, path) =>
+      if (!found) rejects += ((rid, "no such file"))
       else if (rid == 0L) rejects += ((rid, "cannot move root to trash"))
       else {
-        val name = r.getString(3)
-        val path = r.getString(4)
         if (path == trashRoot || path.startsWith(trashRoot + "/"))
           rejects += ((rid, "already in trash"))
-        else ok += Req(rid, r.getLong(2), name,
+        else ok += Req(rid, parent, name,
           path.substring(0, path.length - name.length - 1))
       }
     }
@@ -899,8 +936,39 @@ object Mutations {
     }
     val neededPaths = ok.toSeq.flatMap(r => chainOf(r.ppath)).distinct.sorted
     val existing: Map[String, (Long, Long)] = if (neededPaths.isEmpty) Map.empty
-      else pathsFull.filter(col("__path").isin(neededPaths: _*))
-        .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+      else dirMap match {
+        case Some(pathOf) =>
+          // dirs answer from the driver map; only paths NOT known as dirs
+          // can be blocking FILE rows — probe those via their (parent
+          // dir, leaf) pairs, a needed-set-bounded pushdown scan
+          val revDir = pathOf.collect { case (id, p) if p.nonEmpty => p -> id }
+          val dirHits = neededPaths.flatMap(p => revDir.get(p).map(p -> (_, -1L)))
+          val candidates = neededPaths.filterNot(revDir.contains).flatMap { p =>
+            val cut = p.lastIndexOf('/')
+            val pp = if (cut == 0) "" else p.substring(0, cut)
+            val leaf = p.substring(cut + 1)
+            val pid = if (pp.isEmpty) Some(0L) else revDir.get(pp)
+            pid.map(d => (d, leaf, p))
+          }
+          val fileHits =
+            if (candidates.isEmpty) Seq.empty
+            else {
+              val wanted = candidates.map(c => (c._1, c._2)).toSet
+              val byPair = candidates.map(c => (c._1, c._2) -> c._3).toMap
+              f.filter(col("parentId").isin(candidates.map(_._1).distinct: _*) &&
+                  col("name").isin(candidates.map(_._2).distinct: _*))
+                .select(col("parentId"), col("name"), col("id"), col("length"))
+                .collect()
+                .filter(r => wanted((r.getLong(0), r.getString(1))))
+                .map(r => byPair((r.getLong(0), r.getString(1))) ->
+                  ((r.getLong(2), r.getLong(3))))
+                .toSeq
+            }
+          (dirHits ++ fileHits).toMap
+        case None =>
+          pathsFull.filter(col("__path").isin(neededPaths: _*))
+            .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+      }
     // a FILE row anywhere on a source's mirror chain blocks that source
     val blockedPaths = existing.collect { case (p, (_, len)) if len != -1L => p }.toSet
     val (okClear, blocked) = ok.partition(r => !chainOf(r.ppath).exists(blockedPaths))
@@ -956,24 +1024,30 @@ object Mutations {
         -1L, nowMs, id, null: String)
     }.toSeq.toDF("writeOp", "id", "parentId", "name", "length", "mtime",
       "version", "reject")
-    val mv = moveAssign.map(m => (m._1, m._2, m._3))
-      .toDF("__mid", "__np", "__nn")
-    val moves = f.join(broadcast(mv), col("id") === col("__mid"))
-      .select(lit("move").as("writeOp"), col("id"),
-        col("__np").as("parentId"), col("__nn").as("name"), col("length"),
-        lit(nowMs).as("mtime"), (col("version") + versionBump).as("version"),
-        lit(null).cast("string").as("reject"))
     val movedIds = moveAssign.map(_._1).toSet
     val touchIds = (moveAssign.map(_._4) ++ existingDestIds ++
         missing.map(parentPathOf).filter(p => p.isEmpty || existing.contains(p))
           .map(p => if (p.isEmpty) 0L else existing(p)._1))
       .distinct.filterNot(movedIds)
-    val touches =
-      if (touchIds.isEmpty) moves.limit(0)
-      else f.filter(col("id").isin(touchIds: _*))
-        .select(lit("touch").as("writeOp"), col("id"), col("parentId"),
-          col("name"), col("length"), lit(nowMs).as("mtime"), col("version"),
-          lit(null).cast("string").as("reject"))
+    // ONE probe of the file table serves both moves and touches: the
+    // batch-bounded (id, op, newParent, newName) frame joins f once, the
+    // checkpointed result feeds both branches — the returned write-set
+    // plan carries no namespace scan (the old shape joined f for moves
+    // and scanned it again for touches)
+    val probe = (moveAssign.map(m => (m._1, "move", m._2, m._3)) ++
+        touchIds.map(t => (t, "touch", 0L, null: String)))
+      .toDF("__pid", "__pop", "__np", "__nn")
+    val probed = f.join(broadcast(probe), col("id") === col("__pid"))
+      .localCheckpoint()
+    val moves = probed.filter(col("__pop") === "move")
+      .select(lit("move").as("writeOp"), col("id"),
+        col("__np").as("parentId"), col("__nn").as("name"), col("length"),
+        lit(nowMs).as("mtime"), (col("version") + versionBump).as("version"),
+        lit(null).cast("string").as("reject"))
+    val touches = probed.filter(col("__pop") === "touch")
+      .select(lit("touch").as("writeOp"), col("id"), col("parentId"),
+        col("name"), col("length"), lit(nowMs).as("mtime"), col("version"),
+        lit(null).cast("string").as("reject"))
     val rej = rejects.toSeq.map { case (rid, msg) =>
       ("reject", rid, null.asInstanceOf[java.lang.Long],
         null: String, null.asInstanceOf[java.lang.Long],

@@ -394,6 +394,21 @@ class MutationsSpec extends SparkSpec {
       Map(0L -> "cannot move root to trash", 42L -> "no such file"))
   }
 
+  test("moveToTrash write-set plan carries no namespace scan (driver dir-map route)") {
+    // all namespace probes happen eagerly through batch-bounded driver
+    // lookups; the RETURNED plan must read only the checkpointed probe
+    // result and the local insert/reject rows — a LogicalRDD/scan of the
+    // file input in the plan would mean the trash path re-scans the
+    // namespace per downstream action
+    val ws = Mutations.moveToTrash(file, Seq(3L).toDF("id"),
+      idBase = 200L, nowMs = 777L)
+    val plan = ws.queryExecution.optimizedPlan.toString
+    // the concrete pin: no join remains in the returned plan — moves and
+    // touches were resolved through ONE materialized probe
+    assert(!plan.toLowerCase.contains("join"),
+      s"trash write-set plan still joins the namespace:\n$plan")
+  }
+
   test("moveToTrash: pre-existing trash, collision suffix, in-trash reject") {
     val f = Seq(
       (0L, -1L, "", -1L, 1L),
