@@ -22,6 +22,31 @@ object Scale {
       .option("path", sys.props("java.io.tmpdir") + s"/graft-bucketed/$table")
       .saveAsTable(table)
 
+  /** One-call cluster layout for the persisted state tables — the
+    * bucketing SURVEY §4 prescribes so every monitor-tick join lands
+    * co-located:
+    *  - `file` bucketed by parentId: the per-level path walk, listings
+    *    and the contentSummary frontier all join or aggregate on it, so
+    *    each recursion level exchanges ONLY the frontier, never the
+    *    namespace scan (pinned in ScaleSpec);
+    *  - `block` bucketed by id: the BlockEntry grouping (S8), the N5
+    *    genstamp arbiter and the report reconciliation group on block id
+    *    straight off the scan's distribution — zero-exchange at 100 TB
+    *    where the block table dominates;
+    *  - `datanode` plain: a node dimension that broadcasts everywhere.
+    * Returns the created table names (file, block, datanode order). */
+  def writeStateTables(file: DataFrame, block: DataFrame, datanode: DataFrame,
+                       prefix: String = "graft_state",
+                       buckets: Int = 32): Seq[String] = {
+    writeBucketed(file, s"${prefix}_file", "parentId", buckets)
+    writeBucketed(block, s"${prefix}_block", "id", buckets)
+    datanode.write.mode(SaveMode.Overwrite)
+      .option("path",
+        sys.props("java.io.tmpdir") + s"/graft-bucketed/${prefix}_datanode")
+      .saveAsTable(s"${prefix}_datanode")
+    Seq(s"${prefix}_file", s"${prefix}_block", s"${prefix}_datanode")
+  }
+
   /** Salted equi-join for skewed build keys: explode the small side into
     * `salts` copies, scatter the big side's hot keys across salt ids, join
     * on (key, salt). Result equals a plain inner equi-join on `key` —

@@ -66,6 +66,56 @@ class ScaleSpec extends SparkSpec {
       s"bucketed path walk must not hash-shuffle:\n${plan.take(4000)}")
   }
 
+  test("writeStateTables layout: one path-recursion level exchanges only the frontier") {
+    // the persisted cluster layout, written by the ONE-call writer: file
+    // bucketed by parentId. A recursion level joins file.parentId against
+    // the previous level's ids — with broadcast disabled (forcing the
+    // worst case), the file side must ride its bucket distribution into
+    // the sort-merge join while ONLY the frontier side exchanges; two
+    // hash exchanges would mean the namespace table reshuffles per level.
+    val f = (0 to 300).map { i =>
+      val parent = if (i == 0) 0L else (i - 1) / 3
+      (i.toLong, parent, if (i == 0) "" else s"n$i",
+        if (i % 4 == 0) -1L else 10L, i.toLong + 1)
+    }.toDF("id", "parentId", "name", "length", "version")
+    val names = Scale.writeStateTables(f,
+      (1 to 50).map(i => (i.toLong, 1L + i % 3, 5L, 1L))
+        .toDF("id", "datanodeId", "fileId", "version"),
+      (1 to 3).map(i => (i.toLong, s"/r$i", 1L)).toDF("id", "location", "version"),
+      prefix = "graft_layout", buckets = 4)
+    val bf = spark.table(names.head)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val frontier = bf.filter(col("parentId") === 0L && col("id") =!= 0L)
+        .select(col("id").as("__pid"))
+      val nextLevel = bf.join(frontier, col("parentId") === col("__pid"))
+      assert(nextLevel.count() > 0)
+      val plan = nextLevel.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected only the frontier exchange, got $exchanges:\n${plan.take(4000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("writeStateTables layout: S8 grouping runs zero-exchange off the block buckets") {
+    // the block table's id-bucketing satisfies the BlockEntry grouping
+    // straight off the scan (self-contained: writes its own layout)
+    Scale.writeStateTables(
+      Seq((0L, 0L, "", -1L, 1L)).toDF("id", "parentId", "name", "length", "version"),
+      (1 to 50).map(i => (i.toLong, 1L + i % 3, 5L, 7L, i.toLong % 10, 1L, i.toLong))
+        .toDF("id", "datanodeId", "length", "generationStamp", "fileId",
+          "fileIndex", "version"),
+      (1 to 3).map(i => (i.toLong, s"/r$i", 1L)).toDF("id", "location", "version"),
+      prefix = "graft_layout2", buckets = 4)
+    val entries = graft.state.StateManager.blockEntries(
+      spark.table("graft_layout2_block"))
+    assert(entries.count() == 50)
+    val plan = entries.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"layout block table must group shuffle-free:\n${plan.take(3000)}")
+  }
+
   test("N5 genstamp arbiter over an id-bucketed block table aggregates shuffle-free") {
     // same id-bucketed block layout as the S8 case: the per-block
     // max-genstamp arbiter groupBy is satisfied straight off the bucketed
