@@ -592,6 +592,33 @@ object Changefeed {
       }
       .start()
 
+  /** N18 DecommissionedMonitor tick loop
+    * (FSNamesystem.decommissionedDatanodeCheck, :3483-3492, driving
+    * checkDecommissionStateInternal :3405-3417): each trigger re-runs the
+    * finish gate for every stored DECOMMISSION_INPROGRESS node against
+    * the CURRENT tables — [[graft.state.Mutations.setAdminState]] with an
+    * empty request batch is exactly that re-check — and hands `sink` the
+    * (batchId, write-set): `admin` rows flip fully-replicated nodes to
+    * DECOMMISSIONED, `status` rows carry the still-blocked nodes'
+    * decommissioningStatus counters. The caller owns the commit
+    * (applyWriteSet), the lease/balancer monitor convention — this closes
+    * the last batch-only lifecycle into a running monitor. */
+  def decommissionMonitor(ticks: DataFrame, datanode: () => DataFrame,
+                          block: () => DataFrame, file: () => DataFrame,
+                          sink: (Long, DataFrame) => Unit): StreamingQuery =
+    ticks.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val noReqs = batch.sparkSession.emptyDataFrame
+          .withColumn("nodeId", lit(null).cast("long"))
+          .withColumn("op", lit(null).cast("string"))
+        // pin: the suppliers read mutable snapshots — a lazy write-set the
+        // sink consumes after its own commit would re-gate post-commit
+        sink(id, graft.state.Mutations.setAdminState(
+          datanode(), block(), file(), noReqs).localCheckpoint())
+      }
+      .start()
+
   /** N10 PendingReplicationMonitor tick loop
     * (PendingReplicationBlocks.java:173-207 driving FSNamesystem
     * .processPendingReplications :2324-2334): each trigger scans the

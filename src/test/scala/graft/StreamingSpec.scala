@@ -724,6 +724,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decommission monitor: a drained node retires on the tick, a blocked one waits") {
+    implicit val sqlCtx = spark.sqlContext
+    // node 1 decommissioning, holds block 10 whose OTHER replicas (2,3)
+    // satisfy replication 2 → retires; node 4 decommissioning, holds
+    // block 20 as its ONLY replica of a replication-2 file → must wait
+    val dnRef = new java.util.concurrent.atomic.AtomicReference(
+      Seq((1L, "DECOMMISSION_INPROGRESS"), (2L, "NORMAL"), (3L, "NORMAL"),
+        (4L, "DECOMMISSION_INPROGRESS"))
+        .toDF("id", "adminState").withColumn("version", lit(1L)))
+    val block = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 4L))
+      .toDF("id", "datanodeId")
+      .withColumn("fileId", lit(100L)).withColumn("length", lit(5L))
+      .withColumn("generationStamp", lit(7L)).withColumn("fileIndex", col("id"))
+      .withColumn("version", col("id"))
+    val file = Seq((100L, 2L, 1000L, 1L)).toDF("id", "replication", "length", "version")
+      .withColumn("leaseHolder", lit(null).cast("string"))
+    val mem = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q = Changefeed.decommissionMonitor(mem.toDF(),
+      () => dnRef.get(), () => block, () => file,
+      sink = (_, ws) => ws.collect().foreach(r => seen +=
+        ((r.getAs[Long]("id"), r.getAs[String]("writeOp"), r.getAs[String]("adminState")))))
+    try {
+      mem.addData(1L); q.processAllAvailable()
+      assert(seen.toSet == Set((1L, "admin", "DECOMMISSIONED"),
+        (4L, "status", "DECOMMISSION_INPROGRESS")))
+      // commit node 1's retirement; the next tick re-gates ONLY node 4
+      dnRef.set(Seq((1L, "DECOMMISSIONED"), (2L, "NORMAL"), (3L, "NORMAL"),
+        (4L, "DECOMMISSION_INPROGRESS"))
+        .toDF("id", "adminState").withColumn("version", lit(2L)))
+      seen.clear()
+      mem.addData(2L); q.processAllAvailable()
+      assert(seen.toSet == Set((4L, "status", "DECOMMISSION_INPROGRESS")))
+    } finally q.stop()
+  }
+
   test("pending-replication monitor: timed-out requests requeue, fresh ones survive") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
