@@ -296,6 +296,17 @@ object AnalyticsQueries {
           s.table("datanode"), s.sql(BlockReceivedOpsSql))
         .orderBy(col("blockId"), col("datanodeId"))
     },
+    // invalidateCorruptReplicas sweep: once a block has enough GOOD live
+    // replicas, its corrupt marks convert to invalidation work and leave
+    // the standing map
+    "n1_corrupt_sweep" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val marks = Replication.corruptMarks(
+        Dataflows.reconcileReports(s.table("block"), s.table("reported")))
+      Replication.corruptInvalidations(marks, s.table("block"),
+          s.table("file"), s.table("datanode"), Now)
+        .orderBy(col("blockId"), col("datanodeId"))
+    },
     // N1 consulting the standing CorruptReplicasMap: corrupt replicas
     // (marked from the N5 sweep's stored-replica toInvalidate decisions)
     // are excluded from the located list while a good replica remains;
@@ -641,6 +652,32 @@ object AnalyticsQueries {
         |LEFT JOIN (SELECT hb AS ab, datanodeId AS ad, pri AS addedPri FROM br_rank) af
         |  ON c.blockId = af.ab AND c.datanodeId = af.ad
         |ORDER BY c.blockId, c.datanodeId""".stripMargin),
+    "n1_corrupt_sweep" -> O(
+      s"""$N5ClassifySql,
+        |cs_marks AS (
+        |  SELECT DISTINCT blockId, datanodeId FROM classified
+        |  WHERE action = 'toInvalidate' AND storedGenStamp IS NOT NULL),
+        |cs_ln AS (
+        |  SELECT id FROM datanode WHERE version > 0 AND adminState = 'NORMAL'
+        |    AND lastUpdated >= 1700000000000 - 600000),
+        |cs_good AS (
+        |  SELECT b.id AS gbid, COUNT(*) AS good
+        |  FROM block b
+        |  JOIN cs_ln n ON b.datanodeId = n.id
+        |  LEFT JOIN cs_marks m ON b.id = m.blockId AND b.datanodeId = m.datanodeId
+        |  WHERE b.version > 0 AND b.id IN (SELECT blockId FROM cs_marks)
+        |    AND m.blockId IS NULL
+        |  GROUP BY b.id),
+        |cs_owner AS (SELECT DISTINCT id AS obid, fileId FROM block WHERE version > 0),
+        |cs_exp AS (SELECT id AS fid, replication FROM file
+        |           WHERE version > 0 AND length <> -1)
+        |SELECT m.blockId, m.datanodeId, 'toInvalidate' AS action
+        |FROM cs_marks m
+        |LEFT JOIN cs_good g ON m.blockId = g.gbid
+        |LEFT JOIN cs_owner o ON m.blockId = o.obid
+        |LEFT JOIN cs_exp e ON o.fileId = e.fid
+        |WHERE COALESCE(g.good, 0) >= e.replication
+        |ORDER BY m.blockId, m.datanodeId""".stripMargin),
     // corrupt marks = the N5 sweep's stored-replica toInvalidate rows;
     // exclusion per FSNamesystem.java:666-701 — corrupt replicas drop
     // from the machine set while a good one remains, an all-corrupt
