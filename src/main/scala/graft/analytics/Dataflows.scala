@@ -939,6 +939,40 @@ object Dataflows {
     fileTombs.unionByName(blockTombs).unionByName(touchRows)
   }
 
+  /** getStats' block counters (FSNamesystem.java:3040-3042 — the
+    * dfsadmin -report header next to S13's capacity aggregates):
+    * under-replicated = live closed files' blocks with 0 < live <
+    * expected on live NORMAL nodes (the N6 scored set minus the
+    * replica-less ones), missing = such blocks with NO live replica at
+    * all (getMissingBlocksCount; fsck's rule), corrupt = blocks carrying
+    * ≥ 1 standing corrupt mark (corruptReplicaBlocksCount over the
+    * [[Replication.corruptMarks]] table). ONE scan of the pruned block
+    * table plus the corrupt-set-sized marks aggregate; the two 1-row
+    * frames cross-join — constant-bounded. */
+  def blockStats(block: DataFrame, file: DataFrame, datanode: DataFrame,
+                 corruptMarks: DataFrame, nowMs: Long): DataFrame = {
+    val liveNodeIds = StateManager.liveDatanodes(datanode, nowMs)
+      .filter(col("adminState") === "NORMAL")
+      .select(col("id").as("nodeId"))
+    val fdim = live(file)
+      .filter(col("length") =!= -1L && col("leaseHolder").isNull)
+      .select(col("id").as("fid"), col("replication"))
+    val perBlock = live(block)
+      .join(liveNodeIds, col("datanodeId") === col("nodeId"), "left")
+      .groupBy(col("id").as("blockId"), col("fileId"))
+      .agg(count(col("nodeId")).as("__live"))
+      .join(fdim, col("fileId") === col("fid"))
+    val counts = perBlock.agg(
+      count(when(col("__live") > 0 && col("__live") < col("replication"), 1))
+        .as("underReplicatedBlocks"),
+      count(when(col("__live") === 0, 1)).as("missingBlocks"))
+    val corrupt = corruptMarks.agg(
+      count_distinct(col("blockId")).as("corruptReplicaBlocks"))
+    counts.crossJoin(corrupt)
+      .select(col("underReplicatedBlocks"), col("corruptReplicaBlocks"),
+        col("missingBlocks"))
+  }
+
   // ---- N14: safe-mode threshold (SafeModeInfo :3531-3700) --------------
 
   /** Fraction of blocks that reached minimal replication vs total. */

@@ -181,6 +181,15 @@ object AnalyticsQueries {
           s.sql(FsckDeadNodesSql), Now)
         .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
     },
+    // getStats block counters (dfsadmin -report header next to
+    // s13_cluster_stats' capacity aggregates)
+    "s13b_block_stats" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val marks = Replication.corruptMarks(
+        Dataflows.reconcileReports(s.table("block"), s.table("reported")))
+      Dataflows.blockStats(s.table("block"), s.table("file"),
+        s.table("datanode"), marks, Now)
+    },
     // N14: safe-mode threshold ratio
     "n14_safe_mode" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -983,6 +992,30 @@ object AnalyticsQueries {
         |FROM (SELECT * FROM ftombs UNION ALL SELECT * FROM btombs
         |      UNION ALL SELECT * FROM tchrows) u
         |ORDER BY writeOp, tbl, id, datanodeId""".stripMargin),
+    "s13b_block_stats" -> O(
+      s"""$N5ClassifySql,
+        |bs_marks AS (
+        |  SELECT DISTINCT blockId, datanodeId FROM classified
+        |  WHERE action = 'toInvalidate' AND storedGenStamp IS NOT NULL),
+        |bs_ln AS (
+        |  SELECT id FROM datanode WHERE version > 0 AND adminState = 'NORMAL'
+        |    AND lastUpdated >= 1700000000000 - 600000),
+        |bs_f AS (
+        |  SELECT id AS fid, replication FROM file
+        |  WHERE version > 0 AND length <> -1 AND leaseHolder IS NULL),
+        |bs_pb AS (
+        |  SELECT b.id AS blockId, b.fileId, COUNT(n.id) AS livec
+        |  FROM block b LEFT JOIN bs_ln n ON b.datanodeId = n.id
+        |  WHERE b.version > 0 GROUP BY b.id, b.fileId),
+        |bs_j AS (
+        |  SELECT p.livec, f.replication FROM bs_pb p
+        |  JOIN bs_f f ON p.fileId = f.fid)
+        |SELECT
+        |  (SELECT COUNT(CASE WHEN livec > 0 AND livec < replication THEN 1 END)
+        |   FROM bs_j) AS underReplicatedBlocks,
+        |  (SELECT COUNT(DISTINCT blockId) FROM bs_marks) AS corruptReplicaBlocks,
+        |  (SELECT COUNT(CASE WHEN livec = 0 THEN 1 END) FROM bs_j)
+        |    AS missingBlocks""".stripMargin),
     "n14_safe_mode" -> O(
       """WITH perblock AS (
         |  SELECT id, COUNT(*) AS replicas FROM block WHERE version > 0 GROUP BY id)
