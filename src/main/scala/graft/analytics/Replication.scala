@@ -239,8 +239,13 @@ object Replication {
     * completing is per-op `update` but batch `ok`, the sweep's
     * non-actionable-UC convention). */
   def blockReceived(block: DataFrame, file: DataFrame, datanode: DataFrame,
-                    ops: DataFrame, pending: Option[DataFrame] = None): DataFrame = {
+                    opsIn: DataFrame, pending: Option[DataFrame] = None): DataFrame = {
     val b = live(block)
+    // pin the receipt batch: it feeds the block prune, the stored-row
+    // join and the post-op holder union — a view-backed ops frame (the
+    // gate derives it from the reported view) would re-derive per
+    // reference. Batch-sized by contract, so the checkpoint is bounded.
+    val ops = opsIn.localCheckpoint()
     val opBlocks = ops.select(col("blockId")).distinct()
     // ONE pruned scan feeds stored-row lookup, entry primary and holders
     val pruned = b

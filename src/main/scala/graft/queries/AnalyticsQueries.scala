@@ -310,8 +310,13 @@ object AnalyticsQueries {
     // the standing map
     "n1_corrupt_sweep" -> { (s, dir) =>
       DerivedState.register(s, dir)
+      // pin the marks: corruptInvalidations reads the standing map three
+      // times (marked-block prune, mark dim, final join) — leaving it a
+      // view would run the full N5 classification thrice (measured 7.5 s
+      // vs 3.9 s at sf0.1); the map is corrupt-set-sized by contract
       val marks = Replication.corruptMarks(
         Dataflows.reconcileReports(s.table("block"), s.table("reported")))
+        .localCheckpoint()
       Replication.corruptInvalidations(marks, s.table("block"),
           s.table("file"), s.table("datanode"), Now)
         .orderBy(col("blockId"), col("datanodeId"))
