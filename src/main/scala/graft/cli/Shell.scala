@@ -34,6 +34,8 @@ import graft.store.StateStore
   *   df                  cluster capacity/used/remaining (S13 agg)
   *   fsck            namespace health report
   *   report          datanode report
+  *   stats           dfsadmin -report header: capacity + block counters
+  *   oiv [-xml]      offline image viewer: ls lines / XML INODE elements
   *   balancer [-threshold t] [-report]  balancer move schedule / node classes
   *   append <path>   reopen-for-append write-set for one file
   *
@@ -530,6 +532,25 @@ object Shell {
           .select(col("id"), col("name"), col("alive"), col("adminState"),
             col("capacity"), col("remaining"))
           .orderBy(col("id"))
+      case "stats" =>
+        // dfsadmin -report header (getStats, FSNamesystem.java:3040-3042):
+        // S13 capacity aggregates + the three block counters. The shell
+        // session keeps no standing corrupt map, so that counter reads 0
+        // (the reference too starts empty after a namenode restart).
+        val noMarks = spark.emptyDataFrame
+          .withColumn("blockId", lit(null).cast("long"))
+          .withColumn("datanodeId", lit(null).cast("long"))
+        StateManager.clusterStats(datanode, Now)
+          .crossJoin(Dataflows.blockStats(block, file, datanode, noMarks, Now))
+      case "oiv" =>
+        // offlineImageViewer: -xml emits the INODE elements, default the
+        // Ls visitor lines (OfflineImageViewer.java processor choice)
+        if (args.contains("-xml"))
+          graft.sources.Formats.oivXml(file, block)
+            .orderBy(col("path")).select(col("xml"))
+        else
+          graft.sources.Formats.oivLs(file)
+            .orderBy(col("path")).select(col("line"))
       case "cat" | "text" =>
         graft.sources.Formats.readSequenceFile(spark, path)
           .orderBy(col("key"), col("value"))

@@ -165,6 +165,31 @@ class ScaleSpec extends SparkSpec {
         plan.linesIterator.take(40).mkString("\n"))
   }
 
+  test("pendingRequeue prunes the block table via broadcast, never a sort-merge") {
+    // the timed-out set is work-list-sized by contract: the requeue scan
+    // must broadcast it into a semi-join prune of the block table — a
+    // sort-merge here would shuffle the whole block table per monitor tick
+    val timedOut = (1 to 20).map(i => (i.toLong * 10, 1L, 0L))
+      .toDF("blockId", "inFlight", "since")
+    val block = (1 to 5000).map(i =>
+      (i.toLong, 1L + i % 4, 100L + i % 50, 1L))
+      .toDF("id", "datanodeId", "fileId", "version")
+      .withColumn("length", lit(10L)).withColumn("generationStamp", lit(7L))
+      .withColumn("fileIndex", lit(0L))
+    val file = (100 to 149).map(i => (i.toLong, 3L, 1000L, 1L))
+      .toDF("id", "replication", "length", "version")
+    val datanode = (1 to 4).map(i => (i.toLong, 999999999L, "NORMAL", i.toLong))
+      .toDF("id", "lastUpdated", "adminState", "version")
+    val rq = graft.analytics.Replication.pendingRequeue(
+      timedOut, block, file, datanode, nowMs = 1000000L)
+    rq.collect()
+    val plan = rq.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"timed-out prune must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge anywhere in the requeue:\n${plan.take(3000)}")
+  }
+
   test("P3 limited update plans as top-n, not a global sort or window") {
     import graft.store.{Comparator, IndexDef, StateStore}
     val t = (1 to 5000).map(i => (i.toLong, i.toLong, 1L)).toDF("id", "v", "version")

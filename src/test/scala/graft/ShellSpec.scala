@@ -327,6 +327,23 @@ class ShellSpec extends SparkSpec {
       && rmr.forall(_(1).asInstanceOf[Long] < 0))
   }
 
+  test("stats verb: capacity aggregates plus the getStats block counters") {
+    val out = rows(Shell.run(spark, sf, "stats"))
+    assert(out.size == 1)
+    val r = Shell.run(spark, sf, "stats").collect().head
+    assert(r.getAs[Long]("capacity") > 0)
+    assert(r.getAs[Long]("underReplicatedBlocks") > 0) // dead nodes exist
+    assert(r.getAs[Long]("corruptReplicaBlocks") == 0) // empty standing map
+  }
+
+  test("oiv verb: ls lines by default, INODE elements under -xml") {
+    val ls = Shell.run(spark, sf, "oiv").collect()
+    assert(ls.nonEmpty && ls.forall(_.getString(0).matches("^[d-] .*")))
+    val xml = Shell.run(spark, sf, "oiv", Seq("-xml")).collect()
+    assert(xml.nonEmpty && xml.forall(r =>
+      r.getString(0).startsWith("<INODE>") && r.getString(0).endsWith("</INODE>")))
+  }
+
   test("balancer verb: schedule and -report classification") {
     val rep = rows(Shell.run(spark, sf, "balancer",
       Seq("-report", "-threshold", "0.08")))
