@@ -228,6 +228,42 @@ object TextFunctions {
         length(col("cleanText")).cast("long").as("keptChars"))
   }
 
+  /** Corpus-wide boilerplate-line scrub — the CCNet paragraph-hash dedup
+    * and MassiveText/RefinedWeb repetitive-line removal: a line whose
+    * EXACT text appears in at least `minDocs` DISTINCT documents is
+    * boilerplate (cookie banners, nav chrome, "enable javascript") and
+    * is removed from EVERY document. This is corpus-level state — the
+    * per-page C4 filters above can't see it, which is why real pipelines
+    * run both. Emits (id, cleanedText, nLines, removedLines).
+    *
+    * Scale shape: ONE posexplode melt into lines; one aggregation keyed
+    * on the line text for document frequencies; the set that SURVIVES
+    * the threshold is the boilerplate vocabulary — tiny relative to the
+    * corpus — so it broadcasts back against the melt and the rebuild is
+    * one groupBy(doc) with array expressions. At 100 TB key the melt and
+    * frequency aggregation on xxhash64(line) instead of the raw string
+    * to keep the exchange narrow (same semantics modulo hash collision). */
+  def frequentLineScrub(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, minDocs: Long): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__ln", "__line")))
+    val boiler = lines.groupBy(col("__line"))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__line").as("__bad"))
+    lines
+      .join(broadcast(boiler), col("__line") === col("__bad"), "left")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__ln"), col("__line"),
+        col("__bad").isNotNull.as("__isBad")))).as("__ls"))
+      .select(col(idCol),
+        array_join(transform(filter(col("__ls"), x => !x.getField("__isBad")),
+          x => x.getField("__line")), "\n").as("cleanedText"),
+        size(col("__ls")).cast("long").as("nLines"),
+        size(filter(col("__ls"), x => x.getField("__isBad"))).cast("long")
+          .as("removedLines"))
+  }
+
   // ---- Distributed BPE tokenizer training -----------------------------
 
   /** Adjacent-symbol pair counts over a words frame whose `symsCol` is

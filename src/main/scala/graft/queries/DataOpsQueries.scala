@@ -1198,6 +1198,17 @@ object DataOpsQueries {
             TextFunctions.pageText(col("doc_id"), col("text")).as("page")))
         .orderBy(col("doc_id"))
     },
+    // corpus-wide boilerplate-line scrub (CCNet/MassiveText line-level
+    // dedup): lines appearing in ≥ 5 distinct pages (the fixed-residue
+    // marker lines, plus any short-doc collisions) are removed from
+    // every page — corpus-level state the per-page C4 filters can't see
+    "t24_line_scrub" -> { (s, dir) =>
+      TextFunctions.frequentLineScrub(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextFunctions.pageText(col("doc_id"), col("text")).as("page")),
+          "doc_id", "page", minDocs = 5L)
+        .orderBy(col("doc_id"))
+    },
     // ordered 4-step funnel (signup → view → click → purchase) with a
     // 24 h conversion window: step k's timestamp is the first event of
     // its type strictly after step k-1 and within the window of it
@@ -2478,6 +2489,24 @@ object DataOpsQueries {
         |    AND ellipsisLineRatio <= 0.3 AND alphaRatio >= 0.8
         |    AND stopHits >= 2 AS keep
         |FROM f3 ORDER BY doc_id""".stripMargin,
+    "t24_line_scrub" ->
+      s"""WITH $PageSql,
+        |lsx AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+        |lln AS (
+        |  SELECT doc_id, generate_subscripts(ls, 1) AS ln, unnest(ls) AS line
+        |  FROM lsx),
+        |boiler AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS d FROM lln GROUP BY line)
+        |  WHERE d >= 5)
+        |SELECT l.doc_id,
+        |  COALESCE(array_to_string(
+        |    list(l.line ORDER BY l.ln) FILTER (WHERE b.line IS NULL),
+        |    chr(10)), '') AS cleanedText,
+        |  COUNT(*) AS nLines,
+        |  COUNT(b.line) AS removedLines
+        |FROM lln l LEFT JOIN boiler b ON l.line = b.line
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
     "t16_c4_filters" ->
       s"""WITH $PageSql,
         |lns AS (SELECT doc_id, page, string_split(page, chr(10)) AS lines
