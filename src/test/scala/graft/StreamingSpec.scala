@@ -724,6 +724,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pending receipts: streamed micro-batch folds equal one batch application") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val seed = Seq((1L, 3L, t0), (2L, 2L, t0), (3L, 1L, t0))
+      .toDF("blockId", "inFlight", "since")
+    // receipts split across two micro-batches, including a block that
+    // drains in batch 1 and receives a late (no-op) receipt in batch 2
+    val b1 = Seq(1L, 2L, 3L)
+    val b2 = Seq(1L, 1L, 3L)
+    val standing = new java.util.concurrent.atomic.AtomicReference(seed)
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("blockId").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        standing.set(graft.analytics.Replication
+          .pendingAfterReceipts(standing.get(), batch).localCheckpoint())
+      }
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = standing.get().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batched = graft.analytics.Replication
+        .pendingAfterReceipts(seed, (b1 ++ b2).toDF("blockId")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the decrement fold is associative: drop-at-zero commutes with
+      // batch splitting because a drained entry ignores late receipts
+      // block 1 drains exactly (3 receipts), block 3 over-receives (late
+      // no-op), block 2 keeps one in flight
+      assert(streamed == batched && streamed == Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("decommission monitor: a drained node retires on the tick, a blocked one waits") {
     implicit val sqlCtx = spark.sqlContext
     // node 1 decommissioning, holds block 10 whose OTHER replicas (2,3)
