@@ -84,24 +84,33 @@ object Bench {
         all :+= once()
         retries += 1
       }
-      (name, all.sorted.take(reps), failed)
+      // reading = fastest `reps` runs; ALL runs (retry outliers included)
+      // stay in `allRuns` so `spread` never hides a contaminated window
+      (name, all.sorted.take(reps), failed, all.sorted, retries)
     }
     // a failed query reports null, never its time-to-failure: a crash must
     // not read as a speedup in the committed JSON
-    val qs = results.map { case (k, ts, failed) =>
+    val qs = results.map { case (k, ts, failed, _, _) =>
       "\"" + k + "\":" + (if (failed) "null" else median(ts).toString)
     }.mkString("{", ",", "}")
-    val spread = results.map { case (k, ts, failed) =>
+    // spread covers EVERY run including discarded retry outliers — a
+    // heavily-retried query shows its slow tail here even when the
+    // reported median comes from the clean window
+    val spread = results.map { case (k, _, failed, allRuns, _) =>
       "\"" + k + "\":" +
-        (if (failed) "null" else s"[${ts.head},${median(ts)},${ts.last}]")
+        (if (failed) "null"
+         else s"[${allRuns.head},${median(allRuns)},${allRuns.last}]")
     }.mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val retriesJson = results.map { case (k, _, _, _, r) =>
+      "\"" + k + "\":" + r
+    }.mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, _, true, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // a run with any failure reports a null TOTAL too: a sum missing a
     // crashed query's time would read as a cross-round speedup
     val total =
       if (results.exists(_._3)) "null"
-      else results.collect { case (_, ts, false) => median(ts) }.sum.toString
+      else results.collect { case (_, ts, false, _, _) => median(ts) }.sum.toString
     // contention guard: flag the artifact when a query's REPORTED number
     // is itself inflated — median/min > 1.5x means at least half the reps
     // ran slow, i.e. the machine was busy for the bulk of the measurement
@@ -110,13 +119,13 @@ object Bench {
     // and doesn't move the median, so max/min is deliberately NOT the
     // signal. Sub-second medians are exempt: JIT noise dominates there.
     val contendedNames = results.collect {
-      case (k, ts, false) if isContended(ts) => "\"" + k + "\""
+      case (k, ts, false, _, _) if isContended(ts) => "\"" + k + "\""
     }
     // contract value per query (the "within 2x of baseline" line): the
     // median when the reading is clean, the MIN of the reps when the
     // retries never found an uncontended window — the minimum is the one
     // number box load can only inflate, never deflate
-    val contract = results.map { case (k, ts, failed) =>
+    val contract = results.map { case (k, ts, failed, _, _) =>
       "\"" + k + "\":" + (if (failed) "null"
         else if (isContended(ts)) ts.head.toString else median(ts).toString)
     }.mkString("{", ",", "}")
@@ -124,7 +133,7 @@ object Bench {
     if (contended)
       System.err.println(s"[bench] CONTENDED (max/min > 1.5x): " +
         contendedNames.mkString(", ") + " — re-run on an idle box")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failedNames,"contended":$contended,"contendedQueries":[${contendedNames.mkString(",")}],"contract":$contract,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failedNames,"contended":$contended,"contendedQueries":[${contendedNames.mkString(",")}],"contract":$contract,"retries":$retriesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

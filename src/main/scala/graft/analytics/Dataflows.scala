@@ -56,9 +56,12 @@ object Dataflows {
     * ranks beyond every shared level. The client rack is a plan-time
     * constant, so the ladder compiles to a prefix-match CASE — pure
     * codegen, no per-row path splitting. */
-  def replicasByDistance(block: DataFrame, datanode: DataFrame,
-                         clientRack: String, clientNodeId: Long = -1L): DataFrame = {
-    val nodes = live(datanode).select(col("id").as("nodeId"), col("location"))
+  /** THE getDistance prefix-match ladder (NetworkTopology.java:434-470 —
+    * see [[replicasByDistance]] for the semantics), one definition for
+    * both overloads: a fix to the ladder must never diverge between the
+    * plain and the corrupt-aware paths. Returns the complete CASE column
+    * including the beyond-every-shared-level default. */
+  private def distanceLadder(clientRack: String, clientNodeId: Long): Column = {
     val cSegs = clientRack.split("/").filter(_.nonEmpty)
     val depth = cSegs.length
     var ladder = when(col("datanodeId") === clientNodeId, 0)
@@ -67,9 +70,15 @@ object Dataflows {
       ladder = ladder.when(
         col("location").startsWith("/" + cSegs.take(k).mkString("/") + "/"),
         2 * (depth - k) + 2)
+    ladder.otherwise(2 * depth + 2)
+  }
+
+  def replicasByDistance(block: DataFrame, datanode: DataFrame,
+                         clientRack: String, clientNodeId: Long = -1L): DataFrame = {
+    val nodes = live(datanode).select(col("id").as("nodeId"), col("location"))
     live(block)
       .join(nodes, col("datanodeId") === col("nodeId"), "left")
-      .withColumn("distance", ladder.otherwise(2 * depth + 2))
+      .withColumn("distance", distanceLadder(clientRack, clientNodeId))
       .groupBy(col("id"))
       .agg(first(col("fileId")).as("fileId"),
         array_join(
@@ -94,14 +103,6 @@ object Dataflows {
                          clientRack: String, clientNodeId: Long,
                          corrupt: DataFrame): DataFrame = {
     val nodes = live(datanode).select(col("id").as("nodeId"), col("location"))
-    val cSegs = clientRack.split("/").filter(_.nonEmpty)
-    val depth = cSegs.length
-    var ladder = when(col("datanodeId") === clientNodeId, 0)
-      .when(col("location") === clientRack, 2)
-    for (k <- (depth - 1) to 1 by -1)
-      ladder = ladder.when(
-        col("location").startsWith("/" + cSegs.take(k).mkString("/") + "/"),
-        2 * (depth - k) + 2)
     val markDim = corrupt
       .select(col("blockId").as("__mbid"), col("datanodeId").as("__mdid"),
         lit(true).as("__corrupt"))
@@ -109,7 +110,7 @@ object Dataflows {
       .join(nodes, col("datanodeId") === col("nodeId"), "left")
       .join(broadcast(markDim),
         col("id") === col("__mbid") && col("datanodeId") === col("__mdid"), "left")
-      .withColumn("distance", ladder.otherwise(2 * depth + 2))
+      .withColumn("distance", distanceLadder(clientRack, clientNodeId))
       .withColumn("__bad", coalesce(col("__corrupt"), lit(false)))
       .groupBy(col("id"))
       .agg(first(col("fileId")).as("fileId"),

@@ -188,7 +188,10 @@ object Replication {
       .agg(count(lit(1)).as("__good"))
     val expected = live(file).filter(col("length") =!= -1L)
       .select(col("id").as("__fid"), col("replication"))
+    // same broadcast prune as goodCounts: without it the owner lookup
+    // would distinct-aggregate the ENTIRE block table per sweep tick
     val owner = live(block)
+      .join(broadcast(markedBlocks), col("id") === col("blockId"), "left_semi")
       .select(col("id").as("__obid"), col("fileId")).distinct()
     marks
       .join(goodCounts, col("blockId") === col("__gbid"), "left")

@@ -19,8 +19,13 @@ object Scale {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
-      .option("path", sys.props("java.io.tmpdir") + s"/graft-bucketed/$table")
+      .option("path", tablePath(table))
       .saveAsTable(table)
+
+  /** One home for the layout root — writeBucketed and writeStateTables
+    * must never drift apart on where tables land. */
+  private def tablePath(table: String): String =
+    sys.props("java.io.tmpdir") + s"/graft-bucketed/$table"
 
   /** One-call cluster layout for the persisted state tables — the
     * bucketing SURVEY §4 prescribes so every monitor-tick join lands
@@ -41,8 +46,7 @@ object Scale {
     writeBucketed(file, s"${prefix}_file", "parentId", buckets)
     writeBucketed(block, s"${prefix}_block", "id", buckets)
     datanode.write.mode(SaveMode.Overwrite)
-      .option("path",
-        sys.props("java.io.tmpdir") + s"/graft-bucketed/${prefix}_datanode")
+      .option("path", tablePath(s"${prefix}_datanode"))
       .saveAsTable(s"${prefix}_datanode")
     Seq(s"${prefix}_file", s"${prefix}_block", s"${prefix}_datanode")
   }

@@ -236,17 +236,22 @@ object TextFunctions {
     * per-page C4 filters above can't see it, which is why real pipelines
     * run both. Emits (id, cleanedText, nLines, removedLines).
     *
-    * Scale shape: ONE posexplode melt into lines; one aggregation keyed
-    * on the line text for document frequencies; the set that SURVIVES
-    * the threshold is the boilerplate vocabulary — tiny relative to the
-    * corpus — so it broadcasts back against the melt and the rebuild is
-    * one groupBy(doc) with array expressions. At 100 TB key the melt and
-    * frequency aggregation on xxhash64(line) instead of the raw string
-    * to keep the exchange narrow (same semantics modulo hash collision). */
+    * Scale shape: the line melt is scanned twice — once reduced into the
+    * document-frequency aggregation, once as the probe side — which is
+    * the right trade at corpus scale (materializing a corpus-sized melt
+    * to save a narrow map re-scan would cost more than it saves); the
+    * set that SURVIVES the threshold is the boilerplate vocabulary —
+    * tiny relative to the corpus — so it broadcasts back against the
+    * melt and the rebuild is one groupBy(doc) with array expressions.
+    * At 100 TB key the frequency aggregation on xxhash64(line) instead
+    * of the raw string to keep the exchange narrow (same semantics
+    * modulo hash collision). A null text coalesces to one empty line so
+    * the document survives with cleanedText "" instead of vanishing. */
   def frequentLineScrub(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, minDocs: Long): org.apache.spark.sql.DataFrame = {
     val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("__ln", "__line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("__ln", "__line")))
     val boiler = lines.groupBy(col("__line"))
       .agg(count_distinct(col(idCol)).as("__docs"))
       .filter(col("__docs") >= minDocs)

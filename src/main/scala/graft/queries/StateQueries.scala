@@ -440,20 +440,29 @@ object StateQueries {
         |  SELECT f.id, f.parentId, f.name, f.length, f.replication, f.owner,
         |         f.mtime, p.path || '/' || f.name
         |  FROM file f JOIN ox_path p ON f.parentId = p.id
-        |  WHERE f.version > 0 AND f.id <> 0)
+        |  WHERE f.version > 0 AND f.id <> 0),
+        |fmt AS (
+        |  SELECT id, path,
+        |    CASE WHEN replication > 0 THEN CAST(replication AS STRING)
+        |         ELSE '-' END AS reps,
+        |    CAST(owner AS STRING) AS ownr,
+        |    CAST(CASE WHEN length = -1 THEN 0
+        |              ELSE GREATEST(length, 0) END AS STRING) AS sz,
+        |    length = -1 AS isdir, mtime
+        |  FROM ox_path)
         |SELECT id,
         |  CASE WHEN id = 0 THEN '/' ELSE path END AS path,
-        |  (CASE WHEN length = -1 THEN 'd' ELSE '-' END) || ' ' ||
-        |  lpad(CASE WHEN replication > 0 THEN CAST(replication AS STRING)
-        |            ELSE '-' END, 2, ' ') || ' ' ||
-        |  lpad(CAST(owner AS STRING), 8, ' ') || ' ' ||
+        |  (CASE WHEN isdir THEN 'd' ELSE '-' END) || ' ' ||
+        |  (CASE WHEN length(reps) >= 2 THEN reps ELSE lpad(reps, 2, ' ') END)
+        |    || ' ' ||
+        |  (CASE WHEN length(ownr) >= 8 THEN ownr ELSE lpad(ownr, 8, ' ') END)
+        |    || ' ' ||
         |  lpad('', 10, ' ') || ' ' ||
-        |  lpad(CAST(CASE WHEN length = -1 THEN 0
-        |                 ELSE GREATEST(length, 0) END AS STRING), 10, ' ')
+        |  (CASE WHEN length(sz) >= 10 THEN sz ELSE lpad(sz, 10, ' ') END)
         |    || ' ' ||
         |  strftime(epoch_ms(mtime), '%Y-%m-%d %H:%M') || ' ' ||
         |  CASE WHEN id = 0 THEN '/' ELSE path END AS line
-        |FROM ox_path WHERE id % 50 = 0
+        |FROM fmt WHERE id % 50 = 0
         |ORDER BY id""".stripMargin),
     "f10_oiv_xml" -> O(
       """WITH RECURSIVE ox_path AS (

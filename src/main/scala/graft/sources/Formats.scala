@@ -611,17 +611,21 @@ object Formats {
     val ns = graft.state.StateManager.materializePaths(file)
     val isDir = col("length") === -1L
     val shownPath = when(col("id") === 0L, lit("/")).otherwise(col("path"))
+    // Java-Formatter %Ns semantics: right-align in N, WIDEN when longer —
+    // a bare lpad would silently truncate an 11-digit size to 10 chars
+    def padded(c: org.apache.spark.sql.Column, n: Int) =
+      when(length(c) >= n, c).otherwise(lpad(c, n, " "))
     ns.select(col("id"), shownPath.as("path"),
       concat(
         when(isDir, lit("d")).otherwise(lit("-")),
         lit(" "),
-        lpad(when(col("replication") > 0, col("replication").cast("string"))
-          .otherwise(lit("-")), 2, " "),
-        lit(" "), lpad(col("owner").cast("string"), 8, " "),
+        padded(when(col("replication") > 0, col("replication").cast("string"))
+          .otherwise(lit("-")), 2),
+        lit(" "), padded(col("owner").cast("string"), 8),
         lit(" "), lpad(lit(""), 10, " "),
         lit(" "),
-        lpad(when(isDir, lit(0L)).otherwise(greatest(col("length"), lit(0L)))
-          .cast("string"), 10, " "),
+        padded(when(isDir, lit(0L)).otherwise(greatest(col("length"), lit(0L)))
+          .cast("string"), 10),
         lit(" "),
         date_format(timestamp_millis(col("mtime")), "yyyy-MM-dd HH:mm"),
         lit(" "), shownPath).as("line"))

@@ -868,9 +868,18 @@ object Mutations {
     // materialized the WHOLE namespace's paths and scanned it three
     // times for what is usually a handful of ids. The iterative fallback
     // keeps the whole-namespace probes for trees too big to collect.
+    // depth 15 + the leaf append below = inodes at depth ≤ 16, the SAME
+    // bound the materializePaths fallback answers (dirPathPairs(maxDepth-1)
+    // + one child join) — the two routes must accept identical requests.
+    // A tombstoned root yields the empty map: dirPathPairs would happily
+    // walk children of the dead root, where the fallback resolves nothing.
     val dirMap = graft.state.StateManager
       .collectDirChildren(f, dirBroadcastLimit)
-      .map(ch => graft.state.StateManager.dirPathPairs(ch, 16).toMap)
+      .map { ch =>
+        if (ch.valuesIterator.flatten.exists(_._1 == 0L))
+          graft.state.StateManager.dirPathPairs(ch, 15).toMap
+        else Map.empty[Long, String]
+      }
     lazy val pathsFull = graft.state.StateManager.materializePaths(file)
       .select(col("id").as("__lid"), col("path").as("__path"),
         col("length").as("__len"))
@@ -885,15 +894,16 @@ object Mutations {
             if (r.isNullAt(1)) (rid, false, 0L, null: String, null: String)
             else {
               val parent = r.getLong(2)
-              val name = r.getString(3)
-              // a dir resolves in the map; a file appends its leaf to the
-              // parent dir's path; an unreachable row (parent outside the
-              // rooted tree) has no path — classified like a missing row,
-              // matching the whole-namespace route's exclusion of
-              // unrooted inodes
+              val name = if (r.isNullAt(3)) null else r.getString(3)
+              // every inode (dir or file) appends its leaf to the PARENT
+              // dir's mapped path — the same depth bound and null-name
+              // handling as the fallback (a null-named or unrooted row
+              // resolves no path and classifies "no such file"; Scala's
+              // `s + null` would fabricate a "/null" segment and NPE in
+              // the suffix arithmetic below)
               val path: String =
                 if (rid == 0L) ""
-                else if (r.getLong(4) == -1L) pathOf.get(rid).orNull
+                else if (name == null) null
                 else pathOf.get(parent).map(_ + "/" + name).orNull
               (rid, path != null || rid == 0L, parent, name, path)
             }
