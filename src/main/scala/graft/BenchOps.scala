@@ -107,6 +107,16 @@ object BenchOps {
           Map("owner" -> graft.store.StateStore.Assign(7L)), nowMs = Now)
           .filter(col("version") > 1000000000L).count()
       },
+      timed("blockreceived") {
+        // the per-receipt addStoredBlock flow (the namenode's hottest
+        // write RPC): half the reported feed as one receipt batch
+        val ops = spark.sql(
+          """SELECT datanodeId, blockId, repLength, repGenStamp,
+            |       CAST(NULL AS BIGINT) AS delHint
+            |FROM reported WHERE datanodeId <= 4""".stripMargin)
+        graft.analytics.Replication
+          .blockReceived(block, file, spark.table("datanode"), ops).count()
+      },
     )
 
     val ops = results.map { case (k, n, rate) =>
