@@ -1207,6 +1207,68 @@ object Dataflows {
       .withColumn("replicationDone", col("underReplicatedBlocks") === 0L)
   }
 
+  // ---- getBlocks: the balancer's source-block fetch (:501-566) ---------
+
+  /** getBlocks(datanode, size) (FSNamesystem.java:501-566) — the RPC the
+    * Balancer calls to pick source blocks: starting from a cursor into
+    * the node's block list, accumulate blocks until their total entry
+    * length reaches `size`, wrapping around the list; a block contributes
+    * (and counts) only if it has at least one valid location — a
+    * non-under-construction replica on a node with a datanode row
+    * (addBlock :548-566; the recentInvalidateSets exclusion is transient
+    * namenode memory, empty under the table-state model — the countNodes
+    * collapse). The reference seeds the cursor with r.nextInt; the
+    * deterministic form takes it as `startIdx` per request, and blockId
+    * order stands in for the stored list order.
+    *
+    * Batched: `requests` = (datanodeId, size, startIdx) — ALL balancer
+    * sources answer in one pass, each node's scan a window over ITS
+    * blocks only (partitionBy datanodeId; per-node block counts are the
+    * bound, never the table). Output: (datanodeId, blockId,
+    * generationStamp, blockLength, locations). */
+  def getBlocks(block: DataFrame, datanode: DataFrame,
+                requests: DataFrame): DataFrame = {
+    val req = requests.select(col("datanodeId").as("__rn"), col("size"),
+      col("startIdx")).distinct()
+    val held = live(block)
+      .join(broadcast(req.select(col("__rn"))),
+        col("datanodeId") === col("__rn"), "left_semi")
+      .select(col("datanodeId").as("__hn"), col("id").as("blockId"))
+      .distinct()
+    // entry primary + valid locations for exactly the held blocks
+    val dnDim = live(datanode).select(col("id").as("__dn"))
+    val entries = live(block)
+      .join(broadcast(held.select(col("blockId")).distinct()
+          .withColumnRenamed("blockId", "__hb")),
+        col("id") === col("__hb"), "left_semi")
+      .join(broadcast(dnDim), col("datanodeId") === col("__dn"), "left")
+      .groupBy(col("id").as("__bid"))
+      .agg(max(col("generationStamp")).as("generationStamp"),
+        max_by(col("length"), struct(col("generationStamp"), col("version")))
+          .as("blockLength"),
+        array_sort(collect_list(when(col("__dn").isNotNull &&
+          col("length") =!= -1L, col("datanodeId")))).as("__locs"))
+    val wNode = Window.partitionBy(col("__hn"))
+    val ordered = held
+      .join(entries, col("blockId") === col("__bid")).drop("__bid")
+      .join(broadcast(req), col("__hn") === col("__rn")).drop("__rn")
+      .withColumn("__n", count(lit(1)).over(wNode))
+      .withColumn("__idx", row_number().over(wNode.orderBy(col("blockId"))) - 1)
+      .withColumn("__rot", pmod(col("__idx") - col("startIdx"), col("__n")))
+      .withColumn("__ok", size(col("__locs")) > 0)
+    ordered
+      .withColumn("__before", coalesce(
+        sum(when(col("__ok"), greatest(col("blockLength"), lit(0L)))
+          .otherwise(0L))
+          .over(wNode.orderBy(col("__rot"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__ok") && col("__before") < col("size"))
+      .select(col("__hn").as("datanodeId"), col("blockId"),
+        col("generationStamp"), col("blockLength"),
+        array_join(transform(col("__locs"), x => x.cast("string")), ",")
+          .as("locations"))
+  }
+
   // ---- N16: datanode report (live/dead partition) ----------------------
 
   def datanodeReport(datanode: DataFrame, nowMs: Long): DataFrame =

@@ -181,6 +181,15 @@ object AnalyticsQueries {
           s.sql(FsckDeadNodesSql), Now)
         .orderBy(col("writeOp"), col("tbl"), col("id"), col("datanodeId"))
     },
+    // getBlocks: the balancer's source-block fetch — wrap-around cursor
+    // scan of each requested node's blocks until the size budget fills,
+    // location-less blocks skipped, all requests answered in one pass
+    "n_get_blocks" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Dataflows.getBlocks(s.table("block"), s.table("datanode"),
+          s.sql(GetBlocksReqSql))
+        .orderBy(col("datanodeId"), col("blockId"))
+    },
     // getStats block counters (dfsadmin -report header next to
     // s13_cluster_stats' capacity aggregates)
     "s13b_block_stats" -> { (s, dir) =>
@@ -997,6 +1006,45 @@ object AnalyticsQueries {
         |FROM (SELECT * FROM ftombs UNION ALL SELECT * FROM btombs
         |      UNION ALL SELECT * FROM tchrows) u
         |ORDER BY writeOp, tbl, id, datanodeId""".stripMargin),
+    "n_get_blocks" -> O(
+      s"""WITH gb_req AS (
+        |$GetBlocksReqSql),
+        |gb_held AS (
+        |  SELECT DISTINCT b.datanodeId AS hn, b.id AS blockId
+        |  FROM block b WHERE b.version > 0
+        |    AND b.datanodeId IN (SELECT datanodeId FROM gb_req)),
+        |gb_dn AS (SELECT id FROM datanode WHERE version > 0),
+        |gb_ent AS (
+        |  SELECT b.id AS bid, MAX(b.generationStamp) AS generationStamp,
+        |    ARG_MAX(b.length, CAST(b.generationStamp AS HUGEINT)
+        |            * 9223372036854775808 + b.version) AS blockLength,
+        |    list_sort(list(b.datanodeId)
+        |      FILTER (WHERE d.id IS NOT NULL AND b.length <> -1)) AS locs
+        |  FROM block b LEFT JOIN gb_dn d ON b.datanodeId = d.id
+        |  WHERE b.version > 0 AND b.id IN (SELECT blockId FROM gb_held)
+        |  GROUP BY b.id),
+        |gb_ord AS (
+        |  SELECT h.hn, h.blockId, e.generationStamp, e.blockLength, e.locs,
+        |    r.size, r.startIdx,
+        |    COUNT(*) OVER (PARTITION BY h.hn) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY h.hn ORDER BY h.blockId) - 1 AS idx
+        |  FROM gb_held h JOIN gb_ent e ON h.blockId = e.bid
+        |  JOIN gb_req r ON h.hn = r.datanodeId),
+        |gb_rot AS (
+        |  SELECT *, ((idx - startIdx) % n + n) % n AS rot,
+        |    COALESCE(len(locs), 0) > 0 AS ok
+        |  FROM gb_ord),
+        |gb_cum AS (
+        |  SELECT *, COALESCE(SUM(CASE WHEN ok THEN GREATEST(blockLength, 0)
+        |                             ELSE 0 END)
+        |    OVER (PARTITION BY hn ORDER BY rot
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cbefore
+        |  FROM gb_rot)
+        |SELECT hn AS datanodeId, blockId, generationStamp, blockLength,
+        |  array_to_string([CAST(x AS STRING) FOR x IN locs], ',') AS locations
+        |FROM gb_cum WHERE ok AND cbefore < size
+        |ORDER BY datanodeId, blockId""".stripMargin),
     "s13b_block_stats" -> O(
       s"""$N5ClassifySql,
         |bs_marks AS (
@@ -1259,6 +1307,15 @@ object AnalyticsQueries {
     """SELECT CAST(i AS BIGINT) AS datanodeId,
       |       CAST(i % 4 AS BIGINT) AS xmitsInProgress
       |FROM range(1, 21) AS t(i)""".stripMargin
+
+  /** getBlocks request fixture: five nodes, staggered size budgets and
+    * cursor positions (wrap-around exercised by start indexes deep into
+    * each node's list). */
+  private val GetBlocksReqSql: String =
+    """SELECT CAST(i * 3 - 1 AS BIGINT) AS datanodeId,
+      |       CAST(3000000 + i * 1000000 AS BIGINT) AS size,
+      |       CAST(i * 7 AS BIGINT) AS startIdx
+      |FROM range(1, 6) AS t(i)""".stripMargin
 
   /** blockReceived ops fixture: datanode 3's report rows (covering the
     * reported table's full perturbation matrix — stale genstamps, grown
