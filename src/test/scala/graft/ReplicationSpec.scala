@@ -206,6 +206,30 @@ class ReplicationSpec extends SparkSpec {
     assert(out == Map(1L -> "rejectInvalidate", 99L -> "rejectInvalidate"))
   }
 
+  test("getBlocks: wrap-around cursor fills the size budget, skips located-nowhere blocks") {
+    // node 1 holds blocks 1..5 (lengths 100 each via their primaries);
+    // block 3 has no valid location (its only replica is UC) → skipped
+    // and NOT counted toward the budget
+    val block = Seq(
+      (1L, 1L, 100L, 100L), (2L, 1L, 100L, 100L), (3L, 1L, -1L, 100L),
+      (4L, 1L, 100L, 100L), (5L, 1L, 100L, 100L),
+      // co-located replicas on node 2 so locations are multi-node
+      (1L, 2L, 100L, 100L), (4L, 2L, 100L, 100L),
+    ).map { case (id, dn, len, fid) => (id, dn, len, fid, 7L, id * 10 + dn) }
+      .toDF("id", "datanodeId", "length", "fileId", "generationStamp", "version")
+      .withColumn("fileIndex", lit(0L))
+    val datanode = Seq(1L, 2L).toDF("id").withColumn("version", col("id"))
+    // budget 250 from cursor 3 (block 4): picks 4 (100), 5 (100), wraps
+    // to 1 (100, crossing the budget) and stops — 2 never reached,
+    // 3 iterated but skipped
+    val out = graft.analytics.Dataflows.getBlocks(block, datanode,
+        Seq((1L, 250L, 3L)).toDF("datanodeId", "size", "startIdx"))
+      .orderBy(col("blockId")).collect()
+    assert(out.map(_.getAs[Long]("blockId")).toSeq == Seq(1L, 4L, 5L))
+    assert(out.find(_.getAs[Long]("blockId") == 4L).get
+      .getAs[String]("locations") == "1,2")
+  }
+
   test("corruptMarksCompact drops marks whose replica row is gone") {
     val marks = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("blockId", "datanodeId")
     val block = Seq((1L, 1L, 1L), (2L, 1L, -2L)) // (2,1) tombstoned
