@@ -1248,7 +1248,11 @@ object Dataflows {
           .as("blockLength"),
         array_sort(collect_list(when(col("__dn").isNotNull &&
           col("length") =!= -1L, col("datanodeId")))).as("__locs"))
-    val wNode = Window.partitionBy(col("__hn"))
+    // windows partition by the FULL request key: the balancer's real
+    // pattern is repeated getBlocks calls per source node, and two
+    // requests for one node must each get their own cursor scan — a
+    // node-only partition would mix their row numbers and budgets
+    val wNode = Window.partitionBy(col("__hn"), col("size"), col("startIdx"))
     val ordered = held
       .join(entries, col("blockId") === col("__bid")).drop("__bid")
       .join(broadcast(req), col("__hn") === col("__rn")).drop("__rn")

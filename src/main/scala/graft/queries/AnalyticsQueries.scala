@@ -1026,8 +1026,9 @@ object AnalyticsQueries {
         |gb_ord AS (
         |  SELECT h.hn, h.blockId, e.generationStamp, e.blockLength, e.locs,
         |    r.size, r.startIdx,
-        |    COUNT(*) OVER (PARTITION BY h.hn) AS n,
-        |    ROW_NUMBER() OVER (PARTITION BY h.hn ORDER BY h.blockId) - 1 AS idx
+        |    COUNT(*) OVER (PARTITION BY h.hn, r.size, r.startIdx) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY h.hn, r.size, r.startIdx
+        |                       ORDER BY h.blockId) - 1 AS idx
         |  FROM gb_held h JOIN gb_ent e ON h.blockId = e.bid
         |  JOIN gb_req r ON h.hn = r.datanodeId),
         |gb_rot AS (
@@ -1037,7 +1038,7 @@ object AnalyticsQueries {
         |gb_cum AS (
         |  SELECT *, COALESCE(SUM(CASE WHEN ok THEN GREATEST(blockLength, 0)
         |                             ELSE 0 END)
-        |    OVER (PARTITION BY hn ORDER BY rot
+        |    OVER (PARTITION BY hn, size, startIdx ORDER BY rot
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS cbefore
         |  FROM gb_rot)

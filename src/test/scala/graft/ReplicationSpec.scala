@@ -228,6 +228,15 @@ class ReplicationSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("blockId")).toSeq == Seq(1L, 4L, 5L))
     assert(out.find(_.getAs[Long]("blockId") == 4L).get
       .getAs[String]("locations") == "1,2")
+    // TWO requests for the same node — the balancer's real repeated-call
+    // pattern — must each run an independent cursor scan (windows keyed
+    // by the full request, never node-only)
+    val two = graft.analytics.Dataflows.getBlocks(block, datanode,
+        Seq((1L, 250L, 3L), (1L, 150L, 0L)).toDF("datanodeId", "size", "startIdx"))
+      .collect().map(_.getAs[Long]("blockId")).sorted.toSeq
+    // request 1 picks {4,5,1} as above; request 2 from cursor 0 with
+    // budget 150 picks blocks 1 (100) and 2 (100, crossing)
+    assert(two == Seq(1L, 1L, 2L, 4L, 5L))
   }
 
   test("corruptMarksCompact drops marks whose replica row is gone") {
