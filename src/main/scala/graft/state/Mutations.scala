@@ -913,6 +913,7 @@ object Mutations {
           .join(f.select(col("id"), col("parentId").as("__op"), col("name")),
             col("__rid") === col("id"), "left")
           .join(pathsFull, col("__rid") === col("__lid"), "left")
+          .select(col("__rid"), col("id"), col("__op"), col("name"), col("__path"))
           .collect().map { r =>
             val rid = r.getLong(0)
             if (r.isNullAt(1)) (rid, false, 0L, null: String, null: String)

@@ -394,6 +394,20 @@ class MutationsSpec extends SparkSpec {
       Map(0L -> "cannot move root to trash", 42L -> "no such file"))
   }
 
+  test("moveToTrash: the dir-map fast path and the whole-namespace fallback agree") {
+    // dirBroadcastLimit = 0 forces the materializePaths route; the two
+    // strategies must produce the identical write-set for the identical
+    // request — the review-fixed divergences (depth bound, dead root,
+    // null names) were all route-parity breaks of exactly this law
+    def ws(limit: Long) = rows(Mutations.moveToTrash(file,
+        Seq(3L, 0L, 42L).toDF("id"), idBase = 200L, nowMs = 777L,
+        dirBroadcastLimit = limit)
+      .select(col("writeOp"), col("id"), col("parentId"), col("name"),
+        col("length"), col("version"), col("reject"))
+      .orderBy(col("writeOp"), col("id")))
+    assert(ws(2000000L) == ws(0L))
+  }
+
   test("moveToTrash write-set plan carries no namespace scan (driver dir-map route)") {
     // all namespace probes happen eagerly through batch-bounded driver
     // lookups; the RETURNED plan must read only the checkpointed probe
