@@ -120,6 +120,21 @@ object StateQueries {
         .select(col("id"), col("name"), col("version"))
         .orderBy(col("id"))
     },
+    // R6c: CDC diff between two snapshot versions over the ops feed —
+    // insert/delete/update per key, one conditional-max_by aggregation
+    // (a single key shuffle where two replays + a join would pay three)
+    "r6c_snapshot_diff" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val hist = s.table("ops").select(col("opKey").as("id"),
+        col("payload"), col("opVersion").as("version"))
+      StateStore.snapshotDiff(hist, Seq("id"), v1 = 30L, v2 = 300L)
+        .select(col("id"), col("changeType"),
+          col("before.payload").as("beforePayload"),
+          col("before.version").as("beforeVersion"),
+          col("after.payload").as("afterPayload"),
+          col("after.version").as("afterVersion"))
+        .orderBy(col("id"))
+    },
     // R7: max version per table via aggregation (replaces binary search)
     "r7_max_version" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -381,6 +396,32 @@ object StateQueries {
         |    PARTITION BY id ORDER BY ABS(version) DESC, version DESC) AS rk
         |  FROM file WHERE ABS(version) <= 1000000) t
         |WHERE rk = 1 AND version > 0
+        |ORDER BY id""".stripMargin),
+    "r6c_snapshot_diff" -> O(
+      """WITH sd_h AS (
+        |  SELECT opKey AS id, payload, opVersion AS version FROM ops
+        |  WHERE ABS(opVersion) <= 300),
+        |sd_b AS (
+        |  SELECT id, payload, version FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY ABS(version) DESC, version DESC) AS rk
+        |    FROM sd_h WHERE ABS(version) <= 30) t
+        |  WHERE rk = 1 AND version > 0),
+        |sd_a AS (
+        |  SELECT id, payload, version FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY ABS(version) DESC, version DESC) AS rk
+        |    FROM sd_h) t
+        |  WHERE rk = 1 AND version > 0)
+        |SELECT COALESCE(b.id, a.id) AS id,
+        |  CASE WHEN b.id IS NULL THEN 'insert'
+        |       WHEN a.id IS NULL THEN 'delete'
+        |       ELSE 'update' END AS changeType,
+        |  b.payload AS beforePayload, b.version AS beforeVersion,
+        |  a.payload AS afterPayload, a.version AS afterVersion
+        |FROM sd_b b FULL OUTER JOIN sd_a a ON b.id = a.id
+        |WHERE b.id IS NULL OR a.id IS NULL
+        |   OR b.payload <> a.payload OR b.version <> a.version
         |ORDER BY id""".stripMargin),
     "r7_max_version" -> O(
       """SELECT tbl, maxVersion FROM (

@@ -183,4 +183,38 @@ object StateStore {
     * single key shuffle as [[latestWins]]. */
   def snapshotAsOf(df: DataFrame, keyCols: Seq[String], v: Long): DataFrame =
     live(latestWins(df.filter(abs(col("version")) <= v), keyCols))
+
+  /** CDC between two points of the version history: per key, the live
+    * state at v1 vs at v2 — `insert` (absent → live, revivals included),
+    * `delete` (live → absent), `update` (both live, anything changed —
+    * a newer same-payload version IS a change); untouched keys drop out.
+    * ONE aggregation over rows with abs(version) ≤ v2 computes BOTH
+    * snapshots via conditional max_by ([[latestWins]]' (abs, sign)
+    * tie-break as the ordering struct) — a single key shuffle where two
+    * snapshot replays plus a full-outer join would pay three. Output:
+    * key columns + changeType + `before`/`after` row structs (null on
+    * the absent side). */
+  def snapshotDiff(df: DataFrame, keyCols: Seq[String],
+                   v1: Long, v2: Long): DataFrame = {
+    require(v1 <= v2, "need v1 <= v2")
+    val attrs = struct(df.columns.map(col): _*)
+    val ord = struct(abs(col("version")), col("version"))
+    val agged = df.filter(abs(col("version")) <= v2)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max_by(attrs, when(abs(col("version")) <= v1, ord)).as("__b0"),
+        max_by(attrs, ord).as("__a0"))
+    val liveB = col("__b0").isNotNull && col("__b0").getField("version") > 0
+    val liveA = col("__a0").isNotNull && col("__a0").getField("version") > 0
+    agged
+      .withColumn("before", when(liveB, col("__b0")))
+      .withColumn("after", when(liveA, col("__a0")))
+      .filter(col("before").isNotNull || col("after").isNotNull)
+      .withColumn("changeType",
+        when(col("before").isNull, lit("insert"))
+          .when(col("after").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .filter(col("changeType") =!= "update" || col("before") =!= col("after"))
+      .drop("__b0", "__a0")
+  }
 }
