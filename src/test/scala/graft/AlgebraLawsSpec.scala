@@ -21,6 +21,38 @@ class AlgebraLawsSpec extends SparkSpec {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("id").collect().map(_.getLong(0)).toSet
 
+  test("snapshotDiff law: applying the diff to snapshot(v1) reconstructs snapshot(v2)") {
+    // random op history: ~1/4 deletes (negative versions), keys reused so
+    // every change type occurs; the law must hold for ANY cut pair
+    val hist = (1 to 300).map { v =>
+      val key = rnd.nextInt(25).toLong
+      val del = rnd.nextInt(4) == 0
+      (key, rnd.nextInt(1000).toLong, if (del) -v.toLong else v.toLong)
+    }.toDF("id", "value", "version")
+    for ((v1, v2) <- Seq((0L, 300L), (50L, 200L), (120L, 121L), (200L, 300L))) {
+      def snap(v: Long) = StateStore.snapshotAsOf(hist, Seq("id"), v)
+        .select("id", "value", "version").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val before = snap(v1)
+      val after = snap(v2)
+      val diff = StateStore.snapshotDiff(hist, Seq("id"), v1, v2).collect()
+      val reconstructed = diff.foldLeft(before) { (acc, r) =>
+        r.getAs[String]("changeType") match {
+          case "delete" => acc - r.getLong(0)
+          case _ =>
+            val a = r.getAs[org.apache.spark.sql.Row]("after")
+            acc + (r.getLong(0) -> ((a.getAs[Long]("value"), a.getAs[Long]("version"))))
+        }
+      }
+      assert(reconstructed == after, s"cut ($v1, $v2)")
+      // and the diff never mentions an untouched key
+      diff.foreach { r =>
+        val k = r.getLong(0)
+        assert(before.get(k) != after.get(k), s"vacuous diff row for key $k at ($v1, $v2)")
+      }
+    }
+  }
+
   test("comparator partition laws: LE = LT ∪ EQ; GE/LT partition the table") {
     for (k <- Seq(1L, 57L, 200L, 400L, 999L)) {
       val lt = ids(StateStore.find(tbl, ById, Seq(k), Comparator.LT))
