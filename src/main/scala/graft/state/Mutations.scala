@@ -887,8 +887,8 @@ object Mutations {
     val reqRows: Array[(Long, Boolean, Long, String, String)] = dirMap match {
       case Some(pathOf) =>
         ids.select(col("id").as("__rid")).distinct()
-          .join(f.select(col("id"), col("parentId").as("__op"), col("name"),
-            col("length").as("__l")), col("__rid") === col("id"), "left")
+          .join(f.select(col("id"), col("parentId").as("__op"), col("name")),
+            col("__rid") === col("id"), "left")
           .collect().map { r =>
             val rid = r.getLong(0)
             if (r.isNullAt(1)) (rid, false, 0L, null: String, null: String)

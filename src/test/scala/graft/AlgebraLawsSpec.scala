@@ -23,11 +23,14 @@ class AlgebraLawsSpec extends SparkSpec {
 
   test("snapshotDiff law: applying the diff to snapshot(v1) reconstructs snapshot(v2)") {
     // random op history: ~1/4 deletes (negative versions), keys reused so
-    // every change type occurs; the law must hold for ANY cut pair
+    // every change type occurs; the law must hold for ANY cut pair.
+    // Dedicated Random: drawing from the spec-shared `rnd` would shift
+    // the lazy `tbl` fixture's stream for every other law test
+    val diffRnd = new scala.util.Random(11)
     val hist = (1 to 300).map { v =>
-      val key = rnd.nextInt(25).toLong
-      val del = rnd.nextInt(4) == 0
-      (key, rnd.nextInt(1000).toLong, if (del) -v.toLong else v.toLong)
+      val key = diffRnd.nextInt(25).toLong
+      val del = diffRnd.nextInt(4) == 0
+      (key, diffRnd.nextInt(1000).toLong, if (del) -v.toLong else v.toLong)
     }.toDF("id", "value", "version")
     for ((v1, v2) <- Seq((0L, 300L), (50L, 200L), (120L, 121L), (200L, 300L))) {
       def snap(v: Long) = StateStore.snapshotAsOf(hist, Seq("id"), v)
@@ -45,10 +48,15 @@ class AlgebraLawsSpec extends SparkSpec {
         }
       }
       assert(reconstructed == after, s"cut ($v1, $v2)")
-      // and the diff never mentions an untouched key
+      // the diff never mentions an untouched key, and every row's
+      // `before` struct IS the v1 state (the reconstruction fold alone
+      // cannot see a wrong before — it only consumes `after`)
       diff.foreach { r =>
         val k = r.getLong(0)
         assert(before.get(k) != after.get(k), s"vacuous diff row for key $k at ($v1, $v2)")
+        val b = Option(r.getAs[org.apache.spark.sql.Row]("before"))
+          .map(x => (x.getAs[Long]("value"), x.getAs[Long]("version")))
+        assert(b == before.get(k), s"before struct drift for key $k at ($v1, $v2)")
       }
     }
   }
