@@ -421,6 +421,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed KMV: a custom salt folds compatibly with the batch sketch, nulls skip") {
+    implicit val sqlCtx = spark.sqlContext
+    // a batch sketch built with a custom salt must rehydrate into and
+    // continue through the streaming fold — the mergeability contract
+    // the salt parameter exists for; null values must skip the sketch
+    // exactly as kmvMinima's COUNT(DISTINCT)-style batch fold does
+    val seedVals = (0L until 150L).map(Tuple1(_)).toDF("v")
+    val seeded = graft.functions.Sketches.kmvMinima(seedVals, "v", k = 32,
+      salt = "custom")
+    val mem = MemoryStream[java.lang.Long]
+    @volatile var got: Array[Long] = Array.empty
+    val q = Changefeed.streamingKmv(mem.toDF().toDF("v"), "v", k = 32,
+      (mins, _, _) => got = mins, initial = seeded, salt = "custom")
+    try {
+      mem.addData((100L until 250L).map(java.lang.Long.valueOf) :+
+        (null: java.lang.Long): _*)
+      q.processAllAvailable()
+      val whole = graft.functions.Sketches.kmvMinima(
+        (0L until 250L).map(Tuple1(_)).toDF("v"), "v", k = 32, salt = "custom")
+      assert(got.sameElements(whole),
+        "salted stream fold must equal the salted whole-corpus sketch")
+    } finally q.stop()
+  }
+
   test("streamed as-of: a late quote cannot roll state back") {
     import graft.streaming.Changefeed.{AsofEvent, AsofMatch}
     implicit val sqlCtx = spark.sqlContext
