@@ -16,8 +16,13 @@ import org.apache.spark.sql.SparkSession
   * (default 4) extra runs hunting for an uncontended window, reporting the
   * median of the fastest `reps` runs; if no clean window appears, the
   * per-query `contract` field falls back to the MIN of the reps — the one
-  * number box load can only inflate. The per-query min/median/max spread
-  * is printed in the same JSON line so a contaminated run is visible. */
+  * number box load can only inflate — and the query is listed in
+  * `contractUnverified` with the OS 1-minute load average sampled around
+  * its runs: min-substitution is only corroborated as exogenous box load
+  * when the OS agrees (load > cores); otherwise the slow runs may be the
+  * query's own bimodal behavior and the entry reads as suspect. The
+  * per-query min/median/max spread is printed in the same JSON line so a
+  * contaminated run is visible. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +70,16 @@ object Bench {
     // fastest `reps` runs — a loaded-machine slow run says nothing about
     // the code, the fast runs do; the full spread is still printed.
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "4").toInt
+    // independent contention corroboration: the 1-minute OS load average
+    // sampled around each query's runs. The median/min heuristic alone
+    // cannot distinguish exogenous box load from endogenous bimodal
+    // behavior (query-induced spill/GC) — a min-fallback reading is only
+    // trustworthy as a "box was busy" story when the OS agrees the box
+    // was busy (load > cores). Sampled cheaply from /proc/loadavg.
+    def loadAvg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val results = names.map { name =>
       var failed = false
       def once(): Double = {
@@ -78,39 +93,42 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val loadBefore = loadAvg1m()
       var all = (1 to reps).map(_ => once()).toVector
       var retries = 0
       while (!failed && isContended(all.sorted.take(reps)) && retries < maxRetries) {
         all :+= once()
         retries += 1
       }
+      val loadAfter = loadAvg1m()
       // reading = fastest `reps` runs; ALL runs (retry outliers included)
       // stay in `allRuns` so `spread` never hides a contaminated window
-      (name, all.sorted.take(reps), failed, all.sorted, retries)
+      (name, all.sorted.take(reps), failed, all.sorted, retries,
+        math.max(loadBefore, loadAfter))
     }
     // a failed query reports null, never its time-to-failure: a crash must
     // not read as a speedup in the committed JSON
-    val qs = results.map { case (k, ts, failed, _, _) =>
+    val qs = results.map { case (k, ts, failed, _, _, _) =>
       "\"" + k + "\":" + (if (failed) "null" else median(ts).toString)
     }.mkString("{", ",", "}")
     // spread covers EVERY run including discarded retry outliers — a
     // heavily-retried query shows its slow tail here even when the
     // reported median comes from the clean window
-    val spread = results.map { case (k, _, failed, allRuns, _) =>
+    val spread = results.map { case (k, _, failed, allRuns, _, _) =>
       "\"" + k + "\":" +
         (if (failed) "null"
          else s"[${allRuns.head},${median(allRuns)},${allRuns.last}]")
     }.mkString("{", ",", "}")
-    val retriesJson = results.map { case (k, _, _, _, r) =>
+    val retriesJson = results.map { case (k, _, _, _, r, _) =>
       "\"" + k + "\":" + r
     }.mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, _, true, _, _) => "\"" + k + "\"" }
+    val failedNames = results.collect { case (k, _, true, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // a run with any failure reports a null TOTAL too: a sum missing a
     // crashed query's time would read as a cross-round speedup
     val total =
       if (results.exists(_._3)) "null"
-      else results.collect { case (_, ts, false, _, _) => median(ts) }.sum.toString
+      else results.collect { case (_, ts, false, _, _, _) => median(ts) }.sum.toString
     // contention guard: flag the artifact when a query's REPORTED number
     // is itself inflated — median/min > 1.5x means at least half the reps
     // ran slow, i.e. the machine was busy for the bulk of the measurement
@@ -119,21 +137,31 @@ object Bench {
     // and doesn't move the median, so max/min is deliberately NOT the
     // signal. Sub-second medians are exempt: JIT noise dominates there.
     val contendedNames = results.collect {
-      case (k, ts, false, _, _) if isContended(ts) => "\"" + k + "\""
+      case (k, ts, false, _, _, _) if isContended(ts) => "\"" + k + "\""
     }
     // contract value per query (the "within 2x of baseline" line): the
     // median when the reading is clean, the MIN of the reps when the
     // retries never found an uncontended window — the minimum is the one
-    // number box load can only inflate, never deflate
-    val contract = results.map { case (k, ts, failed, _, _) =>
+    // number box load can only inflate, never deflate. A min-fallback is
+    // NOT a clean reading: it is listed in contractUnverified, and it is
+    // only CORROBORATED as box load when the OS load average around the
+    // runs exceeded the core count — an uncorroborated fallback may be
+    // endogenous bimodal behavior (query-induced spill/GC) and must be
+    // treated as a possible real regression, not noise
+    val nCores = Runtime.getRuntime.availableProcessors.toDouble
+    val contract = results.map { case (k, ts, failed, _, _, _) =>
       "\"" + k + "\":" + (if (failed) "null"
         else if (isContended(ts)) ts.head.toString else median(ts).toString)
     }.mkString("{", ",", "}")
+    val unverified = results.collect {
+      case (k, ts, false, _, _, load) if isContended(ts) =>
+        s"""{"query":"$k","load1m":$load,"corroborated":${load > nCores}}"""
+    }.mkString("[", ",", "]")
     val contended = contendedNames.nonEmpty
     if (contended)
       System.err.println(s"[bench] CONTENDED (max/min > 1.5x): " +
         contendedNames.mkString(", ") + " — re-run on an idle box")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failedNames,"contended":$contended,"contendedQueries":[${contendedNames.mkString(",")}],"contract":$contract,"retries":$retriesJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failedNames,"contended":$contended,"contendedQueries":[${contendedNames.mkString(",")}],"contract":$contract,"contractUnverified":$unverified,"retries":$retriesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -231,7 +231,14 @@ object Replication {
     * the least-remaining-space node from priSet, falling back to all
     * holders (the reference's iterator-min; (remaining, datanodeId) is
     * the deterministic tie-break). A hint equal to the reporting node is
-    * ignored (:2791-2793). Corrupt/reject receipts classify only.
+    * ignored (:2791-2793). Corrupt/reject receipts classify only — their
+    * reporters never join the holder set (markBlockAsCorrupt
+    * FSNamesystem.java:1252-1282 invalidates without inserting into the
+    * block map), so they can't inflate liveAfter for co-batched valid
+    * receipts of the same block. An optional standing corrupt-marks
+    * frame (blockId, datanodeId) excludes marked stored replicas from
+    * the holder set too, the countNodes/processOverReplicatedBlock
+    * corrupt exclusion (:2795-2806, :3290-3315).
     *
     * Scale shape: ops are batch-sized — they broadcast into left-semi
     * prunes of the block table (one for the ops' blocks, one for the
@@ -242,7 +249,8 @@ object Replication {
     * completing is per-op `update` but batch `ok`, the sweep's
     * non-actionable-UC convention). */
   def blockReceived(block: DataFrame, file: DataFrame, datanode: DataFrame,
-                    opsIn: DataFrame, pending: Option[DataFrame] = None): DataFrame = {
+                    opsIn: DataFrame, pending: Option[DataFrame] = None,
+                    corrupt: Option[DataFrame] = None): DataFrame = {
     val b = live(block)
     // pin the receipt batch: it feeds the block prune, the stored-row
     // join and the post-op holder union — a view-backed ops frame (the
@@ -298,15 +306,38 @@ object Replication {
           .otherwise(lit("ignore")))
       .withColumn("__blockUC",
         col("__open") && col("__blkIdx") === col("__lastIdx"))
+      // feeds the valid-op holder union below AND the final join — a
+      // plain view would re-run the whole classification ladder twice;
+      // op-batch-sized by contract, so the checkpoint is bounded
+      .localCheckpoint()
     // post-op holder set per block, with rack/space for the excess pick —
-    // the op node is a holder after any valid receipt, whether it was
-    // stored before or not, so the set is op-independent per block
+    // the op node becomes a holder only after a VALID receipt: a corrupt
+    // or rejected reporter never enters the block map in the reference
+    // (markBlockAsCorrupt FSNamesystem.java:1252-1282 invalidates, never
+    // inserts), so it must not inflate liveAfter for co-batched valid
+    // receipts of the same block
     val ddim = live(datanode).select(col("id").as("__did"),
       col("location").as("__rack"), col("remaining").as("__rem"),
       col("adminState").as("__adm"))
     val holderBase = pruned.select(col("id").as("__hb"), col("datanodeId")).distinct()
-    val opNodes = ops.select(col("blockId").as("__hb"), col("datanodeId")).distinct()
-    val holders = holderBase.unionByName(opNodes).distinct()
+    val opNodes = classified
+      .filter(col("outcome").isin("add", "update", "ignore"))
+      .select(col("blockId").as("__hb"), col("datanodeId")).distinct()
+    // standing CorruptReplicasMap consult: countNodes/
+    // processOverReplicatedBlock (FSNamesystem.java:2795-2806,3290-3315)
+    // exclude corrupt-marked replicas from liveReplicas/nonExcess, so a
+    // stored-but-marked replica is neither counted live nor an excess-
+    // drop candidate here — mirror corruptInvalidations' markDim anti-join
+    val holdersAll = corrupt match {
+      case Some(m) =>
+        val markDim = m.select(col("blockId").as("__mb"),
+          col("datanodeId").as("__md"))
+        holderBase.unionByName(opNodes).join(broadcast(markDim),
+          col("__hb") === col("__mb") && col("datanodeId") === col("__md"),
+          "left_anti")
+      case None => holderBase.unionByName(opNodes)
+    }
+    val holders = holdersAll.distinct()
       .join(broadcast(ddim), col("datanodeId") === col("__did"), "left")
       // processOverReplicatedBlock drops decommissioning holders from
       // nonExcess (:2798-2808); an unknown-node holder keeps candidacy

@@ -241,8 +241,12 @@ object TextFunctions {
     * the right trade at corpus scale (materializing a corpus-sized melt
     * to save a narrow map re-scan would cost more than it saves); the
     * set that SURVIVES the threshold is the boilerplate vocabulary —
-    * tiny relative to the corpus — so it broadcasts back against the
-    * melt and the rebuild is one groupBy(doc) with array expressions.
+    * usually tiny relative to the corpus, but NOT by construction (a low
+    * minDocs or a heavily duplicated corpus makes it corpus-scale), so
+    * the probe join carries no forced broadcast hint: AQE broadcasts it
+    * when the runtime size is actually small and degrades to a shuffle
+    * join instead of an OOM when it isn't. The rebuild is one
+    * groupBy(doc) with array expressions.
     * At 100 TB key the frequency aggregation on xxhash64(line) instead
     * of the raw string to keep the exchange narrow (same semantics
     * modulo hash collision). A null text coalesces to one empty line so
@@ -257,7 +261,7 @@ object TextFunctions {
       .filter(col("__docs") >= minDocs)
       .select(col("__line").as("__bad"))
     lines
-      .join(broadcast(boiler), col("__line") === col("__bad"), "left")
+      .join(boiler, col("__line") === col("__bad"), "left")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__ln"), col("__line"),
         col("__bad").isNotNull.as("__isBad")))).as("__ls"))

@@ -310,8 +310,15 @@ object AnalyticsQueries {
     // chooseExcessReplicates first drop, honoring delHint when eligible
     "n_block_received" -> { (s, dir) =>
       DerivedState.register(s, dir)
+      // the standing CorruptReplicasMap rides along: marked stored
+      // replicas are excluded from the post-op holder count the way
+      // countNodes excludes corrupt replicas from liveReplicas
+      val marks = Replication.corruptMarks(
+        Dataflows.reconcileReports(s.table("block"), s.table("reported")))
+        .localCheckpoint()
       Replication.blockReceived(s.table("block"), s.table("file"),
-          s.table("datanode"), s.sql(BlockReceivedOpsSql))
+          s.table("datanode"), s.sql(BlockReceivedOpsSql),
+          corrupt = Some(marks))
         .orderBy(col("blockId"), col("datanodeId"))
     },
     // invalidateCorruptReplicas sweep: once a block has enough GOOD live
@@ -595,7 +602,11 @@ object AnalyticsQueries {
         |WHERE rn <= CASE WHEN command = 'replicate' THEN replCap ELSE 5 END
         |ORDER BY datanodeId, command, blockId""".stripMargin),
     "n_block_received" -> O(
-      s"""WITH br_ops AS (
+      s"""$N5ClassifySql,
+        |br_marks AS (
+        |  SELECT DISTINCT blockId, datanodeId FROM classified
+        |  WHERE action = 'toInvalidate' AND storedGenStamp IS NOT NULL),
+        |br_ops AS (
         |$BlockReceivedOpsSql),
         |br_pruned AS (
         |  SELECT b.* FROM block b WHERE b.version > 0
@@ -642,7 +653,11 @@ object AnalyticsQueries {
         |  SELECT DISTINCT hb, datanodeId FROM (
         |    SELECT id AS hb, datanodeId FROM br_pruned
         |    UNION ALL
-        |    SELECT blockId AS hb, datanodeId FROM br_ops) u),
+        |    SELECT blockId AS hb, datanodeId FROM br_cls
+        |    WHERE outcome IN ('add', 'update', 'ignore')) u
+        |  WHERE NOT EXISTS (SELECT 1 FROM br_marks m
+        |                    WHERE m.blockId = u.hb
+        |                      AND m.datanodeId = u.datanodeId)),
         |br_hr AS (
         |  SELECT h.hb, h.datanodeId, d.remaining,
         |    COALESCE(d.location, '?' || CAST(h.datanodeId AS VARCHAR)) AS rackKey
@@ -1330,6 +1345,13 @@ object AnalyticsQueries {
     * them (the `add` branch, and extra over-replication); plus one
     * receipt for a block that does not exist (rejectAddStoredBlock).
     * Blocks of tombstoned files hit the no-file reject branch naturally. */
+  /** blockReceived op batch, dialect-shared: node 3's own reports (with
+    * a max-other-holder delHint), node 9 (storeless) replaying node 4's
+    * reports, one unknown-block reject, and node 8 replaying a STALE
+    * (genstamp − 1) copy of every third node-3 block — guaranteed
+    * corruptInvalidate co-batched with node 3's valid receipt of the
+    * SAME block, so the corrupt-reporter-is-not-a-holder rule is
+    * exercised non-vacuously. */
   private val BlockReceivedOpsSql: String =
     """SELECT r.datanodeId, r.blockId, r.repLength, r.repGenStamp,
       |       h.minOther AS delHint
@@ -1344,7 +1366,11 @@ object AnalyticsQueries {
       |FROM reported WHERE datanodeId = 4
       |UNION ALL
       |SELECT CAST(3 AS BIGINT), CAST(999 AS BIGINT), CAST(100 AS BIGINT),
-      |       CAST(100 AS BIGINT), CAST(NULL AS BIGINT)""".stripMargin
+      |       CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+      |UNION ALL
+      |SELECT CAST(8 AS BIGINT), blockId, repLength, repGenStamp - 1,
+      |       CAST(NULL AS BIGINT)
+      |FROM reported WHERE datanodeId = 3 AND blockId % 3 = 0""".stripMargin
 
   /** fsck fixtures: ONE dialect-shared datanode projection that marks
     * every %4=1 node dead (lastUpdated 0), run verbatim by the Spark

@@ -239,6 +239,68 @@ class ReplicationSpec extends SparkSpec {
     assert(two == Seq(1L, 1L, 2L, 4L, 5L))
   }
 
+  test("a corrupt reporter never joins the holder set (markBlockAsCorrupt never inserts)") {
+    // block 1 stored on nodes 1,2 (gs 10); node 3 reports a STALE copy
+    // (corruptInvalidate) in the same batch as node 2's valid receipt.
+    // replication = 2: if the corrupt reporter counted as a holder,
+    // liveAfter would read 3 and flip node 2's receipt to __excess.
+    val block = Seq((1L, 1L), (1L, 2L))
+      .toDF("id", "datanodeId")
+      .withColumn("fileId", lit(100L)).withColumn("generationStamp", lit(10L))
+      .withColumn("length", lit(500L)).withColumn("fileIndex", lit(0L))
+      .withColumn("version", col("datanodeId"))
+    val file = Seq((100L, 2L, 1000L, 1L)).toDF("id", "replication", "length", "version")
+      .withColumn("leaseHolder", lit(null).cast("string"))
+    val datanode = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("location", lit("/r0")).withColumn("remaining", lit(100L))
+      .withColumn("lastUpdated", lit(Now)).withColumn("adminState", lit("NORMAL"))
+      .withColumn("version", col("id"))
+    val ops = Seq(
+      (2L, 1L, 500L, 10L), // valid ignore from a real holder
+      (3L, 1L, 500L, 9L),  // stale genstamp → corruptInvalidate
+    ).toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+      .withColumn("delHint", lit(null).cast("long"))
+    val out = Replication.blockReceived(block, file, datanode, ops)
+      .orderBy("datanodeId").collect()
+    val valid = out.find(_.getAs[Long]("datanodeId") == 2L).get
+    assert(valid.getAs[String]("outcome") == "ignore")
+    assert(valid.getAs[Long]("liveAfter") == 2L) // NOT 3: reporter 3 excluded
+    assert(valid.isNullAt(valid.fieldIndex("firstDrop")))
+    val corruptOp = out.find(_.getAs[Long]("datanodeId") == 3L).get
+    assert(corruptOp.getAs[String]("outcome") == "corruptInvalidate")
+  }
+
+  test("blockReceived excludes standing corrupt-marked replicas from liveAfter") {
+    // block 1 stored on nodes 1,2,3 (gs 10) but (1,3) carries a standing
+    // corrupt mark; node 2 sends a valid receipt. replication = 2:
+    // without the mark exclusion liveAfter=3 → excess drop; with it,
+    // liveAfter=2 and no drop (countNodes corrupt exclusion).
+    val block = Seq((1L, 1L), (1L, 2L), (1L, 3L))
+      .toDF("id", "datanodeId")
+      .withColumn("fileId", lit(100L)).withColumn("generationStamp", lit(10L))
+      .withColumn("length", lit(500L)).withColumn("fileIndex", lit(0L))
+      .withColumn("version", col("datanodeId"))
+    val file = Seq((100L, 2L, 1000L, 1L)).toDF("id", "replication", "length", "version")
+      .withColumn("leaseHolder", lit(null).cast("string"))
+    val datanode = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("location", lit("/r0")).withColumn("remaining", lit(100L))
+      .withColumn("lastUpdated", lit(Now)).withColumn("adminState", lit("NORMAL"))
+      .withColumn("version", col("id"))
+    val ops = Seq((2L, 1L, 500L, 10L))
+      .toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+      .withColumn("delHint", lit(null).cast("long"))
+    val marks = Seq((1L, 3L)).toDF("blockId", "datanodeId")
+    val bare = Replication.blockReceived(block, file, datanode, ops)
+      .collect().head
+    assert(bare.getAs[Long]("liveAfter") == 3L)
+    // equal remaining, all one rack → (remaining, datanodeId) tie-break
+    assert(bare.getAs[Long]("firstDrop") == 1L)
+    val marked = Replication.blockReceived(block, file, datanode, ops,
+        corrupt = Some(marks)).collect().head
+    assert(marked.getAs[Long]("liveAfter") == 2L)
+    assert(marked.isNullAt(marked.fieldIndex("firstDrop")))
+  }
+
   test("corruptMarksCompact drops marks whose replica row is gone") {
     val marks = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("blockId", "datanodeId")
     val block = Seq((1L, 1L, 1L), (2L, 1L, -2L)) // (2,1) tombstoned
