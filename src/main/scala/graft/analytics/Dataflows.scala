@@ -501,10 +501,17 @@ object Dataflows {
     * the BlockEntry argmax: it is only reported for MISSING blocks,
     * whose rows are all dead replicas — no live primary exists to rank
     * by (genStamp, version), and max is the conservative lost-bytes
-    * bound (an argmax struct here measured ~2/3 of the whole query). */
+    * bound (an argmax struct here measured ~2/3 of the whole query).
+    *
+    * Partitioned by fileId BEFORE the (id, fileId) group-by: fileId is a
+    * subset of the grouping keys, so the one hash exchange satisfies the
+    * aggregation AND leaves the result co-partitioned with the file side
+    * of every downstream fileId join — without it the plan pays a second
+    * block-dimension shuffle between the agg and the join. */
   private def fsckPerBlock(block: DataFrame, dim: DataFrame): DataFrame =
     live(block)
       .join(broadcast(dim), col("datanodeId") === col("__nid"), "left")
+      .repartition(col("fileId"))
       .groupBy(col("id").as("blockId"), col("fileId").as("__bfid"))
       .agg(count(col("__nid")).as("__live"),
         min(col("__rid")).as("__rkMin"),
