@@ -135,6 +135,18 @@ object StateQueries {
           col("after.version").as("afterVersion"))
         .orderBy(col("id"))
     },
+    // R6d: MVCC history compaction below sync floor 100 over the ops
+    // feed — superseded below-floor versions and floor-latest tombstones
+    // purge; everything a snapshotAsOf(v >= 100) could observe survives
+    // (law-pinned in AlgebraLawsSpec). The compacted history itself is
+    // the result, so the oracle re-derives the exact surviving row set.
+    "r6d_compact" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val hist = s.table("ops").select(col("opKey").as("id"),
+        col("payload"), col("opVersion").as("version"))
+      StateStore.compactHistory(hist, Seq("id"), floorV = 100L)
+        .orderBy(col("id"), abs(col("version")))
+    },
     // R7: max version per table via aggregation (replaces binary search)
     "r7_max_version" -> { (s, dir) =>
       DerivedState.register(s, dir)
@@ -423,6 +435,19 @@ object StateQueries {
         |WHERE b.id IS NULL OR a.id IS NULL
         |   OR b.payload <> a.payload OR b.version <> a.version
         |ORDER BY id""".stripMargin),
+    "r6d_compact" -> O(
+      """WITH rc_h AS (
+        |  SELECT opKey AS id, payload, opVersion AS version FROM ops),
+        |rc_keep AS (
+        |  SELECT id, payload, version FROM rc_h WHERE ABS(version) > 100
+        |  UNION ALL
+        |  SELECT id, payload, version FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY ABS(version) DESC, version DESC) AS rk
+        |    FROM rc_h WHERE ABS(version) <= 100) t
+        |  WHERE rk = 1 AND version > 0)
+        |SELECT id, payload, version FROM rc_keep
+        |ORDER BY id, ABS(version)""".stripMargin),
     "r7_max_version" -> O(
       """SELECT tbl, maxVersion FROM (
         |  SELECT 'file' AS tbl, MAX(ABS(version)) AS maxVersion FROM file UNION ALL

@@ -184,6 +184,30 @@ object StateStore {
   def snapshotAsOf(df: DataFrame, keyCols: Seq[String], v: Long): DataFrame =
     live(latestWins(df.filter(abs(col("version")) <= v), keyCols))
 
+  /** MVCC history compaction below a sync floor (the D4 full-sync
+    * complement): every version a `snapshotAsOf(v >= floorV)` could
+    * still observe is kept verbatim — rows with abs(version) > floorV —
+    * while at-or-below the floor only each key's latest LIVE row
+    * survives (the row `snapshotAsOf(floorV)` would return); superseded
+    * versions and floor-latest tombstones are purged. Laws (pinned in
+    * AlgebraLawsSpec): `snapshotAsOf(compact(df), v) == snapshotAsOf(df,
+    * v)` and `snapshotDiff(compact(df), v1, v2) == snapshotDiff(df, v1,
+    * v2)` for all floorV <= v (<= v1 <= v2). Readers BELOW the floor are
+    * the ones giving up fidelity — that is the point: the ops feed
+    * otherwise grows without bound, and no syncer sits below the floor.
+    *
+    * ONE shuffle: the rank that picks each key's floor-latest row
+    * partitions on (key, belowFloor?), so above-floor rows ride the same
+    * exchange unranked instead of paying a second pass. */
+  def compactHistory(df: DataFrame, keyCols: Seq[String], floorV: Long): DataFrame = {
+    val w = Window.partitionBy((keyCols.map(col) :+ col("__below")): _*)
+      .orderBy(abs(col("version")).desc, col("version").desc)
+    df.withColumn("__below", abs(col("version")) <= floorV)
+      .withColumn("__rn", row_number().over(w))
+      .filter(!col("__below") || (col("__rn") === 1 && col("version") > 0))
+      .drop("__below", "__rn")
+  }
+
   /** CDC between two points of the version history: per key, the live
     * state at v1 vs at v2 — `insert` (absent → live, revivals included),
     * `delete` (live → absent), `update` (both live, anything changed —

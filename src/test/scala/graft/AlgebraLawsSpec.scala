@@ -61,6 +61,45 @@ class AlgebraLawsSpec extends SparkSpec {
     }
   }
 
+  test("compactHistory law: snapshots and diffs at-or-above the floor are unchanged; below-floor history purges") {
+    val cRnd = new scala.util.Random(13)
+    val hist = (1 to 300).map { v =>
+      val key = cRnd.nextInt(25).toLong
+      val del = cRnd.nextInt(4) == 0
+      (key, cRnd.nextInt(1000).toLong, if (del) -v.toLong else v.toLong)
+    }.toDF("id", "value", "version")
+    val floor = 150L
+    val compacted = StateStore.compactHistory(hist, Seq("id"), floor)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "value", "version").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // snapshot fidelity at every cut at-or-above the floor (incl. the
+    // floor itself and the history head)
+    for (v <- Seq(150L, 151L, 200L, 299L, 300L))
+      assert(rows(StateStore.snapshotAsOf(compacted, Seq("id"), v)) ==
+        rows(StateStore.snapshotAsOf(hist, Seq("id"), v)), s"asof $v")
+    // diff fidelity across above-floor cut pairs
+    for ((v1, v2) <- Seq((150L, 300L), (150L, 151L), (200L, 280L))) {
+      def d(df: org.apache.spark.sql.DataFrame) =
+        StateStore.snapshotDiff(df, Seq("id"), v1, v2)
+          .select(col("id"), col("changeType"),
+            col("before.version").as("bv"), col("after.version").as("av"))
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            Option(r.get(2)), Option(r.get(3)))).toSet
+      assert(d(compacted) == d(hist), s"diff ($v1, $v2)")
+    }
+    // the compaction actually compacted: every key with >1 below-floor
+    // version lost rows, and no below-floor tombstone survived
+    val belowFull = hist.filter(abs(col("version")) <= floor)
+    val belowKept = compacted.filter(abs(col("version")) <= floor)
+    assert(belowKept.count() < belowFull.count())
+    assert(belowKept.filter(col("version") < 0).count() == 0)
+    assert(belowKept.groupBy(col("id")).count().filter(col("count") > 1).count() == 0)
+    // above-floor rows pass through verbatim
+    assert(rows(compacted.filter(abs(col("version")) > floor)) ==
+      rows(hist.filter(abs(col("version")) > floor)))
+  }
+
   test("comparator partition laws: LE = LT ∪ EQ; GE/LT partition the table") {
     for (k <- Seq(1L, 57L, 200L, 400L, 999L)) {
       val lt = ids(StateStore.find(tbl, ById, Seq(k), Comparator.LT))
