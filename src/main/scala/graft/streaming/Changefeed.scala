@@ -619,6 +619,29 @@ object Changefeed {
       }
       .start()
 
+  /** N14 SafeModeMonitor tick loop (SafeModeInfo.SafeModeMonitor
+    * :3684-3700 driving needEnter/canLeave :3560-3600): each trigger
+    * re-evaluates the safe-block ratio against the CURRENT block table —
+    * [[graft.analytics.Dataflows.safeModeStatus]] with the reference's
+    * TRUNCATED threshold — and hands `sink` the (batchId, one-row
+    * status) carrying the enter/leave decision in `inSafeMode`. The
+    * caller owns flipping the namesystem mode (the reference's
+    * leaveSafeMode happens outside the monitor too: the monitor only
+    * reports "threshold reached", :3694-3698), the same
+    * caller-owns-the-commit convention as the other four monitors. */
+  def safeModeMonitor(ticks: DataFrame, block: () => DataFrame,
+                      minReplication: Int, thresholdPct: Double,
+                      sink: (Long, DataFrame) => Unit): StreamingQuery =
+    ticks.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (_: DataFrame, id: Long) =>
+        // pin: the supplier reads a mutable snapshot — a lazy status the
+        // sink consumes after flipping the mode would re-count post-flip
+        sink(id, graft.analytics.Dataflows.safeModeStatus(
+          block(), minReplication, thresholdPct).localCheckpoint())
+      }
+      .start()
+
   /** N10 PendingReplicationMonitor tick loop
     * (PendingReplicationBlocks.java:173-207 driving FSNamesystem
     * .processPendingReplications :2324-2334): each trigger scans the

@@ -781,6 +781,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("safe-mode monitor: in safe mode below the truncated threshold, out once it is reached") {
+    implicit val sqlCtx = spark.sqlContext
+    // 4 blocks, minReplication 2, pct .999 → blockThreshold =
+    // (int)(4 × .999) = 3 (the reference truncates, never rounds up)
+    val blockRef = new java.util.concurrent.atomic.AtomicReference(
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (4L, 1L))
+        .toDF("id", "datanodeId").withColumn("version", lit(1L)))
+    val mem = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = Changefeed.safeModeMonitor(mem.toDF(), () => blockRef.get(),
+      minReplication = 2, thresholdPct = 0.999,
+      sink = (_, st) => st.collect().foreach(r => seen +=
+        ((r.getAs[Long]("totalBlocks"), r.getAs[Long]("safeBlocks"),
+          r.getAs[Boolean]("inSafeMode")))))
+    try {
+      // tick 1: 2 of 4 blocks safe < threshold 3 → IN safe mode
+      mem.addData(1L); q.processAllAvailable()
+      assert(seen.toSeq == Seq((4L, 2L, true)))
+      // block 3 reaches minimal replication → exactly 3 safe of 4; the
+      // truncated threshold (3) is MET, so the monitor reports leave —
+      // a round-up threshold (4) would keep the cluster stuck here
+      blockRef.set(
+        Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L), (4L, 1L))
+          .toDF("id", "datanodeId").withColumn("version", lit(1L)))
+      seen.clear()
+      mem.addData(2L); q.processAllAvailable()
+      assert(seen.toSeq == Seq((4L, 3L, false)))
+    } finally q.stop()
+  }
+
   test("decommission monitor: a drained node retires on the tick, a blocked one waits") {
     implicit val sqlCtx = spark.sqlContext
     // node 1 decommissioning, holds block 10 whose OTHER replicas (2,3)
