@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Balancer, Dataflows, Replication}
+import graft.analytics.{Balancer, Dataflows, Placement, Replication}
 import graft.model.DerivedState
 
 /** queries()+oracleSql() for the namenode dataflow operators (SURVEY §2.4,
@@ -136,6 +136,14 @@ object AnalyticsQueries {
         .filter(col("id") % 20 === 0L)
         .select(col("id"), col("datanodeId"), col("remaining"), col("dropRank"))
         .orderBy(col("id"), col("dropRank"))
+    },
+    // N7: replica placement, the deterministic candidates-scoring
+    // variant — the full ladder + isGoodTarget space/load/rack-quota
+    // checks as one dataflow (see N7ReqSql for the three fixture arms)
+    "n7_placement" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      Placement.chooseTargetsScored(s.sql(N7ReqSql), s.sql(N7NodesSql), Now)
+        .orderBy(col("reqId"), col("slot"))
     },
     // N11: fsck — whole-namespace wide aggregation
     "n11_fsck" -> { (s, dir) =>
@@ -747,6 +755,61 @@ object AnalyticsQueries {
         |  ANY_VALUE(g.goodc = 0) AS blockCorrupt
         |FROM cx_r r JOIN cx_g g ON r.id = g.id
         |GROUP BY r.id ORDER BY r.id""".stripMargin),
+    "n7_placement" -> O(
+      s"""WITH n7_nodes AS (
+        |$N7NodesSql),
+        |n7_req AS (
+        |$N7ReqSql),
+        |n7_live AS (
+        |  SELECT id, location, remaining, xceiverCount FROM n7_nodes
+        |  WHERE version > 0 AND lastUpdated >= $Now - 600000
+        |    AND adminState = 'NORMAL'),
+        |n7_stats AS (
+        |  SELECT CAST(SUM(xceiverCount) AS BIGINT) AS sumL,
+        |         COUNT(*) AS nL, COUNT(DISTINCT location) AS racks
+        |  FROM n7_live),
+        |n7_cand AS (
+        |  SELECT r.reqId, r.writerRack, n.id AS nid, n.location AS nrack,
+        |         CAST(2 + FLOOR(2.0 / s.racks) AS BIGINT) AS maxPerRack
+        |  FROM n7_req r CROSS JOIN n7_live n CROSS JOIN n7_stats s
+        |  WHERE n.remaining >= r.blockSize * 2
+        |    AND n.xceiverCount * s.nL <= s.sumL * 2 + s.nL * 2),
+        |n7_c1 AS (
+        |  SELECT reqId, nid AS dn1, nrack AS rack1 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY reqId ORDER BY
+        |      (nrack = writerRack) DESC,
+        |      ((reqId % 97) * 31 + nid * 17 + 7) % 89, nid) AS rk
+        |    FROM n7_cand) t WHERE rk = 1),
+        |n7_c2 AS (
+        |  SELECT reqId, nid AS dn2, nrack AS rack2 FROM (
+        |    SELECT c.reqId, c.nid, c.nrack,
+        |      ROW_NUMBER() OVER (PARTITION BY c.reqId ORDER BY
+        |        (c.nrack <> o.rack1) DESC,
+        |        ((c.reqId % 97) * 31 + c.nid * 17 + 14) % 89, c.nid) AS rk
+        |    FROM n7_cand c JOIN n7_c1 o ON c.reqId = o.reqId
+        |    WHERE c.nid <> o.dn1) t WHERE rk = 1),
+        |n7_c3 AS (
+        |  SELECT reqId, nid AS dn3, nrack AS rack3 FROM (
+        |    SELECT c.reqId, c.nid, c.nrack,
+        |      ROW_NUMBER() OVER (PARTITION BY c.reqId ORDER BY
+        |        (CASE WHEN a.rack1 = b.rack2 THEN c.nrack <> b.rack2
+        |              ELSE c.nrack = b.rack2 END) DESC,
+        |        ((c.reqId % 97) * 31 + c.nid * 17 + 21) % 89, c.nid) AS rk
+        |    FROM n7_cand c
+        |    JOIN n7_c1 a ON c.reqId = a.reqId
+        |    JOIN n7_c2 b ON c.reqId = b.reqId
+        |    WHERE c.nid <> a.dn1 AND c.nid <> b.dn2
+        |      AND (CASE WHEN c.nrack = a.rack1 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN c.nrack = b.rack2 THEN 1 ELSE 0 END)
+        |        < c.maxPerRack) t WHERE rk = 1)
+        |SELECT reqId, slot, datanodeId, rack FROM (
+        |  SELECT reqId, CAST(1 AS BIGINT) AS slot, dn1 AS datanodeId,
+        |         rack1 AS rack FROM n7_c1
+        |  UNION ALL
+        |  SELECT reqId, CAST(2 AS BIGINT), dn2, rack2 FROM n7_c2
+        |  UNION ALL
+        |  SELECT reqId, CAST(3 AS BIGINT), dn3, rack3 FROM n7_c3) u
+        |ORDER BY reqId, slot""".stripMargin),
     "n11_fsck" -> O(
       s"""WITH livenodes AS (
         |  SELECT id, location FROM datanode WHERE version > 0
@@ -1314,6 +1377,37 @@ object AnalyticsQueries {
     * and a heartbeat batch covering half the nodes with varying
     * xmitsInProgress, so every cap branch fires — repl cap 2/1/0, the
     * invalidate limit, and the no-heartbeat drop. */
+  /** N7 node universe (both dialects): the derived cluster with the
+    * high tier OFF rack0 marked busy (+100 xceivers) — so the load
+    * check genuinely rejects, and the big-block requests' surviving
+    * candidates concentrate on rack0, arming the per-rack quota. */
+  private val N7NodesSql: String =
+    """SELECT id, location, remaining, lastUpdated, adminState, version,
+      |       xceiverCount + CASE WHEN id >= 31 AND id % 5 <> 0
+      |                           THEN CAST(100 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+      |         AS xceiverCount
+      |FROM datanode""".stripMargin
+
+  /** N7 request fixture (both dialects), three arms by o_orderkey%3:
+    * 0 = 64 MB blocks, any writer rack — the plain ladder (local rack →
+    * remote rack → same-rack-of-second); 1 = a space SWEEP, 2·blockSize
+    * stepping across the cluster's remaining-bytes distribution, so the
+    * space check rejects differentially (the largest steps leave NO
+    * candidate — the reference's cannot-place outcome); 2 = 513 GB
+    * blocks from a rack0 writer — the only good candidates left are the
+    * three quiet rack0 nodes (30/35/40), so slot 2 falls back to the
+    * writer's rack and slot 3 is rejected by the per-rack quota WITH a
+    * good candidate still available (the branch the gate exists for). */
+  private val N7ReqSql: String =
+    """SELECT CAST(o_orderkey AS BIGINT) AS reqId,
+      |  CASE WHEN o_orderkey % 3 = 2 THEN '/rack0'
+      |       ELSE '/rack' || CAST(o_custkey % 5 AS STRING) END AS writerRack,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN CAST(67108864 AS BIGINT)
+      |       WHEN o_orderkey % 3 = 1
+      |         THEN CAST(500000000000 + (o_orderkey % 39) * 500000000 AS BIGINT)
+      |       ELSE CAST(513000000000 AS BIGINT) END AS blockSize
+      |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin
+
   private val N9WorkQueueSql: String =
     """SELECT CAST(1 + id % 40 AS BIGINT) AS datanodeId, id AS blockId,
       |       CASE WHEN id % 3 = 0 THEN 'replicate' ELSE 'invalidate' END AS command
