@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.DerivedState
 import graft.state.StateManager
-import graft.store.{Comparator, IndexDef, PostGt, PostIsNull, PostNot, StateStore}
+import graft.store.{Comparator, IndexDef, KeyedCache, PostGt, PostIsNull, PostNot, StateStore}
 
 /** queries()+oracleSql() entries for the table-store algebra (SURVEY §2.1,
   * P1-P9), the repository layer (§2.2, R1-R16) and the StateManager layer
@@ -134,6 +134,59 @@ object StateQueries {
           col("after.payload").as("afterPayload"),
           col("after.version").as("afterVersion"))
         .orderBy(col("id"))
+    },
+    // R1: the keyed point-lookup cache driven through a deterministic
+    // probe/invalidate script (R1ProbeSql, both dialects) against the
+    // datanode dimension. The REAL cache machinery answers every probe
+    // and reports where the answer came from; the oracle reconstructs
+    // the mandated outcome from the script alone — same-generation
+    // re-probe = hit (including NEGATIVE hits on keys 41-50, which
+    // don't exist), first probe or post-invalidate re-probe = miss.
+    // A cache that failed to populate, to short-circuit, to cache
+    // absence, or to honor invalidation diverges immediately.
+    "r1_cache" -> { (s, dir) =>
+      import s.implicits._
+      DerivedState.register(s, dir)
+      val cache = new KeyedCache(StateStore.live(s.table("datanode")), "id")
+      val probes = s.sql(R1ProbeSql).orderBy(col("seq")).collect()
+      val rows = probes.toSeq.flatMap { p =>
+        val seq = p.getAs[Long]("seq")
+        val key = p.getAs[Long]("key")
+        if (p.getAs[String]("action") == "invalidate") { cache.invalidate(key); None }
+        else {
+          val (hit, v) = cache.probe(key)
+          Some((seq, key, if (hit) "hit" else "miss", v.isDefined,
+            v.map(_.getAs[String]("location")).orNull,
+            v.map(_.getAs[Long]("version"))))
+        }
+      }
+      rows.toDF("seq", "key", "outcome", "found", "location", "version")
+        .orderBy(col("seq"))
+    },
+    // D10: the operator-latency metrics table, driven through the REAL
+    // QueryExecutionListener machinery on a fresh child session (the
+    // listener bus is session-scoped, so other gate queries' events
+    // can't bleed in): a scripted 3×count / 2×collect / 1×failing
+    // collect must surface as exactly the mandated (action, n,
+    // failures) rows — durations are real but nondeterministic, so the
+    // gate pins the deterministic projection and the spec covers the
+    // rest. A recorder that dropped events, double-counted, or filed
+    // the failure under success diverges.
+    "d10_metrics" -> { (s, dir) =>
+      val s2 = s.newSession()
+      DerivedState.register(s2, dir)
+      val rec = graft.core.Metrics.attach(s2)
+      val dn = s2.table("datanode")
+      dn.count(); dn.count(); dn.count()
+      dn.limit(5).collect(); dn.limit(5).collect()
+      try s2.sql("SELECT assert_true(false)").collect()
+      catch { case _: Throwable => () }
+      // the listener bus delivers asynchronously — poll for the 6 events
+      var tries = 0
+      while (rec.snapshot.size < 6 && tries < 100) { Thread.sleep(100); tries += 1 }
+      graft.core.Metrics.asDataFrame(s, rec)
+        .select(col("action"), col("n"), col("failures"))
+        .orderBy(col("action"))
     },
     // R6d: MVCC history compaction below sync floor 100 over the ops
     // feed — superseded below-floor versions and floor-latest tombstones
@@ -344,6 +397,21 @@ object StateQueries {
 
   /** R9 latest-abs(version)-wins reduction — shared by the batch replay
     * and its streamed twin. */
+  /** R1 probe script (both dialects): 100 steps; every 10th is an
+    * invalidation, the rest are gets. Get keys walk 1+(i*7)%50 — each
+    * key recurs exactly once 50 steps later (same residue class), so
+    * every cached answer gets a re-probe; keys 41-50 don't exist in the
+    * 40-node cluster, so their re-probes exercise NEGATIVE caching. An
+    * invalidation at step i targets the key probed at step i+1, which
+    * (for i >= 50) was first probed at i-49 — forcing post-invalidate
+    * re-probes back to 'miss' between two gets of the same key. */
+  private val R1ProbeSql: String =
+    """SELECT CAST(i AS BIGINT) AS seq,
+      |  CASE WHEN i % 10 = 0 THEN 'invalidate' ELSE 'get' END AS action,
+      |  CASE WHEN i % 10 = 0 THEN CAST(1 + ((i + 1) * 7) % 50 AS BIGINT)
+      |       ELSE CAST(1 + (i * 7) % 50 AS BIGINT) END AS key
+      |FROM range(1, 101) AS t(i)""".stripMargin
+
   private val R9OracleSql: String =
     """SELECT opKey, op, opVersion AS version, payload FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY opKey
@@ -435,6 +503,30 @@ object StateQueries {
         |WHERE b.id IS NULL OR a.id IS NULL
         |   OR b.payload <> a.payload OR b.version <> a.version
         |ORDER BY id""".stripMargin),
+    "r1_cache" -> O(
+      s"""WITH r1_probes AS (
+        |$R1ProbeSql),
+        |r1_gen AS (
+        |  SELECT seq, action, key,
+        |    SUM(CASE WHEN action = 'invalidate' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY key ORDER BY seq
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gen
+        |  FROM r1_probes),
+        |r1_out AS (
+        |  SELECT seq, key,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY key, gen ORDER BY seq) > 1
+        |         THEN 'hit' ELSE 'miss' END AS outcome
+        |  FROM r1_gen WHERE action = 'get')
+        |SELECT o.seq, o.key, o.outcome, d.id IS NOT NULL AS found,
+        |       d.location, d.version
+        |FROM r1_out o LEFT JOIN datanode d ON d.id = o.key AND d.version > 0
+        |ORDER BY o.seq""".stripMargin),
+    "d10_metrics" -> O(
+      """SELECT action, n, failures FROM (VALUES
+        |  ('collect', CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('count',   CAST(3 AS BIGINT), CAST(0 AS BIGINT)))
+        |  AS t(action, n, failures)
+        |ORDER BY action""".stripMargin),
     "r6d_compact" -> O(
       """WITH rc_h AS (
         |  SELECT opKey AS id, payload, opVersion AS version FROM ops),

@@ -32,13 +32,19 @@ final class KeyedCache(df: DataFrame, keyCol: String, maxEntries: Int = 100000) 
     * concurrent misses that collide on a bin. Two racing misses may both
     * run the lookup (both see the same snapshot — harmless); first put
     * wins. */
-  def get(key: Any): Option[Row] = {
+  def get(key: Any): Option[Row] = probe(key)._2
+
+  /** [[get]] that also reports WHERE the answer came from (cache hit vs
+    * cluster lookup) — the observable the R1 differential gate replays:
+    * hit short-circuit, miss populate, negative caching and
+    * invalidation are all visible in the (hit, value) stream. */
+  def probe(key: Any): (Boolean, Option[Row]) = {
     val hit = cache.get(key)
-    if (hit != null) hit
+    if (hit != null) (true, hit)
     else {
       val v = lookup(key)
       if (cache.size() < maxEntries) cache.putIfAbsent(key, v)
-      v
+      (false, v)
     }
   }
 
