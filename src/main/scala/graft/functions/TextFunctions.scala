@@ -301,16 +301,70 @@ object TextFunctions {
     * second occurrence ("b a n a n a" would keep its second "a n").
     * Pure map work; the fold is a codegen'd aggregate() expression. */
   def bpeApplyMerge(words: DataFrame, symsCol: String,
-                    a: String, b: String): DataFrame = {
-    val fused = words.withColumn(symsCol, array_join(
-      aggregate(split(col(symsCol), " "),
-        array().cast("array<string>"),
-        (acc, s) =>
-          when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(s)))),
-      " "))
-    fused
+                    a: String, b: String): DataFrame =
+    words.withColumn(symsCol,
+      array_join(fuseMerge(split(col(symsCol), " "), a, b), " "))
+
+  /** The greedy-left fuse of ONE merge over a symbol ARRAY column — the
+    * shared core of training ([[bpeApplyMerge]]) and inference
+    * ([[bpeEncode]]), kept on arrays so a chain of merges splits and
+    * re-joins the string form once, not per merge. */
+  private def fuseMerge(syms: org.apache.spark.sql.Column, a: String,
+                        b: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Tokenizer INFERENCE: apply a trained, rank-ordered merge list to a
+    * (new) corpus — the first thing a training-data pipeline does after
+    * [[bpeTrain]]. Each merge is the same greedy-left fold the trainer
+    * used, so encoding the training corpus with its own merge list
+    * reproduces the trainer's final corpus exactly (law-pinned in
+    * DataOpsSpec).
+    *
+    * Shape: merges chain as nested codegen'd aggregate() expressions —
+    * `chunkSize` per projection, one split/join per chunk — with a
+    * localCheckpoint between chunks, so a vocab-sized merge list costs
+    * K/chunkSize corpus materializations (never K) and bounded codegen
+    * depth, while a short list (the common re-tokenize of a sample) is
+    * ONE pass with no checkpoint at all. Pure map work throughout: the
+    * corpus never shuffles. */
+  def bpeEncode(words: DataFrame, symsCol: String,
+                merges: Seq[(String, String)], chunkSize: Int = 16): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    var cur = words
+    val chunks = merges.grouped(chunkSize).toSeq
+    for ((chunk, i) <- chunks.zipWithIndex) {
+      val fused = chunk.foldLeft(split(col(symsCol), " ")) {
+        case (c, (a, b)) => fuseMerge(c, a, b)
+      }
+      val prev = cur
+      cur = cur.withColumn(symsCol, array_join(fused, " "))
+      if (i < chunks.size - 1) {
+        cur = cur.localCheckpoint()
+        if (i > 0) prev.unpersist(blocking = false)
+      }
+    }
+    cur
+  }
+
+  /** Per-document TRUE token counts under a trained tokenizer — the
+    * optional exact mode for the consumers that default to whitespace
+    * counts (sequence packing t7, the token budget mix t13, t3):
+    * tokenize with [[bpeEncode]], sum tokens per document. Drop-in: the
+    * result's nTokens column replaces wsTokenCount wherever a count
+    * expression is accepted. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+        .as("__w"))
+      .select(col(idCol), expr("array_join(split(__w, ''), ' ')").as("__syms"))
+    bpeEncode(words, "__syms", merges)
+      .groupBy(col(idCol))
+      .agg(sum(size(split(col("__syms"), " ")).cast("long")).as("nTokens"))
   }
 
   /** k rounds of BPE training: each round counts pairs, picks the most

@@ -47,6 +47,23 @@ object DataOpsQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
 
+  /** t25 trained merge list (rank order). Fixed fixture rather than an
+    * in-gate training run: DuckDB can replay APPLICATION of a merge
+    * list exactly (see the t25 oracle), but not the training loop's
+    * data-dependent top-pair picks; train→encode integration is
+    * law-pinned in DataOpsSpec instead (encoding the training corpus
+    * with its own merges reproduces the trainer's final corpus). The
+    * list stacks merges — (th,e) consumes (t,h)'s output, (an,d)
+    * (a,n)'s, (in,g) (i,n)'s — so rank ORDER is load-bearing. */
+  private val T25Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "in" -> "g")
+
+  private val T25MergeValues: String =
+    T25Merges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }
+      .mkString(", ")
+
   private val CorpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -1292,6 +1309,26 @@ object DataOpsQueries {
           col("ts"), col("wstart"))
         .orderBy(col("click_id"), col("purchase_id"))
     },
+    // tokenizer INFERENCE: a rank-ordered merge list applied to the
+    // corpus with the same greedy-left fold the trainer uses (stacked
+    // merges included — (th,e) consumes (t,h)'s output, (in,g) (i,n)'s),
+    // then the encoded token histogram. The oracle replays every merge
+    // via sentinel-wrapped regex replace, which is fold-equivalent: the
+    // sentinels forbid sub-symbol matches, and a match never consumes
+    // the following delimiter, so consecutive occurrences all fuse.
+    // One split/join per 16-merge chunk; the corpus never shuffles
+    // until the final token count.
+    "t25_bpe_encode" -> { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === 0)
+        .select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+        .select(expr("array_join(split(w, ''), ' ')").as("syms"))
+      TextFunctions.bpeEncode(words, "syms", T25Merges)
+        .select(explode(split(col("syms"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(100)
+    },
     // the distributed core of BPE tokenizer training: adjacent-symbol
     // pair counts over the char-split word corpus (round 1 of
     // TextFunctions.bpeTrain, whose merge loop is spec-tested) — a
@@ -1469,6 +1506,35 @@ object DataOpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // merge application replayed as sentinel-wrapped regex replace:
+    // each symbol rides as \x01sym\x02, the pattern "\x01a\x02 \x01b\x02"
+    // can only match whole symbols, and a match ends at b's sentinel
+    // without consuming the next delimiter — so left-to-right global
+    // replace fuses exactly the pairs the greedy-left fold fuses
+    // (consecutive occurrences included; see bpeApplyMerge's scaladoc
+    // for why a plain space-joined replace is NOT equivalent)
+    "t25_bpe_encode" ->
+      s"""WITH RECURSIVE t25_m AS (
+        |  SELECT * FROM (VALUES $T25MergeValues) AS m(rank, a, b)),
+        |t25_w AS (
+        |  SELECT rtrim(regexp_replace(w, '(.)',
+        |           chr(1) || '\\1' || chr(2) || ' ', 'g')) AS s
+        |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |        FROM documents WHERE doc_id % 20 = 0)),
+        |t25_enc AS (
+        |  SELECT s, 0 AS r FROM t25_w
+        |  UNION ALL
+        |  SELECT regexp_replace(e.s,
+        |      chr(1) || m.a || chr(2) || ' ' || chr(1) || m.b || chr(2),
+        |      chr(1) || m.a || m.b || chr(2), 'g') AS s,
+        |    e.r + 1
+        |  FROM t25_enc e JOIN t25_m m ON m.rank = e.r + 1),
+        |t25_tok AS (
+        |  SELECT UNNEST(string_split(
+        |    replace(replace(s, chr(1), ''), chr(2), ''), ' ')) AS token
+        |  FROM t25_enc WHERE r = (SELECT MAX(rank) FROM t25_m))
+        |SELECT token, COUNT(*) AS cnt FROM t25_tok
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
     "t23_bpe_pairs" ->
       """WITH w AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w

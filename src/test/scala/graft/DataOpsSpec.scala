@@ -46,6 +46,43 @@ class DataOpsSpec extends SparkSpec {
     assert(TextFunctions.bpeTrain(uniq, "syms", k = 5)._1.isEmpty)
   }
 
+  test("BPE encode: replaying trained merges reproduces the trainer's corpus; chunking is invisible") {
+    import graft.functions.TextFunctions
+    def chars(w: String) = w.mkString(" ")
+    // hand-computed fixture: merges (a,n) then (an,a) on banana/abab —
+    // greedy-left both rounds, the second consuming the first's output
+    val fix = Seq("banana", "abab", "nananana").map(w => Tuple1(chars(w))).toDF("syms")
+    val enc = rows(TextFunctions.bpeEncode(fix, "syms",
+      Seq("a" -> "n", "an" -> "a")).orderBy(col("syms"))).map(_.head)
+    // banana: (a,n) → "b an an a", then (an,a) fuses only the SECOND an
+    // (greedy-left: the first an's right neighbour is an, not a);
+    // abab: untouched; nananana: (a,n) → "n an an an a" → "n an an ana"
+    assert(enc == Seq("a b a b", "b an ana", "n an an ana"), s"got $enc")
+    // law: encoding the TRAINING corpus with its own rank-ordered merge
+    // list lands exactly on the trainer's final corpus — train and
+    // encode share one greedy-left fold, applied in the same order
+    val corpus = Seq("low", "low", "lower", "lowest", "newest", "newest")
+      .map(w => Tuple1(chars(w))).toDF("syms")
+    val (merges, trained) = TextFunctions.bpeTrain(corpus, "syms", k = 5)
+    assert(merges.nonEmpty)
+    val replayed = TextFunctions.bpeEncode(corpus, "syms", merges.map(m => (m._1, m._2)))
+    assert(rows(replayed.orderBy(col("syms"))) == rows(trained.orderBy(col("syms"))))
+    // chunk boundaries must not change the result (checkpointed chunks
+    // vs one fused projection)
+    val oneChunk = TextFunctions.bpeEncode(fix, "syms",
+      Seq("a" -> "n", "an" -> "a", "b" -> "ana"), chunkSize = 16)
+    val tinyChunks = TextFunctions.bpeEncode(fix, "syms",
+      Seq("a" -> "n", "an" -> "a", "b" -> "ana"), chunkSize = 1)
+    assert(rows(oneChunk.orderBy(col("syms"))) == rows(tinyChunks.orderBy(col("syms"))))
+    // true per-doc token counts under the trained tokenizer: "banana
+    // split" = [b, an, ana] + [s,p,l,i,t] = 8; "nananana" = 4
+    val d = Seq((1L, "banana split"), (2L, "nananana")).toDF("doc_id", "text")
+    val counts = TextFunctions.bpeTokenCounts(d, "doc_id", "text",
+      Seq("a" -> "n", "an" -> "a")).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(counts == Seq((1L, 8L), (2L, 4L)), s"got $counts")
+  }
+
   test("sketch laws on seeded random data: CMS never undercounts, KMV lands close") {
     import graft.functions.Sketches
     val rnd = new scala.util.Random(11)
