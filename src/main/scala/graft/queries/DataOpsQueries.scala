@@ -742,6 +742,45 @@ object DataOpsQueries {
     },
     // F1 in the gate: documents → Hadoop SequenceFile[Text,Text] on disk
     // → read back — the differential check validates the round-trip
+    // F4 codec matrix: one real write+read per supported codec, each
+    // asserting the SAME row count and checksums — a codec that
+    // corrupted, truncated, or dropped rows diverges on its line
+    "f13_codec_matrix" -> { (s, dir) =>
+      val tmp = graft.core.Caching.scratchDir("f13").toString
+      val src = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))
+      graft.sources.Formats.Codecs.map { c =>
+        graft.sources.Formats.writeSortedKeyed(src, "s_suppkey", s"$tmp/$c", codec = c)
+        s.read.parquet(s"$tmp/$c")
+          .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("keySum"),
+            sum(length(col("s_name")).cast("long")).as("nameLen"))
+          .select(lit(c).as("codec"), col("n"), col("keySum"), col("nameLen"))
+      }.reduce(_ unionByName _).orderBy(col("codec"))
+    },
+    // F6 Record I/O: the schema'd record stream through TEXT serial
+    // forms — csv (with a payload carrying the separator and a quote,
+    // so the writer must quote and the reader must unquote) and json —
+    // read back under the explicit StructType; checksums must survive
+    // both trips byte-identically
+    "f14_record_io" -> { (s, dir) =>
+      val tmp = graft.core.Caching.scratchDir("f14").toString
+      val src = Tables.supplier(s, dir).select(
+        col("s_suppkey").as("id"),
+        concat(col("s_name"), lit(",\"q")).as("payload"))
+      src.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("header", "true").csv(s"$tmp/csv")
+      src.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(s"$tmp/json")
+      def sums(fmt: String, df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("idSum"),
+          sum(length(col("payload")).cast("long")).as("payloadLen"),
+          count_distinct(col("payload")).as("distinctPayloads"))
+        .select(lit(fmt).as("format"), col("n"), col("idSum"),
+          col("payloadLen"), col("distinctPayloads"))
+      sums("csv", s.read.schema(src.schema).option("header", "true")
+          .csv(s"$tmp/csv"))
+        .unionByName(sums("json", s.read.schema(src.schema).json(s"$tmp/json")))
+        .orderBy(col("format"))
+    },
     "f1_seqfile_roundtrip" -> { (s, dir) =>
       val tmp = graft.core.Caching.scratchDir("f1").toString
       val kv = Tables.documents(s, dir)
@@ -2007,6 +2046,24 @@ object DataOpsQueries {
         |  octet_length(encode(text)) AS byteLen,
         |  hex(encode(substr(text, 1, 4))) AS headerHex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "f13_codec_matrix" ->
+      s"""SELECT c.codec, s.n, s.keySum, s.nameLen
+        |FROM (VALUES ${graft.sources.Formats.Codecs.sorted
+            .map(c => s"('$c')").mkString(", ")}) AS c(codec)
+        |CROSS JOIN (
+        |  SELECT COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS keySum,
+        |         CAST(SUM(length(s_name)) AS BIGINT) AS nameLen
+        |  FROM supplier) s
+        |ORDER BY c.codec""".stripMargin,
+    "f14_record_io" ->
+      """SELECT f.format, s.n, s.idSum, s.payloadLen, s.distinctPayloads
+        |FROM (VALUES ('csv'), ('json')) AS f(format)
+        |CROSS JOIN (
+        |  SELECT COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS idSum,
+        |         CAST(SUM(length(s_name) + 3) AS BIGINT) AS payloadLen,
+        |         COUNT(DISTINCT s_name || ',"q') AS distinctPayloads
+        |  FROM supplier) s
+        |ORDER BY f.format""".stripMargin,
     "f1_seqfile_roundtrip" ->
       """SELECT CAST(doc_id AS STRING) AS key, text AS value
         |FROM documents ORDER BY key""".stripMargin,
