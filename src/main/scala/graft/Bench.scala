@@ -41,6 +41,23 @@ object Bench {
     // warmup (untimed): session, codegen, parquet footer caches
     SparkEntry.queries("q6_revenue_forecast")(spark, sfDir).count()
 
+    // SPARK_GRAFT_BENCH_LAYOUT=bucketed: materialize the cluster layout
+    // ONCE (the amortized per-snapshot write a deployment pays) and run
+    // every state-table query over it instead of the per-query derived
+    // views — the per-round tracking of what Scale.writeStateTables
+    // buys. The write cost is reported separately in the JSON, never
+    // folded into a query's time; the default run is unchanged.
+    val layout = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAYOUT", "views")
+    val layoutWriteSec =
+      if (layout == "bucketed") {
+        graft.model.DerivedState.register(spark, sfDir)
+        val t0 = System.nanoTime()
+        graft.core.Scale.writeStateTables(spark.table("file"),
+          spark.table("block"), spark.table("datanode"))
+        spark.conf.set("graft.layout", "bucketed")
+        (System.nanoTime() - t0) / 1e9
+      } else 0.0
+
     // optional comma-separated subset for local iteration (driver sets
     // neither). An explicit subset may name ANY gate query — new-entry
     // familiarization timings use this — while the default run times
@@ -161,7 +178,7 @@ object Bench {
     if (contended)
       System.err.println(s"[bench] CONTENDED (max/min > 1.5x): " +
         contendedNames.mkString(", ") + " — re-run on an idle box")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failedNames,"contended":$contended,"contendedQueries":[${contendedNames.mkString(",")}],"contract":$contract,"contractUnverified":$unverified,"retries":$retriesJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"failed":$failedNames,"contended":$contended,"contendedQueries":[${contendedNames.mkString(",")}],"contract":$contract,"contractUnverified":$unverified,"retries":$retriesJson,"layout":"$layout","layoutWriteSec":$layoutWriteSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -192,6 +192,18 @@ object DerivedState {
     derived.foreach { case (n, q) =>
       spark.sql(q).createOrReplaceTempView(n)
     }
+    // layout mode (Bench's SPARK_GRAFT_BENCH_LAYOUT=bucketed): shadow
+    // the three persisted-state views with the bucketed catalog tables
+    // Scale.writeStateTables materialized from THEM — same rows, a
+    // cluster layout instead of a per-query derivation. The reported/
+    // lease/ops views stay derivation-bound: their plans were analyzed
+    // against the original views above, so shadowing can't loop.
+    if (spark.conf.getOption("graft.layout").contains("bucketed"))
+      Seq("file", "block", "datanode").foreach { t =>
+        val tbl = s"graft_state_$t"
+        if (spark.catalog.tableExists(tbl))
+          spark.table(tbl).createOrReplaceTempView(t)
+      }
   }
 
   def file(spark: SparkSession, sfDir: String): DataFrame = { register(spark, sfDir); spark.table("file") }
