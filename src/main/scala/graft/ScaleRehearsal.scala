@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Order-of-magnitude rehearsal main (local iteration; not part of the
+  * driver contract): re-keys the sf0.1 state tables into N disjoint
+  * namespace shards (~12M block rows at N=10) and rehearses the paths
+  * that argue their 100 TB posture from plans — the three recursion
+  * fallbacks (forced with dirBroadcastLimit = 0, checked row-identical
+  * against the fast path), the N5 report reconciliation, the
+  * monitor-tick operators (pending requeue, corrupt sweep) whose cost
+  * must stay work-list-bounded, and the d2 MinHash-LSH pipeline on a
+  * 10× near-dup-heavy corpus. Usage:
+  * runMain graft.ScaleRehearsal [sfDir] [copies]
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.model.DerivedState.register(spark, sfDir)
+    val now = graft.model.DerivedState.NowMs
+    val scratch = graft.core.Caching.scratchDir("rehearsal").toString
+    val Off = 1000000000L
+
+    def time(name: String)(f: => Long): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[rehearsal] $name%-36s $s%8.2f s  (rows=$n)")
+      s
+    }
+
+    // ---- build the N-shard copy (written once; queries read parquet) --
+    def shift(c: String, k: Int) =
+      when(col(c) > 0, col(c) + lit(k * Off)).otherwise(col(c))
+    val file10 = (0 until copies).map { k =>
+      spark.table("file")
+        .filter(col("id") =!= 0L || lit(k == 0)) // ONE root row total
+        .withColumn("id", shift("id", k))
+        .withColumn("parentId", shift("parentId", k))
+        // root-level names must stay unique across shards — the path
+        // walk joins on (parentId, name)
+        .withColumn("name",
+          when(col("parentId") === 0L && col("id") =!= 0L,
+            concat(col("name"), lit(s"_$k"))).otherwise(col("name")))
+    }.reduce(_ unionByName _)
+    val block10 = (0 until copies).map { k =>
+      spark.table("block")
+        .withColumn("id", shift("id", k))
+        .withColumn("fileId", shift("fileId", k))
+    }.reduce(_ unionByName _)
+    val reported10 = (0 until copies).map { k =>
+      spark.table("reported").withColumn("blockId", shift("blockId", k))
+    }.reduce(_ unionByName _)
+    val docs10 = (0 until copies).map { k =>
+      graft.core.Tables.documents(spark, sfDir)
+        .withColumn("doc_id", col("doc_id") + lit(k * Off))
+        // perturb per shard: near-dups across shards, not byte-dups
+        .withColumn("text", concat(col("text"), lit(s" shard$k")))
+    }.reduce(_ unionByName _)
+    val tBuild = time(s"build+write ${copies}x tables") {
+      file10.write.mode("overwrite").parquet(s"$scratch/file")
+      block10.write.mode("overwrite").parquet(s"$scratch/block")
+      reported10.write.mode("overwrite").parquet(s"$scratch/reported")
+      docs10.write.mode("overwrite").parquet(s"$scratch/docs")
+      spark.read.parquet(s"$scratch/block").count()
+    }
+    val f = spark.read.parquet(s"$scratch/file")
+    val b = spark.read.parquet(s"$scratch/block")
+    val rep = spark.read.parquet(s"$scratch/reported")
+    val d = spark.read.parquet(s"$scratch/docs")
+    val dn = spark.table("datanode")
+
+    import graft.state.StateManager
+    import graft.analytics.{Dataflows, Replication}
+
+    // ---- recursion fallbacks: fast path vs forced-iterative, -----------
+    // row-identical and both within working memory
+    var fastPaths: DataFrame = null
+    val tPathsFast = time("materializePaths fast") {
+      fastPaths = StateManager.materializePaths(f).localCheckpoint()
+      fastPaths.count()
+    }
+    var iterPaths: DataFrame = null
+    val tPathsIter = time("materializePaths iterative") {
+      iterPaths = StateManager.materializePaths(f, dirBroadcastLimit = 0L)
+        .localCheckpoint()
+      iterPaths.count()
+    }
+    val pathsDiff = fastPaths.exceptAll(iterPaths).count() +
+      iterPaths.exceptAll(fastPaths).count()
+    println(s"[rehearsal] materializePaths row-identical: ${pathsDiff == 0}")
+
+    val probes = fastPaths.filter(col("id") % 5000 === 3L)
+      .select(col("path")).limit(200).localCheckpoint()
+    val nProbes = probes.count()
+    var fastRes: DataFrame = null
+    val tResFast = time(s"resolvePaths fast ($nProbes probes)") {
+      fastRes = StateManager.resolvePaths(f, probes).localCheckpoint()
+      fastRes.count()
+    }
+    var iterRes: DataFrame = null
+    val tResIter = time("resolvePaths iterative") {
+      iterRes = StateManager.resolvePaths(f, probes, dirBroadcastLimit = 0L)
+        .localCheckpoint()
+      iterRes.count()
+    }
+    val resDiff = fastRes.exceptAll(iterRes).count() +
+      iterRes.exceptAll(fastRes).count()
+    println(s"[rehearsal] resolvePaths row-identical: ${resDiff == 0}")
+
+    val roots = f.filter(col("parentId") === 0L && col("id") =!= 0L &&
+        col("version") > 0)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    var fastCs: DataFrame = null
+    val tCsFast = time(s"contentSummary fast (${roots.size} roots)") {
+      fastCs = Dataflows.contentSummary(f, roots).localCheckpoint()
+      fastCs.count()
+    }
+    var iterCs: DataFrame = null
+    val tCsIter = time("contentSummary iterative") {
+      iterCs = Dataflows.contentSummary(f, roots, dirBroadcastLimit = 0L)
+        .localCheckpoint()
+      iterCs.count()
+    }
+    val csDiff = fastCs.exceptAll(iterCs).count() +
+      iterCs.exceptAll(fastCs).count()
+    println(s"[rehearsal] contentSummary row-identical: ${csDiff == 0}")
+
+    // ---- N5 reconciliation at 10x -------------------------------------
+    val tN5 = time("n5 reconcileReports") {
+      Dataflows.reconcileReports(b, rep)
+        .groupBy(col("action")).agg(count(lit(1))).count()
+    }
+
+    // ---- monitor-tick operators: cost must track the WORK LIST --------
+    val timedOut = b.filter(col("version") > 0 && col("id") % 997 === 0L)
+      .select(col("id").as("blockId"), lit(1L).as("inFlight"),
+        lit(now - 600000L).as("since"))
+      .distinct().localCheckpoint()
+    val tRequeue = time(s"pendingRequeue (${timedOut.count()} timed out)") {
+      Replication.pendingRequeue(timedOut, b, f, dn, now).count()
+    }
+    val marks = b.filter(col("version") > 0 && col("id") % 1009 === 0L)
+      .select(col("id").as("blockId"), col("datanodeId")).distinct()
+      .localCheckpoint()
+    val tCorrupt = time(s"corruptInvalidations (${marks.count()} marks)") {
+      Replication.corruptInvalidations(marks, b, f, dn, now).count()
+    }
+
+    // ---- d2 MinHash-LSH on the near-dup-heavy 10x corpus --------------
+    val tD2 = time("d2 lshCandidates est>=0.5") {
+      graft.functions.Dedup.lshCandidates(d, "doc_id", "text")
+        .filter(col("estJaccard") >= 0.5).count()
+    }
+
+    val r = Seq("build" -> tBuild, "paths_fast" -> tPathsFast,
+      "paths_iter" -> tPathsIter, "resolve_fast" -> tResFast,
+      "resolve_iter" -> tResIter, "cs_fast" -> tCsFast,
+      "cs_iter" -> tCsIter, "n5" -> tN5, "requeue" -> tRequeue,
+      "corrupt" -> tCorrupt, "d2" -> tD2)
+    println(r.map { case (k, v) => s""""$k":$v""" }
+      .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
+        pathsDiff + resDiff + csDiff == 0},"sf":"$sfDir",""", ",", "}"))
+    spark.stop()
+  }
+}
