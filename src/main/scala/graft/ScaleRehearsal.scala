@@ -151,8 +151,12 @@ object ScaleRehearsal {
     val tRequeue = time(s"pendingRequeue (${timedOut.count()} timed out)") {
       Replication.pendingRequeue(timedOut, b, f, dn, now).count()
     }
+    // ONE marked holder per block — marking every replica would put all
+    // sampled blocks on the all-corrupt serve-anyway branch and the
+    // sweep would (correctly) emit zero invalidations
     val marks = b.filter(col("version") > 0 && col("id") % 1009 === 0L)
-      .select(col("id").as("blockId"), col("datanodeId")).distinct()
+      .groupBy(col("id").as("blockId"))
+      .agg(min(col("datanodeId")).as("datanodeId"))
       .localCheckpoint()
     val tCorrupt = time(s"corruptInvalidations (${marks.count()} marks)") {
       Replication.corruptInvalidations(marks, b, f, dn, now).count()
