@@ -188,6 +188,50 @@ object StateQueries {
         .select(col("action"), col("n"), col("failures"))
         .orderBy(col("action"))
     },
+    // D3: the version/tombstone algebra and datanode id bit-packing as
+    // data — per-key live/order/tombstone aggregates over the ops feed
+    // (the column forms of Versions.isLive/order/tombstone, whose pure
+    // laws ModelSpec scalachecks), joined to an ip:port <-> id packing
+    // table built through the REAL DatanodeId.pack/ip/port functions
+    // (bounded node dimension, driver-side); the oracle replays the
+    // bit math — a packing that dropped or misplaced a field diverges
+    "d3_version_ids" -> { (s, dir) =>
+      import s.implicits._
+      DerivedState.register(s, dir)
+      val alg = s.table("ops").select(col("opKey"), col("opVersion"))
+        .groupBy(col("opKey"))
+        .agg(count(when(col("opVersion") > 0, 1)).as("liveOps"),
+          max(abs(col("opVersion"))).as("maxOrd"),
+          min(-abs(col("opVersion"))).as("minTomb"))
+      val ids = (1 to 40).map { n =>
+        val packed = graft.model.DatanodeId.pack(s"10.0.0.$n", 50010)
+        (n.toLong, packed, graft.model.DatanodeId.ip(packed),
+          graft.model.DatanodeId.port(packed).toLong)
+      }.toDF("nodeNum", "packed", "ipBack", "portBack")
+      alg.join(broadcast(ids), col("opKey") % 40 + 1 === col("nodeNum"))
+        .select(col("opKey"), col("liveOps"), col("maxOrd"), col("minTomb"),
+          col("nodeNum"), col("packed"), col("ipBack"), col("portBack"))
+        .orderBy(col("opKey"))
+    },
+    // D8: the single-writer mini-MVCC commit discipline — two
+    // SEQUENTIAL write-sets through the real applyWriteSet (the second
+    // replaces half of the first's keys and adds its own):
+    // last-writer-wins per key, untouched rows pass through verbatim
+    "d8_writeset_commit" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val f = s.table("file")
+      def ws(tag: Long, pred: org.apache.spark.sql.Column) =
+        f.filter(pred).withColumn("owner", lit(tag))
+          .withColumn("version", col("version") + 1000000000L)
+      val after1 = graft.state.Mutations.applyWriteSet(f,
+        ws(777L, col("id") % 100 === 7L), Seq("id"))
+      val after2 = graft.state.Mutations.applyWriteSet(after1,
+        ws(888L, col("id") % 200 === 7L || col("id") % 100 === 13L), Seq("id"))
+      after2.groupBy(col("owner"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("idSum"),
+          sum(col("version")).as("vSum"))
+        .orderBy(col("owner"))
+    },
     // R6d: MVCC history compaction below sync floor 100 over the ops
     // feed — superseded below-floor versions and floor-latest tombstones
     // purge; everything a snapshotAsOf(v >= 100) could observe survives
@@ -521,6 +565,33 @@ object StateQueries {
         |       d.location, d.version
         |FROM r1_out o LEFT JOIN datanode d ON d.id = o.key AND d.version > 0
         |ORDER BY o.seq""".stripMargin),
+    "d3_version_ids" -> O(
+      """WITH d3_alg AS (
+        |  SELECT opKey, COUNT(CASE WHEN opVersion > 0 THEN 1 END) AS liveOps,
+        |    MAX(ABS(opVersion)) AS maxOrd, MIN(-ABS(opVersion)) AS minTomb
+        |  FROM ops GROUP BY opKey),
+        |d3_ids AS (
+        |  SELECT CAST(i AS BIGINT) AS nodeNum,
+        |    CAST((10 * 16777216 + i) * 4294967296 + 50010 AS BIGINT) AS packed,
+        |    '10.0.0.' || CAST(i AS VARCHAR) AS ipBack,
+        |    CAST(50010 AS BIGINT) AS portBack
+        |  FROM range(1, 41) AS t(i))
+        |SELECT a.opKey, a.liveOps, a.maxOrd, a.minTomb,
+        |       d.nodeNum, d.packed, d.ipBack, d.portBack
+        |FROM d3_alg a JOIN d3_ids d ON a.opKey % 40 + 1 = d.nodeNum
+        |ORDER BY a.opKey""".stripMargin),
+    "d8_writeset_commit" -> O(
+      """SELECT owner, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS idSum,
+        |  CAST(SUM(version) AS BIGINT) AS vSum
+        |FROM (
+        |  SELECT id,
+        |    CASE WHEN id % 200 = 7 OR id % 100 = 13 THEN CAST(888 AS BIGINT)
+        |         WHEN id % 100 = 7 THEN CAST(777 AS BIGINT)
+        |         ELSE owner END AS owner,
+        |    CASE WHEN id % 200 = 7 OR id % 100 = 13 OR id % 100 = 7
+        |         THEN version + 1000000000 ELSE version END AS version
+        |  FROM file) t
+        |GROUP BY owner ORDER BY owner""".stripMargin),
     "d10_metrics" -> O(
       """SELECT action, n, failures FROM (VALUES
         |  ('collect', CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
