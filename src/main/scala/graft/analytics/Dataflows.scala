@@ -503,15 +503,18 @@ object Dataflows {
     * by (genStamp, version), and max is the conservative lost-bytes
     * bound (an argmax struct here measured ~2/3 of the whole query).
     *
-    * Partitioned by fileId BEFORE the (id, fileId) group-by: fileId is a
-    * subset of the grouping keys, so the one hash exchange satisfies the
-    * aggregation AND leaves the result co-partitioned with the file side
-    * of every downstream fileId join — without it the plan pays a second
-    * block-dimension shuffle between the agg and the join. */
+    * Deliberately NOT pre-partitioned by fileId: a repartition(fileId)
+    * here would let one hash exchange serve both the (id, fileId)
+    * aggregation and the downstream fileId join (one block-dimension
+    * shuffle instead of two — and it did measure faster standalone,
+    * 1.22 s vs 1.43 s min at sf0.1), but a user-specified repartition
+    * pins the exchange against AQE's runtime re-planning and the full-
+    * bench A/B read 5.0-6.1 s vs 1.3-2.0 s for this plan in a warm
+    * session — the two-exchange plan AQE manages beats the one-exchange
+    * plan it can't touch (round-12 measurement). */
   private def fsckPerBlock(block: DataFrame, dim: DataFrame): DataFrame =
     live(block)
       .join(broadcast(dim), col("datanodeId") === col("__nid"), "left")
-      .repartition(col("fileId"))
       .groupBy(col("id").as("blockId"), col("fileId").as("__bfid"))
       .agg(count(col("__nid")).as("__live"),
         min(col("__rid")).as("__rkMin"),
