@@ -234,11 +234,14 @@ object Replication {
     * ignored (:2791-2793). Corrupt/reject receipts classify only — their
     * reporters never join the holder set (markBlockAsCorrupt
     * FSNamesystem.java:1252-1282 invalidates without inserting into the
-    * block map), so they can't inflate liveAfter for co-batched valid
-    * receipts of the same block. An optional standing corrupt-marks
-    * frame (blockId, datanodeId) excludes marked stored replicas from
-    * the holder set too, the countNodes/processOverReplicatedBlock
-    * corrupt exclusion (:2795-2806, :3290-3315).
+    * block map), and a corrupt reporter that IS a stored holder has that
+    * stored replica excluded too (markBlockAsCorrupt marks it, countNodes
+    * then skips it) — so neither storeless nor stored corrupt reporters
+    * can inflate liveAfter for co-batched valid receipts of the same
+    * block. An optional standing corrupt-marks frame (blockId,
+    * datanodeId) excludes marked stored replicas the same way, the
+    * countNodes/processOverReplicatedBlock corrupt exclusion
+    * (:2795-2806, :3290-3315).
     *
     * Scale shape: ops are batch-sized — they broadcast into left-semi
     * prunes of the block table (one for the ops' blocks, one for the
@@ -323,20 +326,31 @@ object Replication {
     val opNodes = classified
       .filter(col("outcome").isin("add", "update", "ignore"))
       .select(col("blockId").as("__hb"), col("datanodeId")).distinct()
+    // a receipt that classified CORRUPT from a node that IS a stored
+    // holder marks that stored replica corrupt in-batch: the reference's
+    // markBlockAsCorrupt puts the reporter into corruptReplicas and
+    // countNodes then excludes it (FSNamesystem.java:1252-1282,
+    // :3290-3315) — so the stored row must leave the holder set too, or
+    // a co-batched valid receipt of the same block would see an
+    // inflated liveAfter and mis-aim its excess drop
+    val opCorrupt = classified
+      .filter(col("outcome") === "corruptInvalidate" &&
+        col("storedGenStamp").isNotNull)
+      .select(col("blockId").as("__mb"), col("datanodeId").as("__md"))
     // standing CorruptReplicasMap consult: countNodes/
     // processOverReplicatedBlock (FSNamesystem.java:2795-2806,3290-3315)
     // exclude corrupt-marked replicas from liveReplicas/nonExcess, so a
     // stored-but-marked replica is neither counted live nor an excess-
     // drop candidate here — mirror corruptInvalidations' markDim anti-join
-    val holdersAll = corrupt match {
+    val markDim = (corrupt match {
       case Some(m) =>
-        val markDim = m.select(col("blockId").as("__mb"),
-          col("datanodeId").as("__md"))
-        holderBase.unionByName(opNodes).join(broadcast(markDim),
-          col("__hb") === col("__mb") && col("datanodeId") === col("__md"),
-          "left_anti")
-      case None => holderBase.unionByName(opNodes)
-    }
+        m.select(col("blockId").as("__mb"), col("datanodeId").as("__md"))
+          .unionByName(opCorrupt)
+      case None => opCorrupt
+    }).distinct()
+    val holdersAll = holderBase.unionByName(opNodes).join(broadcast(markDim),
+      col("__hb") === col("__mb") && col("datanodeId") === col("__md"),
+      "left_anti")
     val holders = holdersAll.distinct()
       .join(broadcast(ddim), col("datanodeId") === col("__did"), "left")
       // processOverReplicatedBlock drops decommissioning holders from

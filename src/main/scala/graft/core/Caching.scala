@@ -17,6 +17,31 @@ import org.apache.spark.sql.DataFrame
   */
 object Caching {
 
+  /** Release a frame pinned by persist() OR localCheckpoint().
+    *
+    * The two pin mechanisms need DIFFERENT releases, and each one's
+    * release breaks the other:
+    *  - a localCheckpoint's storage lives on the checkpointed RDD
+    *    itself, which the CacheManager never sees — Dataset.unpersist
+    *    on such a frame frees nothing, so iterative loops accumulate a
+    *    corpus copy per round until driver GC + ContextCleaner catch
+    *    up (the round-12 review finding). The release is
+    *    `LogicalRDD.rdd.unpersist`.
+    *  - conversely, calling Dataset.unpersist alongside is NOT a
+    *    harmless no-op there: uncacheQuery matches cached entries by
+    *    NORMALIZED plan, under which distinct checkpoint generations of
+    *    the same loop compare equal — measured in DataOpsSpec's
+    *    dupClusters tests, it invalidated the LIVE round's checkpoint
+    *    blocks while releasing the previous round's
+    *    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next iteration).
+    * Only call once the last consumer of the frame has materialized:
+    * a localCheckpoint has no lineage to recompute from. */
+  def free(df: DataFrame): Unit = df.queryExecution.logical match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    case _ => df.unpersist(blocking = false)
+  }
+
   def materializeAndRelease(out: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
     val result = out.persist()
     // a failed materialize must release EVERYTHING it pinned — the caller
@@ -26,10 +51,10 @@ object Caching {
     catch {
       case e: Throwable =>
         result.unpersist(blocking = false)
-        intermediates.foreach(_.unpersist(blocking = false))
+        intermediates.foreach(free)
         throw e
     }
-    intermediates.foreach(_.unpersist(blocking = false))
+    intermediates.foreach(free)
     result
   }
 

@@ -727,7 +727,7 @@ object Dedup {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist(blocking = false)
+      graft.core.Caching.free(labels)
       labels = next
       converged = changed == 0
       round += 1
@@ -741,8 +741,8 @@ object Dedup {
     val out = labels.select(col("id"), col("label").as("clusterId"))
     graft.core.Caching.materializeAndRelease(out, Seq(edges, labels))
     } catch { case e: Throwable =>
-      edges.unpersist(blocking = false)
-      labels.unpersist(blocking = false)
+      graft.core.Caching.free(edges)
+      graft.core.Caching.free(labels)
       throw e
     }
   }

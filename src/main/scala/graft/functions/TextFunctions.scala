@@ -344,7 +344,7 @@ object TextFunctions {
       cur = cur.withColumn(symsCol, array_join(fused, " "))
       if (i < chunks.size - 1) {
         cur = cur.localCheckpoint()
-        if (i > 0) prev.unpersist(blocking = false)
+        if (i > 0) graft.core.Caching.free(prev)
       }
     }
     cur
@@ -391,7 +391,7 @@ object TextFunctions {
         // k the storage footprint must stay ONE corpus copy, not k
         val prev = cur
         cur = bpeApplyMerge(cur, symsCol, a, b).localCheckpoint()
-        prev.unpersist(blocking = false)
+        graft.core.Caching.free(prev)
       }
     }
     (merges.toSeq, cur)

@@ -650,7 +650,8 @@ object AnalyticsQueries {
         |         WHEN s.storedGenStamp IS NULL THEN 'add'
         |         WHEN s.storedGenStamp <> o.repGenStamp
         |              OR s.storedLength <> o.repLength THEN 'update'
-        |         ELSE 'ignore' END AS outcome
+        |         ELSE 'ignore' END AS outcome,
+        |    s.storedGenStamp IS NOT NULL AS stored
         |  FROM br_ops o
         |  LEFT JOIN br_stored s ON o.blockId = s.blockId AND o.datanodeId = s.datanodeId
         |  LEFT JOIN br_fresh f ON o.blockId = f.bid
@@ -665,7 +666,14 @@ object AnalyticsQueries {
         |    WHERE outcome IN ('add', 'update', 'ignore')) u
         |  WHERE NOT EXISTS (SELECT 1 FROM br_marks m
         |                    WHERE m.blockId = u.hb
-        |                      AND m.datanodeId = u.datanodeId)),
+        |                      AND m.datanodeId = u.datanodeId)
+        |    -- an in-batch corrupt receipt from a STORED holder marks
+        |    -- that replica: it leaves the holder set like a standing mark
+        |    AND NOT EXISTS (SELECT 1 FROM br_cls c2
+        |                    WHERE c2.blockId = u.hb
+        |                      AND c2.datanodeId = u.datanodeId
+        |                      AND c2.outcome = 'corruptInvalidate'
+        |                      AND c2.stored)),
         |br_hr AS (
         |  SELECT h.hb, h.datanodeId, d.remaining,
         |    COALESCE(d.location, '?' || CAST(h.datanodeId AS VARCHAR)) AS rackKey
@@ -1441,10 +1449,15 @@ object AnalyticsQueries {
     * Blocks of tombstoned files hit the no-file reject branch naturally. */
   /** blockReceived op batch, dialect-shared: node 3's own reports (with
     * a max-other-holder delHint), node 9 (storeless) replaying node 4's
-    * reports, one unknown-block reject, and node 8 replaying a STALE
-    * (genstamp − 1) copy of every third node-3 block — guaranteed
-    * corruptInvalidate co-batched with node 3's valid receipt of the
-    * SAME block, so the corrupt-reporter-is-not-a-holder rule is
+    * reports, one unknown-block reject, node 8 replaying a STALE
+    * (genstamp − 1) copy of every third node-3 block — a STORELESS
+    * corrupt reporter co-batched with node 3's receipt of the SAME
+    * block — and node 10 (a REAL co-holder of node-3 blocks; the
+    * synthetic replica layout co-locates 3 with 10/17/29/36) replaying
+    * its own stored rows verbatim: valid `ignore` receipts whose
+    * liveAfter must NOT count node 3's stored replica when node 3's
+    * co-batched receipt classified corrupt — the stored-corrupt-
+    * reporter exclusion (markBlockAsCorrupt → countNodes skip),
     * exercised non-vacuously. */
   private val BlockReceivedOpsSql: String =
     """SELECT r.datanodeId, r.blockId, r.repLength, r.repGenStamp,
@@ -1464,7 +1477,13 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT CAST(8 AS BIGINT), blockId, repLength, repGenStamp - 1,
       |       CAST(NULL AS BIGINT)
-      |FROM reported WHERE datanodeId = 3 AND blockId % 3 = 0""".stripMargin
+      |FROM reported WHERE datanodeId = 3 AND blockId % 3 = 0
+      |UNION ALL
+      |SELECT CAST(10 AS BIGINT), b.id, b.length, b.generationStamp,
+      |       CAST(NULL AS BIGINT)
+      |FROM block b
+      |WHERE b.version > 0 AND b.datanodeId = 10 AND b.id % 5 = 2
+      |  AND b.id IN (SELECT id FROM block WHERE version > 0 AND datanodeId = 3)""".stripMargin
 
   /** fsck fixtures: ONE dialect-shared datanode projection that marks
     * every %4=1 node dead (lastUpdated 0), run verbatim by the Spark

@@ -40,6 +40,20 @@ class MonitorCacheSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("Caching.free releases localCheckpoint storage a bare unpersist leaks") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val ck = Seq(1, 2, 3).toDF("x").localCheckpoint()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    // the bug class the round-12 review found: Dataset.unpersist only
+    // consults the CacheManager, so a checkpointed frame's storage stays
+    ck.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+      "bare unpersist unexpectedly freed the checkpoint (fix the helper's rationale)")
+    graft.core.Caching.free(ck)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("D10: metrics listener records action durations as a table") {
     val rec = Metrics.attach(spark)
     try {
