@@ -111,9 +111,14 @@ object Placement {
     * by score then node id. Empty candidate sets simply emit fewer (or
     * no) slots, the reference's "cannot place" outcome.
     *
-    * Scale: the node/stats dims broadcast into the request frame; every
-    * window and self-join keys on reqId, so the whole ladder rides one
-    * request-keyed exchange. */
+    * Scale: the node/stats dims broadcast into the request frame, so
+    * candidate generation is a narrow map over the requests; every
+    * window and slot self-join keys on reqId — no cross-request key
+    * ever shuffles. The candidate frame is request-corpus-sized and so
+    * deliberately NOT checkpointed (the one-copy convention): each slot
+    * re-derives it from the broadcast join, and the slot joins run as
+    * reqId-keyed sort-merge — ~four narrow scans plus reqId exchanges,
+    * never anything quadratic. */
   def chooseTargetsScored(requests: DataFrame, datanode: DataFrame,
                           nowMs: Long): DataFrame = {
     val nodes = graft.state.StateManager.liveDatanodes(datanode, nowMs)
