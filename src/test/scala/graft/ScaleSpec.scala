@@ -26,6 +26,27 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join should not shuffle:\n$plan")
   }
 
+  test("compactHistory pays exactly one hash exchange; bpeEncode pays none") {
+    // compactHistory's contract: ONE shuffle — the (key, belowFloor)
+    // rank; above-floor rows ride the same exchange unranked
+    val hist = (1 to 200).map(v => ((v % 20).toLong, v.toLong,
+      if (v % 4 == 0) -v.toLong else v.toLong)).toDF("id", "value", "version")
+    val compacted = graft.store.StateStore.compactHistory(hist, Seq("id"), 100L)
+    assert(compacted.count() > 0)
+    val p1 = compacted.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p1).size == 1,
+      s"compactHistory must shuffle exactly once:\n$p1")
+    // bpeEncode's contract: pure map work, the corpus never shuffles
+    val words = Seq("banana", "bandana").map(w => Tuple1(w.mkString(" ")))
+      .toDF("syms")
+    val enc = graft.functions.TextFunctions.bpeEncode(words, "syms",
+      Seq("a" -> "n", "an" -> "a"))
+    assert(enc.count() == 2)
+    val p2 = enc.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"),
+      s"bpeEncode must stay a narrow map stage:\n$p2")
+  }
+
   test("S8 blockEntries over an id-bucketed block table needs no shuffle") {
     // the cluster-scale layout for the block table: bucketed by block id,
     // so the BlockEntry grouping is satisfied by the scan's distribution
