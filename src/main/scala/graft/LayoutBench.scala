@@ -38,7 +38,8 @@ object LayoutBench {
     val tWrite = time("writeStateTables") {
       graft.core.Scale.writeStateTables(
         spark.table("file"), spark.table("block"), spark.table("datanode"),
-        prefix = "layoutbench", buckets = 32)
+        prefix = "layoutbench", buckets = 32,
+        reported = Some(spark.table("reported")))
       spark.table("layoutbench_block").count()
     }
     val viewBlock = spark.table("block")
@@ -63,13 +64,26 @@ object LayoutBench {
       "arbiter_view" -> time("n5_arbiter view")(arbiter(viewBlock)),
       "arbiter_layout" -> time("n5_arbiter bucketed")(arbiter(layBlock)),
     )
+    // N5 reconcile: the derived views vs the co-bucketed staged layout
+    // (the two co-partition knobs per Scale.writeStateTables scaladoc)
+    def n5(b: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      graft.analytics.Dataflows.reconcileReports(b, r)
+        .groupBy(col("action")).count().count()
+    val rView = time("n5 reconcile views")(n5(viewBlock, spark.table("reported")))
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val rLay = time("n5 reconcile co-bucketed")(
+      n5(layBlock, spark.table("layoutbench_reported")))
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val r2 = Seq(
       "level_view" -> time("path level view (SMJ)")(level(viewFile)),
       "level_layout" -> time("path level bucketed (SMJ)")(level(layFile)))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    val all = ("write" -> tWrite) +: (r ++ r2)
+    val all = ("write" -> tWrite) +: (r ++ Seq("n5_view" -> rView, "n5_layout" -> rLay) ++ r2)
     println(all.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"metric":"layout","sf":"""" + sfDir + "\",", ",", "}"))
     spark.stop()

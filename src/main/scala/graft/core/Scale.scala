@@ -38,17 +38,38 @@ object Scale {
     *    genstamp arbiter and the report reconciliation group on block id
     *    straight off the scan's distribution — zero-exchange at 100 TB
     *    where the block table dominates;
-    *  - `datanode` plain: a node dimension that broadcasts everywhere.
-    * Returns the created table names (file, block, datanode order). */
+    *  - `datanode` plain: a node dimension that broadcasts everywhere;
+    *  - optionally a staged `reported` feed bucketed by blockId: the N5
+    *    reconciliation's full-outer join keys on (datanodeId, blockId)
+    *    and its freshest-arbiter on blockId, both of which a blockId
+    *    bucketing satisfies — with block and reported co-bucketed the
+    *    whole reconcile plans without shuffling either side (pinned in
+    *    ScaleSpec). A real deployment stages each report wave into this
+    *    layout once, then every reconcile pass over it is exchange-free.
+    *    Two session knobs gate the co-located plan (both set in the
+    *    ScaleSpec pin): `spark.sql.requireAllClusterKeysForCoPartition=
+    *    false` — the join keys are (datanodeId, blockId) while both
+    *    buckets hash blockId alone, the subset co-partition case Spark
+    *    keeps off by default — and `spark.sql.sources.bucketing.
+    *    autoBucketedScan.enabled=false`, whose heuristic otherwise
+    *    disables the bucketed read.
+    * Returns the created table names. */
   def writeStateTables(file: DataFrame, block: DataFrame, datanode: DataFrame,
                        prefix: String = "graft_state",
-                       buckets: Int = 32): Seq[String] = {
+                       buckets: Int = 32,
+                       reported: Option[DataFrame] = None): Seq[String] = {
     writeBucketed(file, s"${prefix}_file", "parentId", buckets)
     writeBucketed(block, s"${prefix}_block", "id", buckets)
     datanode.write.mode(SaveMode.Overwrite)
       .option("path", tablePath(s"${prefix}_datanode"))
       .saveAsTable(s"${prefix}_datanode")
-    Seq(s"${prefix}_file", s"${prefix}_block", s"${prefix}_datanode")
+    val base = Seq(s"${prefix}_file", s"${prefix}_block", s"${prefix}_datanode")
+    reported match {
+      case Some(r) =>
+        writeBucketed(r, s"${prefix}_reported", "blockId", buckets)
+        base :+ s"${prefix}_reported"
+      case None => base
+    }
   }
 
   /** Salted equi-join for skewed build keys: explode the small side into

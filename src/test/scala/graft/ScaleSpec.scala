@@ -47,6 +47,40 @@ class ScaleSpec extends SparkSpec {
       s"bpeEncode must stay a narrow map stage:\n$p2")
   }
 
+  test("N5 reconciliation over co-bucketed block+reported plans without shuffling either side") {
+    val n = 500
+    val block = (1 to n).map(i => (i.toLong, (i % 7).toLong, 100L + i,
+        (i % 5).toLong, i.toLong))
+      .toDF("id", "datanodeId", "length", "generationStamp", "version")
+    val reported = (1 to n).filter(_ % 3 != 0).map(i => ((i % 7).toLong,
+        i.toLong, 100L + i, (i % 5).toLong))
+      .toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+    Scale.writeStateTables(
+      Seq((0L, -1L, 1L)).toDF("id", "parentId", "version"),
+      block, Seq((1L, 1L)).toDF("id", "version"),
+      prefix = "scalespec_n5", reported = Some(reported))
+    // the two knobs the co-located reconcile needs (documented on
+    // writeStateTables): subset-key co-partitioning — the join keys are
+    // (datanodeId, blockId) but both buckets hash blockId alone — is
+    // OFF by default, and the auto-bucketed-scan heuristic disables the
+    // bucketed read once it stops seeing a shuffle to save
+    val prevA = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    val prevR = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val rec = graft.analytics.Dataflows.reconcileReports(
+        spark.table("scalespec_n5_block"), spark.table("scalespec_n5_reported"))
+      assert(rec.count() > 0)
+      val plan = rec.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed reconcile must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevA)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prevR)
+    }
+  }
+
   test("S8 blockEntries over an id-bucketed block table needs no shuffle") {
     // the cluster-scale layout for the block table: bucketed by block id,
     // so the BlockEntry grouping is satisfied by the scan's distribution
