@@ -619,6 +619,31 @@ object Changefeed {
       }
       .start()
 
+  /** D4 history-compaction maintenance loop: each trigger re-reads the
+    * CURRENT ops/version history and sync floor (the slowest syncer's
+    * acknowledged version — compacting above it would break that
+    * syncer's incremental replay) and hands `sink` the (batchId, floor,
+    * compacted history) from [[graft.store.StateStore.compactHistory]].
+    * The caller owns committing the compacted table back, the same
+    * caller-owns-the-commit convention as the other five monitors. Laws
+    * on the compaction itself (snapshot/diff fidelity at-or-above the
+    * floor) are pinned in AlgebraLawsSpec; this loop is what keeps the
+    * r6 feed from growing without bound at 100 TB. */
+  def compactionMonitor(ticks: DataFrame, history: () => DataFrame,
+                        keyCols: Seq[String], floor: () => Long,
+                        sink: (Long, Long, DataFrame) => Unit): StreamingQuery =
+    ticks.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (_: DataFrame, id: Long) =>
+        val f = floor()
+        // pin: the supplier reads a mutable snapshot — a lazy compacted
+        // frame the sink consumes after swapping the table would
+        // re-compact its own output
+        sink(id, f, graft.store.StateStore.compactHistory(
+          history(), keyCols, f).localCheckpoint())
+      }
+      .start()
+
   /** N14 SafeModeMonitor tick loop (SafeModeInfo.SafeModeMonitor
     * :3684-3700 driving needEnter/canLeave :3560-3600): each trigger
     * re-evaluates the safe-block ratio against the CURRENT block table —

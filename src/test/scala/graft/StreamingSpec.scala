@@ -781,6 +781,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compaction monitor: each tick compacts below the advancing sync floor, snapshots above it unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    // 3 keys × versions 1..12, key 1's v4 and v8 are tombstones
+    val histRef = new java.util.concurrent.atomic.AtomicReference(
+      (1 to 12).flatMap(v => Seq(1L, 2L, 3L).map(k =>
+        (k, k * 100 + v, if (k == 1 && (v == 4 || v == 8)) -v.toLong else v.toLong)))
+        .toDF("id", "value", "version"))
+    val floorRef = new java.util.concurrent.atomic.AtomicLong(5L)
+    val mem = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = Changefeed.compactionMonitor(mem.toDF(), () => histRef.get(),
+      Seq("id"), () => floorRef.get(),
+      sink = (_, f, compacted) => {
+        seen += ((f, compacted.count()))
+        histRef.set(compacted) // commit the compacted table back
+      })
+    try {
+      // tick 1 at floor 5: below-floor history (15 rows incl. key 1's
+      // tombstone at 4) collapses to one live row per key → 3 + 21 = 24
+      mem.addData(1L); q.processAllAvailable()
+      assert(seen.toSeq == Seq((5L, 24L)))
+      // the floor advances past key 1's second tombstone; tick 2
+      // compacts the ALREADY-compacted table further → 3 floor rows +
+      // 9 above-floor (v10-12 × 3 keys) = 12, and the surviving live
+      // state per key is intact
+      floorRef.set(9L)
+      mem.addData(2L); q.processAllAvailable()
+      assert(seen.toSeq == Seq((5L, 24L), (9L, 12L)))
+      val live = graft.store.StateStore.snapshotAsOf(histRef.get(), Seq("id"), 12L)
+        .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(live.toSeq == Seq((1L, 12L), (2L, 12L), (3L, 12L)))
+    } finally q.stop()
+  }
+
   test("safe-mode monitor: in safe mode below the truncated threshold, out once it is reached") {
     implicit val sqlCtx = spark.sqlContext
     // 4 blocks, minReplication 2, pct .999 → blockThreshold =
