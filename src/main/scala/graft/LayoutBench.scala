@@ -70,12 +70,14 @@ object LayoutBench {
       graft.analytics.Dataflows.reconcileReports(b, r)
         .groupBy(col("action")).count().count()
     val rView = time("n5 reconcile views")(n5(viewBlock, spark.table("reported")))
+    val prevScan = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    val prevCoPart = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     val rLay = time("n5 reconcile co-bucketed")(
       n5(layBlock, spark.table("layoutbench_reported")))
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevScan)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prevCoPart)
 
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -625,24 +625,46 @@ object Changefeed {
     * syncer's incremental replay) and hands `sink` the (batchId, floor,
     * compacted history) from [[graft.store.StateStore.compactHistory]].
     * The caller owns committing the compacted table back, the same
-    * caller-owns-the-commit convention as the other five monitors. Laws
-    * on the compaction itself (snapshot/diff fidelity at-or-above the
-    * floor) are pinned in AlgebraLawsSpec; this loop is what keeps the
-    * r6 feed from growing without bound at 100 TB. */
+    * caller-owns-the-commit convention as the other five monitors —
+    * and must have STOPPED serving the previous tick's frame by the
+    * time its sink returns: the monitor frees that checkpoint when the
+    * next tick commits (one history copy pinned, never one per tick).
+    * Ticks whose floor has not advanced are skipped outright — a
+    * monotone floor purges nothing new, so an idle tick pays no corpus
+    * job. Laws on the compaction itself (snapshot/diff fidelity
+    * at-or-above the floor) are pinned in AlgebraLawsSpec; this loop is
+    * what keeps the r6 feed from growing without bound at 100 TB. */
   def compactionMonitor(ticks: DataFrame, history: () => DataFrame,
                         keyCols: Seq[String], floor: () => Long,
-                        sink: (Long, Long, DataFrame) => Unit): StreamingQuery =
+                        sink: (Long, Long, DataFrame) => Unit): StreamingQuery = {
+    // the floor is monotone (the slowest syncer's ack): an unchanged
+    // floor purges nothing new, so an idle tick must not pay the full
+    // corpus shuffle + checkpoint to hand the sink an identical table
+    // (the leaseRecoveryMonitor idle-tick convention)
+    val lastFloor = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    // the previous tick's checkpoint stays pinned until the NEXT tick
+    // commits — then it is freed explicitly (the dupClusters loop
+    // convention; driver GC alone would accumulate a history copy per
+    // tick, the leak class Caching.free exists for)
+    val prevOut = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     ticks.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (_: DataFrame, id: Long) =>
         val f = floor()
-        // pin: the supplier reads a mutable snapshot — a lazy compacted
-        // frame the sink consumes after swapping the table would
-        // re-compact its own output
-        sink(id, f, graft.store.StateStore.compactHistory(
-          history(), keyCols, f).localCheckpoint())
+        if (f > lastFloor.get()) {
+          lastFloor.set(f)
+          // pin: the supplier reads a mutable snapshot — a lazy compacted
+          // frame the sink consumes after swapping the table would
+          // re-compact its own output
+          val compacted = graft.store.StateStore.compactHistory(
+            history(), keyCols, f).localCheckpoint()
+          sink(id, f, compacted)
+          val prev = prevOut.getAndSet(compacted)
+          if (prev != null) graft.core.Caching.free(prev)
+        }
       }
       .start()
+  }
 
   /** N14 SafeModeMonitor tick loop (SafeModeInfo.SafeModeMonitor
     * :3684-3700 driving needEnter/canLeave :3560-3600): each trigger

@@ -42,16 +42,21 @@ class MonitorCacheSpec extends SparkSpec {
 
   test("Caching.free releases localCheckpoint storage a bare unpersist leaks") {
     import spark.implicits._
-    val before = spark.sparkContext.getPersistentRDDs.size
     val ck = Seq(1, 2, 3).toDF("x").localCheckpoint()
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    // track the SPECIFIC checkpointed RDD, not aggregate counts — the
+    // ContextCleaner may concurrently reap RDDs other tests leaked
+    val ckRddId = ck.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.head
+    def pinned = spark.sparkContext.getPersistentRDDs.contains(ckRddId)
+    assert(pinned)
     // the bug class the round-12 review found: Dataset.unpersist only
     // consults the CacheManager, so a checkpointed frame's storage stays
     ck.unpersist(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+    assert(pinned,
       "bare unpersist unexpectedly freed the checkpoint (fix the helper's rationale)")
     graft.core.Caching.free(ck)
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert(!pinned)
   }
 
   test("D10: metrics listener records action durations as a table") {

@@ -806,8 +806,11 @@ class StreamingSpec extends SparkSpec {
       // compacts the ALREADY-compacted table further → 3 floor rows +
       // 9 above-floor (v10-12 × 3 keys) = 12, and the surviving live
       // state per key is intact
-      floorRef.set(9L)
+      // an idle tick (floor unchanged) must skip the corpus job entirely
       mem.addData(2L); q.processAllAvailable()
+      assert(seen.toSeq == Seq((5L, 24L)))
+      floorRef.set(9L)
+      mem.addData(3L); q.processAllAvailable()
       assert(seen.toSeq == Seq((5L, 24L), (9L, 12L)))
       val live = graft.store.StateStore.snapshotAsOf(histRef.get(), Seq("id"), 12L)
         .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(2)))
