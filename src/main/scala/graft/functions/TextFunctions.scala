@@ -273,6 +273,100 @@ object TextFunctions {
           .as("removedLines"))
   }
 
+  // ---- Bigram-LM quality scoring (stupid backoff) ----------------------
+
+  /** Adjacent-token bigrams of a text column as array<struct<a,b>> —
+    * the melt both LM training and scoring explode. Guarded for short
+    * texts: `sequence(2, 1)` would generate a DESCENDING sequence in
+    * Spark, so < 2 tokens returns an empty array instead. Pure map
+    * work, same shape as [[bpePairCounts]]'s pair explode. */
+  def bigramPairs(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(2), size(t)),
+        i => struct(element_at(t, i - 1).as("a"), element_at(t, i).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+  }
+
+  /** CCNet-style LM quality scoring, the bigram "stupid backoff" form
+    * (Brants et al. 2007 — the smoothing actually used for web-scale
+    * LMs because it needs only counts, no discounting pass): score a
+    * corpus under a model trained on a DIFFERENT corpus, per token
+    *
+    *   S(b|a) = c(ab)/c(a)           when the bigram was seen in training
+    *          = alpha * c(b)/N       otherwise (unigram backoff)
+    *          = 0                    for an unseen unigram
+    *
+    * kept INTEGER-EXACT like t17: probabilities are scaled to parts-
+    * per-million and computed with integral division (`DIV` here, `//`
+    * in the DuckDB twin) — no libm, both engines agree bit-for-bit.
+    * alpha = 0.4 is the published constant (alphaPpm = 400000).
+    * Emits per-document (id, nBigrams, scoreSum, nBackoff, meanScore);
+    * documents with < 2 tokens have no bigrams and drop out, matching
+    * the melt.
+    *
+    * Scale shape: the model dims (bigram counts, unigram counts) are
+    * vocabulary-bounded — they broadcast into the corpus-sized scoring
+    * melt, so the only corpus-sized shuffle is the final doc-keyed
+    * aggregate. At 100 TB this is the CCNet bucket-scoring pass: train
+    * once on the reference slice, score everything with map-side joins. */
+  def bigramBackoff(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, scalePpm: Long = 1000000L,
+                    alphaPpm: Long = 400000L): DataFrame =
+    bigramScoreAgainst(bigramModel(train, textCol), eval, idCol, textCol,
+      scalePpm, alphaPpm)
+
+  /** The trained model as ONE tall vocabulary-bounded frame —
+    * (kind ∈ bi|uni, a, b, cnt) — so a standing deployment (or the
+    * streaming twin's pinned frame) maintains a single table; the total
+    * token count re-derives from the uni rows, a vocab-sized aggregate. */
+  def bigramModel(train: DataFrame, textCol: String): DataFrame = {
+    val uni = train.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
+    val bi = train
+      .select(explode(bigramPairs(col(textCol))).as("__p"))
+      .groupBy(col("__p")("a").as("__a"), col("__p")("b").as("__b"))
+      .agg(count(lit(1)).as("__cab"))
+    bi.select(lit("bi").as("kind"), col("__a").as("a"), col("__b").as("b"),
+        col("__cab").as("cnt"))
+      .unionByName(uni.select(lit("uni").as("kind"), col("__w").as("a"),
+        lit(null).cast("string").as("b"), col("__cu").as("cnt")))
+  }
+
+  /** Score a corpus against a PREBUILT [[bigramModel]] frame — the form
+    * the streaming twin calls per micro-batch (the model is pinned once;
+    * per batch only the batch's own melt + broadcast joins run). */
+  def bigramScoreAgainst(model: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, scalePpm: Long = 1000000L,
+                         alphaPpm: Long = 400000L): DataFrame = {
+    val bi = model.filter(col("kind") === "bi")
+      .select(col("a").as("__a"), col("b").as("__b"), col("cnt").as("__cab"))
+    val uni = model.filter(col("kind") === "uni")
+      .select(col("a").as("__w"), col("cnt").as("__cu"))
+    val n = uni.agg(sum(col("__cu")).as("__N"))
+    val melt = eval
+      .select(col(idCol), explode(bigramPairs(col(textCol))).as("__p"))
+      .select(col(idCol), col("__p")("a").as("a"), col("__p")("b").as("b"))
+    melt
+      .join(broadcast(bi),
+        col("a") === col("__a") && col("b") === col("__b"), "left")
+      .join(broadcast(uni.select(col("__w").as("__ha"), col("__cu").as("__ca"))),
+        col("a") === col("__ha"), "left")
+      .join(broadcast(uni.select(col("__w").as("__hb"), col("__cu").as("__cb"))),
+        col("b") === col("__hb"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("__score",
+        when(col("__cab").isNotNull,
+          expr(s"($scalePpm * __cab) DIV __ca"))
+          .otherwise(expr(s"($alphaPpm * coalesce(__cb, 0L)) DIV __N")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nBigrams"),
+        sum(col("__score")).as("scoreSum"),
+        sum(when(col("__cab").isNull, 1L).otherwise(0L)).as("nBackoff"))
+      .withColumn("meanScore",
+        col("scoreSum").cast("double") / col("nBigrams"))
+  }
+
   // ---- Distributed BPE tokenizer training -----------------------------
 
   /** Adjacent-symbol pair counts over a words frame whose `symsCol` is

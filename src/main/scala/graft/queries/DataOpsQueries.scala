@@ -8,6 +8,10 @@ import graft.core.Tables
 import graft.functions.{Dedup, Events, Shuffles, TextFunctions, Vectors}
 import graft.model.DerivedState
 
+/** The record type the F5 encoder-round-trip gate entry serializes —
+  * top-level so both the product and kryo Encoders can resolve it. */
+final case class F16Rec(id: Long, name: String)
+
 /** queries()+oracleSql() for the training-data-pipeline operators:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
   * search (brute-force kNN / LSH-bucketed ANN), text analysis and
@@ -781,6 +785,55 @@ object DataOpsQueries {
         .unionByName(sums("json", s.read.schema(src.schema).json(s"$tmp/json")))
         .orderBy(col("format"))
     },
+    // F8 in the gate: the two alternative-filesystem schemes the spec
+    // drives end-to-end, each carrying the SAME supplier checksums —
+    // har:// reads a createHar-written archive through HarFileSystem
+    // (list + open + seek against the packed part file), viewfs://
+    // resolves a mount-table link. A scheme that dropped, duplicated,
+    // or corrupted rows diverges on its line.
+    "f15_fs_schemes" -> { (s, dir) =>
+      val tmp = graft.core.Caching.scratchDir("f15").toString
+      val src = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      src.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("header", "true").csv(s"$tmp/src")
+      graft.sources.Formats.createHar(s, s"$tmp/src", s"$tmp/arch.har")
+      val har = s.read.schema(src.schema).option("header", "true")
+        .csv(s"har://$tmp/arch.har")
+      src.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$tmp/tbl")
+      s.sparkContext.hadoopConfiguration
+        .set("fs.viewfs.mounttable.graftgate.link./data", s"file:$tmp/tbl")
+      val view = s.read.parquet("viewfs://graftgate/data")
+      def sums(scheme: String, df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("keySum"),
+          sum(length(col("s_name")).cast("long")).as("nameLen"))
+        .select(lit(scheme).as("scheme"), col("n"), col("keySum"), col("nameLen"))
+      sums("har", har).unionByName(sums("viewfs", view))
+        .orderBy(col("scheme"))
+    },
+    // F5 in the gate: the two serializer frameworks (SURVEY §2.5 F5 —
+    // Writable/pluggable serialization → Encoders): every supplier row
+    // round-trips through the PRODUCT encoder (typed Dataset map) and
+    // through the KRYO binary encoder (whole-object serialize →
+    // deserialize), then re-aggregates — a serializer that mangled a
+    // field diverges on its checksums line.
+    "f16_encoder_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val src = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+      val typed = src.as[F16Rec]
+      val viaProduct = typed.map(r => F16Rec(r.id, r.name))
+      val viaKryo = typed
+        .map(identity(_))(org.apache.spark.sql.Encoders.kryo[F16Rec])
+        .map(r => F16Rec(r.id, r.name))
+      def sums(codec: String, ds: org.apache.spark.sql.Dataset[F16Rec]) = ds
+        .toDF()
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("idSum"),
+          sum(length(col("name")).cast("long")).as("nameLen"))
+        .select(lit(codec).as("codec"), col("n"), col("idSum"), col("nameLen"))
+      sums("kryo", viaKryo).unionByName(sums("product", viaProduct))
+        .orderBy(col("codec"))
+    },
     "f1_seqfile_roundtrip" -> { (s, dir) =>
       val tmp = graft.core.Caching.scratchDir("f1").toString
       val kv = Tables.documents(s, dir)
@@ -996,6 +1049,32 @@ object DataOpsQueries {
         .withColumn("clusterSize",
           count(lit(1)).over(Window.partitionBy(col("clusterId"))))
         .select(col("id").as("doc_id"), col("clusterId"), col("clusterSize"))
+        .orderBy(col("doc_id"))
+    },
+    // keep-BEST cluster representative: real pipelines keep the
+    // highest-quality member of each near-dup cluster, not the minimum
+    // id — d7's connected components joined with the t2 quality score,
+    // one cluster-keyed window picking argmax(score, tie → lower id).
+    // Docs with no near-dup edge form singleton self-clusters via
+    // coalesce, WITHOUT touching the pair graph. Scale: the label-prop
+    // clusters and the window are pair-graph-sized; scoring is map work.
+    "d16_cluster_best" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val pairs = Dedup.lshCandidates(c, "doc_id", "text")
+        .filter(col("estJaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+      val clusters = Dedup.dupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val scored = c.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), length(col("text"))).as("score"))
+      val w = Window.partitionBy(col("clusterId"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.join(clusters, Seq("doc_id"), "left")
+        .withColumn("clusterId", coalesce(col("clusterId"), col("doc_id")))
+        .withColumn("repId", first(col("doc_id")).over(w))
+        .withColumn("keep", col("doc_id") === col("repId"))
+        .select(col("doc_id"), col("clusterId"), col("repId"), col("keep"),
+          col("score"))
         .orderBy(col("doc_id"))
     },
     // sequence packing for training: concat docs in shard order, chunk
@@ -1393,6 +1472,28 @@ object DataOpsQueries {
           col("startBin"), col("endBin"), col("straddles"))
         .orderBy(col("doc_id"))
     },
+    // CCNet-style LM quality scoring, bigram stupid backoff (Brants et
+    // al. 2007): the model trains on the %97≠0 slice and scores the
+    // held-out %97=0 slice. The synthetic corpus draws from a ~40-word
+    // vocabulary whose bigrams training fully covers at every SF, so
+    // the held-out docs carry a two-token OOV suffix ("qqeval the") —
+    // real eval corpora contain OOV content — making BOTH backoff
+    // sub-branches non-vacuous at every scale factor: (last, qqeval)
+    // scores 0 (unseen unigram), (qqeval, the) takes the α·c(b)/N
+    // unigram backoff. Integer-exact parts-per-million scores via
+    // integral division (same discipline as t17's floor-log2 bits — no
+    // libm); vocabulary-bounded model dims broadcast into the scoring
+    // melt, one doc-keyed aggregate shuffle.
+    "t26_bigram_lm" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      TextFunctions.bigramBackoff(
+          d.filter(col("doc_id") % 97 =!= 0L),
+          d.filter(col("doc_id") % 97 === 0L)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" qqeval the")).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // the distributed core of BPE tokenizer training: adjacent-symbol
     // pair counts over the char-split word corpus (round 1 of
     // TextFunctions.bpeTrain, whose merge loop is spec-tested) — a
@@ -1638,6 +1739,46 @@ object DataOpsQueries {
         |  FROM t25_enc WHERE r = (SELECT MAX(rank) FROM t25_m))
         |SELECT token, COUNT(*) AS cnt FROM t25_tok
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    // same train/eval split, same ppm integral division (DuckDB's `//`
+    // is Spark's DIV for the all-positive operands here), same libm-free
+    // discipline as t17
+    "t26_bigram_lm" ->
+      """WITH t26_tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |t26_uni AS (
+        |  SELECT w, COUNT(*) AS cu FROM (
+        |    SELECT UNNEST(t) AS w FROM t26_tok WHERE doc_id % 97 <> 0)
+        |  GROUP BY w),
+        |t26_n AS (SELECT CAST(SUM(cu) AS BIGINT) AS N FROM t26_uni),
+        |t26_tbig AS (
+        |  SELECT t[CAST(i AS INT) - 1] AS a, t[CAST(i AS INT)] AS b
+        |  FROM (SELECT t, UNNEST(range(2, len(t) + 1)) AS i
+        |        FROM t26_tok WHERE doc_id % 97 <> 0 AND len(t) >= 2)),
+        |t26_bi AS (SELECT a, b, COUNT(*) AS cab FROM t26_tbig GROUP BY a, b),
+        |t26_etok AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text || ' qqeval the'), '[a-z0-9]+') AS t
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |t26_ebig AS (
+        |  SELECT doc_id, t[CAST(i AS INT) - 1] AS a, t[CAST(i AS INT)] AS b
+        |  FROM (SELECT doc_id, t, UNNEST(range(2, len(t) + 1)) AS i
+        |        FROM t26_etok WHERE len(t) >= 2)),
+        |t26_s AS (
+        |  SELECT e.doc_id,
+        |    CASE WHEN bi.cab IS NOT NULL THEN (1000000 * bi.cab) // ua.cu
+        |         ELSE (400000 * COALESCE(ub.cu, 0)) // n.N END AS score,
+        |    CASE WHEN bi.cab IS NULL THEN 1 ELSE 0 END AS backoff
+        |  FROM t26_ebig e
+        |  LEFT JOIN t26_bi bi ON bi.a = e.a AND bi.b = e.b
+        |  LEFT JOIN t26_uni ua ON ua.w = e.a
+        |  LEFT JOIN t26_uni ub ON ub.w = e.b
+        |  CROSS JOIN t26_n n)
+        |SELECT doc_id, COUNT(*) AS nBigrams,
+        |  CAST(SUM(score) AS BIGINT) AS scoreSum,
+        |  CAST(SUM(backoff) AS BIGINT) AS nBackoff,
+        |  CAST(SUM(score) AS DOUBLE) / COUNT(*) AS meanScore
+        |FROM t26_s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t23_bpe_pairs" ->
       """WITH w AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -2128,6 +2269,22 @@ object DataOpsQueries {
         |         COUNT(DISTINCT s_name || ',"q') AS distinctPayloads
         |  FROM supplier) s
         |ORDER BY f.format""".stripMargin,
+    "f15_fs_schemes" ->
+      """SELECT f.scheme, s.n, s.keySum, s.nameLen
+        |FROM (VALUES ('har'), ('viewfs')) AS f(scheme)
+        |CROSS JOIN (
+        |  SELECT COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS keySum,
+        |         CAST(SUM(length(s_name)) AS BIGINT) AS nameLen
+        |  FROM supplier) s
+        |ORDER BY f.scheme""".stripMargin,
+    "f16_encoder_roundtrip" ->
+      """SELECT f.codec, s.n, s.idSum, s.nameLen
+        |FROM (VALUES ('kryo'), ('product')) AS f(codec)
+        |CROSS JOIN (
+        |  SELECT COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS idSum,
+        |         CAST(SUM(length(s_name)) AS BIGINT) AS nameLen
+        |  FROM supplier) s
+        |ORDER BY f.codec""".stripMargin,
     "f1_seqfile_roundtrip" ->
       """SELECT CAST(doc_id AS STRING) AS key, text AS value
         |FROM documents ORDER BY key""".stripMargin,
@@ -2238,6 +2395,41 @@ object DataOpsQueries {
         |SELECT doc_id, clusterId,
         |  COUNT(*) OVER (PARTITION BY clusterId) AS clusterSize
         |FROM lab ORDER BY doc_id""".stripMargin,
+    // d7's recursive components + the t2 quality formula (nChars =
+    // length(text) for the re-keyed corpus rows), FIRST_VALUE argmax
+    "d16_cluster_best" ->
+      s"""WITH RECURSIVE $MinhashSql,
+        |edges AS (SELECT id1, id2 FROM pairs WHERE estJaccard >= 0.5),
+        |und AS (SELECT id1 AS a, id2 AS b FROM edges
+        |        UNION ALL SELECT id2, id1 FROM edges),
+        |nodes AS (SELECT DISTINCT a AS id FROM und),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+        |lab AS (SELECT id AS doc_id, MIN(r) AS clusterId FROM reach GROUP BY id),
+        |d16_f AS (
+        |  SELECT doc_id, len(w) AS nTok, text,
+        |    CASE WHEN len(w) > 0 THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) ELSE 0.0 END AS meanLen,
+        |    CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN
+        |      ('the','a','of','and','to','data','row','query','tabla','fila','der','die','das','und','ist'))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopRatio,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punctRatio,
+        |    CASE WHEN len(w) >= 20 THEN 25.0 ELSE 0.0 END AS bonus
+        |  FROM words JOIN corpus USING (doc_id)),
+        |d16_scored AS (
+        |  SELECT doc_id,
+        |    meanLen * 10.0 + stopRatio * 50.0 - punctRatio * 100.0 + bonus AS score
+        |  FROM d16_f),
+        |d16_lab AS (
+        |  SELECT s.doc_id, COALESCE(lab.clusterId, s.doc_id) AS clusterId, s.score
+        |  FROM d16_scored s LEFT JOIN lab ON lab.doc_id = s.doc_id),
+        |d16_rep AS (
+        |  SELECT doc_id, clusterId, score,
+        |    FIRST_VALUE(doc_id) OVER (PARTITION BY clusterId
+        |      ORDER BY score DESC, doc_id ASC) AS repId
+        |  FROM d16_lab)
+        |SELECT doc_id, clusterId, repId, doc_id = repId AS keep, score
+        |FROM d16_rep ORDER BY doc_id""".stripMargin,
     "t7_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

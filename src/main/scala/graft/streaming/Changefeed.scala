@@ -206,6 +206,31 @@ object Changefeed {
     }
   }
 
+  /** Streaming LM quality scoring: the streaming twin of
+    * [[graft.functions.TextFunctions.bigramBackoff]]. The trained
+    * stupid-backoff model ([[graft.functions.TextFunctions.bigramModel]]
+    * — ONE tall vocabulary-bounded frame) is pinned once; each
+    * micro-batch of arriving documents pays only its own bigram melt +
+    * broadcast model joins + a batch-keyed aggregate — O(batch) per
+    * trigger, no streaming state. This is the CCNet ingest shape at
+    * 100 TB: score every incoming page against the standing reference
+    * model, route by quality bucket downstream. `sink` receives each
+    * batch's (id, nBigrams, scoreSum, nBackoff, meanScore). */
+  def streamingLmScore(docs: DataFrame, train: DataFrame, idCol: String,
+                       textCol: String,
+                       sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.functions.TextFunctions
+    val model = TextFunctions.bigramModel(train, textCol)
+    withStandingFrame(model, docs.sparkSession) { pinned =>
+      docs.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          sink(TextFunctions.bigramScoreAgainst(
+            pinned, batch.toDF(), idCol, textCol), batchId)
+        }
+        .start()
+    }
+  }
+
   /** Streaming ANN ingest: the streaming twin of
     * [[graft.functions.Vectors.ivfPqSearch]]'s incremental split
     * (sim11). Each micro-batch of arriving vectors probes the STANDING

@@ -711,6 +711,28 @@ class DataOpsSpec extends SparkSpec {
     assert(uni == Seq("a", "b", "c"))
   }
 
+  test("bigramBackoff: stupid-backoff ladder — seen, unigram-backoff, OOV-zero") {
+    // train "a b a c a b": cab = {(a,b)→2, (b,a)→1, (a,c)→1, (c,a)→1};
+    // unigrams a=3 b=2 c=1; N=6
+    val train = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
+    val ev = Seq((10L, "a b c z b"), (11L, "a")).toDF("doc_id", "text")
+    // eval bigrams: (a,b) seen → 2000000 DIV 3 = 666666;
+    // (b,c) backoff via c(c)=1 → 400000 DIV 6 = 66666;
+    // (c,z) backoff, z unseen → 0; (z,b) backoff via c(b)=2 → 133333.
+    // doc 11 has one token → no bigrams → absent, like the melt.
+    val out = rows(TextFunctions.bigramBackoff(train, ev, "doc_id", "text")
+      .orderBy(col("doc_id")))
+    assert(out == Seq(Seq(10L, 4L, 666666L + 66666L + 0L + 133333L, 3L,
+      866665.0 / 4)))
+  }
+
+  test("bigramPairs: short texts produce an empty melt, not a descending one") {
+    val d = Seq((1L, "solo"), (2L, ""), (3L, "two words")).toDF("doc_id", "text")
+    val out = rows(d.select(col("doc_id"),
+      size(TextFunctions.bigramPairs(col("text"))).as("n")).orderBy(col("doc_id")))
+    assert(out == Seq(Seq(1L, 0), Seq(2L, 0), Seq(3L, 1)))
+  }
+
   test("pii scrub redacts emails and phones, collapses whitespace") {
     val d = Seq((1L, "Mail Bob.Smith+x@Example.COM  or +1-555-0042  now"))
       .toDF("doc_id", "text")

@@ -381,6 +381,23 @@ class ScaleSpec extends SparkSpec {
       s"bucketed minhash should not shuffle:\n$plan")
   }
 
+  test("t26 scoring melt joins its model dims ONLY by broadcast") {
+    // the bigramBackoff scale contract: model dims are vocabulary-
+    // bounded and broadcast into the corpus-sized melt — a shuffled
+    // join here would re-exchange the whole corpus per scoring pass
+    val train = (1 to 200).map(i =>
+      (i.toLong, s"w${i % 13} w${(i + 1) % 13} w${(i + 2) % 13} w${i % 7}"))
+      .toDF("doc_id", "text")
+    val ev = (1 to 50).map(i =>
+      (1000L + i, s"w${i % 13} w${(i + 3) % 13} zz$i")).toDF("doc_id", "text")
+    val out = graft.functions.TextFunctions.bigramBackoff(
+      train, ev, "doc_id", "text")
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"model dims must broadcast into the scoring melt:\n$plan")
+  }
+
   test("t7 packing windows are shard-partitioned, never single-partition") {
     // the packer's cumulative sums must stay shard-local: an empty
     // partitionBy would compile to Exchange SinglePartition and gather

@@ -325,6 +325,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed LM scoring matches batch stupid-backoff; model pinned across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
+    val evalDocs = Seq((10L, "a b c z b"), (11L, "c a b"))
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.concurrent.TrieMap[Long, (Long, Long, Long, Double)]()
+    val q = Changefeed.streamingLmScore(
+      mem.toDF().toDF("doc_id", "text"), train, "doc_id", "text",
+      (out, _) => out.collect().foreach(r =>
+        acc(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))))
+    try {
+      // two separate triggers — the SAME pinned model serves both
+      mem.addData(evalDocs(0)); q.processAllAvailable()
+      mem.addData(evalDocs(1)); q.processAllAvailable()
+      val expect = graft.functions.TextFunctions.bigramBackoff(
+          train, evalDocs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(acc.toMap == expect)
+      // hand-computed doc 10 (DataOpsSpec's fixture): 4 bigrams,
+      // 666666+66666+0+133333, 3 backoffs
+      assert(acc(10L) == ((4L, 866665L, 3L, 866665.0 / 4)))
+    } finally q.stop()
+  }
+
   test("native session_window: fragments merge across batches, close on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
