@@ -53,6 +53,72 @@ object Sketches {
       .agg(approx_count_distinct(col(valueCol), rsd).as("approxDistinct"))
 
   /** Quantile sketch (Greenwald-Khanna) — percentiles without a sort. */
+  /** EXACT global order statistics over a non-negative LONG column
+    * WITHOUT a global sort or a single-partition window — the corpus
+    * quantile cutoffs a 100 TB bucketing pass needs (CCNet's
+    * head/middle/tail split). Histogram refinement: each level runs ONE
+    * bounded hash aggregate (at most ranks×(base+1) bins reach the
+    * driver), every rank's bracket narrows by base× per level, so a
+    * value range of 1e9 at the default base costs 3 histogram passes
+    * plus the min/max/count pass. `ranks` are 1-based k-th-smallest
+    * with duplicates counted (the PERCENTILE_DISC order statistic, same
+    * definition as the t18/t22 oracles' ROW_NUMBER pick). The input is
+    * scanned once per level — hand a materialized/checkpointed narrow
+    * projection, not an expensive live plan. */
+  def exactLongRanks(df: DataFrame, valueCol: String, ranks: Seq[Long],
+                     base: Long = 1024L): Map[Long, Long] = {
+    require(base >= 2, "base must be >= 2")
+    val v = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val head = v.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"),
+      count(lit(1)).as("n")).collect()(0)
+    if (head.isNullAt(0)) {
+      require(ranks.isEmpty, "ranks requested over an empty column")
+      return Map.empty
+    }
+    val (mn, mx, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    require(mn >= 0, s"exactLongRanks expects non-negative values, saw $mn")
+    ranks.foreach(r => require(1 <= r && r <= n, s"rank $r outside 1..$n"))
+    // uniform global bin grid: width = base^k with ≤ base bins over the
+    // full range, so every bracket at every level spans ≤ base+1 bins
+    val range = mx - mn + 1
+    var width = 1L
+    while (width <= Long.MaxValue / base && width * base < range) width *= base
+    // per rank: (bracket lo, bracket hi inclusive, rank within bracket)
+    var state: Map[Long, (Long, Long, Long)] =
+      ranks.distinct.map(r => r -> ((mn, mx, r))).toMap
+    var resolved = Map.empty[Long, Long]
+    while (state.nonEmpty) {
+      val w = width
+      val brackets = state.values.map { case (lo, hi, _) => (lo, hi) }.toSeq.distinct
+      val inBracket = brackets.map { case (lo, hi) =>
+        col("__v") >= lo && col("__v") <= hi }.reduce(_ || _)
+      val hist = v.filter(inBracket)
+        .groupBy(expr(s"(__v - ${mn}L) DIV ${w}L").as("__bin"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      state = state.flatMap { case (r, (lo, hi, rw)) =>
+        var acc = 0L
+        var bin = (lo - mn) / w
+        val binEnd = (hi - mn) / w
+        var hit = -1L
+        var rwb = 0L
+        while (hit < 0 && bin <= binEnd) {
+          val c = hist.getOrElse(bin, 0L)
+          if (acc + c >= rw) { hit = bin; rwb = rw - acc }
+          acc += c; bin += 1
+        }
+        assert(hit >= 0, s"rank $r not found in bracket [$lo,$hi] at width $w")
+        val nlo = math.max(lo, mn + hit * w)
+        val nhi = math.min(hi, mn + (hit + 1) * w - 1)
+        if (nlo == nhi) { resolved += r -> nlo; None }
+        else Some(r -> ((nlo, nhi, rwb)))
+      }
+      width = math.max(1L, width / base)
+    }
+    resolved
+  }
+
   def approxQuantiles(df: DataFrame, column: String,
                       probabilities: Array[Double], relErr: Double = 0.01): Array[Double] =
     df.stat.approxQuantile(column, probabilities, relErr)

@@ -1494,6 +1494,38 @@ object DataOpsQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // CCNet head/middle/tail perplexity bucketing: EVERY doc scored
+    // under the train-slice model (t26's scorer, integer scaled mean),
+    // then split at the exact tercile cutoffs — computed by
+    // Sketches.exactLongRanks' histogram refinement (bounded hash
+    // aggregates, no global sort, no single-partition window: the
+    // 100 TB-legal way to take a corpus quantile). The scored narrow
+    // projection (3 longs/doc — the table a production run would have
+    // materialized as its output) is checkpointed once so the
+    // refinement passes scan it, not the live scoring plan. Higher
+    // mean probability = head, like CCNet's lower-perplexity-is-head.
+    "t27_ppl_buckets" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val model = TextFunctions.bigramModel(
+        d.filter(col("doc_id") % 97 =!= 0L), "text")
+      val scored = TextFunctions.bigramScoreAgainst(model, d, "doc_id", "text")
+        .withColumn("scaledMean", expr("(scoreSum * 1000) DIV nBigrams"))
+        .select(col("doc_id"), col("nBigrams"), col("scaledMean"))
+        .localCheckpoint()
+      val n = scored.count()
+      val Seq(r1, r2) = Seq((n + 2) / 3, (2 * n + 2) / 3)
+      val cuts = graft.functions.Sketches.exactLongRanks(
+        scored, "scaledMean", Seq(r1, r2))
+      val (v33, v67) = (cuts(r1), cuts(r2))
+      scored
+        .withColumn("bucket",
+          when(col("scaledMean") < v33, "tail")
+            .when(col("scaledMean") < v67, "middle")
+            .otherwise("head"))
+        .withColumn("cutLow", lit(v33))
+        .withColumn("cutHigh", lit(v67))
+        .orderBy(col("doc_id"))
+    },
     // the distributed core of BPE tokenizer training: adjacent-symbol
     // pair counts over the char-split word corpus (round 1 of
     // TextFunctions.bpeTrain, whose merge loop is spec-tested) — a
@@ -1779,6 +1811,54 @@ object DataOpsQueries {
         |  CAST(SUM(backoff) AS BIGINT) AS nBackoff,
         |  CAST(SUM(score) AS DOUBLE) / COUNT(*) AS meanScore
         |FROM t26_s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t26's scorer over ALL docs (no OOV suffix), the ROW_NUMBER order
+    // statistic as the tercile pick — the same k-th-smallest definition
+    // exactLongRanks resolves by histogram refinement
+    "t27_ppl_buckets" ->
+      """WITH t27_tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |t27_uni AS (
+        |  SELECT w, COUNT(*) AS cu FROM (
+        |    SELECT UNNEST(t) AS w FROM t27_tok WHERE doc_id % 97 <> 0)
+        |  GROUP BY w),
+        |t27_n AS (SELECT CAST(SUM(cu) AS BIGINT) AS N FROM t27_uni),
+        |t27_tbig AS (
+        |  SELECT t[CAST(i AS INT) - 1] AS a, t[CAST(i AS INT)] AS b
+        |  FROM (SELECT t, UNNEST(range(2, len(t) + 1)) AS i
+        |        FROM t27_tok WHERE doc_id % 97 <> 0 AND len(t) >= 2)),
+        |t27_bi AS (SELECT a, b, COUNT(*) AS cab FROM t27_tbig GROUP BY a, b),
+        |t27_ebig AS (
+        |  SELECT doc_id, t[CAST(i AS INT) - 1] AS a, t[CAST(i AS INT)] AS b
+        |  FROM (SELECT doc_id, t, UNNEST(range(2, len(t) + 1)) AS i
+        |        FROM t27_tok WHERE len(t) >= 2)),
+        |t27_sc AS (
+        |  SELECT e.doc_id,
+        |    CASE WHEN bi.cab IS NOT NULL THEN (1000000 * bi.cab) // ua.cu
+        |         ELSE (400000 * COALESCE(ub.cu, 0)) // n.N END AS score
+        |  FROM t27_ebig e
+        |  LEFT JOIN t27_bi bi ON bi.a = e.a AND bi.b = e.b
+        |  LEFT JOIN t27_uni ua ON ua.w = e.a
+        |  LEFT JOIN t27_uni ub ON ub.w = e.b
+        |  CROSS JOIN t27_n n),
+        |t27_s AS (
+        |  SELECT doc_id, COUNT(*) AS nBigrams,
+        |    CAST((CAST(SUM(score) AS BIGINT) * 1000) // COUNT(*) AS BIGINT)
+        |      AS scaledMean
+        |  FROM t27_sc GROUP BY doc_id),
+        |t27_r AS (
+        |  SELECT scaledMean, ROW_NUMBER() OVER (ORDER BY scaledMean) AS rn,
+        |    COUNT(*) OVER () AS cnt
+        |  FROM t27_s),
+        |t27_c AS (
+        |  SELECT MIN(CASE WHEN rn >= (cnt + 2) // 3 THEN scaledMean END) AS v33,
+        |         MIN(CASE WHEN rn >= (2 * cnt + 2) // 3 THEN scaledMean END) AS v67
+        |  FROM t27_r)
+        |SELECT doc_id, nBigrams, scaledMean,
+        |  CASE WHEN scaledMean < v33 THEN 'tail'
+        |       WHEN scaledMean < v67 THEN 'middle' ELSE 'head' END AS bucket,
+        |  v33 AS cutLow, v67 AS cutHigh
+        |FROM t27_s CROSS JOIN t27_c ORDER BY doc_id""".stripMargin,
     "t23_bpe_pairs" ->
       """WITH w AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w

@@ -733,6 +733,25 @@ class DataOpsSpec extends SparkSpec {
     assert(out == Seq(Seq(1L, 0), Seq(2L, 0), Seq(3L, 1)))
   }
 
+  test("exactLongRanks equals the sorted-order pick: duplicates, ties, odd bases") {
+    // deterministic value set with heavy duplication and a wide range
+    val vals = (1 to 500).map(i => ((i * 7919L) % 97) * 1000003L + i % 3)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val sorted = vals.sorted
+    val ranks = Seq(1L, 167L, 334L, 500L, 250L)
+    for (base <- Seq(2L, 10L, 1024L)) {
+      val got = graft.functions.Sketches.exactLongRanks(df, "v", ranks, base)
+      ranks.foreach { r =>
+        assert(got(r) == sorted((r - 1).toInt),
+          s"rank $r base $base: got ${got(r)}, want ${sorted((r - 1).toInt)}")
+      }
+    }
+    // single-value edge and full-duplicate edge
+    val dup = Seq.fill(9)(42L).map(Tuple1(_)).toDF("v")
+    assert(graft.functions.Sketches.exactLongRanks(dup, "v", Seq(1L, 5L, 9L))
+      == Map(1L -> 42L, 5L -> 42L, 9L -> 42L))
+  }
+
   test("pii scrub redacts emails and phones, collapses whitespace") {
     val d = Seq((1L, "Mail Bob.Smith+x@Example.COM  or +1-555-0042  now"))
       .toDF("doc_id", "text")
