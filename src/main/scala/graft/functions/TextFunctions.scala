@@ -279,14 +279,23 @@ object TextFunctions {
     * the melt both LM training and scoring explode. Guarded for short
     * texts: `sequence(2, 1)` would generate a DESCENDING sequence in
     * Spark, so < 2 tokens returns an empty array instead. Pure map
-    * work, same shape as [[bpePairCounts]]'s pair explode. */
-  def bigramPairs(text: Column): Column = {
-    val t = tokens(text)
+    * work, same shape as [[bpePairCounts]]'s pair explode.
+    *
+    * Callers on a hot path should tokenize into a materialized column
+    * first and use [[bigramPairsOf]]: referencing `tokens(text)` inside
+    * the transform lambda re-evaluates the regexp per array element
+    * (O(len²) regex work per document — measured 2× on the t26/t27
+    * scoring melt). A separate projection keeps the extraction once per
+    * row: CollapseProject declines to re-inline a non-cheap expression
+    * referenced more than once. */
+  def bigramPairs(text: Column): Column = bigramPairsOf(tokens(text))
+
+  /** [[bigramPairs]] over an already-tokenized array column. */
+  def bigramPairsOf(t: Column): Column =
     when(size(t) >= 2,
       transform(sequence(lit(2), size(t)),
         i => struct(element_at(t, i - 1).as("a"), element_at(t, i).as("b"))))
       .otherwise(array().cast("array<struct<a:string,b:string>>"))
-  }
 
   /** CCNet-style LM quality scoring, the bigram "stupid backoff" form
     * (Brants et al. 2007 — the smoothing actually used for web-scale
@@ -313,18 +322,24 @@ object TextFunctions {
   def bigramBackoff(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, scalePpm: Long = 1000000L,
                     alphaPpm: Long = 400000L): DataFrame =
-    bigramScoreAgainst(bigramModel(train, textCol), eval, idCol, textCol,
-      scalePpm, alphaPpm)
+    // the model feeds FOUR consumers in the scorer (bi, uni×2, N) — a
+    // live plan would re-aggregate the train corpus per consumer;
+    // vocabulary-bounded, so the checkpoint is bounded (the
+    // multiply-read-bounded-frame pin convention)
+    bigramScoreAgainst(bigramModel(train, textCol).localCheckpoint(), eval,
+      idCol, textCol, scalePpm, alphaPpm)
 
   /** The trained model as ONE tall vocabulary-bounded frame —
     * (kind ∈ bi|uni, a, b, cnt) — so a standing deployment (or the
     * streaming twin's pinned frame) maintains a single table; the total
     * token count re-derives from the uni rows, a vocab-sized aggregate. */
   def bigramModel(train: DataFrame, textCol: String): DataFrame = {
-    val uni = train.select(explode(tokens(col(textCol))).as("__w"))
+    // tokenize ONCE into a materialized projection (see bigramPairs)
+    val toks = train.select(tokens(col(textCol)).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
-    val bi = train
-      .select(explode(bigramPairs(col(textCol))).as("__p"))
+    val bi = toks
+      .select(explode(bigramPairsOf(col("__t"))).as("__p"))
       .groupBy(col("__p")("a").as("__a"), col("__p")("b").as("__b"))
       .agg(count(lit(1)).as("__cab"))
     bi.select(lit("bi").as("kind"), col("__a").as("a"), col("__b").as("b"),
@@ -345,7 +360,8 @@ object TextFunctions {
       .select(col("a").as("__w"), col("cnt").as("__cu"))
     val n = uni.agg(sum(col("__cu")).as("__N"))
     val melt = eval
-      .select(col(idCol), explode(bigramPairs(col(textCol))).as("__p"))
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(bigramPairsOf(col("__t"))).as("__p"))
       .select(col(idCol), col("__p")("a").as("a"), col("__p")("b").as("b"))
     melt
       .join(broadcast(bi),

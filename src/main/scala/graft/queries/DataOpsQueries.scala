@@ -1506,8 +1506,9 @@ object DataOpsQueries {
     // mean probability = head, like CCNet's lower-perplexity-is-head.
     "t27_ppl_buckets" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
+      // vocab-bounded model pinned once: four consumers in the scorer
       val model = TextFunctions.bigramModel(
-        d.filter(col("doc_id") % 97 =!= 0L), "text")
+        d.filter(col("doc_id") % 97 =!= 0L), "text").localCheckpoint()
       val scored = TextFunctions.bigramScoreAgainst(model, d, "doc_id", "text")
         .withColumn("scaledMean", expr("(scoreSum * 1000) DIV nBigrams"))
         .select(col("doc_id"), col("nBigrams"), col("scaledMean"))
