@@ -117,8 +117,15 @@ object TextFunctions {
     * doc_id residues. Pure array/string expressions — the DuckDB oracle
     * reproduces the assembly byte-for-byte, and at corpus scale this is
     * a narrow map stage like every other text operator here. */
-  def pageText(docId: Column, text: Column): Column = {
-    val w = tokens(text)
+  def pageText(docId: Column, text: Column): Column =
+    pageTextOf(docId, tokens(text))
+
+  /** [[pageText]] over an already-tokenized array column — the hot-path
+    * form: the line builder slices `w` INSIDE a transform() lambda, so a
+    * live `tokens(text)` there re-runs the regexp once per line
+    * (the bigramPairs O(len²) hazard); callers should tokenize into a
+    * materialized projection first. */
+  def pageTextOf(docId: Column, w: Column): Column = {
     val nLines = greatest(ceil(size(w).cast("double") / lit(12.0)), lit(1L))
     val lines = transform(sequence(lit(0L), nLines - lit(1L)), i => {
       val body = concat_ws(" ", slice(w, (i * 12 + 1).cast("int"), lit(12)))

@@ -42,6 +42,16 @@ object DataOpsQueries {
     ranked.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The derived multi-line page corpus for t15/t16/t24 — tokenized
+    * into a materialized projection FIRST: pageTextOf slices the token
+    * array inside a transform() lambda, and a live tokens(text) there
+    * re-runs the regexp once per line (the bigramPairs O(len²) hazard). */
+  private def pageCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        TextFunctions.pageTextOf(col("doc_id"), col("__t")).as("page"))
+
   /** documents ∪ re-keyed copies of every 7th doc — a corpus with known
     * exact duplicates for the dedup demos (same derivation in oracle). */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -1317,10 +1327,7 @@ object DataOpsQueries {
     // bullet/ellipsis line shares, alpha-word share, stopword presence —
     // all narrow column expressions, one map stage at any scale
     "t15_gopher_rules" -> { (s, dir) =>
-      TextFunctions.gopherRules(
-          Tables.documents(s, dir).select(col("doc_id"),
-            TextFunctions.pageText(col("doc_id"), col("text")).as("page")))
-        .orderBy(col("doc_id"))
+      TextFunctions.gopherRules(pageCorpus(s, dir)).orderBy(col("doc_id"))
     },
     // C4 line/page filters (Raffel et al. 2020) over the same page
     // corpus: keep lines ending in terminal punctuation with ≥ 5 words
@@ -1328,19 +1335,14 @@ object DataOpsQueries {
     // "lorem ipsum". Emits the cleaned text itself (byte-compared
     // against the oracle's assembly)
     "t16_c4_filters" -> { (s, dir) =>
-      TextFunctions.c4Filters(
-          Tables.documents(s, dir).select(col("doc_id"),
-            TextFunctions.pageText(col("doc_id"), col("text")).as("page")))
-        .orderBy(col("doc_id"))
+      TextFunctions.c4Filters(pageCorpus(s, dir)).orderBy(col("doc_id"))
     },
     // corpus-wide boilerplate-line scrub (CCNet/MassiveText line-level
     // dedup): lines appearing in ≥ 5 distinct pages (the fixed-residue
     // marker lines, plus any short-doc collisions) are removed from
     // every page — corpus-level state the per-page C4 filters can't see
     "t24_line_scrub" -> { (s, dir) =>
-      TextFunctions.frequentLineScrub(
-          Tables.documents(s, dir).select(col("doc_id"),
-            TextFunctions.pageText(col("doc_id"), col("text")).as("page")),
+      TextFunctions.frequentLineScrub(pageCorpus(s, dir),
           "doc_id", "page", minDocs = 5L)
         .orderBy(col("doc_id"))
     },
