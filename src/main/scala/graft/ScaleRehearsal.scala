@@ -168,11 +168,50 @@ object ScaleRehearsal {
         .filter(col("estJaccard") >= 0.5).count()
     }
 
+    // ---- LM scoring / bucketing / keep-best dedup at 10x --------------
+    // (the round-12 second-session operators: model dims must stay
+    // vocabulary-bounded broadcasts, the tercile refinement must stay
+    // bounded aggregates, and cluster-best must ride the same pair
+    // graph d2 already proved absorbs the near-dup-heavy corpus)
+    import graft.functions.TextFunctions
+    val tT26 = time("t26 bigramBackoff (10x held-out)") {
+      TextFunctions.bigramBackoff(
+        d.filter(col("doc_id") % 97 =!= 0L),
+        d.filter(col("doc_id") % 97 === 0L), "doc_id", "text").count()
+    }
+    val tT27 = time("t27 exact-tercile buckets (10x)") {
+      val model = TextFunctions.bigramModel(
+        d.filter(col("doc_id") % 97 =!= 0L), "text").localCheckpoint()
+      val scored = TextFunctions.bigramScoreAgainst(model, d, "doc_id", "text")
+        .withColumn("scaledMean", expr("(scoreSum * 1000) DIV nBigrams"))
+        .select(col("doc_id"), col("scaledMean")).localCheckpoint()
+      val n = scored.count()
+      val cuts = graft.functions.Sketches.exactLongRanks(
+        scored, "scaledMean", Seq((n + 2) / 3, (2 * n + 2) / 3))
+      scored.filter(col("scaledMean") >= cuts((2 * n + 2) / 3)).count()
+    }
+    val tD16 = time("d16 cluster-best (near-dup-heavy)") {
+      val pairs = graft.functions.Dedup.lshCandidates(d, "doc_id", "text")
+        .filter(col("estJaccard") >= 0.5).select(col("id1"), col("id2"))
+      val clusters = graft.functions.Dedup.dupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val scored = d.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), length(col("text"))).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("clusterId"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.join(clusters, Seq("doc_id"), "left")
+        .withColumn("clusterId", coalesce(col("clusterId"), col("doc_id")))
+        .withColumn("repId", first(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("repId")).count()
+    }
+
     val r = Seq("build" -> tBuild, "paths_fast" -> tPathsFast,
       "paths_iter" -> tPathsIter, "resolve_fast" -> tResFast,
       "resolve_iter" -> tResIter, "cs_fast" -> tCsFast,
       "cs_iter" -> tCsIter, "n5" -> tN5, "requeue" -> tRequeue,
-      "corrupt" -> tCorrupt, "d2" -> tD2)
+      "corrupt" -> tCorrupt, "d2" -> tD2, "t26" -> tT26, "t27" -> tT27,
+      "d16" -> tD16)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
         pathsDiff + resDiff + csDiff == 0},"sf":"$sfDir",""", ",", "}"))

@@ -584,6 +584,15 @@ object Shell {
           .toDF("parentId", "name", "holder")
         Mutations.appendFile(file, block, reqs, nowMs = Now)
           .orderBy(col("writeOp"), col("id"))
+      case "score" =>
+        // CCNet-style LM bucket report: the t27 pipeline (train-slice
+        // bigram model, exact tercile cutoffs) summarized per bucket
+        graft.SparkEntry.queries("t27_ppl_buckets")(spark, sfDir)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("nDocs"),
+            min(col("scaledMean")).as("minScore"),
+            max(col("scaledMean")).as("maxScore"))
+          .orderBy(col("bucket"))
       case "decontaminate" =>
         val docs = graft.core.Tables.documents(spark, sfDir)
         graft.functions.Dedup.contamination(

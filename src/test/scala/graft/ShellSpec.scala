@@ -336,6 +336,20 @@ class ShellSpec extends SparkSpec {
     assert(r.getAs[Long]("corruptReplicaBlocks") == 0) // empty standing map
   }
 
+  test("score verb: LM bucket report covers all three terciles") {
+    val out = Shell.run(spark, sf, "score").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("head", "middle", "tail"))
+    val counts = out.map(r => r.getString(0) -> r.getAs[Long]("nDocs")).toMap
+    // exact terciles of the 500 scorable docs at sf0.001
+    assert(counts("head") == 167 && counts("middle") == 167
+      && counts("tail") == 166, s"got $counts")
+    // bucket ranges must not overlap: tail < v33 <= middle < v67 <= head
+    val rng = out.map(r => r.getString(0) ->
+      ((r.getAs[Long]("minScore"), r.getAs[Long]("maxScore")))).toMap
+    assert(rng("tail")._2 < rng("middle")._1 && rng("middle")._2 < rng("head")._1,
+      s"got $rng")
+  }
+
   test("oiv verb: ls lines by default, INODE elements under -xml") {
     val ls = Shell.run(spark, sf, "oiv").collect()
     assert(ls.nonEmpty && ls.forall(_.getString(0).matches("^[d-] .*")))
