@@ -198,6 +198,52 @@ object Multimodal {
     }
   }
 
+  /** Binary-payload dedup for multimodal corpora — the asset-level
+    * analog of d1/d2: exact duplicates by whole-payload md5; NEAR
+    * duplicates by ALIGNED fixed-size chunk hashes (the video-chunk /
+    * asset-block shape: two encodes sharing their leading blocks match
+    * on every full chunk and differ only past the edit point). Emits
+    * (id1, id2, sharedChunks, exactDup) for pairs sharing ≥ `minShared`
+    * aligned chunks.
+    *
+    * Scale shape: pairs generate from an equi-join on (chunkIdx,
+    * chunkHash) — bucket-local, never all-pairs — and a ubiquitous
+    * bucket (a constant header block shared corpus-wide) is dropped by
+    * the `maxBucket` valve BEFORE the join, the capBuckets discipline
+    * every pair generator in this engine carries. The chunk melt is one
+    * narrow map stage; referencing the `payload` attribute inside the
+    * transform lambda is free (the in-lambda hazard applies to computed
+    * expressions, not column refs). */
+  def payloadDedup(media: DataFrame, idCol: String, chunkBytes: Int = 64,
+                   minShared: Long = 2, maxBucket: Long = 64): DataFrame = {
+    val m = media.select(col(idCol), col("payload"))
+    val full = m.select(col(idCol), md5(col("payload")).as("__h"))
+    // 0-based chunk index from posexplode; empty payloads still yield
+    // one (empty) chunk — sequence(1, 0) would generate DESCENDING
+    val chunked = m.select(col(idCol),
+      expr(s"posexplode(transform(" +
+        s"sequence(1, greatest(int(ceil(octet_length(payload) / ${chunkBytes}.0)), 1)), " +
+        s"i -> md5(substring(payload, (i - 1) * $chunkBytes + 1, $chunkBytes))))")
+        .as(Seq("__ci", "__ch")))
+    val buckets = chunked.groupBy(col("__ci"), col("__ch"))
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBucket)
+      .select(col("__ci"), col("__ch"))
+    val pruned = chunked.join(buckets, Seq("__ci", "__ch"), "left_semi")
+    val a = pruned.select(col(idCol).as("id1"), col("__ci"), col("__ch"))
+    val b = pruned.select(col(idCol).as("id2"), col("__ci"), col("__ch"))
+    val shared = a.join(b, Seq("__ci", "__ch"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("sharedChunks"))
+      .filter(col("sharedChunks") >= minShared)
+    val f1 = full.select(col(idCol).as("id1"), col("__h").as("__h1"))
+    val f2 = full.select(col(idCol).as("id2"), col("__h").as("__h2"))
+    shared.join(f1, Seq("id1")).join(f2, Seq("id2"))
+      .select(col("id1"), col("id2"), col("sharedChunks"),
+        (col("__h1") === col("__h2")).as("exactDup"))
+  }
+
   final case class Frame(doc_id: Long, frameIdx: Int, payload: Array[Byte])
 
   /** Frame sampling for video payloads: split the byte stream into

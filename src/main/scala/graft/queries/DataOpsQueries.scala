@@ -754,6 +754,26 @@ object DataOpsQueries {
         .join(headers, Seq("doc_id"))
         .orderBy(col("doc_id"))
     },
+    // m5 binary-payload dedup: the asset-level analog of d1/d2 over a
+    // media corpus with planted exact copies (%7, re-keyed) AND planted
+    // aligned near-dups (%11, a 3-byte suffix — every full chunk still
+    // matches, only the final partial chunk differs), so both the
+    // exactDup flag and the shared-some-not-all branch are non-vacuous
+    // at every SF. Pairs from the (chunkIdx, chunkHash) equi-join with
+    // the maxBucket valve; payload bytes = utf-8 of the ASCII text, so
+    // the DuckDB twin chunks the text itself byte-for-byte.
+    "m5_payload_dedup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val md = d.select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      graft.multimodal.Multimodal.payloadDedup(
+          graft.multimodal.Multimodal.asMedia(md), "doc_id")
+        .orderBy(col("id1"), col("id2"))
+    },
     // F1 in the gate: documents → Hadoop SequenceFile[Text,Text] on disk
     // → read back — the differential check validates the round-trip
     // F4 codec matrix: one real write+read per supported codec, each
@@ -2352,6 +2372,34 @@ object DataOpsQueries {
         |         COUNT(DISTINCT s_name || ',"q') AS distinctPayloads
         |  FROM supplier) s
         |ORDER BY f.format""".stripMargin,
+    // same corpus derivation; DuckDB md5(VARCHAR) hashes the same utf-8
+    // bytes Spark's md5(BINARY payload) does for this ASCII corpus
+    "m5_payload_dedup" ->
+      """WITH m5_corp AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' v2' FROM documents WHERE doc_id % 11 = 0),
+        |m5_full AS (SELECT doc_id, md5(text) AS h FROM m5_corp),
+        |m5_ch AS (
+        |  SELECT doc_id, i - 1 AS ci,
+        |    md5(substr(text, CAST((i - 1) * 64 + 1 AS INT), 64)) AS ch
+        |  FROM (SELECT doc_id, text,
+        |          UNNEST(range(1, GREATEST(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) + 1)) AS i
+        |        FROM m5_corp)),
+        |m5_b AS (SELECT ci, ch FROM m5_ch GROUP BY ci, ch HAVING COUNT(*) <= 64),
+        |m5_chp AS (SELECT c.doc_id, c.ci, c.ch FROM m5_ch c JOIN m5_b USING (ci, ch)),
+        |m5_p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS sharedChunks
+        |  FROM m5_chp a JOIN m5_chp b ON a.ci = b.ci AND a.ch = b.ch
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.id1, p.id2, p.sharedChunks, fa.h = fb.h AS exactDup
+        |FROM m5_p p
+        |JOIN m5_full fa ON fa.doc_id = p.id1
+        |JOIN m5_full fb ON fb.doc_id = p.id2
+        |ORDER BY id1, id2""".stripMargin,
     "f15_fs_schemes" ->
       """SELECT f.scheme, s.n, s.keySum, s.nameLen
         |FROM (VALUES ('har'), ('viewfs')) AS f(scheme)

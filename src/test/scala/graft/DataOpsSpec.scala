@@ -752,6 +752,26 @@ class DataOpsSpec extends SparkSpec {
       == Map(1L -> 42L, 5L -> 42L, 9L -> 42L))
   }
 
+  test("exactLongRanks property: random multisets, random ranks, random bases") {
+    val rng = new scala.util.Random(20260815L)
+    for (round <- 1 to 5) {
+      val n = 50 + rng.nextInt(300)
+      // mixed regimes: tight duplicate-heavy ranges and sparse wide ones
+      val span = if (round % 2 == 0) 10L else 1L << (20 + rng.nextInt(20))
+      val vals = Seq.fill(n)(math.abs(rng.nextLong()) % span)
+      val sorted = vals.sorted
+      val ranks = Seq.fill(4)(1L + rng.nextInt(n)).distinct
+      val base = Seq(2L, 7L, 64L, 1024L)(rng.nextInt(4))
+      val got = graft.functions.Sketches.exactLongRanks(
+        vals.map(Tuple1(_)).toDF("v"), "v", ranks, base)
+      ranks.foreach { r =>
+        assert(got(r) == sorted((r - 1).toInt),
+          s"round $round base $base span $span rank $r: " +
+            s"got ${got(r)}, want ${sorted((r - 1).toInt)}")
+      }
+    }
+  }
+
   test("pii scrub redacts emails and phones, collapses whitespace") {
     val d = Seq((1L, "Mail Bob.Smith+x@Example.COM  or +1-555-0042  now"))
       .toDF("doc_id", "text")
@@ -840,6 +860,35 @@ class DataOpsSpec extends SparkSpec {
       "one two three four five.\nsix seven eight nine ten eleven!"))
     assert(out(1) == Seq(2L, 1L, 0L, true, "lorem", ""))
     assert(out(2) == Seq(3L, 1L, 0L, true, "brace", ""))
+  }
+
+  test("payloadDedup: exact flag, aligned near-dup count, mega-bucket valve") {
+    // A/B byte-identical; C = A's first 128 bytes + a different tail →
+    // shares exactly the 2 full aligned chunks; D unrelated
+    val base = ("x" * 150) + ("y" * 50) // 200 bytes → chunks 0,1 full, 2,3 partial...
+    val media = Seq(
+      (1L, base), (2L, base),
+      (3L, base.substring(0, 128) + "z" * 72),
+      (4L, "w" * 200),
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), lit("image").as("modality"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val out = rows(Multimodal.payloadDedup(media, "doc_id")
+      .orderBy(col("id1"), col("id2")))
+    // (1,2): all 4 chunks shared (200/64 → ceil = 4), exact;
+    // (1,3)/(2,3): chunks 0,1 shared (bytes 0..127 identical), near
+    assert(out == Seq(Seq(1L, 2L, 4L, true), Seq(1L, 3L, 2L, false),
+      Seq(2L, 3L, 2L, false)))
+    // valve: 100 docs sharing chunk 0 is a mega-bucket at maxBucket=10 —
+    // no pairs may emerge from it (the equi-join must never see it)
+    val many = (1 to 100).map(i => (i.toLong, "h" * 64 + i.toString))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), lit("image").as("modality"),
+        encode(col("text"), "UTF-8").as("payload"))
+    assert(Multimodal.payloadDedup(many, "doc_id", maxBucket = 10).count() == 0)
+    // ...and with the valve open the same bucket pairs quadratically
+    assert(Multimodal.payloadDedup(many, "doc_id", minShared = 1,
+      maxBucket = 1000).count() == 100L * 99 / 2)
   }
 
   test("multimodal plumbing: stub decode is deterministic per payload") {
