@@ -214,17 +214,21 @@ object Multimodal {
     * narrow map stage; referencing the `payload` attribute inside the
     * transform lambda is free (the in-lambda hazard applies to computed
     * expressions, not column refs). */
-  def payloadDedup(media: DataFrame, idCol: String, chunkBytes: Int = 64,
-                   minShared: Long = 2, maxBucket: Long = 64): DataFrame = {
-    val m = media.select(col(idCol), col("payload"))
-    val full = m.select(col(idCol), md5(col("payload")).as("__h"))
-    // 0-based chunk index from posexplode; empty payloads still yield
-    // one (empty) chunk — sequence(1, 0) would generate DESCENDING
-    val chunked = m.select(col(idCol),
+  /** 0-based aligned chunk-hash melt of a payload column; empty payloads
+    * still yield one (empty) chunk — sequence(1, 0) would generate a
+    * DESCENDING sequence. */
+  private def chunkMelt(m: DataFrame, idCol: String, chunkBytes: Int): DataFrame =
+    m.select(col(idCol),
       expr(s"posexplode(transform(" +
         s"sequence(1, greatest(int(ceil(octet_length(payload) / ${chunkBytes}.0)), 1)), " +
         s"i -> md5(substring(payload, (i - 1) * $chunkBytes + 1, $chunkBytes))))")
         .as(Seq("__ci", "__ch")))
+
+  def payloadDedup(media: DataFrame, idCol: String, chunkBytes: Int = 64,
+                   minShared: Long = 2, maxBucket: Long = 64): DataFrame = {
+    val m = media.select(col(idCol), col("payload"))
+    val full = m.select(col(idCol), md5(col("payload")).as("__h"))
+    val chunked = chunkMelt(m, idCol, chunkBytes)
     val buckets = chunked.groupBy(col("__ci"), col("__ch"))
       .agg(count(lit(1)).as("__bc"))
       .filter(col("__bc") <= maxBucket)
@@ -242,6 +246,68 @@ object Multimodal {
     shared.join(f1, Seq("id1")).join(f2, Seq("id2"))
       .select(col("id1"), col("id2"), col("sharedChunks"),
         (col("__h1") === col("__h2")).as("exactDup"))
+  }
+
+  /** The standing asset index [[payloadDedupAgainst]] probes — whole-
+    * payload hashes and aligned chunk hashes as ONE tall frame
+    * (kind ∈ full|chunk, doc_id, ci, h), so a deployment (or the
+    * streaming twin's pinned frame) maintains a single table. */
+  def payloadIndex(media: DataFrame, idCol: String,
+                   chunkBytes: Int = 64): DataFrame = {
+    val m = media.select(col(idCol), col("payload"))
+    m.select(lit("full").as("kind"), col(idCol).as("doc_id"),
+        lit(-1).as("ci"), md5(col("payload")).as("h"))
+      .unionByName(chunkMelt(m, idCol, chunkBytes)
+        .select(lit("chunk").as("kind"), col(idCol).as("doc_id"),
+          col("__ci").as("ci"), col("__ch").as("h")))
+  }
+
+  /** Classify a batch of arriving assets against a PREBUILT
+    * [[payloadIndex]]: `exact_dup` (whole-payload hash present — lowest
+    * matching standing id), `near_dup` (≥ `minShared` aligned chunks
+    * with some standing asset — best match by (sharedChunks desc, id
+    * asc)), else `unique`. Batch-internal duplicates are deliberately
+    * NOT paired here (the batch-mode [[payloadDedup]] covers that);
+    * per batch the work is the batch's own chunk melt + equi-joins
+    * against the index — O(batch), the incremental-ingest shape. The
+    * maxBucket valve prunes mega-buckets on the STANDING side before
+    * the join, same discipline as the batch form. */
+  def payloadDedupAgainst(index: DataFrame, batch: DataFrame, idCol: String,
+                          chunkBytes: Int = 64, minShared: Long = 2,
+                          maxBucket: Long = 64): DataFrame = {
+    val m = batch.select(col(idCol), col("payload"))
+    val bFull = m.select(col(idCol), md5(col("payload")).as("__bh"))
+    val bChunks = chunkMelt(m, idCol, chunkBytes)
+    val iFull = index.filter(col("kind") === "full")
+      .select(col("doc_id").as("__cid"), col("h").as("__ih"))
+    val iChunksAll = index.filter(col("kind") === "chunk")
+      .select(col("doc_id").as("__cid"), col("ci").as("__ici"),
+        col("h").as("__ich"))
+    val okBuckets = iChunksAll.groupBy(col("__ici"), col("__ich"))
+      .agg(count(lit(1)).as("__bc")).filter(col("__bc") <= maxBucket)
+      .select(col("__ici"), col("__ich"))
+    val iChunks = iChunksAll.join(okBuckets, Seq("__ici", "__ich"), "left_semi")
+    val exact = bFull.join(iFull, col("__bh") === col("__ih"))
+      .groupBy(col(idCol)).agg(min(col("__cid")).as("__exactOf"))
+    val near = bChunks.join(iChunks,
+        col("__ci") === col("__ici") && col("__ch") === col("__ich"))
+      .groupBy(col(idCol), col("__cid"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__shared"), (-col("__cid")).as("__n"),
+        col("__cid").as("__cid"))).as("__m"))
+      .select(col(idCol), col("__m.__cid").as("__nearOf"),
+        col("__m.__shared").as("__nearShared"))
+    m.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__exactOf").isNotNull, lit("exact_dup"))
+          .when(col("__nearOf").isNotNull, lit("near_dup"))
+          .otherwise(lit("unique")).as("verdict"),
+        coalesce(col("__exactOf"), col("__nearOf")).as("matchId"),
+        when(col("__exactOf").isNull, col("__nearShared")).as("sharedChunks"))
   }
 
   final case class Frame(doc_id: Long, frameIdx: Int, payload: Array[Byte])

@@ -774,6 +774,32 @@ object DataOpsQueries {
           graft.multimodal.Multimodal.asMedia(md), "doc_id")
         .orderBy(col("id1"), col("id2"))
     },
+    // m6 incremental asset ingest: a batch of arriving media classified
+    // against the STANDING asset index (payloadIndex over the %3 slice)
+    // — exact_dup (%15 re-deliveries), near_dup (re-keyed %3∖%5 docs
+    // with a 3-byte suffix: every full chunk still matches), unique
+    // (%5∖%3 docs) — all three verdicts non-vacuous at every SF.
+    // O(batch) equi-joins against the index; the streaming twin
+    // (Changefeed.streamingPayloadDedup) runs this same body per
+    // micro-batch against the pinned index.
+    "m6_payload_incremental" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val asM = (df: org.apache.spark.sql.DataFrame) =>
+        graft.multimodal.Multimodal.asMedia(df)
+      val standing = asM(d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text")))
+      val batch = asM(
+        d.filter(col("doc_id") % 15 === 0).select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 =!= 0)
+            .select(col("doc_id"), col("text")))
+          .unionByName(d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 =!= 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" v2")).as("text"))))
+      graft.multimodal.Multimodal.payloadDedupAgainst(
+          graft.multimodal.Multimodal.payloadIndex(standing, "doc_id"),
+          batch, "doc_id")
+        .orderBy(col("doc_id"))
+    },
     // F1 in the gate: documents → Hadoop SequenceFile[Text,Text] on disk
     // → read back — the differential check validates the round-trip
     // F4 codec matrix: one real write+read per supported codec, each
@@ -2372,6 +2398,58 @@ object DataOpsQueries {
         |         COUNT(DISTINCT s_name || ',"q') AS distinctPayloads
         |  FROM supplier) s
         |ORDER BY f.format""".stripMargin,
+    // the ARRAY_AGG(x ORDER BY shared DESC, cid ASC)[1] pick is the
+    // oracle's argmax — same (sharedChunks desc, id asc) best-match
+    // rule the Spark struct-max encodes
+    "m6_payload_incremental" ->
+      """WITH m6_stand AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |m6_batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 15 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' v2' FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0),
+        |m6_if AS (SELECT doc_id AS cid, md5(text) AS h FROM m6_stand),
+        |m6_ic AS (
+        |  SELECT doc_id AS cid, i - 1 AS ci,
+        |    md5(substr(text, CAST((i - 1) * 64 + 1 AS INT), 64)) AS ch
+        |  FROM (SELECT doc_id, text,
+        |          UNNEST(range(1, GREATEST(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) + 1)) AS i
+        |        FROM m6_stand)),
+        |m6_okb AS (SELECT ci, ch FROM m6_ic GROUP BY ci, ch HAVING COUNT(*) <= 64),
+        |m6_icp AS (SELECT c.cid, c.ci, c.ch FROM m6_ic c JOIN m6_okb USING (ci, ch)),
+        |m6_bf AS (SELECT doc_id, md5(text) AS bh FROM m6_batch),
+        |m6_bc AS (
+        |  SELECT doc_id, i - 1 AS ci,
+        |    md5(substr(text, CAST((i - 1) * 64 + 1 AS INT), 64)) AS ch
+        |  FROM (SELECT doc_id, text,
+        |          UNNEST(range(1, GREATEST(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) + 1)) AS i
+        |        FROM m6_batch)),
+        |m6_ex AS (
+        |  SELECT b.doc_id, MIN(i.cid) AS exactOf
+        |  FROM m6_bf b JOIN m6_if i ON b.bh = i.h GROUP BY 1),
+        |m6_nr0 AS (
+        |  SELECT b.doc_id, i.cid, COUNT(*) AS shared
+        |  FROM m6_bc b JOIN m6_icp i ON b.ci = i.ci AND b.ch = i.ch
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |m6_nr AS (
+        |  SELECT doc_id,
+        |    (ARRAY_AGG(cid ORDER BY shared DESC, cid ASC))[1] AS nearOf,
+        |    (ARRAY_AGG(shared ORDER BY shared DESC, cid ASC))[1] AS nearShared
+        |  FROM m6_nr0 GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CASE WHEN e.exactOf IS NOT NULL THEN 'exact_dup'
+        |       WHEN n.nearOf IS NOT NULL THEN 'near_dup'
+        |       ELSE 'unique' END AS verdict,
+        |  COALESCE(e.exactOf, n.nearOf) AS matchId,
+        |  CASE WHEN e.exactOf IS NULL THEN n.nearShared END AS sharedChunks
+        |FROM m6_batch b
+        |LEFT JOIN m6_ex e USING (doc_id)
+        |LEFT JOIN m6_nr n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // same corpus derivation; DuckDB md5(VARCHAR) hashes the same utf-8
     // bytes Spark's md5(BINARY payload) does for this ASCII corpus
     "m5_payload_dedup" ->

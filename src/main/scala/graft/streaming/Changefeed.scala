@@ -231,6 +231,28 @@ object Changefeed {
     }
   }
 
+  /** Streaming asset-ingest dedup: the streaming twin of
+    * [[graft.multimodal.Multimodal.payloadDedupAgainst]]. The standing
+    * corpus's asset index ([[graft.multimodal.Multimodal.payloadIndex]]
+    * — whole-payload + aligned chunk hashes as one tall frame) is
+    * pinned once; each micro-batch of arriving media classifies
+    * exact_dup / near_dup / unique with its own chunk melt + equi-joins
+    * against the index — O(batch) per trigger, no streaming state. */
+  def streamingPayloadDedup(media: DataFrame, standing: DataFrame,
+                            idCol: String,
+                            sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.multimodal.Multimodal
+    val idx = Multimodal.payloadIndex(standing, idCol)
+    withStandingFrame(idx, media.sparkSession) { pinned =>
+      media.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          sink(Multimodal.payloadDedupAgainst(pinned, batch.toDF(), idCol),
+            batchId)
+        }
+        .start()
+    }
+  }
+
   /** Streaming ANN ingest: the streaming twin of
     * [[graft.functions.Vectors.ivfPqSearch]]'s incremental split
     * (sim11). Each micro-batch of arriving vectors probes the STANDING

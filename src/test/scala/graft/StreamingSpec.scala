@@ -325,6 +325,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed asset dedup matches the batch classification against the pinned index") {
+    implicit val sqlCtx = spark.sqlContext
+    val asMedia = (rows: Seq[(Long, String)]) =>
+      rows.toDF("doc_id", "text").select(col("doc_id"),
+        lit("image").as("modality"), encode(col("text"), "UTF-8").as("payload"))
+    val standing = asMedia(Seq(
+      (1L, "x" * 150 + "y" * 50), (2L, "w" * 200)))
+    val batchRows = Seq(
+      (10L, "x" * 150 + "y" * 50),          // exact re-delivery of 1
+      (11L, ("x" * 150 + "y" * 50) + "v2"), // near: all 4 full... 3 full chunks shared
+      (12L, "q" * 200))                     // unique
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.concurrent.TrieMap[Long, (String, Any, Any)]()
+    val q = Changefeed.streamingPayloadDedup(
+      mem.toDF().toDF("doc_id", "text").select(col("doc_id"),
+        lit("image").as("modality"), encode(col("text"), "UTF-8").as("payload")),
+      standing, "doc_id",
+      (out, _) => out.collect().foreach(r =>
+        acc(r.getLong(0)) = (r.getString(1), r.get(2), r.get(3))))
+    try {
+      mem.addData(batchRows(0), batchRows(1)); q.processAllAvailable()
+      mem.addData(batchRows(2)); q.processAllAvailable()
+      val expect = graft.multimodal.Multimodal.payloadDedupAgainst(
+          graft.multimodal.Multimodal.payloadIndex(standing, "doc_id"),
+          asMedia(batchRows), "doc_id")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.get(2), r.get(3)))).toMap
+      assert(acc.toMap == expect)
+      assert(acc(10L)._1 == "exact_dup" && acc(10L)._2 == 1L)
+      assert(acc(11L)._1 == "near_dup" && acc(11L)._2 == 1L)
+      assert(acc(12L)._1 == "unique" && acc(12L)._2 == null)
+    } finally q.stop()
+  }
+
   test("streamed LM scoring matches batch stupid-backoff; model pinned across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val train = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
