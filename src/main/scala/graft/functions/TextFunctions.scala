@@ -390,6 +390,106 @@ object TextFunctions {
         col("scoreSum").cast("double") / col("nBigrams"))
   }
 
+  // ---- Model-based quality classifier (fastText/DCLM shape) -----------
+
+  /** The hashing-trick feature space: 4096 buckets = the first 3 md5 hex
+    * chars of the feature string. CONSTANT-sized regardless of the
+    * vocabulary — the property that keeps the trained model broadcastable
+    * at any corpus scale (fastText's `-hash` bucket table; Weinberger et
+    * al. 2009). */
+  val FeatureBuckets = 4096L
+
+  /** fastText-shaped hashed feature melt: unigram tokens plus adjacent
+    * word-bigram features (fastText `wordNgrams=2`), each mapped to its
+    * bucket by the md5 hex prefix (the cross-engine-deterministic hash
+    * this repo uses everywhere — same recipe as the Count-Min rows).
+    * One row per feature OCCURRENCE: (idCol, feat). Bigrams join with an
+    * `_` separator so ("ab","c") and ("a","bc") can't alias before
+    * hashing. Documents with no tokens contribute no rows and drop out
+    * of anything aggregated from this melt. */
+  def hashedFeatureRows(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    // tokenize ONCE into a materialized projection (see bigramPairs)
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val uni = toks.select(col(idCol), explode(col("__t")).as("__f"))
+    val bi = toks
+      .select(col(idCol), explode(bigramPairsOf(col("__t"))).as("__p"))
+      .select(col(idCol),
+        concat(col("__p")("a"), lit("_"), col("__p")("b")).as("__f"))
+    uni.unionByName(bi)
+      .select(col(idCol),
+        conv(substring(md5(col("__f")), 1, 3), 16, 10)
+          .cast("long").as("feat"))
+  }
+
+  /** Closed-form trainer for the model-based quality filter: multinomial
+    * Naive Bayes counts over the hashed feature space, from a curated
+    * "positive" slice and a raw "negative" slice (the fastText-classifier
+    * recipe behind CCNet/DCLM/FineWeb-Edu-style model-based filtering,
+    * with NB in place of logistic regression so training is ONE
+    * deterministic aggregate — no SGD, no iteration order, bit-identical
+    * across engines and cluster sizes). The model is ≤ [[FeatureBuckets]]
+    * rows: (feat, cPos, cNeg).
+    *
+    * Scale shape: two melt aggregates whose output is bucket-bounded —
+    * the shuffle carries (feat, partial-count) rows only; the corpus
+    * never shuffles. */
+  def nbTrain(pos: DataFrame, neg: DataFrame, idCol: String,
+              textCol: String): DataFrame = {
+    val p = hashedFeatureRows(pos, idCol, textCol)
+      .groupBy(col("feat")).agg(count(lit(1)).as("cPos"))
+    val n = hashedFeatureRows(neg, idCol, textCol)
+      .groupBy(col("feat")).agg(count(lit(1)).as("cNeg"))
+    p.join(n, Seq("feat"), "full_outer")
+      .select(col("feat"),
+        coalesce(col("cPos"), lit(0L)).as("cPos"),
+        coalesce(col("cNeg"), lit(0L)).as("cNeg"))
+  }
+
+  /** Score a corpus against a PREBUILT [[nbTrain]] model — per-occurrence
+    * add-one NB log-likelihood ratio in INTEGER-EXACT floor-log2 bits
+    * (the t17 discipline: bl(x) = length of x in binary, no libm, both
+    * engines bit-identical):
+    *
+    *   w(f) = [bl(cPos(f)+1) − bl(totPos+B)] − [bl(cNeg(f)+1) − bl(totNeg+B)]
+    *
+    * summed per document; `keep` = score > 0 (uniform class prior —
+    * quality-filter training slices are size-matched by construction).
+    * Features outside the model coalesce to zero counts, so unseen
+    * content scores only the class-total constant, exactly like NB.
+    * Emits (id, nFeats, score, keep); token-less documents drop out with
+    * the melt.
+    *
+    * Scale shape: the model and its 1-row totals broadcast into the
+    * corpus-sized melt; the only corpus-sized shuffle is the final
+    * doc-keyed aggregate — the same pass CCNet/DCLM run to score a crawl
+    * against a trained quality model. */
+  def nbScoreAgainst(model: DataFrame, docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val bl = (c: Column) => length(bin(c)).cast("long")
+    val totals = model.agg(sum(col("cPos")).as("__tp"),
+      sum(col("cNeg")).as("__tn"))
+    hashedFeatureRows(docs, idCol, textCol)
+      .join(broadcast(model), Seq("feat"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__w",
+        (bl(coalesce(col("cPos"), lit(0L)) + 1) -
+          bl(col("__tp") + FeatureBuckets)) -
+        (bl(coalesce(col("cNeg"), lit(0L)) + 1) -
+          bl(col("__tn") + FeatureBuckets)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nFeats"), sum(col("__w")).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
+  /** Train-and-score in one call: the model feeds two consumers in the
+    * scorer (totals + the probe join) and is bucket-bounded, so it is
+    * pinned once (the multiply-read-bounded-frame convention). */
+  def nbClassifier(pos: DataFrame, neg: DataFrame, docs: DataFrame,
+                   idCol: String, textCol: String): DataFrame =
+    nbScoreAgainst(nbTrain(pos, neg, idCol, textCol).localCheckpoint(),
+      docs, idCol, textCol)
+
   // ---- Distributed BPE tokenizer training -----------------------------
 
   /** Adjacent-symbol pair counts over a words frame whose `symsCol` is

@@ -1542,6 +1542,24 @@ object DataOpsQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // model-based quality filtering, the fastText/DCLM/FineWeb-Edu shape:
+    // a classifier trained on a curated-vs-raw pair of labeled slices
+    // (src0 = the curated target sample, src1 = the raw contrast) scores
+    // the WHOLE corpus and gates on the sign. Features are hashed
+    // unigram+bigram occurrences (the hashing trick — model size is
+    // CONSTANT at 4096 buckets whatever the vocabulary); the trainer is
+    // closed-form multinomial NB (one aggregate, no SGD) and the scorer
+    // is the add-one log-likelihood ratio in integer-exact floor-log2
+    // bits (t17 discipline). Model + totals broadcast; the corpus-sized
+    // work is one melt + one doc-keyed aggregate.
+    "t28_quality_classifier" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      TextFunctions.nbClassifier(
+          d.filter(col("source") === "src0"),
+          d.filter(col("source") === "src1"),
+          d, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // CCNet head/middle/tail perplexity bucketing: EVERY doc scored
     // under the train-slice model (t26's scorer, integer scaled mean),
     // then split at the exact tercile cutoffs — computed by
@@ -1860,6 +1878,50 @@ object DataOpsQueries {
         |  CAST(SUM(backoff) AS BIGINT) AS nBackoff,
         |  CAST(SUM(score) AS DOUBLE) / COUNT(*) AS meanScore
         |FROM t26_s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same hashed melt (3-hex-char md5 bucket via the t20 strpos
+    // recipe), per-slice NB counts, floor-log2-bit LLR, sign gate
+    "t28_quality_classifier" ->
+      """WITH t28_tok AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |t28_feat AS (
+        |  SELECT doc_id, source, w AS f FROM (
+        |    SELECT doc_id, source, UNNEST(t) AS w FROM t28_tok)
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    t[CAST(i AS INT) - 1] || '_' || t[CAST(i AS INT)] AS f
+        |  FROM (SELECT doc_id, source, t, UNNEST(range(2, len(t) + 1)) AS i
+        |        FROM t28_tok WHERE len(t) >= 2)),
+        |t28_h AS (
+        |  SELECT doc_id, source,
+        |    CAST((strpos('0123456789abcdef', hx[1]) - 1) * 256
+        |      + (strpos('0123456789abcdef', hx[2]) - 1) * 16
+        |      + (strpos('0123456789abcdef', hx[3]) - 1) AS BIGINT) AS feat
+        |  FROM (SELECT doc_id, source, md5(f) AS hx FROM t28_feat)),
+        |t28_p AS (
+        |  SELECT feat, COUNT(*) AS cPos FROM t28_h
+        |  WHERE source = 'src0' GROUP BY feat),
+        |t28_n AS (
+        |  SELECT feat, COUNT(*) AS cNeg FROM t28_h
+        |  WHERE source = 'src1' GROUP BY feat),
+        |t28_tot AS (
+        |  SELECT
+        |    (SELECT CAST(COALESCE(SUM(cPos), 0) AS BIGINT) FROM t28_p) AS tp,
+        |    (SELECT CAST(COALESCE(SUM(cNeg), 0) AS BIGINT) FROM t28_n) AS tn),
+        |t28_s AS (
+        |  SELECT h.doc_id,
+        |    (length(format('{:b}', COALESCE(p.cPos, 0) + 1))
+        |      - length(format('{:b}', t.tp + 4096)))
+        |    - (length(format('{:b}', COALESCE(n.cNeg, 0) + 1))
+        |      - length(format('{:b}', t.tn + 4096))) AS w
+        |  FROM t28_h h
+        |  LEFT JOIN t28_p p USING (feat)
+        |  LEFT JOIN t28_n n USING (feat)
+        |  CROSS JOIN t28_tot t)
+        |SELECT doc_id, COUNT(*) AS nFeats, CAST(SUM(w) AS BIGINT) AS score,
+        |  SUM(w) > 0 AS keep
+        |FROM t28_s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // t26's scorer over ALL docs (no OOV suffix), the ROW_NUMBER order
     // statistic as the tercile pick — the same k-th-smallest definition
     // exactLongRanks resolves by histogram refinement

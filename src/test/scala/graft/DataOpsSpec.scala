@@ -726,6 +726,33 @@ class DataOpsSpec extends SparkSpec {
       866665.0 / 4)))
   }
 
+  test("nbClassifier: hand-computed floor-log2 LLR, sign gate, OOV-neutral") {
+    // pos melt: good×2, great, good_great, great_good → tp = 5
+    // neg melt: bad×2, awful, bad_awful, awful_bad → tn = 5
+    // bl(tp+4096) = bl(tn+4096) = bl(4101) = 13 → the class-total
+    // constants cancel per occurrence. (All ten fixture features land in
+    // distinct md5 buckets — checked offline.)
+    val pos = Seq((1L, "good great good")).toDF("doc_id", "text")
+    val neg = Seq((2L, "bad awful bad")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "good good"), // w(good)=bl(3)−bl(1)=1 ×2; w(good_good)=0 → +2
+      (11L, "bad"),       // w(bad)=bl(1)−bl(3)=−1 → −1
+      (12L, "neutral"),   // OOV: bl(1)−bl(1)=0 → 0, keep=false (not >0)
+      (13L, ""),          // token-less → drops out with the melt
+    ).toDF("doc_id", "text")
+    val out = rows(TextFunctions.nbClassifier(pos, neg, probe,
+      "doc_id", "text").orderBy(col("doc_id")))
+    assert(out == Seq(
+      Seq(10L, 3L, 2L, true),
+      Seq(11L, 1L, -1L, false),
+      Seq(12L, 1L, 0L, false)))
+    // prebuilt-model path scores identically (the streaming-twin form)
+    val model = TextFunctions.nbTrain(pos, neg, "doc_id", "text")
+    val again = rows(TextFunctions.nbScoreAgainst(model, probe,
+      "doc_id", "text").orderBy(col("doc_id")))
+    assert(again == out)
+  }
+
   test("bigramPairs: short texts produce an empty melt, not a descending one") {
     val d = Seq((1L, "solo"), (2L, ""), (3L, "two words")).toDF("doc_id", "text")
     val out = rows(d.select(col("doc_id"),
