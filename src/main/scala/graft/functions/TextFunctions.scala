@@ -390,6 +390,116 @@ object TextFunctions {
         col("scoreSum").cast("double") / col("nBigrams"))
   }
 
+  // ---- MassiveText repetition filters (Gopher Table A1) ---------------
+
+  /** The full Gopher/MassiveText REPETITION filter set (Rae et al. 2021,
+    * Table A1) — the within-document signals the t15 quality rules don't
+    * cover, at token granularity:
+    *
+    *   - duplicate line fraction, duplicate line CHARACTER fraction
+    *     (occurrences beyond a line's first, over all lines/chars)
+    *   - top n-gram fraction for n = 2,3,4: tokens claimed by the single
+    *     most frequent n-gram (ties → lexicographically smallest gram)
+    *   - duplicate n-gram fraction for n = 5..10: tokens covered by AT
+    *     LEAST ONE occurrence of any n-gram that occurs more than once —
+    *     overlaps counted ONCE, per the paper, via an interval-union
+    *     sweep (running max-end window, same island algebra as the span
+    *     dedup family)
+    *
+    * plus the published keep conjunction (line ≤0.30/0.20 char, top
+    * 2/3/4-gram ≤0.20/0.18/0.16, dup 5..10-gram ≤0.15..0.10). The
+    * paragraph pair of signals is line-granularity here — the derived
+    * page corpus has no paragraph breaks.
+    *
+    * Scale shape: everything partitions by (doc [, n [, gram]]) — state
+    * is bounded per document, the shuffles are doc-keyed, and the gram
+    * melt is ≤ 9× the corpus token count in narrow rows (at 100 TB,
+    * prune the n set if the melt dominates; each n is independent). */
+  def repetitionSignals(pages: DataFrame, idCol: String,
+                        pageCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tokenize/split ONCE into a materialized projection (bigramPairs
+    // hazard: lambdas below must not re-run the regexp per element)
+    val toks = pages.select(col(idCol), tokens(col(pageCol)).as("__t"),
+      split(col(pageCol), "\n").as("__lines"))
+    val base = toks.select(col(idCol), size(col("__t")).cast("long").as("nTok"))
+    val lc = toks.select(col(idCol), explode(col("__lines")).as("__line"))
+      .groupBy(col(idCol), col("__line"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__ln", length(col("__line")).cast("long"))
+    val ls = lc.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("nLines"),
+      (sum(col("__c")) - count(lit(1))).as("__dupLines"),
+      sum(col("__c") * col("__ln")).as("__totLineChars"),
+      sum((col("__c") - 1) * col("__ln")).as("__dupLineChars"))
+    def gramMelt(n: Int): DataFrame =
+      toks.filter(size(col("__t")) >= n)
+        .select(col(idCol), lit(n).as("__n"),
+          posexplode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => array_join(slice(col("__t"), i, lit(n)), " "))))
+        .toDF(idCol, "__n", "__p", "__gram")
+    val melt = (2 to 10).map(gramMelt).reduce(_ unionByName _)
+    val cm = melt.withColumn("__cnt",
+      count(lit(1)).over(Window.partitionBy(col(idCol), col("__n"),
+        col("__gram"))))
+    val topW = Window.partitionBy(col(idCol), col("__n"))
+      .orderBy(col("__cnt").desc, col("__gram"), col("__p"))
+    val top = cm.filter(col("__n") <= 4)
+      .withColumn("__rn", row_number().over(topW))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(max(when(col("__n") === 2, col("__cnt"))).as("__c2"),
+        max(when(col("__n") === 3, col("__cnt"))).as("__c3"),
+        max(when(col("__n") === 4, col("__cnt"))).as("__c4"))
+    // interval-union sweep: an occurrence covers token positions
+    // [p, p+n); a position counts once however many duplicated grams
+    // cover it (running max of prior interval ends, new chars only)
+    val sweepW = Window.partitionBy(col(idCol), col("__n"))
+      .orderBy(col("__p")).rowsBetween(Window.unboundedPreceding, -1)
+    val cov = cm.filter(col("__n") >= 5 && col("__cnt") >= 2)
+      .withColumn("__pm", max(col("__p") + col("__n")).over(sweepW))
+      .withColumn("__new",
+        greatest(lit(0L), ((col("__p") + col("__n")) -
+          greatest(col("__p"), coalesce(col("__pm"), lit(0)))).cast("long")))
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(col("__new")).as("__cov"))
+      .groupBy(col(idCol))
+      .agg(max(when(col("__n") === 5, col("__cov"))).as("__v5"),
+        max(when(col("__n") === 6, col("__cov"))).as("__v6"),
+        max(when(col("__n") === 7, col("__cov"))).as("__v7"),
+        max(when(col("__n") === 8, col("__cov"))).as("__v8"),
+        max(when(col("__n") === 9, col("__cov"))).as("__v9"),
+        max(when(col("__n") === 10, col("__cov"))).as("__v10"))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    def topFrac(c: Column, n: Int): Column =
+      frac(coalesce(c, lit(0L)) * n, col("nTok"))
+    def dupFrac(v: Column): Column = frac(coalesce(v, lit(0L)), col("nTok"))
+    base.join(ls, Seq(idCol))
+      .join(top, Seq(idCol), "left")
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("nTok"), col("nLines"),
+        frac(col("__dupLines"), col("nLines")).as("dupLineFrac"),
+        frac(col("__dupLineChars"), col("__totLineChars"))
+          .as("dupLineCharFrac"),
+        topFrac(col("__c2"), 2).as("top2Frac"),
+        topFrac(col("__c3"), 3).as("top3Frac"),
+        topFrac(col("__c4"), 4).as("top4Frac"),
+        dupFrac(col("__v5")).as("dup5Frac"),
+        dupFrac(col("__v6")).as("dup6Frac"),
+        dupFrac(col("__v7")).as("dup7Frac"),
+        dupFrac(col("__v8")).as("dup8Frac"),
+        dupFrac(col("__v9")).as("dup9Frac"),
+        dupFrac(col("__v10")).as("dup10Frac"))
+      .withColumn("keep",
+        col("dupLineFrac") <= 0.30 && col("dupLineCharFrac") <= 0.20 &&
+        col("top2Frac") <= 0.20 && col("top3Frac") <= 0.18 &&
+        col("top4Frac") <= 0.16 &&
+        col("dup5Frac") <= 0.15 && col("dup6Frac") <= 0.14 &&
+        col("dup7Frac") <= 0.13 && col("dup8Frac") <= 0.12 &&
+        col("dup9Frac") <= 0.11 && col("dup10Frac") <= 0.10)
+  }
+
   // ---- Model-based quality classifier (fastText/DCLM shape) -----------
 
   /** The hashing-trick feature space: 4096 buckets = the first 3 md5 hex

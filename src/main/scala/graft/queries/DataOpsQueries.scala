@@ -1542,6 +1542,24 @@ object DataOpsQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // the full Gopher/MassiveText REPETITION filter set (Rae et al. 2021
+    // Table A1) at token granularity: dup-line fraction + char fraction,
+    // top-{2,3,4}-gram token fraction, dup-{5..10}-gram coverage with
+    // overlaps counted ONCE (interval-union sweep), and the published
+    // keep conjunction. Docs on the %9 residue get their first line
+    // re-appended — deterministic injected repetition so the dup-line
+    // and n≥5 coverage branches are non-vacuous at every SF (the same
+    // move as t26's OOV suffix); real crawls carry this repetition
+    // naturally. keep splits both ways from the top-gram signals alone.
+    "t29_rep_signals" -> { (s, dir) =>
+      val rep = pageCorpus(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("page"), lit("\n"),
+            substring_index(col("page"), "\n", 1)))
+          .otherwise(col("page")).as("page"))
+      TextFunctions.repetitionSignals(rep, "doc_id", "page")
+        .orderBy(col("doc_id"))
+    },
     // model-based quality filtering, the fastText/DCLM/FineWeb-Edu shape:
     // a classifier trained on a curated-vs-raw pair of labeled slices
     // (src0 = the curated target sample, src1 = the raw contrast) scores
@@ -1878,6 +1896,109 @@ object DataOpsQueries {
         |  CAST(SUM(backoff) AS BIGINT) AS nBackoff,
         |  CAST(SUM(score) AS DOUBLE) / COUNT(*) AS meanScore
         |FROM t26_s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same pages + injected dup line, line-melt stats, one 2..10 gram
+    // melt with windowed counts, ROW_NUMBER top pick, running-max-end
+    // interval-union sweep for the n≥5 coverage
+    "t29_rep_signals" ->
+      s"""WITH $PageSql,
+        |t29_rep AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        |    THEN page || chr(10) || split_part(page, chr(10), 1)
+        |    ELSE page END AS page
+        |  FROM pages),
+        |t29_tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(page), '[a-z0-9]+') AS t,
+        |    string_split(page, chr(10)) AS lines
+        |  FROM t29_rep),
+        |t29_base AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS nTok FROM t29_tok),
+        |t29_lc AS (
+        |  SELECT doc_id, line, COUNT(*) AS c, length(line) AS ln
+        |  FROM (SELECT doc_id, UNNEST(lines) AS line FROM t29_tok)
+        |  GROUP BY doc_id, line),
+        |t29_ls AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS nLines,
+        |    CAST(SUM(c) - COUNT(*) AS BIGINT) AS dupLines,
+        |    CAST(SUM(c * ln) AS BIGINT) AS totLineChars,
+        |    CAST(SUM((c - 1) * ln) AS BIGINT) AS dupLineChars
+        |  FROM t29_lc GROUP BY doc_id),
+        |t29_ns AS (SELECT UNNEST([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n),
+        |t29_melt AS (
+        |  SELECT doc_id, n, i - 1 AS p,
+        |    array_to_string(t[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ')
+        |      AS gram
+        |  FROM (SELECT doc_id, t, n, UNNEST(range(1, len(t) - n + 2)) AS i
+        |        FROM t29_tok CROSS JOIN t29_ns)),
+        |t29_cm AS (
+        |  SELECT doc_id, n, p, gram,
+        |    COUNT(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
+        |  FROM t29_melt),
+        |t29_top AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN n = 2 THEN cnt END) AS c2,
+        |    MAX(CASE WHEN n = 3 THEN cnt END) AS c3,
+        |    MAX(CASE WHEN n = 4 THEN cnt END) AS c4
+        |  FROM (
+        |    SELECT doc_id, n, cnt, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id, n ORDER BY cnt DESC, gram, p) AS rn
+        |    FROM t29_cm WHERE n <= 4)
+        |  WHERE rn = 1 GROUP BY doc_id),
+        |t29_cov AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN n = 5 THEN cov END) AS v5,
+        |    MAX(CASE WHEN n = 6 THEN cov END) AS v6,
+        |    MAX(CASE WHEN n = 7 THEN cov END) AS v7,
+        |    MAX(CASE WHEN n = 8 THEN cov END) AS v8,
+        |    MAX(CASE WHEN n = 9 THEN cov END) AS v9,
+        |    MAX(CASE WHEN n = 10 THEN cov END) AS v10
+        |  FROM (
+        |    SELECT doc_id, n, CAST(SUM(GREATEST(0,
+        |      (p + n) - GREATEST(p, COALESCE(pm, 0)))) AS BIGINT) AS cov
+        |    FROM (
+        |      SELECT doc_id, n, p,
+        |        MAX(p + n) OVER (PARTITION BY doc_id, n ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM t29_cm WHERE n >= 5 AND cnt >= 2)
+        |    GROUP BY doc_id, n)
+        |  GROUP BY doc_id),
+        |t29_out AS (
+        |  SELECT b.doc_id, b.nTok, ls.nLines,
+        |    CASE WHEN ls.nLines > 0
+        |      THEN CAST(ls.dupLines AS DOUBLE) / ls.nLines
+        |      ELSE 0.0 END AS dupLineFrac,
+        |    CASE WHEN ls.totLineChars > 0
+        |      THEN CAST(ls.dupLineChars AS DOUBLE) / ls.totLineChars
+        |      ELSE 0.0 END AS dupLineCharFrac,
+        |    CASE WHEN b.nTok > 0 THEN CAST(COALESCE(tp.c2, 0) * 2 AS DOUBLE)
+        |      / b.nTok ELSE 0.0 END AS top2Frac,
+        |    CASE WHEN b.nTok > 0 THEN CAST(COALESCE(tp.c3, 0) * 3 AS DOUBLE)
+        |      / b.nTok ELSE 0.0 END AS top3Frac,
+        |    CASE WHEN b.nTok > 0 THEN CAST(COALESCE(tp.c4, 0) * 4 AS DOUBLE)
+        |      / b.nTok ELSE 0.0 END AS top4Frac,
+        |    CASE WHEN b.nTok > 0 THEN CAST(COALESCE(cv.v5, 0) AS DOUBLE)
+        |      / b.nTok ELSE 0.0 END AS dup5Frac,
+        |    CASE WHEN b.nTok > 0 THEN CAST(COALESCE(cv.v6, 0) AS DOUBLE)
+        |      / b.nTok ELSE 0.0 END AS dup6Frac,
+        |    CASE WHEN b.nTok > 0 THEN CAST(COALESCE(cv.v7, 0) AS DOUBLE)
+        |      / b.nTok ELSE 0.0 END AS dup7Frac,
+        |    CASE WHEN b.nTok > 0 THEN CAST(COALESCE(cv.v8, 0) AS DOUBLE)
+        |      / b.nTok ELSE 0.0 END AS dup8Frac,
+        |    CASE WHEN b.nTok > 0 THEN CAST(COALESCE(cv.v9, 0) AS DOUBLE)
+        |      / b.nTok ELSE 0.0 END AS dup9Frac,
+        |    CASE WHEN b.nTok > 0 THEN CAST(COALESCE(cv.v10, 0) AS DOUBLE)
+        |      / b.nTok ELSE 0.0 END AS dup10Frac
+        |  FROM t29_base b
+        |  JOIN t29_ls ls USING (doc_id)
+        |  LEFT JOIN t29_top tp USING (doc_id)
+        |  LEFT JOIN t29_cov cv USING (doc_id))
+        |SELECT *,
+        |  dupLineFrac <= 0.30 AND dupLineCharFrac <= 0.20 AND
+        |  top2Frac <= 0.20 AND top3Frac <= 0.18 AND top4Frac <= 0.16 AND
+        |  dup5Frac <= 0.15 AND dup6Frac <= 0.14 AND dup7Frac <= 0.13 AND
+        |  dup8Frac <= 0.12 AND dup9Frac <= 0.11 AND dup10Frac <= 0.10
+        |    AS keep
+        |FROM t29_out ORDER BY doc_id""".stripMargin,
     // same hashed melt (3-hex-char md5 bucket via the t20 strpos
     // recipe), per-slice NB counts, floor-log2-bit LLR, sign gate
     "t28_quality_classifier" ->

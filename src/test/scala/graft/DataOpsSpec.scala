@@ -726,6 +726,30 @@ class DataOpsSpec extends SparkSpec {
       866665.0 / 4)))
   }
 
+  test("repetitionSignals: line stats, top-gram pick, overlap-once coverage") {
+    val pages = Seq(
+      // "a a" ×4 of 9 bigrams → top2 = 0.8; no duplicated 5-gram;
+      // lines: one dup "z z" of 3 → 1/3, chars 3 of 17
+      (1L, "a a a a a b\nz z\nz z"),
+      // two identical 8-token lines: every 5..8-gram duplicates with
+      // period 8 → union covers ALL 16 tokens (overlap counted once);
+      // 9/10-grams span past the period → no duplicates at all
+      (2L, "p q r s t u v w\np q r s t u v w"),
+      // 26 distinct tokens: top-gram counts are all 1 and 4/26 ≤ 0.16,
+      // so the published conjunction passes
+      (3L, (1 to 26).map(i => f"w$i%02d").mkString(" ")),
+    ).toDF("doc_id", "page")
+    val out = rows(TextFunctions.repetitionSignals(pages, "doc_id", "page")
+      .select(col("doc_id"), col("nTok"), col("nLines"), col("dupLineFrac"),
+        col("dupLineCharFrac"), col("top2Frac"), col("dup5Frac"),
+        col("dup8Frac"), col("dup9Frac"), col("keep"))
+      .orderBy(col("doc_id")))
+    assert(out == Seq(
+      Seq(1L, 10L, 3L, 1.0 / 3, 3.0 / 17, 0.8, 0.0, 0.0, 0.0, false),
+      Seq(2L, 16L, 2L, 0.5, 0.5, 0.25, 1.0, 1.0, 0.0, false),
+      Seq(3L, 26L, 1L, 0.0, 0.0, 2.0 / 26, 0.0, 0.0, 0.0, true)))
+  }
+
   test("nbClassifier: hand-computed floor-log2 LLR, sign gate, OOV-neutral") {
     // pos melt: good×2, great, good_great, great_good → tp = 5
     // neg melt: bad×2, awful, bad_awful, awful_bad → tn = 5
