@@ -231,6 +231,30 @@ object Changefeed {
     }
   }
 
+  /** Streaming model-based quality filtering: the streaming twin of
+    * [[graft.functions.TextFunctions.nbClassifier]]. The NB model
+    * ([[graft.functions.TextFunctions.nbTrain]] — a constant-size
+    * hashed-feature table, ≤ 4096 rows) is pinned once; each micro-batch
+    * of arriving documents pays its own feature melt + broadcast model
+    * join + a batch-keyed aggregate — O(batch) per trigger, no streaming
+    * state. The DCLM/FineWeb ingest shape: classify every incoming page
+    * against the trained quality model, keep/drop by sign. `sink`
+    * receives each batch's (id, nFeats, score, keep). */
+  def streamingQualityScore(docs: DataFrame, pos: DataFrame, neg: DataFrame,
+                            idCol: String, textCol: String,
+                            sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.functions.TextFunctions
+    val model = TextFunctions.nbTrain(pos, neg, idCol, textCol)
+    withStandingFrame(model, docs.sparkSession) { pinned =>
+      docs.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          sink(TextFunctions.nbScoreAgainst(
+            pinned, batch.toDF(), idCol, textCol), batchId)
+        }
+        .start()
+    }
+  }
+
   /** Streaming asset-ingest dedup: the streaming twin of
     * [[graft.multimodal.Multimodal.payloadDedupAgainst]]. The standing
     * corpus's asset index ([[graft.multimodal.Multimodal.payloadIndex]]

@@ -385,6 +385,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed quality scoring matches batch NB classifier; model pinned across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val pos = Seq((1L, "good great good")).toDF("doc_id", "text")
+    val neg = Seq((2L, "bad awful bad")).toDF("doc_id", "text")
+    val probe = Seq((10L, "good good"), (11L, "bad"), (12L, "neutral"))
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.concurrent.TrieMap[Long, (Long, Long, Boolean)]()
+    val q = Changefeed.streamingQualityScore(
+      mem.toDF().toDF("doc_id", "text"), pos, neg, "doc_id", "text",
+      (out, _) => out.collect().foreach(r =>
+        acc(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+    try {
+      // two separate triggers — the SAME pinned model serves both
+      mem.addData(probe(0), probe(1)); q.processAllAvailable()
+      mem.addData(probe(2)); q.processAllAvailable()
+      val expect = graft.functions.TextFunctions.nbClassifier(
+          pos, neg, probe.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(acc.toMap == expect)
+      // hand-computed doc 10 (DataOpsSpec's fixture): +1 per "good", 0
+      // for the hashed bigram → score 2, kept
+      assert(acc(10L) == ((3L, 2L, true)))
+    } finally q.stop()
+  }
+
   test("native session_window: fragments merge across batches, close on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
