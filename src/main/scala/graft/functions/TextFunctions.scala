@@ -432,13 +432,18 @@ object TextFunctions {
       (sum(col("__c")) - count(lit(1))).as("__dupLines"),
       sum(col("__c") * col("__ln")).as("__totLineChars"),
       sum((col("__c") - 1) * col("__ln")).as("__dupLineChars"))
-    def gramMelt(n: Int): DataFrame =
-      toks.filter(size(col("__t")) >= n)
-        .select(col(idCol), lit(n).as("__n"),
-          posexplode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
-            i => array_join(slice(col("__t"), i, lit(n)), " "))))
-        .toDF(idCol, "__n", "__p", "__gram")
-    val melt = (2 to 10).map(gramMelt).reduce(_ unionByName _)
+    // ONE corpus pass for all nine n values: a per-n UNION would scan
+    // (and re-tokenize) the corpus once per n — the frame-level form of
+    // the lambda re-evaluation hazard
+    val melt = toks
+      .select(col(idCol), col("__t"),
+        explode(array((2 to 10).map(lit): _*)).as("__n"))
+      .filter(size(col("__t")) >= col("__n"))
+      .select(col(idCol), col("__n"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__t")) - col("__n") + 1),
+          i => array_join(slice(col("__t"), i, col("__n")), " "))))
+      .toDF(idCol, "__n", "__p", "__gram")
     val cm = melt.withColumn("__cnt",
       count(lit(1)).over(Window.partitionBy(col(idCol), col("__n"),
         col("__gram"))))
