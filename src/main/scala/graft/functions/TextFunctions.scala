@@ -605,6 +605,51 @@ object TextFunctions {
     nbScoreAgainst(nbTrain(pos, neg, idCol, textCol).localCheckpoint(),
       docs, idCol, textCol)
 
+  /** Deterministic DSIR — Data Selection with Importance Resampling
+    * (Xie et al. 2023): score every document of the raw pool by its
+    * importance under hashed-n-gram bag models of a TARGET corpus vs the
+    * raw pool itself, then keep the top-k. The importance log-ratio
+    * Σ_f c_f·(log p_target(f) − log p_raw(f)) is [[nbScoreAgainst]]'s
+    * add-one LLR with (pos, neg) = (target, raw) — same integer-exact
+    * floor-log2 bits, same constant-size hashed feature space. The
+    * published method perturbs with Gumbel noise before the top-k; this
+    * variant is the noise-free determinization (ties → smaller id) so
+    * the selection is reproducible and oracle-checkable.
+    *
+    * Selection takes NO global sort: the k-th-largest weight resolves by
+    * [[Sketches.exactLongRanks]] histogram refinement (weights shift by
+    * their min first — the refinement's bin algebra is non-negative),
+    * and the tie boundary resolves by a second refinement over the tie
+    * set's ids. Emits every raw doc as (id, nFeats, weight, picked).
+    *
+    * Scale shape: scoring is the t28 pass (broadcast model, one
+    * doc-keyed aggregate); the narrow (id, nFeats, weight) projection is
+    * pinned once — the table a production run would have materialized —
+    * and the refinements scan it with bounded hash aggregates. */
+  def dsirSelect(target: DataFrame, raw: DataFrame, idCol: String,
+                 textCol: String, k: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val model = nbTrain(target, raw, idCol, textCol).localCheckpoint()
+    val scored = nbScoreAgainst(model, raw, idCol, textCol)
+      .select(col(idCol), col("nFeats"), col("score").as("weight"))
+      .localCheckpoint()
+    val head = scored.agg(count(lit(1)).as("n"),
+      min(col("weight")).as("mn")).collect()(0)
+    val (n, mnW) = (head.getLong(0), head.getLong(1))
+    val kk = math.min(k, n)
+    val cutoff = mnW + Sketches.exactLongRanks(
+      scored.withColumn("__w0", col("weight") - mnW), "__w0",
+      Seq(n - kk + 1))(n - kk + 1)
+    // strictly-above count < kk by the rank definition, so the tie set
+    // always owes at least one pick
+    val need = kk - scored.filter(col("weight") > cutoff).count()
+    val idCut = Sketches.exactLongRanks(
+      scored.filter(col("weight") === cutoff), idCol, Seq(need))(need)
+    scored.withColumn("picked",
+      col("weight") > cutoff ||
+        (col("weight") === cutoff && col(idCol) <= idCut))
+  }
+
   // ---- Distributed BPE tokenizer training -----------------------------
 
   /** Adjacent-symbol pair counts over a words frame whose `symsCol` is

@@ -1542,6 +1542,23 @@ object DataOpsQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // deterministic DSIR (Xie et al. 2023): importance-resample the raw
+    // pool toward a target corpus (src2 = the curated target, the other
+    // 19 sources = the pool). Importance = the hashed-n-gram two-model
+    // log-ratio in integer-exact floor-log2 bits (t28's scorer with
+    // (pos, neg) = (target, raw)); selection = noise-free top-100 with
+    // id tie-break, resolved WITHOUT a global sort by two
+    // exactLongRanks histogram refinements (weight cutoff, then the tie
+    // set's id boundary). Real cutoff ties exist at every SF, so the
+    // tie-refinement branch is non-vacuous.
+    "t30_dsir" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      TextFunctions.dsirSelect(
+          d.filter(col("source") === "src2"),
+          d.filter(col("source") =!= "src2"),
+          "doc_id", "text", k = 100L)
+        .orderBy(col("doc_id"))
+    },
     // the full Gopher/MassiveText REPETITION filter set (Rae et al. 2021
     // Table A1) at token granularity: dup-line fraction + char fraction,
     // top-{2,3,4}-gram token fraction, dup-{5..10}-gram coverage with
@@ -1896,6 +1913,58 @@ object DataOpsQueries {
         |  CAST(SUM(backoff) AS BIGINT) AS nBackoff,
         |  CAST(SUM(score) AS DOUBLE) / COUNT(*) AS meanScore
         |FROM t26_s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the t28 hashed melt/LLR with (target, raw) slices; the no-sort
+    // two-refinement top-k replays as the plain ROW_NUMBER pick
+    "t30_dsir" ->
+      """WITH t30_tok AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |t30_feat AS (
+        |  SELECT doc_id, source, w AS f FROM (
+        |    SELECT doc_id, source, UNNEST(t) AS w FROM t30_tok)
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    t[CAST(i AS INT) - 1] || '_' || t[CAST(i AS INT)] AS f
+        |  FROM (SELECT doc_id, source, t, UNNEST(range(2, len(t) + 1)) AS i
+        |        FROM t30_tok WHERE len(t) >= 2)),
+        |t30_h AS (
+        |  SELECT doc_id, source,
+        |    CAST((strpos('0123456789abcdef', hx[1]) - 1) * 256
+        |      + (strpos('0123456789abcdef', hx[2]) - 1) * 16
+        |      + (strpos('0123456789abcdef', hx[3]) - 1) AS BIGINT) AS feat
+        |  FROM (SELECT doc_id, source, md5(f) AS hx FROM t30_feat)),
+        |t30_p AS (
+        |  SELECT feat, COUNT(*) AS cT FROM t30_h
+        |  WHERE source = 'src2' GROUP BY feat),
+        |t30_n AS (
+        |  SELECT feat, COUNT(*) AS cR FROM t30_h
+        |  WHERE source <> 'src2' GROUP BY feat),
+        |t30_tot AS (
+        |  SELECT
+        |    (SELECT CAST(COALESCE(SUM(cT), 0) AS BIGINT) FROM t30_p) AS tp,
+        |    (SELECT CAST(COALESCE(SUM(cR), 0) AS BIGINT) FROM t30_n) AS tn),
+        |t30_s AS (
+        |  SELECT h.doc_id,
+        |    (length(format('{:b}', COALESCE(p.cT, 0) + 1))
+        |      - length(format('{:b}', t.tp + 4096)))
+        |    - (length(format('{:b}', COALESCE(n.cR, 0) + 1))
+        |      - length(format('{:b}', t.tn + 4096))) AS w
+        |  FROM t30_h h
+        |  LEFT JOIN t30_p p USING (feat)
+        |  LEFT JOIN t30_n n USING (feat)
+        |  CROSS JOIN t30_tot t
+        |  WHERE h.source <> 'src2'),
+        |t30_w AS (
+        |  SELECT doc_id, COUNT(*) AS nFeats, CAST(SUM(w) AS BIGINT) AS weight
+        |  FROM t30_s GROUP BY doc_id),
+        |t30_r AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rn
+        |  FROM t30_w)
+        |SELECT w.doc_id, w.nFeats, w.weight, r.rn <= 100 AS picked
+        |FROM t30_w w JOIN t30_r r USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     // same pages + injected dup line, line-melt stats, one 2..10 gram
     // melt with windowed counts, ROW_NUMBER top pick, running-max-end
     // interval-union sweep for the n≥5 coverage

@@ -777,6 +777,25 @@ class DataOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("dsirSelect: top-k by importance, id tie-break through the rank refinement") {
+    // target melt: good×3 + good_good×2 → tp = 5; raw melt: good×4 +
+    // good_good + meh → tn = 6; bl(4101) = bl(4102) = 13 → constants
+    // cancel. w(good) = bl(4)−bl(5) = 0, w(good_good) = bl(3)−bl(2) = 0,
+    // w(meh) = bl(1)−bl(2) = −1 → docs 10/11/12 THREE-way tie at 0,
+    // doc 13 at −1. k=2: cutoff 0, nothing strictly above, the tie set
+    // owes both picks → id refinement keeps 10 and 11.
+    val target = Seq((1L, "good good good")).toDF("doc_id", "text")
+    val raw = Seq((10L, "good good"), (11L, "good"), (12L, "good"),
+      (13L, "meh")).toDF("doc_id", "text")
+    val out = rows(TextFunctions.dsirSelect(target, raw, "doc_id", "text",
+      k = 2L).orderBy(col("doc_id")))
+    assert(out == Seq(
+      Seq(10L, 3L, 0L, true),
+      Seq(11L, 1L, 0L, true),
+      Seq(12L, 1L, 0L, false),
+      Seq(13L, 1L, -1L, false)))
+  }
+
   test("bigramPairs: short texts produce an empty melt, not a descending one") {
     val d = Seq((1L, "solo"), (2L, ""), (3L, "two words")).toDF("doc_id", "text")
     val out = rows(d.select(col("doc_id"),
