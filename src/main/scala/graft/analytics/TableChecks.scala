@@ -78,4 +78,49 @@ object TableChecks {
         col("dupKeyRows") === 0 && col("orphanRows") === 0 &&
         col("nullRows") === 0)
   }
+
+  /** Distribution-drift check between two table snapshots (yesterday's
+    * corpus vs today's, reference slice vs delivery): fixed-width
+    * histograms of `valueCol` are compared bin-by-bin and summarized by
+    * the TOTAL VARIATION DISTANCE in parts-per-million —
+    * TVD = ½ Σ_bins |p_a(bin) − p_b(bin)|, the standard drift measure
+    * whose ppm form stays INTEGER-EXACT (per-bin proportions by integral
+    * division, no floating sums whose order could differ across engines
+    * or cluster sizes). `drifted` fires when TVD exceeds `thresholdPpm`.
+    * Bins below 0 clamp to 0 and at/above `maxBins` clamp to the last
+    * bin, so outliers drift the tails instead of exploding the grid.
+    *
+    * Emits one row per occupied bin (bin, cA, cB, pA_ppm, pB_ppm,
+    * diff_ppm) plus the snapshot-level (tvd_ppm, drifted) on every row.
+    *
+    * Scale shape: two histogram aggregates (output ≤ maxBins rows each),
+    * a bin-keyed full outer join of two bounded frames, and a 1-row
+    * totals/TVD frame broadcast back — the only corpus-sized work is
+    * the two scans. */
+  def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                        binWidth: Long, maxBins: Int,
+                        thresholdPpm: Long): DataFrame = {
+    require(binWidth >= 1 && maxBins >= 1, "degenerate bin grid")
+    def hist(df: DataFrame, cName: String): DataFrame = df
+      .filter(col(valueCol).isNotNull)
+      .select(least(greatest(
+          expr(s"CAST($valueCol AS BIGINT) DIV ${binWidth}L"), lit(0L)),
+        lit(maxBins - 1L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(cName))
+    val joined = hist(a, "cA").join(hist(b, "cB"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("cA"), lit(0L)).as("cA"),
+        coalesce(col("cB"), lit(0L)).as("cB"))
+    val totals = joined.agg(sum(col("cA")).as("__ta"),
+      sum(col("cB")).as("__tb"))
+    val ppm = joined.crossJoin(broadcast(totals))
+      .withColumn("pA_ppm", expr("(cA * 1000000) DIV __ta"))
+      .withColumn("pB_ppm", expr("(cB * 1000000) DIV __tb"))
+      .withColumn("diff_ppm", abs(col("pA_ppm") - col("pB_ppm")))
+    val tvd = ppm.agg(expr("sum(diff_ppm) DIV 2").as("tvd_ppm"))
+    ppm.crossJoin(broadcast(tvd))
+      .select(col("bin"), col("cA"), col("cB"), col("pA_ppm"),
+        col("pB_ppm"), col("diff_ppm"), col("tvd_ppm"),
+        (col("tvd_ppm") > thresholdPpm).as("drifted"))
+  }
 }

@@ -1705,6 +1705,27 @@ object DataOpsQueries {
         "l_orderkey", "o_orderkey",
         uniqueKeys = Seq("o_orderkey"), notNullCol = "l_shipdate")
     },
+    // distribution-drift monitor between two corpus snapshots: per-bin
+    // fixed-width histograms + total variation distance in INTEGER-EXACT
+    // ppm (integral divisions only — no floating sums whose order could
+    // differ across engines). Two comparisons through ONE operator body:
+    // an A/A split (doc_id parity — sampling noise only, must NOT trip)
+    // and the same split with a +2-bin injected shift on one side (a
+    // bad upstream re-chunking — MUST trip). The 150000 ppm threshold
+    // separates the two with margin at every SF (measured: noise
+    // 27k-104k, shift 232k-368k).
+    "v4_dist_drift" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val even = d.filter(col("doc_id") % 2 === 0)
+      val odd = d.filter(col("doc_id") % 2 === 1)
+      val shifted = odd.withColumn("n_chars", col("n_chars") + 128)
+      def run(lbl: String, b: org.apache.spark.sql.DataFrame) =
+        graft.analytics.TableChecks.distributionDrift(even, b, "n_chars",
+            binWidth = 64L, maxBins = 32, thresholdPpm = 150000L)
+          .withColumn("lbl", lit(lbl))
+      run("same", odd).unionByName(run("shift", shifted))
+        .orderBy(col("lbl"), col("bin"))
+    },
     // KMV (bottom-k / theta-style) distinct sketch, k = 64: distinct
     // viewers, clickers, their union AND intersection estimated from
     // two 64-long sketches — the mergeable-set-algebra story COUNT
@@ -2241,6 +2262,45 @@ object DataOpsQueries {
         |SELECT dupKeyRows, orphanRows, nullRows,
         |  dupKeyRows = 0 AND orphanRows = 0 AND nullRows = 0 AS pass
         |FROM dups, orph, nn""".stripMargin,
+    // the same clamp/ppm/TVD integer algebra; the two comparisons pivot
+    // from a labeled union instead of the full outer join
+    "v4_dist_drift" ->
+      """WITH v4_sides AS (
+        |  SELECT 'same' AS lbl, 0 AS side,
+        |    LEAST(GREATEST(n_chars // 64, 0), 31) AS bin
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'same', 1, LEAST(GREATEST(n_chars // 64, 0), 31)
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'shift', 0, LEAST(GREATEST(n_chars // 64, 0), 31)
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'shift', 1, LEAST(GREATEST((n_chars + 128) // 64, 0), 31)
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |v4_h AS (
+        |  SELECT lbl, bin,
+        |    CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS cA,
+        |    CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS cB
+        |  FROM v4_sides GROUP BY lbl, bin),
+        |v4_t AS (
+        |  SELECT lbl, CAST(SUM(cA) AS BIGINT) AS ta,
+        |    CAST(SUM(cB) AS BIGINT) AS tb
+        |  FROM v4_h GROUP BY lbl),
+        |v4_p AS (
+        |  SELECT h.lbl, h.bin, h.cA, h.cB,
+        |    CAST((h.cA * 1000000) // t.ta AS BIGINT) AS pA_ppm,
+        |    CAST((h.cB * 1000000) // t.tb AS BIGINT) AS pB_ppm
+        |  FROM v4_h h JOIN v4_t t USING (lbl)),
+        |v4_v AS (
+        |  SELECT lbl,
+        |    CAST(SUM(ABS(pA_ppm - pB_ppm)) // 2 AS BIGINT) AS tvd_ppm
+        |  FROM v4_p GROUP BY lbl)
+        |SELECT p.bin, p.cA, p.cB, p.pA_ppm, p.pB_ppm,
+        |  ABS(p.pA_ppm - p.pB_ppm) AS diff_ppm,
+        |  v.tvd_ppm, v.tvd_ppm > 150000 AS drifted, p.lbl
+        |FROM v4_p p JOIN v4_v v USING (lbl)
+        |ORDER BY p.lbl, p.bin""".stripMargin,
     // the same KMV algebra in SQL: hv = hashKey's 8-hex-char md5 value,
     // bottom-64 DISTINCT hashes per side, union = bottom-64 of the
     // merged sets, estimates in the same integer division

@@ -135,6 +135,28 @@ class DataOpsSpec extends SparkSpec {
     assert(rows(TableChecks.profile(empty, Seq("fk"))).head(2) == 0L)
   }
 
+  test("distributionDrift: clamped bins, integer ppm, TVD verdict both ways") {
+    import graft.analytics.TableChecks
+    val a = Seq[java.lang.Long](5L, 15L, 15L, 25L, null).toDF("v")
+    // 95 clamps to the last bin, -7 to bin 0
+    val b = Seq(5L, 35L, 95L, -7L).toDF("v")
+    val out = rows(TableChecks.distributionDrift(a, b, "v",
+      binWidth = 10L, maxBins = 4, thresholdPpm = 100000L)
+      .orderBy(col("bin")))
+    // cA = {0:1, 1:2, 2:1}, cB = {0:2, 3:2}, totals 4 and 4 →
+    // diffs 250k/500k/250k/500k, TVD = 750000 > 100000
+    assert(out == Seq(
+      Seq(0L, 1L, 2L, 250000L, 500000L, 250000L, 750000L, true),
+      Seq(1L, 2L, 0L, 500000L, 0L, 500000L, 750000L, true),
+      Seq(2L, 1L, 0L, 250000L, 0L, 250000L, 750000L, true),
+      Seq(3L, 0L, 2L, 0L, 500000L, 500000L, 750000L, true)))
+    // A/A: zero TVD, no drift
+    val same = rows(TableChecks.distributionDrift(a, a, "v",
+      binWidth = 10L, maxBins = 4, thresholdPpm = 100000L)
+      .select(col("tvd_ppm"), col("drifted")).distinct())
+    assert(same == Seq(Seq(0L, false)))
+  }
+
   test("KMV skips nulls like COUNT(DISTINCT); zorder refuses a zval clash") {
     import graft.functions.{Sketches, Shuffles}
     val withNulls = Seq[java.lang.Long](1L, null, 2L, null, 1L)
