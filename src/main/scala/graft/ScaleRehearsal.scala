@@ -206,12 +206,42 @@ object ScaleRehearsal {
         .filter(col("doc_id") === col("repId")).count()
     }
 
+    // ---- model-based filtering / resampling / drift at 10x ------------
+    // (the round-12 third-session operators: the NB model must stay a
+    // constant-size broadcast whatever the corpus, DSIR's two rank
+    // refinements must stay bounded aggregates, the 2..10-gram melt must
+    // stay one corpus pass, and the drift histograms stay ≤ maxBins)
+    val tT28 = time("t28 nbClassifier (10x corpus)") {
+      TextFunctions.nbClassifier(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") === "src1"), d, "doc_id", "text").count()
+    }
+    val tT29 = time("t29 repetitionSignals (10x)") {
+      TextFunctions.repetitionSignals(
+        d.select(col("doc_id"), col("text").as("page")),
+        "doc_id", "page").filter(col("keep")).count()
+    }
+    val tT30 = time("t30 dsirSelect (10x, k=1000)") {
+      TextFunctions.dsirSelect(
+        d.filter(col("source") === "src2"),
+        d.filter(col("source") =!= "src2"),
+        "doc_id", "text", k = 1000L).filter(col("picked")).count()
+    }
+    val tV4 = time("v4 distributionDrift (10x)") {
+      graft.analytics.TableChecks.distributionDrift(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "n_chars", binWidth = 64L, maxBins = 32,
+        thresholdPpm = 150000L).count()
+    }
+
     val r = Seq("build" -> tBuild, "paths_fast" -> tPathsFast,
       "paths_iter" -> tPathsIter, "resolve_fast" -> tResFast,
       "resolve_iter" -> tResIter, "cs_fast" -> tCsFast,
       "cs_iter" -> tCsIter, "n5" -> tN5, "requeue" -> tRequeue,
       "corrupt" -> tCorrupt, "d2" -> tD2, "t26" -> tT26, "t27" -> tT27,
-      "d16" -> tD16)
+      "d16" -> tD16, "t28" -> tT28, "t29" -> tT29, "t30" -> tT30,
+      "v4" -> tV4)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
         pathsDiff + resDiff + csDiff == 0},"sf":"$sfDir",""", ",", "}"))

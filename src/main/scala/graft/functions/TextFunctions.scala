@@ -413,8 +413,11 @@ object TextFunctions {
     *
     * Scale shape: everything partitions by (doc [, n [, gram]]) — state
     * is bounded per document, the shuffles are doc-keyed, and the gram
-    * melt is ≤ 9× the corpus token count in narrow rows (at 100 TB,
-    * prune the n set if the melt dominates; each n is independent). */
+    * melt is ≤ 9× the corpus token count (at 100 TB, prune the n set if
+    * the melt dominates — each n is independent — and key the count
+    * window on xxhash64(gram) instead of the raw string to shrink the
+    * exchange payload, t24's move, same semantics modulo collision; the
+    * raw string stays only in the top-gram tie-break). */
   def repetitionSignals(pages: DataFrame, idCol: String,
                         pageCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

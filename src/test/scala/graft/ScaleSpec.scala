@@ -717,6 +717,44 @@ class ScaleSpec extends SparkSpec {
     assert(z > (1L << 30), s"zval range not stretched: max=$z")
   }
 
+  test("nbScoreAgainst broadcasts the model: one doc-keyed exchange, no SMJ") {
+    // the t28/t30 scoring pass: the constant-size hashed-feature model
+    // must reach the corpus melt as a broadcast-hash join — a sort-merge
+    // join would co-shuffle the corpus against a ≤4096-row dim — and the
+    // only data exchange is the final doc-keyed aggregate (the totals
+    // agg is a constant-size scalar, not a data shuffle)
+    val pos = Seq((1L, "good great good")).toDF("doc_id", "text")
+    val neg = Seq((2L, "bad awful bad")).toDF("doc_id", "text")
+    val docs = (1L to 200L).map(i => (i, s"good bad w$i")).toDF("doc_id", "text")
+    val model = graft.functions.TextFunctions.nbTrain(pos, neg,
+      "doc_id", "text").localCheckpoint()
+    val out = graft.functions.TextFunctions.nbScoreAgainst(model, docs,
+      "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"model must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"broadcast probe expected:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"one doc-keyed exchange expected, got $exchanges:\n$plan")
+    assert(out.count() == 200L)
+  }
+
+  test("repetitionSignals: every window rides a doc-keyed partition, no loop join") {
+    // the t29 contract: per-doc bounded state means NO single-partition
+    // window/exchange anywhere (a global window would serialize the
+    // corpus) and no nested-loop join from the final dimension assembly
+    val pages = (1L to 100L).map(i =>
+      (i, s"alpha beta gamma w$i x$i y$i z$i\nalpha beta gamma"))
+      .toDF("doc_id", "page")
+    val out = graft.functions.TextFunctions.repetitionSignals(
+      pages, "doc_id", "page")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no single-partition exchange:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), s"no loop join:\n$plan")
+    assert(out.count() == 100L)
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
