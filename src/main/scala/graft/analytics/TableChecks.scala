@@ -107,15 +107,25 @@ object TableChecks {
           expr(s"CAST($valueCol AS BIGINT) DIV ${binWidth}L"), lit(0L)),
         lit(maxBins - 1L)).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as(cName))
+    // bounded (≤ maxBins rows) and read by totals + ppm + tvd + the
+    // final select — pinned so the corpus-scanning histogram subtree
+    // executes once (the multiply-read-bounded-frame convention)
     val joined = hist(a, "cA").join(hist(b, "cB"), Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("cA"), lit(0L)).as("cA"),
         coalesce(col("cB"), lit(0L)).as("cB"))
+      .localCheckpoint()
     val totals = joined.agg(sum(col("cA")).as("__ta"),
       sum(col("cB")).as("__tb"))
+    // an EMPTY side (the missing-delivery case a drift monitor exists to
+    // catch) contributes all-zero proportions — the other side then sums
+    // to ~1e6 so TVD ≈ 500000 ppm and any sane threshold trips; an
+    // unguarded DIV would instead throw under ANSI (or NULL the verdict)
     val ppm = joined.crossJoin(broadcast(totals))
-      .withColumn("pA_ppm", expr("(cA * 1000000) DIV __ta"))
-      .withColumn("pB_ppm", expr("(cB * 1000000) DIV __tb"))
+      .withColumn("pA_ppm", when(col("__ta") > 0,
+        expr("(cA * 1000000) DIV __ta")).otherwise(lit(0L)))
+      .withColumn("pB_ppm", when(col("__tb") > 0,
+        expr("(cB * 1000000) DIV __tb")).otherwise(lit(0L)))
       .withColumn("diff_ppm", abs(col("pA_ppm") - col("pB_ppm")))
     val tvd = ppm.agg(expr("sum(diff_ppm) DIV 2").as("tvd_ppm"))
     ppm.crossJoin(broadcast(tvd))

@@ -623,7 +623,10 @@ object TextFunctions {
     * [[Sketches.exactLongRanks]] histogram refinement (weights shift by
     * their min first — the refinement's bin algebra is non-negative),
     * and the tie boundary resolves by a second refinement over the tie
-    * set's ids. Emits every raw doc as (id, nFeats, weight, picked).
+    * set's ids (shifted by their min too — ids may be hash-derived
+    * negatives). Emits (id, nFeats, weight, picked) for every raw doc
+    * that tokenizes to at least one feature — token-less docs drop out
+    * with the melt, [[nbScoreAgainst]]'s contract.
     *
     * Scale shape: scoring is the t28 pass (broadcast model, one
     * doc-keyed aggregate); the narrow (id, nFeats, weight) projection is
@@ -638,7 +641,11 @@ object TextFunctions {
       .localCheckpoint()
     val head = scored.agg(count(lit(1)).as("n"),
       min(col("weight")).as("mn")).collect()(0)
-    val (n, mnW) = (head.getLong(0), head.getLong(1))
+    val n = head.getLong(0)
+    // an empty scored pool (no raw docs, or none tokenized) selects
+    // nothing — min(weight) is NULL here, so return before unboxing
+    if (n == 0) return scored.withColumn("picked", lit(false))
+    val mnW = head.getLong(1)
     val kk = math.min(k, n)
     val cutoff = mnW + Sketches.exactLongRanks(
       scored.withColumn("__w0", col("weight") - mnW), "__w0",
@@ -646,8 +653,10 @@ object TextFunctions {
     // strictly-above count < kk by the rank definition, so the tie set
     // always owes at least one pick
     val need = kk - scored.filter(col("weight") > cutoff).count()
-    val idCut = Sketches.exactLongRanks(
-      scored.filter(col("weight") === cutoff), idCol, Seq(need))(need)
+    val ties = scored.filter(col("weight") === cutoff)
+    val mnId = ties.agg(min(col(idCol))).collect()(0).getLong(0)
+    val idCut = mnId + Sketches.exactLongRanks(
+      ties.withColumn("__i0", col(idCol) - mnId), "__i0", Seq(need))(need)
     scored.withColumn("picked",
       col("weight") > cutoff ||
         (col("weight") === cutoff && col(idCol) <= idCut))

@@ -2289,8 +2289,12 @@ object DataOpsQueries {
         |  FROM v4_h GROUP BY lbl),
         |v4_p AS (
         |  SELECT h.lbl, h.bin, h.cA, h.cB,
-        |    CAST((h.cA * 1000000) // t.ta AS BIGINT) AS pA_ppm,
-        |    CAST((h.cB * 1000000) // t.tb AS BIGINT) AS pB_ppm
+        |    CASE WHEN t.ta > 0
+        |      THEN CAST((h.cA * 1000000) // t.ta AS BIGINT)
+        |      ELSE 0 END AS pA_ppm,
+        |    CASE WHEN t.tb > 0
+        |      THEN CAST((h.cB * 1000000) // t.tb AS BIGINT)
+        |      ELSE 0 END AS pB_ppm
         |  FROM v4_h h JOIN v4_t t USING (lbl)),
         |v4_v AS (
         |  SELECT lbl,

@@ -155,6 +155,31 @@ class DataOpsSpec extends SparkSpec {
       binWidth = 10L, maxBins = 4, thresholdPpm = 100000L)
       .select(col("tvd_ppm"), col("drifted")).distinct())
     assert(same == Seq(Seq(0L, false)))
+    // an EMPTY today-side (the missing-delivery catastrophe) must TRIP,
+    // not throw ANSI divide-by-zero or NULL the verdict: its
+    // proportions are all zero → TVD = Σ pA / 2 ≈ 500000
+    val empty = Seq.empty[Long].toDF("v")
+    val gone = rows(TableChecks.distributionDrift(a, empty, "v",
+      binWidth = 10L, maxBins = 4, thresholdPpm = 100000L)
+      .select(col("tvd_ppm"), col("drifted")).distinct())
+    assert(gone == Seq(Seq(500000L, true)))
+    // both sides empty: no bins, no rows — nothing to judge
+    assert(TableChecks.distributionDrift(empty, empty, "v",
+      10L, 4, 100000L).count() == 0L)
+  }
+
+  test("dsirSelect: negative hash-derived ids and an empty pool survive") {
+    val target = Seq((1L, "good good")).toDF("doc_id", "text")
+    // tie on weight across a negative and a positive id — the id
+    // refinement must shift, not crash on require(mn >= 0)
+    val raw = Seq((-5L, "good"), (7L, "good")).toDF("doc_id", "text")
+    val out = rows(TextFunctions.dsirSelect(target, raw, "doc_id", "text",
+      k = 1L).orderBy(col("doc_id")))
+    assert(out.map(r => (r.head, r.last)) == Seq((-5L, true), (7L, false)))
+    // empty pool: empty selection, no NPE on the null min(weight)
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextFunctions.dsirSelect(target, none, "doc_id", "text",
+      k = 3L).count() == 0L)
   }
 
   test("KMV skips nulls like COUNT(DISTINCT); zorder refuses a zval clash") {
