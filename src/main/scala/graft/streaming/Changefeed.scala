@@ -690,6 +690,32 @@ object Changefeed {
       }
       .start()
 
+  /** Distribution-drift watchdog tick loop: the streaming face of
+    * [[graft.analytics.TableChecks.distributionDrift]]. The REFERENCE
+    * snapshot is pinned once (its histogram re-aggregates from the
+    * persisted frame, never a fresh corpus scan); each trigger
+    * re-histograms the CURRENT live table against it and hands `sink`
+    * the (batchId, per-bin report with tvd_ppm/drifted) — the nightly
+    * data-quality watchdog that catches a bad upstream delivery before
+    * training reads it, run as the seventh monitor loop. The report
+    * rides distributionDrift's own internal checkpoint (≤ maxBins rows,
+    * snapshot-stable by the time the sink sees it; driver GC reclaims
+    * these bin-sized frames — the explicit-free discipline is for the
+    * corpus-sized copies the compaction monitor pins). */
+  def driftMonitor(ticks: DataFrame, reference: DataFrame,
+                   live: () => DataFrame, valueCol: String, binWidth: Long,
+                   maxBins: Int, thresholdPpm: Long,
+                   sink: (Long, DataFrame) => Unit): StreamingQuery =
+    withStandingFrame(reference, ticks.sparkSession) { pinned =>
+      ticks.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (_: DataFrame, id: Long) =>
+          sink(id, graft.analytics.TableChecks.distributionDrift(
+            pinned, live(), valueCol, binWidth, maxBins, thresholdPpm))
+        }
+        .start()
+    }
+
   /** D4 history-compaction maintenance loop: each trigger re-reads the
     * CURRENT ops/version history and sync floor (the slowest syncer's
     * acknowledged version — compacting above it would break that

@@ -970,6 +970,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor: a healthy tick stays quiet, a shifted delivery trips") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = (1L to 200L).map(i => Tuple1(i % 40L)).toDF("v")
+    // tick 1 serves the same distribution; tick 2 a +2-bin shift
+    val liveRef = new java.util.concurrent.atomic.AtomicReference(
+      (1L to 200L).map(i => Tuple1(i % 40L)).toDF("v"))
+    val mem = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = Changefeed.driftMonitor(mem.toDF(), reference, () => liveRef.get(),
+      "v", binWidth = 10L, maxBins = 8, thresholdPpm = 150000L,
+      sink = (id, rep) => rep.select(col("tvd_ppm"), col("drifted"))
+        .distinct().collect()
+        .foreach(r => seen += ((id, r.getLong(0), r.getBoolean(1)))))
+    try {
+      mem.addData(1L); q.processAllAvailable()
+      assert(seen.toSeq == Seq((0L, 0L, false)))
+      liveRef.set((1L to 200L).map(i => Tuple1(i % 40L + 20L)).toDF("v"))
+      seen.clear()
+      mem.addData(2L); q.processAllAvailable()
+      assert(seen.size == 1 && seen.head._3,
+        s"shifted delivery must trip: $seen")
+    } finally q.stop()
+  }
+
   test("pending-replication monitor: timed-out requests requeue, fresh ones survive") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
