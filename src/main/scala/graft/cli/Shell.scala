@@ -593,6 +593,20 @@ object Shell {
             min(col("scaledMean")).as("minScore"),
             max(col("scaledMean")).as("maxScore"))
           .orderBy(col("bucket"))
+      case "classify" =>
+        // model-based quality filter report: the t28 classifier
+        // summarized per verdict (DCLM/FineWeb's keep/drop tallies)
+        graft.SparkEntry.queries("t28_quality_classifier")(spark, sfDir)
+          .groupBy(col("keep"))
+          .agg(count(lit(1)).as("nDocs"),
+            min(col("score")).as("minScore"),
+            max(col("score")).as("maxScore"))
+          .orderBy(col("keep"))
+      case "drift" =>
+        // the v4 watchdog report: per-comparison TVD + verdict
+        graft.SparkEntry.queries("v4_dist_drift")(spark, sfDir)
+          .select(col("lbl"), col("tvd_ppm"), col("drifted")).distinct()
+          .orderBy(col("lbl"))
       case "decontaminate" =>
         val docs = graft.core.Tables.documents(spark, sfDir)
         graft.functions.Dedup.contamination(

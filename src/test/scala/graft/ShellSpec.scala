@@ -350,6 +350,22 @@ class ShellSpec extends SparkSpec {
       s"got $rng")
   }
 
+  test("classify verb: keep/drop tallies cover both verdicts, scores split at 0") {
+    val out = Shell.run(spark, sf, "classify").collect()
+    assert(out.map(_.getBoolean(0)).toSeq == Seq(false, true))
+    val m = out.map(r => r.getBoolean(0) -> r.getAs[Long]("nDocs")).toMap
+    assert(m(false) + m(true) == 500L && m(false) > 0 && m(true) > 0, s"got $m")
+    val byKeep = out.map(r => r.getBoolean(0) ->
+      ((r.getAs[Long]("minScore"), r.getAs[Long]("maxScore")))).toMap
+    assert(byKeep(false)._2 <= 0L && byKeep(true)._1 > 0L, s"got $byKeep")
+  }
+
+  test("drift verb: the A/A comparison stays quiet, the shifted one trips") {
+    val out = Shell.run(spark, sf, "drift").collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(out == Map("same" -> false, "shift" -> true), s"got $out")
+  }
+
   test("oiv verb: ls lines by default, INODE elements under -xml") {
     val ls = Shell.run(spark, sf, "oiv").collect()
     assert(ls.nonEmpty && ls.forall(_.getString(0).matches("^[d-] .*")))
