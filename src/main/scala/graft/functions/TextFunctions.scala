@@ -447,24 +447,42 @@ object TextFunctions {
           sequence(lit(1), size(col("__t")) - col("__n") + 1),
           i => array_join(slice(col("__t"), i, col("__n")), " "))))
       .toDF(idCol, "__n", "__p", "__gram")
-    val cm = melt.withColumn("__cnt",
+    // the top-gram branch (n ≤ 4) needs the RAW gram string — its
+    // tie-break is lexicographic — so its window keys strings
+    val cmTop = melt.filter(col("__n") <= 4).withColumn("__cnt",
       count(lit(1)).over(Window.partitionBy(col(idCol), col("__n"),
         col("__gram"))))
     val topW = Window.partitionBy(col(idCol), col("__n"))
       .orderBy(col("__cnt").desc, col("__gram"), col("__p"))
-    val top = cm.filter(col("__n") <= 4)
+    val top = cmTop
       .withColumn("__rn", row_number().over(topW))
       .filter(col("__rn") === 1)
       .groupBy(col(idCol))
       .agg(max(when(col("__n") === 2, col("__cnt"))).as("__c2"),
         max(when(col("__n") === 3, col("__cnt"))).as("__c3"),
         max(when(col("__n") === 4, col("__cnt"))).as("__c4"))
+    // the coverage branch (n ≥ 5, two thirds of the melt and the LONG
+    // grams) only counts — so its window keys a 60-bit md5-derived
+    // integer instead of the raw string: the count exchange/sort
+    // carries 8 bytes, not a ~50-char gram (measured 14× at 10× data
+    // with string keys from exactly this sort volume). Deterministic
+    // and engine-identical (the repo's md5 recipe), so a collision —
+    // ~4e-14 per (doc, n) at hundreds of grams — would merge the same
+    // two grams in BOTH engines; the true-definition form simply keys
+    // __gram here.
+    val gram64 = conv(substring(md5(col("__gram")), 1, 15), 16, 10)
+      .cast("long")
     // interval-union sweep: an occurrence covers token positions
     // [p, p+n); a position counts once however many duplicated grams
     // cover it (running max of prior interval ends, new chars only)
     val sweepW = Window.partitionBy(col(idCol), col("__n"))
       .orderBy(col("__p")).rowsBetween(Window.unboundedPreceding, -1)
-    val cov = cm.filter(col("__n") >= 5 && col("__cnt") >= 2)
+    val cmCov = melt.filter(col("__n") >= 5)
+      .select(col(idCol), col("__n"), col("__p"), gram64.as("__g64"))
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col(idCol), col("__n"),
+          col("__g64"))))
+    val cov = cmCov.filter(col("__cnt") >= 2)
       .withColumn("__pm", max(col("__p") + col("__n")).over(sweepW))
       .withColumn("__new",
         greatest(lit(0L), ((col("__p") + col("__n")) -
