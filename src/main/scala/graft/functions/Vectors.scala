@@ -630,4 +630,83 @@ object Vectors {
       .agg(count(col("hit")).as("hits"),
         (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
   }
+
+  // ---- Johnson-Lindenstrauss random projection -------------------------
+
+  /** Deterministic ±1 JL sign for (input dim i, output dim j): the parity
+    * of the FIRST hex digit of md5("jl-i-j") — the repo's cross-engine
+    * hash recipe, so any engine (or a restarted job) regenerates the
+    * identical matrix with no stored state. */
+  def jlSign(i: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl-$i-$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xF) % 2 == 0) 1L else -1L
+  }
+
+  /** Dense JL/Achlioptas ±1 random projection of `embedding`
+    * (inDims doubles) to outDims, in EXACT integer arithmetic:
+    * components scale to 1e6 fixed-point longs (the FixedPointDot
+    * rounding recipe) and each output dim is a ± sum — no multiply, no
+    * float accumulation order, bit-identical at any parallelism. Emits
+    * the reduced vector as melt rows (vec_id, j, rv); cosine over rv is
+    * scale-invariant, so the fixed-point factor (and the 1/√outDims JL
+    * constant) never needs dividing out.
+    *
+    * Scale shape: the sign matrix is inDims×outDims rows — broadcast;
+    * the corpus pays one narrow melt and one (vec_id, j) aggregate.
+    * This is the cheap front-end that makes downstream ANN 4× narrower
+    * before any index (LSH/IVF/PQ) sees the vectors. */
+  def jlProject(emb: DataFrame, inDims: Int, outDims: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val signs = (0 until inDims)
+      .flatMap(i => (0 until outDims).map(j => (i, j, jlSign(i, j))))
+      .toDF("i", "j", "s")
+    emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "__x")))
+      .withColumn("__xs", round(col("__x").cast("double") * 1e6).cast("long"))
+      .join(broadcast(signs), Seq("i"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("__xs") * col("s")).as("rv"))
+  }
+
+  /** Neighbor-preservation gate for [[jlProject]]: each probe's top-1
+    * cosine neighbor in the REDUCED space vs the exact full-space top-1
+    * ([[knnBrute]]) — the accept dial for trading 4× narrower vectors
+    * against retrieval fidelity, like [[pqRecall]] for PQ. Emits
+    * (qid, fullNn, fullCosine, redNn, redCosine, matched). */
+  def jlTop1Recall(emb: DataFrame, queryPred: Column, inDims: Int,
+                   outDims: Int): DataFrame = {
+    // the reduced table feeds three consumers (probe side, corpus side,
+    // norms) — narrow (3 longs/vector-dim) and the table a production
+    // run would have materialized, so pinned once (the t27 convention)
+    val red = jlProject(emb, inDims, outDims).localCheckpoint()
+    val norms = red.groupBy(col("vec_id"))
+      .agg(sum(col("rv") * col("rv")).as("__n2"))
+    val probes = red.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("j"), col("rv").as("__qrv"))
+    val dots = broadcast(probes)
+      .join(red.select(col("vec_id").as("nid"), col("j"),
+        col("rv").as("__nrv")), Seq("j"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("__qrv") * col("__nrv")).as("__dot"))
+    val cos = dots
+      .join(broadcast(norms.select(col("vec_id").as("qid"),
+        col("__n2").as("__nq"))), Seq("qid"))
+      .join(norms.select(col("vec_id").as("nid"), col("__n2").as("__nn")),
+        Seq("nid"))
+      .withColumn("redCosine", col("__dot").cast("double") /
+        (sqrt(col("__nq").cast("double")) * sqrt(col("__nn").cast("double"))))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("redCosine").desc, col("nid"))
+    val redTop = cos.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("qid"), col("nid").as("redNn"), col("redCosine"))
+    knnBrute(emb, queryPred, k = 1)
+      .select(col("qid"), col("nid").as("fullNn"),
+        col("cosine").as("fullCosine"))
+      .join(redTop, Seq("qid"))
+      .withColumn("matched", col("fullNn") === col("redNn"))
+  }
 }

@@ -607,6 +607,30 @@ object DataOpsQueries {
         .agg(min(col("id1")).as("keepId"), count(lit(1)).as("nearDups"))
         .orderBy(col("id"))
     },
+    // Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003):
+    // 64 → 16 dims in EXACT integer arithmetic (1e6 fixed-point
+    // components, md5-parity sign matrix regenerable by any engine, ±
+    // sums only — no float accumulation order), gated by top-1 cosine
+    // neighbor preservation against the exact full-space truth. Half
+    // the probes (%200) get an exact re-keyed twin planted in the
+    // corpus: a GENUINE near-duplicate survives 4× compression
+    // (matched=true — the dedup case JL is used for), while rank-1
+    // among near-orthogonal random vectors sits inside the JL
+    // distortion and is lost (matched=false) — both branches
+    // non-vacuous at every SF, and the gate reads as the fidelity
+    // contract: preserved where it matters, honestly lost where no
+    // signal exists
+    "sim12_jl_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(
+        emb.filter(col("vec_id") % 200 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Vectors.jlTop1Recall(corpus,
+          col("vec_id") % 100 === 0 && col("vec_id") < 1000000L,
+          inDims = 64, outDims = 16)
+        .orderBy(col("qid"))
+    },
     // multi-probe (band-OR) LSH recall gate: true near-dup pairs found by
     // 1 vs 4 independent plane-sets against the exact all-pairs truth —
     // demonstrates the recall dial the single-set index lacks
@@ -2567,6 +2591,86 @@ object DataOpsQueries {
         |$BruteSql
         |SELECT qid, nid, cosine, rank FROM bruteRanked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // the same md5-parity sign matrix, scaled-long ± sums, reduced-space
+    // top-1 vs the full-space truth over the twin-planted corpus (the
+    // shared Norms/Brute CTEs read the bare table, so this entry carries
+    // its own corpus-parameterized copies)
+    "sim12_jl_recall" ->
+      s"""WITH jl_corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 200 = 0),
+        |jl_norms AS (
+        |  SELECT vec_id, sqrt(CAST(SUM(CAST(ROUND(CAST(embedding[k] AS DOUBLE)
+        |    * CAST(embedding[k] AS DOUBLE) * 1000000000000) AS BIGINT))
+        |    AS DOUBLE) / 1e12) AS nrm
+        |  FROM (SELECT vec_id, embedding,
+        |          UNNEST(range(1, len(embedding) + 1)) AS k
+        |        FROM jl_corpus) t
+        |  GROUP BY vec_id),
+        |jl_p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    q.embedding AS qv, c.embedding AS nv
+        |  FROM jl_corpus q JOIN jl_corpus c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 1000000),
+        |jl_fdots AS (
+        |  SELECT qid, nid, CAST(SUM(CAST(ROUND(CAST(qv[k] AS DOUBLE)
+        |    * CAST(nv[k] AS DOUBLE) * 1000000000000) AS BIGINT))
+        |    AS DOUBLE) / 1e12 AS dot
+        |  FROM (SELECT qid, nid, qv, nv, UNNEST(range(1, len(qv) + 1)) AS k
+        |        FROM jl_p) t
+        |  GROUP BY qid, nid),
+        |jl_brute AS (
+        |  SELECT qid, nid, cosine, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM (
+        |    SELECT qid, nid, dot / (na.nrm * nb.nrm) AS cosine
+        |    FROM jl_fdots
+        |    JOIN jl_norms na ON na.vec_id = qid
+        |    JOIN jl_norms nb ON nb.vec_id = nid)),
+        |jl_signs AS (
+        |  SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5('jl-' || i.i || '-' || j.j), 1, 1)) - 1) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT UNNEST(range(0, 64)) AS i) i,
+        |       (SELECT UNNEST(range(0, 16)) AS j) j),
+        |jl_melt AS (
+        |  SELECT vec_id, CAST(k - 1 AS BIGINT) AS i,
+        |    CAST(ROUND(CAST(embedding[CAST(k AS INT)] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xs
+        |  FROM (SELECT vec_id, embedding,
+        |          UNNEST(range(1, len(embedding) + 1)) AS k
+        |        FROM jl_corpus)),
+        |jl_red AS (
+        |  SELECT vec_id, j, CAST(SUM(xs * s) AS BIGINT) AS rv
+        |  FROM jl_melt JOIN jl_signs USING (i) GROUP BY vec_id, j),
+        |jl_n2 AS (
+        |  SELECT vec_id, CAST(SUM(rv * rv) AS BIGINT) AS n2
+        |  FROM jl_red GROUP BY vec_id),
+        |jl_dots AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    CAST(SUM(q.rv * c.rv) AS BIGINT) AS dot
+        |  FROM jl_red q JOIN jl_red c ON q.j = c.j AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 1000000
+        |  GROUP BY q.vec_id, c.vec_id),
+        |jl_cos AS (
+        |  SELECT d.qid, d.nid,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE))
+        |      * sqrt(CAST(nn.n2 AS DOUBLE))) AS redCosine
+        |  FROM jl_dots d
+        |  JOIN jl_n2 nq ON nq.vec_id = d.qid
+        |  JOIN jl_n2 nn ON nn.vec_id = d.nid),
+        |jl_top AS (
+        |  SELECT qid, nid AS redNn, redCosine FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY qid ORDER BY redCosine DESC, nid) AS rn
+        |    FROM jl_cos) WHERE rn = 1)
+        |SELECT b.qid, b.nid AS fullNn, b.cosine AS fullCosine,
+        |  t.redNn, t.redCosine, b.nid = t.redNn AS matched
+        |FROM (SELECT qid, nid, cosine FROM jl_brute WHERE rank = 1) b
+        |JOIN jl_top t USING (qid) ORDER BY b.qid""".stripMargin,
     "sim4_ivf_recall" ->
       s"""WITH $NormsSql,
         |$BruteSql,

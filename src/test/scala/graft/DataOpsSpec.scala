@@ -358,6 +358,37 @@ class DataOpsSpec extends SparkSpec {
     assert(out.last.head == 4L) // opposite vector ranks last
   }
 
+  test("JL projection: md5 signs match Spark's md5, basis vectors project to sign rows") {
+    // the Scala-side sign generator and the engine's md5 must agree —
+    // the oracle regenerates the matrix from the same strings
+    val grid = (0 until 8).flatMap(i => (0 until 4).map(j => (i, j)))
+      .toDF("i", "j")
+    val engine = rows(grid.withColumn("s",
+      when(expr("(conv(substring(md5(concat('jl-', i, '-', j)), 1, 1), 16, 10) % 2) = 0"),
+        1L).otherwise(-1L)).orderBy(col("i"), col("j")))
+    assert(engine.map(_.last) ==
+      (0 until 8).flatMap(i => (0 until 4).map(j => Vectors.jlSign(i, j))))
+    // e_k projects to row k of the sign matrix, scaled 1e6
+    val dims = 8
+    val basis = Seq((1L, Array.tabulate(dims)(d => if (d == 2) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val red = rows(Vectors.jlProject(basis, dims, 4).orderBy(col("j")))
+    assert(red.map(_.last) == (0 until 4).map(j => 1000000L * Vectors.jlSign(2, j)))
+  }
+
+  test("jlTop1Recall: an exact twin survives the projection with cosine 1") {
+    val dims = 8
+    def v(hot: Int) = Array.tabulate(dims)(d => if (d == hot) 1.0f else 0.0f)
+    val emb = Seq((100L, v(0)), (7L, v(0)), (8L, v(1)), (9L, v(3)))
+      .toDF("vec_id", "embedding")
+    val out = rows(Vectors.jlTop1Recall(emb, col("vec_id") === 100L, dims, 4))
+    // full top-1 of 100 is its twin 7 (cosine 1); reduced space keeps it
+    assert(out.size == 1)
+    val r = out.head
+    assert(r(1) == 7L && r(3) == 7L && r(5) == true, s"got $r")
+    assert(r(2) == 1.0 && r(4) == 1.0, s"got $r")
+  }
+
   test("lsh buckets put identical vectors together") {
     val emb = Seq(
       (1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f)),
