@@ -1460,6 +1460,23 @@ object DataOpsQueries {
       Events.asofJoin(probes, quotes, "user_id", "ts", Seq("quote"))
         .orderBy(col("event_id"))
     },
+    // the TOLERANCE dial of the same operator (pandas merge_asof
+    // tolerance / kdb wj window): a backward match farther than 1 h is
+    // discarded — same one-exchange union-tag plan, the distance check
+    // rides the existing carried struct; matches inside and outside the
+    // window both occur at every SF (5/46/368 survive at the three SFs)
+    "e11_asof_tolerance" -> { (s, dir) =>
+      DerivedState.register(s, dir)
+      val ev = s.table("events")
+      val quotes = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("quote"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Events.asofJoin(probes, quotes, "user_id", "ts", Seq("quote"),
+          toleranceNs = Some(3600000000000L))
+        .orderBy(col("event_id"))
+    },
     // the FORWARD direction of the same operator (smallest quote ts ≥
     // probe ts): the identical union-tag plan over the reversed per-key
     // ordering — still one exchange, no join; the oracle flips DuckDB's
@@ -3591,6 +3608,23 @@ object DataOpsQueries {
         |  FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, c.tsn AS ts,
         |  q.qts AS matchedTs, q.quote
+        |FROM c ASOF LEFT JOIN q
+        |  ON c.user_id = q.user_id AND c.tsn >= q.qts
+        |ORDER BY c.event_id""".stripMargin,
+    // DuckDB has no ASOF tolerance: the native backward match is taken,
+    // then blanked when farther than the window (NULL qts stays NULL)
+    "e11_asof_tolerance" ->
+      """WITH q AS (
+        |  SELECT user_id, epoch_ns(ts) AS qts, MAX(value) AS quote
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tsn
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.tsn AS ts,
+        |  CASE WHEN c.tsn - q.qts <= 3600000000000 THEN q.qts END
+        |    AS matchedTs,
+        |  CASE WHEN c.tsn - q.qts <= 3600000000000 THEN q.quote END
+        |    AS quote
         |FROM c ASOF LEFT JOIN q
         |  ON c.user_id = q.user_id AND c.tsn >= q.qts
         |ORDER BY c.event_id""".stripMargin,
