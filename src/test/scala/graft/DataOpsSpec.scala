@@ -920,6 +920,77 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("dsirSelect property: picked set equals the sorted top-k on random corpora") {
+    val rng = new scala.util.Random(20260815L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    def doc() = Seq.fill(3 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+      .mkString(" ")
+    for (round <- 1 to 3) {
+      val target = (1L to 5L).map(i => (i, doc())).toDF("doc_id", "text")
+      val n = 30 + rng.nextInt(40)
+      val raw = (100L until (100L + n)).map(i => (i, doc()))
+        .toDF("doc_id", "text")
+      val k = 1 + rng.nextInt(n)
+      val out = rows(TextFunctions.dsirSelect(target, raw, "doc_id", "text",
+        k.toLong).select(col("doc_id"), col("weight"), col("picked")))
+      // brute truth: sort by (weight desc, id asc), take k
+      val want = out.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+        .sortBy { case (id, w) => (-w, id) }.take(k).map(_._1).toSet
+      val got = out.filter(_(2) == true).map(_.head.asInstanceOf[Long]).toSet
+      assert(got == want, s"round $round k $k: got $got want $want")
+    }
+  }
+
+  test("repetitionSignals property: coverage equals the brute position-set size") {
+    val rng = new scala.util.Random(20260815L)
+    val vocab = Vector("a", "b", "c", "d")
+    for (round <- 1 to 3) {
+      val docs = (1L to 8L).map { id =>
+        (id, Seq.fill(12 + rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val out = rows(TextFunctions.repetitionSignals(
+        docs.toDF("doc_id", "page"), "doc_id", "page")
+        .select(col("doc_id"), col("nTok"), col("dup5Frac"), col("dup7Frac"))
+        .orderBy(col("doc_id")))
+      // brute truth: positions covered by any n-gram occurring > once
+      def brute(toks: Array[String], n: Int): Double = {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toArray
+        val cnt = grams.groupBy(identity).view.mapValues(_.length).toMap
+        val covered = grams.indices
+          .filter(p => cnt(grams(p)) >= 2)
+          .flatMap(p => p until (p + n)).toSet.size
+        covered.toDouble / toks.length
+      }
+      docs.zip(out).foreach { case ((id, text), row) =>
+        val toks = text.split(" ")
+        assert(row(2) == brute(toks, 5) && row(3) == brute(toks, 7),
+          s"round $round doc $id: got $row, " +
+            s"want ${brute(toks, 5)}/${brute(toks, 7)}")
+      }
+    }
+  }
+
+  test("distributionDrift property: tvd_ppm equals the brute half-L1 in ppm") {
+    val rng = new scala.util.Random(20260815L)
+    for (round <- 1 to 3) {
+      val a = Seq.fill(40 + rng.nextInt(60))(rng.nextInt(200).toLong)
+      val b = Seq.fill(40 + rng.nextInt(60))(rng.nextInt(200).toLong)
+      val out = rows(graft.analytics.TableChecks.distributionDrift(
+        a.map(Tuple1(_)).toDF("v"), b.map(Tuple1(_)).toDF("v"),
+        "v", binWidth = 25L, maxBins = 6, thresholdPpm = 100000L)
+        .select(col("tvd_ppm")).distinct())
+      def hist(xs: Seq[Long]) = xs.groupBy(x => math.min(x / 25L, 5L))
+        .view.mapValues(_.length.toLong).toMap
+      val (ha, hb) = (hist(a), hist(b))
+      val want = (ha.keySet ++ hb.keySet).toSeq.map { bin =>
+        math.abs(ha.getOrElse(bin, 0L) * 1000000L / a.size -
+          hb.getOrElse(bin, 0L) * 1000000L / b.size)
+      }.sum / 2
+      assert(out == Seq(Seq(want)), s"round $round: got $out want $want")
+    }
+  }
+
   test("pii scrub redacts emails and phones, collapses whitespace") {
     val d = Seq((1L, "Mail Bob.Smith+x@Example.COM  or +1-555-0042  now"))
       .toDF("doc_id", "text")
