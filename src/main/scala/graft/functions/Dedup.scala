@@ -316,7 +316,7 @@ object Dedup {
     * a melted frame before a quadratic pair join — a partial-aggregated
     * bucket census + left_semi prune riding the join's own shuffle key.
     * No-op when uncapped, so default semantics stay exact. */
-  private[functions] def capBuckets(melt: DataFrame, keys: Seq[String],
+  private[graft] def capBuckets(melt: DataFrame, keys: Seq[String],
                                     maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) melt
     else {

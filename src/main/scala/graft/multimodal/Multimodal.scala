@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as
@@ -66,6 +66,24 @@ object Multimodal {
           y += 1
         }
         (w, h, sum / (w.toLong * h))
+      }
+
+    /** 9×8 luma grid of a decodable image — dHash's canonical input:
+      * the image resampled to 9 columns × 8 rows, per-cell ITU-R 601
+      * luma in 0..255, row-major. */
+    def lumaGrid(payload: Array[Byte]): Option[Array[Int]] =
+      readImage(payload).map { img =>
+        val out = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
+        (0 until 8).flatMap { r =>
+          (0 until 9).map { c =>
+            val rgb = out.getRGB(c, r)
+            ((((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+              (rgb & 0xff) * 114L) / 1000L).toInt
+          }
+        }.toArray
       }
 
     /** Scale a decodable image to (w, h) and re-encode as PNG. */
@@ -246,6 +264,71 @@ object Multimodal {
     shared.join(f1, Seq("id1")).join(f2, Seq("id2"))
       .select(col("id1"), col("id2"), col("sharedChunks"),
         (col("__h1") === col("__h2")).as("exactDup"))
+  }
+
+  /** Deterministic byte-sampler 9×8 "luma" grid for OPAQUE payloads —
+    * the stub decode the differential gate can replay in any engine:
+    * cell k (0..71) is the character code at position
+    * ⌊len·k/72⌋ of the UTF-8 payload. In production, swap in the REAL
+    * [[ImageDecoder.lumaGrid]] (same 72-cell contract) — dHash and the
+    * pairing below are grid-source-agnostic. */
+  def byteSampleGrid(payload: Column): Column = {
+    val s = decode(payload, "UTF-8")
+    transform(sequence(lit(0), lit(71)), k =>
+      ascii(s.substr(((length(s) * k) / 72).cast("int") + 1, lit(1))))
+  }
+
+  /** dHash (difference hash) of a 72-cell row-major 9×8 grid: bit
+    * (r, c) is set when cell (r, c+1) > cell (r, c) — the standard
+    * 64-bit perceptual image hash (brightness gradients survive
+    * re-encoding, scaling and small edits, so near-identical images
+    * land at small hamming distance). Pure column arithmetic: 64
+    * literal-shift terms sum to the hash (distinct powers of two — the
+    * sum IS the bitwise OR). */
+  def dHashOf(grid: Column): Column =
+    (0 until 64).map { k =>
+      val r = k / 8; val c = k % 8
+      when(element_at(grid, r * 9 + c + 2) > element_at(grid, r * 9 + c + 1),
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Perceptual near-duplicate asset pairs by banded dHash — the pHash
+    * dedup every image pipeline runs next to exact-hash dedup
+    * ([[payloadDedup]] catches byte-identical and chunk-aligned copies;
+    * this catches RE-ENCODED/slightly-edited assets those miss). Eight
+    * 8-bit bands pigeonhole the 64-bit hash: two hashes within hamming
+    * `maxHamming` ≤ 7 agree on at least one band, so candidates are
+    * bucket-local (never all-pairs) and the exact `bit_count(xor)`
+    * filter runs on candidates only. `maxBucket` is the degenerate-
+    * bucket skew valve ([[graft.functions.Dedup.capBuckets]]). Emits
+    * (id1, id2, hamming, exactHash). */
+  def phashNearDups(media: DataFrame, idCol: String, maxHamming: Int = 6,
+                    maxBucket: Int = 256): DataFrame = {
+    require(0 <= maxHamming && maxHamming <= 7,
+      "8 byte-bands pigeonhole hamming <= 7 only")
+    val sig = media.select(col(idCol),
+      dHashOf(byteSampleGrid(col("payload"))).as("__dh"))
+    val bandArr = array((0 until 8).map(t =>
+      shiftright(col("__dh"), 8 * t).bitwiseAND(lit(255L))): _*)
+    val melted = graft.functions.Dedup.capBuckets(
+      sig.select(col(idCol),
+        posexplode(bandArr).as(Seq("bandIdx", "bandVal")), col("__dh")),
+      Seq("bandIdx", "bandVal"), maxBucket)
+    val left = melted.select(col(idCol).as("id1"), col("bandIdx"),
+      col("bandVal"), col("__dh").as("__h1"))
+    val right = melted.select(col(idCol).as("id2"), col("bandIdx"),
+      col("bandVal"), col("__dh").as("__h2"))
+    // shuffled (not broadcast) so the signature subtree computes once —
+    // the simhashNearDups64 ReuseExchange convention
+    left.hint("shuffle_hash").join(right.hint("shuffle_hash"),
+        Seq("bandIdx", "bandVal"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("__h1").bitwiseXOR(col("__h2"))).cast("int")
+          .as("hamming"),
+        (col("__h1") === col("__h2")).as("exactHash"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** The standing asset index [[payloadDedupAgainst]] probes — whole-

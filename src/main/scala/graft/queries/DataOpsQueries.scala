@@ -105,6 +105,16 @@ object DataOpsQueries {
   /** Oracle twin of [[graft.functions.TextFunctions.pageText]] — the
     * deterministic page assembly (12-word lines, bullet/ellipsis/period
     * decorations, boilerplate marker lines) reproduced byte-for-byte. */
+  /** m7's 64-term dHash sum in SQL: bit (r,c) of the 9×8 grid as a
+    * literal power-of-two addend (distinct powers — the sum is the OR);
+    * k=63 is spelled as the signed-long min expression since the bare
+    * literal overflows BIGINT. */
+  private val M7DHashSql: String = (0 until 64).map { k =>
+    val r = k / 8; val c = k % 8
+    val pow = if (k == 63) "(-9223372036854775807 - 1)" else (1L << k).toString
+    s"CASE WHEN g[${r * 9 + c + 2}] > g[${r * 9 + c + 1}] THEN $pow ELSE 0 END"
+  }.mkString(" + ")
+
   private val PageSql: String =
     """pages AS (
       |  SELECT doc_id,
@@ -786,6 +796,30 @@ object DataOpsQueries {
     // at every SF. Pairs from the (chunkIdx, chunkHash) equi-join with
     // the maxBucket valve; payload bytes = utf-8 of the ASCII text, so
     // the DuckDB twin chunks the text itself byte-for-byte.
+    // perceptual near-dup assets by banded dHash: the 64-bit difference
+    // hash over the 9×8 sampled grid (stub decode — the REAL
+    // ImageDecoder.lumaGrid fills the same 72-cell contract in specs),
+    // eight 8-bit bands pigeonhole hamming ≤ 6 so candidates stay
+    // bucket-local. Exact re-keyed twins (%7) land at hamming 0 and
+    // same-length tail-perturbed variants (%11, last 5 chars replaced —
+    // the few-pixels-changed analog) at 1..3, while unrelated docs sit
+    // near 32 — exact and near branches both non-vacuous at every SF
+    // (a LENGTH-changing edit shifts every sample, hamming ~18+: the
+    // stub grid is content-addressed, not shift-tolerant; real pixel
+    // grids get shift tolerance from the resample)
+    "m7_phash_neardup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val md = d.select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(expr("substring(text, 1, length(text) - 5)"),
+              lit("qqqqq")).as("text")))
+      graft.multimodal.Multimodal.phashNearDups(
+          graft.multimodal.Multimodal.asMedia(md), "doc_id")
+        .orderBy(col("id1"), col("id2"))
+    },
     "m5_payload_dedup" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
       val md = d.select(col("doc_id"), col("text"))
@@ -2914,6 +2948,41 @@ object DataOpsQueries {
         |FROM m5_p p
         |JOIN m5_full fa ON fa.doc_id = p.id1
         |JOIN m5_full fb ON fb.doc_id = p.id2
+        |ORDER BY id1, id2""".stripMargin,
+    // the same sampled grid, 64-term dHash sum (k=63 spelled as the
+    // signed-long min expression), byte-band melt with the bucket cap,
+    // exact-hamming filter on candidates
+    "m7_phash_neardup" ->
+      s"""WITH m7_m AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    substr(text, 1, length(text) - 5) || 'qqqqq'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |m7_g AS (
+        |  SELECT doc_id,
+        |    [ascii(substr(text, CAST((length(text) * k) // 72 AS INT) + 1, 1))
+        |     FOR k IN range(0, 72)] AS g
+        |  FROM m7_m),
+        |m7_h AS (SELECT doc_id, CAST($M7DHashSql AS BIGINT) AS dh FROM m7_g),
+        |m7_melt AS (
+        |  SELECT doc_id, dh, t AS bandIdx,
+        |    (dh >> (8 * CAST(t AS INT))) & 255 AS bandVal
+        |  FROM m7_h, (SELECT UNNEST(range(0, 8)) AS t)),
+        |m7_keep AS (
+        |  SELECT bandIdx, bandVal FROM m7_melt
+        |  GROUP BY 1, 2 HAVING COUNT(*) <= 256),
+        |m7_km AS (SELECT m7_melt.* FROM m7_melt JOIN m7_keep
+        |  USING (bandIdx, bandVal))
+        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(CAST(xor(a.dh, b.dh) AS BIT)) AS INT) AS hamming,
+        |  a.dh = b.dh AS exactHash
+        |FROM m7_km a JOIN m7_km b
+        |  ON a.bandIdx = b.bandIdx AND a.bandVal = b.bandVal
+        |  AND a.doc_id < b.doc_id
+        |WHERE bit_count(CAST(xor(a.dh, b.dh) AS BIT)) <= 6
         |ORDER BY id1, id2""".stripMargin,
     "f15_fs_schemes" ->
       """SELECT f.scheme, s.n, s.keySum, s.nameLen

@@ -658,6 +658,48 @@ class DataOpsSpec extends SparkSpec {
     assert((back.getRGB(0, 0) & 0xff0000) != 0 && (back.getRGB(3, 1) & 0xffffff) == 0xffffff)
   }
 
+  test("pHash: REAL pixels — identical PNGs at hamming 0, a small edit stays near") {
+    import java.awt.image.BufferedImage
+    def png(edit: Boolean): Array[Byte] = {
+      val img = new BufferedImage(36, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 36)
+        img.setRGB(x, y, (x * 7 + y * 11) % 256 << 16 | (x * 3) % 256)
+      // a localized edit: one 4x4 patch flipped to white
+      if (edit) for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def dh(p: Array[Byte]): Long = {
+      val g = Multimodal.ImageDecoder.lumaGrid(p).get
+      assert(g.length == 72 && g.forall(v => v >= 0 && v <= 255))
+      (0 until 64).map { k =>
+        val r = k / 8; val c = k % 8
+        if (g(r * 9 + c + 1) > g(r * 9 + c)) 1L << k else 0L
+      }.sum
+    }
+    assert(dh(png(false)) == dh(png(false))) // re-encode-stable
+    val ham = java.lang.Long.bitCount(dh(png(false)) ^ dh(png(true)))
+    // the edit touches ~1 of 72 grid cells → a handful of bits
+    assert(ham >= 1 && ham <= 6, s"hamming $ham")
+  }
+
+  test("phashNearDups: twin at 0, tail-perturbed near, unrelated dropped") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text), (2L, text),                        // exact twin
+      (3L, text.dropRight(12) + "!!!!!!!!!!!!"),     // same-length edit
+      (4L, (1 to 30).map(i => s"q${i * 7}").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val out = rows(Multimodal.phashNearDups(Multimodal.asMedia(docs),
+      "doc_id").orderBy(col("id1"), col("id2")))
+    val pairs = out.map(r => (r(0), r(1)) -> (r(2), r(3))).toMap
+    assert(pairs((1L, 2L)) == ((0, true)))
+    val near = pairs((1L, 3L))
+    assert(near._2 == false && near._1.asInstanceOf[Int] >= 1, s"got $near")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("multimodal REAL decode: WAV PCM payloads yield frames, channels, amplitude") {
     // hand-assembled RIFF/WAVE, 16-bit stereo, 3 frames with known
     // amplitudes: L/R pairs (0, 16384), (-32768, 8192), (32767, 0)
