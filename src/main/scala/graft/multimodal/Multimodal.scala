@@ -306,8 +306,13 @@ object Multimodal {
                     maxBucket: Int = 256): DataFrame = {
     require(0 <= maxHamming && maxHamming <= 7,
       "8 byte-bands pigeonhole hamming <= 7 only")
-    val sig = media.select(col(idCol),
-      dHashOf(byteSampleGrid(col("payload"))).as("__dh"))
+    // the grid MATERIALIZES into its own projection before dHash reads
+    // it 128 times (element_at per bit side): inlined, the 72-cell
+    // sampler re-runs per reference — the bigramPairs re-evaluation
+    // hazard (measured 1.6× on this operator at sf0.1)
+    val sig = media
+      .select(col(idCol), byteSampleGrid(col("payload")).as("__g"))
+      .select(col(idCol), dHashOf(col("__g")).as("__dh"))
     val bandArr = array((0 until 8).map(t =>
       shiftright(col("__dh"), 8 * t).bitwiseAND(lit(255L))): _*)
     val melted = graft.functions.Dedup.capBuckets(
