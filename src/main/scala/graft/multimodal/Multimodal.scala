@@ -398,6 +398,59 @@ object Multimodal {
         when(col("__exactOf").isNull, col("__nearShared")).as("sharedChunks"))
   }
 
+  /** The standing PERCEPTUAL index [[phashNearDupsAgainst]] probes: one
+    * dHash row per asset — (doc_id, dh). In production this table is
+    * maintained append-only per ingest batch, so classifying new assets
+    * never re-pairs the corpus with itself. */
+  def phashIndex(media: DataFrame, idCol: String): DataFrame =
+    media.select(col(idCol).as("doc_id"),
+        byteSampleGrid(col("payload")).as("__g"))
+      .select(col("doc_id"), dHashOf(col("__g")).as("dh"))
+
+  /** Incremental perceptual ingest: classify a batch of arriving assets
+    * against the STANDING [[phashIndex]] — exact_phash (hamming 0),
+    * near_dup (0 < hamming ≤ maxHamming, best match = smallest hamming
+    * then smallest id), or unique. Candidates come from the same 8-band
+    * pigeonhole as [[phashNearDups]], joined batch→index — per-batch
+    * cost is O(batch) melt + bucket-local probes, the corpus never
+    * re-pairs (the incrementalLsh / payloadDedupAgainst shape; a
+    * streaming deployment pins the index and runs this body per
+    * micro-batch). */
+  def phashNearDupsAgainst(index: DataFrame, batch: DataFrame,
+                           idCol: String, maxHamming: Int = 6,
+                           maxBucket: Int = 256): DataFrame = {
+    require(0 <= maxHamming && maxHamming <= 7,
+      "8 byte-bands pigeonhole hamming <= 7 only")
+    def bands(dh: Column) = array((0 until 8).map(t =>
+      shiftright(dh, 8 * t).bitwiseAND(lit(255L))): _*)
+    val iMelt = graft.functions.Dedup.capBuckets(
+      index.select(col("doc_id").as("__cid"), col("dh").as("__ih"))
+        .select(col("__cid"), col("__ih"),
+          posexplode(bands(col("__ih"))).as(Seq("bandIdx", "bandVal"))),
+      Seq("bandIdx", "bandVal"), maxBucket)
+    val bSig = phashIndex(batch.select(col(idCol).as("doc_id"),
+      col("payload")), "doc_id")
+      .select(col("doc_id").as(idCol), col("dh").as("__bh"))
+    val bMelt = bSig.select(col(idCol), col("__bh"),
+      posexplode(bands(col("__bh"))).as(Seq("bandIdx", "bandVal")))
+    val best = bMelt.join(iMelt, Seq("bandIdx", "bandVal"))
+      .select(col(idCol),
+        bit_count(col("__bh").bitwiseXOR(col("__ih"))).cast("int")
+          .as("__ham"), col("__cid"))
+      .filter(col("__ham") <= maxHamming)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__ham"), col("__cid"))).as("__m"))
+      .select(col(idCol), col("__m.__cid").as("matchId"),
+        col("__m.__ham").as("hamming"))
+    bSig.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("hamming") === 0, lit("exact_phash"))
+          .when(col("hamming").isNotNull, lit("near_dup"))
+          .otherwise(lit("unique")).as("verdict"),
+        col("matchId"), col("hamming"))
+  }
+
   final case class Frame(doc_id: Long, frameIdx: Int, payload: Array[Byte])
 
   /** Frame sampling for video payloads: split the byte stream into

@@ -820,6 +820,35 @@ object DataOpsQueries {
           graft.multimodal.Multimodal.asMedia(md), "doc_id")
         .orderBy(col("id1"), col("id2"))
     },
+    // incremental perceptual ingest: arriving assets classified against
+    // the STANDING phashIndex (%3 slice) — exact_phash (%15
+    // re-deliveries, hamming 0), near_dup (tail-perturbed %3∖%5 docs,
+    // usually hamming 1..3 to their standing original; a perturbation
+    // the sampler misses lands exact_phash, which is the honest
+    // perceptual verdict), unique (%5∖%3 docs). All three verdicts
+    // non-vacuous at every SF; O(batch) melt + bucket-local probes,
+    // the corpus never re-pairs
+    "m8_phash_incremental" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val asM = (df: org.apache.spark.sql.DataFrame) =>
+        graft.multimodal.Multimodal.asMedia(df)
+      val idx = graft.multimodal.Multimodal.phashIndex(
+        asM(d.filter(col("doc_id") % 3 === 0).select(col("doc_id"),
+          col("text"))), "doc_id")
+      val batch = asM(
+        d.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 3 === 0 &&
+              col("doc_id") % 5 =!= 0)
+            .select((col("doc_id") + 4000000L).as("doc_id"),
+              concat(expr("substring(text, 1, length(text) - 5)"),
+                lit("qqqqq")).as("text")))
+          .unionByName(d.filter(col("doc_id") % 5 === 0 &&
+              col("doc_id") % 3 =!= 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))))
+      graft.multimodal.Multimodal.phashNearDupsAgainst(idx, batch, "doc_id")
+        .orderBy(col("doc_id"))
+    },
     "m5_payload_dedup" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
       val md = d.select(col("doc_id"), col("text"))
@@ -2949,6 +2978,65 @@ object DataOpsQueries {
         |JOIN m5_full fa ON fa.doc_id = p.id1
         |JOIN m5_full fb ON fb.doc_id = p.id2
         |ORDER BY id1, id2""".stripMargin,
+    // the same grid/dHash; index-side band melt with the cap, batch
+    // bands probe it, best match = min (hamming, id) within threshold
+    "m8_phash_incremental" ->
+      s"""WITH m8_s AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |m8_b AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 15 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |    substr(text, 1, length(text) - 5) || 'qqqqq'
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 3 <> 0),
+        |m8_sg AS (
+        |  SELECT doc_id,
+        |    [ascii(substr(text, CAST((length(text) * k) // 72 AS INT) + 1, 1))
+        |     FOR k IN range(0, 72)] AS g
+        |  FROM m8_s),
+        |m8_bg AS (
+        |  SELECT doc_id,
+        |    [ascii(substr(text, CAST((length(text) * k) // 72 AS INT) + 1, 1))
+        |     FOR k IN range(0, 72)] AS g
+        |  FROM m8_b),
+        |m8_sh AS (SELECT doc_id, CAST($M7DHashSql AS BIGINT) AS dh FROM m8_sg),
+        |m8_bh AS (SELECT doc_id, CAST($M7DHashSql AS BIGINT) AS dh FROM m8_bg),
+        |m8_im AS (
+        |  SELECT doc_id, dh, t AS bandIdx,
+        |    (dh >> (8 * CAST(t AS INT))) & 255 AS bandVal
+        |  FROM m8_sh, (SELECT UNNEST(range(0, 8)) AS t)),
+        |m8_keep AS (
+        |  SELECT bandIdx, bandVal FROM m8_im
+        |  GROUP BY 1, 2 HAVING COUNT(*) <= 256),
+        |m8_ik AS (SELECT m8_im.* FROM m8_im JOIN m8_keep
+        |  USING (bandIdx, bandVal)),
+        |m8_bm AS (
+        |  SELECT doc_id, dh, t AS bandIdx,
+        |    (dh >> (8 * CAST(t AS INT))) & 255 AS bandVal
+        |  FROM m8_bh, (SELECT UNNEST(range(0, 8)) AS t)),
+        |m8_best AS (
+        |  SELECT doc_id, matchId, hamming FROM (
+        |    SELECT b.doc_id, i.doc_id AS matchId,
+        |      CAST(bit_count(CAST(xor(b.dh, i.dh) AS BIT)) AS INT)
+        |        AS hamming,
+        |      ROW_NUMBER() OVER (PARTITION BY b.doc_id
+        |        ORDER BY bit_count(CAST(xor(b.dh, i.dh) AS BIT)),
+        |          i.doc_id) AS rn
+        |    FROM m8_bm b JOIN m8_ik i
+        |      ON b.bandIdx = i.bandIdx AND b.bandVal = i.bandVal
+        |    WHERE bit_count(CAST(xor(b.dh, i.dh) AS BIT)) <= 6)
+        |  WHERE rn = 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN e.hamming = 0 THEN 'exact_phash'
+        |       WHEN e.hamming IS NOT NULL THEN 'near_dup'
+        |       ELSE 'unique' END AS verdict,
+        |  e.matchId, e.hamming
+        |FROM m8_bh b LEFT JOIN m8_best e USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // the same sampled grid, 64-term dHash sum (k=63 spelled as the
     // signed-long min expression), byte-band melt with the bucket cap,
     // exact-hamming filter on candidates

@@ -277,6 +277,28 @@ object Changefeed {
     }
   }
 
+  /** Streaming perceptual-ingest dedup: the streaming twin of
+    * [[graft.multimodal.Multimodal.phashNearDupsAgainst]]. The standing
+    * corpus's dHash index ([[graft.multimodal.Multimodal.phashIndex]] —
+    * one 64-bit hash per asset) is pinned once; each micro-batch of
+    * arriving media classifies exact_phash / near_dup / unique with its
+    * own grid+hash melt and bucket-local band probes — O(batch) per
+    * trigger, no streaming state. */
+  def streamingPhashDedup(media: DataFrame, standing: DataFrame,
+                          idCol: String,
+                          sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.multimodal.Multimodal
+    val idx = Multimodal.phashIndex(standing, idCol)
+    withStandingFrame(idx, media.sparkSession) { pinned =>
+      media.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          sink(Multimodal.phashNearDupsAgainst(pinned, batch.toDF(), idCol),
+            batchId)
+        }
+        .start()
+    }
+  }
+
   /** Streaming ANN ingest: the streaming twin of
     * [[graft.functions.Vectors.ivfPqSearch]]'s incremental split
     * (sim11). Each micro-batch of arriving vectors probes the STANDING

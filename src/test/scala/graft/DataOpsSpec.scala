@@ -700,6 +700,25 @@ class DataOpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("phashNearDupsAgainst: exact/near/unique verdicts against the standing index") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val standing = Seq((1L, text),
+      (2L, (1 to 30).map(i => s"z${i * 3}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, text),                                    // exact re-delivery
+      (11L, text.dropRight(12) + "!!!!!!!!!!!!"),     // same-length edit
+      (12L, (1 to 40).map(i => s"m${i * 13}").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val idx = Multimodal.phashIndex(Multimodal.asMedia(standing), "doc_id")
+    val out = rows(Multimodal.phashNearDupsAgainst(idx,
+      Multimodal.asMedia(batch), "doc_id").orderBy(col("doc_id")))
+    assert(out(0) == Seq(10L, "exact_phash", 1L, 0))
+    assert(out(1)(1) == "near_dup" && out(1)(2) == 1L &&
+      out(1)(3).asInstanceOf[Int] >= 1, s"got ${out(1)}")
+    assert(out(2) == Seq(12L, "unique", null, null))
+  }
+
   test("multimodal REAL decode: WAV PCM payloads yield frames, channels, amplitude") {
     // hand-assembled RIFF/WAVE, 16-bit stereo, 3 frames with known
     // amplitudes: L/R pairs (0, 16384), (-32768, 8192), (32767, 0)

@@ -325,6 +325,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed perceptual dedup matches the batch verdicts against the pinned index") {
+    implicit val sqlCtx = spark.sqlContext
+    val toMedia = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("doc_id"), lit("image").as("modality"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val standing = toMedia(Seq((1L, text),
+      (2L, (1 to 30).map(i => s"z${i * 3}").mkString(" ")))
+      .toDF("doc_id", "text"))
+    val batchRows = Seq(
+      (10L, text),                                    // exact_phash of 1
+      (11L, text.dropRight(12) + "!!!!!!!!!!!!"),     // near_dup of 1
+      (12L, (1 to 40).map(i => s"m${i * 13}").mkString(" "))) // unique
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.concurrent.TrieMap[Long, (String, Any)]()
+    val q = Changefeed.streamingPhashDedup(
+      toMedia(mem.toDF().toDF("doc_id", "text")), standing, "doc_id",
+      (out, _) => out.collect().foreach(r =>
+        acc(r.getLong(0)) = (r.getString(1), r.get(2))))
+    try {
+      // two triggers — the SAME pinned index serves both
+      mem.addData(batchRows(0), batchRows(1)); q.processAllAvailable()
+      mem.addData(batchRows(2)); q.processAllAvailable()
+      val expect = graft.multimodal.Multimodal.phashNearDupsAgainst(
+          graft.multimodal.Multimodal.phashIndex(standing, "doc_id"),
+          toMedia(batchRows.toDF("doc_id", "text")), "doc_id")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+      assert(acc.toMap == expect)
+      assert(acc(10L) == (("exact_phash", 1L)))
+      assert(acc(11L)._1 == "near_dup" && acc(12L)._1 == "unique")
+    } finally q.stop()
+  }
+
   test("streamed asset dedup matches the batch classification against the pinned index") {
     implicit val sqlCtx = spark.sqlContext
     val asMedia = (rows: Seq[(Long, String)]) =>
