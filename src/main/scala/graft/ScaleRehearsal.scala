@@ -234,6 +234,34 @@ object ScaleRehearsal {
         "n_chars", binWidth = 64L, maxBins = 32,
         thresholdPpm = 150000L).count()
     }
+    // perceptual dedup at 10×: band buckets grow ~10× past the 256
+    // valve on the hottest hash bytes — the capBuckets drop is the
+    // DESIGNED behavior (a degenerate band carries no signal), and the
+    // cost must stay bucket-local either way
+    import graft.multimodal.Multimodal
+    val media10 = d.select(col("doc_id"), lit("image").as("modality"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val tM7 = time("m7 phashNearDups (10x assets)") {
+      Multimodal.phashNearDups(media10, "doc_id").count()
+    }
+    val tM8 = time("m8 phash incremental (10x standing)") {
+      val idx = Multimodal.phashIndex(
+        media10.filter(col("doc_id") % 3 === 0), "doc_id")
+      Multimodal.phashNearDupsAgainst(idx,
+        media10.filter(col("doc_id") % 3 =!= 0), "doc_id").count()
+    }
+    // JL projection at 10×: re-keyed embedding copies are exact twins —
+    // the near-dup-heavy regime — and the sign matrix stays a
+    // 1024-row broadcast whatever the corpus
+    val emb10 = (0 until copies).map { k =>
+      graft.core.Tables.embeddings(spark, sfDir)
+        .select((col("vec_id") + lit(k * Off)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    val tSim12 = time("sim12 jlTop1Recall (10x vectors)") {
+      graft.functions.Vectors.jlTop1Recall(emb10,
+        col("vec_id") % 1000 === 0, inDims = 64, outDims = 16)
+        .filter(col("matched")).count()
+    }
 
     val r = Seq("build" -> tBuild, "paths_fast" -> tPathsFast,
       "paths_iter" -> tPathsIter, "resolve_fast" -> tResFast,
@@ -241,7 +269,7 @@ object ScaleRehearsal {
       "cs_iter" -> tCsIter, "n5" -> tN5, "requeue" -> tRequeue,
       "corrupt" -> tCorrupt, "d2" -> tD2, "t26" -> tT26, "t27" -> tT27,
       "d16" -> tD16, "t28" -> tT28, "t29" -> tT29, "t30" -> tT30,
-      "v4" -> tV4)
+      "v4" -> tV4, "m7" -> tM7, "m8" -> tM8, "sim12" -> tSim12)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
         pathsDiff + resDiff + csDiff == 0},"sf":"$sfDir",""", ",", "}"))
