@@ -465,11 +465,12 @@ object TextFunctions {
     // grams) only counts — so its window keys a 60-bit md5-derived
     // integer instead of the raw string: the count exchange/sort
     // carries 8 bytes, not a ~50-char gram (measured 14× at 10× data
-    // with string keys from exactly this sort volume). Deterministic
-    // and engine-identical (the repo's md5 recipe), so a collision —
-    // ~4e-14 per (doc, n) at hundreds of grams — would merge the same
-    // two grams in BOTH engines; the true-definition form simply keys
-    // __gram here.
+    // with string keys from exactly this sort volume). The t29 oracle
+    // keeps the raw-string key (the TRUE definition), so the gate
+    // proves the hashed form equals it on every tested corpus; an md5
+    // collision within one (doc, n) — ~4e-14 at hundreds of grams —
+    // would inflate Spark's count only and FAIL the gate loudly, never
+    // silently diverge.
     val gram64 = conv(substring(md5(col("__gram")), 1, 15), 16, 10)
       .cast("long")
     // interval-union sweep: an occurrence covers token positions

@@ -663,6 +663,16 @@ object Vectors {
       .flatMap(i => (0 until outDims).map(j => (i, j, jlSign(i, j))))
       .toDF("i", "j", "s")
     emb
+      // a wrong inDims must fail on ITS row, not silently project a
+      // prefix (extra dims would just miss the sign join) — the
+      // rangeJoin raise_error-in-branch convention
+      .select(col("vec_id"),
+        when(size(col("embedding")) === inDims, col("embedding"))
+          .otherwise(raise_error(concat(
+            lit(s"jlProject: expected $inDims dims, got "),
+            size(col("embedding")).cast("string"),
+            lit(" for vec_id "), col("vec_id").cast("string"))))
+          .as("embedding"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "__x")))
       .withColumn("__xs", round(col("__x").cast("double") * 1e6).cast("long"))
       .join(broadcast(signs), Seq("i"))

@@ -271,12 +271,28 @@ object Multimodal {
     * cell k (0..71) is the character code at position
     * ⌊len·k/72⌋ of the UTF-8 payload. In production, swap in the REAL
     * [[ImageDecoder.lumaGrid]] (same 72-cell contract) — dHash and the
-    * pairing below are grid-source-agnostic. */
-  def byteSampleGrid(payload: Column): Column = {
-    val s = decode(payload, "UTF-8")
+    * pairing below are grid-source-agnostic.
+    *
+    * `s`/`sLen` must be MATERIALIZED attributes (a prior projection),
+    * not live expressions: the lambda references them per element, and
+    * an inlined decode would re-run 72× per row (the bigramPairs
+    * re-evaluation hazard — [[dhashSig]] is the safe assembly). */
+  def byteSampleGridOf(s: Column, sLen: Column): Column =
     transform(sequence(lit(0), lit(71)), k =>
-      ascii(s.substr(((length(s) * k) / 72).cast("int") + 1, lit(1))))
-  }
+      ascii(s.substr(((sLen * k) / 72).cast("int") + 1, lit(1))))
+
+  /** One dHash row per asset — the shared safe assembly: the decoded
+    * payload and its length materialize into their own projections
+    * BEFORE the 72-element sampler lambda and the 128-reference dHash
+    * expression read them. NULL payloads drop out (md5(null) drops out
+    * of the exact path the same way — an all-null grid would otherwise
+    * hash to a valid-looking 0). */
+  private def dhashSig(media: DataFrame, idCol: String): DataFrame =
+    media.filter(col("payload").isNotNull)
+      .select(col(idCol), decode(col("payload"), "UTF-8").as("__s"))
+      .select(col(idCol), col("__s"), length(col("__s")).as("__sl"))
+      .select(col(idCol), byteSampleGridOf(col("__s"), col("__sl")).as("__g"))
+      .select(col(idCol), dHashOf(col("__g")).as("dh"))
 
   /** dHash (difference hash) of a 72-cell row-major 9×8 grid: bit
     * (r, c) is set when cell (r, c+1) > cell (r, c) — the standard
@@ -306,13 +322,11 @@ object Multimodal {
                     maxBucket: Int = 256): DataFrame = {
     require(0 <= maxHamming && maxHamming <= 7,
       "8 byte-bands pigeonhole hamming <= 7 only")
-    // the grid MATERIALIZES into its own projection before dHash reads
-    // it 128 times (element_at per bit side): inlined, the 72-cell
-    // sampler re-runs per reference — the bigramPairs re-evaluation
-    // hazard (measured 1.6× on this operator at sf0.1)
-    val sig = media
-      .select(col(idCol), byteSampleGrid(col("payload")).as("__g"))
-      .select(col(idCol), dHashOf(col("__g")).as("__dh"))
+    // staged projections (decode → length → grid → hash): each stage's
+    // consumers read a materialized attribute, never an inlined
+    // expression — the bigramPairs re-evaluation hazard (the grid stage
+    // alone measured 1.6× on this operator at sf0.1)
+    val sig = dhashSig(media, idCol).withColumnRenamed("dh", "__dh")
     val bandArr = array((0 until 8).map(t =>
       shiftright(col("__dh"), 8 * t).bitwiseAND(lit(255L))): _*)
     val melted = graft.functions.Dedup.capBuckets(
@@ -403,9 +417,7 @@ object Multimodal {
     * maintained append-only per ingest batch, so classifying new assets
     * never re-pairs the corpus with itself. */
   def phashIndex(media: DataFrame, idCol: String): DataFrame =
-    media.select(col(idCol).as("doc_id"),
-        byteSampleGrid(col("payload")).as("__g"))
-      .select(col("doc_id"), dHashOf(col("__g")).as("dh"))
+    dhashSig(media.select(col(idCol).as("doc_id"), col("payload")), "doc_id")
 
   /** Incremental perceptual ingest: classify a batch of arriving assets
     * against the STANDING [[phashIndex]] — exact_phash (hamming 0),

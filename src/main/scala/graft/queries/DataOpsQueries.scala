@@ -102,10 +102,7 @@ object DataOpsQueries {
       |         array_to_string(w[i:i+7], ' ') AS gram
       |  FROM posed)""".stripMargin
 
-  /** Oracle twin of [[graft.functions.TextFunctions.pageText]] — the
-    * deterministic page assembly (12-word lines, bullet/ellipsis/period
-    * decorations, boilerplate marker lines) reproduced byte-for-byte. */
-  /** m7's 64-term dHash sum in SQL: bit (r,c) of the 9×8 grid as a
+  /** m7/m8's 64-term dHash sum in SQL: bit (r,c) of the 9×8 grid as a
     * literal power-of-two addend (distinct powers — the sum is the OR);
     * k=63 is spelled as the signed-long min expression since the bare
     * literal overflows BIGINT. */
@@ -115,6 +112,9 @@ object DataOpsQueries {
     s"CASE WHEN g[${r * 9 + c + 2}] > g[${r * 9 + c + 1}] THEN $pow ELSE 0 END"
   }.mkString(" + ")
 
+  /** Oracle twin of [[graft.functions.TextFunctions.pageText]] — the
+    * deterministic page assembly (12-word lines, bullet/ellipsis/period
+    * decorations, boilerplate marker lines) reproduced byte-for-byte. */
   private val PageSql: String =
     """pages AS (
       |  SELECT doc_id,

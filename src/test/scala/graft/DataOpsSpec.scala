@@ -374,6 +374,13 @@ class DataOpsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val red = rows(Vectors.jlProject(basis, dims, 4).orderBy(col("j")))
     assert(red.map(_.last) == (0 until 4).map(j => 1000000L * Vectors.jlSign(2, j)))
+    // a wrong inDims fails loudly instead of projecting a prefix
+    val boom = intercept[Exception] {
+      Vectors.jlProject(basis, dims + 1, 4).collect()
+    }
+    assert(boom.getMessage.contains("jlProject") ||
+      Option(boom.getCause).exists(_.getMessage.contains("jlProject")),
+      s"got $boom")
   }
 
   test("jlTop1Recall: an exact twin survives the projection with cosine 1") {
@@ -711,8 +718,14 @@ class DataOpsSpec extends SparkSpec {
       (12L, (1 to 40).map(i => s"m${i * 13}").mkString(" "))) // unrelated
       .toDF("doc_id", "text")
     val idx = Multimodal.phashIndex(Multimodal.asMedia(standing), "doc_id")
-    val out = rows(Multimodal.phashNearDupsAgainst(idx,
-      Multimodal.asMedia(batch), "doc_id").orderBy(col("doc_id")))
+    // a NULL payload drops out of the batch, never hashes to a
+    // valid-looking 0
+    val withNull = Multimodal.asMedia(batch).unionByName(
+      Seq((13L, "video")).toDF("doc_id", "modality")
+        .withColumn("payload", lit(null).cast("binary")))
+    val out = rows(Multimodal.phashNearDupsAgainst(idx, withNull,
+      "doc_id").orderBy(col("doc_id")))
+    assert(out.size == 3 && !out.exists(_.head == 13L))
     assert(out(0) == Seq(10L, "exact_phash", 1L, 0))
     assert(out(1)(1) == "near_dup" && out(1)(2) == 1L &&
       out(1)(3).asInstanceOf[Int] >= 1, s"got ${out(1)}")
