@@ -80,10 +80,13 @@ object Sketches {
     require(mn >= 0, s"exactLongRanks expects non-negative values, saw $mn")
     ranks.foreach(r => require(1 <= r && r <= n, s"rank $r outside 1..$n"))
     // uniform global bin grid: width = base^k with ≤ base bins over the
-    // full range, so every bracket at every level spans ≤ base+1 bins
-    val range = mx - mn + 1
+    // full range, so every bracket at every level spans ≤ base+1 bins.
+    // Grow while width*base <= span (≡ width*base < span+1 without the
+    // +1, which overflows to negative when the span nears Long.MaxValue
+    // and would freeze width at 1 — an unbounded level-1 histogram).
+    val span = mx - mn
     var width = 1L
-    while (width <= Long.MaxValue / base && width * base < range) width *= base
+    while (width <= Long.MaxValue / base && width * base <= span) width *= base
     // per rank: (bracket lo, bracket hi inclusive, rank within bracket)
     var state: Map[Long, (Long, Long, Long)] =
       ranks.distinct.map(r => r -> ((mn, mx, r))).toMap
@@ -110,7 +113,10 @@ object Sketches {
         }
         assert(hit >= 0, s"rank $r not found in bracket [$lo,$hi] at width $w")
         val nlo = math.max(lo, mn + hit * w)
-        val nhi = math.min(hi, mn + (hit + 1) * w - 1)
+        // for hit < binEnd, mn + (hit+1)*w - 1 <= mx (no overflow); for
+        // the LAST bin that expression can wrap past Long.MaxValue when
+        // the range is extreme, so take hi directly
+        val nhi = if (hit == binEnd) hi else math.min(hi, mn + (hit + 1) * w - 1)
         if (nlo == nhi) { resolved += r -> nlo; None }
         else Some(r -> ((nlo, nhi, rwb)))
       }

@@ -244,7 +244,10 @@ object Multimodal {
 
   def payloadDedup(media: DataFrame, idCol: String, chunkBytes: Int = 64,
                    minShared: Long = 2, maxBucket: Long = 64): DataFrame = {
+    // NULL payloads drop out, matching dhashSig — md5(null) would
+    // silently fail every join and misreport the asset as 'unique'
     val m = media.select(col(idCol), col("payload"))
+      .filter(col("payload").isNotNull)
     val full = m.select(col(idCol), md5(col("payload")).as("__h"))
     val chunked = chunkMelt(m, idCol, chunkBytes)
     val buckets = chunked.groupBy(col("__ci"), col("__ch"))
@@ -357,6 +360,7 @@ object Multimodal {
   def payloadIndex(media: DataFrame, idCol: String,
                    chunkBytes: Int = 64): DataFrame = {
     val m = media.select(col(idCol), col("payload"))
+      .filter(col("payload").isNotNull)
     m.select(lit("full").as("kind"), col(idCol).as("doc_id"),
         lit(-1).as("ci"), md5(col("payload")).as("h"))
       .unionByName(chunkMelt(m, idCol, chunkBytes)
@@ -377,7 +381,10 @@ object Multimodal {
   def payloadDedupAgainst(index: DataFrame, batch: DataFrame, idCol: String,
                           chunkBytes: Int = 64, minShared: Long = 2,
                           maxBucket: Long = 64): DataFrame = {
+    // NULL-payload batch rows DROP (dhashSig contract) rather than
+    // classify as 'unique' — md5(null) can never match the index
     val m = batch.select(col(idCol), col("payload"))
+      .filter(col("payload").isNotNull)
     val bFull = m.select(col(idCol), md5(col("payload")).as("__bh"))
     val bChunks = chunkMelt(m, idCol, chunkBytes)
     val iFull = index.filter(col("kind") === "full")

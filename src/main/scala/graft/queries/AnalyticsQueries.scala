@@ -320,7 +320,12 @@ object AnalyticsQueries {
       DerivedState.register(s, dir)
       // the standing CorruptReplicasMap rides along: marked stored
       // replicas are excluded from the post-op holder count the way
-      // countNodes excludes corrupt replicas from liveReplicas
+      // countNodes excludes corrupt replicas from liveReplicas.
+      // BOTH corrupt branches are non-vacuous here (probed at sf0.001/
+      // sf0.01): 144/1067 standing marks hit op-block stored holders, 7+
+      // valid receipts share a block with a standing-marked co-holder
+      // (their liveAfter reflects the exclusion), and 52/508 in-batch
+      // receipts classify corruptInvalidate from a STORED holder
       val marks = Replication.corruptMarks(
         Dataflows.reconcileReports(s.table("block"), s.table("reported")))
         .localCheckpoint()

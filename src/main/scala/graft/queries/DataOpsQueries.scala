@@ -814,7 +814,7 @@ object DataOpsQueries {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         .unionByName(d.filter(col("doc_id") % 11 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"),
-            concat(expr("substring(text, 1, length(text) - 5)"),
+            concat(expr("substring(text, 1, greatest(length(text) - 5, 0))"),
               lit("qqqqq")).as("text")))
       graft.multimodal.Multimodal.phashNearDups(
           graft.multimodal.Multimodal.asMedia(md), "doc_id")
@@ -841,7 +841,7 @@ object DataOpsQueries {
           .unionByName(d.filter(col("doc_id") % 3 === 0 &&
               col("doc_id") % 5 =!= 0)
             .select((col("doc_id") + 4000000L).as("doc_id"),
-              concat(expr("substring(text, 1, length(text) - 5)"),
+              concat(expr("substring(text, 1, greatest(length(text) - 5, 0))"),
                 lit("qqqqq")).as("text")))
           .unionByName(d.filter(col("doc_id") % 5 === 0 &&
               col("doc_id") % 3 =!= 0)
@@ -944,9 +944,19 @@ object DataOpsQueries {
         .csv(s"har://$tmp/arch.har")
       src.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$tmp/tbl")
-      s.sparkContext.hadoopConfiguration
-        .set("fs.viewfs.mounttable.graftgate.link./data", s"file:$tmp/tbl")
-      val view = s.read.parquet("viewfs://graftgate/data")
+      // mount-table link scoped to this read: the session conf is
+      // shared, so leaving the key set would leak a scratch-dir mount
+      // into every later query in the session
+      val mountKey = "fs.viewfs.mounttable.graftgate.link./data"
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set(mountKey, s"file:$tmp/tbl")
+      val view = try {
+        // parquet footer reads happen eagerly at read-time, so the
+        // DataFrame is safe to use after the key is unset
+        val v = s.read.parquet("viewfs://graftgate/data")
+        v.cache(); v.count()
+        v
+      } finally hc.unset(mountKey)
       def sums(scheme: String, df: org.apache.spark.sql.DataFrame) = df
         .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("keySum"),
           sum(length(col("s_name")).cast("long")).as("nameLen"))
@@ -2988,7 +2998,7 @@ object DataOpsQueries {
         |  WHERE doc_id % 15 = 0
         |  UNION ALL
         |  SELECT doc_id + 4000000,
-        |    substr(text, 1, length(text) - 5) || 'qqqqq'
+        |    substr(text, 1, greatest(length(text) - 5, 0)) || 'qqqqq'
         |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
         |  UNION ALL
         |  SELECT doc_id + 5000000, text FROM documents
@@ -3047,7 +3057,7 @@ object DataOpsQueries {
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
         |  SELECT doc_id + 2000000,
-        |    substr(text, 1, length(text) - 5) || 'qqqqq'
+        |    substr(text, 1, greatest(length(text) - 5, 0)) || 'qqqqq'
         |  FROM documents WHERE doc_id % 11 = 0),
         |m7_g AS (
         |  SELECT doc_id,

@@ -974,6 +974,20 @@ class DataOpsSpec extends SparkSpec {
       == Map(1L -> 42L, 5L -> 42L, 9L -> 42L))
   }
 
+  test("exactLongRanks survives a span near Long.MaxValue (width-freeze overflow guard)") {
+    // mx - mn + 1 used to overflow negative, freezing width at 1 and
+    // collecting one bin per distinct value; the span-based condition
+    // keeps the level-1 histogram <= base bins at any span
+    val vals = Seq(0L, 3L, 1L << 40, Long.MaxValue - 2, Long.MaxValue)
+    val sorted = vals.sorted
+    for (base <- Seq(2L, 1024L)) {
+      val got = graft.functions.Sketches.exactLongRanks(
+        vals.map(Tuple1(_)).toDF("v"), "v", Seq(1L, 3L, 5L), base)
+      assert(got == Map(1L -> sorted(0), 3L -> sorted(2), 5L -> sorted(4)),
+        s"base $base: $got")
+    }
+  }
+
   test("exactLongRanks property: random multisets, random ranks, random bases") {
     val rng = new scala.util.Random(20260815L)
     for (round <- 1 to 5) {
@@ -1182,6 +1196,26 @@ class DataOpsSpec extends SparkSpec {
     // ...and with the valve open the same bucket pairs quadratically
     assert(Multimodal.payloadDedup(many, "doc_id", minShared = 1,
       maxBucket = 1000).count() == 100L * 99 / 2)
+  }
+
+  test("null payloads drop from every payload-dedup path (the dhashSig contract)") {
+    // md5(null) matches nothing, so a null-payload asset used to sail
+    // through payloadDedupAgainst as a bogus 'unique' verdict; all three
+    // entry points now drop null payloads like dhashSig does
+    val good = Seq((1L, "a" * 100), (2L, "a" * 100)).toDF("doc_id", "text")
+      .select(col("doc_id"), lit("image").as("modality"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val withNull = good.unionByName(Seq(3L).toDF("doc_id")
+      .select(col("doc_id"), lit("image").as("modality"),
+        lit(null).cast("binary").as("payload")))
+    assert(Multimodal.payloadDedup(withNull, "doc_id").count() ==
+      Multimodal.payloadDedup(good, "doc_id").count())
+    assert(Multimodal.payloadIndex(withNull, "doc_id")
+      .filter(col("doc_id") === 3L).count() == 0)
+    val verdicts = Multimodal.payloadDedupAgainst(
+        Multimodal.payloadIndex(good, "doc_id"), withNull, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts == Map(1L -> "exact_dup", 2L -> "exact_dup")) // no row for 3
   }
 
   test("multimodal plumbing: stub decode is deterministic per payload") {

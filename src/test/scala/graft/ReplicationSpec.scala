@@ -301,6 +301,44 @@ class ReplicationSpec extends SparkSpec {
     assert(marked.isNullAt(marked.fieldIndex("firstDrop")))
   }
 
+  test("parity: blockReceived's mark exclusion agrees with corruptInvalidations' good count") {
+    // The SAME standing mark set feeds both flows: blockReceived excludes
+    // marked stored holders from liveAfter, corruptInvalidations counts
+    // good (unmarked, live, NORMAL) replicas — countNodes in both places
+    // (FSNamesystem.java:3290-3315). Law: the sweep converts a mark to
+    // invalidation work IFF the per-op liveAfter (the same good count)
+    // reaches the file's replication target.
+    def state(replication: Long) = {
+      val block = Seq((1L, 1L), (1L, 2L), (1L, 3L))
+        .toDF("id", "datanodeId")
+        .withColumn("fileId", lit(100L)).withColumn("generationStamp", lit(10L))
+        .withColumn("length", lit(500L)).withColumn("fileIndex", lit(0L))
+        .withColumn("version", col("datanodeId"))
+      val file = Seq((100L, replication, 1000L, 1L))
+        .toDF("id", "replication", "length", "version")
+        .withColumn("leaseHolder", lit(null).cast("string"))
+      val datanode = Seq(1L, 2L, 3L).toDF("id")
+        .withColumn("location", lit("/r0")).withColumn("remaining", lit(100L))
+        .withColumn("lastUpdated", lit(Now)).withColumn("adminState", lit("NORMAL"))
+        .withColumn("version", col("id"))
+      (block, file, datanode)
+    }
+    val ops = Seq((2L, 1L, 500L, 10L))
+      .toDF("datanodeId", "blockId", "repLength", "repGenStamp")
+      .withColumn("delHint", lit(null).cast("long"))
+    val marks = Seq((1L, 3L)).toDF("blockId", "datanodeId")
+    for (repl <- Seq(2L, 3L)) {
+      val (block, file, datanode) = state(repl)
+      val liveAfter = Replication.blockReceived(block, file, datanode, ops,
+        corrupt = Some(marks)).collect().head.getAs[Long]("liveAfter")
+      assert(liveAfter == 2L) // good = {1,2}: mark (1,3) excluded in both flows
+      val sweepFires = Replication.corruptInvalidations(
+        marks, block, file, datanode, Now).count() > 0
+      assert(sweepFires == (liveAfter >= repl),
+        s"replication=$repl: sweep=$sweepFires, liveAfter=$liveAfter")
+    }
+  }
+
   test("corruptMarksCompact drops marks whose replica row is gone") {
     val marks = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("blockId", "datanodeId")
     val block = Seq((1L, 1L, 1L), (2L, 1L, -2L)) // (2,1) tombstoned
