@@ -627,6 +627,80 @@ object TextFunctions {
     nbScoreAgainst(nbTrain(pos, neg, idCol, textCol).localCheckpoint(),
       docs, idCol, textCol)
 
+  // ---- Multiclass NB language ID (fastText-langid shape) ---------------
+
+  /** k-class generalization of [[nbTrain]]: one closed-form multinomial
+    * NB count table over the hashed feature space per labeled training
+    * slice, emitted as ONE tall frame (lang, feat, cnt) — the fastText
+    * language-ID shape (one model, k classes; Joulin et al. 2016) with
+    * the same deterministic hashing trick, so the model is ≤
+    * k × [[FeatureBuckets]] rows whatever the corpus and broadcasts at
+    * any scale. Training is k independent bucket-bounded aggregates —
+    * the corpus never shuffles. */
+  def nbTrainMulti(classes: Seq[(String, DataFrame)], idCol: String,
+                   textCol: String): DataFrame = {
+    require(classes.nonEmpty, "nbTrainMulti needs at least one class")
+    require(classes.map(_._1).distinct.size == classes.size,
+      "duplicate class labels")
+    classes.map { case (label, df) =>
+      hashedFeatureRows(df, idCol, textCol)
+        .groupBy(col("feat")).agg(count(lit(1)).as("cnt"))
+        .select(lit(label).as("lang"), col("feat"), col("cnt"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Classify every document to the argmax class of the add-one NB
+    * log-likelihood in integer-exact floor-log2 bits (the
+    * [[nbScoreAgainst]] weights, one term per class):
+    *
+    *   score(d, c) = Σ_f [bl(cnt_c(f)+1) − bl(tot_c+B)]
+    *
+    * under a uniform class prior; ties break label-ascending, so the
+    * classifier is fully deterministic. Emits (id, lang, score, nFeats);
+    * token-less documents drop out with the melt (the [[nbScoreAgainst]]
+    * contract — there is no evidence to argmax over).
+    *
+    * Scale shape: the tall model pivots into ONE bucket-bounded wide
+    * frame (feat, cnt per class) that broadcasts into the corpus melt;
+    * per-class sums ride the SAME doc-keyed aggregate (k sum columns,
+    * not k passes), and the argmax is a row-local struct max — the only
+    * corpus-sized shuffle is that one aggregate, independent of k. The
+    * per-class totals are k scalars, folded in as literals. */
+  def langIdAgainst(model: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val labels = model.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(labels.nonEmpty, "empty language model")
+    val totals = model.groupBy(col("lang")).agg(sum(col("cnt")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val blConst = (v: Long) => 64 - java.lang.Long.numberOfLeadingZeros(v)
+    val bl = (c: Column) => length(bin(c)).cast("long")
+    val piv = model.groupBy(col("feat"))
+      .pivot("lang", labels).agg(first(col("cnt")))
+    val scoreCols = labels.map { l =>
+      sum(bl(coalesce(col(s"`$l`"), lit(0L)) + 1) -
+        lit(blConst(totals(l) + FeatureBuckets).toLong)).as(s"__s_$l")
+    }
+    val perDoc = hashedFeatureRows(docs, idCol, textCol)
+      .join(broadcast(piv), Seq("feat"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nFeats"), scoreCols: _*)
+    // argmax as a struct max: (score, -labelRank, label) — greatest score
+    // wins, score ties fall to the earliest label in sorted order
+    val best = array_max(array(labels.zipWithIndex.map { case (l, i) =>
+      struct(col(s"__s_$l").as("s"), lit(-i).as("p"), lit(l).as("l"))
+    }: _*))
+    perDoc.select(col(idCol), best.getField("l").as("lang"),
+      best.getField("s").as("score"), col("nFeats"))
+  }
+
+  /** Train-and-classify language ID in one call; the tall model feeds
+    * the pivot and the totals, so it is pinned once. */
+  def langIdModel(classes: Seq[(String, DataFrame)], docs: DataFrame,
+                  idCol: String, textCol: String): DataFrame =
+    langIdAgainst(nbTrainMulti(classes, idCol, textCol).localCheckpoint(),
+      docs, idCol, textCol)
+
   /** Deterministic DSIR — Data Selection with Importance Resampling
     * (Xie et al. 2023): score every document of the raw pool by its
     * importance under hashed-n-gram bag models of a TARGET corpus vs the

@@ -1709,6 +1709,39 @@ object DataOpsQueries {
           d, "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // model-based language ID, the fastText-langid shape (one model, k
+    // classes — the multiclass generalization of t28): three synthetic
+    // "languages" derive from the corpus by rot-k letter translation
+    // (disjoint vocabularies, identical token boundaries in both
+    // engines), trained from disjoint %5 slices; every eval doc renders
+    // 2/3 in its own language (doc_id%3) and 1/3 in the NEXT one, so the
+    // per-class argmax competes on real mixed evidence rather than a
+    // one-sided score. All three predictions live at every SF
+    // (167/167/166); argmax = integer-exact per-class floor-log2 LLR,
+    // ties label-ascending. ONE doc-keyed aggregate carries all k class
+    // sums; the pivoted 4096-bucket model broadcasts.
+    "t31_langid_model" -> { (s, dir) =>
+      val AL = "abcdefghijklmnopqrstuvwxyz"
+      def rot(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+        if (k == 0) c else translate(c, AL, AL.substring(k) + AL.substring(0, k))
+      val lt = Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+      val classes = Seq("en" -> 0, "r1" -> 1, "r2" -> 2).map { case (l, k) =>
+        l -> lt.filter(col("doc_id") % 5 === k)
+          .select(col("doc_id"), rot(col("lt"), k).as("text"))
+      }
+      val cut = expr("(2 * length(lt)) DIV 3").cast("int")
+      def rotByMod(m: org.apache.spark.sql.Column, part: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(m === 0, part).when(m === 1, rot(part, 1)).otherwise(rot(part, 2))
+      val eval = lt.select(col("doc_id"),
+        concat(
+          rotByMod(col("doc_id") % 3, col("lt").substr(lit(1), cut)),
+          rotByMod((col("doc_id") + 1) % 3,
+            col("lt").substr(cut + 1, length(col("lt")))))
+          .as("text"))
+      TextFunctions.langIdModel(classes, eval, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // CCNet head/middle/tail perplexity bucketing: EVERY doc scored
     // under the train-slice model (t26's scorer, integer scaled mean),
     // then split at the exact tercile cutoffs — computed by
@@ -2247,6 +2280,72 @@ object DataOpsQueries {
         |SELECT doc_id, COUNT(*) AS nFeats, CAST(SUM(w) AS BIGINT) AS score,
         |  SUM(w) > 0 AS keep
         |FROM t28_s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the t31 twin: same rot-k training slices and 2/3+1/3 mixed eval
+    // construction, t28's md5-prefix hashed melt, per-class add-one NB
+    // bit-LLR via format('{:b}') lengths, argmax by (score DESC, lang ASC)
+    "t31_langid_model" ->
+      """WITH t31_lt AS (
+        |  SELECT doc_id, lower(text) AS lt FROM documents),
+        |t31_train AS (
+        |  SELECT 'en' AS lang, doc_id, lt AS text FROM t31_lt WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'r1', doc_id, translate(lt, 'abcdefghijklmnopqrstuvwxyz', 'bcdefghijklmnopqrstuvwxyza') FROM t31_lt WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT 'r2', doc_id, translate(lt, 'abcdefghijklmnopqrstuvwxyz', 'cdefghijklmnopqrstuvwxyzab') FROM t31_lt WHERE doc_id % 5 = 2),
+        |t31_eval AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN substr(lt, 1, CAST((2 * length(lt)) // 3 AS INT))
+        |      WHEN 1 THEN translate(substr(lt, 1, CAST((2 * length(lt)) // 3 AS INT)), 'abcdefghijklmnopqrstuvwxyz', 'bcdefghijklmnopqrstuvwxyza')
+        |      ELSE translate(substr(lt, 1, CAST((2 * length(lt)) // 3 AS INT)), 'abcdefghijklmnopqrstuvwxyz', 'cdefghijklmnopqrstuvwxyzab')
+        |    END ||
+        |    CASE CAST((doc_id + 1) % 3 AS INT)
+        |      WHEN 0 THEN substr(lt, CAST((2 * length(lt)) // 3 AS INT) + 1)
+        |      WHEN 1 THEN translate(substr(lt, CAST((2 * length(lt)) // 3 AS INT) + 1), 'abcdefghijklmnopqrstuvwxyz', 'bcdefghijklmnopqrstuvwxyza')
+        |      ELSE translate(substr(lt, CAST((2 * length(lt)) // 3 AS INT) + 1), 'abcdefghijklmnopqrstuvwxyz', 'cdefghijklmnopqrstuvwxyzab')
+        |    END AS text
+        |  FROM t31_lt),
+        |t31_ttok AS (
+        |  SELECT lang, doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM t31_train),
+        |t31_tfeat AS (
+        |  SELECT lang, w AS f FROM (SELECT lang, UNNEST(t) AS w FROM t31_ttok)
+        |  UNION ALL
+        |  SELECT lang, t[CAST(i AS INT) - 1] || '_' || t[CAST(i AS INT)] AS f
+        |  FROM (SELECT lang, t, UNNEST(range(2, len(t) + 1)) AS i FROM t31_ttok WHERE len(t) >= 2)),
+        |t31_model AS (
+        |  SELECT lang,
+        |    CAST((strpos('0123456789abcdef', hx[1]) - 1) * 256
+        |      + (strpos('0123456789abcdef', hx[2]) - 1) * 16
+        |      + (strpos('0123456789abcdef', hx[3]) - 1) AS BIGINT) AS feat,
+        |    COUNT(*) AS cnt
+        |  FROM (SELECT lang, md5(f) AS hx FROM t31_tfeat) GROUP BY 1, 2),
+        |t31_tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM t31_model GROUP BY lang),
+        |t31_etok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM t31_eval),
+        |t31_efeat AS (
+        |  SELECT doc_id, w AS f FROM (SELECT doc_id, UNNEST(t) AS w FROM t31_etok)
+        |  UNION ALL
+        |  SELECT doc_id, t[CAST(i AS INT) - 1] || '_' || t[CAST(i AS INT)] AS f
+        |  FROM (SELECT doc_id, t, UNNEST(range(2, len(t) + 1)) AS i FROM t31_etok WHERE len(t) >= 2)),
+        |t31_emelt AS (
+        |  SELECT doc_id,
+        |    CAST((strpos('0123456789abcdef', hx[1]) - 1) * 256
+        |      + (strpos('0123456789abcdef', hx[2]) - 1) * 16
+        |      + (strpos('0123456789abcdef', hx[3]) - 1) AS BIGINT) AS feat
+        |  FROM (SELECT doc_id, md5(f) AS hx FROM t31_efeat)),
+        |t31_sc AS (
+        |  SELECT e.doc_id, l.lang,
+        |    CAST(SUM(length(format('{:b}', COALESCE(m.cnt, 0) + 1))
+        |      - length(format('{:b}', l.tot + 4096))) AS BIGINT) AS score,
+        |    COUNT(*) AS nFeats
+        |  FROM t31_emelt e
+        |  CROSS JOIN t31_tot l
+        |  LEFT JOIN t31_model m ON m.feat = e.feat AND m.lang = l.lang
+        |  GROUP BY e.doc_id, l.lang),
+        |t31_rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, lang ASC) AS rn FROM t31_sc)
+        |SELECT doc_id, lang, score, nFeats FROM t31_rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // t26's scorer over ALL docs (no OOV suffix), the ROW_NUMBER order
     // statistic as the tercile pick — the same k-th-smallest definition
     // exactLongRanks resolves by histogram refinement

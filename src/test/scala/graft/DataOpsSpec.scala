@@ -929,6 +929,47 @@ class DataOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("langIdModel: 3-language fixture where the model overrules the stopword heuristic") {
+    // Training corpora: the "en" slice is English ABOUT German (it uses
+    // der/die/das/und/ist heavily, as quoted words); the "de" slice is
+    // German content words with few articles; "es" is the Spanish set.
+    // The probe doc is all German function words — the stopword
+    // heuristic (langId) fires "de" on its fixed stopword set, while the
+    // trained model has seen those exact tokens mostly in the EN slice
+    // and classifies "en": the model-vs-heuristic disagreement the
+    // fastText-langid shape exists to fix.
+    val en = Seq(
+      (1L, "the words der die das und ist are german articles and verbs"),
+      (2L, "der die das appear in the guide and der die das und ist again"),
+    ).toDF("doc_id", "text")
+    val de = Seq(
+      (3L, "hund katze haus baum wald berg fluss stein vogel blume"),
+      (4L, "hund haus katze wald baum vogel berg blume stein fluss"),
+    ).toDF("doc_id", "text")
+    val es = Seq(
+      (5L, "tabla fila datos consulta columna indice registro valor"),
+    ).toDF("doc_id", "text")
+    val probe = Seq((10L, "der die das und ist")).toDF("doc_id", "text")
+    val heuristic = probe.select(TextFunctions.langId(col("text")))
+      .collect().head.getString(0)
+    assert(heuristic == "de")
+    val model = TextFunctions.nbTrainMulti(
+      Seq("de" -> de, "en" -> en, "es" -> es), "doc_id", "text")
+    val out = TextFunctions.langIdAgainst(model, probe, "doc_id", "text")
+      .collect().head
+    assert(out.getAs[String]("lang") == "en") // disagrees with the heuristic
+    assert(out.getAs[Long]("nFeats") == 9L)   // 5 unigrams + 4 bigrams
+    // tie-break law: identical training slices for two labels → every
+    // score ties → the label-ascending pick, deterministically
+    val tied = TextFunctions.langIdAgainst(
+      TextFunctions.nbTrainMulti(Seq("zz" -> en, "aa" -> en), "doc_id", "text"),
+      probe, "doc_id", "text").collect().head
+    assert(tied.getAs[String]("lang") == "aa")
+    // token-less docs drop out with the melt (no evidence, no argmax)
+    assert(TextFunctions.langIdAgainst(model,
+      Seq((11L, "")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+
   test("dsirSelect: top-k by importance, id tie-break through the rank refinement") {
     // target melt: good×3 + good_good×2 → tp = 5; raw melt: good×4 +
     // good_good + meh → tn = 6; bl(4101) = bl(4102) = 13 → constants
