@@ -732,27 +732,97 @@ object TextFunctions {
     val scored = nbScoreAgainst(model, raw, idCol, textCol)
       .select(col(idCol), col("nFeats"), col("score").as("weight"))
       .localCheckpoint()
+    pickTopK(scored, "weight", idCol, k)
+  }
+
+  /** Top-k pick on a long key with id tie-break, NO global sort: the
+    * (n−k+1)-th key via [[Sketches.exactLongRanks]] histogram refinement
+    * (shifted non-negative), then the tie set's id boundary the same
+    * way. `scored` must be a materialized bounded-cost frame — it is
+    * scanned by both refinements. */
+  private def pickTopK(scored: DataFrame, keyCol: String, idCol: String,
+                       k: Long): DataFrame = {
     val head = scored.agg(count(lit(1)).as("n"),
-      min(col("weight")).as("mn")).collect()(0)
+      min(col(keyCol)).as("mn")).collect()(0)
     val n = head.getLong(0)
     // an empty scored pool (no raw docs, or none tokenized) selects
-    // nothing — min(weight) is NULL here, so return before unboxing
+    // nothing — min(key) is NULL here, so return before unboxing
     if (n == 0) return scored.withColumn("picked", lit(false))
     val mnW = head.getLong(1)
     val kk = math.min(k, n)
     val cutoff = mnW + Sketches.exactLongRanks(
-      scored.withColumn("__w0", col("weight") - mnW), "__w0",
+      scored.withColumn("__w0", col(keyCol) - mnW), "__w0",
       Seq(n - kk + 1))(n - kk + 1)
     // strictly-above count < kk by the rank definition, so the tie set
     // always owes at least one pick
-    val need = kk - scored.filter(col("weight") > cutoff).count()
-    val ties = scored.filter(col("weight") === cutoff)
+    val need = kk - scored.filter(col(keyCol) > cutoff).count()
+    val ties = scored.filter(col(keyCol) === cutoff)
     val mnId = ties.agg(min(col(idCol))).collect()(0).getLong(0)
     val idCut = mnId + Sketches.exactLongRanks(
       ties.withColumn("__i0", col(idCol) - mnId), "__i0", Seq(need))(need)
     scored.withColumn("picked",
-      col("weight") > cutoff ||
-        (col("weight") === cutoff && col(idCol) <= idCut))
+      col(keyCol) > cutoff ||
+        (col(keyCol) === cutoff && col(idCol) <= idCut))
+  }
+
+  /** Fixed-point piecewise-linear log2, scale S = 2^20: bit length gives
+    * the integer part, the mantissa interpolates linearly —
+    * l2fx(x) = (bl(x)−1)·S + ((x − 2^(bl−1))·S) >> (bl−1). Pure integer
+    * column arithmetic, so Spark and any oracle engine agree bit-for-bit
+    * (no libm). Defined for x ≥ 1; max error vs true log2 is ~0.086
+    * (the classic linear-in-mantissa bound). `x` must be a materialized
+    * attribute — it is referenced four times. */
+  def log2Fixed(x: Column): Column = {
+    val b = length(bin(x)).cast("int")
+    val mantissa = x.bitwiseAND(
+      call_function("shiftleft", lit(1L), b - 1) - 1)
+    (b - 1).cast("long") * lit(FixedScale) +
+      call_function("shiftright",
+        call_function("shiftleft", mantissa, lit(20)), b - 1)
+  }
+
+  /** 2^20 — the fixed-point scale shared by [[log2Fixed]] and the
+    * Gumbel construction below. */
+  val FixedScale = 1048576L
+
+  /** Deterministic base-2 Gumbel noise from the md5-prefix hash recipe
+    * (the t12 corpus-shuffle discipline): u = r/2^32 with r derived from
+    * 8 md5 hex chars of (id ‖ salt), then g = −log2(−log2 u) in
+    * [[log2Fixed]] arithmetic — g = 20·S − l2fx(32·S − l2fx(r)). A
+    * monotone fixed-point transcription of the standard inverse-CDF
+    * Gumbel draw in base-2 units: Gumbel-shaped (right-heavy, support
+    * here [−5·S, 20·S]), integer-exact, replayable in any engine.
+    * Emitted scaled by S. */
+  def gumbelFixed(id: Column, salt: String): Column = {
+    val hkey = conv(substring(md5(concat(id.cast("string"), lit(salt))),
+      1, 8), 16, 10).cast("long")
+    val r = pmod(hkey, lit((1L << 32) - 1)) + 1 // r ∈ [1, 2^32−1]: u ∈ (0,1)
+    // nested l2fx on expression args is safe here: each bin/shift term
+    // re-derives from the ONE hash expression (cheap codegen'd md5+conv),
+    // not a corpus-scan — still, keep the call sites per-row-bounded
+    val y = lit(32L) * lit(FixedScale) - log2Fixed(r) // −log2(u) · S ≥ 1
+    lit(20L) * lit(FixedScale) - log2Fixed(y)
+  }
+
+  /** DSIR with the paper's Gumbel perturbation (Xie et al. 2023 §3 —
+    * sampling WITHOUT replacement from the importance distribution via
+    * the Gumbel-top-k trick), determinized: the noise is the seeded
+    * hash-derived [[gumbelFixed]] draw, so the selection is a real
+    * random-shaped resample yet bit-reproducible and oracle-checkable.
+    * Perturbed key = weight·S + g (both in base-2 units at scale S);
+    * top-k + id tie-break ride the same no-global-sort rank refinement
+    * as [[dsirSelect]]. A new salt is a fresh resample epoch. */
+  def dsirSelectGumbel(target: DataFrame, raw: DataFrame, idCol: String,
+                       textCol: String, k: Long,
+                       salt: String = "dsir0"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val model = nbTrain(target, raw, idCol, textCol).localCheckpoint()
+    val scored = nbScoreAgainst(model, raw, idCol, textCol)
+      .select(col(idCol), col("nFeats"), col("score").as("weight"),
+        gumbelFixed(col(idCol), salt).as("gumbel"))
+      .withColumn("gkey", col("weight") * lit(FixedScale) + col("gumbel"))
+      .localCheckpoint()
+    pickTopK(scored, "gkey", idCol, k)
   }
 
   // ---- Distributed BPE tokenizer training -----------------------------

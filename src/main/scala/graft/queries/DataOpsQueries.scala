@@ -1673,6 +1673,22 @@ object DataOpsQueries {
           "doc_id", "text", k = 100L)
         .orderBy(col("doc_id"))
     },
+    // DSIR with the paper's Gumbel perturbation (the Gumbel-top-k
+    // sampling-without-replacement trick), determinized: noise = the
+    // seeded md5-prefix hash draw pushed through an integer-exact
+    // fixed-point base-2 inverse-CDF (g = 20S − l2fx(32S − l2fx(r)),
+    // S = 2^20, l2fx = bit-length + linear mantissa — no libm, both
+    // engines bit-identical). Perturbation is REAL: 2 of the 100 picks
+    // differ from t30's noise-free selection at sf0.001. Same
+    // no-global-sort rank-refinement top-k as t30.
+    "t30b_dsir_gumbel" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      TextFunctions.dsirSelectGumbel(
+          d.filter(col("source") === "src2"),
+          d.filter(col("source") =!= "src2"),
+          "doc_id", "text", k = 100L)
+        .orderBy(col("doc_id"))
+    },
     // the full Gopher/MassiveText REPETITION filter set (Rae et al. 2021
     // Table A1) at token granularity: dup-line fraction + char fraction,
     // top-{2,3,4}-gram token fraction, dup-{5..10}-gram coverage with
@@ -2133,6 +2149,86 @@ object DataOpsQueries {
         |SELECT w.doc_id, w.nFeats, w.weight, r.rn <= 100 AS picked
         |FROM t30_w w JOIN t30_r r USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+    // t30's weight chain + the same md5-prefix hkey recipe as t12,
+    // the fixed-point double-log via format('{:b}') bit lengths and
+    // BIGINT shifts, pick = ROW_NUMBER over (gkey DESC, doc_id)
+    "t30b_dsir_gumbel" ->
+      """WITH t30_tok AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |t30_feat AS (
+        |  SELECT doc_id, source, w AS f FROM (
+        |    SELECT doc_id, source, UNNEST(t) AS w FROM t30_tok)
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    t[CAST(i AS INT) - 1] || '_' || t[CAST(i AS INT)] AS f
+        |  FROM (SELECT doc_id, source, t, UNNEST(range(2, len(t) + 1)) AS i
+        |        FROM t30_tok WHERE len(t) >= 2)),
+        |t30_h AS (
+        |  SELECT doc_id, source,
+        |    CAST((strpos('0123456789abcdef', hx[1]) - 1) * 256
+        |      + (strpos('0123456789abcdef', hx[2]) - 1) * 16
+        |      + (strpos('0123456789abcdef', hx[3]) - 1) AS BIGINT) AS feat
+        |  FROM (SELECT doc_id, source, md5(f) AS hx FROM t30_feat)),
+        |t30_p AS (
+        |  SELECT feat, COUNT(*) AS cT FROM t30_h
+        |  WHERE source = 'src2' GROUP BY feat),
+        |t30_n AS (
+        |  SELECT feat, COUNT(*) AS cR FROM t30_h
+        |  WHERE source <> 'src2' GROUP BY feat),
+        |t30_tot AS (
+        |  SELECT
+        |    (SELECT CAST(COALESCE(SUM(cT), 0) AS BIGINT) FROM t30_p) AS tp,
+        |    (SELECT CAST(COALESCE(SUM(cR), 0) AS BIGINT) FROM t30_n) AS tn),
+        |t30_s AS (
+        |  SELECT h.doc_id,
+        |    (length(format('{:b}', COALESCE(p.cT, 0) + 1))
+        |      - length(format('{:b}', t.tp + 4096)))
+        |    - (length(format('{:b}', COALESCE(n.cR, 0) + 1))
+        |      - length(format('{:b}', t.tn + 4096))) AS w
+        |  FROM t30_h h
+        |  LEFT JOIN t30_p p USING (feat)
+        |  LEFT JOIN t30_n n USING (feat)
+        |  CROSS JOIN t30_tot t
+        |  WHERE h.source <> 'src2'),
+        |t30_w AS (
+        |  SELECT doc_id, COUNT(*) AS nFeats, CAST(SUM(w) AS BIGINT) AS weight
+        |  FROM t30_s GROUP BY doc_id),
+        |t30b_h AS (
+        |  SELECT w.doc_id, w.nFeats, w.weight,
+        |    CAST(strpos('0123456789abcdef', hx[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', hx[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', hx[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', hx[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', hx[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', hx[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
+        |  FROM (SELECT doc_id, nFeats, weight,
+        |          md5(CAST(doc_id AS VARCHAR) || 'dsir0') AS hx FROM t30_w) w),
+        |t30b_r AS (
+        |  SELECT doc_id, nFeats, weight, (hkey % 4294967295) + 1 AS r FROM t30b_h),
+        |t30b_l2r AS (
+        |  SELECT *, CAST(length(format('{:b}', r)) - 1 AS BIGINT) * 1048576
+        |    + (((r & ((CAST(1 AS BIGINT) << (length(format('{:b}', r)) - 1)) - 1)) << 20)
+        |       >> (length(format('{:b}', r)) - 1)) AS l2r
+        |  FROM t30b_r),
+        |t30b_y AS (SELECT *, 33554432 - l2r AS y FROM t30b_l2r),
+        |t30b_g AS (
+        |  SELECT doc_id, nFeats, weight,
+        |    20971520 - (CAST(length(format('{:b}', y)) - 1 AS BIGINT) * 1048576
+        |      + (((y & ((CAST(1 AS BIGINT) << (length(format('{:b}', y)) - 1)) - 1)) << 20)
+        |         >> (length(format('{:b}', y)) - 1))) AS gumbel
+        |  FROM t30b_y),
+        |t30b_k AS (
+        |  SELECT *, weight * 1048576 + gumbel AS gkey FROM t30b_g),
+        |t30b_rk AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS rn
+        |  FROM t30b_k)
+        |SELECT k.doc_id, k.nFeats, k.weight, k.gumbel, k.gkey, r.rn <= 100 AS picked
+        |FROM t30b_k k JOIN t30b_rk r USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin,
     // same pages + injected dup line, line-melt stats, one 2..10 gram
     // melt with windowed counts, ROW_NUMBER top pick, running-max-end
     // interval-union sweep for the n≥5 coverage

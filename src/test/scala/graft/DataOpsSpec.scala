@@ -970,6 +970,50 @@ class DataOpsSpec extends SparkSpec {
       Seq((11L, "")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
   }
 
+  test("dsirSelectGumbel: fixed-point Gumbel matches a reference transcription; pick = brute top-k") {
+    // reference transcription of gumbelFixed in plain Scala
+    def l2fx(x: Long): Long = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      (b - 1).toLong * 1048576L + (((x & ((1L << (b - 1)) - 1)) << 20) >> (b - 1))
+    }
+    def gRef(id: Long, salt: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val r = java.lang.Long.parseLong(hex, 16) % ((1L << 32) - 1) + 1
+      20L * 1048576L - l2fx(32L * 1048576L - l2fx(r))
+    }
+    val ids = (1L to 64L).map(Tuple1(_)).toDF("doc_id")
+    val spark = ids.select(col("doc_id"),
+      TextFunctions.gumbelFixed(col("doc_id"), "dsir0").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 64L).foreach(i => assert(spark(i) == gRef(i, "dsir0"), s"id $i"))
+    // Gumbel shape: right-heavy support around 0 (bounded by the
+    // 32-bit u quantization: g ∈ [−5S, 20S])
+    assert(spark.values.min >= -5L * 1048576L && spark.values.max <= 20L * 1048576L)
+    // the pick IS the brute top-k of weight·S + g, and a new salt is a
+    // different resample epoch while the same salt replays exactly
+    val target = Seq((1L, "good good good")).toDF("doc_id", "text")
+    val raw = (10L to 40L).map(i =>
+      (i, if (i % 3 == 0) "good good" else if (i % 3 == 1) "good" else "meh"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.dsirSelectGumbel(target, raw, "doc_id", "text",
+      k = 7L).collect()
+    val picked = out.filter(_.getAs[Boolean]("picked")).map(_.getLong(0)).toSet
+    val brute = out.sortBy(r => (-r.getAs[Long]("gkey"), r.getLong(0)))
+      .take(7).map(_.getLong(0)).toSet
+    assert(picked == brute)
+    assert(out.forall(r => r.getAs[Long]("gkey") ==
+      r.getAs[Long]("weight") * 1048576L + r.getAs[Long]("gumbel")))
+    val again = TextFunctions.dsirSelectGumbel(target, raw, "doc_id", "text",
+      k = 7L).collect().filter(_.getAs[Boolean]("picked")).map(_.getLong(0)).toSet
+    assert(again == picked) // same salt → bit-reproducible
+    val epoch2 = TextFunctions.dsirSelectGumbel(target, raw, "doc_id", "text",
+      k = 7L, salt = "dsir1").collect()
+      .filter(_.getAs[Boolean]("picked")).map(_.getLong(0)).toSet
+    assert(epoch2 != picked) // fresh salt → fresh resample (checked offline)
+  }
+
   test("dsirSelect: top-k by importance, id tie-break through the rank refinement") {
     // target melt: good×3 + good_good×2 → tp = 5; raw melt: good×4 +
     // good_good + meh → tn = 6; bl(4101) = bl(4102) = 13 → constants
