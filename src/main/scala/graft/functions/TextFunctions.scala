@@ -948,4 +948,48 @@ object TextFunctions {
     }
     (merges.toSeq, cur)
   }
+
+  // ---- Tokenizer artifact persistence ----------------------------------
+
+  /** A trained merge list as versioned table rows — the tokenizer
+    * artifact persisted like every other standing index (payloadIndex /
+    * phashIndex): (tokenizerId, rank, a, b, cnt, version). One TRAIN RUN
+    * = one version over the FULL list; a retrain appends the complete
+    * new list under a higher version and [[bpeLoadMerges]] serves the
+    * latest run whole. (Rank-level latestWins would be wrong here: a
+    * shorter retrain would inherit the previous run's stale tail ranks.) */
+  def bpeMergeRows(spark: org.apache.spark.sql.SparkSession,
+                   merges: Seq[(String, String, Long)], tokenizerId: String,
+                   version: Long): DataFrame = {
+    require(version > 0, "artifact versions are positive")
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b, cnt), i) =>
+      (tokenizerId, i.toLong, a, b, cnt, version)
+    }.toDF("tokenizerId", "rank", "a", "b", "cnt", "version")
+  }
+
+  /** Append a train run to the standing tokenizer table (parquet,
+    * append-only — the payloadIndex ingest discipline). */
+  def bpeSaveMerges(spark: org.apache.spark.sql.SparkSession, path: String,
+                    merges: Seq[(String, String, Long)], tokenizerId: String,
+                    version: Long): Unit =
+    bpeMergeRows(spark, merges, tokenizerId, version)
+      .coalesce(1) // vocab-sized artifact: one file per run
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+
+  /** Load the CURRENT tokenizer from the standing table: the highest
+    * positive version's complete run, rank-ordered — ready for
+    * [[bpeEncode]]. The collect is vocab-bounded (the merge list is the
+    * model, never corpus-sized). Throws on an unknown tokenizerId, the
+    * same loud failure as a missing index. */
+  def bpeLoadMerges(spark: org.apache.spark.sql.SparkSession, path: String,
+                    tokenizerId: String): Seq[(String, String)] = {
+    val t = spark.read.parquet(path)
+      .filter(col("tokenizerId") === tokenizerId && col("version") > 0)
+    val head = t.agg(max(col("version")).as("v")).collect()(0)
+    require(!head.isNullAt(0), s"no tokenizer '$tokenizerId' at $path")
+    t.filter(col("version") === head.getLong(0))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+  }
 }

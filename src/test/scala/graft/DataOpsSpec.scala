@@ -83,6 +83,40 @@ class DataOpsSpec extends SparkSpec {
     assert(counts == Seq((1L, 8L), (2L, 4L)), s"got $counts")
   }
 
+  test("tokenizer artifact round-trip: train → save → fresh read → identical encode") {
+    import graft.functions.TextFunctions
+    def chars(w: String) = w.mkString(" ")
+    val corpus = Seq("low", "low", "lower", "lowest", "newest", "newest")
+      .map(w => Tuple1(chars(w))).toDF("syms")
+    val (merges, _) = TextFunctions.bpeTrain(corpus, "syms", k = 5)
+    assert(merges.nonEmpty)
+    val path = graft.core.Caching.scratchDir("bpe_artifact").toString + "/tok"
+    TextFunctions.bpeSaveMerges(spark, path, merges, "tok-a", version = 1L)
+    // a NEW session sees only the parquet artifact: load from disk and
+    // encode — must equal the in-session encode under the trained list
+    val loaded = TextFunctions.bpeLoadMerges(spark, path, "tok-a")
+    assert(loaded == merges.map(m => (m._1, m._2)))
+    val probe = Seq("lowest", "slower", "newly").map(w => Tuple1(chars(w)))
+      .toDF("syms")
+    val fresh = rows(TextFunctions.bpeEncode(probe, "syms", loaded)
+      .orderBy(col("syms")))
+    val inSession = rows(TextFunctions.bpeEncode(probe, "syms",
+      merges.map(m => (m._1, m._2))).orderBy(col("syms")))
+    assert(fresh == inSession)
+    // a SHORTER retrain appended under version 2 replaces the run whole:
+    // the loader must not inherit version 1's stale tail ranks
+    val retrain = merges.take(1)
+    TextFunctions.bpeSaveMerges(spark, path, retrain, "tok-a", version = 2L)
+    assert(TextFunctions.bpeLoadMerges(spark, path, "tok-a")
+      == retrain.map(m => (m._1, m._2)))
+    // ids are isolated; an unknown id fails loudly like a missing index
+    TextFunctions.bpeSaveMerges(spark, path, merges, "tok-b", version = 1L)
+    assert(TextFunctions.bpeLoadMerges(spark, path, "tok-b").size == merges.size)
+    intercept[IllegalArgumentException] {
+      TextFunctions.bpeLoadMerges(spark, path, "tok-c")
+    }
+  }
+
   test("sketch laws on seeded random data: CMS never undercounts, KMV lands close") {
     import graft.functions.Sketches
     val rnd = new scala.util.Random(11)
