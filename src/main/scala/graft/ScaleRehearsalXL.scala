@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 100×-class rehearsal main (local iteration; not part of the
+  * driver contract): re-keys the sf0.1 state tables into `copies`
+  * disjoint namespace shards — DEFAULT 140, which puts the live dir
+  * count (15,026/copy) past the 2M-row driver dir-map limit, so the
+  * recursion operators' AUTOMATIC iterative fallback runs at its
+  * design point (not forced by a knob, as the 10× rehearsal did) —
+  * and exercises the block-table shapes at ~168M rows: N5 report
+  * reconciliation, S8 BlockEntry grouping, and the pending-requeue
+  * monitor tick whose cost must track its work list, not the table.
+  *
+  * Amplification is two-stage so no plan carries 140 branches of a
+  * derived view: stage 1 writes an `inner`× (14) scratch from the
+  * state VIEWS, stage 2 unions `outer` (10) offset copies of that
+  * PARQUET. Usage (96g heap recommended):
+  *   SPARK_DRIVER_MEM=96g sbt "runMain graft.ScaleRehearsalXL [sfDir] [copies]"
+  */
+object ScaleRehearsalXL {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(140)
+    val inner = 14
+    require(copies % inner == 0, s"copies must be a multiple of $inner")
+    val outer = copies / inner
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.model.DerivedState.register(spark, sfDir)
+    val now = graft.model.DerivedState.NowMs
+    val scratch = graft.core.Caching.scratchDir("rehearsal_xl").toString
+    val Off = 1000000000L
+
+    def time(name: String)(f: => Long): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[rehearsal-xl] $name%-40s $s%8.2f s  (rows=$n)")
+      s
+    }
+
+    // ---- stage 1: inner× from the views (the ScaleRehearsal shard) ----
+    def shift(c: String, k: Long) =
+      when(col(c) > 0, col(c) + lit(k * Off)).otherwise(col(c))
+    val fileInner = (0 until inner).map { k =>
+      spark.table("file")
+        .filter(col("id") =!= 0L || lit(k == 0)) // ONE root row total
+        .withColumn("id", shift("id", k))
+        .withColumn("parentId", shift("parentId", k))
+        .withColumn("name",
+          when(col("parentId") === 0L && col("id") =!= 0L,
+            concat(col("name"), lit(s"_$k"))).otherwise(col("name")))
+    }.reduce(_ unionByName _)
+    val blockInner = (0 until inner).map { k =>
+      spark.table("block")
+        .withColumn("id", shift("id", k))
+        .withColumn("fileId", shift("fileId", k))
+    }.reduce(_ unionByName _)
+    val repInner = (0 until inner).map { k =>
+      spark.table("reported").withColumn("blockId", shift("blockId", k))
+    }.reduce(_ unionByName _)
+    val tInner = time(s"stage1 write ${inner}x from views") {
+      fileInner.write.mode("overwrite").parquet(s"$scratch/file_i")
+      blockInner.write.mode("overwrite").parquet(s"$scratch/block_i")
+      repInner.write.mode("overwrite").parquet(s"$scratch/rep_i")
+      spark.read.parquet(s"$scratch/block_i").count()
+    }
+
+    // ---- stage 2: outer× from the stage-1 parquet ----------------------
+    val jOff = inner.toLong * Off
+    val fileXL = (0 until outer).map { j =>
+      spark.read.parquet(s"$scratch/file_i")
+        .filter(col("id") =!= 0L || lit(j == 0))
+        .withColumn("id", shift("id", j * inner.toLong))
+        .withColumn("parentId", shift("parentId", j * inner.toLong))
+        .withColumn("name",
+          when(col("parentId") === 0L && col("id") =!= 0L,
+            concat(col("name"), lit(s"_o$j"))).otherwise(col("name")))
+    }.reduce(_ unionByName _)
+    val blockXL = (0 until outer).map { j =>
+      spark.read.parquet(s"$scratch/block_i")
+        .withColumn("id", shift("id", j * inner.toLong))
+        .withColumn("fileId", shift("fileId", j * inner.toLong))
+    }.reduce(_ unionByName _)
+    val repXL = (0 until outer).map { j =>
+      spark.read.parquet(s"$scratch/rep_i")
+        .withColumn("blockId", shift("blockId", j * inner.toLong))
+    }.reduce(_ unionByName _)
+    val tBuild = time(s"stage2 write ${copies}x tables") {
+      fileXL.write.mode("overwrite").parquet(s"$scratch/file")
+      blockXL.write.mode("overwrite").parquet(s"$scratch/block")
+      repXL.write.mode("overwrite").parquet(s"$scratch/rep")
+      spark.read.parquet(s"$scratch/block").count()
+    }
+    val f = spark.read.parquet(s"$scratch/file")
+    val b = spark.read.parquet(s"$scratch/block")
+    val rep = spark.read.parquet(s"$scratch/rep")
+    val dn = spark.table("datanode")
+    val nDirs = f.filter(col("version") > 0 && col("length") === -1L).count()
+    println(s"[rehearsal-xl] live dirs: $nDirs (driver map limit 2000000; " +
+      s"over-limit=${nDirs > 2000000L} → the DEFAULT path must fall back)")
+
+    import graft.state.StateManager
+    import graft.analytics.{Dataflows, Replication}
+
+    // ---- the AUTOMATIC fallback at its design point --------------------
+    // default dirBroadcastLimit: collectDirChildren sees > 2M dirs and
+    // refuses, so materializePaths/resolvePaths/contentSummary take their
+    // iterative join loops WITHOUT being forced. Row-identity is checked
+    // against the forced-iterative run (same loop — this pins that the
+    // auto path really did fall back AND stayed deterministic) plus an
+    // arithmetic expectation from the 1× table.
+    var autoPaths: DataFrame = null
+    val tPathsAuto = time("materializePaths DEFAULT (auto-fallback)") {
+      autoPaths = StateManager.materializePaths(f).localCheckpoint()
+      autoPaths.count()
+    }
+    var forcedPaths: DataFrame = null
+    val tPathsForced = time("materializePaths forced-iterative") {
+      forcedPaths = StateManager.materializePaths(f, dirBroadcastLimit = 0L)
+        .localCheckpoint()
+      forcedPaths.count()
+    }
+    val pathsDiff = autoPaths.exceptAll(forcedPaths).count() +
+      forcedPaths.exceptAll(autoPaths).count()
+    val oneCopy = spark.table("file").filter(col("version") > 0).count()
+    val expectPaths = copies * (oneCopy - 1) + 1 // one shared root row
+    val nAuto = autoPaths.count()
+    println(s"[rehearsal-xl] paths auto==forced: ${pathsDiff == 0}; " +
+      s"count $nAuto vs expected $expectPaths: ${nAuto == expectPaths}")
+
+    val probes = autoPaths.filter(col("id") % 5000 === 3L)
+      .select(col("path")).limit(200).localCheckpoint()
+    val nProbes = probes.count()
+    var autoRes: DataFrame = null
+    val tResAuto = time(s"resolvePaths DEFAULT ($nProbes probes)") {
+      autoRes = StateManager.resolvePaths(f, probes).localCheckpoint()
+      autoRes.count()
+    }
+    var forcedRes: DataFrame = null
+    val tResForced = time("resolvePaths forced-iterative") {
+      forcedRes = StateManager.resolvePaths(f, probes, dirBroadcastLimit = 0L)
+        .localCheckpoint()
+      forcedRes.count()
+    }
+    val resDiff = autoRes.exceptAll(forcedRes).count() +
+      forcedRes.exceptAll(autoRes).count()
+    println(s"[rehearsal-xl] resolvePaths auto==forced: ${resDiff == 0}")
+
+    // content summary over a SAMPLE of shard roots (every root would be
+    // a copies× blowup of the 1× work by construction; the design-point
+    // question is the fallback machinery, answered above — this pins the
+    // quota walk runs on the fallback too)
+    val roots = f.filter(col("parentId") === 0L && col("id") =!= 0L &&
+        col("version") > 0)
+      .select(col("id")).limit(20).collect().map(_.getLong(0)).sorted.toSeq
+    var autoCs: DataFrame = null
+    val tCsAuto = time(s"contentSummary DEFAULT (${roots.size} roots)") {
+      autoCs = Dataflows.contentSummary(f, roots).localCheckpoint()
+      autoCs.count()
+    }
+    var forcedCs: DataFrame = null
+    val tCsForced = time("contentSummary forced-iterative") {
+      forcedCs = Dataflows.contentSummary(f, roots, dirBroadcastLimit = 0L)
+        .localCheckpoint()
+      forcedCs.count()
+    }
+    val csDiff = autoCs.exceptAll(forcedCs).count() +
+      forcedCs.exceptAll(autoCs).count()
+    println(s"[rehearsal-xl] contentSummary auto==forced: ${csDiff == 0}")
+
+    // ---- block-table shapes at ~${copies}×1.2M rows ---------------------
+    val tN5 = time("n5 reconcileReports") {
+      Dataflows.reconcileReports(b, rep)
+        .groupBy(col("action")).agg(count(lit(1))).count()
+    }
+    val tS8 = time("s8 blockEntries") {
+      StateManager.blockEntries(b).count()
+    }
+    // monitor tick: the work list stays 1×-sized while the table is
+    // copies× — tick cost must track the LIST
+    val timedOut = b.filter(col("version") > 0 && col("id") % (997L * copies) === 0L)
+      .select(col("id").as("blockId"), lit(1L).as("inFlight"),
+        lit(now - 600000L).as("since"))
+      .distinct().localCheckpoint()
+    val tRequeue = time(s"pendingRequeue (${timedOut.count()} timed out)") {
+      Replication.pendingRequeue(timedOut, b, f, dn, now).count()
+    }
+
+    val identical = pathsDiff + resDiff + csDiff == 0 && nAuto == expectPaths
+    val r = Seq("stage1" -> tInner, "build" -> tBuild,
+      "paths_auto" -> tPathsAuto, "paths_forced" -> tPathsForced,
+      "resolve_auto" -> tResAuto, "resolve_forced" -> tResForced,
+      "cs_auto" -> tCsAuto, "cs_forced" -> tCsForced,
+      "n5" -> tN5, "s8" -> tS8, "requeue" -> tRequeue)
+    println(r.map { case (k, v) => s""""$k":$v""" }
+      .mkString(s"""{"metric":"rehearsal_xl","copies":$copies,"dirs":$nDirs,""" +
+        s""""autoFellBack":${nDirs > 2000000L},"identical":$identical,"sf":"$sfDir",""",
+        ",", "}"))
+    spark.stop()
+  }
+}
