@@ -255,6 +255,28 @@ object Changefeed {
     }
   }
 
+  /** Streaming language ID: the twin of
+    * [[graft.functions.TextFunctions.langIdAgainst]] — the k-class
+    * hashed-NB model trains once from the labeled slices and pins; each
+    * micro-batch pays its own feature melt + broadcast pivot join + ONE
+    * batch-keyed aggregate carrying all k class sums — O(batch) per
+    * trigger, no streaming state. The crawl-ingest shape: route every
+    * arriving page by language before the per-language pipelines. */
+  def streamingLangId(docs: DataFrame, classes: Seq[(String, DataFrame)],
+                      idCol: String, textCol: String,
+                      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.functions.TextFunctions
+    val model = TextFunctions.nbTrainMulti(classes, idCol, textCol)
+    withStandingFrame(model, docs.sparkSession) { pinned =>
+      docs.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          sink(TextFunctions.langIdAgainst(
+            pinned, batch.toDF(), idCol, textCol), batchId)
+        }
+        .start()
+    }
+  }
+
   /** Streaming asset-ingest dedup: the streaming twin of
     * [[graft.multimodal.Multimodal.payloadDedupAgainst]]. The standing
     * corpus's asset index ([[graft.multimodal.Multimodal.payloadIndex]]

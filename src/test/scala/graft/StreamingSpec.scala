@@ -444,6 +444,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed language ID matches batch argmax; k-class model pinned across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val en = Seq((1L, "the of and to a the of and")).toDF("doc_id", "text")
+    val de = Seq((2L, "der die das und ist der die")).toDF("doc_id", "text")
+    val classes = Seq("de" -> de, "en" -> en)
+    val probe = Seq((10L, "the of and"), (11L, "der und ist"), (12L, "zzz"))
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.concurrent.TrieMap[Long, (String, Long, Long)]()
+    val q = Changefeed.streamingLangId(
+      mem.toDF().toDF("doc_id", "text"), classes, "doc_id", "text",
+      (out, _) => out.collect().foreach(r =>
+        acc(r.getLong(0)) = (r.getString(1), r.getLong(2), r.getLong(3))))
+    try {
+      // two separate triggers — the SAME pinned model serves both
+      mem.addData(probe(0), probe(1)); q.processAllAvailable()
+      mem.addData(probe(2)); q.processAllAvailable()
+      val expect = graft.functions.TextFunctions.langIdModel(
+          classes, probe.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(acc.toMap == expect)
+      assert(acc(10L)._1 == "en" && acc(11L)._1 == "de")
+    } finally q.stop()
+  }
+
   test("native session_window: fragments merge across batches, close on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
