@@ -602,6 +602,15 @@ object Shell {
             min(col("score")).as("minScore"),
             max(col("score")).as("maxScore"))
           .orderBy(col("keep"))
+      case "langid" =>
+        // model-based language routing report: the t31 k-class NB argmax
+        // summarized per predicted language (the crawl-routing tallies)
+        graft.SparkEntry.queries("t31_langid_model")(spark, sfDir)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("nDocs"),
+            min(col("score")).as("minScore"),
+            max(col("score")).as("maxScore"))
+          .orderBy(col("lang"))
       case "drift" =>
         // the v4 watchdog report: per-comparison TVD + verdict
         graft.SparkEntry.queries("v4_dist_drift")(spark, sfDir)

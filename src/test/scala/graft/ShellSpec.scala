@@ -360,6 +360,14 @@ class ShellSpec extends SparkSpec {
     assert(byKeep(false)._2 <= 0L && byKeep(true)._1 > 0L, s"got $byKeep")
   }
 
+  test("langid verb: all three routed languages tallied, thirds of the corpus") {
+    val out = Shell.run(spark, sf, "langid").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("en", "r1", "r2"))
+    val m = out.map(r => r.getString(0) -> r.getAs[Long]("nDocs")).toMap
+    assert(m.values.sum == 500L && m.values.forall(n => n >= 160 && n <= 170),
+      s"got $m")
+  }
+
   test("drift verb: the A/A comparison stays quiet, the shifted one trips") {
     val out = Shell.run(spark, sf, "drift").collect()
       .map(r => r.getString(0) -> r.getBoolean(2)).toMap
