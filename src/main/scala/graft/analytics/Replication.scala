@@ -90,17 +90,19 @@ object Replication {
     * the < expected filter). Queue membership, not the budgeted pick —
     * the next N6 tick picks from the re-entered queue.
     *
-    * Scale shape: the timed-out set is work-list-sized, so it broadcasts
-    * into a left-semi prune of the block table BEFORE any aggregation —
-    * per tick this reads only the timed-out blocks' replica rows. */
+    * Scale shape: the timed-out set is work-list-sized, so it PUSHES
+    * into the block scan as an IN predicate (Scale.keyPrune — row-group/
+    * bucket pruning; the old broadcast semi-join filtered after the scan
+    * and still streamed the whole table: 16.5 s at 140× for a 375-key
+    * list) — per tick this reads only the timed-out blocks' replica
+    * rows. */
   def pendingRequeue(timedOut: DataFrame, block: DataFrame, file: DataFrame,
                      datanode: DataFrame, nowMs: Long): DataFrame = {
     val liveNodeIds = StateManager.liveDatanodes(datanode, nowMs)
       .filter(col("adminState") === "NORMAL")
       .select(col("id").as("nodeId"))
-    val pruned = live(block)
-      .join(broadcast(timedOut.select(col("blockId")).distinct()),
-        col("id") === col("blockId"), "left_semi")
+    val pruned = graft.core.Scale.keyPrune(
+      live(block), "id", timedOut, "blockId")
     // LEFT join the live-node dimension: a timed-out block whose replicas
     // all sit on dead nodes must still re-enter the queue (liveReplicaCount
     // 0), matching neededReplications.add with num.liveReplicas() == 0 —
@@ -172,14 +174,15 @@ object Replication {
     val liveNodeIds = StateManager.liveDatanodes(datanode, nowMs)
       .filter(col("adminState") === "NORMAL")
       .select(col("id").as("nodeId"))
-    // marks are corrupt-set-sized (namenode-memory scale): broadcast into
-    // a prune so only marked blocks' replica rows are ever read
-    val markedBlocks = marks.select(col("blockId")).distinct()
+    // marks are corrupt-set-sized (namenode-memory scale): push their
+    // blockIds into the scan so only marked blocks' replica rows are
+    // ever READ (keyPrune — the pendingRequeue scan-prune discipline)
     val markDim = marks
       .select(col("blockId").as("__mbid"), col("datanodeId").as("__mdid"),
         lit(true).as("__marked"))
-    val goodCounts = live(block)
-      .join(broadcast(markedBlocks), col("id") === col("blockId"), "left_semi")
+    val markedRows = graft.core.Scale.keyPrune(
+      live(block), "id", marks, "blockId").localCheckpoint()
+    val goodCounts = markedRows
       .join(liveNodeIds, col("datanodeId") === col("nodeId"), "left_semi")
       .join(broadcast(markDim),
         col("id") === col("__mbid") && col("datanodeId") === col("__mdid"), "left")
@@ -188,10 +191,9 @@ object Replication {
       .agg(count(lit(1)).as("__good"))
     val expected = live(file).filter(col("length") =!= -1L)
       .select(col("id").as("__fid"), col("replication"))
-    // same broadcast prune as goodCounts: without it the owner lookup
-    // would distinct-aggregate the ENTIRE block table per sweep tick
-    val owner = live(block)
-      .join(broadcast(markedBlocks), col("id") === col("blockId"), "left_semi")
+    // same pruned rows as goodCounts (the checkpoint serves both): the
+    // owner lookup must never distinct-aggregate the ENTIRE block table
+    val owner = markedRows
       .select(col("id").as("__obid"), col("fileId")).distinct()
     marks
       .join(goodCounts, col("blockId") === col("__gbid"), "left")
@@ -260,10 +262,10 @@ object Replication {
     // gate derives it from the reported view) would re-derive per
     // reference. Batch-sized by contract, so the checkpoint is bounded.
     val ops = opsIn.localCheckpoint()
-    val opBlocks = ops.select(col("blockId")).distinct()
-    // ONE pruned scan feeds stored-row lookup, entry primary and holders
-    val pruned = b
-      .join(broadcast(opBlocks), col("id") === col("blockId"), "left_semi")
+    // ONE pruned scan feeds stored-row lookup, entry primary and holders;
+    // the op batch's blockIds PUSH into the scan (keyPrune row-group
+    // pruning) instead of semi-filtering after it
+    val pruned = graft.core.Scale.keyPrune(b, "id", ops, "blockId")
       .localCheckpoint()
     val freshest = pruned.groupBy(col("id").as("__bid"))
       .agg(max(col("generationStamp")).as("maxGenStamp"),
@@ -277,9 +279,8 @@ object Replication {
       col("leaseHolder").isNotNull.as("__open"))
     // last block index per owner file — the blockIsUnderConstruction gate
     // needs the file's TRUE last block, which may not be in the op batch
-    val ownerFiles = freshest.select(col("__ownerFid").as("__of")).distinct()
-    val lastIdx = b
-      .join(broadcast(ownerFiles), col("fileId") === col("__of"), "left_semi")
+    val lastIdx = graft.core.Scale.keyPrune(b, "fileId",
+        freshest.select(col("__ownerFid")), "__ownerFid")
       .groupBy(col("fileId").as("__lf"))
       .agg(max(col("fileIndex")).as("__lastIdx"))
     val opIdx = pruned

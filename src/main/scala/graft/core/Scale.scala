@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Work-list key prune: read ONLY the listed keys' rows from a
+    * table-scale frame — the monitor-tick / op-batch access shape. A
+    * broadcast left-semi filters AFTER the scan, so the whole table
+    * still streams through the executors (measured 16.5 s at 140× state
+    * scale for a 375-key pendingRequeue list); a BOUNDED list instead
+    * collects its long keys and pushes an IN predicate, which reaches
+    * the parquet scan as row-group min/max pruning (and bucket pruning
+    * on the bucketed layout) — the scan itself skips the table. Lists
+    * that exceed `maxPushdown` distinct keys (or carry nulls) keep the
+    * semi-join; the ROWS are identical either way, only the physical
+    * access path changes. The collect is list-bounded by the limit —
+    * never table-sized. */
+  def keyPrune(table: DataFrame, keyCol: String, keys: DataFrame,
+               keysCol: String, maxPushdown: Int = 65536): DataFrame = {
+    val collected = keys.select(col(keysCol).as("__k")).distinct()
+      .limit(maxPushdown + 1).collect()
+    val semiJoin = () => table.join(
+      broadcast(keys.select(col(keysCol).as("__k")).distinct()),
+      col(keyCol) === col("__k"), "left_semi")
+    if (collected.exists(_.isNullAt(0)) || collected.length > maxPushdown)
+      semiJoin()
+    else if (collected.isEmpty) table.filter(lit(false))
+    else table.filter(col(keyCol).isInCollection(
+      collected.map(_.getLong(0)).toSeq))
+  }
+
   /** Write a table bucketed+sorted by the join key. Two tables bucketed
     * the same way join WITHOUT a shuffle (SortMergeJoin over co-located
     * buckets) — at cluster scale this is how the block table joins the

@@ -220,10 +220,11 @@ class ScaleSpec extends SparkSpec {
         plan.linesIterator.take(40).mkString("\n"))
   }
 
-  test("pendingRequeue prunes the block table via broadcast, never a sort-merge") {
-    // the timed-out set is work-list-sized by contract: the requeue scan
-    // must broadcast it into a semi-join prune of the block table — a
-    // sort-merge here would shuffle the whole block table per monitor tick
+  test("pendingRequeue pushes the work list into the block scan, never a sort-merge") {
+    // the timed-out set is work-list-sized by contract: its blockIds
+    // push into the block scan as an IN predicate (keyPrune), so the
+    // pruned rows are FILTERED AT THE SCAN — no block-table-wide join at
+    // all on the id key, and certainly no sort-merge shuffle per tick
     val timedOut = (1 to 20).map(i => (i.toLong * 10, 1L, 0L))
       .toDF("blockId", "inFlight", "since")
     val block = (1 to 5000).map(i =>
@@ -239,10 +240,42 @@ class ScaleSpec extends SparkSpec {
       timedOut, block, file, datanode, nowMs = 1000000L)
     rq.collect()
     val plan = rq.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"timed-out prune must broadcast:\n${plan.take(3000)}")
+    // the id prune is NOT a join anymore — on an in-memory fixture the
+    // IN predicate constant-folds straight into the scan (the parquet
+    // PushedFilters pin lives in the keyPrune test below); the remaining
+    // joins are the broadcast dimension joins only
+    assert(!plan.contains("LeftSemi"),
+      s"work-list prune must be a pushed filter, not a semi-join:\n${plan.take(3000)}")
     assert(!plan.contains("SortMergeJoin"),
       s"no sort-merge anywhere in the requeue:\n${plan.take(3000)}")
+  }
+
+  test("keyPrune: bounded lists push an IN filter into the parquet scan; big/null lists semi-join") {
+    import graft.core.Scale
+    val dir = graft.core.Caching.scratchDir("keyprune").toString
+    (1 to 10000).map(i => (i.toLong, i.toLong % 7))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val keys = Seq(3L, 500L, 9999L).toDF("k")
+    val pruned = Scale.keyPrune(t, "id", keys, "k")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 500L, 9999L))
+    // the predicate must reach the SCAN (PushedFilters), not a post-scan join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(id"),
+      s"IN must push to parquet:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"no join on the small-list path:\n${plan.take(2000)}")
+    // over the cap → the broadcast semi-join fallback, same rows
+    val bigKeys = (1 to 40).map(_.toLong).toDF("k")
+    val fb = Scale.keyPrune(t, "id", bigKeys, "k", maxPushdown = 10)
+    assert(fb.count() == 40)
+    val fbPlan = fb.queryExecution.executedPlan.toString
+    assert(fbPlan.contains("LeftSemi"), s"fallback must semi-join:\n${fbPlan.take(2000)}")
+    // a null key routes to the semi-join (null never equi-matches) and
+    // an empty list yields no rows — both row-sets match the semi-join's
+    val nullKeys = Seq[java.lang.Long](5L, null).toDF("k")
+    assert(Scale.keyPrune(t, "id", nullKeys, "k").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+    assert(Scale.keyPrune(t, "id", Seq.empty[Long].toDF("k"), "k").count() == 0)
   }
 
   test("P3 limited update plans as top-n, not a global sort or window") {
