@@ -950,13 +950,10 @@ object DataOpsQueries {
       val mountKey = "fs.viewfs.mounttable.graftgate.link./data"
       val hc = s.sparkContext.hadoopConfiguration
       hc.set(mountKey, s"file:$tmp/tbl")
-      val view = try {
-        // parquet footer reads happen eagerly at read-time, so the
-        // DataFrame is safe to use after the key is unset
-        val v = s.read.parquet("viewfs://graftgate/data")
-        v.cache(); v.count()
-        v
-      } finally hc.unset(mountKey)
+      // localCheckpoint materializes the rows EAGERLY (while the mount
+      // key is still set) without pinning a session cache entry
+      val view = try s.read.parquet("viewfs://graftgate/data").localCheckpoint()
+      finally hc.unset(mountKey)
       def sums(scheme: String, df: org.apache.spark.sql.DataFrame) = df
         .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("keySum"),
           sum(length(col("s_name")).cast("long")).as("nameLen"))
