@@ -988,7 +988,10 @@ object TextFunctions {
       .filter(col("tokenizerId") === tokenizerId && col("version") > 0)
     val head = t.agg(max(col("version")).as("v")).collect()(0)
     require(!head.isNullAt(0), s"no tokenizer '$tokenizerId' at $path")
-    t.filter(col("version") === head.getLong(0))
+    // distinct: a RETRIED save of the same run appends byte-identical
+    // rows (the r9 idempotent-replay discipline) — they must collapse,
+    // not double the merge list
+    t.filter(col("version") === head.getLong(0)).distinct()
       .orderBy(col("rank")).collect()
       .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
   }

@@ -109,6 +109,11 @@ class DataOpsSpec extends SparkSpec {
     TextFunctions.bpeSaveMerges(spark, path, retrain, "tok-a", version = 2L)
     assert(TextFunctions.bpeLoadMerges(spark, path, "tok-a")
       == retrain.map(m => (m._1, m._2)))
+    // a RETRIED save of the same run (idempotent replay) must not double
+    // the loaded merge list
+    TextFunctions.bpeSaveMerges(spark, path, retrain, "tok-a", version = 2L)
+    assert(TextFunctions.bpeLoadMerges(spark, path, "tok-a")
+      == retrain.map(m => (m._1, m._2)))
     // ids are isolated; an unknown id fails loudly like a missing index
     TextFunctions.bpeSaveMerges(spark, path, merges, "tok-b", version = 1L)
     assert(TextFunctions.bpeLoadMerges(spark, path, "tok-b").size == merges.size)
