@@ -195,9 +195,12 @@ object Replication {
     // owner lookup must never distinct-aggregate the ENTIRE block table
     val owner = markedRows
       .select(col("id").as("__obid"), col("fileId")).distinct()
+    // goodCounts/owner are corrupt-set-bounded (aggregates OVER the
+    // pruned rows): broadcast them — a checkpointed marks frame carries
+    // no stats, and Spark would otherwise sort-merge a bounded join
     marks
-      .join(goodCounts, col("blockId") === col("__gbid"), "left")
-      .join(owner, col("blockId") === col("__obid"), "left")
+      .join(broadcast(goodCounts), col("blockId") === col("__gbid"), "left")
+      .join(broadcast(owner), col("blockId") === col("__obid"), "left")
       .join(broadcast(expected), col("fileId") === col("__fid"), "left")
       .filter(coalesce(col("__good"), lit(0L)) >= col("replication"))
       .select(col("blockId"), col("datanodeId"),
