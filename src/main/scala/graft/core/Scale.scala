@@ -24,8 +24,8 @@ object Scale {
     * never table-sized. */
   def keyPrune(table: DataFrame, keyCol: String, keys: DataFrame,
                keysCol: String, maxPushdown: Int = 65536): DataFrame = {
-    val collected = keys.select(col(keysCol).as("__k")).distinct()
-      .limit(maxPushdown + 1).collect()
+    val collected = keys.select(col(keysCol).cast("long").as("__k"))
+      .distinct().limit(maxPushdown + 1).collect()
     val semiJoin = () => table.join(
       broadcast(keys.select(col(keysCol).as("__k")).distinct()),
       col(keyCol) === col("__k"), "left_semi")

@@ -671,6 +671,11 @@ object TextFunctions {
     val labels = model.select(col("lang")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     require(labels.nonEmpty, "empty language model")
+    // pivoted class-count columns are NAMED by the labels: a label that
+    // shadows a frame column (or the doc id) would corrupt the melt join
+    require(!labels.exists(l => Set("feat", "cnt", "lang", "nFeats",
+      "score", idCol).contains(l) || l.contains("`")),
+      s"class labels collide with frame columns: $labels")
     val totals = model.groupBy(col("lang")).agg(sum(col("cnt")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val blConst = (v: Long) => 64 - java.lang.Long.numberOfLeadingZeros(v)
