@@ -227,6 +227,20 @@ object ScaleRehearsal {
         d.filter(col("source") =!= "src2"),
         "doc_id", "text", k = 1000L).filter(col("picked")).count()
     }
+    val tT30b = time("t30b dsirSelectGumbel (10x, k=1000)") {
+      TextFunctions.dsirSelectGumbel(
+        d.filter(col("source") === "src2"),
+        d.filter(col("source") =!= "src2"),
+        "doc_id", "text", k = 1000L).filter(col("picked")).count()
+    }
+    val tT31 = time("t31 langIdModel (10x, 3 classes)") {
+      TextFunctions.langIdModel(
+        Seq("en" -> d.filter(col("doc_id") % 5 === 0),
+          "r1" -> d.filter(col("doc_id") % 5 === 1),
+          "r2" -> d.filter(col("doc_id") % 5 === 2))
+          .map { case (l, df) => l -> df.select(col("doc_id"), col("text")) },
+        d, "doc_id", "text").groupBy(col("lang")).count().count()
+    }
     val tV4 = time("v4 distributionDrift (10x)") {
       graft.analytics.TableChecks.distributionDrift(
         d.filter(col("doc_id") % 2 === 0),
@@ -269,6 +283,7 @@ object ScaleRehearsal {
       "cs_iter" -> tCsIter, "n5" -> tN5, "requeue" -> tRequeue,
       "corrupt" -> tCorrupt, "d2" -> tD2, "t26" -> tT26, "t27" -> tT27,
       "d16" -> tD16, "t28" -> tT28, "t29" -> tT29, "t30" -> tT30,
+      "t30b" -> tT30b, "t31" -> tT31,
       "v4" -> tV4, "m7" -> tM7, "m8" -> tM8, "sim12" -> tSim12)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
