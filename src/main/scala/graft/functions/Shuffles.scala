@@ -75,6 +75,52 @@ object Shuffles {
       .withColumn("keep", col("cumBefore") < shardBudget)
   }
 
+  /** Exact integer sqrt (floor). Double sqrt is within 1 ulp for
+    * n < 2^52, so the ±1 correction loops run at most twice — the same
+    * corrected-double recipe the DuckDB twin replays as CASE arms. */
+  def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    var s = math.sqrt(n.toDouble).toLong
+    while (s > 0 && s * s > n) s -= 1
+    while ((s + 1) * (s + 1) <= n) s += 1
+    s
+  }
+
+  /** Temperature-weighted source budgets, α = 1/2 — the multilingual
+    * sampling of fastText/mC4/XLM-R (sample source i ∝ n_i^α): weights
+    * w_i = isqrt(tokens_i), budgets b_i = total·w_i DIV Σw. α = 1/2
+    * flattens the source distribution, so small sources keep more than
+    * their proportional share — the reason the trick exists. Integer-
+    * exact end-to-end; `totals` is source-bounded (driver-side map). */
+  def temperatureBudgets(totals: Map[String, Long],
+                         totalBudget: Long): Map[String, Long] = {
+    require(totalBudget >= 0, "negative budget")
+    val w = totals.map { case (g, n) => g -> isqrt(n) }
+    val sw = w.values.sum
+    require(sw > 0, "no tokens in any source")
+    w.map { case (g, wi) => g -> totalBudget * wi / sw }
+  }
+
+  /** Temperature-weighted mixture sampling: per-source token totals
+    * (one aggregate, source-bounded collect) → α = 1/2 budgets →
+    * [[budgetedMix]] admission. The whole chain is deterministic and
+    * integer-exact, so a resample is replayable from (totalBudget,
+    * salt). Returns the input plus (budget, hkey, shard, cumBefore,
+    * keep). */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+                     tokenCol: String, totalBudget: Long, nShards: Int,
+                     salt: String = "temp0"): DataFrame = {
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = temperatureBudgets(totals, totalBudget)
+    val bDim = budgets.toSeq.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    budgetedMix(df, idCol, groupCol, tokenCol, budgets, nShards, salt)
+      .withColumn("budget", bDim)
+  }
+
   /** Spread the low 32 bits of `x` onto the even bit positions of a
     * 64-bit value (the standard Morton magic-mask ladder — pure integer
     * shifts/masks, so Spark and any SQL engine compute it identically). */

@@ -1435,6 +1435,25 @@ object DataOpsQueries {
           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("lang"))
     },
+    // temperature-weighted mixture, the multilingual α-sampling of
+    // fastText/mC4/XLM-R at α = 1/2: per-source budgets ∝ isqrt(source
+    // tokens) — integer-exact via the ±1-corrected double sqrt both
+    // engines replay — then the t13 sharded admission. The flattening
+    // is REAL here: the biggest source (en) takes ~28% of the budget vs
+    // its ~39% proportional share, and every source keeps ≥1 doc.
+    "t32_temperature_mix" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+      Shuffles.temperatureMix(d, "doc_id", "lang", "tok",
+          totalBudget = 7000L, nShards = 4)
+        .groupBy(col("lang"))
+        .agg(max(col("budget")).as("budget"),
+          count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("nKept"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("keptTokens"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
+        .orderBy(col("lang"))
+    },
     // CCNet-style rarity scoring: per-doc mean unigram surprisal under
     // the corpus's own unigram model, in INTEGER-EXACT floor-log2 bits
     // (floorLog2(n) = len(binary(n)) − 1 — no libm log, so both engines
@@ -3783,6 +3802,53 @@ object DataOpsQueries {
         |      WHEN 'de' THEN 1000 ELSE 0 END) / CAST(4 AS DOUBLE) AS keep
         |  FROM k)
         |SELECT lang, COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
+        |  CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS keptTokens,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // per-source totals → corrected-isqrt weights → integer budget
+    // split → the t13 admission window, all in one CTE chain
+    "t32_temperature_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR) || 'temp0') AS hx
+        |  FROM documents),
+        |t32_tot AS (
+        |  SELECT lang, CAST(SUM(tok) AS BIGINT) AS n FROM h GROUP BY lang),
+        |t32_w AS (
+        |  SELECT lang, n,
+        |    -- corrected integer sqrt: double sqrt is within 1 ulp for n < 2^52,
+        |    -- one ±1 adjustment each way makes it exact
+        |    (CASE WHEN (s0 - 1) * (s0 - 1) > n THEN s0 - 2
+        |          WHEN s0 * s0 > n THEN s0 - 1
+        |          WHEN (s0 + 2) * (s0 + 2) <= n THEN s0 + 2
+        |          WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1
+        |          ELSE s0 END) AS w
+        |  FROM (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+        |        FROM t32_tot)),
+        |t32_sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM t32_w),
+        |t32_b AS (
+        |  SELECT lang, n, w, (7000 * w) // sw AS budget FROM t32_w CROSS JOIN t32_sw),
+        |k AS (
+        |  SELECT doc_id, h.lang, tok, b.budget,
+        |    CAST(strpos('0123456789abcdef', hx[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', hx[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', hx[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', hx[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', hx[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', hx[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
+        |  FROM h JOIN t32_b b ON h.lang = b.lang),
+        |c AS (
+        |  SELECT doc_id, lang, tok, budget,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY lang, hkey % 4
+        |      ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <
+        |    budget / CAST(4 AS DOUBLE) AS keep
+        |  FROM k)
+        |SELECT lang, CAST(MAX(budget) AS BIGINT) AS budget, COUNT(*) AS total,
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
         |  CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS keptTokens,
         |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum

@@ -968,6 +968,34 @@ class DataOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("temperatureMix: exact isqrt, α=1/2 budgets flatten the source distribution") {
+    import graft.functions.Shuffles
+    // isqrt exactness: boundaries, perfect squares, ±1 neighbours, and
+    // the large range where double sqrt starts rounding
+    for (n <- Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 99L, 100L,
+        (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31),
+        4503599627370495L /* 2^52-1 */, 999999999999999999L)) {
+      val s = Shuffles.isqrt(n)
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s")
+    }
+    // budgets: w = isqrt(tokens), b = total·w DIV Σw — and the α=1/2
+    // FLATTENING law: the big source's budget share sits strictly
+    // between the uniform share and its proportional share
+    val totals = Map("big" -> 90000L, "small" -> 10000L)
+    val b = Shuffles.temperatureBudgets(totals, 1000L)
+    assert(b == Map("big" -> 750L, "small" -> 250L)) // 300/(300+100), 100/400
+    assert(b("big") < 900L && b("big") > 500L)
+    // the sampled mix keeps at least one doc per positive-budget source
+    val d = ((1 to 90).map(i => (i.toLong, "big", 1000L)) ++
+      (91 to 100).map(i => (i.toLong, "small", 1000L)))
+      .toDF("doc_id", "src", "tok")
+    val kept = Shuffles.temperatureMix(d, "doc_id", "src", "tok",
+        totalBudget = 1000L, nShards = 4)
+      .filter(col("keep")).groupBy(col("src")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == Set("big", "small") && kept.values.forall(_ >= 1))
+  }
+
   test("langIdModel: 3-language fixture where the model overrules the stopword heuristic") {
     // Training corpora: the "en" slice is English ABOUT German (it uses
     // der/die/das/und/ist heavily, as quoted words); the "de" slice is
