@@ -24,11 +24,13 @@ object Dataflows {
     * the walk is a window cumulative sum — one pass, any number of
     * requests at once. */
   def blockLocations(block: DataFrame, requests: DataFrame): DataFrame = {
-    // prune to requested files BEFORE grouping: at 100 TB the request set
-    // is tiny relative to the block table — broadcast semi-join first so
-    // the groupBy/window shuffle only carries wanted blocks
-    val wanted = requests.select(col("fileId")).distinct()
-    val pruned = block.join(broadcast(wanted), Seq("fileId"), "left_semi")
+    // prune to requested files AT THE SCAN: the request set is tiny vs a
+    // 100 TB block table, so its fileIds push into the scan as an IN
+    // predicate (Scale.keyPrune — row-group/bucket pruning on the
+    // materialized layout; the semi-join it replaced filtered AFTER the
+    // scan and streamed the whole table), and the groupBy/window shuffle
+    // carries only wanted blocks
+    val pruned = graft.core.Scale.keyPrune(block, "fileId", requests, "fileId")
     val entries = StateManager.blockEntries(pruned)
     val w = Window.partitionBy(col("fileId")).orderBy(col("fileIndex"))
     val ranged = entries
@@ -199,8 +201,12 @@ object Dataflows {
     * caller must add the second pass — toRemove for datanodes absent from
     * the ENTIRE feed (FSNamesystem.java:2562-2594). */
   def reconcileReportBatch(block: DataFrame, batch: DataFrame): DataFrame = {
-    val reportingNodes = batch.select(col("datanodeId")).distinct()
-    val scoped = block.join(broadcast(reportingNodes), Seq("datanodeId"), "left_semi")
+    // the batch's reporting datanodeIds push into the stored-side scan as
+    // an IN predicate (Scale.keyPrune) — per trigger this reads only the
+    // reporting nodes' replica rows, the per-datanode-cache access shape
+    // of the reference (A/state/StateManager.java:774-785), instead of
+    // semi-filtering the whole table after the scan
+    val scoped = graft.core.Scale.keyPrune(block, "datanodeId", batch, "datanodeId")
     reconcileReports(scoped, batch, genStampArbiter = Some(block))
   }
 
@@ -718,13 +724,22 @@ object Dataflows {
       .join(paths, col("id") === col("__pid"))
       .filter(prefixOk)
       .select(col("id").as("__fid"), col("replication"), col("path"))
-    // a scoped prefix makes the file side subtree-sized — broadcast it
-    // into the prune and the final join instead of shuffling the block
-    // table into a sort-merge; the whole-namespace scope ("/") keeps the
-    // shuffled join, where a broadcast could not be assumed to fit
-    val files = if (prefix == "/") files0 else broadcast(files0)
-    val perBlock = live(block)
-      .join(files.select(col("__fid")), col("fileId") === col("__fid"), "left_semi")
+    // a scoped prefix makes the file side subtree-sized — pin it (it
+    // feeds the keyPrune key collect, the broadcast and the final join;
+    // re-deriving would re-walk materializePaths three times), push its
+    // fileIds into the block scan as an IN predicate (Scale.keyPrune —
+    // row-group/bucket pruning; the semi-join it replaced filtered AFTER
+    // streaming the whole block table), and broadcast it into the final
+    // join. The whole-namespace scope ("/") keeps the semi + shuffled
+    // join, where neither a key list nor a broadcast could be assumed
+    // to fit
+    val files = if (prefix == "/") files0 else broadcast(files0.localCheckpoint())
+    val blocksScoped =
+      if (prefix == "/")
+        live(block).join(files.select(col("__fid")),
+          col("fileId") === col("__fid"), "left_semi")
+      else graft.core.Scale.keyPrune(live(block), "fileId", files, "__fid")
+    val perBlock = blocksScoped
       .join(broadcast(liveN), col("datanodeId") === col("__nid"), "left")
       .groupBy(col("id").as("blockId"), col("fileId"), col("fileIndex"))
       .agg(count(col("__nid")).as("liveReplicas"),

@@ -21,10 +21,16 @@ object Scale {
     * that exceed `maxPushdown` distinct keys (or carry nulls) keep the
     * semi-join; the ROWS are identical either way, only the physical
     * access path changes. The collect is list-bounded by the limit —
-    * never table-sized. */
+    * never table-sized. The keys column must already be LongType: a
+    * lossy cast (string/double keys) would make the pushdown list and
+    * the semi-join fallback disagree on which rows match, so anything
+    * else fails loudly here instead. */
   def keyPrune(table: DataFrame, keyCol: String, keys: DataFrame,
                keysCol: String, maxPushdown: Int = 65536): DataFrame = {
-    val collected = keys.select(col(keysCol).cast("long").as("__k"))
+    val keyType = keys.schema(keys.schema.fieldIndex(keysCol)).dataType
+    require(keyType == org.apache.spark.sql.types.LongType,
+      s"keyPrune keys column '$keysCol' must be LongType, got $keyType")
+    val collected = keys.select(col(keysCol).as("__k"))
       .distinct().limit(maxPushdown + 1).collect()
     val semiJoin = () => table.join(
       broadcast(keys.select(col(keysCol).as("__k")).distinct()),

@@ -91,14 +91,17 @@ object Shuffles {
     * w_i = isqrt(tokens_i), budgets b_i = total·w_i DIV Σw. α = 1/2
     * flattens the source distribution, so small sources keep more than
     * their proportional share — the reason the trick exists. Integer-
-    * exact end-to-end; `totals` is source-bounded (driver-side map). */
+    * exact end-to-end; `totals` is source-bounded (driver-side map).
+    * The budget·weight product runs in BigInt: at multi-trillion-token
+    * budgets with ~1e9 weights a Long multiply would wrap negative and
+    * silently zero the source. */
   def temperatureBudgets(totals: Map[String, Long],
                          totalBudget: Long): Map[String, Long] = {
     require(totalBudget >= 0, "negative budget")
     val w = totals.map { case (g, n) => g -> isqrt(n) }
     val sw = w.values.sum
     require(sw > 0, "no tokens in any source")
-    w.map { case (g, wi) => g -> totalBudget * wi / sw }
+    w.map { case (g, wi) => g -> (BigInt(totalBudget) * wi / sw).toLong }
   }
 
   /** Temperature-weighted mixture sampling: per-source token totals

@@ -636,17 +636,30 @@ object TextFunctions {
     * the same deterministic hashing trick, so the model is ≤
     * k × [[FeatureBuckets]] rows whatever the corpus and broadcasts at
     * any scale. Training is k independent bucket-bounded aggregates —
-    * the corpus never shuffles. */
+    * the corpus never shuffles.
+    *
+    * The returned model is pinned (localCheckpoint — bucket-bounded, so
+    * the pin is cheap) and VALIDATED: a class whose slice is empty or
+    * fully token-less contributes zero model rows, which would silently
+    * erase the label from [[langIdAgainst]]'s label set — it could never
+    * be predicted. That's a training-data bug, so it fails loudly here,
+    * the same contract as the artifact loaders. */
   def nbTrainMulti(classes: Seq[(String, DataFrame)], idCol: String,
                    textCol: String): DataFrame = {
     require(classes.nonEmpty, "nbTrainMulti needs at least one class")
     require(classes.map(_._1).distinct.size == classes.size,
       "duplicate class labels")
-    classes.map { case (label, df) =>
+    val model = classes.map { case (label, df) =>
       hashedFeatureRows(df, idCol, textCol)
         .groupBy(col("feat")).agg(count(lit(1)).as("cnt"))
         .select(lit(label).as("lang"), col("feat"), col("cnt"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val present = model.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = classes.map(_._1).filterNot(present)
+    require(missing.isEmpty, "nbTrainMulti: class(es) produced no model " +
+      s"rows (empty or token-less training slice): ${missing.mkString(", ")}")
+    model
   }
 
   /** Classify every document to the argmax class of the add-one NB
@@ -700,11 +713,10 @@ object TextFunctions {
   }
 
   /** Train-and-classify language ID in one call; the tall model feeds
-    * the pivot and the totals, so it is pinned once. */
+    * the pivot and the totals — [[nbTrainMulti]] already pins it. */
   def langIdModel(classes: Seq[(String, DataFrame)], docs: DataFrame,
                   idCol: String, textCol: String): DataFrame =
-    langIdAgainst(nbTrainMulti(classes, idCol, textCol).localCheckpoint(),
-      docs, idCol, textCol)
+    langIdAgainst(nbTrainMulti(classes, idCol, textCol), docs, idCol, textCol)
 
   /** Deterministic DSIR — Data Selection with Importance Resampling
     * (Xie et al. 2023): score every document of the raw pool by its
@@ -996,8 +1008,17 @@ object TextFunctions {
     // distinct: a RETRIED save of the same run appends byte-identical
     // rows (the r9 idempotent-replay discipline) — they must collapse,
     // not double the merge list
-    t.filter(col("version") === head.getLong(0)).distinct()
+    val rows = t.filter(col("version") === head.getLong(0)).distinct()
       .orderBy(col("rank")).collect()
-      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    // distinct only collapses byte-identical replays; a DIFFERENT list
+    // re-saved under the SAME version (a violated one-run-one-version
+    // contract) would interleave two runs here — ranks must read exactly
+    // 0..n-1 or the artifact is corrupt and must fail loudly
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    require(ranks.sameElements(rows.indices.map(_.toLong)),
+      s"tokenizer '$tokenizerId' version ${head.getLong(0)}: corrupt run — " +
+        s"ranks must be exactly 0..${rows.length - 1} (duplicate or gap: " +
+        s"two different lists saved under one version?)")
+    rows.map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
   }
 }

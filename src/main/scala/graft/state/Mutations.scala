@@ -436,8 +436,11 @@ object Mutations {
   def completeFileCheck(file: DataFrame, block: DataFrame, minReplication: Int = 1): DataFrame = {
     val uc = live(file).filter(col("leaseHolder").isNotNull)
       .select(col("id").as("fileId"), col("leaseHolder"))
-    val perBlock = live(block)
-      .join(uc.select(col("fileId").as("__fid")), col("fileId") === col("__fid"), "left_semi")
+    // the under-construction file set is request-scale vs a 100 TB block
+    // table — push its fileIds into the block scan as an IN predicate
+    // (Scale.keyPrune row-group/bucket pruning; lists past the pushdown
+    // bound fall back to the semi-join this replaced)
+    val perBlock = graft.core.Scale.keyPrune(live(block), "fileId", uc, "fileId")
       .groupBy(col("fileId"), col("id"))
       .agg(count(when(col("length") >= 0, 1)).as("finishedReplicas"))
     uc.join(perBlock.groupBy(col("fileId").as("__f"))
@@ -629,13 +632,14 @@ object Mutations {
       .select(lit("lease").as("writeOp"), lit("lease").as("tbl"), lit(-1L).as("id"),
         col("holder").as("name"), col("holder").as("leaseHolder"),
         lit(nowMs).as("version"), nullStr.as("reject"))
-    // last-block reopen: semi-join prunes the block table to the appended
-    // files FIRST (the request set is tiny vs 100 TB of replica rows), so
-    // the max-fileIndex groupBy only shuffles wanted blocks
-    val b = live(block)
+    // last-block reopen: the appended fileIds push into the block scan as
+    // an IN predicate (Scale.keyPrune — the request set is tiny vs 100 TB
+    // of replica rows; row-group/bucket pruning instead of semi-filtering
+    // after the scan), and ONE pruned frame feeds both the max-fileIndex
+    // groupBy and the reopen join — neither streams the table
     val wanted = ok.select(col("__tid").as("__fid"), col("holder"))
+    val b = graft.core.Scale.keyPrune(live(block), "fileId", wanted, "__fid")
     val lastIdx = b
-      .join(wanted.select(col("__fid")).distinct(), col("fileId") === col("__fid"), "left_semi")
       .groupBy(col("fileId").as("__lf")).agg(max(col("fileIndex")).as("__li"))
     val reopen = b
       .join(lastIdx, col("fileId") === col("__lf") && col("fileIndex") === col("__li"))

@@ -354,7 +354,7 @@ class ScaleSpec extends SparkSpec {
       s"startFile ids must not serialize through one task:\n$splan")
   }
 
-  test("N2 append: block table is semi-join-pruned, no cartesian anywhere") {
+  test("N2 append: block table is keyPrune-scanned, no cartesian anywhere") {
     import graft.state.Mutations
     val file = (0 to 200).map(i =>
       (i.toLong, 0L, if (i == 0) "" else s"f$i", if (i == 0) -1L else 10L,
@@ -368,8 +368,11 @@ class ScaleSpec extends SparkSpec {
     val out = Mutations.appendFile(file, block, reqs, nowMs = 1L)
     assert(out.filter(col("writeOp") === "attach").count() == 2)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"),
-      s"block scan must be pruned to appended files via a semi-join:\n$plan")
+    // the appended fileIds are a keyPrune IN predicate now, not a
+    // semi-join — on an in-memory fixture the filter constant-folds into
+    // the scan (the parquet PushedFilters pin lives in the keyPrune test)
+    assert(!plan.contains("LeftSemi"),
+      s"block prune must be a pushed IN filter, not a semi-join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
