@@ -104,6 +104,39 @@ object Shuffles {
     w.map { case (g, wi) => g -> (BigInt(totalBudget) * wi / sw).toLong }
   }
 
+  /** Exact floor(n^(p/q)) for a rational exponent — the general-α
+    * temperature weight. Recipe mirrors [[isqrt]]: a double pow seed,
+    * then a BigInt-verified correction loop (w is the floor iff
+    * w^q ≤ n^p < (w+1)^q), so the result is EXACT for any Long n
+    * whatever the seed's rounding. For the magnitudes a source total
+    * reaches (n < 2^42 tokens per source) the seed is within ±2 of the
+    * floor, which is what lets a SQL twin replay this as a bounded
+    * candidate window instead of a loop. */
+  def irootPow(n: Long, p: Int, q: Int): Long = {
+    require(n >= 0, s"irootPow of negative $n")
+    require(p >= 1 && q >= 1, s"exponent must be positive rational, got $p/$q")
+    if (n == 0) return 0L
+    val np = BigInt(n).pow(p)
+    var w = math.pow(n.toDouble, p.toDouble / q).toLong
+    while (w > 0 && BigInt(w).pow(q) > np) w -= 1
+    while (BigInt(w + 1).pow(q) <= np) w += 1
+    w
+  }
+
+  /** General-α temperature budgets, α = p/q — mC4 samples at α = 0.3
+    * (= 3/10), XLM-R at 0.3/0.7, fastText at 1/2; all are rationals, so
+    * the integer-exact [[irootPow]] weight covers the published sweep
+    * without ever touching floating point in the result. α = 1/2
+    * reproduces [[temperatureBudgets]] exactly (pinned in spec). */
+  def temperatureBudgetsAlpha(totals: Map[String, Long], totalBudget: Long,
+                              p: Int, q: Int): Map[String, Long] = {
+    require(totalBudget >= 0, "negative budget")
+    val w = totals.map { case (g, n) => g -> irootPow(n, p, q) }
+    val sw = w.values.map(BigInt(_)).sum
+    require(sw > 0, "no tokens in any source")
+    w.map { case (g, wi) => g -> (BigInt(totalBudget) * wi / sw).toLong }
+  }
+
   /** Temperature-weighted mixture sampling: per-source token totals
     * (one aggregate, source-bounded collect) → α = 1/2 budgets →
     * [[budgetedMix]] admission. The whole chain is deterministic and
@@ -112,11 +145,29 @@ object Shuffles {
     * keep). */
   def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
                      tokenCol: String, totalBudget: Long, nShards: Int,
-                     salt: String = "temp0"): DataFrame = {
+                     salt: String = "temp0"): DataFrame =
+    mixWithBudgets(df, idCol, groupCol, tokenCol, nShards, salt,
+      temperatureBudgets(_, totalBudget))
+
+  /** [[temperatureMix]] at an arbitrary rational α = p/q — the published
+    * samplers' sweep knob (mC4 α = 0.3). Same shape end-to-end: one
+    * source-bounded totals collect, [[temperatureBudgetsAlpha]] weights,
+    * the t13 sharded admission. */
+  def temperatureMixAlpha(df: DataFrame, idCol: String, groupCol: String,
+                          tokenCol: String, totalBudget: Long, nShards: Int,
+                          p: Int, q: Int,
+                          salt: String = "tempa0"): DataFrame =
+    mixWithBudgets(df, idCol, groupCol, tokenCol, nShards, salt,
+      temperatureBudgetsAlpha(_, totalBudget, p, q))
+
+  private def mixWithBudgets(df: DataFrame, idCol: String, groupCol: String,
+                             tokenCol: String, nShards: Int, salt: String,
+                             toBudgets: Map[String, Long] => Map[String, Long])
+      : DataFrame = {
     val totals = df.groupBy(col(groupCol))
       .agg(sum(col(tokenCol)).as("__n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val budgets = temperatureBudgets(totals, totalBudget)
+    val budgets = toBudgets(totals)
     val bDim = budgets.toSeq.foldLeft(lit(0L)) { case (acc, (g, b)) =>
       when(col(groupCol) === g, lit(b)).otherwise(acc)
     }

@@ -810,13 +810,24 @@ object TextFunctions {
     * Gumbel draw in base-2 units: Gumbel-shaped (right-heavy, support
     * here [−5·S, 20·S]), integer-exact, replayable in any engine.
     * Emitted scaled by S. */
-  def gumbelFixed(id: Column, salt: String): Column = {
+  def gumbelFixed(id: Column, salt: String): Column =
+    gumbelFromR(gumbelR(id, salt))
+
+  /** The uniform draw feeding [[gumbelFixed]]: r ∈ [1, 2^32−1] from 8
+    * md5 hex chars of (id ‖ salt), so u = r/2^32 ∈ (0, 1). Split out so
+    * a caller can MATERIALIZE the draw (checkpoint a column) before the
+    * multi-reference log2Fixed arithmetic — [[gumbelFromR]]'s ~8
+    * references then read a stored long instead of re-running md5. */
+  def gumbelR(id: Column, salt: String): Column = {
     val hkey = conv(substring(md5(concat(id.cast("string"), lit(salt))),
       1, 8), 16, 10).cast("long")
-    val r = pmod(hkey, lit((1L << 32) - 1)) + 1 // r ∈ [1, 2^32−1]: u ∈ (0,1)
-    // nested l2fx on expression args is safe here: each bin/shift term
-    // re-derives from the ONE hash expression (cheap codegen'd md5+conv),
-    // not a corpus-scan — still, keep the call sites per-row-bounded
+    pmod(hkey, lit((1L << 32) - 1)) + 1
+  }
+
+  /** g = 20·S − l2fx(32·S − l2fx(r)) over an already-drawn r — pure
+    * integer bin/shift arithmetic, cheap to re-reference once r is a
+    * materialized column. */
+  def gumbelFromR(r: Column): Column = {
     val y = lit(32L) * lit(FixedScale) - log2Fixed(r) // −log2(u) · S ≥ 1
     lit(20L) * lit(FixedScale) - log2Fixed(y)
   }
@@ -834,12 +845,18 @@ object TextFunctions {
                        salt: String = "dsir0"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val model = nbTrain(target, raw, idCol, textCol).localCheckpoint()
+    // the hash draw materializes INTO the checkpoint; the gumbel/gkey
+    // arithmetic downstream multi-references a stored long, never
+    // re-running md5 (the materialize-before-reuse discipline)
     val scored = nbScoreAgainst(model, raw, idCol, textCol)
       .select(col(idCol), col("nFeats"), col("score").as("weight"),
-        gumbelFixed(col(idCol), salt).as("gumbel"))
-      .withColumn("gkey", col("weight") * lit(FixedScale) + col("gumbel"))
+        gumbelR(col(idCol), salt).as("__r"))
       .localCheckpoint()
-    pickTopK(scored, "gkey", idCol, k)
+    val keyed = scored
+      .withColumn("gumbel", gumbelFromR(col("__r")))
+      .withColumn("gkey", col("weight") * lit(FixedScale) + col("gumbel"))
+      .drop("__r")
+    pickTopK(keyed, "gkey", idCol, k)
   }
 
   // ---- Distributed BPE tokenizer training -----------------------------

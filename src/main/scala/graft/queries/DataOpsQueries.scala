@@ -1454,6 +1454,25 @@ object DataOpsQueries {
           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("lang"))
     },
+    // general-α temperature mixing at mC4's α = 0.3 (= 3/10): weights
+    // w = floor(n^(3/10)), EXACT integers via the BigInt-verified
+    // corrected-pow (irootPow) — the oracle replays it as a ±2 candidate
+    // window around floor(pow(n, 0.3)) checked in 128-bit integer math
+    // (w^10 ≤ n^3). Flatter than α = 1/2: small sources keep an even
+    // larger over-proportional share. Fresh salt → its own permutation.
+    "t32b_temperature_alpha" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+      Shuffles.temperatureMixAlpha(d, "doc_id", "lang", "tok",
+          totalBudget = 7000L, nShards = 4, p = 3, q = 10)
+        .groupBy(col("lang"))
+        .agg(max(col("budget")).as("budget"),
+          count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("nKept"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("keptTokens"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
+        .orderBy(col("lang"))
+    },
     // CCNet-style rarity scoring: per-doc mean unigram surprisal under
     // the corpus's own unigram model, in INTEGER-EXACT floor-log2 bits
     // (floorLog2(n) = len(binary(n)) − 1 — no libm log, so both engines
@@ -3841,6 +3860,60 @@ object DataOpsQueries {
         |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
         |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
         |  FROM h JOIN t32_b b ON h.lang = b.lang),
+        |c AS (
+        |  SELECT doc_id, lang, tok, budget,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY lang, hkey % 4
+        |      ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <
+        |    budget / CAST(4 AS DOUBLE) AS keep
+        |  FROM k)
+        |SELECT lang, CAST(MAX(budget) AS BIGINT) AS budget, COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
+        |  CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS keptTokens,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // α = 3/10 weights: w = the LARGEST candidate in [w0−2, w0+2] with
+    // w^10 ≤ n^3 in HUGEINT (exact 128-bit integer check; the double-pow
+    // seed w0 is within ±2 of the true floor for any source total the
+    // admission meets), then the t32 budget split and admission verbatim
+    // under the 'tempa0' salt
+    "t32b_temperature_alpha" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR) || 'tempa0') AS hx
+        |  FROM documents),
+        |tb_tot AS (
+        |  SELECT lang, CAST(SUM(tok) AS BIGINT) AS n FROM h GROUP BY lang),
+        |tb_seed AS (
+        |  SELECT lang, n,
+        |    CAST(floor(pow(CAST(n AS DOUBLE), 0.3)) AS BIGINT) AS w0,
+        |    CAST(n AS HUGEINT) * n * n AS np
+        |  FROM tb_tot),
+        |tb_w AS (
+        |  SELECT lang, n, CAST(MAX(w0 + d) AS BIGINT) AS w
+        |  FROM tb_seed, (SELECT UNNEST([-2, -1, 0, 1, 2]) AS d)
+        |  WHERE w0 + d >= 0
+        |    AND CAST(w0 + d AS HUGEINT) * (w0 + d) * (w0 + d) * (w0 + d)
+        |      * (w0 + d) * (w0 + d) * (w0 + d) * (w0 + d) * (w0 + d)
+        |      * (w0 + d) <= np
+        |  GROUP BY lang, n),
+        |tb_sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM tb_w),
+        |tb_b AS (
+        |  SELECT lang, n, w,
+        |    CAST(CAST(7000 AS HUGEINT) * w // sw AS BIGINT) AS budget
+        |  FROM tb_w CROSS JOIN tb_sw),
+        |k AS (
+        |  SELECT doc_id, h.lang, tok, b.budget,
+        |    CAST(strpos('0123456789abcdef', hx[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', hx[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', hx[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', hx[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', hx[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', hx[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
+        |  FROM h JOIN tb_b b ON h.lang = b.lang),
         |c AS (
         |  SELECT doc_id, lang, tok, budget,
         |    COALESCE(SUM(tok) OVER (PARTITION BY lang, hkey % 4

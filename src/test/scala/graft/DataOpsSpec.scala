@@ -996,6 +996,31 @@ class DataOpsSpec extends SparkSpec {
     assert(kept.keySet == Set("big", "small") && kept.values.forall(_ >= 1))
   }
 
+  test("temperatureMixAlpha: irootPow exact, α=1/2 ≡ isqrt budgets, lower α flattens harder") {
+    import graft.functions.Shuffles
+    // irootPow exactness across exponents, boundaries and rounding-prone
+    // magnitudes: w is THE floor iff w^q ≤ n^p < (w+1)^q (BigInt check)
+    for (n <- Seq(0L, 1L, 2L, 7L, 8L, 9L, 999L, 1000L, 1024L,
+                  999999999999L, 4398046511103L /* 2^42−1 */);
+         (p, q) <- Seq((1, 2), (3, 10), (7, 10), (1, 3), (2, 3))) {
+      val w = Shuffles.irootPow(n, p, q)
+      val np = BigInt(n).pow(p)
+      assert(BigInt(w).pow(q) <= np && BigInt(w + 1).pow(q) > np,
+        s"irootPow($n, $p/$q) = $w")
+    }
+    // α = 1/2 via irootPow IS temperatureBudgets — same map, any totals
+    val totals = Map("en" -> 987654321L, "es" -> 54321L, "de" -> 17L)
+    assert(Shuffles.temperatureBudgetsAlpha(totals, 123456L, 1, 2) ==
+      Shuffles.temperatureBudgets(totals, 123456L))
+    // flattening is monotone in α: at α = 3/10 the big source's share
+    // drops below its α = 1/2 share, which is below proportional
+    val big = Map("big" -> 1000000L, "small" -> 1000L)
+    val half = Shuffles.temperatureBudgetsAlpha(big, 10000L, 1, 2)
+    val a03 = Shuffles.temperatureBudgetsAlpha(big, 10000L, 3, 10)
+    assert(a03("big") < half("big") && half("big") < 9990L,
+      s"α=0.3 $a03 must flatten harder than α=1/2 $half")
+  }
+
   test("langIdModel: 3-language fixture where the model overrules the stopword heuristic") {
     // Training corpora: the "en" slice is English ABOUT German (it uses
     // der/die/das/und/ist heavily, as quoted words); the "de" slice is
