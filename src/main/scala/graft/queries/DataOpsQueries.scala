@@ -1473,6 +1473,58 @@ object DataOpsQueries {
           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("lang"))
     },
+    // the admission family through the STREAMING engine: the corpus is
+    // dumped to parquet partitioned so no (source, shard) ledger group
+    // spans files, ingested back one file per trigger, and the stateful
+    // per-(source, shard) spent ledger admits each micro-batch — the
+    // kept set must land on t32's exact oracle (each group's ledger runs
+    // 0 → spent within one batch, in the same (hkey, id) order as the
+    // batch operator's window)
+    "t32_stream_parity" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = graft.core.Caching.scratchDir("t32-stream")
+      val feedDir = tmp.resolve("feed").toString
+      val outDir = tmp.resolve("out").toString
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("lang").as("src"),
+          TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("hkey", Shuffles.hashKey(col("id"), "temp0"))
+        .withColumn("shard", col("hkey") % 4)
+      d.repartition(col("src"), col("shard")).write.parquet(feedDir)
+      // the standing ledger inputs: source totals (bounded collect) →
+      // the same integer-exact α = 1/2 budgets the batch op derives
+      val totals = d.groupBy(col("src")).agg(sum(col("tok")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val schema = s.read.parquet(feedDir).schema
+      val q = s.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema).parquet(feedDir)
+        .as[graft.streaming.Changefeed.MixDoc]
+        .transform(graft.streaming.Changefeed.streamingTemperatureMix(
+          _, totals, totalBudget = 7000L, nShards = 4))
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.Changefeed.MixAdmit],
+           _: Long) => b.write.mode("append").parquet(outDir)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val budgets = Shuffles.temperatureBudgets(totals, 7000L)
+      val bDim = budgets.toSeq.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+        when(col("src") === g, lit(b)).otherwise(acc)
+      }
+      s.read.parquet(outDir).select(col("id"), col("keep"))
+        .join(d.select(col("id"), col("src"), col("tok")), Seq("id"))
+        .groupBy(col("src").as("lang"))
+        .agg(max(bDim).as("budget"),
+          count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("nKept"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("keptTokens"),
+          sum(when(col("keep"), col("id")).otherwise(0L)).as("keptIdSum"))
+        .orderBy(col("lang"))
+    },
     // CCNet-style rarity scoring: per-doc mean unigram surprisal under
     // the corpus's own unigram model, in INTEGER-EXACT floor-log2 bits
     // (floorLog2(n) = len(binary(n)) − 1 — no libm log, so both engines
@@ -2023,7 +2075,14 @@ object DataOpsQueries {
     },
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesBase ++ Map(
+    // the streamed admission must land on the BATCH operator's oracle
+    // verbatim — same salt, same budgets, same summary (a drifted copy
+    // would silently weaken the parity check)
+    "t32_stream_parity" -> oraclesBase("t32_temperature_mix"),
+  )
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "t7b_pack_bpe" ->
       s"""WITH RECURSIVE t7b_m AS (
         |  SELECT * FROM (VALUES $T25MergeValues) AS m(rank, a, b)),

@@ -571,6 +571,28 @@ object Changefeed {
         })
   }
 
+  /** Streaming temperature-weighted mixture: the stateful twin of
+    * [[graft.functions.Shuffles.temperatureMixAlpha]] (and of
+    * temperatureMix at the default α = 1/2). The per-source token
+    * totals come from the STANDING corpus stats — a deployment knows
+    * them from its ingest ledger; a stream cannot aggregate its own
+    * future — so the α-budgets resolve once on the driver
+    * (source-bounded, integer-exact [[graft.functions.Shuffles
+    * .temperatureBudgetsAlpha]]) and the admission is
+    * [[streamingBudgetedMix]]'s per-(source, shard) spent ledger.
+    * Batch parity: any feed split that keeps each (source, shard)
+    * group within one micro-batch reproduces the batch operator
+    * exactly (each group's ledger runs 0 → spent in one visit, in the
+    * same (hkey, id) order) — asserted in StreamingSpec and gate-checked
+    * by t32_stream_parity against the t32 oracle. */
+  def streamingTemperatureMix(docs: Dataset[MixDoc],
+                              totals: Map[String, Long], totalBudget: Long,
+                              nShards: Int, p: Int = 1,
+                              q: Int = 2): Dataset[MixAdmit] =
+    streamingBudgetedMix(docs,
+      graft.functions.Shuffles.temperatureBudgetsAlpha(totals, totalBudget, p, q),
+      nShards)
+
   /** D2 fault model (A/distributed/editlogger/DistributedEditLogger.java):
     * the reference's async edit appliers carry a pause gate
     * (pauseApply/resumeApply :151-161 — apply() blocks on the flag :90),

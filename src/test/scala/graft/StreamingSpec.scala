@@ -769,6 +769,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed temperature mix: group-whole batch split reproduces temperatureMixAlpha") {
+    import graft.functions.Shuffles
+    import graft.streaming.Changefeed.{MixAdmit, MixDoc}
+    implicit val sqlCtx = spark.sqlContext
+    // skewed sources so the α-flattening budgets differ per source
+    val base = (1L to 240L).map(i =>
+      (i, if (i % 4 == 0) "small" else "big", 10L + i % 7))
+      .toDF("doc_id", "src", "tok")
+    val docs = rows(base
+      .withColumn("hkey", Shuffles.hashKey(col("doc_id"), "tmix0"))
+      .withColumn("shard", col("hkey") % 3))
+      .map(r => MixDoc(r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long], r(4).asInstanceOf[Long]))
+    val totals = docs.groupBy(_.src).map { case (s, ds) => s -> ds.map(_.tok).sum }
+    val mem = MemoryStream[MixDoc]
+    val q = Changefeed.streamingTemperatureMix(mem.toDS(), totals,
+        totalBudget = 900L, nShards = 3, p = 3, q = 10)
+      .writeStream.format("memory").queryName("tmix_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // MULTI-batch feed split along (src, shard) group boundaries — each
+      // ledger group arrives whole, in three separate triggers
+      val groups = docs.groupBy(d => (d.src, d.shard)).values.toSeq
+      groups.zipWithIndex.foreach { case (g, i) =>
+        mem.addData(g: _*)
+        if (i % 2 == 1) q.processAllAvailable()
+      }
+      q.processAllAvailable()
+      val streamed = spark.table("tmix_out").as[MixAdmit].collect()
+        .filter(_.keep).map(_.id).toSet
+      val batchKept = rows(Shuffles.temperatureMixAlpha(base, "doc_id", "src",
+          "tok", totalBudget = 900L, nShards = 3, p = 3, q = 10, salt = "tmix0")
+        .filter(col("keep")).select(col("doc_id")))
+        .map(_.head.asInstanceOf[Long]).toSet
+      assert(streamed == batchKept && streamed.nonEmpty,
+        s"streamed ${streamed.size} vs batch ${batchKept.size}")
+      // both sources admit: the α-budget keeps the small source alive
+      val srcs = spark.table("tmix_out").as[MixAdmit].collect()
+        .filter(_.keep).map(_.src).toSet
+      assert(srcs == Set("big", "small"))
+    } finally q.stop()
+  }
+
   test("streamed budgeted mix: spent quota survives a kill-and-resume") {
     import graft.streaming.Changefeed.{MixAdmit, MixDoc}
     implicit val sqlCtx = spark.sqlContext
