@@ -15,6 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_VERIFY_LAYOUT=bucketed: materialize the cluster layout
+    // ONCE (Scale.writeStateTables) and run the gate over it — every
+    // state-table query then reads real bucketed parquet, so keyPrune's
+    // scan pushdown and the co-located join paths are ORACLE-gated, not
+    // just bench/spec-verified. The oracle side is unchanged (DuckDB
+    // derives the same rows from the same base parquet), so any
+    // layout-induced drift fails the hash.
+    val layout = sys.env.getOrElse("SPARK_GRAFT_VERIFY_LAYOUT", "views")
+    require(layout == "views" || layout == "bucketed",
+      s"SPARK_GRAFT_VERIFY_LAYOUT must be 'views' or 'bucketed', got '$layout'")
+    if (layout == "bucketed") {
+      graft.model.DerivedState.register(spark, sfDir)
+      graft.core.Scale.writeStateTables(spark.table("file"),
+        spark.table("block"), spark.table("datanode"))
+      spark.conf.set("graft.layout", "bucketed")
+    }
     // optional comma-separated subset for local iteration (driver sets
     // neither). Tokens are trimmed and empties dropped — a whitespace-padded
     // or empty value must not silently match nothing; an empty set means
