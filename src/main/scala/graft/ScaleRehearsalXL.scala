@@ -195,13 +195,37 @@ object ScaleRehearsalXL {
     val tRequeue = time(s"pendingRequeue (${timedOut.count()} timed out)") {
       Replication.pendingRequeue(timedOut, b, f, dn, now).count()
     }
+    // corrupt sweep: a 1×-sized standing marks map vs the copies× table
+    // — the keyPrune'd marked-block scan must track the MARK LIST (one
+    // marked holder per block; marking every replica would put every
+    // sampled block on the all-corrupt serve-anyway branch)
+    val marks = b.filter(col("version") > 0 && col("id") % (1009L * copies) === 0L)
+      .groupBy(col("id").as("blockId"))
+      .agg(min(col("datanodeId")).as("datanodeId"))
+      .localCheckpoint()
+    val tCorrupt = time(s"corruptInvalidations (${marks.count()} marks)") {
+      Replication.corruptInvalidations(marks, b, f, dn, now).count()
+    }
+    // blockReceived: a receipt-batch-sized per-op flow vs the copies×
+    // table — BOTH keyPrune'd scans (op blocks, owner-file last index)
+    // must track the BATCH, never the table
+    val ops = b.filter(col("version") > 0 && col("id") % (997L * copies) === 1L)
+      .select(col("datanodeId"), col("id").as("blockId"),
+        col("length").as("repLength"),
+        col("generationStamp").as("repGenStamp"),
+        lit(null).cast("long").as("delHint"))
+      .distinct().localCheckpoint()
+    val tReceived = time(s"blockReceived (${ops.count()} receipts)") {
+      Replication.blockReceived(b, f, dn, ops).count()
+    }
 
     val identical = pathsDiff + resDiff + csDiff == 0 && nAuto == expectPaths
     val r = Seq("stage1" -> tInner, "build" -> tBuild,
       "paths_auto" -> tPathsAuto, "paths_forced" -> tPathsForced,
       "resolve_auto" -> tResAuto, "resolve_forced" -> tResForced,
       "cs_auto" -> tCsAuto, "cs_forced" -> tCsForced,
-      "n5" -> tN5, "s8" -> tS8, "requeue" -> tRequeue)
+      "n5" -> tN5, "s8" -> tS8, "requeue" -> tRequeue,
+      "corrupt" -> tCorrupt, "received" -> tReceived)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal_xl","copies":$copies,"dirs":$nDirs,""" +
         s""""autoFellBack":${nDirs > 2000000L},"identical":$identical,"sf":"$sfDir",""",

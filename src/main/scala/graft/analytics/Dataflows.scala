@@ -135,13 +135,12 @@ object Dataflows {
     * blocks — the read path WRITES. For a batch of requested fileIds, emit
     * the touch write-set: (id, atime = now, version bump) for every live
     * non-directory target (a missing or dir target returns null at :637
-    * and touches nothing). The request set is semi-joined first so the
-    * touch scan never reads unrequested file rows. */
+    * and touches nothing). The requested fileIds push into the scan as
+    * an IN predicate (Scale.keyPrune) so the touch never reads
+    * unrequested file rows — or their row groups. */
   def atimeTouch(file: DataFrame, requests: DataFrame, nowMs: Long,
                  versionBump: Long = 1000000000L): DataFrame =
-    live(file)
-      .join(broadcast(requests.select(col("fileId")).distinct()),
-        col("id") === col("fileId"), "left_semi")
+    graft.core.Scale.keyPrune(live(file), "id", requests, "fileId")
       .filter(col("length") =!= -1L)
       .select(col("id"), lit(nowMs).as("atime"),
         (col("version") + versionBump).as("version"))
@@ -832,9 +831,7 @@ object Dataflows {
     val liveNIds = StateManager.liveDatanodes(datanode, nowMs)
       .select(col("id").as("__nid"))
     val ordB = struct(col("generationStamp"), col("version"))
-    val pb = live(block)
-      .join(broadcast(ok.select(col("__cfid"))),
-        col("fileId") === col("__cfid"), "left_semi")
+    val pb = graft.core.Scale.keyPrune(live(block), "fileId", ok, "__cfid")
       .join(liveNIds, col("datanodeId") === col("__nid"), "left")
       .groupBy(col("fileId"), col("id").as("blockId"))
       .agg(max(col("fileIndex")).as("fileIndex"),
@@ -890,9 +887,7 @@ object Dataflows {
         col("__lpar").as("parentId"), col("__lname").as("name"),
         col("__llen").as("length"), lit(null).cast("long").as("mtime"),
         (-col("__lver")).as("version"), lit(null).cast("string").as("reject"))
-    val blockTombs = live(block)
-      .join(broadcast(ok.select(col("__cfid"))),
-        col("fileId") === col("__cfid"), "left_semi")
+    val blockTombs = graft.core.Scale.keyPrune(live(block), "fileId", ok, "__cfid")
       .select(lit("tombstone").as("writeOp"), lit("block").as("tbl"),
         col("id"), col("datanodeId"),
         lit(null).cast("long").as("parentId"),
@@ -946,8 +941,7 @@ object Dataflows {
         col("__lpar").as("parentId"), col("__lname").as("name"),
         col("__llen").as("length"), lit(null).cast("long").as("mtime"),
         (-col("__lver")).as("version"))
-    val blockTombs = live(block)
-      .join(broadcast(corrupt), col("fileId") === col("__cfid"), "left_semi")
+    val blockTombs = graft.core.Scale.keyPrune(live(block), "fileId", corrupt, "__cfid")
       .select(lit("tombstone").as("writeOp"), lit("block").as("tbl"),
         col("id"), col("datanodeId"),
         lit(null).cast("long").as("parentId"),
@@ -1198,9 +1192,8 @@ object Dataflows {
     // the gate ever reads. Pinned via localCheckpoint (frees on GC, the
     // dupClusters convention): both consumers below would otherwise each
     // re-scan the block table for the same candidate-held subset.
-    val heldReplicas = b
-      .join(broadcast(cand), col("datanodeId") === col("nodeId"))
-      .select(col("nodeId"), col("id"), col("fileId"))
+    val heldReplicas = graft.core.Scale.keyPrune(b, "datanodeId", cand, "nodeId")
+      .select(col("datanodeId").as("nodeId"), col("id"), col("fileId"))
       .localCheckpoint()
     val heldIds = heldReplicas.select(col("id")).distinct()
     val counts = b
@@ -1255,9 +1248,7 @@ object Dataflows {
                 requests: DataFrame): DataFrame = {
     val req = requests.select(col("datanodeId").as("__rn"), col("size"),
       col("startIdx")).distinct()
-    val held = live(block)
-      .join(broadcast(req.select(col("__rn"))),
-        col("datanodeId") === col("__rn"), "left_semi")
+    val held = graft.core.Scale.keyPrune(live(block), "datanodeId", req, "__rn")
       .select(col("datanodeId").as("__hn"), col("id").as("blockId"))
       .distinct()
     // entry primary + valid locations for exactly the held blocks

@@ -137,9 +137,11 @@ object Mutations {
       .withColumn("version", col("id"))
       .select("id", "parentId", "name", "length", "blockSize", "replication",
         "atime", "mtime", "owner", "leaseHolder", "leaseRecoveryTime", "version")
-    val touchedParents = live(file)
-      .join(newRows.select(col("parentId").as("__p")).distinct(),
-        col("id") === col("__p"), "left_semi")
+    // the touched-parent set is request-bounded — push it into the file
+    // scan as an IN predicate (Scale.keyPrune) instead of semi-filtering
+    // the whole table after it
+    val touchedParents = graft.core.Scale.keyPrune(
+        live(file), "id", newRows.select(col("parentId").as("__p")), "__p")
       .withColumn("mtime", lit(nowMs))
     newRows.withColumn("writeOp", lit("insert"))
       .unionByName(touchedParents.withColumn("writeOp", lit("touch")))
@@ -274,7 +276,7 @@ object Mutations {
     // emit a touch row — the stale (old parentId/name, unbumped version)
     // touch would conflict with its move row, leaving two rows per key
     // after apply; the move row already carries mtime = nowMs
-    val touches = f.join(parentIds, col("id") === col("__p"), "left_semi")
+    val touches = graft.core.Scale.keyPrune(f, "id", parentIds, "__p")
       .join(moved.select(col("id").as("__movedId")),
         col("id") === col("__movedId"), "left_anti")
       .withColumn("mtime", lit(nowMs))
