@@ -276,6 +276,17 @@ object ScaleRehearsal {
         col("vec_id") % 1000 === 0, inDims = 64, outDims = 16)
         .filter(col("matched")).count()
     }
+    // temperature mixing at 10×: ONE source-bounded totals collect +
+    // integer-exact α = 3/10 budgets + the sharded admission — each
+    // (source, shard) window stays corpus/nShards-bounded whatever the
+    // corpus, so a 10× corpus costs ~10× map work, never a global sort
+    val tT32b = time("t32b temperatureMixAlpha (10x, a=3/10)") {
+      graft.functions.Shuffles.temperatureMixAlpha(
+        d.select(col("doc_id"), col("lang"),
+          TextFunctions.wsTokenCount(col("text")).cast("long").as("tok")),
+        "doc_id", "lang", "tok", totalBudget = 700000L, nShards = 32,
+        p = 3, q = 10).filter(col("keep")).count()
+    }
 
     val r = Seq("build" -> tBuild, "paths_fast" -> tPathsFast,
       "paths_iter" -> tPathsIter, "resolve_fast" -> tResFast,
@@ -284,7 +295,8 @@ object ScaleRehearsal {
       "corrupt" -> tCorrupt, "d2" -> tD2, "t26" -> tT26, "t27" -> tT27,
       "d16" -> tD16, "t28" -> tT28, "t29" -> tT29, "t30" -> tT30,
       "t30b" -> tT30b, "t31" -> tT31,
-      "v4" -> tV4, "m7" -> tM7, "m8" -> tM8, "sim12" -> tSim12)
+      "v4" -> tV4, "m7" -> tM7, "m8" -> tM8, "sim12" -> tSim12,
+      "t32b" -> tT32b)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
         pathsDiff + resDiff + csDiff == 0},"sf":"$sfDir",""", ",", "}"))
