@@ -160,6 +160,40 @@ object Shuffles {
     mixWithBudgets(df, idCol, groupCol, tokenCol, nShards, salt,
       temperatureBudgetsAlpha(_, totalBudget, p, q))
 
+  /** Epoch-aware mixture for the data-constrained regime (Muennighoff
+    * et al. 2023, "Scaling Data-Constrained Language Models"): when a
+    * source's token budget EXCEEDS its size, the source repeats —
+    * fullEpochs = budget DIV sourceTokens whole passes for every doc,
+    * and the remainder budget % sourceTokens admits docs for one extra
+    * (partial) epoch in deterministic hash order, the [[budgetedMix]]
+    * admission. Integer-exact: per doc, totalEpochs = fullEpochs +
+    * (keep ? 1 : 0). Sources absent from `budgets` drop (epochs 0, no
+    * remainder); a budget below the source size degenerates to plain
+    * [[budgetedMix]] (fullEpochs 0) — spec-pinned. Same scale shape as
+    * the rest of the family: ONE source-bounded totals collect, the
+    * sharded admission window, no global sort anywhere. */
+  def epochMix(df: DataFrame, idCol: String, groupCol: String,
+               tokenCol: String, budgets: Map[String, Long], nShards: Int,
+               salt: String = "epochmix0"): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "negative budget")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val epochs = budgets.collect {
+      case (g, b) if totals.getOrElse(g, 0L) > 0 => g -> b / totals(g)
+    }
+    val rem = budgets.collect {
+      case (g, b) if totals.getOrElse(g, 0L) > 0 => g -> b % totals(g)
+    }
+    val eDim = epochs.foldLeft(lit(0L)) { case (acc, (g, e)) =>
+      when(col(groupCol) === g, lit(e)).otherwise(acc)
+    }
+    budgetedMix(df, idCol, groupCol, tokenCol, rem, nShards, salt)
+      .withColumn("fullEpochs", eDim)
+      .withColumn("totalEpochs",
+        col("fullEpochs") + when(col("keep"), 1L).otherwise(0L))
+  }
+
   private def mixWithBudgets(df: DataFrame, idCol: String, groupCol: String,
                              tokenCol: String, nShards: Int, salt: String,
                              toBudgets: Map[String, Long] => Map[String, Long])

@@ -1473,6 +1473,28 @@ object DataOpsQueries {
           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("lang"))
     },
+    // epoch-aware mixing for the data-constrained regime (Muennighoff et
+    // al. 2023): per-source budget 2.5n + 1000 tokens → every source
+    // repeats fullEpochs = budget DIV n whole passes and the remainder
+    // budget MOD n admits a hash-ordered partial epoch; servedTokens =
+    // Σ totalEpochs·tok = fullEpochs·n + remTokens cross-checks the
+    // ledger in both engines, all integer-exact
+    "t33_epoch_mix" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+      val totals = d.groupBy(col("lang")).agg(sum(col("tok")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val budgets = totals.map { case (g, n) => g -> (5L * n / 2L + 1000L) }
+      Shuffles.epochMix(d, "doc_id", "lang", "tok", budgets, nShards = 4)
+        .groupBy(col("lang"))
+        .agg(max(col("fullEpochs")).as("fullEpochs"),
+          count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("remKept"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("remTokens"),
+          sum(col("totalEpochs") * col("tok")).as("servedTokens"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
+        .orderBy(col("lang"))
+    },
     // the admission family through the STREAMING engine: the corpus is
     // dumped to parquet partitioned so no (source, shard) ledger group
     // spans files, ingested back one file per trigger, and the stateful
@@ -3929,6 +3951,47 @@ object DataOpsQueries {
         |SELECT lang, CAST(MAX(budget) AS BIGINT) AS budget, COUNT(*) AS total,
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
         |  CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS keptTokens,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // budget 2.5n+1000 → fullEpochs = budget // n, remainder admission =
+    // the t13 window under the 'epochmix0' salt; servedTokens folds the
+    // per-doc epoch count back through the token column
+    "t33_epoch_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR) || 'epochmix0') AS hx
+        |  FROM documents),
+        |te_tot AS (
+        |  SELECT lang, CAST(SUM(tok) AS BIGINT) AS n FROM h GROUP BY lang),
+        |te_eb AS (
+        |  SELECT lang, n, ((5 * n) // 2 + 1000) // n AS fullEpochs,
+        |         ((5 * n) // 2 + 1000) % n AS rem
+        |  FROM te_tot),
+        |k AS (
+        |  SELECT doc_id, h.lang, tok, e.fullEpochs, e.rem,
+        |    CAST(strpos('0123456789abcdef', hx[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', hx[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', hx[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', hx[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', hx[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', hx[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
+        |  FROM h JOIN te_eb e ON h.lang = e.lang),
+        |c AS (
+        |  SELECT doc_id, lang, tok, fullEpochs,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY lang, hkey % 4
+        |      ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <
+        |    rem / CAST(4 AS DOUBLE) AS keep
+        |  FROM k)
+        |SELECT lang, CAST(MAX(fullEpochs) AS BIGINT) AS fullEpochs,
+        |  COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS remKept,
+        |  CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS remTokens,
+        |  CAST(SUM((fullEpochs + CASE WHEN keep THEN 1 ELSE 0 END) * tok) AS BIGINT)
+        |    AS servedTokens,
         |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // α = 3/10 weights: w = the LARGEST candidate in [w0−2, w0+2] with

@@ -1021,6 +1021,44 @@ class DataOpsSpec extends SparkSpec {
       s"α=0.3 $a03 must flatten harder than α=1/2 $half")
   }
 
+  test("epochMix: full epochs + remainder admission; sub-size budget degenerates to budgetedMix") {
+    import graft.functions.Shuffles
+    // source "a": 30 docs × 10 tok = 300; budget 750 → 2 full epochs +
+    // 150-token remainder. source "b": budget 40 < 200 → 0 epochs, plain
+    // admission. source "c": unbudgeted → dropped entirely.
+    val d = ((1L to 30L).map(i => (i, "a", 10L)) ++
+      (31L to 50L).map(i => (i, "b", 10L)) ++
+      (51L to 55L).map(i => (i, "c", 10L)))
+      .toDF("doc_id", "src", "tok")
+    val budgets = Map("a" -> 750L, "b" -> 40L)
+    val out = Shuffles.epochMix(d, "doc_id", "src", "tok", budgets, nShards = 2)
+      .localCheckpoint()
+    val bySrc = out.groupBy(col("src"))
+      .agg(max(col("fullEpochs")).as("fe"), min(col("fullEpochs")).as("feMin"),
+        sum(when(col("keep"), col("tok")).otherwise(0L)).as("remTok"),
+        sum(col("totalEpochs") * col("tok")).as("served"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (feA, feMinA, remA, servedA) = bySrc("a")
+    assert(feA == 2L && feMinA == 2L, s"a: 750/300 = 2 full epochs, got $feA")
+    // remainder ledger: 150 target, ≤ nShards straddlers of 10 tok each,
+    // and servedTokens = fullEpochs·n + remTokens exactly
+    assert(remA >= 150L && remA <= 150L + 2 * 10L, s"a remainder $remA")
+    assert(servedA == 2L * 300L + remA)
+    val (feB, _, remB, servedB) = bySrc("b")
+    assert(feB == 0L && remB >= 40L && remB <= 40L + 2 * 10L
+      && servedB == remB)
+    // sub-size budget ≡ budgetedMix: same kept set, same salt
+    val plain = Shuffles.budgetedMix(d.filter(col("src") === "b"), "doc_id",
+        "src", "tok", Map("b" -> 40L), nShards = 2, salt = "epochmix0")
+      .filter(col("keep")).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val epochB = out.filter(col("src") === "b" && col("keep"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(plain == epochB)
+    val (feC, _, remC, servedC) = bySrc("c")
+    assert(feC == 0L && remC == 0L && servedC == 0L, "unbudgeted source serves nothing")
+  }
+
   test("langIdModel: 3-language fixture where the model overrules the stopword heuristic") {
     // Training corpora: the "en" slice is English ABOUT German (it uses
     // der/die/das/und/ist heavily, as quoted words); the "de" slice is
