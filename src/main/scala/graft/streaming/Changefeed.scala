@@ -593,6 +593,39 @@ object Changefeed {
       graft.functions.Shuffles.temperatureBudgetsAlpha(totals, totalBudget, p, q),
       nShards)
 
+  /** Per-doc admission of the streamed epoch mix. fullEpochs is the
+    * source's whole-pass count; totalEpochs = fullEpochs + (keep ? 1:0)
+    * — [[graft.functions.Shuffles.epochMix]]'s per-doc law. */
+  final case class EpochAdmit(id: Long, src: String, shard: Long,
+                              keep: Boolean, fullEpochs: Long,
+                              totalEpochs: Long)
+
+  /** Streaming epoch-aware mixture: the stateful twin of
+    * [[graft.functions.Shuffles.epochMix]] (data-constrained scaling —
+    * budgets past a source's size become whole epochs). The per-source
+    * totals come from the standing corpus stats like
+    * [[streamingTemperatureMix]]'s; fullEpochs = budget DIV total
+    * resolves once on the driver, and ONLY the remainder budget runs
+    * through the per-(source, shard) spent ledger — whole epochs are
+    * arithmetic, not state. Batch parity under the same group-whole
+    * split contract as the other twins (asserted in StreamingSpec). */
+  def streamingEpochMix(docs: Dataset[MixDoc], totals: Map[String, Long],
+                        budgets: Map[String, Long],
+                        nShards: Int): Dataset[EpochAdmit] = {
+    import docs.sparkSession.implicits._
+    val epochs = budgets.collect {
+      case (g, b) if totals.getOrElse(g, 0L) > 0 => g -> b / totals(g)
+    }
+    val rem = budgets.collect {
+      case (g, b) if totals.getOrElse(g, 0L) > 0 => g -> b % totals(g)
+    }
+    streamingBudgetedMix(docs, rem, nShards).map { a =>
+      val fe = epochs.getOrElse(a.src, 0L)
+      EpochAdmit(a.id, a.src, a.shard, a.keep, fe,
+        fe + (if (a.keep) 1L else 0L))
+    }
+  }
+
   /** D2 fault model (A/distributed/editlogger/DistributedEditLogger.java):
     * the reference's async edit appliers carry a pause gate
     * (pauseApply/resumeApply :151-161 — apply() blocks on the flag :90),

@@ -812,6 +812,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed epoch mix: whole epochs are arithmetic, remainder rides the ledger — batch parity") {
+    import graft.functions.Shuffles
+    import graft.streaming.Changefeed.{EpochAdmit, MixDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val base = ((1L to 30L).map(i => (i, "a", 10L)) ++
+      (31L to 50L).map(i => (i, "b", 10L)))
+      .toDF("doc_id", "src", "tok")
+    val budgets = Map("a" -> 750L, "b" -> 40L) // a: 2 epochs + 150 rem
+    val docs = rows(base
+      .withColumn("hkey", Shuffles.hashKey(col("doc_id"), "epochmix0"))
+      .withColumn("shard", col("hkey") % 2))
+      .map(r => MixDoc(r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long], r(4).asInstanceOf[Long]))
+    val totals = docs.groupBy(_.src).map { case (s, ds) => s -> ds.map(_.tok).sum }
+    val mem = MemoryStream[MixDoc]
+    val q = Changefeed.streamingEpochMix(mem.toDS(), totals, budgets, nShards = 2)
+      .writeStream.format("memory").queryName("emix_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // two triggers, split on a (src, shard) group boundary
+      val (g1, g2) = docs.partition(d => d.src == "a")
+      mem.addData(g1: _*); q.processAllAvailable()
+      mem.addData(g2: _*); q.processAllAvailable()
+      val streamed = spark.table("emix_out").as[EpochAdmit].collect()
+      val batch = rows(Shuffles.epochMix(base, "doc_id", "src", "tok",
+          budgets, nShards = 2)
+        .select(col("doc_id"), col("keep"), col("fullEpochs"), col("totalEpochs")))
+        .map(r => r(0).asInstanceOf[Long] ->
+          ((r(1).asInstanceOf[Boolean], r(2).asInstanceOf[Long],
+            r(3).asInstanceOf[Long]))).toMap
+      assert(streamed.length == batch.size)
+      streamed.foreach { a =>
+        val (k, fe, te) = batch(a.id)
+        assert(a.keep == k && a.fullEpochs == fe && a.totalEpochs == te,
+          s"doc ${a.id}: streamed (${a.keep},${a.fullEpochs},${a.totalEpochs}) vs batch ($k,$fe,$te)")
+      }
+      assert(streamed.filter(_.src == "a").forall(_.fullEpochs == 2L))
+    } finally q.stop()
+  }
+
   test("streamed budgeted mix: spent quota survives a kill-and-resume") {
     import graft.streaming.Changefeed.{MixAdmit, MixDoc}
     implicit val sqlCtx = spark.sqlContext
