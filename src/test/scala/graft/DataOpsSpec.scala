@@ -1021,6 +1021,21 @@ class DataOpsSpec extends SparkSpec {
       s"α=0.3 $a03 must flatten harder than α=1/2 $half")
   }
 
+  test("scalacheck: irootPow is THE integer floor of n^(p/q) for random n and published exponents") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.Shuffles
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(500)
+    val exps = Gen.oneOf((1, 2), (3, 10), (7, 10), (1, 3), (2, 3), (9, 10))
+    val prop = Prop.forAll(Gen.chooseNum(0L, 1L << 50), exps) {
+      case (n, (p, q)) =>
+        val w = Shuffles.irootPow(n, p, q)
+        val np = BigInt(n).pow(p)
+        w >= 0 && BigInt(w).pow(q) <= np && BigInt(w + 1).pow(q) > np
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("epochMix: full epochs + remainder admission; sub-size budget degenerates to budgetedMix") {
     import graft.functions.Shuffles
     // source "a": 30 docs × 10 tok = 300; budget 750 → 2 full epochs +
