@@ -287,6 +287,41 @@ object ScaleRehearsal {
         "doc_id", "lang", "tok", totalBudget = 700000L, nShards = 32,
         p = 3, q = 10).filter(col("keep")).count()
     }
+    // the STREAMING admission twin at 10×: the 500k-doc corpus fed back
+    // as a parquet stream (group-whole files, several triggers via
+    // maxFilesPerTrigger), the per-(source, shard) spent ledger carrying
+    // state across triggers — per-trigger cost must stay O(batch), and
+    // the total must stay within a small factor of the batch admission
+    val tT32s = time("t32 streaming admission (10x, multi-trigger)") {
+      val sdf = d.select(col("doc_id").as("id"), col("lang").as("src"),
+          TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("hkey", graft.functions.Shuffles.hashKey(col("id"), "temp0"))
+        .withColumn("shard", col("hkey") % 32)
+      val feed = s"$scratch/mixfeed"
+      sdf.repartition(col("src"), col("shard")).write
+        .mode("overwrite").parquet(feed)
+      val totals = sdf.groupBy(col("src")).agg(sum(col("tok")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val outDir = s"$scratch/mixout"
+      val kept = new java.util.concurrent.atomic.AtomicLong(0)
+      import spark.implicits._
+      val q = spark.readStream.option("maxFilesPerTrigger", "8")
+        .schema(spark.read.parquet(feed).schema).parquet(feed)
+        .as[graft.streaming.Changefeed.MixDoc]
+        .transform(graft.streaming.Changefeed.streamingTemperatureMix(
+          _, totals, totalBudget = 700000L, nShards = 32))
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.Changefeed.MixAdmit],
+           _: Long) => { kept.addAndGet(b.filter(_.keep).count()); () }
+        }
+        .outputMode("update")
+        .option("checkpointLocation", s"$outDir-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      kept.get()
+    }
 
     val r = Seq("build" -> tBuild, "paths_fast" -> tPathsFast,
       "paths_iter" -> tPathsIter, "resolve_fast" -> tResFast,
@@ -296,7 +331,7 @@ object ScaleRehearsal {
       "d16" -> tD16, "t28" -> tT28, "t29" -> tT29, "t30" -> tT30,
       "t30b" -> tT30b, "t31" -> tT31,
       "v4" -> tV4, "m7" -> tM7, "m8" -> tM8, "sim12" -> tSim12,
-      "t32b" -> tT32b)
+      "t32b" -> tT32b, "t32s" -> tT32s)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
         pathsDiff + resDiff + csDiff == 0},"sf":"$sfDir",""", ",", "}"))
