@@ -278,6 +278,28 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.keyPrune(t, "id", Seq.empty[Long].toDF("k"), "k").count() == 0)
   }
 
+  test("keyPrune: pushdown and semi-join fallback are row-identical on randomized lists") {
+    import graft.core.Scale
+    val rnd = new scala.util.Random(14)
+    val dir = graft.core.Caching.scratchDir("keyprune-eq").toString
+    (1 to 5000).map(i => (i.toLong, rnd.nextInt(40).toLong))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    // list sizes straddle the cap; values straddle the table's id range
+    // (absent keys must prune to nothing in BOTH paths); duplicates in
+    // the list must not duplicate rows
+    for (n <- Seq(1, 7, 64, 65, 200)) {
+      val ks = Seq.fill(n)(rnd.nextLong(6000)).map(k => k -> ())
+        .map(_._1)
+      val keys = ks.toDF("k")
+      val push = Scale.keyPrune(t, "id", keys, "k", maxPushdown = 64)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val semi = t.join(broadcast(keys.distinct()), col("id") === col("k"),
+        "left_semi").collect().map(_.getLong(0)).sorted.toSeq
+      assert(push == semi, s"n=$n: pushdown $push vs semi $semi")
+    }
+  }
+
   test("P3 limited update plans as top-n, not a global sort or window") {
     import graft.store.{Comparator, IndexDef, StateStore}
     val t = (1 to 5000).map(i => (i.toLong, i.toLong, 1L)).toDF("id", "v", "version")
