@@ -115,6 +115,11 @@ object Shuffles {
   def irootPow(n: Long, p: Int, q: Int): Long = {
     require(n >= 0, s"irootPow of negative $n")
     require(p >= 1 && q >= 1, s"exponent must be positive rational, got $p/$q")
+    // α ≤ 1 keeps the double seed within Long (published temperature
+    // sampling is always a FLATTENING exponent). p > q would saturate
+    // toLong at Long.MaxValue and the ±1 walk from there never ends —
+    // fail loudly instead of hanging.
+    require(p <= q, s"temperature exponent must be α = p/q ≤ 1, got $p/$q")
     if (n == 0) return 0L
     val np = BigInt(n).pow(p)
     var w = math.pow(n.toDouble, p.toDouble / q).toLong

@@ -1034,6 +1034,11 @@ class DataOpsSpec extends SparkSpec {
     }
     val res = SCTest.check(params, prop)
     assert(res.passed, res.status.toString)
+    // a sharpening exponent (p > q) would saturate the double seed and
+    // walk the correction loop from Long.MaxValue — must fail loudly
+    intercept[IllegalArgumentException] {
+      graft.functions.Shuffles.irootPow(1L << 40, 3, 2)
+    }
   }
 
   test("epochMix: full epochs + remainder admission; sub-size budget degenerates to budgetedMix") {
