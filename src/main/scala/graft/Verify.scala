@@ -29,6 +29,9 @@ object Verify {
       graft.model.DerivedState.register(spark, sfDir)
       graft.core.Scale.writeStateTables(spark.table("file"),
         spark.table("block"), spark.table("datanode"))
+      // events rides the bucketed gate too (user_id buckets) — the
+      // e-family's joins/windows then read real bucketed parquet
+      graft.core.Scale.writeEventsTable(spark.table("events"))
       spark.conf.set("graft.layout", "bucketed")
     }
     // optional comma-separated subset for local iteration (driver sets

@@ -21,22 +21,32 @@ object Scale {
     * that exceed `maxPushdown` distinct keys (or carry nulls) keep the
     * semi-join; the ROWS are identical either way, only the physical
     * access path changes. The collect is list-bounded by the limit —
-    * never table-sized. The keys column must already be LongType: a
-    * lossy cast (string/double keys) would make the pushdown list and
-    * the semi-join fallback disagree on which rows match, so anything
-    * else fails loudly here instead. */
+    * never table-sized. The keys column must be an integral type that
+    * widens losslessly to long (byte/short/int/long): a lossy cast
+    * (string/double keys) would make the pushdown list and the
+    * semi-join fallback disagree on which rows match, so anything else
+    * fails loudly here instead.
+    *
+    * Contract: `keys` must be a BATCH frame with a DETERMINISTIC plan —
+    * keyPrune materializes it once (localCheckpoint) so the bounded-list
+    * decision, the IN list and the semi-join fallback all read ONE
+    * snapshot; a streaming `keys` fails at that materialization, by
+    * design (the streaming twins carry their own per-trigger work
+    * lists). The checkpoint also means building the pruned frame
+    * triggers a Spark job — callers on a monitor tick pay one bounded
+    * collect per tick, priced in the 140× rehearsal. */
   def keyPrune(table: DataFrame, keyCol: String, keys: DataFrame,
                keysCol: String, maxPushdown: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.types._
     val keyType = keys.schema(keys.schema.fieldIndex(keysCol)).dataType
-    require(keyType == org.apache.spark.sql.types.LongType,
-      s"keyPrune keys column '$keysCol' must be LongType, got $keyType")
-    val collected = keys.select(col(keysCol).as("__k"))
-      .distinct().limit(maxPushdown + 1).collect()
-    val semiJoin = () => table.join(
-      broadcast(keys.select(col(keysCol).as("__k")).distinct()),
-      col(keyCol) === col("__k"), "left_semi")
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"keyPrune keys column '$keysCol' must widen losslessly to long " +
+        s"(byte/short/int/long), got $keyType")
+    val pinned = keys.select(col(keysCol).cast(LongType).as("__k"))
+      .distinct().localCheckpoint()
+    val collected = pinned.limit(maxPushdown + 1).collect()
     if (collected.exists(_.isNullAt(0)) || collected.length > maxPushdown)
-      semiJoin()
+      table.join(broadcast(pinned), col(keyCol) === col("__k"), "left_semi")
     else if (collected.isEmpty) table.filter(lit(false))
     else table.filter(col(keyCol).isInCollection(
       collected.map(_.getLong(0)).toSeq))
@@ -55,9 +65,14 @@ object Scale {
       .saveAsTable(table)
 
   /** One home for the layout root — writeBucketed and writeStateTables
-    * must never drift apart on where tables land. */
+    * must never drift apart on where tables land. The root is suffixed
+    * with this JVM's pid so two runs on one machine (e.g. Verify's
+    * bucketed gate and a Bench layout pass) never clobber each other's
+    * tables mid-write; catalogs are per-session already, only the
+    * filesystem path was shared. */
+  private val runToken: Long = ProcessHandle.current().pid()
   private def tablePath(table: String): String =
-    sys.props("java.io.tmpdir") + s"/graft-bucketed/$table"
+    sys.props("java.io.tmpdir") + s"/graft-bucketed-$runToken/$table"
 
   /** One-call cluster layout for the persisted state tables — the
     * bucketing SURVEY §4 prescribes so every monitor-tick join lands
@@ -102,6 +117,18 @@ object Scale {
         base :+ s"${prefix}_reported"
       case None => base
     }
+  }
+
+  /** Cluster layout for the events fact table: bucketed by user_id —
+    * the e-family's join/aggregation key throughout (sessionize, funnel,
+    * retention, the as-of/range/interval joins all key on it), so on
+    * this layout every per-user window and both sides of a co-bucketed
+    * self-join read straight off the scan's distribution. Same
+    * per-run-token path scheme as the state tables. */
+  def writeEventsTable(events: DataFrame, prefix: String = "graft_state",
+                       buckets: Int = 32): String = {
+    writeBucketed(events, s"${prefix}_events", "user_id", buckets)
+    s"${prefix}_events"
   }
 
   /** Salted equi-join for skewed build keys: explode the small side into

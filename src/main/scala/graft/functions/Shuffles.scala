@@ -199,6 +199,34 @@ object Shuffles {
         col("fullEpochs") + when(col("keep"), 1L).otherwise(0L))
   }
 
+  /** Materialize the epoch-indexed repetition an [[epochMix]] result
+    * implies: one row per (doc, epoch) for epoch ∈ [1, totalEpochs] —
+    * the loader-consumable expansion (the trainer's data loader reads
+    * epoch e in (eshard, epos) order). sequence + explode keeps the
+    * expansion distributed — no driver loop — and each epoch gets a
+    * FRESH permutation: the epoch number is folded into the hash input
+    * (the per-epoch reshuffle salt), so epoch e's order is independent
+    * of epoch e+1's while staying replayable from (salt, epoch). Every
+    * (epoch, eshard) rank window is corpus/nShards-bounded — the
+    * [[shardShuffle]] scale shape, never a global sort; at 100 TB the
+    * expansion multiplies rows by totalEpochs (bounded by budget DIV
+    * sourceTokens) without any wide exchange beyond the one rank
+    * shuffle. Token conservation holds by construction: per source,
+    * Σ_(doc,epoch) tok = fullEpochs·sourceTokens + remainderKeptTokens
+    * — exactly [[epochMix]]'s servedTokens ledger (oracle-gated). */
+  def epochExpand(mixed: DataFrame, idCol: String, nShards: Int,
+                  salt: String = "epochmix0"): DataFrame = {
+    val w = Window.partitionBy(col("epoch"), col("eshard"))
+      .orderBy(col("ehkey"), col(idCol))
+    mixed.filter(col("totalEpochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("totalEpochs"))))
+      .withColumn("ehkey", hashKey(
+        concat(col(idCol).cast("string"), lit("#"), col("epoch").cast("string")),
+        salt))
+      .withColumn("eshard", col("ehkey") % nShards)
+      .withColumn("epos", row_number().over(w).cast("long"))
+  }
+
   private def mixWithBudgets(df: DataFrame, idCol: String, groupCol: String,
                              tokenCol: String, nShards: Int, salt: String,
                              toBudgets: Map[String, Long] => Map[String, Long])

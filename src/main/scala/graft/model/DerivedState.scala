@@ -198,8 +198,12 @@ object DerivedState {
     // cluster layout instead of a per-query derivation. The reported/
     // lease/ops views stay derivation-bound: their plans were analyzed
     // against the original views above, so shadowing can't loop.
+    // events joins its bucketed layout too (Scale.writeEventsTable —
+    // the e-family keys on user_id); written from the NORMALIZED view,
+    // so the shadow preserves the ts contract above. The ops view stays
+    // derivation-bound like lease/reported.
     if (spark.conf.getOption("graft.layout").contains("bucketed"))
-      Seq("file", "block", "datanode").foreach { t =>
+      Seq("file", "block", "datanode", "events").foreach { t =>
         val tbl = s"graft_state_$t"
         if (spark.catalog.tableExists(tbl))
           spark.table(tbl).createOrReplaceTempView(t)

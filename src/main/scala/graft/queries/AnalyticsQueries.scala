@@ -954,32 +954,39 @@ object AnalyticsQueries {
         |WHERE b.missingBlocks > 0 OR b.underBlocks > 0 OR b.overBlocks > 0
         |   OR b.misReplicatedBlocks > 0
         |ORDER BY pp.path""".stripMargin),
+    // `needs` (the lost+found mirror-dir set) is generated by SPLITTING
+    // each corrupt path into its prefixes — a live file's proper path
+    // prefixes are exactly its ancestor dirs (fk_path only admits rows
+    // whose whole parent chain is live), so this equals the former
+    // ancestor θ-join (starts_with over all dirs) row-for-row while
+    // costing O(depth) per file instead of O(|dirs|). MATERIALIZED marks
+    // keep DuckDB from re-inlining the shared CTEs per reference — the
+    // former 186 s sf0.1 replay was `needs` re-evaluated 5×, not the
+    // recursion (0.2 s); both fixes measured together: 2.3 s.
     "n11_fsck_move" -> O(
       s"""WITH RECURSIVE $FsckCommonCtes,
-        |cor AS (
+        |cor AS MATERIALIZED (
         |  SELECT b.fileId AS cfid, pp.path AS cpath, pp.parentId AS oldP,
         |    pp.name AS cname, pp.length AS clen0, pp.version AS cver
         |  FROM fk_bad b JOIN fk_path pp ON pp.id = b.fileId
         |  WHERE b.missingBlocks > 0),
-        |needs AS (
-        |  SELECT cfid, '/lost+found' AS cpath FROM cor
-        |  UNION ALL
-        |  SELECT c.cfid, '/lost+found' || d.path FROM cor c
-        |  JOIN fk_path d ON d.length = -1 AND d.id <> 0
-        |    AND starts_with(c.cpath, d.path || '/')
-        |  UNION ALL
-        |  SELECT cfid, '/lost+found' || cpath FROM cor),
-        |exist AS (
+        |needs AS MATERIALIZED (
+        |  SELECT cfid, '/lost+found' || array_to_string(parts[1:k], '/')
+        |    AS cpath
+        |  FROM (SELECT cfid, parts, UNNEST(range(1, len(parts) + 1)) AS k
+        |        FROM (SELECT cfid, string_split(cpath, '/') AS parts
+        |              FROM cor) s) t),
+        |exist AS MATERIALIZED (
         |  SELECT DISTINCT n.cpath AS epath, pp.id AS eid, pp.length AS elen
         |  FROM (SELECT DISTINCT cpath FROM needs) n
         |  JOIN fk_path pp ON pp.path = n.cpath),
         |blockedreq AS (
         |  SELECT DISTINCT n.cfid FROM needs n
         |  JOIN exist e ON e.epath = n.cpath AND e.elen <> -1),
-        |ok AS (
+        |ok AS MATERIALIZED (
         |  SELECT * FROM cor
         |  WHERE cfid NOT IN (SELECT cfid FROM blockedreq)),
-        |pbx AS (
+        |pbx AS MATERIALIZED (
         |  SELECT b.fileId, b.id AS blockId, MAX(b.fileIndex) AS fileIndex,
         |    COUNT(n.id) AS livec,
         |    ARG_MAX(b.length, CAST(b.generationStamp AS HUGEINT)
@@ -1009,7 +1016,7 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT '/lost+found' || opath || '/' || chname, FALSE, clen
         |  FROM chains),
-        |ranked AS (
+        |ranked AS MATERIALIZED (
         |  SELECT *, $FsckMoveIdBase + ROW_NUMBER() OVER (ORDER BY cpath)
         |    AS nid
         |  FROM created),
@@ -1512,11 +1519,11 @@ object AnalyticsQueries {
     * needs (files for output paths, move for the mirror chain). */
   private val FsckCommonCtes: String =
     s"""fk_dnx AS ($FsckDeadNodesSql),
-      |fk_live AS (
+      |fk_live AS MATERIALIZED (
       |  SELECT id, location FROM fk_dnx
       |  WHERE version > 0 AND lastUpdated >= $Now - 600000),
       |fk_nrk AS (SELECT COUNT(DISTINCT location) AS clusterRacks FROM fk_live),
-      |fk_pb AS (
+      |fk_pb AS MATERIALIZED (
       |  SELECT b.id AS blockId, b.fileId,
       |    COUNT(n.id) AS liveReplicas,
       |    COUNT(DISTINCT n.location) AS numRacks,
@@ -1544,11 +1551,11 @@ object AnalyticsQueries {
       |         AS BIGINT) AS misReplicatedBlocks
       |  FROM fk_fl f JOIN fk_pb p ON p.fileId = f.id CROSS JOIN fk_nrk r
       |  GROUP BY f.id, f.replication, f.length),
-      |fk_bad AS (
+      |fk_bad AS MATERIALIZED (
       |  SELECT * FROM fk_pf
       |  WHERE missingBlocks > 0 OR underBlocks > 0 OR overBlocks > 0
       |     OR misReplicatedBlocks > 0),
-      |fk_path AS (
+      |fk_path AS MATERIALIZED (
       |  SELECT id, parentId, name, length, version, '' AS path
       |  FROM file WHERE id = 0 AND version > 0
       |  UNION ALL

@@ -1495,6 +1495,29 @@ object DataOpsQueries {
           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("lang"))
     },
+    // the loader-consumable EXPANSION of t33's plan: one row per
+    // (doc, epoch) with a per-epoch reshuffle. Spark derives every
+    // column from the expansion; the oracle cross-derives epochTokens
+    // from the LEDGER (epoch ≤ fullEpochs → the whole source's tokens,
+    // else the remainder-kept tokens) — equality of the two derivations
+    // IS the servedTokens-conservation check, and the pos/shard id-sums
+    // pin each epoch's independent permutation
+    "t33b_epoch_expand" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+      val totals = d.groupBy(col("lang")).agg(sum(col("tok")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val budgets = totals.map { case (g, n) => g -> (5L * n / 2L + 1000L) }
+      val mixed = Shuffles.epochMix(d, "doc_id", "lang", "tok", budgets,
+        nShards = 4)
+      Shuffles.epochExpand(mixed, "doc_id", nShards = 4)
+        .groupBy(col("lang"), col("epoch"))
+        .agg(count(lit(1)).as("nDocs"),
+          sum(col("tok")).as("epochTokens"),
+          sum(col("epos") * col("doc_id")).as("posIdSum"),
+          sum(col("eshard") * col("doc_id")).as("shardIdSum"))
+        .orderBy(col("lang"), col("epoch"))
+    },
     // the admission family through the STREAMING engine: the corpus is
     // dumped to parquet partitioned so no (source, shard) ledger group
     // spans files, ingested back one file per trigger, and the stateful
@@ -3994,11 +4017,100 @@ object DataOpsQueries {
         |    AS servedTokens,
         |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
-    // α = 3/10 weights: w = the LARGEST candidate in [w0−2, w0+2] with
-    // w^10 ≤ n^3 in HUGEINT (exact 128-bit integer check; the double-pow
-    // seed w0 is within ±2 of the true floor for any source total the
-    // admission meets), then the t32 budget split and admission verbatim
-    // under the 'tempa0' salt
+    // t33's expansion twin: nDocs/posIdSum/shardIdSum replay the
+    // per-(doc, epoch) md5 reshuffle; epochTokens is derived from the
+    // LEDGER arithmetic instead (whole source per full epoch, the kept
+    // remainder on the last) and FULL JOINed — a Spark expansion that
+    // over- or under-serves any epoch mismatches loudly (extra/missing
+    // rows or a NULL ledger column), which is the conservation gate
+    "t33b_epoch_expand" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR) || 'epochmix0') AS hx
+        |  FROM documents),
+        |te_tot AS (
+        |  SELECT lang, CAST(SUM(tok) AS BIGINT) AS n FROM h GROUP BY lang),
+        |te_eb AS (
+        |  SELECT lang, n, ((5 * n) // 2 + 1000) // n AS fullEpochs,
+        |         ((5 * n) // 2 + 1000) % n AS rem
+        |  FROM te_tot),
+        |k AS (
+        |  SELECT doc_id, h.lang, tok, e.fullEpochs, e.rem,
+        |    CAST(strpos('0123456789abcdef', hx[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', hx[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', hx[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', hx[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', hx[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', hx[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
+        |  FROM h JOIN te_eb e ON h.lang = e.lang),
+        |c AS MATERIALIZED (
+        |  SELECT doc_id, lang, tok, fullEpochs,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY lang, hkey % 4
+        |      ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <
+        |    rem / CAST(4 AS DOUBLE) AS keep
+        |  FROM k),
+        |x AS (
+        |  SELECT doc_id, lang, tok,
+        |    UNNEST(range(1, fullEpochs + (CASE WHEN keep THEN 1 ELSE 0 END) + 1))
+        |      AS epoch
+        |  FROM c),
+        |e AS (
+        |  SELECT doc_id, lang, tok, epoch,
+        |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)
+        |        || 'epochmix0') AS ex
+        |  FROM x),
+        |ek AS (
+        |  SELECT doc_id, lang, tok, epoch,
+        |    CAST(strpos('0123456789abcdef', ex[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', ex[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', ex[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', ex[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', ex[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', ex[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', ex[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', ex[8]) - 1 AS BIGINT) AS ehkey
+        |  FROM e),
+        |ep AS (
+        |  SELECT doc_id, lang, tok, epoch, ehkey % 4 AS eshard,
+        |    ROW_NUMBER() OVER (PARTITION BY epoch, ehkey % 4
+        |                       ORDER BY ehkey, doc_id) AS epos
+        |  FROM ek),
+        |agg AS (
+        |  SELECT lang, epoch, COUNT(*) AS nDocs,
+        |    CAST(SUM(epos * doc_id) AS BIGINT) AS posIdSum,
+        |    CAST(SUM(eshard * doc_id) AS BIGINT) AS shardIdSum
+        |  FROM ep GROUP BY lang, epoch),
+        |ll AS (
+        |  SELECT lang, MAX(fullEpochs) AS fe, CAST(SUM(tok) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS remTok,
+        |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS remN
+        |  FROM c GROUP BY lang),
+        |led AS (
+        |  SELECT lang, fe, n, remTok,
+        |    UNNEST(range(1, fe + (CASE WHEN remN > 0 THEN 1 ELSE 0 END) + 1))
+        |      AS epoch
+        |  FROM ll),
+        |ledt AS (
+        |  SELECT lang, epoch,
+        |    CAST(CASE WHEN epoch <= fe THEN n ELSE remTok END AS BIGINT)
+        |      AS epochTokens
+        |  FROM led)
+        |SELECT COALESCE(a.lang, l.lang) AS lang,
+        |  COALESCE(a.epoch, l.epoch) AS epoch,
+        |  a.nDocs, l.epochTokens, a.posIdSum, a.shardIdSum
+        |FROM agg a FULL JOIN ledt l ON a.lang = l.lang AND a.epoch = l.epoch
+        |ORDER BY lang, epoch""".stripMargin,
+    // α = 3/10 weights: w = the UNIQUE candidate in [w0−2, w0+2] with
+    // w^10 ≤ n^3 < (w+1)^10 in HUGEINT (exact 128-bit two-sided floor
+    // check — the upper bound makes a double-pow seed w0 that lands
+    // OUTSIDE the window yield ZERO candidates, i.e. a missing lang row
+    // and an identifiable oracle-side failure, instead of silently
+    // accepting a too-small weight), then the t32 budget split and
+    // admission verbatim under the 'tempa0' salt
     "t32b_temperature_alpha" ->
       """WITH h AS (
         |  SELECT doc_id, lang,
@@ -4019,6 +4131,9 @@ object DataOpsQueries {
         |    AND CAST(w0 + d AS HUGEINT) * (w0 + d) * (w0 + d) * (w0 + d)
         |      * (w0 + d) * (w0 + d) * (w0 + d) * (w0 + d) * (w0 + d)
         |      * (w0 + d) <= np
+        |    AND CAST(w0 + d + 1 AS HUGEINT) * (w0 + d + 1) * (w0 + d + 1)
+        |      * (w0 + d + 1) * (w0 + d + 1) * (w0 + d + 1) * (w0 + d + 1)
+        |      * (w0 + d + 1) * (w0 + d + 1) * (w0 + d + 1) > np
         |  GROUP BY lang, n),
         |tb_sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM tb_w),
         |tb_b AS (

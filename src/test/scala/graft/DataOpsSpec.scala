@@ -1079,6 +1079,48 @@ class DataOpsSpec extends SparkSpec {
     assert(feC == 0L && remC == 0L && servedC == 0L, "unbudgeted source serves nothing")
   }
 
+  test("epochExpand: (doc, epoch) rows conserve servedTokens; per-epoch permutations are fresh") {
+    import graft.functions.Shuffles
+    val d = ((1L to 30L).map(i => (i, "a", 10L)) ++
+      (31L to 50L).map(i => (i, "b", 10L)))
+      .toDF("doc_id", "src", "tok")
+    val budgets = Map("a" -> 750L, "b" -> 40L)
+    val mixed = Shuffles.epochMix(d, "doc_id", "src", "tok", budgets,
+      nShards = 2).localCheckpoint()
+    val exp = Shuffles.epochExpand(mixed, "doc_id", nShards = 2)
+      .localCheckpoint()
+    // token conservation: Σ over (doc, epoch) rows per source equals the
+    // epochMix servedTokens ledger exactly
+    val served = mixed.groupBy(col("src"))
+      .agg(sum(col("totalEpochs") * col("tok")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expanded = exp.groupBy(col("src")).agg(sum(col("tok")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(expanded == served, s"$expanded vs $served")
+    // row multiplicity: doc i appears exactly totalEpochs(i) times, with
+    // epochs 1..totalEpochs(i) each once
+    val mult = exp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("epoch")).as("mx"),
+        countDistinct(col("epoch")).as("nd"))
+    assert(mult.filter(col("n") =!= col("mx") || col("n") =!= col("nd"))
+      .count() == 0)
+    // full-epoch membership: every source-"a" doc is in epochs 1 and 2
+    assert(exp.filter(col("src") === "a" && col("epoch") <= 2).count() == 60L)
+    // per-epoch reshuffle: epoch 1 and epoch 2 hold the same 30 docs but
+    // in different (eshard, epos) order — the per-epoch salt is real
+    val ord = (e: Int) => exp.filter(col("src") === "a" && col("epoch") === e)
+      .orderBy(col("eshard"), col("epos"))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(ord(1).sorted == ord(2).sorted && ord(1) != ord(2),
+      "epochs must permute the same docs differently")
+    // epos ranks are contiguous 1..|shard| inside every (epoch, eshard)
+    val ranks = exp.groupBy(col("epoch"), col("eshard"))
+      .agg(count(lit(1)).as("n"), max(col("epos")).as("mx"),
+        min(col("epos")).as("mn"))
+    assert(ranks.filter(col("mn") =!= 1L || col("mx") =!= col("n"))
+      .count() == 0)
+  }
+
   test("langIdModel: 3-language fixture where the model overrules the stopword heuristic") {
     // Training corpora: the "en" slice is English ABOUT German (it uses
     // der/die/das/und/ist heavily, as quoted words); the "de" slice is

@@ -276,6 +276,18 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.keyPrune(t, "id", nullKeys, "k").collect()
       .map(_.getLong(0)).toSeq == Seq(5L))
     assert(Scale.keyPrune(t, "id", Seq.empty[Long].toDF("k"), "k").count() == 0)
+    // int keys widen losslessly (cast int->long is exact) — same rows as
+    // the long-typed list; string/double keys still fail loudly (a lossy
+    // cast could make the IN list and the semi-join fallback disagree)
+    val intKeys = Seq(3, 500, 9999).toDF("k")
+    assert(Scale.keyPrune(t, "id", intKeys, "k").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 500L, 9999L))
+    intercept[IllegalArgumentException] {
+      Scale.keyPrune(t, "id", Seq("3").toDF("k"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      Scale.keyPrune(t, "id", Seq(3.0).toDF("k"), "k")
+    }
   }
 
   test("keyPrune: pushdown and semi-join fallback are row-identical on randomized lists") {
