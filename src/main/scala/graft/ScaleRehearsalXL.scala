@@ -219,13 +219,44 @@ object ScaleRehearsalXL {
       Replication.blockReceived(b, f, dn, ops).count()
     }
 
+    // ---- mixing/admission family at copies× (r14 verdict ask): the
+    // block table reshaped as a ~168M-doc corpus (unique doc id per
+    // replica row, 16 sources, ~1-50-token docs) — the source-bounded
+    // totals collect must stay a 16-row collect and every (source,
+    // shard) admission window must stay corpus/(16·64)-bounded whatever
+    // the corpus; epochExpand then materializes ~2.5× the rows through
+    // one explode + the (epoch, eshard) rank windows
+    import graft.functions.Shuffles
+    val docsXL = b.filter(col("version") > 0)
+      .select((col("id") * 41L + col("datanodeId")).as("doc_id"),
+        concat(lit("s"), (col("id") % 16).cast("string")).as("src"),
+        greatest(col("length") / 1000L, lit(1L)).as("tok"))
+    val tT32bXL = time("t32b temperatureMixAlpha (a=3/10)") {
+      Shuffles.temperatureMixAlpha(docsXL, "doc_id", "src", "tok",
+        totalBudget = 2000000000L, nShards = 64, p = 3, q = 10)
+        .filter(col("keep")).count()
+    }
+    val totalsXL = docsXL.groupBy(col("src")).agg(sum(col("tok")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgetsXL = totalsXL.map { case (g, n) => g -> (5L * n / 2L + 1000L) }
+    val tT33XL = time("t33 epochMix (~2.5 epochs)") {
+      Shuffles.epochMix(docsXL, "doc_id", "src", "tok", budgetsXL,
+        nShards = 64).filter(col("keep")).count()
+    }
+    val tT33bXL = time("t33b epochExpand (~2.5x rows out)") {
+      Shuffles.epochExpand(
+        Shuffles.epochMix(docsXL, "doc_id", "src", "tok", budgetsXL,
+          nShards = 64), "doc_id", nShards = 64).count()
+    }
+
     val identical = pathsDiff + resDiff + csDiff == 0 && nAuto == expectPaths
     val r = Seq("stage1" -> tInner, "build" -> tBuild,
       "paths_auto" -> tPathsAuto, "paths_forced" -> tPathsForced,
       "resolve_auto" -> tResAuto, "resolve_forced" -> tResForced,
       "cs_auto" -> tCsAuto, "cs_forced" -> tCsForced,
       "n5" -> tN5, "s8" -> tS8, "requeue" -> tRequeue,
-      "corrupt" -> tCorrupt, "received" -> tReceived)
+      "corrupt" -> tCorrupt, "received" -> tReceived,
+      "t32b" -> tT32bXL, "t33" -> tT33XL, "t33b" -> tT33bXL)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal_xl","copies":$copies,"dirs":$nDirs,""" +
         s""""autoFellBack":${nDirs > 2000000L},"identical":$identical,"sf":"$sfDir",""",

@@ -27,13 +27,15 @@ object Scale {
     * semi-join fallback disagree on which rows match, so anything else
     * fails loudly here instead.
     *
-    * Contract: `keys` must be a BATCH frame with a DETERMINISTIC plan —
-    * keyPrune materializes it once (localCheckpoint) so the bounded-list
-    * decision, the IN list and the semi-join fallback all read ONE
-    * snapshot; a streaming `keys` fails at that materialization, by
-    * design (the streaming twins carry their own per-trigger work
-    * lists). The checkpoint also means building the pruned frame
-    * triggers a Spark job — callers on a monitor tick pay one bounded
+    * Contract: `keys` must be a BATCH frame (the eager collect fails on
+    * a streaming frame at construction, by design — the streaming twins
+    * carry their own per-trigger work lists). Each returned frame reads
+    * ONE evaluation of `keys`: the bounded path's rows ARE its collected
+    * IN list, and the fallback path pins the distinct keys with a
+    * localCheckpoint before the semi-join so a non-deterministic or
+    * later-mutated keys source cannot make the join re-evaluate them.
+    * The bounded path stays a single limit-bounded collect — no
+    * checkpoint job — so monitor-tick callers pay exactly one bounded
     * collect per tick, priced in the 140× rehearsal. */
   def keyPrune(table: DataFrame, keyCol: String, keys: DataFrame,
                keysCol: String, maxPushdown: Int = 65536): DataFrame = {
@@ -42,11 +44,12 @@ object Scale {
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
       s"keyPrune keys column '$keysCol' must widen losslessly to long " +
         s"(byte/short/int/long), got $keyType")
-    val pinned = keys.select(col(keysCol).cast(LongType).as("__k"))
-      .distinct().localCheckpoint()
-    val collected = pinned.limit(maxPushdown + 1).collect()
+    val distinctKeys = keys.select(col(keysCol).cast(LongType).as("__k"))
+      .distinct()
+    val collected = distinctKeys.limit(maxPushdown + 1).collect()
     if (collected.exists(_.isNullAt(0)) || collected.length > maxPushdown)
-      table.join(broadcast(pinned), col(keyCol) === col("__k"), "left_semi")
+      table.join(broadcast(distinctKeys.localCheckpoint()),
+        col(keyCol) === col("__k"), "left_semi")
     else if (collected.isEmpty) table.filter(lit(false))
     else table.filter(col(keyCol).isInCollection(
       collected.map(_.getLong(0)).toSeq))

@@ -171,6 +171,43 @@ class ScaleSpec extends SparkSpec {
       s"layout block table must group shuffle-free:\n${plan.take(3000)}")
   }
 
+  test("events bucketed layout: user-keyed window runs exchange-free; the gate shadow engages") {
+    // the e-family's layout (Scale.writeEventsTable — user_id buckets):
+    // a per-user window over the bucketed table must ride the bucket
+    // distribution (no hash exchange before the sort), and the bucketed
+    // VERIFY gate's shadow (graft.layout=bucketed + graft_state_events)
+    // must actually resolve the events view to the catalog table —
+    // otherwise the "e-family gated on the bucketed layout" claim would
+    // be hollow (rows are identical either way)
+    val ev = (1 to 400).map(i => (i.toLong, (i % 20).toLong,
+        i.toLong * 1000, if (i % 2 == 0) "view" else "click", i / 10.0,
+        s"""{"k":$i}"""))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    Scale.writeEventsTable(ev, prefix = "graft_layout3", buckets = 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val sess = spark.table("graft_layout3_events")
+      .withColumn("prevTs", lag(col("ts"), 1).over(w))
+    assert(sess.count() == 400)
+    val plan = sess.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"user window must read the bucket distribution:\n${plan.take(3000)}")
+    Scale.writeEventsTable(ev) // the gate's default prefix: graft_state
+    spark.conf.set("graft.layout", "bucketed")
+    try {
+      graft.model.DerivedState.register(spark, "/root/testdata/sf0.001")
+      val shadowed = spark.table("events")
+      assert(shadowed.count() == 400, "shadow must serve the catalog table")
+      assert(shadowed.queryExecution.executedPlan.toString
+          .contains("graft_state_events"),
+        "the events view must resolve to the bucketed catalog table")
+    } finally {
+      spark.conf.unset("graft.layout")
+      // restore the raw parquet views for any later suite
+      graft.model.DerivedState.register(spark, "/root/testdata/sf0.001")
+    }
+  }
+
   test("N5 genstamp arbiter over an id-bucketed block table aggregates shuffle-free") {
     // same id-bucketed block layout as the S8 case: the per-block
     // max-genstamp arbiter groupBy is satisfied straight off the bucketed
