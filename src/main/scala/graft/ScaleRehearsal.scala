@@ -391,8 +391,12 @@ object ScaleRehearsal {
       val matched = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
       val q = graft.streaming.Changefeed.streamingAsof(stream).writeStream
         .foreachBatch { (mb: org.apache.spark.sql.Dataset[AsofMatch], id: Long) =>
+          // checksum in MODULAR arithmetic: matchedTs is epoch-NANOS
+          // (~1.7e18), a plain SUM over thousands of matches overflows
+          // Long; both sides of the parity check use the same modulus
           val r = mb.toDF().filter(col("matchedTs").isNotNull)
-            .agg(count(lit(1)), sum(col("matchedTs"))).collect()(0)
+            .agg(count(lit(1)), sum(col("matchedTs") % 1000000007L))
+            .collect()(0)
           matched.put(id,
             (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))); ()
         }
@@ -415,7 +419,8 @@ object ScaleRehearsal {
       .select(col("id").as("event_id"), col("key").as("user_id"), col("ts"))
     val batchAsof = graft.functions.Events.asofJoin(
       probes10, quotes10, "user_id", "ts", Seq("quote"))
-      .agg(sum(col("matchedTs")).cast("long")).collect()(0).getLong(0)
+      .agg(sum(col("matchedTs") % 1000000007L).cast("long"))
+      .collect()(0).getLong(0)
     println(s"[rehearsal] asof stream≡batch at 10x: ${asofStreamSum == batchAsof}" +
       s" (stream $asofStreamSum, batch $batchAsof)")
 
