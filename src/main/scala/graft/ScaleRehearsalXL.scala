@@ -230,7 +230,9 @@ object ScaleRehearsalXL {
     val docsXL = b.filter(col("version") > 0)
       .select((col("id") * 41L + col("datanodeId")).as("doc_id"),
         concat(lit("s"), (col("id") % 16).cast("string")).as("src"),
-        greatest(col("length") / 1000L, lit(1L)).as("tok"))
+        // integer div: `/` on a Long column is DOUBLE division in Spark
+        // and a double tok breaks the Long totals collect downstream
+        greatest(expr("`length` div 1000"), lit(1L)).as("tok"))
     val tT32bXL = time("t32b temperatureMixAlpha (a=3/10)") {
       Shuffles.temperatureMixAlpha(docsXL, "doc_id", "src", "tok",
         totalBudget = 2000000000L, nShards = 64, p = 3, q = 10)
