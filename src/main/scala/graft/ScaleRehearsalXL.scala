@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * Amplification is two-stage so no plan carries 140 branches of a
   * derived view: stage 1 writes an `inner`× (14) scratch from the
   * state VIEWS, stage 2 unions `outer` (10) offset copies of that
-  * PARQUET. Usage (96g heap recommended):
-  *   SPARK_DRIVER_MEM=96g sbt "runMain graft.ScaleRehearsalXL [sfDir] [copies]"
+  * PARQUET. Usage — 64g heap, NOT more: a 96g heap on the 128g box
+  * starves the OS page cache the 168M-row parquet scans live on
+  * (measured 2-6× slower across the board in r15):
+  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.ScaleRehearsalXL [sfDir] [copies]"
   */
 object ScaleRehearsalXL {
   def main(args: Array[String]): Unit = {

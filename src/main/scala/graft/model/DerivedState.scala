@@ -166,6 +166,20 @@ object DerivedState {
     else oraclePrefix + sql
   }
 
+  /** Mark every top-level CTE whose name starts a line AS MATERIALIZED —
+    * a DuckDB-side optimization fence only (row-identical by
+    * definition; re-verified per adopting entry in the r15 gate).
+    * DuckDB 1.0 INLINES CTEs per reference, so an oracle whose chain
+    * re-reads a mid-chain CTE k times re-evaluates everything beneath
+    * it k times — measured 66 s → 0.9 s on n_trash and 29 s → 0.7 s on
+    * sim10 at sf0.1. Applied per entry (after the [[oracle]] prefix
+    * merge where one is used), NOT globally: a few oracles are faster
+    * inlined (filter pushdown into the CTE — n11_fsck_move keeps its
+    * hand-placed marks for exactly that reason). */
+  def materializeCtes(sql: String): String =
+    sql.replaceAll("(?m)^([a-zA-Z_][a-zA-Z0-9_]*) AS \\(",
+      "$1 AS MATERIALIZED (")
+
   /** events.ts normalized to BIGINT epoch-nanos whatever the parquet
     * encoding: TIMESTAMP(NANOS) testdata arrives as BIGINT via the
     * nanosAsLong legacy conf and passes through; TIMESTAMP(MICROS)
