@@ -461,6 +461,18 @@ object ScaleRehearsal {
       acc.values.asScala.map(v => v: Long).sum
     }
 
+    // t34 curriculum at 10×: the ×|stages| explode + ONE set of
+    // (stage, source, shard) windows — two stages cost one pass
+    val tT34 = time("t34 curriculumMix (10x, 2 stages)") {
+      graft.functions.Shuffles.curriculumMix(
+        d.select(col("doc_id"), col("lang"),
+          TextFunctions.wsTokenCount(col("text")).cast("long").as("tok")),
+        "doc_id", "lang", "tok",
+        Seq("warm" -> Map("en" -> 400000L, "es" -> 200000L, "de" -> 100000L),
+          "anneal" -> Map("en" -> 100000L, "de" -> 300000L)),
+        nShards = 32).filter(col("keep")).count()
+    }
+
     // t33b epoch expansion at 10×: the (doc, epoch) materialization must
     // stay one explode + one bounded rank shuffle whatever the corpus
     val tT33b = time("t33b epochExpand (10x, ~2.5 epochs)") {
@@ -485,7 +497,7 @@ object ScaleRehearsal {
       "v4" -> tV4, "m7" -> tM7, "m8" -> tM8, "sim12" -> tSim12,
       "t32b" -> tT32b, "t32s" -> tT32s, "n5_stream" -> tN5s,
       "asof_stream" -> tAsof, "phash_stream" -> tPhashS,
-      "langid_stream" -> tLangS, "t33b" -> tT33b)
+      "langid_stream" -> tLangS, "t34" -> tT34, "t33b" -> tT33b)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
         pathsDiff + resDiff + csDiff == 0},"sf":"$sfDir",""", ",", "}"))

@@ -227,6 +227,52 @@ object Shuffles {
       .withColumn("epos", row_number().over(w).cast("long"))
   }
 
+  /** Multi-stage curriculum mixture — the two-phase-pretraining /
+    * annealing-mix shape (warmup stage samples broadly, a later decay
+    * stage reweights toward high-quality or domain-specific sources):
+    * each stage carries its OWN per-source token budgets, and each
+    * (stage, source) admits docs in deterministic hash order under the
+    * same sharded ledger as [[budgetedMix]]. One row per (doc, stage)
+    * with `keep` — the loader consumes stage s's kept rows in (shard,
+    * hkey) order, so the whole schedule is one artifact.
+    *
+    * Scale shape: stages are BOUNDED (a curriculum has 2-5 phases), so
+    * the corpus explodes ×|stages| once and ONE set of (stage, source,
+    * shard) windows — each corpus/nShards-bounded — admits everything;
+    * one shuffle total, not one pass per stage. The stage index folds
+    * into the hash input, so every stage draws a FRESH permutation
+    * (replayable from salt + stage), and a doc may be admitted in any
+    * subset of stages (curricula re-serve data; exclusivity is a
+    * downstream filter if wanted). Budgets for (stage, source) pairs
+    * absent from `stages` are 0 (dropped), matching [[budgetedMix]]. */
+  def curriculumMix(df: DataFrame, idCol: String, groupCol: String,
+                    tokenCol: String,
+                    stages: Seq[(String, Map[String, Long])], nShards: Int,
+                    salt: String = "curr0"): DataFrame = {
+    require(stages.nonEmpty, "curriculumMix needs at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      "stage names must be distinct")
+    require(stages.forall(_._2.values.forall(_ >= 0)), "negative budget")
+    // stage-dim budget: a bounded |stages|·|sources| when-chain (same
+    // bounded-fold shape the t13/t32 family uses per source)
+    val shardBudget = stages.foldLeft(lit(0.0)) { case (acc, (st, budgets)) =>
+      budgets.foldLeft(acc) { case (a, (g, b)) =>
+        when(col("stage") === st && col(groupCol) === g,
+          lit(b.toDouble / nShards)).otherwise(a)
+      }
+    }
+    val w = Window.partitionBy(col("stage"), col(groupCol), col("shard"))
+      .orderBy(col("hkey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("stage",
+        explode(array(stages.map(s => lit(s._1)): _*)))
+      .withColumn("hkey", hashKey(
+        concat(col(idCol).cast("string"), lit("#"), col("stage")), salt))
+      .withColumn("shard", col("hkey") % nShards)
+      .withColumn("cumBefore", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("keep", col("cumBefore") < shardBudget)
+  }
+
   private def mixWithBudgets(df: DataFrame, idCol: String, groupCol: String,
                              tokenCol: String, nShards: Int, salt: String,
                              toBudgets: Map[String, Long] => Map[String, Long])

@@ -1435,6 +1435,27 @@ object DataOpsQueries {
           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("lang"))
     },
+    // multi-stage curriculum mixture (two-phase pretraining / annealing
+    // mix): each stage carries its OWN per-source budgets — the warm
+    // stage samples broadly, the anneal stage reweights toward de and
+    // drops es entirely — and the whole schedule admits through ONE set
+    // of (stage, source, shard) windows (stage count is bounded, so the
+    // corpus explodes ×2 once; one shuffle total). The stage folds into
+    // the hash input, so each stage draws a fresh permutation.
+    "t34_curriculum_mix" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+      Shuffles.curriculumMix(d, "doc_id", "lang", "tok",
+          Seq("warm" -> Map("en" -> 4000L, "es" -> 2000L, "de" -> 1000L),
+            "anneal" -> Map("en" -> 1000L, "de" -> 3000L)),
+          nShards = 4)
+        .groupBy(col("stage"), col("lang"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("nKept"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("keptTokens"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("keptIdSum"))
+        .orderBy(col("stage"), col("lang"))
+    },
     // temperature-weighted mixture, the multilingual α-sampling of
     // fastText/mC4/XLM-R at α = 1/2: per-source budgets ∝ isqrt(source
     // tokens) — integer-exact via the ±1-corrected double sqrt both
@@ -3929,6 +3950,47 @@ object DataOpsQueries {
         |  CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS keptTokens,
         |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // the t13 admission replayed per (stage, source): stage folds into
+    // the md5 input (fresh permutation per stage) and the budget is a
+    // bounded stage×source CASE — the warm/anneal reweighting verbatim
+    "t34_curriculum_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, lang, tok, UNNEST(['warm', 'anneal']) AS stage
+        |  FROM h),
+        |k AS (
+        |  SELECT doc_id, lang, tok, stage,
+        |    CASE WHEN stage = 'warm' THEN
+        |           CASE lang WHEN 'en' THEN 4000 WHEN 'es' THEN 2000
+        |                WHEN 'de' THEN 1000 ELSE 0 END
+        |         ELSE CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 3000
+        |                ELSE 0 END END AS budget,
+        |    CAST(strpos('0123456789abcdef', hx[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', hx[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', hx[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', hx[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', hx[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', hx[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
+        |  FROM (SELECT *,
+        |          md5(CAST(doc_id AS VARCHAR) || '#' || stage || 'curr0') AS hx
+        |        FROM x) hx2),
+        |c AS (
+        |  SELECT doc_id, lang, tok, stage, budget,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY stage, lang, hkey % 4
+        |      ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <
+        |    budget / CAST(4 AS DOUBLE) AS keep
+        |  FROM k)
+        |SELECT stage, lang, COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
+        |  CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS keptTokens,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS keptIdSum
+        |FROM c GROUP BY stage, lang ORDER BY stage, lang""".stripMargin,
     // per-source totals → corrected-isqrt weights → integer budget
     // split → the t13 admission window, all in one CTE chain
     "t32_temperature_mix" ->

@@ -1079,6 +1079,62 @@ class DataOpsSpec extends SparkSpec {
     assert(feC == 0L && remC == 0L && servedC == 0L, "unbudgeted source serves nothing")
   }
 
+  test("curriculumMix: per-stage budgets and fresh per-stage permutations; one admission pass") {
+    import graft.functions.Shuffles
+    val d = ((1L to 40L).map(i => (i, "a", 10L)) ++
+      (41L to 60L).map(i => (i, "b", 10L)) ++
+      (61L to 65L).map(i => (i, "c", 10L)))
+      .toDF("doc_id", "src", "tok")
+    val stages = Seq(
+      "warm" -> Map("a" -> 100L, "b" -> 100L),
+      "anneal" -> Map("a" -> 300L)) // b dropped, c never budgeted
+    val out = Shuffles.curriculumMix(d, "doc_id", "src", "tok", stages,
+      nShards = 2).localCheckpoint()
+    // every doc appears once per stage
+    assert(out.count() == 65L * 2)
+    val kept = out.filter(col("keep"))
+      .groupBy(col("stage"), col("src"))
+      .agg(sum(col("tok")).as("kt"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // ledger bounds per (stage, source): ≥ budget, ≤ budget + nShards
+    // straddlers of 10 tok
+    assert(kept(("warm", "a"))._1 >= 100L && kept(("warm", "a"))._1 <= 120L)
+    assert(kept(("warm", "b"))._1 >= 100L && kept(("warm", "b"))._1 <= 120L)
+    assert(kept(("anneal", "a"))._1 >= 300L && kept(("anneal", "a"))._1 <= 320L)
+    // unbudgeted (stage, source) pairs keep nothing
+    assert(!kept.contains(("anneal", "b")) && !kept.contains(("warm", "c"))
+      && !kept.contains(("anneal", "c")))
+    // fresh permutation per stage: same source+same budget would pick a
+    // different prefix — check via the hash key itself (stage in input)
+    val warmSet = out.filter(col("stage") === "warm" && col("src") === "a"
+      && col("keep")).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val annealFirst = out.filter(col("stage") === "anneal" && col("src") === "a")
+      .orderBy(col("hkey"), col("doc_id")).limit(10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val warmFirst = out.filter(col("stage") === "warm" && col("src") === "a")
+      .orderBy(col("hkey"), col("doc_id")).limit(10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(warmFirst != annealFirst,
+      "stage must fold into the hash: admission orders differ")
+    assert(warmSet.nonEmpty)
+    // single stage with t13's budgets: the ledger bound matches
+    // budgetedMix's (same rule, stage-salted permutation)
+    val one = Shuffles.curriculumMix(d, "doc_id", "src", "tok",
+      Seq("only" -> Map("a" -> 100L)), nShards = 2)
+      .filter(col("keep")).agg(sum(col("tok"))).collect()(0).getLong(0)
+    assert(one >= 100L && one <= 120L)
+    // validation: duplicate stage names and negative budgets fail loudly
+    intercept[IllegalArgumentException] {
+      Shuffles.curriculumMix(d, "doc_id", "src", "tok",
+        Seq("s" -> Map("a" -> 1L), "s" -> Map("a" -> 2L)), nShards = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Shuffles.curriculumMix(d, "doc_id", "src", "tok",
+        Seq("s" -> Map("a" -> -1L)), nShards = 2)
+    }
+  }
+
   test("epochExpand: (doc, epoch) rows conserve servedTokens; per-epoch permutations are fresh") {
     import graft.functions.Shuffles
     val d = ((1L to 30L).map(i => (i, "a", 10L)) ++

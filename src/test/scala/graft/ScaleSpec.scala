@@ -524,7 +524,8 @@ class ScaleSpec extends SparkSpec {
     // chunk-id running counts) partitions by shard / (source, shard) /
     // doc — an Exchange SinglePartition would gather the corpus through
     // one task at 100 TB
-    for (q <- Seq("t12_shard_shuffle", "t13_budget_mix", "d11_cdc_chunks")) {
+    for (q <- Seq("t12_shard_shuffle", "t13_budget_mix", "d11_cdc_chunks",
+        "t34_curriculum_mix", "t33b_epoch_expand")) {
       val out = graft.queries.DataOpsQueries.queries(q)(
         spark, "/root/testdata/sf0.001")
       val plan = out.queryExecution.executedPlan.toString
