@@ -1591,6 +1591,61 @@ object DataOpsQueries {
           sum(when(col("keep"), col("id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("lang"))
     },
+    // the curriculum schedule through the STREAMING engine: the stateful
+    // per-key spent-token ledger (streamingBudgetedMix) ALREADY expresses
+    // multi-stage admission — the key is the composite (stage, source)
+    // and the hkey folds the stage exactly like the batch operator, so
+    // each (stage, source, shard) group spends its own quota and the
+    // kept set must land on t34's batch oracle VERBATIM (shared string)
+    "t34_stream_parity" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = graft.core.Caching.scratchDir("t34-stream")
+      val feedDir = tmp.resolve("feed").toString
+      val outDir = tmp.resolve("out").toString
+      val stages = Seq(
+        "warm" -> Map("en" -> 4000L, "es" -> 2000L, "de" -> 1000L),
+        "anneal" -> Map("en" -> 1000L, "de" -> 3000L))
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("lang"),
+          TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("stage",
+          explode(array(stages.map(st => lit(st._1)): _*)))
+        .withColumn("src", concat(col("stage"), lit("|"), col("lang")))
+        .withColumn("hkey", Shuffles.hashKey(
+          concat(col("id").cast("string"), lit("#"), col("stage")), "curr0"))
+        .withColumn("shard", col("hkey") % 4)
+        .select(col("id"), col("src"), col("tok"), col("hkey"), col("shard"))
+      d.repartition(col("src"), col("shard")).write.parquet(feedDir)
+      val budgets = stages.flatMap { case (st, m) =>
+        m.map { case (g, b) => s"$st|$g" -> b }
+      }.toMap
+      val schema = s.read.parquet(feedDir).schema
+      val q = s.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema).parquet(feedDir)
+        .as[graft.streaming.Changefeed.MixDoc]
+        .transform(graft.streaming.Changefeed.streamingBudgetedMix(
+          _, budgets, nShards = 4))
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.Changefeed.MixAdmit],
+           _: Long) => b.write.mode("append").parquet(outDir)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .withColumn("stage", substring_index(col("src"), "|", 1))
+        .withColumn("lang", substring_index(col("src"), "|", -1))
+        .join(d.select(col("id"), col("src"), col("tok")), Seq("id", "src"))
+        .groupBy(col("stage"), col("lang"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("nKept"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("keptTokens"),
+          sum(when(col("keep"), col("id")).otherwise(0L)).as("keptIdSum"))
+        .orderBy(col("stage"), col("lang"))
+    },
     // CCNet-style rarity scoring: per-doc mean unigram surprisal under
     // the corpus's own unigram model, in INTEGER-EXACT floor-log2 bits
     // (floorLog2(n) = len(binary(n)) − 1 — no libm log, so both engines
@@ -2146,6 +2201,11 @@ object DataOpsQueries {
     // verbatim — same salt, same budgets, same summary (a drifted copy
     // would silently weaken the parity check)
     "t32_stream_parity" -> oraclesBase("t32_temperature_mix"),
+    // the streamed curriculum must land on t34's oracle verbatim too —
+    // the composite-key ledger IS the batch (stage, source, shard)
+    // window, so any drift (hash input, budget split, tie order) fails
+    // the shared string
+    "t34_stream_parity" -> oraclesBase("t34_curriculum_mix"),
   )
 
   private lazy val oraclesBase: Map[String, String] = Map(
