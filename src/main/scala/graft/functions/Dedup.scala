@@ -416,6 +416,68 @@ object Dedup {
       .filter(col("sharedShingles") >= minShared)
   }
 
+  /** SPAN-level decontamination — the GPT-3 recipe (Brown et al. 2020,
+    * appendix C): instead of dropping a whole training document that
+    * overlaps the eval set ([[contamination]] / t6), every training
+    * k-gram that appears ANYWHERE in the eval corpus is excised together
+    * with a `margin`-token guard window on each side (their 200-char
+    * window, in tokens), and the rest of the document survives. Returns
+    * one row per training doc: (idCol, totalTokens, keptTokens,
+    * cutTokens, evalHits = matched k-gram starts, cleanedFingerprint =
+    * md5 of the surviving tokens in order) — the d13 summary convention,
+    * hashable without shipping cleaned texts.
+    *
+    * Scale shape (the t6 asymmetry, reused): the eval set is benchmark-
+    * sized while the training corpus is the 100 TB side, so the eval
+    * DISTINCT-gram index BROADCASTS and the training gram stream never
+    * shuffles for the probe (one map-side left_semi). Only the hits fan
+    * out into cut positions (k + 2·margin rows per hit, doc-keyed) and
+    * the token anti-join shuffles on doc id — both proportional to the
+    * contaminated fraction plus one corpus token melt, never to
+    * corpus × eval. Gram identity is sha-256 per the class contract
+    * (spans get cut from training data — a constructible collision would
+    * let adversarial content excise arbitrary spans). */
+  def decontaminateSpans(train: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 8, margin: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    require(margin >= 0, s"guard margin must be >= 0, got $margin")
+    val evalIdx = posGramRows(evalDocs, idCol, textCol, k)
+      .select(col("__gh")).distinct()
+    val hits = posGramRows(train, idCol, textCol, k)
+      .join(broadcast(evalIdx), Seq("__gh"), "left_semi")
+    // cut window = the matched k tokens ± margin, clamped at the doc
+    // start; the end needs no clamp — positions past the doc simply
+    // match no token in the anti-join below
+    val cutToks = hits
+      .select(col(idCol),
+        explode(sequence(greatest(col("pos") - lit(margin.toLong), lit(0L)),
+          col("pos") + lit((k - 1 + margin).toLong))).as("tokPos"))
+      .distinct()
+    val matches = hits.groupBy(col(idCol)).agg(count(lit(1)).as("__m"))
+    val toks = train
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("tokPos", "token")))
+      .select(col(idCol), col("tokPos").cast("long").as("tokPos"), col("token"))
+    val perDocTotal = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__total"))
+    val kept = toks.join(cutToks, Seq(idCol, "tokPos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        orderedTokensMd5(col("tokPos"), col("token")).as("__fp"))
+    train.select(col(idCol))
+      .join(perDocTotal, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .join(matches, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__total"), lit(0L)).as("totalTokens"),
+        coalesce(col("__kept"), lit(0L)).as("keptTokens"),
+        (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("cutTokens"),
+        coalesce(col("__m"), lit(0L)).as("evalHits"),
+        coalesce(col("__fp"), md5(lit(""))).as("cleanedFingerprint"))
+  }
+
   /** 16-bit SimHash over the token stream: each token contributes ±1 per
     * bit of a 16-bit md5-derived hash; final bit = sign of the sum.
     * Pure integer arithmetic → oracle-portable. */

@@ -40,6 +40,77 @@ object Shuffles {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Balanced token packing across parallel loader streams — the
+    * longest-first round-robin heuristic: within each hash shard, docs
+    * rank by (tokens DESC, id) and bin = (rank − 1) mod nBins, so every
+    * bin receives one doc per descending round and per-shard bin token
+    * totals differ by at most one round's spread (≤ the shard's largest
+    * doc). The op a loader runs to split a corpus into data-parallel
+    * streams / equal-weight output files without a straggler stream.
+    * True LPT (place into the currently lightest bin) is inherently
+    * sequential; sorted round-robin is its one-window distributable
+    * sibling and is what the per-shard bound above buys.
+    *
+    * Scale shape: identical to [[shardShuffle]] — ONE narrow hash
+    * shuffle to nShards, each shard sorts only its ~corpus/nShards rows
+    * locally (the rank window partitions by shard), no global sort.
+    * Deterministic and replayable from the salt. Returns the input plus
+    * (hkey, shard, rk, bin). */
+  def balancedPack(df: DataFrame, idCol: String, tokenCol: String,
+                   nShards: Int, nBins: Int,
+                   salt: String = "pack0"): DataFrame = {
+    require(nShards >= 1 && nBins >= 1,
+      s"need nShards >= 1 and nBins >= 1, got $nShards/$nBins")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(tokenCol).desc, col(idCol))
+    df.withColumn("hkey", hashKey(col(idCol), salt))
+      .withColumn("shard", col("hkey") % nShards)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("bin", (col("rk") - 1L) % nBins)
+  }
+
+  /** Fixed-length context-window packing — the concat-and-chunk step a
+    * GPT-style loader runs after the shuffle: docs are laid out within
+    * each shard as one continuous token stream in (hkey, id) order (each
+    * doc followed by `sep` end-of-document tokens, the usual convention),
+    * and the stream is cut into back-to-back `ctxLen`-token training
+    * contexts. Each doc therefore occupies the half-open token range
+    * [streamStart, streamStart + tokSep) of its shard's stream and spans
+    * contexts startCtx..endCtx; spansBoundary docs are the ones a causal
+    * mask (or an attention-reset) has to care about. Returns the input
+    * plus (hkey, shard, tokSep, streamStart, startCtx, endCtx, nCtx).
+    *
+    * Scale shape: the [[shardShuffle]] recipe verbatim — ONE narrow hash
+    * shuffle to nShards, then a shard-local running sum (each window is
+    * corpus/nShards-bounded); the context ids are pure integer division
+    * on top. No global sort, no single-partition window, deterministic
+    * and replayable from the salt (a fresh salt is a fresh epoch's
+    * packing). A zero-token doc with sep = 0 gets nCtx = 0 (it occupies
+    * no stream range); with the default sep = 1 every doc holds ≥ 1
+    * token, so every doc lands in ≥ 1 context. */
+  def contextPack(df: DataFrame, idCol: String, tokenCol: String,
+                  ctxLen: Long, nShards: Int, sep: Int = 1,
+                  salt: String = "ctx0"): DataFrame = {
+    require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    require(sep >= 0, s"separator token count must be >= 0, got $sep")
+    val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("hkey", hashKey(col(idCol), salt))
+      .withColumn("shard", col("hkey") % nShards)
+      .withColumn("tokSep", col(tokenCol).cast("long") + lit(sep.toLong))
+      .withColumn("streamStart", coalesce(sum(col("tokSep")).over(w), lit(0L)))
+      .withColumn("startCtx", expr(s"streamStart div ${ctxLen}L"))
+      // tokSep = 0 (empty doc, sep 0) occupies no range: endCtx =
+      // startCtx − 1 by definition rather than via (streamStart − 1) div
+      // ctxLen, whose negative operand at streamStart = 0 would split
+      // engines (Spark div truncates toward zero, SQL // floors). For
+      // tokSep ≥ 1 the dividend is ≥ 0 and truncation ≡ floor.
+      .withColumn("endCtx", when(col("tokSep") === 0L, col("startCtx") - 1L)
+        .otherwise(expr(s"(streamStart + tokSep - 1) div ${ctxLen}L")))
+      .withColumn("nCtx", col("endCtx") - col("startCtx") + 1L)
+  }
+
   /** Token-budgeted mixture sampling — the data-mixing step of a
     * training pipeline: each source (`groupCol`) gets a token budget,
     * and the sample admits that source's docs in deterministic hash

@@ -78,6 +78,18 @@ object DataOpsQueries {
       .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }
       .mkString(", ")
 
+  /** t35's planted leak: each eval doc re-enters training verbatim with
+    * this 20-token tail appended, so the gate exercises every branch of
+    * span decontamination at every SF — the eval-matching prefix is cut
+    * (margin clamped at pos 0), the guard margin eats the first 8 suffix
+    * tokens, and the remaining 12 survive (partial keep, not doc drop).
+    * NATO-alphabet words so no suffix 8-gram can appear in the eval
+    * index. Lives in ONE place — the Spark entry and the oracle both
+    * interpolate it. */
+  private val T35LeakSuffix: String =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+
   private val CorpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -1538,6 +1550,64 @@ object DataOpsQueries {
           sum(col("epos") * col("doc_id")).as("posIdSum"),
           sum(col("eshard") * col("doc_id")).as("shardIdSum"))
         .orderBy(col("lang"), col("epoch"))
+    },
+    // SPAN-level decontamination (Brown et al. 2020 appendix C): every
+    // training 8-gram found in the eval corpus is excised with an
+    // 8-token guard margin each side — the doc SURVIVES minus the
+    // contaminated spans (t6 drops whole docs; this is the surgical
+    // variant). Eval slice = doc_id % 97 = 0; each eval doc also leaks
+    // back into training with the T35LeakSuffix tail, so partial cut,
+    // margin clamp at pos 0, margin spill into clean text and zero-hit
+    // docs are all non-vacuous at every SF.
+    "t35_decontaminate_spans" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val evalSlice = d.filter(col("doc_id") % 97 === 0L)
+        .select(col("doc_id"), col("text"))
+      val train = d.filter(col("doc_id") % 97 =!= 0L)
+        .select(col("doc_id"), col("text"))
+        .unionByName(evalSlice.select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" " + T35LeakSuffix)).as("text")))
+      Dedup.decontaminateSpans(train, evalSlice, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    // balanced token packing across parallel loader streams: longest-
+    // first round-robin within hash shards (rank by tok DESC, bin =
+    // (rank-1) mod nBins) — per-shard bin totals differ by at most one
+    // round's spread, no straggler stream, NO global sort (the t12
+    // scale shape). idSum pins the exact assignment; shardSkewPpm is
+    // the balance the heuristic actually achieved, integer-exact.
+    "t36_balanced_pack" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+      val byBin = Shuffles
+        .balancedPack(d, "doc_id", "tok", nShards = 8, nBins = 4)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("docs"), sum(col("tok")).as("binTokens"),
+          sum(col("doc_id")).as("idSum"))
+      val w = Window.partitionBy(col("shard"))
+      byBin
+        .withColumn("__mx", max(col("binTokens")).over(w))
+        .withColumn("__mn", min(col("binTokens")).over(w))
+        .withColumn("__sm", sum(col("binTokens")).over(w))
+        .withColumn("shardSkewPpm", expr("(__mx - __mn) * 1000000 div __sm"))
+        .select(col("shard"), col("bin"), col("docs"), col("binTokens"),
+          col("idSum"), col("shardSkewPpm"))
+        .orderBy(col("shard"), col("bin"))
+    },
+    // fixed-length context packing — the concat-and-chunk step a GPT
+    // loader runs after the shuffle: per shard, docs concatenate in
+    // (hkey, id) order with one EOD token each and 512-token contexts
+    // cut back-to-back; each doc reports its stream range and the
+    // context span it lands in (endCtx > startCtx = a causal-mask
+    // boundary doc). Per-doc rows: the full assignment is hash-gated.
+    "t37_context_pack" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+      Shuffles.contextPack(d, "doc_id", "tok", ctxLen = 512L, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("tokSep"),
+          col("streamStart"), col("startCtx"), col("endCtx"), col("nCtx"))
+        .orderBy(col("doc_id"))
     },
     // the admission family through the STREAMING engine: the corpus is
     // dumped to parquet partitioned so no (source, shard) ledger group
@@ -4013,6 +4083,135 @@ object DataOpsQueries {
     // the t13 admission replayed per (stage, source): stage folds into
     // the md5 input (fresh permutation per stage) and the budget is a
     // bounded stage×source CASE — the warm/anneal reweighting verbatim
+    // span decontamination: eval DISTINCT 8-gram index probed by the
+    // training gram stream, hits expand ±8 tokens (clamped at 0) and
+    // the survivors fingerprint — the d13 cut replay with an external
+    // (eval) index instead of the corpus-internal occurrence rank
+    "t35_decontaminate_spans" ->
+      s"""WITH tdocs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' $T35LeakSuffix'
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |twords AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM tdocs),
+        |ewords AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |tposed AS (
+        |  SELECT doc_id, UNNEST(range(1, GREATEST(len(w) - 6, 1))) AS i, w
+        |  FROM twords),
+        |tgrams AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM tposed),
+        |eposed AS (
+        |  SELECT doc_id, UNNEST(range(1, GREATEST(len(w) - 6, 1))) AS i, w
+        |  FROM ewords),
+        |evalIdx AS (
+        |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram FROM eposed),
+        |hits AS (
+        |  SELECT t.doc_id, t.pos FROM tgrams t JOIN evalIdx e USING (gram)),
+        |cutPos AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(range(GREATEST(pos - 8, 0), pos + 16)) AS tokPos
+        |  FROM hits),
+        |toks AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tokPos, w[i] AS token
+        |  FROM (SELECT doc_id, UNNEST(range(1, len(w) + 1)) AS i, w
+        |        FROM twords) t),
+        |tot AS (SELECT doc_id, COUNT(*) AS total FROM toks GROUP BY doc_id),
+        |kept AS (
+        |  SELECT t.doc_id, COUNT(*) AS kept,
+        |    md5(string_agg(t.token, ' ' ORDER BY t.tokPos)) AS fp
+        |  FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM cutPos c
+        |                    WHERE c.doc_id = t.doc_id AND c.tokPos = t.tokPos)
+        |  GROUP BY t.doc_id),
+        |hm AS (SELECT doc_id, COUNT(*) AS m FROM hits GROUP BY doc_id)
+        |SELECT x.doc_id,
+        |  CAST(COALESCE(tt.total, 0) AS BIGINT) AS totalTokens,
+        |  CAST(COALESCE(kp.kept, 0) AS BIGINT) AS keptTokens,
+        |  CAST(COALESCE(tt.total, 0) - COALESCE(kp.kept, 0) AS BIGINT)
+        |    AS cutTokens,
+        |  CAST(COALESCE(hh.m, 0) AS BIGINT) AS evalHits,
+        |  COALESCE(kp.fp, md5('')) AS cleanedFingerprint
+        |FROM tdocs x
+        |LEFT JOIN tot tt ON tt.doc_id = x.doc_id
+        |LEFT JOIN kept kp ON kp.doc_id = x.doc_id
+        |LEFT JOIN hm hh ON hh.doc_id = x.doc_id
+        |ORDER BY x.doc_id""".stripMargin,
+    // balanced packing: the t12 hkey ladder → per-shard rank by
+    // (tok DESC, doc_id) → bin = (rank-1) mod 4; skew in integer ppm
+    "t36_balanced_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR) || 'pack0') AS hx
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, tok,
+        |    CAST(strpos('0123456789abcdef', hx[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', hx[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', hx[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', hx[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', hx[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', hx[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, tok, hkey % 8 AS shard,
+        |    ROW_NUMBER() OVER (PARTITION BY hkey % 8
+        |      ORDER BY tok DESC, doc_id) AS rk
+        |  FROM k),
+        |g AS (
+        |  SELECT shard, (rk - 1) % 4 AS bin, COUNT(*) AS docs,
+        |    SUM(tok) AS binTokens, SUM(doc_id) AS idSum
+        |  FROM r GROUP BY shard, (rk - 1) % 4)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
+        |  CAST(docs AS BIGINT) AS docs, CAST(binTokens AS BIGINT) AS binTokens,
+        |  CAST(idSum AS BIGINT) AS idSum,
+        |  CAST((MAX(binTokens) OVER (PARTITION BY shard)
+        |        - MIN(binTokens) OVER (PARTITION BY shard)) * 1000000
+        |       // SUM(binTokens) OVER (PARTITION BY shard) AS BIGINT)
+        |    AS shardSkewPpm
+        |FROM g ORDER BY shard, bin""".stripMargin,
+    // context packing: the t12 hkey ladder (salt ctx0) → per-shard
+    // exclusive running sum of (tok + 1 EOD) in (hkey, id) order →
+    // context ids by integer division on the 512-token grid
+    "t37_context_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR) || 'ctx0') AS hx
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, tok + 1 AS tokSep,
+        |    CAST(strpos('0123456789abcdef', hx[1]) - 1 AS BIGINT) * 268435456
+        |    + CAST(strpos('0123456789abcdef', hx[2]) - 1 AS BIGINT) * 16777216
+        |    + CAST(strpos('0123456789abcdef', hx[3]) - 1 AS BIGINT) * 1048576
+        |    + CAST(strpos('0123456789abcdef', hx[4]) - 1 AS BIGINT) * 65536
+        |    + CAST(strpos('0123456789abcdef', hx[5]) - 1 AS BIGINT) * 4096
+        |    + CAST(strpos('0123456789abcdef', hx[6]) - 1 AS BIGINT) * 256
+        |    + CAST(strpos('0123456789abcdef', hx[7]) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789abcdef', hx[8]) - 1 AS BIGINT) AS hkey
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, hkey % 8 AS shard, tokSep,
+        |    COALESCE(SUM(tokSep) OVER (PARTITION BY hkey % 8
+        |      ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS streamStart
+        |  FROM k)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(tokSep AS BIGINT) AS tokSep,
+        |  CAST(streamStart AS BIGINT) AS streamStart,
+        |  CAST(streamStart // 512 AS BIGINT) AS startCtx,
+        |  CAST((streamStart + tokSep - 1) // 512 AS BIGINT) AS endCtx,
+        |  CAST((streamStart + tokSep - 1) // 512
+        |       - streamStart // 512 + 1 AS BIGINT) AS nCtx
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t34_curriculum_mix" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

@@ -593,6 +593,120 @@ class DataOpsSpec extends SparkSpec {
       Seq(5L, 3L, 3L, 0L, md5hex("a b c"))))
   }
 
+  test("decontaminateSpans: eval grams excised with clamped margin, clean docs untouched") {
+    import graft.functions.Dedup
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val evalDocs = Seq((100L, (1 to 10).map(i => s"s$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // u1..u5 s1..s10 v1..v20: eval 8-grams hit at pos 5,6,7; the ±8
+      // margin clamps at 0 on the left and reaches pos 22 on the right
+      (1L, ((1 to 5).map(i => s"u$i") ++ (1 to 10).map(i => s"s$i") ++
+        (1 to 20).map(i => s"v$i")).mkString(" ")),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")), // clean — untouched
+      (3L, "a b c"),                                  // too short for grams
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.decontaminateSpans(train, evalDocs, "doc_id", "text")
+      .orderBy(col("doc_id")))
+    assert(out == Seq(
+      Seq(1L, 35L, 12L, 23L, 3L, md5hex((9 to 20).map(i => s"v$i").mkString(" "))),
+      Seq(2L, 20L, 20L, 0L, 0L, md5hex((1 to 20).map(i => s"w$i").mkString(" "))),
+      Seq(3L, 3L, 3L, 0L, 0L, md5hex("a b c"))), s"got $out")
+    // margin 0 = pure matched-window cut: exactly s1..s10 goes
+    val m0 = rows(Dedup.decontaminateSpans(train, evalDocs, "doc_id", "text",
+      margin = 0).filter(col("doc_id") === 1L))
+    assert(m0 == Seq(Seq(1L, 35L, 25L, 10L, 3L,
+      md5hex(((1 to 5).map(i => s"u$i") ++ (1 to 20).map(i => s"v$i"))
+        .mkString(" ")))), s"got $m0")
+  }
+
+  test("balancedPack: round-robin-decreasing bounds per-shard bin skew by the largest doc") {
+    import graft.functions.Shuffles
+    val docs = (1L to 200L).map(i => (i, (i * 7) % 50 + 1)).toDF("doc_id", "tok")
+    val out = rows(Shuffles.balancedPack(docs, "doc_id", "tok",
+      nShards = 4, nBins = 3).select(col("doc_id"), col("tok"),
+      col("shard"), col("bin")))
+    assert(out.size == 200)
+    assert(out.forall { r =>
+      val b = r(3).asInstanceOf[Long]; b >= 0L && b < 3L })
+    val byShard = out.groupBy(_(2).asInstanceOf[Long])
+    byShard.foreach { case (_, rs) =>
+      val byBin = rs.groupBy(_(3).asInstanceOf[Long])
+        .view.mapValues(_.map(_(1).asInstanceOf[Long]))
+      // doc counts per bin differ by at most one (pure round robin)
+      val counts = byBin.values.map(_.size)
+      assert(counts.max - counts.min <= 1)
+      // token totals per bin differ by at most the shard's largest doc
+      // (descending rounds telescope: Σ round spreads ≤ max item)
+      val totals = byBin.values.map(_.sum)
+      assert(totals.max - totals.min <= rs.map(_(1).asInstanceOf[Long]).max,
+        s"skew ${totals.max - totals.min} exceeds largest doc")
+    }
+    // replayable; a fresh salt is a fresh assignment; nBins=1 degenerates
+    val again = rows(Shuffles.balancedPack(docs, "doc_id", "tok",
+      nShards = 4, nBins = 3).select(col("doc_id"), col("shard"), col("bin")))
+    assert(again == rows(Shuffles.balancedPack(docs, "doc_id", "tok",
+      nShards = 4, nBins = 3).select(col("doc_id"), col("shard"), col("bin"))))
+    val salted = rows(Shuffles.balancedPack(docs, "doc_id", "tok",
+      nShards = 4, nBins = 3, salt = "pack1")
+      .select(col("doc_id"), col("shard"), col("bin")))
+    assert(salted != again)
+    assert(rows(Shuffles.balancedPack(docs, "doc_id", "tok", nShards = 2,
+      nBins = 1).select(col("bin"))).forall(_.head == 0L))
+  }
+
+  test("contextPack: contiguous shard streams, integer context spans, empty-doc corner") {
+    import graft.functions.Shuffles
+    // pinned single-doc case: 25 tokens + 1 EOD on a 10-token grid
+    val one = rows(Shuffles.contextPack(
+      Seq((1L, 25L)).toDF("doc_id", "tok"), "doc_id", "tok",
+      ctxLen = 10L, nShards = 1)
+      .select(col("streamStart"), col("tokSep"), col("startCtx"),
+        col("endCtx"), col("nCtx")))
+    assert(one == Seq(Seq(0L, 26L, 0L, 2L, 3L)), s"got $one")
+    val docs = (1L to 300L).map(i => (i, (i * 13) % 80)).toDF("doc_id", "tok")
+    val out = rows(Shuffles.contextPack(docs, "doc_id", "tok",
+      ctxLen = 64L, nShards = 4)
+      .select(col("doc_id"), col("tok"), col("shard"), col("tokSep"),
+        col("streamStart"), col("startCtx"), col("endCtx"), col("nCtx")))
+    assert(out.size == 300)
+    out.groupBy(_(2).asInstanceOf[Long]).foreach { case (_, rs) =>
+      // streams are contiguous: sorted by streamStart, each doc starts
+      // exactly where the previous one ended
+      val sorted = rs.sortBy(_(4).asInstanceOf[Long])
+      assert(sorted.head(4) == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b(4).asInstanceOf[Long] ==
+            a(4).asInstanceOf[Long] + a(3).asInstanceOf[Long])
+        case _ =>
+      }
+    }
+    out.foreach { r =>
+      val Seq(tok, _, tokSep, start, sc, ec, n) =
+        r.drop(1).map(_.asInstanceOf[Long])
+      assert(tokSep == tok + 1)
+      assert(sc == start / 64 && ec == (start + tokSep - 1) / 64)
+      assert(n == ec - sc + 1 && n >= 1)
+    }
+    // replayable; fresh salt is a fresh packing
+    val a = rows(Shuffles.contextPack(docs, "doc_id", "tok", 64L, 4)
+      .select(col("doc_id"), col("shard"), col("startCtx")))
+    assert(a == rows(Shuffles.contextPack(docs, "doc_id", "tok", 64L, 4)
+      .select(col("doc_id"), col("shard"), col("startCtx"))))
+    assert(a != rows(Shuffles.contextPack(docs, "doc_id", "tok", 64L, 4,
+      salt = "ctx1").select(col("doc_id"), col("shard"), col("startCtx"))))
+    // sep = 0 with an empty doc occupies no range: nCtx = 0 in both
+    // stream positions (start of shard and mid-stream)
+    val z = rows(Shuffles.contextPack(
+      Seq((1L, 0L), (2L, 5L), (3L, 0L)).toDF("doc_id", "tok"),
+      "doc_id", "tok", ctxLen = 4L, nShards = 1, sep = 0)
+      .select(col("doc_id"), col("nCtx")))
+    assert(z.collect { case Seq(_, n: Long) => n }.sorted == Seq(0L, 0L, 2L),
+      s"got $z")
+  }
+
   test("shard shuffle: total replayable permutation, new salt reorders") {
     import graft.functions.Shuffles
     val ids = (1L to 200L).toDF("doc_id")
