@@ -487,6 +487,54 @@ object ScaleRehearsal {
         .count()
     }
 
+    // t35 span decontamination at 10×: the eval index stays benchmark-
+    // sized (~1/97 of the corpus) and BROADCASTS; the 10× training gram
+    // stream probes it map-side — cost must scale with the corpus melt,
+    // never corpus × eval
+    val tT35 = time("t35 decontaminateSpans (10x)") {
+      val evalSlice = d.filter(col("doc_id") % 97 === 0L)
+        .select(col("doc_id"), col("text"))
+      val train = d.filter(col("doc_id") % 97 =!= 0L)
+        .select(col("doc_id"), col("text"))
+      val out = graft.functions.Dedup.decontaminateSpans(
+        train, evalSlice, "doc_id", "text")
+      val agg = out.agg(count(lit(1)), sum(col("cutTokens")),
+        sum(when(col("evalHits") > 0, 1L).otherwise(0L))).head()
+      println(s"[rehearsal]   t35: cutTokens=${agg.getLong(1)} " +
+        s"contaminatedDocs=${agg.getLong(2)}")
+      agg.getLong(0)
+    }
+
+    // t36/t37 packing at 10×: both are the shardShuffle shape — one
+    // narrow hash shuffle + shard-local windows; skew and context count
+    // printed so the balance/packing claims carry numbers
+    val tT36 = time("t36 balancedPack (10x)") {
+      val dm = d.select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+      val byBin = graft.functions.Shuffles
+        .balancedPack(dm, "doc_id", "tok", nShards = 32, nBins = 8)
+        .groupBy(col("shard"), col("bin"))
+        .agg(sum(col("tok")).as("binTokens"))
+      val skew = byBin.groupBy(col("shard"))
+        .agg(expr("(max(binTokens) - min(binTokens)) * 1000000 div sum(binTokens)")
+          .as("ppm"))
+        .agg(max(col("ppm"))).head().getLong(0)
+      println(s"[rehearsal]   t36: worstShardSkewPpm=$skew")
+      byBin.count()
+    }
+    val tT37 = time("t37 contextPack (10x, ctx=2048)") {
+      val dm = d.select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+      val packed = graft.functions.Shuffles.contextPack(
+        dm, "doc_id", "tok", ctxLen = 2048L, nShards = 32)
+      val agg = packed.agg(count(lit(1)),
+        sum(col("endCtx") - col("startCtx") + 1L),
+        sum(when(col("endCtx") > col("startCtx"), 1L).otherwise(0L))).head()
+      println(s"[rehearsal]   t37: docCtxRows=${agg.getLong(1)} " +
+        s"boundaryDocs=${agg.getLong(2)}")
+      agg.getLong(0)
+    }
+
     val r = Seq("build" -> tBuild, "paths_fast" -> tPathsFast,
       "paths_iter" -> tPathsIter, "resolve_fast" -> tResFast,
       "resolve_iter" -> tResIter, "cs_fast" -> tCsFast,
@@ -497,7 +545,8 @@ object ScaleRehearsal {
       "v4" -> tV4, "m7" -> tM7, "m8" -> tM8, "sim12" -> tSim12,
       "t32b" -> tT32b, "t32s" -> tT32s, "n5_stream" -> tN5s,
       "asof_stream" -> tAsof, "phash_stream" -> tPhashS,
-      "langid_stream" -> tLangS, "t34" -> tT34, "t33b" -> tT33b)
+      "langid_stream" -> tLangS, "t34" -> tT34, "t33b" -> tT33b,
+      "t35" -> tT35, "t36" -> tT36, "t37" -> tT37)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
         pathsDiff + resDiff + csDiff == 0},"sf":"$sfDir",""", ",", "}"))

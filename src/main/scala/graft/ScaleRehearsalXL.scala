@@ -253,6 +253,30 @@ object ScaleRehearsalXL {
           nShards = 64), "doc_id", nShards = 64).count()
     }
 
+    // packing family at copies×: both are the one-narrow-shuffle +
+    // shard-local-window shape — wall time must track the corpus melt
+    // (one pass), and the balance bound must hold at 168M docs
+    val tT36XL = time("t36 balancedPack (64 shards x 8 bins)") {
+      val byBin = Shuffles.balancedPack(docsXL, "doc_id", "tok",
+          nShards = 64, nBins = 8)
+        .groupBy(col("shard"), col("bin")).agg(sum(col("tok")).as("binTokens"))
+      val skew = byBin.groupBy(col("shard"))
+        .agg(expr("(max(binTokens) - min(binTokens)) * 1000000 div sum(binTokens)")
+          .as("ppm"))
+        .agg(max(col("ppm"))).head().getLong(0)
+      println(s"[rehearsal-xl]   t36: worstShardSkewPpm=$skew")
+      byBin.count()
+    }
+    val tT37XL = time("t37 contextPack (ctx=2048)") {
+      val packed = Shuffles.contextPack(docsXL, "doc_id", "tok",
+        ctxLen = 2048L, nShards = 64)
+      val agg = packed.agg(count(lit(1)), sum(col("nCtx")),
+        sum(when(col("endCtx") > col("startCtx"), 1L).otherwise(0L))).head()
+      println(s"[rehearsal-xl]   t37: docCtxRows=${agg.getLong(1)} " +
+        s"boundaryDocs=${agg.getLong(2)}")
+      agg.getLong(0)
+    }
+
     val identical = pathsDiff + resDiff + csDiff == 0 && nAuto == expectPaths
     val r = Seq("stage1" -> tInner, "build" -> tBuild,
       "paths_auto" -> tPathsAuto, "paths_forced" -> tPathsForced,
@@ -260,7 +284,8 @@ object ScaleRehearsalXL {
       "cs_auto" -> tCsAuto, "cs_forced" -> tCsForced,
       "n5" -> tN5, "s8" -> tS8, "requeue" -> tRequeue,
       "corrupt" -> tCorrupt, "received" -> tReceived,
-      "t32b" -> tT32bXL, "t33" -> tT33XL, "t33b" -> tT33bXL)
+      "t32b" -> tT32bXL, "t33" -> tT33XL, "t33b" -> tT33bXL,
+      "t36" -> tT36XL, "t37" -> tT37XL)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal_xl","copies":$copies,"dirs":$nDirs,""" +
         s""""autoFellBack":${nDirs > 2000000L},"identical":$identical,"sf":"$sfDir",""",

@@ -439,13 +439,32 @@ object Dedup {
     * let adversarial content excise arbitrary spans). */
   def decontaminateSpans(train: DataFrame, evalDocs: DataFrame,
                          idCol: String, textCol: String,
-                         k: Int = 8, margin: Int = 8): DataFrame = {
+                         k: Int = 8, margin: Int = 8): DataFrame =
+    decontaminateSpansAgainst(spanEvalIndex(evalDocs, idCol, textCol, k),
+      train, idCol, textCol, k, margin)
+
+  /** The standing eval-gram index [[decontaminateSpans]] probes: the
+    * DISTINCT sha-256 k-gram hashes of the eval corpus. Benchmark-sized
+    * by construction (evals are thousands of docs, not billions), so it
+    * broadcasts — build it once and reuse it across training partitions
+    * / micro-batches (the streaming-ingest split, like phashIndex). */
+  def spanEvalIndex(evalDocs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame =
+    posGramRows(evalDocs, idCol, textCol, k).select(col("__gh")).distinct()
+
+  /** [[decontaminateSpans]] against a prebuilt [[spanEvalIndex]] — the
+    * probe half: per training doc, hit detection is one map-side
+    * left_semi against the broadcast index, and the cut/keep/fingerprint
+    * algebra depends ONLY on that doc's rows, so any partitioning of the
+    * training corpus (including micro-batches of a crawl stream) yields
+    * the same per-doc rows. `k` must match the index's gram width. */
+  def decontaminateSpansAgainst(evalIdx: DataFrame, train: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int = 8, margin: Int = 8): DataFrame = {
     require(k >= 2, s"span gram width must be >= 2, got $k")
     require(margin >= 0, s"guard margin must be >= 0, got $margin")
-    val evalIdx = posGramRows(evalDocs, idCol, textCol, k)
-      .select(col("__gh")).distinct()
     val hits = posGramRows(train, idCol, textCol, k)
-      .join(broadcast(evalIdx), Seq("__gh"), "left_semi")
+      .join(broadcast(evalIdx.select(col("__gh"))), Seq("__gh"), "left_semi")
     // cut window = the matched k tokens ± margin, clamped at the doc
     // start; the end needs no clamp — positions past the doc simply
     // match no token in the anti-join below

@@ -1716,6 +1716,33 @@ object DataOpsQueries {
           sum(when(col("keep"), col("id")).otherwise(0L)).as("keptIdSum"))
         .orderBy(col("stage"), col("lang"))
     },
+    // span decontamination through the STREAMING engine — the crawl-
+    // ingest shape: the eval 8-gram index pins once, the (leaked)
+    // training corpus arrives one parquet file per trigger, and because
+    // the cut/keep/fingerprint algebra is per-doc, the union of batch
+    // outputs must land on t35's batch oracle VERBATIM (shared string)
+    "t35_stream_parity" -> { (s, dir) =>
+      val tmp = graft.core.Caching.scratchDir("t35-stream")
+      val feedDir = tmp.resolve("feed").toString
+      val outDir = tmp.resolve("out").toString
+      val d = Tables.documents(s, dir)
+      val evalSlice = d.filter(col("doc_id") % 97 === 0L)
+        .select(col("doc_id"), col("text"))
+      d.filter(col("doc_id") % 97 =!= 0L)
+        .select(col("doc_id"), col("text"))
+        .unionByName(evalSlice.select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" " + T35LeakSuffix)).as("text")))
+        .repartition(8).write.parquet(feedDir)
+      val schema = s.read.parquet(feedDir).schema
+      val q = graft.streaming.Changefeed.streamingDecontaminate(
+        s.readStream.option("maxFilesPerTrigger", "1")
+          .schema(schema).parquet(feedDir),
+        evalSlice, "doc_id", "text", k = 8, margin = 8,
+        sink = (b, _) => b.write.mode("append").parquet(outDir))
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(outDir).orderBy(col("doc_id"))
+    },
     // CCNet-style rarity scoring: per-doc mean unigram surprisal under
     // the corpus's own unigram model, in INTEGER-EXACT floor-log2 bits
     // (floorLog2(n) = len(binary(n)) − 1 — no libm log, so both engines
@@ -2276,6 +2303,9 @@ object DataOpsQueries {
     // window, so any drift (hash input, budget split, tie order) fails
     // the shared string
     "t34_stream_parity" -> oraclesBase("t34_curriculum_mix"),
+    // per-doc decontamination summaries are batch-order-independent, so
+    // the streamed union must land on the batch oracle verbatim
+    "t35_stream_parity" -> oraclesBase("t35_decontaminate_spans"),
   )
 
   private lazy val oraclesBase: Map[String, String] = Map(

@@ -277,6 +277,31 @@ object Changefeed {
     }
   }
 
+  /** Streaming span decontamination: the twin of
+    * [[graft.functions.Dedup.decontaminateSpans]] — the crawl-ingest
+    * shape: the eval corpus's DISTINCT k-gram index
+    * ([[graft.functions.Dedup.spanEvalIndex]], benchmark-sized) pins
+    * once; each micro-batch of arriving training docs pays its own gram
+    * melt + one map-side left_semi probe against the broadcast index,
+    * and since the cut/keep/fingerprint algebra is per-doc, the union of
+    * batch outputs equals the batch operator on the union — O(batch) per
+    * trigger, no streaming state. */
+  def streamingDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 8, margin: Int = 8,
+                             sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.functions.Dedup
+    val idx = Dedup.spanEvalIndex(evalDocs, idCol, textCol, k)
+    withStandingFrame(idx, docs.sparkSession) { pinned =>
+      docs.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          sink(Dedup.decontaminateSpansAgainst(
+            pinned, batch.toDF(), idCol, textCol, k, margin), batchId)
+        }
+        .start()
+    }
+  }
+
   /** Streaming asset-ingest dedup: the streaming twin of
     * [[graft.multimodal.Multimodal.payloadDedupAgainst]]. The standing
     * corpus's asset index ([[graft.multimodal.Multimodal.payloadIndex]]

@@ -469,6 +469,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed span decontamination matches batch; eval index pinned across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, (1 to 10).map(i => s"s$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, ((1 to 5).map(i => s"u$i") ++ (1 to 10).map(i => s"s$i") ++
+        (1 to 20).map(i => s"v$i")).mkString(" ")),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (3L, "a b c"))
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.concurrent.TrieMap[Long, (Long, Long, Long, Long, String)]()
+    val q = Changefeed.streamingDecontaminate(
+      mem.toDF().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
+      k = 8, margin = 8,
+      sink = (out, _) => out.collect().foreach(r =>
+        acc(r.getLong(0)) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getString(5))))
+    try {
+      // the contaminated doc and a clean doc arrive in DIFFERENT
+      // triggers — the same pinned eval index serves both
+      mem.addData(train(0)); q.processAllAvailable()
+      mem.addData(train(1), train(2)); q.processAllAvailable()
+      val expect = graft.functions.Dedup.decontaminateSpans(
+          train.toDF("doc_id", "text"), evalDocs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getString(5)))).toMap
+      assert(acc.toMap == expect)
+      assert(acc(1L)._4 == 3L && acc(2L)._4 == 0L) // hits only where planted
+    } finally q.stop()
+  }
+
   test("native session_window: fragments merge across batches, close on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
