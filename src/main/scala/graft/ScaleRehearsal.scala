@@ -424,6 +424,55 @@ object ScaleRehearsal {
     println(s"[rehearsal] asof stream≡batch at 10x: ${asofStreamSum == batchAsof}" +
       s" (stream $asofStreamSum, batch $batchAsof)")
 
+    // sessionizer stream: the 10× event corpus through the per-user
+    // mapGroupsWithState sessionizer in 8 time-sliced triggers — state
+    // is O(users), per trigger cost O(batch); parity against the batch
+    // window-lag sessionization re-asserted at this scale
+    var sessStreamTotal = 0L
+    val tSess = time("sessionize STREAM (10x, 8 time-sliced triggers)") {
+      import spark.implicits._
+      import graft.streaming.Changefeed.{SessEvent, SessCount}
+      val feed = s"$scratch/sessfeed"
+      val se = ev10.select(col("key").as("user_id"), col("ts"))
+      val cuts = se.stat.approxQuantile("ts",
+        (1 to 7).map(_ / 8.0).toArray, 0.001).map(_.toLong)
+      val bounds = (Long.MinValue +: cuts.toSeq) :+ Long.MaxValue
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        se.filter(col("ts") >= lo && col("ts") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(f"$feed/slice$i%02d")
+      }
+      val stream = spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(se.schema).parquet(s"$feed/slice*").as[SessEvent]
+      // last state per user wins (update-mode running counters)
+      val fin = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+      val q = graft.streaming.Changefeed.streamingSessionize(stream)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[SessCount], _: Long) =>
+          b.collect().foreach(s => fin.put(s.user_id, (s.events, s.sessions)))
+          ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", s"$scratch/sess-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(s"[rehearsal]   sessionize stream: ${triggerStats(q)}")
+      sessStreamTotal = fin.values.asScala.map(_._2).sum
+      fin.size.toLong
+    }
+    val batchSessions = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key")).orderBy(col("ts"))
+      ev10.select(col("key"), col("ts"))
+        .withColumn("prevTs", lag(col("ts"), 1).over(w))
+        .withColumn("newSession", when(col("prevTs").isNull ||
+          col("ts") - col("prevTs") > 1800000000000L, 1L).otherwise(0L))
+        .agg(sum(col("newSession"))).head().getLong(0)
+    }
+    println(s"[rehearsal] sessionize stream≡batch at 10x: " +
+      s"${sessStreamTotal == batchSessions} (stream $sessStreamTotal, " +
+      s"batch $batchSessions)")
+
     // perceptual-dedup stream: standing third indexed once, the other
     // two-thirds arrive across triggers and probe the pinned index
     val tPhashS = time("m8 phash STREAM (10x, multi-trigger)") {
@@ -505,6 +554,58 @@ object ScaleRehearsal {
       agg.getLong(0)
     }
 
+    // ANN-ingest stream: the standing 10× corpus's IVF-PQ index built
+    // and MATERIALIZED once (localCheckpoint — foreachBatch re-executes
+    // lazy static plans per trigger, which would re-run the k-means),
+    // the arriving 1/7 slice probes it across 8 triggers — per trigger:
+    // batch cell ranking + residual LUT + one codes-table scan
+    val tAnnS = time("sim11 ANN-ingest STREAM (10x, multi-trigger)") {
+      import graft.functions.Vectors
+      val corpus = emb10.filter(col("vec_id") % 7 =!= 3)
+      val cent = Vectors.kmeansCentroids(corpus, nCells = 8, iters = 2)
+        .localCheckpoint()
+      val resid = Vectors.ivfResiduals(corpus, cent)
+      val residEmb = resid.select(col("vec_id"), col("embedding"))
+      val cb = Vectors.pqCodebook(residEmb, m = 8, dsub = 8, kCode = 4,
+        skip = 8).localCheckpoint()
+      val codes = Vectors.pqCodes(residEmb, cb, dsub = 8)
+        .join(resid.select(col("vec_id"), col("cellId")), Seq("vec_id"))
+        .localCheckpoint()
+      val feed = s"$scratch/annfeed"
+      emb10.filter(col("vec_id") % 7 === 3).repartition(8)
+        .write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(spark.read.parquet(feed).schema).parquet(feed)
+      val acc = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val q = graft.streaming.Changefeed.streamingAnnIngest(stream, codes,
+        cb, cent, dsub = 8, nProbe = 2, k = 3,
+        (out, id) => { acc.put(id, out.count()); () })
+      q.processAllAvailable(); q.stop()
+      println(s"[rehearsal]   ann stream: ${triggerStats(q)}")
+      acc.values.asScala.map(v => v: Long).sum
+    }
+
+    // t35 STREAM at 10×: the crawl-ingest twin — the eval index pins
+    // once, 8 triggers each decontaminate ~1/8 of the 500k-doc corpus;
+    // per-trigger cost must stay O(batch gram melt)
+    val tT35s = time("t35 decontaminate STREAM (10x, multi-trigger)") {
+      val feed = s"$scratch/t35feed"
+      val evalSlice = d.filter(col("doc_id") % 97 === 0L)
+        .select(col("doc_id"), col("text"))
+      d.filter(col("doc_id") % 97 =!= 0L)
+        .select(col("doc_id"), col("text"))
+        .repartition(24).write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.option("maxFilesPerTrigger", "3")
+        .schema(spark.read.parquet(feed).schema).parquet(feed)
+      val acc = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val q = graft.streaming.Changefeed.streamingDecontaminate(
+        stream, evalSlice, "doc_id", "text", k = 8, margin = 8,
+        sink = (res, id) => { acc.put(id, res.count()); () })
+      q.processAllAvailable(); q.stop()
+      println(s"[rehearsal]   t35 stream: ${triggerStats(q)}")
+      acc.values.asScala.map(v => v: Long).sum
+    }
+
     // t36/t37 packing at 10×: both are the shardShuffle shape — one
     // narrow hash shuffle + shard-local windows; skew and context count
     // printed so the balance/packing claims carry numbers
@@ -546,7 +647,8 @@ object ScaleRehearsal {
       "t32b" -> tT32b, "t32s" -> tT32s, "n5_stream" -> tN5s,
       "asof_stream" -> tAsof, "phash_stream" -> tPhashS,
       "langid_stream" -> tLangS, "t34" -> tT34, "t33b" -> tT33b,
-      "t35" -> tT35, "t36" -> tT36, "t37" -> tT37)
+      "sess_stream" -> tSess, "ann_stream" -> tAnnS,
+      "t35" -> tT35, "t35_stream" -> tT35s, "t36" -> tT36, "t37" -> tT37)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
         pathsDiff + resDiff + csDiff == 0},"sf":"$sfDir",""", ",", "}"))

@@ -863,6 +863,44 @@ class ScaleSpec extends SparkSpec {
     assert(out.count() == 100L)
   }
 
+  test("packing family plans one narrow hash exchange, no global sort or single partition") {
+    val docs = (1L to 500L).map(i => (i, (i * 7) % 50 + 1)).toDF("doc_id", "tok")
+    val shaped = Seq(
+      "balancedPack" -> graft.functions.Shuffles
+        .balancedPack(docs, "doc_id", "tok", nShards = 8, nBins = 4),
+      "contextPack" -> graft.functions.Shuffles
+        .contextPack(docs, "doc_id", "tok", ctxLen = 64L, nShards = 8))
+    for ((name, df) <- shaped) {
+      assert(df.count() == 500)
+      val p = df.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$name must pay exactly the one shard exchange:\n$p")
+      assert(!p.contains("rangepartitioning") && !p.contains("SinglePartition"),
+        s"$name must never global-sort or single-partition:\n$p")
+    }
+  }
+
+  test("span decontamination probes the eval index by broadcast semi-join only") {
+    val evalDocs = Seq((100L, (1 to 12).map(i => s"s$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val train = (1L to 50L).map(i => (i,
+      (1 to 30).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+      .union(Seq((99L, (1 to 12).map(i => s"s$i").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val out = graft.functions.Dedup.decontaminateSpans(
+      train, evalDocs, "doc_id", "text")
+    assert(out.count() == 51)
+    val p = out.queryExecution.executedPlan.toString
+    // the gram probe is map-side: a broadcast LeftSemi, never a shuffled
+    // one (a SortMergeJoin LeftSemi would shuffle the full gram melt on
+    // gram hash — the corpus × eval shape the design forbids)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"probe must be a broadcast semi:\n$p")
+    assert(!"SortMergeJoin.*LeftSemi".r.findFirstIn(p).isDefined &&
+      !p.contains("CartesianProduct"),
+      s"no shuffled semi or cartesian:\n$p")
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
