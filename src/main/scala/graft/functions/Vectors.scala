@@ -52,6 +52,41 @@ object Vectors {
       .select(col("qid"), col("nid"), col("cosine"), col("rank"))
   }
 
+  /** k-NN label classification over the embedding column — the
+    * curation-classifier eval shape (label a slice by its exact cosine
+    * neighbors; DCLM/FineWeb-Edu-style quality routing uses the same
+    * vote once labels mean "curated"): majority vote over the
+    * [[knnBrute]] top-k, ties broken (votes DESC, label ASC) so the
+    * prediction is total and engine-portable. Queries vote among the
+    * corpus EXCLUDING themselves (knnBrute's qid ≠ nid contract).
+    * Returns (qid, trueLabel, predLabel, votes, correct).
+    *
+    * Scale shape: the top-k frame is queries×k rows — broadcast it into
+    * the corpus-sized label join (never the reverse); the vote itself is
+    * a queries×k-bounded aggregate. At index scale the same vote runs on
+    * [[ivfPqProbe]]'s (qid, nid, rank) output instead of the brute
+    * frame — the serve path swaps in without touching the tally. */
+  def knnClassify(emb: DataFrame, queryPred: Column, k: Int,
+                  labelCol: String = "label"): DataFrame = {
+    val labels = emb.select(col("vec_id").as("nid"),
+      col(labelCol).cast("long").as("nlabel"))
+    val tally = labels
+      .join(broadcast(knnBrute(emb, queryPred, k).select(col("qid"), col("nid"))),
+        Seq("nid"))
+      .groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("nlabel").asc)
+    val pred = tally.withColumn("__rk", row_number().over(wv))
+      .filter(col("__rk") === 1)
+      .select(col("qid"), col("nlabel").as("predLabel"), col("votes"))
+    emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col(labelCol).cast("long").as("trueLabel"))
+      .join(pred, Seq("qid"))
+      .withColumn("correct",
+        when(col("predLabel") === col("trueLabel"), 1L).otherwise(0L))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane j, dim k:
     * (((j*31 + k*17 + j*k*13) % 101) % 7) - 3 — integers, identical in
     * any engine. The j·k cross term matters: a form linear in j and k

@@ -616,6 +616,16 @@ object DataOpsQueries {
       Vectors.knnBrute(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
+    // k-NN label classification: majority vote over the exact cosine
+    // top-5 (ties → votes DESC, label ASC), the curation-classifier
+    // eval — queries vote among the corpus excluding themselves, and
+    // the queries×k top-k frame broadcasts into the label join (never
+    // the corpus-sized reverse)
+    "sim13_knn_classify" -> { (s, dir) =>
+      Vectors.knnClassify(Tables.embeddings(s, dir),
+          col("vec_id") % 100 === 0, k = 5)
+        .orderBy(col("qid"))
+    },
     // LSH-bucketed ANN near-duplicate pairs
     "sim2_ann_lsh" -> { (s, dir) =>
       Vectors.annPairs(Tables.embeddings(s, dir), dims = 64, minCosine = 0.2)
@@ -3196,6 +3206,29 @@ object DataOpsQueries {
         |$BruteSql
         |SELECT qid, nid, cosine, rank FROM bruteRanked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // majority vote over the same brute top-5 chain: tally neighbor
+    // labels per query, pick (votes DESC, label ASC)
+    "sim13_knn_classify" ->
+      s"""WITH $NormsSql,
+        |$BruteSql,
+        |topk AS (SELECT qid, nid FROM bruteRanked WHERE rank <= 5),
+        |tally AS (
+        |  SELECT t.qid, CAST(e.label AS BIGINT) AS nlabel,
+        |    COUNT(*) AS votes
+        |  FROM topk t JOIN embeddings e ON e.vec_id = t.nid
+        |  GROUP BY t.qid, CAST(e.label AS BIGINT)),
+        |pick AS (
+        |  SELECT qid, nlabel, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, nlabel ASC) AS rk
+        |  FROM tally)
+        |SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS trueLabel,
+        |  p.nlabel AS predLabel, CAST(p.votes AS BIGINT) AS votes,
+        |  CAST(CASE WHEN p.nlabel = CAST(q.label AS BIGINT)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM embeddings q JOIN pick p ON p.qid = q.vec_id AND p.rk = 1
+        |WHERE q.vec_id % 100 = 0
+        |ORDER BY qid""".stripMargin,
     // the same md5-parity sign matrix, scaled-long ± sums, reduced-space
     // top-1 vs the full-space truth over the twin-planted corpus (the
     // shared Norms/Brute CTEs read the bare table, so this entry carries

@@ -397,6 +397,30 @@ class DataOpsSpec extends SparkSpec {
     assert(out.last.head == 4L) // opposite vector ranks last
   }
 
+  test("knn classify: majority label wins, ties break to the smaller label, self excluded") {
+    // query 100 (label 9): neighbors by cosine are 2,3 (label 1) and 4,5
+    // (label 2) all at cosine 1, then 6 (label 2) lower — k=4 tallies
+    // 1×2 vs 2×2, tie → label 1; k=5 adds 6 → label 2 wins 3:2
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f), 9),
+      (2L, Array(2.0f, 0.0f), 1), (3L, Array(3.0f, 0.0f), 1),
+      (4L, Array(4.0f, 0.0f), 2), (5L, Array(5.0f, 0.0f), 2),
+      (6L, Array(1.0f, 0.5f), 2),
+    ).toDF("vec_id", "embedding", "label")
+    val k4 = rows(Vectors.knnClassify(emb, col("vec_id") === 100L, k = 4)
+      .select(col("qid"), col("trueLabel"), col("predLabel"), col("votes"),
+        col("correct")))
+    assert(k4 == Seq(Seq(100L, 9L, 1L, 2L, 0L)), s"got $k4")
+    val k5 = rows(Vectors.knnClassify(emb, col("vec_id") === 100L, k = 5)
+      .select(col("predLabel"), col("votes"), col("correct")))
+    assert(k5 == Seq(Seq(2L, 3L, 0L)), s"got $k5")
+    // query 2 (label 1), k=2: cosine-1 ties order by nid → neighbors 3
+    // (label 1) and 4 (label 2), 1:1 vote tie → label 1 → correct
+    val own = rows(Vectors.knnClassify(emb, col("vec_id") === 2L, k = 2)
+      .select(col("predLabel"), col("votes"), col("correct")))
+    assert(own == Seq(Seq(1L, 1L, 1L)), s"got $own")
+  }
+
   test("JL projection: md5 signs match Spark's md5, basis vectors project to sign rows") {
     // the Scala-side sign generator and the engine's md5 must agree —
     // the oracle regenerates the matrix from the same strings
