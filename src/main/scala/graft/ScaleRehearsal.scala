@@ -276,6 +276,33 @@ object ScaleRehearsal {
         col("vec_id") % 1000 === 0, inDims = 64, outDims = 16)
         .filter(col("matched")).count()
     }
+    // k-NN label classification at 10×: the SAME majority tally over
+    // the brute top-5 and over the IVF-PQ-served top-5 — the serve path
+    // must agree with the oracle path on most predictions (recall loss
+    // is the accept dial, the sim10 contract applied to the vote)
+    val tSim13 = time("sim13 knnClassify (10x, brute vs ivfpq)") {
+      import graft.functions.Vectors
+      val embL = (0 until copies).map { k =>
+        graft.core.Tables.embeddings(spark, sfDir)
+          .select((col("vec_id") + lit(k * Off)).as("vec_id"),
+            col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      val qp = col("vec_id") % 1000 === 0
+      val brute = Vectors.knnClassify(embL, qp, k = 5)
+        .select(col("qid"), col("predLabel").as("bp"), col("correct").as("bc"))
+      val served = Vectors.knnClassifyFrom(
+        Vectors.ivfPqSearch(embL, nCells = 8, nProbe = 2, qp, k = 5,
+          m = 8, dsub = 8, kCode = 4, iters = 2), embL, qp)
+        .select(col("qid"), col("predLabel").as("ip"), col("correct").as("ic"))
+      val agg = brute.join(served, Seq("qid"))
+        .agg(count(lit(1)), sum(col("bc")), sum(col("ic")),
+          sum(when(col("bp") === col("ip"), 1L).otherwise(0L))).head()
+      println(s"[rehearsal]   sim13: queries=${agg.getLong(0)} " +
+        s"bruteCorrect=${agg.getLong(1)} ivfCorrect=${agg.getLong(2)} " +
+        s"agree=${agg.getLong(3)}")
+      agg.getLong(0)
+    }
+
     // temperature mixing at 10×: ONE source-bounded totals collect +
     // integer-exact α = 3/10 budgets + the sharded admission — each
     // (source, shard) window stays corpus/nShards-bounded whatever the
@@ -647,7 +674,7 @@ object ScaleRehearsal {
       "t32b" -> tT32b, "t32s" -> tT32s, "n5_stream" -> tN5s,
       "asof_stream" -> tAsof, "phash_stream" -> tPhashS,
       "langid_stream" -> tLangS, "t34" -> tT34, "t33b" -> tT33b,
-      "sess_stream" -> tSess, "ann_stream" -> tAnnS,
+      "sess_stream" -> tSess, "ann_stream" -> tAnnS, "sim13" -> tSim13,
       "t35" -> tT35, "t35_stream" -> tT35s, "t36" -> tT36, "t37" -> tT37)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${

@@ -67,12 +67,19 @@ object Vectors {
     * [[ivfPqProbe]]'s (qid, nid, rank) output instead of the brute
     * frame — the serve path swaps in without touching the tally. */
   def knnClassify(emb: DataFrame, queryPred: Column, k: Int,
-                  labelCol: String = "label"): DataFrame = {
+                  labelCol: String = "label"): DataFrame =
+    knnClassifyFrom(knnBrute(emb, queryPred, k), emb, queryPred, labelCol)
+
+  /** The majority vote of [[knnClassify]] over ANY prebuilt (qid, nid)
+    * neighbor frame — the serve-path split: hand it [[ivfPqProbe]]'s
+    * output and the index classifies at scale with the identical tally
+    * (brute is the recall oracle, exactly the sim1-vs-sim10 contract). */
+  def knnClassifyFrom(topk: DataFrame, emb: DataFrame, queryPred: Column,
+                      labelCol: String = "label"): DataFrame = {
     val labels = emb.select(col("vec_id").as("nid"),
       col(labelCol).cast("long").as("nlabel"))
     val tally = labels
-      .join(broadcast(knnBrute(emb, queryPred, k).select(col("qid"), col("nid"))),
-        Seq("nid"))
+      .join(broadcast(topk.select(col("qid"), col("nid"))), Seq("nid"))
       .groupBy(col("qid"), col("nlabel"))
       .agg(count(lit(1)).as("votes"))
     val wv = Window.partitionBy(col("qid"))
