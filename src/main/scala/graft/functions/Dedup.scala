@@ -416,6 +416,25 @@ object Dedup {
       .filter(col("sharedShingles") >= minShared)
   }
 
+  /** Asymmetric shingle CONTAINMENT (Broder 1997, "On the resemblance
+    * and containment of documents"): alongside [[ngramJaccard]]'s
+    * symmetric resemblance, containA = |S(A)∩S(B)| / |S(A)| — 1.0 when
+    * doc A's shingles all appear in B (A is an excerpt/quote of B) even
+    * though the pair's Jaccard is far below any dup threshold. The
+    * measure quote-detection and doc-inside-doc dedup need and Jaccard
+    * structurally cannot express (a half-doc excerpt caps at J ≈ 0.5).
+    * Same scale shape as [[ngramJaccard]] (this IS that pipeline plus
+    * two ratio columns): candidate-pair-bounded intersection counts,
+    * doc-keyed size aggregate, LEFT joins so a shingle-less candidate
+    * doc scores NULL rather than vanishing. */
+  def shingleContainment(df: DataFrame, idCol: String, textCol: String,
+                         candidates: DataFrame): DataFrame =
+    ngramJaccard(df, idCol, textCol, candidates)
+      .withColumn("containA",
+        when(col("szA") > 0L, col("inter").cast("double") / col("szA")))
+      .withColumn("containB",
+        when(col("szB") > 0L, col("inter").cast("double") / col("szB")))
+
   /** SPAN-level decontamination — the GPT-3 recipe (Brown et al. 2020,
     * appendix C): instead of dropping a whole training document that
     * overlaps the eval set ([[contamination]] / t6), every training

@@ -611,6 +611,33 @@ object DataOpsQueries {
         .select(col("id1"), col("id2"), col("jaccard"))
         .orderBy(col("id1"), col("id2"))
     },
+    // asymmetric shingle containment (Broder 1997): every %89 doc gets
+    // a planted half-excerpt twin (first ⌈n/2⌉ tokens, id + 3000000) —
+    // the pair's containB lands at 1.0 while its Jaccard sits near 0.5,
+    // the doc-inside-doc signal Jaccard structurally misses; candidates
+    // = the d2 LSH pairs ∪ the planted pairs, scored over the corpus
+    // plus the excerpts. Excerpts shorter than the shingle width keep
+    // their pair with NULL ratios (the d4 LEFT-join contract).
+    "d17_containment" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val ex = c.filter(col("doc_id") % 89 === 0)
+        .withColumn("__w", TextFunctions.tokens(col("text")))
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          expr("array_join(slice(__w, 1, cast(ceil(size(__w) / 2.0) as int)), ' ')")
+            .as("text"))
+      val scored = c.unionByName(ex)
+      val cand = Dedup.lshCandidates(c, "doc_id", "text")
+        .filter(col("estJaccard") >= 0.25)
+        .select(col("id1"), col("id2"))
+        .unionByName(c.filter(col("doc_id") % 89 === 0)
+          .select(col("doc_id").as("id1"),
+            (col("doc_id") + 3000000L).as("id2")))
+        .distinct()
+      Dedup.shingleContainment(scored, "doc_id", "text", cand)
+        .select(col("id1"), col("id2"), col("inter"), col("szA"),
+          col("szB"), col("jaccard"), col("containA"), col("containB"))
+        .orderBy(col("id1"), col("id2"))
+    },
     // brute-force cosine top-k neighbors
     "sim1_knn_brute" -> { (s, dir) =>
       Vectors.knnBrute(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
@@ -3200,6 +3227,54 @@ object DataOpsQueries {
         |WHERE COALESCE(sa.sz,0) + COALESCE(sb.sz,0) - COALESCE(i.i,0) > 0
         |  AND CAST(COALESCE(i.i,0) AS DOUBLE) /
         |    (COALESCE(sa.sz,0) + COALESCE(sb.sz,0) - COALESCE(i.i,0)) >= 0.5
+        |ORDER BY c.id1, c.id2""".stripMargin,
+    // containment: d4's intersection/size algebra over corpus ∪ planted
+    // half-excerpts, candidates = LSH pairs ∪ planted pairs; the two
+    // asymmetric ratios alongside the symmetric Jaccard
+    "d17_containment" ->
+      s"""WITH $MinhashSql,
+        |ex AS (
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    array_to_string(w[1:CAST(ceil(len(w) / 2.0) AS INT)], ' ') AS text
+        |  FROM words WHERE doc_id % 89 = 0),
+        |exw AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM ex),
+        |exsh AS (
+        |  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 3
+        |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]
+        |    ELSE [] END) AS shingle
+        |  FROM exw),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM sh
+        |  UNION
+        |  SELECT DISTINCT doc_id, shingle FROM exsh),
+        |szs AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT id1, id2 FROM pairs WHERE estJaccard >= 0.25
+        |  UNION
+        |  SELECT doc_id AS id1, doc_id + 3000000 AS id2
+        |  FROM corpus WHERE doc_id % 89 = 0),
+        |icnt AS (
+        |  SELECT c.id1, c.id2, COUNT(*) AS i FROM cand c
+        |  JOIN dsh a ON a.doc_id = c.id1
+        |  JOIN dsh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+        |  GROUP BY c.id1, c.id2)
+        |SELECT c.id1, c.id2,
+        |  CAST(COALESCE(i.i, 0) AS BIGINT) AS inter,
+        |  CAST(COALESCE(sa.sz, 0) AS BIGINT) AS szA,
+        |  CAST(COALESCE(sb.sz, 0) AS BIGINT) AS szB,
+        |  CASE WHEN COALESCE(sa.sz,0) + COALESCE(sb.sz,0) - COALESCE(i.i,0) > 0
+        |    THEN CAST(COALESCE(i.i,0) AS DOUBLE) /
+        |      (COALESCE(sa.sz,0) + COALESCE(sb.sz,0) - COALESCE(i.i,0)) END
+        |    AS jaccard,
+        |  CASE WHEN COALESCE(sa.sz,0) > 0
+        |    THEN CAST(COALESCE(i.i,0) AS DOUBLE) / sa.sz END AS containA,
+        |  CASE WHEN COALESCE(sb.sz,0) > 0
+        |    THEN CAST(COALESCE(i.i,0) AS DOUBLE) / sb.sz END AS containB
+        |FROM cand c
+        |LEFT JOIN icnt i ON i.id1 = c.id1 AND i.id2 = c.id2
+        |LEFT JOIN szs sa ON sa.doc_id = c.id1
+        |LEFT JOIN szs sb ON sb.doc_id = c.id2
         |ORDER BY c.id1, c.id2""".stripMargin,
     "sim1_knn_brute" ->
       s"""WITH $NormsSql,

@@ -617,6 +617,26 @@ class DataOpsSpec extends SparkSpec {
       Seq(5L, 3L, 3L, 0L, md5hex("a b c"))))
   }
 
+  test("shingle containment: excerpt hits 1.0 on its side while jaccard stays low") {
+    import graft.functions.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // 6 shingles
+      (2L, "a b c d"),         // 2 shingles, both inside doc 1
+      (3L, "x y z w"),         // 2 shingles, disjoint from doc 1
+      (4L, "q r"),             // below shingle width: NO shingles
+    ).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val out = rows(Dedup.shingleContainment(docs, "doc_id", "text", cand)
+      .select(col("id1"), col("id2"), col("inter"), col("szA"), col("szB"),
+        col("jaccard"), col("containA"), col("containB"))
+      .orderBy(col("id2")))
+    assert(out(0) == Seq(1L, 2L, 2L, 6L, 2L, 2.0 / 6, 2.0 / 6, 1.0), s"got $out")
+    assert(out(1) == Seq(1L, 3L, 0L, 6L, 2L, 0.0, 0.0, 0.0))
+    // shingle-less candidate keeps its row; its side's ratio is NULL,
+    // never a guessed zero (the d4 LEFT-join contract)
+    assert(out(2) == Seq(1L, 4L, 0L, 6L, 0L, 0.0, 0.0, null))
+  }
+
   test("decontaminateSpans: eval grams excised with clamped margin, clean docs untouched") {
     import graft.functions.Dedup
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
