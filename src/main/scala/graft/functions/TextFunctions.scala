@@ -68,6 +68,41 @@ object TextFunctions {
   def approxTokenCount(nChars: Column): Column =
     ceil(nChars.cast("double") / 4.0).cast("long")
 
+  /** Sliding-window chunking — the RAG/embedding-ingest shape: each doc
+    * splits into `width`-token windows advancing by `stride` tokens
+    * (stride < width ⇒ the standard overlap that keeps a fact spanning a
+    * boundary retrievable from at least one chunk). One row per (doc,
+    * chunk): chunkIdx, startTok (0-based), nTok (the tail chunk runs
+    * short), chunkHash = md5 of the window's tokens space-joined — the
+    * dedup/index key downstream, hashable without shipping chunk text.
+    * A doc with n ≤ width tokens yields ONE chunk; an empty doc yields
+    * none. Last start = stride·⌈(n−width)/stride⌉, so every token lands
+    * in ≥ 1 chunk and no window starts at or past the end.
+    *
+    * Scale shape: embarrassingly parallel — tokenize + one bounded
+    * per-doc explode (⌈(n−width)/stride⌉ + 1 rows), NO shuffle anywhere;
+    * at 100 TB this is pure map work that scales with executor count.
+    * Column math only (sequence/slice/array_join), codegen-friendly. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   width: Int, stride: Int): DataFrame = {
+    require(width >= 1, s"chunk width must be >= 1, got $width")
+    require(stride >= 1 && stride <= width,
+      s"stride must be in [1, width], got $stride (width $width)")
+    df.withColumn("__w", tokens(col(textCol)))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      .filter(col("__n") > 0L)
+      .withColumn("chunkIdx", explode(sequence(lit(0L),
+        ceil((greatest(col("__n") - width, lit(0L))).cast("double") / stride)
+          .cast("long"))))
+      .withColumn("startTok", col("chunkIdx") * stride)
+      .withColumn("nTok", least(lit(width.toLong), col("__n") - col("startTok")))
+      .withColumn("chunkHash", md5(array_join(
+        slice(col("__w"), (col("startTok") + 1L).cast("int"), col("nTok").cast("int")),
+        " ")))
+      .select(col(idCol), col("chunkIdx"), col("startTok"), col("nTok"),
+        col("chunkHash"))
+  }
+
   /** Document fingerprint: bottom-4 sketch of the distinct-token md5 set
     * (a deterministic min-hash-style content signature). */
   def fingerprint(text: Column): Column =

@@ -1646,6 +1646,15 @@ object DataOpsQueries {
           col("streamStart"), col("startCtx"), col("endCtx"), col("nCtx"))
         .orderBy(col("doc_id"))
     },
+    // sliding-window chunking — the RAG/embedding-ingest shape: 32-token
+    // windows advancing by 24 (8-token overlap), tail chunk short, one
+    // chunk for n ≤ 32, md5 chunk hashes as the downstream index key;
+    // pure map work (tokenize + bounded per-doc explode, no shuffle)
+    "t38_chunk_windows" -> { (s, dir) =>
+      TextFunctions.chunkWindows(Tables.documents(s, dir), "doc_id", "text",
+          width = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunkIdx"))
+    },
     // the admission family through the STREAMING engine: the corpus is
     // dumped to parquet partitioned so no (source, shard) ledger group
     // spans files, ingested back one file per trigger, and the stateful
@@ -4316,6 +4325,26 @@ object DataOpsQueries {
         |       // SUM(binTokens) OVER (PARTITION BY shard) AS BIGINT)
         |    AS shardSkewPpm
         |FROM g ORDER BY shard, bin""".stripMargin,
+    // sliding-window chunks: range-explode per doc, end-inclusive list
+    // slice w[s+1 : s+nTok], md5 over the space-joined window
+    "t38_chunk_windows" ->
+      """WITH wd AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, w,
+        |    UNNEST(range(0,
+        |      CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) + 1)) AS chunkIdx
+        |  FROM wd WHERE n > 0)
+        |SELECT doc_id, CAST(chunkIdx AS BIGINT) AS chunkIdx,
+        |  CAST(chunkIdx * 24 AS BIGINT) AS startTok,
+        |  CAST(least(32, n - chunkIdx * 24) AS BIGINT) AS nTok,
+        |  md5(array_to_string(
+        |    w[CAST(chunkIdx * 24 + 1 AS INT):
+        |      CAST(chunkIdx * 24 + least(32, n - chunkIdx * 24) AS INT)],
+        |    ' ')) AS chunkHash
+        |FROM c ORDER BY doc_id, chunkIdx""".stripMargin,
     // context packing: the t12 hkey ladder (salt ctx0) → per-shard
     // exclusive running sum of (tok + 1 EOD) in (hkey, id) order →
     // context ids by integer division on the 512-token grid

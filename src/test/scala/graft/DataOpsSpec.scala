@@ -617,6 +617,37 @@ class DataOpsSpec extends SparkSpec {
       Seq(5L, 3L, 3L, 0L, md5hex("a b c"))))
   }
 
+  test("chunk windows: overlap, short tail, single chunk at n<=width, empty doc none") {
+    import graft.functions.TextFunctions
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // w=4,s=3: chunks at 0,3,6 → last covers 7..10
+      (2L, "a b c"),                                  // n=3 ≤ width → one chunk
+      (3L, ""),                                       // empty → none
+    ).toDF("doc_id", "text")
+    val out = rows(TextFunctions.chunkWindows(docs, "doc_id", "text",
+      width = 4, stride = 3).orderBy(col("doc_id"), col("chunkIdx")))
+    val d1 = out.filter(_.head == 1L)
+    assert(d1.map(r => (r(1), r(2), r(3))) ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)), s"got $out")
+    assert(d1.head(4) == md5hex("t1 t2 t3 t4"))
+    assert(d1.last(4) == md5hex("t7 t8 t9 t10"))
+    assert(out.filter(_.head == 2L) == Seq(Seq(2L, 0L, 0L, 3L, md5hex("a b c"))))
+    assert(!out.exists(_.head == 3L))
+    // n=11 with the same grid: the tail chunk runs SHORT (start 9, 2 toks)
+    val tail = rows(TextFunctions.chunkWindows(
+      Seq((9L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", width = 4, stride = 3)
+      .orderBy(col("chunkIdx")).select(col("startTok"), col("nTok")))
+    assert(tail == Seq(Seq(0L, 4L), Seq(3L, 4L), Seq(6L, 4L), Seq(9L, 2L)),
+      s"got $tail")
+    // pure map work: the chunker itself plans with NO exchange at all
+    val plan = TextFunctions.chunkWindows(docs, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("shingle containment: excerpt hits 1.0 on its side while jaccard stays low") {
     import graft.functions.Dedup
     val docs = Seq(
