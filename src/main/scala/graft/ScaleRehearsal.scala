@@ -389,11 +389,12 @@ object ScaleRehearsal {
     // (the time-ordered-triggers ingest contract); parity against the
     // batch operator is re-asserted at this scale via the match checksum
     import graft.streaming.Changefeed.{AsofEvent, AsofMatch}
-    val ev10 = (0 until copies).map { k =>
+    val evRaw10 = (0 until copies).map { k =>
       spark.table("events")
         .withColumn("user_id", col("user_id") + lit(k * Off))
         .withColumn("event_id", col("event_id") + lit(k * Off))
     }.reduce(_ unionByName _)
+    val ev10 = evRaw10
       .select(col("user_id").as("key"), col("ts"),
         when(col("event_type") === "view", 0).otherwise(1).as("side"),
         when(col("event_type") === "view", 0L).otherwise(col("event_id")).as("id"),
@@ -581,6 +582,66 @@ object ScaleRehearsal {
       agg.getLong(0)
     }
 
+    // range-join stream: arriving clicks attribute against the standing
+    // 10× purchase-window table — the pre-bucketized interval frame pins
+    // once, each trigger pays its own bucket keying + bucket-local join
+    val tRangeS = time("e8 range-join STREAM (10x, multi-trigger)") {
+      val iv = evRaw10.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("wstart"),
+          (col("ts") + lit(6L * 3600L * 1000000000L)).as("wend"))
+      val feed = s"$scratch/rangefeed"
+      evRaw10.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        .repartition(24).write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.option("maxFilesPerTrigger", "3")
+        .schema(spark.read.parquet(feed).schema).parquet(feed)
+      val acc = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val q = graft.streaming.Changefeed.streamingRangeJoin(stream, iv,
+        "user_id", "ts", "wstart", "wend",
+        bucketNs = 6L * 3600L * 1000000000L,
+        (res, id) => { acc.put(id, res.count()); () })
+      q.processAllAvailable(); q.stop()
+      println(s"[rehearsal]   range stream: ${triggerStats(q)}")
+      acc.values.asScala.map(v => v: Long).sum
+    }
+
+    // incremental-LSH stream: the standing third's banded signature
+    // index pins once, the arriving two-thirds classify per trigger
+    val tLshS = time("d10 incr-LSH STREAM (10x, multi-trigger)") {
+      val standing = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val feed = s"$scratch/lshfeed"
+      d.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"))
+        .repartition(24).write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.option("maxFilesPerTrigger", "3")
+        .schema(spark.read.parquet(feed).schema).parquet(feed)
+      val acc = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val q = graft.streaming.Changefeed.streamingIncrementalLsh(stream,
+        standing, "doc_id", "text",
+        (res, id) => { acc.put(id, res.count()); () })
+      q.processAllAvailable(); q.stop()
+      println(s"[rehearsal]   lsh stream: ${triggerStats(q)}")
+      acc.values.asScala.map(v => v: Long).sum
+    }
+
+    // payload-dedup stream: the standing third's whole+chunk hash index
+    // pins once, arriving media classify exact/near/unique per trigger
+    val tPayS = time("m-payload dedup STREAM (10x, multi-trigger)") {
+      val standing = media10.filter(col("doc_id") % 3 === 0)
+      val feed = s"$scratch/payfeed"
+      media10.filter(col("doc_id") % 3 =!= 0)
+        .repartition(24).write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.option("maxFilesPerTrigger", "3")
+        .schema(spark.read.parquet(feed).schema).parquet(feed)
+      val acc = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val q = graft.streaming.Changefeed.streamingPayloadDedup(stream,
+        standing, "doc_id", (res, id) => { acc.put(id, res.count()); () })
+      q.processAllAvailable(); q.stop()
+      println(s"[rehearsal]   payload stream: ${triggerStats(q)}")
+      acc.values.asScala.map(v => v: Long).sum
+    }
+
     // ANN-ingest stream: the standing 10× corpus's IVF-PQ index built
     // and MATERIALIZED once (localCheckpoint — foreachBatch re-executes
     // lazy static plans per trigger, which would re-run the k-means),
@@ -675,6 +736,8 @@ object ScaleRehearsal {
       "asof_stream" -> tAsof, "phash_stream" -> tPhashS,
       "langid_stream" -> tLangS, "t34" -> tT34, "t33b" -> tT33b,
       "sess_stream" -> tSess, "ann_stream" -> tAnnS, "sim13" -> tSim13,
+      "range_stream" -> tRangeS, "lsh_stream" -> tLshS,
+      "payload_stream" -> tPayS,
       "t35" -> tT35, "t35_stream" -> tT35s, "t36" -> tT36, "t37" -> tT37)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
