@@ -787,6 +787,20 @@ object DataOpsQueries {
           iters = 2, pqIters = 0, corpusPred = col("vec_id") % 7 =!= 3)
         .orderBy(col("qid"), col("rank"))
     },
+    // the k-NN vote SERVED BY the IVF-PQ index (sim13's serve path,
+    // differentially gated end-to-end: coarse quantizer + residual
+    // codebook + ADC ranking + majority vote all replayed by the
+    // oracle) — sim11's incremental-ingest split: the %7≠3 corpus
+    // trains and populates, the %7=3 batch probes and classifies
+    "sim14_knn_classify_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Vectors.knnClassifyFrom(
+          Vectors.ivfPqSearch(emb, nCells = 8, nProbe = 2,
+            col("vec_id") % 7 === 3, k = 3, m = 8, dsub = 8, kCode = 4,
+            iters = 2, pqIters = 0, corpusPred = col("vec_id") % 7 =!= 3),
+          emb, col("vec_id") % 7 === 3)
+        .orderBy(col("qid"))
+    },
     // language ID heuristic
     "t1_lang_id" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -3457,6 +3471,30 @@ object DataOpsQueries {
                     queryFilter = "vec_id % 7 = 3")}
         |SELECT qid, vec_id AS nid, adcDist, rank FROM ivfadcRanked
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // the served vote: sim11's full IVF-PQ oracle chain, then the
+    // sim13 tally on the ADC top-3
+    "sim14_knn_classify_ivf" ->
+      s"""WITH $NormsSql,
+        |${ivfPqSql(2, trainFilter = "vec_id % 7 <> 3",
+                    corpusFilter = "vec_id % 7 <> 3",
+                    queryFilter = "vec_id % 7 = 3")},
+        |topk AS (SELECT qid, vec_id AS nid FROM ivfadcRanked WHERE rank <= 3),
+        |tally AS (
+        |  SELECT t.qid, CAST(e.label AS BIGINT) AS nlabel, COUNT(*) AS votes
+        |  FROM topk t JOIN embeddings e ON e.vec_id = t.nid
+        |  GROUP BY t.qid, CAST(e.label AS BIGINT)),
+        |pick AS (
+        |  SELECT qid, nlabel, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, nlabel ASC) AS rk
+        |  FROM tally)
+        |SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS trueLabel,
+        |  p.nlabel AS predLabel, CAST(p.votes AS BIGINT) AS votes,
+        |  CAST(CASE WHEN p.nlabel = CAST(q.label AS BIGINT)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM embeddings q JOIN pick p ON p.qid = q.vec_id AND p.rk = 1
+        |WHERE q.vec_id % 7 = 3
+        |ORDER BY qid""".stripMargin,
     "t1_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
