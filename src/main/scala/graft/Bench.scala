@@ -25,10 +25,13 @@ import org.apache.spark.sql.SparkSession
   * per-query min/median/max spread is printed in the same JSON line so a
   * contaminated run is visible. A whole-run drift guard on top: when the
   * full views-layout set's contract total exceeds the committed
-  * reference (tools/bench_reference.json) by >15%, the entire set
+  * reference (tools/bench_reference.json) by >10%, the entire set
   * re-runs once and each query keeps its faster window — the per-query
   * guard cannot see a run that lands wholly in a slow window (the r14
-  * canonical artifact read 25% above a same-tree pair). */
+  * canonical artifact read 25% above a same-tree pair; the r15 one
+  * slipped a +13.8% window through the original 15% trigger while the
+  * round's own paired runs put the uniform box-dip magnitude at 8-11%,
+  * so the threshold sits at the top of that band). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,7 +150,10 @@ object Bench {
     // pair with contended=false on every line. The committed reference
     // total (tools/bench_reference.json, re-pinned each round from an
     // idle-box views run) is the cross-run signal: when the full
-    // headline set's contract total exceeds it by >15%, the WHOLE set
+    // headline set's contract total exceeds it by >10% (r16: was 15%,
+    // which let r15's +13.8% end-of-session window become the canonical
+    // artifact — the measured uniform box-dip magnitude is 8-11%, so
+    // the trigger now sits at that band's top), the WHOLE set
     // re-runs once and each query reports its faster window (slow
     // windows only ever inflate; the union of runs stays in `spread`).
     // Guarded only on the canonical shape (views layout, full set) so
@@ -164,11 +170,11 @@ object Bench {
       } catch { case _: Throwable => None }
     val crossRunRetry = layout == "views" && only.isEmpty &&
       !results.exists(_._3) &&
-      refTotal.exists(r => contractTotal(results) > r * 1.15)
+      refTotal.exists(r => contractTotal(results) > r * 1.10)
     if (crossRunRetry) {
       System.err.println(s"[bench] cross-run guard: contract total " +
         f"${contractTotal(results)}%.2f s exceeds the pinned reference " +
-        f"${refTotal.get}%.2f s by >15%% — re-running the full set")
+        f"${refTotal.get}%.2f s by >10%% — re-running the full set")
       val second = names.map(measure)
       results = results.zip(second).map { case (a, b) =>
         val pick = if (b._3) a

@@ -368,6 +368,24 @@ object ScaleRehearsal {
       else s"${ds.size} triggers, median ${ds.sorted.apply(ds.size / 2)} ms, max ${ds.max} ms"
     }
 
+    // FileStreamSource orders files by MODIFICATION TIME, not path — two
+    // slices written inside the same mtime granularity could replay out
+    // of order, silently breaking the time-ordered-triggers contract the
+    // asof/sessionize twins assume (their parity checks would flip on a
+    // reordered run, not on a code change). Stamp strictly increasing,
+    // slice-indexed mtimes on every data file after writing; kept within
+    // the last hour so the source's default maxFileAge never drops one.
+    def stampSliceOrder(feedDir: String): Unit = {
+      val slices = new java.io.File(feedDir).listFiles()
+        .filter(_.isDirectory).sortBy(_.getName)
+      val base = System.currentTimeMillis() - 3600000L
+      slices.zipWithIndex.foreach { case (d, i) =>
+        val t = java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L)
+        d.listFiles().foreach(f =>
+          java.nio.file.Files.setLastModifiedTime(f.toPath, t))
+      }
+    }
+
     // N5 block-report stream (SURVEY §3.3 flagship): the 10× report wave
     // in ~8 triggers against the 12M-row stored table — per trigger the
     // reconcile scopes the stored scan to the batch's reporting nodes
@@ -412,6 +430,7 @@ object ScaleRehearsal {
         ev10.filter(col("ts") >= lo && col("ts") < hi)
           .coalesce(1).write.mode("overwrite").parquet(f"$feed/slice$i%02d")
       }
+      stampSliceOrder(feed)
       import spark.implicits._
       val stream = spark.readStream.option("maxFilesPerTrigger", "1")
         .schema(ev10.schema).parquet(s"$feed/slice*")
@@ -469,6 +488,7 @@ object ScaleRehearsal {
         se.filter(col("ts") >= lo && col("ts") < hi)
           .coalesce(1).write.mode("overwrite").parquet(f"$feed/slice$i%02d")
       }
+      stampSliceOrder(feed)
       val stream = spark.readStream.option("maxFilesPerTrigger", "1")
         .schema(se.schema).parquet(s"$feed/slice*").as[SessEvent]
       // last state per user wins (update-mode running counters)

@@ -36,16 +36,41 @@ object Vectors {
   /** Cosine between two vector columns. */
   def cosine(a: Column, b: Column): Column = dotExpr(a, b) / (norm(a) * norm(b))
 
+  /** Query-count bound for the kNN paths' broadcast hints (the keyPrune
+    * 65536-key precedent): an explicit broadcast() overrides Spark's own
+    * size check, so a caller handing a corpus-fraction query set must NOT
+    * inherit the small-batch hint — past the bound the join runs plain
+    * (shuffle, strategy chosen by Spark) and stays row-identical
+    * (pinned in DataOpsSpec via the maxBroadcastQueries knob). */
+  val MaxBroadcastQueries: Long = 65536L
+
+  /** The hint, gated by one bounded count of the query-side frame:
+    * `probe` is the CHEAP frame to count (a filter over the base table),
+    * `side` the frame to hint (possibly queries×k). limit(bound+1) keeps
+    * the sizing job bounded whatever the slice. */
+  private def boundedBroadcast(side: DataFrame, probe: DataFrame,
+                               maxRows: Long): DataFrame =
+    if (probe.limit((maxRows min Int.MaxValue.toLong).toInt + 1).count() <= maxRows)
+      broadcast(side)
+    else side
+
   /** Brute-force top-k cosine neighbors for a query subset.
-    * `emb` must have (vec_id, embedding). */
-  def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    * `emb` must have (vec_id, embedding). The query side broadcasts only
+    * below [[MaxBroadcastQueries]] (see there); brute cost is still
+    * queries×corpus dots either way — the fallback changes the join from
+    * a replicated map-side build to a shuffle, it does not make brute
+    * cheap at corpus-fraction query counts (that's the IVF/LSH serve
+    * paths' job). */
+  def knnBrute(emb: DataFrame, queryPred: Column, k: Int,
+               maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
     // norms once per vector (not per pair) — the pair loop pays only the dot
     val queries = emb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"))
-    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+    val corpusN = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
       norm(col("embedding")).as("nn"))
-    val scored = broadcast(queries).join(corpus, col("qid") =!= col("nid"))
+    val scored = boundedBroadcast(queries, emb.filter(queryPred), maxBroadcastQueries)
+      .join(corpusN, col("qid") =!= col("nid"))
       .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -62,24 +87,37 @@ object Vectors {
     * Returns (qid, trueLabel, predLabel, votes, correct).
     *
     * Scale shape: the top-k frame is queries×k rows — broadcast it into
-    * the corpus-sized label join (never the reverse); the vote itself is
-    * a queries×k-bounded aggregate. At index scale the same vote runs on
-    * [[ivfPqProbe]]'s (qid, nid, rank) output instead of the brute
-    * frame — the serve path swaps in without touching the tally. */
+    * the corpus-sized label join (never the reverse) when the query
+    * count stays under [[MaxBroadcastQueries]]; past the bound the tally
+    * join runs plain (a corpus-fraction query set would otherwise OOM
+    * the forced build side). The vote itself is a queries×k-bounded
+    * aggregate. At index scale the same vote runs on [[ivfPqProbe]]'s
+    * (qid, nid, rank) output instead of the brute frame — the serve
+    * path swaps in without touching the tally. */
   def knnClassify(emb: DataFrame, queryPred: Column, k: Int,
-                  labelCol: String = "label"): DataFrame =
-    knnClassifyFrom(knnBrute(emb, queryPred, k), emb, queryPred, labelCol)
+                  labelCol: String = "label",
+                  maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame =
+    knnClassifyFrom(knnBrute(emb, queryPred, k, maxBroadcastQueries),
+      emb, queryPred, labelCol, maxBroadcastQueries)
 
   /** The majority vote of [[knnClassify]] over ANY prebuilt (qid, nid)
     * neighbor frame — the serve-path split: hand it [[ivfPqProbe]]'s
     * output and the index classifies at scale with the identical tally
-    * (brute is the recall oracle, exactly the sim1-vs-sim10 contract). */
+    * (brute is the recall oracle, exactly the sim1-vs-sim10 contract).
+    *
+    * The prediction is TOTAL over the query set: a query whose `topk`
+    * frame carries zero neighbor rows (possible on a served path when
+    * every probed cell is empty) surfaces as an ABSTENTION — NULL
+    * predLabel/votes, correct = 0 — instead of silently dropping out of
+    * accuracy denominators downstream. */
   def knnClassifyFrom(topk: DataFrame, emb: DataFrame, queryPred: Column,
-                      labelCol: String = "label"): DataFrame = {
+                      labelCol: String = "label",
+                      maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
     val labels = emb.select(col("vec_id").as("nid"),
       col(labelCol).cast("long").as("nlabel"))
     val tally = labels
-      .join(broadcast(topk.select(col("qid"), col("nid"))), Seq("nid"))
+      .join(boundedBroadcast(topk.select(col("qid"), col("nid")),
+        emb.filter(queryPred), maxBroadcastQueries), Seq("nid"))
       .groupBy(col("qid"), col("nlabel"))
       .agg(count(lit(1)).as("votes"))
     val wv = Window.partitionBy(col("qid"))
@@ -89,7 +127,7 @@ object Vectors {
       .select(col("qid"), col("nlabel").as("predLabel"), col("votes"))
     emb.filter(queryPred)
       .select(col("vec_id").as("qid"), col(labelCol).cast("long").as("trueLabel"))
-      .join(pred, Seq("qid"))
+      .join(pred, Seq("qid"), "left")
       .withColumn("correct",
         when(col("predLabel") === col("trueLabel"), 1L).otherwise(0L))
   }

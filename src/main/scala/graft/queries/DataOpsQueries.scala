@@ -3324,7 +3324,7 @@ object DataOpsQueries {
         |  p.nlabel AS predLabel, CAST(p.votes AS BIGINT) AS votes,
         |  CAST(CASE WHEN p.nlabel = CAST(q.label AS BIGINT)
         |    THEN 1 ELSE 0 END AS BIGINT) AS correct
-        |FROM embeddings q JOIN pick p ON p.qid = q.vec_id AND p.rk = 1
+        |FROM embeddings q LEFT JOIN pick p ON p.qid = q.vec_id AND p.rk = 1
         |WHERE q.vec_id % 100 = 0
         |ORDER BY qid""".stripMargin,
     // the same md5-parity sign matrix, scaled-long ± sums, reduced-space
@@ -3492,7 +3492,7 @@ object DataOpsQueries {
         |  p.nlabel AS predLabel, CAST(p.votes AS BIGINT) AS votes,
         |  CAST(CASE WHEN p.nlabel = CAST(q.label AS BIGINT)
         |    THEN 1 ELSE 0 END AS BIGINT) AS correct
-        |FROM embeddings q JOIN pick p ON p.qid = q.vec_id AND p.rk = 1
+        |FROM embeddings q LEFT JOIN pick p ON p.qid = q.vec_id AND p.rk = 1
         |WHERE q.vec_id % 7 = 3
         |ORDER BY qid""".stripMargin,
     "t1_lang_id" ->

@@ -421,6 +421,31 @@ class DataOpsSpec extends SparkSpec {
     assert(own == Seq(Seq(1L, 1L, 1L)), s"got $own")
   }
 
+  test("knn vote: broadcast and plain-join access paths row-identical; empty topk abstains") {
+    // the keyPrune precedent applied to the vote's broadcast hints:
+    // maxBroadcastQueries = 0 forces BOTH hints (knnBrute's query side,
+    // the tally's topk side) onto the plain shuffle-join fallback — rows
+    // must be identical to the hinted default
+    val emb = (1L to 40L).map(i =>
+        (i, Array((i % 7).toFloat + 1f, (i % 5).toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val qp = col("vec_id") % 4 === 0
+    val hinted = Vectors.knnClassify(emb, qp, k = 3)
+    val plain = Vectors.knnClassify(emb, qp, k = 3, maxBroadcastQueries = 0L)
+    assert(hinted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(hinted).count() == 0)
+    // abstention contract: a query absent from the served topk frame
+    // still appears — NULL predLabel/votes, correct = 0 (never dropped)
+    val topk = Seq((4L, 1L), (4L, 2L)).toDF("qid", "nid") // only query 4 served
+    val out = rows(Vectors.knnClassifyFrom(topk, emb, qp)
+      .select(col("qid"), col("predLabel"), col("correct")).orderBy(col("qid")))
+    assert(out.length == 10) // ALL %4 queries present
+    // served query 4: nids 1,2 → labels 1,2, 1:1 tie → label 1; true 4%3=1
+    assert(out.head == Seq(4L, 1L, 1L))
+    val abstained = out.tail
+    assert(abstained.forall(r => r(1) == null && r(2) == 0L), s"got $abstained")
+  }
+
   test("JL projection: md5 signs match Spark's md5, basis vectors project to sign rows") {
     // the Scala-side sign generator and the engine's md5 must agree —
     // the oracle regenerates the matrix from the same strings
