@@ -1399,6 +1399,34 @@ object DataOpsQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // the LSH serve gate — sim14's end-to-end-serve contract applied to
+    // the text side: the standing 2/3 corpus's banded signature index
+    // serves the arriving 1/3 batch (the d10 ingest path), and EACH row
+    // also carries the BATCH truth — the doc's minimum full-corpus
+    // near-dup partner from the d2 pair set (est >= 0.5). `agree` pins
+    // the serve/batch consistency contract in-gate: a non-unique serve
+    // verdict implies a full-corpus partner exists, and a unique verdict
+    // implies any partner is a LARGER batch doc (correctly invisible to
+    // first-seen-wins ingest — the one designed divergence). Both chains
+    // replay in the oracle, so the relation itself is hash-gated.
+    "d18_lsh_serve" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val served = Dedup.incrementalLsh(
+        c.filter(col("doc_id") % 3 =!= 0L),
+        c.filter(col("doc_id") % 3 === 0L), "doc_id", "text")
+      val pairs = Dedup.lshCandidates(c, "doc_id", "text")
+        .filter(col("estJaccard") >= 0.5)
+      val nbrs = pairs.select(col("id1").as("doc_id"), col("id2").as("nbr"))
+        .unionByName(pairs.select(col("id2").as("doc_id"), col("id1").as("nbr")))
+        .groupBy(col("doc_id")).agg(min(col("nbr")).as("batchMinNbr"))
+      served.join(nbrs, Seq("doc_id"), "left")
+        .withColumn("agree",
+          when(col("status") =!= "unique",
+            when(col("batchMinNbr").isNotNull, 1L).otherwise(0L))
+          .otherwise(when(col("batchMinNbr").isNull ||
+            col("batchMinNbr") > col("doc_id"), 1L).otherwise(0L)))
+        .orderBy(col("doc_id"))
+    },
     // stratified deterministic sampling: md5-bucket each doc, keep a
     // per-language rate — reproducible corpus downsampling with a
     // per-stratum checksum of the kept ids
@@ -4058,6 +4086,71 @@ object DataOpsQueries {
         |LEFT JOIN aggI a ON a.bid = t.doc_id
         |LEFT JOIN aggB g ON g.bid = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // the d10 serve chain + the d2 full-corpus pair truth in one replay:
+    // the agree column's consistency contract is itself hash-gated
+    "d18_lsh_serve" ->
+      s"""WITH $MinhashSql,
+        |mlt AS (
+        |  SELECT doc_id, bandIdx,
+        |    CASE bandIdx WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bandKey
+        |  FROM band CROSS JOIN (SELECT UNNEST(range(0,4)) AS bandIdx) u),
+        |candI AS (
+        |  SELECT DISTINCT bt.doc_id AS bid, ex.doc_id AS exId
+        |  FROM mlt bt JOIN mlt ex ON bt.bandIdx = ex.bandIdx AND bt.bandKey = ex.bandKey
+        |  WHERE bt.doc_id % 3 = 0 AND ex.doc_id % 3 <> 0),
+        |estI AS (
+        |  SELECT c.bid, c.exId,
+        |    ((CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END)
+        |    ) / 8.0 AS est
+        |  FROM candI c JOIN band a ON a.doc_id = c.bid JOIN band b ON b.doc_id = c.exId),
+        |aggI AS (
+        |  SELECT bid, MIN(exId) AS matchId, MAX(est) AS bestEst, COUNT(*) AS nearDups
+        |  FROM estI WHERE est >= 0.5 GROUP BY bid),
+        |candB AS (
+        |  SELECT DISTINCT bt.doc_id AS bid, kp.doc_id AS kbid
+        |  FROM mlt bt JOIN mlt kp ON bt.bandIdx = kp.bandIdx AND bt.bandKey = kp.bandKey
+        |  WHERE bt.doc_id % 3 = 0 AND kp.doc_id % 3 = 0 AND kp.doc_id < bt.doc_id),
+        |estB AS (
+        |  SELECT c.bid, c.kbid,
+        |    ((CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END)
+        |    ) / 8.0 AS est
+        |  FROM candB c JOIN band a ON a.doc_id = c.bid JOIN band b ON b.doc_id = c.kbid),
+        |aggB AS (
+        |  SELECT bid, MIN(kbid) AS bMatchId, MAX(est) AS bBest, COUNT(*) AS bN
+        |  FROM estB WHERE est >= 0.5 GROUP BY bid),
+        |served AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN a.matchId IS NOT NULL THEN 'near_dup'
+        |         WHEN g.bMatchId IS NOT NULL THEN 'near_dup_in_batch'
+        |         ELSE 'unique' END AS status,
+        |    COALESCE(a.matchId, g.bMatchId) AS matchId,
+        |    CASE WHEN a.matchId IS NOT NULL THEN a.bestEst ELSE g.bBest END AS bestEst,
+        |    COALESCE(a.nearDups, 0) + COALESCE(g.bN, 0) AS nearDups
+        |  FROM (SELECT doc_id FROM corpus WHERE doc_id % 3 = 0) t
+        |  LEFT JOIN aggI a ON a.bid = t.doc_id
+        |  LEFT JOIN aggB g ON g.bid = t.doc_id),
+        |hits AS (SELECT id1, id2 FROM pairs WHERE estJaccard >= 0.5),
+        |nbrs AS (
+        |  SELECT doc_id, MIN(nbr) AS batchMinNbr FROM (
+        |    SELECT id1 AS doc_id, id2 AS nbr FROM hits
+        |    UNION ALL
+        |    SELECT id2 AS doc_id, id1 AS nbr FROM hits) u
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, s.status, s.matchId, s.bestEst, s.nearDups,
+        |  n.batchMinNbr,
+        |  CAST(CASE WHEN s.status <> 'unique'
+        |    THEN CASE WHEN n.batchMinNbr IS NOT NULL THEN 1 ELSE 0 END
+        |    ELSE CASE WHEN n.batchMinNbr IS NULL OR n.batchMinNbr > s.doc_id
+        |         THEN 1 ELSE 0 END
+        |  END AS BIGINT) AS agree
+        |FROM served s LEFT JOIN nbrs n ON n.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "t10_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -1089,6 +1089,44 @@ class DataOpsSpec extends SparkSpec {
       Seq(21L, "near_dup_in_batch", 20L)))      // same-batch burst caught
   }
 
+  test("d18 serve-vs-batch agreement: every verdict class consistent with the full pair set") {
+    // the gate entry's agree contract on a corpus exercising all three
+    // verdicts: 3 (batch) dups standing 2 → near_dup; 9 dups batch 6
+    // only → 9 near_dup_in_batch, 6 unique-with-larger-partner (the
+    // designed first-seen-wins divergence: batchMinNbr=9 > 6); 12 truly
+    // alone → unique with NULL partner
+    val c = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),      // standing
+      (3L, "the quick brown fox jumps over the lazy dog"),      // batch, dup of 2
+      (6L, "fresh novel content never seen by anyone before"),  // batch keeper
+      (9L, "fresh novel content never seen by anyone before"),  // batch, dup of 6
+      (12L, "completely different words entirely here now friends"), // batch alone
+      (14L, "unrelated standing payload with its own vocabulary tokens"),
+    ).toDF("doc_id", "text")
+    val served = Dedup.incrementalLsh(
+      c.filter(col("doc_id") % 3 =!= 0L), c.filter(col("doc_id") % 3 === 0L),
+      "doc_id", "text")
+    val pairs = Dedup.lshCandidates(c, "doc_id", "text")
+      .filter(col("estJaccard") >= 0.5)
+    val nbrs = pairs.select(col("id1").as("doc_id"), col("id2").as("nbr"))
+      .unionByName(pairs.select(col("id2").as("doc_id"), col("id1").as("nbr")))
+      .groupBy(col("doc_id")).agg(min(col("nbr")).as("batchMinNbr"))
+    val out = rows(served.join(nbrs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"), col("batchMinNbr"))
+      .orderBy(col("doc_id")))
+    assert(out == Seq(
+      Seq(3L, "near_dup", 2L),
+      Seq(6L, "unique", 9L),             // partner exists but is LARGER
+      Seq(9L, "near_dup_in_batch", 6L),
+      Seq(12L, "unique", null)), s"got $out")
+    // the contract itself: non-unique => partner exists; unique =>
+    // partner NULL or larger (exactly the gate entry's agree column)
+    assert(out.forall { r =>
+      if (r(1) != "unique") r(2) != null
+      else r(2) == null || r(2).asInstanceOf[Long] > r.head.asInstanceOf[Long]
+    })
+  }
+
   test("incremental LSH maxBucket caps both the corpus melt and the batch self-join") {
     // mega-bucket on BOTH sides: boilerplate in the standing corpus AND a
     // burst of it in the batch; the cap must kill both quadratic joins
