@@ -68,6 +68,15 @@ object Bench {
         val t0 = System.nanoTime()
         graft.core.Scale.writeStateTables(spark.table("file"),
           spark.table("block"), spark.table("datanode"))
+        // r16: the bucketed pass now materializes the SAME layout set
+        // the bucketed gate runs on — events (user_id) and the TPC-H
+        // facts (orderkey) alongside the state tables, so the e- and
+        // q-family headline lines read their cluster layouts too
+        // (layoutWriteSec grows accordingly; tracked separately as
+        // always, never folded into a query's time)
+        graft.core.Scale.writeEventsTable(spark.table("events"))
+        graft.core.Scale.writeRelationalTables(
+          spark.table("lineitem"), spark.table("orders"))
         spark.conf.set("graft.layout", "bucketed")
         (System.nanoTime() - t0) / 1e9
       } else 0.0

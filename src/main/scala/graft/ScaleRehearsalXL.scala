@@ -181,10 +181,30 @@ object ScaleRehearsalXL {
     println(s"[rehearsal-xl] contentSummary auto==forced: ${csDiff == 0}")
 
     // ---- block-table shapes at ~${copies}×1.2M rows ---------------------
-    val tN5 = time("n5 reconcileReports") {
-      Dataflows.reconcileReports(b, rep)
-        .groupBy(col("action")).agg(count(lit(1))).count()
+    // n5 runs SPARK_GRAFT_XL_N5_REPS times (default 3) with the OS
+    // 1-minute load average sampled around the reps — the idle-box
+    // adjudication protocol (BASELINE.md round-13 n11 precedent): a
+    // reading that doubles on untouched code is either the shared box's
+    // IO window or a plan drift, and only a multi-rep spread with the
+    // load recorded can say which. The reported tN5 is the MIN of the
+    // reps (the one number box load can only inflate).
+    def loadAvg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val n5Reps = sys.env.getOrElse("SPARK_GRAFT_XL_N5_REPS", "3").toInt.max(1)
+    val n5LoadBefore = loadAvg1m()
+    val n5Times = (1 to n5Reps).map { i =>
+      time(s"n5 reconcileReports (rep $i/$n5Reps)") {
+        Dataflows.reconcileReports(b, rep)
+          .groupBy(col("action")).agg(count(lit(1))).count()
+      }
     }
+    val tN5 = n5Times.min
+    println(f"[rehearsal-xl] n5 spread: min=${n5Times.min}%.2f " +
+      f"median=${n5Times.sorted.apply(n5Times.size / 2)}%.2f " +
+      f"max=${n5Times.max}%.2f s, load1m before=$n5LoadBefore%.1f " +
+      f"after=${loadAvg1m()}%.1f")
     val tS8 = time("s8 blockEntries") {
       StateManager.blockEntries(b).count()
     }

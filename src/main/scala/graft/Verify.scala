@@ -32,6 +32,10 @@ object Verify {
       // events rides the bucketed gate too (user_id buckets) — the
       // e-family's joins/windows then read real bucketed parquet
       graft.core.Scale.writeEventsTable(spark.table("events"))
+      // the TPC-H facts ride it since r16 (orderkey buckets): the
+      // q-family's l⋈o joins and q18's groupBy then run co-located
+      graft.core.Scale.writeRelationalTables(
+        spark.table("lineitem"), spark.table("orders"))
       spark.conf.set("graft.layout", "bucketed")
     }
     // optional comma-separated subset for local iteration (driver sets

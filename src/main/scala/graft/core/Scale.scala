@@ -134,6 +134,23 @@ object Scale {
     s"${prefix}_events"
   }
 
+  /** Cluster layout for the TPC-H facts: lineitem and orders bucketed by
+    * their order keys. The l⋈o equi-join every q3/q4/q12/q18/q21-shape
+    * pays shuffles BOTH fact sides at scale (it is the one join in the
+    * q-family where neither side broadcasts at any SF), and q18's
+    * groupBy(l_orderkey) aggregates on the same key — on this layout the
+    * join plans as a co-located SortMergeJoin and the aggregate reads
+    * its distribution straight off the scan (pinned in ScaleSpec). Dims
+    * stay unbucketed: they are broadcast-or-threshold territory. Same
+    * per-run-token path scheme as the state tables. */
+  def writeRelationalTables(lineitem: DataFrame, orders: DataFrame,
+                            prefix: String = "graft_state",
+                            buckets: Int = 32): Seq[String] = {
+    writeBucketed(lineitem, s"${prefix}_lineitem", "l_orderkey", buckets)
+    writeBucketed(orders, s"${prefix}_orders", "o_orderkey", buckets)
+    Seq(s"${prefix}_lineitem", s"${prefix}_orders")
+  }
+
   /** Salted equi-join for skewed build keys: explode the small side into
     * `salts` copies, scatter the big side's hot keys across salt ids, join
     * on (key, salt). Result equals a plain inner equi-join on `key` —

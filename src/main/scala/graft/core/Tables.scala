@@ -12,8 +12,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The raw tables with a materialized cluster layout
+    * ([[Scale.writeRelationalTables]]). ONLY these shadow under
+    * `graft.layout=bucketed`: the state/events families read their
+    * layouts through the DerivedState views, and the text/vector
+    * corpora are banded-join territory with no base bucketing
+    * (QUERIES.md "Layout coverage"). */
+  private val BucketedRaw = Set("lineitem", "orders")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (BucketedRaw(name) &&
+        spark.conf.getOption("graft.layout").contains("bucketed") &&
+        spark.catalog.tableExists(s"graft_state_$name"))
+      spark.table(s"graft_state_$name")
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

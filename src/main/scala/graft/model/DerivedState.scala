@@ -216,12 +216,17 @@ object DerivedState {
     // the e-family keys on user_id); written from the NORMALIZED view,
     // so the shadow preserves the ts contract above. The ops view stays
     // derivation-bound like lease/reported.
+    // lineitem/orders joined the shadow list in r16: the TPC-H facts'
+    // bucketed layout (Scale.writeRelationalTables) must serve the SQL
+    // view path (q25's GROUPING SETS) exactly like Tables.load serves
+    // the DataFrame path.
     if (spark.conf.getOption("graft.layout").contains("bucketed"))
-      Seq("file", "block", "datanode", "events").foreach { t =>
-        val tbl = s"graft_state_$t"
-        if (spark.catalog.tableExists(tbl))
-          spark.table(tbl).createOrReplaceTempView(t)
-      }
+      Seq("file", "block", "datanode", "events", "lineitem", "orders")
+        .foreach { t =>
+          val tbl = s"graft_state_$t"
+          if (spark.catalog.tableExists(tbl))
+            spark.table(tbl).createOrReplaceTempView(t)
+        }
   }
 
   def file(spark: SparkSession, sfDir: String): DataFrame = { register(spark, sfDir); spark.table("file") }

@@ -9,8 +9,19 @@ import graft.core.Tables
 /** TPC-H-shaped relational queries exercising the P-layer algebra at
   * bench scale: multi-way joins (broadcast dims + shuffled facts),
   * group-by-having, and top-k — the shapes that dominate 100 TB plans.
-  * Small dimensions are explicitly broadcast; fact-fact joins shuffle on
-  * the join key and AQE handles skew at scale. */
+  *
+  * Broadcast policy (r16): an explicit broadcast() hint overrides
+  * Spark's size check, so it is reserved for frames whose size is
+  * BOUNDED BY CONSTRUCTION whatever the scale factor — nation/region
+  * (fixed 25/5-row dims) and one-row scalar aggregates. customer,
+  * part, supplier and frames derived from them grow linearly with SF
+  * (TPC-H scales them with the facts): those joins carry NO hint —
+  * Spark's autoBroadcastJoinThreshold broadcasts them at bench SF from
+  * the parquet size estimate, and at a 100×/1000× SF where a 15M-row
+  * customer no longer fits an executor, the same plan degrades to a
+  * shuffle join instead of an OOM; AQE's runtime re-opt recovers the
+  * broadcast when a FILTERED dim (q8/q9's part slice) turns out small.
+  * Plans audited at 10×/100× in ScaleRehearsalQ (q5/q9/q18). */
 object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -26,7 +37,7 @@ object RelationalQueries {
       val o = Tables.orders(s, dir).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
       val l = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1996-06-30").cast("timestamp"))
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))
@@ -44,7 +55,7 @@ object RelationalQueries {
       val sup = Tables.supplier(s, dir)
       l.join(o, $"l_orderkey" === $"o_orderkey")
         .join(sup, $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey" &&
+        .join(c, $"o_custkey" === $"c_custkey" &&
           $"s_nationkey" === $"c_nationkey")
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
@@ -168,7 +179,7 @@ object RelationalQueries {
       val sup = Tables.supplier(s, dir)
       l.join(o, $"l_orderkey" === $"o_orderkey")
         .join(sup, $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .join(broadcast(n1), $"s_nationkey" === $"sk")
         .join(broadcast(n2), $"c_nationkey" === $"ck")
         .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
@@ -188,7 +199,7 @@ object RelationalQueries {
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .groupBy($"c_custkey", $"c_name", $"n_name")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
@@ -203,7 +214,7 @@ object RelationalQueries {
         .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
           $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
       val p = Tables.part(s, dir)
-      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      l.join(p, $"l_partkey" === $"p_partkey")
         .agg(
           (lit(100.0) *
             dsum(when($"p_type".startsWith("PROMO"),
@@ -218,7 +229,7 @@ object RelationalQueries {
       import s.implicits._
       val l = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      l.join(p, $"l_partkey" === $"p_partkey")
         .filter(
           ($"p_brand" === "Brand#1" && $"p_size" <= 5 &&
             $"l_quantity" >= 1 && $"l_quantity" <= 11) ||
@@ -253,9 +264,9 @@ object RelationalQueries {
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       val sup = Tables.supplier(s, dir)
-      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      l.join(p, $"l_partkey" === $"p_partkey")
         .join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .join(broadcast(cn), $"c_nationkey" === $"ck")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .join(sup, $"l_suppkey" === $"s_suppkey")
@@ -277,7 +288,7 @@ object RelationalQueries {
       val l = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
       val sup = Tables.supplier(s, dir)
-      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      l.join(p, $"l_partkey" === $"p_partkey")
         .join(o, $"l_orderkey" === $"o_orderkey")
         .join(sup, $"l_suppkey" === $"s_suppkey")
         .join(broadcast(sn), $"s_nationkey" === $"sk")
@@ -339,7 +350,7 @@ object RelationalQueries {
       import s.implicits._
       val p = Tables.part(s, dir).filter($"p_brand" === "Brand#3")
       val l = Tables.lineitem(s, dir)
-      val lp = l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      val lp = l.join(p, $"l_partkey" === $"p_partkey")
       val avgQty = lp.groupBy($"l_partkey".as("__pk"))
         .agg((dsum($"l_quantity") / count(lit(1))).as("__avgQty"))
       lp.join(avgQty, $"l_partkey" === $"__pk")
@@ -408,13 +419,13 @@ object RelationalQueries {
         .join(broadcast(Tables.region(s, dir).filter($"r_name" === "EUROPE")),
           $"n_regionkey" === $"r_regionkey")
         .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
-      val ec = cost.join(broadcast(eu), $"l_suppkey" === $"s_suppkey")
+      val ec = cost.join(eu, $"l_suppkey" === $"s_suppkey")
       val minCost = ec.groupBy($"l_partkey".as("__pk"))
         .agg(min($"supplycost").as("__min"))
       val p = Tables.part(s, dir).filter($"p_size" <= 10 && $"p_type" === "STANDARD")
       ec.join(minCost, $"l_partkey" === $"__pk" && $"supplycost" === $"__min")
         .drop("__pk", "__min")
-        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(p, $"l_partkey" === $"p_partkey")
         .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
           $"s_suppkey", $"supplycost")
         .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
@@ -433,7 +444,7 @@ object RelationalQueries {
           $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey")
       val scoped = Tables.lineitem(s, dir)
-        .join(broadcast(scopedSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
+        .join(scopedSupp, $"l_suppkey" === $"s_suppkey", "left_semi")
       val v = scoped.groupBy($"l_partkey")
         .agg(dsum($"l_extendedprice" * $"l_quantity").as("value"))
       // scale-free threshold: 1.2× the average per-part value. A fixed
@@ -458,7 +469,7 @@ object RelationalQueries {
       val pk = Tables.part(s, dir).filter($"p_name".like("%bolt%"))
         .select($"p_partkey")
       val a = Tables.lineitem(s, dir)
-        .join(broadcast(pk), $"l_partkey" === $"p_partkey", "left_semi")
+        .join(pk, $"l_partkey" === $"p_partkey", "left_semi")
         .groupBy($"l_suppkey", $"l_partkey")
         .agg(dsum($"l_quantity").as("avail"),
           dsum(when($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&

@@ -26,6 +26,34 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join should not shuffle:\n$plan")
   }
 
+  test("orderkey-bucketed lineitem+orders: the l-o join and the q18 aggregate plan without a fact shuffle") {
+    // the r16 relational layout (Scale.writeRelationalTables): both
+    // facts bucketed by their order keys — the one q-family join where
+    // neither side ever broadcasts must plan co-located, and the
+    // big-orders aggregate must read its grouping distribution straight
+    // off the scan
+    val li = (1 to 400).map(i => ((i % 80).toLong, i.toLong, i * 1.5))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity")
+    val ord = (0 until 80).map(i => (i.toLong, s"P$i"))
+      .toDF("o_orderkey", "o_orderpriority")
+    Scale.writeRelationalTables(li, ord, prefix = "graft_spec_rel",
+      buckets = 4)
+    // disable auto-broadcast so the SMJ path (the at-scale shape, where
+    // neither fact broadcasts) is what the pin inspects
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = spark.table("graft_spec_rel_lineitem")
+        .groupBy($"l_orderkey").agg(sum($"l_quantity").as("total_qty"))
+      val joined = big.join(spark.table("graft_spec_rel_orders"),
+        $"l_orderkey" === $"o_orderkey")
+      assert(joined.count() == 80)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed q18 shape must not shuffle either fact:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("compactHistory pays exactly one hash exchange; bpeEncode pays none") {
     // compactHistory's contract: ONE shuffle — the (key, belowFloor)
     // rank; above-floor rows ride the same exchange unranked
