@@ -1697,6 +1697,23 @@ object DataOpsQueries {
           width = 32, stride = 24)
         .orderBy(col("doc_id"), col("chunkIdx"))
     },
+    // BM25-shaped sparse retrieval: the %97 eval slice queries the rest
+    // of the corpus through the inverted term index — top-5 per query
+    // with the rational-idf, fixed-point-summed score (see
+    // TextFunctions.bm25TopK: every float step one correctly-rounded
+    // IEEE op, term contributions rounded to 1e-6 and summed as BIGINT,
+    // so the ranking is engine-identical). Stop-term elision runs at
+    // 0.9 here — the synthetic corpus has a 31-term vocabulary, so the
+    // production df>N/2 default would elide the whole index; at 0.9 the
+    // corpus-saturating filler terms still genuinely cross the bar
+    "t39_bm25_retrieve" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      TextFunctions.bm25TopK(
+          d.filter(col("doc_id") % 97 =!= 0L),
+          d.filter(col("doc_id") % 97 === 0L), "doc_id", "text", k = 5,
+          maxDfPpm = 900000L)
+        .orderBy(col("qid"), col("rank"))
+    },
     // the admission family through the STREAMING engine: the corpus is
     // dumped to parquet partitioned so no (source, shard) ledger group
     // spans files, ingested back one file per trigger, and the stateful
@@ -4476,6 +4493,52 @@ object DataOpsQueries {
         |      CAST(chunkIdx * 24 + least(32, n - chunkIdx * 24) AS INT)],
         |    ' ')) AS chunkHash
         |FROM c ORDER BY doc_id, chunkIdx""".stripMargin,
+    // BM25-shaped retrieval: the same inverted-index chain — term
+    // frequencies, doc lengths, rational idf, the per-term contribution
+    // in the IDENTICAL IEEE association as the Spark expression, then
+    // the 1e-6 fixed-point BIGINT sum and (score DESC, did) ranking
+    "t39_bm25_retrieve" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |dtf AS (
+        |  SELECT doc_id AS did, term, COUNT(*) AS dtf FROM tok
+        |  WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
+        |dl AS (SELECT did, CAST(SUM(dtf) AS BIGINT) AS dl FROM dtf GROUP BY did),
+        |stats AS (
+        |  SELECT COUNT(*) AS nDocs, CAST(SUM(dl) AS BIGINT) AS totTok FROM dl),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM dtf GROUP BY term),
+        |qtf AS (
+        |  SELECT doc_id AS qid, term, COUNT(*) AS qtf FROM tok
+        |  WHERE doc_id % 97 = 0 GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT q.qid, d.did, q.qtf, d.dtf, f.df, l.dl, s.nDocs, s.totTok
+        |  FROM qtf q JOIN dtf d USING (term) JOIN dfreq f USING (term)
+        |  JOIN dl l ON l.did = d.did CROSS JOIN stats s
+        |  WHERE f.df * 1000000 <= 900000 * s.nDocs),
+        |contrib AS (
+        |  SELECT qid, did,
+        |    CAST(ROUND(
+        |      CAST(qtf AS DOUBLE) *
+        |      ((CAST(nDocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(dtf AS DOUBLE) * 2.2) /
+        |       (CAST(dtf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |         (CAST(dl AS DOUBLE) /
+        |          (CAST(totTok AS DOUBLE) / CAST(nDocs AS DOUBLE)))))) *
+        |      1000000.0) AS BIGINT) AS fixed
+        |  FROM cand),
+        |sc AS (
+        |  SELECT qid, did, CAST(SUM(fixed) AS BIGINT) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT qid, did, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, did) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT qid, did, score, rank FROM rk WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     // context packing: the t12 hkey ladder (salt ctx0) → per-shard
     // exclusive running sum of (tok + 1 EOD) in (hkey, id) order →
     // context ids by integer division on the 512-token grid

@@ -1089,6 +1089,37 @@ class DataOpsSpec extends SparkSpec {
       Seq(21L, "near_dup_in_batch", 20L)))      // same-batch burst caught
   }
 
+  test("bm25 retrieval: rare terms outrank common, elision drops saturating terms, length normalizes") {
+    import graft.functions.TextFunctions
+    val corpus = Seq(
+      (1L, "zebra common filler filler"),          // rare 'zebra' + common
+      (2L, "common filler filler filler"),         // only common terms
+      (3L, "zebra zebra common filler filler filler filler filler"), // more zebra but longer
+      (4L, "aardvark common filler"),              // rare term the query lacks
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "zebra common")).toDF("doc_id", "text")
+    // 'common'/'filler' are in 4/4 corpus docs -> elided at the default
+    // df>N/2 bar; only 'zebra' survives, so doc 4 and doc 2 score no
+    // candidate rows at all and docs 1,3 rank by the zebra tf/length
+    // trade-off: doc 1 (tf 1, dl 4) vs doc 3 (tf 2, dl 8) — BM25's
+    // saturation + length penalty must decide deterministically
+    val out = rows(TextFunctions.bm25TopK(corpus, queries, "doc_id", "text",
+        k = 5).select(col("qid"), col("did"), col("rank"))
+        .orderBy(col("rank")))
+      .map(r => (r(1), r(2)))
+    assert(out.map(_._1).toSet == Set(1L, 3L), s"got $out")
+    // doc 3: tfn = 2*2.2/(2+1.2*(0.25+0.75*(8/4.75))) = higher than
+    // doc 1's 1*2.2/(1+1.2*(0.25+0.75*(4/4.75))) — verified numerically:
+    // 4.4/3.815... = 1.153 vs 2.2/2.058 = 1.069 -> doc 3 first
+    assert(out == Seq((3L, 1L), (1L, 2L)), s"got $out")
+    // raising the bar to 1.0 admits the common terms: every corpus doc
+    // now scores, and doc 2 (common-only) enters the ranking
+    val all = rows(TextFunctions.bm25TopK(corpus, queries, "doc_id", "text",
+        k = 5, maxDfPpm = 1000000L).select(col("did")))
+      .map(_.head).toSet
+    assert(all == Set(1L, 2L, 3L, 4L), s"got $all")
+  }
+
   test("d18 serve-vs-batch agreement: every verdict class consistent with the full pair set") {
     // the gate entry's agree contract on a corpus exercising all three
     // verdicts: 3 (batch) dups standing 2 → near_dup; 9 dups batch 6
