@@ -1714,6 +1714,28 @@ object DataOpsQueries {
           maxDfPpm = 900000L)
         .orderBy(col("qid"), col("rank"))
     },
+    // the retrieval SERVE twin: the standing posting index pins once,
+    // the query slice arrives one file per trigger, each batch's top-5
+    // lands in the sink — per-query ranking is batch-independent, so
+    // the streamed union must land on t39's oracle verbatim
+    "t39_stream_parity" -> { (s, dir) =>
+      val tmp = graft.core.Caching.scratchDir("t39-stream")
+      val feedDir = tmp.resolve("feed").toString
+      val outDir = tmp.resolve("out").toString
+      val d = Tables.documents(s, dir)
+      d.filter(col("doc_id") % 97 === 0L)
+        .select(col("doc_id"), col("text"))
+        .repartition(4).write.parquet(feedDir)
+      val schema = s.read.parquet(feedDir).schema
+      val q = graft.streaming.Changefeed.streamingBm25Retrieve(
+        s.readStream.option("maxFilesPerTrigger", "1")
+          .schema(schema).parquet(feedDir),
+        d.filter(col("doc_id") % 97 =!= 0L), "doc_id", "text", k = 5,
+        maxDfPpm = 900000L,
+        sink = (b, _) => b.write.mode("append").parquet(outDir))
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(outDir).orderBy(col("qid"), col("rank"))
+    },
     // the admission family through the STREAMING engine: the corpus is
     // dumped to parquet partitioned so no (source, shard) ledger group
     // spans files, ingested back one file per trigger, and the stateful
@@ -2411,6 +2433,10 @@ object DataOpsQueries {
     // per-doc decontamination summaries are batch-order-independent, so
     // the streamed union must land on the batch oracle verbatim
     "t35_stream_parity" -> oraclesBase("t35_decontaminate_spans"),
+    // per-query top-k rankings are batch-independent (each query reads
+    // only its own candidate rows), so the served union must land on
+    // the batch retrieval oracle verbatim
+    "t39_stream_parity" -> oraclesBase("t39_bm25_retrieve"),
   )
 
   private lazy val oraclesBase: Map[String, String] = Map(

@@ -302,6 +302,32 @@ object Changefeed {
     }
   }
 
+  /** Streaming retrieval serve: the streaming twin of
+    * [[graft.functions.TextFunctions.bm25TopK]]. The standing corpus's
+    * elided posting index ([[graft.functions.TextFunctions.bm25Index]])
+    * is pinned once — in production the maintained inverted index —
+    * and each micro-batch of arriving query docs pays only its own
+    * term melt + the posting join + a batch-bounded rank window:
+    * O(batch × matched postings) per trigger, no streaming state.
+    * Per-query top-k is batch-independent (each query's ranking reads
+    * only its own candidate rows), so the streamed union lands on the
+    * batch operator verbatim (the t39_stream_parity gate). */
+  def streamingBm25Retrieve(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String, k: Int = 5,
+                            maxDfPpm: Long = 500000L,
+                            sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.functions.TextFunctions
+    val idx = TextFunctions.bm25Index(corpus, idCol, textCol, maxDfPpm)
+    withStandingFrame(idx, queries.sparkSession) { pinned =>
+      queries.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          sink(TextFunctions.bm25TopKAgainst(
+            pinned, batch.toDF(), idCol, textCol, k), batchId)
+        }
+        .start()
+    }
+  }
+
   /** Streaming asset-ingest dedup: the streaming twin of
     * [[graft.multimodal.Multimodal.payloadDedupAgainst]]. The standing
     * corpus's asset index ([[graft.multimodal.Multimodal.payloadIndex]]
