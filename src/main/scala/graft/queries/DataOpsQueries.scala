@@ -1714,6 +1714,44 @@ object DataOpsQueries {
           maxDfPpm = 900000L)
         .orderBy(col("qid"), col("rank"))
     },
+    // hard-negative mining for contrastive training: per query, the
+    // top-scoring BM25 candidates that are NOT near-duplicates of the
+    // query — retrieval proposes, the d2 LSH pair set vetoes (a near-dup
+    // is a positive mislabeled as a negative, the classic contrastive
+    // contamination). Runs on the dup-bearing corpus so the veto branch
+    // is live at every SF: doc 0 (and every %679 doc) has a planted
+    // exact twin on the corpus side that BM25 ranks high and the
+    // excluder must skip — nExcluded rides each row so the contamination
+    // the veto caught is itself hash-gated. Scale shape: bm25TopK's
+    // posting join + lshCandidates' banded pairs (both bounded designs),
+    // one anti-join, one queries×k window.
+    "t41_hard_negatives" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val cand = TextFunctions.bm25TopK(
+        c.filter(col("doc_id") % 97 =!= 0L),
+        c.filter(col("doc_id") % 97 === 0L), "doc_id", "text", k = 20,
+        maxDfPpm = 900000L)
+      val dup = Dedup.lshCandidates(c, "doc_id", "text")
+        .filter(col("estJaccard") >= 0.5)
+      val excl = dup
+        .filter(col("id1") % 97 === 0L && col("id2") % 97 =!= 0L)
+        .select(col("id1").as("qid"), col("id2").as("did"))
+        .unionByName(dup
+          .filter(col("id2") % 97 === 0L && col("id1") % 97 =!= 0L)
+          .select(col("id2").as("qid"), col("id1").as("did")))
+      val exCnt = cand.join(excl, Seq("qid", "did"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("nExcluded"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("did"))
+      cand.join(excl, Seq("qid", "did"), "left_anti")
+        .withColumn("negRank", row_number().over(w).cast("long"))
+        .filter(col("negRank") <= 3)
+        .join(exCnt, Seq("qid"), "left")
+        .withColumn("nExcluded", coalesce(col("nExcluded"), lit(0L)))
+        .select(col("qid"), col("negRank"), col("did"), col("score"),
+          col("nExcluded"))
+        .orderBy(col("qid"), col("negRank"))
+    },
     // the retrieval SERVE twin: the standing posting index pins once,
     // the query slice arrives one file per trigger, each batch's top-5
     // lands in the sink — per-query ranking is batch-independent, so
@@ -4565,6 +4603,74 @@ object DataOpsQueries {
         |  FROM sc)
         |SELECT qid, did, score, rank FROM rk WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // hard negatives: the t39 BM25 chain over the DUP-BEARING corpus at
+    // k=20, vetoed by the d2 pair set (est >= 0.5) across the %97
+    // boundary, re-ranked after exclusion; nExcluded per query rides
+    // each row
+    "t41_hard_negatives" ->
+      s"""WITH $MinhashSql,
+        |t41tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM corpus),
+        |t41dtf AS (
+        |  SELECT doc_id AS did, term, COUNT(*) AS dtf FROM t41tok
+        |  WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
+        |t41dl AS (SELECT did, CAST(SUM(dtf) AS BIGINT) AS dl FROM t41dtf GROUP BY did),
+        |t41stats AS (
+        |  SELECT COUNT(*) AS nDocs, CAST(SUM(dl) AS BIGINT) AS totTok FROM t41dl),
+        |t41dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM t41dtf GROUP BY term),
+        |t41qtf AS (
+        |  SELECT doc_id AS qid, term, COUNT(*) AS qtf FROM t41tok
+        |  WHERE doc_id % 97 = 0 GROUP BY 1, 2),
+        |t41cand AS (
+        |  SELECT q.qid, d.did, q.qtf, d.dtf, f.df, l.dl, s.nDocs, s.totTok
+        |  FROM t41qtf q JOIN t41dtf d USING (term) JOIN t41dfreq f USING (term)
+        |  JOIN t41dl l ON l.did = d.did CROSS JOIN t41stats s
+        |  WHERE f.df * 1000000 <= 900000 * s.nDocs),
+        |t41contrib AS (
+        |  SELECT qid, did,
+        |    CAST(ROUND(
+        |      CAST(qtf AS DOUBLE) *
+        |      ((CAST(nDocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(dtf AS DOUBLE) * 2.2) /
+        |       (CAST(dtf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |         (CAST(dl AS DOUBLE) /
+        |          (CAST(totTok AS DOUBLE) / CAST(nDocs AS DOUBLE)))))) *
+        |      1000000.0) AS BIGINT) AS fixed
+        |  FROM t41cand),
+        |t41sc AS (
+        |  SELECT qid, did, CAST(SUM(fixed) AS BIGINT) AS score
+        |  FROM t41contrib GROUP BY 1, 2),
+        |t41top AS (
+        |  SELECT qid, did, score FROM (
+        |    SELECT qid, did, score,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, did) AS rk
+        |    FROM t41sc) z WHERE rk <= 20),
+        |t41excl AS (
+        |  SELECT id1 AS qid, id2 AS did FROM pairs
+        |  WHERE estJaccard >= 0.5 AND id1 % 97 = 0 AND id2 % 97 <> 0
+        |  UNION ALL
+        |  SELECT id2 AS qid, id1 AS did FROM pairs
+        |  WHERE estJaccard >= 0.5 AND id2 % 97 = 0 AND id1 % 97 <> 0),
+        |t41ex AS (
+        |  SELECT t.qid, COUNT(*) AS nExcluded
+        |  FROM t41top t JOIN t41excl e ON e.qid = t.qid AND e.did = t.did
+        |  GROUP BY t.qid),
+        |t41kept AS (
+        |  SELECT t.qid, t.did, t.score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY t.qid
+        |      ORDER BY t.score DESC, t.did) AS BIGINT) AS negRank
+        |  FROM t41top t
+        |  WHERE NOT EXISTS (SELECT 1 FROM t41excl e
+        |                    WHERE e.qid = t.qid AND e.did = t.did))
+        |SELECT k.qid, k.negRank, k.did, k.score,
+        |  CAST(COALESCE(x.nExcluded, 0) AS BIGINT) AS nExcluded
+        |FROM t41kept k LEFT JOIN t41ex x ON x.qid = k.qid
+        |WHERE k.negRank <= 3
+        |ORDER BY k.qid, k.negRank""".stripMargin,
     // context packing: the t12 hkey ladder (salt ctx0) → per-shard
     // exclusive running sum of (tok + 1 EOD) in (hkey, id) order →
     // context ids by integer division on the 512-token grid

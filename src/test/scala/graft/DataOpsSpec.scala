@@ -1120,6 +1120,35 @@ class DataOpsSpec extends SparkSpec {
     assert(all == Set(1L, 2L, 3L, 4L), s"got $all")
   }
 
+  test("hard negatives: the top BM25 hit that is a near-dup of the query is vetoed") {
+    import graft.functions.{Dedup, TextFunctions}
+    // query 100 and corpus doc 1 are exact dups — BM25 ranks doc 1 top
+    // (identical text = maximal term overlap), the d2 pair set vetoes
+    // it, and the hard negative must be the best NON-dup doc
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // exact dup of the query
+      (2L, "alpha beta gamma other words here"),     // topical but not a near-dup
+      (3L, "completely unrelated vocabulary entirely tokens"),
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val cand = TextFunctions.bm25TopK(corpus, queries, "doc_id", "text",
+      k = 3, maxDfPpm = 1000000L)
+    val top = rows(cand.filter(col("rank") === 1).select(col("did"))).head.head
+    assert(top == 1L, s"sanity: the dup should rank first, got $top")
+    val dup = Dedup.lshCandidates(corpus.unionByName(queries), "doc_id", "text")
+      .filter(col("estJaccard") >= 0.5)
+    val excl = dup.filter(col("id2") === 100L)
+      .select(col("id2").as("qid"), col("id1").as("did"))
+      .unionByName(dup.filter(col("id1") === 100L)
+        .select(col("id1").as("qid"), col("id2").as("did")))
+    val mined = rows(cand.join(excl, Seq("qid", "did"), "left_anti")
+      .orderBy(col("score").desc, col("did")).select(col("did")))
+      .map(_.head)
+    assert(mined.head == 2L, s"hard negative must skip the dup: $mined")
+    assert(!mined.contains(1L))
+  }
+
   test("d18 serve-vs-batch agreement: every verdict class consistent with the full pair set") {
     // the gate entry's agree contract on a corpus exercising all three
     // verdicts: 3 (batch) dups standing 2 → near_dup; 9 dups batch 6
