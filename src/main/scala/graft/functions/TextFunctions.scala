@@ -1137,6 +1137,33 @@ object TextFunctions {
     dTf.join(dfreq, Seq("term")).join(docLen, Seq("did"))
   }
 
+  /** Clipped n-gram overlap — the ROUGE-N core — for an EXPLICIT
+    * (qid, did) pair frame: matched = Σ over shared grams of
+    * min(count_q, count_d) (standard ROUGE clipping), plus each side's
+    * total gram count, all BIGINT (F1 = 2m/(c+r) falls out in integer
+    * ppm downstream; no float sums anywhere). One gram melt over the
+    * doc table serves both sides of every pair; cost is pair-bounded
+    * (pairs × shared grams), never corpus². Returns pairs +
+    * (m`tag`, c`tag` — the did side, r`tag` — the qid side). */
+  def rougeOverlap(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, n: Int, tag: String): DataFrame = {
+    val c = graft.functions.Dedup.ngramRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("n"))
+    val qc = c.select(col(idCol).as("qid"), col("shingle"), col("n").as("qn"))
+    val dc = c.select(col(idCol).as("did"), col("shingle"), col("n").as("dn"))
+    val m = pairs.join(qc, Seq("qid")).join(dc, Seq("did", "shingle"))
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(least(col("qn"), col("dn"))).as(s"m$tag"))
+    val rt = c.groupBy(col(idCol).as("qid")).agg(sum(col("n")).as(s"r$tag"))
+    val ct = c.groupBy(col(idCol).as("did")).agg(sum(col("n")).as(s"c$tag"))
+    pairs.join(m, Seq("qid", "did"), "left")
+      .join(rt, Seq("qid"), "left").join(ct, Seq("did"), "left")
+      .select(col("qid"), col("did"),
+        coalesce(col(s"m$tag"), lit(0L)).as(s"m$tag"),
+        coalesce(col(s"c$tag"), lit(0L)).as(s"c$tag"),
+        coalesce(col(s"r$tag"), lit(0L)).as(s"r$tag"))
+  }
+
   /** [[bm25TopK]] against a PREBUILT posting index ([[bm25Index]]) —
     * the serve-path split (the incrementalLshAgainst convention). */
   def bm25TopKAgainst(index: DataFrame, queries: DataFrame, idCol: String,

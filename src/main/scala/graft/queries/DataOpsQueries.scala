@@ -1714,6 +1714,33 @@ object DataOpsQueries {
           maxDfPpm = 900000L)
         .orderBy(col("qid"), col("rank"))
     },
+    // retrieval-grounded overlap eval (the ROUGE-N shape): for each
+    // eval query and its BM25 top-1 retrieved doc, clipped n-gram
+    // matching — matched_n = Σ over shared grams of min(count_q,
+    // count_d), the standard ROUGE clipping — for unigrams and bigrams,
+    // ALL in integer arithmetic; F1 falls out of the identity
+    // 2·matched/(candTotal + refTotal) as integer ppm (no float sums
+    // anywhere). The eval-pipeline scoring loop (summarization/QA
+    // overlap metrics) expressed as two gram melts + one pair join,
+    // never a per-pair UDF.
+    "t40_rouge_eval" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val top1 = TextFunctions.bm25TopK(
+          d.filter(col("doc_id") % 97 =!= 0L),
+          d.filter(col("doc_id") % 97 === 0L), "doc_id", "text", k = 1,
+          maxDfPpm = 900000L)
+        .select(col("qid"), col("did"))
+      def overlap(n: Int, tag: String) =
+        TextFunctions.rougeOverlap(top1, d, "doc_id", "text", n, tag)
+      overlap(1, "1").join(overlap(2, "2"), Seq("qid", "did"))
+        .withColumn("f1ppm1", when(col("c1") + col("r1") > 0,
+          expr("2 * m1 * 1000000 div (c1 + r1)")).otherwise(0L))
+        .withColumn("f1ppm2", when(col("c2") + col("r2") > 0,
+          expr("2 * m2 * 1000000 div (c2 + r2)")).otherwise(0L))
+        .select(col("qid"), col("did"), col("m1"), col("c1"), col("r1"),
+          col("f1ppm1"), col("m2"), col("c2"), col("r2"), col("f1ppm2"))
+        .orderBy(col("qid"))
+    },
     // hard-negative mining for contrastive training: per query, the
     // top-scoring BM25 candidates that are NOT near-duplicates of the
     // query — retrieval proposes, the d2 LSH pair set vetoes (a near-dup
@@ -4603,6 +4630,92 @@ object DataOpsQueries {
         |  FROM sc)
         |SELECT qid, did, score, rank FROM rk WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // ROUGE-shaped overlap eval: the t39 chain at k=1 picks the top-1
+    // doc per query, then clipped unigram/bigram matching in pure
+    // integers and the 2m/(c+r) F1 identity in integer ppm
+    "t40_rouge_eval" ->
+      """WITH t40w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |t40tok AS (SELECT doc_id, UNNEST(w) AS term FROM t40w),
+        |t40dtf AS (
+        |  SELECT doc_id AS did, term, COUNT(*) AS dtf FROM t40tok
+        |  WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
+        |t40dl AS (SELECT did, CAST(SUM(dtf) AS BIGINT) AS dl FROM t40dtf GROUP BY did),
+        |t40stats AS (
+        |  SELECT COUNT(*) AS nDocs, CAST(SUM(dl) AS BIGINT) AS totTok FROM t40dl),
+        |t40dfreq AS (SELECT term, COUNT(*) AS df FROM t40dtf GROUP BY term),
+        |t40qtf AS (
+        |  SELECT doc_id AS qid, term, COUNT(*) AS qtf FROM t40tok
+        |  WHERE doc_id % 97 = 0 GROUP BY 1, 2),
+        |t40cand AS (
+        |  SELECT q.qid, d.did, q.qtf, d.dtf, f.df, l.dl, s.nDocs, s.totTok
+        |  FROM t40qtf q JOIN t40dtf d USING (term) JOIN t40dfreq f USING (term)
+        |  JOIN t40dl l ON l.did = d.did CROSS JOIN t40stats s
+        |  WHERE f.df * 1000000 <= 900000 * s.nDocs),
+        |t40contrib AS (
+        |  SELECT qid, did,
+        |    CAST(ROUND(
+        |      CAST(qtf AS DOUBLE) *
+        |      ((CAST(nDocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(dtf AS DOUBLE) * 2.2) /
+        |       (CAST(dtf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |         (CAST(dl AS DOUBLE) /
+        |          (CAST(totTok AS DOUBLE) / CAST(nDocs AS DOUBLE)))))) *
+        |      1000000.0) AS BIGINT) AS fixed
+        |  FROM t40cand),
+        |t40sc AS (
+        |  SELECT qid, did, CAST(SUM(fixed) AS BIGINT) AS score
+        |  FROM t40contrib GROUP BY 1, 2),
+        |t40top1 AS (
+        |  SELECT qid, did FROM (
+        |    SELECT qid, did,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, did) AS rk
+        |    FROM t40sc) z WHERE rk = 1),
+        |t40uc AS (
+        |  SELECT doc_id, term AS g, COUNT(*) AS n FROM t40tok GROUP BY 1, 2),
+        |t40bi AS (
+        |  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 2
+        |    THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+        |    ELSE [] END) AS g
+        |  FROM t40w),
+        |t40bcnt AS (SELECT doc_id, g, COUNT(*) AS n FROM t40bi GROUP BY 1, 2),
+        |t40m1 AS (
+        |  SELECT t.qid, t.did, CAST(SUM(LEAST(q.n, d.n)) AS BIGINT) AS m1
+        |  FROM t40top1 t JOIN t40uc q ON q.doc_id = t.qid
+        |  JOIN t40uc d ON d.doc_id = t.did AND d.g = q.g
+        |  GROUP BY 1, 2),
+        |t40m2 AS (
+        |  SELECT t.qid, t.did, CAST(SUM(LEAST(q.n, d.n)) AS BIGINT) AS m2
+        |  FROM t40top1 t JOIN t40bcnt q ON q.doc_id = t.qid
+        |  JOIN t40bcnt d ON d.doc_id = t.did AND d.g = q.g
+        |  GROUP BY 1, 2),
+        |t40tot1 AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tot FROM t40uc GROUP BY 1),
+        |t40tot2 AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tot FROM t40bcnt GROUP BY 1),
+        |t40j AS (
+        |  SELECT t.qid, t.did,
+        |    COALESCE(a.m1, 0) AS m1, COALESCE(cd.tot, 0) AS c1,
+        |    COALESCE(cq.tot, 0) AS r1,
+        |    COALESCE(b.m2, 0) AS m2, COALESCE(ed.tot, 0) AS c2,
+        |    COALESCE(eq.tot, 0) AS r2
+        |  FROM t40top1 t
+        |  LEFT JOIN t40m1 a ON a.qid = t.qid AND a.did = t.did
+        |  LEFT JOIN t40m2 b ON b.qid = t.qid AND b.did = t.did
+        |  LEFT JOIN t40tot1 cd ON cd.doc_id = t.did
+        |  LEFT JOIN t40tot1 cq ON cq.doc_id = t.qid
+        |  LEFT JOIN t40tot2 ed ON ed.doc_id = t.did
+        |  LEFT JOIN t40tot2 eq ON eq.doc_id = t.qid)
+        |SELECT qid, did, m1, c1, r1,
+        |  CAST(CASE WHEN c1 + r1 > 0 THEN 2 * m1 * 1000000 // (c1 + r1)
+        |       ELSE 0 END AS BIGINT) AS f1ppm1,
+        |  m2, c2, r2,
+        |  CAST(CASE WHEN c2 + r2 > 0 THEN 2 * m2 * 1000000 // (c2 + r2)
+        |       ELSE 0 END AS BIGINT) AS f1ppm2
+        |FROM t40j ORDER BY qid""".stripMargin,
     // hard negatives: the t39 BM25 chain over the DUP-BEARING corpus at
     // k=20, vetoed by the d2 pair set (est >= 0.5) across the %97
     // boundary, re-ranked after exclusion; nExcluded per query rides

@@ -1120,6 +1120,24 @@ class DataOpsSpec extends SparkSpec {
     assert(all == Set(1L, 2L, 3L, 4L), s"got $all")
   }
 
+  test("rouge overlap: clipped n-gram matching by hand") {
+    import graft.functions.TextFunctions
+    // ref (qid 1) "a a b c" vs cand (did 2) "a b b d":
+    // unigrams  — ref {a:2,b:1,c:1}, cand {a:1,b:2,d:1} → clipped
+    //   matched = min(2,1)+min(1,2) = 2; totals 4 and 4
+    // bigrams — ref {a a, a b, b c}, cand {a b, b b, b d} → matched 1
+    val docs = Seq((1L, "a a b c"), (2L, "a b b d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("qid", "did")
+    val u = rows(TextFunctions.rougeOverlap(pairs, docs, "doc_id", "text",
+      n = 1, tag = "1")).head
+    assert(u == Seq(1L, 2L, 2L, 4L, 4L), s"got $u") // qid did m c r
+    val b = rows(TextFunctions.rougeOverlap(pairs, docs, "doc_id", "text",
+      n = 2, tag = "2")).head
+    assert(b == Seq(1L, 2L, 1L, 3L, 3L), s"got $b")
+    // F1 identity: 2m/(c+r) → unigram 4/8 = 500000 ppm
+    assert(2 * 2 * 1000000 / (4 + 4) == 500000)
+  }
+
   test("hard negatives: the top BM25 hit that is a near-dup of the query is vetoed") {
     import graft.functions.{Dedup, TextFunctions}
     // query 100 and corpus doc 1 are exact dups — BM25 ranks doc 1 top
