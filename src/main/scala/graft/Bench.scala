@@ -78,6 +78,9 @@ object Bench {
         graft.core.Scale.writeRelationalTables(
           spark.table("lineitem"), spark.table("orders"))
         spark.conf.set("graft.layout", "bucketed")
+        // provenance for the raw-table shadow (Tables.LayoutDirKey):
+        // the bucketed lineitem/orders only serve THIS dir
+        spark.conf.set(graft.core.Tables.LayoutDirKey, sfDir)
         (System.nanoTime() - t0) / 1e9
       } else 0.0
 
@@ -157,14 +160,17 @@ object Bench {
     // heuristic can't see a whole run that lands in a slow window — the
     // r14 canonical artifact read 25% above a same-tree back-to-back
     // pair with contended=false on every line. The committed reference
-    // total (tools/bench_reference.json, re-pinned each round from an
-    // idle-box views run) is the cross-run signal: when the full
-    // headline set's contract total exceeds it by >10% (r16: was 15%,
-    // which let r15's +13.8% end-of-session window become the canonical
-    // artifact — the measured uniform box-dip magnitude is 8-11%, so
-    // the trigger now sits at that band's top), the WHOLE set
-    // re-runs once and each query reports its faster window (slow
-    // windows only ever inflate; the union of runs stays in `spread`).
+    // total (tools/bench_reference.json, re-pinned each round from the
+    // FIRST-PASS total of an idle-box views run — never from a guarded
+    // min-of-two composite, which would ratchet the pin downward each
+    // round; ADVICE r16) is the cross-run signal: when the full
+    // headline set's contract total exceeds it by >12% (r17: was 10%,
+    // the TOP of the measured 8-11% uniform box-dip band — typical
+    // clean runs exceeded a best-case composite pin there and fired
+    // routinely; 12% sits above the band while still catching r15's
+    // +13.8% slip), the WHOLE set re-runs once and each query reports
+    // its faster window (slow windows only ever inflate; the union of
+    // runs stays in `spread`).
     // Guarded only on the canonical shape (views layout, full set) so
     // layout passes and subset familiarization runs stay single-pass.
     def contractVal(ts: Seq[Double]): Double =
@@ -179,11 +185,13 @@ object Bench {
       } catch { case _: Throwable => None }
     val crossRunRetry = layout == "views" && only.isEmpty &&
       !results.exists(_._3) &&
-      refTotal.exists(r => contractTotal(results) > r * 1.10)
+      refTotal.exists(r => contractTotal(results) > r * 1.12)
     if (crossRunRetry) {
-      System.err.println(s"[bench] cross-run guard: contract total " +
-        f"${contractTotal(results)}%.2f s exceeds the pinned reference " +
-        f"${refTotal.get}%.2f s by >10%% — re-running the full set")
+      // the FIRST-PASS total is the re-pinnable number (the guarded
+      // composite below is min-of-windows and must never become the pin)
+      System.err.println(s"[bench] cross-run guard: FIRST-PASS contract " +
+        f"total ${contractTotal(results)}%.2f s exceeds the pinned " +
+        f"reference ${refTotal.get}%.2f s by >12%% — re-running the full set")
       val second = names.map(measure)
       results = results.zip(second).map { case (a, b) =>
         val pick = if (b._3) a

@@ -31,14 +31,11 @@ object ScaleRehearsal {
     val scratch = graft.core.Caching.scratchDir("rehearsal").toString
     val Off = 1000000000L
 
-    def time(name: String)(f: => Long): Double = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[rehearsal] $name%-36s $s%8.2f s  (rows=$n)")
-      s
-    }
+    // MIN-of-reps protocol (RehearsalUtil): default single-rep for this
+    // cheap 10× sweep; SPARK_GRAFT_REHEARSAL_REPS=N re-pins with spreads
+    val reps = RehearsalUtil.reps(default = 1)
+    def time(name: String)(f: => Long): Double =
+      RehearsalUtil.timeReps(spark, "rehearsal", name, reps)(f)
 
     // ---- build the N-shard copy (written once; queries read parquet) --
     def shift(c: String, k: Int) =
@@ -368,23 +365,11 @@ object ScaleRehearsal {
       else s"${ds.size} triggers, median ${ds.sorted.apply(ds.size / 2)} ms, max ${ds.max} ms"
     }
 
-    // FileStreamSource orders files by MODIFICATION TIME, not path — two
-    // slices written inside the same mtime granularity could replay out
-    // of order, silently breaking the time-ordered-triggers contract the
-    // asof/sessionize twins assume (their parity checks would flip on a
-    // reordered run, not on a code change). Stamp strictly increasing,
-    // slice-indexed mtimes on every data file after writing; kept within
-    // the last hour so the source's default maxFileAge never drops one.
-    def stampSliceOrder(feedDir: String): Unit = {
-      val slices = new java.io.File(feedDir).listFiles()
-        .filter(_.isDirectory).sortBy(_.getName)
-      val base = System.currentTimeMillis() - 3600000L
-      slices.zipWithIndex.foreach { case (d, i) =>
-        val t = java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L)
-        d.listFiles().foreach(f =>
-          java.nio.file.Files.setLastModifiedTime(f.toPath, t))
-      }
-    }
+    // slice-order stamping: shared helper (RehearsalUtil.stampSliceOrder
+    // — mtime contract documented there; previously duplicated here and
+    // in ScaleRehearsalStreams, which could drift)
+    def stampSliceOrder(feedDir: String): Unit =
+      RehearsalUtil.stampSliceOrder(feedDir)
 
     // N5 block-report stream (SURVEY §3.3 flagship): the 10× report wave
     // in ~8 triggers against the 12M-row stored table — per trigger the

@@ -12,14 +12,20 @@ import org.apache.spark.sql.functions._
   * against it through the UNMODIFIED SparkEntry.queries functions, so
   * what is timed is precisely what the gate runs.
   *
-  * Beyond wall times, the three most expensive plan pyramids (q5, q9,
-  * q18) get a physical-plan audit at scale: join strategies actually
-  * chosen, exchange count, any CartesianProduct (there must be none).
-  * The r16 broadcast policy (hints only on fixed-size dims and scalar
-  * aggregates; SF-growing dims threshold-decided) is what this
-  * rehearsal exists to check: at 10× the dims still broadcast via the
-  * size estimate, at 100× the larger ones must flip to shuffle joins
-  * without a plan cliff.
+  * Beyond wall times, the a-priori plan pyramids (q5, q9, q18) PLUS the
+  * five most expensive queries BY MEASURED TIME in this run get a
+  * physical-plan audit at scale: join strategies actually chosen,
+  * shuffle-exchange count (BroadcastExchange excluded — ADVICE r16),
+  * any CartesianProduct (there must be none). The r16 broadcast policy
+  * (hints only on fixed-size dims and scalar aggregates; SF-growing
+  * dims threshold-decided) is what this rehearsal exists to check: at
+  * 10× the dims still broadcast via the size estimate, at 100× the
+  * larger ones must flip to shuffle joins without a plan cliff.
+  *
+  * Timing follows the MIN-of-reps protocol ([[RehearsalUtil.timeReps]],
+  * default 2 reps here, `SPARK_GRAFT_REHEARSAL_REPS` overrides): the
+  * r16 100× pass ran each line once per full pass and its 2-10×
+  * cross-pass spread made the absolute numbers weak evidence.
   *
   * Usage: runMain graft.ScaleRehearsalQ [sfDir] [copies]
   */
@@ -38,14 +44,12 @@ object ScaleRehearsalQ {
     val scratch = graft.core.Caching.scratchDir("rehearsal_q").toString
     val Off = 1000000000L
 
-    def time(name: String)(f: => Long): Double = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[rehearsal-q] $name%-24s $s%8.2f s  (rows=$n)")
-      s
-    }
+    val reps = RehearsalUtil.reps(default = 2)
+    def time(name: String)(f: => Long): Double =
+      RehearsalUtil.timeReps(spark, "rehearsal-q", name, reps)(f)
+    // the one-shot build is never a recorded evidence line — single rep
+    def timeOnce(name: String)(f: => Long): Double =
+      RehearsalUtil.timeReps(spark, "rehearsal-q", name, 1)(f)
 
     // ---- build the copies× set in the standard sfDir layout -----------
     // Key shift per copy: every int64 PK/FK moves to a disjoint range,
@@ -62,7 +66,7 @@ object ScaleRehearsalQ {
         names.foldLeft(withKeys)((d, c) =>
           d.withColumn(c, concat(col(c), lit(s"_$k"))))
       }.reduce(_ unionByName _)
-    val tBuild = time(s"build ${copies}x relational") {
+    val tBuild = timeOnce(s"build ${copies}x relational") {
       shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), Nil)
         .write.mode("overwrite").parquet(s"$scratch/lineitem.parquet")
       shifted("orders", Seq("o_orderkey", "o_custkey"), Nil)
@@ -89,24 +93,21 @@ object ScaleRehearsalQ {
       n -> time(n) { SparkEntry.queries(n)(spark, scratch).count() }
     }
 
-    // ---- plan audit: q5 / q9 / q18 at this scale ----------------------
-    // what the optimizer+AQE actually chose: per-join strategy, exchange
-    // count, CartesianProduct presence (policy: zero, ever)
-    Seq("q5_local_supplier", "q9_product_profit", "q18_large_orders")
-      .foreach { n =>
-        val df = SparkEntry.queries(n)(spark, scratch)
-        df.count() // let AQE finalize so the executed plan is inspected
-        val plan = df.queryExecution.executedPlan.toString
-        def cnt(s: String) = s.r.findAllIn(plan).length
-        println(s"[rehearsal-q] PLAN $n: " +
-          s"broadcastHashJoin=${cnt("BroadcastHashJoin")} " +
-          s"sortMergeJoin=${cnt("SortMergeJoin")} " +
-          s"shuffledHashJoin=${cnt("ShuffledHashJoin")} " +
-          s"exchanges=${cnt("Exchange")} " +
-          s"cartesian=${cnt("CartesianProduct")}")
-        require(!plan.contains("CartesianProduct"),
-          s"$n planned a CartesianProduct at ${copies}x")
-      }
+    // ---- plan audit: a-priori pyramids + top-5 BY MEASURED TIME -------
+    // what the optimizer+AQE actually chose: per-join strategy, shuffle
+    // exchange count, CartesianProduct presence (policy: zero, ever).
+    // The r16 audit covered only the a-priori trio while the measured
+    // 100× tail (q21/q20/q3/q2) went unaudited — exactly the shapes
+    // (multi-self-join, min-cost join-back) where a duplicated fact scan
+    // hides. Audit set = trio ∪ top-5 by this run's MIN-of-reps time.
+    val apriori = Seq("q5_local_supplier", "q9_product_profit", "q18_large_orders")
+    val top5 = times.sortBy(-_._2).take(5).map(_._1)
+    (apriori ++ top5).distinct.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, scratch)
+      df.count() // let AQE finalize so the executed plan is inspected
+      RehearsalUtil.auditPlan("rehearsal-q", n,
+        df.queryExecution.executedPlan.toString, s"${copies}x")
+    }
 
     val r = ("build" -> tBuild) +: times
     println(r.map { case (k, v) => s""""$k":$v""" }

@@ -30,14 +30,12 @@ object ScaleRehearsalStreams {
     val scratch = graft.core.Caching.scratchDir("rehearsal_streams").toString
     val Off = 1000000000L
 
-    def time(name: String)(f: => Long): Double = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[rehearsal-s] $name%-40s $s%8.2f s  (rows=$n)")
-      s
-    }
+    // MIN-of-reps protocol (RehearsalUtil): streaming twins replay whole
+    // feeds per rep, so the default stays 1; SPARK_GRAFT_REHEARSAL_REPS
+    // re-pins with spreads when adjudicating a drift
+    val reps = RehearsalUtil.reps(default = 1)
+    def time(name: String)(f: => Long): Double =
+      RehearsalUtil.timeReps(spark, "rehearsal-s", name, reps)(f)
     import scala.jdk.CollectionConverters._
     def triggerStats(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
       val ds = q.recentProgress.toSeq.filter(_.numInputRows > 0)
@@ -115,14 +113,7 @@ object ScaleRehearsalStreams {
           .coalesce(1).write.mode("overwrite").parquet(f"$feed/slice$i%02d")
       }
       // FileStreamSource orders by mtime — make slice order explicit
-      val slices = new java.io.File(feed).listFiles()
-        .filter(_.isDirectory).sortBy(_.getName)
-      val base = System.currentTimeMillis() - 3600000L
-      slices.zipWithIndex.foreach { case (d, i) =>
-        val t = java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L)
-        d.listFiles().foreach(f =>
-          java.nio.file.Files.setLastModifiedTime(f.toPath, t))
-      }
+      RehearsalUtil.stampSliceOrder(feed)
       val stream = spark.readStream.option("maxFilesPerTrigger", "1")
         .schema(ev10.schema).parquet(s"$feed/slice*")
       val acc = new java.util.concurrent.ConcurrentHashMap[Long, Long]()

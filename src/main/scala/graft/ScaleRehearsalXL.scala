@@ -41,14 +41,15 @@ object ScaleRehearsalXL {
     val scratch = graft.core.Caching.scratchDir("rehearsal_xl").toString
     val Off = 1000000000L
 
-    def time(name: String)(f: => Long): Double = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[rehearsal-xl] $name%-40s $s%8.2f s  (rows=$n)")
-      s
-    }
+    // MIN-of-reps protocol (RehearsalUtil): the 140× full-table-scan
+    // lines are the most IO-window-sensitive in the repo, so the XL
+    // default is 2 reps per recorded line (n5 keeps its own 3-rep knob
+    // below); SPARK_GRAFT_REHEARSAL_REPS overrides.
+    val xlReps = RehearsalUtil.reps(default = 2)
+    def time(name: String)(f: => Long): Double =
+      RehearsalUtil.timeReps(spark, "rehearsal-xl", name, xlReps)(f)
+    def timeOnce(name: String)(f: => Long): Double =
+      RehearsalUtil.timeReps(spark, "rehearsal-xl", name, 1)(f)
 
     // ---- stage 1: inner× from the views (the ScaleRehearsal shard) ----
     def shift(c: String, k: Long) =
@@ -70,7 +71,7 @@ object ScaleRehearsalXL {
     val repInner = (0 until inner).map { k =>
       spark.table("reported").withColumn("blockId", shift("blockId", k))
     }.reduce(_ unionByName _)
-    val tInner = time(s"stage1 write ${inner}x from views") {
+    val tInner = timeOnce(s"stage1 write ${inner}x from views") {
       fileInner.write.mode("overwrite").parquet(s"$scratch/file_i")
       blockInner.write.mode("overwrite").parquet(s"$scratch/block_i")
       repInner.write.mode("overwrite").parquet(s"$scratch/rep_i")
@@ -97,7 +98,7 @@ object ScaleRehearsalXL {
       spark.read.parquet(s"$scratch/rep_i")
         .withColumn("blockId", shift("blockId", j * inner.toLong))
     }.reduce(_ unionByName _)
-    val tBuild = time(s"stage2 write ${copies}x tables") {
+    val tBuild = timeOnce(s"stage2 write ${copies}x tables") {
       fileXL.write.mode("overwrite").parquet(s"$scratch/file")
       blockXL.write.mode("overwrite").parquet(s"$scratch/block")
       repXL.write.mode("overwrite").parquet(s"$scratch/rep")
@@ -188,23 +189,12 @@ object ScaleRehearsalXL {
     // IO window or a plan drift, and only a multi-rep spread with the
     // load recorded can say which. The reported tN5 is the MIN of the
     // reps (the one number box load can only inflate).
-    def loadAvg1m(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     val n5Reps = sys.env.getOrElse("SPARK_GRAFT_XL_N5_REPS", "3").toInt.max(1)
-    val n5LoadBefore = loadAvg1m()
-    val n5Times = (1 to n5Reps).map { i =>
-      time(s"n5 reconcileReports (rep $i/$n5Reps)") {
-        Dataflows.reconcileReports(b, rep)
-          .groupBy(col("action")).agg(count(lit(1))).count()
-      }
+    val tN5 = RehearsalUtil.timeReps(spark, "rehearsal-xl",
+      "n5 reconcileReports", n5Reps) {
+      Dataflows.reconcileReports(b, rep)
+        .groupBy(col("action")).agg(count(lit(1))).count()
     }
-    val tN5 = n5Times.min
-    println(f"[rehearsal-xl] n5 spread: min=${n5Times.min}%.2f " +
-      f"median=${n5Times.sorted.apply(n5Times.size / 2)}%.2f " +
-      f"max=${n5Times.max}%.2f s, load1m before=$n5LoadBefore%.1f " +
-      f"after=${loadAvg1m()}%.1f")
     val tS8 = time("s8 blockEntries") {
       StateManager.blockEntries(b).count()
     }

@@ -37,6 +37,9 @@ object Verify {
       graft.core.Scale.writeRelationalTables(
         spark.table("lineitem"), spark.table("orders"))
       spark.conf.set("graft.layout", "bucketed")
+      // provenance for the raw-table shadow: Tables.load only serves the
+      // bucketed lineitem/orders for THIS dir (fails loudly otherwise)
+      spark.conf.set(graft.core.Tables.LayoutDirKey, sfDir)
     }
     // optional comma-separated subset for local iteration (driver sets
     // neither). Tokens are trimmed and empties dropped — a whitespace-padded

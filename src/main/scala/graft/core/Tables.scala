@@ -20,12 +20,26 @@ object Tables {
     * (QUERIES.md "Layout coverage"). */
   private val BucketedRaw = Set("lineitem", "orders")
 
+  /** Conf key recording WHICH sfDir the bucketed shadow tables were
+    * written from (set by the gate/bench mains next to
+    * `graft.layout=bucketed`). The shadow only engages when it matches
+    * the requested dir — a caller loading lineitem/orders from a
+    * DIFFERENT directory in the same session must not silently get the
+    * other dataset's layout, so a mismatch (or a missing record) under
+    * the bucketed layout fails loudly instead. */
+  val LayoutDirKey = "graft.layout.sfDir"
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (BucketedRaw(name) &&
         spark.conf.getOption("graft.layout").contains("bucketed") &&
-        spark.catalog.tableExists(s"graft_state_$name"))
+        spark.catalog.tableExists(s"graft_state_$name")) {
+      val written = spark.conf.getOption(LayoutDirKey)
+      require(written.contains(sfDir),
+        s"bucketed layout active but graft_state_$name was written from " +
+          s"${written.getOrElse("<unrecorded>")}, not the requested $sfDir — " +
+          s"set $LayoutDirKey when activating the layout, or load via views")
       spark.table(s"graft_state_$name")
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -44,15 +44,20 @@ object Vectors {
     * (pinned in DataOpsSpec via the maxBroadcastQueries knob). */
   val MaxBroadcastQueries: Long = 65536L
 
-  /** The hint, gated by one bounded count of the query-side frame:
-    * `probe` is the CHEAP frame to count (a filter over the base table),
-    * `side` the frame to hint (possibly queries×k). limit(bound+1) keeps
-    * the sizing job bounded whatever the slice. */
-  private def boundedBroadcast(side: DataFrame, probe: DataFrame,
-                               maxRows: Long): DataFrame =
-    if (probe.limit((maxRows min Int.MaxValue.toLong).toInt + 1).count() <= maxRows)
-      broadcast(side)
-    else side
+  /** The sizing decision: ONE bounded count of the query-side frame
+    * (`probe` is the CHEAP frame to count — a filter over the base
+    * table). limit(bound+1) keeps the sizing job bounded whatever the
+    * slice; the limit argument is clamped below Int.MaxValue so
+    * maxRows = Int.MaxValue cannot overflow it. Callers chaining two
+    * hinted joins over the same probe (knnClassify) compute this once
+    * and reuse the verdict for both hints. */
+  private def fitsBroadcast(probe: DataFrame, maxRows: Long): Boolean = {
+    val lim = ((maxRows min (Int.MaxValue - 1).toLong) max 0L).toInt + 1
+    probe.limit(lim).count() <= maxRows
+  }
+
+  private def boundedBroadcast(side: DataFrame, fits: Boolean): DataFrame =
+    if (fits) broadcast(side) else side
 
   /** Brute-force top-k cosine neighbors for a query subset.
     * `emb` must have (vec_id, embedding). The query side broadcasts only
@@ -62,14 +67,19 @@ object Vectors {
     * cheap at corpus-fraction query counts (that's the IVF/LSH serve
     * paths' job). */
   def knnBrute(emb: DataFrame, queryPred: Column, k: Int,
-               maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
+               maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame =
+    knnBruteHinted(emb, queryPred, k,
+      fitsBroadcast(emb.filter(queryPred), maxBroadcastQueries))
+
+  private def knnBruteHinted(emb: DataFrame, queryPred: Column, k: Int,
+                             fits: Boolean): DataFrame = {
     // norms once per vector (not per pair) — the pair loop pays only the dot
     val queries = emb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"))
     val corpusN = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
       norm(col("embedding")).as("nn"))
-    val scored = boundedBroadcast(queries, emb.filter(queryPred), maxBroadcastQueries)
+    val scored = boundedBroadcast(queries, fits)
       .join(corpusN, col("qid") =!= col("nid"))
       .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
@@ -96,9 +106,14 @@ object Vectors {
     * path swaps in without touching the tally. */
   def knnClassify(emb: DataFrame, queryPred: Column, k: Int,
                   labelCol: String = "label",
-                  maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame =
-    knnClassifyFrom(knnBrute(emb, queryPred, k, maxBroadcastQueries),
-      emb, queryPred, labelCol, maxBroadcastQueries)
+                  maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
+    // ONE sizing job for the whole chain — knnBrute's query-side hint and
+    // the tally join's topk hint share the same probe, so the verdict is
+    // computed once and reused (the guard previously ran twice).
+    val fits = fitsBroadcast(emb.filter(queryPred), maxBroadcastQueries)
+    knnClassifyHinted(knnBruteHinted(emb, queryPred, k, fits),
+      emb, queryPred, labelCol, fits)
+  }
 
   /** The majority vote of [[knnClassify]] over ANY prebuilt (qid, nid)
     * neighbor frame — the serve-path split: hand it [[ivfPqProbe]]'s
@@ -112,12 +127,17 @@ object Vectors {
     * accuracy denominators downstream. */
   def knnClassifyFrom(topk: DataFrame, emb: DataFrame, queryPred: Column,
                       labelCol: String = "label",
-                      maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
+                      maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame =
+    knnClassifyHinted(topk, emb, queryPred, labelCol,
+      fitsBroadcast(emb.filter(queryPred), maxBroadcastQueries))
+
+  private def knnClassifyHinted(topk: DataFrame, emb: DataFrame,
+                                queryPred: Column, labelCol: String,
+                                fits: Boolean): DataFrame = {
     val labels = emb.select(col("vec_id").as("nid"),
       col(labelCol).cast("long").as("nlabel"))
     val tally = labels
-      .join(boundedBroadcast(topk.select(col("qid"), col("nid")),
-        emb.filter(queryPred), maxBroadcastQueries), Seq("nid"))
+      .join(boundedBroadcast(topk.select(col("qid"), col("nid")), fits), Seq("nid"))
       .groupBy(col("qid"), col("nlabel"))
       .agg(count(lit(1)).as("votes"))
     val wv = Window.partitionBy(col("qid"))
