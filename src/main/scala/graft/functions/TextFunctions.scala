@@ -1120,22 +1120,66 @@ object TextFunctions {
   /** The standing posting index [[bm25TopKAgainst]] serves: one tall
     * frame (term, did, dtf, dl, df, nDocs, totTok) — the elided
     * inverted index with every corpus statistic a query batch needs
-    * riding each posting row. In production this is the MAINTAINED
-    * table (appended per ingest batch, stats re-derived); the streaming
+    * riding each posting row. In production this is derived from the
+    * MAINTAINED posting store ([[bm25Postings]], appended per ingest
+    * batch via [[bm25IndexAppend]], stats re-derived); the streaming
     * twin pins it once and each trigger pays only its own query melt +
     * the term join. Bucket by term to co-locate the serve join. */
   def bm25Index(corpus: DataFrame, idCol: String, textCol: String,
-                maxDfPpm: Long = 500000L): DataFrame = {
-    val dTf = bm25TermFreq(corpus, idCol, textCol, "did", "dtf")
-    val docLen = dTf.groupBy(col("did")).agg(sum(col("dtf")).as("dl"))
+                maxDfPpm: Long = 500000L): DataFrame =
+    bm25IndexFrom(bm25Postings(corpus, idCol, textCol), maxDfPpm)
+
+  /** The APPENDABLE posting store: per-(doc, term) frequencies (did,
+    * term, dtf) — deliberately NO doc lengths, corpus stats or elision.
+    * All three are functions of the WHOLE corpus: dl is re-derivable as
+    * Σ dtf per doc exactly because nothing is elided here, and eliding
+    * at store level would discard postings a later append could
+    * un-elide (a term at df just over the bar falls back under it when
+    * the batch grows N — the rebuilt index would have the postings, the
+    * store would not, and incremental == rebuild would silently break).
+    * Bucket by term on a cluster; appends are one O(batch) melt. */
+  def bm25Postings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    bm25TermFreq(corpus, idCol, textCol, "did", "dtf")
+
+  /** The serve index derived from a posting store: doc lengths, corpus
+    * stats and the elision filter (stop-term + skew valve, integer ppm
+    * comparison) — everything [[bm25TopKAgainst]] needs riding each
+    * posting row. */
+  def bm25IndexFrom(postings: DataFrame, maxDfPpm: Long = 500000L): DataFrame = {
+    val docLen = postings.groupBy(col("did")).agg(sum(col("dtf")).as("dl"))
     val stats = docLen.agg(count(lit(1)).as("nDocs"),
       sum(col("dl")).as("totTok"))
-    val dfreq = dTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       // stop-term elision + skew valve (integer ppm comparison)
       .filter(col("df") * lit(1000000L) <= lit(maxDfPpm) * col("nDocs"))
-    dTf.join(dfreq, Seq("term")).join(docLen, Seq("did"))
+    postings.join(dfreq, Seq("term")).join(docLen, Seq("did"))
   }
+
+  /** Posting-store maintenance: standing store + arriving batch →
+    * updated store. First-seen-wins on doc id (the d8/sim11 incremental
+    * convention): a batch doc whose id already has postings is dropped
+    * whole — so a replayed batch is a no-op (the r9 idempotent-replay
+    * discipline; without the guard a replay would double every dtf sum
+    * downstream). O(batch melt) new rows + one id anti-join. */
+  def bm25PostingsAppend(standing: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String): DataFrame =
+    standing.unionByName(
+      bm25Postings(batch, idCol, textCol)
+        .join(standing.select(col("did")).distinct(), Seq("did"), "left_anti"))
+
+  /** Incremental index maintenance: standing posting store + arriving
+    * batch → the updated SERVE index with stats re-derived
+    * ([[bm25IndexFrom]] over [[bm25PostingsAppend]]). Equality with a
+    * from-scratch [[bm25Index]] over (standing corpus ∪ new batch docs)
+    * is the contract — gated differentially (t42: the oracle rebuilds
+    * from scratch; the engine appends). The stats re-derivation is two
+    * aggregates over the store — the honest cost of df/nDocs/totTok
+    * being corpus-global; the posting rows themselves never rewrite. */
+  def bm25IndexAppend(standing: DataFrame, batch: DataFrame,
+                      idCol: String, textCol: String,
+                      maxDfPpm: Long = 500000L): DataFrame =
+    bm25IndexFrom(bm25PostingsAppend(standing, batch, idCol, textCol), maxDfPpm)
 
   /** Clipped n-gram overlap — the ROUGE-N core — for an EXPLICIT
     * (qid, did) pair frame: matched = Σ over shared grams of
@@ -1162,6 +1206,49 @@ object TextFunctions {
         coalesce(col(s"m$tag"), lit(0L)).as(s"m$tag"),
         coalesce(col(s"c$tag"), lit(0L)).as(s"c$tag"),
         coalesce(col(s"r$tag"), lit(0L)).as(s"r$tag"))
+  }
+
+  /** ROUGE-L core: token-level LCS length for an EXPLICIT (qid, did)
+    * pair frame, plus each side's token count — F1 falls out of the
+    * same 2m/(c+r) identity as [[rougeOverlap]] (P = lcs/c, R = lcs/r,
+    * 2PR/(P+R) = 2·lcs/(c+r)) in integer ppm downstream; the DP is
+    * all-integer so the result is engine-exact by construction.
+    *
+    * The classic O(|q|·|d|) row-rolling DP runs INSIDE the row as two
+    * nested codegen'd higher-order aggregates (accumulator = the DP
+    * row, array&lt;bigint&gt;) — no UDF, no driver loop; cost is
+    * pair-bounded (pairs × |q|·|d|), the same envelope as
+    * [[rougeOverlap]]'s pair join since eval docs are length-bounded.
+    * Arrays stay per-pair-row sized, so the executor memory story is
+    * the token arrays themselves, not the corpus. */
+  def rougeLcs(pairs: DataFrame, docs: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("w"))
+    val joined = pairs
+      .join(toks.select(col(idCol).as("qid"), col("w").as("qw")), Seq("qid"))
+      .join(toks.select(col(idCol).as("did"), col("w").as("dw")), Seq("did"))
+    val dw = col("dw")
+    // dp = fold over query tokens; each step folds over 1..|d| building
+    // the next DP row: new[j] = max(up, left, diag + match)
+    val dp = aggregate(
+      col("qw"),
+      array_repeat(lit(0L), size(dw) + lit(1)),
+      (row, qt) => aggregate(
+        sequence(lit(1), size(dw)),
+        array(lit(0L)),
+        (pre, j) => concat(pre, array(greatest(
+          element_at(row, (j + lit(1)).cast("int")),
+          element_at(pre, j.cast("int")),
+          element_at(row, j.cast("int")) +
+            when(qt === element_at(dw, j.cast("int")), lit(1L))
+              .otherwise(lit(0L)))))))
+    joined
+      // sequence(1, 0) would DESCEND in Spark — empty-side pairs score 0
+      .withColumn("lcs",
+        when(size(col("qw")) === 0 || size(dw) === 0, lit(0L))
+          .otherwise(element_at(dp, size(dw) + lit(1))))
+      .select(col("qid"), col("did"), col("lcs"),
+        size(dw).cast("long").as("cL"), size(col("qw")).cast("long").as("rL"))
   }
 
   /** [[bm25TopK]] against a PREBUILT posting index ([[bm25Index]]) —

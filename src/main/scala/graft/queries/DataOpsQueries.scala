@@ -1782,7 +1782,12 @@ object DataOpsQueries {
     // the retrieval SERVE twin: the standing posting index pins once,
     // the query slice arrives one file per trigger, each batch's top-5
     // lands in the sink — per-query ranking is batch-independent, so
-    // the streamed union must land on t39's oracle verbatim
+    // the streamed union must land on t39's oracle verbatim. Since r17
+    // the pinned index is the MAINTAINED one: the corpus's posting
+    // store is built from its %5≠0 slice and the %5=0 slice arrives as
+    // an ingest batch (bm25IndexAppend, stats re-derived) — the serve
+    // path reads what a production ingest loop maintains, and the
+    // oracle stays t39's because incremental == rebuild (the t42 gate)
     "t39_stream_parity" -> { (s, dir) =>
       val tmp = graft.core.Caching.scratchDir("t39-stream")
       val feedDir = tmp.resolve("feed").toString
@@ -1792,14 +1797,59 @@ object DataOpsQueries {
         .select(col("doc_id"), col("text"))
         .repartition(4).write.parquet(feedDir)
       val schema = s.read.parquet(feedDir).schema
-      val q = graft.streaming.Changefeed.streamingBm25Retrieve(
+      val corpus = d.filter(col("doc_id") % 97 =!= 0L)
+      val maintained = TextFunctions.bm25IndexAppend(
+        TextFunctions.bm25Postings(
+          corpus.filter(col("doc_id") % 5 =!= 0L), "doc_id", "text"),
+        corpus.filter(col("doc_id") % 5 === 0L), "doc_id", "text",
+        maxDfPpm = 900000L)
+      val q = graft.streaming.Changefeed.streamingBm25ServeIndex(
         s.readStream.option("maxFilesPerTrigger", "1")
           .schema(schema).parquet(feedDir),
-        d.filter(col("doc_id") % 97 =!= 0L), "doc_id", "text", k = 5,
-        maxDfPpm = 900000L,
+        maintained, "doc_id", "text", k = 5,
         sink = (b, _) => b.write.mode("append").parquet(outDir))
       q.processAllAvailable(); q.stop()
       s.read.parquet(outDir).orderBy(col("qid"), col("rank"))
+    },
+    // incremental posting-index maintenance, gated DIFFERENTIALLY: the
+    // engine builds the index by APPEND (standing store from the %5≠0
+    // docs + the %5=0 slice as the arriving batch — which also REPLAYS
+    // every %679 doc already in the store; first-seen-wins must drop
+    // those whole or every replayed doc's dl doubles), while the oracle
+    // rebuilds the whole-corpus index from scratch in SQL. Equality IS
+    // the oracle: any append-path drift — lost un-elided postings,
+    // stale stats, replay double-count — lands in the hash. Elision at
+    // the t39 bar (the 31-term synthetic vocabulary).
+    "t42_bm25_index_append" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val standing = TextFunctions.bm25Postings(
+        d.filter(col("doc_id") % 5 =!= 0L), "doc_id", "text")
+      val batch = d.filter(col("doc_id") % 5 === 0L ||
+        col("doc_id") % 679 === 0L)
+      TextFunctions.bm25IndexAppend(standing, batch, "doc_id", "text",
+          maxDfPpm = 900000L)
+        .select(col("term"), col("did"), col("dtf"), col("dl"),
+          col("df"), col("nDocs").as("n_docs"), col("totTok").as("tot_tok"))
+        .orderBy(col("term"), col("did"))
+    },
+    // ROUGE-L alongside ROUGE-N: token-level LCS for the same
+    // query→top-1 pairs, the classic row-rolling DP run INSIDE the row
+    // as nested higher-order aggregates (integer-exact, pair-bounded —
+    // eval docs are ≤100 tokens so the DP is ≤10k cells per pair); F1
+    // from the 2m/(c+r) identity in integer ppm like t40
+    "t40b_rouge_l" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val top1 = TextFunctions.bm25TopK(
+          d.filter(col("doc_id") % 97 =!= 0L),
+          d.filter(col("doc_id") % 97 === 0L), "doc_id", "text", k = 1,
+          maxDfPpm = 900000L)
+        .select(col("qid"), col("did"))
+      TextFunctions.rougeLcs(top1, d, "doc_id", "text")
+        .withColumn("f1ppm_l", when(col("cL") + col("rL") > 0,
+          expr("2 * lcs * 1000000 div (cL + rL)")).otherwise(0L))
+        .select(col("qid"), col("did"), col("lcs"), col("cL").as("c_l"),
+          col("rL").as("r_l"), col("f1ppm_l"))
+        .orderBy(col("qid"))
     },
     // the admission family through the STREAMING engine: the corpus is
     // dumped to parquet partitioned so no (source, shard) ledger group
@@ -4716,6 +4766,97 @@ object DataOpsQueries {
         |  CAST(CASE WHEN c2 + r2 > 0 THEN 2 * m2 * 1000000 // (c2 + r2)
         |       ELSE 0 END AS BIGINT) AS f1ppm2
         |FROM t40j ORDER BY qid""".stripMargin,
+    // incremental == rebuild IS the oracle: the engine appends a batch
+    // onto the standing posting store (with a deliberate replay
+    // overlap); this SQL rebuilds the whole-corpus elided index from
+    // scratch — any append drift lands in the hash
+    "t42_bm25_index_append" ->
+      """WITH t42tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |t42dtf AS (
+        |  SELECT doc_id AS did, term, COUNT(*) AS dtf FROM t42tok GROUP BY 1, 2),
+        |t42dl AS (SELECT did, CAST(SUM(dtf) AS BIGINT) AS dl FROM t42dtf GROUP BY did),
+        |t42stats AS (
+        |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_tok FROM t42dl),
+        |t42dfreq AS (SELECT term, COUNT(*) AS df FROM t42dtf GROUP BY term)
+        |SELECT d.term, d.did, d.dtf, l.dl, f.df, s.n_docs, s.tot_tok
+        |FROM t42dtf d JOIN t42dfreq f USING (term) JOIN t42dl l ON l.did = d.did
+        |CROSS JOIN t42stats s
+        |WHERE f.df * 1000000 <= 900000 * s.n_docs
+        |ORDER BY d.term, d.did""".stripMargin,
+    // ROUGE-L: the t40 top-1 chain, then token-LCS via the same
+    // row-rolling DP as the engine — expressed as nested list_reduce
+    // folds (accumulator = DP row; elements are single-element BIGINT
+    // lists so the fold types unify), integer-exact end to end
+    "t40b_rouge_l" ->
+      """WITH t40w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |t40tok AS (SELECT doc_id, UNNEST(w) AS term FROM t40w),
+        |t40dtf AS (
+        |  SELECT doc_id AS did, term, COUNT(*) AS dtf FROM t40tok
+        |  WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
+        |t40dl AS (SELECT did, CAST(SUM(dtf) AS BIGINT) AS dl FROM t40dtf GROUP BY did),
+        |t40stats AS (
+        |  SELECT COUNT(*) AS nDocs, CAST(SUM(dl) AS BIGINT) AS totTok FROM t40dl),
+        |t40dfreq AS (SELECT term, COUNT(*) AS df FROM t40dtf GROUP BY term),
+        |t40qtf AS (
+        |  SELECT doc_id AS qid, term, COUNT(*) AS qtf FROM t40tok
+        |  WHERE doc_id % 97 = 0 GROUP BY 1, 2),
+        |t40cand AS (
+        |  SELECT q.qid, d.did, q.qtf, d.dtf, f.df, l.dl, s.nDocs, s.totTok
+        |  FROM t40qtf q JOIN t40dtf d USING (term) JOIN t40dfreq f USING (term)
+        |  JOIN t40dl l ON l.did = d.did CROSS JOIN t40stats s
+        |  WHERE f.df * 1000000 <= 900000 * s.nDocs),
+        |t40contrib AS (
+        |  SELECT qid, did,
+        |    CAST(ROUND(
+        |      CAST(qtf AS DOUBLE) *
+        |      ((CAST(nDocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(dtf AS DOUBLE) * 2.2) /
+        |       (CAST(dtf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |         (CAST(dl AS DOUBLE) /
+        |          (CAST(totTok AS DOUBLE) / CAST(nDocs AS DOUBLE)))))) *
+        |      1000000.0) AS BIGINT) AS fixed
+        |  FROM t40cand),
+        |t40sc AS (
+        |  SELECT qid, did, CAST(SUM(fixed) AS BIGINT) AS score
+        |  FROM t40contrib GROUP BY 1, 2),
+        |t40top1 AS (
+        |  SELECT qid, did FROM (
+        |    SELECT qid, did,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, did) AS rk
+        |    FROM t40sc) z WHERE rk = 1),
+        |lcsj AS (
+        |  SELECT t.qid, t.did, q.w AS qw, d.w AS dw
+        |  FROM t40top1 t JOIN t40w q ON q.doc_id = t.qid
+        |  JOIN t40w d ON d.doc_id = t.did),
+        |lcsv AS (
+        |  SELECT qid, did,
+        |    CASE WHEN len(qw) = 0 OR len(dw) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |      list_reduce(
+        |        list_concat(
+        |          [list_transform(range(0, len(dw)+1), x -> CAST(0 AS BIGINT))],
+        |          list_transform(range(1, len(qw)+1), i -> [CAST(i AS BIGINT)])),
+        |        (row, el) -> list_reduce(
+        |            list_concat([[CAST(0 AS BIGINT)]],
+        |              list_transform(range(1, len(dw)+1), j -> [CAST(j AS BIGINT)])),
+        |            (pre, jl) -> list_append(pre, greatest(
+        |                row[CAST(jl[1] AS INT)+1],
+        |                pre[CAST(jl[1] AS INT)],
+        |                row[CAST(jl[1] AS INT)] +
+        |                  CASE WHEN qw[CAST(el[1] AS INT)] = dw[CAST(jl[1] AS INT)]
+        |                       THEN 1 ELSE 0 END))))[len(dw)+1]
+        |    END AS lcs,
+        |    CAST(len(dw) AS BIGINT) AS c_l, CAST(len(qw) AS BIGINT) AS r_l
+        |  FROM lcsj)
+        |SELECT qid, did, lcs, c_l, r_l,
+        |  CAST(CASE WHEN c_l + r_l > 0 THEN 2 * lcs * 1000000 // (c_l + r_l)
+        |       ELSE 0 END AS BIGINT) AS f1ppm_l
+        |FROM lcsv ORDER BY qid""".stripMargin,
     // hard negatives: the t39 BM25 chain over the DUP-BEARING corpus at
     // k=20, vetoed by the d2 pair set (est >= 0.5) across the %97
     // boundary, re-ranked after exclusion; nExcluded per query rides

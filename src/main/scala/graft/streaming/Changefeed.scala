@@ -315,10 +315,24 @@ object Changefeed {
   def streamingBm25Retrieve(queries: DataFrame, corpus: DataFrame,
                             idCol: String, textCol: String, k: Int = 5,
                             maxDfPpm: Long = 500000L,
-                            sink: (DataFrame, Long) => Unit): StreamingQuery = {
+                            sink: (DataFrame, Long) => Unit): StreamingQuery =
+    streamingBm25ServeIndex(queries,
+      graft.functions.TextFunctions.bm25Index(corpus, idCol, textCol, maxDfPpm),
+      idCol, textCol, k, sink)
+
+  /** [[streamingBm25Retrieve]] against a CALLER-PROVIDED index frame —
+    * the maintained-index serve split: production pins the index
+    * derived from the posting store
+    * ([[graft.functions.TextFunctions.bm25IndexAppend]] after the last
+    * ingest batch), never a from-scratch build per serve session. The
+    * t39_stream_parity gate drives THIS path with an incrementally
+    * maintained index and still lands on the batch oracle verbatim,
+    * because incremental == rebuild is itself gated (t42). */
+  def streamingBm25ServeIndex(queries: DataFrame, index: DataFrame,
+                              idCol: String, textCol: String, k: Int,
+                              sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import graft.functions.TextFunctions
-    val idx = TextFunctions.bm25Index(corpus, idCol, textCol, maxDfPpm)
-    withStandingFrame(idx, queries.sparkSession) { pinned =>
+    withStandingFrame(index, queries.sparkSession) { pinned =>
       queries.writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
           sink(TextFunctions.bm25TopKAgainst(

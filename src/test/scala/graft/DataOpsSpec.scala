@@ -1138,6 +1138,56 @@ class DataOpsSpec extends SparkSpec {
     assert(2 * 2 * 1000000 / (4 + 4) == 500000)
   }
 
+  test("rouge-L: token LCS by hand (nested-aggregate DP)") {
+    import graft.functions.TextFunctions
+    // the classic pair: abcbdab / bdcaba → LCS 4 (b c b a)
+    val docs = Seq((1L, "a b c b d a b"), (2L, "b d c a b a"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("qid", "did")
+    val out = rows(TextFunctions.rougeLcs(pairs, docs, "doc_id", "text")).head
+    assert(out == Seq(1L, 2L, 4L, 6L, 7L), s"got $out") // qid did lcs cL rL
+    // identical docs: LCS = full length; disjoint docs: 0
+    val docs2 = Seq((1L, "x y z"), (2L, "x y z"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val both = rows(TextFunctions.rougeLcs(
+      Seq((1L, 2L), (1L, 3L)).toDF("qid", "did"), docs2, "doc_id", "text")
+      .orderBy(col("did")))
+    assert(both(0) == Seq(1L, 2L, 3L, 3L, 3L), s"got $both")
+    assert(both(1) == Seq(1L, 3L, 0L, 2L, 3L), s"got $both")
+  }
+
+  test("bm25 incremental index: append == rebuild, replay is a no-op, elision un-elides") {
+    import graft.functions.TextFunctions
+    // 'hot' sits in 2/3 base docs (df 666667 ppm > 500000 → ELIDED in a
+    // base-only index); the batch adds 2 docs without it → 2/5 =
+    // 400000 ppm ≤ bar, so the appended index MUST carry hot's
+    // postings — the case that proves the store keeps un-elided rows
+    val base = Seq((1L, "hot alpha beta"), (2L, "hot gamma delta"),
+      (3L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val batch = Seq((4L, "theta iota kappa"), (5L, "lambda mu nu"),
+      (2L, "REPLAYED text must be ignored")).toDF("doc_id", "text")
+    val standing = TextFunctions.bm25Postings(base, "doc_id", "text")
+    assert(TextFunctions.bm25IndexFrom(standing)
+      .filter(col("term") === "hot").count() == 0, "sanity: elided in base")
+    val inc = TextFunctions.bm25IndexAppend(standing, batch, "doc_id", "text")
+    val rebuild = TextFunctions.bm25Index(
+      base.unionByName(batch.filter(col("doc_id") =!= 2L)), "doc_id", "text")
+    assert(inc.exceptAll(rebuild).count() == 0 &&
+      rebuild.exceptAll(inc).count() == 0, "incremental == from-scratch")
+    assert(inc.filter(col("term") === "hot").count() == 2, "un-elided after append")
+    // doc 2 keeps its FIRST postings (replay dropped whole): dl stays 3
+    // and no 'replayed' term appears
+    assert(inc.filter(col("term") === "replayed").count() == 0)
+    assert(rows(inc.filter(col("did") === 2L).select(col("dl")).distinct())
+      == Seq(Seq(3L)))
+    // replaying the SAME batch over the appended store is a no-op
+    val store2 = TextFunctions.bm25PostingsAppend(
+      TextFunctions.bm25PostingsAppend(standing, batch, "doc_id", "text"),
+      batch, "doc_id", "text")
+    val once = TextFunctions.bm25IndexFrom(store2)
+    assert(once.exceptAll(inc).count() == 0 && inc.exceptAll(once).count() == 0)
+  }
+
   test("hard negatives: the top BM25 hit that is a near-dup of the query is vetoed") {
     import graft.functions.{Dedup, TextFunctions}
     // query 100 and corpus doc 1 are exact dups — BM25 ranks doc 1 top
