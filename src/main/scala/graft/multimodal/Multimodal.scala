@@ -32,17 +32,22 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** Real pure-JVM decode for PNG/BMP payloads — javax.imageio ships
-    * with the JRE, so no native media libs are needed. Magic-byte
-    * sniffing gates the expensive ImageIO path: at corpus scale only
-    * rows that actually look like images pay for a decode attempt; an
-    * undecodable or non-image payload falls back to the stub. */
+  /** Real pure-JVM decode for PNG/BMP/JPEG payloads — javax.imageio
+    * ships with the JRE (the JPEG codec included), so no native media
+    * libs are needed. Magic-byte sniffing gates the expensive ImageIO
+    * path: at corpus scale only rows that actually look like images pay
+    * for a decode attempt; an undecodable or non-image payload falls
+    * back to the stub. */
   object ImageDecoder {
     private def isPng(b: Array[Byte]): Boolean = b.length > 8 &&
       (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
     private def isBmp(b: Array[Byte]): Boolean =
       b.length > 2 && b(0) == 'B' && b(1) == 'M'
-    def sniff(b: Array[Byte]): Boolean = isPng(b) || isBmp(b)
+    // SOI marker + a third 0xFF (the first segment's lead-in): what a
+    // real crawl's JPEGs (JFIF and EXIF alike) all start with
+    private def isJpeg(b: Array[Byte]): Boolean = b.length > 3 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+    def sniff(b: Array[Byte]): Boolean = isPng(b) || isBmp(b) || isJpeg(b)
 
     private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (!sniff(payload)) None
@@ -159,6 +164,27 @@ object Multimodal {
       }
       None
     }
+  }
+
+  /** Deterministic solid-gray JPEG — the planted payload the m2/m4
+    * gates push through the REAL decode path. JPEG is lossy in VALUES
+    * but exact in GEOMETRY, and a solid image quantizes to (nearly) the
+    * same solid, so the oracle can pin the decoded dimensions exactly
+    * and the mean luma to a narrow band (gray's ITU-R 601 luma is gray
+    * itself: 299+587+114 = 1000 exactly). */
+  def solidJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
   }
 
   /** Deterministic fake decode: "dimensions" and "luma" from byte stats.

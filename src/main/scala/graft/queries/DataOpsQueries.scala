@@ -1159,21 +1159,73 @@ object DataOpsQueries {
     // M: batched stub decode through the mapPartitions plumbing — the
     // oracle recomputes the deterministic fake features from byte stats
     "m2_decode_meta" -> { (s, dir) =>
-      val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir))
-      graft.multimodal.Multimodal.extractFeatures(s, media).toDF()
-        .select(col("doc_id"), col("modality"), col("byteLen"),
-          col("width"), col("height"))
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val media = graft.multimodal.Multimodal.asMedia(d)
+      // planted REAL JPEGs (%97 docs re-keyed +6000000): solid gray
+      // with id-derived dims/level, ENCODED in-engine (solidJpeg) and
+      // decoded through the SAME batched javax.imageio path as
+      // everything else — real JPEG bytes in-gate at every SF. JPEG is
+      // exact in GEOMETRY, so the oracle pins width/height outright;
+      // pixel VALUES are quantized, so the mean luma gates as a ±8
+      // band (lumaOk — solid gray's 601 luma is gray itself), and
+      // byteLen — an encoder detail, not a decode property — is
+      // deliberately NULL on both sides for planted rows
+      val planted = d.filter(col("doc_id") % 97 === 0L)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id + 6000000L, "image",
+          graft.multimodal.Multimodal.solidJpeg(
+            16 + (id % 13).toInt, 8 + (id % 7).toInt, 32 + (id % 160).toInt)))
+        .toDF("doc_id", "modality", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s,
+          media.unionByName(planted)).toDF()
+        .withColumn("__p", col("doc_id") >= 6000000L)
+        .select(col("doc_id"), col("modality"),
+          when(col("__p"), lit(null).cast("long"))
+            .otherwise(col("byteLen")).as("byteLen"),
+          col("width"), col("height"),
+          when(col("__p"), abs(col("meanLuma") -
+            (lit(32) + pmod(col("doc_id") - 6000000L, lit(160)))) <= 8.0)
+            .as("lumaOk"))
         .orderBy(col("doc_id"))
     },
     // M: resize plumbing through the batched mapPartitions path — the
     // stub's stride-sampled thumbnail is recomputed by the oracle from
-    // the same byte stream (hash + length checked per doc)
+    // the same byte stream (hash + length checked per doc); the planted
+    // JPEG rows (same %97 plant as m2) go through the REAL decode →
+    // scale → PNG re-encode path and are then decoded BACK through the
+    // same batched path: geometry and the luma band survive the round
+    // trip (jpegRoundtrip = true, oracle-pinned), while the PNG bytes
+    // themselves — an encoder detail — deliberately do not gate
     "m4_resize" -> { (s, dir) =>
-      val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir))
-      graft.multimodal.Multimodal.resize(s, media, w = 4, h = 2).toDF()
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val media = graft.multimodal.Multimodal.asMedia(d)
+      val planted = d.filter(col("doc_id") % 97 === 0L)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id + 6000000L, "image",
+          graft.multimodal.Multimodal.solidJpeg(
+            16 + (id % 13).toInt, 8 + (id % 7).toInt, 32 + (id % 160).toInt)))
+        .toDF("doc_id", "modality", "payload")
+      val resized = graft.multimodal.Multimodal.resize(s,
+        media.unionByName(planted), w = 4, h = 2).toDF()
+      val back = graft.multimodal.Multimodal.extractFeatures(s,
+          resized.filter(col("doc_id") >= 6000000L)
+            .select(col("doc_id"), lit("image").as("modality"),
+              col("payload"))).toDF()
+        .select(col("doc_id"),
+          (col("width") === 4 && col("height") === 2 &&
+            abs(col("meanLuma") -
+              (lit(32) + pmod(col("doc_id") - 6000000L, lit(160)))) <= 8.0)
+            .as("jpegRoundtrip"))
+      resized
+        .withColumn("__p", col("doc_id") >= 6000000L)
         .select(col("doc_id"), col("modality"), col("width"), col("height"),
-          md5(col("payload")).as("thumbHash"),
-          octet_length(col("payload")).as("thumbBytes"))
+          when(col("__p"), lit(null).cast("string"))
+            .otherwise(md5(col("payload"))).as("thumbHash"),
+          when(col("__p"), lit(null).cast("int"))
+            .otherwise(octet_length(col("payload"))).as("thumbBytes"))
+        .join(back, Seq("doc_id"), "left")
         .orderBy(col("doc_id"))
     },
     // M: video frame sampling — one payload fans out to frame rows; the
@@ -3982,14 +4034,25 @@ object DataOpsQueries {
     "f7_bloom_get" ->
       """SELECT CAST(s_suppkey AS VARCHAR) AS key, s_name AS value
         |FROM supplier WHERE s_suppkey = 9 ORDER BY key""".stripMargin,
+    // planted JPEG rows: geometry is pinned exactly (id-derived dims),
+    // the luma band is pinned as TRUE, byteLen NULL on both sides
     "m2_decode_meta" ->
       """SELECT doc_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byteLen,
         |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1
-        |       ELSE 16 + (octet_length(encode(text)) // 64) % 64 END AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |       ELSE 16 + (octet_length(encode(text)) // 64) % 64 END AS INT) AS height,
+        |  CAST(NULL AS BOOLEAN) AS lumaOk
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 6000000 AS doc_id, 'image' AS modality,
+        |  CAST(NULL AS BIGINT) AS byteLen,
+        |  CAST(16 + doc_id % 13 AS INT) AS width,
+        |  CAST(8 + doc_id % 7 AS INT) AS height,
+        |  TRUE AS lumaOk
+        |FROM documents WHERE doc_id % 97 = 0
+        |ORDER BY doc_id""".stripMargin,
     // stride sampling mirror: stride = max(1, len div 8); positions
     // 0, stride, 2*stride, ... capped at 8 samples (w*h = 4*2)
     "m4_resize" ->
@@ -4009,8 +4072,16 @@ object DataOpsQueries {
         |        CAST(CEIL(CAST(len AS DOUBLE) / stride) AS BIGINT)))], '') AS thumb
         |  FROM p)
         |SELECT doc_id, modality, 4 AS width, 2 AS height,
-        |  md5(thumb) AS thumbHash, length(thumb) AS thumbBytes
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |  md5(thumb) AS thumbHash, length(thumb) AS thumbBytes,
+        |  CAST(NULL AS BOOLEAN) AS jpegRoundtrip
+        |FROM t
+        |UNION ALL
+        |SELECT doc_id + 6000000 AS doc_id, 'image' AS modality,
+        |  4 AS width, 2 AS height,
+        |  CAST(NULL AS VARCHAR) AS thumbHash, CAST(NULL AS BIGINT) AS thumbBytes,
+        |  TRUE AS jpegRoundtrip
+        |FROM documents WHERE doc_id % 97 = 0
+        |ORDER BY doc_id""".stripMargin,
     // NB: char-substr == byte-substr here because the documents corpus is
     // pure ASCII at every sf (verified); DuckDB lacks substring-on-BLOB
     "m3_frame_sample" ->

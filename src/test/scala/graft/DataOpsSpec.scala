@@ -918,6 +918,31 @@ class DataOpsSpec extends SparkSpec {
     assert((back.getRGB(0, 0) & 0xff0000) != 0 && (back.getRGB(3, 1) & 0xffffff) == 0xffffff)
   }
 
+  test("multimodal REAL decode: JPEG payloads through javax.imageio — geometry exact, luma banded") {
+    // what a real crawl is mostly made of: JPEG bytes (SOI sniffed)
+    // through the SAME batched path as PNG/BMP — dimensions must come
+    // back exactly; values are quantized, so luma gates as a band
+    val jp = Multimodal.solidJpeg(28, 13, 96)
+    assert((jp(0) & 0xff) == 0xff && (jp(1) & 0xff) == 0xd8, "SOI magic")
+    assert(Multimodal.ImageDecoder.sniff(jp))
+    val (w, h, luma) = Multimodal.ImageDecoder.decode(jp).get
+    assert(w == 28 && h == 13, s"JPEG geometry is lossless, got ${(w, h)}")
+    assert(math.abs(luma - 96.0) <= 8.0, s"solid-gray luma band, got $luma")
+    // resize: real decode → 4x2 scale → PNG re-encode → decodes back
+    val thumb = Multimodal.ImageDecoder.resize(jp, 4, 2).get
+    val (bw, bh, bl) = Multimodal.ImageDecoder.decode(thumb).get
+    assert(bw == 4 && bh == 2 && math.abs(bl - 96.0) <= 8.0, s"got ${(bw, bh, bl)}")
+    // a truncated JPEG (header only) falls to the stub, never throws
+    assert(Multimodal.ImageDecoder.decode(jp.take(8)).isEmpty)
+    // batched path: a JPEG row among stub rows decodes for real
+    val media = Seq((1L, "image", jp),
+        (2L, "audio", "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "modality", "payload")
+    val feats = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(feats(0).width == 28 && feats(0).height == 13)
+    assert(feats(1).width == 16 + "not an image".length % 64)
+  }
+
   test("pHash: REAL pixels — identical PNGs at hamming 0, a small edit stays near") {
     import java.awt.image.BufferedImage
     def png(edit: Boolean): Array[Byte] = {
