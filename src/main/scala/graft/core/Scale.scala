@@ -151,6 +151,20 @@ object Scale {
     Seq(s"${prefix}_lineitem", s"${prefix}_orders")
   }
 
+  /** Cluster layout for the BM25 posting index: bucketed by term — the
+    * serve join's key ([[graft.functions.TextFunctions.bm25TopKAgainst]]
+    * joins the query melt on term), so on this layout the corpus-sized
+    * index side never re-shuffles per query batch; only the batch's own
+    * melt pays an exchange (ScaleSpec-pinned). The documents-backed gate
+    * families are views-only in the bucketed VERIFY layout (QUERIES.md
+    * "Layout coverage"), so this layout is spec-pinned rather than
+    * gate-replayed. Same per-run-token path scheme as the state tables. */
+  def writePostingIndex(index: DataFrame, prefix: String = "graft_state",
+                        buckets: Int = 32): String = {
+    writeBucketed(index, s"${prefix}_bm25_index", "term", buckets)
+    s"${prefix}_bm25_index"
+  }
+
   /** Salted equi-join for skewed build keys: explode the small side into
     * `salts` copies, scatter the big side's hot keys across salt ids, join
     * on (key, salt). Result equals a plain inner equi-join on `key` —

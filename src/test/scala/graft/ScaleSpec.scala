@@ -54,6 +54,43 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("term-bucketed posting index: the BM25 serve join re-shuffles only the query melt") {
+    // the bm25Index scaladoc's own advice, pinned: bucketing the
+    // standing index by term (Scale.writePostingIndex) drops the
+    // index-side exchange from the serve join — per query batch only
+    // the batch's melt repartitions on term. Unbucketed, BOTH sides
+    // exchange on term (the baseline asserted below), and at corpus
+    // scale the index side is the one that hurts.
+    import graft.functions.TextFunctions
+    val corpus = (1 to 200).map(i =>
+        (i.toLong, s"w${i % 17} w${i % 5} w${i % 31} x${i % 7}"))
+      .toDF("doc_id", "text")
+    val idx = TextFunctions.bm25Index(corpus, "doc_id", "text",
+      maxDfPpm = 1000000L)
+    Scale.writePostingIndex(idx, prefix = "graft_spec_bm25", buckets = 4)
+    val queries = Seq((1000L, "w3 w7 x2"), (1001L, "w12 w1 x5"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def termExchanges(index: org.apache.spark.sql.DataFrame): Int = {
+        val served = TextFunctions.bm25TopKAgainst(index, queries,
+          "doc_id", "text", k = 3)
+        assert(served.count() > 0)
+        "Exchange hashpartitioning\\(term".r
+          .findAllIn(served.queryExecution.executedPlan.toString).size
+      }
+      assert(termExchanges(spark.table("graft_spec_bm25_bm25_index")) == 1,
+        "bucketed: only the query melt exchanges on term")
+      // baseline MATERIALIZED too (plain parquet) so both plans contain
+      // only the serve join, not the index build's internal term joins
+      val flat = graft.core.Caching.scratchDir("bm25-flat").toString
+      idx.write.mode("overwrite").parquet(flat)
+      assert(termExchanges(spark.read.parquet(flat)) == 2,
+        "unbucketed baseline: both serve-join sides exchange on term")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("compactHistory pays exactly one hash exchange; bpeEncode pays none") {
     // compactHistory's contract: ONE shuffle — the (key, belowFloor)
     // rank; above-floor rows ride the same exchange unranked
