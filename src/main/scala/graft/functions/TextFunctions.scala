@@ -1142,18 +1142,41 @@ object TextFunctions {
     bm25TermFreq(corpus, idCol, textCol, "did", "dtf")
 
   /** The serve index derived from a posting store: doc lengths, corpus
-    * stats and the elision filter (stop-term + skew valve, integer ppm
+    * stats and the elision filter (stop-term elision, integer ppm
     * comparison) — everything [[bm25TopKAgainst]] needs riding each
-    * posting row. */
-  def bm25IndexFrom(postings: DataFrame, maxDfPpm: Long = 500000L): DataFrame = {
+    * posting row.
+    *
+    * `maxPostings` is the capBuckets analog the ppm THRESHOLD alone is
+    * not: a term at df = 0.49·N survives the default elision bar with a
+    * posting list half the corpus long, and on a web-scale vocabulary
+    * the mid-frequency band is where the bytes are — every query
+    * containing one such term would join O(N) candidate rows. Bounding
+    * each surviving term to its `maxPostings` highest-IMPACT postings
+    * (impact = dtf/dl, the classic tiered-postings/index-pruning order:
+    * one correctly-rounded IEEE divide, ties to lower did — engine-
+    * portable) caps the per-term join bucket exactly like capBuckets
+    * caps a band bucket, at the standard bounded-recall trade. The
+    * default keeps every posting (the gates' exact configuration);
+    * df/nDocs/totTok stay TRUE corpus stats either way — truncation
+    * bounds candidate GENERATION, never the scoring model. */
+  def bm25IndexFrom(postings: DataFrame, maxDfPpm: Long = 500000L,
+                    maxPostings: Long = Long.MaxValue): DataFrame = {
     val docLen = postings.groupBy(col("did")).agg(sum(col("dtf")).as("dl"))
     val stats = docLen.agg(count(lit(1)).as("nDocs"),
       sum(col("dl")).as("totTok"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
-      // stop-term elision + skew valve (integer ppm comparison)
+      // stop-term elision (integer ppm comparison)
       .filter(col("df") * lit(1000000L) <= lit(maxDfPpm) * col("nDocs"))
-    postings.join(dfreq, Seq("term")).join(docLen, Seq("did"))
+    val full = postings.join(dfreq, Seq("term")).join(docLen, Seq("did"))
+    if (maxPostings == Long.MaxValue) full
+    else {
+      val w = Window.partitionBy(col("term")).orderBy(
+        (col("dtf").cast("double") / col("dl").cast("double")).desc,
+        col("did"))
+      full.withColumn("__pr", row_number().over(w))
+        .filter(col("__pr") <= maxPostings).drop("__pr")
+    }
   }
 
   /** Posting-store maintenance: standing store + arriving batch →
@@ -1178,8 +1201,10 @@ object TextFunctions {
     * being corpus-global; the posting rows themselves never rewrite. */
   def bm25IndexAppend(standing: DataFrame, batch: DataFrame,
                       idCol: String, textCol: String,
-                      maxDfPpm: Long = 500000L): DataFrame =
-    bm25IndexFrom(bm25PostingsAppend(standing, batch, idCol, textCol), maxDfPpm)
+                      maxDfPpm: Long = 500000L,
+                      maxPostings: Long = Long.MaxValue): DataFrame =
+    bm25IndexFrom(bm25PostingsAppend(standing, batch, idCol, textCol),
+      maxDfPpm, maxPostings)
 
   /** Clipped n-gram overlap — the ROUGE-N core — for an EXPLICIT
     * (qid, did) pair frame: matched = Σ over shared grams of

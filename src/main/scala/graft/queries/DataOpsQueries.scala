@@ -1766,6 +1766,24 @@ object DataOpsQueries {
           maxDfPpm = 900000L)
         .orderBy(col("qid"), col("rank"))
     },
+    // the TRUNCATED-index serve path (the capBuckets analog for posting
+    // lists): every surviving term bounded to its 3 highest-impact
+    // postings (impact = dtf/dl, one correctly-rounded IEEE divide on
+    // both engines, ties to lower did) — the classic tiered-postings
+    // bounded-recall trade a web-scale corpus needs, because the ppm
+    // elision THRESHOLD alone still admits df=0.49·N lists. At the
+    // 31-term gate vocabulary maxPostings=3 bites on every term, so the
+    // truncation order itself is what the hash checks
+    "t39b_bm25_truncated" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val idx = TextFunctions.bm25IndexFrom(
+        TextFunctions.bm25Postings(
+          d.filter(col("doc_id") % 97 =!= 0L), "doc_id", "text"),
+        maxDfPpm = 900000L, maxPostings = 3L)
+      TextFunctions.bm25TopKAgainst(idx,
+          d.filter(col("doc_id") % 97 === 0L), "doc_id", "text", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
     // retrieval-grounded overlap eval (the ROUGE-N shape): for each
     // eval query and its BM25 top-1 retrieved doc, clipped n-gram
     // matching — matched_n = Σ over shared grams of min(count_q,
@@ -4729,6 +4747,56 @@ object DataOpsQueries {
         |  FROM qtf q JOIN dtf d USING (term) JOIN dfreq f USING (term)
         |  JOIN dl l ON l.did = d.did CROSS JOIN stats s
         |  WHERE f.df * 1000000 <= 900000 * s.nDocs),
+        |contrib AS (
+        |  SELECT qid, did,
+        |    CAST(ROUND(
+        |      CAST(qtf AS DOUBLE) *
+        |      ((CAST(nDocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(dtf AS DOUBLE) * 2.2) /
+        |       (CAST(dtf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |         (CAST(dl AS DOUBLE) /
+        |          (CAST(totTok AS DOUBLE) / CAST(nDocs AS DOUBLE)))))) *
+        |      1000000.0) AS BIGINT) AS fixed
+        |  FROM cand),
+        |sc AS (
+        |  SELECT qid, did, CAST(SUM(fixed) AS BIGINT) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT qid, did, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, did) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT qid, did, score, rank FROM rk WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // the truncated-index twin: the t39 chain with each term's posting
+    // list bounded to its 3 highest-impact rows before the query join
+    "t39b_bm25_truncated" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |dtf AS (
+        |  SELECT doc_id AS did, term, COUNT(*) AS dtf FROM tok
+        |  WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
+        |dl AS (SELECT did, CAST(SUM(dtf) AS BIGINT) AS dl FROM dtf GROUP BY did),
+        |stats AS (
+        |  SELECT COUNT(*) AS nDocs, CAST(SUM(dl) AS BIGINT) AS totTok FROM dl),
+        |dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM dtf GROUP BY term),
+        |idx AS (
+        |  SELECT d.term, d.did, d.dtf, f.df, l.dl, s.nDocs, s.totTok,
+        |    ROW_NUMBER() OVER (PARTITION BY d.term
+        |      ORDER BY CAST(d.dtf AS DOUBLE) / CAST(l.dl AS DOUBLE) DESC,
+        |               d.did) AS pr
+        |  FROM dtf d JOIN dfreq f USING (term) JOIN dl l ON l.did = d.did
+        |  CROSS JOIN stats s
+        |  WHERE f.df * 1000000 <= 900000 * s.nDocs),
+        |qtf AS (
+        |  SELECT doc_id AS qid, term, COUNT(*) AS qtf FROM tok
+        |  WHERE doc_id % 97 = 0 GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT q.qid, i.did, q.qtf, i.dtf, i.df, i.dl, i.nDocs, i.totTok
+        |  FROM qtf q JOIN idx i USING (term) WHERE i.pr <= 3),
         |contrib AS (
         |  SELECT qid, did,
         |    CAST(ROUND(

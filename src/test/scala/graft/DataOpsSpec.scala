@@ -1181,6 +1181,27 @@ class DataOpsSpec extends SparkSpec {
     assert(both(1) == Seq(1L, 3L, 0L, 2L, 3L), s"got $both")
   }
 
+  test("bm25 posting truncation: impact order keeps high-dtf/short docs, default keeps all") {
+    import graft.functions.TextFunctions
+    // term 'z': doc 1 impact 2/3, doc 2 impact 1/4, doc 3 impact 3/3=1,
+    // doc 4 impact 1/2 — maxPostings=2 must keep docs 3 (1.0) and 1
+    // (0.667) and drop 4 (0.5) and 2 (0.25)
+    val corpus = Seq((1L, "z z a"), (2L, "z b c d"), (3L, "z z z"),
+      (4L, "z e")).toDF("doc_id", "text")
+    val posts = TextFunctions.bm25Postings(corpus, "doc_id", "text")
+    val trunc = TextFunctions.bm25IndexFrom(posts, maxDfPpm = 1000000L,
+      maxPostings = 2L)
+    assert(rows(trunc.filter(col("term") === "z").select(col("did"))
+      .orderBy(col("did"))).map(_.head) == Seq(1L, 3L))
+    // stats stay TRUE corpus stats after truncation (df=4, nDocs=4)
+    assert(rows(trunc.filter(col("term") === "z")
+      .select(col("df"), col("nDocs")).distinct()) == Seq(Seq(4L, 4L)))
+    // the default keeps every posting — identical to the untruncated index
+    val full = TextFunctions.bm25IndexFrom(posts, maxDfPpm = 1000000L)
+    val dflt = TextFunctions.bm25IndexFrom(posts, 1000000L, Long.MaxValue)
+    assert(full.exceptAll(dflt).count() == 0 && dflt.exceptAll(full).count() == 0)
+  }
+
   test("bm25 incremental index: append == rebuild, replay is a no-op, elision un-elides") {
     import graft.functions.TextFunctions
     // 'hot' sits in 2/3 base docs (df 666667 ppm > 500000 → ELIDED in a
