@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-family scale rehearsal (local iteration; not part of the
+  * driver contract): the t39/t41/t42/d18 shapes at 10×-class scale on a
+  * REALISTIC vocabulary. The gate corpus has 31 terms, so its elision
+  * behavior says nothing about a web corpus; here a 500k-doc corpus
+  * with a ~50k-term Zipf(1) vocabulary (token rank r = ⌊V^u⌋ for a
+  * deterministic hash-derived u ∈ [0,1): P(r) = log_V((r+1)/r) ∝ 1/r)
+  * reproduces the real df spectrum — a handful of stop terms above the
+  * production df>N/2 elision bar, a mid-frequency band just under it
+  * (the df≈0.49·N hazard, arising naturally), and a long rare tail.
+  *
+  * Measured (MIN-of-reps per RehearsalUtil where a line is a recorded
+  * number): posting-store + index build at the PRODUCTION default
+  * (maxDfPpm = 500000); the elision-valve numbers — terms elided,
+  * hottest SURVIVING posting list, per-query untruncated candidate
+  * cost (the valve hazard priced); the truncated serve (t39b's
+  * maxPostings path) at a real batch size; incremental append (t42
+  * shape); the pinned-index streaming serve twin (t39_stream_parity
+  * shape, per-trigger medians); and the d18/t41 shapes (LSH serve +
+  * vetoed hard negatives) on the same corpus.
+  *
+  * Usage: runMain graft.ScaleRehearsalRetrieval [nDocs] (default 500000)
+  */
+object ScaleRehearsalRetrieval {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(500000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.{Dedup, TextFunctions}
+    val scratch = graft.core.Caching.scratchDir("rehearsal_ret").toString
+    val reps = RehearsalUtil.reps(default = 2)
+    def time(name: String)(f: => Long): Double =
+      RehearsalUtil.timeReps(spark, "rehearsal-r", name, reps)(f)
+    def timeOnce(name: String)(f: => Long): Double =
+      RehearsalUtil.timeReps(spark, "rehearsal-r", name, 1)(f)
+
+    // ---- Zipf corpus ---------------------------------------------------
+    // 80..159 tokens per doc; token rank via inverse-CDF of Zipf(1) over
+    // V=50000 (floor(V^u)); u from a 64-bit mix hash — deterministic,
+    // no RNG state (Date/random are rehearsal-hostile anyway)
+    val V = 50000.0
+    def zipfDocs(ids: org.apache.spark.sql.Column): DataFrame =
+      spark.range(0, nDocs).select(ids.as("doc_id")).select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), lit(79) + pmod(col("doc_id"), lit(80)).cast("int")),
+          p => concat(lit("t"), floor(pow(lit(V),
+            pmod(hash(col("doc_id") * lit(1000003L) + p.cast("long") * lit(7919L)),
+              lit(1000000)).cast("double") / lit(1000000.0))).cast("long"))),
+          " ").as("text"))
+    val tBuild = timeOnce(s"build ${nDocs}-doc Zipf corpus") {
+      zipfDocs(col("id")).write.mode("overwrite").parquet(s"$scratch/corpus")
+      spark.read.parquet(s"$scratch/corpus").count()
+    }
+    val corpus = spark.read.parquet(s"$scratch/corpus")
+
+    // ---- posting store + serve index at the PRODUCTION default --------
+    val tStore = timeOnce("posting store build+write") {
+      TextFunctions.bm25Postings(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$scratch/postings")
+      spark.read.parquet(s"$scratch/postings").count()
+    }
+    val store = spark.read.parquet(s"$scratch/postings")
+    val tIdx = time("bm25IndexFrom (maxDfPpm=500000)") {
+      TextFunctions.bm25IndexFrom(store, maxDfPpm = 500000L).count()
+    }
+    // the valve numbers: what the production threshold elides and what
+    // survives just under it
+    val dfreq = store.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val nTerms = dfreq.count()
+    val elided = dfreq.filter(col("df") * 2L > lit(nDocs)).count()
+    val hotRow = dfreq.filter(col("df") * 2L <= lit(nDocs))
+      .agg(max(col("df"))).collect()(0)
+    val hotDf = if (hotRow.isNullAt(0)) 0L else hotRow.getLong(0)
+    println(f"[rehearsal-r] VALVE vocab=$nTerms%d terms, elided=$elided%d, " +
+      f"hottest SURVIVING posting list=$hotDf%d rows " +
+      f"(${hotDf * 100.0 / nDocs}%.1f%% of corpus)")
+
+    // ---- untruncated serve: the hazard priced --------------------------
+    // 16 queries (corpus-shaped, re-keyed) against the FULL index: the
+    // per-query candidate volume is what the ppm threshold alone admits
+    val q16 = corpus.filter(col("doc_id") % lit(nDocs / 16) === 0L)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val fullIdx = TextFunctions.bm25IndexFrom(store, maxDfPpm = 500000L)
+    val cand16 = TextFunctions.bm25TopKAgainst(fullIdx, q16, "doc_id", "text", k = 5)
+    var cand16Rows = 0L
+    val tServeFull = time("serve 16 queries UNTRUNCATED") {
+      cand16.count()
+    }
+    cand16Rows = q16.select(col("doc_id").as("qid"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct().join(fullIdx.select(col("term")), Seq("term")).count()
+    println(f"[rehearsal-r] untruncated candidate rows for 16 queries: " +
+      f"$cand16Rows%d (${cand16Rows / 16}%d per query)")
+
+    // ---- truncated serve: the t39b path at a real batch size ----------
+    val tTrunc = timeOnce("truncated index build+write (maxPostings=1000)") {
+      TextFunctions.bm25IndexFrom(store, 500000L, maxPostings = 1000L)
+        .write.mode("overwrite").parquet(s"$scratch/idx1k")
+      spark.read.parquet(s"$scratch/idx1k").count()
+    }
+    val idx1k = spark.read.parquet(s"$scratch/idx1k")
+    val q1k = corpus.filter(col("doc_id") % lit(nDocs / 1024) === 0L)
+      .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val nQ1k = q1k.count()
+    val tServeTrunc = time(s"serve $nQ1k queries TRUNCATED") {
+      TextFunctions.bm25TopKAgainst(idx1k, q1k, "doc_id", "text", k = 5).count()
+    }
+
+    // ---- incremental append: the t42 shape ----------------------------
+    val batch = spark.range(nDocs, nDocs + nDocs / 10)
+      .select(col("id").as("doc_id")).select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), lit(79) + pmod(col("doc_id"), lit(80)).cast("int")),
+          p => concat(lit("t"), floor(pow(lit(V),
+            pmod(hash(col("doc_id") * lit(1000003L) + p.cast("long") * lit(7919L)),
+              lit(1000000)).cast("double") / lit(1000000.0))).cast("long"))),
+          " ").as("text"))
+      .localCheckpoint()
+    val tAppend = time(s"bm25IndexAppend (+${nDocs / 10} docs, stats re-derived)") {
+      TextFunctions.bm25IndexAppend(store, batch, "doc_id", "text",
+        maxDfPpm = 500000L, maxPostings = 1000L).count()
+    }
+
+    // ---- streaming serve twin: per-trigger cost over the pinned index -
+    val feed = s"$scratch/qfeed"
+    (0 until 8).foreach { i =>
+      corpus.filter(col("doc_id") % lit(nDocs / 1024) === 0L &&
+          pmod(col("doc_id") / lit(nDocs / 1024), lit(8)) === i)
+        .select((col("doc_id") + lit(30000000L)).as("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(f"$feed/slice$i%02d")
+    }
+    RehearsalUtil.stampSliceOrder(feed)
+    val schema = spark.read.parquet(s"$feed/slice00").schema
+    val served = new java.util.concurrent.atomic.AtomicLong()
+    var twinStats = ""
+    import scala.jdk.CollectionConverters._
+    val tTwin = timeOnce("t39 serve TWIN (8 triggers, pinned 1k-index)") {
+      val q = graft.streaming.Changefeed.streamingBm25ServeIndex(
+        spark.readStream.option("maxFilesPerTrigger", "1")
+          .schema(schema).parquet(s"$feed/slice*"),
+        idx1k, "doc_id", "text", k = 5,
+        sink = (b, _) => { served.addAndGet(b.count()); () })
+      q.processAllAvailable()
+      val ds = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+      twinStats = if (ds.isEmpty) "no data triggers"
+        else s"${ds.size} triggers, median ${ds.sorted.apply(ds.size / 2)} ms, " +
+          s"max ${ds.max} ms"
+      q.stop()
+      served.get()
+    }
+    println(s"[rehearsal-r] serve twin: $twinStats")
+
+    // ---- d18 shape: LSH serve of an ingest batch at 10× ---------------
+    // standing 90% / arriving 10%; banded signatures + bucket-local
+    // probes (capBuckets 256 — the d10/d18 valve)
+    val standing = corpus.filter(col("doc_id") % 10 =!= 9L)
+    val arriving = corpus.filter(col("doc_id") % 10 === 9L)
+      .select((col("doc_id") + lit(40000000L)).as("doc_id"), col("text"))
+    val tD18 = time("d18 shape: incrementalLsh (90/10 split)") {
+      Dedup.incrementalLsh(standing, arriving, "doc_id", "text",
+        maxBucket = 256).count()
+    }
+
+    // ---- t41 shape: hard negatives over the truncated index -----------
+    // 512 queries propose top-20 via BM25; the LSH pair set across the
+    // query/corpus boundary vetoes; re-rank top-3. The queries are
+    // re-keyed corpus docs, so every query HAS a planted exact twin —
+    // the veto branch is live corpus-wide.
+    val q512 = corpus.filter(col("doc_id") % lit(nDocs / 512) === 0L)
+      .select((col("doc_id") + lit(50000000L)).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val tT41 = time("t41 shape: bm25 top-20 + LSH veto + re-rank (512 q)") {
+      val cand = TextFunctions.bm25TopKAgainst(idx1k, q512, "doc_id", "text",
+        k = 20)
+      val dup = Dedup.incrementalLsh(corpus, q512, "doc_id", "text",
+          maxBucket = 256)
+        .filter(col("matchId").isNotNull)
+        .select(col("doc_id").as("qid"), col("matchId").as("did"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("did"))
+      cand.join(dup, Seq("qid", "did"), "left_anti")
+        .withColumn("negRank", row_number().over(w))
+        .filter(col("negRank") <= 3).count()
+    }
+
+    val lines = Seq("build" -> tBuild, "store" -> tStore, "index" -> tIdx,
+      "serve16_full" -> tServeFull, "truncIndex" -> tTrunc,
+      s"serve${nQ1k}_trunc" -> tServeTrunc, "append" -> tAppend,
+      "serveTwin" -> tTwin, "d18_lshServe" -> tD18, "t41_hardNeg" -> tT41)
+    println(lines.map { case (k, v) => s""""$k":$v""" }
+      .mkString(s"""{"metric":"rehearsal_retrieval","nDocs":$nDocs,""", ",", "}"))
+    spark.stop()
+  }
+}
