@@ -358,9 +358,23 @@ object RelationalQueries {
         .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
           count(lit(1)).as("n_items"))
     },
-    // Q21-shape: suppliers who kept multi-supplier orders waiting — a
-    // semi-join (another supplier participated) composed with an
-    // anti-join (no OTHER supplier was late) on the same fact
+    // Q21-shape: suppliers who kept multi-supplier orders waiting. The
+    // textbook EXISTS/NOT-EXISTS pair is rewritten as aggregates (the
+    // r17 fix — the semi/anti form scanned lineitem 3× and computed the
+    // `late` pipeline twice, the duplicated-fact-scan hazard the sf10
+    // audit was chasing):
+    //  - EXISTS other supplier in the order ⇔ the order has ≥2 distinct
+    //    suppliers among ALL its lines (l1's own supplier is one of
+    //    them), computed on the RAW fact — no orders join needed, since
+    //    only late orderkeys survive the final join and order status is
+    //    an order-level property;
+    //  - NOT EXISTS other LATE supplier ⇔ the order has exactly 1
+    //    distinct late supplier (l1's supplier IS late), computed from
+    //    one (orderkey, suppkey) aggregate of `late` whose window also
+    //    carries each supplier's late-row count — `late` is built ONCE.
+    // Exchanges: one fact aggregate (exchange-free on the orderkey-
+    // bucketed layout), one late shuffle, two small keyed joins — no
+    // inequality semi/anti probes.
     "q21_waiting_suppliers" -> { (s, dir) =>
       import s.implicits._
       val o = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
@@ -369,18 +383,22 @@ object RelationalQueries {
         .join(o, $"l_orderkey" === $"o_orderkey")
         .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
         .select($"l_orderkey", $"l_suppkey")
-      val all = Tables.lineitem(s, dir)
-        .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_semi")
-        .select($"l_orderkey".as("a_orderkey"), $"l_suppkey".as("a_suppkey"))
-      val l1 = late
-        .join(all, $"l_orderkey" === $"a_orderkey" && $"l_suppkey" =!= $"a_suppkey",
-          "left_semi")
-      val otherLate = late.select($"l_orderkey".as("b_orderkey"), $"l_suppkey".as("b_suppkey"))
-      val sole = l1.join(otherLate,
-        $"l_orderkey" === $"b_orderkey" && $"l_suppkey" =!= $"b_suppkey", "left_anti")
-      sole.join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+      // one pass over late: per-(order, supplier) late-row counts, then
+      // the distinct-late-supplier count rides a window over the same
+      // aggregated (already orderkey-clustered) frame
+      val lateAgg = late.groupBy($"l_orderkey", $"l_suppkey")
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__nLate", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")))
+      val nSupp = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey".as("n_orderkey"))
+        .agg(countDistinct($"l_suppkey").as("__nSupp"))
+      lateAgg.filter($"__nLate" === 1)
+        .join(nSupp.filter($"__nSupp" >= 2),
+          $"l_orderkey" === $"n_orderkey", "left_semi")
+        .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
         .groupBy($"s_name")
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum($"__cnt").as("numwait"))
         .orderBy($"numwait".desc, $"s_name")
         .limit(20)
     },
