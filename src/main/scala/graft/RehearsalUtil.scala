@@ -79,13 +79,18 @@ object RehearsalUtil {
   }
 
   /** Executed-plan audit line: join strategies chosen, SHUFFLE exchange
-    * count (the bare substring "Exchange" also matches BroadcastExchange
-    * — ADVICE r16 — so shuffles are counted by their partitioning
-    * spellings), reuse, cartesians. Enforces the zero-cartesian policy. */
+    * count, reuse, cartesians. Enforces the zero-cartesian policy.
+    *
+    * Shuffles = every "Exchange " occurrence minus broadcast and reused
+    * nodes (ADVICE r17: enumerating partitioning spellings silently
+    * dropped RoundRobinPartitioning — `repartition(n)` — and any future
+    * distribution, so the line could under-count while reading as
+    * complete; "BroadcastExchange "/"ReusedExchange " both contain the
+    * "Exchange " substring, hence the subtraction). */
   def auditPlan(tag: String, name: String, plan: String, label: String): Unit = {
     def cnt(s: String) = s.r.findAllIn(plan).length
-    val shuffles = cnt("Exchange hashpartitioning") +
-      cnt("Exchange rangepartitioning") + cnt("Exchange SinglePartition")
+    val shuffles = cnt("Exchange ") - cnt("BroadcastExchange ") -
+      cnt("ReusedExchange ")
     println(s"[$tag] PLAN $name: " +
       s"broadcastHashJoin=${cnt("BroadcastHashJoin")} " +
       s"sortMergeJoin=${cnt("SortMergeJoin")} " +

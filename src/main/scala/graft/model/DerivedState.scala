@@ -220,13 +220,27 @@ object DerivedState {
     // bucketed layout (Scale.writeRelationalTables) must serve the SQL
     // view path (q25's GROUPING SETS) exactly like Tables.load serves
     // the DataFrame path.
-    if (spark.conf.getOption("graft.layout").contains("bucketed"))
+    if (spark.conf.getOption("graft.layout").contains("bucketed")) {
+      // provenance guard (ADVICE r17): the shadow swaps SQL views for
+      // catalog tables materialized from SOME sfDir — without this
+      // check a same-session register() with a DIFFERENT sfDir would
+      // silently serve the other dataset's rows on the SQL path (q25
+      // etc.), the exact hazard Tables.load already fails loudly on
+      // for the DataFrame path. Same contract: the activating main
+      // records the written-from dir under Tables.LayoutDirKey.
+      val written = spark.conf.getOption(graft.core.Tables.LayoutDirKey)
+      require(written.contains(sfDir),
+        s"bucketed layout active but the graft_state_* shadow tables were " +
+          s"written from ${written.getOrElse("<unrecorded>")}, not the " +
+          s"requested $sfDir — set ${graft.core.Tables.LayoutDirKey} when " +
+          s"activating the layout, or register via views")
       Seq("file", "block", "datanode", "events", "lineitem", "orders")
         .foreach { t =>
           val tbl = s"graft_state_$t"
           if (spark.catalog.tableExists(tbl))
             spark.table(tbl).createOrReplaceTempView(t)
         }
+    }
   }
 
   def file(spark: SparkSession, sfDir: String): DataFrame = { register(spark, sfDir); spark.table("file") }

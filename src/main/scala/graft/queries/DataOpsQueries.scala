@@ -61,6 +61,26 @@ object DataOpsQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
 
+  /** m2/m4 re-key their planted JPEG rows at doc_id + PlantBase and
+    * classify planted-vs-real by `doc_id >= PlantBase` — an id-ceiling
+    * ASSUMPTION on the base corpus (true today: max observed doc_id
+    * 4999 at sf0.1), not a law. [[requirePlantHeadroom]] turns it into
+    * one: a larger-SF corpus whose ids breach the base would otherwise
+    * silently misclassify real docs as planted AND collide re-keyed
+    * ids (ADVICE r17). The oracle SQL carries the same literal. */
+  private val PlantBase = 6000000L
+
+  /** One max-stat scan (parquet footer stats, not a data read) that
+    * fails loudly when the corpus id ceiling breaches [[PlantBase]]. */
+  private def requirePlantHeadroom(d: DataFrame): DataFrame = {
+    val top = d.agg(max(col("doc_id"))).first()
+    val maxId = if (top.isNullAt(0)) -1L else top.getLong(0)
+    require(maxId < PlantBase,
+      s"documents doc_id ceiling $maxId breaches the planted-row base " +
+        s"$PlantBase — re-key the m2/m4 plant above the corpus id space")
+    d
+  }
+
   /** t25 trained merge list (rank order). Fixed fixture rather than an
     * in-gate training run: DuckDB can replay APPLICATION of a merge
     * list exactly (see the t25 oracle), but not the training loop's
@@ -1160,7 +1180,7 @@ object DataOpsQueries {
     // oracle recomputes the deterministic fake features from byte stats
     "m2_decode_meta" -> { (s, dir) =>
       import s.implicits._
-      val d = Tables.documents(s, dir)
+      val d = requirePlantHeadroom(Tables.documents(s, dir))
       val media = graft.multimodal.Multimodal.asMedia(d)
       // planted REAL JPEGs (%97 docs re-keyed +6000000): solid gray
       // with id-derived dims/level, ENCODED in-engine (solidJpeg) and
@@ -1173,19 +1193,19 @@ object DataOpsQueries {
       // deliberately NULL on both sides for planted rows
       val planted = d.filter(col("doc_id") % 97 === 0L)
         .select(col("doc_id")).as[Long]
-        .map(id => (id + 6000000L, "image",
+        .map(id => (id + PlantBase, "image",
           graft.multimodal.Multimodal.solidJpeg(
             16 + (id % 13).toInt, 8 + (id % 7).toInt, 32 + (id % 160).toInt)))
         .toDF("doc_id", "modality", "payload")
       graft.multimodal.Multimodal.extractFeatures(s,
           media.unionByName(planted)).toDF()
-        .withColumn("__p", col("doc_id") >= 6000000L)
+        .withColumn("__p", col("doc_id") >= PlantBase)
         .select(col("doc_id"), col("modality"),
           when(col("__p"), lit(null).cast("long"))
             .otherwise(col("byteLen")).as("byteLen"),
           col("width"), col("height"),
           when(col("__p"), abs(col("meanLuma") -
-            (lit(32) + pmod(col("doc_id") - 6000000L, lit(160)))) <= 8.0)
+            (lit(32) + pmod(col("doc_id") - PlantBase, lit(160)))) <= 8.0)
             .as("lumaOk"))
         .orderBy(col("doc_id"))
     },
@@ -1199,27 +1219,27 @@ object DataOpsQueries {
     // themselves — an encoder detail — deliberately do not gate
     "m4_resize" -> { (s, dir) =>
       import s.implicits._
-      val d = Tables.documents(s, dir)
+      val d = requirePlantHeadroom(Tables.documents(s, dir))
       val media = graft.multimodal.Multimodal.asMedia(d)
       val planted = d.filter(col("doc_id") % 97 === 0L)
         .select(col("doc_id")).as[Long]
-        .map(id => (id + 6000000L, "image",
+        .map(id => (id + PlantBase, "image",
           graft.multimodal.Multimodal.solidJpeg(
             16 + (id % 13).toInt, 8 + (id % 7).toInt, 32 + (id % 160).toInt)))
         .toDF("doc_id", "modality", "payload")
       val resized = graft.multimodal.Multimodal.resize(s,
         media.unionByName(planted), w = 4, h = 2).toDF()
       val back = graft.multimodal.Multimodal.extractFeatures(s,
-          resized.filter(col("doc_id") >= 6000000L)
+          resized.filter(col("doc_id") >= PlantBase)
             .select(col("doc_id"), lit("image").as("modality"),
               col("payload"))).toDF()
         .select(col("doc_id"),
           (col("width") === 4 && col("height") === 2 &&
             abs(col("meanLuma") -
-              (lit(32) + pmod(col("doc_id") - 6000000L, lit(160)))) <= 8.0)
+              (lit(32) + pmod(col("doc_id") - PlantBase, lit(160)))) <= 8.0)
             .as("jpegRoundtrip"))
       resized
-        .withColumn("__p", col("doc_id") >= 6000000L)
+        .withColumn("__p", col("doc_id") >= PlantBase)
         .select(col("doc_id"), col("modality"), col("width"), col("height"),
           when(col("__p"), lit(null).cast("string"))
             .otherwise(md5(col("payload"))).as("thumbHash"),

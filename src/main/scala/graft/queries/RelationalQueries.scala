@@ -422,14 +422,32 @@ object RelationalQueries {
         .orderBy($"cntrycode")
     },
     // Q2-shape: min-cost supplier per part in one region — the classic
-    // correlated-MIN subquery, rewritten as a min-per-group join-back.
-    // (No partsupp table in the synthetic schema: the part-supplier cost
-    // relation is derived as MIN(l_extendedprice) per (part, supplier) —
-    // MIN of raw doubles, so the join-back equality is exact in both
-    // engines.)
+    // correlated-MIN subquery. (No partsupp table in the synthetic
+    // schema: the part-supplier cost relation is derived as
+    // MIN(l_extendedprice) per (part, supplier) — MIN of raw doubles,
+    // so the min equality is exact in both engines.)
+    //
+    // r18 rewrite (the q21 precedent): the pre-r18 form aggregated the
+    // per-part min then JOINED IT BACK — two derivations of `ec` + a
+    // self-join (9 shuffles / 34.5 s at 100×, the slowest audited
+    // line). Two changes, both answer-preserving: (1) the part
+    // predicate pushes down to a lineitem semi-join BEFORE the cost
+    // aggregate — the correlated min is per-partkey, so restricting to
+    // qualifying partkeys keeps every surviving group byte-identical
+    // while the fact scan drops ~96% of its rows at the source;
+    // (2) the min-per-part + join-back becomes ONE window min over ec
+    // (ties preserved exactly like the join-back: every supplier AT
+    // the min survives — min_by would break tie semantics). ec is
+    // derived once, exchanged once on l_partkey.
     "q2_min_cost_supplier" -> { (s, dir) =>
       import s.implicits._
+      val p = Tables.part(s, dir)
+        .filter($"p_size" <= 10 && $"p_type" === "STANDARD")
+        .select($"p_partkey")
+      // no broadcast hint: part grows with SF (header policy); Spark's
+      // threshold/AQE broadcasts the filtered slice at bench SF
       val cost = Tables.lineitem(s, dir)
+        .join(p, $"l_partkey" === $"p_partkey", "left_semi")
         .groupBy($"l_partkey", $"l_suppkey")
         .agg(min($"l_extendedprice").as("supplycost"))
       val eu = Tables.supplier(s, dir)
@@ -438,14 +456,11 @@ object RelationalQueries {
           $"n_regionkey" === $"r_regionkey")
         .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
       val ec = cost.join(eu, $"l_suppkey" === $"s_suppkey")
-      val minCost = ec.groupBy($"l_partkey".as("__pk"))
-        .agg(min($"supplycost").as("__min"))
-      val p = Tables.part(s, dir).filter($"p_size" <= 10 && $"p_type" === "STANDARD")
-      ec.join(minCost, $"l_partkey" === $"__pk" && $"supplycost" === $"__min")
-        .drop("__pk", "__min")
-        .join(p, $"l_partkey" === $"p_partkey")
-        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
-          $"s_suppkey", $"supplycost")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
+      ec.withColumn("__min", min($"supplycost").over(w))
+        .filter($"supplycost" === $"__min")
+        .select($"s_acctbal", $"s_name", $"n_name",
+          $"l_partkey".as("p_partkey"), $"s_suppkey", $"supplycost")
         .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
         .limit(100)
     },

@@ -1181,6 +1181,26 @@ class DataOpsSpec extends SparkSpec {
     assert(both(1) == Seq(1L, 3L, 0L, 2L, 3L), s"got $both")
   }
 
+  test("rouge-L maxTokens clamps both sides to their first N tokens") {
+    import graft.functions.TextFunctions
+    val docs = Seq((1L, "a b c b d a b"), (2L, "b d c a b a"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("qid", "did")
+    // clamp = scoring the manually-truncated docs: LCS("a b c b",
+    // "b d c a") = 2 (b c), both lengths read as 4
+    val clamped = rows(TextFunctions.rougeLcs(pairs, docs, "doc_id", "text",
+      maxTokens = 4)).head
+    assert(clamped == Seq(1L, 2L, 2L, 4L, 4L), s"got $clamped")
+    val manual = rows(TextFunctions.rougeLcs(pairs,
+      Seq((1L, "a b c b"), (2L, "b d c a")).toDF("doc_id", "text"),
+      "doc_id", "text")).head
+    assert(clamped == manual)
+    // a bound past both lengths is the identity configuration
+    val loose = rows(TextFunctions.rougeLcs(pairs, docs, "doc_id", "text",
+      maxTokens = 100)).head
+    assert(loose == Seq(1L, 2L, 4L, 6L, 7L), s"got $loose")
+  }
+
   test("bm25 posting truncation: impact order keeps high-dtf/short docs, default keeps all") {
     import graft.functions.TextFunctions
     // term 'z': doc 1 impact 2/3, doc 2 impact 1/4, doc 3 impact 3/3=1,

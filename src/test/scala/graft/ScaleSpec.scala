@@ -260,6 +260,20 @@ class ScaleSpec extends SparkSpec {
     Scale.writeEventsTable(ev) // the gate's default prefix: graft_state
     spark.conf.set("graft.layout", "bucketed")
     try {
+      // the r18 provenance guard: register() must REFUSE the shadow when
+      // the activation didn't record which sfDir the tables came from
+      val unrecorded = intercept[IllegalArgumentException] {
+        graft.model.DerivedState.register(spark, "/root/testdata/sf0.001")
+      }
+      assert(unrecorded.getMessage.contains("written from"),
+        s"guard must name the provenance gap: ${unrecorded.getMessage}")
+      // ...and when it names a DIFFERENT dir
+      spark.conf.set(graft.core.Tables.LayoutDirKey, "/root/testdata/sf0.01")
+      intercept[IllegalArgumentException] {
+        graft.model.DerivedState.register(spark, "/root/testdata/sf0.001")
+      }
+      // the activation contract: layout + provenance recorded together
+      spark.conf.set(graft.core.Tables.LayoutDirKey, "/root/testdata/sf0.001")
       graft.model.DerivedState.register(spark, "/root/testdata/sf0.001")
       val shadowed = spark.table("events")
       assert(shadowed.count() == 400, "shadow must serve the catalog table")
@@ -268,6 +282,7 @@ class ScaleSpec extends SparkSpec {
         "the events view must resolve to the bucketed catalog table")
     } finally {
       spark.conf.unset("graft.layout")
+      spark.conf.unset(graft.core.Tables.LayoutDirKey)
       // restore the raw parquet views for any later suite
       graft.model.DerivedState.register(spark, "/root/testdata/sf0.001")
     }
