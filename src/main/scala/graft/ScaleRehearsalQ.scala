@@ -85,10 +85,17 @@ object ScaleRehearsalQ {
     }
 
     // ---- the full q-family through the gate's own query functions -----
-    val qNames = SparkEntry.queries.keys.filter(n =>
+    // SPARK_GRAFT_Q_ONLY: comma-separated subset for targeted
+    // before/after lines (a full pass re-times 25+ queries to answer a
+    // question about one); empty/unset = the full family
+    val qOnly = sys.env.get("SPARK_GRAFT_Q_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val qNames = (SparkEntry.queries.keys.filter(n =>
       n.startsWith("q") && n.takeWhile(_ != '_').drop(1).forall(_.isDigit))
       .toSeq.sortBy(n => n.drop(1).takeWhile(_.isDigit).toInt) ++
-      Seq("v1_profile", "v2_fk_orphans", "v3_quality_gate") // relational v*
+      Seq("v1_profile", "v2_fk_orphans", "v3_quality_gate")) // relational v*
+      .filter(n => qOnly.forall(_.contains(n)))
     val times = qNames.map { n =>
       n -> time(n) { SparkEntry.queries(n)(spark, scratch).count() }
     }
@@ -100,7 +107,10 @@ object ScaleRehearsalQ {
     // 100× tail (q21/q20/q3/q2) went unaudited — exactly the shapes
     // (multi-self-join, min-cost join-back) where a duplicated fact scan
     // hides. Audit set = trio ∪ top-5 by this run's MIN-of-reps time.
-    val apriori = Seq("q5_local_supplier", "q9_product_profit", "q18_large_orders")
+    // a subset run audits only its own queries — the a-priori trio
+    // belongs to the full-family pass
+    val apriori = Seq("q5_local_supplier", "q9_product_profit",
+      "q18_large_orders").filter(n => qOnly.forall(_.contains(n)))
     val top5 = times.sortBy(-_._2).take(5).map(_._1)
     (apriori ++ top5).distinct.foreach { n =>
       val df = SparkEntry.queries(n)(spark, scratch)

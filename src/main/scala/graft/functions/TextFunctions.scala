@@ -1158,7 +1158,17 @@ object TextFunctions {
     * caps a band bucket, at the standard bounded-recall trade. The
     * default keeps every posting (the gates' exact configuration);
     * df/nDocs/totTok stay TRUE corpus stats either way — truncation
-    * bounds candidate GENERATION, never the scoring model. */
+    * bounds candidate GENERATION, never the scoring model.
+    *
+    * The trade is PRICED (500k-doc Zipf(1) rehearsal corpus, 65
+    * corpus-shaped queries vs the untruncated top-10; BASELINE.md r18):
+    * maxPostings=100 → recall@10 0.665 / MRR(top-1) 0.769;
+    * **1000 → 0.960 / 1.000 — the recommended serve setting**;
+    * 10000 → 0.982 / 1.000. At 1000 the serve is measured
+    * scale-invariant (per-query candidates ≤ maxPostings×|q|) while the
+    * untruncated default carries the hot-list hazard
+    * ([[graft.core.Scale.writePostingIndex]] warns at build time when
+    * the hottest surviving list exceeds a corpus fraction). */
   def bm25IndexFrom(postings: DataFrame, maxDfPpm: Long = 500000L,
                     maxPostings: Long = Long.MaxValue): DataFrame = {
     val docLen = postings.groupBy(col("did")).agg(sum(col("dtf")).as("dl"))
@@ -1196,12 +1206,24 @@ object TextFunctions {
     * 100 TB index (measured 23.7 s per append at 500k docs, dominated
     * by store-size work). */
   def bm25PostingsAppend(standing: DataFrame, batch: DataFrame,
-                         idCol: String, textCol: String): DataFrame = {
+                         idCol: String, textCol: String): DataFrame =
+    standing.unionByName(
+      bm25PostingsDelta(standing, batch, idCol, textCol))
+
+  /** The NEW posting rows an append contributes — what an append-only
+    * store write actually persists (a maintained 100 TB store appends
+    * delta files; it never rewrites standing rows, so the write path
+    * must cost O(batch), not O(store)). [[bm25PostingsAppend]] is
+    * `standing ∪ delta` by definition; computing the delta alone is
+    * the production ingest action, and its cost is the batch melt +
+    * the keyPrune'd replay probe — flat as the store grows
+    * (rehearsal-pinned at 100k vs 500k standing docs). */
+  def bm25PostingsDelta(standing: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
     val seen = graft.core.Scale.keyPrune(
         standing.select(col("did")), "did", batch.select(col(idCol)), idCol)
       .distinct()
-    standing.unionByName(
-      bm25Postings(batch, idCol, textCol).join(seen, Seq("did"), "left_anti"))
+    bm25Postings(batch, idCol, textCol).join(seen, Seq("did"), "left_anti")
   }
 
   /** Incremental index maintenance: standing posting store + arriving

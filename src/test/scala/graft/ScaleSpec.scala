@@ -367,6 +367,66 @@ class ScaleSpec extends SparkSpec {
       s"no sort-merge anywhere in the requeue:\n${plan.take(3000)}")
   }
 
+  test("bm25PostingsDelta: the replay probe pushes the batch id set into the store scan") {
+    import graft.functions.TextFunctions
+    val dir = graft.core.Caching.scratchDir("bm25delta").toString
+    val base = (1 to 500).map(i => (i.toLong, s"w${i % 40} w${i % 7} common"))
+      .toDF("doc_id", "text")
+    TextFunctions.bm25Postings(base, "doc_id", "text")
+      .repartitionByRange(4, col("did"))
+      .write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+    // batch = 2 new docs + 1 replay — the delta must carry ONLY the new
+    // docs' postings (first-seen-wins), and the store-side probe must be
+    // a PUSHED IN predicate over did, never a full-store distinct (the
+    // pre-r18 O(store) write path)
+    val batch = Seq((501L, "fresh tokens here"), (502L, "more new text"),
+      (7L, "REPLAYED must be dropped whole")).toDF("doc_id", "text")
+    val delta = TextFunctions.bm25PostingsDelta(store, batch, "doc_id", "text")
+    assert(delta.select(col("did")).distinct().collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(501L, 502L))
+    val plan = delta.queryExecution.executedPlan.toString
+    assert(plan.contains("In(did") || plan.contains("in(did"),
+      s"the batch id set must push into the store scan:\n${plan.take(3000)}")
+    // append = standing ∪ delta, byte-identical to the one-call form
+    val app = TextFunctions.bm25PostingsAppend(store, batch, "doc_id", "text")
+    assert(app.count() == store.count() + delta.count())
+  }
+
+  test("writePostingIndex warns when the hottest surviving posting list exceeds warnHotPpm") {
+    import graft.functions.TextFunctions
+    // 'hot' sits in 4/10 docs (400000 ppm: SURVIVES the 500000 elision
+    // bar, breaches the 10% hot-list default) — the eager build path
+    // must say so; a unique-term corpus must stay quiet
+    val hotCorpus = ((1 to 4).map(i => (i.toLong, s"hot u$i")) ++
+      (5 to 10).map(i => (i.toLong, s"v$i w$i"))).toDF("doc_id", "text")
+    def captureErr(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true))
+      try body finally System.setErr(old)
+      buf.toString
+    }
+    val warned = captureErr {
+      graft.core.Scale.writePostingIndex(
+        TextFunctions.bm25Index(hotCorpus, "doc_id", "text"),
+        prefix = "graft_hotwarn")
+    }
+    assert(warned.contains("WARN") && warned.contains("hottest posting list"),
+      s"hot list must warn at build time, got: $warned")
+    // truncation bounds the actual list — the SAME corpus served through
+    // maxPostings=1 must build quietly (df stays the true stat; the
+    // warning reads rows per term, the real candidate-generation cost)
+    val quiet = captureErr {
+      graft.core.Scale.writePostingIndex(
+        TextFunctions.bm25IndexFrom(
+          TextFunctions.bm25Postings(hotCorpus, "doc_id", "text"),
+          maxDfPpm = 500000L, maxPostings = 1L),
+        prefix = "graft_hotwarn2")
+    }
+    assert(!quiet.contains("WARN"), s"truncated build must not warn: $quiet")
+  }
+
   test("keyPrune: bounded lists push an IN filter into the parquet scan; big/null lists semi-join") {
     import graft.core.Scale
     val dir = graft.core.Caching.scratchDir("keyprune").toString
