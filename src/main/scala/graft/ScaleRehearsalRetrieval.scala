@@ -70,9 +70,9 @@ object ScaleRehearsalRetrieval {
     // min/max stats only prune when each file holds a narrow did range
     // — the did-keyed layout the O(batch) write path rides
     val tStore = timeOnce("posting store build+write (did-range layout)") {
-      TextFunctions.bm25Postings(corpus, "doc_id", "text")
-        .repartitionByRange(32, col("did"))
-        .write.mode("overwrite").parquet(s"$scratch/postings")
+      graft.core.Scale.writePostingStore(
+        TextFunctions.bm25Postings(corpus, "doc_id", "text"),
+        s"$scratch/postings")
       spark.read.parquet(s"$scratch/postings").count()
     }
     val store = spark.read.parquet(s"$scratch/postings")
@@ -203,8 +203,8 @@ object ScaleRehearsalRetrieval {
     // the 1/5 store is materialized in the SAME did-range layout — a
     // filter view over the full files would re-scan them and measure
     // nothing
-    store.filter(col("did") % 5 === 0L).repartitionByRange(8, col("did"))
-      .write.mode("overwrite").parquet(s"$scratch/postings_small")
+    graft.core.Scale.writePostingStore(store.filter(col("did") % 5 === 0L),
+      s"$scratch/postings_small", files = 8)
     val smallStore = spark.read.parquet(s"$scratch/postings_small")
     val tDeltaSmall = time(s"postingsDelta vs ${nDocs / 5}-doc store") {
       TextFunctions.bm25PostingsDelta(smallStore, smallBatch,

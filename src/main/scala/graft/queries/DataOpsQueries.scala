@@ -1922,6 +1922,46 @@ object DataOpsQueries {
           col("df"), col("nDocs").as("n_docs"), col("totTok").as("tot_tok"))
         .orderBy(col("term"), col("did"))
     },
+    // the append-only WRITE path (r18): the delta a store append
+    // actually persists — batch postings minus already-seen doc ids
+    // (the %679 replays must vanish WHOLE; the %5=0 docs land). The
+    // oracle derives the same rows set-theoretically: batch docs not
+    // in the standing slice are exactly the %5=0 ids.
+    "t42b_bm25_delta" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val standing = TextFunctions.bm25Postings(
+        d.filter(col("doc_id") % 5 =!= 0L), "doc_id", "text")
+      val batch = d.filter(col("doc_id") % 5 === 0L ||
+        col("doc_id") % 679 === 0L)
+      TextFunctions.bm25PostingsDelta(standing, batch, "doc_id", "text")
+        .orderBy(col("term"), col("did"))
+    },
+    // the maintained store through the STREAMING engine: the store dir
+    // seeds from the %5≠0 slice, the batch slice (%5=0 docs + the %679
+    // replays) arrives one file per trigger, and each trigger appends
+    // ONLY its bm25PostingsDelta — O(batch) files, standing rows never
+    // rewritten, replays dropped whole against the re-read store. The
+    // final store must equal the from-scratch posting build over ALL
+    // docs (the t42 law at store level, streamed).
+    "t42_stream_parity" -> { (s, dir) =>
+      val tmp = graft.core.Caching.scratchDir("t42-stream")
+      val feedDir = tmp.resolve("feed").toString
+      val storeDir = tmp.resolve("store").toString
+      val d = Tables.documents(s, dir)
+      TextFunctions.bm25Postings(
+          d.filter(col("doc_id") % 5 =!= 0L), "doc_id", "text")
+        .write.parquet(storeDir)
+      d.filter(col("doc_id") % 5 === 0L || col("doc_id") % 679 === 0L)
+        .select(col("doc_id"), col("text"))
+        .repartition(4).write.parquet(feedDir)
+      val schema = s.read.parquet(feedDir).schema
+      val q = graft.streaming.Changefeed.streamingBm25Ingest(
+        s.readStream.option("maxFilesPerTrigger", "1")
+          .schema(schema).parquet(feedDir),
+        storeDir, "doc_id", "text", sink = (_, _) => ())
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(storeDir).orderBy(col("term"), col("did"))
+    },
     // ROUGE-L alongside ROUGE-N: token-level LCS for the same
     // query→top-1 pairs, the classic row-rolling DP run INSIDE the row
     // as nested higher-order aggregates (integer-exact, pair-bounded —
@@ -4944,6 +4984,27 @@ object DataOpsQueries {
         |CROSS JOIN t42stats s
         |WHERE f.df * 1000000 <= 900000 * s.n_docs
         |ORDER BY d.term, d.did""".stripMargin,
+    // delta = batch postings for docs the standing slice lacks; since
+    // standing = %5≠0 docs and batch = (%5=0 ∪ %679=0), the new ids
+    // are exactly %5=0 — derived set-theoretically, not by replaying
+    // the engine's anti-join
+    "t42b_bm25_delta" ->
+      """WITH t42tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents)
+        |SELECT doc_id AS did, term, COUNT(*) AS dtf FROM t42tok
+        |WHERE doc_id % 5 = 0 GROUP BY 1, 2
+        |ORDER BY term, did""".stripMargin,
+    // the streamed store must land on the from-scratch posting build
+    // over ALL docs (standing %5≠0 ∪ appended %5=0; the %679 replays
+    // are already standing, so they contribute nothing new)
+    "t42_stream_parity" ->
+      """WITH t42tok AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents)
+        |SELECT doc_id AS did, term, COUNT(*) AS dtf FROM t42tok
+        |GROUP BY 1, 2
+        |ORDER BY term, did""".stripMargin,
     // ROUGE-L: the t40 top-1 chain, then token-LCS via the same
     // row-rolling DP as the engine — expressed as nested list_reduce
     // folds (accumulator = DP row; elements are single-element BIGINT

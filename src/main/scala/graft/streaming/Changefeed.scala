@@ -342,6 +342,38 @@ object Changefeed {
     }
   }
 
+  /** Streaming posting-store maintenance: the ingest twin of
+    * [[graft.functions.TextFunctions.bm25PostingsAppend]]. Each
+    * micro-batch computes its [[graft.functions.TextFunctions.
+    * bm25PostingsDelta]] against the CURRENT store dir (re-read per
+    * trigger — the store grows between triggers, so pinning would
+    * break the replay discipline) and appends exactly those rows as
+    * new files — the O(batch) append-only write the r18 delta split
+    * exists for; standing rows never rewrite. First-seen-wins holds
+    * across triggers by construction: a re-delivered doc id is in the
+    * re-read store, so its delta is empty (in-batch id uniqueness is
+    * the source contract, as in the batch path). `sink` observes each
+    * trigger's WRITTEN delta (already materialized — a lazy frame
+    * would re-derive against the grown store and read empty). Serving
+    * is the separate [[streamingBm25ServeIndex]] over
+    * [[graft.functions.TextFunctions.bm25IndexFrom]] of this store —
+    * incremental == rebuild is the t42 law, streamed in
+    * StreamingSpec. */
+  def streamingBm25Ingest(docs: DataFrame, storeDir: String,
+                          idCol: String, textCol: String,
+                          sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val standing = spark.read.parquet(storeDir)
+        val delta = graft.functions.TextFunctions
+          .bm25PostingsDelta(standing, batch.toDF(), idCol, textCol)
+          .localCheckpoint()
+        delta.write.mode("append").parquet(storeDir)
+        sink(delta, batchId)
+      }
+      .start()
+
   /** Streaming asset-ingest dedup: the streaming twin of
     * [[graft.multimodal.Multimodal.payloadDedupAgainst]]. The standing
     * corpus's asset index ([[graft.multimodal.Multimodal.payloadIndex]]

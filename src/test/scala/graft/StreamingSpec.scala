@@ -39,6 +39,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingBm25Ingest: per-trigger delta append; cross-trigger replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions
+    val storeDir = graft.core.Caching.scratchDir("bm25-ingest")
+      .resolve("store").toString
+    TextFunctions.bm25Postings(
+        Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(storeDir)
+    val mem = MemoryStream[(Long, String)]
+    val deltaRows = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = Changefeed.streamingBm25Ingest(
+      mem.toDF().toDF("doc_id", "text"), storeDir, "doc_id", "text",
+      sink = (d, _) => { deltaRows += d.count(); () })
+    try {
+      // trigger 1: one new doc + a replay of the SEEDED doc — the replay
+      // must vanish whole (doc 1 keeps its first postings)
+      mem.addData((2L, "gamma delta"), (1L, "replayed text ignored"))
+      q.processAllAvailable()
+      // trigger 2: doc 2 re-delivered with DIFFERENT text (now standing
+      // via trigger 1's append — dropped whole) + one genuinely new doc
+      mem.addData((2L, "changed text ignored"), (3L, "epsilon"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(deltaRows.toSeq == Seq(2L, 1L),
+      s"per-trigger deltas must be batch-only: $deltaRows")
+    val store = spark.read.parquet(storeDir)
+    assert(store.count() == 5) // seed 2 + trigger1 2 + trigger2 1
+    assert(store.filter(col("term").isin("replayed", "changed", "ignored"))
+      .count() == 0, "replayed/re-delivered docs must never land")
+    assert(store.filter(col("did") === 2L).select(col("term"))
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("delta", "gamma"))
+  }
+
   test("changefeed state survives a checkpointed restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = graft.core.Caching.scratchDir("ckpt").toString
