@@ -101,5 +101,10 @@ object RehearsalUtil {
       s"cartesian=${cnt("CartesianProduct")}")
     require(!plan.contains("CartesianProduct"),
       s"$name planned a CartesianProduct at $label")
+    // SPARK_GRAFT_PLAN_DUMP=1: print the full executed plan under the
+    // audit line — for adjudicating WHICH join got which strategy when
+    // the counts alone can't say (e.g. a threshold-boundary broadcast)
+    if (sys.env.get("SPARK_GRAFT_PLAN_DUMP").contains("1"))
+      println(s"[$tag] PLAN-DUMP $name:\n$plan")
   }
 }
