@@ -18,6 +18,7 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    RehearsalUtil.enforceHeapRule(copies.toDouble)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -744,6 +745,7 @@ object ScaleRehearsal {
       "range_stream" -> tRangeS, "lsh_stream" -> tLshS,
       "payload_stream" -> tPayS,
       "t35" -> tT35, "t35_stream" -> tT35s, "t36" -> tT36, "t37" -> tT37)
+    RehearsalUtil.checkBands(s"r$copies", r)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal","copies":$copies,"identical":${
         pathsDiff + resDiff + csDiff == 0},"sf":"$sfDir",""", ",", "}"))

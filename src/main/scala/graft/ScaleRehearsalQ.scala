@@ -33,6 +33,7 @@ object ScaleRehearsalQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    RehearsalUtil.enforceHeapRule(copies.toDouble)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -119,6 +120,7 @@ object ScaleRehearsalQ {
         df.queryExecution.executedPlan.toString, s"${copies}x")
     }
 
+    RehearsalUtil.checkBands(s"q$copies", times)
     val r = ("build" -> tBuild) +: times
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal_q","copies":$copies,"sf":"$sfDir",""",

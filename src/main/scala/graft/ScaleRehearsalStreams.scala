@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
 object ScaleRehearsalStreams {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // Streams runs at base scale: the oversized-heap trap applies
+    RehearsalUtil.enforceHeapRule(1.0)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -184,6 +186,7 @@ object ScaleRehearsalStreams {
 
     val r = Seq("dedup_stream" -> tDedupS, "sessw_stream" -> tSessW,
       "knn_vote_fallback" -> tVote)
+    RehearsalUtil.checkBands("streams", r)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal_streams","sf":"$sfDir",""", ",", "}"))
     spark.stop()

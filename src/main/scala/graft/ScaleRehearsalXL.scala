@@ -25,6 +25,7 @@ object ScaleRehearsalXL {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(140)
+    RehearsalUtil.enforceHeapRule(copies.toDouble)
     val inner = 14
     require(copies % inner == 0, s"copies must be a multiple of $inner")
     val outer = copies / inner
@@ -296,6 +297,7 @@ object ScaleRehearsalXL {
       "corrupt" -> tCorrupt, "received" -> tReceived,
       "t32b" -> tT32bXL, "t33" -> tT33XL, "t33b" -> tT33bXL,
       "t36" -> tT36XL, "t37" -> tT37XL)
+    RehearsalUtil.checkBands(s"xl$copies", r)
     println(r.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"rehearsal_xl","copies":$copies,"dirs":$nDirs,""" +
         s""""autoFellBack":${nDirs > 2000000L},"identical":$identical,"sf":"$sfDir",""",

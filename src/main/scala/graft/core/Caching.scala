@@ -70,7 +70,7 @@ object Caching {
   def scratchDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  def deleteRecursively(f: java.io.File): Unit = {
     // never follow symlinks: staging dirs may link to SOURCE datasets
     // (e.g. the e4 events.parquet link) — delete the link, not the target
     if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))

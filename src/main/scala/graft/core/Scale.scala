@@ -201,15 +201,136 @@ object Scale {
     * ([[graft.functions.TextFunctions.bm25PostingsDelta]] — a keyPrune'd
     * IN predicate over the batch's ids) prunes to the row groups that
     * can hold those ids instead of scanning the store. Plain parquet
-    * dir, not a catalog table: ingest appends DELTA FILES
-    * (`mode("append")` — the streaming twin's per-trigger write), and
-    * each delta lands as its own narrowly-ranged file because the batch
-    * id space is contiguous-ish by arrival. Rehearsal-measured flat
-    * (1.2 s delta at a 500k-doc store vs 1.5 s at 100k). */
+    * dir, not a catalog table: ingest appends DELTA FILES — the
+    * streaming twin stages each trigger's delta did-SORTED into one
+    * file and renames it in atomically
+    * ([[graft.streaming.Changefeed.streamingBm25Ingest]], ADVICE r18),
+    * so appended files stay did-narrow (tight row-group min/max stats)
+    * as triggers accumulate, not just the initial write. Rehearsal-
+    * measured flat (1.2 s delta at a 500k-doc store vs 1.5 s at 100k). */
   def writePostingStore(postings: DataFrame, dir: String,
                         files: Int = 32): Unit =
     postings.repartitionByRange(files, col("did"))
       .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** The maintained serve-STATS store — the persistence of
+    * [[graft.functions.TextFunctions.Bm25Stats]] that makes the
+    * maintained index O(batch) END-TO-END (r19; the r18 verdict's one
+    * remaining O(store) write-side step was re-aggregating
+    * df/nDocs/totTok over the whole posting store per append, 21.5 s at
+    * 500k docs). Layout under `dir`:
+    *
+    *   doc_len/           append-only parquet dir — each fold's (did, dl)
+    *                      rows land as ONE did-sorted file named by its
+    *                      version (idempotent: a replayed fold skips an
+    *                      existing file; dl never revises — first-seen-
+    *                      wins upstream)
+    *   v=NNNNNN/term_df/  vocab-sized (term, df) — and
+    *   v=NNNNNN/corpus/   one row (nDocs, totTok) — staged together and
+    *                      committed by ONE whole-dir atomic rename; the
+    *                      version dir IS the commit marker
+    *
+    * A fold costs O(batch) for doc_len + O(vocab) for the version dir —
+    * never O(store). Idempotence is per VERSION: re-folding a committed
+    * version is a no-op, which is what lets the streaming ingest twin
+    * replay a crashed trigger safely (it re-reads the delta rows from
+    * the posting store's committed `delta-<batchId>.parquet`, so a
+    * crash between the store commit and the stats fold cannot lose the
+    * batch's contribution — the one transient state is doc_len running
+    * one fold ahead of the version pair between a crash and its replay:
+    * bounded staleness of df/nDocs for the newest batch, never a
+    * double-count). Old versions are vocab-sized and left for
+    * time-travel symmetry with the R6 family; retention is one
+    * directory delete. */
+  def writeStatsStore(dir: String,
+                      stats: graft.functions.TextFunctions.Bm25Stats): Unit = {
+    stagedFileAppend(stats.docLens.repartition(1).sortWithinPartitions("did"),
+      s"$dir/doc_len", "delta-v000000")
+    stagedVersionDir(dir, 0L, stats.termDf, stats.corpus)
+  }
+
+  /** Latest committed stats version (the version-dir rename is the
+    * commit). Exact v=NNNNNN only: a crash-orphaned stage dir must
+    * never read as committed. */
+  def latestStatsVersion(dir: String): Long = {
+    val vs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v=\\d{6}"))
+      .map(_.getName.drop(2).toLong).sorted
+    require(vs.nonEmpty, s"no committed stats version under $dir")
+    vs.last
+  }
+
+  /** Read the maintained stats triple (latest committed version). */
+  def readStatsStore(spark: SparkSession, dir: String)
+      : graft.functions.TextFunctions.Bm25Stats = {
+    val v = f"v=${latestStatsVersion(dir)}%06d"
+    graft.functions.TextFunctions.Bm25Stats(
+      spark.read.parquet(s"$dir/doc_len"),
+      spark.read.parquet(s"$dir/$v/term_df"),
+      spark.read.parquet(s"$dir/$v/corpus"))
+  }
+
+  /** Fold a posting-store DELTA ([[graft.functions.TextFunctions.
+    * bm25PostingsDelta]]'s rows, already persisted to the posting
+    * store) into the stats store as version `version` (default: latest
+    * + 1; the streaming twin passes batchId + 1 so a replayed trigger
+    * folds the same version). O(batch + vocab) jobs only. Returns
+    * false — a no-op — when `version` is already committed. Gated
+    * equal to the from-scratch re-derive by the t43 gate law via
+    * [[graft.functions.TextFunctions.bm25StatsAppend]], which this
+    * persists. */
+  def appendStatsStore(spark: SparkSession, dir: String, delta: DataFrame,
+                       version: Long = -1L): Boolean = {
+    import graft.functions.TextFunctions
+    val latest = latestStatsVersion(dir)
+    val v = if (version < 0) latest + 1 else version
+    if (v <= latest) return false // committed — the replay no-op
+    val merged = TextFunctions.bm25StatsAppend(readStatsStore(spark, dir), delta)
+    // doc_len first (idempotent per-version file), version rename last:
+    // the rename is the commit, so a crash between the two re-folds
+    // cleanly — the doc_len file is skipped, the version recomputed
+    stagedFileAppend(TextFunctions.bm25DocLens(delta)
+      .repartition(1).sortWithinPartitions("did"), s"$dir/doc_len",
+      f"delta-v$v%06d")
+    stagedVersionDir(dir, v, merged.termDf, merged.corpus)
+    true
+  }
+
+  /** Stage one version dir (term_df + corpus) and commit it with a
+    * single atomic whole-dir rename. */
+  private def stagedVersionDir(dir: String, v: Long, termDf: DataFrame,
+                               corpus: DataFrame): Unit = {
+    val stage = new java.io.File(dir, f".stage-v$v%06d")
+    graft.core.Caching.deleteRecursively(stage)
+    termDf.repartition(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$stage/term_df")
+    corpus.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$stage/corpus")
+    val dest = new java.io.File(dir, f"v=$v%06d")
+    graft.core.Caching.deleteRecursively(dest)
+    java.nio.file.Files.move(stage.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Stage a frame as ONE parquet file, then rename it into `destDir`
+    * as `<name>.parquet` — atomic, and a no-op if that file already
+    * exists (the per-version idempotence doc_len relies on). */
+  private def stagedFileAppend(df: DataFrame, destDir: String,
+                               name: String): Unit = {
+    val dest = java.nio.file.Paths.get(destDir, s"$name.parquet")
+    if (java.nio.file.Files.exists(dest)) return
+    val stage = s"$destDir.stage-$name"
+    df.write.mode(SaveMode.Overwrite).parquet(stage)
+    val parts = Option(new java.io.File(stage).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    require(parts.size <= 1,
+      s"staged write to $destDir must be one file, got ${parts.size}")
+    new java.io.File(destDir).mkdirs()
+    parts.foreach(f => java.nio.file.Files.move(f.toPath, dest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE))
+    graft.core.Caching.deleteRecursively(new java.io.File(stage))
+  }
 
   /** Salted equi-join for skewed build keys: explode the small side into
     * `salts` copies, scatter the big side's hot keys across salt ids, join

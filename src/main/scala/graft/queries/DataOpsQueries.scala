@@ -70,14 +70,28 @@ object DataOpsQueries {
     * ids (ADVICE r17). The oracle SQL carries the same literal. */
   private val PlantBase = 6000000L
 
-  /** One max-stat scan (parquet footer stats, not a data read) that
-    * fails loudly when the corpus id ceiling breaches [[PlantBase]]. */
+  /** Fails loudly when the corpus id ceiling breaches [[PlantBase]].
+    * The max(doc_id) is an eager aggregate JOB over the doc_id column
+    * (parquet aggregate pushdown is off by default, so this is a real
+    * column scan, not a footer read — ADVICE r18 corrected the earlier
+    * claim), and it runs at query-CONSTRUCTION time; memoized per
+    * (session, source plan) so building the m2/m4 gate frame twice in
+    * one session pays the scan once. The cache key is the analyzed
+    * plan's semantic hash — a re-read of the same dir hashes equal, a
+    * different dir (different corpus, different ceiling) does not. */
+  private val plantHeadroomChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
   private def requirePlantHeadroom(d: DataFrame): DataFrame = {
-    val top = d.agg(max(col("doc_id"))).first()
-    val maxId = if (top.isNullAt(0)) -1L else top.getLong(0)
-    require(maxId < PlantBase,
-      s"documents doc_id ceiling $maxId breaches the planted-row base " +
-        s"$PlantBase — re-key the m2/m4 plant above the corpus id space")
+    val key = (System.identityHashCode(d.sparkSession).toString,
+      d.queryExecution.analyzed.semanticHash())
+    if (!plantHeadroomChecked.contains(key)) {
+      val top = d.agg(max(col("doc_id"))).first()
+      val maxId = if (top.isNullAt(0)) -1L else top.getLong(0)
+      require(maxId < PlantBase,
+        s"documents doc_id ceiling $maxId breaches the planted-row base " +
+          s"$PlantBase — re-key the m2/m4 plant above the corpus id space")
+      plantHeadroomChecked.add(key)
+    }
     d
   }
 
@@ -1962,6 +1976,31 @@ object DataOpsQueries {
       q.processAllAvailable(); q.stop()
       s.read.parquet(storeDir).orderBy(col("term"), col("did"))
     },
+    // the maintained-STATS serve path (r19 — the last O(store) step on
+    // the write side removed): standing stats derive once from the
+    // standing slice (production: the bootstrap of the maintained
+    // stats store), the delta folds in via bm25StatsAppend — an
+    // O(batch + vocab) merge, NO re-aggregate over the union — and
+    // bm25IndexFromStats composes the serve index from the maintained
+    // parts. The oracle is t42's from-scratch whole-corpus rebuild:
+    // any stats drift (df full-outer sum, nDocs/totTok accumulation,
+    // docLens union, elision off maintained df) lands in the hash.
+    "t43_bm25_stats_serve" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val standing = TextFunctions.bm25Postings(
+        d.filter(col("doc_id") % 5 =!= 0L), "doc_id", "text")
+      val batch = d.filter(col("doc_id") % 5 === 0L ||
+        col("doc_id") % 679 === 0L)
+      val delta = TextFunctions.bm25PostingsDelta(standing, batch,
+        "doc_id", "text")
+      val stats = TextFunctions.bm25StatsAppend(
+        TextFunctions.bm25StatsOf(standing), delta)
+      TextFunctions.bm25IndexFromStats(standing.unionByName(delta), stats,
+          maxDfPpm = 900000L)
+        .select(col("term"), col("did"), col("dtf"), col("dl"),
+          col("df"), col("nDocs").as("n_docs"), col("totTok").as("tot_tok"))
+        .orderBy(col("term"), col("did"))
+    },
     // ROUGE-L alongside ROUGE-N: token-level LCS for the same
     // query→top-1 pairs, the classic row-rolling DP run INSIDE the row
     // as nested higher-order aggregates (integer-exact, pair-bounded —
@@ -2682,6 +2721,10 @@ object DataOpsQueries {
     // only its own candidate rows), so the served union must land on
     // the batch retrieval oracle verbatim
     "t39_stream_parity" -> oraclesBase("t39_bm25_retrieve"),
+    // maintained stats == re-derived stats IS the law, so the
+    // stats-served index must land on t42's from-scratch rebuild
+    // oracle verbatim — any merge drift breaks the shared string
+    "t43_bm25_stats_serve" -> oraclesBase("t42_bm25_index_append"),
   )
 
   private lazy val oraclesBase: Map[String, String] = Map(

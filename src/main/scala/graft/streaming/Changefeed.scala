@@ -358,10 +358,45 @@ object Changefeed {
     * is the separate [[streamingBm25ServeIndex]] over
     * [[graft.functions.TextFunctions.bm25IndexFrom]] of this store —
     * incremental == rebuild is the t42 law, streamed in
-    * StreamingSpec. */
+    * StreamingSpec.
+    *
+    * The append is WHOLE-BATCH-ATOMIC (ADVICE r18): a direct
+    * `mode("append")` into storeDir exposes partial task files on a
+    * mid-commit crash — a doc with SOME postings standing makes the
+    * replayed trigger's delta drop that doc whole, permanently
+    * persisting the partial rows and silently breaking the t42
+    * incremental==rebuild law. So each trigger's delta is STAGED: the
+    * O(batch) rows are written did-SORTED into ONE parquet file in a
+    * sibling `.stage-<batchId>` dir (overwritten on replay, so an
+    * orphaned stage from a crashed attempt self-heals), then that
+    * single file is renamed into storeDir — a one-file POSIX/HDFS
+    * rename, atomic, so the store only ever holds whole deltas. The
+    * did-sort also keeps the appended file's row groups did-narrow,
+    * preserving the keyPrune row-group pruning the
+    * [[graft.core.Scale.writePostingStore]] layout promises as
+    * triggers accumulate (ADVICE r18's other half). Assumes storeDir
+    * and its parent live on a rename-capable filesystem — the standard
+    * Spark-on-HDFS commit assumption this helper makes explicit.
+    *
+    * `statsDir` (r19): when set, each trigger also folds its delta
+    * into the maintained serve-stats store
+    * ([[graft.core.Scale.appendStatsStore]] — O(batch + vocab)), so
+    * the SERVE-index refresh after an append is
+    * [[graft.functions.TextFunctions.bm25IndexFromStats]] over the
+    * maintained triple instead of the O(store) re-aggregate — the
+    * write side of the maintained index is then O(batch) end-to-end.
+    * The fold is crash-safe in BOTH directions: it runs after the
+    * store commit at version batchId + 1, sourcing its rows from the
+    * store's committed `delta-<batchId>.parquet` — so a crash between
+    * store commit and fold replays the trigger, whose recomputed delta
+    * is empty (docs now standing) but whose stats fold re-reads the
+    * committed file and still lands; and a crash after the fold
+    * replays into appendStatsStore's per-version no-op, so stats never
+    * double-count. */
   def streamingBm25Ingest(docs: DataFrame, storeDir: String,
                           idCol: String, textCol: String,
-                          sink: (DataFrame, Long) => Unit): StreamingQuery =
+                          sink: (DataFrame, Long) => Unit,
+                          statsDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -369,7 +404,26 @@ object Changefeed {
         val delta = graft.functions.TextFunctions
           .bm25PostingsDelta(standing, batch.toDF(), idCol, textCol)
           .localCheckpoint()
-        delta.write.mode("append").parquet(storeDir)
+        val stage = s"$storeDir.stage-$batchId"
+        delta.repartition(1).sortWithinPartitions("did")
+          .write.mode("overwrite").parquet(stage)
+        val parts = Option(new java.io.File(stage).listFiles()).toSeq.flatten
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+        require(parts.size <= 1,
+          s"staged delta must be one file for an atomic append, got ${parts.size}")
+        parts.foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(storeDir, s"delta-$batchId.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        graft.core.Caching.deleteRecursively(new java.io.File(stage))
+        statsDir.foreach { d =>
+          val committed = new java.io.File(storeDir, s"delta-$batchId.parquet")
+          val rows = if (committed.exists()) spark.read.parquet(committed.getPath)
+            else delta // genuinely-empty delta: no file was committed
+          graft.core.Scale.appendStatsStore(spark, d, rows, batchId + 1)
+        }
         sink(delta, batchId)
       }
       .start()

@@ -1254,6 +1254,53 @@ class DataOpsSpec extends SparkSpec {
     assert(once.exceptAll(inc).count() == 0 && inc.exceptAll(once).count() == 0)
   }
 
+  test("bm25 maintained stats: delta fold == re-derive, stats-served index == rebuild, bounded serve default") {
+    import graft.functions.TextFunctions
+    val base = Seq((1L, "hot alpha beta"), (2L, "hot gamma delta"),
+      (3L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val batch = Seq((4L, "theta iota kappa alpha"), (5L, "lambda mu nu"),
+      (2L, "REPLAYED text must be ignored")).toDF("doc_id", "text")
+    val standing = TextFunctions.bm25Postings(base, "doc_id", "text")
+    val delta = TextFunctions.bm25PostingsDelta(standing, batch,
+      "doc_id", "text")
+    // the O(batch + vocab) fold must equal the from-scratch stats of
+    // the union — component by component (df full-outer sum covers new
+    // terms, kept terms AND incremented terms; corpus scalars add)
+    val folded = TextFunctions.bm25StatsAppend(
+      TextFunctions.bm25StatsOf(standing), delta)
+    val union = standing.unionByName(delta)
+    val rederived = TextFunctions.bm25StatsOf(union)
+    for ((a, b) <- Seq(folded.docLens -> rederived.docLens,
+        folded.termDf -> rederived.termDf,
+        folded.corpus -> rederived.corpus))
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // the stats-served index (maintained parts, no O(store) aggregate)
+    // must equal the re-derived serve — the t43 gate law in miniature
+    val served = TextFunctions.bm25IndexFromStats(union, folded)
+    val rebuilt = TextFunctions.bm25IndexFrom(union)
+    assert(served.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(served).count() == 0)
+    // 'alpha' went 1 → 2 docs through the fold: the incremented-df case
+    assert(rows(folded.termDf.filter(col("term") === "alpha")
+      .select(col("df"))) == Seq(Seq(2L)))
+    // the PRODUCTION serve surface is bounded by default at the priced
+    // recall point; the exact gates opt into unboundedness explicitly
+    assert(TextFunctions.ServeMaxPostings == 1000L)
+    val posts = TextFunctions.bm25Postings(
+      docs.unionByName(docs.select((col("doc_id") + 100).as("doc_id"),
+        col("text"))),
+      "doc_id", "text")
+    val bounded = TextFunctions.bm25ServeIndex(posts, maxDfPpm = 1000000L,
+      maxPostings = 2L)
+    assert(bounded.groupBy(col("term")).count()
+      .filter(col("count") > 2L).count() == 0, "serve bound caps postings")
+    val dflt = TextFunctions.bm25ServeIndex(posts, maxDfPpm = 1000000L)
+    val explicit = TextFunctions.bm25IndexFrom(posts, 1000000L,
+      TextFunctions.ServeMaxPostings)
+    assert(dflt.exceptAll(explicit).count() == 0 &&
+      explicit.exceptAll(dflt).count() == 0, "default == priced bound")
+  }
+
   test("hard negatives: the top BM25 hit that is a near-dup of the query is vetoed") {
     import graft.functions.{Dedup, TextFunctions}
     // query 100 and corpus doc 1 are exact dups — BM25 ranks doc 1 top

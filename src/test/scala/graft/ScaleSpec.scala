@@ -427,6 +427,67 @@ class ScaleSpec extends SparkSpec {
     assert(!quiet.contains("WARN"), s"truncated build must not warn: $quiet")
   }
 
+  test("heap rule: oversized small-scale and huge XL heaps flagged; the documented 64g-at-100x passes") {
+    import graft.RehearsalUtil.heapRuleViolation
+    def g(n: Long) = n * (1L << 30)
+    assert(heapRuleViolation(10, g(8)).isEmpty, "default heap at 10x is the rule")
+    assert(heapRuleViolation(10, g(64)).isDefined, "the r18 trap: 64g at 10x")
+    assert(heapRuleViolation(1, g(64)).isDefined, "Streams behind a big heap")
+    assert(heapRuleViolation(100, g(64)).isEmpty, "64g is FOR 100x")
+    assert(heapRuleViolation(140, g(96)).isDefined, "the r16 trap: 96g at XL")
+    assert(heapRuleViolation(140, g(64)).isEmpty)
+  }
+
+  test("rehearsal bands: in-band quiet, out-of-band breaks loudly, unknown lines unchecked") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.RehearsalUtil.checkBands("xl140", Seq(
+        "n5" -> 50.0,           // inside [28, 130]
+        "t36" -> 500.0,         // far outside [45, 112] — a real break
+        "no_such_line" -> 1.0)) // absent from the file: unchecked
+    }
+    val s = out.toString
+    assert(s.contains("xl140/n5 50.000 in"), s)
+    assert(s.contains("BAND-BREAK xl140/t36"), s)
+    assert(s.contains("2/3 lines checked, 1 breaks"), s)
+  }
+
+  test("stats store: write/fold/read roundtrip serves == rebuild; folds are per-version idempotent; orphaned stages never read") {
+    import graft.core.Scale
+    import graft.functions.TextFunctions
+    val dir = graft.core.Caching.scratchDir("statsstore").toString
+    val base = Seq((1L, "hot alpha beta"), (2L, "hot gamma delta"),
+      (3L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val standing = TextFunctions.bm25Postings(base, "doc_id", "text")
+    Scale.writeStatsStore(dir, TextFunctions.bm25StatsOf(standing))
+    assert(Scale.latestStatsVersion(dir) == 0L)
+    val batch = Seq((4L, "theta iota alpha"), (5L, "lambda mu nu"))
+      .toDF("doc_id", "text")
+    val delta = TextFunctions.bm25PostingsDelta(standing, batch,
+      "doc_id", "text").localCheckpoint()
+    assert(Scale.appendStatsStore(spark, dir, delta))
+    assert(Scale.latestStatsVersion(dir) == 1L)
+    // replaying the SAME version is a committed no-op: returns false,
+    // nothing double-counts (the streaming crash-replay discipline)
+    assert(!Scale.appendStatsStore(spark, dir, delta, version = 1L))
+    assert(Scale.latestStatsVersion(dir) == 1L)
+    val store = standing.unionByName(delta)
+    val served = TextFunctions.bm25IndexFromStats(store,
+      Scale.readStatsStore(spark, dir))
+    val rebuilt = TextFunctions.bm25IndexFrom(store)
+    assert(served.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(served).count() == 0,
+      "persisted maintained stats must serve the rebuilt index exactly")
+    // a crash-orphaned stage dir must never read as a committed version
+    new java.io.File(dir, ".stage-v000009").mkdirs()
+    assert(Scale.latestStatsVersion(dir) == 1L)
+    // the doc_len dir holds one did-sorted file per fold — the
+    // append-only O(batch) write, never a rewrite
+    val dlFiles = Option(new java.io.File(s"$dir/doc_len").listFiles())
+      .toSeq.flatten.filter(_.getName.endsWith(".parquet")).map(_.getName)
+    assert(dlFiles.sorted == Seq("delta-v000000.parquet", "delta-v000001.parquet"))
+  }
+
   test("keyPrune: bounded lists push an IN filter into the parquet scan; big/null lists semi-join") {
     import graft.core.Scale
     val dir = graft.core.Caching.scratchDir("keyprune").toString

@@ -72,6 +72,42 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted.toSeq == Seq("delta", "gamma"))
   }
 
+  test("streamingBm25Ingest maintains the stats store: per-trigger folds serve == rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions
+    import graft.core.Scale
+    val root = graft.core.Caching.scratchDir("bm25-ingest-stats")
+    val storeDir = root.resolve("store").toString
+    val statsDir = root.resolve("stats").toString
+    val seed = TextFunctions.bm25Postings(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text")
+    seed.write.parquet(storeDir)
+    Scale.writeStatsStore(statsDir, TextFunctions.bm25StatsOf(
+      spark.read.parquet(storeDir)))
+    val mem = MemoryStream[(Long, String)]
+    val q = Changefeed.streamingBm25Ingest(
+      mem.toDF().toDF("doc_id", "text"), storeDir, "doc_id", "text",
+      sink = (_, _) => (), statsDir = Some(statsDir))
+    try {
+      mem.addData((2L, "gamma delta alpha"), (1L, "replayed ignored"))
+      q.processAllAvailable()
+      mem.addData((3L, "epsilon alpha"), (2L, "changed ignored"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // two data triggers → two folds on top of the v0 bootstrap
+    assert(Scale.latestStatsVersion(statsDir) == 2L)
+    val store = spark.read.parquet(storeDir)
+    val served = TextFunctions.bm25IndexFromStats(store,
+      Scale.readStatsStore(spark, statsDir))
+    val rebuilt = TextFunctions.bm25IndexFrom(store)
+    assert(served.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(served).count() == 0,
+      "trigger-by-trigger maintained stats must serve the rebuilt index")
+    // 'alpha' reached 3 docs purely through per-trigger df folds
+    assert(Scale.readStatsStore(spark, statsDir).termDf
+      .filter(col("term") === "alpha").collect().head.getLong(1) == 3L)
+  }
+
   test("changefeed state survives a checkpointed restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = graft.core.Caching.scratchDir("ckpt").toString
