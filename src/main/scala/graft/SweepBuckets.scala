@@ -40,6 +40,13 @@ object SweepBuckets {
       SparkEntry.queries("n1_block_locations")(spark, sfDir).count()
     }
     val lines = counts.map { b =>
+      // re-register the derivation views before each materialization:
+      // the timed query's register() under graft.layout=bucketed
+      // SHADOWS file/block/datanode with the catalog tables, and
+      // writing graft_state_* from its own shadow is a read-write
+      // conflict (and would measure a bucketed-to-bucketed copy)
+      spark.conf.set("graft.layout", "views")
+      graft.model.DerivedState.register(spark, sfDir)
       val t0 = System.nanoTime()
       graft.core.Scale.writeStateTables(spark.table("file"),
         spark.table("block"), spark.table("datanode"), buckets = b)
@@ -49,9 +56,6 @@ object SweepBuckets {
       val t = RehearsalUtil.timeReps(spark, "sweep", s"n1_b$b", reps) {
         SparkEntry.queries("n1_block_locations")(spark, sfDir).count()
       }
-      // back to views before the next materialization so the write
-      // itself never reads a half-swapped bucketed shadow
-      spark.conf.set("graft.layout", "views")
       println(f"[sweep] buckets=$b%d n1=$t%.2f s (layout write $writeSec%.1f s)")
       s"n1_b$b" -> t
     }
