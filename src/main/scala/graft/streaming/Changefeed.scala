@@ -371,6 +371,13 @@ object Changefeed {
     * orphaned stage from a crashed attempt self-heals), then that
     * single file is renamed into storeDir — a one-file POSIX/HDFS
     * rename, atomic, so the store only ever holds whole deltas. The
+    * rename is GUARDED on the destination: a replayed trigger whose
+    * delta file already committed recomputes an EMPTY delta (its docs
+    * are standing), and an unguarded rename would replace the
+    * committed postings with that empty file (POSIX rename clobbers
+    * an existing target), silently losing the batch — the exact loss
+    * the staging exists to prevent. With the guard, replay-after-
+    * commit skips the append and the committed file stands. The
     * did-sort also keeps the appended file's row groups did-narrow,
     * preserving the keyPrune row-group pruning the
     * [[graft.core.Scale.writePostingStore]] layout promises as
@@ -404,24 +411,30 @@ object Changefeed {
         val delta = graft.functions.TextFunctions
           .bm25PostingsDelta(standing, batch.toDF(), idCol, textCol)
           .localCheckpoint()
-        val stage = s"$storeDir.stage-$batchId"
-        delta.repartition(1).sortWithinPartitions("did")
-          .write.mode("overwrite").parquet(stage)
-        val parts = Option(new java.io.File(stage).listFiles()).toSeq.flatten
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-        require(parts.size <= 1,
-          s"staged delta must be one file for an atomic append, got ${parts.size}")
-        parts.foreach { f =>
-          java.nio.file.Files.move(f.toPath,
-            java.nio.file.Paths.get(storeDir, s"delta-$batchId.parquet"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val dest = java.nio.file.Paths.get(storeDir, s"delta-$batchId.parquet")
+        if (!java.nio.file.Files.exists(dest)) {
+          val stage = s"$storeDir.stage-$batchId"
+          delta.repartition(1).sortWithinPartitions("did")
+            .write.mode("overwrite").parquet(stage)
+          val parts = Option(new java.io.File(stage).listFiles()).toSeq.flatten
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+          require(parts.size <= 1,
+            s"staged delta must be one file for an atomic append, got ${parts.size}")
+          parts.foreach { f =>
+            java.nio.file.Files.move(f.toPath, dest,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          graft.core.Caching.deleteRecursively(new java.io.File(stage))
         }
-        graft.core.Caching.deleteRecursively(new java.io.File(stage))
         statsDir.foreach { d =>
-          val committed = new java.io.File(storeDir, s"delta-$batchId.parquet")
-          val rows = if (committed.exists()) spark.read.parquet(committed.getPath)
-            else delta // genuinely-empty delta: no file was committed
+          // fold from the COMMITTED file, not the in-memory delta: a
+          // replayed trigger's recomputed delta is empty but the file
+          // holds the batch's true rows (the fold itself is a
+          // per-version no-op when already applied)
+          val rows = if (java.nio.file.Files.exists(dest))
+            spark.read.parquet(dest.toString)
+            else delta // genuinely-empty delta: nothing was committed
           graft.core.Scale.appendStatsStore(spark, d, rows, batchId + 1)
         }
         sink(delta, batchId)

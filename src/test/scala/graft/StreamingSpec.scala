@@ -108,6 +108,42 @@ class StreamingSpec extends SparkSpec {
       .filter(col("term") === "alpha").collect().head.getLong(1) == 3L)
   }
 
+  test("streamingBm25Ingest replay after a committed delta never clobbers the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions
+    val root = graft.core.Caching.scratchDir("bm25-ingest-replay")
+    val storeDir = root.resolve("store").toString
+    // the crashed-run state: batch 0's delta file IS committed in the
+    // store, but the checkpoint never recorded the trigger — a restart
+    // re-delivers the same docs as batchId 0, whose recomputed delta is
+    // EMPTY (the docs are standing). The unguarded rename would replace
+    // delta-0.parquet with that empty file and silently lose the batch.
+    TextFunctions.bm25Postings(
+        Seq((9L, "zeta eta")).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(storeDir)
+    val tmp = root.resolve("tmp").toString
+    TextFunctions.bm25Postings(
+        Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text")
+      .repartition(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(storeDir, "delta-0.parquet"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Changefeed.streamingBm25Ingest(
+      mem.toDF().toDF("doc_id", "text"), storeDir, "doc_id", "text",
+      sink = (_, _) => ())
+    try {
+      mem.addData((1L, "alpha beta")) // the replayed batch, batchId 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val store = spark.read.parquet(storeDir)
+    assert(store.filter(col("did") === 1L).count() == 2L,
+      "a replayed trigger must not clobber its committed delta file")
+    assert(store.count() == 4L)
+  }
+
   test("changefeed state survives a checkpointed restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = graft.core.Caching.scratchDir("ckpt").toString
