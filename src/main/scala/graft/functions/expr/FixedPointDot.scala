@@ -70,6 +70,44 @@ object FixedPointDot {
     case _ => ad.getInt(i).toDouble
   }
 
+  /** 2^52: below this magnitude the [[halfUpToLong]] fast path is exact
+    * (see proof there) and the result trivially fits a long. */
+  private final val FastPathBound = 4503599627370496.0
+
+  /** HALF_UP(p) → Long, bit-identical to
+    * `new JBigDecimal(p).setScale(0, HALF_UP).longValueExact()` without
+    * the per-element BigDecimal allocation that dominated the distance
+    * kernels (r19 profile: one BigDecimal + setScale + longValueExact
+    * per array element per pair).
+    *
+    * Works on the MAGNITUDE a = |p| and re-applies the sign — HALF_UP
+    * (round half away from zero) is symmetric, and the magnitude is the
+    * only side where the fraction extraction is provably exact:
+    * for a < 1, floor(a) = 0 so r = a exactly; for 1 ≤ a < 2^52,
+    * a = m·2^e with e ≥ −52, floor(a) is representable and the true
+    * fraction is a multiple of 2^e below 1, i.e. at most 52 significant
+    * bits, so the IEEE subtraction returns it exactly. (Computing
+    * p − floor(p) directly on a NEGATIVE p in (−1, 0) is inexact —
+    * e.g. p = −(0.5 − 2^−54) has true fraction 0.5 + 2^−54, which is
+    * not representable and rounds to 0.5, flipping the tie rule; the
+    * spec pins that exact value.) Hence r is the double's EXACT
+    * fractional magnitude — the same quantity BigDecimal inspects —
+    * and r ≥ 0.5 reproduces the away-from-zero tie rule on the
+    * magnitude (HALF_UP(2.5)=3, HALF_UP(−2.5)=−3).
+    * |p| ≥ 2^52 (integral there, but may exceed Long), NaN and ±Inf
+    * fall through to the BigDecimal path, preserving the fail-fast
+    * longValueExact overflow contract and the NaN NumberFormatException
+    * byte-for-byte. */
+  def halfUpToLong(p: Double): Long = {
+    val a = java.lang.Math.abs(p)
+    if (a < FastPathBound) {
+      val f = java.lang.Math.floor(a)
+      val r = a - f
+      val m = f.toLong + (if (r >= 0.5) 1L else 0L)
+      if (p < 0) -m else m
+    } else new JBigDecimal(p).setScale(0, RoundingMode.HALF_UP).longValueExact()
+  }
+
   /** The shared loop, called from both interpreted eval and generated
     * code. Exact HALF_UP on each product's decimal value — matches both
     * Spark round() and DuckDB ROUND(); Math.round would drift on
@@ -80,8 +118,7 @@ object FixedPointDot {
     var i = 0
     while (i < n) {
       val p = get(x, i, lCode) * get(y, i, rCode) * 1e12
-      // longValueExact: same fail-fast-on-overflow contract as FixedPointL2
-      acc += new JBigDecimal(p).setScale(0, RoundingMode.HALF_UP).longValueExact()
+      acc += halfUpToLong(p)
       i += 1
     }
     acc

@@ -1,7 +1,5 @@
 package graft.functions.expr
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -83,9 +81,12 @@ object FixedPointL2 {
     while (i < n) {
       val d = get(x, i, lCode) - get(y, i, rCode)
       val p = d * d * 1e12
-      // longValueExact: fail fast on terms outside long range instead of
-      // silently wrapping (generic int/long arrays make overflow plausible)
-      acc += new JBigDecimal(p).setScale(0, RoundingMode.HALF_UP).longValueExact()
+      // FixedPointDot.halfUpToLong: bit-identical HALF_UP without the
+      // per-element BigDecimal; values ≥ 2^52 (and NaN/Inf) still take
+      // the BigDecimal path, keeping the fail-fast longValueExact
+      // overflow contract (generic int/long arrays make overflow
+      // plausible)
+      acc += FixedPointDot.halfUpToLong(p)
       i += 1
     }
     acc
