@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage attribution for the round-19 optimization pass (local
+  * iteration only; not part of the driver contract — the Profile.scala
+  * precedent). Times the sub-stages of the heaviest bench lines so plan
+  * work targets the real cost, per guide §1: sub-frames are forced with
+  * the noop sink (computes every column, §1.4), full queries with the
+  * bench's own count() action for like-for-like numbers.
+  * Usage: runMain graft.ProfileR19 [sfDir]
+  */
+object ProfileR19 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.model.DerivedState.register(spark, sfDir)
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.setJobDescription(name)
+      val t0 = System.nanoTime()
+      f
+      println(f"[r19] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    // warmup: session + codegen + parquet footers
+    SparkEntry.queries("q6_revenue_forecast")(spark, sfDir).count()
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "2").toInt
+    (1 to reps).foreach { r =>
+      println(s"--- rep $r ---")
+      // ---- derivations -------------------------------------------------
+      time("file_view[noop]")(noop(spark.table("file")))
+      time("block_view[noop]")(noop(spark.table("block")))
+      time("reported_view[noop]")(noop(spark.table("reported")))
+
+      // ---- n5 decomposition -------------------------------------------
+      val live = (df: DataFrame) => graft.store.StateStore.live(df)
+      time("n5_foj_only[noop]") {
+        val stored = live(spark.table("block")).select(
+          col("id").as("blockId"), col("datanodeId"),
+          col("length").as("storedLength"),
+          col("generationStamp").as("storedGenStamp"))
+        noop(spark.table("reported")
+          .join(stored, Seq("datanodeId", "blockId"), "full_outer"))
+      }
+      time("n5_freshest_only[noop]") {
+        noop(live(spark.table("block")).groupBy(col("id"))
+          .agg(max(col("generationStamp")).as("maxGenStamp"),
+            max_by(col("length"),
+              struct(col("generationStamp"), col("version"))).as("freshestLength")))
+      }
+      time("n5_reconcile[noop]") {
+        noop(graft.analytics.Dataflows.reconcileReports(
+          spark.table("block"), spark.table("reported")))
+      }
+      time("n5_full[count]")(
+        SparkEntry.queries("n5_block_report")(spark, sfDir).count())
+
+      // ---- n6 decomposition -------------------------------------------
+      time("n6_pruned[noop]") {
+        noop(graft.analytics.Dataflows.underReplicatedPruned(
+          spark.table("block"), spark.table("file"), spark.table("datanode"),
+          graft.model.DerivedState.NowMs, k = 100))
+      }
+      time("n6_full[count]")(
+        SparkEntry.queries("n6_under_replicated")(spark, sfDir).count())
+
+      // ---- s1/s2 decomposition ----------------------------------------
+      time("s1_dir_collect") {
+        graft.state.StateManager.collectDirChildren(
+          live(spark.table("file")), 2000000L)
+      }
+      time("s1_full[count]")(
+        SparkEntry.queries("s1_path_resolution")(spark, sfDir).count())
+      time("s2_full[count]")(
+        SparkEntry.queries("s2_paths")(spark, sfDir).count())
+
+      // ---- n15 ----------------------------------------------------------
+      time("n15_dir_collect_nonames") {
+        graft.state.StateManager.collectDirChildren(
+          live(spark.table("file")), 2000000L, needNames = false)
+      }
+      time("n15_full[count]")(
+        SparkEntry.queries("n15_content_summary")(spark, sfDir).count())
+
+      // ---- s8 / n1 ------------------------------------------------------
+      time("s8_full[count]")(
+        SparkEntry.queries("s8_block_entries")(spark, sfDir).count())
+      time("n1_full[count]")(
+        SparkEntry.queries("n1_block_locations")(spark, sfDir).count())
+
+      // ---- d2 stages (fuller set in Profile.scala) ----------------------
+      time("d2_full[count]")(
+        SparkEntry.queries("d2_minhash_lsh")(spark, sfDir).count())
+
+      // ---- n11 / r9 ------------------------------------------------------
+      time("n11_full[count]")(
+        SparkEntry.queries("n11_fsck")(spark, sfDir).count())
+      time("r9_full[count]")(
+        SparkEntry.queries("r9_replay")(spark, sfDir).count())
+    }
+    spark.stop()
+  }
+}
