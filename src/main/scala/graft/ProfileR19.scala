@@ -38,6 +38,49 @@ object ProfileR19 {
     // warmup: session + codegen + parquet footers
     SparkEntry.queries("q6_revenue_forecast")(spark, sfDir).count()
 
+    // SPARK_GRAFT_PROFILE_FSCK=1: attribute n11_fsck_move's time (the
+    // r19 sweep's 176 s outlier) — sizes of the corrupt/dirs frames and
+    // the ancestor-probe join alone, both the startsWith (BNL) and the
+    // keyed prefix formulation.
+    if (sys.env.get("SPARK_GRAFT_PROFILE_FSCK").contains("1")) {
+      val live = (df: DataFrame) => graft.store.StateStore.live(df)
+      val deadDn = spark.sql(graft.queries.AnalyticsQueries.FsckDeadNodesSql)
+      val corrupt = graft.analytics.Dataflows.fsckFiles(
+          spark.table("file"), spark.table("block"), deadDn,
+          graft.model.DerivedState.NowMs)
+        .filter(col("missingBlocks") > 0)
+        .select(col("fileId").as("__cfid"), col("path").as("__cpath"))
+        .localCheckpoint()
+      println(s"[r19] corrupt rows = ${corrupt.count()}")
+      val paths = graft.state.StateManager.materializePaths(spark.table("file"))
+        .select(col("id").as("__lid"), col("length").as("__llen"),
+          col("path").as("__lpath"))
+      val dirs = paths.filter(col("__llen") === -1L && col("__lid") =!= 0L)
+        .select(col("__lpath").as("__dpath")).localCheckpoint()
+      println(s"[r19] dirs rows = ${dirs.count()}")
+      time("fsck_anc_startsWith[noop]") {
+        noop(broadcast(corrupt).join(dirs,
+          col("__cpath").startsWith(concat(col("__dpath"), lit("/"))))
+          .select(col("__cfid"),
+            concat(lit("/lost+found"), col("__dpath")).as("cpath")))
+      }
+      time("fsck_anc_prefix_keyed[noop]") {
+        val pref = corrupt
+          .select(col("__cfid"), split(col("__cpath"), "/").as("__parts"))
+          .filter(size(col("__parts")) >= 3)
+          .select(col("__cfid"), explode(
+            transform(sequence(lit(2), size(col("__parts")) - 1),
+              i => array_join(slice(col("__parts"), lit(1), i), "/")))
+            .as("__apath"))
+        noop(pref.join(dirs, col("__apath") === col("__dpath"))
+          .select(col("__cfid"),
+            concat(lit("/lost+found"), col("__dpath")).as("cpath")))
+      }
+      time("n11_fsck_move_full[count]")(
+        SparkEntry.queries("n11_fsck_move")(spark, sfDir).count())
+      spark.stop(); return
+    }
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "2").toInt
     (1 to reps).foreach { r =>
       println(s"--- rep $r ---")

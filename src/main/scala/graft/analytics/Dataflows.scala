@@ -798,19 +798,46 @@ object Dataflows {
         scopeFilter(col("path"), normScope(pathPrefix)))
       .select(col("fileId").as("__cfid"), col("path").as("__cpath"))
       .localCheckpoint()
+    // localCheckpoint: the path frame feeds existing/fileTombs/touchRows
+    // (and dirs under needs' several consumers) — without the pin each
+    // consumer re-runs the whole path materialization (file derivation +
+    // broadcast dir join), measured ~1.5 s per re-derivation at sf0.1
+    // over ~6 evaluations; the frame is namespace-row-sized (one row per
+    // live file/dir, ~150k at sf0.1), the same magnitude as the corrupt
+    // pin above
     val paths = StateManager.materializePaths(file)
       .select(col("id").as("__lid"), col("parentId").as("__lpar"),
         col("name").as("__lname"), col("length").as("__llen"),
         col("mtime").as("__lmtime"), col("version").as("__lver"),
         col("path").as("__lpath"))
+      .localCheckpoint()
     val dirs = paths.filter(col("__llen") === -1L && col("__lid") =!= 0L)
       .select(col("__lpath").as("__dpath"))
     // needed mirror prefixes per corrupt file: /lost+found, one per
-    // ancestor dir, and the full path itself (which becomes a dir). The
-    // ancestor probe broadcasts the findings-sized corrupt set against
-    // the dir dimension — never the block table.
-    val needAnc = broadcast(corrupt).join(dirs,
-        col("__cpath").startsWith(concat(col("__dpath"), lit("/"))))
+    // ancestor dir, and the full path itself (which becomes a dir).
+    // The ancestor probe is a KEYED join: each corrupt path expands
+    // map-side into its proper '/'-boundary prefixes (O(depth) rows),
+    // which equi-join the dir dimension. The r19 profile measured the
+    // previous formulation — broadcast(corrupt) ⋈ dirs on
+    // startsWith(dpath || '/'), a broadcast nested-loop join — at 31 s
+    // per evaluation at sf0.1 (51,575 corrupt × 15,025 dirs ≈ 775M
+    // string probes), and `needs` is re-derived by several consumers
+    // (blocked / existing / missingDirs), so the BNL dominated the
+    // whole write-set build (213 s → ~15 s). Row-multiset-identical:
+    // "cpath startsWith (dpath || '/')" holds exactly when dpath is a
+    // proper '/'-boundary prefix of cpath, i.e. when dpath equals one
+    // of the generated prefixes — including the duplicate-path dir
+    // case, where both forms emit one row per matching dir row. At
+    // cluster scale this is the difference between findings × namespace
+    // and findings × depth.
+    val prefixes = corrupt
+      .select(col("__cfid"), split(col("__cpath"), "/").as("__parts"))
+      .filter(size(col("__parts")) >= 3)
+      .select(col("__cfid"), explode(
+        transform(sequence(lit(2), size(col("__parts")) - 1),
+          i => array_join(slice(col("__parts"), lit(1), i), "/")))
+        .as("__apath"))
+    val needAnc = broadcast(prefixes).join(dirs, col("__apath") === col("__dpath"))
       .select(col("__cfid"),
         concat(lit("/lost+found"), col("__dpath")).as("cpath"))
     val needs = corrupt.select(col("__cfid"), lit("/lost+found").as("cpath"))

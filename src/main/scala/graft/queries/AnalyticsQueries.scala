@@ -1501,7 +1501,7 @@ object AnalyticsQueries {
     * every %4=1 node dead (lastUpdated 0), run verbatim by the Spark
     * queries and spliced into the DuckDB oracles — blocks held only by
     * those nodes become MISSING, firing every finding class. */
-  private val FsckDeadNodesSql: String =
+  private[graft] val FsckDeadNodesSql: String =
     """SELECT id, location,
       |       CASE WHEN id % 4 = 1 THEN CAST(0 AS BIGINT)
       |            ELSE lastUpdated END AS lastUpdated,
