@@ -81,6 +81,34 @@ object ProfileR19 {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_PROFILE_BR=1: attribute n_block_received (29 s in the
+    // r19 sweep) — the standing-marks pass, the receipt batch, the
+    // pruned scan, and the full op.
+    if (sys.env.get("SPARK_GRAFT_PROFILE_BR").contains("1")) {
+      time("br_marks[action]") {
+        graft.analytics.Replication.corruptMarks(
+          graft.analytics.Dataflows.reconcileReports(
+            spark.table("block"), spark.table("reported")))
+          .localCheckpoint()
+      }
+      time("br_ops[action]") {
+        spark.sql(graft.queries.AnalyticsQueries.BlockReceivedOpsSql)
+          .localCheckpoint()
+      }
+      time("br_keyprune[action]") {
+        val ops = spark.sql(graft.queries.AnalyticsQueries.BlockReceivedOpsSql)
+          .localCheckpoint()
+        graft.core.Scale.keyPrune(
+          graft.store.StateStore.live(spark.table("block")), "id", ops, "blockId")
+          .localCheckpoint()
+      }
+      time("n_block_received_full[count]")(
+        SparkEntry.queries("n_block_received")(spark, sfDir).count())
+      time("n_block_received_full2[count]")(
+        SparkEntry.queries("n_block_received")(spark, sfDir).count())
+      spark.stop(); return
+    }
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "2").toInt
     (1 to reps).foreach { r =>
       println(s"--- rep $r ---")

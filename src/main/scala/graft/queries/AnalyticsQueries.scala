@@ -1471,7 +1471,7 @@ object AnalyticsQueries {
     * co-batched receipt classified corrupt — the stored-corrupt-
     * reporter exclusion (markBlockAsCorrupt → countNodes skip),
     * exercised non-vacuously. */
-  private val BlockReceivedOpsSql: String =
+  private[graft] val BlockReceivedOpsSql: String =
     """SELECT r.datanodeId, r.blockId, r.repLength, r.repGenStamp,
       |       h.minOther AS delHint
       |FROM reported r
