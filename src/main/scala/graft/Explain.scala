@@ -34,5 +34,23 @@ object Explain {
         graft.analytics.Dataflows.underReplicatedPruned(
           s.table("block"), s.table("file"), s.table("datanode"),
           graft.model.DerivedState.NowMs, k = 100)
+      },
+      // n_block_received's receipt-script frame, both sourcings — the
+      // final plan of the gate entry only shows checkpoint scans, so the
+      // derivation-fusion evidence (r20) lives in THIS intermediate
+      // frame: the views form re-derives block per reference, the pinned
+      // form reads the one localCheckpoint
+      "n_block_received_ops_views" -> { (s, dir) =>
+        graft.model.DerivedState.register(s, dir)
+        s.sql(graft.queries.AnalyticsQueries.BlockReceivedOpsSql)
+      },
+      "n_block_received_ops_pinned" -> { (s, dir) =>
+        graft.model.DerivedState.register(s, dir)
+        val pin = graft.store.StateStore.live(s.table("block")).localCheckpoint()
+        pin.createOrReplaceTempView("graft_block_pin")
+        s.sql(graft.model.DerivedState.reportedSqlFrom("graft_block_pin"))
+          .createOrReplaceTempView("graft_reported_pin")
+        s.sql(graft.queries.AnalyticsQueries.blockReceivedOpsSqlFrom(
+          "graft_reported_pin", "graft_block_pin"))
       })
 }

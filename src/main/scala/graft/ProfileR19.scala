@@ -109,6 +109,76 @@ object ProfileR19 {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_PROFILE_BR2=1: attribute the r20 PINNED path of
+    // n_block_received stage by stage — pin write, marks-over-pin,
+    // ops-over-pin, and the blockReceived ladder remainder.
+    if (sys.env.get("SPARK_GRAFT_PROFILE_BR2").contains("1")) {
+      var pin: DataFrame = null
+      time("br2_pin[action]") {
+        pin = graft.store.StateStore.live(spark.table("block")).localCheckpoint()
+      }
+      pin.createOrReplaceTempView("graft_block_pin")
+      val rep = spark.sql(
+        graft.model.DerivedState.reportedSqlFrom("graft_block_pin"))
+      rep.createOrReplaceTempView("graft_reported_pin")
+      var marks: DataFrame = null
+      time("br2_marks_over_pin[action]") {
+        marks = graft.analytics.Replication.corruptMarks(
+          graft.analytics.Dataflows.reconcileReports(pin, rep))
+          .localCheckpoint()
+      }
+      var ops: DataFrame = null
+      time("br2_ops_over_pin[action]") {
+        ops = spark.sql(graft.queries.AnalyticsQueries
+          .blockReceivedOpsSqlFrom("graft_reported_pin", "graft_block_pin"))
+          .localCheckpoint()
+      }
+      time("br2_blockReceived_rest[count]") {
+        graft.analytics.Replication.blockReceived(pin, spark.table("file"),
+          spark.table("datanode"), ops, corrupt = Some(marks)).count()
+      }
+      // bisect the ranked action: holder-set build vs each window layer
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        val pruned = graft.core.Scale.keyPrune(pin, "id", ops, "blockId")
+          .localCheckpoint()
+        val ddim = spark.table("datanode").filter(col("version") > 0)
+          .select(col("id").as("__did"), col("location").as("__rack"),
+            col("remaining").as("__rem"), col("adminState").as("__adm"))
+        val holders0 = pruned.select(col("id").as("__hb"), col("datanodeId"))
+          .distinct()
+          .join(broadcast(ddim), col("datanodeId") === col("__did"), "left")
+          .filter(col("__adm").isNull || col("__adm") === "NORMAL")
+          .withColumn("__rackKey",
+            coalesce(col("__rack"), concat(lit("?"), col("datanodeId").cast("string"))))
+        time("br2_holders[noop]")(noop(holders0))
+        val wBlk = Window.partitionBy(col("__hb"))
+        val wRack = Window.partitionBy(col("__hb"), col("__rackKey"))
+        time("br2_holders_w1[noop]")(noop(
+          holders0.withColumn("__cnt", count(lit(1)).over(wBlk))))
+        time("br2_holders_w12[noop]")(noop(
+          holders0.withColumn("__cnt", count(lit(1)).over(wBlk))
+            .withColumn("__pri", count(lit(1)).over(wRack) > 1)))
+        time("br2_holders_w123[noop]")(noop(
+          holders0.withColumn("__cnt", count(lit(1)).over(wBlk))
+            .withColumn("__pri", count(lit(1)).over(wRack) > 1)
+            .withColumn("__stdRank", row_number().over(wBlk.orderBy(
+              col("__pri").desc, col("__rem").asc_nulls_last,
+              col("datanodeId").asc)))))
+        val ranked0 = holders0
+          .withColumn("__cnt", count(lit(1)).over(wBlk))
+          .withColumn("__pri", count(lit(1)).over(wRack) > 1)
+          .withColumn("__stdRank", row_number().over(wBlk.orderBy(
+            col("__pri").desc, col("__rem").asc_nulls_last,
+            col("datanodeId").asc)))
+        time("br2_ranked_ckpt_alone")(ranked0.localCheckpoint())
+        time("br2_ranked_ckpt_again")(ranked0.localCheckpoint())
+      }
+      time("n_block_received_full[count]")(
+        SparkEntry.queries("n_block_received")(spark, sfDir).count())
+      spark.stop(); return
+    }
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "2").toInt
     (1 to reps).foreach { r =>
       println(s"--- rep $r ---")

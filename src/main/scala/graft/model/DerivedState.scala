@@ -129,8 +129,16 @@ object DerivedState {
     * re-keyed to the NULL_DATANODE id 0 (→ toAdd, or toInvalidate when
     * the re-keyed report is shortened — the corrupt rule fires even with
     * no stored replica on the reporting node). */
-  val reportedSql: String =
-    """SELECT CASE WHEN datanodeId = 10 THEN CAST(0 AS BIGINT) ELSE datanodeId END AS datanodeId,
+  val reportedSql: String = reportedSqlFrom("block")
+
+  /** [[reportedSql]] parameterized over its source relation — same text,
+    * different FROM. Consumers that PIN the block derivation once per
+    * evaluation (localCheckpoint + temp view) re-point the report
+    * synthesis at the pin with this instead of re-deriving `block` per
+    * reference; `reportedSqlFrom("block")` is byte-identical to the
+    * registered view / oracle-prefix text, so the two can never drift. */
+  def reportedSqlFrom(src: String): String =
+    s"""SELECT CASE WHEN datanodeId = 10 THEN CAST(0 AS BIGINT) ELSE datanodeId END AS datanodeId,
       |       id AS blockId,
       |       CASE WHEN datanodeId = 10 THEN
       |              CASE WHEN version % 3 = 0 AND length > 0 THEN length - 700
@@ -141,7 +149,7 @@ object DerivedState {
       |       CASE WHEN datanodeId = 10 THEN generationStamp
       |            WHEN version % 7 = 0 THEN generationStamp - 1
       |            ELSE generationStamp END AS repGenStamp
-      |FROM block
+      |FROM $src
       |WHERE version > 0 AND ((datanodeId <= 8 AND version % 13 <> 0) OR datanodeId = 10)""".stripMargin
 
   val derived: Seq[(String, String)] = Seq(
