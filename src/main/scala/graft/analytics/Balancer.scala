@@ -174,14 +174,101 @@ object Balancer {
       .filter(col("moveSize") > 0)
   }
 
+  /** Node-count cap for the driver-side pair-packing fast path: the
+    * classification is one row per live datanode (the reference balancer
+    * holds exactly this report in a single process), so collecting it is
+    * dimension-bounded by construction — 500k nodes ≈ 25 MB of rows, far
+    * beyond any real cluster. Above the cap, [[pairs]] falls back to the
+    * original window-dataflow passes. */
+  val PairsDriverLimit: Int = 500000
+
+  /** One capacity-packing pass, driver-side — EXACTLY [[packPass]]'s
+    * semantics on collected rows: id-ordered cumulative-sum intervals of
+    * source vs target availability (per rack when `sameRack`), a pair per
+    * strict interval overlap, sized by the overlap. Nodes are
+    * (id, location, avail). */
+  private def packPassLocal(src: Seq[(Long, String, Long)],
+                            tgt: Seq[(Long, String, Long)],
+                            sameRack: Boolean): Seq[(Long, Long, Long)] = {
+    def intervals(ns: Seq[(Long, String, Long)])
+        : Map[String, IndexedSeq[(Long, Long, Long)]] = {
+      // (id, start, end) per rack key ("" = global), ids ascending —
+      // Window.partitionBy(location).orderBy(id) / Window.orderBy(id)
+      val grouped =
+        if (sameRack) ns.filter(_._3 > 0).groupBy(_._2)
+        else Map("" -> ns.filter(_._3 > 0))
+      grouped.map { case (k, g) =>
+        var cum = 0L
+        k -> g.sortBy(_._1).map { case (id, _, avail) =>
+          val start = cum; cum += avail; (id, start, cum)
+        }.toIndexedSeq
+      }
+    }
+    val sIv = intervals(src)
+    val tIv = intervals(tgt)
+    sIv.toSeq.sortBy(_._1).flatMap { case (rack, ss) =>
+      val ts = tIv.getOrElse(rack, IndexedSeq.empty)
+      // strict-overlap join: sStart < tEnd && tStart < sEnd, size =
+      // min(ends) − max(starts) (> 0 exactly when the overlap is strict)
+      for {
+        (sid, ss0, se0) <- ss
+        (tid, ts0, te0) <- ts
+        if ss0 < te0 && ts0 < se0
+      } yield (sid, tid, math.min(se0, te0) - math.max(ss0, ts0))
+    }
+  }
+
   /** The full pair schedule: six packing passes in the reference's
     * chooseNodes order, each consuming the availability the previous
-    * passes left. Output: (pass, sourceId, targetId, moveSize). */
+    * passes left. Output: (pass, sourceId, targetId, moveSize).
+    *
+    * Fast path (r20, guide §1.2/§5): the whole schedule is arithmetic
+    * over the node DIMENSION — the original per-pass dataflow spent
+    * 7 localCheckpoint actions (~3.5 s at sf0.1) scheduling jobs over
+    * ~40-row frames. Up to [[PairsDriverLimit]] nodes the passes run
+    * driver-side on the collected classification ([[packPassLocal]],
+    * same interval semantics pass for pass — BalancerSpec pins the
+    * equivalence) in ONE Spark action; beyond it the dataflow path is
+    * kept verbatim. */
   def pairs(datanode: DataFrame, nowMs: Long,
             thresholdPct: Double): DataFrame = {
-    val cls = classifyFull(datanode, nowMs, thresholdPct)
+    val clsFrame = classifyFull(datanode, nowMs, thresholdPct)
       .select(col("id"), col("location"), col("nodeClass"),
         col("maxSizeToMove"))
+    val probe = clsFrame.limit(PairsDriverLimit + 1).collect()
+    if (probe.length <= PairsDriverLimit) {
+      val spark = datanode.sparkSession
+      import spark.implicits._
+      val avails = scala.collection.mutable.Map(
+        Seq("overUtilized", "aboveAvgUtilized", "underUtilized",
+          "belowAvgUtilized").map { k =>
+          k -> probe.toSeq.filter(_.getString(2) == k)
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+        }: _*)
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      Passes.zipWithIndex.foreach { case ((sk, tk, sameRack), i) =>
+        val p = packPassLocal(avails(sk), avails(tk), sameRack)
+        out ++= p.map { case (s, t, m) => (i + 1L, s, t, m) }
+        def consume(ns: Seq[(Long, String, Long)], used: Map[Long, Long]) =
+          ns.map { case (id, loc, avail) =>
+            (id, loc, avail - used.getOrElse(id, 0L)) }
+        avails(sk) = consume(avails(sk),
+          p.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum })
+        avails(tk) = consume(avails(tk),
+          p.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum })
+      }
+      return out.result()
+        .toDF("pass", "sourceId", "targetId", "moveSize")
+    }
+    pairsDataflow(clsFrame)
+  }
+
+  /** The original window-dataflow pass loop — [[pairs]]'s over-cap
+    * fallback, kept verbatim and spec-compared against the driver path
+    * (BalancerSpec). `clsFrame`: (id, location, nodeClass,
+    * maxSizeToMove). */
+  private[graft] def pairsDataflow(clsFrame: DataFrame): DataFrame = {
+    val cls = clsFrame
       // the node table is a dimension: one small driver-free frame reused
       // by all six passes
       .localCheckpoint()

@@ -96,6 +96,20 @@ class BalancerSpec extends SparkSpec {
     }
   }
 
+  test("pairs: driver fast path == window-dataflow fallback, pass for pass") {
+    // pairs() runs the driver-side packing below PairsDriverLimit; the
+    // over-cap fallback keeps the original window dataflow. Same
+    // classification in, same (pass, source, target, bytes) multiset out.
+    val fast = rows(Balancer.pairs(datanode, now, t)
+      .orderBy(col("pass"), col("sourceId"), col("targetId")))
+    val slow = rows(Balancer.pairsDataflow(
+        Balancer.classify(datanode, now, t)
+          .select(col("id"), col("location"), col("nodeClass"),
+            col("maxSizeToMove")))
+      .orderBy(col("pass"), col("sourceId"), col("targetId")))
+    assert(fast == slow)
+  }
+
   test("movePlan: claim-once, target-exclusion, rack rule, byte budget") {
     // blocks on n1 (source of pairs 1→2 and 1→5, both same-rack) and on
     // n3 (source of 3→4, 3→6 same-rack and 3→5 cross-rack)
