@@ -147,6 +147,15 @@ object StateQueries {
     "r1_cache" -> { (s, dir) =>
       import s.implicits._
       DerivedState.register(s, dir)
+      // examined r20, left alone WITH DATA: the line is ~35 sequential
+      // miss-lookup jobs (one per scripted miss) at ~0.1-0.15 s of job
+      // overhead each — the one-at-a-time shape IS the contract (the
+      // differential gate replays an interactive probe stream; batching
+      // the misses into one job would stop exercising the per-probe
+      // machinery). Pinning the snapshot (localCheckpoint) was TRIED and
+      // measured WORSE (min 7.3 s vs 5.0 s at sf0.1): the point filter
+      // over the checkpointed RDD loses the trivially-planned derivation
+      // scan and executeTake probes partition waves instead.
       val cache = new KeyedCache(StateStore.live(s.table("datanode")), "id")
       val probes = s.sql(R1ProbeSql).orderBy(col("seq")).collect()
       val rows = probes.toSeq.flatMap { p =>

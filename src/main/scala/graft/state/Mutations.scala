@@ -186,6 +186,16 @@ object Mutations {
   def rename(file: DataFrame, renames: DataFrame, nowMs: Long,
              versionBump: Long = 1000000000L, maxDepth: Int = 64,
              dirBroadcastLimit: Long = 2000000L): DataFrame = {
+    // local profiling hook (SPARK_GRAFT_PROFILE_RENAME=1): times each
+    // internal action; zero-cost no-op otherwise
+    val profR = sys.env.get("SPARK_GRAFT_PROFILE_RENAME").contains("1")
+    def tr[T](name: String)(fn: => T): T =
+      if (!profR) fn else {
+        val t0 = System.nanoTime()
+        val r = fn
+        println(f"[ren] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
     // maxDepth 64 (vs the BFS ops' 16): the ancestry walk is O(depth)
     // per DESTINATION dir — driver-trivial on the fast path — so the cap
     // exists only to refuse corrupt cycles, and a legal deep namespace
@@ -258,12 +268,14 @@ object Mutations {
     // is being renamed at all; a file-only batch (the overwhelming case —
     // every BenchOps rename, most real traffic) skips the walk, its
     // joins, and the extra cache entirely
-    val hasDirRenames = seed.limit(1).count() > 0
-    val validated = if (!hasDirRenames) baseValidated else validateDirMoves(
-      f, baseValidated, seed, sp, maxDepth, dirBroadcastLimit)
+    val hasDirRenames = tr("seed_probe")(seed.limit(1).count() > 0)
+    val validated = if (!hasDirRenames) baseValidated else tr("dir_validate")(validateDirMoves(
+      f, baseValidated, seed, sp, maxDepth, dirBroadcastLimit))
     val ok = validated.filter(col("reject").isNull)
-    val moved = f.join(ok.select(col("id").as("__mid"), col("newParentId"),
-        col("newName"), col("__oldP")), col("id") === col("__mid"), "inner")
+    // broadcast: the accepted-rename side is batch-bounded; the planner
+    // sees a stats-less persisted frame and would shuffle both sides
+    val moved = f.join(broadcast(ok.select(col("id").as("__mid"), col("newParentId"),
+        col("newName"), col("__oldP"))), col("id") === col("__mid"), "inner")
       .withColumn("parentId", col("newParentId"))
       .withColumn("name", col("newName"))
       .withColumn("mtime", lit(nowMs))
@@ -277,7 +289,7 @@ object Mutations {
     // touch would conflict with its move row, leaving two rows per key
     // after apply; the move row already carries mtime = nowMs
     val touches = graft.core.Scale.keyPrune(f, "id", parentIds, "__p")
-      .join(moved.select(col("id").as("__movedId")),
+      .join(broadcast(moved.select(col("id").as("__movedId"))),
         col("id") === col("__movedId"), "left_anti")
       .withColumn("mtime", lit(nowMs))
       .select(col("id"), col("parentId"), col("name"), col("mtime"), col("version"))
@@ -288,7 +300,7 @@ object Mutations {
     // plus two batch frames pinned with no handle for the caller to drop
     // (the returned persisted frame is the caller's, per the Caching
     // contract, like dupClusters)
-    graft.core.Caching.materializeAndRelease(out, Seq(f, baseValidated, validated))
+    tr("rename_out_mat")(graft.core.Caching.materializeAndRelease(out, Seq(f, baseValidated, validated)))
   }
 
   /** The dir-rename ancestry/entanglement pass of [[rename]] — only
@@ -718,6 +730,16 @@ object Mutations {
     * persisted frame the caller must unpersist (the rename convention). */
   def copy(file: DataFrame, block: DataFrame, requests: DataFrame,
            idBase: Long, blockIdBase: Long, maxDepth: Int = 16): DataFrame = {
+    // local profiling hook (SPARK_GRAFT_PROFILE_COPY=1): times each
+    // internal action; zero-cost no-op otherwise
+    val profC = sys.env.get("SPARK_GRAFT_PROFILE_COPY").contains("1")
+    def tc[T](name: String)(fn: => T): T =
+      if (!profC) fn else {
+        val t0 = System.nanoTime()
+        val r = fn
+        println(f"[copy] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
     val f = live(file)
     val reqs = requests.select(col("srcId").as("__rsrc"),
       col("dstParentId").as("__rdst"), col("newName").as("__rname"))
@@ -733,6 +755,10 @@ object Mutations {
           .when(col("__pid").isNull, "parent not found")
           .when(col("__plen") =!= -1L, "parent not a directory")
           .when(col("__tn").isNotNull, "destination exists"))
+      // request-bounded; pinned because three actions read it (the BFS
+      // seed via accepted, rejects and dupRejects in the final
+      // materialize) and each re-ran the live-file validation joins
+      .localCheckpoint()
     val dupW = Window.partitionBy(col("__rdst"), col("__rname")).orderBy(col("__rsrc"))
     val ranked = v0.filter(col("reject").isNull)
       .withColumn("__dup", row_number().over(dupW))
@@ -755,7 +781,7 @@ object Mutations {
         .filter(col("id") =!= 0L).drop("__fp")
       frontier.persist()
       persisted += frontier
-      n = frontier.count()
+      n = tc(s"bfs_count_l$lvl")(frontier.count())
       if (n > 0) members = members.unionByName(frontier)
       lvl += 1
     }
@@ -765,22 +791,24 @@ object Mutations {
         s"copy exceeded maxDepth=$maxDepth with an unfinished frontier - " +
         "a truncated copy would silently drop the deeper levels")
     }
-    val allMembers = graft.core.Caching
-      .materializeAndRelease(members, persisted.toSeq)
+    val allMembers = tc("members_mat")(graft.core.Caching
+      .materializeAndRelease(members, persisted.toSeq))
     // FileUtil.checkDependencies: the destination parent inside the
     // source subtree (or the source itself) refuses the whole request
     val cyc = allMembers.filter(col("id") === col("__rdst"))
       .select(col("__rsrc"), col("__rdst"), col("__rname")).distinct()
     val good = allMembers.join(cyc,
       Seq("__rsrc", "__rdst", "__rname"), "left_anti")
-    val rankedRows = globalRank(good, "__rk",
-        col("__rsrc"), col("__rdst"), col("__rname"), col("id"))
+    val rankedRows = tc("file_rank")(globalRank(good, "__rk",
+        col("__rsrc"), col("__rdst"), col("__rname"), col("id")))
       .withColumn("__newId", lit(idBase) + col("__rk"))
     val rankMap = rankedRows.select(col("__rsrc").as("__m1"),
       col("__rdst").as("__m2"), col("__rname").as("__m3"),
       col("id").as("__oldP"), col("__newId").as("__newP"))
     val fileRows = rankedRows
-      .join(rankMap, col("__rsrc") === col("__m1") && col("__rdst") === col("__m2")
+      // broadcast: both sides are stats-less zipWithIndex frames, so the
+      // planner would sort-merge this batch-bounded self-join
+      .join(broadcast(rankMap), col("__rsrc") === col("__m1") && col("__rdst") === col("__m2")
         && col("__rname") === col("__m3") && col("parentId") === col("__oldP"), "left")
       .select(lit("copy").as("writeOp"), lit("file").as("tbl"),
         col("__newId").as("id"),
@@ -791,21 +819,30 @@ object Mutations {
         col("length"), lit(null).cast("long").as("datanodeId"),
         col("id").as("srcId"), col("__newId").as("version"),
         lit(null).cast("string").as("reject"))
-    // block duplication for the copied files
+    // block duplication for the copied files. The copied set is
+    // request-bounded: push its file ids into the block scan
+    // (Scale.keyPrune — in views mode the fileId predicate drops below
+    // the derivation window; on a real table it prunes row groups) and
+    // PIN the matched replicas once (r20, guide §5) — blockKeys' rank
+    // (range-sampling pass + index job) and the final blockRows join
+    // each re-derived the whole block view without the pin (~2.5 s per
+    // evaluation at sf0.1, 3 evaluations)
     val copiedFiles = rankedRows.filter(col("length") =!= -1L)
       .select(col("__rsrc"), col("__rdst"), col("__rname"),
         col("id").as("__cfOld"), col("__newId").as("__cfNew"))
-    val replicas = live(block)
-      .join(copiedFiles, col("fileId") === col("__cfOld"))
-    val blockKeys = globalRank(
+    val replicas = graft.core.Scale.keyPrune(live(block), "fileId",
+        copiedFiles.select(col("__cfOld")), "__cfOld")
+      .join(broadcast(copiedFiles), col("fileId") === col("__cfOld"))
+      .transform(df => tc("replicas_ckpt")(df.localCheckpoint()))
+    val blockKeys = tc("block_rank")(globalRank(
         replicas.select(col("__rsrc"), col("__rdst"), col("__rname"),
           col("id").as("__ob")).distinct(),
-        "__brk", col("__rsrc"), col("__rdst"), col("__rname"), col("__ob"))
+        "__brk", col("__rsrc"), col("__rdst"), col("__rname"), col("__ob")))
       .withColumn("__newBid", lit(blockIdBase) + col("__brk"))
       .select(col("__rsrc").as("__b1"), col("__rdst").as("__b2"),
         col("__rname").as("__b3"), col("__ob"), col("__newBid"))
     val blockRows = replicas
-      .join(blockKeys, col("__rsrc") === col("__b1") && col("__rdst") === col("__b2")
+      .join(broadcast(blockKeys), col("__rsrc") === col("__b1") && col("__rdst") === col("__b2")
         && col("__rname") === col("__b3") && col("id") === col("__ob"))
       .select(lit("copy").as("writeOp"), lit("block").as("tbl"),
         col("__newBid").as("id"), col("__cfNew").as("parentId"),
@@ -832,7 +869,7 @@ object Mutations {
     // a frame that merely references it would leak one cached DataFrame
     // per call. The returned persisted frame is the caller's to
     // unpersist (the rename convention; Shell cp releases in finally).
-    graft.core.Caching.materializeAndRelease(out, Seq(allMembers))
+    tc("out_mat")(graft.core.Caching.materializeAndRelease(out, Seq(allMembers)))
   }
 
   /** Trash.moveToTrash (fs/Trash.java:103-152 — FsShell delete calls it
