@@ -43,7 +43,6 @@ object ProfileR19 {
     // the ancestor-probe join alone, both the startsWith (BNL) and the
     // keyed prefix formulation.
     if (sys.env.get("SPARK_GRAFT_PROFILE_FSCK").contains("1")) {
-      val live = (df: DataFrame) => graft.store.StateStore.live(df)
       val deadDn = spark.sql(graft.queries.AnalyticsQueries.FsckDeadNodesSql)
       val corrupt = graft.analytics.Dataflows.fsckFiles(
           spark.table("file"), spark.table("block"), deadDn,

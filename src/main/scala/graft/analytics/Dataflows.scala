@@ -802,9 +802,12 @@ object Dataflows {
     // (and dirs under needs' several consumers) — without the pin each
     // consumer re-runs the whole path materialization (file derivation +
     // broadcast dir join), measured ~1.5 s per re-derivation at sf0.1
-    // over ~6 evaluations; the frame is namespace-row-sized (one row per
-    // live file/dir, ~150k at sf0.1), the same magnitude as the corrupt
-    // pin above
+    // over ~6 evaluations. NOTE the storage cost: this frame is
+    // namespace-sized (one row per live file/dir — ~150k at sf0.1, but
+    // the FULL namespace at cluster scale), orders of magnitude larger
+    // than the findings-sized corrupt pin above; a cluster-scale pass
+    // should reconsider the pin (e.g. persist with spill) before
+    // adopting it beyond the derivation-backed bench layout
     val paths = StateManager.materializePaths(file)
       .select(col("id").as("__lid"), col("parentId").as("__lpar"),
         col("name").as("__lname"), col("length").as("__llen"),
@@ -830,6 +833,11 @@ object Dataflows {
     // case, where both forms emit one row per matching dir row. At
     // cluster scale this is the difference between findings × namespace
     // and findings × depth.
+    // leading-'/' invariant: the prefix generation assumes every corrupt
+    // path starts with '/' (split yields a leading empty part, so slice
+    // from index 1 rebuilds rooted prefixes); materializePaths guarantees
+    // it today — a path source that dropped the leading '/' would
+    // silently lose each file's single-component ancestor here
     val prefixes = corrupt
       .select(col("__cfid"), split(col("__cpath"), "/").as("__parts"))
       .filter(size(col("__parts")) >= 3)
