@@ -167,6 +167,16 @@ object Dataflows {
     // same `block` frame unless the caller scoped it down (per-datanode
     // micro-batches) and supplies the global table to arbitrate against.
     val arbiterSrc = genStampArbiter.map(live).getOrElse(live(block))
+    // max_by over a struct ordering key forces a SortAggregate pair (the
+    // struct agg buffer is not hash-aggregable). Packing (genStamp,
+    // version) into ONE numeric key would make it hash-aggregable, but
+    // no lossless 64-bit packing exists: both fields are unbounded
+    // BIGINTs by the table contract (the synthetic derivation alone has
+    // version ≈ 4×blockId, past 2^43 by ~sf1000), and any split
+    // gs·2^k + v silently mis-orders once v ≥ 2^k — r20 examined and
+    // closed (DECIMAL(38) / HUGEINT buffers are no more hash-aggregable
+    // than the struct). The bucketed layout removes the exchange under
+    // this aggregate, which is the deployment answer.
     val freshest = arbiterSrc.groupBy(col("id").as("__bid"))
       .agg(max(col("generationStamp")).as("maxGenStamp"),
         max_by(col("length"), struct(col("generationStamp"), col("version")))
